@@ -1,24 +1,46 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Benchmark main: times the headline queries from BASELINE.md (scan+filter,
+ * join, agg, window, pivot, dedup suite, ANN) on SPARK_GRAFT_SF_DIR and
+ * prints ONE JSON line for the driver.
+ */
 object Bench {
+  // BASELINE.md headline set + the training-data-pipeline ops.
+  private val headline = Seq(
+    "q_filter_rows", "q_join_inner", "q_aggregate", "q_row_number",
+    "q_pivot", "q_deduplicate", "q_sessionize", "q_window_calc",
+    "q_exact_dedup", "q_minhash_pairs", "q_simhash_pairs", "q_ann_topk",
+    "q_token_count", "q_quality_score", "q_scd2", "q_merge_upsert")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val qs = SparkEntry.queries
+    val results = headline.flatMap { name =>
+      qs.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (n < 0) System.err.println(s"[bench] $name FAILED")
+        name -> dt
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qJson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,13 +1,389 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Similarity, TextAnalysis}
+import graft.operators.{Advanced, Dedup, Relational, SqlCore}
+
+/**
+ * Driver contract: one `queries` entry per implemented operator from
+ * SURVEY.md §2, with a DuckDB-equivalent oracle in `oracleSql` wherever the
+ * semantics are ANSI-SQL-expressible (xxhash64/LSH-based ops are rows-only).
+ *
+ * Oracle-compat notes (DuckDB 1.0 vs Spark 4):
+ *  - derived ints are cast to BIGINT on the Spark side because DuckDB's
+ *    year()/row_number()/len() return int64;
+ *  - double aggregates of non-integer-valued columns are round()ed — the
+ *    engines may sum in different orders;
+ *  - `events.ts` is nanosecond-precision parquet: Spark truncates to micros,
+ *    so raw `ts` is never output — only whole-second/hour derivations;
+ *  - DuckDB date_trunc('month') returns DATE, so month truncations are cast
+ *    to DATE on both sides.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /**
+   * events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to read as
+   * a timestamp; sessions set spark.sql.legacy.parquet.nanosAsLong=true and
+   * this loader converts nanos → microsecond TimestampType (truncating,
+   * which matches DuckDB floor(epoch) semantics in the oracles).
+   */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Flagship query on sf=0.001 (TPC-H Q1 shape); driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val li = t(spark, "/root/testdata/sf0.001", "lineitem")
+    Relational.aggregate(
+      SqlCore.filterRows(li, "l_shipdate <= timestamp'1998-09-02 00:00:00'"),
+      Seq("l_returnflag", "l_linestatus"),
+      Seq("l_quantity" -> "sum", "l_orderkey" -> "count"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- sql_core (SURVEY §2.2) ----
+    "q_filter_rows" -> ((s, d) =>
+      SqlCore.filterRows(t(s, d, "lineitem"), "l_quantity > 30 AND l_discount < 0.05")),
+    "q_derive_columns" -> ((s, d) =>
+      SqlCore.deriveColumns(t(s, d, "lineitem"), Seq(
+        "net_price" -> "l_extendedprice * (1 - l_discount)",
+        "charge" -> "l_extendedprice * (1 - l_discount) * (1 + l_tax)"))
+        .select("l_orderkey", "l_linenumber", "net_price", "charge")),
+    "q_cast_columns" -> ((s, d) =>
+      SqlCore.castColumns(t(s, d, "lineitem").select("l_orderkey", "l_quantity"),
+        Map("l_quantity" -> "bigint"))
+        .withColumn("okey_str", col("l_orderkey").cast("string"))),
+    "q_clean_text" -> ((s, d) =>
+      SqlCore.cleanText(t(s, d, "customer").select("c_custkey", "c_name", "c_mktsegment"),
+        Seq("c_name", "c_mktsegment"), trimWs = true, textCase = "lower")),
+    "q_extract_date_parts" -> ((s, d) =>
+      SqlCore.castColumns(
+        SqlCore.extractDateParts(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
+          "o_orderdate", "o_", Seq("year", "month", "day")).drop("o_orderdate"),
+        Map("o_year" -> "bigint", "o_month" -> "bigint", "o_day" -> "bigint"))),
+    "q_normalize_schema" -> ((s, d) =>
+      SqlCore.normalizeSchema(t(s, d, "orders"),
+        rename = Map("o_totalprice" -> "total_price"),
+        drop = Seq("o_orderpriority"),
+        selectOrder = Seq("o_orderkey", "o_custkey", "total_price", "o_orderstatus"))),
+    "q_sort_limit" -> ((s, d) =>
+      SqlCore.limitRows(
+        SqlCore.sort(t(s, d, "lineitem"), Seq("l_orderkey", "l_linenumber")), 100, offset = 10)),
+    "q_sample_det" -> ((s, d) =>
+      SqlCore.filterRows(t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+        "substring(md5(cast(l_orderkey as string)), 1, 1) in ('0','1','2','3')")),
+    "q_distinct" -> ((s, d) =>
+      SqlCore.distinctRows(t(s, d, "lineitem").select("l_returnflag", "l_linestatus"))),
+    "q_fill_nulls" -> ((s, d) =>
+      SqlCore.fillNulls(
+        t(s, d, "customer").select(col("c_custkey"),
+          expr("nullif(c_mktsegment, 'BUILDING')").as("c_mktsegment")),
+        Map("c_mktsegment" -> "SEGMENT_UNKNOWN"))),
+    "q_split_part" -> ((s, d) =>
+      SqlCore.splitPart(t(s, d, "customer").select("c_custkey", "c_name"),
+        "c_name", "#", 2, Some("cust_num"))),
+    "q_date_add" -> ((s, d) =>
+      SqlCore.dateAdd(
+        SqlCore.dateAdd(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
+          "o_orderdate", 5, "day", Some("ship_by")),
+        "o_orderdate", 3, "month", Some("plus3m"))
+        .withColumn("ship_by", col("ship_by").cast("timestamp"))
+        .withColumn("plus3m", col("plus3m").cast("timestamp"))),
+    "q_date_trunc" -> ((s, d) =>
+      SqlCore.dateTrunc(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
+        "o_orderdate", "month", Some("month_start"))),
+    "q_date_diff" -> ((s, d) =>
+      SqlCore.dateDiff(
+        t(s, d, "orders").select("o_orderkey", "o_orderdate")
+          .withColumn("ref", expr("timestamp'1998-12-01 00:00:00'")),
+        "o_orderdate", "ref", "day", "days_to_ref").drop("ref")),
+    "q_case_when" -> ((s, d) =>
+      SqlCore.caseWhen(t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+        Seq("l_quantity < 10" -> "'low'", "l_quantity < 30" -> "'mid'"),
+        Some("'high'"), "qty_class")),
+    "q_convert_timezone" -> ((s, d) => // rows-only: DuckDB tz needs ICU
+      SqlCore.convertTimezone(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
+        "o_orderdate", "UTC", "America/New_York", Some("o_local"))),
+    "q_concat_columns" -> ((s, d) =>
+      SqlCore.concatColumns(t(s, d, "customer").select("c_custkey", "c_name", "c_mktsegment"),
+        Seq("c_name", "c_mktsegment"), "|", "concat_key")),
+    "q_select_drop_rename" -> ((s, d) =>
+      SqlCore.renameColumns(
+        SqlCore.dropColumns(
+          SqlCore.selectColumns(t(s, d, "orders"),
+            Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")),
+          Seq("o_orderstatus")),
+        Map("o_totalprice" -> "price"))),
+    "q_add_prefix" -> ((s, d) =>
+      SqlCore.addPrefix(t(s, d, "region"), "r0_")),
+    "q_normalize_column_names" -> ((s, d) =>
+      SqlCore.normalizeColumnNames(t(s, d, "region")
+        .select(col("r_regionkey").as("Region Key"), col("r_name").as("regionName")))),
+    "q_coalesce_columns" -> ((s, d) =>
+      SqlCore.coalesceColumns(
+        t(s, d, "customer").select(col("c_custkey"), col("c_name"),
+          expr("nullif(c_mktsegment, 'AUTOMOBILE')").as("alt")),
+        Seq("alt", "c_name"), "seg_or_name", dropSource = false)
+        .select("c_custkey", "seg_or_name")),
+    "q_replace_values" -> ((s, d) =>
+      SqlCore.replaceValues(t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag"),
+        Seq("l_returnflag"), Seq("A" -> "ACCEPTED", "R" -> "RETURNED"))),
+    "q_trim_whitespace" -> ((s, d) =>
+      SqlCore.trimWhitespace(t(s, d, "documents").select("doc_id", "text"))),
+    "q_row_number" -> ((s, d) =>
+      SqlCore.rowNumber(t(s, d, "orders"), "rn", Seq("o_custkey"),
+        Seq(col("o_orderdate").asc, col("o_orderkey").asc))
+        .withColumn("rn", col("rn").cast("long"))
+        .select("o_orderkey", "o_custkey", "rn")),
+
+    // ---- relational (SURVEY §2.3) ----
+    "q_join_inner" -> ((s, d) =>
+      Relational.join(t(s, d, "orders"),
+        t(s, d, "customer").withColumnRenamed("c_custkey", "o_custkey"),
+        Seq("o_custkey"), "inner")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "c_name")),
+    "q_join_left" -> ((s, d) =>
+      Relational.join(t(s, d, "orders"),
+        SqlCore.filterRows(t(s, d, "customer"), "c_acctbal > 9000")
+          .withColumnRenamed("c_custkey", "o_custkey"),
+        Seq("o_custkey"), "left")
+        .select(col("o_orderkey"), coalesce(col("c_name"), lit("NONE")).as("cust_name"))),
+    "q_join_semi" -> ((s, d) =>
+      Relational.join(t(s, d, "customer"),
+        SqlCore.filterRows(t(s, d, "orders"), "o_totalprice > 300000")
+          .withColumnRenamed("o_custkey", "c_custkey"),
+        Seq("c_custkey"), "semi")),
+    "q_join_anti" -> ((s, d) =>
+      Relational.join(t(s, d, "customer"),
+        t(s, d, "orders").withColumnRenamed("o_custkey", "c_custkey"),
+        Seq("c_custkey"), "anti")),
+    "q_union_by_name" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      Relational.union(Seq(
+        o.select("o_orderkey", "o_totalprice", "o_orderstatus").filter("o_orderstatus = 'F'"),
+        o.select("o_orderstatus", "o_orderkey", "o_totalprice").filter("o_totalprice > 250000")),
+        byName = true)
+    }),
+    "q_pivot" -> ((s, d) =>
+      Relational.pivot(t(s, d, "lineitem"), Seq("l_returnflag"), "l_linestatus",
+        "l_quantity", "sum", values = Seq("F", "O"))),
+    "q_unpivot" -> ((s, d) =>
+      Relational.unpivot(
+        t(s, d, "part").select(col("p_partkey"), col("p_retailprice"),
+          col("p_size").cast("double").as("p_size")),
+        Seq("p_partkey"), Seq("p_retailprice", "p_size"), "attr", "val")),
+    "q_aggregate" -> ((s, d) =>
+      Relational.aggregate(t(s, d, "lineitem"), Seq("l_returnflag", "l_linestatus"),
+        Seq("l_quantity" -> "sum", "l_orderkey" -> "count", "l_extendedprice" -> "avg"))
+        .withColumn("l_extendedprice", round(col("l_extendedprice"), 4))),
+
+    // ---- advanced (SURVEY §2.4) ----
+    "q_deduplicate" -> ((s, d) =>
+      Advanced.deduplicate(t(s, d, "orders"), Seq("o_custkey"),
+        Seq(col("o_orderdate").desc, col("o_orderkey").asc))),
+    "q_explode" -> ((s, d) =>
+      Advanced.explodeListColumn(
+        t(s, d, "lineitem").select("l_orderkey", "l_linenumber")
+          .withColumn("seq_arr", sequence(lit(1L), col("l_linenumber").cast("long"))),
+        "seq_arr", outputCol = Some("ln_seq")).drop("seq_arr")),
+    "q_dict_mapping" -> ((s, d) =>
+      Advanced.dictBasedMapping(
+        t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag"),
+        "l_returnflag", Seq("A" -> "accepted", "N" -> "none", "R" -> "returned"),
+        Some("other"), "flag_desc")),
+    "q_regex_replace" -> ((s, d) =>
+      Advanced.regexReplace(t(s, d, "documents").select("doc_id", "text"),
+        "text", "value", "VAL", Some("text_repl")).drop("text")),
+    "q_unpack_struct" -> ((s, d) =>
+      Advanced.unpackStruct(
+        t(s, d, "customer").select(col("c_custkey"),
+          struct(col("c_name"), col("c_acctbal")).as("info")), "info")),
+    "q_hash_columns" -> ((s, d) =>
+      Advanced.hashColumns(
+        Advanced.hashColumns(t(s, d, "customer").select("c_custkey", "c_name", "c_mktsegment"),
+          Seq("c_name"), "sha256"),
+        Seq("c_mktsegment"), "md5")),
+    "q_surrogate_key" -> ((s, d) =>
+      Advanced.generateSurrogateKey(t(s, d, "customer").select("c_custkey", "c_nationkey"),
+        Seq("c_custkey", "c_nationkey"), "sk")),
+    "q_numeric_key" -> ((s, d) => // rows-only: xxhash64 has no DuckDB equivalent
+      Advanced.generateNumericKey(t(s, d, "customer").select("c_custkey", "c_name"),
+        Seq("c_name"), "nk")),
+    "q_parse_json" -> ((s, d) =>
+      Advanced.parseJson(events(s, d).select("event_id", "props"),
+        "props", "k BIGINT", Some("pj"))
+        .select(col("event_id"), col("pj.k").as("k"))),
+    "q_validate_and_flag" -> ((s, d) =>
+      Advanced.validateAndFlag(
+        t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity", "l_discount"),
+        Seq("qty_max" -> "l_quantity <= 45", "disc_max" -> "l_discount <= 0.08"), "flags")),
+    "q_window_calc" -> ((s, d) =>
+      Advanced.windowCalculation(
+        t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+        "sum(l_quantity)", Seq("l_orderkey"), Nil, "order_qty")),
+    "q_sessionize" -> ((s, d) =>
+      Advanced.sessionize(events(s, d).select("event_id", "user_id", "ts"),
+        "user_id", "ts", 1800, tieBreak = Seq(col("event_id")))
+        .select("event_id", "user_id", "session_id")),
+    "q_split_events" -> ((s, d) =>
+      Advanced.splitEventsByPeriod(
+        events(s, d).select(col("event_id"), col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 90 MINUTES")).as("end_ts")),
+        "start_ts", "end_ts", "hour", "dur_s")
+        .select("event_id", "period_start", "period_end", "dur_s")),
+    "q_flatten_struct" -> ((s, d) =>
+      Advanced.flattenStruct(
+        t(s, d, "customer").select(col("c_custkey"),
+          struct(struct(col("c_name").as("name")).as("inner"),
+            col("c_acctbal").as("bal")).as("nested")), "nested")),
+    "q_apply_mapping" -> ((s, d) =>
+      Advanced.applyMapping(t(s, d, "customer").select("c_custkey", "c_nationkey"),
+        t(s, d, "nation"), "c_nationkey", "n_nationkey", "n_name",
+        "nation_name", default = Some("UNKNOWN"))),
+
+    // ---- dedup / text / similarity (training-data ops) ----
+    "q_exact_dedup" -> ((s, d) =>
+      Dedup.exactDedup(t(s, d, "documents"), "doc_id", "text")),
+    "q_minhash_pairs" -> ((s, d) => // rows-only: xxhash64-based
+      Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text")),
+    "q_simhash_pairs" -> ((s, d) => // rows-only
+      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text")),
+    "q_ngram_jaccard_pairs" -> ((s, d) => // rows-only: LSH-candidate recall < 1
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.5)),
+    "q_embedding_neardup" -> ((s, d) => // rows-only
+      Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+        dim = 64, threshold = 0.25)),
+    "q_token_count" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))),
+    "q_quality_score" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))),
+    "q_lang_id" -> ((s, d) => // rows-only: argmax-over-structs oracle too dialect-fragile
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.languageId(col("text")).as("lang_id"))),
+    "q_fingerprint_stats" -> ((s, d) =>
+      t(s, d, "documents").agg(
+        countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_unique"),
+        count(lit(1)).as("n_docs"))),
+    "q_ann_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        emb.filter("vec_id < 10").select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv", 5).withColumn("rank", col("rank").cast("long"))
+    }),
+    "q_lsh_topk" -> ((s, d) => { // rows-only: LSH recall < 1
+      val emb = t(s, d, "embeddings")
+      Similarity.lshTopK(emb, "vec_id", "embedding",
+        emb.filter("vec_id < 10").select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv", 5, dim = 64).withColumn("rank", col("rank").cast("long"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_filter_rows" ->
+      "SELECT * FROM lineitem WHERE l_quantity > 30 AND l_discount < 0.05",
+    "q_derive_columns" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS net_price, l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge FROM lineitem",
+    "q_cast_columns" ->
+      "SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS l_quantity, CAST(l_orderkey AS VARCHAR) AS okey_str FROM lineitem",
+    "q_clean_text" ->
+      "SELECT c_custkey, lower(trim(c_name)) AS c_name, lower(trim(c_mktsegment)) AS c_mktsegment FROM customer",
+    "q_extract_date_parts" ->
+      "SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS o_year, CAST(month(o_orderdate) AS BIGINT) AS o_month, CAST(day(o_orderdate) AS BIGINT) AS o_day FROM orders",
+    "q_normalize_schema" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice AS total_price, o_orderstatus FROM orders",
+    "q_sort_limit" ->
+      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100 OFFSET 10",
+    "q_sample_det" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) IN ('0','1','2','3')",
+    "q_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q_fill_nulls" ->
+      "SELECT c_custkey, COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'SEGMENT_UNKNOWN') AS c_mktsegment FROM customer",
+    "q_split_part" ->
+      "SELECT c_custkey, c_name, split_part(c_name, '#', 2) AS cust_num FROM customer",
+    "q_date_add" ->
+      "SELECT o_orderkey, o_orderdate, CAST(CAST(o_orderdate AS DATE) + 5 AS TIMESTAMP) AS ship_by, CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS TIMESTAMP) AS plus3m FROM orders",
+    "q_date_trunc" ->
+      "SELECT o_orderkey, o_orderdate, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start FROM orders",
+    "q_date_diff" ->
+      "SELECT o_orderkey, o_orderdate, date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS days_to_ref FROM orders",
+    "q_case_when" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS qty_class FROM lineitem",
+    "q_concat_columns" ->
+      "SELECT c_custkey, c_name, c_mktsegment, concat_ws('|', c_name, c_mktsegment) AS concat_key FROM customer",
+    "q_select_drop_rename" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice AS price FROM orders",
+    "q_add_prefix" ->
+      "SELECT r_regionkey AS r0_r_regionkey, r_name AS r0_r_name FROM region",
+    "q_normalize_column_names" ->
+      "SELECT r_regionkey AS region_key, r_name AS region_name FROM region",
+    "q_coalesce_columns" ->
+      "SELECT c_custkey, COALESCE(NULLIF(c_mktsegment, 'AUTOMOBILE'), c_name) AS seg_or_name FROM customer",
+    "q_replace_values" ->
+      "SELECT l_orderkey, l_linenumber, CASE WHEN l_returnflag = 'A' THEN 'ACCEPTED' WHEN l_returnflag = 'R' THEN 'RETURNED' ELSE l_returnflag END AS l_returnflag FROM lineitem",
+    "q_trim_whitespace" ->
+      "SELECT doc_id, trim(text) AS text FROM documents",
+    "q_row_number" ->
+      "SELECT o_orderkey, o_custkey, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn FROM orders",
+    "q_join_inner" ->
+      "SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey",
+    "q_join_left" ->
+      "SELECT o.o_orderkey, COALESCE(c.c_name, 'NONE') AS cust_name FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_acctbal > 9000",
+    "q_join_semi" ->
+      "SELECT * FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)",
+    "q_join_anti" ->
+      "SELECT * FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    "q_union_by_name" ->
+      "SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderstatus = 'F' UNION ALL SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_totalprice > 250000",
+    "q_pivot" ->
+      "SELECT l_returnflag, sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS \"F\", sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS \"O\" FROM lineitem GROUP BY l_returnflag",
+    "q_unpivot" ->
+      "SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part UNION ALL SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part",
+    "q_aggregate" ->
+      "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS l_quantity, count(l_orderkey) AS l_orderkey, round(avg(l_extendedprice), 4) AS l_extendedprice FROM lineitem GROUP BY l_returnflag, l_linestatus",
+    "q_deduplicate" ->
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn FROM orders) t WHERE rn = 1",
+    "q_explode" ->
+      "SELECT l_orderkey, l_linenumber, unnest(generate_series(1, CAST(l_linenumber AS BIGINT))) AS ln_seq FROM lineitem",
+    "q_dict_mapping" ->
+      "SELECT l_orderkey, l_linenumber, l_returnflag, CASE WHEN l_returnflag = 'A' THEN 'accepted' WHEN l_returnflag = 'N' THEN 'none' WHEN l_returnflag = 'R' THEN 'returned' ELSE 'other' END AS flag_desc FROM lineitem",
+    "q_regex_replace" ->
+      "SELECT doc_id, regexp_replace(text, 'value', 'VAL', 'g') AS text_repl FROM documents",
+    "q_unpack_struct" ->
+      "SELECT c_custkey, c_name, c_acctbal FROM customer",
+    "q_hash_columns" ->
+      "SELECT c_custkey, sha256(c_name) AS c_name, md5(c_mktsegment) AS c_mktsegment FROM customer",
+    "q_surrogate_key" ->
+      "SELECT c_custkey, c_nationkey, sha256(concat_ws('|', CAST(c_custkey AS VARCHAR), CAST(c_nationkey AS VARCHAR))) AS sk FROM customer",
+    "q_parse_json" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
+    "q_validate_and_flag" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_discount, concat_ws(',', CASE WHEN NOT COALESCE(l_quantity <= 45, false) THEN 'qty_max' END, CASE WHEN NOT COALESCE(l_discount <= 0.08, false) THEN 'disc_max' END) AS flags FROM lineitem",
+    "q_window_calc" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, sum(l_quantity) OVER (PARTITION BY l_orderkey) AS order_qty FROM lineitem",
+    "q_sessionize" ->
+      "WITH g AS (SELECT event_id, user_id, ts, CASE WHEN lag(ts) OVER w IS NULL OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800 THEN 1 ELSE 0 END AS is_new FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), s AS (SELECT event_id, user_id, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS snum FROM g) SELECT event_id, user_id, concat_ws('-', CAST(user_id AS VARCHAR), CAST(snum AS VARCHAR)) AS session_id FROM s",
+    "q_split_events" ->
+      "SELECT event_id, period_start, period_start + INTERVAL 1 HOUR AS period_end, CAST(floor(epoch(least(end_ts, period_start + INTERVAL 1 HOUR))) - floor(epoch(greatest(start_ts, period_start))) AS BIGINT) AS dur_s FROM (SELECT event_id, ts AS start_ts, ts + INTERVAL 90 MINUTE AS end_ts, unnest(generate_series(date_trunc('hour', ts), date_trunc('hour', ts + INTERVAL 90 MINUTE), INTERVAL 1 HOUR)) AS period_start FROM events) t",
+    "q_flatten_struct" ->
+      "SELECT c_custkey, c_name AS nested_inner_name, c_acctbal AS nested_bal FROM customer",
+    "q_apply_mapping" ->
+      "SELECT c.c_custkey, c.c_nationkey, COALESCE(n.n_name, 'UNKNOWN') AS nation_name FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey",
+    "q_exact_dedup" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') ORDER BY doc_id) AS rn FROM documents) t WHERE rn = 1",
+    "q_token_count" ->
+      "SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens FROM documents",
+    "q_quality_score" ->
+      "SELECT doc_id, round(least(length(text) / 500.0, 1.0) * 0.3 + least((CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','was','with','as','at','by','be','this'], x))) AS DOUBLE) / CAST(greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1) AS DOUBLE)) * 4.0, 1.0) * 0.3 + greatest(0.0, 1.0 - (CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)) * 4.0) * 0.2 + greatest(0.0, 1.0 - (CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)) * 4.0) * 0.2, 6) AS quality FROM documents",
+    "q_fingerprint_stats" ->
+      "SELECT count(DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS n_unique, count(*) AS n_docs FROM documents",
+    "q_ann_topk" ->
+      "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10), s AS (SELECT q.qid, e.vec_id, list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.qv, q.qv))) AS cos FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid) SELECT qid, vec_id, rank FROM (SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM s) r WHERE rank <= 5"
+  )
 }

@@ -1,0 +1,125 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native Catalyst expressions for the document-dedup hot loops.
+ *
+ * Why: Spark's higher-order functions (transform/aggregate) are interpreted,
+ * not codegen'd — a k=64 minhash over ~1000 shingles costs ~64k boxed lambda
+ * evaluations per row (measured 250+ s for 500 docs at sf0.01). These
+ * expressions run the same math as a tight unboxed loop over UTF8String
+ * bytes (~3 orders of magnitude less overhead), which is what makes
+ * minhash-LSH dedup viable over 100 TB of documents.
+ *
+ * Distinctness note: minhash needs min over the shingle SET, but min over
+ * the sliding-window MULTISET is identical — so no O(n²) array_distinct.
+ */
+case class MinHashShingles(child: Expression, shingleSize: Int, numHashes: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String]
+    val nChars = text.numChars()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val nWindows = math.max(nChars - shingleSize + 1, 1)
+    var p = 0
+    while (p < nWindows) {
+      // substringSQL is 1-based; clamps at the end for short texts
+      val shingle = text.substringSQL(p + 1, shingleSize)
+      var k = 0
+      while (k < numHashes) {
+        val h = XXH64.hashUTF8String(shingle, k.toLong)
+        if (h < mins(k)) mins(k) = h
+        k += 1
+      }
+      p += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashShingles =
+    copy(child = newChild)
+}
+
+/**
+ * 64-bit SimHash over a token array: one xxhash64 per token, then per-bit
+ * majority vote. O(tokens × 64) unboxed bit ops.
+ */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Column-API wrappers. */
+object HashFunctions {
+  def minhashShingles(text: Column, shingleSize: Int, numHashes: Int): Column =
+    ColumnShim.column(
+      MinHashShingles(ColumnShim.expression(text), shingleSize, numHashes))
+
+  def simhash64(tokens: Column): Column =
+    ColumnShim.column(SimHash64(ColumnShim.expression(tokens)))
+}
+
+/**
+ * SparkSessionExtensions hook: makes the expressions available from SQL as
+ * `minhash_shingles(text, n, k)` and `simhash64(tokens)`. Enable with
+ * .config("spark.sql.extensions", "graft.expressions.GraftExtensions").
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("minhash_shingles"),
+      new ExpressionInfo(classOf[MinHashShingles].getName, "minhash_shingles"),
+      (children: Seq[Expression]) => MinHashShingles(children(0),
+        intLit(children(1), "shingleSize"), intLit(children(2), "numHashes"))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Vector similarity + approximate-nearest-neighbor search over an
+ * `Array[Float]` embedding column.
+ *
+ * All math is expressed with higher-order Catalyst functions
+ * (`zip_with`, `aggregate`, `transform`) — codegen'd, null-safe, no UDFs.
+ *
+ * Scale design: brute-force top-k is the exactness baseline (one pass, one
+ * shuffle for the top-k). The LSH route (random-hyperplane signatures →
+ * bucket join) turns the O(N·Q) cross join into a bucket-equi-join that
+ * Spark shuffles on signature — the standard way to make ANN tractable at
+ * 100 TB.
+ */
+object Similarity {
+
+  /** Dot product of two float/double array columns (double precision). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Brute-force exact top-k cosine neighbors for each query row.
+   * `queries` is expected to be small (it is broadcast); the corpus streams.
+   * Returns (queryIdCol, vec_id, rank).
+   */
+  def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                     queries: DataFrame, queryIdCol: String, queryVecCol: String,
+                     k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(queryIdCol).as("_qid"), col(queryVecCol).as("_qvec")))
+    val scored = corpus
+      .select(col(idCol), col(vecCol))
+      .crossJoin(q)
+      .filter(col(idCol) =!= col("_qid"))
+      .withColumn("_cos", cosine(col(vecCol), col("_qvec")))
+    val w = Window.partitionBy(col("_qid")).orderBy(col("_cos").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("_qid").as(queryIdCol), col(idCol), col("rank"))
+  }
+
+  /**
+   * Random-hyperplane (SimHash-for-vectors) signature: `bits` hyperplanes,
+   * each derived deterministically from `seed`; bit i = sign(dot(v, h_i)).
+   * Returned as a bit-packed long (bits <= 63).
+   *
+   * Hyperplane components are generated driver-side with a seeded RNG and
+   * inlined as literals — the plan is fully deterministic and codegen'd.
+   */
+  def hyperplaneSignature(vec: Column, dim: Int, bits: Int, seed: Long = 42L): Column = {
+    require(bits <= 63, "bits must fit a long")
+    val rng = new scala.util.Random(seed)
+    // gaussian-ish components via sum of uniforms (deterministic, seeded)
+    val planes = Array.fill(bits, dim)(rng.nextGaussian())
+    val bitCols = planes.zipWithIndex.map { case (plane, i) =>
+      val planeLit = array(plane.map(v => lit(v)): _*)
+      val d = aggregate(zip_with(vec, planeLit, (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, x) => acc + x)
+      when(d >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /**
+   * LSH-bucketed ANN: band the signature into `bands` buckets, join
+   * candidates sharing any band bucket, then exact-rerank with cosine.
+   * Trades recall for turning the cross join into an equi-join.
+   */
+  def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, queryIdCol: String, queryVecCol: String,
+              k: Int, dim: Int, bits: Int = 48, bands: Int = 6, seed: Long = 42L): DataFrame = {
+    val rowsPerBand = bits / bands
+    val mask = (1L << rowsPerBand) - 1
+
+    def banded(df: DataFrame, id: String, vec: String): DataFrame = {
+      // bindOnce: evaluate the signature once per row, not once per band
+      // (multi-use projection aliases get inlined by the optimizer).
+      val bandArray = graft.operators.Dedup.bindOnce(
+        hyperplaneSignature(col(vec), dim, bits, seed)) { s =>
+        array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(s, b * rowsPerBand).bitwiseAND(lit(mask)).as("bucket"))
+        }: _*)
+      }
+      df.select(col(id), col(vec), explode(bandArray).as("_band"))
+        .select(col(id), col(vec), col("_band.band").as("_b"), col("_band.bucket").as("_v"))
+    }
+
+    val c = banded(corpus, idCol, vecCol)
+    val q = banded(queries.select(col(queryIdCol).as("_qid"), col(queryVecCol).as("_qvec")),
+      "_qid", "_qvec")
+    val candidates = c.join(q, Seq("_b", "_v"))
+      .filter(col(idCol) =!= col("_qid"))
+      .select(col("_qid"), col(idCol), col(vecCol), col("_qvec"))
+      .dropDuplicates("_qid", idCol)
+    val scored = candidates.withColumn("_cos", cosine(col(vecCol), col("_qvec")))
+    val w = Window.partitionBy(col("_qid")).orderBy(col("_cos").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("_qid").as(queryIdCol), col(idCol), col("rank"))
+  }
+}

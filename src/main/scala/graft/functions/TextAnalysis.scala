@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines:
+ * language ID, quality scoring, token counting, document fingerprinting.
+ * Everything is built from codegen'd Catalyst expressions (no UDFs) so the
+ * whole pass stays inside WholeStageCodegen — at 100 TB these run at scan
+ * speed, one pass over the text column.
+ */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /**
+   * BPE-ish token estimate: words + punctuation marks counted separately
+   * (a cheap, deterministic proxy for subword tokenizers).
+   */
+  def tokenCountBpeIsh(text: Column): Column = {
+    val words = size(split(trim(text), "\\s+"))
+    val punct = length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
+    (words + punct).cast("int")
+  }
+
+  /** Character-class ratios used by quality heuristics. */
+  def punctRatio(text: Column): Column = {
+    val punct = length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
+    punct.cast("double") / greatest(length(text), lit(1)).cast("double")
+  }
+
+  def upperRatio(text: Column): Column = {
+    val uppers = length(text) - length(regexp_replace(text, "[A-Z]", ""))
+    uppers.cast("double") / greatest(length(text), lit(1)).cast("double")
+  }
+
+  def digitRatio(text: Column): Column = {
+    val digits = length(text) - length(regexp_replace(text, "[0-9]", ""))
+    digits.cast("double") / greatest(length(text), lit(1)).cast("double")
+  }
+
+  /** Fraction of tokens that are English stopwords (fixed small list). */
+  val StopWords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for",
+      "on", "was", "with", "as", "at", "by", "be", "this")
+
+  def stopwordRatio(text: Column): Column = {
+    val tokens = split(lower(trim(text)), "\\s+")
+    val stops = filter(tokens, t => array_contains(lit(StopWords.toArray), t))
+    size(stops).cast("double") / greatest(size(tokens), lit(1)).cast("double")
+  }
+
+  /**
+   * Composite quality score in [0,1]: rewards reasonable length and
+   * stopword presence, penalizes punctuation/digit-heavy text. A
+   * deterministic heuristic in the Gopher/C4-rule tradition.
+   */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text) * lit(4.0), lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * lit(4.0))
+    val digitPenalty = greatest(lit(0.0), lit(1.0) - digitRatio(text) * lit(4.0))
+    round((lenScore * lit(0.3) + stopScore * lit(0.3)
+      + punctPenalty * lit(0.2) + digitPenalty * lit(0.2)), 6)
+  }
+
+  /**
+   * Language ID via stopword-list voting: score = hits of each language's
+   * top function words among the document's tokens; argmax wins, 'und' when
+   * no list scores. N-gram-free but the same shape as fastText-style LID —
+   * and expressible as pure Catalyst array ops.
+   */
+  val LangStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "pour", "dans", "que", "des"),
+    "es" -> Seq("el", "la", "los", "y", "es", "una", "por", "para", "con", "del"),
+    "it" -> Seq("il", "la", "che", "e", "per", "una", "con", "del", "non", "sono")
+  )
+
+  def languageId(text: Column): Column = {
+    val tokens = split(lower(trim(text)), "[\\s\\p{Punct}]+")
+    val scores = LangStopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val hits = filter(tokens, t => array_contains(lit(words.toArray), t))
+      struct(size(hits).as("score"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scores: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /**
+   * Document fingerprint: 64-bit rolling-hash-style signature. Uses
+   * xxhash64 over normalized text (lowercased, whitespace-collapsed) —
+   * identical documents up to whitespace/case map to the same fingerprint.
+   */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Convenience: append the standard text-analysis columns. */
+  def analyze(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_tokens", tokenCountWs(col(textCol)))
+      .withColumn("quality", qualityScore(col(textCol)))
+      .withColumn("lang_id", languageId(col(textCol)))
+      .withColumn("fingerprint", fingerprint(col(textCol)))
+}

@@ -1,0 +1,208 @@
+package graft.patterns
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Merge, Scd}
+
+/**
+ * Warehouse patterns (reference: odibi/patterns/__init__.py:11-18 —
+ * dimension, fact, scd2, merge, aggregation, date_dimension). Each is a
+ * composite over the operator library, kept as pure DataFrame transforms.
+ */
+object Patterns {
+
+  // ------------------------------------------------------------------
+  // date_dimension (odibi/patterns/date_dimension.py:13-460; Spark gen
+  // :323-415 uses spark.range — already the idiomatic distributed form).
+  // ------------------------------------------------------------------
+
+  /**
+   * Generate a calendar dimension from `start` to `end` (inclusive, ISO
+   * dates), with surrogate key yyyyMMdd, calendar parts, fiscal year/quarter
+   * (fiscal year starts at `fiscalStartMonth`), and boundary flags. An
+   * unknown member row (date_sk = -1) is prepended like the reference's
+   * SK=0 unknown member convention for dims.
+   */
+  def dateDimension(spark: SparkSession, start: String, end: String,
+                    fiscalStartMonth: Int = 10,
+                    includeUnknown: Boolean = false): DataFrame = {
+    val days = spark.range(0, java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.parse(start), java.time.LocalDate.parse(end)) + 1)
+    val d = col("date")
+    val cal = days
+      .select(date_add(to_date(lit(start)), col("id").cast("int")).as("date"))
+      .withColumn("date_sk", date_format(d, "yyyyMMdd").cast("long"))
+      .withColumn("year", year(d).cast("long"))
+      .withColumn("quarter", quarter(d).cast("long"))
+      .withColumn("month", month(d).cast("long"))
+      .withColumn("day", dayofmonth(d).cast("long"))
+      .withColumn("day_of_week", dayofweek(d).cast("long"))
+      .withColumn("week_of_year", weekofyear(d).cast("long"))
+      .withColumn("month_name", date_format(d, "MMMM"))
+      .withColumn("day_name", date_format(d, "EEEE"))
+      .withColumn("is_weekend", dayofweek(d).isin(1, 7))
+      .withColumn("is_month_start", dayofmonth(d) === 1)
+      .withColumn("is_month_end", d === last_day(d))
+      .withColumn("is_year_start", month(d) === 1 && dayofmonth(d) === 1)
+      .withColumn("is_year_end", month(d) === 12 && dayofmonth(d) === 31)
+      .withColumn("fiscal_year",
+        when(month(d) >= fiscalStartMonth, year(d) + 1).otherwise(year(d)).cast("long"))
+      .withColumn("fiscal_quarter",
+        (((month(d) - fiscalStartMonth + 12) % 12) / 3 + 1).cast("long"))
+    if (!includeUnknown) cal
+    else {
+      val unknown = cal.limit(0) // schema-only
+      cal.unionByName(
+        unknown.sparkSession.range(1).select(
+          lit(null).cast("date").as("date"), lit(-1L).as("date_sk"),
+          lit(-1L).as("year"), lit(-1L).as("quarter"), lit(-1L).as("month"),
+          lit(-1L).as("day"), lit(-1L).as("day_of_week"), lit(-1L).as("week_of_year"),
+          lit("Unknown").as("month_name"), lit("Unknown").as("day_name"),
+          lit(false).as("is_weekend"), lit(false).as("is_month_start"),
+          lit(false).as("is_month_end"), lit(false).as("is_year_start"),
+          lit(false).as("is_year_end"), lit(-1L).as("fiscal_year"),
+          lit(-1L).as("fiscal_quarter")))
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // dimension (odibi/patterns/dimension.py:23-650)
+  // ------------------------------------------------------------------
+
+  /**
+   * Dimension load: assign surrogate keys to new natural keys as
+   * MAX(existing)+ROW_NUMBER() (dimension.py:252-296), SCD1 = overwrite
+   * matched attributes. The unknown member (SK=0, dimension.py:578) is
+   * ensured. `existing` None = first load. Returns the new dimension
+   * snapshot with `skCol`.
+   *
+   * Scale: the MAX(sk) is a single-row agg (cheap); row_number over new
+   * keys requires a single-partition window over NEW rows only — fine
+   * because dimension deltas are small; the alternative (monotonically
+   * increasing ids) would not be stable across engines.
+   */
+  def dimension(source: DataFrame, naturalKeys: Seq[String], skCol: String,
+                existing: Option[DataFrame] = None,
+                unknownMember: Boolean = true): DataFrame = {
+    val attrs = source.columns.toSeq
+    val dedupedSource = source.dropDuplicates(naturalKeys)
+    val base = existing match {
+      case None =>
+        val w = Window.orderBy(naturalKeys.map(col): _*)
+        dedupedSource.withColumn(skCol, row_number().over(w).cast("long"))
+          .select((skCol +: attrs).map(col): _*)
+      case Some(dim) =>
+        val maxSk = dim.agg(max(col(skCol))).head().getLong(0)
+        val newRows = dedupedSource.join(dim.select(naturalKeys.map(col): _*), naturalKeys, "left_anti")
+        val w = Window.orderBy(naturalKeys.map(col): _*)
+        val newWithSk = newRows.withColumn(skCol,
+          (row_number().over(w) + lit(maxSk)).cast("long"))
+        // SCD1: matched rows take fresh source attributes, keep their SK
+        val matched = dim.select(col(skCol) +: naturalKeys.map(col): _*)
+          .join(dedupedSource, naturalKeys)
+        val unmatched = dim.join(dedupedSource.select(naturalKeys.map(col): _*), naturalKeys, "left_anti")
+        unmatched.select((skCol +: attrs).map(col): _*)
+          .unionByName(matched.select((skCol +: attrs).map(col): _*))
+          .unionByName(newWithSk.select((skCol +: attrs).map(col): _*))
+    }
+    if (!unknownMember) base
+    else {
+      val unknownRow = base.limit(0).unionByName(
+        base.sparkSession.range(1).select(base.schema.fields.map { f =>
+          if (f.name == skCol) lit(0L).cast(f.dataType).as(f.name)
+          else if (f.dataType.typeName == "string") lit("Unknown").cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }.toSeq: _*))
+      base.filter(col(skCol) =!= 0).unionByName(unknownRow)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // fact (odibi/patterns/fact.py:11-860)
+  // ------------------------------------------------------------------
+
+  final case class DimLookup(dim: DataFrame, factKeys: Seq[String],
+                             dimKeys: Seq[String], skCol: String,
+                             outCol: String, scd2Current: Option[String] = None)
+
+  /**
+   * Fact load: resolve each dimension surrogate key by left-joining on the
+   * natural key (fact.py:392-412; SCD2 dims filtered to is_current), orphans
+   * → SK 0 ("unknown" handling, fact.py:326-378). Dimensions are broadcast —
+   * they are small relative to the fact at any realistic scale.
+   */
+  def fact(source: DataFrame, lookups: Seq[DimLookup],
+           measures: Seq[(String, String)] = Nil,
+           grain: Seq[String] = Nil): DataFrame = {
+    val resolved = lookups.foldLeft(source) { (df, lk) =>
+      val current = lk.scd2Current.map(c => lk.dim.filter(col(c))).getOrElse(lk.dim)
+      val proj = current.select((lk.dimKeys.map(col) :+ col(lk.skCol).as(lk.outCol)): _*)
+      val cond = lk.factKeys.zip(lk.dimKeys).map { case (f, d) => df(f) === proj(d) }
+        .reduce(_ && _)
+      df.join(broadcast(proj), cond, "left")
+        .drop(lk.dimKeys.filterNot(lk.factKeys.contains): _*)
+        .withColumn(lk.outCol, coalesce(col(lk.outCol), lit(0L)))
+    }
+    val withMeasures = measures.foldLeft(resolved) { case (df, (name, e)) =>
+      df.withColumn(name, expr(e))
+    }
+    withMeasures
+  }
+
+  /** Grain validation (fact.py:666-704): rows per grain must be unique. */
+  def grainViolations(df: DataFrame, grain: Seq[String]): DataFrame =
+    df.groupBy(grain.map(col): _*).count().filter(col("count") > 1)
+
+  // ------------------------------------------------------------------
+  // aggregation (odibi/patterns/aggregation.py:10-570)
+  // ------------------------------------------------------------------
+
+  /**
+   * Aggregation pattern: `grain` + named SQL measure exprs + HAVING.
+   * Incremental strategies (replace|sum|min|max, aggregation.py:319-570)
+   * combine a fresh partial aggregate with the existing aggregate table.
+   */
+  def aggregation(source: DataFrame, grain: Seq[String],
+                  measures: Seq[(String, String)],
+                  having: Option[String] = None): DataFrame = {
+    val aggExprs = measures.map { case (name, e) => expr(e).as(name) }
+    val out = source.groupBy(grain.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
+    having.map(h => out.filter(expr(h))).getOrElse(out)
+  }
+
+  /** Incremental combine of an existing aggregate with a fresh partial. */
+  def aggregationMerge(existing: DataFrame, fresh: DataFrame, grain: Seq[String],
+                       strategies: Map[String, String]): DataFrame = {
+    val valueCols = fresh.columns.filterNot(grain.contains).toSeq
+    val e = existing.select(grain.map(col) ++ valueCols.map(c => col(c).as(s"_old_$c")): _*)
+    fresh.join(e, grain, "full_outer")
+      .select(grain.map(col) ++ valueCols.map { c =>
+        val combined = strategies.getOrElse(c, "replace") match {
+          case "sum" => coalesce(col(c), lit(0)) + coalesce(col(s"_old_$c"), lit(0))
+          case "min" => least(col(c), col(s"_old_$c"))
+          case "max" => greatest(col(c), col(s"_old_$c"))
+          case _ => coalesce(col(c), col(s"_old_$c")) // replace: fresh wins
+        }
+        combined.as(c)
+      }: _*)
+  }
+
+  /** scd2 pattern = thin wrapper over the transformer (patterns/scd2.py). */
+  def scd2(target: Option[DataFrame], source: DataFrame, keys: Seq[String],
+           trackCols: Seq[String], effectiveTs: Column): DataFrame =
+    target match {
+      case None => Scd.scd2Bootstrap(source, effectiveTs)
+      case Some(t) => Scd.scd2Apply(t, source, keys, trackCols, effectiveTs)
+    }
+
+  /** merge pattern = thin wrapper (patterns/merge.py). */
+  def merge(target: DataFrame, source: DataFrame, keys: Seq[String],
+            strategy: String = "upsert"): DataFrame = strategy match {
+    case "upsert" => Merge.upsert(target, source, keys)
+    case "append_only" => Merge.appendOnly(target, source, keys)
+    case "delete_match" => Merge.deleteMatch(target, source, keys)
+    case other => throw new IllegalArgumentException(s"unknown strategy: $other")
+  }
+}

@@ -1,0 +1,98 @@
+package graft.semantics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Semantic / metrics layer (reference: odibi/semantics/).
+ *
+ * Definitions (metrics.py:17-265): a metric is a SQL aggregate expr over a
+ * source (plus fixed filters); `derived` metrics are formulas over component
+ * metrics with NULLIF-guarded division (query.py:266-294). Dimensions are
+ * columns with an optional time grain (day|week|month|quarter|year).
+ *
+ * Query DSL (query.py:79-120): "m1, m2 BY d1, d2 WHERE cond" → one
+ * SELECT dims, aggs FROM source WHERE filters GROUP BY dims. SQL generation
+ * is the whole engine — Catalyst does the rest.
+ */
+object Semantics {
+
+  final case class Metric(name: String, expr: String, source: String,
+                          filters: Seq[String] = Nil,
+                          formula: Option[String] = None) {
+    def isDerived: Boolean = formula.isDefined
+  }
+
+  final case class Dimension(name: String, column: String,
+                             timeGrain: Option[String] = None) {
+    /** SELECT-side expression for this dimension (query.py time grains). */
+    def sqlExpr: String = timeGrain match {
+      case Some(g) if Set("day", "week", "month", "quarter", "year")(g) =>
+        s"date_trunc('$g', $column) AS $name"
+      case None => if (column == name) name else s"$column AS $name"
+      case Some(other) => throw new IllegalArgumentException(s"unknown grain: $other")
+    }
+  }
+
+  final case class SemanticModel(metrics: Map[String, Metric],
+                                 dimensions: Map[String, Dimension])
+
+  final case class ParsedQuery(metrics: Seq[String], dimensions: Seq[String],
+                               where: Option[String])
+
+  /** Parse "m1, m2 BY d1, d2 WHERE cond" (query.py:79-120). */
+  def parse(q: String): ParsedQuery = {
+    val whereSplit = q.split("(?i)\\bWHERE\\b", 2)
+    val where = if (whereSplit.length == 2) Some(whereSplit(1).trim) else None
+    val bySplit = whereSplit(0).split("(?i)\\bBY\\b", 2)
+    val metrics = bySplit(0).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val dims = if (bySplit.length == 2)
+      bySplit(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq else Nil
+    require(metrics.nonEmpty, s"no metrics in query: $q")
+    ParsedQuery(metrics, dims, where)
+  }
+
+  /**
+   * Generate one Spark SQL statement (query.py:148-232). All requested
+   * metrics must share a source; derived metrics pull in their components
+   * as subexpressions with NULLIF-guarded division applied by the author
+   * in the formula.
+   */
+  def generateSql(model: SemanticModel, pq: ParsedQuery): String = {
+    val resolved = pq.metrics.map(m => model.metrics.getOrElse(m,
+      throw new IllegalArgumentException(s"unknown metric: $m")))
+    val sources = resolved.map(_.source).distinct
+    require(sources.size == 1, s"metrics span multiple sources: $sources")
+
+    def metricSql(m: Metric): String = m.formula match {
+      case Some(f) =>
+        // substitute component metric names with their agg exprs
+        model.metrics.values.filterNot(_.isDerived).foldLeft(f) { (acc, c) =>
+          acc.replaceAll(s"\\b${c.name}\\b", s"(${c.expr})")
+        }
+      case None => m.expr
+    }
+
+    val dims = pq.dimensions.map(d => model.dimensions.getOrElse(d,
+      throw new IllegalArgumentException(s"unknown dimension: $d")))
+    val selectDims = dims.map(_.sqlExpr)
+    val selectMetrics = resolved.map(m => s"${metricSql(m)} AS ${m.name}")
+    val filters = resolved.flatMap(_.filters).distinct ++ pq.where.toSeq
+    val whereClause = if (filters.nonEmpty) filters.mkString(" WHERE (", ") AND (", ")") else ""
+    val groupBy = if (dims.nonEmpty)
+      s" GROUP BY ${(1 to dims.size).mkString(", ")}" else ""
+    s"SELECT ${(selectDims ++ selectMetrics).mkString(", ")} FROM ${sources.head}$whereClause$groupBy"
+  }
+
+  /** Execute a DSL query against registered temp views (query.py:369-434). */
+  def run(spark: SparkSession, model: SemanticModel, query: String,
+          sources: Map[String, DataFrame] = Map.empty): DataFrame = {
+    sources.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+    spark.sql(generateSql(model, parse(query)))
+  }
+
+  /** CREATE OR REPLACE VIEW DDL for a canonical metric view (views.py). */
+  def viewDdl(model: SemanticModel, viewName: String, metrics: Seq[String],
+              dimensions: Seq[String]): String =
+    s"CREATE OR REPLACE VIEW $viewName AS " +
+      generateSql(model, ParsedQuery(metrics, dimensions, None))
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Advanced, Dedup, Relational, SqlCore}
+import graft.functions.{Similarity, TextAnalysis}
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("join renames right-side collision columns with prefix") {
+    val l = Seq((1, "L")).toDF("k", "name")
+    val r = Seq((1, "R")).toDF("k", "name")
+    val out = Relational.join(l, r, Seq("k"), "inner", prefix = "right")
+    assert(out.columns.toSet == Set("k", "name", "right_name"))
+    val row = out.collect()(0)
+    assert(row.getAs[String]("name") == "L" && row.getAs[String]("right_name") == "R")
+  }
+
+  test("join supports semi and anti") {
+    val l = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val r = Seq((1, "x")).toDF("k", "w")
+    assert(Relational.join(l, r, Seq("k"), "semi").collect().map(_.getInt(0)).toSeq == Seq(1))
+    assert(Relational.join(l, r, Seq("k"), "anti").collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("unionByName aligns shuffled column orders") {
+    val a = Seq((1, "x")).toDF("k", "v")
+    val b = Seq(("y", 2)).toDF("v", "k")
+    val out = Relational.union(Seq(a, b), byName = true).orderBy("k").collect()
+    assert(out.map(r => (r.getAs[Int]("k"), r.getAs[String]("v"))).toSeq ==
+      Seq((1, "x"), (2, "y")))
+  }
+
+  test("sessionize splits on gap > threshold and drops helper columns") {
+    val df = Seq(
+      (1L, "2026-01-01 00:00:00"), (1L, "2026-01-01 00:10:00"),
+      (1L, "2026-01-01 02:00:00"), (2L, "2026-01-01 00:00:00"))
+      .toDF("user", "ts_s").withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+    val out = Advanced.sessionize(df, "user", "ts", 1800)
+    assert(out.columns.toSet == Set("user", "ts", "session_id"))
+    val sessions = out.orderBy("user", "ts").collect().map(_.getAs[String]("session_id"))
+    assert(sessions.toSeq == Seq("1-1", "1-1", "1-2", "2-1"))
+  }
+
+  test("deduplicate keeps first by order") {
+    val df = Seq((1, 2, "old"), (1, 5, "new"), (2, 1, "x")).toDF("k", "ver", "v")
+    val out = Dedup.exactDedup _ // touch
+    val d = Advanced.deduplicate(df, Seq("k"), Seq($"ver".desc))
+    assert(d.collect().map(r => r.getInt(0) -> r.getString(2)).toMap == Map(1 -> "new", 2 -> "x"))
+  }
+
+  test("minhash LSH finds the exact-duplicate pair and jaccard verifies") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "completely different text about spark catalyst optimizer internals"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.9)
+    val row = jac.collect()
+    assert(row.length == 1 && row(0).getDouble(2) == 1.0)
+  }
+
+  test("simhash of identical texts is identical; hamming 0") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+      .toDF("id", "text")
+    val pairs = Dedup.simhashPairs(df, "id", "text", maxHamming = 3).collect()
+    assert(pairs.length == 1 && pairs(0).getAs[Int]("hamming") == 0)
+  }
+
+  test("brute-force ANN top-k ranks the identical vector first") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("id", "vec")
+    val queries = Seq((100L, Array(1.0f, 0.0f))).toDF("qid", "qv")
+    val out = Similarity.bruteForceTopK(corpus, "id", "vec", queries, "qid", "qv", 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L))
+  }
+
+  test("text analysis: token count, language id, fingerprint") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and it was happy"),
+      (2L, "der Hund ist nicht mit der Katze und der Maus"),
+      (3L, "  spaced   out   text  "))
+      .toDF("id", "text")
+    val out = TextAnalysis.analyze(df, "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1).getAs[Int]("n_tokens") == 10)
+    assert(out(1).getAs[String]("lang_id") == "en")
+    assert(out(2).getAs[String]("lang_id") == "de")
+    // fingerprint is whitespace/case-insensitive
+    val fp = TextAnalysis.fingerprint _
+    val two = Seq(("A  B c", "a b C")).toDF("x", "y")
+      .select(fp($"x").as("a"), fp($"y").as("b")).collect()(0)
+    assert(two.getLong(0) == two.getLong(1))
+  }
+
+  test("validate_and_flag lists failed rules without dropping rows") {
+    val df = Seq((1, 50), (2, 10)).toDF("id", "v")
+    val out = Advanced.validateAndFlag(df, Seq("v_max" -> "v <= 40", "v_min" -> "v >= 20"), "flags")
+    val flags = out.collect().map(r => r.getInt(0) -> r.getAs[String]("flags")).toMap
+    assert(flags(1) == "v_max" && flags(2) == "v_min")
+    assert(out.count() == 2)
+  }
+}

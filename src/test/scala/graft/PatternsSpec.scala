@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.patterns.Patterns
+
+class PatternsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dateDimension generates a correct calendar (2024 leap year = 366 days)") {
+    val dim = Patterns.dateDimension(spark, "2024-01-01", "2024-12-31").cache()
+    assert(dim.count() == 366)
+    assert(dim.filter($"date" === "2024-02-29").count() == 1)
+    val jan1 = dim.filter($"date" === "2024-01-01").collect()(0)
+    assert(jan1.getAs[Long]("date_sk") == 20240101L)
+    assert(jan1.getAs[Boolean]("is_month_start") && jan1.getAs[Boolean]("is_year_start"))
+    // fiscal year starting Oct: Dec 2024 is FY2025, Sep 2024 is FY2024
+    assert(dim.filter($"date" === "2024-12-01").collect()(0).getAs[Long]("fiscal_year") == 2025L)
+    assert(dim.filter($"date" === "2024-09-01").collect()(0).getAs[Long]("fiscal_year") == 2024L)
+    assert(dim.filter($"is_weekend").count() == 104)
+  }
+
+  test("dimension assigns stable surrogate keys, MAX+ROW_NUMBER for new rows") {
+    val first = Patterns.dimension(Seq(("b", "B"), ("a", "A")).toDF("nk", "attr"),
+      Seq("nk"), "sk", unknownMember = false)
+    assert(first.columns.toSeq == Seq("sk", "nk", "attr"))
+    val skByNk = first.collect().map(r => r.getAs[String]("nk") -> r.getAs[Long]("sk")).toMap
+    assert(skByNk == Map("a" -> 1L, "b" -> 2L))
+
+    val second = Patterns.dimension(
+      Seq(("a", "A2"), ("c", "C")).toDF("nk", "attr"), Seq("nk"), "sk",
+      existing = Some(first), unknownMember = false).cache()
+    val rows = second.collect().map(r =>
+      r.getAs[String]("nk") -> (r.getAs[Long]("sk"), r.getAs[String]("attr"))).toMap
+    assert(rows("a") == (1L, "A2")) // SCD1 refresh keeps SK
+    assert(rows("b") == (2L, "B"))  // untouched
+    assert(rows("c") == (3L, "C"))  // new key gets MAX+1
+  }
+
+  test("fact resolves SKs, orphans get unknown member 0") {
+    val dim = Seq((1L, "a"), (2L, "b")).toDF("sk", "nk")
+    val src = Seq(("a", 10.0), ("zz", 5.0)).toDF("cust_nk", "amount")
+    val out = Patterns.fact(src,
+      Seq(Patterns.DimLookup(dim, Seq("cust_nk"), Seq("nk"), "sk", "cust_sk")),
+      measures = Seq("amount_x2" -> "amount * 2"))
+    val byNk = out.collect().map(r => r.getAs[String]("cust_nk") -> r.getAs[Long]("cust_sk")).toMap
+    assert(byNk == Map("a" -> 1L, "zz" -> 0L))
+    assert(out.filter($"amount_x2" === 20.0).count() == 1)
+  }
+
+  test("fact filters SCD2 dims to current rows") {
+    val dim = Seq((1L, "a", false), (5L, "a", true)).toDF("sk", "nk", "is_current")
+    val src = Seq(("a", 1.0)).toDF("cust_nk", "amount")
+    val out = Patterns.fact(src, Seq(
+      Patterns.DimLookup(dim, Seq("cust_nk"), Seq("nk"), "sk", "cust_sk",
+        scd2Current = Some("is_current"))))
+    assert(out.collect()(0).getAs[Long]("cust_sk") == 5L)
+  }
+
+  test("grainViolations finds duplicate grains") {
+    val df = Seq((1, "x"), (1, "y"), (2, "z")).toDF("k", "v")
+    assert(Patterns.grainViolations(df, Seq("k")).count() == 1)
+  }
+
+  test("aggregation pattern with having + incremental merge strategies") {
+    val src = Seq(("a", 10), ("a", 5), ("b", 1)).toDF("g", "v")
+    val agg = Patterns.aggregation(src, Seq("g"),
+      Seq("total" -> "sum(v)", "n" -> "count(*)"), having = Some("total > 2"))
+    val m = agg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("a" -> 15L))
+
+    val existing = Seq(("a", 100L, 1L), ("c", 7L, 2L)).toDF("g", "total", "n")
+    val fresh = Seq(("a", 15L, 2L), ("b", 1L, 1L)).toDF("g", "total", "n")
+    val merged = Patterns.aggregationMerge(existing, fresh, Seq("g"),
+      Map("total" -> "sum", "n" -> "replace"))
+    val mm = merged.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(mm("a") == (115L, 2L)) // sum-combined, replace takes fresh
+    assert(mm("b") == (1L, 1L))
+    assert(mm("c") == (7L, 2L))   // untouched grain keeps old value
+  }
+}

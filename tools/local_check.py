@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate: run graft.Verify (Spark),
+then run each oracle SQL in DuckDB over the same parquet tables and compare
+(sort columns by name, sort rows, exact value compare). Usage:
+
+    python3 tools/local_check.py [sfdir] [--skip-verify]
+"""
+import json, subprocess, sys, glob, os
+
+SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else "/root/testdata/sf0.01"
+OUT = "/tmp/graft_verify_out"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ADD_OPENS = [f"--add-opens={p}=ALL-UNNAMED" for p in [
+    "java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
+    "java.base/java.io", "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic", "java.base/sun.nio.ch",
+    "java.base/sun.nio.cs", "java.base/sun.security.action", "java.base/sun.util.calendar"]]
+
+def run_verify():
+    cp = f"{REPO}/target/scala-2.13/classes:" + ":".join(glob.glob("/opt/spark/jars/*.jar"))
+    cmd = ["java"] + ADD_OPENS + [
+        "-Xmx8g", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-cp", cp, "graft.Verify", SF, OUT]
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env)
+    for line in r.stderr.splitlines():
+        if "[verify]" in line:
+            print(line)
+    if r.returncode != 0:
+        print(r.stderr[-3000:])
+        sys.exit(1)
+
+def main():
+    import duckdb, pandas as pd
+    if "--skip-verify" not in sys.argv:
+        run_verify()
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    oracles = json.load(open(f"{OUT}/oracle_sql.json"))
+    passed, failed, rows_only = [], [], []
+    for name in sorted(os.listdir(OUT)):
+        path = os.path.join(OUT, name)
+        if not os.path.isdir(path):
+            continue
+        spark_df = pd.concat([pd.read_parquet(f) for f in sorted(glob.glob(f"{path}/*.parquet"))],
+                             ignore_index=True) if glob.glob(f"{path}/*.parquet") else pd.DataFrame()
+        if name not in oracles:
+            rows_only.append((name, len(spark_df)))
+            continue
+        try:
+            duck_df = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            failed.append((name, f"oracle error: {e}"))
+            continue
+        def norm(df):
+            df = df[sorted(df.columns)].copy()
+            for c in df.columns:
+                if str(df[c].dtype).startswith("datetime64"):
+                    df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+                if df[c].dtype == object:
+                    df[c] = df[c].astype(str)
+            return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+        try:
+            a, b = norm(spark_df), norm(duck_df)
+        except Exception as e:
+            failed.append((name, f"norm error: {e}"))
+            continue
+        if sorted(a.columns) != sorted(b.columns):
+            failed.append((name, f"columns spark={sorted(a.columns)} duck={sorted(b.columns)}"))
+        elif len(a) != len(b):
+            failed.append((name, f"rows spark={len(a)} duck={len(b)}"))
+        else:
+            # cast to common dtypes then exact compare
+            for c in a.columns:
+                if a[c].dtype != b[c].dtype:
+                    try:
+                        b[c] = b[c].astype(a[c].dtype)
+                    except Exception:
+                        failed.append((name, f"dtype {c}: spark={a[c].dtype} duck={b[c].dtype}"))
+                        break
+            else:
+                neq = (a != b) & ~(a.isna() & b.isna())
+                if neq.any().any():
+                    bad_cols = [c for c in a.columns if neq[c].any()]
+                    i = neq.any(axis=1).idxmax()
+                    failed.append((name, f"values differ cols={bad_cols} e.g. row {i}: "
+                                         f"spark={a.loc[i, bad_cols].tolist()} duck={b.loc[i, bad_cols].tolist()}"))
+                else:
+                    passed.append(name)
+    print(f"\nPASS ({len(passed)}):", " ".join(passed))
+    print(f"\nROWS-ONLY ({len(rows_only)}):", " ".join(f"{n}={r}" for n, r in rows_only))
+    print(f"\nFAIL ({len(failed)}):")
+    for n, why in failed:
+        print(f"  {n}: {why}")
+    sys.exit(1 if failed else 0)
+
+main()
