@@ -281,8 +281,142 @@ object SparkEntry {
       Similarity.lshTopK(emb, "vec_id", "embedding",
         emb.filter("vec_id < 10").select(col("vec_id").as("qid"), col("embedding").as("qv")),
         "qid", "qv", 5, dim = 64).withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // ---- warehouse heavy-lifters (SURVEY §2.5) ----
+    "q_scd2" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val target = operators.Scd.scd2Bootstrap(c, lit("2026-01-01 00:00:00"))
+      val source = c.withColumn("c_acctbal",
+        when(col("c_custkey") % 10 === 0, col("c_acctbal") + 100).otherwise(col("c_acctbal")))
+      operators.Scd.scd2Apply(target, source, Seq("c_custkey"), Seq("c_acctbal"),
+        lit("2026-02-01 00:00:00"))
+    }),
+    "q_merge_upsert" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      operators.Merge.upsert(
+        c.filter("c_custkey % 2 = 0"),
+        c.filter("c_custkey % 3 = 0").withColumn("c_acctbal", col("c_acctbal") * 2),
+        Seq("c_custkey"))
+    }),
+    "q_merge_append_only" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      operators.Merge.appendOnly(c.filter("c_custkey % 2 = 0"),
+        c.filter("c_custkey % 3 = 0"), Seq("c_custkey"))
+    }),
+    "q_merge_delete" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      operators.Merge.deleteMatch(c.filter("c_custkey % 2 = 0"),
+        c.filter("c_custkey % 3 = 0"), Seq("c_custkey"))
+    }),
+    "q_detect_deletes" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val deleted = operators.DeleteDetection.detectSnapshotDiff(
+        c, c.filter("c_custkey % 7 <> 0"), Seq("c_custkey"))
+      operators.DeleteDetection.applySoft(c, deleted, Seq("c_custkey"),
+        deletedAt = lit("2026-02-01 00:00:00"))
+    }),
+
+    // ---- patterns (SURVEY §2.7) ----
+    "q_dimension" -> ((s, d) =>
+      graft.patterns.Patterns.dimension(
+        t(s, d, "customer").select("c_custkey", "c_name", "c_mktsegment"),
+        Seq("c_custkey"), "sk")),
+    "q_fact" -> ((s, d) => {
+      val dim = t(s, d, "customer").filter("c_custkey % 5 <> 0")
+        .select(col("c_custkey").as("sk"), col("c_custkey").as("nk"))
+      graft.patterns.Patterns.fact(t(s, d, "orders"),
+        Seq(graft.patterns.Patterns.DimLookup(dim, Seq("o_custkey"), Seq("nk"), "sk", "cust_sk")),
+        measures = Seq("net" -> "o_totalprice * 0.9"))
+    }),
+    "q_date_dimension" -> ((s, d) =>
+      graft.patterns.Patterns.dateDimension(s, "2024-01-01", "2024-12-31")
+        .select("date", "date_sk", "year", "quarter", "month", "day",
+          "is_weekend", "fiscal_year", "fiscal_quarter")
+        .withColumn("date", col("date").cast("timestamp"))),
+    "q_aggregation_pattern" -> ((s, d) =>
+      graft.patterns.Patterns.aggregation(t(s, d, "lineitem"), Seq("l_returnflag"),
+        Seq("total_qty" -> "sum(l_quantity)", "n" -> "count(*)"),
+        having = Some("total_qty > 0"))),
+
+    // ---- validation / quarantine (SURVEY §2.8) ----
+    "q_quarantine" -> ((s, d) => {
+      import graft.validation.Validation
+      val tests = Seq(
+        Validation.Test("qty_range", "range", Validation.Quarantine,
+          columns = Seq("l_quantity"), min = Some(1), max = Some(45)),
+        Validation.Test("disc_max", "custom_sql", Validation.Quarantine,
+          sql = Some("l_discount <= 0.08")))
+      val (_, invalid) = Validation.quarantineSplit(
+        t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity", "l_discount"),
+        tests, rejectedAt = lit("2026-01-01 00:00:00"))
+      invalid
+    }),
+    "q_fk_orphans" -> ((s, d) =>
+      graft.validation.Validation.fkOrphans(t(s, d, "orders"), Seq("o_custkey"),
+        t(s, d, "customer").filter("c_custkey % 5 <> 0"), Seq("c_custkey"))),
+
+    // ---- semantic layer (SURVEY §2.9) ----
+    "q_semantic" -> ((s, d) => {
+      import graft.semantics.Semantics._
+      val model = semanticModel
+      run(s, model, "revenue, n_orders BY status", Map("orders" -> t(s, d, "orders")))
+    }),
+    "q_semantic_derived" -> ((s, d) => {
+      import graft.semantics.Semantics._
+      run(s, semanticModel, "avg_value BY month WHERE o_orderstatus = 'F'",
+        Map("orders" -> t(s, d, "orders")))
+    }),
+
+    // ---- incremental / HWM (SURVEY §2.1 incremental read) ----
+    "q_hwm_filter" -> ((s, d) =>
+      operators.Incremental.hwmFilter(
+        events(s, d).select("event_id", "user_id", "ts"),
+        "ts", Some("2024-01-03 00:00:00"), watermarkLagSeconds = 3600)
+        .select("event_id", "user_id")),
+
+    // ---- domain ops (SURVEY §2.6) ----
+    "q_unit_convert" -> ((s, d) =>
+      operators.Domain.unitConvert(
+        operators.Domain.unitConvert(
+          t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), (col("l_discount") * 100).as("t_c")),
+          "l_quantity", "kg", "lb", Some("qty_lb")),
+        "t_c", "C", "F", Some("t_f")).drop("t_c")
+        .withColumn("t_f", round(col("t_f"), 6))),
+    "q_phases" -> ((s, d) =>
+      operators.Domain.phaseSummary(events(s, d), "user_id", "event_type", "ts",
+        Seq(col("ts"), col("event_id")),
+        metrics = Seq("total_value" -> "round(sum(value), 4)"))),
+    "q_psychrometrics" -> ((s, d) => // rows-only: exp/log libm may differ 1 ulp
+      operators.Domain.psychrometrics(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("t_c"), (col("l_discount") * 5 + 0.3).as("rh")),
+        "t_c", "rh")),
+    "q_simulation" -> ((s, d) => { // rows-only: xxhash-seeded generators
+      val ts = graft.sources.Simulation.timeSeries(s,
+        graft.sources.Simulation.EntityConfig(50), 200, "2026-01-01 00:00:00", 60)
+      ts.withColumn("x", graft.sources.Simulation.randomWalk(
+          ts, "entity_id", "tick", "x", seed = 7, volatility = 0.5, drift = 0.01))
+        .withColumn("cat", graft.sources.Simulation.categorical(col("id"), 2,
+          Seq("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)))
+        .withColumn("load", graft.sources.Simulation.dailyProfile(col("ts")))
     })
   )
+
+  /** Shared semantic model for the q_semantic* queries. */
+  private def semanticModel: graft.semantics.Semantics.SemanticModel = {
+    import graft.semantics.Semantics._
+    SemanticModel(
+      metrics = Map(
+        "revenue" -> Metric("revenue", "round(sum(o_totalprice), 2)", "orders"),
+        "n_orders" -> Metric("n_orders", "count(*)", "orders"),
+        "avg_value" -> Metric("avg_value", "", "orders",
+          formula = Some("round(revenue / nullif(n_orders, 0), 4)"))),
+      dimensions = Map(
+        "status" -> Dimension("status", "o_orderstatus"),
+        "month" -> Dimension("month", "o_orderdate", timeGrain = Some("month"))))
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_filter_rows" ->
@@ -384,6 +518,38 @@ object SparkEntry {
     "q_fingerprint_stats" ->
       "SELECT count(DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS n_unique, count(*) AS n_docs FROM documents",
     "q_ann_topk" ->
-      "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10), s AS (SELECT q.qid, e.vec_id, list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.qv, q.qv))) AS cos FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid) SELECT qid, vec_id, rank FROM (SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM s) r WHERE rank <= 5"
+      "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10), s AS (SELECT q.qid, e.vec_id, list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.qv, q.qv))) AS cos FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid) SELECT qid, vec_id, rank FROM (SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM s) r WHERE rank <= 5",
+    "q_scd2" ->
+      "WITH unchanged AS (SELECT *, TIMESTAMP '2026-01-01 00:00:00' AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to, true AS is_current FROM customer WHERE c_custkey % 10 <> 0), closed AS (SELECT *, TIMESTAMP '2026-01-01 00:00:00' AS valid_from, TIMESTAMP '2026-02-01 00:00:00' AS valid_to, false AS is_current FROM customer WHERE c_custkey % 10 = 0), opened AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal, c_mktsegment, TIMESTAMP '2026-02-01 00:00:00' AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to, true AS is_current FROM customer WHERE c_custkey % 10 = 0) SELECT * FROM unchanged UNION ALL SELECT * FROM closed UNION ALL SELECT * FROM opened",
+    "q_merge_upsert" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal * 2 AS c_acctbal, c_mktsegment FROM customer WHERE c_custkey % 3 = 0 UNION ALL SELECT * FROM customer WHERE c_custkey % 2 = 0 AND c_custkey % 3 <> 0",
+    "q_merge_append_only" ->
+      "SELECT * FROM customer WHERE c_custkey % 2 = 0 UNION ALL SELECT * FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 2 <> 0",
+    "q_merge_delete" ->
+      "SELECT * FROM customer WHERE c_custkey % 2 = 0 AND c_custkey % 3 <> 0",
+    "q_detect_deletes" ->
+      "SELECT *, (c_custkey % 7 = 0) AS _is_deleted, CASE WHEN c_custkey % 7 = 0 THEN TIMESTAMP '2026-02-01 00:00:00' END AS _deleted_at FROM customer",
+    "q_dimension" ->
+      "SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS BIGINT) AS sk, c_custkey, c_name, c_mktsegment FROM customer UNION ALL SELECT CAST(0 AS BIGINT), CAST(NULL AS BIGINT), 'Unknown', 'Unknown'",
+    "q_fact" ->
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority, CASE WHEN o_custkey % 5 <> 0 THEN o_custkey ELSE 0 END AS cust_sk, o_totalprice * 0.9 AS net FROM orders",
+    "q_date_dimension" ->
+      "SELECT CAST(d AS TIMESTAMP) AS date, CAST(strftime(d, '%Y%m%d') AS BIGINT) AS date_sk, CAST(year(d) AS BIGINT) AS year, CAST(quarter(d) AS BIGINT) AS quarter, CAST(month(d) AS BIGINT) AS month, CAST(day(d) AS BIGINT) AS day, isodow(d) >= 6 AS is_weekend, CAST(CASE WHEN month(d) >= 10 THEN year(d) + 1 ELSE year(d) END AS BIGINT) AS fiscal_year, CAST(floor(((month(d) - 10 + 12) % 12) / 3) + 1 AS BIGINT) AS fiscal_quarter FROM (SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-12-31', INTERVAL 1 DAY)) AS d) t",
+    "q_aggregation_pattern" ->
+      "SELECT l_returnflag, sum(l_quantity) AS total_qty, count(*) AS n FROM lineitem GROUP BY l_returnflag HAVING sum(l_quantity) > 0",
+    "q_quarantine" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_discount, concat_ws(',', CASE WHEN l_quantity < 1 OR l_quantity > 45 OR l_quantity IS NULL THEN 'qty_range' END, CASE WHEN NOT COALESCE(l_discount <= 0.08, false) THEN 'disc_max' END) AS _rejection_reason, TIMESTAMP '2026-01-01 00:00:00' AS _rejected_at FROM lineitem WHERE (l_quantity < 1 OR l_quantity > 45 OR l_quantity IS NULL) OR (NOT COALESCE(l_discount <= 0.08, false))",
+    "q_fk_orphans" ->
+      "SELECT * FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey AND c.c_custkey % 5 <> 0)",
+    "q_semantic" ->
+      "SELECT o_orderstatus AS status, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders FROM orders GROUP BY 1",
+    "q_semantic_derived" ->
+      "SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, round((round(sum(o_totalprice), 2)) / nullif((count(*)), 0), 4) AS avg_value FROM orders WHERE (o_orderstatus = 'F') GROUP BY 1",
+    "q_hwm_filter" ->
+      "SELECT event_id, user_id FROM events WHERE ts > TIMESTAMP '2024-01-02 23:00:00'",
+    "q_unit_convert" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_quantity * 2.2046226218487757 + 0.0 AS qty_lb, round((l_discount * 100) * 1.7999999999999998 + 31.999999999999986, 6) AS t_f FROM lineitem",
+    "q_phases" ->
+      "WITH p AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL OR event_type <> lag(event_type) OVER w THEN 1 ELSE 0 END AS chg FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), q AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS phase_id FROM p) SELECT user_id, phase_id, event_type, count(*) AS n_rows, CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_s, round(sum(value), 4) AS total_value FROM q GROUP BY 1, 2, 3"
   )
 }

@@ -1,0 +1,128 @@
+package graft.core
+
+import org.yaml.snakeyaml.Yaml
+
+import graft.sources.Sources
+import graft.validation.Validation
+
+import scala.jdk.CollectionConverters._
+
+/**
+ * YAML pipeline loader (reference: YAML → Pydantic ProjectConfig,
+ * odibi/config.py:5696; strict models reject unknown keys :31-70).
+ *
+ * Shape:
+ * {{{
+ * name: my_pipeline
+ * parallel: true
+ * nodes:
+ *   - name: bronze_orders
+ *     read: { format: parquet, path: /data/orders }
+ *     steps:
+ *       - sql: SELECT * FROM df WHERE o_totalprice > 0
+ *       - function: my_transformer
+ *         params: { threshold: 10 }
+ *     tests:
+ *       - { name: pk_unique, kind: unique, columns: [o_orderkey], severity: fail }
+ *     write: { format: parquet, mode: overwrite, path: /out/orders }
+ *   - name: agg
+ *     depends_on: [bronze_orders]
+ *     steps: [ { sql: "SELECT o_custkey, count(*) n FROM df GROUP BY 1" } ]
+ * }}}
+ */
+object YamlConfig {
+
+  private val knownNodeKeys = Set("name", "depends_on", "input", "read",
+    "steps", "tests", "write", "cache", "retries")
+
+  def loadPipeline(yamlText: String): Pipeline.PipelineConfig = {
+    val yaml = new Yaml()
+    val root = anyToScala(yaml.load[Any](yamlText)).asInstanceOf[Map[String, Any]]
+    val nodes = root.getOrElse("nodes", Nil).asInstanceOf[Seq[Any]].map { n =>
+      val m = n.asInstanceOf[Map[String, Any]]
+      val unknown = m.keySet -- knownNodeKeys
+      require(unknown.isEmpty,
+        s"node ${m.getOrElse("name", "?")}: unknown keys $unknown (strict config)")
+      Pipeline.NodeConfig(
+        name = m("name").toString,
+        dependsOn = seqOf(m.get("depends_on")),
+        input = m.get("input").map(_.toString),
+        read = m.get("read").map(readCfg),
+        steps = m.getOrElse("steps", Nil).asInstanceOf[Seq[Any]].map(stepCfg),
+        tests = m.getOrElse("tests", Nil).asInstanceOf[Seq[Any]].map(testCfg),
+        writePath = m.get("write").flatMap(w =>
+          w.asInstanceOf[Map[String, Any]].get("path").map(_.toString)),
+        write = m.get("write").map(writeCfg).getOrElse(Sources.WriteConfig()),
+        cache = m.get("cache").exists(_.toString.toBoolean),
+        retries = m.get("retries").map(_.toString.toInt).getOrElse(0))
+    }
+    Pipeline.PipelineConfig(
+      name = root.getOrElse("name", "pipeline").toString,
+      nodes = nodes,
+      parallel = root.get("parallel").exists(_.toString.toBoolean),
+      maxWorkers = root.get("max_workers").map(_.toString.toInt).getOrElse(4))
+  }
+
+  private def seqOf(v: Option[Any]): Seq[String] =
+    v.map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Nil)
+
+  private def readCfg(v: Any): Sources.ReadConfig = {
+    val m = v.asInstanceOf[Map[String, Any]]
+    Sources.ReadConfig(
+      format = m.getOrElse("format", "parquet").toString,
+      path = m.get("path").map(_.toString),
+      table = m.get("table").map(_.toString),
+      schemaDdl = m.get("schema_ddl").map(_.toString),
+      options = m.getOrElse("options", Map.empty[String, Any])
+        .asInstanceOf[Map[String, Any]].map { case (k, x) => k -> x.toString })
+  }
+
+  private def writeCfg(v: Any): Sources.WriteConfig = {
+    val m = v.asInstanceOf[Map[String, Any]]
+    Sources.WriteConfig(
+      format = m.getOrElse("format", "parquet").toString,
+      mode = m.getOrElse("mode", "overwrite").toString,
+      partitionBy = seqOf(m.get("partition_by")),
+      coalescePartitions = m.get("coalesce_partitions").map(_.toString.toInt),
+      options = m.getOrElse("options", Map.empty[String, Any])
+        .asInstanceOf[Map[String, Any]].map { case (k, x) => k -> x.toString })
+  }
+
+  private def stepCfg(v: Any): Pipeline.TransformStep = {
+    val m = v.asInstanceOf[Map[String, Any]]
+    require(m.contains("sql") ^ m.contains("function"),
+      s"step must have exactly one of sql|function: $m")
+    Pipeline.TransformStep(
+      sql = m.get("sql").map(_.toString),
+      function = m.get("function").map(_.toString),
+      params = m.getOrElse("params", Map.empty[String, Any]).asInstanceOf[Map[String, Any]])
+  }
+
+  private def testCfg(v: Any): Validation.Test = {
+    val m = v.asInstanceOf[Map[String, Any]]
+    val severity = m.getOrElse("severity", "fail").toString match {
+      case "warn" => Validation.Warn
+      case "quarantine" => Validation.Quarantine
+      case _ => Validation.Fail
+    }
+    Validation.Test(
+      name = m("name").toString,
+      kind = m("kind").toString,
+      severity = severity,
+      columns = seqOf(m.get("columns")),
+      values = seqOf(m.get("values")),
+      min = m.get("min").map(_.toString.toDouble),
+      max = m.get("max").map(_.toString.toDouble),
+      sql = m.get("sql").map(_.toString),
+      pattern = m.get("pattern").map(_.toString),
+      maxAgeHours = m.get("max_age_hours").map(_.toString.toInt))
+  }
+
+  /** Recursively convert snakeyaml's java.util collections to Scala. */
+  private def anyToScala(v: Any): Any = v match {
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, x) => k.toString -> anyToScala(x) }.toMap
+    case l: java.util.List[_] => l.asScala.map(anyToScala).toSeq
+    case other => other
+  }
+}

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Domain transformers (reference: odibi/transformers/units.py,
+ * thermodynamics.py, manufacturing.py).
+ *
+ * Design: the reference routes these through pint / CoolProp Python
+ * libraries behind pandas UDFs (thermodynamics.py:490). Here everything is
+ * plan-time arithmetic — linear unit conversions become `col * factor +
+ * offset` (codegen'd, no UDF, as SURVEY §2.6 prescribes), and the
+ * psychrometric properties use the published Magnus/ASHRAE closed-form
+ * approximations rather than a property-library lookup. Full CoolProp-grade
+ * equations of state are out of scope (no such JVM library here): the
+ * `fluidDensityIdealGas` stub marks that boundary explicitly.
+ */
+object Domain {
+
+  // ------------------------------------------------------------------
+  // unit_convert (units.py:67-438): factor/offset table, incl. gauge
+  // pressure offsets (units.py:182). Conversion = x * factor + offset.
+  // ------------------------------------------------------------------
+
+  /** (factor, offset) to convert FROM the key unit TO the SI base unit. */
+  private val toSi: Map[String, (Double, Double)] = Map(
+    // length -> m
+    "m" -> (1.0, 0.0), "km" -> (1000.0, 0.0), "cm" -> (0.01, 0.0),
+    "mm" -> (0.001, 0.0), "ft" -> (0.3048, 0.0), "in" -> (0.0254, 0.0),
+    "mi" -> (1609.344, 0.0),
+    // mass -> kg
+    "kg" -> (1.0, 0.0), "g" -> (0.001, 0.0), "lb" -> (0.45359237, 0.0),
+    "oz" -> (0.028349523125, 0.0), "t" -> (1000.0, 0.0),
+    // temperature -> K
+    "K" -> (1.0, 0.0), "C" -> (1.0, 273.15), "F" -> (5.0 / 9.0, 255.3722222222222),
+    // pressure -> Pa (gauge units add 1 atm)
+    "Pa" -> (1.0, 0.0), "kPa" -> (1000.0, 0.0), "bar" -> (100000.0, 0.0),
+    "psi" -> (6894.757293168, 0.0), "atm" -> (101325.0, 0.0),
+    "barg" -> (100000.0, 101325.0), "psig" -> (6894.757293168, 101325.0),
+    // energy -> J
+    "J" -> (1.0, 0.0), "kJ" -> (1000.0, 0.0), "Wh" -> (3600.0, 0.0),
+    "kWh" -> (3600000.0, 0.0), "BTU" -> (1055.05585262, 0.0),
+    // volume -> m3
+    "m3" -> (1.0, 0.0), "L" -> (0.001, 0.0), "gal" -> (0.003785411784, 0.0),
+    // time -> s
+    "s" -> (1.0, 0.0), "min" -> (60.0, 0.0), "h" -> (3600.0, 0.0), "d" -> (86400.0, 0.0))
+
+  /** Resolve (factor, offset) converting `from` -> `to` at plan time. */
+  def conversion(from: String, to: String): (Double, Double) = {
+    val (fa, fo) = toSi.getOrElse(from,
+      throw new IllegalArgumentException(s"unknown unit: $from"))
+    val (ta, to_) = toSi.getOrElse(to,
+      throw new IllegalArgumentException(s"unknown unit: $to"))
+    // x_to = (x_from * fa + fo - to_) / ta
+    (fa / ta, (fo - to_) / ta)
+  }
+
+  /** unit_convert: pure linear arithmetic, stays in codegen. */
+  def unitConvert(df: DataFrame, column: String, from: String, to: String,
+                  outputCol: Option[String] = None): DataFrame = {
+    val (factor, offset) = conversion(from, to)
+    df.withColumn(outputCol.getOrElse(column),
+      col(column) * lit(factor) + lit(offset))
+  }
+
+  // ------------------------------------------------------------------
+  // psychrometrics / thermodynamics (thermodynamics.py:189-1054) —
+  // Magnus-form closed-form approximations (public formulas).
+  // ------------------------------------------------------------------
+
+  /** Saturation vapor pressure of water [Pa] from T [°C] (Magnus). */
+  def saturationPressure(tempC: Column): Column =
+    lit(610.94) * exp(lit(17.625) * tempC / (tempC + lit(243.04)))
+
+  /** Humidity ratio [kg water / kg dry air] from T [°C], RH [0-1], P [Pa]. */
+  def humidityRatio(tempC: Column, rh: Column, pressurePa: Column): Column = {
+    val pv = rh * saturationPressure(tempC)
+    lit(0.621945) * pv / (pressurePa - pv)
+  }
+
+  /** Dew point [°C] from T [°C] and RH [0-1] (inverse Magnus). */
+  def dewPoint(tempC: Column, rh: Column): Column = {
+    val gamma = log(rh) + lit(17.625) * tempC / (tempC + lit(243.04))
+    lit(243.04) * gamma / (lit(17.625) - gamma)
+  }
+
+  /** Moist-air specific enthalpy [kJ/kg dry air] from T [°C] and W. */
+  def moistAirEnthalpy(tempC: Column, w: Column): Column =
+    lit(1.006) * tempC + w * (lit(2501.0) + lit(1.86) * tempC)
+
+  /** Ideal-gas density [kg/m3] from P [Pa], T [K], molar mass [kg/mol]. */
+  def fluidDensityIdealGas(pressurePa: Column, tempK: Column,
+                           molarMass: Double = 0.0289647): Column =
+    pressurePa * lit(molarMass) / (lit(8.314462618) * tempK)
+
+  /** Append the standard psychrometric columns (thermodynamics.py surface). */
+  def psychrometrics(df: DataFrame, tempCCol: String, rhCol: String,
+                     pressurePa: Double = 101325.0): DataFrame =
+    df.withColumn("p_sat", saturationPressure(col(tempCCol)))
+      .withColumn("humidity_ratio",
+        humidityRatio(col(tempCCol), col(rhCol), lit(pressurePa)))
+      .withColumn("dew_point", dewPoint(col(tempCCol), col(rhCol)))
+      .withColumn("enthalpy",
+        moistAirEnthalpy(col(tempCCol), col("humidity_ratio")))
+
+  // ------------------------------------------------------------------
+  // detect_sequential_phases (manufacturing.py:23-1350): status-change
+  // boundary detection per batch via lag + conditional cumsum — the
+  // window/aggregation rebuild of the reference's row-wise pandas loop.
+  // ------------------------------------------------------------------
+
+  /**
+   * Assign a phase id per group: a new phase starts whenever `statusCol`
+   * differs from the previous row (ordered by `orderBy`).
+   */
+  def detectPhases(df: DataFrame, groupCol: String, statusCol: String,
+                   orderBy: Seq[Column], phaseCol: String = "phase_id"): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(orderBy: _*)
+    val changed = when(
+      lag(col(statusCol), 1).over(w).isNull ||
+        !(col(statusCol) <=> lag(col(statusCol), 1).over(w)), 1).otherwise(0)
+    df.withColumn("_chg", changed)
+      .withColumn(phaseCol,
+        sum(col("_chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .drop("_chg")
+  }
+
+  /**
+   * Per-phase summary: duration (max-min of `tsCol`), row count, plus
+   * caller metrics (SQL agg exprs) — the reference's phase_metrics /
+   * status_mapping time-in-state rollup.
+   */
+  def phaseSummary(df: DataFrame, groupCol: String, statusCol: String,
+                   tsCol: String, orderBy: Seq[Column],
+                   metrics: Seq[(String, String)] = Nil): DataFrame = {
+    val phased = detectPhases(df, groupCol, statusCol, orderBy)
+    val base = Seq(
+      count(lit(1)).as("n_rows"),
+      (unix_timestamp(max(col(tsCol))) - unix_timestamp(min(col(tsCol))))
+        .cast("long").as("duration_s"))
+    val extra = metrics.map { case (name, e) => expr(e).as(name) }
+    phased.groupBy(col(groupCol), col("phase_id"), col(statusCol))
+      .agg((base ++ extra).head, (base ++ extra).tail: _*)
+  }
+}

@@ -1,0 +1,101 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Batch sources and sinks (reference: formats odibi/config.py:1084-1114;
+ * spark read odibi/engine/spark_engine.py:497-760; write :904-1750).
+ *
+ * Everything is a thin, declarative veneer over the Spark DataSource API so
+ * Catalyst keeps pushdown/pruning; the value added mirrors the reference:
+ * per-format option plumbing, JDBC query pushdown, metadata columns, and
+ * content-hash skip-if-unchanged.
+ */
+object Sources {
+
+  final case class ReadConfig(format: String, path: Option[String] = None,
+                              table: Option[String] = None,
+                              schemaDdl: Option[String] = None,
+                              options: Map[String, String] = Map.empty)
+
+  /** spark.read.format(...).options(...).load/table. */
+  def read(spark: SparkSession, cfg: ReadConfig): DataFrame = {
+    var r: DataFrameReader = spark.read.format(cfg.format).options(cfg.options)
+    cfg.schemaDdl.foreach(ddl => r = r.schema(StructType.fromDDL(ddl)))
+    (cfg.path, cfg.table) match {
+      case (Some(p), _) => r.load(p)
+      case (_, Some(t)) => r.table(t)
+      case _ => throw new IllegalArgumentException("read needs path or table")
+    }
+  }
+
+  /**
+   * JDBC read with manual predicate pushdown, like the reference
+   * (spark_engine.py:562-590): a `filter` becomes a WHERE wrapped in a
+   * subquery so the database — not Spark — does the filtering.
+   */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               filter: Option[String] = None,
+               options: Map[String, String] = Map.empty): DataFrame = {
+    val dbtable = filter match {
+      case Some(f) => s"(SELECT * FROM $table WHERE $f) AS pushdown_subquery"
+      case None => table
+    }
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", dbtable)
+      .options(options).load()
+  }
+
+  /**
+   * Metadata columns stamped at read (reference: odibi/config.py:403-466,
+   * spark_engine.py:2747): `_extracted_at`, `_source_file`, plus caller
+   * extras (e.g. `_source_table`).
+   */
+  def withMetadataCols(df: DataFrame,
+                       extras: Map[String, String] = Map.empty): DataFrame = {
+    val base = df
+      .withColumn("_extracted_at", current_timestamp())
+      .withColumn("_source_file", input_file_name())
+    extras.foldLeft(base) { case (d, (k, v)) => d.withColumn(k, lit(v)) }
+  }
+
+  final case class WriteConfig(format: String = "parquet", mode: String = "overwrite",
+                               partitionBy: Seq[String] = Nil,
+                               coalescePartitions: Option[Int] = None,
+                               options: Map[String, String] = Map.empty)
+
+  /** df.write.format(...).mode(...).partitionBy(...).save(path). */
+  def write(df: DataFrame, path: String, cfg: WriteConfig = WriteConfig()): Unit = {
+    val d = cfg.coalescePartitions.map(df.coalesce).getOrElse(df)
+    var w = d.write.format(cfg.format).mode(cfg.mode).options(cfg.options)
+    if (cfg.partitionBy.nonEmpty) w = w.partitionBy(cfg.partitionBy: _*)
+    w.save(path)
+  }
+
+  /**
+   * Content hash for skip_if_unchanged (reference: odibi/config.py:4273-4296,
+   * odibi/node.py:2831-2968): an order-insensitive SHA over the selected
+   * columns — computed distributed (per-row xxhash64 xor-folded via bit_xor),
+   * no driver-side sort/collect.
+   */
+  def contentHash(df: DataFrame, columns: Seq[String] = Nil): String = {
+    val cols = if (columns.nonEmpty) columns else df.columns.toSeq
+    val rowHash = xxhash64(cols.map(c => col(c).cast("string")): _*)
+    val agg = df.select(rowHash.as("h"))
+      .agg(expr("bit_xor(h)").cast("string").as("x"),
+        count(lit(1)).cast("string").as("n"))
+      .collect()(0)
+    s"${agg.getString(0)}:${agg.getString(1)}"
+  }
+
+  /** Skip the write when the content hash matches the previous one. */
+  def writeIfChanged(df: DataFrame, path: String, previousHash: Option[String],
+                     cfg: WriteConfig = WriteConfig(),
+                     hashColumns: Seq[String] = Nil): (Boolean, String) = {
+    val h = contentHash(df, hashColumns)
+    if (previousHash.contains(h)) (false, h)
+    else { write(df, path, cfg); (true, h) }
+  }
+}

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Structured Streaming layer (reference: streaming read
+ * odibi/config.py:2676-2685, streaming write :4023-4160, engine impl
+ * odibi/engine/spark_engine.py:1751-2050, streaming merge via foreachBatch
+ * merge_transformer.py:640-645).
+ *
+ * Beyond-reference extension (SURVEY §2.10): the reference has no stream
+ * watermarks or windowed aggregations — we add them as thin wrappers over
+ * the Spark built-ins (`withWatermark`, `window`, `session_window`), which
+ * is the capability-parity path for streaming aggregation at scale.
+ */
+object Streaming {
+
+  /** Streaming file/format read; file sources require a DDL schema. */
+  def readStream(spark: SparkSession, format: String, path: Option[String] = None,
+                 schemaDdl: Option[String] = None,
+                 options: Map[String, String] = Map.empty): DataFrame = {
+    var r = spark.readStream.format(format).options(options)
+    schemaDdl.foreach(ddl => r = r.schema(StructType.fromDDL(ddl)))
+    path.map(r.load).getOrElse(r.load())
+  }
+
+  final case class StreamWriteConfig(
+      format: String = "parquet",
+      outputMode: String = "append",            // append | update | complete
+      checkpointLocation: Option[String] = None,
+      trigger: Option[Trigger] = None,          // processing-time / once / available-now
+      queryName: Option[String] = None,
+      options: Map[String, String] = Map.empty)
+
+  /** Reference trigger types (config.py:4081-4160). */
+  def trigger(kind: String, interval: String = "10 seconds"): Trigger = kind match {
+    case "processing_time" => Trigger.ProcessingTime(interval)
+    case "available_now" => Trigger.AvailableNow()
+    case "once" => Trigger.AvailableNow() // Trigger.Once deprecated in Spark 4
+    case other => throw new IllegalArgumentException(s"unknown trigger: $other")
+  }
+
+  def writeStream(df: DataFrame, path: Option[String],
+                  cfg: StreamWriteConfig): StreamingQuery = {
+    var w: DataStreamWriter[org.apache.spark.sql.Row] =
+      df.writeStream.format(cfg.format).outputMode(cfg.outputMode).options(cfg.options)
+    cfg.checkpointLocation.foreach(c => w = w.option("checkpointLocation", c))
+    cfg.trigger.foreach(t => w = w.trigger(t))
+    cfg.queryName.foreach(n => w = w.queryName(n))
+    path.map(w.start).getOrElse(w.start())
+  }
+
+  /**
+   * Streaming merge: each micro-batch is merged into the target snapshot via
+   * foreachBatch (the reference's streaming upsert path). `mergeFn` is any
+   * (target, batch) => merged pure function — e.g. Merge.upsert.
+   */
+  def writeStreamMerge(df: DataFrame, targetPath: String, checkpoint: String,
+                       keys: Seq[String],
+                       mergeFn: (DataFrame, DataFrame, Seq[String]) => DataFrame)
+      : StreamingQuery = {
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val target =
+          try spark.read.parquet(targetPath)
+          catch { case _: Throwable => batch.limit(0) }
+        val merged = mergeFn(target, batch, keys).cache()
+        merged.count() // materialize before overwriting the input path
+        merged.write.mode("overwrite").parquet(targetPath)
+        merged.unpersist()
+        ()
+      }
+      .start()
+  }
+
+  /**
+   * Watermarked tumbling/sliding window aggregation
+   * (extension; Spark built-in).
+   */
+  def windowedAgg(df: DataFrame, tsCol: String, watermark: String,
+                  windowDuration: String, slide: Option[String] = None,
+                  groupBy: Seq[String] = Nil,
+                  aggs: Seq[(String, String)]): DataFrame = {
+    val win = slide match {
+      case Some(s) => window(col(tsCol), windowDuration, s)
+      case None => window(col(tsCol), windowDuration)
+    }
+    val aggExprs = aggs.map { case (name, e) => expr(e).as(name) }
+    df.withWatermark(tsCol, watermark)
+      .groupBy(win +: groupBy.map(col): _*)
+      .agg(aggExprs.head, aggExprs.tail: _*)
+  }
+
+  /** Watermarked session-window aggregation (extension; Spark built-in). */
+  def sessionWindowAgg(df: DataFrame, tsCol: String, watermark: String,
+                       gap: String, groupBy: Seq[String],
+                       aggs: Seq[(String, String)]): DataFrame = {
+    val aggExprs = aggs.map { case (name, e) => expr(e).as(name) }
+    df.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap) +: groupBy.map(col): _*)
+      .agg(aggExprs.head, aggExprs.tail: _*)
+  }
+}

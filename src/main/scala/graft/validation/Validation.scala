@@ -42,8 +42,8 @@ object Validation {
   def rowPredicate(t: Test): Option[Column] = t.kind match {
     case "not_null" =>
       Some(t.columns.map(c => col(c).isNull).reduce(_ || _))
-    case "accepted_values" =>
-      Some(!col(t.columns.head).isin(t.values: _*))
+    case "accepted_values" => // null is not an accepted value
+      Some(!coalesce(col(t.columns.head).isin(t.values: _*), lit(false)))
     case "range" =>
       val c = col(t.columns.head)
       val lo = t.min.map(v => c < v).getOrElse(lit(false))

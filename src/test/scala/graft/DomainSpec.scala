@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Domain
+
+class DomainSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("unit conversions: linear factor/offset, gauge pressure") {
+    val df = Seq((1.0, 100.0, 1.0)).toDF("kg", "c", "barg")
+    val out = Domain.unitConvert(
+      Domain.unitConvert(
+        Domain.unitConvert(df, "kg", "kg", "lb", Some("lb")),
+        "c", "C", "F", Some("f")),
+      "barg", "barg", "Pa", Some("pa")).collect()(0)
+    assert(math.abs(out.getAs[Double]("lb") - 2.20462262) < 1e-6)
+    assert(math.abs(out.getAs[Double]("f") - 212.0) < 1e-9)
+    // 1 barg = 100000 + 101325 Pa absolute
+    assert(math.abs(out.getAs[Double]("pa") - 201325.0) < 1e-6)
+    intercept[IllegalArgumentException] { Domain.conversion("kg", "furlong") }
+  }
+
+  test("psychrometrics: textbook values at 25C / 50% RH") {
+    val out = Domain.psychrometrics(
+      Seq((25.0, 0.5)).toDF("t_c", "rh"), "t_c", "rh").collect()(0)
+    // Magnus P_sat(25C) ~ 3169 Pa; W ~ 0.00989; dew point ~ 13.86C
+    assert(math.abs(out.getAs[Double]("p_sat") - 3169.0) < 10)
+    assert(math.abs(out.getAs[Double]("humidity_ratio") - 0.00989) < 2e-4)
+    assert(math.abs(out.getAs[Double]("dew_point") - 13.86) < 0.1)
+    assert(math.abs(out.getAs[Double]("enthalpy") - 50.3) < 0.5)
+  }
+
+  test("phase detection: boundaries on status change per group") {
+    val df = Seq(
+      ("b1", 1, "heat", 10.0), ("b1", 2, "heat", 20.0), ("b1", 3, "hold", 5.0),
+      ("b1", 4, "heat", 7.0), ("b2", 1, "cool", 1.0))
+      .toDF("batch", "seq", "status", "v")
+      .withColumn("ts", expr("timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,0,seq*60)"))
+    val phased = Domain.detectPhases(df, "batch", "status", Seq(col("ts")))
+    val phases = phased.orderBy("batch", "ts").collect()
+      .map(r => (r.getAs[String]("batch"), r.getAs[String]("status"), r.getAs[Long]("phase_id")))
+    // heat,heat -> phase 1; hold -> 2; heat again -> 3 (sequential, not merged)
+    assert(phases.toSeq == Seq(("b1", "heat", 1L), ("b1", "heat", 1L),
+      ("b1", "hold", 2L), ("b1", "heat", 3L), ("b2", "cool", 1L)))
+
+    val summary = Domain.phaseSummary(df, "batch", "status", "ts", Seq(col("ts")),
+      metrics = Seq("v_max" -> "max(v)"))
+    val s1 = summary.filter($"batch" === "b1" && $"phase_id" === 1).collect()(0)
+    assert(s1.getAs[Long]("n_rows") == 2 && s1.getAs[Long]("duration_s") == 60)
+    assert(s1.getAs[Double]("v_max") == 20.0)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streaming
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("file stream read -> parquet sink with available-now trigger") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "k", "v")
+      .write.mode("overwrite").parquet(s"$dir/in")
+
+    val stream = Streaming.readStream(spark, "parquet", Some(s"$dir/in"),
+      schemaDdl = Some("id BIGINT, k STRING, v DOUBLE"))
+    assert(stream.isStreaming)
+    val q = Streaming.writeStream(stream, Some(s"$dir/out"),
+      Streaming.StreamWriteConfig(checkpointLocation = Some(s"$dir/cp"),
+        trigger = Some(Streaming.trigger("available_now"))))
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(s"$dir/out").count() == 2)
+  }
+
+  test("foreachBatch streaming merge upserts into target snapshot") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream2").toString
+    // seed target with id=1 (old) and id=9 (untouched)
+    Seq((1L, "old"), (9L, "keep")).toDF("id", "v").write.parquet(s"$dir/target")
+
+    val input = MemoryStream[(Long, String)](spark)
+    input.addData((1L, "new"), (2L, "ins"))
+    val q = Streaming.writeStreamMerge(input.toDF().toDF("id", "v"),
+      s"$dir/target", s"$dir/cp", Seq("id"), graft.operators.Merge.upsert(_, _, _))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$dir/target").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "new", 2L -> "ins", 9L -> "keep"))
+  }
+
+  test("watermarked tumbling window aggregation (extension)") {
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
+    val df = input.toDF().toDF("ts", "k", "v")
+    val agg = Streaming.windowedAgg(df, "ts", "10 minutes", "5 minutes",
+      groupBy = Seq("k"), aggs = Seq("total" -> "sum(v)", "n" -> "count(*)"))
+    val q = agg.writeStream.format("memory").queryName("win_agg")
+      .outputMode("complete").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData((t("2026-01-01 00:01:00"), "a", 1.0),
+      (t("2026-01-01 00:02:00"), "a", 2.0),
+      (t("2026-01-01 00:07:00"), "a", 5.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT k, window.start, total, n FROM win_agg ORDER BY 2").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getDouble(2) == 3.0 && rows(0).getLong(3) == 2L)
+    assert(rows(1).getDouble(2) == 5.0)
+    q.stop()
+  }
+
+  test("session window aggregation (extension)") {
+    val input = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val agg = Streaming.sessionWindowAgg(input.toDF().toDF("ts", "u"),
+      "ts", "10 minutes", "5 minutes", Seq("u"), Seq("n" -> "count(*)"))
+    val q = agg.writeStream.format("memory").queryName("sess_agg")
+      .outputMode("complete").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // two events 2 min apart (one session), then a 20-min gap (new session)
+    input.addData((t("2026-01-01 00:00:00"), "u1"), (t("2026-01-01 00:02:00"), "u1"),
+      (t("2026-01-01 00:22:00"), "u1"))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT n FROM sess_agg ORDER BY 1").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    q.stop()
+  }
+}
