@@ -393,6 +393,13 @@ object SparkEntry {
         t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").as("t_c"), (col("l_discount") * 5 + 0.3).as("rh")),
         "t_c", "rh")),
+    "q_multimodal_features" -> ((s, d) => {
+      val media = graft.functions.Multimodal.asMedia(
+        t(s, d, "documents").withColumn("payload", col("text").cast("binary")),
+        "doc_id", "payload", "lang")
+      graft.functions.Multimodal.extractFeatures(media, embeddingDim = 8)
+        .select("media_id", "n_bytes", "sha")
+    }),
     "q_simulation" -> ((s, d) => { // rows-only: xxhash-seeded generators
       val ts = graft.sources.Simulation.timeSeries(s,
         graft.sources.Simulation.EntityConfig(50), 200, "2026-01-01 00:00:00", 60)
@@ -547,6 +554,8 @@ object SparkEntry {
       "SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, round((round(sum(o_totalprice), 2)) / nullif((count(*)), 0), 4) AS avg_value FROM orders WHERE (o_orderstatus = 'F') GROUP BY 1",
     "q_hwm_filter" ->
       "SELECT event_id, user_id FROM events WHERE ts > TIMESTAMP '2024-01-02 23:00:00'",
+    "q_multimodal_features" ->
+      "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, sha256(text) AS sha FROM documents",
     "q_unit_convert" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_quantity * 2.2046226218487757 + 0.0 AS qty_lb, round((l_discount * 100) * 1.7999999999999998 + 31.999999999999986, 6) AS t_f FROM lineitem",
     "q_phases" ->

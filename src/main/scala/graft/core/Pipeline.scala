@@ -46,6 +46,8 @@ object Pipeline {
   /** Execute one node against the shared context. */
   def runNode(spark: SparkSession, cfg: NodeConfig,
               datasets: Map[String, DataFrame]): DataFrame = {
+    StandardTransformers.registerAll // idempotent
+
     val base: DataFrame = cfg.read.map(r => Sources.read(spark, r))
       .orElse(cfg.input.map(datasets(_)))
       .getOrElse(cfg.dependsOn.headOption.map(datasets(_))

@@ -1,0 +1,231 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{col, expr, lit}
+
+import graft.operators._
+import graft.functions.TextAnalysis
+
+/**
+ * Registers the full operator library under the reference's transformer
+ * names (odibi/transformers/__init__.py:24-153) so YAML `function:` steps
+ * reach every operator. Params arrive as YAML-decoded maps (insertion-
+ * ordered) and are translated to the typed operator signatures here.
+ */
+object StandardTransformers {
+
+  // ---- param helpers -------------------------------------------------
+  private def str(p: Map[String, Any], k: String): String = p.get(k) match {
+    case Some(v) => v.toString
+    case None => throw new IllegalArgumentException(s"missing param: $k")
+  }
+  private def strOpt(p: Map[String, Any], k: String): Option[String] =
+    p.get(k).map(_.toString)
+  private def intOpt(p: Map[String, Any], k: String): Option[Int] =
+    p.get(k).map(_.toString.toInt)
+  private def boolOpt(p: Map[String, Any], k: String): Option[Boolean] =
+    p.get(k).map(_.toString.toBoolean)
+  private def seqOf(p: Map[String, Any], k: String): Seq[String] =
+    p.get(k).map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Nil)
+  private def mapOf(p: Map[String, Any], k: String): Seq[(String, String)] =
+    p.get(k).map(_.asInstanceOf[Map[String, Any]].toSeq.map { case (a, b) => a -> b.toString })
+      .getOrElse(Nil)
+  private def cols(names: Seq[String]): Seq[Column] = names.map { n =>
+    if (n.endsWith(" desc")) col(n.stripSuffix(" desc")).desc else col(n)
+  }
+
+  private def reg(n: String)(fn: (EngineContext, Map[String, Any]) => DataFrame): Unit =
+    TransformerRegistry.register(new Transformer {
+      override def name: String = n
+      override def apply(ctx: EngineContext, params: Map[String, Any]): DataFrame =
+        fn(ctx, params)
+    })
+
+  /** Idempotent registration of all standard transformers. */
+  lazy val registerAll: Unit = {
+    // ---- sql_core (28) ----
+    reg("filter_rows") { (c, p) => SqlCore.filterRows(c.df, str(p, "condition")) }
+    reg("derive_columns") { (c, p) => SqlCore.deriveColumns(c.df, mapOf(p, "derivations")) }
+    reg("cast_columns") { (c, p) => SqlCore.castColumns(c.df, mapOf(p, "casts").toMap) }
+    reg("clean_text") { (c, p) =>
+      SqlCore.cleanText(c.df, seqOf(p, "columns"),
+        boolOpt(p, "trim").getOrElse(true), strOpt(p, "case").getOrElse("preserve")) }
+    reg("extract_date_parts") { (c, p) =>
+      SqlCore.extractDateParts(c.df, str(p, "source_col"),
+        strOpt(p, "prefix").getOrElse(""),
+        if (seqOf(p, "parts").nonEmpty) seqOf(p, "parts") else Seq("year", "month", "day")) }
+    reg("normalize_schema") { (c, p) =>
+      SqlCore.normalizeSchema(c.df, mapOf(p, "rename").toMap, seqOf(p, "drop"),
+        seqOf(p, "select_order")) }
+    reg("sort") { (c, p) =>
+      SqlCore.sort(c.df, seqOf(p, "by"),
+        p.get("ascending").map(_.asInstanceOf[Seq[Any]].map(_.toString.toBoolean))
+          .getOrElse(Nil)) }
+    reg("limit") { (c, p) =>
+      SqlCore.limitRows(c.df, str(p, "n").toInt, intOpt(p, "offset").getOrElse(0)) }
+    reg("sample") { (c, p) =>
+      SqlCore.sample(c.df, str(p, "fraction").toDouble,
+        intOpt(p, "seed").map(_.toLong).getOrElse(42L)) }
+    reg("distinct") { (c, p) => SqlCore.distinctRows(c.df, seqOf(p, "columns")) }
+    reg("fill_nulls") { (c, p) => SqlCore.fillNulls(c.df, mapOf(p, "values").toMap) }
+    reg("split_part") { (c, p) =>
+      SqlCore.splitPart(c.df, str(p, "column"), str(p, "delimiter"),
+        str(p, "index").toInt, strOpt(p, "output_col")) }
+    reg("date_add") { (c, p) =>
+      SqlCore.dateAdd(c.df, str(p, "column"), str(p, "amount").toInt,
+        strOpt(p, "unit").getOrElse("day"), strOpt(p, "output_col")) }
+    reg("date_trunc") { (c, p) =>
+      SqlCore.dateTrunc(c.df, str(p, "column"), str(p, "unit"), strOpt(p, "output_col")) }
+    reg("date_diff") { (c, p) =>
+      SqlCore.dateDiff(c.df, str(p, "start_col"), str(p, "end_col"),
+        str(p, "unit"), str(p, "output_col")) }
+    reg("case_when") { (c, p) =>
+      val cases = p("cases").asInstanceOf[Seq[Any]].map { x =>
+        val m = x.asInstanceOf[Map[String, Any]]
+        m("when").toString -> m("then").toString
+      }
+      SqlCore.caseWhen(c.df, cases, strOpt(p, "default"), str(p, "output_col")) }
+    reg("convert_timezone") { (c, p) =>
+      SqlCore.convertTimezone(c.df, str(p, "column"), str(p, "source_tz"),
+        str(p, "target_tz"), strOpt(p, "output_col")) }
+    reg("concat_columns") { (c, p) =>
+      SqlCore.concatColumns(c.df, seqOf(p, "columns"),
+        strOpt(p, "separator").getOrElse(""), str(p, "output_col")) }
+    reg("select_columns") { (c, p) => SqlCore.selectColumns(c.df, seqOf(p, "columns")) }
+    reg("drop_columns") { (c, p) => SqlCore.dropColumns(c.df, seqOf(p, "columns")) }
+    reg("rename_columns") { (c, p) => SqlCore.renameColumns(c.df, mapOf(p, "mapping").toMap) }
+    reg("add_prefix") { (c, p) =>
+      SqlCore.addPrefix(c.df, str(p, "prefix"), seqOf(p, "columns"), seqOf(p, "exclude")) }
+    reg("add_suffix") { (c, p) =>
+      SqlCore.addSuffix(c.df, str(p, "suffix"), seqOf(p, "columns"), seqOf(p, "exclude")) }
+    reg("normalize_column_names") { (c, p) =>
+      SqlCore.normalizeColumnNames(c.df, strOpt(p, "style").getOrElse("snake_case"),
+        boolOpt(p, "lowercase").getOrElse(true),
+        boolOpt(p, "remove_special").getOrElse(true)) }
+    reg("coalesce_columns") { (c, p) =>
+      SqlCore.coalesceColumns(c.df, seqOf(p, "columns"), str(p, "output_col"),
+        boolOpt(p, "drop_source").getOrElse(false)) }
+    reg("replace_values") { (c, p) =>
+      SqlCore.replaceValues(c.df, seqOf(p, "columns"), mapOf(p, "mapping")) }
+    reg("trim_whitespace") { (c, p) => SqlCore.trimWhitespace(c.df, seqOf(p, "columns")) }
+    reg("row_number") { (c, p) =>
+      SqlCore.rowNumber(c.df, str(p, "output"), seqOf(p, "partition_by"),
+        cols(seqOf(p, "order_by"))) }
+
+    // ---- relational (5) ----
+    reg("join") { (c, p) =>
+      // YAML 1.1 parses a bare `on:` key as boolean true — accept both
+      val onKeys = if (seqOf(p, "on").nonEmpty) seqOf(p, "on") else seqOf(p, "true")
+      Relational.join(c.df, c.dataset(str(p, "right_dataset")), onKeys,
+        strOpt(p, "how").getOrElse("inner"), strOpt(p, "prefix").getOrElse("right"),
+        boolOpt(p, "broadcast_right").getOrElse(false)) }
+    reg("union") { (c, p) =>
+      Relational.union(c.df +: seqOf(p, "datasets").map(c.dataset),
+        boolOpt(p, "by_name").getOrElse(true)) }
+    reg("pivot") { (c, p) =>
+      Relational.pivot(c.df, seqOf(p, "group_by"), str(p, "pivot_col"),
+        str(p, "agg_col"), strOpt(p, "agg_func").getOrElse("sum"), seqOf(p, "values")) }
+    reg("unpivot") { (c, p) =>
+      Relational.unpivot(c.df, seqOf(p, "id_cols"), seqOf(p, "value_vars"),
+        strOpt(p, "var_name").getOrElse("variable"),
+        strOpt(p, "value_name").getOrElse("value")) }
+    reg("aggregate") { (c, p) =>
+      Relational.aggregate(c.df, seqOf(p, "group_by"), mapOf(p, "aggregations")) }
+
+    // ---- advanced (17) ----
+    reg("deduplicate") { (c, p) =>
+      Advanced.deduplicate(c.df, seqOf(p, "keys"), cols(seqOf(p, "order_by"))) }
+    reg("explode_list_column") { (c, p) =>
+      Advanced.explodeListColumn(c.df, str(p, "column"),
+        boolOpt(p, "outer").getOrElse(false), strOpt(p, "output_col")) }
+    reg("dict_based_mapping") { (c, p) =>
+      Advanced.dictBasedMapping(c.df, str(p, "column"), mapOf(p, "mapping"),
+        strOpt(p, "default"), str(p, "output_column")) }
+    reg("regex_replace") { (c, p) =>
+      Advanced.regexReplace(c.df, str(p, "column"), str(p, "pattern"),
+        str(p, "replacement"), strOpt(p, "output_col")) }
+    reg("unpack_struct") { (c, p) =>
+      Advanced.unpackStruct(c.df, str(p, "column"),
+        boolOpt(p, "drop_source").getOrElse(true)) }
+    reg("hash_columns") { (c, p) =>
+      Advanced.hashColumns(c.df, seqOf(p, "columns"),
+        strOpt(p, "algorithm").getOrElse("sha256")) }
+    reg("generate_surrogate_key") { (c, p) =>
+      Advanced.generateSurrogateKey(c.df, seqOf(p, "columns"), str(p, "output_col"),
+        strOpt(p, "separator").getOrElse("|")) }
+    reg("generate_numeric_key") { (c, p) =>
+      Advanced.generateNumericKey(c.df, seqOf(p, "columns"), str(p, "output_col"),
+        strOpt(p, "coalesce_with")) }
+    reg("parse_json") { (c, p) =>
+      Advanced.parseJson(c.df, str(p, "column"), str(p, "json_schema"),
+        strOpt(p, "output_col")) }
+    reg("validate_and_flag") { (c, p) =>
+      Advanced.validateAndFlag(c.df, mapOf(p, "rules"),
+        strOpt(p, "flag_col").getOrElse("_validation_flags")) }
+    reg("window_calculation") { (c, p) =>
+      Advanced.windowCalculation(c.df, str(p, "function"), seqOf(p, "partition_by"),
+        seqOf(p, "order_by"), str(p, "target_col")) }
+    reg("normalize_json") { (c, p) => Advanced.normalizeJson(c.df, str(p, "column")) }
+    reg("sessionize") { (c, p) =>
+      Advanced.sessionize(c.df, str(p, "user_col"), str(p, "ts_col"),
+        str(p, "threshold_seconds").toLong,
+        strOpt(p, "session_col").getOrElse("session_id")) }
+    reg("split_events_by_period") { (c, p) =>
+      Advanced.splitEventsByPeriod(c.df, str(p, "start_col"), str(p, "end_col"),
+        strOpt(p, "period").getOrElse("day"),
+        strOpt(p, "duration_col").getOrElse("duration_seconds")) }
+    reg("flatten_struct") { (c, p) =>
+      Advanced.flattenStruct(c.df, str(p, "column"),
+        strOpt(p, "separator").getOrElse("_"),
+        intOpt(p, "depth").getOrElse(Int.MaxValue),
+        boolOpt(p, "drop_source").getOrElse(true)) }
+    reg("apply_mapping") { (c, p) =>
+      Advanced.applyMapping(c.df, c.dataset(str(p, "mapping_source")),
+        str(p, "source_key"), str(p, "lookup_key"), str(p, "lookup_value"),
+        str(p, "output_col"), strOpt(p, "default")) }
+
+    // ---- warehouse heavy-lifters ----
+    reg("scd2") { (c, p) =>
+      Scd.scd2Apply(c.dataset(str(p, "target_dataset")), c.df, seqOf(p, "keys"),
+        seqOf(p, "track_cols"), lit(str(p, "effective_ts")),
+        closeDeleted = boolOpt(p, "close_deleted").getOrElse(false)) }
+    reg("merge") { (c, p) =>
+      val target = c.dataset(str(p, "target_dataset"))
+      strOpt(p, "strategy").getOrElse("upsert") match {
+        case "upsert" => Merge.upsert(target, c.df, seqOf(p, "keys"),
+          strOpt(p, "update_condition"), strOpt(p, "insert_condition"))
+        case "append_only" => Merge.appendOnly(target, c.df, seqOf(p, "keys"))
+        case "delete_match" => Merge.deleteMatch(target, c.df, seqOf(p, "keys"),
+          strOpt(p, "delete_condition"))
+        case other => throw new IllegalArgumentException(s"unknown strategy: $other")
+      } }
+    reg("detect_deletes") { (c, p) =>
+      val deleted = DeleteDetection.detectSqlCompare(
+        c.dataset(str(p, "target_dataset")), c.df, seqOf(p, "keys"))
+      DeleteDetection.applySoft(c.dataset(str(p, "target_dataset")), deleted,
+        seqOf(p, "keys")) }
+
+    // ---- domain ----
+    reg("unit_convert") { (c, p) =>
+      Domain.unitConvert(c.df, str(p, "column"), str(p, "from"), str(p, "to"),
+        strOpt(p, "output_col")) }
+    reg("psychrometrics") { (c, p) =>
+      Domain.psychrometrics(c.df, str(p, "temp_col"), str(p, "rh_col"),
+        strOpt(p, "pressure_pa").map(_.toDouble).getOrElse(101325.0)) }
+    reg("detect_sequential_phases") { (c, p) =>
+      Domain.phaseSummary(c.df, str(p, "group_by"), str(p, "status_col"),
+        str(p, "ts_col"), cols(seqOf(p, "order_by")), mapOf(p, "metrics")) }
+
+    // ---- training-data ops ----
+    reg("exact_dedup") { (c, p) =>
+      Dedup.exactDedup(c.df, str(p, "id_col"), str(p, "text_col")) }
+    reg("minhash_dedup_pairs") { (c, p) =>
+      Dedup.minhashLshPairs(c.df, str(p, "id_col"), str(p, "text_col"),
+        intOpt(p, "shingle_size").getOrElse(5), intOpt(p, "num_hashes").getOrElse(64),
+        intOpt(p, "bands").getOrElse(16)) }
+    reg("simhash_pairs") { (c, p) =>
+      Dedup.simhashPairs(c.df, str(p, "id_col"), str(p, "text_col"),
+        intOpt(p, "max_hamming").getOrElse(3)) }
+    reg("text_analysis") { (c, p) => TextAnalysis.analyze(c.df, str(p, "text_col")) }
+  }
+}

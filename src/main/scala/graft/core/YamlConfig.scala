@@ -118,10 +118,13 @@ object YamlConfig {
       maxAgeHours = m.get("max_age_hours").map(_.toString.toInt))
   }
 
-  /** Recursively convert snakeyaml's java.util collections to Scala. */
+  /** Recursively convert snakeyaml's java.util collections to Scala.
+    * Maps keep insertion order (VectorMap): derive_columns and friends rely
+    * on YAML document order. */
   private def anyToScala(v: Any): Any = v match {
     case m: java.util.Map[_, _] =>
-      m.asScala.map { case (k, x) => k.toString -> anyToScala(x) }.toMap
+      scala.collection.immutable.VectorMap.from(
+        m.asScala.map { case (k, x) => k.toString -> anyToScala(x) })
     case l: java.util.List[_] => l.asScala.map(anyToScala).toSeq
     case other => other
   }

@@ -27,6 +27,7 @@ object Relational {
       case other => other
     }
     if (sparkHow == "cross") return left.crossJoin(right)
+    require(on.nonEmpty, s"join ($how) requires non-empty key list `on`")
 
     val collisions = right.columns.filterNot(on.contains).toSet
       .intersect(left.columns.filterNot(on.contains).toSet)
