@@ -14,6 +14,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); read as long + convert
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -39,12 +39,21 @@ object Dedup {
 
   /**
    * Exact dedup: keep one row (lowest `idCol`) per identical normalized
-   * text. GroupBy on xxhash64(fingerprint) — the shuffle carries only
-   * (hash, id), not the document bodies.
+   * text.
+   *
+   * Plan shape for 100 TB: winners are computed as groupBy(fingerprint) →
+   * min(id) — a map-side partial aggregate whose shuffle carries only
+   * (hash, id) pairs — then a semi-join on id brings back the surviving
+   * rows. Unlike a window over the full frame, the document BODIES are
+   * never shuffled (AQE turns the winner join into a broadcast when the
+   * winner set is small enough).
    */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol))).orderBy(col(idCol).asc)
-    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    val winners = df
+      .select(TextAnalysis.fingerprint(col(textCol)).as("_fp"), col(idCol))
+      .groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    df.join(winners, Seq(idCol), "left_semi")
   }
 
   /** Character shingles (n-grams) of the normalized text, as a distinct array. */
