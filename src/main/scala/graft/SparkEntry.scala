@@ -400,6 +400,23 @@ object SparkEntry {
       graft.functions.Multimodal.extractFeatures(media, embeddingDim = 8)
         .select("media_id", "n_bytes", "sha")
     }),
+    "q_streaming_append" -> ((s, d) => {
+      // BASELINE.md: streaming micro-batch append of `events` — an
+      // available-now file stream drained into a parquet sink, then read
+      // back; the oracle checks the sink equals the source projection.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_q").toString
+      val stream = graft.streaming.Streaming.readStream(s, "parquet",
+        Some(s"$d/events.parquet"),
+        schemaDdl = Some("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+          "event_type STRING, value DOUBLE, props STRING"))
+      val q = graft.streaming.Streaming.writeStream(
+        stream.select("event_id", "user_id", "event_type"), Some(s"$tmp/sink"),
+        graft.streaming.Streaming.StreamWriteConfig(
+          checkpointLocation = Some(s"$tmp/cp"),
+          trigger = Some(graft.streaming.Streaming.trigger("available_now"))))
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/sink")
+    }),
     "q_simulation" -> ((s, d) => { // rows-only: xxhash-seeded generators
       val ts = graft.sources.Simulation.timeSeries(s,
         graft.sources.Simulation.EntityConfig(50), 200, "2026-01-01 00:00:00", 60)
@@ -554,6 +571,8 @@ object SparkEntry {
       "SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, round((round(sum(o_totalprice), 2)) / nullif((count(*)), 0), 4) AS avg_value FROM orders WHERE (o_orderstatus = 'F') GROUP BY 1",
     "q_hwm_filter" ->
       "SELECT event_id, user_id FROM events WHERE ts > TIMESTAMP '2024-01-02 23:00:00'",
+    "q_streaming_append" ->
+      "SELECT event_id, user_id, event_type FROM events",
     "q_multimodal_features" ->
       "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, sha256(text) AS sha FROM documents",
     "q_unit_convert" ->

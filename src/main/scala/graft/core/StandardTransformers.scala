@@ -227,5 +227,27 @@ object StandardTransformers {
       Dedup.simhashPairs(c.df, str(p, "id_col"), str(p, "text_col"),
         intOpt(p, "max_hamming").getOrElse(3)) }
     reg("text_analysis") { (c, p) => TextAnalysis.analyze(c.df, str(p, "text_col")) }
+
+    // geocode (advanced.py:1001-1035): reference ships a constant-placeholder
+    // stub; reproduced as such.
+    reg("geocode") { (c, p) =>
+      c.df.withColumn(strOpt(p, "lat_col").getOrElse("latitude"), lit(0.0))
+        .withColumn(strOpt(p, "lon_col").getOrElse("longitude"), lit(0.0)) }
+
+    // cross_check (validation.py:14-200): compare this df against another
+    // dataset; row-count delta within threshold + optional schema match.
+    // Raises on violation, passes df through unchanged.
+    reg("cross_check") { (c, p) =>
+      val other = c.dataset(str(p, "other_dataset"))
+      val thr = strOpt(p, "row_count_tolerance").map(_.toDouble).getOrElse(0.0)
+      val a = c.df.count().toDouble
+      val b = other.count().toDouble
+      val delta = math.abs(a - b) / math.max(b, 1.0)
+      if (delta > thr) throw new IllegalStateException(
+        f"cross_check: row count delta $delta%.4f exceeds tolerance $thr%.4f ($a vs $b)")
+      if (boolOpt(p, "schema_match").getOrElse(false) &&
+          c.df.schema.toDDL != other.schema.toDDL)
+        throw new IllegalStateException("cross_check: schemas differ")
+      c.df }
   }
 }
