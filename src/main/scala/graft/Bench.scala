@@ -28,6 +28,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warmup: session/codegen/parquet-footer costs land here, not in q1
+    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
     val qs = SparkEntry.queries
     val results = headline.flatMap { name =>
       qs.get(name).map { fn =>

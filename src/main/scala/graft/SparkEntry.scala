@@ -105,7 +105,7 @@ object SparkEntry {
       SqlCore.caseWhen(t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
         Seq("l_quantity < 10" -> "'low'", "l_quantity < 30" -> "'mid'"),
         Some("'high'"), "qty_class")),
-    "q_convert_timezone" -> ((s, d) => // rows-only: DuckDB tz needs ICU
+    "q_convert_timezone" -> ((s, d) =>
       SqlCore.convertTimezone(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
         "o_orderdate", "UTC", "America/New_York", Some("o_local"))),
     "q_concat_columns" -> ((s, d) =>
@@ -263,7 +263,7 @@ object SparkEntry {
     "q_quality_score" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("quality"))),
-    "q_lang_id" -> ((s, d) => // rows-only: argmax-over-structs oracle too dialect-fragile
+    "q_lang_id" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         TextAnalysis.languageId(col("text")).as("lang_id"))),
     "q_fingerprint_stats" -> ((s, d) =>
@@ -388,11 +388,12 @@ object SparkEntry {
       operators.Domain.phaseSummary(events(s, d), "user_id", "event_type", "ts",
         Seq(col("ts"), col("event_id")),
         metrics = Seq("total_value" -> "round(sum(value), 4)"))),
-    "q_psychrometrics" -> ((s, d) => // rows-only: exp/log libm may differ 1 ulp
-      operators.Domain.psychrometrics(
-        t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
-          col("l_quantity").as("t_c"), (col("l_discount") * 5 + 0.3).as("rh")),
-        "t_c", "rh")),
+    "q_psychrometrics" -> ((s, d) => // derived cols rounded: exp/log libm ulps
+      Seq("p_sat", "humidity_ratio", "dew_point", "enthalpy").foldLeft(
+        operators.Domain.psychrometrics(
+          t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").as("t_c"), (col("l_discount") * 5 + 0.3).as("rh")),
+          "t_c", "rh")) { (df, c) => df.withColumn(c, round(col(c), 4)) }),
     "q_multimodal_features" -> ((s, d) => {
       val media = graft.functions.Multimodal.asMedia(
         t(s, d, "documents").withColumn("payload", col("text").cast("binary")),
@@ -405,8 +406,14 @@ object SparkEntry {
       // available-now file stream drained into a parquet sink, then read
       // back; the oracle checks the sink equals the source projection.
       val tmp = java.nio.file.Files.createTempDirectory("graft_stream_q").toString
+      // the file-stream source needs a directory: stage the single parquet
+      // file behind a symlink
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$tmp/in/events.parquet"),
+        java.nio.file.Paths.get(s"$d/events.parquet"))
       val stream = graft.streaming.Streaming.readStream(s, "parquet",
-        Some(s"$d/events.parquet"),
+        Some(s"$tmp/in"),
         schemaDdl = Some("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
           "event_type STRING, value DOUBLE, props STRING"))
       val q = graft.streaming.Streaming.writeStream(
@@ -573,6 +580,12 @@ object SparkEntry {
       "SELECT event_id, user_id FROM events WHERE ts > TIMESTAMP '2024-01-02 23:00:00'",
     "q_streaming_append" ->
       "SELECT event_id, user_id, event_type FROM events",
+    "q_convert_timezone" ->
+      "SELECT o_orderkey, o_orderdate, timezone('America/New_York', timezone('UTC', o_orderdate)) AS o_local FROM orders",
+    "q_lang_id" ->
+      "SELECT doc_id, CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_id FROM (SELECT doc_id, list_max([{'score': len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','für','von'], x))), 'lang': 'de'}, {'score': len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','it','for','was'], x))), 'lang': 'en'}, {'score': len(list_filter(toks, x -> list_contains(['el','la','los','y','es','una','por','para','con','del'], x))), 'lang': 'es'}, {'score': len(list_filter(toks, x -> list_contains(['le','la','les','et','est','une','pour','dans','que','des'], x))), 'lang': 'fr'}, {'score': len(list_filter(toks, x -> list_contains(['il','la','che','e','per','una','con','del','non','sono'], x))), 'lang': 'it'}]) AS best FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '[[:space:][:punct:]]+') AS toks FROM documents) t) s",
+    "q_psychrometrics" ->
+      "SELECT l_orderkey, l_linenumber, t_c, rh, round(p_sat, 4) AS p_sat, round(hr, 4) AS humidity_ratio, round(243.04 * g / (17.625 - g), 4) AS dew_point, round(1.006 * t_c + hr * (2501.0 + 1.86 * t_c), 4) AS enthalpy FROM (SELECT *, 0.621945 * (rh * p_sat) / (101325.0 - (rh * p_sat)) AS hr, ln(rh) + 17.625 * t_c / (t_c + 243.04) AS g FROM (SELECT l_orderkey, l_linenumber, l_quantity AS t_c, l_discount * 5 + 0.3 AS rh, 610.94 * exp(17.625 * l_quantity / (l_quantity + 243.04)) AS p_sat FROM lineitem) a) b",
     "q_multimodal_features" ->
       "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, sha256(text) AS sha FROM documents",
     "q_unit_convert" ->
