@@ -41,7 +41,8 @@ object Pipeline {
 
   final case class PipelineConfig(name: String, nodes: Seq[NodeConfig],
                                   parallel: Boolean = false, maxWorkers: Int = 4,
-                                  autoCacheThreshold: Int = 3)
+                                  autoCacheThreshold: Int = 3,
+                                  sparkConf: Map[String, String] = Map.empty)
 
   /** Execute one node against the shared context. */
   def runNode(spark: SparkSession, cfg: NodeConfig,
@@ -80,6 +81,8 @@ object Pipeline {
    */
   def run(spark: SparkSession, cfg: PipelineConfig,
           externalDatasets: Map[String, DataFrame] = Map.empty): Map[String, NodeResult] = {
+    // performance.spark_config passthrough (reference config.py:5192-5250)
+    cfg.sparkConf.foreach { case (k, v) => spark.conf.set(k, v) }
     val byName = cfg.nodes.map(n => n.name -> n).toMap
     val graph = DependencyGraph(cfg.nodes.map(n => n.name -> n.dependsOn).toMap)
     val layers = graph.executionLayers()

@@ -60,7 +60,9 @@ object YamlConfig {
       name = root.getOrElse("name", "pipeline").toString,
       nodes = nodes,
       parallel = root.get("parallel").exists(_.toString.toBoolean),
-      maxWorkers = root.get("max_workers").map(_.toString.toInt).getOrElse(4))
+      maxWorkers = root.get("max_workers").map(_.toString.toInt).getOrElse(4),
+      sparkConf = root.getOrElse("spark_config", Map.empty[String, Any])
+        .asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.toString })
   }
 
   private def seqOf(v: Option[Any]): Seq[String] =

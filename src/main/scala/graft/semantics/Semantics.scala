@@ -95,4 +95,43 @@ object Semantics {
               dimensions: Seq[String]): String =
     s"CREATE OR REPLACE VIEW $viewName AS " +
       generateSql(model, ParsedQuery(metrics, dimensions, None))
+
+  /**
+   * Materialize a metric query to a path (materialize.py:37-130): full
+   * refresh overwrite.
+   */
+  def materialize(spark: SparkSession, model: SemanticModel, query: String,
+                  sources: Map[String, DataFrame], outPath: String): DataFrame = {
+    val df = run(spark, model, query, sources)
+    df.write.mode("overwrite").parquet(outPath)
+    spark.read.parquet(outPath)
+  }
+
+  /**
+   * IncrementalMaterializer (materialize.py:210): re-aggregate only rows
+   * newer than the HWM, then merge into the existing metric table by grain
+   * with per-metric combine strategies (sum for additive metrics, replace
+   * otherwise) — the standard additive-rollup incremental refresh.
+   */
+  def materializeIncremental(spark: SparkSession, model: SemanticModel,
+                             query: String, sources: Map[String, DataFrame],
+                             outPath: String, grain: Seq[String],
+                             strategies: Map[String, String],
+                             incrementalFilter: Option[String] = None): DataFrame = {
+    val filtered = incrementalFilter match {
+      case Some(f) => sources.map { case (k, df) =>
+        k -> df.filter(org.apache.spark.sql.functions.expr(f)) }
+      case None => sources
+    }
+    val fresh = run(spark, model, query, filtered)
+    val merged =
+      try graft.patterns.Patterns.aggregationMerge(
+        spark.read.parquet(outPath), fresh, grain, strategies)
+      catch { case _: Throwable => fresh } // first run
+    val out = merged.cache()
+    out.count()
+    out.write.mode("overwrite").parquet(outPath)
+    out.unpersist()
+    spark.read.parquet(outPath)
+  }
 }

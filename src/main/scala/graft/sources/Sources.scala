@@ -90,6 +90,49 @@ object Sources {
     s"${agg.getString(0)}:${agg.getString(1)}"
   }
 
+  /**
+   * harmonize_schema (reference: odibi/engine/base.py:243, spark impl
+   * spark_engine.py:393): select/cast-align a frame to a target schema.
+   * Policy mirrors SchemaMode (config.py:4355-4395): extra columns are
+   * dropped (onNewColumns=ignore) or error; missing columns are filled with
+   * typed nulls (onMissingColumns=fill) or error.
+   */
+  def harmonizeSchema(df: DataFrame, target: StructType,
+                      onNewColumns: String = "ignore",
+                      onMissingColumns: String = "fill"): DataFrame = {
+    val have = df.columns.toSet
+    val want = target.fields.map(_.name).toSet
+    val extra = have -- want
+    val missing = want -- have
+    if (extra.nonEmpty && onNewColumns == "error")
+      throw new IllegalArgumentException(s"unexpected columns: $extra")
+    if (missing.nonEmpty && onMissingColumns == "error")
+      throw new IllegalArgumentException(s"missing columns: $missing")
+    df.select(target.fields.map { f =>
+      if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+  }
+
+  /**
+   * register_table (spark_engine.py:1463-1505): register a path-based
+   * dataset as an external table in the session catalog.
+   */
+  def registerTable(spark: SparkSession, table: String, path: String,
+                    format: String = "parquet"): Unit =
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $table USING $format LOCATION '$path'")
+
+  /**
+   * cloudFiles passthrough (config.py:1097): on Databricks this is Auto
+   * Loader; elsewhere it degrades to the built-in file-stream source with
+   * the same options surface.
+   */
+  def readCloudFiles(spark: SparkSession, path: String, format: String,
+                     schemaDdl: String,
+                     options: Map[String, String] = Map.empty): DataFrame =
+    spark.readStream.format(format).schema(StructType.fromDDL(schemaDdl))
+      .options(options).load(path)
+
   /** Skip the write when the content hash matches the previous one. */
   def writeIfChanged(df: DataFrame, path: String, previousHash: Option[String],
                      cfg: WriteConfig = WriteConfig(),
