@@ -250,6 +250,8 @@ object SparkEntry {
       Dedup.exactDedup(t(s, d, "documents"), "doc_id", "text")),
     "q_minhash_pairs" -> ((s, d) => // rows-only: xxhash64-based
       Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text")),
+    "q_minhash_dedup" -> ((s, d) => // rows-only: xxhash64-based
+      Dedup.minhashDedup(t(s, d, "documents"), "doc_id", "text")),
     "q_simhash_pairs" -> ((s, d) => // rows-only
       Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text")),
     "q_ngram_jaccard_pairs" -> ((s, d) => // rows-only: LSH-candidate recall < 1
@@ -374,6 +376,12 @@ object SparkEntry {
         events(s, d).select("event_id", "user_id", "ts"),
         "ts", Some("2024-01-03 00:00:00"), watermarkLagSeconds = 3600)
         .select("event_id", "user_id")),
+
+    "q_harmonize_schema" -> ((s, d) =>
+      graft.sources.Sources.harmonizeSchema(
+        t(s, d, "customer"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE, missing_col STRING"))),
 
     // ---- domain ops (SURVEY §2.6) ----
     "q_unit_convert" -> ((s, d) =>
@@ -588,6 +596,8 @@ object SparkEntry {
       "SELECT l_orderkey, l_linenumber, t_c, rh, round(p_sat, 4) AS p_sat, round(hr, 4) AS humidity_ratio, round(243.04 * g / (17.625 - g), 4) AS dew_point, round(1.006 * t_c + hr * (2501.0 + 1.86 * t_c), 4) AS enthalpy FROM (SELECT *, 0.621945 * (rh * p_sat) / (101325.0 - (rh * p_sat)) AS hr, ln(rh) + 17.625 * t_c / (t_c + 243.04) AS g FROM (SELECT l_orderkey, l_linenumber, l_quantity AS t_c, l_discount * 5 + 0.3 AS rh, 610.94 * exp(17.625 * l_quantity / (l_quantity + 243.04)) AS p_sat FROM lineitem) a) b",
     "q_multimodal_features" ->
       "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, sha256(text) AS sha FROM documents",
+    "q_harmonize_schema" ->
+      "SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal, CAST(NULL AS VARCHAR) AS missing_col FROM customer",
     "q_unit_convert" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_quantity * 2.2046226218487757 + 0.0 AS qty_lb, round((l_discount * 100) * 1.7999999999999998 + 31.999999999999986, 6) AS t_f FROM lineitem",
     "q_phases" ->

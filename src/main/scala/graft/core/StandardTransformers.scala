@@ -223,6 +223,10 @@ object StandardTransformers {
       Dedup.minhashLshPairs(c.df, str(p, "id_col"), str(p, "text_col"),
         intOpt(p, "shingle_size").getOrElse(5), intOpt(p, "num_hashes").getOrElse(64),
         intOpt(p, "bands").getOrElse(16)) }
+    reg("minhash_dedup") { (c, p) =>
+      Dedup.minhashDedup(c.df, str(p, "id_col"), str(p, "text_col"),
+        intOpt(p, "shingle_size").getOrElse(5), intOpt(p, "num_hashes").getOrElse(64),
+        intOpt(p, "bands").getOrElse(16)) }
     reg("simhash_pairs") { (c, p) =>
       Dedup.simhashPairs(c.df, str(p, "id_col"), str(p, "text_col"),
         intOpt(p, "max_hamming").getOrElse(3)) }

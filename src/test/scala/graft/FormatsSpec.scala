@@ -1,0 +1,43 @@
+package graft
+
+import graft.sources.Sources
+
+class FormatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def roundtrip(format: String, options: Map[String, String] = Map.empty): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_fmt_$format").toString
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, null, 3.5)).toDF("id", "name", "v")
+    Sources.write(df, s"$dir/out", Sources.WriteConfig(format = format,
+      mode = "overwrite", options = options))
+    // append mode doubles the rows
+    Sources.write(df, s"$dir/out", Sources.WriteConfig(format = format,
+      mode = "append", options = options))
+    val back = Sources.read(spark, Sources.ReadConfig(format, Some(s"$dir/out"),
+      schemaDdl = Some("id BIGINT, name STRING, v DOUBLE"), options = options))
+    assert(back.count() == 6, s"$format roundtrip count")
+    assert(back.filter($"id" === 1 && $"v" === 1.5).count() == 2, s"$format values")
+    assert(back.filter($"id" === 3 && $"name".isNull).count() == 2, s"$format nulls")
+  }
+
+  test("parquet roundtrip with modes") { roundtrip("parquet") }
+  test("json roundtrip with modes") { roundtrip("json") }
+  test("csv roundtrip with modes") {
+    roundtrip("csv", Map("header" -> "true", "nullValue" -> "\\N"))
+  }
+  // avro: this environment ships avro core libs but not the spark-avro
+  // datasource module, so format("avro") is unavailable; the Sources API
+  // passes the format string through unchanged on clusters that have it.
+
+  test("partitioned write prunes directories") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val df = Seq(("2026-01-01", 1), ("2026-01-02", 2)).toDF("dt", "v")
+    Sources.write(df, s"$dir/out", Sources.WriteConfig(partitionBy = Seq("dt")))
+    assert(new java.io.File(s"$dir/out/dt=2026-01-01").exists())
+    val pruned = spark.read.parquet(s"$dir/out").filter($"dt" === "2026-01-01")
+    assert(pruned.count() == 1)
+    // partition filter reaches the scan (no full-data read)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || pruned.inputFiles.length == 1)
+  }
+}

@@ -62,6 +62,18 @@ class OperatorsSpec extends SparkSpec {
     assert(row.length == 1 && row(0).getDouble(2) == 1.0)
   }
 
+  test("minhashDedup keeps one representative per near-dup cluster") {
+    val docs = Seq(
+      (5L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (9L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "completely different text about spark catalyst optimizer internals"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.minhashDedup(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 3L)) // min id of the dup cluster + the unique doc
+  }
+
   test("simhash of identical texts is identical; hamming 0") {
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
       .toDF("id", "text")
