@@ -116,9 +116,11 @@ object Dedup {
       .select(col("_id"), col("_band.band").as("_b"), col("_band.bucket").as("_v"))
     val banded = maxBucketSize match {
       case Some(cap) =>
-        val ok = banded0.groupBy("_b", "_v").count()
-          .filter(col("count") <= cap).drop("count")
-        banded0.join(ok, Seq("_b", "_v"))
+        // window count keeps the signature computation single-pass (a
+        // groupBy+join back would evaluate the minhash expression twice)
+        val w = Window.partitionBy(col("_b"), col("_v"))
+        banded0.withColumn("_bc", count(lit(1)).over(w))
+          .filter(col("_bc") <= cap).drop("_bc")
       case None => banded0
     }
     val l = banded.withColumnRenamed("_id", "a")
