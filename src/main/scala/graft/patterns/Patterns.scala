@@ -135,7 +135,19 @@ object Patterns {
    */
   def fact(source: DataFrame, lookups: Seq[DimLookup],
            measures: Seq[(String, String)] = Nil,
-           grain: Seq[String] = Nil): DataFrame = {
+           grain: Seq[String] = Nil): DataFrame =
+    factWithOrphans(source, lookups, measures)._1
+
+  /**
+   * Fact load with the reference's full orphan handling
+   * (fact.py:326-378 — unknown|reject|quarantine): returns
+   * (fact, quarantined orphans). `orphans = "unknown"` maps them to SK 0;
+   * "quarantine" splits rows with any unresolved SK into the second frame;
+   * "reject" throws when orphans exist.
+   */
+  def factWithOrphans(source: DataFrame, lookups: Seq[DimLookup],
+                      measures: Seq[(String, String)] = Nil,
+                      orphans: String = "unknown"): (DataFrame, DataFrame) = {
     val resolved = lookups.foldLeft(source) { (df, lk) =>
       val current = lk.scd2Current.map(c => lk.dim.filter(col(c))).getOrElse(lk.dim)
       val proj = current.select((lk.dimKeys.map(col) :+ col(lk.skCol).as(lk.outCol)): _*)
@@ -143,12 +155,25 @@ object Patterns {
         .reduce(_ && _)
       df.join(broadcast(proj), cond, "left")
         .drop(lk.dimKeys.filterNot(lk.factKeys.contains): _*)
-        .withColumn(lk.outCol, coalesce(col(lk.outCol), lit(0L)))
     }
-    val withMeasures = measures.foldLeft(resolved) { case (df, (name, e)) =>
+    val anyOrphan = lookups.map(lk => col(lk.outCol).isNull).reduce(_ || _)
+    val (kept, quarantined) = orphans match {
+      case "unknown" =>
+        (lookups.foldLeft(resolved) { (df, lk) =>
+          df.withColumn(lk.outCol, coalesce(col(lk.outCol), lit(0L)))
+        }, resolved.limit(0))
+      case "quarantine" =>
+        (resolved.filter(!anyOrphan), resolved.filter(anyOrphan))
+      case "reject" =>
+        val n = resolved.filter(anyOrphan).count()
+        if (n > 0) throw new IllegalStateException(s"fact: $n orphan rows")
+        (resolved, resolved.limit(0))
+      case other => throw new IllegalArgumentException(s"unknown orphan mode: $other")
+    }
+    val withMeasures = measures.foldLeft(kept) { case (df, (name, e)) =>
       df.withColumn(name, expr(e))
     }
-    withMeasures
+    (withMeasures, quarantined)
   }
 
   /** Grain validation (fact.py:666-704): rows per grain must be unique. */

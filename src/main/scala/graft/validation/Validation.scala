@@ -20,14 +20,19 @@ object Validation {
   case object Fail extends Severity
   case object Quarantine extends Severity
 
-  /** One declarative test. `kind` ∈ the reference's test-type enum. */
+  /** One declarative test. `kind` ∈ the reference's test-type enum
+    * (config.py:2953-2983): not_null, unique, accepted_values, row_count,
+    * custom_sql, range, regex_match, volume_drop, schema, distribution,
+    * freshness. */
   final case class Test(name: String, kind: String, severity: Severity = Fail,
                         columns: Seq[String] = Nil,
                         values: Seq[String] = Nil,
                         min: Option[Double] = None, max: Option[Double] = None,
                         sql: Option[String] = None,
                         pattern: Option[String] = None,
-                        maxAgeHours: Option[Int] = None)
+                        maxAgeHours: Option[Int] = None,
+                        schemaDdl: Option[String] = None,
+                        previousCount: Option[Long] = None)
 
   final case class TestResult(test: Test, passed: Boolean, failedRows: Long, detail: String)
 
@@ -91,6 +96,28 @@ object Validation {
             else (System.currentTimeMillis() - maxTs.getTime) / 3600000.0
           val ok = t.maxAgeHours.forall(ageH <= _)
           TestResult(t, ok, if (ok) 0 else 1, f"freshness: age $ageH%.1f h")
+        case "schema" =>
+          val actual = df.schema.toDDL
+          val ok = t.schemaDdl.contains(actual)
+          TestResult(t, ok, if (ok) 0 else 1,
+            if (ok) "schema: match" else s"schema: got $actual")
+        case "volume_drop" =>
+          // fail when the row count dropped by more than `max` fraction
+          // vs the previous run's count (gate.py row-count-vs-history)
+          val n = df.count()
+          val prev = t.previousCount.getOrElse(0L)
+          val drop = if (prev == 0) 0.0 else (prev - n).toDouble / prev
+          val ok = t.max.forall(drop <= _)
+          TestResult(t, ok, if (ok) 0 else n, f"volume_drop: $drop%.3f (was $prev, now $n)")
+        case "distribution" =>
+          // share of rows holding `values` in the column must lie in [min, max]
+          val c = col(t.columns.head)
+          val row = df.agg(
+            (sum(when(c.isin(t.values: _*), 1L).otherwise(0L)).cast("double") /
+              count(lit(1))).as("share")).collect()(0)
+          val share = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+          val ok = t.min.forall(share >= _) && t.max.forall(share <= _)
+          TestResult(t, ok, if (ok) 0 else 1, f"distribution: share $share%.4f")
         case other =>
           TestResult(t, passed = false, 0, s"unknown test kind: $other")
       }

@@ -56,6 +56,18 @@ class PatternsSpec extends SparkSpec {
     assert(out.collect()(0).getAs[Long]("cust_sk") == 5L)
   }
 
+  test("fact orphan modes: quarantine splits, reject throws") {
+    val dim = Seq((1L, "a")).toDF("sk", "nk")
+    val src = Seq(("a", 1.0), ("zz", 2.0)).toDF("cust_nk", "amount")
+    val lk = Seq(Patterns.DimLookup(dim, Seq("cust_nk"), Seq("nk"), "sk", "cust_sk"))
+    val (fct, quarantined) = Patterns.factWithOrphans(src, lk, orphans = "quarantine")
+    assert(fct.count() == 1 && quarantined.count() == 1)
+    assert(quarantined.collect()(0).getAs[String]("cust_nk") == "zz")
+    intercept[IllegalStateException] {
+      Patterns.factWithOrphans(src, lk, orphans = "reject")
+    }
+  }
+
   test("grainViolations finds duplicate grains") {
     val df = Seq((1, "x"), (1, "y"), (2, "z")).toDF("k", "v")
     assert(Patterns.grainViolations(df, Seq("k")).count() == 1)

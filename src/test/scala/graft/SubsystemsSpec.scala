@@ -27,6 +27,19 @@ class SubsystemsSpec extends SparkSpec {
     intercept[Validation.ValidationError] { Validation.enforce(results) }
     // gate with min pass rate
     assert(!Validation.gate(results, minPassRate = 0.9, abortOnFail = false))
+
+    // the remaining reference test kinds: schema, volume_drop, distribution
+    val more = Validation.evaluate(df, Seq(
+      Validation.Test("schema_ok", "schema", schemaDdl = Some(df.schema.toDDL)),
+      Validation.Test("schema_bad", "schema", schemaDdl = Some("x INT")),
+      Validation.Test("vol_ok", "volume_drop", max = Some(0.5), previousCount = Some(4)),
+      Validation.Test("vol_bad", "volume_drop", max = Some(0.1), previousCount = Some(10)),
+      Validation.Test("dist_ok", "distribution", columns = Seq("s"),
+        values = Seq("x", "y"), min = Some(0.5)),
+      Validation.Test("dist_bad", "distribution", columns = Seq("s"),
+        values = Seq("x"), min = Some(0.9)))).map(r => r.test.name -> r.passed).toMap
+    assert(more == Map("schema_ok" -> true, "schema_bad" -> false,
+      "vol_ok" -> true, "vol_bad" -> false, "dist_ok" -> true, "dist_bad" -> false))
   }
 
   test("semantics: parse, sql generation, derived metrics") {
