@@ -231,6 +231,16 @@ object StandardTransformers {
       Dedup.simhashPairs(c.df, str(p, "id_col"), str(p, "text_col"),
         intOpt(p, "max_hamming").getOrElse(3)) }
     reg("text_analysis") { (c, p) => TextAnalysis.analyze(c.df, str(p, "text_col")) }
+    reg("as_media") { (c, p) =>
+      graft.functions.Multimodal.asMedia(c.df, str(p, "id_col"), str(p, "bytes_col"),
+        str(p, "mime_col"), strOpt(p, "source_uri_col")) }
+    reg("extract_media_features") { (c, p) =>
+      graft.functions.Multimodal.extractFeatures(c.df,
+        intOpt(p, "embedding_dim").getOrElse(16), intOpt(p, "batch_size").getOrElse(64)) }
+    reg("ann_topk") { (c, p) =>
+      graft.functions.Similarity.bruteForceTopK(c.df, str(p, "id_col"), str(p, "vec_col"),
+        c.dataset(str(p, "queries_dataset")), str(p, "query_id_col"),
+        str(p, "query_vec_col"), str(p, "k").toInt) }
 
     // geocode (advanced.py:1001-1035): reference ships a constant-placeholder
     // stub; reproduced as such.
