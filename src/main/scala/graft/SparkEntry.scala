@@ -395,7 +395,12 @@ object SparkEntry {
     "q_phases" -> ((s, d) =>
       operators.Domain.phaseSummary(events(s, d), "user_id", "event_type", "ts",
         Seq(col("ts"), col("event_id")),
-        metrics = Seq("total_value" -> "round(sum(value), 4)"))),
+        // Integer-scaled sum: bigint sums are order-independent and exact,
+        // so the /100.0 at the end is bit-identical across engines (FP sums
+        // + round() are not — see the oracle notes at the top of this file).
+        // double-cast the divisor: Spark parses a bare 100.0 literal as
+        // DECIMAL and decimal outputs break the pandas-based compare
+        metrics = Seq("total_value" -> "sum(cast(floor(value * 100) as bigint)) / cast(100 as double)"))),
     "q_psychrometrics" -> ((s, d) => // derived cols rounded: exp/log libm ulps
       Seq("p_sat", "humidity_ratio", "dew_point", "enthalpy").foldLeft(
         operators.Domain.psychrometrics(
@@ -601,6 +606,6 @@ object SparkEntry {
     "q_unit_convert" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_quantity * 2.2046226218487757 + 0.0 AS qty_lb, round((l_discount * 100) * 1.7999999999999998 + 31.999999999999986, 6) AS t_f FROM lineitem",
     "q_phases" ->
-      "WITH p AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL OR event_type <> lag(event_type) OVER w THEN 1 ELSE 0 END AS chg FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), q AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS phase_id FROM p) SELECT user_id, phase_id, event_type, count(*) AS n_rows, CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_s, round(sum(value), 4) AS total_value FROM q GROUP BY 1, 2, 3"
+      "WITH p AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL OR event_type <> lag(event_type) OVER w THEN 1 ELSE 0 END AS chg FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), q AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS phase_id FROM p) SELECT user_id, phase_id, event_type, count(*) AS n_rows, CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_s, sum(CAST(floor(value * 100) AS BIGINT)) / 100.0 AS total_value FROM q GROUP BY 1, 2, 3"
   )
 }

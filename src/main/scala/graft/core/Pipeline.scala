@@ -21,8 +21,15 @@ import scala.util.{Failure, Success, Try}
  */
 object Pipeline {
 
+  /**
+   * One transform step: exactly one of sql | sql_file | function | operation
+   * (reference TransformStep, odibi/config.py:2791-2875). `sqlFile` paths
+   * resolve relative to the YAML file that defined the node.
+   */
   final case class TransformStep(sql: Option[String] = None,
+                                 sqlFile: Option[String] = None,
                                  function: Option[String] = None,
+                                 operation: Option[String] = None,
                                  params: Map[String, Any] = Map.empty)
 
   final case class NodeConfig(
@@ -30,24 +37,132 @@ object Pipeline {
       dependsOn: Seq[String] = Nil,
       input: Option[String] = None,               // dataset to start from
       read: Option[Sources.ReadConfig] = None,
+      preSql: Seq[String] = Nil,                  // before read (node.py:230-232)
       steps: Seq[TransformStep] = Nil,
       tests: Seq[Validation.Test] = Nil,
       writePath: Option[String] = None,
       write: Sources.WriteConfig = Sources.WriteConfig(),
+      postSql: Seq[String] = Nil,                 // after write (node.py:319-321)
       cache: Boolean = false,
-      retries: Int = 0)
+      retries: Int = 0,
+      tags: Seq[String] = Nil,
+      enabled: Boolean = true)
 
-  final case class NodeResult(name: String, df: DataFrame, failure: Option[Throwable])
+  final case class NodeResult(name: String, df: DataFrame, failure: Option[Throwable],
+                              skipped: Boolean = false, skipReason: Option[String] = None)
+
+  /**
+   * Run-time selection and resume flags (reference pipeline.py:391-446
+   * filtering, :522-546 resume): `nodes` auto-includes upstream deps and
+   * overrides `tag`; `resumeFromFailure` + a state backend skips nodes whose
+   * config hash matches a previous success, restoring from their write path.
+   */
+  final case class RunOptions(
+      tag: Option[String] = None,
+      nodes: Seq[String] = Nil,
+      resumeFromFailure: Boolean = false,
+      state: Option[graft.operators.Incremental.StateBackend] = None)
 
   final case class PipelineConfig(name: String, nodes: Seq[NodeConfig],
                                   parallel: Boolean = false, maxWorkers: Int = 4,
                                   autoCacheThreshold: Int = 3,
-                                  sparkConf: Map[String, String] = Map.empty)
+                                  sparkConf: Map[String, String] = Map.empty,
+                                  baseDir: Option[String] = None)
+
+  /** Run side-effect SQL (DDL etc.) with all context datasets visible. */
+  private def runSideSql(spark: SparkSession, statements: Seq[String],
+                         datasets: Map[String, DataFrame]): Unit =
+    statements.foreach { stmt =>
+      datasets.foreach { case (name, d) =>
+        d.createOrReplaceTempView(name.replaceAll("[^A-Za-z0-9_]", "_"))
+      }
+      spark.sql(stmt).collect() // side-effect statements must execute now
+      ()
+    }
+
+  private def resolveSqlFile(path: String, baseDir: Option[String]): String = {
+    val p = java.nio.file.Paths.get(path)
+    val resolved =
+      if (p.isAbsolute) p
+      else java.nio.file.Paths.get(baseDir.getOrElse("."), path)
+    new String(java.nio.file.Files.readAllBytes(resolved), "UTF-8")
+  }
+
+  private def strSeq(v: Any): Seq[String] = v match {
+    case s: String => Seq(s)
+    case l: Seq[_] => l.map(_.toString)
+    case other => Seq(other.toString)
+  }
+
+  /**
+   * Built-in `operation:` steps (reference spark_engine.execute_operation,
+   * odibi/engine/spark_engine.py:2119-2233): pivot, drop_duplicates, fillna,
+   * drop, rename, sort, sample; any other name falls back to the
+   * transformer registry (same as the reference's FunctionRegistry fallback).
+   */
+  private[graft] def executeOperation(op: String, params: Map[String, Any],
+                                      ctx: EngineContext): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val df = ctx.df
+    op match {
+      case "pivot" =>
+        val groupBy = params.get("group_by").map(strSeq).getOrElse(Nil)
+        val pivotCol = params.getOrElse("pivot_column",
+          throw new IllegalArgumentException("pivot requires 'pivot_column'")).toString
+        val valueCol = params.getOrElse("value_column",
+          throw new IllegalArgumentException("pivot requires 'value_column'")).toString
+        val aggFunc = params.getOrElse("agg_func", "first").toString
+        df.groupBy(groupBy.map(col): _*).pivot(pivotCol)
+          .agg(expr(s"$aggFunc(`$valueCol`)"))
+      case "drop_duplicates" =>
+        params.get("subset").map(s => df.dropDuplicates(strSeq(s)))
+          .getOrElse(df.dropDuplicates())
+      case "fillna" =>
+        val subset = params.get("subset").map(strSeq)
+        params.getOrElse("value",
+          throw new IllegalArgumentException("fillna requires 'value'")) match {
+          case b: java.lang.Boolean =>
+            subset.map(s => df.na.fill(b.booleanValue(), s)).getOrElse(df.na.fill(b.booleanValue()))
+          case n: java.lang.Integer =>
+            subset.map(s => df.na.fill(n.longValue(), s)).getOrElse(df.na.fill(n.longValue()))
+          case n: java.lang.Long =>
+            subset.map(s => df.na.fill(n.longValue(), s)).getOrElse(df.na.fill(n.longValue()))
+          case n: Number =>
+            subset.map(s => df.na.fill(n.doubleValue(), s)).getOrElse(df.na.fill(n.doubleValue()))
+          case other =>
+            subset.map(s => df.na.fill(other.toString, s)).getOrElse(df.na.fill(other.toString))
+        }
+      case "drop" => df.drop(params.get("columns").map(strSeq).getOrElse(Nil): _*)
+      case "rename" =>
+        params.get("columns").map(_.asInstanceOf[Map[String, Any]]).getOrElse(Map.empty)
+          .foldLeft(df) { case (d, (o, n)) => d.withColumnRenamed(o, n.toString) }
+      case "sort" =>
+        val by = params.get("by").map(strSeq).getOrElse(Nil)
+        val asc = params.get("ascending").forall(_.toString.toBoolean)
+        if (by.isEmpty) df
+        else if (asc) df.orderBy(by.map(col): _*)
+        else df.orderBy(by.map(c => col(c).desc): _*)
+      case "sample" =>
+        val frac = params.get("frac").map(_.toString.toDouble).getOrElse(0.1)
+        val replace = params.get("replace").exists(_.toString.toBoolean)
+        params.get("random_state").map(_.toString.toLong) match {
+          case Some(seed) => df.sample(replace, frac, seed)
+          case None => df.sample(replace, frac)
+        }
+      case other =>
+        TransformerRegistry.get(other)
+          .getOrElse(throw new IllegalArgumentException(s"unsupported operation: $other"))
+          .apply(ctx, params)
+    }
+  }
 
   /** Execute one node against the shared context. */
   def runNode(spark: SparkSession, cfg: NodeConfig,
-              datasets: Map[String, DataFrame]): DataFrame = {
+              datasets: Map[String, DataFrame],
+              baseDir: Option[String] = None): DataFrame = {
     StandardTransformers.registerAll // idempotent
+
+    runSideSql(spark, cfg.preSql, datasets)
 
     val base: DataFrame = cfg.read.map(r => Sources.read(spark, r))
       .orElse(cfg.input.map(datasets(_)))
@@ -57,12 +172,14 @@ object Pipeline {
 
     val transformed = cfg.steps.foldLeft(base) { (df, step) =>
       val ctx = EngineContext(df, datasets)
-      (step.sql, step.function) match {
-        case (Some(q), _) => ctx.sql(q)
-        case (_, Some(fn)) =>
+      (step.sql, step.sqlFile, step.function, step.operation) match {
+        case (Some(q), _, _, _) => ctx.sql(q)
+        case (_, Some(f), _, _) => ctx.sql(resolveSqlFile(f, baseDir))
+        case (_, _, Some(fn), _) =>
           TransformerRegistry.get(fn)
             .getOrElse(throw new IllegalArgumentException(s"unknown transformer: $fn"))
             .apply(ctx, step.params)
+        case (_, _, _, Some(op)) => executeOperation(op, step.params, ctx)
         case _ => df
       }
     }
@@ -71,16 +188,33 @@ object Pipeline {
       Validation.enforce(Validation.evaluate(transformed, cfg.tests))
 
     cfg.writePath.foreach(p => Sources.write(transformed, p, cfg.write))
+
+    runSideSql(spark, cfg.postSql, datasets + (cfg.name -> transformed))
     transformed
+  }
+
+  /** Stable hash of a node's config, for resume change-detection. */
+  private[graft] def nodeHash(node: NodeConfig): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(node.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
   /**
    * Run the whole pipeline. Returns node name -> result. Nodes with ≥
    * autoCacheThreshold dependents (or cache=true) are persisted before
    * fan-out so the shared plan is computed once.
+   *
+   * Selection semantics (reference pipeline.py:391-446): disabled nodes and
+   * their transitive dependents are recorded as skipped and never run; a
+   * `tag` filter keeps matching nodes; a `nodes` filter overrides it and
+   * auto-includes all upstream dependencies. With `resumeFromFailure` and a
+   * state backend, a node whose config hash matches its last success and
+   * whose dependencies did not re-run this run is restored from its write
+   * path instead of executing (pipeline.py:581-645).
    */
   def run(spark: SparkSession, cfg: PipelineConfig,
-          externalDatasets: Map[String, DataFrame] = Map.empty): Map[String, NodeResult] = {
+          externalDatasets: Map[String, DataFrame] = Map.empty,
+          opts: RunOptions = RunOptions()): Map[String, NodeResult] = {
     // performance.spark_config passthrough (reference config.py:5192-5250)
     cfg.sparkConf.foreach { case (k, v) => spark.conf.set(k, v) }
     val byName = cfg.nodes.map(n => n.name -> n).toMap
@@ -92,13 +226,58 @@ object Pipeline {
     val datasets = new ConcurrentHashMap[String, DataFrame]()
     externalDatasets.foreach { case (k, v) => datasets.put(k, v) }
     val results = new ConcurrentHashMap[String, NodeResult]()
+    val ranThisRun = ConcurrentHashMap.newKeySet[String]()
+
+    // disabled-node pruning with transitive dependents (pipeline.py:391-416)
+    val disabled = cfg.nodes.filterNot(_.enabled).map(_.name).toSet
+    val disabledAll = if (disabled.isEmpty) Set.empty[String] else graph.pruneDisabled(disabled)
+    disabledAll.foreach { n =>
+      val reason = if (disabled(n)) "disabled" else "dependency_disabled"
+      results.put(n, NodeResult(n, spark.emptyDataFrame, None,
+        skipped = true, skipReason = Some(reason)))
+    }
+
+    // tag / node filters (pipeline.py:418-446); node filter wins and pulls deps
+    var selected = cfg.nodes.map(_.name).toSet -- disabledAll
+    opts.tag.foreach(t => selected = selected.filter(n => byName(n).tags.contains(t)))
+    if (opts.nodes.nonEmpty) {
+      val missing = opts.nodes.filterNot(byName.contains)
+      require(missing.isEmpty,
+        s"node(s) not found: ${missing.mkString(", ")}. Available: ${byName.keys.toSeq.sorted.mkString(", ")}")
+      selected = graph.withUpstream(opts.nodes.toSet) -- disabledAll
+    }
+
+    def stateKey(name: String) = s"${cfg.name}/$name"
+
+    /** Resume: restore a previously-succeeded, unchanged node from its sink. */
+    def tryRestore(node: NodeConfig): Boolean =
+      (opts.resumeFromFailure, opts.state, node.writePath) match {
+        case (true, Some(st), Some(path))
+            if st.get(stateKey(node.name)).contains(s"ok:${nodeHash(node)}") &&
+              !node.dependsOn.exists(ranThisRun.contains) =>
+          Try(spark.read.format(node.write.format).load(path)) match {
+            case Success(df) =>
+              df.createOrReplaceTempView(node.name.replaceAll("[^A-Za-z0-9_]", "_"))
+              datasets.put(node.name, df)
+              results.put(node.name, NodeResult(node.name, df, None,
+                skipped = true, skipReason = Some("resume_from_failure")))
+              true
+            case Failure(_) => false // restore failed: re-run
+          }
+        case _ => false
+      }
 
     def execOne(name: String): Unit = {
       val node = byName(name)
-      val attempt = (0 to node.retries).view.map { _ =>
-        Try(runNode(spark, node, datasets.asScala.toMap))
-      }.collectFirst { case s @ Success(_) => s }
-        .getOrElse(Try(runNode(spark, node, datasets.asScala.toMap)))
+      if (tryRestore(node)) return
+      // exactly retries+1 attempts; the last Failure is returned as-is
+      // (runNode has write side effects, so no extra invocation)
+      var attempt = Try(runNode(spark, node, datasets.asScala.toMap, cfg.baseDir))
+      var retriesLeft = node.retries
+      while (attempt.isFailure && retriesLeft > 0) {
+        retriesLeft -= 1
+        attempt = Try(runNode(spark, node, datasets.asScala.toMap, cfg.baseDir))
+      }
       attempt match {
         case Success(df0) =>
           val df =
@@ -106,14 +285,18 @@ object Pipeline {
             else df0
           df.createOrReplaceTempView(name.replaceAll("[^A-Za-z0-9_]", "_"))
           datasets.put(name, df)
+          ranThisRun.add(name)
           results.put(name, NodeResult(name, df, None))
+          opts.state.foreach(_.set(stateKey(name), s"ok:${nodeHash(node)}"))
         case Failure(e) =>
           results.put(name, NodeResult(name, spark.emptyDataFrame, Some(e)))
+          opts.state.foreach(_.set(stateKey(name), "failed"))
       }
     }
 
     layers.foreach { layer =>
-      val runnable = layer.filter(byName.contains) // deps may be external datasets
+      // deps may be external datasets; respect disabled pruning + filters
+      val runnable = layer.filter(n => byName.contains(n) && selected(n))
       val failedUpstream = runnable.filter(n =>
         byName(n).dependsOn.exists(d => Option(results.get(d)).exists(_.failure.isDefined)))
       val toRun = runnable.filterNot(failedUpstream.contains)

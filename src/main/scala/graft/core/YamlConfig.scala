@@ -33,9 +33,18 @@ import scala.jdk.CollectionConverters._
 object YamlConfig {
 
   private val knownNodeKeys = Set("name", "depends_on", "input", "read",
-    "steps", "tests", "write", "cache", "retries")
+    "pre_sql", "steps", "tests", "write", "post_sql", "cache", "retries",
+    "tags", "enabled")
 
-  def loadPipeline(yamlText: String): Pipeline.PipelineConfig = {
+  /** Load from a file; sql_file steps resolve relative to the file's dir. */
+  def loadPipelineFile(path: String): Pipeline.PipelineConfig = {
+    val p = java.nio.file.Paths.get(path)
+    val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    loadPipeline(text, baseDir = Option(p.getParent).map(_.toString))
+  }
+
+  def loadPipeline(yamlText: String,
+                   baseDir: Option[String] = None): Pipeline.PipelineConfig = {
     val yaml = new Yaml()
     val root = anyToScala(yaml.load[Any](yamlText)).asInstanceOf[Map[String, Any]]
     val nodes = root.getOrElse("nodes", Nil).asInstanceOf[Seq[Any]].map { n =>
@@ -48,13 +57,17 @@ object YamlConfig {
         dependsOn = seqOf(m.get("depends_on")),
         input = m.get("input").map(_.toString),
         read = m.get("read").map(readCfg),
+        preSql = seqOf(m.get("pre_sql")),
         steps = m.getOrElse("steps", Nil).asInstanceOf[Seq[Any]].map(stepCfg),
         tests = m.getOrElse("tests", Nil).asInstanceOf[Seq[Any]].map(testCfg),
         writePath = m.get("write").flatMap(w =>
           w.asInstanceOf[Map[String, Any]].get("path").map(_.toString)),
         write = m.get("write").map(writeCfg).getOrElse(Sources.WriteConfig()),
+        postSql = seqOf(m.get("post_sql")),
         cache = m.get("cache").exists(_.toString.toBoolean),
-        retries = m.get("retries").map(_.toString.toInt).getOrElse(0))
+        retries = m.get("retries").map(_.toString.toInt).getOrElse(0),
+        tags = seqOf(m.get("tags")),
+        enabled = m.get("enabled").forall(_.toString.toBoolean))
     }
     Pipeline.PipelineConfig(
       name = root.getOrElse("name", "pipeline").toString,
@@ -62,7 +75,8 @@ object YamlConfig {
       parallel = root.get("parallel").exists(_.toString.toBoolean),
       maxWorkers = root.get("max_workers").map(_.toString.toInt).getOrElse(4),
       sparkConf = root.getOrElse("spark_config", Map.empty[String, Any])
-        .asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.toString })
+        .asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.toString },
+      baseDir = baseDir)
   }
 
   private def seqOf(v: Option[Any]): Seq[String] =
@@ -92,11 +106,14 @@ object YamlConfig {
 
   private def stepCfg(v: Any): Pipeline.TransformStep = {
     val m = v.asInstanceOf[Map[String, Any]]
-    require(m.contains("sql") ^ m.contains("function"),
-      s"step must have exactly one of sql|function: $m")
+    val kinds = Seq("sql", "sql_file", "function", "operation").filter(m.contains)
+    require(kinds.size == 1,
+      s"step must have exactly one of sql|sql_file|function|operation, got $kinds: $m")
     Pipeline.TransformStep(
       sql = m.get("sql").map(_.toString),
+      sqlFile = m.get("sql_file").map(_.toString),
       function = m.get("function").map(_.toString),
+      operation = m.get("operation").map(_.toString),
       params = m.getOrElse("params", Map.empty[String, Any]).asInstanceOf[Map[String, Any]])
   }
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import java.nio.file.{Files, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
 
 /**
  * Incremental / high-water-mark loading (reference: odibi/config.py:2458-2590
@@ -61,24 +62,29 @@ object Incremental {
   }
 
   final class JsonFileState(path: String) extends StateBackend {
+    // jackson (on the Spark classpath) for real escaping; writes go through
+    // a temp file + atomic move so a crash never leaves a torn state file,
+    // and set() is synchronized against same-JVM read-modify-write races.
+    private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     private def load(): Map[String, String] = {
       val p = Paths.get(path)
       if (!Files.exists(p)) Map.empty
       else {
-        val txt = new String(Files.readAllBytes(p), "UTF-8")
-        // minimal flat {"k":"v"} parser (no JSON lib in the runtime)
-        "\"([^\"]+)\"\\s*:\\s*\"([^\"]*)\"".r
-          .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2)).toMap
+        val root = mapper.readTree(Files.readAllBytes(p))
+        root.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
       }
     }
-    override def get(key: String): Option[String] = load().get(key)
-    override def set(key: String, value: String): Unit = {
-      val all = load() + (key -> value)
-      val json = all.map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
+    override def get(key: String): Option[String] = synchronized { load().get(key) }
+    override def set(key: String, value: String): Unit = synchronized {
+      val node = mapper.createObjectNode()
+      (load() + (key -> value)).foreach { case (k, v) => node.put(k, v) }
       val p = Paths.get(path)
       if (p.getParent != null) Files.createDirectories(p.getParent)
-      Files.write(p, json.getBytes("UTF-8"),
+      val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+      Files.write(tmp, mapper.writeValueAsBytes(node),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
   }
 

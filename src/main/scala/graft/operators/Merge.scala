@@ -15,10 +15,15 @@ import org.apache.spark.sql.functions._
  */
 object Merge {
 
-  /** Alias helpers: conditions may reference `target.col` / `source.col`. */
+  /**
+   * Alias helpers: conditions may reference `target.col` / `source.col`.
+   * Each side carries a presence marker so row classification after an
+   * outer join does not depend on key nullability (keys NULL on both sides
+   * <=>-match but would look absent under isNull tests).
+   */
   private def joinFrames(target: DataFrame, source: DataFrame, keys: Seq[String]) = {
-    val t = target.alias("target")
-    val s = source.alias("source")
+    val t = target.withColumn("_tgt_present", lit(true)).alias("target")
+    val s = source.withColumn("_src_present", lit(true)).alias("source")
     val cond = keys.map(k => col(s"target.$k") <=> col(s"source.$k")).reduce(_ && _)
     (t, s, cond)
   }
@@ -35,10 +40,9 @@ object Merge {
     val outCols = target.columns.toSeq
     val (t, s, cond) = joinFrames(target, source, keys)
     val joined = t.join(s, cond, "full_outer")
-    val matched = keys.map(k => col(s"target.$k").isNotNull && col(s"source.$k").isNotNull)
-      .reduce(_ && _)
-    val srcOnly = keys.map(k => col(s"target.$k").isNull).reduce(_ && _)
-    val tgtOnly = keys.map(k => col(s"source.$k").isNull).reduce(_ && _)
+    val matched = col("target._tgt_present").isNotNull && col("source._src_present").isNotNull
+    val srcOnly = col("target._tgt_present").isNull
+    val tgtOnly = col("source._src_present").isNull
     val updOk = updateCondition.map(expr).getOrElse(lit(true))
     val insOk = insertCondition.map(expr).getOrElse(lit(true))
 
@@ -72,7 +76,7 @@ object Merge {
       case Some(c) =>
         val outCols = target.columns.toSeq
         val (t, s, cond) = joinFrames(target, source, keys)
-        val matched = keys.map(k => col(s"source.$k").isNotNull).reduce(_ && _)
+        val matched = col("source._src_present").isNotNull
         t.join(s, cond, "left")
           .filter(!(matched && expr(c)))
           .select(outCols.map(cn => col(s"target.$cn").as(cn)): _*)

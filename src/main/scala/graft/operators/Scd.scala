@@ -53,13 +53,18 @@ object Scd {
     val attrCols = source.columns.toSeq
     require(keys.forall(attrCols.contains), s"source must carry keys $keys")
 
+    // Presence markers (not key nullability) classify the full-outer join:
+    // a key that is NULL on both sides <=>-matches yet would test "present"
+    // on neither side under isNull checks, duplicating the row.
     val src = source.select(attrCols.map(c => col(c).as(s"_src_$c")): _*)
+      .withColumn("_src_present", lit(true))
+    val cur = current.withColumn("_tgt_present", lit(true))
     val keyCond = keys.map(k => col(k) <=> col(s"_src_$k")).reduce(_ && _)
-    val joined = current.join(src, keyCond, "full_outer")
+    val joined = cur.join(src, keyCond, "full_outer")
 
-    val matched = keys.map(k => col(k).isNotNull && col(s"_src_$k").isNotNull).reduce(_ && _)
-    val srcOnly = keys.map(k => col(k).isNull).reduce(_ && _)
-    val tgtOnly = keys.map(k => col(s"_src_$k").isNull).reduce(_ && _)
+    val matched = col("_tgt_present").isNotNull && col("_src_present").isNotNull
+    val srcOnly = col("_tgt_present").isNull
+    val tgtOnly = col("_src_present").isNull
     val changed = trackCols.map(c => !(col(c) <=> col(s"_src_$c"))).reduceOption(_ || _)
       .getOrElse(lit(false))
 

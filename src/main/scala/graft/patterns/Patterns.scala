@@ -72,16 +72,46 @@ object Patterns {
   // ------------------------------------------------------------------
 
   /**
+   * Dense surrogate keys `start+1 .. start+N` in natural-key order WITHOUT a
+   * single-partition global window: range-partition on the keys (so ordered
+   * partitions hold ordered key ranges), row_number within each partition,
+   * then add cumulative per-partition offsets (a tiny driver-side map,
+   * broadcast back). SK value = start + global rank in key order — identical
+   * to row_number over a global sort, but every stage is partition-parallel,
+   * so the bootstrap path survives a 100× dimension (dimension.py:252-296
+   * assigns MAX+ROW_NUMBER; this keeps that contract).
+   *
+   * Determinism: range boundaries come from Spark's deterministic sampler
+   * over a deterministic scan, and post-dedup key tuples are unique, so the
+   * rank (hence the SK) does not depend on where partition boundaries fall.
+   */
+  private def assignSks(df: DataFrame, keys: Seq[String], skCol: String,
+                        start: Long): DataFrame = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    val ranged = df.repartitionByRange(keys.map(col): _*)
+      .withColumn("_graft_pid", spark_partition_id())
+    val counts = ranged.groupBy(col("_graft_pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2).init)
+    val offsetsDf = offsets.toSeq.toDF("_graft_pid", "_graft_off")
+    val w = Window.partitionBy(col("_graft_pid")).orderBy(keys.map(col): _*)
+    ranged.join(broadcast(offsetsDf), Seq("_graft_pid"))
+      .withColumn(skCol,
+        (row_number().over(w) + col("_graft_off") + lit(start)).cast("long"))
+      .drop("_graft_pid", "_graft_off")
+  }
+
+  /**
    * Dimension load: assign surrogate keys to new natural keys as
    * MAX(existing)+ROW_NUMBER() (dimension.py:252-296), SCD1 = overwrite
    * matched attributes. The unknown member (SK=0, dimension.py:578) is
    * ensured. `existing` None = first load. Returns the new dimension
    * snapshot with `skCol`.
    *
-   * Scale: the MAX(sk) is a single-row agg (cheap); row_number over new
-   * keys requires a single-partition window over NEW rows only — fine
-   * because dimension deltas are small; the alternative (monotonically
-   * increasing ids) would not be stable across engines.
+   * Scale: the MAX(sk) is a single-row agg (cheap); SK assignment (both
+   * bootstrap and incremental) is partition-parallel via [[assignSks]] —
+   * no global single-partition window anywhere on this path.
    */
   def dimension(source: DataFrame, naturalKeys: Seq[String], skCol: String,
                 existing: Option[DataFrame] = None,
@@ -90,15 +120,12 @@ object Patterns {
     val dedupedSource = source.dropDuplicates(naturalKeys)
     val base = existing match {
       case None =>
-        val w = Window.orderBy(naturalKeys.map(col): _*)
-        dedupedSource.withColumn(skCol, row_number().over(w).cast("long"))
+        assignSks(dedupedSource, naturalKeys, skCol, 0L)
           .select((skCol +: attrs).map(col): _*)
       case Some(dim) =>
         val maxSk = dim.agg(max(col(skCol))).head().getLong(0)
         val newRows = dedupedSource.join(dim.select(naturalKeys.map(col): _*), naturalKeys, "left_anti")
-        val w = Window.orderBy(naturalKeys.map(col): _*)
-        val newWithSk = newRows.withColumn(skCol,
-          (row_number().over(w) + lit(maxSk)).cast("long"))
+        val newWithSk = assignSks(newRows, naturalKeys, skCol, maxSk)
         // SCD1: matched rows take fresh source attributes, keep their SK
         val matched = dim.select(col(skCol) +: naturalKeys.map(col): _*)
           .join(dedupedSource, naturalKeys)

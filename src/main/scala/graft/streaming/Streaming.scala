@@ -57,6 +57,16 @@ object Streaming {
    * Streaming merge: each micro-batch is merged into the target snapshot via
    * foreachBatch (the reference's streaming upsert path). `mergeFn` is any
    * (target, batch) => merged pure function — e.g. Merge.upsert.
+   *
+   * The merged snapshot is written to a TEMP directory first — the old
+   * target files are never touched while the plan that reads them runs —
+   * then swapped in with two filesystem renames. On HDFS/local the renames
+   * are atomic; on object stores the exposure window is two metadata ops
+   * instead of a full-table rewrite over the path being read (without a
+   * table format there is no true MERGE — see COVERAGE.md on Delta).
+   * Only a missing target (first batch) is tolerated; any other read error
+   * propagates and fails the batch rather than silently replacing the
+   * target with the current batch.
    */
   def writeStreamMerge(df: DataFrame, targetPath: String, checkpoint: String,
                        keys: Seq[String],
@@ -64,18 +74,38 @@ object Streaming {
       : StreamingQuery = {
     df.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val target =
-          try spark.read.parquet(targetPath)
-          catch { case _: Throwable => batch.limit(0) }
-        val merged = mergeFn(target, batch, keys).cache()
-        merged.count() // materialize before overwriting the input path
-        merged.write.mode("overwrite").parquet(targetPath)
-        merged.unpersist()
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatchIntoTarget(batch, batchId, targetPath, keys, mergeFn)
       }
       .start()
+  }
+
+  /** One micro-batch of [[writeStreamMerge]]; factored out for testability. */
+  private[graft] def mergeBatchIntoTarget(
+      batch: DataFrame, batchId: Long, targetPath: String, keys: Seq[String],
+      mergeFn: (DataFrame, DataFrame, Seq[String]) => DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val target =
+      try spark.read.parquet(targetPath)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition).contains("PATH_NOT_FOUND") ||
+              e.getMessage.contains("Path does not exist") =>
+          batch.limit(0) // first batch: no target yet
+      }
+    val base = targetPath.stripSuffix("/")
+    val tmp = s"${base}_graft_tmp_$batchId"
+    mergeFn(target, batch, keys).write.mode("overwrite").parquet(tmp)
+    val fs = new Path(base).getFileSystem(spark.sessionState.newHadoopConf())
+    val (tgt, tmpP, old) = (new Path(base), new Path(tmp), new Path(s"${base}_graft_old_$batchId"))
+    if (fs.exists(old)) fs.delete(old, true) // leftover from a crashed swap
+    if (fs.exists(tgt) && !fs.rename(tgt, old))
+      throw new java.io.IOException(s"swap failed: $tgt -> $old")
+    if (!fs.rename(tmpP, tgt))
+      throw new java.io.IOException(s"swap failed: $tmpP -> $tgt")
+    fs.delete(old, true)
+    ()
   }
 
   /**

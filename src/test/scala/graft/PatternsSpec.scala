@@ -19,6 +19,21 @@ class PatternsSpec extends SparkSpec {
     assert(dim.filter($"is_weekend").count() == 104)
   }
 
+  test("dimension bootstrap SKs are dense and key-ordered on multi-partition input") {
+    // 1000 keys spread over 8 input partitions: the bootstrap path must
+    // yield exactly 1..1000 in natural-key order with no global
+    // single-partition window (assignSks range-partitions + offsets).
+    val src = spark.range(1000).repartition(8)
+      .select(format_string("k%04d", col("id")).as("nk"), col("id").as("attr"))
+    val dim = Patterns.dimension(src, Seq("nk"), "sk", unknownMember = false)
+    val rows = dim.orderBy("nk").collect()
+    assert(rows.length == 1000)
+    assert(rows.map(_.getAs[Long]("sk")).toSeq == (1L to 1000L)) // dense + ordered
+    // deterministic across re-runs
+    val again = Patterns.dimension(src, Seq("nk"), "sk", unknownMember = false)
+    assert(again.orderBy("nk").collect().map(_.getAs[Long]("sk")).toSeq == (1L to 1000L))
+  }
+
   test("dimension assigns stable surrogate keys, MAX+ROW_NUMBER for new rows") {
     val first = Patterns.dimension(Seq(("b", "B"), ("a", "A")).toDF("nk", "attr"),
       Seq("nk"), "sk", unknownMember = false)

@@ -61,6 +61,152 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/bronze").count() == 3)
   }
 
+  test("node lifecycle: pre_sql, all four step kinds, post_sql") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_life").toString
+    Seq((1, "a", 10.0), (1, "a", 10.0), (2, "b", 20.0))
+      .toDF("id", "cat", "amount").write.mode("overwrite").parquet(s"$dir/in")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/step.sql"),
+      "SELECT id, cat, amount * 10 AS amount FROM df".getBytes)
+
+    TransformerRegistry.register(new Transformer {
+      def name = "add_flag"
+      def apply(ctx: EngineContext, params: Map[String, Any]) =
+        ctx.df.withColumn("flag", lit(params.getOrElse("v", "x").toString))
+    })
+
+    val yaml =
+      s"""
+         |name: life
+         |nodes:
+         |  - name: n1
+         |    read: { format: parquet, path: $dir/in }
+         |    pre_sql:
+         |      - "CREATE TABLE IF NOT EXISTS graft_presql_probe (k INT) USING parquet LOCATION '$dir/probe'"
+         |    steps:
+         |      - operation: drop_duplicates
+         |      - sql_file: step.sql
+         |      - sql: "SELECT * FROM df WHERE amount > 0"
+         |      - function: add_flag
+         |        params: { v: ok }
+         |    write: { format: parquet, mode: overwrite, path: $dir/out }
+         |    post_sql:
+         |      - "DROP TABLE IF EXISTS graft_presql_probe"
+         |""".stripMargin
+    val cfg = YamlConfig.loadPipeline(yaml, baseDir = Some(dir))
+    val results = Pipeline.run(spark, cfg)
+    assert(results("n1").failure.isEmpty,
+      results("n1").failure.map(_.toString).getOrElse(""))
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == 2) // drop_duplicates collapsed the dup
+    assert(out.filter($"amount" === 100.0 && $"flag" === "ok").count() == 1)
+    // post_sql dropped the pre_sql table
+    assert(!spark.catalog.tableExists("graft_presql_probe"))
+  }
+
+  test("operation steps: pivot, fillna, rename, sort, drop") {
+    val df = Seq((1, "a", Some(10.0)), (2, "b", None), (3, "a", Some(30.0)))
+      .toDF("id", "cat", "v")
+    def op(d: org.apache.spark.sql.DataFrame, o: String, p: Map[String, Any]) =
+      Pipeline.executeOperation(o, p, EngineContext(d))
+    val filled = op(df, "fillna", Map("value" -> 0.0, "subset" -> Seq("v")))
+    assert(filled.filter($"v" === 0.0).count() == 1)
+    val renamed = op(df, "rename", Map("columns" -> Map("v" -> "value")))
+    assert(renamed.columns.contains("value"))
+    val sorted = op(df, "sort", Map("by" -> "id", "ascending" -> false))
+    assert(sorted.head().getInt(0) == 3)
+    val dropped = op(df, "drop", Map("columns" -> "cat"))
+    assert(!dropped.columns.contains("cat"))
+    val piv = op(filled, "pivot", Map("group_by" -> "id", "pivot_column" -> "cat",
+      "value_column" -> "v", "agg_func" -> "sum"))
+    assert(piv.columns.toSet == Set("id", "a", "b"))
+  }
+
+  test("orchestration: disabled pruning, tag filter, node filter with upstream deps") {
+    def node(name: String, deps: Seq[String] = Nil, tags: Seq[String] = Nil,
+             enabled: Boolean = true) =
+      Pipeline.NodeConfig(name, dependsOn = deps, tags = tags, enabled = enabled,
+        read = if (deps.isEmpty) Some(graft.sources.Sources.ReadConfig("parquet",
+          Some("/root/testdata/sf0.001/region.parquet"))) else None,
+        steps = Seq(Pipeline.TransformStep(sql = Some("SELECT * FROM df"))))
+
+    // disabled node prunes its transitive dependents
+    val cfg1 = Pipeline.PipelineConfig("t", Seq(
+      node("a"), node("b", Seq("a"), enabled = false), node("c", Seq("b"))))
+    val r1 = Pipeline.run(spark, cfg1)
+    assert(r1("a").failure.isEmpty && !r1("a").skipped)
+    assert(r1("b").skipped && r1("b").skipReason.contains("disabled"))
+    assert(r1("c").skipped && r1("c").skipReason.contains("dependency_disabled"))
+
+    // tag filter keeps only matching nodes
+    val cfg2 = Pipeline.PipelineConfig("t", Seq(
+      node("a", tags = Seq("gold")), node("z", tags = Seq("bronze"))))
+    val r2 = Pipeline.run(spark, cfg2, opts = Pipeline.RunOptions(tag = Some("gold")))
+    assert(r2.contains("a") && !r2.contains("z"))
+
+    // node filter auto-includes upstream deps
+    val cfg3 = Pipeline.PipelineConfig("t", Seq(
+      node("a"), node("b", Seq("a")), node("z")))
+    val r3 = Pipeline.run(spark, cfg3, opts = Pipeline.RunOptions(nodes = Seq("b")))
+    assert(r3.contains("a") && r3.contains("b") && !r3.contains("z"))
+    assert(r3("b").failure.isEmpty)
+  }
+
+  test("resume-from-failure restores unchanged succeeded nodes from their sink") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_resume").toString
+    Seq((1, 10.0), (2, 20.0)).toDF("id", "v").write.mode("overwrite").parquet(s"$dir/in")
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    TransformerRegistry.register(new Transformer {
+      def name = "count_runs_resume"
+      def apply(ctx: EngineContext, params: Map[String, Any]) = {
+        attempts.incrementAndGet(); ctx.df
+      }
+    })
+    val good = Pipeline.NodeConfig("good",
+      read = Some(graft.sources.Sources.ReadConfig("parquet", Some(s"$dir/in"))),
+      steps = Seq(Pipeline.TransformStep(function = Some("count_runs_resume"))),
+      writePath = Some(s"$dir/good_out"))
+    val bad = Pipeline.NodeConfig("bad",
+      read = Some(graft.sources.Sources.ReadConfig("parquet", Some(s"$dir/in"))),
+      steps = Seq(Pipeline.TransformStep(sql = Some("SELECT missing_col FROM df"))))
+    val state = new graft.operators.Incremental.JsonFileState(s"$dir/state.json")
+    val opts = Pipeline.RunOptions(resumeFromFailure = true, state = Some(state))
+
+    val r1 = Pipeline.run(spark, Pipeline.PipelineConfig("p", Seq(good, bad)), opts = opts)
+    assert(r1("good").failure.isEmpty && r1("bad").failure.isDefined)
+    assert(attempts.get() == 1)
+
+    // second run: good restores from sink (no re-execution), bad re-runs
+    val r2 = Pipeline.run(spark, Pipeline.PipelineConfig("p", Seq(good, bad)), opts = opts)
+    assert(r2("good").skipped && r2("good").skipReason.contains("resume_from_failure"))
+    assert(attempts.get() == 1) // transformer not invoked again
+    assert(r2("good").df.count() == 2) // restored data readable
+    assert(r2("bad").failure.isDefined)
+
+    // changed config invalidates the resume hash -> re-runs
+    val goodChanged = good.copy(steps = good.steps :+
+      Pipeline.TransformStep(sql = Some("SELECT * FROM df")))
+    val r3 = Pipeline.run(spark, Pipeline.PipelineConfig("p", Seq(goodChanged)), opts = opts)
+    assert(!r3("good").skipped && attempts.get() == 2)
+  }
+
+  test("node retries run exactly retries+1 attempts, no extra side effects") {
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    TransformerRegistry.register(new Transformer {
+      def name = "always_fails_counting"
+      def apply(ctx: EngineContext, params: Map[String, Any]) = {
+        attempts.incrementAndGet(); throw new RuntimeException("boom")
+      }
+    })
+    val cfg = Pipeline.PipelineConfig("t", Seq(
+      Pipeline.NodeConfig("bad", retries = 2,
+        read = Some(graft.sources.Sources.ReadConfig("parquet",
+          Some("/root/testdata/sf0.001/region.parquet"))),
+        steps = Seq(Pipeline.TransformStep(function = Some("always_fails_counting"))))))
+    val results = Pipeline.run(spark, cfg)
+    assert(results("bad").failure.isDefined)
+    assert(attempts.get() == 3) // retries=2 -> exactly 3 attempts
+  }
+
   test("pipeline halts dependents on upstream failure") {
     val cfg = Pipeline.PipelineConfig("t", Seq(
       Pipeline.NodeConfig("bad",

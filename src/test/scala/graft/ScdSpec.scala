@@ -50,6 +50,20 @@ class ScdSpec extends SparkSpec {
     assert(changed.count() == 2)
   }
 
+  test("scd2 key NULL on both sides is one matched row, not duplicated") {
+    // <=> matches null keys, so classification must use presence markers:
+    // with isNull-based tests this row landed in BOTH keptOpen and opened.
+    val t0 = Scd.scd2Bootstrap(Seq((Option.empty[Int], "a")).toDF("id", "name"), ts1)
+    val same = Scd.scd2Apply(t0, Seq((Option.empty[Int], "a")).toDF("id", "name"),
+      Seq("id"), Seq("name"), ts2)
+    assert(same.count() == 1)
+    assert(same.collect()(0).getAs[Boolean]("is_current"))
+    val changed = Scd.scd2Apply(t0, Seq((Option.empty[Int], "b")).toDF("id", "name"),
+      Seq("id"), Seq("name"), ts2)
+    assert(changed.count() == 2)
+    assert(changed.filter($"is_current").count() == 1)
+  }
+
   test("scd2 closeDeleted closes keys absent from source") {
     val t0 = Scd.scd2Bootstrap(Seq((1, "a"), (2, "b")).toDF("id", "name"), ts1)
     val out = Scd.scd2Apply(t0, Seq((1, "a")).toDF("id", "name"),

@@ -32,10 +32,16 @@ class StreamingSpec extends SparkSpec {
     val q = Streaming.writeStreamMerge(input.toDF().toDF("id", "v"),
       s"$dir/target", s"$dir/cp", Seq("id"), graft.operators.Merge.upsert(_, _, _))
     q.processAllAvailable()
+    // second micro-batch merges into the target produced by the first
+    input.addData((2L, "upd"), (3L, "ins3"))
+    q.processAllAvailable()
     q.stop()
     val out = spark.read.parquet(s"$dir/target").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(out == Map(1L -> "new", 2L -> "ins", 9L -> "keep"))
+    assert(out == Map(1L -> "new", 2L -> "upd", 3L -> "ins3", 9L -> "keep"))
+    // the swap leaves no temp/old debris next to the target
+    val debris = new java.io.File(dir).list().filter(_.contains("_graft_"))
+    assert(debris.isEmpty, s"leftover swap dirs: ${debris.mkString(",")}")
   }
 
   test("watermarked tumbling window aggregation (extension)") {

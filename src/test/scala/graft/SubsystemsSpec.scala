@@ -83,6 +83,10 @@ class SubsystemsSpec extends SparkSpec {
     assert(js.get("k").isEmpty)
     js.set("k", "2024-01-05 00:00:00"); js.set("k2", "x")
     assert(js.get("k").contains("2024-01-05 00:00:00") && js.get("k2").contains("x"))
+    // values/keys with JSON metacharacters survive the round trip
+    js.set("""quo"te""", """back\slash "v" """)
+    assert(js.get("""quo"te""").contains("""back\slash "v" """))
+    assert(js.get("k").contains("2024-01-05 00:00:00")) // older keys intact
 
     val ps = new Incremental.ParquetTableState(spark, s"$tmp/state_tbl")
     ps.set("hwm", "42"); ps.set("hwm", "43")
