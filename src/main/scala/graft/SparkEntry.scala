@@ -278,11 +278,17 @@ object SparkEntry {
         emb.filter("vec_id < 10").select(col("vec_id").as("qid"), col("embedding").as("qv")),
         "qid", "qv", 5).withColumn("rank", col("rank").cast("long"))
     }),
-    "q_lsh_topk" -> ((s, d) => { // rows-only: LSH recall < 1
+    "q_lsh_topk" -> ((s, d) => { // rows-only: LSH recall < 1 (measured 0.88, RecallSpec)
       val emb = t(s, d, "embeddings")
       Similarity.lshTopK(emb, "vec_id", "embedding",
         emb.filter("vec_id < 10").select(col("vec_id").as("qid"), col("embedding").as("qv")),
         "qid", "qv", 5, dim = 64).withColumn("rank", col("rank").cast("long"))
+    }),
+    "q_ivf_topk" -> ((s, d) => { // rows-only: IVF recall < 1 (measured 0.66, RecallSpec)
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopK(emb, "vec_id", "embedding",
+        emb.filter("vec_id < 10").select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv", 5).withColumn("rank", col("rank").cast("long"))
     }),
 
     // ---- warehouse heavy-lifters (SURVEY §2.5) ----

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.functions.Similarity
+
+/**
+ * Quantifies the recall of the LSH-approximate operators against
+ * brute-force ground truth at sf0.01 — turns the "rows-only" declared
+ * queries into measured approximations (VERDICT r1 ask #6). Bounds are
+ * set below measured values (see COVERAGE.md for the measured numbers).
+ */
+class RecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def recall(truth: Set[(Long, Long)], got: Set[(Long, Long)]): Double =
+    if (truth.isEmpty) 1.0 else truth.intersect(got).size.toDouble / truth.size
+
+  test("lshTopK recall vs brute-force top-k on sf0.01 embeddings") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter("vec_id < 20")
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid").cast("long"), col("vec_id").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qv", 5))
+    val lsh = pairs(Similarity.lshTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qv", 5, dim = 64))
+    val r = recall(truth, lsh)
+    info(f"lshTopK recall@5, 20 queries: $r%.3f (${truth.size} truth pairs)")
+    assert(r >= 0.60, f"lshTopK recall $r%.3f below bound 0.60")
+    val ivf = pairs(Similarity.ivfTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qv", 5))
+    val ri = recall(truth, ivf)
+    info(f"ivfTopK recall@5, 20 queries: $ri%.3f")
+    assert(ri >= 0.60, f"ivfTopK recall $ri%.3f below bound 0.60")
+  }
+
+  test("minhashLshPairs candidate recall vs exact-Jaccard pairs on documents") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").filter("doc_id < 250")
+      .select(col("doc_id").cast("long"), col("text")).cache()
+    // brute-force ground truth: 5-char-shingle Jaccard >= 0.5 over all pairs
+    val sh = docs.select(col("doc_id"), Dedup.charShingles(col("text"), 5).as("_sh"))
+    val l = sh.select(col("doc_id").as("a"), col("_sh").as("_sha"))
+    val r0 = sh.select(col("doc_id").as("b"), col("_sh").as("_shb"))
+    val truth = l.crossJoin(r0).filter(col("a") < col("b"))
+      .withColumn("_j", Dedup.jaccard(col("_sha"), col("_shb")))
+      .filter(col("_j") >= 0.5)
+      .select("a", "b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(truth.nonEmpty, "degenerate test: no true near-dup pairs in subset")
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .select(col("a").cast("long"), col("b").cast("long")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val rec = recall(truth, lsh)
+    info(f"minhashLshPairs recall at J>=0.5: $rec%.3f (${truth.size} truth pairs)")
+    assert(rec >= 0.80, f"minhash recall $rec%.3f below bound 0.80")
+    docs.unpersist()
+    ()
+  }
+
+  test("ngramJaccardPairs recall vs brute-force at same threshold") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").filter("doc_id < 250")
+      .select(col("doc_id").cast("long"), col("text")).cache()
+    val sh = docs.select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("_sh"))
+    val l = sh.select(col("doc_id").as("a"), col("_sh").as("_sha"))
+    val r0 = sh.select(col("doc_id").as("b"), col("_sh").as("_shb"))
+    val truth = l.crossJoin(r0).filter(col("a") < col("b"))
+      .withColumn("_j", Dedup.jaccard(col("_sha"), col("_shb")))
+      .filter(col("_j") >= 0.5)
+      .select("a", "b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .select(col("a").cast("long"), col("b").cast("long")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    // candidates are LSH-gated then exact-verified: precision must be 1.0
+    assert(got.subsetOf(truth), s"false positives: ${got.diff(truth).take(5)}")
+    val rec = recall(truth, got)
+    info(f"ngramJaccardPairs recall at J>=0.5: $rec%.3f (${truth.size} truth pairs)")
+    assert(rec >= 0.70, f"ngram recall $rec%.3f below bound 0.70")
+    docs.unpersist()
+    ()
+  }
+}
