@@ -444,13 +444,25 @@ object SparkEntry {
       s.read.parquet(s"$tmp/sink")
     }),
     "q_simulation" -> ((s, d) => { // rows-only: xxhash-seeded generators
-      val ts = graft.sources.Simulation.timeSeries(s,
-        graft.sources.Simulation.EntityConfig(50), 200, "2026-01-01 00:00:00", 60)
-      ts.withColumn("x", graft.sources.Simulation.randomWalk(
+      val Sim = graft.sources.Simulation
+      val ts = Sim.timeSeries(s, Sim.EntityConfig(50), 200, "2026-01-01 00:00:00", 60)
+      val base = ts
+        .withColumn("x", Sim.randomWalk(
           ts, "entity_id", "tick", "x", seed = 7, volatility = 0.5, drift = 0.01))
-        .withColumn("cat", graft.sources.Simulation.categorical(col("id"), 2,
+        .withColumn("cat", Sim.categorical(col("id"), 2,
           Seq("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)))
-        .withColumn("load", graft.sources.Simulation.dailyProfile(col("ts")))
+        .withColumn("load", Sim.dailyProfile(col("ts")))
+        .withColumn("uuid", Sim.fakeUuid(col("id"), 11))
+        .withColumn("geo", Sim.geoPoint(col("id"), 13, (40.0, -75.0, 42.0, -72.0)))
+        .withColumn("pressure", Sim.boundedRandomWalk(ts, "entity_id", "tick",
+          "pressure", seed = 23, start = 100.0, min = 50.0, max = 150.0,
+          volatility = 1.0, shockRate = 0.01, shockMagnitude = 20.0))
+      val derived = Sim.withDerived(base, Seq(
+        "x_f" -> "x * 1.8 + 32", "load_pct" -> "round(load * 100, 2)"))
+      Sim.applyScheduledEvents(derived, "ts", "entity_id", Seq(
+        Sim.ScheduledEvent("forced_value", "pressure", 0.0,
+          "2026-01-01 01:00:00", endTime = Some("2026-01-01 01:30:00"),
+          entity = Some("entity_3"))))
     })
   )
 

@@ -97,4 +97,158 @@ object Simulation {
       (abs(xxhash64(id, lit(seed + 1))) % 256).cast("string"),
       (abs(xxhash64(id, lit(seed + 2))) % 256).cast("string"),
       (abs(xxhash64(id, lit(seed + 3))) % 256).cast("string"))
+
+  /**
+   * Deterministic UUID-shaped string with a version-4 layout
+   * (config.py:1563-1580 UUIDGeneratorConfig; generator.py:1464-1503),
+   * built from two 64-bit hashes — no RNG state, reproducible per row.
+   */
+  def fakeUuid(id: Column, seed: Long): Column = {
+    val h1 = lpad(lower(hex(xxhash64(id, lit(seed)))), 16, "0")
+    val h2 = lpad(lower(hex(xxhash64(id, lit(seed + 1)))), 16, "0")
+    concat(
+      substring(h1, 1, 8), lit("-"), substring(h1, 9, 4), lit("-4"),
+      substring(h1, 14, 3), lit("-8"), substring(h2, 2, 3), lit("-"),
+      substring(h2, 5, 12))
+  }
+
+  /**
+   * Geographic point uniform in a bounding box (config.py:1618-1648
+   * GeoGeneratorConfig; bbox = (minLat, minLon, maxLat, maxLon)). Returns a
+   * struct(lat, lon); select `.getField` for separate columns.
+   */
+  def geoPoint(id: Column, seed: Long,
+               bbox: (Double, Double, Double, Double)): Column = {
+    val (minLat, minLon, maxLat, maxLon) = bbox
+    require(minLat < maxLat && minLon < maxLon, s"invalid bbox $bbox")
+    struct(
+      (lit(minLat) + uniform(id, seed) * (maxLat - minLat)).as("lat"),
+      (lit(minLon) + uniform(id, seed + 1) * (maxLon - minLon)).as("lon"))
+  }
+
+  /**
+   * Derived columns (config.py:1658-1683 DerivedGeneratorConfig): SQL
+   * expressions over previously generated columns, applied in list order so
+   * later expressions may reference earlier derived names — the reference
+   * topo-sorts; here YAML/list order is the dependency order.
+   */
+  def withDerived(df: DataFrame, cols: Seq[(String, String)]): DataFrame =
+    cols.foldLeft(df) { case (d, (name, e)) => d.withColumn(name, expr(e)) }
+
+  /**
+   * Scheduled event (config.py:1979-2080): forced_value / setpoint_change /
+   * parameter_override applied to `column` while active. `endTime` None =
+   * permanent change; `recurrenceSeconds` + `durationSeconds` model
+   * recurring windows (maintenance every N days for H hours), optionally
+   * capped at `maxOccurrences`. Pure column algebra — no per-entity driver
+   * state, so it composes with a billion-row frame.
+   */
+  final case class ScheduledEvent(
+      eventType: String, column: String, value: Double, startTime: String,
+      endTime: Option[String] = None, entity: Option[String] = None,
+      recurrenceSeconds: Option[Long] = None, durationSeconds: Option[Long] = None,
+      maxOccurrences: Option[Int] = None)
+
+  def applyScheduledEvent(df: DataFrame, tsCol: String, entityCol: String,
+                          ev: ScheduledEvent): DataFrame = {
+    val ts = unix_timestamp(col(tsCol))
+    val start = unix_timestamp(lit(ev.startTime).cast("timestamp"))
+    val entityOk = ev.entity.map(e => col(entityCol) === e).getOrElse(lit(true))
+    val active = ev.recurrenceSeconds match {
+      case Some(rec) =>
+        val dur = ev.durationSeconds.getOrElse(0L)
+        val elapsed = ts - start
+        val inWindow = elapsed >= 0 && (elapsed % rec) < dur
+        ev.maxOccurrences
+          .map(m => inWindow && floor(elapsed / rec) < m)
+          .getOrElse(inWindow)
+      case None =>
+        val endOk = ev.endTime
+          .map(e => ts < unix_timestamp(lit(e).cast("timestamp")))
+          .getOrElse(lit(true)) // no end = permanent (setpoint_change)
+        ts >= start && endOk
+    }
+    df.withColumn(ev.column,
+      when(entityOk && active, lit(ev.value)).otherwise(col(ev.column)))
+  }
+
+  def applyScheduledEvents(df: DataFrame, tsCol: String, entityCol: String,
+                           events: Seq[ScheduledEvent]): DataFrame =
+    // priority = list order: later events win on overlap (applied last)
+    events.foldLeft(df)(applyScheduledEvent(_, tsCol, entityCol, _))
+
+  /**
+   * Chaos injection (config.py:2179-2205 ChaosConfig): outliers (value ×
+   * factor at `outlierRate`), row duplication, per-entity downtime windows
+   * (rows dropped), and per-column null rates. All hash-seeded on `idCol`
+   * so the corrupted frame is bit-reproducible.
+   */
+  final case class Downtime(startTime: String, endTime: String,
+                            entity: Option[String] = None)
+
+  def withNullRate(df: DataFrame, column: String, rate: Double,
+                   idCol: String, seed: Long): DataFrame =
+    df.withColumn(column,
+      when(uniform(col(idCol), seed) < rate, lit(null)).otherwise(col(column)))
+
+  def chaos(df: DataFrame, idCol: String, seed: Long,
+            outlierRate: Double = 0.0, outlierFactor: Double = 3.0,
+            outlierCols: Seq[String] = Nil,
+            duplicateRate: Double = 0.0,
+            downtimes: Seq[Downtime] = Nil,
+            tsCol: String = "ts", entityCol: String = "entity_id"): DataFrame = {
+    val withOutliers =
+      if (outlierRate <= 0) df
+      else outlierCols.foldLeft(df) { (d, c) =>
+        d.withColumn(c,
+          when(uniform(col(idCol), seed + c.hashCode) < outlierRate,
+            col(c) * outlierFactor).otherwise(col(c)))
+      }
+    val withDowntime =
+      if (downtimes.isEmpty) withOutliers
+      else withOutliers.filter(!downtimes.map { dt =>
+        dt.entity.map(e => col(entityCol) === e).getOrElse(lit(true)) &&
+          col(tsCol) >= lit(dt.startTime).cast("timestamp") &&
+          col(tsCol) < lit(dt.endTime).cast("timestamp")
+      }.reduce(_ || _))
+    if (duplicateRate <= 0) withDowntime
+    else withDowntime
+      .withColumn("_copies",
+        when(uniform(col(idCol), seed - 99) < duplicateRate, lit(2)).otherwise(lit(1)))
+      .withColumn("_dup", explode(sequence(lit(1), col("_copies"))))
+      .drop("_copies", "_dup")
+  }
+
+  /**
+   * Bounded random walk with shocks (config.py:1840-1930): the linear walk
+   * from [[randomWalk]] plus hash-seeded shock impulses (probability
+   * `shockRate`, magnitude uniform in [0, shockMagnitude], direction biased
+   * by `shockBias` in [-1, 1]) and hard min/max clamping. Mean reversion in
+   * its exact exponential form is sequential; the distributed approximation
+   * keeps drift-toward-mean folded into the increment (see [[randomWalk]]),
+   * which recovers from shocks over subsequent steps like the reference's
+   * PID-ish behavior.
+   */
+  def boundedRandomWalk(df: DataFrame, entityCol: String, orderCol: String,
+                        outputCol: String, seed: Long, start: Double,
+                        min: Double, max: Double, volatility: Double = 1.0,
+                        drift: Double = 0.0, shockRate: Double = 0.0,
+                        shockMagnitude: Double = 10.0,
+                        shockBias: Double = 0.0): Column = {
+    require(min < max && start >= min && start <= max,
+      s"start $start must lie in [$min, $max]")
+    val w = Window.partitionBy(col(entityCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rowHash = xxhash64(col(entityCol), col(orderCol))
+    val base = normal(rowHash, seed) * lit(volatility) + lit(drift)
+    val shock =
+      if (shockRate <= 0) lit(0.0)
+      else {
+        val sign = when(uniform(rowHash, seed + 7) < lit((shockBias + 1) / 2), 1.0)
+          .otherwise(-1.0)
+        when(uniform(rowHash, seed + 13) < shockRate,
+          sign * uniform(rowHash, seed + 17) * shockMagnitude).otherwise(lit(0.0))
+      }
+    least(greatest(sum(base + shock).over(w) + lit(start), lit(min)), lit(max))
+  }
 }

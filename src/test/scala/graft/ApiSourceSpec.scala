@@ -56,6 +56,45 @@ class ApiSourceSpec extends SparkSpec {
     assert(pages.size == 3)
   }
 
+  test("link-header pagination follows rel=next URLs with page-size param") {
+    val urls = scala.collection.mutable.ArrayBuffer.empty[(String, Map[String, String])]
+    val fetch: ApiSource.FetchResponse = (url, params) => {
+      urls += ((url, params))
+      url match {
+        case "http://stub/api" => ApiSource.ApiResponse(
+          """[{"id": 1}]""",
+          Map("Link" -> """<http://stub/api?page=2>; rel="next", <http://stub/api?page=9>; rel="last""""))
+        case "http://stub/api?page=2" => ApiSource.ApiResponse(
+          """[{"id": 2}]""",
+          Map("link" -> """<http://stub/api?page=1>; rel="prev", <http://stub/api?page=3>; rel="next""""))
+        case "http://stub/api?page=3" => ApiSource.ApiResponse(
+          """[{"id": 3}]""",
+          Map("Link" -> """<http://stub/api?page=2>; rel="prev"""")) // no next
+        case other => fail(s"unexpected url $other")
+      }
+    }
+    val df = ApiSource.readWithHeaders(spark, "http://stub/api",
+      ApiSource.LinkHeader(limit = 1), fetch)
+    assert(df.count() == 3)
+    assert(urls.head._2 == Map("per_page" -> "1")) // first call carries limit
+    assert(urls.drop(1).forall(_._2.isEmpty))      // next links are verbatim
+    // body-only transport must be rejected for link-header mode
+    intercept[IllegalArgumentException] {
+      ApiSource.fetchPages("u", ApiSource.LinkHeader(), (_, _) => "[]")
+    }
+  }
+
+  test("cursorFromPath extracts dotted-path cursors, recordPath drills nested wrappers") {
+    val next = ApiSource.cursorFromPath("meta.paging.next_cursor")
+    assert(next("""{"meta": {"paging": {"next_cursor": "abc"}}, "data": []}""").contains("abc"))
+    assert(next("""{"meta": {"paging": {}}}""").isEmpty)
+    assert(next("""{"meta": {"paging": {"next_cursor": null}}}""").isEmpty)
+    val df = ApiSource.toDataFrame(spark,
+      Seq("""{"meta": {"results": [{"id": 1}, {"id": 2}]}}"""),
+      recordPath = Some("meta.results"))
+    assert(df.count() == 2 && df.columns.sameElements(Array("id")))
+  }
+
   test("rate limit enforces minimum interval") {
     val t0 = System.currentTimeMillis()
     val fetch: ApiSource.Fetch = (_, params) => pageData(params("page").toInt)

@@ -130,4 +130,73 @@ class SubsystemsSpec extends SparkSpec {
     assert(u.getDouble(0) >= 0.0 && u.getDouble(1) < 1.0)
     assert(walked.select("cat").distinct().count() == 3)
   }
+
+  test("simulation generators: uuid, geo, derived, scheduled events, chaos, bounded walk") {
+    val ts = Simulation.timeSeries(spark, Simulation.EntityConfig(4), 120,
+      "2026-01-01 00:00:00", 60).cache()
+
+    // uuid: v4 layout, deterministic, distinct per row
+    val withUuid = ts.withColumn("u", Simulation.fakeUuid(col("id"), 5))
+    val uuids = withUuid.select("u").collect().map(_.getString(0))
+    assert(uuids.forall(_.matches(
+      "[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-8[0-9a-f]{3}-[0-9a-f]{12}")))
+    assert(uuids.distinct.length == uuids.length)
+    assert(withUuid.select("u").collect().map(_.getString(0)).sameElements(uuids))
+
+    // geo: inside bbox, deterministic
+    val bbox = (40.0, -75.0, 42.0, -72.0)
+    val geo = ts.select(Simulation.geoPoint(col("id"), 3, bbox).as("g"))
+      .select(col("g.lat"), col("g.lon")).collect()
+    assert(geo.forall(r => r.getDouble(0) >= 40.0 && r.getDouble(0) < 42.0 &&
+      r.getDouble(1) >= -75.0 && r.getDouble(1) < -72.0))
+
+    // derived: later expressions see earlier derived columns
+    val derived = Simulation.withDerived(ts.withColumn("t_c", lit(20.0)),
+      Seq("t_f" -> "t_c * 1.8 + 32", "t_f2" -> "t_f * 2"))
+    assert(derived.select("t_f2").head().getDouble(0) == 136.0)
+
+    // scheduled events: windowed forced value, recurring window, permanent setpoint
+    val withV = ts.withColumn("v", lit(10.0))
+    val forced = Simulation.applyScheduledEvent(withV, "ts", "entity_id",
+      Simulation.ScheduledEvent("forced_value", "v", 0.0,
+        "2026-01-01 00:30:00", endTime = Some("2026-01-01 01:00:00"),
+        entity = Some("entity_1")))
+    assert(forced.filter($"v" === 0.0).count() == 30) // 30 ticks, one entity
+    val recurring = Simulation.applyScheduledEvent(withV, "ts", "entity_id",
+      Simulation.ScheduledEvent("forced_value", "v", 0.0, "2026-01-01 00:00:00",
+        recurrenceSeconds = Some(3600), durationSeconds = Some(600),
+        maxOccurrences = Some(1)))
+    assert(recurring.filter($"v" === 0.0).count() == 4 * 10) // first 10 min only
+    val permanent = Simulation.applyScheduledEvent(withV, "ts", "entity_id",
+      Simulation.ScheduledEvent("setpoint_change", "v", 99.0, "2026-01-01 01:00:00"))
+    assert(permanent.filter($"v" === 99.0).count() == 4 * 60) // second hour on
+
+    // chaos: outliers + duplicates + downtime, all deterministic
+    val base = ts.withColumn("m", lit(1.0))
+    val chaotic = Simulation.chaos(base, "id", seed = 9,
+      outlierRate = 0.05, outlierFactor = 3.0, outlierCols = Seq("m"),
+      duplicateRate = 0.02,
+      downtimes = Seq(Simulation.Downtime("2026-01-01 00:00:00",
+        "2026-01-01 00:10:00", entity = Some("entity_0"))))
+    val n1 = chaotic.count()
+    assert(n1 == Simulation.chaos(base, "id", seed = 9,
+      outlierRate = 0.05, outlierFactor = 3.0, outlierCols = Seq("m"),
+      duplicateRate = 0.02,
+      downtimes = Seq(Simulation.Downtime("2026-01-01 00:00:00",
+        "2026-01-01 00:10:00", entity = Some("entity_0")))).count())
+    assert(chaotic.filter($"m" === 3.0).count() > 0) // outliers present
+    assert(n1 > 480 - 10) // duplicates offset the 10 downtime rows
+    val nulled = Simulation.withNullRate(base, "m", 0.5, "id", 3)
+    val nNull = nulled.filter($"m".isNull).count()
+    assert(nNull > 120 && nNull < 360) // ~50%
+
+    // bounded walk: clamped to [min, max], deterministic with shocks
+    val walk = ts.withColumn("p", Simulation.boundedRandomWalk(ts, "entity_id",
+      "tick", "p", seed = 23, start = 100.0, min = 95.0, max = 105.0,
+      volatility = 5.0, shockRate = 0.1, shockMagnitude = 20.0))
+    val mm = walk.select(min("p"), max("p")).collect()(0)
+    assert(mm.getDouble(0) >= 95.0 && mm.getDouble(1) <= 105.0)
+    ts.unpersist()
+    ()
+  }
 }
