@@ -59,21 +59,94 @@ final class Catalog(spark: SparkSession, root: String) {
   /** Schema drift check: true when the node's schema changed since last run. */
   def schemaDrifted(node: String, df: DataFrame): Boolean =
     latestSchema(node).exists(_ != df.schema.toDDL)
+
+  // ------------------------------------------------------------------
+  // meta_pipelines / meta_nodes / meta_state (catalog.py:183-200; deploy
+  // registration :1205-1290; pipeline hash lookup :3034-3045). Appends
+  // with latest-wins reads stand in for the reference's Delta MERGE.
+  // ------------------------------------------------------------------
+
+  /** Register (upsert) the pipeline definition + per-node configs. */
+  def registerPipeline(cfg: Pipeline.PipelineConfig,
+                       description: String = "", tags: Seq[String] = Nil): Unit = {
+    append("meta_pipelines",
+      Seq((cfg.name, Catalog.pipelineHash(cfg), cfg.nodes.size.toLong,
+        description, tags.mkString(",")))
+        .toDF("pipeline", "version_hash", "n_nodes", "description", "tags")
+        .withColumn("recorded_at", current_timestamp()))
+    append("meta_nodes",
+      cfg.nodes.map(n => (cfg.name, n.name, Pipeline.nodeHash(n),
+        n.dependsOn.mkString(","), n.tags.mkString(","), n.enabled))
+        .toDF("pipeline", "node", "config_hash", "depends_on", "tags", "enabled")
+        .withColumn("recorded_at", current_timestamp()))
+  }
+
+  /** Latest registered version hash for a pipeline (drift baseline). */
+  def getPipelineHash(pipeline: String): Option[String] =
+    try {
+      table("meta_pipelines").filter(col("pipeline") === pipeline)
+        .orderBy(col("recorded_at").desc).limit(1)
+        .select("version_hash").as[String].collect().headOption
+    } catch { case _: Throwable => None }
+
+  /**
+   * Drift check against the deployed definition (pipeline.py:487-520):
+   * Some(deployedHash) when the local config differs from the catalog,
+   * None when clean or never deployed.
+   */
+  def configDrift(cfg: Pipeline.PipelineConfig): Option[String] =
+    getPipelineHash(cfg.name).filter(_ != Catalog.pipelineHash(cfg))
+
+  /**
+   * HWM / run state stored in the catalog (`meta_state`, the reference's
+   * CatalogStateBackend): key-value with latest-wins semantics, so
+   * incremental loads and resume share state with the rest of the catalog.
+   */
+  def state: graft.operators.Incremental.StateBackend =
+    new graft.operators.Incremental.StateBackend {
+      override def get(key: String): Option[String] =
+        try {
+          table("meta_state").filter(col("key") === key)
+            .orderBy(col("recorded_at").desc).limit(1)
+            .select("value").as[String].collect().headOption
+        } catch { case _: Throwable => None }
+      override def set(key: String, value: String): Unit =
+        append("meta_state", Seq((key, value)).toDF("key", "value")
+          .withColumn("recorded_at", current_timestamp()))
+    }
 }
 
 object Catalog {
+
+  /** Stable hash of the whole pipeline config (deploy/drift baseline). */
+  def pipelineHash(cfg: Pipeline.PipelineConfig): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(cfg.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
 
   /**
    * Run a pipeline with catalog recording: runs, lineage, schemas.
    * Timings come from wall-clock around each node's materialization, not
    * from extra count() actions (SURVEY §4 double-evaluation note).
+   *
+   * The drift gate (pipeline.py:487-520) runs first: when the local config
+   * differs from the deployed `meta_pipelines` hash, the run either fails
+   * (`failOnDrift`) or proceeds with the drift recorded in the run error
+   * field of a `_drift_check` pseudo-node.
    */
   def runRecorded(spark: SparkSession, cfg: Pipeline.PipelineConfig,
                   catalog: Catalog, runId: String,
-                  externalDatasets: Map[String, DataFrame] = Map.empty)
+                  externalDatasets: Map[String, DataFrame] = Map.empty,
+                  opts: Pipeline.RunOptions = Pipeline.RunOptions(),
+                  failOnDrift: Boolean = false)
       : Map[String, Pipeline.NodeResult] = {
+    catalog.configDrift(cfg).foreach { deployed =>
+      val msg = s"DRIFT: local ${pipelineHash(cfg).take(8)} != deployed ${deployed.take(8)}"
+      if (failOnDrift) throw new IllegalStateException(msg)
+      catalog.recordRun(cfg.name, runId, Seq(("_drift_check", false, 0L, msg)))
+    }
     val t0 = System.currentTimeMillis()
-    val results = Pipeline.run(spark, cfg, externalDatasets)
+    val results = Pipeline.run(spark, cfg, externalDatasets, opts)
     val wall = System.currentTimeMillis() - t0
     catalog.recordRun(cfg.name, runId, cfg.nodes.map { n =>
       val r = results.get(n.name)

@@ -49,7 +49,8 @@ object Pipeline {
       enabled: Boolean = true)
 
   final case class NodeResult(name: String, df: DataFrame, failure: Option[Throwable],
-                              skipped: Boolean = false, skipReason: Option[String] = None)
+                              skipped: Boolean = false, skipReason: Option[String] = None,
+                              durationMs: Long = 0L, rowsWritten: Option[Long] = None)
 
   /**
    * Run-time selection and resume flags (reference pipeline.py:391-446
@@ -159,7 +160,13 @@ object Pipeline {
   /** Execute one node against the shared context. */
   def runNode(spark: SparkSession, cfg: NodeConfig,
               datasets: Map[String, DataFrame],
-              baseDir: Option[String] = None): DataFrame = {
+              baseDir: Option[String] = None): DataFrame =
+    runNodeWithStats(spark, cfg, datasets, baseDir)._1
+
+  /** As [[runNode]], also returning rows written (from write metrics). */
+  def runNodeWithStats(spark: SparkSession, cfg: NodeConfig,
+                       datasets: Map[String, DataFrame],
+                       baseDir: Option[String] = None): (DataFrame, Option[Long]) = {
     StandardTransformers.registerAll // idempotent
 
     runSideSql(spark, cfg.preSql, datasets)
@@ -187,10 +194,11 @@ object Pipeline {
     if (cfg.tests.nonEmpty)
       Validation.enforce(Validation.evaluate(transformed, cfg.tests))
 
-    cfg.writePath.foreach(p => Sources.write(transformed, p, cfg.write))
+    val rowsWritten =
+      cfg.writePath.map(p => Sources.writeWithStats(transformed, p, cfg.write))
 
     runSideSql(spark, cfg.postSql, datasets + (cfg.name -> transformed))
-    transformed
+    (transformed, rowsWritten)
   }
 
   /** Stable hash of a node's config, for resume change-detection. */
@@ -272,24 +280,28 @@ object Pipeline {
       if (tryRestore(node)) return
       // exactly retries+1 attempts; the last Failure is returned as-is
       // (runNode has write side effects, so no extra invocation)
-      var attempt = Try(runNode(spark, node, datasets.asScala.toMap, cfg.baseDir))
+      val t0 = System.currentTimeMillis()
+      var attempt = Try(runNodeWithStats(spark, node, datasets.asScala.toMap, cfg.baseDir))
       var retriesLeft = node.retries
       while (attempt.isFailure && retriesLeft > 0) {
         retriesLeft -= 1
-        attempt = Try(runNode(spark, node, datasets.asScala.toMap, cfg.baseDir))
+        attempt = Try(runNodeWithStats(spark, node, datasets.asScala.toMap, cfg.baseDir))
       }
+      val elapsed = System.currentTimeMillis() - t0
       attempt match {
-        case Success(df0) =>
+        case Success((df0, rowsWritten)) =>
           val df =
             if (node.cache || dependentCount(name) >= cfg.autoCacheThreshold) df0.persist()
             else df0
           df.createOrReplaceTempView(name.replaceAll("[^A-Za-z0-9_]", "_"))
           datasets.put(name, df)
           ranThisRun.add(name)
-          results.put(name, NodeResult(name, df, None))
+          results.put(name, NodeResult(name, df, None,
+            durationMs = elapsed, rowsWritten = rowsWritten))
           opts.state.foreach(_.set(stateKey(name), s"ok:${nodeHash(node)}"))
         case Failure(e) =>
-          results.put(name, NodeResult(name, spark.emptyDataFrame, Some(e)))
+          results.put(name, NodeResult(name, spark.emptyDataFrame, Some(e),
+            durationMs = elapsed))
           opts.state.foreach(_.set(stateKey(name), "failed"))
       }
     }

@@ -28,15 +28,20 @@ object Story {
     val nodes = cfg.nodes.map { n =>
       val r = results.get(n.name)
       val status = r match {
+        case Some(x) if x.skipped => "skipped"
         case Some(x) if x.failure.isEmpty => "success"
         case Some(_) => "failed"
-        case None => "skipped"
+        case None => "not_run"
       }
       val error = r.flatMap(_.failure).map(e => q(e.getMessage)).getOrElse("null")
-      val schema = r.filter(_.failure.isEmpty)
+      val schema = r.filter(x => x.failure.isEmpty && !x.skipped)
         .map(x => q(x.df.schema.toDDL)).getOrElse("null")
+      // rows from write-stage Observation metrics, never a count() re-run
+      val rows = r.flatMap(_.rowsWritten).map(_.toString).getOrElse("null")
+      val dur = r.map(_.durationMs).getOrElse(0L)
+      val skipReason = r.flatMap(_.skipReason).map(q).getOrElse("null")
       s"""{"name": ${q(n.name)}, "status": ${q(status)}, "depends_on": [${
-        n.dependsOn.map(q).mkString(", ")}], "error": $error, "schema": $schema}"""
+        n.dependsOn.map(q).mkString(", ")}], "duration_ms": $dur, "rows_written": $rows, "skip_reason": $skipReason, "error": $error, "schema": $schema}"""
     }
     s"""{
   "pipeline": ${q(cfg.name)},

@@ -111,11 +111,25 @@ object Multimodal {
       .select(col("media_id"), col("frame_idx"),
         (col("frame_idx") * everyMs).as("offset_ms"))
 
-  /** Partition-size helper: rows per partition so bytes/partition ~ target. */
+  /**
+   * Partition-size helper: rows per partition so bytes/partition ~ target.
+   * Pass `rowCount` when known (e.g. from write metrics); otherwise the
+   * partition count comes from the optimizer's plan-size estimate (file
+   * statistics) — metadata only, NO extra scan of what is typically the
+   * largest table in the pipeline.
+   */
   def repartitionForPayload(media: DataFrame, avgPayloadBytes: Long,
-                            targetPartitionBytes: Long = 128L << 20): DataFrame = {
-    val rowsPerPartition = math.max(targetPartitionBytes / math.max(avgPayloadBytes, 1), 1)
-    val n = math.max((media.count() / rowsPerPartition).toInt, 1)
+                            targetPartitionBytes: Long = 128L << 20,
+                            rowCount: Option[Long] = None): DataFrame = {
+    val n = rowCount match {
+      case Some(rc) =>
+        val rowsPerPartition =
+          math.max(targetPartitionBytes / math.max(avgPayloadBytes, 1), 1)
+        math.max((rc / rowsPerPartition).toInt, 1)
+      case None =>
+        val sizeInBytes = media.queryExecution.optimizedPlan.stats.sizeInBytes
+        math.max((sizeInBytes / BigInt(targetPartitionBytes)).toInt, 1)
+    }
     media.repartition(n)
   }
 }

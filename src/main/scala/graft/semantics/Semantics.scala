@@ -65,10 +65,21 @@ object Semantics {
 
     def metricSql(m: Metric): String = m.formula match {
       case Some(f) =>
-        // substitute component metric names with their agg exprs
-        model.metrics.values.filterNot(_.isDerived).foldLeft(f) { (acc, c) =>
-          acc.replaceAll(s"\\b${c.name}\\b", s"(${c.expr})")
+        // token-resolve component metric names into their agg exprs: each
+        // identifier is one lexer token, so substring-overlapping names
+        // can't mis-substitute, and function calls (`sum(`) / qualified
+        // refs (`t.col`) are never rewritten even if they shadow a metric
+        val byName = model.metrics.collect {
+          case (n, c) if !c.isDerived => n -> c.expr
         }
+        "[A-Za-z_][A-Za-z0-9_]*".r.replaceAllIn(f, mm => {
+          val name = mm.matched
+          val isCall = f.drop(mm.end).dropWhile(_.isWhitespace).startsWith("(")
+          val isQualified = f.take(mm.start).reverse.dropWhile(_.isWhitespace).startsWith(".")
+          val out = if (!isCall && !isQualified && byName.contains(name))
+            s"(${byName(name)})" else name
+          java.util.regex.Matcher.quoteReplacement(out)
+        })
       case None => m.expr
     }
 

@@ -68,10 +68,25 @@ object Sources {
 
   /** df.write.format(...).mode(...).partitionBy(...).save(path). */
   def write(df: DataFrame, path: String, cfg: WriteConfig = WriteConfig()): Unit = {
-    val d = cfg.coalescePartitions.map(df.coalesce).getOrElse(df)
+    writeWithStats(df, path, cfg)
+    ()
+  }
+
+  /**
+   * Write and return the rows written, measured via an `Observation` —
+   * the metric aggregates during the write scan itself, so there is no
+   * second job and no count() re-execution (the reference's per-node
+   * rows_written from write info, story metadata).
+   */
+  def writeWithStats(df: DataFrame, path: String,
+                     cfg: WriteConfig = WriteConfig()): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    val observed = df.observe(obs, count(lit(1)).as("rows_written"))
+    val d = cfg.coalescePartitions.map(observed.coalesce).getOrElse(observed)
     var w = d.write.format(cfg.format).mode(cfg.mode).options(cfg.options)
     if (cfg.partitionBy.nonEmpty) w = w.partitionBy(cfg.partitionBy: _*)
     w.save(path)
+    obs.get("rows_written").asInstanceOf[Long]
   }
 
   /**

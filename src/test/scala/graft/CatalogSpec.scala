@@ -29,4 +29,45 @@ class CatalogSpec extends SparkSpec {
     assert(!cat.schemaDrifted("agg", results("agg").df))
     assert(cat.schemaDrifted("agg", results("r").df))
   }
+
+  test("meta_pipelines/meta_nodes registration, drift gate, catalog HWM state") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat2").toString
+    val cat = new Catalog(spark, root)
+    val cfg = Pipeline.PipelineConfig("p2", Seq(
+      Pipeline.NodeConfig("r", tags = Seq("bronze"),
+        read = Some(Sources.ReadConfig("parquet",
+          Some("/root/testdata/sf0.001/region.parquet"))))))
+
+    // not deployed yet: no drift
+    assert(cat.configDrift(cfg).isEmpty)
+    cat.registerPipeline(cfg, description = "test pipe", tags = Seq("daily"))
+    assert(cat.getPipelineHash("p2").contains(Catalog.pipelineHash(cfg)))
+    assert(cat.configDrift(cfg).isEmpty) // deployed hash matches
+
+    val nodes = cat.table("meta_nodes").collect()
+    assert(nodes.length == 1 && nodes(0).getAs[String]("tags") == "bronze")
+
+    // changed config: drift detected; failOnDrift blocks the run
+    val changed = cfg.copy(nodes = cfg.nodes :+ Pipeline.NodeConfig("x",
+      dependsOn = Seq("r"),
+      steps = Seq(Pipeline.TransformStep(sql = Some("SELECT * FROM df")))))
+    assert(cat.configDrift(changed).isDefined)
+    intercept[IllegalStateException] {
+      Catalog.runRecorded(spark, changed, cat, "run-x", failOnDrift = true)
+    }
+    // non-failing run records the drift as a _drift_check failure row
+    Catalog.runRecorded(spark, changed, cat, "run-y")
+    assert(cat.table("meta_runs")
+      .filter("node = '_drift_check' AND NOT success").count() == 1)
+    // re-register clears the drift
+    cat.registerPipeline(changed)
+    assert(cat.configDrift(changed).isEmpty)
+
+    // catalog-backed HWM state: latest-wins round trip
+    val st = cat.state
+    assert(st.get("hwm/orders").isEmpty)
+    st.set("hwm/orders", "2026-01-01")
+    st.set("hwm/orders", "2026-02-01")
+    assert(st.get("hwm/orders").contains("2026-02-01"))
+  }
 }

@@ -51,4 +51,14 @@ class MultimodalSpec extends SparkSpec {
       .select("offset_ms").as[Long].collect().toSeq
     assert(offsets == Seq(0L, 1000L, 2000L))
   }
+
+  test("repartitionForPayload sizes partitions without scanning the table") {
+    // known row count: 1000 rows x 32 MiB avg at 128 MiB target -> 250 parts
+    val sized = Multimodal.repartitionForPayload(media, avgPayloadBytes = 32L << 20,
+      rowCount = Some(1000L))
+    assert(sized.rdd.getNumPartitions == 250)
+    // plan-stats path: derives a positive partition count, metadata only
+    val est = Multimodal.repartitionForPayload(media, avgPayloadBytes = 1L << 20)
+    assert(est.rdd.getNumPartitions >= 1)
+  }
 }

@@ -26,4 +26,39 @@ class StorySpec extends SparkSpec {
     Story.write(path, cfg, results, "run-7", 1234)
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
   }
+
+  test("3-node story carries per-node timings and write-metric row counts") {
+    val dir = java.nio.file.Files.createTempDirectory("story3").toString
+    val cfg = Pipeline.PipelineConfig("p3", Seq(
+      Pipeline.NodeConfig("src", read = Some(Sources.ReadConfig("parquet",
+        Some("/root/testdata/sf0.001/region.parquet"))),
+        writePath = Some(s"$dir/src_out")),
+      Pipeline.NodeConfig("filtered", dependsOn = Seq("src"),
+        steps = Seq(Pipeline.TransformStep(sql = Some(
+          "SELECT * FROM df WHERE r_regionkey < 3"))),
+        writePath = Some(s"$dir/filtered_out")),
+      Pipeline.NodeConfig("agg", dependsOn = Seq("filtered"),
+        steps = Seq(Pipeline.TransformStep(sql = Some(
+          "SELECT count(*) AS n FROM df"))))))
+    val results = Pipeline.run(spark, cfg)
+    assert(results.values.forall(_.failure.isEmpty))
+    // rows written come from the write-stage Observation, not a count()
+    assert(results("src").rowsWritten.contains(5L))
+    assert(results("filtered").rowsWritten.contains(3L))
+    assert(results("agg").rowsWritten.isEmpty) // no sink on agg
+
+    val json = Story.generate(cfg, results, "run-8", 99)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json) // well-formed JSON
+    assert(root.get("pipeline").asText() == "p3")
+    val nodes = root.get("nodes")
+    assert(nodes.size() == 3)
+    val byName = (0 until nodes.size()).map(i => nodes.get(i))
+      .map(n => n.get("name").asText() -> n).toMap
+    assert(byName("src").get("rows_written").asLong() == 5L)
+    assert(byName("filtered").get("rows_written").asLong() == 3L)
+    assert(byName("agg").get("rows_written").isNull)
+    assert(byName.values.forall(_.get("duration_ms").asLong() >= 0L))
+    assert(byName("filtered").get("depends_on").get(0).asText() == "src")
+  }
 }

@@ -66,6 +66,24 @@ class SubsystemsSpec extends SparkSpec {
       .orderBy("status").collect()
     assert(out.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq ==
       Seq(("F", 40.0, 2L), ("O", 5.0, 1L)))
+
+    // token resolution: substring-overlapping metric names and metrics that
+    // shadow SQL function names must not mis-substitute
+    val tricky = SemanticModel(
+      Map("rev" -> Metric("rev", "sum(price)", "sales"),
+        "rev_net" -> Metric("rev_net", "sum(price - cost)", "sales"),
+        "count" -> Metric("count", "count(*)", "sales"),
+        "margin" -> Metric("margin", "", "sales",
+          formula = Some("rev_net / nullif(rev, 0) + count(distinct st) - count")),
+        "per_order" -> Metric("per_order", "", "sales",
+          formula = Some("rev / nullif(s.rev, 0)"))),
+      Map.empty)
+    val mSql = generateSql(tricky, parse("margin"))
+    // rev inside rev_net untouched; count( call untouched; bare count resolved
+    assert(mSql.contains(
+      "(sum(price - cost)) / nullif((sum(price)), 0) + count(distinct st) - (count(*)) AS margin"))
+    val qSql = generateSql(tricky, parse("per_order"))
+    assert(qSql.contains("(sum(price)) / nullif(s.rev, 0) AS per_order")) // s.rev qualified
   }
 
   test("incremental: hwm filter, state backends, new hwm") {
