@@ -145,18 +145,20 @@ object Catalog {
       if (failOnDrift) throw new IllegalStateException(msg)
       catalog.recordRun(cfg.name, runId, Seq(("_drift_check", false, 0L, msg)))
     }
-    val t0 = System.currentTimeMillis()
     val results = Pipeline.run(spark, cfg, externalDatasets, opts)
-    val wall = System.currentTimeMillis() - t0
     catalog.recordRun(cfg.name, runId, cfg.nodes.map { n =>
       val r = results.get(n.name)
-      (n.name, r.exists(_.failure.isEmpty), wall,
-        r.flatMap(_.failure).map(_.getMessage).getOrElse(""))
+      // skipped nodes record success=true with the reason in the error
+      // field (the reference marks skips successful with metadata.reason)
+      (n.name, r.exists(_.failure.isEmpty),
+        r.map(_.durationMs).getOrElse(0L),
+        r.flatMap(_.failure).map(_.getMessage)
+          .orElse(r.flatMap(_.skipReason).map("skipped: " + _)).getOrElse(""))
     })
     catalog.recordLineage(cfg.name, runId,
       cfg.nodes.flatMap(n => n.dependsOn.map(d => n.name -> d)))
     results.foreach { case (name, r) =>
-      if (r.failure.isEmpty) catalog.recordSchema(cfg.name, name, r.df)
+      if (r.failure.isEmpty && !r.skipped) catalog.recordSchema(cfg.name, name, r.df)
     }
     results
   }
