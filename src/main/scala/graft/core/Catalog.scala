@@ -41,6 +41,26 @@ final class Catalog(spark: SparkSession, root: String) {
         .withColumn("run_id", lit(runId))
         .withColumn("recorded_at", current_timestamp()))
 
+  /** Record node sink outputs (path + rows from write metrics). */
+  def recordOutputs(pipeline: String, runId: String,
+                    outputs: Seq[(String, String, Long)]): Unit =
+    if (outputs.nonEmpty)
+      append("meta_outputs",
+        outputs.toDF("node", "path", "rows_written")
+          .withColumn("pipeline", lit(pipeline))
+          .withColumn("run_id", lit(runId))
+          .withColumn("recorded_at", current_timestamp()))
+
+  /** Record node failures with exception class (meta_failures family). */
+  def recordFailures(pipeline: String, runId: String,
+                     failures: Seq[(String, String, String)]): Unit =
+    if (failures.nonEmpty)
+      append("meta_failures",
+        failures.toDF("node", "error_class", "message")
+          .withColumn("pipeline", lit(pipeline))
+          .withColumn("run_id", lit(runId))
+          .withColumn("recorded_at", current_timestamp()))
+
   /** Snapshot a node's output schema (drift detection source). */
   def recordSchema(pipeline: String, node: String, df: DataFrame): Unit =
     append("meta_schemas",
@@ -157,6 +177,17 @@ object Catalog {
     })
     catalog.recordLineage(cfg.name, runId,
       cfg.nodes.flatMap(n => n.dependsOn.map(d => n.name -> d)))
+    catalog.recordOutputs(cfg.name, runId, cfg.nodes.flatMap { n =>
+      for {
+        r <- results.get(n.name)
+        rows <- r.rowsWritten
+        path <- n.writePath
+      } yield (n.name, path, rows)
+    })
+    catalog.recordFailures(cfg.name, runId, cfg.nodes.flatMap { n =>
+      results.get(n.name).flatMap(_.failure)
+        .map(e => (n.name, e.getClass.getName, Option(e.getMessage).getOrElse("")))
+    })
     results.foreach { case (name, r) =>
       if (r.failure.isEmpty && !r.skipped) catalog.recordSchema(cfg.name, name, r.df)
     }

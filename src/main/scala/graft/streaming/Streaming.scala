@@ -40,6 +40,7 @@ object Streaming {
     case "processing_time" => Trigger.ProcessingTime(interval)
     case "available_now" => Trigger.AvailableNow()
     case "once" => Trigger.AvailableNow() // Trigger.Once deprecated in Spark 4
+    case "continuous" => Trigger.Continuous(interval)
     case other => throw new IllegalArgumentException(s"unknown trigger: $other")
   }
 

@@ -70,4 +70,24 @@ class CatalogSpec extends SparkSpec {
     st.set("hwm/orders", "2026-02-01")
     assert(st.get("hwm/orders").contains("2026-02-01"))
   }
+
+  test("meta_outputs and meta_failures record sinks and errors per run") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat3").toString
+    val cat = new Catalog(spark, root)
+    val cfg = Pipeline.PipelineConfig("p4", Seq(
+      Pipeline.NodeConfig("ok", read = Some(Sources.ReadConfig("parquet",
+        Some("/root/testdata/sf0.001/region.parquet"))),
+        writePath = Some(s"$root/ok_out")),
+      Pipeline.NodeConfig("boom", read = Some(Sources.ReadConfig("parquet",
+        Some("/root/testdata/sf0.001/region.parquet"))),
+        steps = Seq(Pipeline.TransformStep(sql = Some("SELECT no_col FROM df"))))))
+    Catalog.runRecorded(spark, cfg, cat, "run-z")
+    val outputs = cat.table("meta_outputs").collect()
+    assert(outputs.length == 1)
+    assert(outputs(0).getAs[String]("node") == "ok" &&
+      outputs(0).getAs[Long]("rows_written") == 5L)
+    val failures = cat.table("meta_failures").collect()
+    assert(failures.length == 1 && failures(0).getAs[String]("node") == "boom")
+    assert(failures(0).getAs[String]("error_class").nonEmpty)
+  }
 }

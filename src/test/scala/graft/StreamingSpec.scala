@@ -44,6 +44,16 @@ class StreamingSpec extends SparkSpec {
     assert(debris.isEmpty, s"leftover swap dirs: ${debris.mkString(",")}")
   }
 
+  test("trigger mapping covers all four reference kinds") {
+    import org.apache.spark.sql.streaming.Trigger
+    assert(Streaming.trigger("processing_time", "5 seconds") ==
+      Trigger.ProcessingTime("5 seconds"))
+    assert(Streaming.trigger("available_now") == Trigger.AvailableNow())
+    assert(Streaming.trigger("once") == Trigger.AvailableNow())
+    assert(Streaming.trigger("continuous", "1 second") == Trigger.Continuous("1 second"))
+    intercept[IllegalArgumentException] { Streaming.trigger("nope") }
+  }
+
   test("watermarked tumbling window aggregation (extension)") {
     val input = MemoryStream[(java.sql.Timestamp, String, Double)](spark)
     val df = input.toDF().toDF("ts", "k", "v")
