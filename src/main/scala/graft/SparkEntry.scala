@@ -443,6 +443,10 @@ object SparkEntry {
       q.awaitTermination()
       s.read.parquet(s"$tmp/sink")
     }),
+    "q_salted_agg" -> ((s, d) => // skew-mitigated two-phase aggregate == plain GROUP BY
+      operators.Skew.saltedAggregate(t(s, d, "lineitem"), Seq("l_returnflag"),
+        Map("sum_qty" -> ("sum", "l_quantity"), "n" -> ("count", "l_quantity"),
+          "max_qty" -> ("max", "l_quantity")))),
     "q_simulation" -> ((s, d) => { // rows-only: xxhash-seeded generators
       val Sim = graft.sources.Simulation
       val ts = Sim.timeSeries(s, Sim.EntityConfig(50), 200, "2026-01-01 00:00:00", 60)
@@ -623,6 +627,8 @@ object SparkEntry {
       "SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal, CAST(NULL AS VARCHAR) AS missing_col FROM customer",
     "q_unit_convert" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_quantity * 2.2046226218487757 + 0.0 AS qty_lb, round((l_discount * 100) * 1.7999999999999998 + 31.999999999999986, 6) AS t_f FROM lineitem",
+    "q_salted_agg" ->
+      "SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(l_quantity) AS n, max(l_quantity) AS max_qty FROM lineitem GROUP BY 1",
     "q_phases" ->
       "WITH p AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL OR event_type <> lag(event_type) OVER w THEN 1 ELSE 0 END AS chg FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), q AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS phase_id FROM p) SELECT user_id, phase_id, event_type, count(*) AS n_rows, CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_s, sum(CAST(floor(value * 100) AS BIGINT)) / 100.0 AS total_value FROM q GROUP BY 1, 2, 3"
   )

@@ -90,6 +90,23 @@ object Sources {
   }
 
   /**
+   * Bucketed table write (beyond-reference, 100 TB path): both sides of a
+   * recurring join bucketed on the join keys with the same bucket count
+   * join WITHOUT a shuffle (bucket metadata lives in the session catalog,
+   * hence saveAsTable). `sortBy` additionally pre-sorts within buckets so
+   * sort-merge joins skip the sort too.
+   */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    bucketCols: Seq[String], sortCols: Seq[String] = Nil,
+                    format: String = "parquet", mode: String = "overwrite"): Unit = {
+    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    var w = df.write.format(format).mode(mode)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.saveAsTable(table)
+  }
+
+  /**
    * Content hash for skip_if_unchanged (reference: odibi/config.py:4273-4296,
    * odibi/node.py:2831-2968): an order-insensitive SHA over the selected
    * columns — computed distributed (per-row xxhash64 xor-folded via bit_xor),

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  // skewed frame: one hot key with 5000 rows, 50 cold keys with 10 each
+  private lazy val skewed = spark.range(5500)
+    .select(when(col("id") < 5000, lit("hot"))
+      .otherwise(concat(lit("k"), (col("id") % 50).cast("string"))).as("k"),
+      (col("id") % 7).cast("double").as("v"))
+
+  test("saltedJoin matches plain join results for inner and left") {
+    val dim = Seq(("hot", "H"), ("k1", "A"), ("k2", "B"), ("zzz", "Z"))
+      .toDF("k", "label")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "label").collect()
+        .map(r => (r.getString(0), r.getDouble(1), Option(r.getString(2)))).sorted
+
+    val plainInner = skewed.join(dim, Seq("k"), "inner")
+    val saltedInner = Skew.saltedJoin(skewed, dim, Seq("k"), "inner")
+    assert(canon(saltedInner).sameElements(canon(plainInner)))
+
+    val plainLeft = skewed.join(dim, Seq("k"), "left")
+    val saltedLeft = Skew.saltedJoin(skewed, dim, Seq("k"), "left")
+    assert(canon(saltedLeft).sameElements(canon(plainLeft)))
+    // the join key includes the salt: the hot key's rows spread buckets
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(skewed, dim, Seq("k"), "full")
+    }
+  }
+
+  test("saltedAggregate equals plain groupBy for sum/count/min/max/avg") {
+    val out = Skew.saltedAggregate(skewed, Seq("k"), Map(
+      "total" -> ("sum", "v"), "n" -> ("count", "v"),
+      "lo" -> ("min", "v"), "hi" -> ("max", "v"), "mean" -> ("avg", "v")))
+    val plain = skewed.groupBy("k").agg(
+      sum("v").as("total"), count(col("v")).as("n"),
+      min("v").as("lo"), max("v").as("hi"), avg("v").as("mean"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "total", "n", "lo", "hi", "mean").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), math.round(r.getDouble(5) * 1e9)))
+        .sortBy(_._1)
+    assert(canon(out).sameElements(canon(plain)))
+    intercept[IllegalArgumentException] {
+      Skew.saltedAggregate(skewed, Seq("k"), Map("bad" -> ("collect_list", "v")))
+    }
+  }
+
+  test("bucketed tables join without a shuffle") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      graft.sources.Sources.writeBucketed(
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "x"),
+        "graft_bkt_left", buckets = 4, bucketCols = Seq("id"), sortCols = Seq("id"))
+      graft.sources.Sources.writeBucketed(
+        Seq((1L, 10.0), (2L, 20.0)).toDF("id", "y"),
+        "graft_bkt_right", buckets = 4, bucketCols = Seq("id"), sortCols = Seq("id"))
+      val joined = spark.table("graft_bkt_left").join(spark.table("graft_bkt_right"), "id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"co-located join still shuffles:\n$plan")
+      assert(joined.count() == 2)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_left")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_right")
+      ()
+    }
+  }
+}
