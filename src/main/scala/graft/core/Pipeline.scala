@@ -32,11 +32,25 @@ object Pipeline {
                                  operation: Option[String] = None,
                                  params: Map[String, Any] = Map.empty)
 
+  /**
+   * Declarative incremental read (reference: odibi/config.py:2458-2590;
+   * filter generation node.py:1019-1112): `mode` = "hwm" (stateful
+   * high-water-mark, smart first run = full load) or "rolling"
+   * (col >= now - lookback, stateless).
+   */
+  final case class IncrementalConfig(
+      column: String,
+      mode: String = "hwm",                       // hwm | rolling
+      lookbackSeconds: Long = 86400L,
+      watermarkLagSeconds: Long = 0L,
+      fallbackColumn: Option[String] = None)
+
   final case class NodeConfig(
       name: String,
       dependsOn: Seq[String] = Nil,
       input: Option[String] = None,               // dataset to start from
       read: Option[Sources.ReadConfig] = None,
+      incremental: Option[IncrementalConfig] = None,
       preSql: Seq[String] = Nil,                  // before read (node.py:230-232)
       steps: Seq[TransformStep] = Nil,
       tests: Seq[Validation.Test] = Nil,
@@ -163,10 +177,21 @@ object Pipeline {
               baseDir: Option[String] = None): DataFrame =
     runNodeWithStats(spark, cfg, datasets, baseDir)._1
 
-  /** As [[runNode]], also returning rows written (from write metrics). */
+  /**
+   * As [[runNode]], also returning rows written (from write metrics).
+   * With an `incremental` config and a state backend: the HWM filter is
+   * applied between read and transform (so it pushes into the scan), and
+   * the new HWM — the batch max, aggregated via an `Observation` DURING
+   * the write action, no second scan — is committed to state only after
+   * the write succeeds (the reference's pending_hwm_update contract,
+   * node.py:493-510).
+   */
   def runNodeWithStats(spark: SparkSession, cfg: NodeConfig,
                        datasets: Map[String, DataFrame],
-                       baseDir: Option[String] = None): (DataFrame, Option[Long]) = {
+                       baseDir: Option[String] = None,
+                       state: Option[graft.operators.Incremental.StateBackend] = None,
+                       stateKeyPrefix: String = ""): (DataFrame, Option[Long]) = {
+    import graft.operators.Incremental
     StandardTransformers.registerAll // idempotent
 
     runSideSql(spark, cfg.preSql, datasets)
@@ -177,7 +202,17 @@ object Pipeline {
         .getOrElse(throw new IllegalArgumentException(
           s"node ${cfg.name}: no read, input, or dependency to start from")))
 
-    val transformed = cfg.steps.foldLeft(base) { (df, step) =>
+    val hwmKey = s"${stateKeyPrefix}hwm/${cfg.name}"
+    val incremental = cfg.incremental.filter(_ => state.isDefined || cfg.incremental.exists(_.mode == "rolling"))
+    val filtered = incremental match {
+      case Some(inc) if inc.mode == "rolling" =>
+        Incremental.rollingWindowFilter(base, inc.column, inc.lookbackSeconds)
+      case Some(inc) =>
+        Incremental.hwmFilter(base, inc.column, state.flatMap(_.get(hwmKey)),
+          inc.watermarkLagSeconds, inc.fallbackColumn)
+      case None => base
+    }
+    val transformed = cfg.steps.foldLeft(filtered) { (df, step) =>
       val ctx = EngineContext(df, datasets)
       (step.sql, step.sqlFile, step.function, step.operation) match {
         case (Some(q), _, _, _) => ctx.sql(q)
@@ -196,6 +231,15 @@ object Pipeline {
 
     val rowsWritten =
       cfg.writePath.map(p => Sources.writeWithStats(transformed, p, cfg.write))
+
+    // commit HWM only after the write succeeded — never advance state for
+    // a failed batch (the reference's pending_hwm_update contract). The
+    // delta max is one aggregation over the HWM-filtered batch, which the
+    // pushed-down filter keeps small.
+    incremental.filter(i => i.mode == "hwm" && state.isDefined).foreach { inc =>
+      Incremental.newHwm(filtered, inc.column)
+        .foreach(v => state.foreach(_.set(hwmKey, v)))
+    }
 
     runSideSql(spark, cfg.postSql, datasets + (cfg.name -> transformed))
     (transformed, rowsWritten)
@@ -281,11 +325,13 @@ object Pipeline {
       // exactly retries+1 attempts; the last Failure is returned as-is
       // (runNode has write side effects, so no extra invocation)
       val t0 = System.currentTimeMillis()
-      var attempt = Try(runNodeWithStats(spark, node, datasets.asScala.toMap, cfg.baseDir))
+      def oneAttempt() = Try(runNodeWithStats(spark, node, datasets.asScala.toMap,
+        cfg.baseDir, opts.state, s"${cfg.name}/"))
+      var attempt = oneAttempt()
       var retriesLeft = node.retries
       while (attempt.isFailure && retriesLeft > 0) {
         retriesLeft -= 1
-        attempt = Try(runNodeWithStats(spark, node, datasets.asScala.toMap, cfg.baseDir))
+        attempt = oneAttempt()
       }
       val elapsed = System.currentTimeMillis() - t0
       attempt match {

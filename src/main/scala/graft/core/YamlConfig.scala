@@ -33,8 +33,8 @@ import scala.jdk.CollectionConverters._
 object YamlConfig {
 
   private val knownNodeKeys = Set("name", "depends_on", "input", "read",
-    "pre_sql", "steps", "tests", "write", "post_sql", "cache", "retries",
-    "tags", "enabled")
+    "incremental", "pre_sql", "steps", "tests", "write", "post_sql",
+    "cache", "retries", "tags", "enabled")
 
   /** Load from a file; sql_file steps resolve relative to the file's dir. */
   def loadPipelineFile(path: String): Pipeline.PipelineConfig = {
@@ -57,6 +57,7 @@ object YamlConfig {
         dependsOn = seqOf(m.get("depends_on")),
         input = m.get("input").map(_.toString),
         read = m.get("read").map(readCfg),
+        incremental = m.get("incremental").map(incrementalCfg),
         preSql = seqOf(m.get("pre_sql")),
         steps = m.getOrElse("steps", Nil).asInstanceOf[Seq[Any]].map(stepCfg),
         tests = m.getOrElse("tests", Nil).asInstanceOf[Seq[Any]].map(testCfg),
@@ -102,6 +103,16 @@ object YamlConfig {
       coalescePartitions = m.get("coalesce_partitions").map(_.toString.toInt),
       options = m.getOrElse("options", Map.empty[String, Any])
         .asInstanceOf[Map[String, Any]].map { case (k, x) => k -> x.toString })
+  }
+
+  private def incrementalCfg(v: Any): Pipeline.IncrementalConfig = {
+    val m = v.asInstanceOf[Map[String, Any]]
+    Pipeline.IncrementalConfig(
+      column = m("column").toString,
+      mode = m.getOrElse("mode", "hwm").toString,
+      lookbackSeconds = m.get("lookback_seconds").map(_.toString.toLong).getOrElse(86400L),
+      watermarkLagSeconds = m.get("watermark_lag_seconds").map(_.toString.toLong).getOrElse(0L),
+      fallbackColumn = m.get("fallback_column").map(_.toString))
   }
 
   private def stepCfg(v: Any): Pipeline.TransformStep = {

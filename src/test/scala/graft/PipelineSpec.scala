@@ -151,6 +151,41 @@ class PipelineSpec extends SparkSpec {
     assert(r3("b").failure.isEmpty)
   }
 
+  test("declarative incremental HWM: filter on read, state advanced after write") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc").toString
+    def seed(rows: Seq[(Int, String)]): Unit =
+      rows.toDF("id", "ts_s").withColumn("ts", $"ts_s".cast("timestamp"))
+        .drop("ts_s").write.mode("overwrite").parquet(s"$dir/src")
+
+    seed(Seq((1, "2026-01-01 00:00:00"), (2, "2026-01-02 00:00:00")))
+    val state = new graft.operators.Incremental.JsonFileState(s"$dir/state.json")
+    val node = Pipeline.NodeConfig("inc",
+      read = Some(graft.sources.Sources.ReadConfig("parquet", Some(s"$dir/src"))),
+      incremental = Some(Pipeline.IncrementalConfig(column = "ts")),
+      writePath = Some(s"$dir/out"),
+      write = graft.sources.Sources.WriteConfig(mode = "append"))
+    val cfg = Pipeline.PipelineConfig("p", Seq(node))
+    val opts = Pipeline.RunOptions(state = Some(state))
+
+    // first run: smart first run = full load, HWM recorded
+    val r1 = Pipeline.run(spark, cfg, opts = opts)
+    assert(r1("inc").rowsWritten.contains(2L))
+    assert(state.get("p/hwm/inc").exists(_.startsWith("2026-01-02")))
+
+    // second run over a grown source: only rows past the HWM are processed
+    seed(Seq((1, "2026-01-01 00:00:00"), (2, "2026-01-02 00:00:00"),
+      (3, "2026-01-05 00:00:00")))
+    val r2 = Pipeline.run(spark, cfg, opts = opts)
+    assert(r2("inc").rowsWritten.contains(1L)) // just id=3
+    assert(state.get("p/hwm/inc").exists(_.startsWith("2026-01-05")))
+    assert(spark.read.parquet(s"$dir/out").count() == 3) // appended once each
+
+    // third run, nothing new: zero rows, HWM unchanged
+    val r3 = Pipeline.run(spark, cfg, opts = opts)
+    assert(r3("inc").rowsWritten.contains(0L))
+    assert(state.get("p/hwm/inc").exists(_.startsWith("2026-01-05")))
+  }
+
   test("resume-from-failure restores unchanged succeeded nodes from their sink") {
     val dir = java.nio.file.Files.createTempDirectory("graft_resume").toString
     Seq((1, 10.0), (2, 20.0)).toDF("id", "v").write.mode("overwrite").parquet(s"$dir/in")
