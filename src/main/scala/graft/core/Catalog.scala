@@ -51,6 +51,18 @@ final class Catalog(spark: SparkSession, root: String) {
           .withColumn("run_id", lit(runId))
           .withColumn("recorded_at", current_timestamp()))
 
+  /** Record validation outcomes per node per run (meta_metrics family). */
+  def recordValidation(pipeline: String, runId: String,
+                       results: Seq[(String, graft.validation.Validation.TestResult)]): Unit =
+    if (results.nonEmpty)
+      append("meta_metrics",
+        results.map { case (node, r) =>
+          (node, r.test.name, r.test.kind, r.passed, r.failedRows, r.detail)
+        }.toDF("node", "test", "kind", "passed", "failed_rows", "detail")
+          .withColumn("pipeline", lit(pipeline))
+          .withColumn("run_id", lit(runId))
+          .withColumn("recorded_at", current_timestamp()))
+
   /** Record node failures with exception class (meta_failures family). */
   def recordFailures(pipeline: String, runId: String,
                      failures: Seq[(String, String, String)]): Unit =
@@ -187,6 +199,9 @@ object Catalog {
     catalog.recordFailures(cfg.name, runId, cfg.nodes.flatMap { n =>
       results.get(n.name).flatMap(_.failure)
         .map(e => (n.name, e.getClass.getName, Option(e.getMessage).getOrElse("")))
+    })
+    catalog.recordValidation(cfg.name, runId, cfg.nodes.flatMap { n =>
+      results.get(n.name).toSeq.flatMap(_.validation.map(n.name -> _))
     })
     results.foreach { case (name, r) =>
       if (r.failure.isEmpty && !r.skipped) catalog.recordSchema(cfg.name, name, r.df)

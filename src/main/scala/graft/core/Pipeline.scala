@@ -64,7 +64,8 @@ object Pipeline {
 
   final case class NodeResult(name: String, df: DataFrame, failure: Option[Throwable],
                               skipped: Boolean = false, skipReason: Option[String] = None,
-                              durationMs: Long = 0L, rowsWritten: Option[Long] = None)
+                              durationMs: Long = 0L, rowsWritten: Option[Long] = None,
+                              validation: Seq[Validation.TestResult] = Nil)
 
   /**
    * Run-time selection and resume flags (reference pipeline.py:391-446
@@ -190,7 +191,8 @@ object Pipeline {
                        datasets: Map[String, DataFrame],
                        baseDir: Option[String] = None,
                        state: Option[graft.operators.Incremental.StateBackend] = None,
-                       stateKeyPrefix: String = ""): (DataFrame, Option[Long]) = {
+                       stateKeyPrefix: String = "")
+      : (DataFrame, Option[Long], Seq[Validation.TestResult]) = {
     import graft.operators.Incremental
     StandardTransformers.registerAll // idempotent
 
@@ -226,8 +228,13 @@ object Pipeline {
       }
     }
 
-    if (cfg.tests.nonEmpty)
-      Validation.enforce(Validation.evaluate(transformed, cfg.tests))
+    val validation =
+      if (cfg.tests.isEmpty) Nil
+      else {
+        val results = Validation.evaluate(transformed, cfg.tests)
+        Validation.enforce(results)
+        results
+      }
 
     val rowsWritten =
       cfg.writePath.map(p => Sources.writeWithStats(transformed, p, cfg.write))
@@ -242,7 +249,7 @@ object Pipeline {
     }
 
     runSideSql(spark, cfg.postSql, datasets + (cfg.name -> transformed))
-    (transformed, rowsWritten)
+    (transformed, rowsWritten, validation)
   }
 
   /** Stable hash of a node's config, for resume change-detection. */
@@ -335,7 +342,7 @@ object Pipeline {
       }
       val elapsed = System.currentTimeMillis() - t0
       attempt match {
-        case Success((df0, rowsWritten)) =>
+        case Success((df0, rowsWritten, validation)) =>
           val df =
             if (node.cache || dependentCount(name) >= cfg.autoCacheThreshold) df0.persist()
             else df0
@@ -343,7 +350,7 @@ object Pipeline {
           datasets.put(name, df)
           ranThisRun.add(name)
           results.put(name, NodeResult(name, df, None,
-            durationMs = elapsed, rowsWritten = rowsWritten))
+            durationMs = elapsed, rowsWritten = rowsWritten, validation = validation))
           opts.state.foreach(_.set(stateKey(name), s"ok:${nodeHash(node)}"))
         case Failure(e) =>
           results.put(name, NodeResult(name, spark.emptyDataFrame, Some(e),

@@ -90,4 +90,23 @@ class CatalogSpec extends SparkSpec {
     assert(failures.length == 1 && failures(0).getAs[String]("node") == "boom")
     assert(failures(0).getAs[String]("error_class").nonEmpty)
   }
+
+  test("meta_metrics records per-test validation outcomes") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat4").toString
+    val cat = new Catalog(spark, root)
+    val cfg = Pipeline.PipelineConfig("p5", Seq(
+      Pipeline.NodeConfig("v", read = Some(Sources.ReadConfig("parquet",
+        Some("/root/testdata/sf0.001/region.parquet"))),
+        tests = Seq(
+          graft.validation.Validation.Test("pk_unique", "unique",
+            columns = Seq("r_regionkey")),
+          graft.validation.Validation.Test("key_not_null", "not_null",
+            columns = Seq("r_regionkey"))))))
+    Catalog.runRecorded(spark, cfg, cat, "run-m")
+    val metrics = cat.table("meta_metrics").collect()
+    assert(metrics.length == 2)
+    assert(metrics.forall(_.getAs[Boolean]("passed")))
+    assert(metrics.map(_.getAs[String]("test")).toSet ==
+      Set("pk_unique", "key_not_null"))
+  }
 }
