@@ -178,6 +178,17 @@ object Simulation {
     events.foldLeft(df)(applyScheduledEvent(_, tsCol, entityCol, _))
 
   /**
+   * Per-entity generator override (ColumnGeneratorConfig.entity_overrides,
+   * config.py:2230-2247): entities named in `overrides` evaluate their own
+   * generator expression; all others use `default`. Pure column algebra.
+   */
+  def overrideByEntity(entity: Column, default: Column,
+                       overrides: Map[String, Column]): Column =
+    overrides.foldLeft(default) { case (acc, (name, gen)) =>
+      when(entity === name, gen).otherwise(acc)
+    }
+
+  /**
    * Chaos injection (config.py:2179-2205 ChaosConfig): outliers (value ×
    * factor at `outlierRate`), row duplication, per-entity downtime windows
    * (rows dropped), and per-column null rates. All hash-seeded on `idCol`

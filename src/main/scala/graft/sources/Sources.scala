@@ -107,6 +107,52 @@ object Sources {
   }
 
   /**
+   * Z-order clustered write WITHOUT Delta (the reference's OPTIMIZE ZORDER
+   * is Delta-only and env-blocked here; this is the pure-Spark data-layout
+   * equivalent): normalize each cluster column to a bounded integer rank
+   * (ntile over its own order), interleave the bits into a Z-value, then
+   * range-partition + sort by it before writing parquet. Files then carry
+   * tight min/max ranges on ALL cluster columns, so row-group skipping
+   * works for filters on any of them — the point of Z-ordering.
+   */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+                    bitsPerCol: Int = 12, numFiles: Int = 32,
+                    format: String = "parquet", mode: String = "overwrite"): Unit = {
+    require(zCols.nonEmpty && zCols.size <= 4, "1..4 z-order columns")
+    require(bitsPerCol * zCols.size <= 60, "interleaved bits must fit a long")
+    val buckets = 1 << bitsPerCol
+    // min/max linear scaling to [0, buckets): one distributed agg, no
+    // global window (rank-based normalization would single-partition).
+    // Heavily skewed columns get uneven buckets — pre-transform (log etc.)
+    // if that matters; Z-value quality degrades gracefully either way.
+    val statsCols = zCols.flatMap(c =>
+      Seq(min(col(c).cast("double")).as(s"_mn_$c"), max(col(c).cast("double")).as(s"_mx_$c")))
+    val stats = df.agg(statsCols.head, statsCols.tail: _*).head()
+    val ranked = zCols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      val mn = Option(stats.getAs[java.lang.Double](s"_mn_$c")).map(_.toDouble).getOrElse(0.0)
+      val mx = Option(stats.getAs[java.lang.Double](s"_mx_$c")).map(_.toDouble).getOrElse(1.0)
+      val span = math.max(mx - mn, Double.MinPositiveValue)
+      d.withColumn(s"_graft_z_$i",
+        least(greatest(
+          floor((col(c).cast("double") - mn) / span * buckets).cast("long"),
+          lit(0L)), lit((buckets - 1).toLong)))
+    }
+    // bit-interleave: z = sum over bits b, cols i of bit(v_i, b) << (b*k + i)
+    val k = zCols.size
+    val zValue = (0 until bitsPerCol).flatMap { b =>
+      (0 until k).map { i =>
+        shiftleft(shiftright(col(s"_graft_z_$i"), b).bitwiseAND(lit(1L)),
+          b * k + i)
+      }
+    }.reduce(_ + _)
+    ranked.withColumn("_graft_zv", zValue)
+      .repartitionByRange(numFiles, col("_graft_zv"))
+      .sortWithinPartitions("_graft_zv")
+      .drop((0 until k).map(i => s"_graft_z_$i") :+ "_graft_zv": _*)
+      .write.format(format).mode(mode).save(path)
+  }
+
+  /**
    * Content hash for skip_if_unchanged (reference: odibi/config.py:4273-4296,
    * odibi/node.py:2831-2968): an order-insensitive SHA over the selected
    * columns — computed distributed (per-row xxhash64 xor-folded via bit_xor),

@@ -50,6 +50,33 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("z-ordered write clusters both columns into tight per-file ranges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_z").toString
+    // 40k points on a 200x200 grid, row-major order (worst case for y)
+    val grid = spark.range(40000).select(
+      (col("id") / 200).cast("long").as("x"), (col("id") % 200).cast("long").as("y"))
+    graft.sources.Sources.writeZOrdered(grid, s"$dir/z", Seq("x", "y"),
+      bitsPerCol = 8, numFiles = 16)
+    val perFile = spark.read.parquet(s"$dir/z")
+      .groupBy(input_file_name().as("f"))
+      .agg(((max("x") - min("x")) + 1).as("xr"), ((max("y") - min("y")) + 1).as("yr"))
+      .collect()
+    assert(perFile.length > 4)
+    // files must cover far less than the full 200-wide domain on BOTH axes
+    // (a plain sort by x would leave yr == 200 for every file); a couple of
+    // boundary files legitimately span z-curve discontinuities
+    val loose = perFile.count(r =>
+      r.getAs[Long]("xr") > 100 || r.getAs[Long]("yr") > 100)
+    assert(loose <= perFile.length / 4,
+      perFile.map(r => (r.getAs[Long]("xr"), r.getAs[Long]("yr"))).mkString(","))
+    val avgArea = perFile.map(r =>
+      r.getAs[Long]("xr").toDouble * r.getAs[Long]("yr")).sum / perFile.length
+    assert(avgArea < 200.0 * 200.0 / 4, s"avg bounding box area $avgArea")
+    // round trip intact
+    assert(spark.read.parquet(s"$dir/z").count() == 40000)
+    assert(spark.read.parquet(s"$dir/z").columns.toSet == Set("x", "y"))
+  }
+
   test("bucketed tables join without a shuffle") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {

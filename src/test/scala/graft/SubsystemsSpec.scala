@@ -208,6 +208,16 @@ class SubsystemsSpec extends SparkSpec {
     val nNull = nulled.filter($"m".isNull).count()
     assert(nNull > 120 && nNull < 360) // ~50%
 
+    // per-entity generator overrides
+    val overridden = ts.withColumn("temp", Simulation.overrideByEntity(
+      col("entity_id"), default = lit(20.0),
+      overrides = Map("entity_1" -> lit(99.0), "entity_2" -> lit(-5.0))))
+    val byEntity = overridden.groupBy("entity_id").agg(min("temp"), max("temp"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(byEntity("entity_0") == ((20.0, 20.0)))
+    assert(byEntity("entity_1") == ((99.0, 99.0)))
+    assert(byEntity("entity_2") == ((-5.0, -5.0)))
+
     // bounded walk: clamped to [min, max], deterministic with shocks
     val walk = ts.withColumn("p", Simulation.boundedRandomWalk(ts, "entity_id",
       "tick", "p", seed = 23, start = 100.0, min = 95.0, max = 105.0,
