@@ -93,6 +93,62 @@ final class Catalog(spark: SparkSession, root: String) {
     latestSchema(node).exists(_ != df.schema.toDDL)
 
   // ------------------------------------------------------------------
+  // Derived health views (the reference's meta_daily_stats /
+  // meta_pipeline_health family, catalog.py:183-200) — computed on read
+  // from meta_runs/meta_outputs rather than stored, so they can never
+  // drift from the facts.
+  // ------------------------------------------------------------------
+
+  /** Per-day per-pipeline run stats (meta_daily_stats equivalent). */
+  def dailyStats: DataFrame =
+    table("meta_runs")
+      .groupBy(to_date(col("recorded_at")).as("day"), col("pipeline"))
+      .agg(
+        countDistinct(col("run_id")).as("n_runs"),
+        sum(when(!col("success"), 1L).otherwise(0L)).as("n_node_failures"),
+        sum(col("duration_ms")).as("total_duration_ms"))
+
+  /** Per-pipeline health summary (meta_pipeline_health equivalent). */
+  def pipelineHealth: DataFrame = {
+    val runs = table("meta_runs")
+    val perRun = runs.groupBy(col("pipeline"), col("run_id"))
+      .agg(min(col("success")).as("run_ok"),
+        max(col("recorded_at")).as("finished_at"))
+    perRun.groupBy(col("pipeline"))
+      .agg(
+        count(lit(1)).as("n_runs"),
+        avg(col("run_ok").cast("double")).as("success_rate"),
+        max(col("finished_at")).as("last_run_at"),
+        max(when(col("run_ok"), col("finished_at"))).as("last_success_at"))
+  }
+
+  /**
+   * Average rows written by a node over its recent runs — the baseline for
+   * volume-drop validation (reference get_average_volume, volume_drop test
+   * wired through the catalog in pipeline validation).
+   */
+  def averageRowsWritten(pipeline: String, node: String, lastN: Int = 7): Option[Double] =
+    try {
+      val rows = table("meta_outputs")
+        .filter(col("pipeline") === pipeline && col("node") === node)
+        .orderBy(col("recorded_at").desc).limit(lastN)
+        .agg(avg(col("rows_written"))).as[Option[Double]].collect().headOption.flatten
+      rows
+    } catch { case _: Throwable => None }
+
+  /**
+   * Volume-drop gate: fails when this run's rows_written fell more than
+   * `threshold` (fraction) below the node's recent average. Returns the
+   * drop fraction when breached.
+   */
+  def volumeDropCheck(pipeline: String, node: String, currentRows: Long,
+                      threshold: Double = 0.5, lastN: Int = 7): Option[Double] =
+    averageRowsWritten(pipeline, node, lastN).filter(_ > 0).flatMap { avgRows =>
+      val drop = (avgRows - currentRows) / avgRows
+      if (drop > threshold) Some(drop) else None
+    }
+
+  // ------------------------------------------------------------------
   // meta_pipelines / meta_nodes / meta_state (catalog.py:183-200; deploy
   // registration :1205-1290; pipeline hash lookup :3034-3045). Appends
   // with latest-wins reads stand in for the reference's Delta MERGE.

@@ -91,6 +91,30 @@ class CatalogSpec extends SparkSpec {
     assert(failures(0).getAs[String]("error_class").nonEmpty)
   }
 
+  test("health views and volume-drop gate derive from run history") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat5").toString
+    val cat = new Catalog(spark, root)
+    val cfg = Pipeline.PipelineConfig("ph", Seq(
+      Pipeline.NodeConfig("w", read = Some(Sources.ReadConfig("parquet",
+        Some("/root/testdata/sf0.001/region.parquet"))),
+        writePath = Some(s"$root/w_out"))))
+    Catalog.runRecorded(spark, cfg, cat, "r1")
+    Catalog.runRecorded(spark, cfg, cat, "r2")
+
+    val daily = cat.dailyStats.collect()
+    assert(daily.length == 1 && daily(0).getAs[Long]("n_runs") == 2)
+    assert(daily(0).getAs[Long]("n_node_failures") == 0)
+    val health = cat.pipelineHealth.collect()
+    assert(health.length == 1 && health(0).getAs[Double]("success_rate") == 1.0)
+    assert(health(0).getAs[Long]("n_runs") == 2)
+
+    // volume gate: 5-row average; 1 row = 80% drop breaches, 4 rows does not
+    assert(cat.averageRowsWritten("ph", "w").contains(5.0))
+    assert(cat.volumeDropCheck("ph", "w", currentRows = 1).exists(_ > 0.5))
+    assert(cat.volumeDropCheck("ph", "w", currentRows = 4).isEmpty)
+    assert(cat.volumeDropCheck("ph", "nope", currentRows = 1).isEmpty) // no history
+  }
+
   test("meta_metrics records per-test validation outcomes") {
     val root = java.nio.file.Files.createTempDirectory("graft_cat4").toString
     val cat = new Catalog(spark, root)
