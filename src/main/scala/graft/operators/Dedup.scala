@@ -253,7 +253,7 @@ object Dedup {
    */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             dim: Int, threshold: Double = 0.95,
-                            bits: Int = 48, bands: Int = 8): DataFrame = {
+                            bits: Int = 48, bands: Int = 12): DataFrame = {
     import graft.functions.Similarity
     val rowsPerBand = bits / bands
     val mask = (1L << rowsPerBand) - 1

@@ -61,6 +61,49 @@ class RecallSpec extends SparkSpec {
     ()
   }
 
+  test("simhashPairs pigeonhole blocking has recall 1.0 (exact by construction)") {
+    // within Hamming <= 3, at least one 16-bit quarter must match — so the
+    // blocked+verified output must EQUAL the brute-force pair set
+    val docs = spark.read.parquet(s"$sf/documents.parquet").filter("doc_id < 300")
+      .select(col("doc_id").cast("long"), col("text")).cache()
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("_sh"))
+    val l = sigs.select(col("doc_id").as("a"), col("_sh").as("_sha"))
+    val r0 = sigs.select(col("doc_id").as("b"), col("_sh").as("_shb"))
+    val truth = l.crossJoin(r0).filter(col("a") < col("b"))
+      .withColumn("_h", Dedup.hammingDistance(col("_sha"), col("_shb")))
+      .filter(col("_h") <= 3)
+      .select("a", "b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val got = Dedup.simhashPairs(docs, "doc_id", "text")
+      .select(col("a").cast("long"), col("b").cast("long")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == truth, // exact equality: recall AND precision 1.0
+      s"missing=${truth.diff(got).take(3)} extra=${got.diff(truth).take(3)}")
+    docs.unpersist()
+    ()
+  }
+
+  test("embeddingNearDupPairs recall vs brute-force cosine threshold") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").filter("vec_id < 800")
+      .select(col("vec_id").cast("long"), col("embedding")).cache()
+    val l = emb.select(col("vec_id").as("a"), col("embedding").as("_va"))
+    val r0 = emb.select(col("vec_id").as("b"), col("embedding").as("_vb"))
+    val truth = l.crossJoin(r0).filter(col("a") < col("b"))
+      .withColumn("_c", Similarity.cosine(col("_va"), col("_vb")))
+      .filter(col("_c") >= 0.25)
+      .select("a", "b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    val got = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+      dim = 64, threshold = 0.25)
+      .select(col("a").cast("long"), col("b").cast("long")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got.subsetOf(truth), s"false positives: ${got.diff(truth).take(3)}")
+    val rec = recall(truth, got)
+    info(f"embeddingNearDupPairs recall at cos>=0.25: $rec%.3f (${truth.size} truth)")
+    assert(rec >= 0.70, f"embedding near-dup recall $rec%.3f below bound 0.70")
+    emb.unpersist()
+    ()
+  }
+
   test("ngramJaccardPairs recall vs brute-force at same threshold") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").filter("doc_id < 250")
       .select(col("doc_id").cast("long"), col("text")).cache()
