@@ -241,6 +241,33 @@ object StandardTransformers {
       graft.functions.Similarity.bruteForceTopK(c.df, str(p, "id_col"), str(p, "vec_col"),
         c.dataset(str(p, "queries_dataset")), str(p, "query_id_col"),
         str(p, "query_vec_col"), str(p, "k").toInt) }
+    reg("lsh_topk") { (c, p) =>
+      graft.functions.Similarity.lshTopK(c.df, str(p, "id_col"), str(p, "vec_col"),
+        c.dataset(str(p, "queries_dataset")), str(p, "query_id_col"),
+        str(p, "query_vec_col"), str(p, "k").toInt, str(p, "dim").toInt) }
+    reg("ivf_topk") { (c, p) =>
+      graft.functions.Similarity.ivfTopK(c.df, str(p, "id_col"), str(p, "vec_col"),
+        c.dataset(str(p, "queries_dataset")), str(p, "query_id_col"),
+        str(p, "query_vec_col"), str(p, "k").toInt,
+        intOpt(p, "num_centroids").getOrElse(64), intOpt(p, "nprobe").getOrElse(16)) }
+    reg("ngram_jaccard_pairs") { (c, p) =>
+      Dedup.ngramJaccardPairs(c.df, str(p, "id_col"), str(p, "text_col"),
+        intOpt(p, "n").getOrElse(3),
+        strOpt(p, "threshold").map(_.toDouble).getOrElse(0.8)) }
+    reg("embedding_neardup_pairs") { (c, p) =>
+      Dedup.embeddingNearDupPairs(c.df, str(p, "id_col"), str(p, "vec_col"),
+        str(p, "dim").toInt,
+        strOpt(p, "threshold").map(_.toDouble).getOrElse(0.95)) }
+    reg("salted_join") { (c, p) =>
+      graft.operators.Skew.saltedJoin(c.df, c.dataset(str(p, "right_dataset")),
+        seqOf(p, "on"), strOpt(p, "how").getOrElse("inner"),
+        intOpt(p, "salt_buckets").getOrElse(8)) }
+    reg("salted_aggregate") { (c, p) =>
+      graft.operators.Skew.saltedAggregate(c.df, seqOf(p, "group_by"),
+        mapOf(p, "aggregations").map { case (out, v) =>
+          val parts = v.split(":", 2) // "fn:column"
+          out -> ((parts(0), parts.lift(1).getOrElse(out)))
+        }.toMap, intOpt(p, "salt_buckets").getOrElse(8)) }
 
     // geocode (advanced.py:1001-1035): reference ships a constant-placeholder
     // stub; reproduced as such.

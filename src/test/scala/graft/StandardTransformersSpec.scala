@@ -76,4 +76,33 @@ class StandardTransformersSpec extends SparkSpec {
     val m = results("joined").df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(m == Map("alice" -> 150.0, "bob" -> 10.0))
   }
+
+  test("skew and ANN ops are reachable as named transformers from YAML") {
+    graft.core.StandardTransformers.registerAll
+    val names = graft.core.TransformerRegistry.names.toSet
+    assert(Set("salted_join", "salted_aggregate", "lsh_topk", "ivf_topk",
+      "ngram_jaccard_pairs", "embedding_neardup_pairs").subsetOf(names))
+
+    val orders = Seq((1, 100.0), (1, 50.0), (2, 10.0)).toDF("cust", "amt")
+    val yaml =
+      """
+        |name: s
+        |nodes:
+        |  - name: agg
+        |    input: orders
+        |    steps:
+        |      - function: salted_aggregate
+        |        params:
+        |          group_by: [cust]
+        |          aggregations: { total: "sum:amt", n: "count:amt" }
+        |          salt_buckets: 4
+        |""".stripMargin
+    val results = Pipeline.run(spark, YamlConfig.loadPipeline(yaml),
+      Map("orders" -> orders))
+    assert(results.values.forall(_.failure.isEmpty),
+      results.values.flatMap(_.failure).map(_.getMessage).mkString("; "))
+    val m = results("agg").df.collect()
+      .map(r => r.getAs[Int]("cust") -> (r.getAs[Double]("total"), r.getAs[Long]("n"))).toMap
+    assert(m == Map(1 -> ((150.0, 2L)), 2 -> ((10.0, 1L))))
+  }
 }
