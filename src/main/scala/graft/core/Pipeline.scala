@@ -308,11 +308,17 @@ object Pipeline {
 
     def stateKey(name: String) = s"${cfg.name}/$name"
 
-    /** Resume: restore a previously-succeeded, unchanged node from its sink. */
+    /**
+     * Resume: restore a previously-succeeded, unchanged node from its sink.
+     * Incremental nodes are NEVER restored — their whole point is that a
+     * new run ingests data past the HWM, so a skip would silently drop the
+     * delta even though the config hash matches.
+     */
     def tryRestore(node: NodeConfig): Boolean =
       (opts.resumeFromFailure, opts.state, node.writePath) match {
         case (true, Some(st), Some(path))
-            if st.get(stateKey(node.name)).contains(s"ok:${nodeHash(node)}") &&
+            if node.incremental.isEmpty &&
+              st.get(stateKey(node.name)).contains(s"ok:${nodeHash(node)}") &&
               !node.dependsOn.exists(ranThisRun.contains) =>
           Try(spark.read.format(node.write.format).load(path)) match {
             case Success(df) =>

@@ -233,7 +233,15 @@ object SqlCore {
     targets.foldLeft(df)((d, c) => d.withColumn(c, trim(col(c))))
   }
 
-  /** row_number (sql_core.py:1545-1610). */
+  /**
+   * row_number (sql_core.py:1545-1610).
+   *
+   * SCALE WARNING: an empty `partitionBy` is a GLOBAL window — the entire
+   * frame flows through one task (reference semantics, reproduced
+   * faithfully). At scale, pass partition keys, or use
+   * `Patterns`-style range-partition + offset assignment when you need a
+   * dense global ordinal (see `Patterns.dimension`'s SK path).
+   */
   def rowNumber(df: DataFrame, outputCol: String, partitionBy: Seq[String],
                 orderBy: Seq[Column]): DataFrame = {
     val w =
