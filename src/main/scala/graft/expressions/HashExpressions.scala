@@ -115,6 +115,56 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     copy(child = newChild)
 }
 
+/**
+ * Cosine similarity over two numeric array columns in one unboxed pass
+ * (dot and both norms together). Same reason as the hash expressions:
+ * the HOF formulation (`aggregate(zip_with(...))`) is interpreted per
+ * element — for IVF/LSH/brute-force ANN the cosine IS the hot loop
+ * (corpus × centroids/candidates evaluations).
+ *
+ * FP semantics match the HOF version bit-for-bit: each element cast to
+ * double, products accumulated left to right from 0.0, result =
+ * dot / (sqrt(na) * sqrt(nb)); null elements or length mismatch → null
+ * (zip_with pads with null and `acc + null` nulls the aggregate).
+ */
+case class CosineSim(left: Expression, right: Expression, normalize: Boolean = true)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType}
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = if (normalize) "cosine_sim" else "dot_product"
+
+  private def getter(dt: DataType): (ArrayData, Int) => Double = dt match {
+    case ArrayType(FloatType, _) => (a, i) => a.getFloat(i).toDouble
+    case ArrayType(DoubleType, _) => (a, i) => a.getDouble(i)
+    case ArrayType(IntegerType, _) => (a, i) => a.getInt(i).toDouble
+    case ArrayType(LongType, _) => (a, i) => a.getLong(i).toDouble
+    case other => throw new IllegalArgumentException(
+      s"cosine_sim needs numeric arrays, got $other")
+  }
+  @transient private lazy val getL = getter(left.dataType)
+  @transient private lazy val getR = getter(right.dataType)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = getL(a, i); val y = getR(b, i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (normalize) dot / (math.sqrt(na) * math.sqrt(nb)) else dot
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API wrappers. */
 object HashFunctions {
   def minhashShingles(text: Column, shingleSize: Int, numHashes: Int): Column =
@@ -123,6 +173,13 @@ object HashFunctions {
 
   def simhash64(tokens: Column): Column =
     ColumnShim.column(SimHash64(ColumnShim.expression(tokens)))
+
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnShim.column(CosineSim(ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  def dotProduct(a: Column, b: Column): Column =
+    ColumnShim.column(
+      CosineSim(ColumnShim.expression(a), ColumnShim.expression(b), normalize = false))
 }
 
 /**

@@ -21,15 +21,19 @@ object Similarity {
 
   /** Dot product of two float/double array columns (double precision). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.expressions.HashFunctions.dotProduct(a, b)
 
   def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+    sqrt(graft.expressions.HashFunctions.dotProduct(a, a))
 
+  /**
+   * Cosine similarity — a native one-pass expression
+   * ([[graft.expressions.CosineSim]]); the HOF formulation is interpreted
+   * per element and was the hot loop of every ANN path. FP-identical to
+   * `dot(a,b) / (norm(a)*norm(b))`.
+   */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    graft.expressions.HashFunctions.cosineSim(a, b)
 
   /**
    * Brute-force exact top-k cosine neighbors for each query row.
@@ -66,8 +70,8 @@ object Similarity {
     val planes = Array.fill(bits, dim)(rng.nextGaussian())
     val bitCols = planes.zipWithIndex.map { case (plane, i) =>
       val planeLit = array(plane.map(v => lit(v)): _*)
-      val d = aggregate(zip_with(vec, planeLit, (x, h) => x.cast("double") * h),
-        lit(0.0), (acc, x) => acc + x)
+      // native dot (raw, not normalized: sign-identical incl. zero vectors)
+      val d = graft.expressions.HashFunctions.dotProduct(vec, planeLit)
       when(d >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)
