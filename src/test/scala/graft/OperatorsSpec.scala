@@ -1,3 +1,6 @@
+// (GraftExtensions itself is driven end-to-end via spark-shell with
+// spark.sql.extensions set — extensions only apply at session creation,
+// so the shared test session cannot exercise them; see verify skill.)
 package graft
 
 import org.apache.spark.sql.functions._
