@@ -443,6 +443,31 @@ object SparkEntry {
       q.awaitTermination()
       s.read.parquet(s"$tmp/sink")
     }),
+    "q_asof_join" -> ((s, d) => { // point-in-time join; DuckDB ASOF JOIN oracle
+      val ev = events(s, d)
+      // second-truncate both sides: events carry sub-second precision that
+      // Spark (µs) and DuckDB (ns) would compare differently
+      val l = ev.select(col("user_id"), col("event_id"), col("value"),
+        date_trunc("second", col("ts")).as("lts"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), date_trunc("second", col("ts")).as("rts"))
+        .agg(max("value").as("purchase_value"))
+      operators.Relational.asOfJoin(l, r, Seq("user_id"), "lts", "rts")
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_timestamp(col("right_rts")).as("asof_s"),
+          col("right_purchase_value").as("purchase_value"))
+    }),
+    "q_range_join" -> ((s, d) => { // interval join via bin blocking
+      val ev = events(s, d)
+      val l = ev.select(col("user_id"), col("event_id"),
+        date_trunc("second", col("ts")).as("pts"))
+      val r = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), date_trunc("second", col("ts")).as("ws"))
+        .withColumn("we", col("ws") + expr("INTERVAL 1 HOUR"))
+      operators.Relational.rangeJoin(l, r, Seq("user_id"), "pts", "ws", "we")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ws")).as("win_s"))
+    }),
     "q_salted_agg" -> ((s, d) => // skew-mitigated two-phase aggregate == plain GROUP BY
       operators.Skew.saltedAggregate(t(s, d, "lineitem"), Seq("l_returnflag"),
         Map("sum_qty" -> ("sum", "l_quantity"), "n" -> ("count", "l_quantity"),
@@ -627,6 +652,10 @@ object SparkEntry {
       "SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal, CAST(NULL AS VARCHAR) AS missing_col FROM customer",
     "q_unit_convert" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_quantity * 2.2046226218487757 + 0.0 AS qty_lb, round((l_discount * 100) * 1.7999999999999998 + 31.999999999999986, 6) AS t_f FROM lineitem",
+    "q_asof_join" ->
+      "WITH l AS (SELECT user_id, event_id, value, date_trunc('second', ts) AS lts FROM events), r AS (SELECT user_id, date_trunc('second', ts) AS rts, max(value) AS purchase_value FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) SELECT l.user_id, l.event_id, l.value, CAST(floor(epoch(r.rts)) AS BIGINT) AS asof_s, r.purchase_value FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.lts >= r.rts",
+    "q_range_join" ->
+      "WITH l AS (SELECT user_id, event_id, date_trunc('second', ts) AS pts FROM events), r AS (SELECT user_id, date_trunc('second', ts) AS ws, date_trunc('second', ts) + INTERVAL 1 HOUR AS we FROM events WHERE event_type = 'error') SELECT l.user_id, l.event_id, CAST(floor(epoch(r.ws)) AS BIGINT) AS win_s FROM l JOIN r ON l.user_id = r.user_id AND l.pts >= r.ws AND l.pts < r.we",
     "q_salted_agg" ->
       "SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(l_quantity) AS n, max(l_quantity) AS max_qty FROM lineitem GROUP BY 1",
     "q_phases" ->

@@ -258,6 +258,16 @@ object StandardTransformers {
       Dedup.embeddingNearDupPairs(c.df, str(p, "id_col"), str(p, "vec_col"),
         str(p, "dim").toInt,
         strOpt(p, "threshold").map(_.toDouble).getOrElse(0.95)) }
+    reg("asof_join") { (c, p) =>
+      graft.operators.Relational.asOfJoin(c.df, c.dataset(str(p, "right_dataset")),
+        seqOf(p, "on"), str(p, "left_ts"), str(p, "right_ts"),
+        strOpt(p, "tolerance_seconds").map(_.toLong),
+        strOpt(p, "prefix").getOrElse("right")) }
+    reg("range_join") { (c, p) =>
+      graft.operators.Relational.rangeJoin(c.df, c.dataset(str(p, "right_dataset")),
+        seqOf(p, "on"), str(p, "point_col"), str(p, "start_col"), str(p, "end_col"),
+        strOpt(p, "bin_seconds").map(_.toLong).getOrElse(3600L),
+        strOpt(p, "how").getOrElse("inner")) }
     reg("salted_join") { (c, p) =>
       graft.operators.Skew.saltedJoin(c.df, c.dataset(str(p, "right_dataset")),
         seqOf(p, "on"), strOpt(p, "how").getOrElse("inner"),

@@ -94,4 +94,111 @@ object Relational {
     if (groupBy.isEmpty) df.agg(exprs.head, exprs.tail: _*)
     else df.groupBy(groupBy.map(col): _*).agg(exprs.head, exprs.tail: _*)
   }
+
+  /**
+   * AS-OF (point-in-time) join — beyond-reference; Spark has no built-in
+   * and it's the join a feature-store / time-series training pipeline needs
+   * (each left event picks the LATEST right row with rightTs <= leftTs per
+   * key, optionally within `toleranceSeconds`).
+   *
+   * Scale shape: NOT an inequality join (which Catalyst executes as a
+   * broadcast-nested-loop). The two sides are union-tagged and processed
+   * with ONE window over (keys, ts): last_value(right attrs, ignoreNulls)
+   * carries the most recent right row forward onto each left row. One
+   * shuffle + one sort, linear output — survives 100× where a range
+   * condition would go quadratic.
+   *
+   * Right-side attribute columns arrive as `{prefix}_{col}` (null when no
+   * right row precedes the event / outside tolerance). Right rows with
+   * duplicate (keys, ts) are reduced to the last one by input order of the
+   * remaining sort — dedupe upstream if that matters.
+   */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String,
+               toleranceSeconds: Option[Long] = None,
+               prefix: String = "right"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keys.nonEmpty, "asOfJoin requires join keys")
+    val rightAttrs = right.columns.filterNot(c => keys.contains(c) || c == rightTs).toSeq
+    val leftCols = left.columns.toSeq
+
+    // tag and align the two sides: right rows carry their attrs + their ts,
+    // left rows carry nulls for them
+    val rTagged = right.select(
+      keys.map(col) ++
+        Seq(col(rightTs).as("_g_ts"), lit(0).as("_g_side"),
+          col(rightTs).as("_g_rts")) ++
+        rightAttrs.map(c => col(c).as(s"_g_$c")) ++
+        leftCols.filterNot(keys.contains).map(c => lit(null).cast(
+          left.schema(c).dataType).as(s"_l_$c")): _*)
+    val lTagged = left.select(
+      keys.map(col) ++
+        Seq(col(leftTs).as("_g_ts"), lit(1).as("_g_side"),
+          lit(null).cast(right.schema(rightTs).dataType).as("_g_rts")) ++
+        rightAttrs.map(c => lit(null).cast(right.schema(c).dataType).as(s"_g_$c")) ++
+        leftCols.filterNot(keys.contains).map(c => col(c).as(s"_l_$c")): _*)
+
+    // right rows sort BEFORE left rows at equal ts (side 0 < 1), so an
+    // event at exactly the right row's ts sees it (ASOF >= semantics)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_g_ts").asc, col("_g_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rTagged.unionByName(lTagged)
+      .withColumn("_m_rts", last(col("_g_rts"), ignoreNulls = true).over(w))
+    val withAttrs = rightAttrs.foldLeft(carried) { (d, c) =>
+      d.withColumn(s"_m_$c", last(col(s"_g_$c"), ignoreNulls = true).over(w))
+    }
+
+    val withinTol = toleranceSeconds match {
+      case Some(tol) =>
+        col("_m_rts").isNotNull &&
+          (unix_timestamp(col("_g_ts")) - unix_timestamp(col("_m_rts"))) <= tol
+      case None => col("_m_rts").isNotNull
+    }
+    withAttrs.filter(col("_g_side") === 1)
+      .select(
+        keys.map(col) ++
+          leftCols.filterNot(keys.contains).map(c => col(s"_l_$c").as(c)) ++
+          Seq(when(withinTol, col("_m_rts")).otherwise(lit(null))
+            .as(s"${prefix}_$rightTs")) ++
+          rightAttrs.map(c => when(withinTol, col(s"_m_$c")).otherwise(lit(null))
+            .as(s"${prefix}_$c")): _*)
+  }
+
+  /**
+   * Range (interval) join — beyond-reference: left point rows matched to
+   * right interval rows [startCol, endCol) sharing `keys`.
+   *
+   * Scale shape: intervals are exploded into fixed-width bins and joined
+   * on (keys, bin) — an equi-join Catalyst can shuffle/broadcast — then the
+   * exact containment predicate verifies. `binSeconds` should be on the
+   * order of the typical interval length: too small explodes the right
+   * side, too large degrades selectivity (candidates per bin grow).
+   */
+  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                pointCol: String, startCol: String, endCol: String,
+                binSeconds: Long = 3600L, how: String = "inner"): DataFrame = {
+    require(Seq("inner", "left").contains(how), s"rangeJoin supports inner|left, got $how")
+    val pBin = (unix_timestamp(col(pointCol)) / binSeconds).cast("long")
+    val rBinned = right.withColumn("_g_bin",
+      explode(sequence(
+        (unix_timestamp(col(startCol)) / binSeconds).cast("long"),
+        (unix_timestamp(col(endCol)) / binSeconds).cast("long"))))
+    val joined = left.withColumn("_g_bin", pBin)
+      .join(rBinned, keys :+ "_g_bin", "inner")
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("_g_bin")
+    how match {
+      case "inner" => joined
+      case "left" =>
+        // reattach unmatched left rows with null right attrs
+        val matchedKeys = joined.select((keys :+ pointCol).map(col): _*).distinct()
+        val unmatched = left.join(matchedKeys, keys :+ pointCol, "left_anti")
+        val rightOnly = right.columns.filterNot(keys.contains)
+        joined.unionByName(
+          rightOnly.foldLeft(unmatched) { (d, c) =>
+            d.withColumn(c, lit(null).cast(right.schema(c).dataType))
+          })
+    }
+  }
 }

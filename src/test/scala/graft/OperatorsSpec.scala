@@ -119,4 +119,54 @@ class OperatorsSpec extends SparkSpec {
     assert(flags(1) == "v_max" && flags(2) == "v_min")
     assert(out.count() == 2)
   }
+
+  test("asOfJoin: latest right row at or before each event, tolerance, no match") {
+    def t(s: String) = s"$s:00"
+    val trades = Seq((1L, t("2026-01-01 10:00"), "t1"), (1L, t("2026-01-01 10:05"), "t2"),
+      (1L, t("2026-01-01 12:00"), "t3"), (2L, t("2026-01-01 09:00"), "t4"))
+      .toDF("k", "ts_s", "trade").withColumn("ts", $"ts_s".cast("timestamp")).drop("ts_s")
+    val quotes = Seq((1L, t("2026-01-01 09:59"), 100.0), (1L, t("2026-01-01 10:05"), 101.0),
+      (2L, t("2026-01-01 10:00"), 50.0))
+      .toDF("k", "qts_s", "px").withColumn("qts", $"qts_s".cast("timestamp")).drop("qts_s")
+
+    val out = graft.operators.Relational.asOfJoin(trades, quotes, Seq("k"), "ts", "qts")
+      .collect().map(r => r.getAs[String]("trade") ->
+        Option(r.getAs[java.lang.Double]("right_px")).map(_.toDouble)).toMap
+    assert(out("t1").contains(100.0)) // 09:59 quote
+    assert(out("t2").contains(101.0)) // equal-ts quote matches (>= semantics)
+    assert(out("t3").contains(101.0)) // carried forward
+    assert(out("t4").isEmpty)         // no quote before 09:00 for k=2
+
+    // tolerance: t3 is 1h55m after the 10:05 quote -> outside 1h tolerance
+    val tol = graft.operators.Relational.asOfJoin(trades, quotes, Seq("k"), "ts", "qts",
+      toleranceSeconds = Some(3600))
+      .collect().map(r => r.getAs[String]("trade") ->
+        Option(r.getAs[java.lang.Double]("right_px"))).toMap
+    assert(tol("t2").isDefined && tol("t3").isEmpty)
+    // left row count always preserved
+    assert(graft.operators.Relational.asOfJoin(trades, quotes, Seq("k"), "ts", "qts")
+      .count() == 4)
+  }
+
+  test("rangeJoin: bin-blocked containment matches inequality semantics") {
+    def ts(s: String) = s"$s:00"
+    val points = Seq((1L, ts("2026-01-01 10:30"), "p1"), (1L, ts("2026-01-01 13:30"), "p2"),
+      (2L, ts("2026-01-01 10:30"), "p3"))
+      .toDF("k", "p_s", "name").withColumn("p", $"p_s".cast("timestamp")).drop("p_s")
+    val intervals = Seq((1L, ts("2026-01-01 10:00"), ts("2026-01-01 11:00"), "w1"),
+      (1L, ts("2026-01-01 10:15"), ts("2026-01-01 14:00"), "w2"),
+      (2L, ts("2026-01-01 11:00"), ts("2026-01-01 12:00"), "w3"))
+      .toDF("k", "s_s", "e_s", "win")
+      .withColumn("s", $"s_s".cast("timestamp")).withColumn("e", $"e_s".cast("timestamp"))
+      .drop("s_s", "e_s")
+
+    val inner = graft.operators.Relational.rangeJoin(points, intervals, Seq("k"),
+      "p", "s", "e", binSeconds = 1800)
+      .select("name", "win").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(inner == Set(("p1", "w1"), ("p1", "w2"), ("p2", "w2"))) // p3 outside w3
+    val left = graft.operators.Relational.rangeJoin(points, intervals, Seq("k"),
+      "p", "s", "e", binSeconds = 1800, how = "left")
+    assert(left.count() == 4) // 3 matches + unmatched p3 with null win
+    assert(left.filter($"win".isNull).select("name").head().getString(0) == "p3")
+  }
 }
