@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Mergeable sketches for incremental aggregation (beyond-reference; the
+ * "novel sketch" slot of the builder brief). Built on Spark 4's native
+ * Datasketches HLL functions — codegen'd aggregates, no UDFs.
+ *
+ * The 100 TB pattern: a nightly job stores one SKETCH per (day, group)
+ * instead of raw distinct sets; any rolling window's distinct count is
+ * then a cheap union of per-day sketches (`hll_union_agg`) — no re-scan
+ * of history, which is exactly what `Patterns.aggregationMerge`'s
+ * `hll_union` strategy does for incremental aggregate tables.
+ */
+object Sketches {
+
+  /** Per-group HLL sketch of `valueCol` (binary, mergeable). */
+  def hllSketch(df: DataFrame, groupBy: Seq[String], valueCol: String,
+                outCol: String = "distinct_sketch",
+                lgConfigK: Int = 12): DataFrame =
+    df.groupBy(groupBy.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgConfigK)).as(outCol))
+
+  /** Distinct-count estimate from a sketch column. */
+  def hllEstimate(sketch: Column): Column = hll_sketch_estimate(sketch)
+
+  /** Re-aggregate sketches to a coarser grain (union per group). */
+  def hllMerge(df: DataFrame, groupBy: Seq[String], sketchCol: String): DataFrame =
+    df.groupBy(groupBy.map(col): _*)
+      .agg(hll_union_agg(col(sketchCol)).as(sketchCol))
+
+  /** Pairwise union for merge strategies (null = absent side). */
+  def hllUnion(a: Column, b: Column): Column =
+    when(a.isNull, b).when(b.isNull, a).otherwise(hll_union(a, b))
+}

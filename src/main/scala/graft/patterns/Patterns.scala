@@ -224,7 +224,12 @@ object Patterns {
     having.map(h => out.filter(expr(h))).getOrElse(out)
   }
 
-  /** Incremental combine of an existing aggregate with a fresh partial. */
+  /**
+   * Incremental combine of an existing aggregate with a fresh partial.
+   * `hll_union` merges mergeable distinct-count sketches
+   * ([[graft.operators.Sketches]]) so incremental aggregate tables can
+   * maintain distinct counts without re-scanning history.
+   */
   def aggregationMerge(existing: DataFrame, fresh: DataFrame, grain: Seq[String],
                        strategies: Map[String, String]): DataFrame = {
     val valueCols = fresh.columns.filterNot(grain.contains).toSeq
@@ -235,6 +240,7 @@ object Patterns {
           case "sum" => coalesce(col(c), lit(0)) + coalesce(col(s"_old_$c"), lit(0))
           case "min" => least(col(c), col(s"_old_$c"))
           case "max" => greatest(col(c), col(s"_old_$c"))
+          case "hll_union" => graft.operators.Sketches.hllUnion(col(c), col(s"_old_$c"))
           case _ => coalesce(col(c), col(s"_old_$c")) // replace: fresh wins
         }
         combined.as(c)

@@ -19,6 +19,36 @@ class PatternsSpec extends SparkSpec {
     assert(dim.filter($"is_weekend").count() == 104)
   }
 
+  test("HLL sketches: per-group estimate, coarser-grain merge, incremental union") {
+    import graft.operators.Sketches
+    // day 1: users a,b,c on d1; day 2: c,d on d2 (c overlaps)
+    val day1 = Seq(("d1", "a"), ("d1", "b"), ("d1", "c"), ("d1", "a")).toDF("day", "user")
+    val day2 = Seq(("d2", "c"), ("d2", "d")).toDF("day", "user")
+
+    val sk1 = Sketches.hllSketch(day1, Seq("day"), "user")
+    assert(sk1.select(Sketches.hllEstimate($"distinct_sketch")).head().getLong(0) == 3L)
+
+    // coarser grain: union both days' sketches -> 4 distinct users overall
+    val both = sk1.unionByName(Sketches.hllSketch(day2, Seq("day"), "user"))
+      .withColumn("all", lit("all"))
+    val merged = Sketches.hllMerge(both.drop("day"), Seq("all"), "distinct_sketch")
+    assert(merged.select(Sketches.hllEstimate($"distinct_sketch")).head().getLong(0) == 4L)
+
+    // incremental aggregate table: existing sketch + fresh partial via merge
+    val existing = Sketches.hllSketch(day1.withColumn("k", lit(1)), Seq("k"), "user")
+    val fresh = Sketches.hllSketch(day2.withColumn("k", lit(1)), Seq("k"), "user")
+    val inc = Patterns.aggregationMerge(existing, fresh, Seq("k"),
+      Map("distinct_sketch" -> "hll_union"))
+    assert(inc.select(Sketches.hllEstimate($"distinct_sketch")).head().getLong(0) == 4L)
+    // grain present only on one side still unions cleanly (null handling)
+    val freshOnly = Sketches.hllSketch(day2.withColumn("k", lit(2)), Seq("k"), "user")
+    val inc2 = Patterns.aggregationMerge(existing, freshOnly, Seq("k"),
+      Map("distinct_sketch" -> "hll_union"))
+    assert(inc2.count() == 2)
+    assert(inc2.select(Sketches.hllEstimate($"distinct_sketch")).collect()
+      .map(_.getLong(0)).sorted.sameElements(Array(2L, 3L)))
+  }
+
   test("dimension bootstrap SKs are dense and key-ordered on multi-partition input") {
     // 1000 keys spread over 8 input partitions: the bootstrap path must
     // yield exactly 1..1000 in natural-key order with no global
