@@ -443,6 +443,9 @@ object SparkEntry {
       q.awaitTermination()
       s.read.parquet(s"$tmp/sink")
     }),
+    "q_topk_values" -> ((s, d) => // per-group exact top-k by frequency
+      operators.Sketches.topKValues(events(s, d), Seq("user_id"), "event_type", 2)
+        .withColumn("n", col("n").cast("long"))),
     "q_asof_join" -> ((s, d) => { // point-in-time join; DuckDB ASOF JOIN oracle
       val ev = events(s, d)
       // second-truncate both sides: events carry sub-second precision that
@@ -652,6 +655,8 @@ object SparkEntry {
       "SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal, CAST(NULL AS VARCHAR) AS missing_col FROM customer",
     "q_unit_convert" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_quantity * 2.2046226218487757 + 0.0 AS qty_lb, round((l_discount * 100) * 1.7999999999999998 + 31.999999999999986, 6) AS t_f FROM lineitem",
+    "q_topk_values" ->
+      "SELECT user_id, event_type, n, rank FROM (SELECT user_id, event_type, count(*) AS n, CAST(row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type ASC) AS BIGINT) AS rank FROM events GROUP BY 1, 2) t WHERE rank <= 2",
     "q_asof_join" ->
       "WITH l AS (SELECT user_id, event_id, value, date_trunc('second', ts) AS lts FROM events), r AS (SELECT user_id, date_trunc('second', ts) AS rts, max(value) AS purchase_value FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) SELECT l.user_id, l.event_id, l.value, CAST(floor(epoch(r.rts)) AS BIGINT) AS asof_s, r.purchase_value FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.lts >= r.rts",
     "q_range_join" ->

@@ -258,6 +258,15 @@ object StandardTransformers {
       Dedup.embeddingNearDupPairs(c.df, str(p, "id_col"), str(p, "vec_col"),
         str(p, "dim").toInt,
         strOpt(p, "threshold").map(_.toDouble).getOrElse(0.95)) }
+    reg("hll_sketch") { (c, p) =>
+      graft.operators.Sketches.hllSketch(c.df, seqOf(p, "group_by"),
+        str(p, "value_col"), strOpt(p, "out_col").getOrElse("distinct_sketch")) }
+    reg("hll_merge") { (c, p) =>
+      graft.operators.Sketches.hllMerge(c.df, seqOf(p, "group_by"),
+        strOpt(p, "sketch_col").getOrElse("distinct_sketch")) }
+    reg("topk_values") { (c, p) =>
+      graft.operators.Sketches.topKValues(c.df, seqOf(p, "group_by"),
+        str(p, "value_col"), str(p, "k").toInt) }
     reg("asof_join") { (c, p) =>
       graft.operators.Relational.asOfJoin(c.df, c.dataset(str(p, "right_dataset")),
         seqOf(p, "on"), str(p, "left_ts"), str(p, "right_ts"),

@@ -34,4 +34,22 @@ object Sketches {
   /** Pairwise union for merge strategies (null = absent side). */
   def hllUnion(a: Column, b: Column): Column =
     when(a.isNull, b).when(b.isNull, a).otherwise(hll_union(a, b))
+
+  /**
+   * Exact per-group top-k values by frequency (corpus analysis: top
+   * domains / languages / event types per segment). Two parallel stages:
+   * a map-side-combined count per (group, value), then a window ranked
+   * WITHIN each group — no global window, no driver collection.
+   * Deterministic tie-break: higher count first, then value ascending.
+   */
+  def topKValues(df: DataFrame, groupBy: Seq[String], valueCol: String,
+                 k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy((groupBy :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(groupBy.map(col): _*)
+      .orderBy(col("n").desc, col(valueCol).asc)
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }
