@@ -495,6 +495,12 @@ object SparkEntry {
         Sim.ScheduledEvent("forced_value", "pressure", 0.0,
           "2026-01-01 01:00:00", endTime = Some("2026-01-01 01:30:00"),
           entity = Some("entity_3"))))
+        // flatten geo so the driver's rows-only harness (pandas sort) can
+        // order the result — structs are unhashable there; the struct op
+        // itself is exercised above and in SimulationSpec
+        .withColumn("geo_lat", col("geo.lat"))
+        .withColumn("geo_lon", col("geo.lon"))
+        .drop("geo")
     })
   )
 
@@ -664,6 +670,6 @@ object SparkEntry {
     "q_salted_agg" ->
       "SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(l_quantity) AS n, max(l_quantity) AS max_qty FROM lineitem GROUP BY 1",
     "q_phases" ->
-      "WITH p AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL OR event_type <> lag(event_type) OVER w THEN 1 ELSE 0 END AS chg FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), q AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS phase_id FROM p) SELECT user_id, phase_id, event_type, count(*) AS n_rows, CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_s, sum(CAST(floor(value * 100) AS BIGINT)) / 100.0 AS total_value FROM q GROUP BY 1, 2, 3"
+      "WITH p AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL OR event_type <> lag(event_type) OVER w THEN 1 ELSE 0 END AS chg FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), q AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS phase_id FROM p) SELECT user_id, CAST(phase_id AS BIGINT) AS phase_id, event_type, count(*) AS n_rows, CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_s, sum(CAST(floor(value * 100) AS BIGINT)) / 100.0 AS total_value FROM q GROUP BY 1, 2, 3"
   )
 }
