@@ -497,7 +497,7 @@ object SparkEntry {
           entity = Some("entity_3"))))
         // flatten geo so the driver's rows-only harness (pandas sort) can
         // order the result — structs are unhashable there; the struct op
-        // itself is exercised above and in SimulationSpec
+        // itself is exercised above and in SubsystemsSpec
         .withColumn("geo_lat", col("geo.lat"))
         .withColumn("geo_lon", col("geo.lon"))
         .drop("geo")

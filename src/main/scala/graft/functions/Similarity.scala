@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
  * Vector similarity + approximate-nearest-neighbor search over an
  * `Array[Float]` embedding column.
  *
- * All math is expressed with higher-order Catalyst functions
- * (`zip_with`, `aggregate`, `transform`) — codegen'd, null-safe, no UDFs.
+ * Vector math runs through the native `CosineSim` expression
+ * (expressions/HashExpressions.scala) — higher-order functions like
+ * `zip_with`/`aggregate` are INTERPRETED per element in Spark, which is
+ * exactly why the hot loops use the custom expression instead.
  *
  * Scale design: brute-force top-k is the exactness baseline (one pass, one
  * shuffle for the top-k). The LSH route (random-hyperplane signatures →
@@ -39,6 +41,14 @@ object Similarity {
    * Brute-force exact top-k cosine neighbors for each query row.
    * `queries` is expected to be small (it is broadcast); the corpus streams.
    * Returns (queryIdCol, vec_id, rank).
+   *
+   * Two-phase top-k: a single global `Window.partitionBy(_qid)` would
+   * funnel all N×Q scored rows into Q reducers — a handful of stragglers
+   * each sorting millions of rows at 100× corpus. Instead rank locally
+   * within (query, input-partition) first — the exchange spreads over
+   * Q×P reducers — keep k per cell, and run the global per-query window
+   * over the ≤ k×P survivors. Exact: a global top-k row is top-k in its
+   * own partition.
    */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
                      queries: DataFrame, queryIdCol: String, queryVecCol: String,
@@ -49,8 +59,14 @@ object Similarity {
       .crossJoin(q)
       .filter(col(idCol) =!= col("_qid"))
       .withColumn("_cos", cosine(col(vecCol), col("_qvec")))
-    val w = Window.partitionBy(col("_qid")).orderBy(col("_cos").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w))
+    val order = Seq(col("_cos").desc, col(idCol).asc)
+    val localW = Window.partitionBy(col("_qid"), col("_pid")).orderBy(order: _*)
+    val survivors = scored
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lrank", row_number().over(localW))
+      .filter(col("_lrank") <= k)
+    val w = Window.partitionBy(col("_qid")).orderBy(order: _*)
+    survivors.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("_qid").as(queryIdCol), col(idCol), col("rank"))
   }

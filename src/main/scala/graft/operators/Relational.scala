@@ -184,21 +184,26 @@ object Relational {
       explode(sequence(
         (unix_timestamp(col(startCol)) / binSeconds).cast("long"),
         (unix_timestamp(col(endCol)) / binSeconds).cast("long"))))
-    val joined = left.withColumn("_g_bin", pBin)
-      .join(rBinned, keys :+ "_g_bin", "inner")
-      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
-      .drop("_g_bin")
+    val lBinned = left.withColumn("_g_bin", pBin)
     how match {
-      case "inner" => joined
+      case "inner" =>
+        lBinned.join(rBinned, keys :+ "_g_bin", "inner")
+          .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+          .drop("_g_bin")
       case "left" =>
-        // reattach unmatched left rows with null right attrs
-        val matchedKeys = joined.select((keys :+ pointCol).map(col): _*).distinct()
-        val unmatched = left.join(matchedKeys, keys :+ pointCol, "left_anti")
+        // Single-pass left outer: the point maps to exactly ONE bin, so with
+        // the containment predicate inside the join condition an unmatched
+        // left row surfaces exactly once with null right attrs — no second
+        // evaluation of the bin-join to compute matched keys.
+        val l = lBinned.alias("_gl")
+        val r = rBinned.alias("_gr")
+        val cond = (keys :+ "_g_bin").map(c => l(c) === r(c)).reduce(_ && _) &&
+          l(pointCol) >= r(startCol) && l(pointCol) < r(endCol)
         val rightOnly = right.columns.filterNot(keys.contains)
-        joined.unionByName(
-          rightOnly.foldLeft(unmatched) { (d, c) =>
-            d.withColumn(c, lit(null).cast(right.schema(c).dataType))
-          })
+        l.join(r, cond, "left")
+          .select(keys.map(l(_)) ++
+            left.columns.filterNot(keys.contains).map(l(_)) ++
+            rightOnly.map(r(_)): _*)
     }
   }
 }

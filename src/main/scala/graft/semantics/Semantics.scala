@@ -123,6 +123,12 @@ object Semantics {
    * newer than the HWM, then merge into the existing metric table by grain
    * with per-metric combine strategies (sum for additive metrics, replace
    * otherwise) — the standard additive-rollup incremental refresh.
+   *
+   * The merged snapshot replaces `outPath` via [[graft.core.AtomicParquet]]
+   * (temp-dir + rename swap): the merge plan reads the old files untouched
+   * and a mid-write crash cannot truncate the accumulated history. Only a
+   * missing `outPath` (first run) falls back to the fresh rows; any other
+   * read/merge failure propagates instead of silently dropping history.
    */
   def materializeIncremental(spark: SparkSession, model: SemanticModel,
                              query: String, sources: Map[String, DataFrame],
@@ -138,11 +144,13 @@ object Semantics {
     val merged =
       try graft.patterns.Patterns.aggregationMerge(
         spark.read.parquet(outPath), fresh, grain, strategies)
-      catch { case _: Throwable => fresh } // first run
-    val out = merged.cache()
-    out.count()
-    out.write.mode("overwrite").parquet(outPath)
-    out.unpersist()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if graft.core.AtomicParquet.isMissingPath(e) =>
+          fresh // first run: no existing metric table
+      }
+    graft.core.AtomicParquet.overwrite(
+      merged, outPath, System.nanoTime().toString)
     spark.read.parquet(outPath)
   }
 }

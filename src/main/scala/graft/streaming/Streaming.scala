@@ -85,28 +85,16 @@ object Streaming {
   private[graft] def mergeBatchIntoTarget(
       batch: DataFrame, batchId: Long, targetPath: String, keys: Seq[String],
       mergeFn: (DataFrame, DataFrame, Seq[String]) => DataFrame): Unit = {
-    import org.apache.hadoop.fs.Path
     val spark = batch.sparkSession
     val target =
       try spark.read.parquet(targetPath)
       catch {
         case e: org.apache.spark.sql.AnalysisException
-            if Option(e.getCondition).contains("PATH_NOT_FOUND") ||
-              e.getMessage.contains("Path does not exist") =>
+            if graft.core.AtomicParquet.isMissingPath(e) =>
           batch.limit(0) // first batch: no target yet
       }
-    val base = targetPath.stripSuffix("/")
-    val tmp = s"${base}_graft_tmp_$batchId"
-    mergeFn(target, batch, keys).write.mode("overwrite").parquet(tmp)
-    val fs = new Path(base).getFileSystem(spark.sessionState.newHadoopConf())
-    val (tgt, tmpP, old) = (new Path(base), new Path(tmp), new Path(s"${base}_graft_old_$batchId"))
-    if (fs.exists(old)) fs.delete(old, true) // leftover from a crashed swap
-    if (fs.exists(tgt) && !fs.rename(tgt, old))
-      throw new java.io.IOException(s"swap failed: $tgt -> $old")
-    if (!fs.rename(tmpP, tgt))
-      throw new java.io.IOException(s"swap failed: $tmpP -> $tgt")
-    fs.delete(old, true)
-    ()
+    graft.core.AtomicParquet.overwrite(
+      mergeFn(target, batch, keys), targetPath, batchId.toString)
   }
 
   /**

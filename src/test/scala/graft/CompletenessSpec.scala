@@ -54,6 +54,25 @@ class CompletenessSpec extends SparkSpec {
     val byDay = m2.collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
     assert(byDay("2026-01-01") == (115.0, 1L)) // 15 + 100; n replaced by fresh
     assert(byDay("2026-01-02") == (7.0, 1L))
+
+    // durability: the swap leaves no temp/old residue next to the table
+    val parent = new java.io.File(out).getParentFile
+    assert(!parent.listFiles().exists(_.getName.contains("_graft_tmp")))
+    assert(!parent.listFiles().exists(_.getName.contains("_graft_old")))
+
+    // a failing merge (schema drift in the fresh side) must PROPAGATE and
+    // leave the existing table intact — not silently restart history
+    val drifted = SemanticModel(
+      Map("revenue" -> Metric("revenue", "sum(amount)", "sales")),
+      Map("other" -> Dimension("other", "d")))
+    intercept[Exception] {
+      materializeIncremental(spark, drifted, "revenue BY other",
+        Map("sales" -> day2), out, grain = Seq("day"),
+        strategies = Map("revenue" -> "sum"))
+    }
+    val survived = spark.read.parquet(out).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(survived("2026-01-01") == 115.0 && survived("2026-01-02") == 7.0)
   }
 
   test("parallel layer execution produces the same results as serial") {

@@ -90,8 +90,13 @@ class OperatorsSpec extends SparkSpec {
       .toDF("id", "vec")
     val queries = Seq((100L, Array(1.0f, 0.0f))).toDF("qid", "qv")
     val out = Similarity.bruteForceTopK(corpus, "id", "vec", queries, "qid", "qv", 2)
-      .orderBy("rank").collect()
-    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L))
+    assert(out.orderBy("rank").collect().map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L))
+    // two-phase plan: the full N×Q scored set is ranked within
+    // (_qid, _pid) cells first — no single-stage sort over only _qid
+    // receives every scored row
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("_pid"), plan)                     // local phase present
+    assert("Window".r.findAllIn(plan).length >= 2, plan)    // local + global rank
   }
 
   test("text analysis: token count, language id, fingerprint") {
@@ -168,5 +173,9 @@ class OperatorsSpec extends SparkSpec {
       "p", "s", "e", binSeconds = 1800, how = "left")
     assert(left.count() == 4) // 3 matches + unmatched p3 with null win
     assert(left.filter($"win".isNull).select("name").head().getString(0) == "p3")
+    // single evaluation: the exploded bin subtree appears exactly once in
+    // the executed plan (the old shape re-ran the join for matched keys)
+    val plan = left.queryExecution.executedPlan.toString
+    assert("Generate explode".r.findAllIn(plan).length == 1, plan)
   }
 }
