@@ -30,12 +30,23 @@ object AtomicParquet {
    * `token` disambiguates concurrent/retried writers (e.g. a batch id).
    * `df` may read from `path` itself — that is the point.
    */
-  def overwrite(df: DataFrame, path: String, token: String = "0"): Unit = {
-    val spark = df.sparkSession
+  def overwrite(df: DataFrame, path: String, token: String = "0"): Unit =
+    swap(df.sparkSession.sessionState.newHadoopConf(), path, token) { tmp =>
+      df.write.mode("overwrite").parquet(tmp)
+    }
+
+  /**
+   * Generic form: `writeTmp` materializes the new snapshot into the temp
+   * path it is given (any path-based format/options); the swap then
+   * replaces `path` with it. Used by [[graft.sources.Sources]] so every
+   * declarative overwrite sink publishes atomically.
+   */
+  def swap(hadoopConf: org.apache.hadoop.conf.Configuration, path: String,
+           token: String)(writeTmp: String => Unit): Unit = {
     val base = path.stripSuffix("/")
     val tmp = s"${base}_graft_tmp_$token"
-    df.write.mode("overwrite").parquet(tmp)
-    val fs = new Path(base).getFileSystem(spark.sessionState.newHadoopConf())
+    writeTmp(tmp)
+    val fs = new Path(base).getFileSystem(hadoopConf)
     val (tgt, tmpP, old) = (new Path(base), new Path(tmp), new Path(s"${base}_graft_old_$token"))
     if (fs.exists(old)) fs.delete(old, true) // leftover from a crashed swap
     if (fs.exists(tgt) && !fs.rename(tgt, old))

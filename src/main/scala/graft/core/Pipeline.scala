@@ -51,9 +51,15 @@ object Pipeline {
       input: Option[String] = None,               // dataset to start from
       read: Option[Sources.ReadConfig] = None,
       incremental: Option[IncrementalConfig] = None,
+      contracts: Option[Sources.ContractConfig] = None, // schema contract after read
       preSql: Seq[String] = Nil,                  // before read (node.py:230-232)
       steps: Seq[TransformStep] = Nil,
+      transformer: Option[String] = None,         // pattern-first (node.py:1582)
+      transformerParams: Map[String, Any] = Map.empty,
       tests: Seq[Validation.Test] = Nil,
+      gateMinPassRate: Option[Double] = None,     // validation gate (gate.py:31)
+      gateOnFail: String = "abort",               // abort | warn
+      quarantinePath: Option[String] = None,      // sink for quarantined rows
       writePath: Option[String] = None,
       write: Sources.WriteConfig = Sources.WriteConfig(),
       postSql: Seq[String] = Nil,                 // after write (node.py:319-321)
@@ -198,11 +204,25 @@ object Pipeline {
 
     runSideSql(spark, cfg.preSql, datasets)
 
-    val base: DataFrame = cfg.read.map(r => Sources.read(spark, r))
+    val read: DataFrame = cfg.read.map(r => Sources.read(spark, r))
       .orElse(cfg.input.map(datasets(_)))
-      .getOrElse(cfg.dependsOn.headOption.map(datasets(_))
-        .getOrElse(throw new IllegalArgumentException(
-          s"node ${cfg.name}: no read, input, or dependency to start from")))
+      .getOrElse(cfg.dependsOn.headOption.flatMap(datasets.get)
+        .getOrElse {
+          // generator patterns (date_dimension) legitimately have no input
+          if (cfg.transformer.isDefined) spark.emptyDataFrame
+          else throw new IllegalArgumentException(
+            s"node ${cfg.name}: no read, input, or dependency to start from")
+        })
+
+    // schema contract between read and transform (config.py:4355-4395);
+    // with no declared DDL the existing sink's schema is the contract
+    val base = cfg.contracts match {
+      case Some(c) =>
+        val sinkSchema = cfg.writePath.flatMap(p =>
+          Try(spark.read.format(cfg.write.format).load(p).schema).toOption)
+        Sources.applyContract(read, c, sinkSchema)
+      case None => read
+    }
 
     val hwmKey = s"${stateKeyPrefix}hwm/${cfg.name}"
     val incremental = cfg.incremental.filter(_ => state.isDefined || cfg.incremental.exists(_.mode == "rolling"))
@@ -214,7 +234,7 @@ object Pipeline {
           inc.watermarkLagSeconds, inc.fallbackColumn)
       case None => base
     }
-    val transformed = cfg.steps.foldLeft(filtered) { (df, step) =>
+    val stepped = cfg.steps.foldLeft(filtered) { (df, step) =>
       val ctx = EngineContext(df, datasets)
       (step.sql, step.sqlFile, step.function, step.operation) match {
         case (Some(q), _, _, _) => ctx.sql(q)
@@ -228,16 +248,56 @@ object Pipeline {
       }
     }
 
-    val validation =
-      if (cfg.tests.isEmpty) Nil
+    // node-level transformer: pattern registry FIRST (node.py:1582-1640),
+    // then the plain transformer registry
+    val transformed = cfg.transformer match {
+      case Some(t) =>
+        val ctx = EngineContext(stepped, datasets)
+        val target = cfg.writePath.map(p =>
+          graft.patterns.PatternRegistry.TargetRef(p, cfg.write.format))
+        graft.patterns.PatternRegistry.get(t) match {
+          case Some(pat) => pat.apply(ctx, cfg.transformerParams, target)
+          case None => TransformerRegistry.get(t)
+            .getOrElse(throw new IllegalArgumentException(
+              s"unknown pattern/transformer: $t"))
+            .apply(ctx, cfg.transformerParams)
+        }
+      case None => stepped
+    }
+
+    // quarantine routing (quarantine.py:248-660): invalid rows — stamped
+    // _rejection_reason/_rejected_at — land in the quarantine sink (append),
+    // valid rows continue through the remaining tests and the write
+    val qTests = cfg.tests.filter(_.severity == Validation.Quarantine)
+    val (survivors, quarantineResult) =
+      if (qTests.isEmpty) (transformed, Nil)
       else {
-        val results = Validation.evaluate(transformed, cfg.tests)
-        Validation.enforce(results)
-        results
+        val (valid, invalid) = Validation.quarantineSplit(transformed, cfg.tests)
+        val rejected = cfg.quarantinePath match {
+          case Some(qp) => Sources.writeWithStats(invalid, qp,
+            Sources.WriteConfig(mode = "append"))
+          case None => invalid.count()
+        }
+        val qt = Validation.Test(s"${cfg.name}_quarantine", "quarantine",
+          Validation.Quarantine)
+        (valid, Seq(Validation.TestResult(qt, rejected == 0, rejected,
+          s"quarantine: $rejected rows rejected")))
+      }
+
+    val rest = cfg.tests.filterNot(_.severity == Validation.Quarantine)
+    val validation =
+      if (rest.isEmpty && quarantineResult.isEmpty) Nil
+      else {
+        val results = if (rest.isEmpty) Nil else Validation.evaluate(survivors, rest)
+        cfg.gateMinPassRate match {
+          case Some(r) => Validation.gate(results, r, cfg.gateOnFail == "abort")
+          case None => Validation.enforce(results)
+        }
+        results ++ quarantineResult
       }
 
     val rowsWritten =
-      cfg.writePath.map(p => Sources.writeWithStats(transformed, p, cfg.write))
+      cfg.writePath.map(p => Sources.writeWithStats(survivors, p, cfg.write))
 
     // commit HWM only after the write succeeded — never advance state for
     // a failed batch (the reference's pending_hwm_update contract). The
@@ -248,8 +308,8 @@ object Pipeline {
         .foreach(v => state.foreach(_.set(hwmKey, v)))
     }
 
-    runSideSql(spark, cfg.postSql, datasets + (cfg.name -> transformed))
-    (transformed, rowsWritten, validation)
+    runSideSql(spark, cfg.postSql, datasets + (cfg.name -> survivors))
+    (survivors, rowsWritten, validation)
   }
 
   /** Stable hash of a node's config, for resume change-detection. */

@@ -33,7 +33,8 @@ import scala.jdk.CollectionConverters._
 object YamlConfig {
 
   private val knownNodeKeys = Set("name", "depends_on", "input", "read",
-    "incremental", "pre_sql", "steps", "tests", "write", "post_sql",
+    "incremental", "contracts", "pre_sql", "steps", "transformer", "params",
+    "tests", "validation", "write", "post_sql",
     "cache", "retries", "tags", "enabled")
 
   /** Load from a file; sql_file steps resolve relative to the file's dir. */
@@ -52,15 +53,30 @@ object YamlConfig {
       val unknown = m.keySet -- knownNodeKeys
       require(unknown.isEmpty,
         s"node ${m.getOrElse("name", "?")}: unknown keys $unknown (strict config)")
+      // validation: { tests: [...], gate: {min_pass_rate, on_fail},
+      //               quarantine: {path} } — the reference's nested block
+      // (config.py ValidationConfig); top-level `tests:` also accepted
+      val vblock = m.get("validation").map(_.asInstanceOf[Map[String, Any]])
+      val gate = vblock.flatMap(_.get("gate")).map(_.asInstanceOf[Map[String, Any]])
       Pipeline.NodeConfig(
         name = m("name").toString,
         dependsOn = seqOf(m.get("depends_on")),
         input = m.get("input").map(_.toString),
         read = m.get("read").map(readCfg),
         incremental = m.get("incremental").map(incrementalCfg),
+        contracts = m.get("contracts").map(contractCfg),
         preSql = seqOf(m.get("pre_sql")),
         steps = m.getOrElse("steps", Nil).asInstanceOf[Seq[Any]].map(stepCfg),
-        tests = m.getOrElse("tests", Nil).asInstanceOf[Seq[Any]].map(testCfg),
+        transformer = m.get("transformer").map(_.toString),
+        transformerParams = m.getOrElse("params", Map.empty[String, Any])
+          .asInstanceOf[Map[String, Any]],
+        tests = (m.getOrElse("tests", Nil).asInstanceOf[Seq[Any]] ++
+          vblock.flatMap(_.get("tests")).map(_.asInstanceOf[Seq[Any]]).getOrElse(Nil))
+          .map(testCfg),
+        gateMinPassRate = gate.flatMap(_.get("min_pass_rate")).map(_.toString.toDouble),
+        gateOnFail = gate.flatMap(_.get("on_fail")).map(_.toString).getOrElse("abort"),
+        quarantinePath = vblock.flatMap(_.get("quarantine"))
+          .flatMap(_.asInstanceOf[Map[String, Any]].get("path")).map(_.toString),
         writePath = m.get("write").flatMap(w =>
           w.asInstanceOf[Map[String, Any]].get("path").map(_.toString)),
         write = m.get("write").map(writeCfg).getOrElse(Sources.WriteConfig()),
@@ -103,6 +119,15 @@ object YamlConfig {
       coalescePartitions = m.get("coalesce_partitions").map(_.toString.toInt),
       options = m.getOrElse("options", Map.empty[String, Any])
         .asInstanceOf[Map[String, Any]].map { case (k, x) => k -> x.toString })
+  }
+
+  private def contractCfg(v: Any): Sources.ContractConfig = {
+    val m = v.asInstanceOf[Map[String, Any]]
+    Sources.ContractConfig(
+      schemaDdl = m.get("schema_ddl").map(_.toString),
+      schemaMode = m.getOrElse("schema_mode", "evolve").toString,
+      onNewColumns = m.getOrElse("on_new_columns", "ignore").toString,
+      onMissingColumns = m.getOrElse("on_missing_columns", "fill_null").toString)
   }
 
   private def incrementalCfg(v: Any): Pipeline.IncrementalConfig = {

@@ -146,6 +146,48 @@ object Patterns {
     }
   }
 
+  /**
+   * SCD2 dimension (dimension.py scd_type=2): version rows via the SCD2
+   * operator AND keep one surrogate key per VERSION — existing versions
+   * retain their SK (matched on natural key + valid_from, the version
+   * identity), new versions get MAX(sk)+rank, partition-parallel via
+   * [[assignSks]]. The unknown member keeps SK 0, is_current=true.
+   */
+  def scd2Dimension(source: DataFrame, naturalKeys: Seq[String], skCol: String,
+                    trackCols: Seq[String], effectiveTs: Column,
+                    existing: Option[DataFrame] = None,
+                    unknownMember: Boolean = true): DataFrame = {
+    val deduped = source.dropDuplicates(naturalKeys)
+    val versioned = existing match {
+      case None =>
+        assignSks(Scd.scd2Bootstrap(deduped, effectiveTs), naturalKeys, skCol, 0L)
+      case Some(dimAll) =>
+        val dim = dimAll.filter(col(skCol) =!= 0) // unknown member re-added below
+        val merged = Scd.scd2Apply(dim.drop(skCol), deduped, naturalKeys,
+          trackCols, effectiveTs)
+        val maxSk = Option(dim.agg(max(col(skCol))).head().get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L) // empty dim = fresh start
+        val versionKey = naturalKeys :+ "valid_from"
+        val keyed = merged.join(
+          broadcast(dim.select((versionKey.map(col) :+ col(skCol)): _*)),
+          versionKey, "left")
+        keyed.filter(col(skCol).isNotNull)
+          .unionByName(assignSks(keyed.filter(col(skCol).isNull).drop(skCol),
+            versionKey, skCol, maxSk))
+    }
+    val ordered = versioned.select(
+      (skCol +: versioned.columns.filterNot(_ == skCol).toSeq).map(col): _*)
+    if (!unknownMember) ordered
+    else ordered.filter(col(skCol) =!= 0).unionByName(
+      ordered.limit(0).unionByName(
+        ordered.sparkSession.range(1).select(ordered.schema.fields.map { f =>
+          if (f.name == skCol) lit(0L).cast(f.dataType).as(f.name)
+          else if (f.name == "is_current") lit(true).cast(f.dataType).as(f.name)
+          else if (f.dataType.typeName == "string") lit("Unknown").cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }.toSeq: _*)))
+  }
+
   // ------------------------------------------------------------------
   // fact (odibi/patterns/fact.py:11-860)
   // ------------------------------------------------------------------

@@ -77,15 +77,29 @@ object Sources {
    * the metric aggregates during the write scan itself, so there is no
    * second job and no count() re-execution (the reference's per-node
    * rows_written from write info, story metadata).
+   *
+   * Overwrite mode publishes ATOMICALLY via [[graft.core.AtomicParquet]]
+   * (temp-dir + rename swap): the plan may lazily read the very path it
+   * replaces — which every self-referential pattern (incremental
+   * aggregation, dimension reading its own target) does — and a mid-write
+   * crash never leaves the sink truncated. Append/error modes write
+   * directly.
    */
   def writeWithStats(df: DataFrame, path: String,
                      cfg: WriteConfig = WriteConfig()): Long = {
     val obs = org.apache.spark.sql.Observation()
     val observed = df.observe(obs, count(lit(1)).as("rows_written"))
     val d = cfg.coalescePartitions.map(observed.coalesce).getOrElse(observed)
-    var w = d.write.format(cfg.format).mode(cfg.mode).options(cfg.options)
-    if (cfg.partitionBy.nonEmpty) w = w.partitionBy(cfg.partitionBy: _*)
-    w.save(path)
+    def writeTo(p: String): Unit = {
+      var w = d.write.format(cfg.format).mode(cfg.mode).options(cfg.options)
+      if (cfg.partitionBy.nonEmpty) w = w.partitionBy(cfg.partitionBy: _*)
+      w.save(p)
+    }
+    if (cfg.mode == "overwrite")
+      graft.core.AtomicParquet.swap(
+        df.sparkSession.sessionState.newHadoopConf(), path,
+        java.lang.Long.toHexString(System.nanoTime()))(writeTo)
+    else writeTo(path)
     obs.get("rows_written").asInstanceOf[Long]
   }
 
@@ -190,6 +204,57 @@ object Sources {
       if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }.toSeq: _*)
+  }
+
+  /**
+   * Declarative schema contract (reference: SchemaMode / OnNewColumns /
+   * OnMissingColumns, odibi/config.py:4355-4395). `schemaMode`:
+   * "enforce" (any mismatch fails) or "evolve" (per-direction policies:
+   * new columns ignore|fail|add_nullable, missing columns fail|fill_null).
+   */
+  final case class ContractConfig(schemaDdl: Option[String] = None,
+                                  schemaMode: String = "evolve",
+                                  onNewColumns: String = "ignore",
+                                  onMissingColumns: String = "fill_null")
+
+  /**
+   * Enforce a schema contract between read and transform. The expected
+   * schema is the declared `schema_ddl`, or (when absent) `fallback` —
+   * the current sink's schema, so an existing table contracts its own
+   * future loads. Matching columns are always cast-aligned to the
+   * expected types (plan-time casts — free under codegen).
+   */
+  def applyContract(df: DataFrame, contract: ContractConfig,
+                    fallback: Option[StructType] = None): DataFrame = {
+    val target = contract.schemaDdl.map(StructType.fromDDL).orElse(fallback)
+      .getOrElse(throw new IllegalArgumentException(
+        "contract needs schema_ddl or an existing sink to infer from"))
+    val have = df.columns.toSet
+    val want = target.fields.map(_.name).toSet
+    val extra = df.columns.filterNot(want.contains).toSeq // keep source order
+    val missing = want -- have
+    def aligned(keepExtra: Boolean): DataFrame = {
+      val core = target.fields.map { f =>
+        if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toSeq
+      df.select(core ++ (if (keepExtra) extra.map(col) else Nil): _*)
+    }
+    contract.schemaMode match {
+      case "enforce" =>
+        if (extra.nonEmpty || missing.nonEmpty)
+          throw new IllegalArgumentException(
+            s"schema contract (enforce): new=${extra.mkString(",")} missing=${missing.mkString(",")}")
+        aligned(keepExtra = false)
+      case "evolve" =>
+        if (extra.nonEmpty && contract.onNewColumns == "fail")
+          throw new IllegalArgumentException(s"schema contract: unexpected columns $extra")
+        if (missing.nonEmpty && contract.onMissingColumns == "fail")
+          throw new IllegalArgumentException(s"schema contract: missing columns $missing")
+        aligned(keepExtra = extra.nonEmpty && contract.onNewColumns == "add_nullable")
+      case other =>
+        throw new IllegalArgumentException(s"unknown schema_mode: $other (enforce|evolve)")
+    }
   }
 
   /**
