@@ -60,6 +60,7 @@ object Pipeline {
       gateMinPassRate: Option[Double] = None,     // validation gate (gate.py:31)
       gateOnFail: String = "abort",               // abort | warn
       quarantinePath: Option[String] = None,      // sink for quarantined rows
+      streamingWrite: Option[StreamingWriteConfig] = None, // config.py:4023-4160
       writePath: Option[String] = None,
       write: Sources.WriteConfig = Sources.WriteConfig(),
       postSql: Seq[String] = Nil,                 // after write (node.py:319-321)
@@ -67,6 +68,25 @@ object Pipeline {
       retries: Int = 0,
       tags: Seq[String] = Nil,
       enabled: Boolean = true)
+
+  /**
+   * Declarative streaming write (reference: odibi/config.py:4023-4160).
+   * With `mergeKeys` each micro-batch upserts into the sink snapshot via
+   * foreachBatch ([[graft.streaming.Streaming.writeStreamMerge]]);
+   * otherwise a plain writeStream in `outputMode`. `await` (default) blocks
+   * until the query terminates — with the default available-now trigger
+   * that is "process everything currently there, then stop", which is what
+   * a batch-orchestrated pipeline of streaming nodes wants; downstream
+   * nodes then read the sink as a batch frame.
+   */
+  final case class StreamingWriteConfig(
+      checkpoint: String,
+      outputMode: String = "append",
+      trigger: String = "available_now",
+      triggerInterval: String = "10 seconds",
+      mergeKeys: Seq[String] = Nil,
+      mergeStrategy: String = "upsert",
+      await: Boolean = true)
 
   final case class NodeResult(name: String, df: DataFrame, failure: Option[Throwable],
                               skipped: Boolean = false, skipReason: Option[String] = None,
@@ -265,6 +285,9 @@ object Pipeline {
       case None => stepped
     }
 
+    require(!transformed.isStreaming || cfg.tests.isEmpty,
+      s"node ${cfg.name}: tests are not supported on streaming nodes")
+
     // quarantine routing (quarantine.py:248-660): invalid rows — stamped
     // _rejection_reason/_rejected_at — land in the quarantine sink (append),
     // valid rows continue through the remaining tests and the write
@@ -296,8 +319,30 @@ object Pipeline {
         results ++ quarantineResult
       }
 
-    val rowsWritten =
-      cfg.writePath.map(p => Sources.writeWithStats(survivors, p, cfg.write))
+    val (rowsWritten, finalDf) = (cfg.streamingWrite, cfg.writePath) match {
+      case (Some(sw), Some(path)) if survivors.isStreaming =>
+        import graft.streaming.Streaming
+        val query =
+          if (sw.mergeKeys.nonEmpty)
+            Streaming.writeStreamMerge(survivors, path, sw.checkpoint,
+              sw.mergeKeys, mergeFnFor(sw.mergeStrategy),
+              Some(Streaming.trigger(sw.trigger, sw.triggerInterval)))
+          else Streaming.writeStream(survivors, Some(path),
+            Streaming.StreamWriteConfig(cfg.write.format, sw.outputMode,
+              Some(sw.checkpoint),
+              Some(Streaming.trigger(sw.trigger, sw.triggerInterval))))
+        if (sw.await) {
+          query.awaitTermination()
+          // downstream nodes consume the sink as a batch frame; the merge
+          // path always maintains a parquet snapshot (AtomicParquet)
+          val sinkFormat = if (sw.mergeKeys.nonEmpty) "parquet" else cfg.write.format
+          val readBack = spark.read.format(sinkFormat).load(path)
+          (Some(readBack.count()), readBack)
+        } else (None, survivors) // caller manages the live query's lifetime
+      case _ =>
+        (cfg.writePath.map(p => Sources.writeWithStats(survivors, p, cfg.write)),
+          survivors)
+    }
 
     // commit HWM only after the write succeeded — never advance state for
     // a failed batch (the reference's pending_hwm_update contract). The
@@ -308,8 +353,19 @@ object Pipeline {
         .foreach(v => state.foreach(_.set(hwmKey, v)))
     }
 
-    runSideSql(spark, cfg.postSql, datasets + (cfg.name -> survivors))
-    (survivors, rowsWritten, validation)
+    runSideSql(spark, cfg.postSql, datasets + (cfg.name -> finalDf))
+    (finalDf, rowsWritten, validation)
+  }
+
+  /** Micro-batch merge function for a streaming write's `merge` strategy. */
+  private def mergeFnFor(strategy: String): (DataFrame, DataFrame, Seq[String]) => DataFrame = {
+    import graft.operators.Merge
+    strategy match {
+      case "upsert" => Merge.upsert(_, _, _)
+      case "append_only" => Merge.appendOnly(_, _, _)
+      case "delete_match" => Merge.deleteMatch(_, _, _)
+      case other => throw new IllegalArgumentException(s"unknown merge strategy: $other")
+    }
   }
 
   /** Stable hash of a node's config, for resume change-detection. */

@@ -34,7 +34,7 @@ object YamlConfig {
 
   private val knownNodeKeys = Set("name", "depends_on", "input", "read",
     "incremental", "contracts", "pre_sql", "steps", "transformer", "params",
-    "tests", "validation", "write", "post_sql",
+    "tests", "validation", "write", "streaming", "post_sql",
     "cache", "retries", "tags", "enabled")
 
   /** Load from a file; sql_file steps resolve relative to the file's dir. */
@@ -77,6 +77,7 @@ object YamlConfig {
         gateOnFail = gate.flatMap(_.get("on_fail")).map(_.toString).getOrElse("abort"),
         quarantinePath = vblock.flatMap(_.get("quarantine"))
           .flatMap(_.asInstanceOf[Map[String, Any]].get("path")).map(_.toString),
+        streamingWrite = m.get("streaming").map(streamingCfg),
         writePath = m.get("write").flatMap(w =>
           w.asInstanceOf[Map[String, Any]].get("path").map(_.toString)),
         write = m.get("write").map(writeCfg).getOrElse(Sources.WriteConfig()),
@@ -106,8 +107,27 @@ object YamlConfig {
       path = m.get("path").map(_.toString),
       table = m.get("table").map(_.toString),
       schemaDdl = m.get("schema_ddl").map(_.toString),
+      streaming = m.get("streaming").exists(_.toString.toBoolean),
       options = m.getOrElse("options", Map.empty[String, Any])
         .asInstanceOf[Map[String, Any]].map { case (k, x) => k -> x.toString })
+  }
+
+  /** streaming: write block (reference: odibi/config.py:4023-4160). */
+  private def streamingCfg(v: Any): Pipeline.StreamingWriteConfig = {
+    val m = v.asInstanceOf[Map[String, Any]]
+    val trig = m.get("trigger").map(_.asInstanceOf[Map[String, Any]])
+    val merge = m.get("merge").map(_.asInstanceOf[Map[String, Any]])
+    Pipeline.StreamingWriteConfig(
+      checkpoint = m.getOrElse("checkpoint",
+        throw new IllegalArgumentException("streaming write requires 'checkpoint'")).toString,
+      outputMode = m.getOrElse("output_mode", "append").toString,
+      trigger = trig.flatMap(_.get("kind")).map(_.toString).getOrElse("available_now"),
+      triggerInterval = trig.flatMap(_.get("interval")).map(_.toString)
+        .getOrElse("10 seconds"),
+      mergeKeys = merge.map(mm => seqOf(mm.get("keys"))).getOrElse(Nil),
+      mergeStrategy = merge.flatMap(_.get("strategy")).map(_.toString)
+        .getOrElse("upsert"),
+      await = m.get("await").forall(_.toString.toBoolean))
   }
 
   private def writeCfg(v: Any): Sources.WriteConfig = {

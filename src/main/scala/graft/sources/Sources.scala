@@ -18,10 +18,18 @@ object Sources {
   final case class ReadConfig(format: String, path: Option[String] = None,
                               table: Option[String] = None,
                               schemaDdl: Option[String] = None,
+                              streaming: Boolean = false, // config.py:2676-2685
                               options: Map[String, String] = Map.empty)
 
-  /** spark.read.format(...).options(...).load/table. */
+  /** spark.read.format(...).options(...).load/table; `streaming: true`
+    * switches to readStream (file sources then require schema_ddl). */
   def read(spark: SparkSession, cfg: ReadConfig): DataFrame = {
+    if (cfg.streaming) {
+      var r = spark.readStream.format(cfg.format).options(cfg.options)
+      cfg.schemaDdl.foreach(ddl => r = r.schema(StructType.fromDDL(ddl)))
+      return cfg.path.map(r.load).getOrElse(
+        cfg.table.map(r.table).getOrElse(r.load()))
+    }
     var r: DataFrameReader = spark.read.format(cfg.format).options(cfg.options)
     cfg.schemaDdl.foreach(ddl => r = r.schema(StructType.fromDDL(ddl)))
     (cfg.path, cfg.table) match {

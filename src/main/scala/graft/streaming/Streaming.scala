@@ -71,14 +71,16 @@ object Streaming {
    */
   def writeStreamMerge(df: DataFrame, targetPath: String, checkpoint: String,
                        keys: Seq[String],
-                       mergeFn: (DataFrame, DataFrame, Seq[String]) => DataFrame)
+                       mergeFn: (DataFrame, DataFrame, Seq[String]) => DataFrame,
+                       trigger: Option[Trigger] = None)
       : StreamingQuery = {
-    df.writeStream
+    var w = df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         mergeBatchIntoTarget(batch, batchId, targetPath, keys, mergeFn)
       }
-      .start()
+    trigger.foreach(t => w = w.trigger(t))
+    w.start()
   }
 
   /** One micro-batch of [[writeStreamMerge]]; factored out for testability. */

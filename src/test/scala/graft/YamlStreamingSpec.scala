@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Pipeline, YamlConfig}
+
+/**
+ * Streaming nodes from pure YAML (reference: streaming read flag
+ * odibi/config.py:2676-2685, streaming write block :4023-4160): a node
+ * whose `read:` has `streaming: true` becomes a readStream, its `steps`
+ * apply to the streaming frame, and the `streaming:` write block picks
+ * append vs foreachBatch-merge. With the default available-now trigger
+ * the node drains everything present and terminates, so downstream batch
+ * nodes can consume the sink like any other node output.
+ */
+class YamlStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming node from YAML: read -> sql step -> available-now append -> batch downstream") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_syaml").toString
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
+      .toDF("id", "k", "v").write.parquet(s"$dir/in")
+
+    val yaml =
+      s"""
+        |name: streaming_yaml
+        |nodes:
+        |  - name: ingest
+        |    read:
+        |      format: parquet
+        |      path: $dir/in
+        |      streaming: true
+        |      schema_ddl: "id BIGINT, k STRING, v DOUBLE"
+        |    steps:
+        |      - sql: SELECT id, k, v * 2 AS v2 FROM df
+        |    streaming:
+        |      checkpoint: $dir/cp
+        |      output_mode: append
+        |      trigger: { kind: available_now }
+        |    write: { format: parquet, path: $dir/out }
+        |  - name: summary
+        |    depends_on: [ingest]
+        |    input: ingest
+        |    steps:
+        |      - sql: SELECT k, sum(v2) AS total FROM df GROUP BY k
+        |    write: { format: parquet, mode: overwrite, path: $dir/summary }
+        |""".stripMargin
+    val res = Pipeline.run(spark, YamlConfig.loadPipeline(yaml))
+    assert(res("ingest").failure.isEmpty, res("ingest").failure.map(_.toString))
+    assert(res("ingest").rowsWritten.contains(3L))
+    assert(!res("ingest").df.isStreaming) // downstream sees the batch read-back
+    assert(res("summary").failure.isEmpty)
+    val totals = spark.read.parquet(s"$dir/summary").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(totals == Map("a" -> 80.0, "b" -> 40.0))
+  }
+
+  test("streaming node from YAML: merge upsert into pre-seeded snapshot") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_syaml2").toString
+    Seq((1L, "old"), (9L, "keep")).toDF("id", "v").write.parquet(s"$dir/target")
+    Seq((1L, "new"), (2L, "ins")).toDF("id", "v").write.parquet(s"$dir/in")
+
+    val yaml =
+      s"""
+        |name: streaming_merge_yaml
+        |nodes:
+        |  - name: upserter
+        |    read:
+        |      format: parquet
+        |      path: $dir/in
+        |      streaming: true
+        |      schema_ddl: "id BIGINT, v STRING"
+        |    streaming:
+        |      checkpoint: $dir/cp
+        |      merge: { keys: [id], strategy: upsert }
+        |    write: { path: $dir/target }
+        |""".stripMargin
+    val res = Pipeline.run(spark, YamlConfig.loadPipeline(yaml))
+    assert(res("upserter").failure.isEmpty, res("upserter").failure.map(_.toString))
+    val out = spark.read.parquet(s"$dir/target").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "new", 2L -> "ins", 9L -> "keep"))
+  }
+
+  test("tests on a streaming node are rejected up front") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_syaml3").toString
+    Seq((1L, "a")).toDF("id", "k").write.parquet(s"$dir/in")
+    val yaml =
+      s"""
+        |name: streaming_tests_yaml
+        |nodes:
+        |  - name: bad
+        |    read:
+        |      format: parquet
+        |      path: $dir/in
+        |      streaming: true
+        |      schema_ddl: "id BIGINT, k STRING"
+        |    validation:
+        |      tests:
+        |        - { name: nn, kind: not_null, columns: [id] }
+        |    streaming: { checkpoint: $dir/cp }
+        |    write: { path: $dir/out }
+        |""".stripMargin
+    val res = Pipeline.run(spark, YamlConfig.loadPipeline(yaml))
+    assert(res("bad").failure.exists(
+      _.getMessage.contains("tests are not supported on streaming nodes")))
+  }
+}
