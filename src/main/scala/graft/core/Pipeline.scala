@@ -288,10 +288,23 @@ object Pipeline {
     require(!transformed.isStreaming || cfg.tests.isEmpty,
       s"node ${cfg.name}: tests are not supported on streaming nodes")
 
-    // quarantine routing (quarantine.py:248-660): invalid rows — stamped
-    // _rejection_reason/_rejected_at — land in the quarantine sink (append),
-    // valid rows continue through the remaining tests and the write
+    // Single materialization across the tested-node lifecycle (reference
+    // cache_df, odibi/validation/engine.py options): the quarantine-split
+    // write, the row-level test aggregate and the sink write are up to
+    // three actions over one plan — persist it once and release after the
+    // write. A transformer that already pinned its output (the fact grain
+    // gate, patterns/PatternRegistry.scala) shares the same release.
     val qTests = cfg.tests.filter(_.severity == Validation.Quarantine)
+    val plannedActions = Seq(
+      qTests.nonEmpty,
+      cfg.tests.exists(_.severity != Validation.Quarantine),
+      cfg.writePath.isDefined && cfg.streamingWrite.isEmpty).count(identity)
+    val prePinned = !transformed.isStreaming &&
+      transformed.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val pinned = prePinned || (!transformed.isStreaming && plannedActions >= 2)
+    if (pinned && !prePinned)
+      transformed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val (survivors, quarantineResult) =
       if (qTests.isEmpty) (transformed, Nil)
       else {
@@ -355,6 +368,7 @@ object Pipeline {
 
     runSideSql(spark, cfg.postSql, datasets + (cfg.name -> finalDf))
     (finalDf, rowsWritten, validation)
+    } finally if (pinned) { transformed.unpersist(); () }
   }
 
   /** Micro-batch merge function for a streaming write's `merge` strategy. */

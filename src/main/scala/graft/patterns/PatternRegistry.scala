@@ -132,9 +132,17 @@ object PatternRegistry {
       optSeq(p, "grain") match {
         case Nil => fact
         case grain =>
+          // the grain gate needs an action before the sink write; pin the
+          // fact so the gate's aggregation materializes the same plan the
+          // write reuses (one upstream scan — the node lifecycle releases
+          // the persist after its write, Pipeline.runNodeWithStats)
+          fact.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val bad = Patterns.grainViolations(fact, grain).count()
-          if (bad > 0) throw new IllegalStateException(
-            s"fact grain violated: $bad duplicate ${grain.mkString("(", ",", ")")} groups")
+          if (bad > 0) {
+            fact.unpersist()
+            throw new IllegalStateException(
+              s"fact grain violated: $bad duplicate ${grain.mkString("(", ",", ")")} groups")
+          }
           fact
       }
     })

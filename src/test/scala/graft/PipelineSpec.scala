@@ -268,4 +268,35 @@ class PipelineSpec extends SparkSpec {
     assert(results.values.forall(_.failure.isEmpty))
     assert(results("joined").df.count() == 25)
   }
+
+  test("tested + quarantined + written node executes its upstream plan once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_onescan").toString
+    val n = 1000
+    val acc = spark.sparkContext.longAccumulator("upstream_rows")
+    // the accumulator rides inside the plan: every execution of the
+    // upstream scan increments it once per row
+    val src = spark.range(n).toDF("id")
+      .withColumn("v", col("id") % 10)
+      .filter((r: org.apache.spark.sql.Row) => { acc.add(1); true })
+
+    val cfg = Pipeline.NodeConfig("lifecycle",
+      input = Some("src"),
+      tests = Seq(
+        graft.validation.Validation.Test("v_small", "custom_sql",
+          graft.validation.Validation.Quarantine, sql = Some("v < 9")),
+        graft.validation.Validation.Test("id_nn", "not_null",
+          columns = Seq("id")),
+        graft.validation.Validation.Test("v_range", "range",
+          columns = Seq("v"), min = Some(0), max = Some(10))),
+      writePath = Some(s"$dir/out"))
+
+    val (_, rows, validation) =
+      Pipeline.runNodeWithStats(spark, cfg, Map("src" -> src))
+    // quarantine-split count + row-level test aggregate + sink write all
+    // read the single persisted materialization — not three upstream scans
+    assert(acc.value == n, s"upstream scanned ${acc.value} rows, expected $n (one scan)")
+    assert(rows.contains(900L)) // v==9 rows quarantined
+    assert(validation.exists(r => r.test.name == "lifecycle_quarantine" && r.failedRows == 100))
+    assert(spark.read.parquet(s"$dir/out").count() == 900)
+  }
 }

@@ -229,4 +229,42 @@ class YamlPatternsSpec extends SparkSpec {
     assert(out.count() == 2 && out.columns.toSeq.sorted == Seq("id", "name"))
     assert(out.schema("id").dataType.typeName == "long") // cast to sink type
   }
+
+  test("fact grain gate + sink write scan the fact input once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_grain_scan").toString
+    val n = 500
+    val acc = spark.sparkContext.longAccumulator("fact_rows")
+    val dim = (1 to 20).map(i => (i.toLong, s"c$i")).toDF("custkey", "name")
+    val src = spark.range(n).toDF("orderkey")
+      .withColumn("o_custkey", col("orderkey") % 20 + 1)
+      .withColumn("amount", col("orderkey") * 1.5)
+      .filter((r: org.apache.spark.sql.Row) => { acc.add(1); true })
+    val yaml =
+      s"""
+        |name: grain_scan
+        |nodes:
+        |  - name: dim_c
+        |    input: dim
+        |    transformer: dimension
+        |    params: { natural_key: custkey, surrogate_key: customer_sk, scd_type: 1 }
+        |  - name: fact
+        |    depends_on: [dim_c]
+        |    input: src
+        |    transformer: fact
+        |    params:
+        |      lookups:
+        |        - { dim: dim_c, fact_keys: [o_custkey], dim_keys: [custkey], surrogate_key: customer_sk }
+        |      measures: { amount: amount }
+        |      grain: [orderkey]
+        |    write: { format: parquet, mode: overwrite, path: $dir/fact }
+        |""".stripMargin
+    val res = Pipeline.run(spark, YamlConfig.loadPipeline(yaml),
+      externalDatasets = Map("dim" -> dim, "src" -> src))
+    assert(res.values.forall(_.failure.isEmpty),
+      res.values.flatMap(_.failure).map(_.toString).mkString("; "))
+    // the grain-gate aggregation pins the fact; the sink write reuses the
+    // same materialization instead of re-running the lookup join
+    assert(acc.value == n, s"fact input scanned ${acc.value} rows, expected $n (one scan)")
+    assert(spark.read.parquet(s"$dir/fact").count() == n)
+  }
 }
