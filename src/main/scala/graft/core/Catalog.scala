@@ -123,6 +123,19 @@ final class Catalog(spark: SparkSession, root: String) {
   }
 
   /**
+   * Latest recorded sink path for a pipeline node — the resolution target
+   * of a semantic-layer `$pipeline.node` source reference
+   * (odibi/semantics/query.py:294-369 resolves through the same catalog).
+   */
+  def latestOutputPath(pipeline: String, node: String): Option[String] =
+    try {
+      table("meta_outputs")
+        .filter(col("pipeline") === pipeline && col("node") === node)
+        .orderBy(col("recorded_at").desc).limit(1)
+        .select("path").as[String].collect().headOption
+    } catch { case _: Throwable => None }
+
+  /**
    * Average rows written by a node over its recent runs — the baseline for
    * volume-drop validation (reference get_average_volume, volume_drop test
    * wired through the catalog in pipeline validation).

@@ -56,6 +56,7 @@ object Pipeline {
       steps: Seq[TransformStep] = Nil,
       transformer: Option[String] = None,         // pattern-first (node.py:1582)
       transformerParams: Map[String, Any] = Map.empty,
+      semantic: Option[graft.semantics.Semantics.SemanticNode] = None, // metric node
       tests: Seq[Validation.Test] = Nil,
       gateMinPassRate: Option[Double] = None,     // validation gate (gate.py:31)
       gateOnFail: String = "abort",               // abort | warn
@@ -224,7 +225,14 @@ object Pipeline {
 
     runSideSql(spark, cfg.preSql, datasets)
 
-    val read: DataFrame = cfg.read.map(r => Sources.read(spark, r))
+    // a semantic node starts from its metric query (sources resolved via
+    // datasets / the system catalog), not from a read or input
+    val read: DataFrame = cfg.semantic.map { sn =>
+        val cat = sn.catalogRoot.map(r => new Catalog(spark, r))
+        graft.semantics.Semantics.runResolved(spark, sn.model, sn.query,
+          datasets, Some(sn.pipeline), cat)
+      }
+      .orElse(cfg.read.map(r => Sources.read(spark, r)))
       .orElse(cfg.input.map(datasets(_)))
       .getOrElse(cfg.dependsOn.headOption.flatMap(datasets.get)
         .getOrElse {

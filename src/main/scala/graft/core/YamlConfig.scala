@@ -34,7 +34,7 @@ object YamlConfig {
 
   private val knownNodeKeys = Set("name", "depends_on", "input", "read",
     "incremental", "contracts", "pre_sql", "steps", "transformer", "params",
-    "tests", "validation", "write", "streaming", "post_sql",
+    "semantic", "tests", "validation", "write", "streaming", "post_sql",
     "cache", "retries", "tags", "enabled")
 
   /** Load from a file; sql_file steps resolve relative to the file's dir. */
@@ -48,6 +48,12 @@ object YamlConfig {
                    baseDir: Option[String] = None): Pipeline.PipelineConfig = {
     val yaml = new Yaml()
     val root = anyToScala(yaml.load[Any](yamlText)).asInstanceOf[Map[String, Any]]
+    val pipelineName = root.getOrElse("name", "pipeline").toString
+    val catalogRoot = root.get("catalog_root").map(_.toString)
+    // project-level semantic model (reference: semantics config in project
+    // YAML, odibi/semantics/metrics.py:17-265) — shared by every node with
+    // a `semantic:` query
+    val semanticModel = root.get("semantics").map(semanticModelCfg)
     val nodes = root.getOrElse("nodes", Nil).asInstanceOf[Seq[Any]].map { n =>
       val m = n.asInstanceOf[Map[String, Any]]
       val unknown = m.keySet -- knownNodeKeys
@@ -70,6 +76,17 @@ object YamlConfig {
         transformer = m.get("transformer").map(_.toString),
         transformerParams = m.getOrElse("params", Map.empty[String, Any])
           .asInstanceOf[Map[String, Any]],
+        semantic = m.get("semantic").map { s =>
+          val query = s match {
+            case sm: Map[_, _] => sm.asInstanceOf[Map[String, Any]]("query").toString
+            case other => other.toString // shorthand: semantic: "revenue BY month"
+          }
+          graft.semantics.Semantics.SemanticNode(query,
+            semanticModel.getOrElse(throw new IllegalArgumentException(
+              s"node ${m("name")}: semantic query declared but the project " +
+                "has no top-level semantics: block")),
+            pipelineName, catalogRoot)
+        },
         tests = (m.getOrElse("tests", Nil).asInstanceOf[Seq[Any]] ++
           vblock.flatMap(_.get("tests")).map(_.asInstanceOf[Seq[Any]]).getOrElse(Nil))
           .map(testCfg),
@@ -88,7 +105,7 @@ object YamlConfig {
         enabled = m.get("enabled").forall(_.toString.toBoolean))
     }
     Pipeline.PipelineConfig(
-      name = root.getOrElse("name", "pipeline").toString,
+      name = pipelineName,
       nodes = nodes,
       parallel = root.get("parallel").exists(_.toString.toBoolean),
       maxWorkers = root.get("max_workers").map(_.toString.toInt).getOrElse(4),
@@ -99,6 +116,48 @@ object YamlConfig {
 
   private def seqOf(v: Option[Any]): Seq[String] =
     v.map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Nil)
+
+  /**
+   * semantics: block → SemanticModel (reference MetricDefinition /
+   * DimensionDefinition, odibi/semantics/metrics.py:17-265):
+   * {{{
+   * semantics:
+   *   metrics:
+   *     - { name: revenue, expr: "sum(amount)", source: "$pipe.fact" }
+   *     - { name: aov, formula: "revenue / NULLIF(order_count, 0)" }
+   *   dimensions:
+   *     - { name: month, column: order_date, time_grain: month }
+   * }}}
+   * A derived metric without an explicit source inherits the first simple
+   * metric's source (components must share the source table anyway).
+   */
+  private def semanticModelCfg(v: Any): graft.semantics.Semantics.SemanticModel = {
+    import graft.semantics.Semantics
+    val m = v.asInstanceOf[Map[String, Any]]
+    val metricMaps = m.getOrElse("metrics", Nil).asInstanceOf[Seq[Any]]
+      .map(_.asInstanceOf[Map[String, Any]])
+    val defaultSource = metricMaps.find(mm => !mm.contains("formula"))
+      .flatMap(_.get("source")).map(_.toString)
+    val metrics = metricMaps.map { mm =>
+      val name = mm("name").toString
+      name -> Semantics.Metric(
+        name = name,
+        expr = mm.getOrElse("expr", "").toString,
+        source = mm.get("source").map(_.toString).orElse(defaultSource)
+          .getOrElse(throw new IllegalArgumentException(
+            s"metric $name: no source and no simple metric to inherit one from")),
+        filters = seqOf(mm.get("filters")),
+        formula = mm.get("formula").map(_.toString))
+    }.toMap
+    val dimensions = m.getOrElse("dimensions", Nil).asInstanceOf[Seq[Any]]
+      .map(_.asInstanceOf[Map[String, Any]]).map { dm =>
+        val name = dm("name").toString
+        name -> Semantics.Dimension(name,
+          dm.getOrElse("column", name).toString,
+          dm.get("time_grain").map(_.toString))
+      }.toMap
+    Semantics.SemanticModel(metrics, dimensions)
+  }
 
   private def readCfg(v: Any): Sources.ReadConfig = {
     val m = v.asInstanceOf[Map[String, Any]]

@@ -36,6 +36,17 @@ object Semantics {
   final case class SemanticModel(metrics: Map[String, Metric],
                                  dimensions: Map[String, Dimension])
 
+  /**
+   * A semantic-query pipeline node (declared via the YAML `semantic:` key):
+   * materializing a metric query is a first-class node — the query result
+   * flows through the normal step/validate/write lifecycle
+   * ([[graft.core.Pipeline.runNodeWithStats]]). Carries the project-level
+   * model plus the context needed to resolve `\$pipeline.node` source refs.
+   */
+  final case class SemanticNode(query: String, model: SemanticModel,
+                                pipeline: String,
+                                catalogRoot: Option[String] = None)
+
   final case class ParsedQuery(metrics: Seq[String], dimensions: Seq[String],
                                where: Option[String])
 
@@ -96,9 +107,61 @@ object Semantics {
 
   /** Execute a DSL query against registered temp views (query.py:369-434). */
   def run(spark: SparkSession, model: SemanticModel, query: String,
-          sources: Map[String, DataFrame] = Map.empty): DataFrame = {
-    sources.foreach { case (name, df) => df.createOrReplaceTempView(name) }
-    spark.sql(generateSql(model, parse(query)))
+          sources: Map[String, DataFrame] = Map.empty): DataFrame =
+    runResolved(spark, model, query, sources)
+
+  /**
+   * Resolve one metric source reference to a DataFrame (query.py:294-369).
+   * Three forms, mirroring the reference's MetricDefinition.source:
+   *  - `\$pipeline.node` — the node's frame from the current run's datasets
+   *    (same pipeline), else the node's latest recorded sink path in the
+   *    system catalog (`meta_outputs`) for cross-pipeline/cross-run refs;
+   *  - a provided dataset name;
+   *  - an existing table/view name.
+   */
+  def resolveSource(spark: SparkSession, ref: String,
+                    datasets: Map[String, DataFrame],
+                    currentPipeline: Option[String] = None,
+                    catalog: Option[graft.core.Catalog] = None): DataFrame =
+    if (ref.startsWith("$")) {
+      val parts = ref.stripPrefix("$").split("\\.", 2)
+      require(parts.length == 2 && parts(0).nonEmpty && parts(1).nonEmpty,
+        s"bad source ref '$ref': expected \\$$pipeline.node")
+      val (pipe, node) = (parts(0), parts(1))
+      val inRun = if (currentPipeline.forall(_ == pipe)) datasets.get(node) else None
+      inRun
+        .orElse(catalog.flatMap(_.latestOutputPath(pipe, node))
+          .map(spark.read.parquet(_)))
+        .getOrElse(throw new IllegalArgumentException(
+          s"cannot resolve '$ref': node '$node' is not in this run" +
+            (if (catalog.isDefined) " and has no recorded output in the catalog"
+             else " and no catalog is configured")))
+    } else datasets.getOrElse(ref, spark.table(ref))
+
+  private def viewNameFor(src: String): String =
+    if (src.startsWith("$")) "sem_" + src.replaceAll("[^A-Za-z0-9_]", "_") else src
+
+  /**
+   * Execute a DSL query with catalog-aware source resolution: every source
+   * needed by the requested metrics is resolved via [[resolveSource]] and
+   * registered as a temp view; `\$pipeline.node` refs get a sanitized view
+   * name, which the generated SQL references.
+   */
+  def runResolved(spark: SparkSession, model: SemanticModel, query: String,
+                  datasets: Map[String, DataFrame] = Map.empty,
+                  currentPipeline: Option[String] = None,
+                  catalog: Option[graft.core.Catalog] = None): DataFrame = {
+    val pq = parse(query)
+    val needed = pq.metrics.map(m => model.metrics.getOrElse(m,
+      throw new IllegalArgumentException(s"unknown metric: $m"))).map(_.source).distinct
+    needed.foreach { src =>
+      resolveSource(spark, src, datasets, currentPipeline, catalog)
+        .createOrReplaceTempView(viewNameFor(src))
+    }
+    val aliased = model.copy(metrics = model.metrics.map { case (k, m) =>
+      k -> m.copy(source = viewNameFor(m.source))
+    })
+    spark.sql(generateSql(aliased, pq))
   }
 
   /** CREATE OR REPLACE VIEW DDL for a canonical metric view (views.py). */
