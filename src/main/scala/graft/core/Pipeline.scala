@@ -95,16 +95,27 @@ object Pipeline {
                               validation: Seq[Validation.TestResult] = Nil)
 
   /**
+   * Alert event (reference `_send_alerts`, odibi/pipeline.py:1443-1490):
+   * `event` ∈ gate_abort (a validation gate/enforce stopped the node) |
+   * node_failure (any other node error).
+   */
+  final case class AlertEvent(pipeline: String, node: String,
+                              event: String, message: String)
+
+  /**
    * Run-time selection and resume flags (reference pipeline.py:391-446
    * filtering, :522-546 resume): `nodes` auto-includes upstream deps and
    * overrides `tag`; `resumeFromFailure` + a state backend skips nodes whose
    * config hash matches a previous success, restoring from their write path.
+   * `onAlert` is invoked once per failed node (after its retries are
+   * exhausted) — the alert-dispatch hook.
    */
   final case class RunOptions(
       tag: Option[String] = None,
       nodes: Seq[String] = Nil,
       resumeFromFailure: Boolean = false,
-      state: Option[graft.operators.Incremental.StateBackend] = None)
+      state: Option[graft.operators.Incremental.StateBackend] = None,
+      onAlert: AlertEvent => Unit = _ => ())
 
   final case class PipelineConfig(name: String, nodes: Seq[NodeConfig],
                                   parallel: Boolean = false, maxWorkers: Int = 4,
@@ -500,6 +511,13 @@ object Pipeline {
           results.put(name, NodeResult(name, spark.emptyDataFrame, Some(e),
             durationMs = elapsed))
           opts.state.foreach(_.set(stateKey(name), "failed"))
+          val event = e match {
+            case _: Validation.ValidationError => "gate_abort"
+            case _ => "node_failure"
+          }
+          Try(opts.onAlert(AlertEvent(cfg.name, name, event,
+            Option(e.getMessage).getOrElse(e.toString))))
+          ()
       }
     }
 

@@ -6,9 +6,10 @@ import java.nio.file.{Files, Paths}
 
 /**
  * Run "story" generator (reference: odibi/story/generator.py — the
- * per-run audit document). Emits one JSON document per pipeline run:
- * node outcomes, lineage edges, output schemas. Deliberately plain JSON
- * (no HTML templating): the content, not the rendering, is the contract.
+ * per-run audit document). Emits one JSON document per pipeline run
+ * (node outcomes, lineage edges, output schemas) plus an HTML rendering
+ * of the same content (generator.py:1559 `_render_index_html` family) —
+ * the reference's user-facing audit artifact.
  */
 object Story {
 
@@ -61,5 +62,78 @@ object Story {
     val p = Paths.get(path)
     if (p.getParent != null) Files.createDirectories(p.getParent)
     Files.writeString(p, generate(cfg, results, runId, wallMs))
+  }
+
+  private def esc(s: String): String = s.flatMap {
+    case '&' => "&amp;"
+    case '<' => "&lt;"
+    case '>' => "&gt;"
+    case '"' => "&quot;"
+    case c => c.toString
+  }
+
+  /**
+   * HTML rendering of the run story: summary header, per-node status table
+   * (status / duration / rows / dependencies / error), validation results.
+   * Deterministic for fixed inputs — no timestamps beyond the caller's
+   * runId/wallMs — so it golden-file tests cleanly.
+   */
+  def generateHtml(cfg: Pipeline.PipelineConfig,
+                   results: Map[String, Pipeline.NodeResult],
+                   runId: String, wallMs: Long): String = {
+    val nFailed = results.values.count(_.failure.isDefined)
+    val rows = cfg.nodes.map { n =>
+      val r = results.get(n.name)
+      val status = r match {
+        case Some(x) if x.skipped => "skipped"
+        case Some(x) if x.failure.isEmpty => "success"
+        case Some(_) => "failed"
+        case None => "not_run"
+      }
+      val detail = r.flatMap(_.failure).map(e => esc(Option(e.getMessage).getOrElse(e.toString)))
+        .orElse(r.flatMap(_.skipReason).map(sr => esc(s"skipped: $sr")))
+        .getOrElse("")
+      val rowsW = r.flatMap(_.rowsWritten).map(_.toString).getOrElse("&mdash;")
+      val dur = r.map(_.durationMs).getOrElse(0L)
+      val deps = if (n.dependsOn.isEmpty) "&mdash;" else esc(n.dependsOn.mkString(", "))
+      val checks = r.map(_.validation).getOrElse(Nil).map { v =>
+        val cls = if (v.passed) "ok" else "bad"
+        s"""<span class="check $cls">${esc(v.test.name)}</span>"""
+      }.mkString(" ")
+      s"""      <tr class="$status"><td>${esc(n.name)}</td><td class="st">$status</td><td class="num">$dur</td><td class="num">$rowsW</td><td>$deps</td><td>$checks</td><td class="err">$detail</td></tr>"""
+    }
+    s"""<!DOCTYPE html>
+<html lang="en"><head><meta charset="utf-8"><title>${esc(cfg.name)} &middot; $runId</title>
+<style>
+  body { font-family: system-ui, sans-serif; margin: 2rem; color: #1a1a1a; }
+  h1 { font-size: 1.3rem; } .meta { color: #555; margin-bottom: 1rem; }
+  table { border-collapse: collapse; width: 100%; }
+  th, td { text-align: left; padding: .4rem .7rem; border-bottom: 1px solid #ddd; font-size: .9rem; }
+  td.num { text-align: right; font-variant-numeric: tabular-nums; }
+  tr.success td.st { color: #2e7d32; } tr.failed td.st { color: #c62828; font-weight: 600; }
+  tr.skipped td.st, tr.not_run td.st { color: #9e9e9e; }
+  td.err { color: #c62828; max-width: 28rem; overflow-wrap: anywhere; }
+  .check { padding: 0 .3rem; border-radius: .25rem; font-size: .8rem; }
+  .check.ok { background: #e8f5e9; color: #2e7d32; } .check.bad { background: #ffebee; color: #c62828; }
+</style></head>
+<body>
+  <h1>Pipeline run: ${esc(cfg.name)}</h1>
+  <p class="meta">run <code>${esc(runId)}</code> &middot; ${cfg.nodes.size} nodes &middot; $nFailed failed &middot; $wallMs ms</p>
+  <table>
+    <thead><tr><th>node</th><th>status</th><th>ms</th><th>rows</th><th>depends on</th><th>checks</th><th>detail</th></tr></thead>
+    <tbody>
+${rows.mkString("\n")}
+    </tbody>
+  </table>
+</body></html>
+"""
+  }
+
+  def writeHtml(path: String, cfg: Pipeline.PipelineConfig,
+                results: Map[String, Pipeline.NodeResult],
+                runId: String, wallMs: Long): Unit = {
+    val p = Paths.get(path)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    Files.writeString(p, generateHtml(cfg, results, runId, wallMs))
   }
 }

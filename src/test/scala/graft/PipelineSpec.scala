@@ -269,6 +269,27 @@ class PipelineSpec extends SparkSpec {
     assert(results("joined").df.count() == 25)
   }
 
+  test("alerts fire on node failure and gate abort") {
+    val events = scala.collection.mutable.ListBuffer.empty[Pipeline.AlertEvent]
+    val cfg = Pipeline.PipelineConfig("alerting", Seq(
+      Pipeline.NodeConfig("crash",
+        input = Some("src"),
+        steps = Seq(Pipeline.TransformStep(sql = Some("SELECT no_such_col FROM df")))),
+      Pipeline.NodeConfig("gated",
+        input = Some("src"),
+        tests = Seq(graft.validation.Validation.Test("impossible", "row_count",
+          min = Some(1e9))),
+        gateMinPassRate = Some(1.0))))
+    val src = spark.range(10).toDF("id")
+    val res = Pipeline.run(spark, cfg, Map("src" -> src),
+      Pipeline.RunOptions(onAlert = events += _))
+    assert(res("crash").failure.isDefined && res("gated").failure.isDefined)
+    val byNode = events.map(e => e.node -> e.event).toMap
+    assert(byNode == Map("crash" -> "node_failure", "gated" -> "gate_abort"))
+    assert(events.forall(_.pipeline == "alerting"))
+    assert(events.find(_.node == "gated").exists(_.message.contains("impossible")))
+  }
+
   test("tested + quarantined + written node executes its upstream plan once") {
     val dir = java.nio.file.Files.createTempDirectory("graft_onescan").toString
     val n = 1000

@@ -61,4 +61,39 @@ class StorySpec extends SparkSpec {
     assert(byName.values.forall(_.get("duration_ms").asLong() >= 0L))
     assert(byName("filtered").get("depends_on").get(0).asText() == "src")
   }
+
+  test("story HTML matches the golden file") {
+    // handcrafted results (fixed durations/rows) so the rendering is
+    // byte-for-byte deterministic
+    val cfg = Pipeline.PipelineConfig("gold", Seq(
+      Pipeline.NodeConfig("bronze"),
+      Pipeline.NodeConfig("silver", dependsOn = Seq("bronze")),
+      Pipeline.NodeConfig("dead", dependsOn = Seq("silver"))))
+    val vt = graft.validation.Validation.Test("ids_unique", "unique")
+    val results = Map(
+      "bronze" -> Pipeline.NodeResult("bronze", spark.emptyDataFrame, None,
+        durationMs = 120L, rowsWritten = Some(500L),
+        validation = Seq(graft.validation.Validation.TestResult(vt, passed = true, 0, "ok"))),
+      "silver" -> Pipeline.NodeResult("silver", spark.emptyDataFrame,
+        Some(new IllegalStateException("boom <&> \"quoted\"")), durationMs = 40L),
+      "dead" -> Pipeline.NodeResult("dead", spark.emptyDataFrame, None,
+        skipped = true, skipReason = Some("dependency_disabled")))
+    val html = Story.generateHtml(cfg, results, "run-gold", 777L)
+
+    val golden = java.nio.file.Paths.get("src/test/resources/story_golden.html")
+    if (!java.nio.file.Files.exists(golden)) {
+      java.nio.file.Files.createDirectories(golden.getParent)
+      java.nio.file.Files.writeString(golden, html) // bootstrap once, then committed
+    }
+    assert(html == java.nio.file.Files.readString(golden),
+      "HTML rendering drifted from src/test/resources/story_golden.html")
+    // spot checks: escaping, status classes, check badges
+    assert(html.contains("boom &lt;&amp;&gt; &quot;quoted&quot;"))
+    assert(html.contains("""<tr class="failed">""") && html.contains("""<tr class="skipped">"""))
+    assert(html.contains("""<span class="check ok">ids_unique</span>"""))
+
+    val dir = java.nio.file.Files.createTempDirectory("storyhtml").toString
+    Story.writeHtml(s"$dir/story.html", cfg, results, "run-gold", 777L)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/story.html")))
+  }
 }
