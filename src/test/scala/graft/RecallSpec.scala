@@ -36,7 +36,8 @@ class RecallSpec extends SparkSpec {
       queries, "qid", "qv", 5))
     val ri = recall(truth, ivf)
     info(f"ivfTopK recall@5, 20 queries: $ri%.3f")
-    assert(ri >= 0.60, f"ivfTopK recall $ri%.3f below bound 0.60")
+    // Lloyd-refined centroids + 2-cell spilled assignment (was 0.66 bare)
+    assert(ri >= 0.85, f"ivfTopK recall $ri%.3f below bound 0.85")
   }
 
   test("minhashLshPairs candidate recall vs exact-Jaccard pairs on documents") {
