@@ -170,6 +170,16 @@ object StandardTransformers {
       Advanced.sessionize(c.df, str(p, "user_col"), str(p, "ts_col"),
         str(p, "threshold_seconds").toLong,
         strOpt(p, "session_col").getOrElse("session_id")) }
+    // streaming windowed aggregation steps (work on streaming frames in a
+    // YAML node's steps:; batch frames are also accepted by the built-ins)
+    reg("window_agg") { (c, p) =>
+      graft.streaming.Streaming.windowedAgg(c.df, str(p, "ts_col"),
+        str(p, "watermark"), str(p, "window"), strOpt(p, "slide"),
+        seqOf(p, "group_by"), mapOf(p, "aggs")) }
+    reg("session_window_agg") { (c, p) =>
+      graft.streaming.Streaming.sessionWindowAgg(c.df, str(p, "ts_col"),
+        str(p, "watermark"), str(p, "gap"), seqOf(p, "group_by"),
+        mapOf(p, "aggs")) }
     reg("split_events_by_period") { (c, p) =>
       Advanced.splitEventsByPeriod(c.df, str(p, "start_col"), str(p, "end_col"),
         strOpt(p, "period").getOrElse("day"),

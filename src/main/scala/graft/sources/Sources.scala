@@ -34,27 +34,62 @@ object Sources {
     cfg.schemaDdl.foreach(ddl => r = r.schema(StructType.fromDDL(ddl)))
     (cfg.path, cfg.table) match {
       case (Some(p), _) => r.load(p)
+      // jdbc "tables" are reader options, not catalog tables; partition
+      // options (partitionColumn/lowerBound/upperBound/numPartitions) pass
+      // through cfg.options to the reader unchanged
+      case (_, Some(t)) if cfg.format == "jdbc" => r.option("dbtable", t).load()
       case (_, Some(t)) => r.table(t)
       case _ => throw new IllegalArgumentException("read needs path or table")
     }
   }
 
   /**
-   * JDBC read with manual predicate pushdown, like the reference
-   * (spark_engine.py:562-590): a `filter` becomes a WHERE wrapped in a
-   * subquery so the database — not Spark — does the filtering.
+   * Range-partitioned JDBC scan (the standard Spark parallel-read contract):
+   * `numPartitions` concurrent queries, each covering one stride of
+   * `[lowerBound, upperBound)` on `column` — without it a JDBC read is one
+   * executor pulling the whole table through one connection.
    */
-  def readJdbc(spark: SparkSession, url: String, table: String,
-               filter: Option[String] = None,
-               options: Map[String, String] = Map.empty): DataFrame = {
+  final case class JdbcPartitioning(column: String, lowerBound: Long,
+                                    upperBound: Long, numPartitions: Int) {
+    require(numPartitions >= 1, s"numPartitions must be >= 1, got $numPartitions")
+    require(upperBound > lowerBound,
+      s"upperBound ($upperBound) must exceed lowerBound ($lowerBound)")
+  }
+
+  /**
+   * Reader options for a JDBC read — factored out of [[readJdbc]] so the
+   * generated config is testable without a database in the environment.
+   */
+  def jdbcOptions(url: String, table: String,
+                  filter: Option[String] = None,
+                  partitioning: Option[JdbcPartitioning] = None,
+                  options: Map[String, String] = Map.empty): Map[String, String] = {
     val dbtable = filter match {
       case Some(f) => s"(SELECT * FROM $table WHERE $f) AS pushdown_subquery"
       case None => table
     }
-    spark.read.format("jdbc")
-      .option("url", url).option("dbtable", dbtable)
-      .options(options).load()
+    val partOpts = partitioning.map(p => Map(
+      "partitionColumn" -> p.column,
+      "lowerBound" -> p.lowerBound.toString,
+      "upperBound" -> p.upperBound.toString,
+      "numPartitions" -> p.numPartitions.toString)).getOrElse(Map.empty)
+    Map("url" -> url, "dbtable" -> dbtable) ++ partOpts ++ options
   }
+
+  /**
+   * JDBC read with manual predicate pushdown, like the reference
+   * (spark_engine.py:562-590): a `filter` becomes a WHERE wrapped in a
+   * subquery so the database — not Spark — does the filtering. Pass
+   * `partitioning` for a parallel range-partitioned scan; from YAML the
+   * same four reader options pass through `read.options` verbatim.
+   */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               filter: Option[String] = None,
+               partitioning: Option[JdbcPartitioning] = None,
+               options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format("jdbc")
+      .options(jdbcOptions(url, table, filter, partitioning, options))
+      .load()
 
   /**
    * Metadata columns stamped at read (reference: odibi/config.py:403-466,

@@ -40,4 +40,32 @@ class FormatsSpec extends SparkSpec {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") || pruned.inputFiles.length == 1)
   }
+
+  test("jdbc reader config: pushdown subquery + range partitioning") {
+    // config-level assertions (no database in this environment — same
+    // stub-transport stance as ApiSourceSpec)
+    val opts = Sources.jdbcOptions(
+      url = "jdbc:postgresql://db:5432/warehouse",
+      table = "public.orders",
+      filter = Some("o_orderdate >= '2026-01-01'"),
+      partitioning = Some(Sources.JdbcPartitioning("o_orderkey", 0L, 6000000L, 32)),
+      options = Map("fetchsize" -> "10000"))
+    assert(opts("url") == "jdbc:postgresql://db:5432/warehouse")
+    // the database, not Spark, evaluates the filter
+    assert(opts("dbtable") ==
+      "(SELECT * FROM public.orders WHERE o_orderdate >= '2026-01-01') AS pushdown_subquery")
+    // 32 concurrent stride queries instead of one connection for the table
+    assert(opts("partitionColumn") == "o_orderkey")
+    assert(opts("lowerBound") == "0" && opts("upperBound") == "6000000")
+    assert(opts("numPartitions") == "32")
+    assert(opts("fetchsize") == "10000")
+
+    // without partitioning/filter: bare table, no stray options
+    val bare = Sources.jdbcOptions("jdbc:sqlite:x", "t")
+    assert(bare == Map("url" -> "jdbc:sqlite:x", "dbtable" -> "t"))
+
+    intercept[IllegalArgumentException] {
+      Sources.JdbcPartitioning("k", 0L, 100L, 0) // numPartitions must be >= 1
+    }
+  }
 }

@@ -82,6 +82,58 @@ class YamlStreamingSpec extends SparkSpec {
     assert(out == Map(1L -> "new", 2L -> "ins", 9L -> "keep"))
   }
 
+  test("watermarked tumbling-window counts from a YAML window_agg step") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_syaml_win").toString
+    def event(s: String, k: String) = (java.sql.Timestamp.valueOf(s), k)
+    val yaml =
+      s"""
+        |name: streaming_window_yaml
+        |nodes:
+        |  - name: windowed
+        |    read:
+        |      format: parquet
+        |      path: $dir/in
+        |      streaming: true
+        |      schema_ddl: "ts TIMESTAMP, k STRING"
+        |    steps:
+        |      - function: window_agg
+        |        params:
+        |          ts_col: ts
+        |          watermark: 10 seconds
+        |          window: 1 minute
+        |          group_by: [k]
+        |          aggs: { n: "count(*)" }
+        |    streaming:
+        |      checkpoint: $dir/cp
+        |      output_mode: append
+        |      trigger: { kind: available_now }
+        |    write: { format: parquet, path: $dir/out }
+        |""".stripMargin
+    val cfg = YamlConfig.loadPipeline(yaml)
+
+    // drain 1: three events in the 12:00 window — append mode holds the
+    // window open until the watermark passes its end
+    Seq(event("2026-01-01 12:00:05", "a"), event("2026-01-01 12:00:20", "a"),
+      event("2026-01-01 12:00:40", "b")).toDF("ts", "k")
+      .write.mode("append").parquet(s"$dir/in")
+    val res1 = Pipeline.run(spark, cfg)
+    assert(res1("windowed").failure.isEmpty, res1("windowed").failure.map(_.toString))
+
+    // drain 2: a much later event advances the watermark past 12:01 and
+    // flushes the finalized 12:00 window
+    Seq(event("2026-01-01 12:05:00", "c")).toDF("ts", "k")
+      .write.mode("append").parquet(s"$dir/in")
+    val res2 = Pipeline.run(spark, cfg)
+    assert(res2("windowed").failure.isEmpty, res2("windowed").failure.map(_.toString))
+
+    val out = spark.read.parquet(s"$dir/out")
+      .select(col("window.start").cast("string"), col("k"), col("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("2026-01-01 12:00:00", "a") -> 2L,
+      ("2026-01-01 12:00:00", "b") -> 1L))
+  }
+
   test("tests on a streaming node are rejected up front") {
     val dir = java.nio.file.Files.createTempDirectory("graft_syaml3").toString
     Seq((1L, "a")).toDF("id", "k").write.parquet(s"$dir/in")
