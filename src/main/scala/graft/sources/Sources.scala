@@ -92,6 +92,26 @@ object Sources {
       .load()
 
   /**
+   * Chunked read (reference: pandas `chunksize` option,
+   * tests/benchmarks/test_phase4_benchmarks.py:45-62): an iterator of
+   * DataFrames over groups of `filesPerChunk` input files, schema pinned
+   * from the full listing so every chunk aligns. In Spark the executor
+   * already streams partitions — this is for DRIVER-side incremental
+   * consumption (checkpoint-per-chunk backfills, bounded foreach loops),
+   * not a memory workaround.
+   */
+  def readChunked(spark: SparkSession, format: String, path: String,
+                  filesPerChunk: Int = 16,
+                  options: Map[String, String] = Map.empty): Iterator[DataFrame] = {
+    require(filesPerChunk >= 1, s"filesPerChunk must be >= 1, got $filesPerChunk")
+    val full = spark.read.format(format).options(options).load(path)
+    full.inputFiles.sorted.grouped(filesPerChunk).map { group =>
+      spark.read.format(format).options(options)
+        .schema(full.schema).load(group: _*)
+    }
+  }
+
+  /**
    * Metadata columns stamped at read (reference: odibi/config.py:403-466,
    * spark_engine.py:2747): `_extracted_at`, `_source_file`, plus caller
    * extras (e.g. `_source_table`).

@@ -68,4 +68,26 @@ class FormatsSpec extends SparkSpec {
       Sources.JdbcPartitioning("k", 0L, 100L, 0) // numPartitions must be >= 1
     }
   }
+
+  test("chunked read equals full read at equal row count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunked").toString
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .repartition(8).write.parquet(s"$dir/orders")
+
+    val t0 = System.nanoTime()
+    val full = spark.read.parquet(s"$dir/orders")
+    val fullCount = full.count()
+    val fullMs = (System.nanoTime() - t0) / 1e6
+
+    val t1 = System.nanoTime()
+    val chunks = Sources.readChunked(spark, "parquet", s"$dir/orders",
+      filesPerChunk = 3).toSeq
+    val chunkCount = chunks.map(_.count()).sum
+    val chunkMs = (System.nanoTime() - t1) / 1e6
+
+    assert(chunks.size == 3) // 8 files in groups of 3
+    assert(chunkCount == fullCount)
+    assert(chunks.forall(_.schema == full.schema))
+    info(f"full read: $fullMs%.0f ms, chunked (3 chunks): $chunkMs%.0f ms")
+  }
 }
