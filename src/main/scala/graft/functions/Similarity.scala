@@ -165,12 +165,25 @@ object Similarity {
               lloydIters: Int = 2, assignSpill: Int = 2): DataFrame = {
     require(assignSpill >= 1 && assignSpill <= numCentroids,
       s"assignSpill must be in [1, numCentroids], got $assignSpill")
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val corp = corpus.select(col(idCol), col(vecCol))
-    // deterministic centroid sample: lowest xxhash64(id); tiny, broadcast
-    val seeds = broadcast(
-      corp.select(col(idCol).cast("long").as("_cid"), col(vecCol).as("_cvec"))
-        .orderBy(xxhash64(col("_cid").cast("string")))
-        .limit(numCentroids))
+    // Centroids are DRIVER-RESIDENT (numCentroids × dim doubles — bounded,
+    // ~32 KB at the defaults): each Lloyd step collects the ≤numCentroids
+    // refined means and re-inlines them as a literal broadcast frame.
+    // Keeping them lazy instead would nest the whole refinement chain under
+    // every downstream reference (probes + each spill pass), re-running
+    // full corpus scans per reference.
+    def literal(rows: Array[(Long, Seq[Double])]): DataFrame =
+      broadcast(rows.toSeq.toDF("_cid", "_cvec"))
+
+    // deterministic centroid sample: lowest xxhash64(id)
+    val seedRows = corp
+      .select(col(idCol).cast("long").as("_cid"),
+        col(vecCol).cast("array<double>").as("_cvec"))
+      .orderBy(xxhash64(col("_cid").cast("string")))
+      .limit(numCentroids)
+      .as[(Long, Seq[Double])].collect()
 
     // Refine the hash-sampled seeds with distributed Lloyd iterations
     // (spherical k-means: cells assigned by cosine, centroid = cell mean —
@@ -180,11 +193,11 @@ object Similarity {
     // average — linear in corpus size, nothing quadratic, so the refinement
     // holds at 100× corpus. Better centroids tighten the cells, which is
     // what lifts recall at a fixed nprobe/numCentroids budget.
-    val cents = (1 to lloydIters).foldLeft(seeds) { (c, _) =>
-      val assigned = corp.crossJoin(c)
+    val centRows = (1 to lloydIters).foldLeft(seedRows) { (c, _) =>
+      val assigned = corp.crossJoin(literal(c))
         .groupBy(col(idCol))
         .agg(max_by(col("_cid"), cosine(col(vecCol), col("_cvec"))).as("_cell"))
-      val means = corp.join(assigned, Seq(idCol))
+      corp.join(assigned, Seq(idCol))
         .select(col("_cell"), posexplode(col(vecCol)).as(Seq("_pos", "_val")))
         .groupBy(col("_cell"), col("_pos"))
         .agg(avg(col("_val")).as("_m"))
@@ -193,8 +206,9 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("_pos"), col("_m")))),
           x => x.getField("_m")).as("_cvec"))
         .select(col("_cell").as("_cid"), col("_cvec"))
-      broadcast(means)
+        .as[(Long, Seq[Double])].collect()
     }
+    val cents = literal(centRows)
 
     // Spilled corpus cell assignment (IVF with replication): each vector
     // indexes into its `assignSpill` nearest cells, so a neighbor sitting
