@@ -96,8 +96,10 @@ object Pipeline {
 
   /**
    * Alert event (reference `_send_alerts`, odibi/pipeline.py:1443-1490):
-   * `event` ∈ gate_abort (a validation gate/enforce stopped the node) |
-   * node_failure (any other node error).
+   * node-level `event` ∈ gate_abort (a validation gate/enforce stopped the
+   * node) | node_failure (any other node error); run-level `event` ∈
+   * run_start | run_success | run_failure (node = "_pipeline"), mirroring
+   * the reference's on_start/on_success/on_failure alert events.
    */
   final case class AlertEvent(pipeline: String, node: String,
                               event: String, message: String)
@@ -237,11 +239,33 @@ object Pipeline {
     runSideSql(spark, cfg.preSql, datasets)
 
     // a semantic node starts from its metric query (sources resolved via
-    // datasets / the system catalog), not from a read or input
+    // datasets / the system catalog), not from a read or input. With an
+    // incremental block the filtered fresh partial merges into the
+    // existing metric table by grain (IncrementalMaterializer,
+    // materialize.py:210); the node's own overwrite sink then publishes
+    // the merged snapshot through the shared atomic temp-dir + rename
+    // swap, so the self-read + overwrite is crash-safe.
     val read: DataFrame = cfg.semantic.map { sn =>
         val cat = sn.catalogRoot.map(r => new Catalog(spark, r))
-        graft.semantics.Semantics.runResolved(spark, sn.model, sn.query,
-          datasets, Some(sn.pipeline), cat)
+        val fresh = graft.semantics.Semantics.runResolved(spark, sn.model,
+          sn.query, datasets, Some(sn.pipeline), cat,
+          sn.incremental.flatMap(_.filter))
+        sn.incremental match {
+          case Some(inc) =>
+            val existing = cfg.writePath.flatMap { p =>
+              try Some(spark.read.format(cfg.write.format).load(p))
+              catch {
+                case e: org.apache.spark.sql.AnalysisException
+                    if AtomicParquet.isMissingPath(e) => None // first run
+              }
+            }
+            existing match {
+              case Some(ex) => graft.patterns.Patterns.aggregationMerge(
+                ex, fresh, inc.grain, inc.strategies)
+              case None => fresh
+            }
+          case None => fresh
+        }
       }
       .orElse(cfg.read.map(r => Sources.read(spark, r)))
       .orElse(cfg.input.map(datasets(_)))
@@ -425,6 +449,11 @@ object Pipeline {
           opts: RunOptions = RunOptions()): Map[String, NodeResult] = {
     // performance.spark_config passthrough (reference config.py:5192-5250)
     cfg.sparkConf.foreach { case (k, v) => spark.conf.set(k, v) }
+    def alert(event: String, message: String): Unit = {
+      Try(opts.onAlert(AlertEvent(cfg.name, "_pipeline", event, message)))
+      ()
+    }
+    alert("run_start", s"${cfg.nodes.size} nodes")
     val byName = cfg.nodes.map(n => n.name -> n).toMap
     val graph = DependencyGraph(cfg.nodes.map(n => n.name -> n.dependsOn).toMap)
     val layers = graph.executionLayers()
@@ -539,6 +568,10 @@ object Pipeline {
         } finally if (!pool.isShutdown) pool.shutdownNow()
       } else toRun.foreach(execOne)
     }
-    results.asScala.toMap
+    val out = results.asScala.toMap
+    val failed = out.values.filter(_.failure.isDefined).map(_.name).toSeq.sorted
+    if (failed.isEmpty) alert("run_success", s"${out.size} nodes")
+    else alert("run_failure", s"failed: ${failed.mkString(", ")}")
+    out
   }
 }

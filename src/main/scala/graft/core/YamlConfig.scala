@@ -77,15 +77,27 @@ object YamlConfig {
         transformerParams = m.getOrElse("params", Map.empty[String, Any])
           .asInstanceOf[Map[String, Any]],
         semantic = m.get("semantic").map { s =>
-          val query = s match {
-            case sm: Map[_, _] => sm.asInstanceOf[Map[String, Any]]("query").toString
-            case other => other.toString // shorthand: semantic: "revenue BY month"
+          val model = semanticModel.getOrElse(throw new IllegalArgumentException(
+            s"node ${m("name")}: semantic query declared but the project " +
+              "has no top-level semantics: block"))
+          s match {
+            case sm: Map[_, _] =>
+              val block = sm.asInstanceOf[Map[String, Any]]
+              val inc = block.get("incremental").map(_.asInstanceOf[Map[String, Any]])
+                .map { im =>
+                  graft.semantics.Semantics.SemanticIncremental(
+                    grain = seqOf(im.get("grain")),
+                    strategies = im.getOrElse("strategies", Map.empty[String, Any])
+                      .asInstanceOf[Map[String, Any]]
+                      .map { case (k, v) => k -> v.toString },
+                    filter = im.get("filter").map(_.toString))
+                }
+              graft.semantics.Semantics.SemanticNode(block("query").toString,
+                model, pipelineName, catalogRoot, inc)
+            case other => // shorthand: semantic: "revenue BY month"
+              graft.semantics.Semantics.SemanticNode(other.toString,
+                model, pipelineName, catalogRoot)
           }
-          graft.semantics.Semantics.SemanticNode(query,
-            semanticModel.getOrElse(throw new IllegalArgumentException(
-              s"node ${m("name")}: semantic query declared but the project " +
-                "has no top-level semantics: block")),
-            pipelineName, catalogRoot)
         },
         tests = (m.getOrElse("tests", Nil).asInstanceOf[Seq[Any]] ++
           vblock.flatMap(_.get("tests")).map(_.asInstanceOf[Seq[Any]]).getOrElse(Nil))

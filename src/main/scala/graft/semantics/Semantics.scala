@@ -37,6 +37,18 @@ object Semantics {
                                  dimensions: Map[String, Dimension])
 
   /**
+   * Declarative incremental refresh for a semantic node (the reference's
+   * IncrementalMaterializer, materialize.py:210): `filter` restricts the
+   * sources to rows newer than the caller's watermark, the fresh partial
+   * re-aggregates, and [[graft.patterns.Patterns.aggregationMerge]] folds
+   * it into the existing metric table by `grain` with per-metric
+   * `strategies` (sum for additive metrics, replace otherwise).
+   */
+  final case class SemanticIncremental(grain: Seq[String],
+                                       strategies: Map[String, String],
+                                       filter: Option[String] = None)
+
+  /**
    * A semantic-query pipeline node (declared via the YAML `semantic:` key):
    * materializing a metric query is a first-class node — the query result
    * flows through the normal step/validate/write lifecycle
@@ -45,7 +57,8 @@ object Semantics {
    */
   final case class SemanticNode(query: String, model: SemanticModel,
                                 pipeline: String,
-                                catalogRoot: Option[String] = None)
+                                catalogRoot: Option[String] = None,
+                                incremental: Option[SemanticIncremental] = None)
 
   final case class ParsedQuery(metrics: Seq[String], dimensions: Seq[String],
                                where: Option[String])
@@ -150,12 +163,15 @@ object Semantics {
   def runResolved(spark: SparkSession, model: SemanticModel, query: String,
                   datasets: Map[String, DataFrame] = Map.empty,
                   currentPipeline: Option[String] = None,
-                  catalog: Option[graft.core.Catalog] = None): DataFrame = {
+                  catalog: Option[graft.core.Catalog] = None,
+                  sourceFilter: Option[String] = None): DataFrame = {
     val pq = parse(query)
     val needed = pq.metrics.map(m => model.metrics.getOrElse(m,
       throw new IllegalArgumentException(s"unknown metric: $m"))).map(_.source).distinct
     needed.foreach { src =>
-      resolveSource(spark, src, datasets, currentPipeline, catalog)
+      val resolved = resolveSource(spark, src, datasets, currentPipeline, catalog)
+      sourceFilter.map(f => resolved.filter(org.apache.spark.sql.functions.expr(f)))
+        .getOrElse(resolved)
         .createOrReplaceTempView(viewNameFor(src))
     }
     val aliased = model.copy(metrics = model.metrics.map { case (k, m) =>

@@ -285,9 +285,19 @@ class PipelineSpec extends SparkSpec {
       Pipeline.RunOptions(onAlert = events += _))
     assert(res("crash").failure.isDefined && res("gated").failure.isDefined)
     val byNode = events.map(e => e.node -> e.event).toMap
-    assert(byNode == Map("crash" -> "node_failure", "gated" -> "gate_abort"))
+    assert(byNode == Map("crash" -> "node_failure", "gated" -> "gate_abort",
+      "_pipeline" -> "run_failure"))
+    assert(events.head.event == "run_start")
     assert(events.forall(_.pipeline == "alerting"))
     assert(events.find(_.node == "gated").exists(_.message.contains("impossible")))
+    assert(events.last.message == "failed: crash, gated")
+
+    // clean run: start + success, no node events
+    val ok = scala.collection.mutable.ListBuffer.empty[Pipeline.AlertEvent]
+    Pipeline.run(spark,
+      Pipeline.PipelineConfig("fine", Seq(Pipeline.NodeConfig("n", input = Some("src")))),
+      Map("src" -> src), Pipeline.RunOptions(onAlert = ok += _))
+    assert(ok.map(_.event).toSeq == Seq("run_start", "run_success"))
   }
 
   test("tested + quarantined + written node executes its upstream plan once") {

@@ -103,6 +103,61 @@ class YamlSemanticsSpec extends SparkSpec {
     assert(counts == Map("F" -> 4L, "O" -> 1L))
   }
 
+  test("incremental semantic node merges fresh partials into the metric table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sem_inc").toString
+    def yamlFor(watermark: String) =
+      s"""
+        |name: sales_inc
+        |semantics:
+        |  metrics:
+        |    - { name: revenue, expr: "sum(amount)", source: "$$sales_inc.fact_orders" }
+        |  dimensions:
+        |    - { name: month, column: order_date, time_grain: month }
+        |nodes:
+        |  - name: fact_orders
+        |    read: { format: parquet, path: $dir/orders }
+        |  - name: monthly_revenue
+        |    depends_on: [fact_orders]
+        |    semantic:
+        |      query: "revenue BY month"
+        |      incremental:
+        |        grain: [month]
+        |        strategies: { revenue: sum }
+        |        filter: "ingested_at >= timestamp'$watermark'"
+        |    write: { format: parquet, mode: overwrite, path: $dir/monthly }
+        |""".stripMargin
+    def row(d: String, amount: Double, ingested: String) =
+      (java.sql.Timestamp.valueOf(s"$d 00:00:00"), amount,
+        java.sql.Timestamp.valueOf(ingested))
+
+    // run 1: January + February facts
+    Seq(row("2024-01-05", 10.0, "2024-03-01 00:00:00"),
+      row("2024-02-03", 40.0, "2024-03-01 00:00:00"))
+      .toDF("order_date", "amount", "ingested_at")
+      .write.mode("overwrite").parquet(s"$dir/orders")
+    val r1 = Pipeline.run(spark, YamlConfig.loadPipeline(yamlFor("2024-01-01 00:00:00")))
+    assert(r1.values.forall(_.failure.isEmpty),
+      r1.values.flatMap(_.failure).map(_.toString).mkString("; "))
+    def monthly() = spark.read.parquet(s"$dir/monthly").collect()
+      .map(r => r.get(0).toString.take(7) -> r.getDouble(1)).toMap
+    assert(monthly() == Map("2024-01" -> 10.0, "2024-02" -> 40.0))
+
+    // run 2: a late-arriving February fact plus March, newer watermark —
+    // only the delta re-aggregates; February SUM-merges, January persists
+    // untouched from the existing table
+    Seq(row("2024-01-05", 10.0, "2024-03-01 00:00:00"),
+      row("2024-02-03", 40.0, "2024-03-01 00:00:00"),
+      row("2024-02-25", 5.0, "2024-04-01 00:00:00"),
+      row("2024-03-10", 70.0, "2024-04-01 00:00:00"))
+      .toDF("order_date", "amount", "ingested_at")
+      .write.mode("overwrite").parquet(s"$dir/orders")
+    val r2 = Pipeline.run(spark, YamlConfig.loadPipeline(yamlFor("2024-03-15 00:00:00")))
+    assert(r2.values.forall(_.failure.isEmpty),
+      r2.values.flatMap(_.failure).map(_.toString).mkString("; "))
+    assert(monthly() == Map(
+      "2024-01" -> 10.0, "2024-02" -> 45.0, "2024-03" -> 70.0))
+  }
+
   test("unresolvable ref and missing semantics block fail loudly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sem_err").toString
     val badRef =
