@@ -393,7 +393,15 @@ object Pipeline {
           // path always maintains a parquet snapshot (AtomicParquet)
           val sinkFormat = if (sw.mergeKeys.nonEmpty) "parquet" else cfg.write.format
           val readBack = spark.read.format(sinkFormat).load(path)
-          (Some(readBack.count()), readBack)
+          // rows from the drained query's own progress metrics — no
+          // sink re-scan; foreachBatch sinks report -1, fall back to a
+          // (sink-sized, bounded) count only then
+          val progressRows = query.recentProgress.toSeq
+            .flatMap(p => Option(p.sink)).map(_.numOutputRows).filter(_ >= 0)
+          val rows =
+            if (progressRows.nonEmpty) progressRows.sum
+            else readBack.count()
+          (Some(rows), readBack)
         } else (None, survivors) // caller manages the live query's lifetime
       case _ =>
         (cfg.writePath.map(p => Sources.writeWithStats(survivors, p, cfg.write)),

@@ -219,6 +219,13 @@ object StandardTransformers {
     reg("unit_convert") { (c, p) =>
       Domain.unitConvert(c.df, str(p, "column"), str(p, "from"), str(p, "to"),
         strOpt(p, "output_col")) }
+    reg("saturation_properties") { (c, p) =>
+      Domain.saturationProperties(c.df, strOpt(p, "temp_col"),
+        strOpt(p, "pressure_col"), strOpt(p, "prefix").getOrElse("")) }
+    reg("fluid_properties") { (c, p) =>
+      Domain.fluidProperties(c.df, str(p, "pressure_col"), str(p, "temp_col"),
+        p.get("molar_mass").map(_.toString.toDouble).getOrElse(0.0289647),
+        strOpt(p, "prefix").getOrElse("")) }
     reg("psychrometrics") { (c, p) =>
       Domain.psychrometrics(c.df, str(p, "temp_col"), str(p, "rh_col"),
         strOpt(p, "pressure_pa").map(_.toDouble).getOrElse(101325.0)) }

@@ -95,6 +95,45 @@ object Domain {
                            molarMass: Double = 0.0289647): Column =
     pressurePa * lit(molarMass) / (lit(8.314462618) * tempK)
 
+  /** Saturation temperature [°C] from water vapor pressure [Pa]
+    * (inverse Magnus — exact inverse of [[saturationPressure]]). */
+  def saturationTemperature(pressurePa: Column): Column = {
+    val gamma = log(pressurePa / lit(610.94))
+    lit(243.04) * gamma / (lit(17.625) - gamma)
+  }
+
+  /**
+   * saturation_properties (thermodynamics.py:566-660): the closed-form
+   * water subset — Magnus psat from temperature, inverse-Magnus tsat from
+   * pressure. Per-fluid CoolProp EOS outputs (H/S/D at saturation) sit
+   * behind the same out-of-scope boundary as [[psychrometrics]].
+   */
+  def saturationProperties(df: DataFrame, tempCCol: Option[String],
+                           pressureCol: Option[String],
+                           prefix: String = ""): DataFrame = {
+    val p = if (prefix.isEmpty) "" else s"${prefix}_"
+    (tempCCol, pressureCol) match {
+      case (Some(t), _) => df.withColumn(s"${p}psat_pa", saturationPressure(col(t)))
+      case (_, Some(pc)) => df.withColumn(s"${p}tsat_c", saturationTemperature(col(pc)))
+      case _ => throw new IllegalArgumentException(
+        "saturation_properties needs temp_col or pressure_col")
+    }
+  }
+
+  /**
+   * fluid_properties (thermodynamics.py:189-560): the ideal-gas subset —
+   * density from P [Pa] and T [°C] for a given molar mass (air default).
+   * CoolProp's 122-fluid EOS is out of scope in this environment; the
+   * plan-time closed form keeps the hot path in codegen.
+   */
+  def fluidProperties(df: DataFrame, pressureCol: String, tempCCol: String,
+                      molarMass: Double = 0.0289647,
+                      prefix: String = ""): DataFrame = {
+    val p = if (prefix.isEmpty) "" else s"${prefix}_"
+    df.withColumn(s"${p}density",
+      fluidDensityIdealGas(col(pressureCol), col(tempCCol) + lit(273.15), molarMass))
+  }
+
   /** Append the standard psychrometric columns (thermodynamics.py surface). */
   def psychrometrics(df: DataFrame, tempCCol: String, rhCol: String,
                      pressurePa: Double = 101325.0): DataFrame =

@@ -49,4 +49,29 @@ class DomainSpec extends SparkSpec {
     assert(s1.getAs[Long]("n_rows") == 2 && s1.getAs[Long]("duration_s") == 60)
     assert(s1.getAs[Double]("v_max") == 20.0)
   }
+
+  test("saturation_properties and fluid_properties closed-form subsets") {
+    val df = Seq((20.0, 101325.0)).toDF("temp_c", "p_pa")
+
+    // psat at 20 °C ≈ 2.34 kPa; tsat is the exact Magnus inverse
+    val sat = Domain.saturationProperties(df, Some("temp_c"), None).collect()(0)
+    val psat = sat.getAs[Double]("psat_pa")
+    assert(math.abs(psat - 2339.0) < 30.0)
+    val roundtrip = Domain.saturationProperties(
+      Domain.saturationProperties(df, Some("temp_c"), None),
+      None, Some("psat_pa"), prefix = "rt").collect()(0)
+    assert(math.abs(roundtrip.getAs[Double]("rt_tsat_c") - 20.0) < 1e-9)
+
+    // dry air at 20 °C / 1 atm ≈ 1.204 kg/m³
+    val rho = Domain.fluidProperties(df, "p_pa", "temp_c").collect()(0)
+      .getAs[Double]("density")
+    assert(math.abs(rho - 1.204) < 0.003)
+
+    // registered under the reference's transformer names
+    graft.core.StandardTransformers.registerAll
+    assert(graft.core.TransformerRegistry.get("saturation_properties").isDefined)
+    assert(graft.core.TransformerRegistry.get("fluid_properties").isDefined)
+    intercept[IllegalArgumentException](
+      Domain.saturationProperties(df, None, None))
+  }
 }
