@@ -162,9 +162,11 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, queryIdCol: String, queryVecCol: String,
               k: Int, numCentroids: Int = 64, nprobe: Int = 16,
-              lloydIters: Int = 2, assignSpill: Int = 2): DataFrame = {
+              lloydIters: Int = 2, assignSpill: Int = 2,
+              refineDenom: Int = 4): DataFrame = {
     require(assignSpill >= 1 && assignSpill <= numCentroids,
       s"assignSpill must be in [1, numCentroids], got $assignSpill")
+    require(refineDenom >= 1, s"refineDenom must be >= 1, got $refineDenom")
     val spark = corpus.sparkSession
     import spark.implicits._
     val corp = corpus.select(col(idCol), col(vecCol))
@@ -193,11 +195,18 @@ object Similarity {
     // average — linear in corpus size, nothing quadratic, so the refinement
     // holds at 100× corpus. Better centroids tighten the cells, which is
     // what lifts recall at a fixed nprobe/numCentroids budget.
+    // Mini-batch refinement: means over a deterministic 1/refineDenom
+    // hash-sample of the corpus — centroid quality needs only a sample,
+    // and the index-build cost drops by the same factor.
+    val refine =
+      if (refineDenom == 1) corp
+      else corp.filter(
+        pmod(xxhash64(col(idCol).cast("string")), lit(refineDenom)) === 0)
     val centRows = (1 to lloydIters).foldLeft(seedRows) { (c, _) =>
-      val assigned = corp.crossJoin(literal(c))
+      val assigned = refine.crossJoin(literal(c))
         .groupBy(col(idCol))
         .agg(max_by(col("_cid"), cosine(col(vecCol), col("_cvec"))).as("_cell"))
-      corp.join(assigned, Seq(idCol))
+      refine.join(assigned, Seq(idCol))
         .select(col("_cell"), posexplode(col(vecCol)).as(Seq("_pos", "_val")))
         .groupBy(col("_cell"), col("_pos"))
         .agg(avg(col("_val")).as("_m"))
