@@ -123,7 +123,8 @@ object Pipeline {
                                   parallel: Boolean = false, maxWorkers: Int = 4,
                                   autoCacheThreshold: Int = 3,
                                   sparkConf: Map[String, String] = Map.empty,
-                                  baseDir: Option[String] = None)
+                                  baseDir: Option[String] = None,
+                                  alerts: Seq[Alerts.AlertConfig] = Nil)
 
   /** Run side-effect SQL (DDL etc.) with all context datasets visible. */
   private def runSideSql(spark: SparkSession, statements: Seq[String],
@@ -457,10 +458,16 @@ object Pipeline {
           opts: RunOptions = RunOptions()): Map[String, NodeResult] = {
     // performance.spark_config passthrough (reference config.py:5192-5250)
     cfg.sparkConf.foreach { case (k, v) => spark.conf.set(k, v) }
-    def alert(event: String, message: String): Unit = {
-      Try(opts.onAlert(AlertEvent(cfg.name, "_pipeline", event, message)))
+    // alert fan-out: declared channels (YAML alerts: block) + the caller's
+    // onAlert hook; neither may fail the run
+    val dispatch = Alerts.dispatcher(cfg.alerts)
+    def fire(node: String, event: String, message: String): Unit = {
+      val e = AlertEvent(cfg.name, node, event, message)
+      Try(dispatch(e))
+      Try(opts.onAlert(e))
       ()
     }
+    def alert(event: String, message: String): Unit = fire("_pipeline", event, message)
     alert("run_start", s"${cfg.nodes.size} nodes")
     val byName = cfg.nodes.map(n => n.name -> n).toMap
     val graph = DependencyGraph(cfg.nodes.map(n => n.name -> n.dependsOn).toMap)
@@ -544,6 +551,8 @@ object Pipeline {
           results.put(name, NodeResult(name, df, None,
             durationMs = elapsed, rowsWritten = rowsWritten, validation = validation))
           opts.state.foreach(_.set(stateKey(name), s"ok:${nodeHash(node)}"))
+          validation.filter(v => v.test.kind == "quarantine" && v.failedRows > 0)
+            .foreach(v => fire(name, "quarantine", v.detail))
         case Failure(e) =>
           results.put(name, NodeResult(name, spark.emptyDataFrame, Some(e),
             durationMs = elapsed))
@@ -552,9 +561,7 @@ object Pipeline {
             case _: Validation.ValidationError => "gate_abort"
             case _ => "node_failure"
           }
-          Try(opts.onAlert(AlertEvent(cfg.name, name, event,
-            Option(e.getMessage).getOrElse(e.toString))))
-          ()
+          fire(name, event, Option(e.getMessage).getOrElse(e.toString))
       }
     }
 

@@ -123,7 +123,23 @@ object YamlConfig {
       maxWorkers = root.get("max_workers").map(_.toString.toInt).getOrElse(4),
       sparkConf = root.getOrElse("spark_config", Map.empty[String, Any])
         .asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.toString },
-      baseDir = baseDir)
+      baseDir = baseDir,
+      // alerts: [{channel: file|console|webhook, target, on_events, max_alerts}]
+      // (reference AlertConfig, config.py:162-240; `type:`/`url:` accepted
+      // as aliases for channel/target)
+      alerts = root.getOrElse("alerts", Nil).asInstanceOf[Seq[Any]].map { a =>
+        val m = a.asInstanceOf[Map[String, Any]]
+        Alerts.AlertConfig(
+          channel = m.get("channel").orElse(m.get("type"))
+            .map(_.toString).getOrElse("console"),
+          target = m.get("target").orElse(m.get("path")).orElse(m.get("url"))
+            .map(_.toString),
+          onEvents = seqOf(m.get("on_events")) match {
+            case Nil => Seq("on_failure", "on_gate_block")
+            case s => s
+          },
+          maxAlerts = m.get("max_alerts").map(_.toString.toInt))
+      })
   }
 
   private def seqOf(v: Option[Any]): Seq[String] =
