@@ -413,6 +413,23 @@ object SparkEntry {
           t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
             col("l_quantity").as("t_c"), (col("l_discount") * 5 + 0.3).as("rh")),
           "t_c", "rh")) { (df, c) => df.withColumn(c, round(col(c), 4)) }),
+    "q_saturation" -> ((s, d) => { // saturation_properties + fluid_properties
+      val base = t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").as("t_c"), lit(101325.0).as("p_pa"))
+      val sat = operators.Domain.saturationProperties(base, Some("t_c"), None)
+      val rt = operators.Domain.saturationProperties(sat, None, Some("psat_pa"), "rt")
+      operators.Domain.fluidProperties(rt, "p_pa", "t_c")
+        .withColumn("psat_pa", round(col("psat_pa"), 4))
+        .withColumn("rt_tsat_c", round(col("rt_tsat_c"), 4))
+        .withColumn("density", round(col("density"), 6))
+    }),
+    "q_stream_window" -> ((s, d) =>
+      // tumbling-window aggregation (the window_agg step) on a batch frame:
+      // withWatermark is a no-op in batch, window() buckets identically to
+      // the streaming path — oracle = hour-trunc GROUP BY
+      graft.streaming.Streaming.windowedAgg(events(s, d), "ts", "10 seconds",
+        "1 hour", None, Seq("event_type"), Seq("n" -> "count(*)"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("n"))),
     "q_multimodal_features" -> ((s, d) => {
       val media = graft.functions.Multimodal.asMedia(
         t(s, d, "documents").withColumn("payload", col("text").cast("binary")),
@@ -655,6 +672,10 @@ object SparkEntry {
       "SELECT doc_id, CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_id FROM (SELECT doc_id, list_max([{'score': len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','für','von'], x))), 'lang': 'de'}, {'score': len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','it','for','was'], x))), 'lang': 'en'}, {'score': len(list_filter(toks, x -> list_contains(['el','la','los','y','es','una','por','para','con','del'], x))), 'lang': 'es'}, {'score': len(list_filter(toks, x -> list_contains(['le','la','les','et','est','une','pour','dans','que','des'], x))), 'lang': 'fr'}, {'score': len(list_filter(toks, x -> list_contains(['il','la','che','e','per','una','con','del','non','sono'], x))), 'lang': 'it'}]) AS best FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '[[:space:][:punct:]]+') AS toks FROM documents) t) s",
     "q_psychrometrics" ->
       "SELECT l_orderkey, l_linenumber, t_c, rh, round(p_sat, 4) AS p_sat, round(hr, 4) AS humidity_ratio, round(243.04 * g / (17.625 - g), 4) AS dew_point, round(1.006 * t_c + hr * (2501.0 + 1.86 * t_c), 4) AS enthalpy FROM (SELECT *, 0.621945 * (rh * p_sat) / (101325.0 - (rh * p_sat)) AS hr, ln(rh) + 17.625 * t_c / (t_c + 243.04) AS g FROM (SELECT l_orderkey, l_linenumber, l_quantity AS t_c, l_discount * 5 + 0.3 AS rh, 610.94 * exp(17.625 * l_quantity / (l_quantity + 243.04)) AS p_sat FROM lineitem) a) b",
+    "q_saturation" ->
+      "SELECT l_orderkey, l_linenumber, t_c, p_pa, round(psat, 4) AS psat_pa, round(243.04 * g / (17.625 - g), 4) AS rt_tsat_c, round(p_pa * 0.0289647 / (8.314462618 * (t_c + 273.15)), 6) AS density FROM (SELECT *, ln(psat / 610.94) AS g FROM (SELECT l_orderkey, l_linenumber, l_quantity AS t_c, 101325.0 AS p_pa, 610.94 * exp(17.625 * l_quantity / (l_quantity + 243.04)) AS psat FROM lineitem) a) b",
+    "q_stream_window" ->
+      "SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n FROM events GROUP BY 1, 2",
     "q_multimodal_features" ->
       "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, sha256(text) AS sha FROM documents",
     "q_harmonize_schema" ->
