@@ -126,12 +126,17 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
  * double, products accumulated left to right from 0.0, result =
  * dot / (sqrt(na) * sqrt(nb)); null elements or length mismatch → null
  * (zip_with pads with null and `acc + null` nulls the aggregate).
+ *
+ * Generates code (`doGenCode`) so the loop stays inside the surrounding
+ * WholeStageCodegen span — a CodegenFallback here would box every row of
+ * the corpus × centroids/candidates sweeps.
  */
 case class CosineSim(left: Expression, right: Expression, normalize: Boolean = true)
-  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType}
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = if (normalize) "cosine_sim" else "dot_product"
 
   private def getter(dt: DataType): (ArrayData, Int) => Double = dt match {
@@ -159,6 +164,47 @@ case class CosineSim(left: Expression, right: Expression, normalize: Boolean = t
     }
     if (normalize) dot / (math.sqrt(na) * math.sqrt(nb)) else dot
   }
+
+  private def javaGetter(dt: DataType, arr: String, i: String): String = dt match {
+    case ArrayType(FloatType, _) => s"(double) $arr.getFloat($i)"
+    case ArrayType(DoubleType, _) => s"$arr.getDouble($i)"
+    case ArrayType(IntegerType, _) => s"(double) $arr.getInt($i)"
+    case ArrayType(LongType, _) => s"(double) $arr.getLong($i)"
+    case other => throw new IllegalArgumentException(
+      s"cosine_sim needs numeric arrays, got $other")
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val result =
+        if (normalize) s"$dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb))"
+        else dot
+      s"""
+        |final int $n = $a.numElements();
+        |if ($b.numElements() != $n) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+        |    final double $x = ${javaGetter(left.dataType, a, i)};
+        |    final double $y = ${javaGetter(right.dataType, b, i)};
+        |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+        |  }
+        |  if (!${ev.isNull}) { ${ev.value} = $result; }
+        |}
+      """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =
