@@ -136,4 +136,58 @@ ${rows.mkString("\n")}
     if (p.getParent != null) Files.createDirectories(p.getParent)
     Files.writeString(p, generateHtml(cfg, results, runId, wallMs))
   }
+
+  /**
+   * Pipeline run-history index (reference `_generate_pipeline_index`,
+   * generator.py:1491-1600): recent runs from the system catalog's
+   * `meta_runs`, one row per run with node outcome counts and total
+   * duration. Driver-side data is bounded by `lastN` runs.
+   */
+  def indexHtml(catalog: Catalog, pipeline: String, lastN: Int = 50): String = {
+    import org.apache.spark.sql.functions._
+    val runs = catalog.table("meta_runs")
+      .filter(col("pipeline") === pipeline)
+      .groupBy(col("run_id"))
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        sum(when(!col("success"), 1L).otherwise(0L)).as("n_failed"),
+        sum(col("duration_ms")).as("total_ms"),
+        max(col("recorded_at")).as("finished_at"))
+      .orderBy(col("finished_at").desc)
+      .limit(lastN)
+      .collect()
+    val rows = runs.map { r =>
+      val failed = r.getAs[Long]("n_failed")
+      val cls = if (failed == 0) "success" else "failed"
+      val status = if (failed == 0) "success" else s"$failed failed"
+      s"""      <tr class="$cls"><td>${esc(r.getAs[String]("run_id"))}</td><td class="st">$status</td><td class="num">${r.getAs[Long]("n_nodes")}</td><td class="num">${r.getAs[Long]("total_ms")}</td><td>${esc(String.valueOf(r.getAs[java.sql.Timestamp]("finished_at")))}</td></tr>"""
+    }
+    s"""<!DOCTYPE html>
+<html lang="en"><head><meta charset="utf-8"><title>${esc(pipeline)} &middot; runs</title>
+<style>
+  body { font-family: system-ui, sans-serif; margin: 2rem; color: #1a1a1a; }
+  h1 { font-size: 1.3rem; }
+  table { border-collapse: collapse; width: 100%; }
+  th, td { text-align: left; padding: .4rem .7rem; border-bottom: 1px solid #ddd; font-size: .9rem; }
+  td.num { text-align: right; font-variant-numeric: tabular-nums; }
+  tr.success td.st { color: #2e7d32; } tr.failed td.st { color: #c62828; font-weight: 600; }
+</style></head>
+<body>
+  <h1>Runs: ${esc(pipeline)}</h1>
+  <table>
+    <thead><tr><th>run</th><th>status</th><th>nodes</th><th>total ms</th><th>finished</th></tr></thead>
+    <tbody>
+${rows.mkString("\n")}
+    </tbody>
+  </table>
+</body></html>
+"""
+  }
+
+  def writeIndexHtml(path: String, catalog: Catalog, pipeline: String,
+                     lastN: Int = 50): Unit = {
+    val p = Paths.get(path)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    Files.writeString(p, indexHtml(catalog, pipeline, lastN))
+  }
 }

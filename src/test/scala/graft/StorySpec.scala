@@ -96,4 +96,23 @@ class StorySpec extends SparkSpec {
     Story.writeHtml(s"$dir/story.html", cfg, results, "run-gold", 777L)
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/story.html")))
   }
+
+  test("run-history index renders recent runs from the catalog") {
+    val dir = java.nio.file.Files.createTempDirectory("storyidx").toString
+    val catalog = new graft.core.Catalog(spark, s"$dir/_system")
+    val cfg = Pipeline.PipelineConfig("idx", Seq(
+      Pipeline.NodeConfig("src", read = Some(Sources.ReadConfig("parquet",
+        Some("/root/testdata/sf0.001/region.parquet"))))))
+    graft.core.Catalog.runRecorded(spark, cfg, catalog, "run-1")
+    val badCfg = cfg.copy(nodes = Seq(Pipeline.NodeConfig("src",
+      read = Some(Sources.ReadConfig("parquet", Some(s"$dir/nope"))))))
+    graft.core.Catalog.runRecorded(spark, badCfg, catalog, "run-2")
+
+    val html = Story.indexHtml(catalog, "idx")
+    assert(html.contains("run-1") && html.contains("run-2"))
+    assert(html.contains("""<tr class="success"><td>run-1</td>"""))
+    assert(html.contains("""<tr class="failed"><td>run-2</td><td class="st">1 failed</td>"""))
+    Story.writeIndexHtml(s"$dir/index.html", catalog, "idx")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/index.html")))
+  }
 }
