@@ -23,7 +23,7 @@ import org.apache.spark.unsafe.types.UTF8String
  * the sliding-window MULTISET is identical — so no O(n²) array_distinct.
  */
 case class MinHashShingles(child: Expression, shingleSize: Int, numHashes: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_shingles"
@@ -44,12 +44,35 @@ case class MinHashShingles(child: Expression, shingleSize: Int, numHashes: Int)
     (a, b)
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String]
+  override def nullSafeEval(input: Any): Any =
+    HashImpls.minhash(input.asInstanceOf[UTF8String], shingleSize, numHashes, mulA, addB)
+
+  // emit a direct static call: the shingling loop runs unboxed inside the
+  // surrounding WholeStageCodegen span (a CodegenFallback would box every
+  // document through interpreted eval)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashMulA", mulA, "long[]")
+    val bRef = ctx.addReferenceObj("minhashAddB", addB, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.HashImpls.minhash($c, $shingleSize, $numHashes, $aRef, $bRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashShingles =
+    copy(child = newChild)
+}
+
+/** Static hash-loop implementations shared by interpreted eval and the
+  * generated code (the `StaticInvoke`-style pattern). */
+object HashImpls {
+
+  def minhash(text: UTF8String, shingleSize: Int, numHashes: Int,
+              mulA: Array[Long], addB: Array[Long]): ArrayData = {
     val nChars = text.numChars()
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val nWindows = math.max(nChars - shingleSize + 1, 1)
-    val a = mulA; val b = addB
     // ASCII fast path: byte windows == char windows, hash in place with no
     // per-shingle allocation; multi-byte text falls back to substringSQL.
     val ascii = text.numBytes() == nChars
@@ -64,7 +87,7 @@ case class MinHashShingles(child: Expression, shingleSize: Int, numHashes: Int)
           XXH64.hashUTF8String(text.substringSQL(p + 1, shingleSize), 42L)
       var k = 0
       while (k < numHashes) {
-        val hk = a(k) * h + b(k)
+        val hk = mulA(k) * h + addB(k)
         if (hk < mins(k)) mins(k) = hk
         k += 1
       }
@@ -73,21 +96,7 @@ case class MinHashShingles(child: Expression, shingleSize: Int, numHashes: Int)
     new GenericArrayData(mins)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): MinHashShingles =
-    copy(child = newChild)
-}
-
-/**
- * 64-bit SimHash over a token array: one xxhash64 per token, then per-bit
- * majority vote. O(tokens × 64) unboxed bit ops.
- */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = LongType
-  override def prettyName: String = "simhash64"
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def simhash(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     var i = 0
     val n = arr.numElements()
@@ -110,6 +119,26 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     }
     sig
   }
+}
+
+/**
+ * 64-bit SimHash over a token array: one xxhash64 per token, then per-bit
+ * majority vote. O(tokens × 64) unboxed bit ops.
+ */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    HashImpls.simhash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.HashImpls.simhash($c);")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
