@@ -83,8 +83,11 @@ object YamlConfig {
           s match {
             case sm: Map[_, _] =>
               val block = sm.asInstanceOf[Map[String, Any]]
+              strict(block, Set("query", "incremental"), "semantic block")
               val inc = block.get("incremental").map(_.asInstanceOf[Map[String, Any]])
                 .map { im =>
+                  strict(im, Set("grain", "strategies", "filter"),
+                    "semantic.incremental block")
                   graft.semantics.Semantics.SemanticIncremental(
                     grain = seqOf(im.get("grain")),
                     strategies = im.getOrElse("strategies", Map.empty[String, Any])
@@ -129,6 +132,8 @@ object YamlConfig {
       // as aliases for channel/target)
       alerts = root.getOrElse("alerts", Nil).asInstanceOf[Seq[Any]].map { a =>
         val m = a.asInstanceOf[Map[String, Any]]
+        strict(m, Set("channel", "type", "target", "path", "url",
+          "on_events", "max_alerts"), "alert config")
         Alerts.AlertConfig(
           channel = m.get("channel").orElse(m.get("type"))
             .map(_.toString).getOrElse("console"),
@@ -144,6 +149,12 @@ object YamlConfig {
 
   private def seqOf(v: Option[Any]): Seq[String] =
     v.map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Nil)
+
+  /** Strict-model key check (the reference's Pydantic `extra="forbid"`). */
+  private def strict(m: Map[String, Any], known: Set[String], what: String): Unit = {
+    val unknown = m.keySet -- known
+    require(unknown.isEmpty, s"$what: unknown keys $unknown (strict config)")
+  }
 
   /**
    * semantics: block → SemanticModel (reference MetricDefinition /
@@ -162,11 +173,14 @@ object YamlConfig {
   private def semanticModelCfg(v: Any): graft.semantics.Semantics.SemanticModel = {
     import graft.semantics.Semantics
     val m = v.asInstanceOf[Map[String, Any]]
+    strict(m, Set("metrics", "dimensions"), "semantics block")
     val metricMaps = m.getOrElse("metrics", Nil).asInstanceOf[Seq[Any]]
       .map(_.asInstanceOf[Map[String, Any]])
     val defaultSource = metricMaps.find(mm => !mm.contains("formula"))
       .flatMap(_.get("source")).map(_.toString)
     val metrics = metricMaps.map { mm =>
+      strict(mm, Set("name", "label", "description", "expr", "source",
+        "filters", "type", "components", "formula"), "metric definition")
       val name = mm("name").toString
       name -> Semantics.Metric(
         name = name,
@@ -179,6 +193,8 @@ object YamlConfig {
     }.toMap
     val dimensions = m.getOrElse("dimensions", Nil).asInstanceOf[Seq[Any]]
       .map(_.asInstanceOf[Map[String, Any]]).map { dm =>
+        strict(dm, Set("name", "label", "description", "column", "time_grain"),
+          "dimension definition")
         val name = dm("name").toString
         name -> Semantics.Dimension(name,
           dm.getOrElse("column", name).toString,

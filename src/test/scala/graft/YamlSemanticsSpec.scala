@@ -179,4 +179,29 @@ class YamlSemanticsSpec extends SparkSpec {
         "name: p\nnodes:\n  - name: m\n    semantic: { query: \"n\" }\n")
     }
   }
+
+  test("strict config: unknown keys in semantics/semantic/alert blocks rejected") {
+    def load(y: String) = YamlConfig.loadPipeline(y)
+    val base =
+      """name: p
+        |semantics:
+        |  metrics:
+        |    - { name: n, expr: "count(*)", source: t }
+        |""".stripMargin
+    // typo in a metric definition
+    intercept[IllegalArgumentException](load(
+      "name: p\nsemantics:\n  metrics:\n    - { name: n, expresion: \"count(*)\", source: t }\n"))
+    // typo in the node's semantic block
+    intercept[IllegalArgumentException](load(
+      base + "nodes:\n  - name: m\n    semantic: { query: n, incremental_: {} }\n"))
+    // typo inside semantic.incremental
+    intercept[IllegalArgumentException](load(
+      base + "nodes:\n  - name: m\n    semantic:\n      query: n\n      incremental: { grains: [x] }\n"))
+    // typo in an alert config
+    intercept[IllegalArgumentException](load(
+      "name: p\nalerts:\n  - { channel: console, on_event: [on_failure] }\nnodes: []\n"))
+    // well-formed versions load
+    load(base + "nodes:\n  - name: m\n    semantic: { query: n }\n")
+    load("name: p\nalerts:\n  - { channel: console, on_events: [on_failure] }\nnodes: []\n")
+  }
 }
