@@ -76,6 +76,15 @@ object SparkEntry {
     "q_sample_det" -> ((s, d) =>
       SqlCore.filterRows(t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
         "substring(md5(cast(l_orderkey as string)), 1, 1) in ('0','1','2','3')")),
+    "q_stratified_sample" -> ((s, d) =>
+      operators.Sampling.stratifiedSample(
+        t(s, d, "lineitem").select("l_returnflag", "l_orderkey", "l_linenumber"),
+        strataCols = Seq("l_returnflag"), n = 100,
+        keyCols = Seq("l_orderkey", "l_linenumber"))),
+    "q_repetition" -> ((s, d) =>
+      graft.functions.TextAnalysis.repetitionStats(
+        t(s, d, "documents").select("doc_id", "text"), "text")
+        .drop("text")),
     "q_distinct" -> ((s, d) =>
       SqlCore.distinctRows(t(s, d, "lineitem").select("l_returnflag", "l_linestatus"))),
     "q_fill_nulls" -> ((s, d) =>
@@ -552,6 +561,10 @@ object SparkEntry {
       "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100 OFFSET 10",
     "q_sample_det" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) IN ('0','1','2','3')",
+    "q_stratified_sample" ->
+      "SELECT l_returnflag, l_orderkey, l_linenumber FROM (SELECT l_returnflag, l_orderkey, l_linenumber, row_number() OVER (PARTITION BY l_returnflag ORDER BY md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR))) AS rn FROM lineitem) t WHERE rn <= 100",
+    "q_repetition" ->
+      "SELECT doc_id, CASE WHEN len(lines) = 0 THEN 0.0 ELSE round(1.0 - len(list_distinct(lines)) / len(lines), 6) END AS dup_line_frac, CASE WHEN len(paras) = 0 THEN 0.0 ELSE round(1.0 - len(list_distinct(paras)) / len(paras), 6) END AS dup_para_frac, CASE WHEN len(lines) = 0 THEN 0.0 ELSE round(CAST(list_sum(list_transform(lines, x -> len(x))) AS DOUBLE) / len(lines), 6) END AS mean_line_len FROM (SELECT doc_id, list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines, list_filter(string_split(text, chr(10) || chr(10)), x -> trim(x) <> '') AS paras FROM documents) t",
     "q_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     "q_fill_nulls" ->

@@ -170,6 +170,11 @@ object StandardTransformers {
       Advanced.sessionize(c.df, str(p, "user_col"), str(p, "ts_col"),
         str(p, "threshold_seconds").toLong,
         strOpt(p, "session_col").getOrElse("session_id")) }
+    reg("stratified_sample") { (c, p) =>
+      Sampling.stratifiedSample(c.df, seqOf(p, "strata"),
+        str(p, "n").toInt, seqOf(p, "key")) }
+    reg("repetition_stats") { (c, p) =>
+      TextAnalysis.repetitionStats(c.df, str(p, "column")) }
     // streaming windowed aggregation steps (work on streaming frames in a
     // YAML node's steps:; batch frames are also accepted by the built-ins)
     reg("window_agg") { (c, p) =>

@@ -99,6 +99,31 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /**
+   * Within-document repetition statistics (the Gopher/C4 quality-filter
+   * family): fraction of duplicate lines and duplicate paragraphs, plus
+   * the mean line length. Per-row array ops over a document's own lines —
+   * linear per document, no shuffle, so it composes with any corpus-level
+   * filter at 100 TB.
+   */
+  def repetitionStats(df: DataFrame, textCol: String): DataFrame = {
+    def nonEmpty(parts: Column): Column =
+      filter(parts, x => trim(x) =!= "")
+    def dupFrac(parts: Column): Column = {
+      val n = size(parts)
+      when(n === 0, 0.0)
+        .otherwise(round(lit(1.0) - size(array_distinct(parts)).cast("double") / n, 6))
+    }
+    val lines = nonEmpty(split(col(textCol), "\n"))
+    val paras = nonEmpty(split(col(textCol), "\n\n"))
+    df.withColumn("dup_line_frac", dupFrac(lines))
+      .withColumn("dup_para_frac", dupFrac(paras))
+      .withColumn("mean_line_len",
+        when(size(lines) === 0, 0.0).otherwise(
+          round(aggregate(lines, lit(0L), (acc, x) => acc + length(x))
+            .cast("double") / size(lines), 6)))
+  }
+
   /** Convenience: append the standard text-analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_tokens", tokenCountWs(col(textCol)))

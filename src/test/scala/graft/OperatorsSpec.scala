@@ -178,4 +178,40 @@ class OperatorsSpec extends SparkSpec {
     val plan = left.queryExecution.executedPlan.toString
     assert("Generate explode".r.findAllIn(plan).length == 1, plan)
   }
+
+  test("stratifiedSample: exact n per stratum, deterministic, partition-invariant") {
+    import graft.operators.Sampling
+    val df = spark.range(1000).toDF("id")
+      .withColumn("cls", (col("id") % 3).cast("string"))
+    val s1 = Sampling.stratifiedSample(df, Seq("cls"), 10, Seq("id"))
+    val counts = s1.groupBy("cls").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("0" -> 10L, "1" -> 10L, "2" -> 10L))
+    // same rows regardless of physical partitioning
+    val s2 = Sampling.stratifiedSample(df.repartition(17), Seq("cls"), 10, Seq("id"))
+    assert(s1.select("id").collect().map(_.getLong(0)).toSet ==
+      s2.select("id").collect().map(_.getLong(0)).toSet)
+    // growing the corpus keeps a stable sample unless displaced
+    val s3 = Sampling.stratifiedSample(
+      df.union(spark.range(1000, 1500).toDF("id")
+        .withColumn("cls", (col("id") % 3).cast("string"))),
+      Seq("cls"), 10, Seq("id"))
+    val kept = s1.select("id").collect().map(_.getLong(0)).toSet
+      .intersect(s3.select("id").collect().map(_.getLong(0)).toSet)
+    assert(kept.nonEmpty) // prefix stability, not a full reshuffle
+  }
+
+  test("repetitionStats: duplicate line/paragraph fractions") {
+    import graft.functions.TextAnalysis
+    val df = Seq(
+      (1L, "a\nb\na\n\na\nb\na"),    // lines: a,b,a,a,b,a; paras: "a\nb\na" x2
+      (2L, "x\ny\nz"),               // no dups
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(df, "text")
+      .select("doc_id", "dup_line_frac", "dup_para_frac", "mean_line_len")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L)._1 == 0.666667) // 6 lines, 2 distinct -> round(1 - 2/6, 6)
+    assert(out(1L)._2 == 0.5)      // 2 paragraphs, 1 distinct
+    assert(out(2L)._1 == 0.0 && out(2L)._3 == 1.0)
+    assert(out(3L) == ((0.0, 0.0, 0.0)))
+  }
 }
