@@ -85,6 +85,13 @@ object SparkEntry {
       graft.functions.TextAnalysis.repetitionStats(
         t(s, d, "documents").select("doc_id", "text"), "text")
         .drop("text")),
+    "q_contamination" -> ((s, d) => {
+      // decontamination sweep: docs 0-19 act as the "benchmark"; members
+      // flag themselves at contamination 1.0 (rows-only: xxhash64 n-grams)
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      operators.Dedup.ngramContamination(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 20), "text", n = 8, threshold = 0.5)
+    }),
     "q_distinct" -> ((s, d) =>
       SqlCore.distinctRows(t(s, d, "lineitem").select("l_returnflag", "l_linestatus"))),
     "q_fill_nulls" -> ((s, d) =>

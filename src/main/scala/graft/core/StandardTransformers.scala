@@ -175,6 +175,12 @@ object StandardTransformers {
         str(p, "n").toInt, seqOf(p, "key")) }
     reg("repetition_stats") { (c, p) =>
       TextAnalysis.repetitionStats(c.df, str(p, "column")) }
+    reg("ngram_contamination") { (c, p) =>
+      Dedup.ngramContamination(c.df, str(p, "id_col"), str(p, "text_col"),
+        c.dataset(str(p, "benchmark")), strOpt(p, "benchmark_text_col")
+          .getOrElse(str(p, "text_col")),
+        intOpt(p, "n").getOrElse(8),
+        p.get("threshold").map(_.toString.toDouble).getOrElse(0.1)) }
     // streaming windowed aggregation steps (work on streaming frames in a
     // YAML node's steps:; batch frames are also accepted by the built-ins)
     reg("window_agg") { (c, p) =>

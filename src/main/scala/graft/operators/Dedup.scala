@@ -248,6 +248,37 @@ object Dedup {
   }
 
   /**
+   * Benchmark decontamination (the training-data hygiene pass): per corpus
+   * document, the fraction of its distinct word n-grams that appear
+   * anywhere in the benchmark set, plus a `contaminated` flag at
+   * `threshold`. The benchmark's n-gram hash set is distinct-aggregated
+   * and broadcast (benchmarks are tiny next to a training corpus); the
+   * corpus streams through one explode + broadcast join + per-doc count —
+   * no corpus × benchmark pair blowup, scales linearly in corpus n-grams.
+   */
+  def ngramContamination(corpus: DataFrame, idCol: String, textCol: String,
+                         benchmark: DataFrame, benchTextCol: String,
+                         n: Int = 8, threshold: Double = 0.1): DataFrame = {
+    def ngramHashes(text: Column): Column =
+      transform(wordShingles(text, n), x => xxhash64(x))
+    val withNg = corpus.select(col(idCol),
+      ngramHashes(col(textCol)).as("_ngs"))
+    val exploded = withNg.select(col(idCol), size(col("_ngs")).as("_total"),
+      explode(col("_ngs")).as("_ng"))
+    val benchNg = benchmark
+      .select(explode(ngramHashes(col(benchTextCol))).as("_ng")).distinct()
+    val matched = exploded.join(broadcast(benchNg), Seq("_ng"))
+      .groupBy(col(idCol), col("_total"))
+      .agg(count(lit(1)).as("_matched"))
+    withNg.select(col(idCol))
+      .join(matched, Seq(idCol), "left")
+      .withColumn("contamination", round(
+        coalesce(col("_matched").cast("double") / col("_total"), lit(0.0)), 6))
+      .withColumn("contaminated", col("contamination") >= threshold)
+      .select(col(idCol), col("contamination"), col("contaminated"))
+  }
+
+  /**
    * Embedding-cosine near-dup pairs via hyperplane-LSH blocking + exact
    * cosine verify (>= threshold).
    */

@@ -200,6 +200,24 @@ class OperatorsSpec extends SparkSpec {
     assert(kept.nonEmpty) // prefix stability, not a full reshuffle
   }
 
+  test("ngramContamination flags benchmark overlap, passes clean docs") {
+    import graft.operators.Dedup
+    val bench = Seq(
+      "the quick brown fox jumps over the lazy dog near the river bank today").toDF("text")
+    val docs = Seq(
+      (1L, "intro text then the quick brown fox jumps over the lazy dog near the river bank today and more trailing words here"),
+      (2L, "completely unrelated content about distributed query engines and shuffle partitioning strategies in modern systems"),
+      (3L, "short doc")).toDF("doc_id", "text")
+    val out = Dedup.ngramContamination(docs, "doc_id", "text", bench, "text",
+      n = 8, threshold = 0.1)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(out(1L)._2, s"doc 1 should flag: ${out(1L)}")
+    assert(out(1L)._1 > 0.2)
+    assert(!out(2L)._2 && out(2L)._1 == 0.0)
+    assert(!out(3L)._2) // fewer tokens than n: degenerate shingle, no match
+    assert(out.size == 3) // every corpus doc reported
+  }
+
   test("repetitionStats: duplicate line/paragraph fractions") {
     import graft.functions.TextAnalysis
     val df = Seq(
