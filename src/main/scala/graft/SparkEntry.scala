@@ -85,6 +85,10 @@ object SparkEntry {
       graft.functions.TextAnalysis.repetitionStats(
         t(s, d, "documents").select("doc_id", "text"), "text")
         .drop("text")),
+    "q_pii_scrub" -> ((s, d) =>
+      graft.functions.TextAnalysis.scrubPii(
+        t(s, d, "documents").select("doc_id", "text"), "text",
+        outputCol = Some("scrubbed")).drop("text")),
     "q_contamination" -> ((s, d) => {
       // decontamination sweep: docs 0-19 act as the "benchmark"; members
       // flag themselves at contamination 1.0 (rows-only: xxhash64 n-grams)
@@ -572,6 +576,8 @@ object SparkEntry {
       "SELECT l_returnflag, l_orderkey, l_linenumber FROM (SELECT l_returnflag, l_orderkey, l_linenumber, row_number() OVER (PARTITION BY l_returnflag ORDER BY md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR))) AS rn FROM lineitem) t WHERE rn <= 100",
     "q_repetition" ->
       "SELECT doc_id, CASE WHEN len(lines) = 0 THEN 0.0 ELSE round(1.0 - len(list_distinct(lines)) / len(lines), 6) END AS dup_line_frac, CASE WHEN len(paras) = 0 THEN 0.0 ELSE round(1.0 - len(list_distinct(paras)) / len(paras), 6) END AS dup_para_frac, CASE WHEN len(lines) = 0 THEN 0.0 ELSE round(CAST(list_sum(list_transform(lines, x -> len(x))) AS DOUBLE) / len(lines), 6) END AS mean_line_len FROM (SELECT doc_id, list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines, list_filter(string_split(text, chr(10) || chr(10)), x -> trim(x) <> '') AS paras FROM documents) t",
+    "q_pii_scrub" ->
+      "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'), '[0-9][0-9 ()+.-]{8,}[0-9]', '<NUM>', 'g') AS scrubbed FROM documents",
     "q_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     "q_fill_nulls" ->

@@ -175,6 +175,8 @@ object StandardTransformers {
         str(p, "n").toInt, seqOf(p, "key")) }
     reg("repetition_stats") { (c, p) =>
       TextAnalysis.repetitionStats(c.df, str(p, "column")) }
+    reg("scrub_pii") { (c, p) =>
+      TextAnalysis.scrubPii(c.df, str(p, "column"), strOpt(p, "output_col")) }
     reg("ngram_contamination") { (c, p) =>
       Dedup.ngramContamination(c.df, str(p, "id_col"), str(p, "text_col"),
         c.dataset(str(p, "benchmark")), strOpt(p, "benchmark_text_col")

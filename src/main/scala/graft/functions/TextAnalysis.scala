@@ -124,6 +124,25 @@ object TextAnalysis {
             .cast("double") / size(lines), 6)))
   }
 
+  /**
+   * PII scrubbing for training corpora: redact emails, IPv4 addresses and
+   * long digit runs (phone/account numbers) with typed placeholders.
+   * Pure regexp_replace chain (codegen'd, no UDF); patterns use only
+   * portable character classes so the same expressions run under Java
+   * regex and RE2-family engines.
+   */
+  def scrubPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>")
+    regexp_replace(ip, "[0-9][0-9 ()+.-]{8,}[0-9]", "<NUM>")
+  }
+
+  def scrubPii(df: DataFrame, textCol: String,
+               outputCol: Option[String] = None): DataFrame =
+    df.withColumn(outputCol.getOrElse(textCol), scrubPii(col(textCol)))
+
   /** Convenience: append the standard text-analysis columns. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_tokens", tokenCountWs(col(textCol)))

@@ -218,6 +218,17 @@ class OperatorsSpec extends SparkSpec {
     assert(out.size == 3) // every corpus doc reported
   }
 
+  test("scrubPii redacts emails, IPs, and long digit runs") {
+    import graft.functions.TextAnalysis
+    val df = Seq(
+      (1L, "contact jane.doe+spam@example.co.uk or 192.168.001.42 or +1 (415) 555-0199 now"),
+      (2L, "version 2.5 costs 12 dollars")).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubPii(df, "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "contact <EMAIL> or <IP> or +<NUM> now", out(1L))
+    assert(out(2L) == "version 2.5 costs 12 dollars") // short numbers untouched
+  }
+
   test("repetitionStats: duplicate line/paragraph fractions") {
     import graft.functions.TextAnalysis
     val df = Seq(
