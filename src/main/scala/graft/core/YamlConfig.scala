@@ -170,6 +170,10 @@ object YamlConfig {
    * A derived metric without an explicit source inherits the first simple
    * metric's source (components must share the source table anyway).
    */
+  /** Exposed for [[Planner]]'s dry-run semantics validation. */
+  private[graft] def parseSemanticModel(v: Any): graft.semantics.Semantics.SemanticModel =
+    semanticModelCfg(v)
+
   private def semanticModelCfg(v: Any): graft.semantics.Semantics.SemanticModel = {
     import graft.semantics.Semantics
     val m = v.asInstanceOf[Map[String, Any]]
