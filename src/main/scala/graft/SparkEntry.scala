@@ -89,6 +89,17 @@ object SparkEntry {
       graft.functions.TextAnalysis.scrubPii(
         t(s, d, "documents").select("doc_id", "text"), "text",
         outputCol = Some("scrubbed")).drop("text")),
+    "q_pack_sequences" -> ((s, d) =>
+      operators.Packing.packSequences(
+        t(s, d, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", budget = 2048)),
+    "q_segment_dedup" -> ((s, d) =>
+      // word-granularity run (synthetic docs have no paragraph breaks);
+      // the operator itself is separator-parameterized
+      operators.Dedup.segmentDedup(
+        t(s, d, "documents").select("doc_id", "text"),
+        "doc_id", "text", sepRegex = " ", joinSep = " ")),
     "q_contamination" -> ((s, d) => {
       // decontamination sweep: docs 0-19 act as the "benchmark"; members
       // flag themselves at contamination 1.0 (rows-only: xxhash64 n-grams)
@@ -578,6 +589,26 @@ object SparkEntry {
       "SELECT doc_id, CASE WHEN len(lines) = 0 THEN 0.0 ELSE round(1.0 - len(list_distinct(lines)) / len(lines), 6) END AS dup_line_frac, CASE WHEN len(paras) = 0 THEN 0.0 ELSE round(1.0 - len(list_distinct(paras)) / len(paras), 6) END AS dup_para_frac, CASE WHEN len(lines) = 0 THEN 0.0 ELSE round(CAST(list_sum(list_transform(lines, x -> len(x))) AS DOUBLE) / len(lines), 6) END AS mean_line_len FROM (SELECT doc_id, list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines, list_filter(string_split(text, chr(10) || chr(10)), x -> trim(x) <> '') AS paras FROM documents) t",
     "q_pii_scrub" ->
       "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'), '[0-9][0-9 ()+.-]{8,}[0-9]', '<NUM>', 'g') AS scrubbed FROM documents",
+    "q_pack_sequences" ->
+      """SELECT doc_id, n_tokens,
+        |  CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS seq_id,
+        |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS seq_offset
+        |FROM (SELECT doc_id, n_tokens,
+        |        SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM (SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |            FROM documents))""".stripMargin,
+    "q_segment_dedup" ->
+      """WITH segs AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS seg,
+        |         generate_subscripts(string_split(text, ' '), 1) AS idx
+        |  FROM documents
+        |), keep AS (
+        |  SELECT doc_id, idx FROM segs
+        |  QUALIFY row_number() OVER (PARTITION BY seg ORDER BY doc_id, idx) = 1
+        |)
+        |SELECT s.doc_id, string_agg(s.seg, ' ' ORDER BY s.idx) AS text
+        |FROM segs s JOIN keep k ON s.doc_id = k.doc_id AND s.idx = k.idx
+        |GROUP BY s.doc_id""".stripMargin,
     "q_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     "q_fill_nulls" ->

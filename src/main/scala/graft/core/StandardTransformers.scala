@@ -260,6 +260,13 @@ object StandardTransformers {
     reg("simhash_pairs") { (c, p) =>
       Dedup.simhashPairs(c.df, str(p, "id_col"), str(p, "text_col"),
         intOpt(p, "max_hamming").getOrElse(3)) }
+    reg("segment_dedup") { (c, p) =>
+      Dedup.segmentDedup(c.df, str(p, "id_col"), str(p, "text_col"),
+        strOpt(p, "sep_regex").getOrElse("\\n{2,}"),
+        strOpt(p, "join_sep").getOrElse("\n\n")) }
+    reg("pack_sequences") { (c, p) =>
+      Packing.packSequences(c.df, str(p, "id_col"), str(p, "token_col"),
+        p.get("budget").map(_.toString.toLong).getOrElse(2048L)) }
     reg("text_analysis") { (c, p) => TextAnalysis.analyze(c.df, str(p, "text_col")) }
     reg("as_media") { (c, p) =>
       graft.functions.Multimodal.asMedia(c.df, str(p, "id_col"), str(p, "bytes_col"),

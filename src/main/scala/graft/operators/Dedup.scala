@@ -305,4 +305,43 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /**
+   * Segment-level exact dedup across the corpus: split every document on
+   * `sepRegex` (paragraphs, sentences, lines — caller's choice), keep only
+   * the globally FIRST occurrence of each distinct segment (lowest
+   * (id, position)), and reassemble each document from its surviving
+   * segments in original order, joined with `joinSep`. The classic
+   * boilerplate-paragraph removal step in LLM corpus cleaning: a repeated
+   * header/footer/licence block survives once, in the earliest document.
+   * Documents whose every segment appeared earlier elsewhere drop out.
+   *
+   * Scale design (100 TB): winner selection is groupBy(segment) →
+   * min(struct(id, idx)) — map-side combine collapses each partition's
+   * duplicate segments BEFORE the shuffle, so hot boilerplate (the skew
+   * case: one paragraph repeated in millions of docs) never concentrates
+   * whole segment bodies on one reducer the way a row_number window keyed
+   * on the segment would. Winner (id, idx) pairs then fold to a per-doc
+   * keep-set, and the survivor filter + reassembly share ONE shuffle keyed
+   * by the uniformly-distributed doc id.
+   */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+                   sepRegex: String = "\\n{2,}",
+                   joinSep: String = "\n\n"): DataFrame = {
+    val segs = df.select(col(idCol),
+      posexplode(split(col(textCol), sepRegex, -1)).as(Seq("_idx", "_seg")))
+    val winners = segs
+      .groupBy(col("_seg"))
+      .agg(min(struct(col(idCol).as("id"), col("_idx").as("idx"))).as("_w"))
+      .select(col("_w.id").as("_wid"), col("_w.idx").as("_widx"))
+    val keepSets = winners.groupBy(col("_wid"))
+      .agg(collect_list(col("_widx")).as("_keep"))
+    segs.join(keepSets, segs(idCol) === keepSets("_wid"))
+      .where(array_contains(col("_keep"), col("_idx")))
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("_idx"), col("_seg")))),
+          x => x.getField("_seg")),
+        joinSep).as(textCol))
+  }
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Packing}
+
+class PackingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("packSequences lays documents end-to-end in id order") {
+    val docs = Seq((1L, 1000L), (2L, 1500L), (3L, 100L), (4L, 2048L), (5L, 1L))
+      .toDF("id", "toks")
+    val out = Packing.packSequences(docs, "id", "toks", budget = 2048)
+      .orderBy("id")
+      .select("id", "seq_id", "seq_offset").as[(Long, Long, Long)].collect()
+    // starts: 0, 1000, 2500, 2600, 4648
+    assert(out === Array(
+      (1L, 0L, 0L),      // starts sequence 0 at offset 0
+      (2L, 0L, 1000L),   // still in sequence 0, spills into 1
+      (3L, 1L, 452L),    // 2500 -> seq 1 offset 452
+      (4L, 1L, 552L),    // spans into seq 2
+      (5L, 2L, 552L)))   // 4648 -> seq 2 offset 552
+  }
+
+  test("packSequences matches a single-reducer global window (oracle shape)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.tokenCountWs(col("text")).cast("long").as("n"))
+    val fast = Packing.packSequences(docs, "doc_id", "n", 512)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val slow = docs
+      .withColumn("_start", sum($"n").over(w) - $"n")
+      .select($"doc_id", $"n", floor($"_start" / 512).as("seq_id"),
+        ($"_start" % 512).as("seq_offset"))
+    assert(fast.count() == docs.count())
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+  }
+
+  test("packSequences nulls count as zero tokens; empty frame is fine") {
+    val docs = Seq((1L, Some(10L)), (2L, None), (3L, Some(5L)))
+      .toDF("id", "toks")
+    val out = Packing.packSequences(docs, "id", "toks", 8)
+      .orderBy("id").select("seq_id", "seq_offset").as[(Long, Long)].collect()
+    assert(out === Array((0L, 0L), (1L, 2L), (1L, 2L)))
+    assert(Packing.packSequences(docs.limit(0), "id", "toks", 8).count() == 0)
+  }
+
+  test("packingStats: total sequences from one aggregate") {
+    val docs = Seq((1L, 1000L), (2L, 1500L), (3L, 100L)).toDF("id", "toks")
+    val r = Packing.packingStats(docs, "toks", 2048).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Long]("total_tokens") == 2600L)
+    assert(r.getAs[Long]("n_sequences") == 2L)
+  }
+
+  test("segmentDedup keeps the globally-first occurrence of each segment") {
+    val docs = Seq(
+      (1L, "alpha\n\nshared\n\nbeta"),
+      (2L, "shared\n\ngamma"),      // 'shared' already seen in doc 1
+      (3L, "alpha\n\nshared"))      // fully duplicate -> drops out
+      .toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(out === Array(
+      (1L, "alpha\n\nshared\n\nbeta"),
+      (2L, "gamma")))
+  }
+
+  test("segmentDedup ties within one document keep the earliest position") {
+    val docs = Seq((7L, "x\n\nx\n\ny")).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, "doc_id", "text").as[(Long, String)].collect()
+    assert(out === Array((7L, "x\n\ny")))
+  }
+}
