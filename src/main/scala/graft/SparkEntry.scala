@@ -89,6 +89,14 @@ object SparkEntry {
       graft.functions.TextAnalysis.scrubPii(
         t(s, d, "documents").select("doc_id", "text"), "text",
         outputCol = Some("scrubbed")).drop("text")),
+    "q_url_filter" -> ((s, d) =>
+      // synthetic URL from (source, doc_id) — data has no URL column; the
+      // filter drops two sources' domains incl. their subdomains
+      TextAnalysis.filterUrlBlocklist(
+        t(s, d, "documents").select(col("doc_id"), col("source"),
+          concat(lit("https://www."), col("source"),
+            lit(".example.com/p/"), col("doc_id")).as("url")),
+        "url", Seq("src1.example.com", "src7.example.com"))),
     "q_pack_sequences" -> ((s, d) =>
       operators.Packing.packSequences(
         t(s, d, "documents").select(col("doc_id"),
@@ -589,6 +597,16 @@ object SparkEntry {
       "SELECT doc_id, CASE WHEN len(lines) = 0 THEN 0.0 ELSE round(1.0 - len(list_distinct(lines)) / len(lines), 6) END AS dup_line_frac, CASE WHEN len(paras) = 0 THEN 0.0 ELSE round(1.0 - len(list_distinct(paras)) / len(paras), 6) END AS dup_para_frac, CASE WHEN len(lines) = 0 THEN 0.0 ELSE round(CAST(list_sum(list_transform(lines, x -> len(x))) AS DOUBLE) / len(lines), 6) END AS mean_line_len FROM (SELECT doc_id, list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines, list_filter(string_split(text, chr(10) || chr(10)), x -> trim(x) <> '') AS paras FROM documents) t",
     "q_pii_scrub" ->
       "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'), '[0-9][0-9 ()+.-]{8,}[0-9]', '<NUM>', 'g') AS scrubbed FROM documents",
+    "q_url_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         'https://www.' || source || '.example.com/p/' || doc_id AS url,
+        |         regexp_replace(regexp_extract(lower(trim('https://www.' || source || '.example.com/p/' || doc_id)),
+        |           '^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@?#]*@)?([^/:?#]+).*$', 1), '^www\.', '') AS dom
+        |  FROM documents)
+        |SELECT doc_id, source, url FROM d
+        |WHERE NOT (dom = 'src1.example.com' OR dom LIKE '%.src1.example.com'
+        |        OR dom = 'src7.example.com' OR dom LIKE '%.src7.example.com')""".stripMargin,
     "q_pack_sequences" ->
       """SELECT doc_id, n_tokens,
         |  CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS seq_id,

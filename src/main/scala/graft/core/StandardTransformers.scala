@@ -260,6 +260,9 @@ object StandardTransformers {
     reg("simhash_pairs") { (c, p) =>
       Dedup.simhashPairs(c.df, str(p, "id_col"), str(p, "text_col"),
         intOpt(p, "max_hamming").getOrElse(3)) }
+    reg("url_filter") { (c, p) =>
+      TextAnalysis.filterUrlBlocklist(c.df, str(p, "url_col"),
+        seqOf(p, "blocklist")) }
     reg("segment_dedup") { (c, p) =>
       Dedup.segmentDedup(c.df, str(p, "id_col"), str(p, "text_col"),
         strOpt(p, "sep_regex").getOrElse("\\n{2,}"),

@@ -149,4 +149,64 @@ object TextAnalysis {
       .withColumn("quality", qualityScore(col(textCol)))
       .withColumn("lang_id", languageId(col(textCol)))
       .withColumn("fingerprint", fingerprint(col(textCol)))
+
+  // ---- URL / domain filtering (corpus source cleaning) ----
+
+  /**
+   * Host extraction from a URL: scheme, userinfo, port, path, query and
+   * fragment stripped; lowercased; a leading `www.` dropped. Scheme-less
+   * inputs ("example.com/x") work too.
+   */
+  def urlDomain(url: Column): Column =
+    regexp_replace(
+      regexp_extract(lower(trim(url)),
+        "^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@?#]*@)?([^/:?#]+).*$", 1),
+      "^www\\.", "")
+
+  /**
+   * All dot-boundary suffixes of a domain: `a.b.c.com` →
+   * [a.b.c.com, b.c.com, c.com, com]. Bounded by label count, so a
+   * blocklist match becomes an EQUI-join/array-overlap on suffixes
+   * instead of a per-entry endsWith scan — the standard trick that keeps
+   * domain filtering linear when the blocklist has millions of entries.
+   */
+  def domainSuffixes(domain: Column): Column =
+    graft.operators.Dedup.bindOnce(split(domain, "\\.")) { parts =>
+      transform(sequence(lit(0), size(parts) - 1),
+        i => array_join(slice(parts, i + 1, size(parts) - i), "."))
+    }
+
+  /** True when the URL's domain or any parent domain is in `blocklist`. */
+  def blockedDomain(url: Column, blocklist: Seq[String]): Column =
+    arrays_overlap(domainSuffixes(urlDomain(url)),
+      lit(blocklist.map(_.toLowerCase.stripPrefix("www.")).distinct.toArray))
+
+  /**
+   * Drop rows whose URL matches a driver-known blocklist (exact domain or
+   * any subdomain). Null/empty URLs are KEPT — a domain filter has no
+   * opinion on rows without one. Pure codegen'd expression: the blocklist
+   * rides along as a literal array, no join, no shuffle.
+   */
+  def filterUrlBlocklist(df: DataFrame, urlCol: String,
+                         blocklist: Seq[String]): DataFrame =
+    df.filter(coalesce(!blockedDomain(col(urlCol), blocklist), lit(true)))
+
+  /**
+   * Blocklist-frame variant for blocklists too big to broadcast as a
+   * literal: explode each row's suffix chain (≤ label count entries) and
+   * left-semi equi-join against the blocklist to find blocked ids, then
+   * anti-join them away. Both joins are keyed equi-joins — AQE broadcasts
+   * the blocklist when it fits, and nothing ever scans per-entry.
+   */
+  def filterUrlBlocklist(df: DataFrame, idCol: String, urlCol: String,
+                         blocklist: DataFrame, domainCol: String): DataFrame = {
+    val suffixed = df.select(col(idCol),
+      explode(domainSuffixes(urlDomain(col(urlCol)))).as("_sfx"))
+    val blockedIds = suffixed
+      .join(blocklist.select(
+        regexp_replace(lower(trim(col(domainCol))), "^www\\.", "").as("_sfx")),
+        Seq("_sfx"), "left_semi")
+      .select(idCol).distinct()
+    df.join(blockedIds, Seq(idCol), "left_anti")
+  }
 }
