@@ -123,6 +123,31 @@ final class Catalog(spark: SparkSession, root: String) {
   }
 
   /**
+   * Per-pipeline SLA status (meta_sla_status equivalent): age of the last
+   * successful run vs an expected cadence. `status` = "ok" (fresh),
+   * "late" (last success older than the SLA), "failing" (has runs but no
+   * success ever). `asOf` pins the evaluation instant so the view is
+   * deterministic/testable; defaults to now.
+   */
+  def slaStatus(slaHours: Map[String, Double],
+                defaultSlaHours: Double = 24.0,
+                asOf: Option[java.sql.Timestamp] = None): DataFrame = {
+    val now = asOf.map(lit(_)).getOrElse(current_timestamp())
+    val sla = typedLit(slaHours)
+    pipelineHealth.select(
+      col("pipeline"),
+      col("last_success_at"),
+      coalesce(element_at(sla, col("pipeline")), lit(defaultSlaHours))
+        .as("sla_hours"),
+      round((now.cast("double") - col("last_success_at").cast("double")) / 3600.0, 6)
+        .as("hours_since_success"))
+      .withColumn("status",
+        when(col("last_success_at").isNull, lit("failing"))
+          .when(col("hours_since_success") > col("sla_hours"), lit("late"))
+          .otherwise(lit("ok")))
+  }
+
+  /**
    * Latest recorded sink path for a pipeline node — the resolution target
    * of a semantic-layer `$pipeline.node` source reference
    * (odibi/semantics/query.py:294-369 resolves through the same catalog).
