@@ -179,6 +179,21 @@ object Similarity {
     def literal(rows: Array[(Long, Seq[Double])]): DataFrame =
       broadcast(rows.toSeq.toDF("_cid", "_cvec"))
 
+    // Centroid assignment as a PURE EXPRESSION over the driver-resident
+    // centroid matrix ([[graft.expressions.NearestCentroids]], codegen'd
+    // top-n selection): zero shuffle and zero row blowup — the crossJoin +
+    // groupBy(max_by) formulation this replaces materialized numCentroids×
+    // the corpus and shuffled (id, cell) pairs on every assignment pass;
+    // at 100 TB corpus that was the index-build bottleneck. (An
+    // interpreted transform/array_sort formulation was tried first and
+    // measured SLOWER than the join — HOF lambdas don't codegen; hence
+    // the native expression.)
+    def nearestCells(rows: Array[(Long, Seq[Double])], vec: Column, n: Int): Column =
+      graft.expressions.HashFunctions.nearestCentroids(vec,
+        rows.map(_._1), rows.map(_._2.toArray), n)
+    def nearestCell(rows: Array[(Long, Seq[Double])], vec: Column): Column =
+      element_at(nearestCells(rows, vec, 1), 1)
+
     // deterministic centroid sample: lowest xxhash64(id)
     val seedRows = corp
       .select(col(idCol).cast("long").as("_cid"),
@@ -203,11 +218,9 @@ object Similarity {
       else corp.filter(
         pmod(xxhash64(col(idCol).cast("string")), lit(refineDenom)) === 0)
     val centRows = (1 to lloydIters).foldLeft(seedRows) { (c, _) =>
-      val assigned = refine.crossJoin(literal(c))
-        .groupBy(col(idCol))
-        .agg(max_by(col("_cid"), cosine(col(vecCol), col("_cvec"))).as("_cell"))
-      refine.join(assigned, Seq(idCol))
-        .select(col("_cell"), posexplode(col(vecCol)).as(Seq("_pos", "_val")))
+      refine
+        .select(nearestCell(c, col(vecCol)).as("_cell"),
+          posexplode(col(vecCol)).as(Seq("_pos", "_val")))
         .groupBy(col("_cell"), col("_pos"))
         .agg(avg(col("_val")).as("_m"))
         .groupBy(col("_cell"))
@@ -224,23 +237,12 @@ object Similarity {
     // just across a cell boundary from the query's probe set is still
     // found through its runner-up cell — the dominant recall loss at a
     // fixed nprobe budget. Index size scales by assignSpill (2× default);
-    // per-query candidate work scales the same way. Each pass is an
-    // argmax via max_by (map-side combine, no window sort): only
-    // (id, cells) pairs shuffle, never the vectors.
-    val firstAssign = corp.crossJoin(cents)
-      .groupBy(col(idCol))
-      .agg(max_by(col("_cid"), cosine(col(vecCol), col("_cvec"))).as("_cell"))
-      .select(col(idCol), array(col("_cell")).as("_cells"))
-    val assign = (2 to assignSpill).foldLeft(firstAssign) { (acc, _) =>
-      corp.join(acc, Seq(idCol))
-        .crossJoin(cents)
-        .filter(!array_contains(col("_cells"), col("_cid")))
-        .groupBy(col(idCol))
-        .agg(first(col("_cells")).as("_cells"),
-          max_by(col("_cid"), cosine(col(vecCol), col("_cvec"))).as("_next"))
-        .select(col(idCol), array_append(col("_cells"), col("_next")).as("_cells"))
-    }.select(col(idCol), explode(col("_cells")).as("_cell"))
-    val corpusCells = corp.join(assign, Seq(idCol))
+    // per-query candidate work scales the same way. All spill cells come
+    // from ONE expression pass over the corpus — no join, no shuffle,
+    // no intermediate (id, cell) exchange.
+    val corpusCells = corp
+      .select(col(idCol), col(vecCol),
+        explode(nearestCells(centRows, col(vecCol), assignSpill)).as("_cell"))
 
     // query probes: top-nprobe centroids per query (queries are small)
     val q = queries.select(col(queryIdCol).as("_qid"), col(queryVecCol).as("_qvec"))
