@@ -89,6 +89,11 @@ object SparkEntry {
       graft.functions.TextAnalysis.scrubPii(
         t(s, d, "documents").select("doc_id", "text"), "text",
         outputCol = Some("scrubbed")).drop("text")),
+    "q_profile" -> ((s, d) =>
+      // exactDistinct for oracle parity; the scale default is HLL
+      graft.core.Discovery.profile(
+        t(s, d, "customer").select("c_custkey", "c_name", "c_mktsegment", "c_nationkey"),
+        exactDistinct = true)),
     "q_url_filter" -> ((s, d) =>
       // synthetic URL from (source, doc_id) — data has no URL column; the
       // filter drops two sources' domains incl. their subdomains
@@ -597,6 +602,22 @@ object SparkEntry {
       "SELECT doc_id, CASE WHEN len(lines) = 0 THEN 0.0 ELSE round(1.0 - len(list_distinct(lines)) / len(lines), 6) END AS dup_line_frac, CASE WHEN len(paras) = 0 THEN 0.0 ELSE round(1.0 - len(list_distinct(paras)) / len(paras), 6) END AS dup_para_frac, CASE WHEN len(lines) = 0 THEN 0.0 ELSE round(CAST(list_sum(list_transform(lines, x -> len(x))) AS DOUBLE) / len(lines), 6) END AS mean_line_len FROM (SELECT doc_id, list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines, list_filter(string_split(text, chr(10) || chr(10)), x -> trim(x) <> '') AS paras FROM documents) t",
     "q_pii_scrub" ->
       "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'), '[0-9][0-9 ()+.-]{8,}[0-9]', '<NUM>', 'g') AS scrubbed FROM documents",
+    "q_profile" ->
+      (Seq(("c_custkey", "bigint"), ("c_name", "string"),
+        ("c_mktsegment", "string"), ("c_nationkey", "int")).map { case (c, dt) =>
+        s"""SELECT '$c' AS "column", '$dt' AS dtype,
+           |  count(*) - count($c) AS null_count,
+           |  count(DISTINCT $c) AS distinct_count,
+           |  CAST(min($c) AS VARCHAR) AS min_value,
+           |  CAST(max($c) AS VARCHAR) AS max_value,
+           |  round(CAST(count(*) - count($c) AS DOUBLE) / greatest(count(*), 1), 6) AS null_pct,
+           |  CASE WHEN count($c) = 0 THEN 'empty'
+           |       WHEN count(DISTINCT $c) >= count($c) THEN 'unique'
+           |       WHEN count(DISTINCT $c) > count($c) * 0.9 THEN 'high'
+           |       WHEN count(DISTINCT $c) < count($c) * 0.1 THEN 'low'
+           |       ELSE 'medium' END AS cardinality
+           |FROM customer""".stripMargin
+      }.mkString("\nUNION ALL\n")),
     "q_url_filter" ->
       """WITH d AS (
         |  SELECT doc_id, source,

@@ -1,0 +1,152 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Dataset discovery + column profiling (reference: odibi/discovery/ —
+ * DatasetRef / Column models in types.py, partition + format inference in
+ * utils.py; profiling fields null_count/null_pct/cardinality/
+ * distinct_count/sample_values/detected_pattern).
+ *
+ * Scale stance: `profile` is ONE aggregation pass over the frame — every
+ * per-column statistic (non-null count, distinct, min, max) is an
+ * aggregate in a single `agg(...)`, so the input is scanned once no
+ * matter how many columns are profiled. Distinct counts default to
+ * HyperLogLog (`approx_count_distinct`) — the only formulation that holds
+ * at 100 TB; `exactDistinct = true` swaps in exact `count(DISTINCT)` for
+ * oracle-grade comparisons at test scale.
+ */
+object Discovery {
+
+  /**
+   * Per-column profile: one output row per profiled column with
+   * null_count, null_pct, distinct_count, min/max (value-typed min/max
+   * cast to string for a uniform schema), and a cardinality class:
+   * unique (distinct == non-null), high (> 90% of non-null), low (< 10%),
+   * else medium — the reference's Column.cardinality buckets.
+   */
+  def profile(df: DataFrame, columns: Seq[String] = Nil,
+              exactDistinct: Boolean = false, rsd: Double = 0.05): DataFrame = {
+    val cols = if (columns.nonEmpty) columns else df.columns.toSeq
+    val dtypes = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        (if (exactDistinct) countDistinct(col(c))
+         else approx_count_distinct(col(c), rsd)).as(s"__d_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val row = df.agg(count(lit(1)).as("__total"), aggs: _*)
+    val perCol = array(cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        lit(dtypes(c)).as("dtype"),
+        (col("__total") - col(s"__nn_$c")).as("null_count"),
+        col(s"__nn_$c").as("non_null_count"),
+        col(s"__d_$c").cast("long").as("distinct_count"),
+        col(s"__min_$c").as("min_value"),
+        col(s"__max_$c").as("max_value"))
+    }: _*)
+    row.select(explode(perCol).as("p")).select(col("p.*"))
+      .withColumn("null_pct",
+        round(col("null_count") / greatest(col("null_count") + col("non_null_count"), lit(1L)), 6))
+      .withColumn("cardinality",
+        when(col("non_null_count") === 0, lit("empty"))
+          .when(col("distinct_count") >= col("non_null_count"), lit("unique"))
+          .when(col("distinct_count") > col("non_null_count") * 0.9, lit("high"))
+          .when(col("distinct_count") < col("non_null_count") * 0.1, lit("low"))
+          .otherwise(lit("medium")))
+      .drop("non_null_count")
+  }
+
+  private val patterns: Seq[(String, scala.util.matching.Regex)] = Seq(
+    "date:YYYY-MM-DD" -> "^\\d{4}-\\d{2}-\\d{2}$".r,
+    "timestamp:ISO" -> "^\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}(:\\d{2})?(\\.\\d+)?$".r,
+    "uuid" -> "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$".r,
+    "email" -> "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$".r,
+    "url" -> "^[a-z][a-z0-9+.-]*://\\S+$".r,
+    "ipv4" -> "^(\\d{1,3}\\.){3}\\d{1,3}$".r,
+    "integer" -> "^-?\\d+$".r,
+    "decimal" -> "^-?\\d+\\.\\d+$".r)
+
+  /**
+   * Value-pattern detection over a BOUNDED sample (reference
+   * Column.detected_pattern): takes `sampleN` rows once, then classifies
+   * each string column driver-side — a pattern wins when every non-null
+   * sampled value matches. Returns column -> pattern.
+   */
+  def detectedPatterns(df: DataFrame, columns: Seq[String] = Nil,
+                       sampleN: Int = 100): Map[String, String] = {
+    val strCols = (if (columns.nonEmpty) columns else df.columns.toSeq)
+      .filter(c => df.schema(c).dataType == org.apache.spark.sql.types.StringType)
+    if (strCols.isEmpty) return Map.empty
+    val rows = df.select(strCols.map(col): _*).limit(sampleN).collect()
+    strCols.zipWithIndex.flatMap { case (c, i) =>
+      val vals = rows.map(_.get(i)).collect { case s: String => s }
+      if (vals.isEmpty) None
+      else patterns.collectFirst {
+        case (name, re) if vals.forall(v => re.findFirstIn(v).isDefined) => c -> name
+      }
+    }.toMap
+  }
+
+  /**
+   * List datasets under a filesystem root (reference DatasetRef +
+   * utils.infer_format_from_path): one row per child — directories count
+   * as folder datasets with their format inferred from contained data
+   * files; plain data files list individually. Driver-side FS metadata
+   * only — nothing reads data.
+   */
+  def listDatasets(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val hadoopPath = new org.apache.hadoop.fs.Path(root)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def formatOf(name: String): Option[String] = {
+      val lower = name.toLowerCase
+      Seq("parquet", "csv", "json", "orc", "avro").find(f => lower.endsWith(s".$f"))
+    }
+    val children =
+      if (!fs.exists(hadoopPath)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(hadoopPath)
+    children.toSeq.map { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory) {
+        val files = fs.listStatus(st.getPath).filterNot(_.getPath.getName.startsWith("_"))
+        val fmt = files.flatMap(f => formatOf(f.getPath.getName)).headOption
+        (name, "folder", fmt.getOrElse(""), files.map(_.getLen).sum,
+          new java.sql.Timestamp(st.getModificationTime), st.getPath.toString)
+      } else
+        (name, "file", formatOf(name).getOrElse(""), st.getLen,
+          new java.sql.Timestamp(st.getModificationTime), st.getPath.toString)
+    }.toDF("name", "kind", "format", "size_bytes", "modified_at", "path")
+  }
+
+  /**
+   * Hive-style partition detection from file paths (reference
+   * utils.detect_partitions): collects `key=value` path segments into
+   * partition columns with their observed value counts.
+   */
+  def detectPartitions(spark: SparkSession, root: String,
+                       maxFiles: Int = 10000): Map[String, Seq[String]] = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(root)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hadoopPath)) return Map.empty
+    val it = fs.listFiles(hadoopPath, true)
+    val seen = scala.collection.mutable.Map.empty[String, scala.collection.mutable.LinkedHashSet[String]]
+    var n = 0
+    while (it.hasNext && n < maxFiles) {
+      val f = it.next()
+      n += 1
+      f.getPath.toString.split("/").foreach { seg =>
+        val eq = seg.indexOf('=')
+        if (eq > 0 && eq < seg.length - 1 && !seg.startsWith("_")) {
+          val (k, v) = (seg.substring(0, eq), seg.substring(eq + 1))
+          seen.getOrElseUpdate(k, scala.collection.mutable.LinkedHashSet.empty) += v
+        }
+      }
+    }
+    seen.map { case (k, vs) => k -> vs.toSeq }.toMap
+  }
+}
