@@ -48,7 +48,8 @@ object Pipeline {
   final case class NodeConfig(
       name: String,
       dependsOn: Seq[String] = Nil,
-      input: Option[String] = None,               // dataset to start from
+      input: Option[String] = None,               // dataset, or "$pipeline.node"
+      catalogRoot: Option[String] = None,         // for $-ref input resolution
       read: Option[Sources.ReadConfig] = None,
       incremental: Option[IncrementalConfig] = None,
       contracts: Option[Sources.ContractConfig] = None, // schema contract after read
@@ -232,7 +233,8 @@ object Pipeline {
                        datasets: Map[String, DataFrame],
                        baseDir: Option[String] = None,
                        state: Option[graft.operators.Incremental.StateBackend] = None,
-                       stateKeyPrefix: String = "")
+                       stateKeyPrefix: String = "",
+                       currentPipeline: Option[String] = None)
       : (DataFrame, Option[Long], Seq[Validation.TestResult]) = {
     import graft.operators.Incremental
     StandardTransformers.registerAll // idempotent
@@ -269,7 +271,16 @@ object Pipeline {
         }
       }
       .orElse(cfg.read.map(r => Sources.read(spark, r)))
-      .orElse(cfg.input.map(datasets(_)))
+      // `input:` accepts a provided dataset name or a cross-pipeline
+      // `$pipeline.node` reference (reference: odibi/references.py —
+      // resolve_input_reference): same-run frames win, then the other
+      // pipeline's latest recorded sink via the catalog
+      .orElse(cfg.input.map { in =>
+        if (in.startsWith("$"))
+          graft.semantics.Semantics.resolveSource(spark, in, datasets,
+            currentPipeline, cfg.catalogRoot.map(r => new Catalog(spark, r)))
+        else datasets(in)
+      })
       .getOrElse(cfg.dependsOn.headOption.flatMap(datasets.get)
         .getOrElse {
           // generator patterns (date_dimension) legitimately have no input
@@ -532,7 +543,7 @@ object Pipeline {
       // (runNode has write side effects, so no extra invocation)
       val t0 = System.currentTimeMillis()
       def oneAttempt() = Try(runNodeWithStats(spark, node, datasets.asScala.toMap,
-        cfg.baseDir, opts.state, s"${cfg.name}/"))
+        cfg.baseDir, opts.state, s"${cfg.name}/", Some(cfg.name)))
       var attempt = oneAttempt()
       var retriesLeft = node.retries
       while (attempt.isFailure && retriesLeft > 0) {

@@ -184,9 +184,19 @@ object Planner {
         if (!nameSet.contains(d))
           err("unknown_dependency", name, s"depends_on references unknown node '$d'")
       }
-      // `input:` may be an externally-provided dataset: warn, don't fail
+      // `input:` may be an externally-provided dataset (warn, don't fail)
+      // or a cross-pipeline `$pipeline.node` catalog reference
       m.get("input").map(_.toString).foreach { in =>
-        if (!nameSet.contains(in))
+        if (in.startsWith("$")) {
+          val parts = in.stripPrefix("$").split("\\.", 2)
+          if (parts.length != 2 || parts(0).isEmpty || parts(1).isEmpty)
+            err("bad_reference", name,
+              s"input '$in' must have the form \\$$pipeline.node")
+          else if (!root.contains("catalog_root"))
+            warn("reference_needs_catalog", name,
+              s"input '$in' resolves through the catalog; set catalog_root " +
+                "or provide the frame at run time")
+        } else if (!nameSet.contains(in))
           warn("external_input", name,
             s"input '$in' is not a node; it must be provided as an external dataset at run time")
       }

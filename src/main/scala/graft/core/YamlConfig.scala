@@ -68,6 +68,7 @@ object YamlConfig {
         name = m("name").toString,
         dependsOn = seqOf(m.get("depends_on")),
         input = m.get("input").map(_.toString),
+        catalogRoot = catalogRoot,
         read = m.get("read").map(readCfg),
         incremental = m.get("incremental").map(incrementalCfg),
         contracts = m.get("contracts").map(contractCfg),

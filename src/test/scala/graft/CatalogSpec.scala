@@ -1,6 +1,6 @@
 package graft
 
-import graft.core.{Catalog, Pipeline}
+import graft.core.{Catalog, Pipeline, YamlConfig}
 import graft.sources.Sources
 
 class CatalogSpec extends SparkSpec {
@@ -132,5 +132,67 @@ class CatalogSpec extends SparkSpec {
     assert(metrics.forall(_.getAs[Boolean]("passed")))
     assert(metrics.map(_.getAs[String]("test")).toSet ==
       Set("pk_unique", "key_not_null"))
+  }
+
+  test("cross-pipeline $pipeline.node input resolves through the catalog") {
+    val root = java.nio.file.Files.createTempDirectory("xref").toString
+    val cat = new Catalog(spark, root)
+
+    // pipeline A writes a node output and records it
+    val bronzeYaml =
+      s"""name: bronze
+         |catalog_root: $root
+         |nodes:
+         |  - name: regions
+         |    read: { format: parquet, path: /root/testdata/sf0.001/region.parquet }
+         |    write: { format: parquet, mode: overwrite, path: $root/out/regions }
+         |""".stripMargin
+    val bronze = YamlConfig.loadPipeline(bronzeYaml)
+    val ra = Catalog.runRecorded(spark, bronze, cat, "run-a")
+    assert(ra("regions").failure.isEmpty)
+
+    // pipeline B starts a node from $bronze.regions — resolved via
+    // meta_outputs, no read/input dataset provided
+    val silverYaml =
+      s"""name: silver
+         |catalog_root: $root
+         |nodes:
+         |  - name: top
+         |    input: "$$bronze.regions"
+         |    steps:
+         |      - sql: SELECT r_regionkey, r_name FROM df ORDER BY r_regionkey LIMIT 2
+         |""".stripMargin
+    val silver = YamlConfig.loadPipeline(silverYaml)
+    val rb = Pipeline.run(spark, silver)
+    assert(rb("top").failure.isEmpty, rb("top").failure.map(_.toString))
+    assert(rb("top").df.count() == 2)
+
+    // same-pipeline $ref prefers the in-run frame over the catalog
+    val sameYaml =
+      s"""name: bronze
+         |catalog_root: $root
+         |nodes:
+         |  - name: regions
+         |    read: { format: parquet, path: /root/testdata/sf0.001/region.parquet }
+         |  - name: again
+         |    depends_on: [regions]
+         |    input: "$$bronze.regions"
+         |    steps: [ { sql: "SELECT count(*) AS n FROM df" } ]
+         |""".stripMargin
+    val rc = Pipeline.run(spark, YamlConfig.loadPipeline(sameYaml))
+    assert(rc("again").failure.isEmpty)
+    assert(rc("again").df.collect()(0).getAs[Long]("n") == 5L)
+
+    // unresolvable ref fails the node with a clear error
+    val badYaml =
+      s"""name: silver
+         |catalog_root: $root
+         |nodes:
+         |  - name: broken
+         |    input: "$$bronze.no_such_node"
+         |    steps: [ { sql: "SELECT * FROM df" } ]
+         |""".stripMargin
+    val rd = Pipeline.run(spark, YamlConfig.loadPipeline(badYaml))
+    assert(rd("broken").failure.exists(_.getMessage.contains("no_such_node")))
   }
 }
