@@ -89,6 +89,10 @@ object SparkEntry {
       graft.functions.TextAnalysis.scrubPii(
         t(s, d, "documents").select("doc_id", "text"), "text",
         outputCol = Some("scrubbed")).drop("text")),
+    "q_gopher_flags" -> ((s, d) =>
+      TextAnalysis.gopherFlags(
+        t(s, d, "documents").select("doc_id", "text"), "text", minWords = 20)
+        .drop("text")),
     "q_profile" -> ((s, d) =>
       // exactDistinct for oracle parity; the scale default is HLL
       graft.core.Discovery.profile(
@@ -602,6 +606,31 @@ object SparkEntry {
       "SELECT doc_id, CASE WHEN len(lines) = 0 THEN 0.0 ELSE round(1.0 - len(list_distinct(lines)) / len(lines), 6) END AS dup_line_frac, CASE WHEN len(paras) = 0 THEN 0.0 ELSE round(1.0 - len(list_distinct(paras)) / len(paras), 6) END AS dup_para_frac, CASE WHEN len(lines) = 0 THEN 0.0 ELSE round(CAST(list_sum(list_transform(lines, x -> len(x))) AS DOUBLE) / len(lines), 6) END AS mean_line_len FROM (SELECT doc_id, list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines, list_filter(string_split(text, chr(10) || chr(10)), x -> trim(x) <> '') AS paras FROM documents) t",
     "q_pii_scrub" ->
       "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'), '[0-9][0-9 ()+.-]{8,}[0-9]', '<NUM>', 'g') AS scrubbed FROM documents",
+    "q_gopher_flags" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS words
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id,
+         |    len(words) AS n_words,
+         |    CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+         |      / greatest(len(words), 1) AS mean_len,
+         |    (length(text) - length(replace(text, '#', '')))
+         |      + (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3 AS symbols,
+         |    len(list_filter(words, x -> list_contains([${TextAnalysis.StopWords.map("'" + _ + "'").mkString(",")}], x))) AS stop_hits
+         |  FROM w)
+         |SELECT doc_id,
+         |  CAST(n_words AS BIGINT) AS n_words,
+         |  round(mean_len, 6) AS mean_word_len,
+         |  n_words >= 20 AND n_words <= 100000 AS word_count_ok,
+         |  mean_len >= 3.0 AND mean_len <= 10.0 AS mean_word_len_ok,
+         |  CAST(symbols AS DOUBLE) / greatest(n_words, 1) <= 0.1 AS symbol_ratio_ok,
+         |  stop_hits >= 2 AS stopword_ok,
+         |  (n_words >= 20 AND n_words <= 100000)
+         |    AND (mean_len >= 3.0 AND mean_len <= 10.0)
+         |    AND (CAST(symbols AS DOUBLE) / greatest(n_words, 1) <= 0.1)
+         |    AND (stop_hits >= 2) AS gopher_pass
+         |FROM c""".stripMargin,
     "q_profile" ->
       (Seq(("c_custkey", "bigint"), ("c_name", "string"),
         ("c_mktsegment", "string"), ("c_nationkey", "int")).map { case (c, dt) =>

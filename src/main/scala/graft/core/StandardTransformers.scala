@@ -260,6 +260,10 @@ object StandardTransformers {
     reg("simhash_pairs") { (c, p) =>
       Dedup.simhashPairs(c.df, str(p, "id_col"), str(p, "text_col"),
         intOpt(p, "max_hamming").getOrElse(3)) }
+    reg("gopher_flags") { (c, p) =>
+      TextAnalysis.gopherFlags(c.df, str(p, "text_col"),
+        intOpt(p, "min_words").getOrElse(50),
+        intOpt(p, "max_words").getOrElse(100000)) }
     reg("url_filter") { (c, p) =>
       TextAnalysis.filterUrlBlocklist(c.df, str(p, "url_col"),
         seqOf(p, "blocklist")) }

@@ -150,6 +150,45 @@ object TextAnalysis {
       .withColumn("lang_id", languageId(col(textCol)))
       .withColumn("fingerprint", fingerprint(col(textCol)))
 
+  /**
+   * Gopher-style quality RULE FLAGS (Rae et al. 2021 §A1.1 thresholds,
+   * adapted to this corpus's whitespace tokenization): per-document word
+   * count bounds, mean word length bounds, symbol-to-word ratio cap
+   * (# and … as in the paper), and minimum stopword hits. Emits one
+   * boolean per rule plus the conjunction (`gopher_pass`) so a pipeline
+   * can either hard-filter or keep the flags for analysis. One
+   * projection pass, no shuffle.
+   */
+  def gopherFlags(df: DataFrame, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                  maxSymbolWordRatio: Double = 0.1,
+                  minStopwordHits: Int = 2): DataFrame = {
+    val words = split(lower(trim(col(textCol))), "\\s+")
+    val nWords = size(words)
+    val meanLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+      .cast("double") / greatest(nWords, lit(1)).cast("double")
+    val symbols = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "#", ""))) +
+      (length(col(textCol)) -
+        length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / 3
+    val stopHits = size(filter(words, w =>
+      array_contains(lit(StopWords.toArray), w)))
+    df.withColumn("n_words", nWords.cast("long"))
+      .withColumn("mean_word_len", round(meanLen, 6))
+      .withColumn("word_count_ok",
+        nWords >= minWords && nWords <= maxWords)
+      .withColumn("mean_word_len_ok",
+        meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen)
+      .withColumn("symbol_ratio_ok",
+        symbols.cast("double") / greatest(nWords, lit(1)).cast("double")
+          <= maxSymbolWordRatio)
+      .withColumn("stopword_ok", stopHits >= minStopwordHits)
+      .withColumn("gopher_pass",
+        col("word_count_ok") && col("mean_word_len_ok") &&
+          col("symbol_ratio_ok") && col("stopword_ok"))
+  }
+
   // ---- URL / domain filtering (corpus source cleaning) ----
 
   /**

@@ -229,6 +229,26 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2L) == "version 2.5 costs 12 dollars") // short numbers untouched
   }
 
+  test("gopherFlags: rule flags and conjunction") {
+    import graft.functions.TextAnalysis
+    val longOk = (("the quick brown fox is at the barn and it was fine " * 6).trim)
+    val df = Seq(
+      (1L, longOk),                       // 72 words, stopwords, clean
+      (2L, "too short"),                  // word count under min
+      (3L, ("#### " * 60).trim),          // symbols, no stopwords
+      (4L, (("supercalifragilistic " * 60).trim))) // mean word len too high
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherFlags(df, "text", minWords = 50)
+      .select("doc_id", "word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+        "stopword_ok", "gopher_pass")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(out(1L) == ((true, true, true, true, true)))
+    assert(!out(2L)._1 && !out(2L)._5)
+    assert(!out(3L)._3 && !out(3L)._4)
+    assert(!out(4L)._2)
+  }
+
   test("repetitionStats: duplicate line/paragraph fractions") {
     import graft.functions.TextAnalysis
     val df = Seq(
