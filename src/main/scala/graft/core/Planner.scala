@@ -127,7 +127,7 @@ object Planner {
       opts.setMaxAliasesForCollections(50)
       anyToScala(new Yaml(new SafeConstructor(opts)).load[Any](yamlText), 0, limits)
     }
-    val root = loaded match {
+    val rawRoot = loaded match {
       case Failure(e) =>
         err("yaml_invalid", "_project",
           Option(e.getMessage).getOrElse(e.toString).linesIterator.take(3).mkString(" "))
@@ -135,6 +135,14 @@ object Planner {
       case Success(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
       case Success(_) =>
         err("yaml_invalid", "_project", "root must be a mapping")
+        return PlanningResponse(valid = false, None, diags.toSeq)
+    }
+    // expand recipe templates first, as the runtime loader does; a broken
+    // recipe (unknown name, missing vars, bad template) is a diagnostic
+    val root = Try(Recipes.resolve(rawRoot)) match {
+      case Success(r) => r
+      case Failure(e) =>
+        err("recipe_invalid", "_project", Option(e.getMessage).getOrElse(e.toString))
         return PlanningResponse(valid = false, None, diags.toSeq)
     }
 

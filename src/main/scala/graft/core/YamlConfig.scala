@@ -47,7 +47,10 @@ object YamlConfig {
   def loadPipeline(yamlText: String,
                    baseDir: Option[String] = None): Pipeline.PipelineConfig = {
     val yaml = new Yaml()
-    val root = anyToScala(yaml.load[Any](yamlText)).asInstanceOf[Map[String, Any]]
+    // recipe templates expand before strict parsing (reference
+    // resolve_recipes: after YAML load, before model validation)
+    val root = Recipes.resolve(
+      anyToScala(yaml.load[Any](yamlText)).asInstanceOf[Map[String, Any]])
     val pipelineName = root.getOrElse("name", "pipeline").toString
     val catalogRoot = root.get("catalog_root").map(_.toString)
     // project-level semantic model (reference: semantics config in project
