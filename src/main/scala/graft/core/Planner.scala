@@ -179,6 +179,9 @@ object Planner {
       .foreach(n => err("duplicate_node", n, s"node name '$n' declared ${names.count(_ == n)} times"))
     val nameSet = names.toSet
 
+    val connectionNames = root.getOrElse("connections", Map.empty[String, Any])
+      .asInstanceOf[Map[String, Any]].keySet
+
     rawNodes.foreach { m =>
       val name = m.get("name").map(_.toString).getOrElse {
         err("missing_name", "_project", s"node without a name: keys ${m.keySet.mkString(", ")}")
@@ -297,6 +300,20 @@ object Planner {
             }
           }
         case other => err("streaming_invalid", name, s"streaming block is not a mapping: $other")
+      }
+
+      // connection references must be declared at project level
+      Seq("read", "write").foreach { key =>
+        m.get(key).collect { case km: Map[_, _] =>
+          km.asInstanceOf[Map[String, Any]].get("connection").map(_.toString)
+            .foreach { cn =>
+              if (!connectionNames.contains(cn))
+                err("unknown_connection", name,
+                  s"$key references unknown connection '$cn'" +
+                    (if (connectionNames.isEmpty) " (no connections: block)"
+                     else s"; available: ${connectionNames.toSeq.sorted.mkString(", ")}"))
+            }
+        }
       }
 
       // write mode / incremental mode / gate policy enums

@@ -2,7 +2,7 @@ package graft.core
 
 import org.yaml.snakeyaml.Yaml
 
-import graft.sources.Sources
+import graft.sources.{Connections, Sources}
 import graft.validation.Validation
 
 import scala.jdk.CollectionConverters._
@@ -53,6 +53,24 @@ object YamlConfig {
       anyToScala(yaml.load[Any](yamlText)).asInstanceOf[Map[String, Any]])
     val pipelineName = root.getOrElse("name", "pipeline").toString
     val catalogRoot = root.get("catalog_root").map(_.toString)
+    // connections: named base URIs / JDBC URLs + default options
+    // (reference: odibi/connections/, `connection:` key on read/write)
+    val connections: Map[String, Connections.Connection] =
+      root.getOrElse("connections", Map.empty[String, Any])
+        .asInstanceOf[Map[String, Any]].map { case (n, v) =>
+          val cm = v.asInstanceOf[Map[String, Any]]
+          strict(cm, Set("kind", "base_path", "url", "options"), s"connection $n")
+          n -> Connections.Connection(
+            kind = cm.get("kind").map(_.toString)
+              .getOrElse(if (cm.contains("url")) "jdbc" else "file"),
+            base = cm.get("base_path").orElse(cm.get("url")).map(_.toString)
+              .getOrElse(throw new IllegalArgumentException(
+                s"connection $n: needs base_path or url")),
+            options = cm.getOrElse("options", Map.empty[String, Any])
+              .asInstanceOf[Map[String, Any]].map { case (k, x) => k -> x.toString })
+        }
+    def connOf(v: Any): Option[String] =
+      v.asInstanceOf[Map[String, Any]].get("connection").map(_.toString)
     // project-level semantic model (reference: semantics config in project
     // YAML, odibi/semantics/metrics.py:17-265) — shared by every node with
     // a `semantic:` query
@@ -72,7 +90,8 @@ object YamlConfig {
         dependsOn = seqOf(m.get("depends_on")),
         input = m.get("input").map(_.toString),
         catalogRoot = catalogRoot,
-        read = m.get("read").map(readCfg),
+        read = m.get("read").map(r =>
+          Connections.applyToRead(readCfg(r), connOf(r), connections)),
         incremental = m.get("incremental").map(incrementalCfg),
         contracts = m.get("contracts").map(contractCfg),
         preSql = seqOf(m.get("pre_sql")),
@@ -114,9 +133,16 @@ object YamlConfig {
         quarantinePath = vblock.flatMap(_.get("quarantine"))
           .flatMap(_.asInstanceOf[Map[String, Any]].get("path")).map(_.toString),
         streamingWrite = m.get("streaming").map(streamingCfg),
-        writePath = m.get("write").flatMap(w =>
-          w.asInstanceOf[Map[String, Any]].get("path").map(_.toString)),
-        write = m.get("write").map(writeCfg).getOrElse(Sources.WriteConfig()),
+        writePath = m.get("write").flatMap { w =>
+          val raw = w.asInstanceOf[Map[String, Any]].get("path").map(_.toString)
+          // a bare `connection:` with no path is NOT a sink; a path
+          // resolves under the connection's base URI
+          raw.map(p => Connections.applyToWrite(Some(p), Sources.WriteConfig(),
+            connOf(w), connections)._1.get)
+        },
+        write = m.get("write").map(w =>
+          Connections.applyToWrite(None, writeCfg(w), connOf(w), connections)._2)
+          .getOrElse(Sources.WriteConfig()),
         postSql = seqOf(m.get("post_sql")),
         cache = m.get("cache").exists(_.toString.toBoolean),
         retries = m.get("retries").map(_.toString.toInt).getOrElse(0),
