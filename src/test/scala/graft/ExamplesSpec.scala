@@ -1,0 +1,56 @@
+package graft
+
+import graft.core.{Planner, Pipeline, Story, YamlConfig}
+
+/** The shipped example project must plan clean and run green end-to-end. */
+class ExamplesSpec extends SparkSpec {
+
+  private def loadExample(): (String, String) = {
+    val out = java.nio.file.Files.createTempDirectory("example").toString
+    val yaml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("examples/star_schema/project.yaml")), "UTF-8")
+      .replace("${OUT}", out)
+    (yaml, out)
+  }
+
+  test("star_schema example plans with zero diagnostics") {
+    val (yaml, _) = loadExample()
+    val plan = Planner.plan(yaml)
+    assert(plan.valid, plan.diagnostics.mkString("; "))
+    assert(plan.errors.isEmpty)
+    val p = plan.plan.get
+    assert(p.nodes.map(_.kind).toSet ==
+      Set("source", "transform", "generator", "semantic"))
+    assert(p.layers.size >= 3) // bronze -> silver -> gold -> semantic
+  }
+
+  test("star_schema example runs green end-to-end") {
+    val (yaml, out) = loadExample()
+    val cfg = YamlConfig.loadPipeline(yaml)
+    val results = Pipeline.run(spark, cfg)
+    val failed = results.values.filter(_.failure.isDefined)
+    assert(failed.isEmpty,
+      failed.map(r => s"${r.name}: ${r.failure.get}").mkString("; "))
+
+    // every declared sink materialized
+    Seq("bronze/customers", "bronze/orders", "silver/dim_customer",
+      "silver/dim_date", "gold/fact_orders", "gold/monthly_metrics")
+      .foreach { p =>
+        assert(spark.read.parquet(s"$out/$p").count() > 0, s"empty sink $p")
+      }
+
+    // fact rows carry resolved surrogate keys; gate passed (no abort)
+    val fact = spark.read.parquet(s"$out/gold/fact_orders")
+    assert(fact.columns.contains("customer_sk"))
+    assert(fact.count() == 1500)
+
+    // semantic node produced per-month metrics with the derived AOV
+    val metrics = spark.read.parquet(s"$out/gold/monthly_metrics")
+    assert(metrics.columns.toSet == Set("month", "order_count", "revenue", "aov"))
+    assert(metrics.count() > 70) // ~80 months in 1992-1998
+
+    // the run story renders
+    val html = Story.generateHtml(cfg, results, "example-run", 0L)
+    assert(html.contains("fact_orders") && html.contains("success"))
+  }
+}
