@@ -5,10 +5,10 @@ import graft.core.{Planner, Pipeline, Story, YamlConfig}
 /** The shipped example project must plan clean and run green end-to-end. */
 class ExamplesSpec extends SparkSpec {
 
-  private def loadExample(): (String, String) = {
+  private def loadExample(name: String = "star_schema"): (String, String) = {
     val out = java.nio.file.Files.createTempDirectory("example").toString
     val yaml = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("examples/star_schema/project.yaml")), "UTF-8")
+      java.nio.file.Paths.get(s"examples/$name/project.yaml")), "UTF-8")
       .replace("${OUT}", out)
     (yaml, out)
   }
@@ -52,5 +52,30 @@ class ExamplesSpec extends SparkSpec {
     // the run story renders
     val html = Story.generateHtml(cfg, results, "example-run", 0L)
     assert(html.contains("fact_orders") && html.contains("success"))
+  }
+
+  test("training_data curation example plans clean and runs green") {
+    val (yaml, out) = loadExample("training_data")
+    val plan = Planner.plan(yaml)
+    assert(plan.valid, plan.diagnostics.mkString("; "))
+
+    val results = Pipeline.run(spark, YamlConfig.loadPipeline(yaml))
+    val failed = results.values.filter(_.failure.isDefined)
+    assert(failed.isEmpty,
+      failed.map(r => s"${r.name}: ${r.failure.get}").mkString("; "))
+
+    val scored = spark.read.parquet(s"$out/clean/scored")
+    assert(scored.columns.contains("gopher_pass"))
+    assert(scored.filter("NOT gopher_pass").count() == 0) // junk quarantined
+
+    val packed = spark.read.parquet(s"$out/train/packed")
+    assert(packed.columns.toSet.intersect(Set("seq_id", "seq_offset")).size == 2)
+    // dedup is a subset of scored; packed matches deduped row-for-row
+    val deduped = spark.read.parquet(s"$out/clean/deduped")
+    assert(packed.count() == deduped.count() && deduped.count() <= scored.count())
+
+    val stats = spark.read.parquet(s"$out/train/stats").collect()(0)
+    assert(stats.getAs[Long]("n_sequences") >= 1)
+    assert(stats.getAs[Long]("total_tokens") > 0)
   }
 }
