@@ -193,6 +193,9 @@ object StandardTransformers {
       graft.streaming.Streaming.sessionWindowAgg(c.df, str(p, "ts_col"),
         str(p, "watermark"), str(p, "gap"), seqOf(p, "group_by"),
         mapOf(p, "aggs")) }
+    reg("dedup_within_watermark") { (c, p) =>
+      graft.streaming.Streaming.dedupWithinWatermark(c.df, seqOf(p, "keys"),
+        str(p, "ts_col"), str(p, "watermark")) }
     reg("split_events_by_period") { (c, p) =>
       Advanced.splitEventsByPeriod(c.df, str(p, "start_col"), str(p, "end_col"),
         strOpt(p, "period").getOrElse("day"),

@@ -126,4 +126,20 @@ object Streaming {
       .groupBy(session_window(col(tsCol), gap) +: groupBy.map(col): _*)
       .agg(aggExprs.head, aggExprs.tail: _*)
   }
+
+  /**
+   * Streaming exact dedup (the streaming face of `exact_dedup`): drop
+   * rows whose key columns repeat, with state bounded by the watermark —
+   * `dropDuplicatesWithinWatermark` evicts seen-keys older than the
+   * watermark delay instead of growing state forever, which is the only
+   * formulation that survives an unbounded stream. On a BATCH frame the
+   * same call degrades to plain dropDuplicates so a YAML node works in
+   * both modes.
+   */
+  def dedupWithinWatermark(df: DataFrame, keyCols: Seq[String],
+                           tsCol: String, watermark: String): DataFrame =
+    if (df.isStreaming)
+      df.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(keyCols)
+    else df.dropDuplicates(keyCols)
 }

@@ -88,4 +88,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
     q.stop()
   }
+
+  test("streaming dedup within watermark drops repeated keys across batches") {
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)](spark)
+    val deduped = Streaming.dedupWithinWatermark(
+      input.toDF().toDF("ts", "id", "v"), Seq("id"), "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData((t("2026-01-01 00:00:00"), 1L, "a"),
+      (t("2026-01-01 00:00:30"), 1L, "dup-in-batch"),
+      (t("2026-01-01 00:01:00"), 2L, "b"))
+    q.processAllAvailable()
+    // same key again in a later micro-batch, still inside the watermark
+    input.addData((t("2026-01-01 00:02:00"), 1L, "dup-across-batch"),
+      (t("2026-01-01 00:03:00"), 3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.sql("SELECT id FROM stream_dedup ORDER BY 1").collect()
+      .map(_.getLong(0)).toSeq
+    assert(ids == Seq(1L, 2L, 3L), s"got $ids")
+
+    // batch frames fall back to plain dropDuplicates
+    val batch = Seq((t("2026-01-01 00:00:00"), 1L, "a"),
+      (t("2026-01-01 00:01:00"), 1L, "b")).toDF("ts", "id", "v")
+    assert(Streaming.dedupWithinWatermark(batch, Seq("id"), "ts", "10 minutes")
+      .count() == 1)
+  }
 }
