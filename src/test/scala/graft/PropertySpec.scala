@@ -91,4 +91,70 @@ class PropertySpec extends SparkSpec {
     val maxErr = rt.selectExpr("max(abs(rt_tsat_c - t_c))").collect()(0).getDouble(0)
     assert(maxErr < 1e-9, s"roundtrip error $maxErr")
   }
+
+  test("sequence packing invariants: offsets within budget, contiguous layout, partition-invariant") {
+    import graft.operators.Packing
+    val gen = Gen.listOfN(60,
+      Gen.zip(Gen.choose(0L, 1000000L), Gen.choose(0L, 5000L)))
+      .map(_.distinctBy(_._1))
+    val cases = gen.sample.get
+    val df = cases.toDF("id", "tok")
+    val budget = 2048L
+    val out = Packing.packSequences(df, "id", "tok", budget)
+      .orderBy("id")
+      .select("id", "tok", "seq_id", "seq_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // offsets always inside the budget; seq ids non-decreasing in id order;
+    // each start equals the previous start + previous tokens (contiguous)
+    assert(out.forall { case (_, _, s, o) => o >= 0 && o < budget && s >= 0 })
+    val starts = out.map { case (_, _, s, o) => s * budget + o }
+    val expected = out.map(_._2).scanLeft(0L)(_ + _).init
+    assert(starts.toSeq == expected.toSeq, "layout is not contiguous")
+    // repartitioning the input must not change the layout
+    val repart = Packing.packSequences(df.repartition(13), "id", "tok", budget)
+      .orderBy("id").select("id", "seq_id", "seq_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(repart.toSeq == out.map { case (i, _, s, o) => (i, s, o) }.toSeq)
+  }
+
+  test("segment dedup invariants: idempotent, first doc unchanged, no segment repeats") {
+    import graft.operators.Dedup
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon")
+    val doc = Gen.listOfN(6, word).map(_.mkString(" "))
+    val docs = Gen.listOfN(8, doc).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val once = Dedup.segmentDedup(df, "doc_id", "text", " ", " ")
+    val again = Dedup.segmentDedup(once, "doc_id", "text", " ", " ")
+    assert(once.exceptAll(again).isEmpty && again.exceptAll(once).isEmpty,
+      "segmentDedup is not idempotent")
+    val out = once.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the lowest doc id containing any text keeps its within-doc dedup only
+    val first = docs.head
+    val expectFirst = first._2.split(" ").distinct.mkString(" ")
+    assert(out(first._1) == expectFirst)
+    // global invariant: across the output corpus no segment appears twice
+    val allSegs = out.values.flatMap(_.split(" ")).filter(_.nonEmpty).toSeq
+    assert(allSegs.distinct.size == allSegs.size, "a segment survived twice")
+  }
+
+  test("urlDomain is idempotent and suffix chains end at the TLD") {
+    import graft.functions.TextAnalysis
+    val host = Gen.listOfN(3, ident).map(_.mkString("."))
+    val scheme = Gen.oneOf("https://", "http://", "")
+    val path = Gen.oneOf("", "/x/y?q=1", ":8080/z", "#frag")
+    val cases = Gen.listOfN(40, Gen.zip(scheme, host, path)).sample.get
+    val df = cases.map { case (s, h, p) => s"$s$h$p" }.toDF("url")
+    val doms = df.select(TextAnalysis.urlDomain($"url").as("d"))
+      .withColumn("d2", TextAnalysis.urlDomain($"d"))
+      .withColumn("chain", TextAnalysis.domainSuffixes($"d"))
+      .collect()
+    doms.foreach { r =>
+      assert(r.getString(0) == r.getString(1), "urlDomain not idempotent")
+      val chain = r.getSeq[String](2)
+      assert(chain.head == r.getString(0))
+      assert(chain.last == r.getString(0).split("\\.").last)
+      assert(chain.size == r.getString(0).count(_ == '.') + 1)
+    }
+  }
 }
