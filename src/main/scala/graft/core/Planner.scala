@@ -187,8 +187,20 @@ object Planner {
         err("missing_name", "_project", s"node without a name: keys ${m.keySet.mkString(", ")}")
         "?"
       }
-      (m.keySet -- nodeKeys).foreach(k =>
+      (m.keySet -- nodeKeys - "recipe" - "recipe_vars").foreach(k =>
         err("unknown_key", name, s"unknown node key '$k' (strict config)"))
+
+      // nested blocks are strict models too (same key sets as the loader)
+      def strictBlock(key: String, known: Set[String]): Unit =
+        m.get(key).collect { case bm: Map[_, _] =>
+          (bm.asInstanceOf[Map[String, Any]].keySet -- known).foreach(k =>
+            err("unknown_key", name, s"unknown $key key '$k' (strict config)"))
+        }
+      strictBlock("read", YamlConfig.readKeys)
+      strictBlock("write", YamlConfig.writeKeys)
+      strictBlock("incremental", YamlConfig.incrementalKeys)
+      strictBlock("contracts", YamlConfig.contractKeys)
+      strictBlock("streaming", YamlConfig.streamingKeys)
 
       // dependency refs must be declared nodes (graph vertices)
       m.get("depends_on").toSeq.flatMap(seqOf).foreach { d =>

@@ -237,8 +237,20 @@ object YamlConfig {
     Semantics.SemanticModel(metrics, dimensions)
   }
 
+  private[graft] val readKeys = Set("format", "path", "table", "schema_ddl",
+    "streaming", "options", "connection")
+  private[graft] val writeKeys = Set("format", "mode", "path", "partition_by",
+    "coalesce_partitions", "options", "connection")
+  private[graft] val incrementalKeys = Set("column", "mode", "lookback_seconds",
+    "watermark_lag_seconds", "fallback_column")
+  private[graft] val contractKeys = Set("schema_ddl", "schema_mode",
+    "on_new_columns", "on_missing_columns")
+  private[graft] val streamingKeys = Set("checkpoint", "output_mode", "trigger",
+    "merge", "await")
+
   private def readCfg(v: Any): Sources.ReadConfig = {
     val m = v.asInstanceOf[Map[String, Any]]
+    strict(m, readKeys, "read block")
     Sources.ReadConfig(
       format = m.getOrElse("format", "parquet").toString,
       path = m.get("path").map(_.toString),
@@ -252,6 +264,7 @@ object YamlConfig {
   /** streaming: write block (reference: odibi/config.py:4023-4160). */
   private def streamingCfg(v: Any): Pipeline.StreamingWriteConfig = {
     val m = v.asInstanceOf[Map[String, Any]]
+    strict(m, streamingKeys, "streaming block")
     val trig = m.get("trigger").map(_.asInstanceOf[Map[String, Any]])
     val merge = m.get("merge").map(_.asInstanceOf[Map[String, Any]])
     Pipeline.StreamingWriteConfig(
@@ -269,6 +282,7 @@ object YamlConfig {
 
   private def writeCfg(v: Any): Sources.WriteConfig = {
     val m = v.asInstanceOf[Map[String, Any]]
+    strict(m, writeKeys, "write block")
     Sources.WriteConfig(
       format = m.getOrElse("format", "parquet").toString,
       mode = m.getOrElse("mode", "overwrite").toString,
@@ -280,6 +294,7 @@ object YamlConfig {
 
   private def contractCfg(v: Any): Sources.ContractConfig = {
     val m = v.asInstanceOf[Map[String, Any]]
+    strict(m, contractKeys, "contracts block")
     Sources.ContractConfig(
       schemaDdl = m.get("schema_ddl").map(_.toString),
       schemaMode = m.getOrElse("schema_mode", "evolve").toString,
@@ -289,6 +304,7 @@ object YamlConfig {
 
   private def incrementalCfg(v: Any): Pipeline.IncrementalConfig = {
     val m = v.asInstanceOf[Map[String, Any]]
+    strict(m, incrementalKeys, "incremental block")
     Pipeline.IncrementalConfig(
       column = m("column").toString,
       mode = m.getOrElse("mode", "hwm").toString,
