@@ -41,6 +41,25 @@ final class Catalog(spark: SparkSession, root: String) {
         .withColumn("run_id", lit(runId))
         .withColumn("recorded_at", current_timestamp()))
 
+  /**
+   * Record column-level lineage for a node's output frame — one row per
+   * (output column, source column), derived from the Catalyst analyzed
+   * plan by [[Lineage.columnLineage]] (driver-side traversal, nothing
+   * executes).
+   */
+  def recordColumnLineage(pipeline: String, runId: String, node: String,
+                          df: DataFrame): Unit = {
+    val rows = Lineage.columnLineage(df).toSeq
+      .flatMap { case (out, srcs) => srcs.map(out -> _) }
+    if (rows.nonEmpty)
+      append("meta_column_lineage",
+        rows.toDF("column", "source")
+          .withColumn("node", lit(node))
+          .withColumn("pipeline", lit(pipeline))
+          .withColumn("run_id", lit(runId))
+          .withColumn("recorded_at", current_timestamp()))
+  }
+
   /** Record node sink outputs (path + rows from write metrics). */
   def recordOutputs(pipeline: String, runId: String,
                     outputs: Seq[(String, String, Long)]): Unit =
@@ -298,7 +317,10 @@ object Catalog {
       results.get(n.name).toSeq.flatMap(_.validation.map(n.name -> _))
     })
     results.foreach { case (name, r) =>
-      if (r.failure.isEmpty && !r.skipped) catalog.recordSchema(cfg.name, name, r.df)
+      if (r.failure.isEmpty && !r.skipped) {
+        catalog.recordSchema(cfg.name, name, r.df)
+        catalog.recordColumnLineage(cfg.name, runId, name, r.df)
+      }
     }
     results
   }
