@@ -104,4 +104,20 @@ class CompletenessSpec extends SparkSpec {
     assert(par("joined").df.count() == ser("joined").df.count())
     assert(par("joined").df.count() == 150) // sf0.001 customer rows
   }
+
+  test("introspection inventory matches the registries; docs generate") {
+    import graft.core.{Introspect, TransformerRegistry}
+    val inv = Introspect.inventory()
+    assert(inv("transformers").size >= 60)
+    assert(inv("transformers") == TransformerRegistry.names)
+    assert(inv("patterns").contains("dimension") && inv("patterns").contains("fact"))
+    assert(inv("recipes").contains("validated_load"))
+    val md = Introspect.operatorReference()
+    // every registered name is documented — the doc cannot drift
+    (inv("transformers") ++ inv("patterns") ++ inv("recipes")).foreach(n =>
+      assert(md.contains(s"`$n`"), s"$n missing from generated reference"))
+    val out = java.nio.file.Files.createTempDirectory("docs").toString + "/operators.md"
+    Introspect.writeOperatorReference(out)
+    assert(java.nio.file.Files.size(java.nio.file.Paths.get(out)) > 2000)
+  }
 }
