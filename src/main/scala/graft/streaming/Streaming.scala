@@ -100,6 +100,19 @@ object Streaming {
   }
 
   /**
+   * Set the event-time watermark unless one is already defined upstream —
+   * Spark disallows redefinition once a stateful operator consumed it, so
+   * chained YAML steps (dedup_within_watermark → window_agg) declare the
+   * same watermark and only the first takes effect.
+   */
+  private def withWatermarkOnce(df: DataFrame, tsCol: String,
+                                delay: String): DataFrame =
+    if (df.isStreaming && df.queryExecution.analyzed.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark]))
+      df
+    else df.withWatermark(tsCol, delay)
+
+  /**
    * Watermarked tumbling/sliding window aggregation
    * (extension; Spark built-in).
    */
@@ -112,7 +125,7 @@ object Streaming {
       case None => window(col(tsCol), windowDuration)
     }
     val aggExprs = aggs.map { case (name, e) => expr(e).as(name) }
-    df.withWatermark(tsCol, watermark)
+    withWatermarkOnce(df, tsCol, watermark)
       .groupBy(win +: groupBy.map(col): _*)
       .agg(aggExprs.head, aggExprs.tail: _*)
   }
@@ -122,7 +135,7 @@ object Streaming {
                        gap: String, groupBy: Seq[String],
                        aggs: Seq[(String, String)]): DataFrame = {
     val aggExprs = aggs.map { case (name, e) => expr(e).as(name) }
-    df.withWatermark(tsCol, watermark)
+    withWatermarkOnce(df, tsCol, watermark)
       .groupBy(session_window(col(tsCol), gap) +: groupBy.map(col): _*)
       .agg(aggExprs.head, aggExprs.tail: _*)
   }
@@ -139,7 +152,7 @@ object Streaming {
   def dedupWithinWatermark(df: DataFrame, keyCols: Seq[String],
                            tsCol: String, watermark: String): DataFrame =
     if (df.isStreaming)
-      df.withWatermark(tsCol, watermark)
+      withWatermarkOnce(df, tsCol, watermark)
         .dropDuplicatesWithinWatermark(keyCols)
     else df.dropDuplicates(keyCols)
 }

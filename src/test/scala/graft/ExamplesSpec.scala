@@ -78,4 +78,34 @@ class ExamplesSpec extends SparkSpec {
     assert(stats.getAs[Long]("n_sequences") >= 1)
     assert(stats.getAs[Long]("total_tokens") > 0)
   }
+
+  test("streaming example: dedup + windowed counts drain to a batch consumer") {
+    import spark.implicits._
+    val (yaml, out) = loadExample("streaming")
+    assert(Planner.plan(yaml).valid)
+
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq(
+      (t("2026-01-01 00:00:10"), 1L, "click"),
+      (t("2026-01-01 00:00:20"), 1L, "click"), // dup event_id: dropped
+      (t("2026-01-01 00:00:40"), 2L, "view"),
+      (t("2026-01-01 00:01:10"), 3L, "click"),
+      // late watermark-closer so append-mode windows emit
+      (t("2026-01-01 00:30:00"), 99L, "heartbeat"))
+      .toDF("ts", "event_id", "kind")
+      .write.mode("overwrite").parquet(s"$out/in")
+
+    val results = Pipeline.run(spark, YamlConfig.loadPipeline(yaml))
+    val failed = results.values.filter(_.failure.isDefined)
+    assert(failed.isEmpty,
+      failed.map(r => s"${r.name}: ${r.failure.get}").mkString("; "))
+
+    val counts = spark.read.parquet(s"$out/out/minute_counts")
+      .selectExpr("kind", "n").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.get("click").contains(1L) || counts("click") == 1L)
+    assert(counts("view") == 1L)
+    val top = spark.read.parquet(s"$out/out/top_kinds")
+    assert(top.count() >= 2)
+  }
 }
