@@ -89,6 +89,14 @@ object SparkEntry {
       graft.functions.TextAnalysis.scrubPii(
         t(s, d, "documents").select("doc_id", "text"), "text",
         outputCol = Some("scrubbed")).drop("text")),
+    "q_incremental_dedup" -> ((s, d) => {
+      // docs 0-99 are the already-ingested corpus; dedup the rest against
+      // their fingerprint set + within-batch
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      operators.Dedup.incrementalExactDedup(
+        docs.filter(col("doc_id") >= 100), "doc_id", "text",
+        operators.Dedup.newFingerprints(docs.filter(col("doc_id") < 100), "text"))
+    }),
     "q_gopher_flags" -> ((s, d) =>
       TextAnalysis.gopherFlags(
         t(s, d, "documents").select("doc_id", "text"), "text", minWords = 20)
@@ -606,6 +614,19 @@ object SparkEntry {
       "SELECT doc_id, CASE WHEN len(lines) = 0 THEN 0.0 ELSE round(1.0 - len(list_distinct(lines)) / len(lines), 6) END AS dup_line_frac, CASE WHEN len(paras) = 0 THEN 0.0 ELSE round(1.0 - len(list_distinct(paras)) / len(paras), 6) END AS dup_para_frac, CASE WHEN len(lines) = 0 THEN 0.0 ELSE round(CAST(list_sum(list_transform(lines, x -> len(x))) AS DOUBLE) / len(lines), 6) END AS mean_line_len FROM (SELECT doc_id, list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines, list_filter(string_split(text, chr(10) || chr(10)), x -> trim(x) <> '') AS paras FROM documents) t",
     "q_pii_scrub" ->
       "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'), '[0-9][0-9 ()+.-]{8,}[0-9]', '<NUM>', 'g') AS scrubbed FROM documents",
+    "q_incremental_dedup" ->
+      """WITH norm AS (
+        |  SELECT doc_id, text,
+        |         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS fp
+        |  FROM documents
+        |), seen AS (SELECT DISTINCT fp FROM norm WHERE doc_id < 100),
+        |   batch AS (SELECT * FROM norm WHERE doc_id >= 100),
+        |   win AS (SELECT min(doc_id) AS doc_id FROM batch GROUP BY fp)
+        |SELECT b.doc_id, b.text
+        |FROM batch b
+        |JOIN win w ON b.doc_id = w.doc_id
+        |LEFT JOIN seen s ON b.fp = s.fp
+        |WHERE s.fp IS NULL""".stripMargin,
     "q_gopher_flags" ->
       s"""WITH w AS (
          |  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS words

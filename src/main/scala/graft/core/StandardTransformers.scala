@@ -270,6 +270,9 @@ object StandardTransformers {
     reg("url_filter") { (c, p) =>
       TextAnalysis.filterUrlBlocklist(c.df, str(p, "url_col"),
         seqOf(p, "blocklist")) }
+    reg("incremental_dedup") { (c, p) =>
+      Dedup.incrementalExactDedup(c.df, str(p, "id_col"), str(p, "text_col"),
+        c.dataset(str(p, "seen"))) }
     reg("segment_dedup") { (c, p) =>
       Dedup.segmentDedup(c.df, str(p, "id_col"), str(p, "text_col"),
         strOpt(p, "sep_regex").getOrElse("\\n{2,}"),

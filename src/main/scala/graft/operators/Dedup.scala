@@ -307,6 +307,35 @@ object Dedup {
   }
 
   /**
+   * Incremental exact dedup for batch ingest: keep only rows of the new
+   * batch that are (a) not duplicated within the batch (lowest id wins)
+   * and (b) whose normalized fingerprint is absent from the already-seen
+   * set. `seen` is the running fingerprint table (one `fingerprint`
+   * column) a pipeline maintains across loads — append
+   * [[newFingerprints]] of each accepted batch to it.
+   *
+   * Scale: the batch is small relative to the corpus; the anti-join on
+   * the 8-byte fingerprint shuffles only (hash, id) pairs of the BATCH —
+   * the seen set streams map-side (or broadcasts when small). The corpus
+   * bodies are never touched.
+   */
+  def incrementalExactDedup(batch: DataFrame, idCol: String, textCol: String,
+                            seen: DataFrame): DataFrame = {
+    val withFp = batch.withColumn("_fp", TextAnalysis.fingerprint(col(textCol)))
+    val inBatchWinners = withFp
+      .groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    withFp
+      .join(inBatchWinners, Seq(idCol), "left_semi")
+      .join(seen.select(col("fingerprint").as("_fp")), Seq("_fp"), "left_anti")
+      .drop("_fp")
+  }
+
+  /** Fingerprints of a batch, for appending to the running seen set. */
+  def newFingerprints(batch: DataFrame, textCol: String): DataFrame =
+    batch.select(TextAnalysis.fingerprint(col(textCol)).as("fingerprint")).distinct()
+
+  /**
    * Segment-level exact dedup across the corpus: split every document on
    * `sepRegex` (paragraphs, sentences, lines — caller's choice), keep only
    * the globally FIRST occurrence of each distinct segment (lowest

@@ -73,4 +73,26 @@ class PackingSpec extends SparkSpec {
     val out = Dedup.segmentDedup(docs, "doc_id", "text").as[(Long, String)].collect()
     assert(out === Array((7L, "x\n\ny")))
   }
+
+  test("incrementalExactDedup: batch vs seen set, within-batch, fingerprint growth") {
+    val corpus = Seq((1L, "already seen"), (2L, "also seen")).toDF("doc_id", "text")
+    val seen = Dedup.newFingerprints(corpus, "text")
+    assert(seen.count() == 2)
+
+    val batch = Seq(
+      (10L, "brand new"),
+      (11L, "already  SEEN"),    // normalizes to a seen fingerprint
+      (12L, "brand new"),        // within-batch dup of 10
+      (13L, "another fresh one"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalExactDedup(batch, "doc_id", "text", seen)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(10L, 13L))
+
+    // appending the accepted batch's fingerprints blocks a re-ingest
+    val grown = seen.union(Dedup.newFingerprints(
+      batch.filter($"doc_id".isin(10L, 13L)), "text")).distinct()
+    val again = Dedup.incrementalExactDedup(batch, "doc_id", "text", grown)
+    assert(again.count() == 0)
+  }
 }
