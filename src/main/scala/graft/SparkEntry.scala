@@ -101,6 +101,9 @@ object SparkEntry {
       TextAnalysis.gopherFlags(
         t(s, d, "documents").select("doc_id", "text"), "text", minWords = 20)
         .drop("text")),
+    "q_numeric_profile" -> ((s, d) =>
+      graft.core.Discovery.numericProfile(
+        t(s, d, "lineitem").select("l_quantity", "l_extendedprice", "l_discount"))),
     "q_profile" -> ((s, d) =>
       // exactDistinct for oracle parity; the scale default is HLL
       graft.core.Discovery.profile(
@@ -652,6 +655,15 @@ object SparkEntry {
          |    AND (CAST(symbols AS DOUBLE) / greatest(n_words, 1) <= 0.1)
          |    AND (stop_hits >= 2) AS gopher_pass
          |FROM c""".stripMargin,
+    "q_numeric_profile" ->
+      (Seq("l_quantity", "l_extendedprice", "l_discount").map { c =>
+        s"""SELECT '$c' AS "column", round(avg($c), 6) AS mean,
+           |  round(stddev_samp($c), 6) AS stddev,
+           |  round(quantile_cont($c, 0.25), 6) AS p25,
+           |  round(quantile_cont($c, 0.50), 6) AS p50,
+           |  round(quantile_cont($c, 0.75), 6) AS p75
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n")),
     "q_profile" ->
       (Seq(("c_custkey", "bigint"), ("c_name", "string"),
         ("c_mktsegment", "string"), ("c_nationkey", "int")).map { case (c, dt) =>

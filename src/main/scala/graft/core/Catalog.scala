@@ -22,6 +22,28 @@ final class Catalog(spark: SparkSession, root: String) {
 
   def table(name: String): DataFrame = spark.read.parquet(tablePath(name))
 
+  /**
+   * Compact the meta tables: every run appends a coalesce(1) file, so a
+   * long-lived catalog accumulates thousands of tiny parquet files and
+   * reads slow down linearly. Rewrites each existing meta table to
+   * `filesPerTable` files through the atomic temp-dir + rename swap — a
+   * crash mid-compaction leaves the old files intact. Returns the
+   * compacted table names.
+   */
+  def compact(filesPerTable: Int = 1): Seq[String] = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(root)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hadoopPath)) return Nil
+    fs.listStatus(hadoopPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("meta_"))
+      .map(_.getPath.getName)
+      .map { name =>
+        val df = table(name).coalesce(filesPerTable)
+        AtomicParquet.overwrite(df, tablePath(name), s"compact-$name")
+        name
+      }
+  }
+
   /** Record one pipeline run with per-node outcomes + timings. */
   def recordRun(pipeline: String, runId: String,
                 nodes: Seq[(String, Boolean, Long, String)]): Unit = {

@@ -61,6 +61,42 @@ object Discovery {
       .drop("non_null_count")
   }
 
+  /**
+   * Numeric distribution profile: mean, stddev, and exact interpolated
+   * percentiles per numeric column — still ONE aggregation pass (every
+   * statistic is an aggregate in a single `agg`). Exact `percentile` is
+   * sort-based per column; for 100 TB profiling swap `approx = true`
+   * (percentile_approx sketches, mergeable, bounded memory).
+   */
+  def numericProfile(df: DataFrame, columns: Seq[String] = Nil,
+                     percentiles: Seq[Double] = Seq(0.25, 0.5, 0.75),
+                     approx: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types.NumericType
+    val cols = (if (columns.nonEmpty) columns else df.columns.toSeq)
+      .filter(c => df.schema(c).dataType.isInstanceOf[NumericType])
+    require(cols.nonEmpty, "no numeric columns to profile")
+    val pctArray = percentiles.mkString("array(", ", ", ")")
+    val fn = if (approx) "percentile_approx" else "percentile"
+    val aggs = cols.flatMap { c =>
+      Seq(
+        avg(col(c)).as(s"__avg_$c"),
+        stddev_samp(col(c)).as(s"__sd_$c"),
+        expr(s"$fn(`$c`, $pctArray)").as(s"__p_$c"))
+    }
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val perCol = array(cols.map { c =>
+      struct(
+        (lit(c).as("column") +:
+          round(col(s"__avg_$c"), 6).as("mean") +:
+          round(col(s"__sd_$c"), 6).as("stddev") +:
+          percentiles.zipWithIndex.map { case (p, i) =>
+            round(element_at(col(s"__p_$c"), i + 1), 6)
+              .as(s"p${(p * 100).toInt}")
+          }): _*)
+    }: _*)
+    row.select(explode(perCol).as("p")).select(col("p.*"))
+  }
+
   private val patterns: Seq[(String, scala.util.matching.Regex)] = Seq(
     "date:YYYY-MM-DD" -> "^\\d{4}-\\d{2}-\\d{2}$".r,
     "timestamp:ISO" -> "^\\d{4}-\\d{2}-\\d{2}[T ]\\d{2}:\\d{2}(:\\d{2})?(\\.\\d+)?$".r,
