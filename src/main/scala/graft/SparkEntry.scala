@@ -640,7 +640,8 @@ object SparkEntry {
          |    CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
          |      / greatest(len(words), 1) AS mean_len,
          |    (length(text) - length(replace(text, '#', '')))
-         |      + (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3 AS symbols,
+         |      + (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3
+         |      + (length(text) - length(replace(text, chr(8230), ''))) AS symbols,
          |    len(list_filter(words, x -> list_contains([${TextAnalysis.StopWords.map("'" + _ + "'").mkString(",")}], x))) AS stop_hits
          |  FROM w)
          |SELECT doc_id,

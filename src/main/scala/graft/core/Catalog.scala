@@ -37,6 +37,9 @@ final class Catalog(spark: SparkSession, root: String) {
     fs.listStatus(hadoopPath).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("meta_"))
       .map(_.getPath.getName)
+      // never resurrect swap debris from a crashed prior compaction as a
+      // table; the next successful swap of the real table cleans it up
+      .filterNot(_.contains("_graft_"))
       .map { name =>
         val df = table(name).coalesce(filesPerTable)
         AtomicParquet.overwrite(df, tablePath(name), s"compact-$name")

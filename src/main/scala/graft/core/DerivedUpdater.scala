@@ -18,13 +18,19 @@ import org.apache.spark.sql.functions._
  *  1. append a `claimed` row carrying a unique claim id;
  *  2. re-read the key's log and deterministically elect a winner — the
  *     lowest (claimed_at, claim_id) among live claims (not failed, not
- *     older than the stale threshold) — so concurrent claimers that both
- *     appended agree on the same single winner;
+ *     older than the stale threshold);
  *  3. only the winner runs the update and appends `applied`; a failure
  *     appends `failed`, which releases the claim for retry.
  *
  * An `applied` row is terminal: the (derived_table, run_id) pair never
- * re-applies — the exactly-once contract for idempotent run folding.
+ * re-applies on any LATER attempt — the contract that makes re-running a
+ * finished orchestration idempotent, which is the derived_updater use
+ * case. For truly simultaneous claimers the arbitration is best-effort:
+ * a claimer whose re-read races ahead of the other's append visibility
+ * can win alongside it, and a claimer that outlives the stale threshold
+ * can be reclaimed while still running — a hard mutual-exclusion
+ * guarantee needs the transactional store the reference uses
+ * (Delta/SQL Server); swap the append layer for one to get it.
  */
 final class DerivedUpdater(spark: SparkSession, root: String,
                            maxClaimAgeMinutes: Long = 60L) {

@@ -90,8 +90,13 @@ object Discovery {
           round(col(s"__avg_$c"), 6).as("mean") +:
           round(col(s"__sd_$c"), 6).as("stddev") +:
           percentiles.zipWithIndex.map { case (p, i) =>
-            round(element_at(col(s"__p_$c"), i + 1), 6)
-              .as(s"p${(p * 100).toInt}")
+            // label keeps fractional precision: 0.999 -> p99_9 (a plain
+            // toInt would collide 0.99 with 0.999)
+            val pct = BigDecimal(p * 100)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+              .underlying.stripTrailingZeros
+              .toPlainString.replace(".", "_")
+            round(element_at(col(s"__p_$c"), i + 1), 6).as(s"p$pct")
           }): _*)
     }: _*)
     row.select(explode(perCol).as("p")).select(col("p.*"))

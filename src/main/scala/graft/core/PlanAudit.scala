@@ -23,21 +23,22 @@ object PlanAudit {
     def shuffleFree: Boolean = numExchanges - numBroadcastExchanges == 0
   }
 
+  // walk the physical plan INCLUDING AQE subtrees (whose current plan
+  // hangs off executedPlan, not children)
+  private def walk(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val inner = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walk(q.plan)
+      case _ => Nil
+    }
+    p +: (inner ++ (p.children ++ p.subqueries).flatMap(walk))
+  }
+
   def audit(df: DataFrame): Audit = {
     val executed = df.queryExecution.executedPlan
-    // walk the physical plan INCLUDING AQE subtrees (whose current plan
-    // hangs off executedPlan, not children)
-    def walk(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-      val inner = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          walk(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          walk(q.plan)
-        case _ => Nil
-      }
-      p +: (inner ++ (p.children ++ p.subqueries).flatMap(walk))
-    }
     val nodes = walk(executed)
     val names = nodes.map(_.nodeName)
     val scans = nodes.collect {
@@ -55,9 +56,11 @@ object PlanAudit {
       readSchemas = scans.map(_.requiredSchema.toDDL))
   }
 
-  /** Fraction of scanned columns actually required, per scan (pruning). */
+  /** Fraction of scanned columns actually required, per scan (pruning).
+    * Uses the same AQE-aware walk as [[audit]] — a plain plan collect
+    * sees nothing under AdaptiveSparkPlanExec. */
   def columnPruning(df: DataFrame): Seq[(String, Int, Int)] =
-    df.queryExecution.executedPlan.collect {
+    walk(df.queryExecution.executedPlan).collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec =>
         (s.relation.location.rootPaths.headOption.map(_.getName).getOrElse("scan"),
           s.requiredSchema.size, s.relation.dataSchema.size)

@@ -179,8 +179,22 @@ object Planner {
       .foreach(n => err("duplicate_node", n, s"node name '$n' declared ${names.count(_ == n)} times"))
     val nameSet = names.toSet
 
-    val connectionNames = root.getOrElse("connections", Map.empty[String, Any])
-      .asInstanceOf[Map[String, Any]].keySet
+    // connections block may be absent, null (bare key) or malformed —
+    // keep those as diagnostics, never as thrown exceptions
+    val connectionsBlock: Map[String, Any] = root.get("connections") match {
+      case None | Some(null) => Map.empty
+      case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+      case Some(other) =>
+        err("connections_invalid", "_project",
+          s"'connections' must be a mapping, got: ${other.getClass.getSimpleName}")
+        Map.empty
+    }
+    val connectionNames = connectionsBlock.keySet
+    val jdbcConnections = connectionsBlock.collect {
+      case (n, m: Map[_, _])
+          if m.asInstanceOf[Map[String, Any]].get("kind").map(_.toString)
+            .getOrElse(if (m.asInstanceOf[Map[String, Any]].contains("url")) "jdbc" else "file") == "jdbc" => n
+    }.toSet
 
     rawNodes.foreach { m =>
       val name = m.get("name").map(_.toString).getOrElse {
@@ -314,7 +328,8 @@ object Planner {
         case other => err("streaming_invalid", name, s"streaming block is not a mapping: $other")
       }
 
-      // connection references must be declared at project level
+      // connection references must be declared at project level; jdbc
+      // connections are read-side only (the loader rejects them on writes)
       Seq("read", "write").foreach { key =>
         m.get(key).collect { case km: Map[_, _] =>
           km.asInstanceOf[Map[String, Any]].get("connection").map(_.toString)
@@ -324,9 +339,20 @@ object Planner {
                   s"$key references unknown connection '$cn'" +
                     (if (connectionNames.isEmpty) " (no connections: block)"
                      else s"; available: ${connectionNames.toSeq.sorted.mkString(", ")}"))
+              else if (key == "write" && jdbcConnections.contains(cn))
+                err("jdbc_write_unsupported", name,
+                  s"write references jdbc connection '$cn'; jdbc is read-side only")
             }
         }
       }
+
+      // a streaming block without any write sink is silently dead at run
+      // time (the streaming write match needs BOTH) — catch it here
+      if (m.contains("streaming") && !m.get("write").exists {
+        case wm: Map[_, _] => wm.asInstanceOf[Map[String, Any]].contains("path")
+        case _ => false
+      }) err("missing_write_path", name,
+        "streaming block requires a write: block with a path")
 
       // write mode / incremental mode / gate policy enums
       m.get("write").collect { case wm: Map[_, _] =>
@@ -335,8 +361,6 @@ object Planner {
           if (!writeModes.contains(mode))
             err("unknown_write_mode", name, s"unknown write mode '$mode'")
         }
-        if (m.contains("streaming") && !w.contains("path"))
-          err("missing_write_path", name, "streaming block requires write.path")
       }
       m.get("incremental").collect { case im: Map[_, _] =>
         val i = im.asInstanceOf[Map[String, Any]]

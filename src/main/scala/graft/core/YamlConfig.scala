@@ -56,8 +56,9 @@ object YamlConfig {
     // connections: named base URIs / JDBC URLs + default options
     // (reference: odibi/connections/, `connection:` key on read/write)
     val connections: Map[String, Connections.Connection] =
-      root.getOrElse("connections", Map.empty[String, Any])
-        .asInstanceOf[Map[String, Any]].map { case (n, v) =>
+      root.get("connections").collect { case m: Map[_, _] =>
+        m.asInstanceOf[Map[String, Any]]
+      }.getOrElse(Map.empty).map { case (n, v) =>
           val cm = v.asInstanceOf[Map[String, Any]]
           strict(cm, Set("kind", "base_path", "url", "options"), s"connection $n")
           n -> Connections.Connection(

@@ -125,7 +125,11 @@ object HashImpls {
       var j = 0
       val m = math.min(d, cv.length)
       while (j < m) { dot += v(j) * cv(j); j += 1 }
-      val score = dot / (nvSqrt * centNorms(c))
+      // zero vector (or zero centroid) → equidistant score 0.0 rather
+      // than NaN: NaN fills no leaderboard slot and would leak the
+      // Long.MaxValue sentinel as a phantom cell id
+      val denom = nvSqrt * centNorms(c)
+      val score = if (denom == 0.0) 0.0 else dot / denom
       var pos = keep
       while (pos > 0 && (score > bs(pos - 1) ||
         (score == bs(pos - 1) && ids(c) < bi(pos - 1)))) pos -= 1

@@ -171,7 +171,9 @@ object TextAnalysis {
     val symbols = (length(col(textCol)) -
       length(regexp_replace(col(textCol), "#", ""))) +
       (length(col(textCol)) -
-        length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / 3
+        length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / 3 +
+      (length(col(textCol)) -
+        length(regexp_replace(col(textCol), "…", ""))) // typographic …
     val stopHits = size(filter(words, w =>
       array_contains(lit(StopWords.toArray), w)))
     df.withColumn("n_words", nWords.cast("long"))

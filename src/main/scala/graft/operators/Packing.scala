@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -17,24 +17,37 @@ import org.apache.spark.sql.functions._
  * document order, and a naive `sum() OVER (ORDER BY id)` window is a
  * single-reducer funnel — every row flows through ONE task. Instead:
  *
- *  1. range-repartition by the order key (Spark's RangePartitioner samples
- *     with per-partition deterministic seeds, so the partitioning is
- *     stable across the two passes below);
- *  2. partition-local running totals via a window keyed on the physical
- *     partition id — P independent reducers, no funnel;
- *  3. per-partition grand totals aggregate map-side into ≤ P rows, whose
- *     driver-side prefix offsets (one Long per partition) broadcast back.
+ *  1. derive P range buckets from driver-collected id quantiles — the
+ *     bucket is a PURE FUNCTION OF THE ROW'S ID, so every pass over the
+ *     plan assigns identical buckets by construction (an earlier
+ *     formulation used `spark_partition_id()` after repartitionByRange,
+ *     but RangePartitioner re-samples per action with an rdd-id-derived
+ *     seed, so two passes could disagree at boundaries — silent
+ *     corruption at scale);
+ *  2. partition-local running totals via a window keyed on the bucket —
+ *     P independent reducers, no funnel;
+ *  3. per-bucket grand totals aggregate map-side into ≤ P rows, whose
+ *     driver-side prefix offsets (one Long per bucket) broadcast back.
  *
- * Net cost: one range shuffle of the (id, tokens) pairs plus a P-row
- * aggregate — the document bodies never need to participate at all.
+ * Net cost: one quantile sketch + one bucket-keyed shuffle of the
+ * (id, tokens) pairs — pass a narrow frame; any extra columns ride the
+ * shuffle.
  */
 object Packing {
+
+  /** Bucket index of `id` among sorted boundaries (count of bounds < id,
+    * ties to the left so the mapping is total and deterministic). */
+  private def bucketExpr(id: Column, bounds: Array[Double]): Column =
+    if (bounds.isEmpty) lit(0)
+    else aggregate(lit(bounds), lit(0),
+      (acc, b) => acc + when(id.cast("double") > b, 1).otherwise(0))
 
   /**
    * Assign each document its training-sequence id and offset.
    *
    * @param df        input with at least `idCol` and `tokenCol`
-   * @param idCol     deterministic global order key (unique)
+   * @param idCol     deterministic global order key (unique, NUMERIC — the
+   *                  quantile bucketing needs an ordered numeric domain)
    * @param tokenCol  per-document token count (non-negative; null → 0)
    * @param budget    tokens per packed training sequence
    * @return input columns plus `seq_id` and `seq_offset` (both long)
@@ -42,33 +55,43 @@ object Packing {
   def packSequences(df: DataFrame, idCol: String, tokenCol: String,
                     budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    require(df.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"packSequences orders by a numeric id; got ${df.schema(idCol).dataType}")
     val spark = df.sparkSession
 
-    val ranged = df
+    // P-1 interior boundaries from a quantile sketch — collected ONCE, so
+    // bucket assignment is frozen on the driver before any pass runs
+    val p = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val probes = (1 until p).map(_.toDouble / p).toArray
+    val bounds =
+      if (probes.isEmpty) Array.empty[Double]
+      else df.stat.approxQuantile(idCol, probes, 0.001).distinct.sorted
+
+    val bucketed = df
       .withColumn("_tok", coalesce(col(tokenCol).cast("long"), lit(0L)))
-      .repartitionByRange(col(idCol))
-      .withColumn("_pid", spark_partition_id())
+      .withColumn("_bkt", bucketExpr(col(idCol), bounds))
 
-    // per-partition running total: P parallel reducers, not one
-    val w = Window.partitionBy("_pid").orderBy(col(idCol))
+    // per-bucket running total: P parallel reducers, not one
+    val w = Window.partitionBy("_bkt").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = ranged.withColumn("_cum", sum(col("_tok")).over(w))
+    val local = bucketed.withColumn("_cum", sum(col("_tok")).over(w))
 
-    // per-partition totals -> driver-side prefix offsets (≤ P longs)
-    val totals = ranged.groupBy(col("_pid")).agg(sum(col("_tok")).as("_total"))
+    // per-bucket totals -> driver-side prefix offsets (≤ P longs)
+    val totals = bucketed.groupBy(col("_bkt")).agg(sum(col("_tok")).as("_total"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
-    val prefix = totals.map { case (pid, tot) =>
-      val row = (pid, acc); acc += tot; row
+    val prefix = totals.map { case (bkt, tot) =>
+      val row = (bkt, acc); acc += tot; row
     }
     import spark.implicits._
-    val prefixDf = prefix.toSeq.toDF("_pid", "_prefix")
+    val prefixDf = prefix.toSeq.toDF("_bkt", "_prefix")
 
-    local.join(broadcast(prefixDf), Seq("_pid"))
+    local.join(broadcast(prefixDf), Seq("_bkt"))
       .withColumn("_start", col("_cum") + col("_prefix") - col("_tok"))
       .withColumn("seq_id", floor(col("_start") / budget))
       .withColumn("seq_offset", col("_start") % budget)
-      .drop("_pid", "_tok", "_cum", "_prefix", "_start")
+      .drop("_bkt", "_tok", "_cum", "_prefix", "_start")
   }
 
   /**

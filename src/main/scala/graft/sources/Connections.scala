@@ -44,7 +44,11 @@ object Connections {
         }
     }
 
-  /** Resolve a write path + config against a connection map. */
+  /** Resolve a write path + config against a connection map. JDBC
+    * connections are read-side only here — declarative JDBC writes go
+    * through the SQL Server MERGE writer API, so a jdbc connection on a
+    * write block fails at LOAD time instead of surfacing later as a
+    * "no filesystem for scheme jdbc" runtime crash. */
   def applyToWrite(path: Option[String], cfg: Sources.WriteConfig,
                    connection: Option[String],
                    connections: Map[String, Connection])
@@ -55,6 +59,9 @@ object Connections {
         val c = connections.getOrElse(name,
           throw new IllegalArgumentException(
             s"unknown connection '$name'; available: ${connections.keys.toSeq.sorted.mkString(", ")}"))
+        require(c.kind != "jdbc",
+          s"connection '$name': jdbc connections are not supported on write " +
+            "blocks (use SqlServerWriter / the jdbc writer API)")
         (path.map(c.resolvePath).orElse(Some(c.base)),
           cfg.copy(options = c.options ++ cfg.options))
     }

@@ -71,6 +71,39 @@ class ConnectionsSpec extends SparkSpec {
     assert(plan.errors.map(_.code).contains("unknown_connection"))
   }
 
+  test("jdbc connection on a write block is rejected at load and plan time") {
+    val yaml =
+      """name: p
+        |connections:
+        |  wh: { kind: jdbc, url: jdbc:postgresql://h/db }
+        |nodes:
+        |  - name: n
+        |    input: ext
+        |    write: { connection: wh, path: t }
+        |""".stripMargin
+    val e = intercept[IllegalArgumentException] { YamlConfig.loadPipeline(yaml) }
+    assert(e.getMessage.contains("jdbc connections are not supported on write"))
+    assert(Planner.plan(yaml).errors.map(_.code).contains("jdbc_write_unsupported"))
+  }
+
+  test("malformed connections block is a planner diagnostic, not a crash") {
+    val bare = Planner.plan("name: p\nconnections:\nnodes: []\n")
+    assert(bare.valid, bare.diagnostics.mkString("; ")) // bare key = empty
+    val wrong = Planner.plan("name: p\nconnections: [a]\nnodes: []\n")
+    assert(wrong.errors.map(_.code).contains("connections_invalid"))
+  }
+
+  test("streaming node without a write sink is a planner error") {
+    val yaml =
+      """name: p
+        |nodes:
+        |  - name: s
+        |    read: { format: parquet, path: /x, streaming: true }
+        |    streaming: { checkpoint: /tmp/cp }
+        |""".stripMargin
+    assert(Planner.plan(yaml).errors.map(_.code).contains("missing_write_path"))
+  }
+
   test("absolute paths pass through a file connection untouched") {
     val yaml =
       """name: p
