@@ -80,12 +80,14 @@ object Planner {
     "incremental", "contracts", "pre_sql", "steps", "transformer", "params",
     "semantic", "tests", "validation", "write", "streaming", "post_sql",
     "cache", "retries", "tags", "enabled")
+  private[graft] def nodeKeySet: Set[String] = nodeKeys
 
   private val stepKeys = Set("sql", "sql_file", "function", "operation")
 
   private val testKinds = Set("not_null", "accepted_values", "range",
     "regex_match", "custom_sql", "unique", "row_count", "freshness",
     "schema", "volume_drop", "distribution")
+  private[graft] def testKindSet: Set[String] = testKinds
 
   private val writeModes = Set("overwrite", "append", "ignore", "error",
     "errorifexists")

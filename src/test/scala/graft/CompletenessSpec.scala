@@ -120,4 +120,13 @@ class CompletenessSpec extends SparkSpec {
     Introspect.writeOperatorReference(out)
     assert(java.nio.file.Files.size(java.nio.file.Paths.get(out)) > 2000)
   }
+
+  test("yaml schema doc renders every strict key set") {
+    val md = graft.core.Introspect.yamlSchema()
+    // the doc derives from the loader's own key sets — spot-check blocks
+    Seq("read block", "write block", "incremental block", "contracts block",
+      "streaming block", "`connection`", "`checkpoint`", "`schema_mode`",
+      "not_null", "volume_drop", "`recipe_vars`").foreach(k =>
+      assert(md.contains(k), s"missing $k"))
+  }
 }
