@@ -132,4 +132,22 @@ object Multimodal {
     }
     media.repartition(n)
   }
+
+  /**
+   * Exact media dedup: keep one row (lowest `media_id`) per identical
+   * binary content. Same plan shape as the text `exactDedup` — winners
+   * from a groupBy on the 64-bit content hash (xxhash64 over the raw
+   * bytes, no decode needed) + a left-semi join on id, so the media
+   * PAYLOADS never shuffle; only (hash, id) pairs move. The standard
+   * first pass over a scraped image/audio corpus, where byte-identical
+   * duplicates dominate.
+   */
+  def mediaDedup(media: DataFrame, idCol: String = "media_id",
+                 contentCol: String = "content"): DataFrame = {
+    val winners = media
+      .select(xxhash64(col(contentCol)).as("_h"), col(idCol))
+      .groupBy(col("_h")).agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    media.join(winners, Seq(idCol), "left_semi")
+  }
 }

@@ -36,11 +36,13 @@ import org.apache.spark.sql.functions._
 object Packing {
 
   /** Bucket index of `id` among sorted boundaries (count of bounds < id,
-    * ties to the left so the mapping is total and deterministic). */
+    * ties to the left so the mapping is total and deterministic). Native
+    * binary search ([[graft.expressions.RangeBucket]]): O(log P) codegen'd
+    * per row, vs O(P) interpreted for the HOF formulation — at thousands
+    * of buckets the HOF would dominate the pass. */
   private def bucketExpr(id: Column, bounds: Array[Double]): Column =
     if (bounds.isEmpty) lit(0)
-    else aggregate(lit(bounds), lit(0),
-      (acc, b) => acc + when(id.cast("double") > b, 1).otherwise(0))
+    else graft.expressions.HashFunctions.rangeBucket(id.cast("double"), bounds)
 
   /**
    * Assign each document its training-sequence id and offset.

@@ -61,4 +61,22 @@ class MultimodalSpec extends SparkSpec {
     val est = Multimodal.repartitionForPayload(media, avgPayloadBytes = 1L << 20)
     assert(est.rdd.getNumPartitions >= 1)
   }
+
+  test("mediaDedup keeps lowest id per identical binary payload") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, Array[Byte](1, 2, 3), "image/png"),
+      (2L, Array[Byte](9, 9), "image/png"),
+      (3L, Array[Byte](1, 2, 3), "image/jpeg"), // byte-dup of 1
+      (4L, Array[Byte](), "audio/wav"),
+      (5L, Array[Byte](), "audio/wav"))         // empty-payload dup of 4
+      .toDF("id", "bytes", "mime")
+    val canonical = Multimodal.asMedia(media, "id", "bytes", "mime")
+    val kept = Multimodal.mediaDedup(canonical)
+      .select("media_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 4L))
+    // payloads never shuffle: the only exchanges carry (hash, id) pairs
+    val audit = graft.core.PlanAudit.audit(Multimodal.mediaDedup(canonical))
+    assert(audit.numExchanges >= 1) // winner agg shuffles the narrow pairs
+  }
 }
