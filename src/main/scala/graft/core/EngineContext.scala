@@ -41,8 +41,11 @@ final case class EngineContext(
   def sql(query: String): DataFrame = {
     val unique = s"graft_df_${EngineContext.viewCounter.incrementAndGet()}"
     df.createOrReplaceTempView(unique)
-    datasets.foreach { case (name, d) => d.createOrReplaceTempView(name) }
-    extraViews.foreach { case (name, d) => d.createOrReplaceTempView(name) }
+    // dataset keys may be dotted cross-pipeline refs ("pipe.node"); temp
+    // view names must be single-part, so sanitize like runSideSql does
+    def viewName(name: String) = name.replaceAll("[^A-Za-z0-9_]", "_")
+    datasets.foreach { case (name, d) => d.createOrReplaceTempView(viewName(name)) }
+    extraViews.foreach { case (name, d) => d.createOrReplaceTempView(viewName(name)) }
     // Replace references to the conventional view name `df` (word-bounded).
     val rewritten = query.replaceAll("(?i)(?<![A-Za-z0-9_.])df(?![A-Za-z0-9_])", unique)
     try spark.sql(rewritten)

@@ -434,6 +434,28 @@ object Pipeline {
     } finally if (pinned) { transformed.unpersist(); () }
   }
 
+  /**
+   * Run a multi-pipeline project in declared order (reference: project
+   * YAML with a `pipelines:` list). Each finished pipeline's node frames
+   * are exposed to LATER pipelines under `"pipeline.node"` dataset keys,
+   * which `$pipeline.node` references resolve in-process — no catalog
+   * round-trip needed inside one run (the catalog path still serves
+   * cross-RUN references). Returns pipeline name → node results.
+   */
+  def runProject(spark: SparkSession, project: YamlConfig.ProjectConfig,
+                 externalDatasets: Map[String, DataFrame] = Map.empty,
+                 opts: RunOptions = RunOptions())
+      : Map[String, Map[String, NodeResult]] = {
+    val shared = scala.collection.mutable.Map.empty[String, DataFrame] ++ externalDatasets
+    project.pipelines.map { p =>
+      val results = run(spark, p, shared.toMap, opts)
+      results.foreach { case (n, r) =>
+        if (r.failure.isEmpty && !r.skipped) shared.update(s"${p.name}.$n", r.df)
+      }
+      p.name -> results
+    }.toMap
+  }
+
   /** Micro-batch merge function for a streaming write's `merge` strategy. */
   private def mergeFnFor(strategy: String): (DataFrame, DataFrame, Seq[String]) => DataFrame = {
     import graft.operators.Merge

@@ -45,7 +45,8 @@ object Planner {
 
   final case class PlanningResponse(valid: Boolean,
                                     plan: Option[ProjectPlan],
-                                    diagnostics: Seq[Diagnostic]) {
+                                    diagnostics: Seq[Diagnostic],
+                                    pipelinePlans: Seq[ProjectPlan] = Nil) {
     def errors: Seq[Diagnostic] = diagnostics.filter(_.severity == "error")
 
     def toJson: String = {
@@ -61,7 +62,7 @@ object Planner {
       def opt(o: Option[String]) = o.map(q).getOrElse("null")
       val diags = diagnostics.map(d =>
         s"""{"code": ${q(d.code)}, "severity": ${q(d.severity)}, "subject": ${q(d.subject)}, "message": ${q(d.message)}}""")
-      val planJson = plan.map { p =>
+      def planJsonOf(p: ProjectPlan): String = {
         val nodes = p.nodes.map(n =>
           s"""{"name": ${q(n.name)}, "kind": ${q(n.kind)}, "depends_on": [${
             n.dependsOn.map(q).mkString(", ")}], "read_format": ${opt(n.readFormat)}, "steps": [${
@@ -71,8 +72,12 @@ object Planner {
         val layers = p.layers.map(l => s"[${l.map(q).mkString(", ")}]")
         s"""{"pipeline": ${q(p.pipeline)}, "nodes": [${nodes.mkString(", ")}], "edges": [${
           edges.mkString(", ")}], "layers": [${layers.mkString(", ")}]}"""
-      }.getOrElse("null")
-      s"""{"valid": $valid, "plan": $planJson, "diagnostics": [${diags.mkString(", ")}]}"""
+      }
+      val planJson = plan.map(planJsonOf).getOrElse("null")
+      val pipelinesJson =
+        if (pipelinePlans.isEmpty) ""
+        else s""", "pipelines": [${pipelinePlans.map(planJsonOf).mkString(", ")}]"""
+      s"""{"valid": $valid, "plan": $planJson$pipelinesJson, "diagnostics": [${diags.mkString(", ")}]}"""
     }
   }
 
@@ -139,6 +144,59 @@ object Planner {
         err("yaml_invalid", "_project", "root must be a mapping")
         return PlanningResponse(valid = false, None, diags.toSeq)
     }
+
+    // multi-pipeline project shape (planning.py:830-860): validate each
+    // pipeline against the shared blocks; diagnostics carry
+    // "pipeline/node" subjects and the response aggregates the per-
+    // pipeline plans
+    if (rawRoot.contains("pipelines")) {
+      rawRoot.getOrElse("pipelines", Nil) match {
+        case entries: Seq[_] if entries.nonEmpty =>
+          val shared = rawRoot - "project" - "pipelines"
+          val seen = scala.collection.mutable.Set.empty[String]
+          val plans = entries.flatMap {
+            case em: Map[_, _] =>
+              val e = em.asInstanceOf[Map[String, Any]]
+              val name = e.get("pipeline").map(_.toString).getOrElse {
+                err("pipeline_invalid", "_project", "pipelines entry without 'pipeline' (name)")
+                "?"
+              }
+              if (!seen.add(name))
+                err("duplicate_pipeline", name, s"pipeline '$name' declared twice")
+              val sub = planRoot(shared ++ (e - "pipeline") + ("name" -> name),
+                baseDir, limits)
+              diags ++= sub.diagnostics.map(d =>
+                d.copy(subject = if (d.subject == "_project") name
+                  else s"$name/${d.subject}"))
+              sub.plan
+            case other =>
+              err("pipeline_invalid", "_project", s"pipelines entry is not a mapping: $other")
+              None
+          }
+          val ok = !diags.exists(_.severity == "error")
+          return PlanningResponse(ok, None, diags.toSeq,
+            pipelinePlans = if (ok) plans else Nil)
+        case _ =>
+          err("pipelines_invalid", "_project", "'pipelines' must be a non-empty list")
+          return PlanningResponse(valid = false, None, diags.toSeq)
+      }
+    }
+
+    val sub = planRoot(rawRoot, baseDir, limits)
+    PlanningResponse(sub.valid && !diags.exists(_.severity == "error"),
+      sub.plan, diags.toSeq ++ sub.diagnostics)
+  }
+
+  /** Validate one pipeline-root map (single-pipeline file, or one entry
+    * of a project's `pipelines:` merged with the shared blocks). */
+  private def planRoot(rawRoot: Map[String, Any], baseDir: Option[String],
+                       limits: Limits): PlanningResponse = {
+    val diags = scala.collection.mutable.ArrayBuffer.empty[Diagnostic]
+    def err(code: String, subject: String, msg: String): Unit =
+      diags += Diagnostic(code, "error", subject, msg)
+    def warn(code: String, subject: String, msg: String): Unit =
+      diags += Diagnostic(code, "warning", subject, msg)
+
     // expand recipe templates first, as the runtime loader does; a broken
     // recipe (unknown name, missing vars, bad template) is a diagnostic
     val root = Try(Recipes.resolve(rawRoot)) match {
@@ -422,7 +480,7 @@ object Planner {
 
     // no errors: materialize the logical plan with the runtime loader, so
     // planner acceptance implies runtime acceptance
-    Try(YamlConfig.loadPipeline(yamlText, baseDir)) match {
+    Try(YamlConfig.loadPipelineRootMap(rawRoot, baseDir)) match {
       case Failure(e) =>
         err("config_invalid", "_project", Option(e.getMessage).getOrElse(e.toString))
         PlanningResponse(valid = false, None, diags.toSeq)

@@ -44,13 +44,54 @@ object YamlConfig {
     loadPipeline(text, baseDir = Option(p.getParent).map(_.toString))
   }
 
+  /** Multi-pipeline project (reference ProjectConfig: `project:` name +
+    * `pipelines:` list, planning.py:830-860). Pipelines share the
+    * project-level blocks (connections/semantics/recipes/alerts/
+    * spark_config/catalog_root); pipeline-level keys override. */
+  final case class ProjectConfig(name: String,
+                                 pipelines: Seq[Pipeline.PipelineConfig])
+
+  def loadProjectFile(path: String): ProjectConfig = {
+    val p = java.nio.file.Paths.get(path)
+    val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    loadProject(text, baseDir = Option(p.getParent).map(_.toString))
+  }
+
+  def loadProject(yamlText: String,
+                  baseDir: Option[String] = None): ProjectConfig = {
+    val yaml = new Yaml()
+    val root = anyToScala(yaml.load[Any](yamlText)).asInstanceOf[Map[String, Any]]
+    val entries = root.getOrElse("pipelines",
+      throw new IllegalArgumentException("project file needs a 'pipelines' list"))
+      .asInstanceOf[Seq[Any]].map(_.asInstanceOf[Map[String, Any]])
+    val names = entries.map(e => e.getOrElse("pipeline",
+      throw new IllegalArgumentException("each pipelines entry needs 'pipeline' (name)")).toString)
+    require(names.distinct.size == names.size,
+      s"duplicate pipeline names: ${names.diff(names.distinct).distinct.mkString(", ")}")
+    val shared = root - "project" - "pipelines"
+    val pipelines = entries.zip(names).map { case (e, n) =>
+      loadPipelineRoot(shared ++ (e - "pipeline") + ("name" -> n), baseDir)
+    }
+    ProjectConfig(root.get("project").map(_.toString).getOrElse("project"), pipelines)
+  }
+
   def loadPipeline(yamlText: String,
                    baseDir: Option[String] = None): Pipeline.PipelineConfig = {
     val yaml = new Yaml()
+    loadPipelineRoot(
+      anyToScala(yaml.load[Any](yamlText)).asInstanceOf[Map[String, Any]], baseDir)
+  }
+
+  /** Exposed for [[Planner]]'s project-shape validation. */
+  private[graft] def loadPipelineRootMap(root: Map[String, Any],
+                                         baseDir: Option[String]): Pipeline.PipelineConfig =
+    loadPipelineRoot(root, baseDir)
+
+  private def loadPipelineRoot(rawRoot: Map[String, Any],
+                               baseDir: Option[String]): Pipeline.PipelineConfig = {
     // recipe templates expand before strict parsing (reference
     // resolve_recipes: after YAML load, before model validation)
-    val root = Recipes.resolve(
-      anyToScala(yaml.load[Any](yamlText)).asInstanceOf[Map[String, Any]])
+    val root = Recipes.resolve(rawRoot)
     val pipelineName = root.getOrElse("name", "pipeline").toString
     val catalogRoot = root.get("catalog_root").map(_.toString)
     // connections: named base URIs / JDBC URLs + default options

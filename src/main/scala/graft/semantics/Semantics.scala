@@ -143,6 +143,9 @@ object Semantics {
       val (pipe, node) = (parts(0), parts(1))
       val inRun = if (currentPipeline.forall(_ == pipe)) datasets.get(node) else None
       inRun
+        // a multi-pipeline project run shares earlier pipelines' frames
+        // under "pipeline.node" keys (Pipeline.runProject)
+        .orElse(datasets.get(s"$pipe.$node"))
         .orElse(catalog.flatMap(_.latestOutputPath(pipe, node))
           .map(spark.read.parquet(_)))
         .getOrElse(throw new IllegalArgumentException(
