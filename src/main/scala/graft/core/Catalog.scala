@@ -29,6 +29,11 @@ final class Catalog(spark: SparkSession, root: String) {
    * `filesPerTable` files through the atomic temp-dir + rename swap — a
    * crash mid-compaction leaves the old files intact. Returns the
    * compacted table names.
+   *
+   * Run this as a MAINTENANCE window operation: an append that commits
+   * between the snapshot read and the directory swap lands in the old
+   * directory and is lost with it — the same single-writer constraint
+   * every non-transactional parquet compaction carries.
    */
   def compact(filesPerTable: Int = 1): Seq[String] = {
     val hadoopPath = new org.apache.hadoop.fs.Path(root)

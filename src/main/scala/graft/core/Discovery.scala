@@ -83,7 +83,7 @@ object Discovery {
         stddev_samp(col(c)).as(s"__sd_$c"),
         expr(s"$fn(`$c`, $pctArray)").as(s"__p_$c"))
     }
-    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val row = df.agg(aggs.head, aggs.tail: _*)
     val perCol = array(cols.map { c =>
       struct(
         (lit(c).as("column") +:

@@ -42,9 +42,14 @@ final case class EngineContext(
     val unique = s"graft_df_${EngineContext.viewCounter.incrementAndGet()}"
     df.createOrReplaceTempView(unique)
     // dataset keys may be dotted cross-pipeline refs ("pipe.node"); temp
-    // view names must be single-part, so sanitize like runSideSql does
+    // view names must be single-part, so sanitize like runSideSql does.
+    // Register sanitized (dotted) keys FIRST so that on a collision with
+    // a literal node name ("bronze.regions" vs a node named
+    // "bronze_regions") the literal name deterministically wins.
     def viewName(name: String) = name.replaceAll("[^A-Za-z0-9_]", "_")
-    datasets.foreach { case (name, d) => d.createOrReplaceTempView(viewName(name)) }
+    val (mangled, plain) = datasets.partition { case (n, _) => viewName(n) != n }
+    mangled.foreach { case (name, d) => d.createOrReplaceTempView(viewName(name)) }
+    plain.foreach { case (name, d) => d.createOrReplaceTempView(name) }
     extraViews.foreach { case (name, d) => d.createOrReplaceTempView(viewName(name)) }
     // Replace references to the conventional view name `df` (word-bounded).
     val rewritten = query.replaceAll("(?i)(?<![A-Za-z0-9_.])df(?![A-Za-z0-9_])", unique)

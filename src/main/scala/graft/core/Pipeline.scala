@@ -448,9 +448,22 @@ object Pipeline {
       : Map[String, Map[String, NodeResult]] = {
     val shared = scala.collection.mutable.Map.empty[String, DataFrame] ++ externalDatasets
     project.pipelines.map { p =>
-      val results = run(spark, p, shared.toMap, opts)
+      val pipelineNodes = p.nodes.map(_.name).toSet
+      // a node filter selects across the whole project: each pipeline runs
+      // its own subset; a pipeline with no selected nodes is skipped
+      // entirely (cross-pipeline refs from later pipelines then resolve
+      // via the catalog, as in any partial re-run)
+      val selected = opts.nodes.filter(pipelineNodes.contains)
+      val results =
+        if (opts.nodes.nonEmpty && selected.isEmpty) Map.empty[String, NodeResult]
+        else run(spark, p, shared.toMap, opts.copy(nodes = selected))
       results.foreach { case (n, r) =>
-        if (r.failure.isEmpty && !r.skipped) shared.update(s"${p.name}.$n", r.df)
+        // restored nodes (resume-from-failure) carry a valid frame and
+        // must stay visible to later pipelines; only disabled/pruned
+        // skips (empty frames) are excluded
+        val usable = r.failure.isEmpty &&
+          (!r.skipped || r.skipReason.contains("resume_from_failure"))
+        if (usable) shared.update(s"${p.name}.$n", r.df)
       }
       p.name -> results
     }.toMap

@@ -224,8 +224,8 @@ object TextAnalysis {
     * hundred entries; beyond that use the blocklist-frame overload. */
   def blockedDomain(url: Column, blocklist: Seq[String]): Column = {
     val entries = blocklist.map(_.toLowerCase.stripPrefix("www.")).distinct
-    require(entries.nonEmpty, "empty blocklist")
-    graft.operators.Dedup.bindOnce(urlDomain(url)) { d =>
+    if (entries.isEmpty) lit(false) // empty blocklist blocks nothing
+    else graft.operators.Dedup.bindOnce(urlDomain(url)) { d =>
       entries.map(b => d === b || d.endsWith("." + b)).reduce(_ || _)
     }
   }

@@ -57,10 +57,23 @@ object Packing {
   def packSequences(df: DataFrame, idCol: String, tokenCol: String,
                     budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    require(df.schema(idCol).dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"packSequences orders by a numeric id; got ${df.schema(idCol).dataType}")
     val spark = df.sparkSession
+
+    // Non-numeric order keys (string/UUID ids) can't be quantile-bucketed;
+    // fall back to the exact single-reducer global window. Correct at any
+    // size but a funnel — map ids to a numeric key first for the
+    // distributed path.
+    if (!df.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]) {
+      val w = Window.orderBy(col(idCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      return df
+        .withColumn("_tok", coalesce(col(tokenCol).cast("long"), lit(0L)))
+        .withColumn("_start", sum(col("_tok")).over(w) - col("_tok"))
+        .withColumn("seq_id", floor(col("_start") / budget))
+        .withColumn("seq_offset", col("_start") % budget)
+        .drop("_tok", "_start")
+    }
 
     // P-1 interior boundaries from a quantile sketch — collected ONCE, so
     // bucket assignment is frozen on the driver before any pass runs

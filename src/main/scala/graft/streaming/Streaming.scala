@@ -106,11 +106,18 @@ object Streaming {
    * same watermark and only the first takes effect.
    */
   private def withWatermarkOnce(df: DataFrame, tsCol: String,
-                                delay: String): DataFrame =
-    if (df.isStreaming && df.queryExecution.analyzed.exists(
-      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark]))
-      df
-    else df.withWatermark(tsCol, delay)
+                                delay: String): DataFrame = {
+    // only an existing watermark on the SAME column counts — a watermark
+    // on a different event-time column must not silently satisfy this
+    // op's requirement (Spark will then raise its own redefinition error,
+    // which is the correct surfacing of a genuinely conflicting config)
+    val sameCol = df.isStreaming && df.queryExecution.analyzed.exists {
+      case w: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark =>
+        w.eventTime.name == tsCol
+      case _ => false
+    }
+    if (sameCol) df else df.withWatermark(tsCol, delay)
+  }
 
   /**
    * Watermarked tumbling/sliding window aggregation

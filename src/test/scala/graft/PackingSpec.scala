@@ -47,6 +47,13 @@ class PackingSpec extends SparkSpec {
     assert(Packing.packSequences(docs.limit(0), "id", "toks", 8).count() == 0)
   }
 
+  test("packSequences: non-numeric order keys use the exact fallback path") {
+    val docs = Seq(("a", 1000L), ("b", 1500L), ("c", 100L)).toDF("id", "toks")
+    val out = Packing.packSequences(docs, "id", "toks", 2048)
+      .orderBy("id").select("seq_id", "seq_offset").as[(Long, Long)].collect()
+    assert(out === Array((0L, 0L), (0L, 1000L), (1L, 452L)))
+  }
+
   test("packingStats: total sequences from one aggregate") {
     val docs = Seq((1L, 1000L), (2L, 1500L), (3L, 100L)).toDF("id", "toks")
     val r = Packing.packingStats(docs, "toks", 2048).collect()(0)

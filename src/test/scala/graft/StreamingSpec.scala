@@ -115,4 +115,20 @@ class StreamingSpec extends SparkSpec {
     assert(Streaming.dedupWithinWatermark(batch, Seq("id"), "ts", "10 minutes")
       .count() == 1)
   }
+
+  test("a watermark on a DIFFERENT column does not satisfy a windowed agg") {
+    val input = MemoryStream[(java.sql.Timestamp, java.sql.Timestamp, Long)](spark)
+    val frame = input.toDF().toDF("ingest_ts", "event_ts", "id")
+    // dedup watermarks ingest_ts; the aggregation needs one on event_ts —
+    // the guard must still set it (same-column reuse only)
+    val chained = Streaming.windowedAgg(
+      Streaming.dedupWithinWatermark(frame, Seq("id"), "ingest_ts", "10 minutes"),
+      "event_ts", "10 minutes", "1 minute", aggs = Seq("n" -> "count(*)"))
+    val plan = chained.queryExecution.analyzed
+    val watermarked = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark =>
+        w.eventTime.name
+    }
+    assert(watermarked.contains("event_ts") && watermarked.contains("ingest_ts"))
+  }
 }

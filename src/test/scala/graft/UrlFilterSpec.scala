@@ -57,6 +57,12 @@ class UrlFilterSpec extends SparkSpec {
     assert(kept == Set(5L, 6L, 7L, 8L, 9L))
   }
 
+  test("empty blocklist blocks nothing (templated configs start empty)") {
+    val kept = TextAnalysis.filterUrlBlocklist(urls, "url", Nil)
+      .select("id").as[Long].collect().toSet
+    assert(kept.size == urls.count())
+  }
+
   test("www-prefixed blocklist entries are normalized on both paths") {
     val kept = TextAnalysis.filterUrlBlocklist(urls, "url",
       Seq("www.spam.example.com")).select("id").as[Long].collect().toSet
