@@ -89,6 +89,11 @@ object SparkEntry {
       graft.functions.TextAnalysis.scrubPii(
         t(s, d, "documents").select("doc_id", "text"), "text",
         outputCol = Some("scrubbed")).drop("text")),
+    "q_weighted_mix" -> ((s, d) =>
+      operators.Sampling.weightedMix(
+        t(s, d, "documents").select("doc_id", "source"),
+        "source", Seq("doc_id"),
+        Map("src1" -> 0.5, "src2" -> 0.3, "src3" -> 0.2))),
     "q_incremental_dedup" -> ((s, d) => {
       // docs 0-99 are the already-ingested corpus; dedup the rest against
       // their fingerprint set + within-batch
@@ -617,6 +622,19 @@ object SparkEntry {
       "SELECT doc_id, CASE WHEN len(lines) = 0 THEN 0.0 ELSE round(1.0 - len(list_distinct(lines)) / len(lines), 6) END AS dup_line_frac, CASE WHEN len(paras) = 0 THEN 0.0 ELSE round(1.0 - len(list_distinct(paras)) / len(paras), 6) END AS dup_para_frac, CASE WHEN len(lines) = 0 THEN 0.0 ELSE round(CAST(list_sum(list_transform(lines, x -> len(x))) AS DOUBLE) / len(lines), 6) END AS mean_line_len FROM (SELECT doc_id, list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines, list_filter(string_split(text, chr(10) || chr(10)), x -> trim(x) <> '') AS paras FROM documents) t",
     "q_pii_scrub" ->
       "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'), '[0-9][0-9 ()+.-]{8,}[0-9]', '<NUM>', 'g') AS scrubbed FROM documents",
+    "q_weighted_mix" ->
+      """WITH src AS (
+        |  SELECT doc_id, source FROM documents WHERE source IN ('src1','src2','src3')
+        |), counts AS (SELECT source, count(*) AS n FROM src GROUP BY source),
+        |w AS (SELECT * FROM (VALUES ('src1', 0.5), ('src2', 0.3), ('src3', 0.2)) AS t(source, wt)),
+        |sc AS (SELECT min(n / wt) AS scale FROM counts JOIN w USING (source)),
+        |takes AS (SELECT source, greatest(CAST(floor(wt * scale) AS BIGINT), 1) AS k
+        |          FROM w CROSS JOIN sc),
+        |ranked AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+        |  FROM src)
+        |SELECT r.doc_id, r.source FROM ranked r JOIN takes t USING (source)
+        |WHERE r.rn <= t.k""".stripMargin,
     "q_incremental_dedup" ->
       """WITH norm AS (
         |  SELECT doc_id, text,

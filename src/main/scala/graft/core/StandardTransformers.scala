@@ -270,6 +270,10 @@ object StandardTransformers {
     reg("url_filter") { (c, p) =>
       TextAnalysis.filterUrlBlocklist(c.df, str(p, "url_col"),
         seqOf(p, "blocklist")) }
+    reg("weighted_mix") { (c, p) =>
+      Sampling.weightedMix(c.df, str(p, "source_col"), seqOf(p, "key"),
+        p.getOrElse("weights", Map.empty[String, Any]).asInstanceOf[Map[String, Any]]
+          .map { case (k, v) => k -> v.toString.toDouble }) }
     reg("incremental_dedup") { (c, p) =>
       Dedup.incrementalExactDedup(c.df, str(p, "id_col"), str(p, "text_col"),
         c.dataset(str(p, "seen"))) }

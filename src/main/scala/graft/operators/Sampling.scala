@@ -40,4 +40,52 @@ object Sampling {
       .filter(col("_rn") <= n)
       .drop("_skey", "_pid", "_lrn", "_rn")
   }
+
+  /**
+   * Weighted source mixing: downsample each source so the OUTPUT matches
+   * target proportions — the corpus-mixing step of every pretraining
+   * recipe ("webtext 60%, code 25%, books 15%"). No source is upsampled:
+   * the scale is set by the limiting source (largest weight-to-size
+   * ratio), every other source keeps `weight_s × scale / n_s` of its
+   * rows, and membership is a deterministic md5-uniform threshold over
+   * `keyCols` — reproducible under any partitioning, prefix-stable as the
+   * corpus grows, and expressible in ANSI SQL for the oracle.
+   *
+   * Scale shape: ONE map-side-combined count per source (driver-bounded:
+   * one row per source), then a pure filter — no shuffle of the data.
+   * Sources absent from `weights` are dropped (weight 0).
+   */
+  def weightedMix(df: DataFrame, sourceCol: String, keyCols: Seq[String],
+                  weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weightedMix needs positive target weights")
+    require(keyCols.nonEmpty, "weightedMix needs deterministic key columns")
+    val counts = df.filter(col(sourceCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = weights.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L }
+    if (present.isEmpty) return df.limit(0)
+    // limiting source (largest weight-to-size ratio) pins the scale;
+    // exact per-source take counts k_s = floor(w_s * scale) ≤ n_s
+    val scale = present.map { case (s, w) => counts(s) / w }.min
+    val takes = present.map { case (s, w) =>
+      s -> math.max(math.floor(w * scale).toLong, 1L) }
+    val maxTake = takes.values.max
+
+    val key = md5(concat_ws("|", keyCols.map(c => col(c).cast("string")): _*))
+    val takeFor = takes.foldLeft(lit(0L)) { case (acc, (s, k)) =>
+      when(col(sourceCol) === s, k).otherwise(acc)
+    }
+    // two-phase per-source rank (stratifiedSample's funnel-free shape)
+    val localW = Window.partitionBy(col(sourceCol), col("_pid")).orderBy(col("_skey"))
+    val globalW = Window.partitionBy(col(sourceCol)).orderBy(col("_skey"))
+    df.filter(col(sourceCol).isin(present.keys.toSeq: _*))
+      .withColumn("_skey", key)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_lrn", row_number().over(localW))
+      .filter(col("_lrn") <= maxTake)
+      .withColumn("_rn", row_number().over(globalW))
+      .filter(col("_rn") <= takeFor)
+      .drop("_skey", "_pid", "_lrn", "_rn")
+  }
 }

@@ -81,6 +81,27 @@ class PackingSpec extends SparkSpec {
     assert(out === Array((7L, "x\n\ny")))
   }
 
+  test("weightedMix: output matches target proportions, limiting source intact") {
+    import graft.operators.Sampling
+    // src a: 100 rows, b: 100, c: 50; targets 50/30/20
+    val rows = (1 to 100).map(i => (i.toLong, "a")) ++
+      (101 to 200).map(i => (i.toLong, "b")) ++
+      (201 to 250).map(i => (i.toLong, "c"))
+    val df = rows.toDF("id", "src")
+    val out = Sampling.weightedMix(df, "src", Seq("id"),
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
+    val bySrc = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // limiting source: a (100/0.5=200 < b 333, c 250) -> scale 200
+    assert(bySrc == Map("a" -> 100L, "b" -> 60L, "c" -> 40L))
+    // deterministic: repartitioned input yields the identical sample
+    val again = Sampling.weightedMix(df.repartition(7), "src", Seq("id"),
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2))
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    // unknown sources drop; empty intersection yields empty output
+    assert(Sampling.weightedMix(df, "src", Seq("id"), Map("zzz" -> 1.0)).count() == 0)
+  }
+
   test("incrementalExactDedup: batch vs seen set, within-batch, fingerprint growth") {
     val corpus = Seq((1L, "already seen"), (2L, "also seen")).toDF("doc_id", "text")
     val seen = Dedup.newFingerprints(corpus, "text")
