@@ -108,9 +108,12 @@ object Similarity {
    */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, queryIdCol: String, queryVecCol: String,
-              k: Int, dim: Int, bits: Int = 48, bands: Int = 12, seed: Long = 42L): DataFrame = {
+              k: Int, dim: Int, bits: Int = 48, bands: Int = 12, seed: Long = 42L,
+              probes: Int = 2): DataFrame = {
     val rowsPerBand = bits / bands
     val mask = (1L << rowsPerBand) - 1
+    require(probes >= 0 && probes <= rowsPerBand,
+      s"probes must be in [0, $rowsPerBand], got $probes")
 
     def banded(df: DataFrame, id: String, vec: String): DataFrame = {
       // bindOnce: evaluate the signature once per row, not once per band
@@ -127,8 +130,17 @@ object Similarity {
     }
 
     val c = banded(corpus, idCol, vecCol)
-    val q = banded(queries.select(col(queryIdCol).as("_qid"), col(queryVecCol).as("_qvec")),
+    val q0 = banded(queries.select(col(queryIdCol).as("_qid"), col(queryVecCol).as("_qvec")),
       "_qid", "_qvec")
+    // Multi-probe (query side only — queries are small): additionally
+    // probe each band bucket with one low bit flipped. A near neighbor
+    // that disagrees on a single hyperplane of a band still meets the
+    // query in that band's flipped bucket — the standard recall lift at
+    // a fixed bits/bands budget; candidate fan-out grows ≤ (probes+1)×.
+    val q = if (probes <= 0) q0
+      else q0.select(col("_qid"), col("_qvec"), col("_b"),
+        explode(array(col("_v") +:
+          (0 until probes).map(j => col("_v").bitwiseXOR(lit(1L << j))): _*)).as("_v"))
     val candidates = c.join(q, Seq("_b", "_v"))
       .filter(col(idCol) =!= col("_qid"))
       .select(col("_qid"), col(idCol), col(vecCol), col("_qvec"))
