@@ -46,22 +46,38 @@ object Sampling {
    * target proportions — the corpus-mixing step of every pretraining
    * recipe ("webtext 60%, code 25%, books 15%"). No source is upsampled:
    * the scale is set by the limiting source (largest weight-to-size
-   * ratio), every other source keeps `weight_s × scale / n_s` of its
-   * rows, and membership is a deterministic md5-uniform threshold over
-   * `keyCols` — reproducible under any partitioning, prefix-stable as the
-   * corpus grows, and expressible in ANSI SQL for the oracle.
+   * ratio), and each source keeps its exactly `k_s = floor(w_s × scale)`
+   * rows with the smallest md5 over `keyCols` — reproducible under any
+   * partitioning, prefix-stable as the corpus grows, and expressible in
+   * ANSI SQL for the oracle. `keyCols` must uniquely identify rows:
+   * duplicate keys hash identically, and which duplicate survives a cut
+   * that lands inside the tie group is not deterministic.
    *
-   * Scale shape: ONE map-side-combined count per source (driver-bounded:
-   * one row per source), then a pure filter — no shuffle of the data.
-   * Sources absent from `weights` are dropped (weight 0).
+   * Scale shape (no per-source funnel): the md5 key is uniform, so its
+   * 60-bit numeric prefix splits each source into `buckets` equal-width
+   * ranges — a pure function of the row, no sketch, no sampling, and the
+   * hex digest's lexicographic order equals (prefix, suffix) numeric
+   * order, so per-bucket local ranks plus driver-side prefix offsets
+   * (≤ sources × buckets longs) reconstruct the EXACT global per-source
+   * rank. Buckets whose offset already exceeds the source's take are
+   * dropped BEFORE the rank shuffle, so only ~k_s rows per source ever
+   * shuffle — at a 10% mix ratio, 90% of the corpus never moves. Sources
+   * absent from `weights` are dropped (weight 0).
+   *
+   * @param buckets rank-bucket fan-out per source (0 → shuffle
+   *                partitions); each bucket is one window reducer
    */
   def weightedMix(df: DataFrame, sourceCol: String, keyCols: Seq[String],
-                  weights: Map[String, Double]): DataFrame = {
+                  weights: Map[String, Double], buckets: Int = 0): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "weightedMix needs positive target weights")
     require(keyCols.nonEmpty, "weightedMix needs deterministic key columns")
-    val counts = df.filter(col(sourceCol).isin(weights.keys.toSeq: _*))
-      .groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+    val spark = df.sparkSession
+    val p = if (buckets > 0) buckets
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val srcStr = col(sourceCol).cast("string")
+    val counts = df.filter(srcStr.isin(weights.keys.toSeq: _*))
+      .groupBy(srcStr.as("_src")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val present = weights.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L }
     if (present.isEmpty) return df.limit(0)
@@ -70,22 +86,41 @@ object Sampling {
     val scale = present.map { case (s, w) => counts(s) / w }.min
     val takes = present.map { case (s, w) =>
       s -> math.max(math.floor(w * scale).toLong, 1L) }
-    val maxTake = takes.values.max
 
     val key = md5(concat_ws("|", keyCols.map(c => col(c).cast("string")): _*))
-    val takeFor = takes.foldLeft(lit(0L)) { case (acc, (s, k)) =>
-      when(col(sourceCol) === s, k).otherwise(acc)
-    }
-    // two-phase per-source rank (stratifiedSample's funnel-free shape)
-    val localW = Window.partitionBy(col(sourceCol), col("_pid")).orderBy(col("_skey"))
-    val globalW = Window.partitionBy(col(sourceCol)).orderBy(col("_skey"))
-    df.filter(col(sourceCol).isin(present.keys.toSeq: _*))
+    // equal-width range buckets over the digest's 60-bit numeric prefix
+    // (uniform by construction — md5 is the sample)
+    val width = (1L << 60) / p
+    val base = df.filter(srcStr.isin(present.keys.toSeq: _*))
+      .withColumn("_src", srcStr)
       .withColumn("_skey", key)
-      .withColumn("_pid", spark_partition_id())
+      .withColumn("_bkt", least(
+        floor(conv(substring(col("_skey"), 1, 15), 16, 10).cast("long") / width),
+        lit((p - 1).toLong)).cast("int"))
+
+    // per-(source, bucket) sizes → driver-side prefix offsets
+    // (≤ sources × buckets rows, map-side combined)
+    val sizes = base.groupBy(col("_src"), col("_bkt"))
+      .agg(count(lit(1)).as("_c"))
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getLong(2)))
+    val offsets = sizes.groupBy(_._1._1).toSeq.flatMap { case (s, rows) =>
+      var acc = 0L
+      rows.sortBy(_._1._2).map { case ((_, b), c) =>
+        val row = (s, b, acc); acc += c; row }
+    }
+    import spark.implicits._
+    val offDf = offsets.toDF("_src", "_bkt", "_off")
+
+    val takeFor = takes.foldLeft(lit(0L)) { case (acc, (s, k)) =>
+      when(col("_src") === s, k).otherwise(acc)
+    }
+    // global rank = local rank within (source, bucket) + bucket offset;
+    // post-cut buckets (_off ≥ k_s) drop before the rank shuffle
+    val localW = Window.partitionBy(col("_src"), col("_bkt")).orderBy(col("_skey"))
+    base.join(broadcast(offDf), Seq("_src", "_bkt"))
+      .filter(col("_off") < takeFor)
       .withColumn("_lrn", row_number().over(localW))
-      .filter(col("_lrn") <= maxTake)
-      .withColumn("_rn", row_number().over(globalW))
-      .filter(col("_rn") <= takeFor)
-      .drop("_skey", "_pid", "_lrn", "_rn")
+      .filter(col("_lrn") + col("_off") <= takeFor)
+      .drop("_src", "_skey", "_bkt", "_off", "_lrn")
   }
 }

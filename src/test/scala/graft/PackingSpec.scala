@@ -100,6 +100,39 @@ class PackingSpec extends SparkSpec {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
     // unknown sources drop; empty intersection yields empty output
     assert(Sampling.weightedMix(df, "src", Seq("id"), Map("zzz" -> 1.0)).count() == 0)
+    // int-coded source column: cast-to-string comparison, no ClassCastException
+    val intSrc = ((1 to 40).map(i => (i.toLong, 1)) ++
+      (41 to 60).map(i => (i.toLong, 2))).toDF("id", "src")
+    val mixed = Sampling.weightedMix(intSrc, "src", Seq("id"),
+      Map("1" -> 0.5, "2" -> 0.5))
+    val byIntSrc = mixed.groupBy("src").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byIntSrc == Map(1 -> 20L, 2 -> 20L)) // limiting source 2: scale 40
+  }
+
+  test("weightedMix: no per-source funnel — every rank window is bucketed") {
+    import graft.operators.Sampling
+    // 2M-doc mix: keep 10% of a / all of b — the b side pins the scale
+    val big = spark.range(2000000)
+      .select($"id", when($"id" % 10 === 0, "b").otherwise("a").as("src"))
+    val out = Sampling.weightedMix(big, "src", Seq("id"),
+      Map("a" -> 0.5, "b" -> 0.5))
+    // sparkPlan, not executedPlan: AQE hides subtrees pre-execution
+    val windows = out.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    // each window partitions by (source, bucket) — never source alone, so
+    // no source's kept set funnels through a single reducer
+    windows.foreach { w =>
+      assert(w.partitionSpec.size == 2,
+        s"rank window must be bucket-partitioned, got ${w.partitionSpec}")
+      assert(w.partitionSpec.exists(_.toString.contains("_bkt")))
+    }
+    // exact proportions survive the bucketed reconstruction at 2M rows
+    val bySrc = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("a" -> 200000L, "b" -> 200000L))
   }
 
   test("incrementalExactDedup: batch vs seen set, within-batch, fingerprint growth") {
