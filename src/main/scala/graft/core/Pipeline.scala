@@ -444,7 +444,9 @@ object Pipeline {
    */
   def runProject(spark: SparkSession, project: YamlConfig.ProjectConfig,
                  externalDatasets: Map[String, DataFrame] = Map.empty,
-                 opts: RunOptions = RunOptions())
+                 opts: RunOptions = RunOptions(),
+                 exec: (SparkSession, PipelineConfig, Map[String, DataFrame],
+                        RunOptions) => Map[String, NodeResult] = run(_, _, _, _))
       : Map[String, Map[String, NodeResult]] = {
     val shared = scala.collection.mutable.Map.empty[String, DataFrame] ++ externalDatasets
     project.pipelines.map { p =>
@@ -456,7 +458,7 @@ object Pipeline {
       val selected = opts.nodes.filter(pipelineNodes.contains)
       val results =
         if (opts.nodes.nonEmpty && selected.isEmpty) Map.empty[String, NodeResult]
-        else run(spark, p, shared.toMap, opts.copy(nodes = selected))
+        else exec(spark, p, shared.toMap, opts.copy(nodes = selected))
       results.foreach { case (n, r) =>
         // restored nodes (resume-from-failure) carry a valid frame and
         // must stay visible to later pipelines; only disabled/pruned
