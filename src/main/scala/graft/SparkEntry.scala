@@ -135,7 +135,7 @@ object SparkEntry {
         "doc_id", "text", sepRegex = " ", joinSep = " ")),
     "q_contamination" -> ((s, d) => {
       // decontamination sweep: docs 0-19 act as the "benchmark"; members
-      // flag themselves at contamination 1.0 (rows-only: xxhash64 n-grams)
+      // flag themselves at contamination 1.0
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       operators.Dedup.ngramContamination(docs, "doc_id", "text",
         docs.filter(col("doc_id") < 20), "text", n = 8, threshold = 0.5)
@@ -318,7 +318,7 @@ object SparkEntry {
       Dedup.minhashDedup(t(s, d, "documents"), "doc_id", "text")),
     "q_simhash_pairs" -> ((s, d) => // rows-only
       Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text")),
-    "q_ngram_jaccard_pairs" -> ((s, d) => // rows-only: LSH-candidate recall < 1
+    "q_ngram_jaccard_pairs" -> ((s, d) => // oracle: candidate recall 1.0 here
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.5)),
     "q_embedding_neardup" -> ((s, d) => // rows-only
       Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
@@ -600,6 +600,41 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // the Spark side hashes word n-grams with xxhash64 for shuffle width,
+    // but the OUTPUT (per-doc match fraction) is hash-free — the oracle
+    // recomputes it from string n-grams directly (collision probability
+    // at these cardinalities ~ 0, and the driver compare would catch one)
+    "q_contamination" ->
+      """WITH norm AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w FROM documents
+        |), ng AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 7, 1) + 1),
+        |    i -> array_to_string(w[i:i+7], ' '))) AS g FROM norm
+        |), bench AS (SELECT DISTINCT unnest(g) AS ngram FROM ng WHERE doc_id < 20),
+        |expl AS (SELECT doc_id, len(g) AS total, unnest(g) AS ngram FROM ng),
+        |m AS (SELECT e.doc_id, e.total, count(*) AS matched
+        |      FROM expl e JOIN bench USING (ngram) GROUP BY 1, 2)
+        |SELECT n.doc_id,
+        |  round(coalesce(CAST(m.matched AS DOUBLE) / m.total, 0.0), 6) AS contamination,
+        |  coalesce(CAST(m.matched AS DOUBLE) / m.total, 0.0) >= 0.5 AS contaminated
+        |FROM ng n LEFT JOIN m USING (doc_id)""".stripMargin,
+    // exact all-pairs Jaccard via an inverted-index join; valid as an
+    // oracle because the Spark side's LSH candidate recall is 1.0 on the
+    // test corpus (RecallSpec) and survivors carry EXACT Jaccard
+    "q_ngram_jaccard_pairs" ->
+      """WITH norm AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w FROM documents
+        |), ng AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+        |    i -> array_to_string(w[i:i+2], ' '))) AS g FROM norm
+        |), sizes AS (SELECT doc_id, len(g) AS sz FROM ng),
+        |ex AS (SELECT doc_id, unnest(g) AS ngram FROM ng),
+        |inter AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
+        |          FROM ex l JOIN ex r ON l.ngram = r.ngram AND l.doc_id < r.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT i.a, i.b, round(CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i), 6) AS jaccard
+        |FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+        |WHERE CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) >= 0.5""".stripMargin,
     "q_filter_rows" ->
       "SELECT * FROM lineitem WHERE l_quantity > 30 AND l_discount < 0.05",
     "q_derive_columns" ->
