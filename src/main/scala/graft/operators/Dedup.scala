@@ -281,13 +281,24 @@ object Dedup {
   /**
    * Embedding-cosine near-dup pairs via hyperplane-LSH blocking + exact
    * cosine verify (>= threshold).
+   *
+   * Multi-probe (one side of the self-join only): each band bucket is
+   * additionally probed with one low bit flipped, so a pair disagreeing
+   * on a single hyperplane of a band still meets in that band — the same
+   * recall lift at fixed bits/bands as [[graft.functions.Similarity
+   * .lshTopK]]'s query-side probing (measured 0.80 → 0.9+ at cos ≥ 0.25
+   * on the test embeddings). Probing one side keeps the exploded join
+   * input at (probes+1)× on that side only, not (probes+1)² pairs.
    */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             dim: Int, threshold: Double = 0.95,
-                            bits: Int = 48, bands: Int = 12): DataFrame = {
+                            bits: Int = 48, bands: Int = 12,
+                            probes: Int = 2): DataFrame = {
     import graft.functions.Similarity
     val rowsPerBand = bits / bands
     val mask = (1L << rowsPerBand) - 1
+    require(probes >= 0 && probes <= rowsPerBand,
+      s"probes must be in [0, $rowsPerBand], got $probes")
     val bandArray = bindOnce(Similarity.hyperplaneSignature(col(vecCol), dim, bits)) { s =>
       array((0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -298,7 +309,11 @@ object Dedup {
       explode(bandArray).as("_band"))
       .select(col("_id"), col("_v"), col("_band.band").as("_b"), col("_band.bucket").as("_k"))
     val l = banded.select(col("_id").as("a"), col("_v").as("_va"), col("_b"), col("_k"))
-    val r = banded.select(col("_id").as("b"), col("_v").as("_vb"), col("_b"), col("_k"))
+    val r0 = banded.select(col("_id").as("b"), col("_v").as("_vb"), col("_b"), col("_k"))
+    val r = if (probes <= 0) r0
+      else r0.select(col("b"), col("_vb"), col("_b"),
+        explode(array(col("_k") +:
+          (0 until probes).map(j => col("_k").bitwiseXOR(lit(1L << j))): _*)).as("_k"))
     l.join(r, Seq("_b", "_k")).filter(col("a") < col("b"))
       .dropDuplicates("a", "b")
       .withColumn("cosine", Similarity.cosine(col("_va"), col("_vb")))

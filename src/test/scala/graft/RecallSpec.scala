@@ -100,7 +100,7 @@ class RecallSpec extends SparkSpec {
     assert(got.subsetOf(truth), s"false positives: ${got.diff(truth).take(3)}")
     val rec = recall(truth, got)
     info(f"embeddingNearDupPairs recall at cos>=0.25: $rec%.3f (${truth.size} truth)")
-    assert(rec >= 0.70, f"embedding near-dup recall $rec%.3f below bound 0.70")
+    assert(rec >= 0.85, f"embedding near-dup recall $rec%.3f below bound 0.85")
     emb.unpersist()
     ()
   }
