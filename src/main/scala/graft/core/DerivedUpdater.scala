@@ -10,27 +10,29 @@ import org.apache.spark.sql.functions._
  * reclaim; invariants header: claim operations are FAIL-FAST and never
  * swallow exceptions).
  *
- * The guard lives as an append-only parquet log under the catalog root
- * (the reference uses Delta/SQL Server transactions; this stand-in keeps
- * the same protocol over plain appends). Because parquet append has no
- * compare-and-swap, claiming is OPTIMISTIC with read-back arbitration:
+ * The history lives as an append-only parquet log under the catalog root
+ * (the reference uses Delta/SQL Server transactions). Mutual exclusion
+ * does NOT come from the log — parquet append has no compare-and-swap —
+ * but from an atomic filesystem primitive: claiming is exclusive
+ * creation of a per-(table, run) marker file (`O_CREAT|O_EXCL` locally,
+ * namenode-atomic `create(overwrite = false)` on HDFS), so two
+ * concurrent claimers cannot both win no matter how appends interleave:
  *
- *  1. append a `claimed` row carrying a unique claim id;
- *  2. re-read the key's log and deterministically elect a winner — the
- *     lowest (claimed_at, claim_id) among live claims (not failed, not
- *     older than the stale threshold);
- *  3. only the winner runs the update and appends `applied`; a failure
- *     appends `failed`, which releases the claim for retry.
+ *  1. exclusively create `_claims/<table>__<run>.claim`; creation
+ *     failure = another live claim holds the key;
+ *  2. a marker older than `maxClaimAgeMinutes` with no `applied` row is
+ *     a dead claimer's: delete it and re-race the (again atomic) create;
+ *  3. the winner appends `claimed`, runs the update, appends `applied`,
+ *     then removes the marker; a failure appends `failed` and removes
+ *     the marker, releasing the key for retry.
  *
  * An `applied` row is terminal: the (derived_table, run_id) pair never
  * re-applies on any LATER attempt — the contract that makes re-running a
- * finished orchestration idempotent, which is the derived_updater use
- * case. For truly simultaneous claimers the arbitration is best-effort:
- * a claimer whose re-read races ahead of the other's append visibility
- * can win alongside it, and a claimer that outlives the stale threshold
- * can be reclaimed while still running — a hard mutual-exclusion
- * guarantee needs the transactional store the reference uses
- * (Delta/SQL Server); swap the append layer for one to get it.
+ * finished orchestration idempotent. Residual caveats: a claimer that
+ * outlives the stale threshold while still running can be reclaimed
+ * (size the threshold above the longest update), and object stores
+ * without atomic create (S3A) fall back to best-effort — on those, or
+ * for a hard guarantee, use the transactional store the reference uses.
  */
 final class DerivedUpdater(spark: SparkSession, root: String,
                            maxClaimAgeMinutes: Long = 60L) {
@@ -65,57 +67,100 @@ final class DerivedUpdater(spark: SparkSession, root: String,
   def isApplied(table: String, runId: String): Boolean =
     log(table, runId).exists(_.getAs[String]("status") == "applied")
 
+  // markers live BESIDE the parquet log, never inside it — a marker file
+  // in the table directory would break parquet schema inference on an
+  // otherwise-empty log
+  private def markerPath(table: String, runId: String): org.apache.hadoop.fs.Path = {
+    def safe(s: String) = s.replaceAll("[^A-Za-z0-9._-]", "_")
+    new org.apache.hadoop.fs.Path(
+      s"$root/meta_derived_claims/${safe(table)}__${safe(runId)}.claim")
+  }
+
+  private def fsOf(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Exclusively create the marker; true iff THIS caller created it.
+    * Local paths use `File.createNewFile` (`O_CREAT|O_EXCL` — atomic);
+    * other filesystems use `create(overwrite = false)` (atomic on HDFS;
+    * best-effort on stores without exclusive create). Any IO failure
+    * counts as "not acquired" — never as a win. */
+  private def atomicCreate(p: org.apache.hadoop.fs.Path, claimId: String): Boolean = {
+    val fs = fsOf(p)
+    val scheme = Option(fs.getUri.getScheme)
+    if (scheme.forall(_ == "file")) {
+      val f = new java.io.File(p.toUri.getPath)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      f.createNewFile() && {
+        java.nio.file.Files.writeString(f.toPath, claimId); true
+      }
+    } else
+      try {
+        fs.mkdirs(p.getParent)
+        val out = fs.create(p, false)
+        try out.write(claimId.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+  }
+
   /**
-   * Try to claim the update. None when already applied or another live
-   * claim wins arbitration. Failed and stale claims do not block.
+   * Try to claim the update via exclusive marker creation. None when
+   * already applied or another live claim holds the marker; failed and
+   * stale claims do not block. Winning is atomic (see class doc) — two
+   * concurrent callers on an atomic-create filesystem cannot both
+   * receive `Some`.
    */
   def tryClaim(table: String, runId: String): Option[Claim] = {
     require(validTables.contains(table),
       s"unknown derived table '$table'; valid: ${validTables.toSeq.sorted.mkString(", ")}")
     if (isApplied(table, runId)) return None
     val claimId = java.util.UUID.randomUUID().toString
+    val marker = markerPath(table, runId)
+    val fs = fsOf(marker)
+    def staleOrGone: Boolean =
+      try fs.getFileStatus(marker).getModificationTime <
+        System.currentTimeMillis() - maxClaimAgeMinutes * 60000L
+      catch { case _: java.io.FileNotFoundException => true }
+    val won = atomicCreate(marker, claimId) ||
+      // dead claimer's marker: delete and re-race the (atomic) create,
+      // so two reclaimers still elect exactly one winner
+      (staleOrGone && { fs.delete(marker, false); atomicCreate(marker, claimId) })
+    if (!won) return None
+    // close the applied-while-we-raced window: markApplied appends the
+    // terminal row BEFORE removing its marker, so if our create succeeded
+    // because the winner just cleaned up, the applied row is visible now
+    if (isApplied(table, runId)) { fs.delete(marker, false); return None }
     appendRow(table, runId, claimId, "claimed")
-
-    val rows = log(table, runId)
-    if (rows.exists(_.getAs[String]("status") == "applied")) return None
-    // failed = body ran and threw; released = lost arbitration and stepped
-    // aside — both statuses free the key
-    val dead = rows.filter(r => Set("failed", "released")(r.getAs[String]("status")))
-      .map(_.getAs[String]("claim_id")).toSet
-    val staleBefore = System.currentTimeMillis() - maxClaimAgeMinutes * 60000L
-    val live = rows
-      .filter(_.getAs[String]("status") == "claimed")
-      .filterNot(r => dead.contains(r.getAs[String]("claim_id")))
-      // our own claim is live by definition (we are actively here); other
-      // claims expire after the stale threshold (a hung claimer must not
-      // block the key forever)
-      .filter(r => r.getAs[String]("claim_id") == claimId ||
-        r.getAs[java.sql.Timestamp]("recorded_at").getTime >= staleBefore)
-    val winner = live.minByOption(r =>
-      (r.getAs[java.sql.Timestamp]("recorded_at").getTime,
-        r.getAs[String]("claim_id")))
-    if (winner.exists(_.getAs[String]("claim_id") == claimId))
-      Some(Claim(table, runId, claimId))
-    else {
-      // step aside so our row never blocks the next claimer
-      appendRow(table, runId, claimId, "released")
-      None
-    }
+    Some(Claim(table, runId, claimId))
   }
 
-  /** Terminal: the pair will never re-apply. Fail-fast — errors propagate. */
-  def markApplied(claim: Claim): Unit =
+  /** Terminal: the pair will never re-apply. Fail-fast — errors propagate.
+    * Appends `applied` first, then releases the marker (that order closes
+    * the reclaim race in [[tryClaim]]). */
+  def markApplied(claim: Claim): Unit = {
     appendRow(claim.derivedTable, claim.runId, claim.claimId, "applied")
+    val m = markerPath(claim.derivedTable, claim.runId)
+    fsOf(m).delete(m, false)
+    ()
+  }
 
-  /** Releases the claim so a later attempt can retry. Fail-fast. */
-  def markFailed(claim: Claim): Unit =
+  /** Releases the claim (log row + marker) so a later attempt can retry.
+    * Fail-fast. */
+  def markFailed(claim: Claim): Unit = {
     appendRow(claim.derivedTable, claim.runId, claim.claimId, "failed")
+    val m = markerPath(claim.derivedTable, claim.runId)
+    fsOf(m).delete(m, false)
+    ()
+  }
 
   /**
    * Exactly-once wrapper (derived_updater.py apply_derived_update): claim,
    * run `body`, mark applied; on failure mark failed and rethrow. Returns
    * true when the body ran here, false when skipped (already applied or
-   * lost arbitration).
+   * lost the claim). Exactly-once holds on filesystems with atomic
+   * exclusive create (local, HDFS) as long as `maxClaimAgeMinutes`
+   * exceeds the body's runtime; on object stores without it, or when a
+   * live claimer is reclaimed as stale, a duplicate apply is possible —
+   * use a transactional backend where that is unacceptable.
    */
   def applyOnce(table: String, runId: String)(body: => Unit): Boolean =
     tryClaim(table, runId) match {

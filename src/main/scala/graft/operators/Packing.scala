@@ -54,9 +54,15 @@ object Packing {
    * @param budget    tokens per packed training sequence
    * @return input columns plus `seq_id` and `seq_offset` (both long)
    */
-  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+  def packSequences(df0: DataFrame, idCol: String, tokenCol: String,
                     budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    // fail fast on null ids: the distributed path's range bucket would be
+    // null for them and the prefix join would SILENTLY drop the rows
+    // (while the fallback path kept them) — a null id is a contract
+    // violation, so both paths now raise on the first one seen
+    val df = df0.filter(assert_true(col(idCol).isNotNull,
+      lit(s"packSequences: null $idCol — the order key must be unique and non-null")).isNull)
     val spark = df.sparkSession
 
     // Non-numeric order keys (string/UUID ids) can't be quantile-bucketed;

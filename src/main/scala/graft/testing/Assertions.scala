@@ -30,8 +30,13 @@ object Assertions {
   /**
    * Frames must contain the same multiset of rows. `checkOrder = true`
    * additionally zips row-by-row (only meaningful after an explicit sort).
-   * `tolerance` rounds float/double columns to its decimal precision
-   * before comparing (e.g. 1e-6 → 6 digits).
+   * `tolerance` is an ABSOLUTE difference bound on float/double columns —
+   * `|l − r| <= tolerance` passes, matching the reference
+   * assert_frame_equal's abs-diff semantics (an earlier formulation
+   * rounded both sides to decimal digits, which spuriously failed values
+   * within tolerance straddling a rounding boundary). Non-float columns
+   * always compare exactly; within equal non-float keys, duplicate rows
+   * pair up in float-sorted order.
    */
   def assertFrameEqual(left: DataFrame, right: DataFrame,
                        checkOrder: Boolean = false,
@@ -39,38 +44,78 @@ object Assertions {
                        tolerance: Double = 0.0,
                        sampleDiff: Int = 5): Unit = {
     if (checkSchema) assertSchemaEqual(left, right)
-    val digits =
-      if (tolerance <= 0.0) None
-      else Some(math.max(0, math.ceil(-math.log10(tolerance)).toInt))
-    def normalize(df: DataFrame): DataFrame = digits match {
-      case None => df
-      case Some(d) =>
-        df.schema.fields.foldLeft(df) { (acc, f) =>
-          f.dataType match {
-            case DoubleType | FloatType =>
-              acc.withColumn(f.name, round(col(f.name).cast("double"), d))
-            case _ => acc
-          }
-        }
-    }
-    val l = normalize(left.toDF(left.columns: _*))
-    val r = normalize(right.toDF(left.columns: _*)) // align names for except
+    val l = left.toDF(left.columns: _*)
+    val r = right.toDF(left.columns: _*) // align names for except/join
+    val floatCols = l.schema.fields.collect {
+      case f if f.dataType == DoubleType || f.dataType == FloatType => f.name
+    }.toSeq
     val (lc, rc) = (l.count(), r.count())
     if (lc != rc)
       throw new AssertionError(s"row counts differ: left=$lc right=$rc")
-    val onlyLeft = l.exceptAll(r).take(sampleDiff)
-    if (onlyLeft.nonEmpty)
-      throw new AssertionError(
-        s"rows only in left (showing ≤$sampleDiff):\n  ${onlyLeft.mkString("\n  ")}")
-    val onlyRight = r.exceptAll(l).take(sampleDiff)
-    if (onlyRight.nonEmpty)
-      throw new AssertionError(
-        s"rows only in right (showing ≤$sampleDiff):\n  ${onlyRight.mkString("\n  ")}")
+
+    def exactDiff(a: DataFrame, b: DataFrame, what: String): Unit = {
+      val onlyLeft = a.exceptAll(b).take(sampleDiff)
+      if (onlyLeft.nonEmpty)
+        throw new AssertionError(
+          s"rows only in left$what (showing ≤$sampleDiff):\n  ${onlyLeft.mkString("\n  ")}")
+      val onlyRight = b.exceptAll(a).take(sampleDiff)
+      if (onlyRight.nonEmpty)
+        throw new AssertionError(
+          s"rows only in right$what (showing ≤$sampleDiff):\n  ${onlyRight.mkString("\n  ")}")
+    }
+
+    if (tolerance <= 0.0 || floatCols.isEmpty) exactDiff(l, r, "")
+    else {
+      val keyCols = l.columns.toSeq.filterNot(floatCols.contains)
+      // non-float projection must agree exactly (multiset)
+      if (keyCols.nonEmpty)
+        exactDiff(l.select(keyCols.map(col): _*), r.select(keyCols.map(col): _*),
+          " (non-float columns)")
+      // pair rows within each non-float key group in float-sorted order,
+      // then bound the absolute difference per float column
+      import org.apache.spark.sql.expressions.Window
+      def tag(df: DataFrame, suffix: String) = {
+        val renamed = floatCols.foldLeft(df)((acc, c) =>
+          acc.withColumnRenamed(c, c + suffix))
+        renamed.withColumn("_idx" + suffix, row_number().over(
+          Window.partitionBy(keyCols.map(col): _*)
+            .orderBy(floatCols.map(c => col(c + suffix).asc): _*)))
+      }
+      val lt = tag(l, "_l")
+      val rt = tag(r, "_r")
+      val cond = keyCols.map(c => lt(c) <=> rt(c))
+        .foldLeft(lt("_idx_l") === rt("_idx_r"))(_ && _)
+      val paired = lt.join(rt, cond, "inner")
+      val bad = floatCols.map(c =>
+          !(paired(c + "_l") <=> paired(c + "_r") ||
+            abs(paired(c + "_l") - paired(c + "_r")) <= tolerance))
+        .reduce(_ || _)
+      val mism = paired.filter(bad).take(sampleDiff)
+      if (mism.nonEmpty)
+        throw new AssertionError(
+          s"float values differ beyond tolerance $tolerance (showing ≤$sampleDiff):\n  ${mism.mkString("\n  ")}")
+    }
+
     if (checkOrder) {
       import org.apache.spark.sql.Row
+      val floatIdx = l.schema.fields.zipWithIndex.collect {
+        case (f, i) if f.dataType == DoubleType || f.dataType == FloatType => i
+      }.toSet
+      val tol = tolerance
+      def same(a: Row, b: Row): Boolean =
+        a.length == b.length && (0 until a.length).forall { i =>
+          if (!floatIdx.contains(i) || tol <= 0.0) a.get(i) == b.get(i)
+          else (a.isNullAt(i), b.isNullAt(i)) match {
+            case (true, true) => true
+            case (false, false) =>
+              val (x, y) = (a.getAs[Number](i).doubleValue(), b.getAs[Number](i).doubleValue())
+              x == y || (x.isNaN && y.isNaN) || math.abs(x - y) <= tol
+            case _ => false
+          }
+        }
       def indexed(df: DataFrame) = df.rdd.zipWithIndex().map(_.swap)
       val mismatches = indexed(l).join(indexed(r))
-        .filter { case (_, (a, b)) => a != b }
+        .filter { case (_, (a, b)) => !same(a, b) }
         .take(sampleDiff)
       if (mismatches.nonEmpty) {
         val show = mismatches.map { case (i, (a: Row, b: Row)) =>

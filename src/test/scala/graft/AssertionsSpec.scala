@@ -24,11 +24,40 @@ class AssertionsSpec extends SparkSpec {
     assert(e2.getMessage.contains("only in"))
   }
 
-  test("assertFrameEqual: numeric tolerance rounds before comparing") {
+  test("assertFrameEqual: tolerance is an absolute difference bound") {
     val a = Seq((1, 0.1234567)).toDF("k", "v")
     val b = Seq((1, 0.1234569)).toDF("k", "v")
     intercept[AssertionError] { Assertions.assertFrameEqual(a, b) }
     Assertions.assertFrameEqual(a, b, tolerance = 1e-6)
+
+    // within tolerance but straddling a decimal-rounding boundary — the
+    // case digit-rounding spuriously failed
+    val s1 = Seq((1, 1.4999995e-6)).toDF("k", "v")
+    val s2 = Seq((1, 1.5000005e-6)).toDF("k", "v")
+    Assertions.assertFrameEqual(s1, s2, tolerance = 1e-6)
+
+    // ~2x tolerance apart on the same side of a boundary — the case
+    // digit-rounding spuriously passed
+    val f1 = Seq((1, 0.12340021)).toDF("k", "v")
+    val f2 = Seq((1, 0.12340209)).toDF("k", "v")
+    val e = intercept[AssertionError] {
+      Assertions.assertFrameEqual(f1, f2, tolerance = 1e-6)
+    }
+    assert(e.getMessage.contains("tolerance"))
+
+    // duplicates under the same key pair up in float-sorted order
+    val d1 = Seq((1, 1.0), (1, 2.0)).toDF("k", "v")
+    val d2 = Seq((1, 2.0000001), (1, 1.0000001)).toDF("k", "v")
+    Assertions.assertFrameEqual(d1, d2, tolerance = 1e-6)
+    intercept[AssertionError] {
+      Assertions.assertFrameEqual(d1, d2, tolerance = 1e-9)
+    }
+
+    // tolerance + checkOrder: ordered compare uses the same abs bound
+    Assertions.assertFrameEqual(
+      Seq((1, 1.0), (2, 2.0)).toDF("k", "v").orderBy("k").coalesce(1),
+      Seq((1, 1.0000001), (2, 2.0000001)).toDF("k", "v").orderBy("k").coalesce(1),
+      checkOrder = true, tolerance = 1e-6)
   }
 
   test("assertFrameEqual checkOrder catches order mismatch after sort") {

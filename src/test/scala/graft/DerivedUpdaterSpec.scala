@@ -42,6 +42,21 @@ class DerivedUpdaterSpec extends SparkSpec {
     assert(du.tryClaim("meta_daily_stats", "r1").isDefined)
   }
 
+  test("simultaneous claimers: the atomic marker elects exactly one winner") {
+    val du = new DerivedUpdater(spark, tmp())
+    val barrier = new java.util.concurrent.CyclicBarrier(8)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (1 to 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Option[DerivedUpdater#Claim]] {
+          def call() = { barrier.await(); du.tryClaim("meta_daily_stats", "rX") }
+        })
+      }
+      val wins = futures.map(_.get()).flatten
+      assert(wins.size == 1, s"expected exactly one winner, got ${wins.size}")
+    } finally pool.shutdown()
+  }
+
   test("stale claims do not block reclaim") {
     val root = tmp()
     val hung = new DerivedUpdater(spark, root, maxClaimAgeMinutes = 0L)

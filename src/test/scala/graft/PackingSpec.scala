@@ -23,6 +23,21 @@ class PackingSpec extends SparkSpec {
       (5L, 2L, 552L)))   // 4648 -> seq 2 offset 552
   }
 
+  test("packSequences fails fast on null ids instead of dropping rows") {
+    val withNull = Seq((Some(1L), 10L), (None, 20L), (Some(3L), 30L))
+      .toDF("id", "toks")
+    val e = intercept[Exception] {
+      Packing.packSequences(withNull, "id", "toks", budget = 64).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("null id"),
+      s"unexpected: ${e.getMessage}")
+    // string-id fallback path enforces the same contract
+    val strNull = Seq((Some("a"), 10L), (None, 20L)).toDF("id", "toks")
+    intercept[Exception] {
+      Packing.packSequences(strNull, "id", "toks", budget = 64).collect()
+    }
+  }
+
   test("packSequences matches a single-reducer global window (oracle shape)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"),

@@ -113,6 +113,43 @@ class PatternsSpec extends SparkSpec {
     }
   }
 
+  test("bare fact pattern with grain gate: output is pinned, one upstream scan") {
+    import graft.core.EngineContext
+    import graft.patterns.PatternRegistry
+    val dim = Seq((1L, 101L), (2L, 102L)).toDF("dk", "sk")
+    val facts = Seq((1L, 10.0), (2L, 20.0), (1L, 30.0)).toDF("nk", "amount")
+    val out = PatternRegistry.get("fact").get.apply(
+      EngineContext(facts, datasets = Map("dim" -> dim)),
+      Map(
+        "lookups" -> Seq(Map("dim" -> "dim", "fact_keys" -> "nk",
+          "dim_keys" -> "dk", "surrogate_key" -> "sk")),
+        "grain" -> Seq("nk", "amount")),
+      target = None)
+    // the grain gate already materialized the fact into the persist, so a
+    // bare caller's subsequent write is a cache read, not a second scan of
+    // the upstream — the same single-scan lifecycle a pipeline node gets
+    assert(out.storageLevel.useMemory || out.storageLevel.useDisk,
+      s"fact must stay pinned after the grain gate, got ${out.storageLevel}")
+    val cached = out.queryExecution.optimizedPlan.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+    }
+    assert(cached.nonEmpty, "downstream actions must read the cached fact")
+    assert(out.count() == 3)
+    out.unpersist()
+
+    // a violated grain still throws and releases the pin
+    val e = intercept[IllegalStateException] {
+      PatternRegistry.get("fact").get.apply(
+        EngineContext(facts, datasets = Map("dim" -> dim)),
+        Map(
+          "lookups" -> Seq(Map("dim" -> "dim", "fact_keys" -> "nk",
+            "dim_keys" -> "dk", "surrogate_key" -> "sk")),
+          "grain" -> Seq("nk")),
+        target = None)
+    }
+    assert(e.getMessage.contains("grain violated"))
+  }
+
   test("grainViolations finds duplicate grains") {
     val df = Seq((1, "x"), (1, "y"), (2, "z")).toDF("k", "v")
     assert(Patterns.grainViolations(df, Seq("k")).count() == 1)
