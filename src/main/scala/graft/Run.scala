@@ -168,7 +168,8 @@ object Run {
         }
         args.story.foreach { dir =>
           Story.write(s"$dir/${p.name}_story.json", p, results, runId, wallMs)
-          Story.writeHtml(s"$dir/${p.name}_story.html", p, results, runId, wallMs)
+          // summary page + one detail page per node, cross-linked
+          Story.writeHtmlSite(dir, p, results, runId, wallMs)
           catalog.foreach(c =>
             Story.writeIndexHtml(s"$dir/${p.name}_runs.html", c, p.name))
         }

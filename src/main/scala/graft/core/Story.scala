@@ -137,6 +137,136 @@ ${rows.mkString("\n")}
     Files.writeString(p, generateHtml(cfg, results, runId, wallMs))
   }
 
+  private def safeName(s: String): String = s.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  private val pageCss: String =
+    """  body { font-family: system-ui, sans-serif; margin: 2rem; color: #1a1a1a; }
+      |  h1 { font-size: 1.3rem; } h2 { font-size: 1.05rem; margin-top: 1.5rem; }
+      |  .meta { color: #555; margin-bottom: 1rem; }
+      |  table { border-collapse: collapse; }
+      |  th, td { text-align: left; padding: .35rem .7rem; border-bottom: 1px solid #ddd; font-size: .9rem; }
+      |  .st.success { color: #2e7d32; } .st.failed { color: #c62828; font-weight: 600; }
+      |  .st.skipped, .st.not_run { color: #9e9e9e; }
+      |  .err { color: #c62828; overflow-wrap: anywhere; white-space: pre-wrap; }
+      |  .check.ok { color: #2e7d32; } .check.bad { color: #c62828; font-weight: 600; }
+      |  code { background: #f5f5f5; padding: 0 .2rem; }""".stripMargin
+
+  /**
+   * Per-node narrative page (reference: odibi/story/generator.py's
+   * node sections, distilled to the load-bearing facts): status + timing
+   * header, declared configuration, output schema, column lineage from
+   * the analyzed plan (driver-side only — nothing executes), validation
+   * outcomes, and the failure with its top stack frames.
+   */
+  def generateNodeHtml(cfg: Pipeline.PipelineConfig, node: Pipeline.NodeConfig,
+                       result: Option[Pipeline.NodeResult],
+                       runId: String): String = {
+    val status = result match {
+      case Some(x) if x.skipped => "skipped"
+      case Some(x) if x.failure.isEmpty => "success"
+      case Some(_) => "failed"
+      case None => "not_run"
+    }
+    val dur = result.map(_.durationMs).getOrElse(0L)
+    val rowsW = result.flatMap(_.rowsWritten).map(_.toString).getOrElse("&mdash;")
+
+    val facts: Seq[(String, String)] = Seq(
+      "depends on" -> (if (node.dependsOn.isEmpty) "&mdash;"
+        else node.dependsOn.map(d =>
+          s"""<a href="node_${safeName(d)}.html">${esc(d)}</a>""").mkString(", ")),
+      "read" -> node.read.map(rc => esc(
+        s"${rc.format} ${rc.path.orElse(rc.table).getOrElse("")}".trim))
+        .getOrElse("&mdash;"),
+      "transformer" -> node.transformer.map(esc).getOrElse("&mdash;"),
+      "steps" -> (if (node.steps.isEmpty) "&mdash;" else node.steps.size.toString),
+      "semantic" -> node.semantic.map(s => esc(s.query)).getOrElse("&mdash;"),
+      "write" -> node.writePath.map(p => esc(s"${node.write.format} $p"))
+        .getOrElse("&mdash;"),
+      "duration" -> s"$dur ms",
+      "rows written" -> rowsW) ++
+      result.flatMap(_.skipReason).map("skip reason" -> esc(_)).toSeq
+    val factRows = facts.map { case (k, v) =>
+      s"""      <tr><th>$k</th><td>$v</td></tr>"""
+    }
+
+    val live = result.filter(r => r.failure.isEmpty && !r.skipped)
+    val schemaRows = live.toSeq.flatMap(_.df.schema.fields.map(f =>
+      s"""      <tr><td><code>${esc(f.name)}</code></td><td>${esc(f.dataType.simpleString)}</td></tr>"""))
+    // column lineage is a driver-side plan traversal; a frame whose plan
+    // cannot be analyzed (unresolved after failure) just renders nothing
+    val lineageRows = live.toSeq.flatMap { r =>
+      val m = try Lineage.columnLineage(r.df) catch { case _: Exception => Map.empty[String, Set[String]] }
+      m.toSeq.sortBy(_._1).collect { case (out, srcs) if srcs.nonEmpty =>
+        s"""      <tr><td><code>${esc(out)}</code></td><td>${srcs.toSeq.sorted.map(esc).mkString(", ")}</td></tr>"""
+      }
+    }
+    val checkRows = result.map(_.validation).getOrElse(Nil).map { v =>
+      val cls = if (v.passed) "ok" else "bad"
+      s"""      <tr><td class="check $cls">${esc(v.test.name)}</td><td>${esc(v.test.kind)}</td><td>${if (v.passed) "pass" else "FAIL"}</td><td>${v.failedRows}</td><td>${esc(v.detail)}</td></tr>"""
+    }
+    val error = result.flatMap(_.failure).map { e =>
+      val frames = e.getStackTrace.take(5).map(f => esc(f.toString)).mkString("\n")
+      s"""  <h2>Failure</h2>
+  <p class="err">${esc(s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}")}
+$frames</p>"""
+    }.getOrElse("")
+
+    def section(title: String, header: String, rows: Seq[String]): String =
+      if (rows.isEmpty) ""
+      else s"""  <h2>$title</h2>
+  <table>
+    <thead><tr>$header</tr></thead>
+    <tbody>
+${rows.mkString("\n")}
+    </tbody>
+  </table>
+"""
+
+    s"""<!DOCTYPE html>
+<html lang="en"><head><meta charset="utf-8"><title>${esc(node.name)} &middot; ${esc(cfg.name)} &middot; ${esc(runId)}</title>
+<style>
+$pageCss
+</style></head>
+<body>
+  <h1><a href="${safeName(cfg.name)}_story.html">${esc(cfg.name)}</a> / ${esc(node.name)}</h1>
+  <p class="meta">run <code>${esc(runId)}</code> &middot; <span class="st $status">$status</span></p>
+  <h2>Node</h2>
+  <table>
+    <tbody>
+${factRows.mkString("\n")}
+    </tbody>
+  </table>
+${section("Output schema", "<th>column</th><th>type</th>", schemaRows)}${
+      section("Column lineage", "<th>output column</th><th>source columns</th>", lineageRows)}${
+      section("Validation", "<th>test</th><th>kind</th><th>outcome</th><th>failed rows</th><th>detail</th>", checkRows)}$error</body></html>
+"""
+  }
+
+  /**
+   * Full run story as a linked site: the summary page (node names linked
+   * to their detail pages) plus one page per node, all under `dir`.
+   * Returns the summary page path.
+   */
+  def writeHtmlSite(dir: String, cfg: Pipeline.PipelineConfig,
+                    results: Map[String, Pipeline.NodeResult],
+                    runId: String, wallMs: Long): String = {
+    Files.createDirectories(Paths.get(dir))
+    val index = s"$dir/${safeName(cfg.name)}_story.html"
+    val linked = generateHtml(cfg, results, runId, wallMs)
+    // link each node cell to its page (the summary renderer stays
+    // link-free for the single-file golden; the site adds them here)
+    val withLinks = cfg.nodes.foldLeft(linked) { (html, n) =>
+      html.replace(s"""<td>${esc(n.name)}</td>""",
+        s"""<td><a href="node_${safeName(n.name)}.html">${esc(n.name)}</a></td>""")
+    }
+    Files.writeString(Paths.get(index), withLinks)
+    cfg.nodes.foreach { n =>
+      Files.writeString(Paths.get(s"$dir/node_${safeName(n.name)}.html"),
+        generateNodeHtml(cfg, n, results.get(n.name), runId))
+    }
+    index
+  }
+
   /**
    * Pipeline run-history index (reference `_generate_pipeline_index`,
    * generator.py:1491-1600): recent runs from the system catalog's

@@ -97,6 +97,62 @@ class StorySpec extends SparkSpec {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/story.html")))
   }
 
+  test("node detail page matches the golden file; site cross-links") {
+    import spark.implicits._
+    // a parquet-backed frame so schema + column lineage render (lineage
+    // tracks relation columns; a local Seq has none)
+    val src = java.nio.file.Files.createTempDirectory("storysrc").toString
+    Seq((1L, "x")).toDF("id", "name").write.mode("overwrite").parquet(s"$src/in")
+    val out = spark.read.parquet(s"$src/in")
+      .selectExpr("id", "upper(name) AS shout", "id * 2 AS doubled")
+    val vt = graft.validation.Validation.Test("ids_unique", "unique")
+    val cfg = Pipeline.PipelineConfig("gold", Seq(
+      Pipeline.NodeConfig("bronze",
+        read = Some(graft.sources.Sources.ReadConfig("parquet", Some("/data/in"))),
+        writePath = Some("/data/out")),
+      Pipeline.NodeConfig("silver", dependsOn = Seq("bronze"))))
+    val results = Map(
+      "bronze" -> Pipeline.NodeResult("bronze", out, None,
+        durationMs = 120L, rowsWritten = Some(500L),
+        validation = Seq(
+          graft.validation.Validation.TestResult(vt, passed = true, 0, "ok"),
+          graft.validation.Validation.TestResult(
+            graft.validation.Validation.Test("no_nulls", "not_null"),
+            passed = false, 3, "3 null ids"))),
+      "silver" -> Pipeline.NodeResult("silver", spark.emptyDataFrame,
+        Some(new IllegalStateException("boom"))))
+    val html = Story.generateNodeHtml(cfg, cfg.nodes.head,
+      results.get("bronze"), "run-gold")
+
+    val golden = java.nio.file.Paths.get("src/test/resources/story_node_golden.html")
+    if (!java.nio.file.Files.exists(golden)) {
+      java.nio.file.Files.createDirectories(golden.getParent)
+      java.nio.file.Files.writeString(golden, html) // bootstrap once, then committed
+    }
+    assert(html == java.nio.file.Files.readString(golden),
+      "node page rendering drifted from src/test/resources/story_node_golden.html")
+    // spot checks: schema, lineage, validation outcomes
+    assert(html.contains("<code>shout</code>") && html.contains("name"))
+    assert(html.contains("""<td class="check bad">no_nulls</td>"""))
+    assert(html.contains("parquet /data/in") && html.contains("500"))
+
+    // failed node page carries the exception and stack top
+    val failedPage = Story.generateNodeHtml(cfg, cfg.nodes(1),
+      results.get("silver"), "run-gold")
+    assert(failedPage.contains("IllegalStateException") && failedPage.contains("boom"))
+    // dependency links back to the upstream node's page
+    assert(failedPage.contains("""<a href="node_bronze.html">bronze</a>"""))
+
+    // the site writer emits summary + per-node pages, cross-linked
+    val dir = java.nio.file.Files.createTempDirectory("storysite").toString
+    val index = Story.writeHtmlSite(dir, cfg, results, "run-gold", 777L)
+    val idx = java.nio.file.Files.readString(java.nio.file.Paths.get(index))
+    assert(idx.contains("""<a href="node_bronze.html">bronze</a>"""))
+    Seq("node_bronze.html", "node_silver.html").foreach { f =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/$f")), f)
+    }
+  }
+
   test("run-history index renders recent runs from the catalog") {
     val dir = java.nio.file.Files.createTempDirectory("storyidx").toString
     val catalog = new graft.core.Catalog(spark, s"$dir/_system")
