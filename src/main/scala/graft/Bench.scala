@@ -15,7 +15,8 @@ object Bench {
     "q_exact_dedup", "q_minhash_pairs", "q_simhash_pairs", "q_ann_topk",
     "q_ivf_topk", "q_token_count", "q_quality_score", "q_scd2",
     "q_merge_upsert", "q_salted_agg", "q_asof_join", "q_streaming_append",
-    "q_pack_sequences", "q_segment_dedup", "q_url_filter", "q_profile")
+    "q_pack_sequences", "q_segment_dedup", "q_url_filter", "q_profile",
+    "q_weighted_mix", "q_contamination")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -261,16 +261,20 @@ object Dedup {
                          n: Int = 8, threshold: Double = 0.1): DataFrame = {
     def ngramHashes(text: Column): Column =
       transform(wordShingles(text, n), x => xxhash64(x))
-    val withNg = corpus.select(col(idCol),
-      ngramHashes(col(textCol)).as("_ngs"))
-    val exploded = withNg.select(col(idCol), size(col("_ngs")).as("_total"),
-      explode(col("_ngs")).as("_ng"))
+    // size + explode over ONE evaluation of the n-gram hashing: a plain
+    // `select(size(_ngs), explode(_ngs))` gets the `_ngs` alias inlined
+    // into both by CollapseProject and hashes every document twice
+    // (measured 8.5 s → 4.3 s at sf0.1 for the full query)
+    val exploded = corpus.select(col(idCol),
+        explode(bindOnce(ngramHashes(col(textCol)))(ngs =>
+          transform(ngs, x => struct(x.as("ng"), size(ngs).as("total"))))).as("_s"))
+      .select(col(idCol), col("_s.total").as("_total"), col("_s.ng").as("_ng"))
     val benchNg = benchmark
       .select(explode(ngramHashes(col(benchTextCol))).as("_ng")).distinct()
     val matched = exploded.join(broadcast(benchNg), Seq("_ng"))
       .groupBy(col(idCol), col("_total"))
       .agg(count(lit(1)).as("_matched"))
-    withNg.select(col(idCol))
+    corpus.select(col(idCol))
       .join(matched, Seq(idCol), "left")
       .withColumn("contamination", round(
         coalesce(col("_matched").cast("double") / col("_total"), lit(0.0)), 6))
