@@ -74,23 +74,22 @@ object Doctor {
 
   private def run(args: Args): Seq[graft.core.Doctor.Check] = {
     import graft.core.Doctor._
-    // config may need placeholder substitution before linting: write the
-    // substituted text to a temp sibling so the planner sees real paths
-    val configPath = args.config.map { p =>
-      if (args.subs.isEmpty) p
+    val live = SparkSession.getDefaultSession.orElse(SparkSession.getActiveSession)
+    val env = envChecks(live)
+    // placeholder substitution happens in memory so relative refs
+    // (sql_file etc.) still resolve against the ORIGINAL config's dir
+    val cfg = args.config.toSeq.flatMap { p =>
+      if (!java.nio.file.Files.isReadable(java.nio.file.Paths.get(p)))
+        Seq(Check("config", "error", s"cannot read $p",
+          "check the path and permissions"))
       else {
         val raw = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(p)), "UTF-8")
         val text = args.subs.foldLeft(raw) { case (t, (k, v)) =>
           t.replace("$" + s"{$k}", v) }
-        val tmp = java.nio.file.Files.createTempFile("doctor", ".yaml")
-        java.nio.file.Files.writeString(tmp, text)
-        tmp.toString
+        configChecksText(text, p)
       }
     }
-    val live = SparkSession.getDefaultSession.orElse(SparkSession.getActiveSession)
-    val env = envChecks(live)
-    val cfg = configPath.toSeq.flatMap(configChecks)
     val paths = args.paths.map(diagnosePath)
     // catalog root: explicit flag wins, else pull it out of the config lint
     val catalogRoot = args.catalog.orElse(

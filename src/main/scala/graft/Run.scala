@@ -92,20 +92,33 @@ object Run {
     }
 
     if (args.dryRun) {
-      val response = graft.core.Planner.plan(text, baseDir)
-      println(response.toJson)
-      return if (response.valid) 0 else 1
+      try {
+        val response = graft.core.Planner.plan(text, baseDir)
+        println(response.toJson)
+        return if (response.valid) 0 else 1
+      } catch {
+        case e: Exception => // unparseable YAML never reaches diagnostics
+          System.err.println(s"error: cannot parse ${args.config}: ${e.getMessage}")
+          return 1
+      }
     }
 
     // a project file has a `pipelines:` list; anything else is a single
     // pipeline wrapped as a one-entry project (loadProject is the authority
-    // on the shape, so ask it first)
+    // on the shape, so ask it first). Any OTHER load failure — malformed
+    // YAML, bad types — is a config error: clean exit 2, not a stack trace
     val project =
-      try YamlConfig.loadProject(text, baseDir)
-      catch {
-        case _: IllegalArgumentException =>
-          val cfg = YamlConfig.loadPipeline(text, baseDir)
-          YamlConfig.ProjectConfig(cfg.name, Seq(cfg))
+      try {
+        try YamlConfig.loadProject(text, baseDir)
+        catch {
+          case _: IllegalArgumentException =>
+            val cfg = YamlConfig.loadPipeline(text, baseDir)
+            YamlConfig.ProjectConfig(cfg.name, Seq(cfg))
+        }
+      } catch {
+        case e: Exception =>
+          System.err.println(s"error: cannot load ${args.config}: ${e.getMessage}")
+          return 2
       }
 
     // reuse a live session (embedded/test use) and leave it running;

@@ -91,7 +91,11 @@ final class DerivedUpdater(spark: SparkSession, root: String,
       val f = new java.io.File(p.toUri.getPath)
       Option(f.getParentFile).foreach(_.mkdirs())
       f.createNewFile() && {
-        java.nio.file.Files.writeString(f.toPath, claimId); true
+        // a failed ownership write must not leave an orphan marker that
+        // blocks every claimer until the stale threshold; not-acquired,
+        // never a win (matching the non-local branch)
+        try { java.nio.file.Files.writeString(f.toPath, claimId); true }
+        catch { case _: java.io.IOException => f.delete(); false }
       }
     } else
       try {
@@ -100,6 +104,22 @@ final class DerivedUpdater(spark: SparkSession, root: String,
         try out.write(claimId.getBytes("UTF-8")) finally out.close()
         true
       } catch { case _: java.io.IOException => false }
+  }
+
+  /** Marker's recorded owner, if readable. */
+  private def markerOwner(p: org.apache.hadoop.fs.Path): Option[String] =
+    try {
+      val in = fsOf(p).open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim)
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  /** Release the marker only if this claim still owns it — after a stale
+    * reclaim another claimer's marker may occupy the same path, and
+    * deleting it would hand the key to a THIRD concurrent claimer. */
+  private def releaseMarker(claim: Claim): Unit = {
+    val m = markerPath(claim.derivedTable, claim.runId)
+    if (markerOwner(m).contains(claim.claimId)) { fsOf(m).delete(m, false); () }
   }
 
   /**
@@ -116,14 +136,29 @@ final class DerivedUpdater(spark: SparkSession, root: String,
     val claimId = java.util.UUID.randomUUID().toString
     val marker = markerPath(table, runId)
     val fs = fsOf(marker)
-    def staleOrGone: Boolean =
-      try fs.getFileStatus(marker).getModificationTime <
-        System.currentTimeMillis() - maxClaimAgeMinutes * 60000L
-      catch { case _: java.io.FileNotFoundException => true }
-    val won = atomicCreate(marker, claimId) ||
-      // dead claimer's marker: delete and re-race the (atomic) create,
-      // so two reclaimers still elect exactly one winner
-      (staleOrGone && { fs.delete(marker, false); atomicCreate(marker, claimId) })
+    // Stale reclaim must not delete the marker in place: between "observe
+    // stale" and "delete", another reclaimer may have already deleted it
+    // AND re-created its own fresh marker — a plain delete would destroy
+    // the new winner's claim. Renaming the stale marker to a per-claimer
+    // tombstone is atomic (local rename / HDFS namenode), so exactly one
+    // reclaimer removes it; only that one re-races the create.
+    def reclaim(): Boolean = {
+      val stale =
+        try Some(fs.getFileStatus(marker).getModificationTime <
+          System.currentTimeMillis() - maxClaimAgeMinutes * 60000L)
+        catch { case _: java.io.FileNotFoundException => None }
+      stale match {
+        case Some(false) => false // live claim holds the key
+        case None => atomicCreate(marker, claimId) // vanished: plain atomic race
+        case Some(true) =>
+          val tomb = new org.apache.hadoop.fs.Path(marker.getParent,
+            s"${marker.getName}.$claimId.reclaim")
+          val renamed = try fs.rename(marker, tomb)
+            catch { case _: java.io.IOException => false }
+          renamed && { fs.delete(tomb, false); atomicCreate(marker, claimId) }
+      }
+    }
+    val won = atomicCreate(marker, claimId) || reclaim()
     if (!won) return None
     // close the applied-while-we-raced window: markApplied appends the
     // terminal row BEFORE removing its marker, so if our create succeeded
@@ -135,21 +170,18 @@ final class DerivedUpdater(spark: SparkSession, root: String,
 
   /** Terminal: the pair will never re-apply. Fail-fast — errors propagate.
     * Appends `applied` first, then releases the marker (that order closes
-    * the reclaim race in [[tryClaim]]). */
+    * the reclaim race in [[tryClaim]]); the release checks ownership so a
+    * reclaimed-past-stale claimer cannot free a SUCCESSOR's marker. */
   def markApplied(claim: Claim): Unit = {
     appendRow(claim.derivedTable, claim.runId, claim.claimId, "applied")
-    val m = markerPath(claim.derivedTable, claim.runId)
-    fsOf(m).delete(m, false)
-    ()
+    releaseMarker(claim)
   }
 
-  /** Releases the claim (log row + marker) so a later attempt can retry.
-    * Fail-fast. */
+  /** Releases the claim (log row + owned marker) so a later attempt can
+    * retry. Fail-fast. */
   def markFailed(claim: Claim): Unit = {
     appendRow(claim.derivedTable, claim.runId, claim.claimId, "failed")
-    val m = markerPath(claim.derivedTable, claim.runId)
-    fsOf(m).delete(m, false)
-    ()
+    releaseMarker(claim)
   }
 
   /**

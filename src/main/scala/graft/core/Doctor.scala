@@ -91,31 +91,43 @@ object Doctor {
     if (!java.nio.file.Files.isReadable(java.nio.file.Paths.get(path)))
       return Seq(Check("config", "error", s"cannot read $path",
         "check the path and permissions"))
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    configChecksText(text, path)
+  }
+
+  /** Same lint over already-loaded (e.g. placeholder-substituted) text.
+    * `origPath` keeps the ORIGINAL file's directory as the base for
+    * relative refs (sql_file etc.) — linting a temp copy under /tmp would
+    * produce false missing-file errors. */
+  def configChecksText(text: String, origPath: String): Seq[Check] = {
+    val baseDir = Option(java.nio.file.Paths.get(origPath).getParent)
+      .map(_.toString)
     val planner =
       try {
-        val response = Planner.planFile(path)
+        val response = Planner.plan(text, baseDir)
         val diag = response.diagnostics.map(d => Check(
           s"config:${d.subject}",
           if (d.severity == "error") "error" else "warn",
           s"[${d.code}] ${d.message}"))
         Check("config", if (response.valid) "ok" else "error",
-          if (response.valid) s"$path plans clean" else s"$path is invalid") +: diag
+          if (response.valid) s"$origPath plans clean"
+          else s"$origPath is invalid") +: diag
       } catch {
         case e: Exception =>
-          Seq(Check("config", "error", s"failed to parse $path: ${e.getMessage}",
+          Seq(Check("config", "error", s"failed to parse $origPath: ${e.getMessage}",
             "check YAML syntax"))
       }
-    planner ++ connectionChecks(path)
+    planner ++ connectionChecksText(text)
   }
 
   /** File-kind connections and catalog_root from the raw YAML: do the
     * base paths exist / are they writable. JDBC connections are reported
     * but not probed (no driver round-trip from a diagnostic). */
-  private[graft] def connectionChecks(path: String): Seq[Check] =
+  private[graft] def connectionChecksText(text: String): Seq[Check] =
     try {
       val yaml = new org.yaml.snakeyaml.Yaml()
-      val root = yaml.load[Any](new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(path)), "UTF-8"))
+      val root = yaml.load[Any](text)
       val rootMap = root match {
         case m: java.util.Map[_, _] =>
           m.asInstanceOf[java.util.Map[String, Any]]

@@ -61,8 +61,10 @@ object Sampling {
    * (≤ sources × buckets longs) reconstruct the EXACT global per-source
    * rank. Buckets whose offset already exceeds the source's take are
    * dropped BEFORE the rank shuffle, so only ~k_s rows per source ever
-   * shuffle — at a 10% mix ratio, 90% of the corpus never moves. Sources
-   * absent from `weights` are dropped (weight 0).
+   * shuffle — at a 10% mix ratio, 90% of the corpus never moves. Total
+   * cost: two corpus scans (one map-side-combined size aggregation that
+   * also yields the per-source totals, one rank pass). Sources absent
+   * from `weights` are dropped (weight 0).
    *
    * @param buckets rank-bucket fan-out per source (0 → shuffle
    *                partitions); each bucket is one window reducer
@@ -76,9 +78,25 @@ object Sampling {
     val p = if (buckets > 0) buckets
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val srcStr = col(sourceCol).cast("string")
-    val counts = df.filter(srcStr.isin(weights.keys.toSeq: _*))
-      .groupBy(srcStr.as("_src")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val key = md5(concat_ws("|", keyCols.map(c => col(c).cast("string")): _*))
+    // equal-width range buckets over the digest's 60-bit numeric prefix
+    // (uniform by construction — md5 is the sample)
+    val width = (1L << 60) / p
+    val base = df.filter(srcStr.isin(weights.keys.toSeq: _*))
+      .withColumn("_src", srcStr)
+      .withColumn("_skey", key)
+      .withColumn("_bkt", least(
+        floor(conv(substring(col("_skey"), 1, 15), 16, 10).cast("long") / width),
+        lit((p - 1).toLong)).cast("int"))
+
+    // ONE aggregation serves both the per-source totals (scale + takes)
+    // and the per-(source, bucket) prefix offsets — ≤ sources × buckets
+    // rows to the driver, map-side combined, one corpus scan
+    val sizes = base.groupBy(col("_src"), col("_bkt"))
+      .agg(count(lit(1)).as("_c"))
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getLong(2)))
+    val counts: Map[String, Long] =
+      sizes.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
     val present = weights.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L }
     if (present.isEmpty) return df.limit(0)
     // limiting source (largest weight-to-size ratio) pins the scale;
@@ -87,22 +105,6 @@ object Sampling {
     val takes = present.map { case (s, w) =>
       s -> math.max(math.floor(w * scale).toLong, 1L) }
 
-    val key = md5(concat_ws("|", keyCols.map(c => col(c).cast("string")): _*))
-    // equal-width range buckets over the digest's 60-bit numeric prefix
-    // (uniform by construction — md5 is the sample)
-    val width = (1L << 60) / p
-    val base = df.filter(srcStr.isin(present.keys.toSeq: _*))
-      .withColumn("_src", srcStr)
-      .withColumn("_skey", key)
-      .withColumn("_bkt", least(
-        floor(conv(substring(col("_skey"), 1, 15), 16, 10).cast("long") / width),
-        lit((p - 1).toLong)).cast("int"))
-
-    // per-(source, bucket) sizes → driver-side prefix offsets
-    // (≤ sources × buckets rows, map-side combined)
-    val sizes = base.groupBy(col("_src"), col("_bkt"))
-      .agg(count(lit(1)).as("_c"))
-      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getLong(2)))
     val offsets = sizes.groupBy(_._1._1).toSeq.flatMap { case (s, rows) =>
       var acc = 0L
       rows.sortBy(_._1._2).map { case ((_, b), c) =>

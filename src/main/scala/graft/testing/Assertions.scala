@@ -36,7 +36,11 @@ object Assertions {
    * rounded both sides to decimal digits, which spuriously failed values
    * within tolerance straddling a rounding boundary). Non-float columns
    * always compare exactly; within equal non-float keys, duplicate rows
-   * pair up in float-sorted order.
+   * pair up in float-sorted (lexicographic) order. With MULTIPLE float
+   * columns that greedy pairing is conservative: it can report a diff for
+   * frames a cross pairing would match within tolerance, but it never
+   * passes frames with no valid pairing — failures err toward noise,
+   * not silence.
    */
   def assertFrameEqual(left: DataFrame, right: DataFrame,
                        checkOrder: Boolean = false,
@@ -86,9 +90,12 @@ object Assertions {
       val cond = keyCols.map(c => lt(c) <=> rt(c))
         .foldLeft(lt("_idx_l") === rt("_idx_r"))(_ && _)
       val paired = lt.join(rt, cond, "inner")
+      // coalesce the abs-diff term: NULL vs value yields a NULL predicate,
+      // which filter() would DROP — silently passing a real difference
       val bad = floatCols.map(c =>
           !(paired(c + "_l") <=> paired(c + "_r") ||
-            abs(paired(c + "_l") - paired(c + "_r")) <= tolerance))
+            coalesce(abs(paired(c + "_l") - paired(c + "_r")) <= tolerance,
+              lit(false))))
         .reduce(_ || _)
       val mism = paired.filter(bad).take(sampleDiff)
       if (mism.nonEmpty)

@@ -53,6 +53,16 @@ class AssertionsSpec extends SparkSpec {
       Assertions.assertFrameEqual(d1, d2, tolerance = 1e-9)
     }
 
+    // NULL vs value must FAIL under tolerance (a NULL predicate would
+    // otherwise be dropped by filter and silently pass)
+    val n1 = Seq((1, Some(1.0))).toDF("k", "v")
+    val n2 = Seq((1, Option.empty[Double])).toDF("k", "v")
+    intercept[AssertionError] {
+      Assertions.assertFrameEqual(n1, n2, tolerance = 1e-6)
+    }
+    // both-NULL still matches
+    Assertions.assertFrameEqual(n2, n2, tolerance = 1e-6)
+
     // tolerance + checkOrder: ordered compare uses the same abs bound
     Assertions.assertFrameEqual(
       Seq((1, 1.0), (2, 2.0)).toDF("k", "v").orderBy("k").coalesce(1),

@@ -40,6 +40,28 @@ class DoctorSpec extends SparkSpec {
     assert(Doc.configChecks(s"$dir/missing.yaml").head.status == "error")
   }
 
+  test("substituted config lint keeps relative sql_file refs resolvable") {
+    val dir = java.nio.file.Files.createTempDirectory("doctorsub").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/queries"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/queries/agg.sql"), "SELECT 1 AS one")
+    val cfg = s"$dir/p.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(cfg),
+      s"""name: p
+         |nodes:
+         |  - name: x
+         |    read: { format: parquet, path: $${IN} }
+         |    steps:
+         |      - sql_file: queries/agg.sql
+         |""".stripMargin)
+    // in-memory substitution with the original baseDir: the relative
+    // sql_file must NOT produce a missing-file error
+    val subbed = java.nio.file.Files.readString(java.nio.file.Paths.get(cfg))
+      .replace("${IN}", s"$dir/in")
+    val checks = Doc.configChecksText(subbed, cfg)
+    assert(checks.forall(_.status != "error"), checks.mkString("; "))
+  }
+
   test("diagnosePath: file, directory, missing") {
     val dir = java.nio.file.Files.createTempDirectory("doctorp").toString
     java.nio.file.Files.writeString(

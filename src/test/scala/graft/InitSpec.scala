@@ -30,5 +30,13 @@ class InitSpec extends SparkSpec {
     assert(Init.mainExit(Array(dir)) == 2)
     assert(Init.mainExit(Array.empty[String]) == 2)
     assert(Init.mainExit(Array(dir, "--bogus")) == 2)
+
+    // ANY clashing template file blocks the scaffold, not just project.yaml
+    val partial = java.nio.file.Files.createTempDirectory("scafpart").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$partial/README.md"), "mine, hands off")
+    assert(Init.mainExit(Array(partial)) == 2)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$partial/README.md")) == "mine, hands off")
   }
 }

@@ -55,6 +55,12 @@ class RunCliSpec extends SparkSpec {
     assert(Run.mainExit(Array.empty[String]) == 2)
     assert(Run.mainExit(Array(s"$dir/nope.yaml")) == 2)
     assert(Run.mainExit(Array(bad, "--bogus")) == 2)
+    // malformed YAML (unparseable, not just invalid) exits cleanly too
+    val mangled = s"$dir/mangled.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(mangled),
+      "just a scalar, not a mapping")
+    assert(Run.mainExit(Array(mangled)) == 2)
+    assert(Run.mainExit(Array(mangled, "--dry-run")) == 1)
     // valid config passes the dry-run gate without touching Spark
     assert(Run.mainExit(Array(
       "examples/star_schema/project.yaml", "--set", s"OUT=$dir",
