@@ -282,7 +282,7 @@ object YamlConfig {
   private[graft] val readKeys = Set("format", "path", "table", "schema_ddl",
     "streaming", "options", "connection")
   private[graft] val writeKeys = Set("format", "mode", "path", "partition_by",
-    "coalesce_partitions", "options", "connection")
+    "coalesce_partitions", "options", "connection", "zorder_by")
   private[graft] val incrementalKeys = Set("column", "mode", "lookback_seconds",
     "watermark_lag_seconds", "fallback_column")
   private[graft] val contractKeys = Set("schema_ddl", "schema_mode",
@@ -331,7 +331,8 @@ object YamlConfig {
       partitionBy = seqOf(m.get("partition_by")),
       coalescePartitions = m.get("coalesce_partitions").map(_.toString.toInt),
       options = m.getOrElse("options", Map.empty[String, Any])
-        .asInstanceOf[Map[String, Any]].map { case (k, x) => k -> x.toString })
+        .asInstanceOf[Map[String, Any]].map { case (k, x) => k -> x.toString },
+      zorderBy = seqOf(m.get("zorder_by")))
   }
 
   private def contractCfg(v: Any): Sources.ContractConfig = {

@@ -127,7 +127,8 @@ object Sources {
   final case class WriteConfig(format: String = "parquet", mode: String = "overwrite",
                                partitionBy: Seq[String] = Nil,
                                coalescePartitions: Option[Int] = None,
-                               options: Map[String, String] = Map.empty)
+                               options: Map[String, String] = Map.empty,
+                               zorderBy: Seq[String] = Nil)
 
   /** df.write.format(...).mode(...).partitionBy(...).save(path). */
   def write(df: DataFrame, path: String, cfg: WriteConfig = WriteConfig()): Unit = {
@@ -150,9 +151,19 @@ object Sources {
    */
   def writeWithStats(df: DataFrame, path: String,
                      cfg: WriteConfig = WriteConfig()): Long = {
+    require(cfg.zorderBy.isEmpty || cfg.partitionBy.isEmpty,
+      "zorder_by and partition_by are mutually exclusive (Z-order ranges " +
+        "would need recomputing per hive partition)")
     val obs = org.apache.spark.sql.Observation()
     val observed = df.observe(obs, count(lit(1)).as("rows_written"))
-    val d = cfg.coalescePartitions.map(observed.coalesce).getOrElse(observed)
+    val d =
+      if (cfg.zorderBy.nonEmpty)
+        // declarative clustering (reference: liquid/ZORDER write config):
+        // the z-transform already range-partitions into its file count, so
+        // coalesce_partitions doubles as the target file count here
+        zOrderFrame(observed, cfg.zorderBy,
+          numFiles = cfg.coalescePartitions.getOrElse(32))
+      else cfg.coalescePartitions.map(observed.coalesce).getOrElse(observed)
     def writeTo(p: String): Unit = {
       var w = d.write.format(cfg.format).mode(cfg.mode).options(cfg.options)
       if (cfg.partitionBy.nonEmpty) w = w.partitionBy(cfg.partitionBy: _*)
@@ -194,7 +205,17 @@ object Sources {
    */
   def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
                     bitsPerCol: Int = 12, numFiles: Int = 32,
-                    format: String = "parquet", mode: String = "overwrite"): Unit = {
+                    format: String = "parquet", mode: String = "overwrite"): Unit =
+    zOrderFrame(df, zCols, bitsPerCol, numFiles)
+      .write.format(format).mode(mode).save(path)
+
+  /** The Z-order layout as a frame transform: scale each cluster column
+    * to `bitsPerCol` bits, interleave into a Z-value, range-partition +
+    * sort by it, drop the scratch columns. Shared by [[writeZOrdered]]
+    * and the declarative `zorder_by` write key. */
+  private[graft] def zOrderFrame(df: DataFrame, zCols: Seq[String],
+                                 bitsPerCol: Int = 12,
+                                 numFiles: Int = 32): DataFrame = {
     require(zCols.nonEmpty && zCols.size <= 4, "1..4 z-order columns")
     require(bitsPerCol * zCols.size <= 60, "interleaved bits must fit a long")
     val buckets = 1 << bitsPerCol
@@ -226,7 +247,6 @@ object Sources {
       .repartitionByRange(numFiles, col("_graft_zv"))
       .sortWithinPartitions("_graft_zv")
       .drop((0 until k).map(i => s"_graft_z_$i") :+ "_graft_zv": _*)
-      .write.format(format).mode(mode).save(path)
   }
 
   /**

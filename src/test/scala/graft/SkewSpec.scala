@@ -77,6 +77,35 @@ class SkewSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/z").columns.toSet == Set("x", "y"))
   }
 
+  test("zorder_by is declarative: a YAML write clusters and keeps row stats") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zyaml").toString
+    spark.range(10000).select(
+      (col("id") / 100).cast("long").as("x"), (col("id") % 100).cast("long").as("y"))
+      .write.parquet(s"$dir/in")
+    val cfg = graft.core.YamlConfig.loadPipeline(
+      s"""name: z
+         |nodes:
+         |  - name: clustered
+         |    read: { format: parquet, path: $dir/in }
+         |    write: { format: parquet, mode: overwrite, path: $dir/out, zorder_by: [x, y], coalesce_partitions: 8 }
+         |""".stripMargin)
+    val results = graft.core.Pipeline.run(spark, cfg)
+    assert(results("clustered").failure.isEmpty)
+    assert(results("clustered").rowsWritten.contains(10000L)) // stats survive
+    val perFile = spark.read.parquet(s"$dir/out")
+      .groupBy(input_file_name().as("f"))
+      .agg(((max("y") - min("y")) + 1).as("yr")).collect()
+    assert(perFile.length > 2)
+    // row-major input sorted plainly would leave yr == 100 everywhere
+    assert(perFile.count(_.getAs[Long]("yr") <= 60) >= perFile.length / 2,
+      perFile.map(_.getAs[Long]("yr")).mkString(","))
+    // zorder_by + partition_by is rejected, not silently mis-clustered
+    intercept[IllegalArgumentException] {
+      graft.sources.Sources.write(spark.range(5).toDF("x"), s"$dir/bad",
+        graft.sources.Sources.WriteConfig(partitionBy = Seq("x"), zorderBy = Seq("x")))
+    }
+  }
+
   test("bucketed tables join without a shuffle") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
