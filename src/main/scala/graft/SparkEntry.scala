@@ -274,7 +274,7 @@ object SparkEntry {
     "q_surrogate_key" -> ((s, d) =>
       Advanced.generateSurrogateKey(t(s, d, "customer").select("c_custkey", "c_nationkey"),
         Seq("c_custkey", "c_nationkey"), "sk")),
-    "q_numeric_key" -> ((s, d) => // rows-only: xxhash64 has no DuckDB equivalent
+    "q_numeric_key" -> ((s, d) => // oracle: md5-prefix key per the reference
       Advanced.generateNumericKey(t(s, d, "customer").select("c_custkey", "c_name"),
         Seq("c_name"), "nk")),
     "q_parse_json" -> ((s, d) =>
@@ -637,6 +637,8 @@ object SparkEntry {
         |WHERE CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) >= 0.5""".stripMargin,
     "q_filter_rows" ->
       "SELECT * FROM lineitem WHERE l_quantity > 30 AND l_discount < 0.05",
+    "q_numeric_key" ->
+      "SELECT c_custkey, c_name, ('0x' || substring(md5(COALESCE(NULLIF(TRIM(CAST(c_name AS VARCHAR)), ''), '')), 1, 15))::BIGINT AS nk FROM customer",
     "q_derive_columns" ->
       "SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS net_price, l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge FROM lineitem",
     "q_cast_columns" ->

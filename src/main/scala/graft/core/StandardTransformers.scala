@@ -155,7 +155,7 @@ object StandardTransformers {
         strOpt(p, "separator").getOrElse("|")) }
     reg("generate_numeric_key") { (c, p) =>
       Advanced.generateNumericKey(c.df, seqOf(p, "columns"), str(p, "output_col"),
-        strOpt(p, "coalesce_with")) }
+        strOpt(p, "coalesce_with"), strOpt(p, "separator").getOrElse("|")) }
     reg("parse_json") { (c, p) =>
       Advanced.parseJson(c.df, str(p, "column"), str(p, "json_schema"),
         strOpt(p, "output_col")) }

@@ -69,10 +69,17 @@ object Advanced {
     df.withColumn(outputCol,
       sha2(concat_ws(separator, columns.map(c => col(c).cast("string")): _*), 256))
 
-  /** generate_numeric_key (advanced.py:534-644): deterministic BIGINT. */
+  /** generate_numeric_key (advanced.py:534-644): deterministic BIGINT via
+    * the reference's exact recipe — trim/null-normalize each column,
+    * concat_ws, md5, first 15 hex chars to decimal (fits a long; and
+    * being md5-based, the oracle can reproduce it, unlike xxhash64). */
   def generateNumericKey(df: DataFrame, columns: Seq[String], outputCol: String,
-                         coalesceWith: Option[String] = None): DataFrame = {
-    val key = xxhash64(columns.map(col): _*)
+                         coalesceWith: Option[String] = None,
+                         separator: String = "|"): DataFrame = {
+    val normed = columns.map(c =>
+      coalesce(nullif(trim(col(c).cast("string")), lit("")), lit("")))
+    val key = conv(substring(md5(concat_ws(separator, normed: _*)), 1, 15), 16, 10)
+      .cast("long")
     val e = coalesceWith.map(c => coalesce(col(c).cast("long"), key)).getOrElse(key)
     df.withColumn(outputCol, e)
   }
