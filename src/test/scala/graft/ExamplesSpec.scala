@@ -52,6 +52,14 @@ class ExamplesSpec extends SparkSpec {
     // the run story renders
     val html = Story.generateHtml(cfg, results, "example-run", 0L)
     assert(html.contains("fact_orders") && html.contains("success"))
+
+    // scale shape: the fact's dim lookups broadcast (dims are small), so
+    // the star join costs no shuffle of the fact side
+    val audit = graft.core.PlanAudit.audit(results("fact_orders").df)
+    assert(audit.numBroadcastJoins >= 1,
+      s"fact dim lookups should broadcast, got $audit")
+    assert(audit.numSortMergeJoins == 0,
+      s"no sort-merge join expected in the star lookup, got $audit")
   }
 
   test("training_data curation example plans clean and runs green") {

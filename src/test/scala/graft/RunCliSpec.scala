@@ -30,6 +30,9 @@ class RunCliSpec extends SparkSpec {
     // catalog recorded the run (runRecorded path, not bare run)
     assert(spark.read.parquet(s"$out/_system/meta_runs")
       .where("pipeline = 'star_schema_demo'").count() >= 6)
+    // node state recorded beside the catalog so a later --resume can skip
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/_system/run_state.json")))
   }
 
   test("--select runs only the requested subtree") {
