@@ -174,7 +174,15 @@ object YamlConfig {
         gateOnFail = gate.flatMap(_.get("on_fail")).map(_.toString).getOrElse("abort"),
         quarantinePath = vblock.flatMap(_.get("quarantine"))
           .flatMap(_.asInstanceOf[Map[String, Any]].get("path")).map(_.toString),
-        streamingWrite = m.get("streaming").map(streamingCfg),
+        streamingWrite = m.get("streaming").map { sw =>
+          // the streaming sink path never runs the batch writer, so a
+          // zorder_by there would be accepted and silently ignored
+          require(!m.get("write").exists(_.asInstanceOf[Map[String, Any]]
+            .contains("zorder_by")),
+            s"node ${m("name")}: zorder_by is batch-only; a streaming " +
+              "write cannot Z-cluster (cluster in a downstream batch node)")
+          streamingCfg(sw)
+        },
         writePath = m.get("write").flatMap { w =>
           val raw = w.asInstanceOf[Map[String, Any]].get("path").map(_.toString)
           // a bare `connection:` with no path is NOT a sink; a path

@@ -155,26 +155,39 @@ object Sources {
       "zorder_by and partition_by are mutually exclusive (Z-order ranges " +
         "would need recomputing per hive partition)")
     val obs = org.apache.spark.sql.Observation()
-    val observed = df.observe(obs, count(lit(1)).as("rows_written"))
-    val d =
+    // zorder (declarative clustering, reference liquid/ZORDER write
+    // config): the layout needs THREE passes over the input — min/max
+    // stats, range-partitioner sampling, the write itself — so pin the
+    // input for their duration; the Observation sits ABOVE the transform
+    // so only the write job (the one pass that traverses the final frame)
+    // feeds rows_written, not the stats pass. coalesce_partitions doubles
+    // as the clustered file count.
+    val pinned =
       if (cfg.zorderBy.nonEmpty)
-        // declarative clustering (reference: liquid/ZORDER write config):
-        // the z-transform already range-partitions into its file count, so
-        // coalesce_partitions doubles as the target file count here
-        zOrderFrame(observed, cfg.zorderBy,
-          numFiles = cfg.coalescePartitions.getOrElse(32))
-      else cfg.coalescePartitions.map(observed.coalesce).getOrElse(observed)
-    def writeTo(p: String): Unit = {
-      var w = d.write.format(cfg.format).mode(cfg.mode).options(cfg.options)
-      if (cfg.partitionBy.nonEmpty) w = w.partitionBy(cfg.partitionBy: _*)
-      w.save(p)
-    }
-    if (cfg.mode == "overwrite")
-      graft.core.AtomicParquet.swap(
-        df.sparkSession.sessionState.newHadoopConf(), path,
-        java.lang.Long.toHexString(System.nanoTime()))(writeTo)
-    else writeTo(path)
-    obs.get("rows_written").asInstanceOf[Long]
+        Some(df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else None
+    try {
+      val d = pinned match {
+        case Some(in) =>
+          zOrderFrame(in, cfg.zorderBy,
+            numFiles = cfg.coalescePartitions.getOrElse(32))
+            .observe(obs, count(lit(1)).as("rows_written"))
+        case None =>
+          val observed = df.observe(obs, count(lit(1)).as("rows_written"))
+          cfg.coalescePartitions.map(observed.coalesce).getOrElse(observed)
+      }
+      def writeTo(p: String): Unit = {
+        var w = d.write.format(cfg.format).mode(cfg.mode).options(cfg.options)
+        if (cfg.partitionBy.nonEmpty) w = w.partitionBy(cfg.partitionBy: _*)
+        w.save(p)
+      }
+      if (cfg.mode == "overwrite")
+        graft.core.AtomicParquet.swap(
+          df.sparkSession.sessionState.newHadoopConf(), path,
+          java.lang.Long.toHexString(System.nanoTime()))(writeTo)
+      else writeTo(path)
+      obs.get("rows_written").asInstanceOf[Long]
+    } finally pinned.foreach { p => p.unpersist(); () }
   }
 
   /**
@@ -213,6 +226,24 @@ object Sources {
     * to `bitsPerCol` bits, interleave into a Z-value, range-partition +
     * sort by it, drop the scratch columns. Shared by [[writeZOrdered]]
     * and the declarative `zorder_by` write key. */
+  /** Cluster column as an ORDERED double, or a clear error: a silent
+    * cast('double') on a string column yields all-null ranks — every row
+    * lands in bucket 0 and the "clustered" write collapses to one
+    * unordered file. Fail fast instead; pre-transform strings (e.g. a
+    * numeric prefix, a hash) if they must cluster. */
+  private def zNumeric(df: DataFrame, c: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case _: NumericType => col(c).cast("double")
+      case DateType | TimestampType | TimestampNTZType =>
+        col(c).cast("timestamp").cast("double") // epoch seconds
+      case other => throw new IllegalArgumentException(
+        s"zorder column '$c' has unordered type ${other.simpleString}; " +
+          "cluster columns must be numeric/date/timestamp — derive a " +
+          "numeric rank first (e.g. a hash or parsed prefix)")
+    }
+  }
+
   private[graft] def zOrderFrame(df: DataFrame, zCols: Seq[String],
                                  bitsPerCol: Int = 12,
                                  numFiles: Int = 32): DataFrame = {
@@ -224,7 +255,8 @@ object Sources {
     // Heavily skewed columns get uneven buckets — pre-transform (log etc.)
     // if that matters; Z-value quality degrades gracefully either way.
     val statsCols = zCols.flatMap(c =>
-      Seq(min(col(c).cast("double")).as(s"_mn_$c"), max(col(c).cast("double")).as(s"_mx_$c")))
+      Seq(min(zNumeric(df, c)).as(s"_mn_$c"),
+        max(zNumeric(df, c)).as(s"_mx_$c")))
     val stats = df.agg(statsCols.head, statsCols.tail: _*).head()
     val ranked = zCols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
       val mn = Option(stats.getAs[java.lang.Double](s"_mn_$c")).map(_.toDouble).getOrElse(0.0)
@@ -232,7 +264,7 @@ object Sources {
       val span = math.max(mx - mn, Double.MinPositiveValue)
       d.withColumn(s"_graft_z_$i",
         least(greatest(
-          floor((col(c).cast("double") - mn) / span * buckets).cast("long"),
+          floor((zNumeric(df, c) - mn) / span * buckets).cast("long"),
           lit(0L)), lit((buckets - 1).toLong)))
     }
     // bit-interleave: z = sum over bits b, cols i of bit(v_i, b) << (b*k + i)

@@ -104,6 +104,33 @@ class SkewSpec extends SparkSpec {
       graft.sources.Sources.write(spark.range(5).toDF("x"), s"$dir/bad",
         graft.sources.Sources.WriteConfig(partitionBy = Seq("x"), zorderBy = Seq("x")))
     }
+    // a string cluster column fails fast instead of collapsing every row
+    // into bucket 0 (cast-to-double would null out all ranks)
+    val strErr = intercept[IllegalArgumentException] {
+      graft.sources.Sources.write(
+        Seq(("a", 1L)).toDF("s", "v"), s"$dir/badstr",
+        graft.sources.Sources.WriteConfig(zorderBy = Seq("s")))
+    }
+    assert(strErr.getMessage.contains("unordered type"))
+    // timestamps cluster via their epoch value (no silent null ranks)
+    val ts = spark.range(1000).select(
+      (col("id") % 10).as("g"),
+      timestamp_seconds(col("id") * 3600).as("t"))
+    graft.sources.Sources.write(ts, s"$dir/ts",
+      graft.sources.Sources.WriteConfig(zorderBy = Seq("t"), coalescePartitions = Some(4)))
+    assert(spark.read.parquet(s"$dir/ts").count() == 1000)
+    // streaming + zorder_by is a load-time error, never silently ignored
+    val e = intercept[IllegalArgumentException] {
+      graft.core.YamlConfig.loadPipeline(
+        s"""name: s
+           |nodes:
+           |  - name: x
+           |    read: { format: parquet, path: $dir/in, streaming: true, schema_ddl: "x LONG" }
+           |    streaming: { checkpoint: $dir/cp }
+           |    write: { format: parquet, path: $dir/sout, zorder_by: [x] }
+           |""".stripMargin)
+    }
+    assert(e.getMessage.contains("batch-only"))
   }
 
   test("bucketed tables join without a shuffle") {
