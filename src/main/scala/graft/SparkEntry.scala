@@ -94,6 +94,13 @@ object SparkEntry {
         t(s, d, "documents").select("doc_id", "source"),
         "source", Seq("doc_id"),
         Map("src1" -> 0.5, "src2" -> 0.3, "src3" -> 0.2))),
+    "q_weighted_mix_tokens" -> ((s, d) =>
+      operators.Sampling.weightedMixByTokens(
+        t(s, d, "documents").select(col("doc_id"), col("source"),
+          graft.functions.TextAnalysis.tokenCountWs(col("text"))
+            .cast("long").as("n_tokens")),
+        "source", "n_tokens", Seq("doc_id"),
+        Map("src1" -> 0.5, "src2" -> 0.3, "src3" -> 0.2))),
     "q_incremental_dedup" -> ((s, d) => {
       // docs 0-99 are the already-ingested corpus; dedup the rest against
       // their fingerprint set + within-batch
@@ -672,6 +679,23 @@ object SparkEntry {
         |  FROM src)
         |SELECT r.doc_id, r.source FROM ranked r JOIN takes t USING (source)
         |WHERE r.rn <= t.k""".stripMargin,
+    "q_weighted_mix_tokens" ->
+      """WITH src AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE source IN ('src1','src2','src3')
+        |), totals AS (SELECT source, sum(n_tokens) AS t FROM src GROUP BY source),
+        |w AS (SELECT * FROM (VALUES ('src1', 0.5), ('src2', 0.3), ('src3', 0.2)) AS t(source, wt)),
+        |sc AS (SELECT min(t / wt) AS scale FROM totals JOIN w USING (source)),
+        |budgets AS (SELECT source, greatest(CAST(floor(wt * scale) AS BIGINT), 1) AS k
+        |            FROM w CROSS JOIN sc),
+        |ranked AS (SELECT doc_id, source, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR))
+        |                      ROWS UNBOUNDED PRECEDING) - n_tokens AS prefix
+        |  FROM src)
+        |SELECT r.doc_id, r.source, r.n_tokens
+        |FROM ranked r JOIN budgets b USING (source)
+        |WHERE r.prefix < b.k""".stripMargin,
     "q_incremental_dedup" ->
       """WITH norm AS (
         |  SELECT doc_id, text,

@@ -274,6 +274,11 @@ object StandardTransformers {
       Sampling.weightedMix(c.df, str(p, "source_col"), seqOf(p, "key"),
         p.getOrElse("weights", Map.empty[String, Any]).asInstanceOf[Map[String, Any]]
           .map { case (k, v) => k -> v.toString.toDouble }) }
+    reg("weighted_mix_tokens") { (c, p) =>
+      Sampling.weightedMixByTokens(c.df, str(p, "source_col"),
+        str(p, "token_col"), seqOf(p, "key"),
+        p.getOrElse("weights", Map.empty[String, Any]).asInstanceOf[Map[String, Any]]
+          .map { case (k, v) => k -> v.toString.toDouble }) }
     reg("incremental_dedup") { (c, p) =>
       Dedup.incrementalExactDedup(c.df, str(p, "id_col"), str(p, "text_col"),
         c.dataset(str(p, "seen"))) }

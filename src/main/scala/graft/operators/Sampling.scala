@@ -125,4 +125,81 @@ object Sampling {
       .filter(col("_lrn") + col("_off") <= takeFor)
       .drop("_src", "_skey", "_bkt", "_off", "_lrn")
   }
+
+  /**
+   * Token-weighted source mixing: downsample each source so the OUTPUT
+   * TOKEN MASS matches target proportions — what a pretraining recipe
+   * actually specifies ("60% webtext BY TOKENS"), which row-weighted
+   * mixing only approximates when document lengths differ across sources
+   * (they always do: code files vs tweets). No source is upsampled: the
+   * limiting source (largest weight-to-token ratio) pins the scale, and
+   * each source keeps its smallest-md5 documents until the one whose
+   * EXCLUSIVE running token total first reaches its budget `k_s =
+   * floor(w_s × scale)` — that boundary document is included, so the
+   * output overshoots each budget by less than one document. `keyCols`
+   * must uniquely identify rows (same determinism contract as
+   * [[weightedMix]]).
+   *
+   * Scale shape mirrors [[weightedMix]]: md5-prefix range buckets, ONE
+   * map-side-combined (source, bucket) token aggregation driving both
+   * the per-source totals and the driver-side prefix token offsets,
+   * post-budget buckets dropped before the running-sum shuffle — only
+   * ~budget tokens' worth of rows per source ever move.
+   *
+   * @param tokenCol per-document token count (null → 0)
+   */
+  def weightedMixByTokens(df: DataFrame, sourceCol: String, tokenCol: String,
+                          keyCols: Seq[String], weights: Map[String, Double],
+                          buckets: Int = 0): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weightedMixByTokens needs positive target weights")
+    require(keyCols.nonEmpty, "weightedMixByTokens needs deterministic key columns")
+    val spark = df.sparkSession
+    val p = if (buckets > 0) buckets
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val srcStr = col(sourceCol).cast("string")
+    val key = md5(concat_ws("|", keyCols.map(c => col(c).cast("string")): _*))
+    val width = (1L << 60) / p
+    val base = df.filter(srcStr.isin(weights.keys.toSeq: _*))
+      .withColumn("_src", srcStr)
+      .withColumn("_tok", coalesce(col(tokenCol).cast("long"), lit(0L)))
+      .withColumn("_skey", key)
+      .withColumn("_bkt", least(
+        floor(conv(substring(col("_skey"), 1, 15), 16, 10).cast("long") / width),
+        lit((p - 1).toLong)).cast("int"))
+
+    val sizes = base.groupBy(col("_src"), col("_bkt"))
+      .agg(sum(col("_tok")).as("_t"))
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getLong(2)))
+    val tokens: Map[String, Long] =
+      sizes.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val present = weights.filter { case (s, _) => tokens.getOrElse(s, 0L) > 0L }
+    if (present.isEmpty) return df.limit(0)
+    val scale = present.map { case (s, w) => tokens(s) / w }.min
+    val budgets = present.map { case (s, w) =>
+      s -> math.max(math.floor(w * scale).toLong, 1L) }
+
+    // driver-side per-bucket token prefix offsets, same shape as the row
+    // variant but summing tokens instead of counting rows
+    val offsets = sizes.groupBy(_._1._1).toSeq.flatMap { case (s, rows) =>
+      var acc = 0L
+      rows.sortBy(_._1._2).map { case ((_, b), t) =>
+        val row = (s, b, acc); acc += t; row }
+    }
+    import spark.implicits._
+    val offDf = offsets.toDF("_src", "_bkt", "_off")
+    val budgetFor = budgets.foldLeft(lit(0L)) { case (acc, (s, k)) =>
+      when(col("_src") === s, k).otherwise(acc)
+    }
+    // exclusive running total = bucket offset + in-bucket inclusive sum −
+    // own tokens; keep while it is still under the budget (the crossing
+    // document is the last one kept)
+    val w = Window.partitionBy(col("_src"), col("_bkt")).orderBy(col("_skey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(offDf), Seq("_src", "_bkt"))
+      .filter(col("_off") < budgetFor)
+      .withColumn("_cum", sum(col("_tok")).over(w))
+      .filter(col("_off") + col("_cum") - col("_tok") < budgetFor)
+      .drop("_src", "_tok", "_skey", "_bkt", "_off", "_cum")
+  }
 }

@@ -125,6 +125,41 @@ class PackingSpec extends SparkSpec {
     assert(byIntSrc == Map(1 -> 20L, 2 -> 20L)) // limiting source 2: scale 40
   }
 
+  test("weightedMixByTokens: output token mass matches targets, boundary doc kept") {
+    import graft.operators.Sampling
+    // source a: 100 docs x 10 tokens (1000), b: 50 docs x 40 tokens (2000)
+    val rows = (1 to 100).map(i => (i.toLong, "a", 10L)) ++
+      (101 to 150).map(i => (i.toLong, "b", 40L))
+    val df = rows.toDF("id", "src", "toks")
+    val out = Sampling.weightedMixByTokens(df, "src", "toks", Seq("id"),
+      Map("a" -> 0.5, "b" -> 0.5))
+    val byTok = out.groupBy("src").agg(sum($"toks").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // limiting source a: scale = 1000/0.5 = 2000 -> budgets a=1000, b=1000
+    assert(byTok("a") == 1000L) // all of a
+    assert(byTok("b") == 1000L) // exactly 25 of the 40-token docs
+    // boundary-doc rule: a 3-doc source with budget cutting mid-doc keeps
+    // the crossing doc (overshoot < one doc)
+    val tiny = Seq((1L, "x", 7L), (2L, "x", 7L), (3L, "x", 7L),
+      (4L, "y", 10L)).toDF("id", "src", "toks")
+    val cut = Sampling.weightedMixByTokens(tiny, "src", "toks", Seq("id"),
+      Map("x" -> 0.5, "y" -> 0.5))
+    val xTok = cut.filter($"src" === "x").agg(sum($"toks")).head().getLong(0)
+    // scale = min(21/0.5, 10/0.5) = 20 -> budget x = 10 -> keep 2 docs (14)
+    assert(xTok == 14L, s"crossing doc must be kept, got $xTok tokens")
+    // deterministic under repartitioning
+    val again = Sampling.weightedMixByTokens(df.repartition(7), "src", "toks",
+      Seq("id"), Map("a" -> 0.5, "b" -> 0.5))
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    // bucketed running-sum windows, never a bare per-source window
+    val windows = out.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.size == 2 &&
+      w.partitionSpec.exists(_.toString.contains("_bkt")), s"${w.partitionSpec}"))
+  }
+
   test("weightedMix: no per-source funnel — every rank window is bucketed") {
     import graft.operators.Sampling
     // 2M-doc mix: keep 10% of a / all of b — the b side pins the scale
