@@ -72,8 +72,13 @@ final class DerivedUpdater(spark: SparkSession, root: String,
   // otherwise-empty log
   private def markerPath(table: String, runId: String): org.apache.hadoop.fs.Path = {
     def safe(s: String) = s.replaceAll("[^A-Za-z0-9._-]", "_")
+    // sanitization can collide ('a/b' vs 'a_b'; runIds containing '__');
+    // a digest of the RAW pair keeps distinct keys on distinct markers
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest((table + "\u0000" + runId).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
     new org.apache.hadoop.fs.Path(
-      s"$root/meta_derived_claims/${safe(table)}__${safe(runId)}.claim")
+      s"$root/meta_derived_claims/${safe(table)}__${safe(runId)}__$digest.claim")
   }
 
   private def fsOf(p: org.apache.hadoop.fs.Path) =
@@ -97,13 +102,24 @@ final class DerivedUpdater(spark: SparkSession, root: String,
         try { java.nio.file.Files.writeString(f.toPath, claimId); true }
         catch { case _: java.io.IOException => f.delete(); false }
       }
-    } else
+    } else {
+      // mirror the local branch: a marker we created but could not stamp
+      // with ownership must not linger as an orphan blocking every
+      // claimer until the stale threshold
+      var created = false
       try {
         fs.mkdirs(p.getParent)
         val out = fs.create(p, false)
+        created = true
         try out.write(claimId.getBytes("UTF-8")) finally out.close()
         true
-      } catch { case _: java.io.IOException => false }
+      } catch {
+        case _: java.io.IOException =>
+          if (created)
+            try fs.delete(p, false) catch { case _: java.io.IOException => () }
+          false
+      }
+    }
   }
 
   /** Marker's recorded owner, if readable. */
@@ -155,7 +171,24 @@ final class DerivedUpdater(spark: SparkSession, root: String,
             s"${marker.getName}.$claimId.reclaim")
           val renamed = try fs.rename(marker, tomb)
             catch { case _: java.io.IOException => false }
-          renamed && { fs.delete(tomb, false); atomicCreate(marker, claimId) }
+          renamed && {
+            // TOCTOU guard: between our staleness read and the rename,
+            // another reclaimer may have tombstoned the stale marker AND
+            // won the re-raced create — the file we just moved would then
+            // be the NEW winner's fresh marker, not the stale one. Rename
+            // preserves mtime (local and HDFS), so re-check it on the
+            // tombstone: a fresh mtime means we stole a live claim — put
+            // it back and lose; only a verified-stale tombstone is deleted.
+            val tombStillStale =
+              try fs.getFileStatus(tomb).getModificationTime <
+                System.currentTimeMillis() - maxClaimAgeMinutes * 60000L
+              catch { case _: java.io.IOException => false }
+            if (!tombStillStale) {
+              try fs.rename(tomb, marker)
+              catch { case _: java.io.IOException => () }
+              false
+            } else { fs.delete(tomb, false); atomicCreate(marker, claimId) }
+          }
       }
     }
     val won = atomicCreate(marker, claimId) || reclaim()

@@ -34,7 +34,8 @@ object Story {
         case Some(_) => "failed"
         case None => "not_run"
       }
-      val error = r.flatMap(_.failure).map(e => q(e.getMessage)).getOrElse("null")
+      val error = r.flatMap(_.failure)
+        .map(e => q(Option(e.getMessage).getOrElse(e.toString))).getOrElse("null")
       val schema = r.filter(x => x.failure.isEmpty && !x.skipped)
         .map(x => q(x.df.schema.toDDL)).getOrElse("null")
       // rows from write-stage Observation metrics, never a count() re-run
