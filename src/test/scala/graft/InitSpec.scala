@@ -6,9 +6,13 @@ class InitSpec extends SparkSpec {
   test("scaffolded project plans clean and runs green end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("scaffold").toString + "/proj"
     assert(Init.mainExit(Array(dir, "--name", "Unit-Test Shop")) == 0)
-    Seq("project.yaml", "data/sample.csv", "README.md").foreach { f =>
+    Seq("project.yaml", "data/sample.csv", "README.md",
+        "tests/transforms_test.yaml").foreach { f =>
       assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/$f")), f)
     }
+
+    // the scaffolded declarative test suite passes as generated
+    assert(Test.mainExit(Array(s"$dir/tests")) == 0)
 
     val plan = graft.core.Planner.planFile(s"$dir/project.yaml")
     assert(plan.valid, plan.diagnostics.mkString("; "))
