@@ -24,8 +24,9 @@ import org.apache.spark.sql.SparkSession
 object Tools {
 
   private val usage: String =
-    """usage: graft.Tools <list | graph <yaml> | catalog <root> <table> | lineage <root>>
+    """usage: graft.Tools <list | graph <yaml> | export <yaml> | catalog <root> <table> | lineage <root>>
       |  graph:   [--set K=V ...]
+      |  export:  --target airflow|dagster --out FILE [--pipeline P] [--set K=V ...]
       |  catalog: [--pipeline P] [-n N]
       |  lineage: [--pipeline P] [--node N]""".stripMargin
 
@@ -34,6 +35,7 @@ object Tools {
   private[graft] def mainExit(argv: Array[String]): Int = argv.toList match {
     case "list" :: Nil => listCommand()
     case "graph" :: rest => graphCommand(rest)
+    case "export" :: rest => exportCommand(rest)
     case "catalog" :: rest => catalogCommand(rest)
     case "lineage" :: rest => lineageCommand(rest)
     case _ =>
@@ -112,6 +114,102 @@ object Tools {
             println("}")
             0
         }
+    }
+  }
+
+  /** Render the planned DAG as an Airflow DAG module (one pipeline) or a
+    * Dagster definitions module (whole project) — reference
+    * odibi/cli/export.py:1-66. No Spark; planner-validated configs only. */
+  private def exportCommand(args: List[String]): Int = {
+    var config: Option[String] = None
+    var target: Option[String] = None
+    var out: Option[String] = None
+    var pipeline: Option[String] = None
+    var subs = Map.empty[String, String]
+    var rest = args
+    while (rest.nonEmpty) rest match {
+      case "--target" :: v :: t => target = Some(v); rest = t
+      case "--out" :: v :: t => out = Some(v); rest = t
+      case "--pipeline" :: v :: t => pipeline = Some(v); rest = t
+      case "--set" :: kv :: t => kv.split("=", 2) match {
+        case Array(k, v) => subs += (k -> v); rest = t
+        case _ => System.err.println(s"--set needs K=V, got $kv"); return 2
+      }
+      case v :: t if config.isEmpty && !v.startsWith("-") => config = Some(v); rest = t
+      case other :: _ =>
+        System.err.println(s"unexpected argument $other"); return 2
+    }
+    (config, target, out) match {
+      case (Some(path), Some(tgt), Some(outFile)) =>
+        if (!Set("airflow", "dagster").contains(tgt)) {
+          System.err.println(s"error: --target must be airflow or dagster, got $tgt")
+          return 2
+        }
+        val p = java.nio.file.Paths.get(path)
+        if (!java.nio.file.Files.isReadable(p)) {
+          System.err.println(s"error: cannot read $path"); return 2
+        }
+        val text = subs.foldLeft(java.nio.file.Files.readString(p)) {
+          case (t, (k, v)) => t.replace("$" + s"{$k}", v)
+        }
+        val response =
+          try graft.core.Planner.plan(text, Option(p.getParent).map(_.toString))
+          catch {
+            case e: Exception =>
+              System.err.println(s"error: cannot parse $path: ${e.getMessage}")
+              return 1
+          }
+        val plans =
+          if (response.pipelinePlans.nonEmpty) response.pipelinePlans
+          else response.plan.toSeq
+        if (plans.isEmpty) {
+          response.diagnostics.foreach(d =>
+            System.err.println(s"${d.severity}: ${d.subject}: ${d.message}"))
+          return 1
+        }
+        // the project's display name: top-level `project:`/`name:` when
+        // present, else the sole pipeline's name
+        val project =
+          try new org.yaml.snakeyaml.Yaml().load[Any](text) match {
+            case m: java.util.Map[_, _] =>
+              Option(m.get("project")).orElse(Option(m.get("name")))
+                .map(_.toString).getOrElse(plans.head.pipeline)
+            case _ => plans.head.pipeline
+          } catch { case _: Exception => plans.head.pipeline }
+        val configAbs = p.toAbsolutePath.toString
+        val code =
+          try tgt match {
+            case "airflow" =>
+              val chosen = pipeline match {
+                case Some(name) => plans.find(_.pipeline == name).getOrElse {
+                  System.err.println(s"error: pipeline '$name' not found; " +
+                    s"have: ${plans.map(_.pipeline).mkString(", ")}")
+                  return 1
+                }
+                case None if plans.size == 1 => plans.head
+                case None =>
+                  System.err.println("error: --pipeline is required for airflow " +
+                    s"export of a multi-pipeline project; have: ${plans.map(_.pipeline).mkString(", ")}")
+                  return 2
+              }
+              graft.core.Orchestration.airflowDag(project, chosen, configAbs,
+                subs.toSeq.sortBy(_._1))
+            case _ =>
+              graft.core.Orchestration.dagsterDefs(project, plans, configAbs,
+                subs.toSeq.sortBy(_._1))
+          } catch {
+            case e: IllegalArgumentException =>
+              System.err.println(s"error: ${e.getMessage}")
+              return 1
+          }
+        val outPath = java.nio.file.Paths.get(outFile)
+        Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.writeString(outPath, code)
+        println(s"exported $tgt definitions to $outFile")
+        0
+      case _ =>
+        System.err.println(s"error: export needs <yaml> --target and --out\n$usage")
+        2
     }
   }
 

@@ -71,4 +71,67 @@ class ToolsSpec extends SparkSpec {
     assert(Tools.mainExit(Array("catalog", s"$dir/_system", "meta_nope")) == 1)
     assert(Tools.mainExit(Array("lineage", s"$dir/empty")) == 1)
   }
+
+  test("export renders the star_schema DAG as an Airflow module") {
+    val dir = java.nio.file.Files.createTempDirectory("toolsexp").toString
+    val out = s"$dir/star_dag.py"
+    val (code, _) = captured(Tools.mainExit(Array(
+      "export", "examples/star_schema/project.yaml",
+      "--target", "airflow", "--out", out, "--set", s"OUT=$dir/o")))
+    assert(code == 0)
+    val py = java.nio.file.Files.readString(java.nio.file.Paths.get(out))
+    // module shape: DAG + one BashOperator per node, edges via >>
+    assert(py.contains("from airflow import DAG"))
+    assert(py.contains("'graft_star_schema_demo'"))
+    Seq("bronze_customers", "bronze_orders", "dim_customer", "dim_date",
+        "fact_orders", "monthly_metrics").foreach { n =>
+      assert(py.contains(s"task_id='$n'"), n)
+      assert(py.contains(s"--select $n "), n)
+    }
+    assert(py.contains("[bronze_customers] >> dim_customer"))
+    assert(py.contains("[dim_customer, dim_date, bronze_orders] >> fact_orders")
+      || py.contains(">> fact_orders"))
+    // the run command points at the ABSOLUTE config path and re-applies
+    // the export-time --set substitutions on the worker
+    assert(py.contains("graft.Run /") && py.contains("project.yaml --select"))
+    assert(py.contains(s"--set OUT=$dir/o"))
+  }
+
+  test("export renders the whole project as Dagster definitions") {
+    val dir = java.nio.file.Files.createTempDirectory("toolsexp2").toString
+    val out = s"$dir/defs.py"
+    val (code, _) = captured(Tools.mainExit(Array(
+      "export", "examples/star_schema/project.yaml",
+      "--target", "dagster", "--out", out, "--set", s"OUT=$dir/o")))
+    assert(code == 0)
+    val py = java.nio.file.Files.readString(java.nio.file.Paths.get(out))
+    assert(py.contains("from dagster import AssetExecutionContext, Definitions, asset"))
+    assert(py.contains("name='fact_orders'"))
+    assert(py.contains("deps=['dim_customer', 'dim_date', 'bronze_orders']")
+      || py.contains("deps=["))
+    assert(py.contains("group_name='star_schema_demo'"))
+    assert(py.contains("defs = Definitions(assets=["))
+    // every node's asset appears exactly once in the Definitions list
+    assert("_asset_fact_orders".r.findAllIn(py).size >= 2) // def + list
+  }
+
+  test("export usage and failure modes") {
+    val dir = java.nio.file.Files.createTempDirectory("toolsexp3").toString
+    // missing required flags
+    assert(Tools.mainExit(Array("export", "examples/star_schema/project.yaml")) == 2)
+    assert(Tools.mainExit(Array(
+      "export", "x.yaml", "--target", "flink", "--out", s"$dir/o.py")) == 2)
+    assert(Tools.mainExit(Array(
+      "export", "/nope.yaml", "--target", "airflow", "--out", s"$dir/o.py")) == 2)
+    // unknown pipeline name exits 1
+    assert(Tools.mainExit(Array(
+      "export", "examples/star_schema/project.yaml", "--target", "airflow",
+      "--pipeline", "nope", "--out", s"$dir/o.py", "--set", s"OUT=$dir/o")) == 1)
+    // invalid config -> planner diagnostics, exit 1
+    val bad = s"$dir/bad.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(bad),
+      "name: g\nnodes:\n  - name: a\n    transformer: nope_not_real\n")
+    assert(Tools.mainExit(Array(
+      "export", bad, "--target", "dagster", "--out", s"$dir/o.py")) == 1)
+  }
 }
