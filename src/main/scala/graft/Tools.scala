@@ -24,11 +24,14 @@ import org.apache.spark.sql.SparkSession
 object Tools {
 
   private val usage: String =
-    """usage: graft.Tools <list | graph <yaml> | export <yaml> | catalog <root> <table> | lineage <root>>
+    """usage: graft.Tools <list | graph <yaml> | export <yaml> | catalog <root> <table> | lineage <root> | schema <root> ...>
       |  graph:   [--set K=V ...]
       |  export:  --target airflow|dagster --out FILE [--pipeline P] [--set K=V ...]
       |  catalog: [--pipeline P] [-n N]
-      |  lineage: [--pipeline P] [--node N]""".stripMargin
+      |  lineage: [--pipeline P] [--node N]
+      |  schema:  <root> history <node> [--pipeline P] [--limit N]
+      |           <root> diff <node> [--from V] [--to V] [--pipeline P]
+      |           <root> drift <node> [--pipeline P]""".stripMargin
 
   def main(argv: Array[String]): Unit = sys.exit(mainExit(argv))
 
@@ -38,6 +41,7 @@ object Tools {
     case "export" :: rest => exportCommand(rest)
     case "catalog" :: rest => catalogCommand(rest)
     case "lineage" :: rest => lineageCommand(rest)
+    case "schema" :: rest => schemaCommand(rest)
     case _ =>
       System.err.println(usage)
       2
@@ -210,6 +214,194 @@ object Tools {
       case _ =>
         System.err.println(s"error: export needs <yaml> --target and --out\n$usage")
         2
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // schema: version history / diff / live-sink drift over meta_schemas
+  // (reference: odibi/cli/schema.py:1-208 — history prints one line per
+  // version with +added/-removed/~retyped columns; diff compares two
+  // versions column by column). The catalog appends a schema snapshot
+  // every recorded run, so versions here are the CHANGE points: a new
+  // version starts whenever the DDL differs from the previous snapshot.
+  // ------------------------------------------------------------------
+
+  /** One schema version: number (1-based), first-seen timestamp, and the
+    * column name → SQL type map parsed from the recorded DDL. */
+  private final case class SchemaVersion(version: Int, capturedAt: java.sql.Timestamp,
+                                         columns: Seq[(String, String)]) {
+    def columnMap: Map[String, String] = columns.toMap
+  }
+
+  /** Collapse the node's append-per-run snapshots into change-point
+    * versions, oldest first. */
+  private def schemaVersions(catalog: graft.core.Catalog, node: String,
+                             pipeline: Option[String]): Seq[SchemaVersion] = {
+    import org.apache.spark.sql.functions.col
+    var df = catalog.table("meta_schemas").filter(col("node") === node)
+    pipeline.foreach(p => df = df.filter(col("pipeline") === p))
+    val snaps = df.select("schema_ddl", "recorded_at")
+      .orderBy(col("recorded_at").asc)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)))
+    val changes = snaps.foldLeft(Vector.empty[(String, java.sql.Timestamp)]) {
+      case (acc, (ddl, at)) =>
+        if (acc.lastOption.exists(_._1 == ddl)) acc else acc :+ (ddl, at)
+    }
+    changes.zipWithIndex.map { case ((ddl, at), i) =>
+      val cols = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        .fields.toSeq.map(f => f.name -> f.dataType.sql)
+      SchemaVersion(i + 1, at, cols)
+    }
+  }
+
+  /** +added / -removed / ~retyped between two column maps, in stable order. */
+  private def schemaChanges(from: Map[String, String], to: Map[String, String])
+      : (Seq[String], Seq[String], Seq[String]) = {
+    val added = to.keys.filterNot(from.contains).toSeq.sorted
+    val removed = from.keys.filterNot(to.contains).toSeq.sorted
+    val retyped = to.keys.filter(k => from.get(k).exists(_ != to(k))).toSeq.sorted
+    (added, removed, retyped)
+  }
+
+  private def schemaCommand(args: List[String]): Int = {
+    var pos = List.empty[String]
+    var pipeline: Option[String] = None
+    var limit = 10
+    var fromV: Option[Int] = None
+    var toV: Option[Int] = None
+    var rest = args
+    while (rest.nonEmpty) rest match {
+      case "--pipeline" :: v :: t => pipeline = Some(v); rest = t
+      case "--limit" :: v :: t => limit = v.toInt; rest = t
+      case "--from" :: v :: t => fromV = Some(v.toInt); rest = t
+      case "--to" :: v :: t => toV = Some(v.toInt); rest = t
+      case v :: t if !v.startsWith("-") => pos = pos :+ v; rest = t
+      case other :: _ =>
+        System.err.println(s"unexpected argument $other"); return 2
+    }
+    pos match {
+      case root :: verb :: node :: Nil if Set("history", "diff", "drift")(verb) =>
+        withSpark { spark =>
+          val catalog = new graft.core.Catalog(spark, root)
+          val versions =
+            try schemaVersions(catalog, node, pipeline)
+            catch {
+              case e: Exception =>
+                System.err.println(s"error: cannot read meta_schemas at $root: ${e.getMessage}")
+                return 1
+            }
+          if (versions.isEmpty) {
+            System.err.println(s"no schema history found for: $node")
+            return 1
+          }
+          verb match {
+            case "history" => schemaHistory(node, versions, limit)
+            case "diff" => schemaDiff(node, versions, fromV, toV)
+            case _ => schemaDrift(spark, catalog, node, pipeline, versions)
+          }
+        }
+      case _ =>
+        System.err.println(s"error: schema needs <root> <history|diff|drift> <node>\n$usage")
+        2
+    }
+  }
+
+  private def schemaHistory(node: String, versions: Seq[SchemaVersion], limit: Int): Int = {
+    println(s"Schema history: $node (${versions.size} versions)")
+    println(f"${"version"}%-9s ${"captured_at"}%-24s changes")
+    val shown = versions.takeRight(limit)
+    shown.foreach { v =>
+      val changes =
+        if (v.version == 1) s"initial schema (${v.columns.size} columns)"
+        else {
+          val prev = versions(v.version - 2).columnMap
+          val (added, removed, retyped) = schemaChanges(prev, v.columnMap)
+          def clip(prefix: String, xs: Seq[String]) =
+            if (xs.isEmpty) None
+            else Some(prefix + xs.take(3).mkString(",") + (if (xs.size > 3) "..." else ""))
+          Seq(clip("+", added), clip("-", removed), clip("~", retyped))
+            .flatten.mkString("; ")
+        }
+      println(f"v${v.version}%-8s ${v.capturedAt.toString.take(23)}%-24s $changes")
+    }
+    0
+  }
+
+  private def schemaDiff(node: String, versions: Seq[SchemaVersion],
+                         fromV: Option[Int], toV: Option[Int]): Int = {
+    if (versions.size < 2 && (fromV.isEmpty || toV.isEmpty)) {
+      System.err.println("need at least 2 versions to compare"); return 1
+    }
+    val to = toV.getOrElse(versions.size)
+    val from = fromV.getOrElse(to - 1)
+    def find(v: Int): Option[SchemaVersion] = versions.find(_.version == v)
+    (find(from), find(to)) match {
+      case (Some(f), Some(t)) =>
+        println(s"Schema diff: $node v$from -> v$to")
+        val fm = f.columnMap
+        val tm = t.columnMap
+        // preserve the TO version's column order, then removed columns
+        t.columns.foreach { case (name, typ) =>
+          fm.get(name) match {
+            case None => println(s"+ $name $typ")
+            case Some(old) if old != typ => println(s"~ $name $old -> $typ")
+            case Some(_) => println(s"  $name $typ")
+          }
+        }
+        f.columns.filterNot(c => tm.contains(c._1)).foreach { case (name, typ) =>
+          println(s"- $name $typ")
+        }
+        0
+      case _ =>
+        val missing = Seq(from -> find(from), to -> find(to))
+          .collect { case (v, None) => s"v$v" }.mkString(", ")
+        System.err.println(s"error: $missing not found (have v1..v${versions.size})")
+        1
+    }
+  }
+
+  /** Compare the latest RECORDED schema against the LIVE sink the node
+    * last wrote (meta_outputs path): exit 0 clean, 1 on drift — usable
+    * as a CI gate before rerunning a pipeline over an externally-managed
+    * table. */
+  private def schemaDrift(spark: SparkSession, catalog: graft.core.Catalog,
+                          node: String, pipeline: Option[String],
+                          versions: Seq[SchemaVersion]): Int = {
+    import org.apache.spark.sql.functions.col
+    val latest = versions.last
+    val pathRow =
+      try {
+        var df = catalog.table("meta_outputs").filter(col("node") === node)
+        pipeline.foreach(p => df = df.filter(col("pipeline") === p))
+        df.orderBy(col("recorded_at").desc).limit(1)
+          .select("path").collect().headOption.map(_.getString(0))
+      } catch { case _: Exception => None }
+    pathRow match {
+      case None =>
+        System.err.println(s"error: no recorded sink path for $node (meta_outputs)")
+        1
+      case Some(path) =>
+        val live =
+          try spark.read.parquet(path).schema.fields.toSeq
+            .map(f => f.name -> f.dataType.sql)
+          catch {
+            case e: Exception =>
+              System.err.println(s"error: cannot read live sink $path: ${e.getMessage}")
+              return 1
+          }
+        val liveMap = live.toMap
+        val (added, removed, retyped) = schemaChanges(latest.columnMap, liveMap)
+        if (added.isEmpty && removed.isEmpty && retyped.isEmpty) {
+          println(s"$node: live sink matches recorded v${latest.version} (${latest.columns.size} columns)")
+          0
+        } else {
+          println(s"$node: DRIFT vs recorded v${latest.version} at $path")
+          added.foreach(c => println(s"+ $c ${liveMap(c)}"))
+          removed.foreach(c => println(s"- $c ${latest.columnMap(c)}"))
+          retyped.foreach(c => println(s"~ $c ${latest.columnMap(c)} -> ${liveMap(c)}"))
+          1
+        }
     }
   }
 

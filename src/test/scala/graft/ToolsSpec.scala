@@ -115,6 +115,68 @@ class ToolsSpec extends SparkSpec {
     assert("_asset_fact_orders".r.findAllIn(py).size >= 2) // def + list
   }
 
+  test("schema history/diff collapse append-per-run snapshots into versions") {
+    val dir = java.nio.file.Files.createTempDirectory("toolsschema").toString
+    val cat = new Catalog(spark, s"$dir/_system")
+    val v1 = Seq((1, "a")).toDF("id", "v")
+    // two identical snapshots -> ONE version; then a change -> v2
+    cat.recordSchema("sp", "tbl", v1)
+    cat.recordSchema("sp", "tbl", v1)
+    Thread.sleep(5) // recorded_at must order v1 before v2
+    val v2 = Seq((1L, "a", true)).toDF("id", "v", "flag")
+    cat.recordSchema("sp", "tbl", v2)
+
+    val (hc, hist) = captured(Tools.mainExit(Array(
+      "schema", s"$dir/_system", "history", "tbl", "--pipeline", "sp")))
+    assert(hc == 0)
+    assert(hist.contains("2 versions"))
+    assert(hist.contains("initial schema (2 columns)"))
+    assert(hist.contains("+flag") && hist.contains("~id"))
+
+    val (dc, diff) = captured(Tools.mainExit(Array(
+      "schema", s"$dir/_system", "diff", "tbl")))
+    assert(dc == 0)
+    assert(diff.contains("v1 -> v2"))
+    assert(diff.contains("+ flag BOOLEAN"))
+    assert(diff.contains("~ id INT -> BIGINT"))
+    assert(diff.contains("  v STRING"))
+
+    // explicit versions; out-of-range exits 1
+    assert(Tools.mainExit(Array(
+      "schema", s"$dir/_system", "diff", "tbl", "--from", "1", "--to", "2")) == 0)
+    assert(Tools.mainExit(Array(
+      "schema", s"$dir/_system", "diff", "tbl", "--from", "1", "--to", "9")) == 1)
+    // unknown node exits 1
+    assert(Tools.mainExit(Array(
+      "schema", s"$dir/_system", "history", "nope")) == 1)
+    assert(Tools.mainExit(Array("schema", s"$dir/_system", "history")) == 2)
+  }
+
+  test("schema drift compares the latest recorded schema to the live sink") {
+    val dir = java.nio.file.Files.createTempDirectory("toolsdrift").toString
+    val cat = new Catalog(spark, s"$dir/_system")
+    val frame = Seq((1, "a")).toDF("id", "v")
+    frame.write.parquet(s"$dir/sink")
+    cat.recordSchema("dp", "tbl", frame)
+    cat.recordOutputs("dp", "r1", Seq(("tbl", s"$dir/sink", 1L)))
+
+    // clean: live sink matches the recorded schema
+    val (c0, clean) = captured(Tools.mainExit(Array(
+      "schema", s"$dir/_system", "drift", "tbl")))
+    assert(c0 == 0)
+    assert(clean.contains("matches recorded v1"))
+
+    // drift: the sink gains a column and retypes one behind the catalog's back
+    Seq((1L, "a", 0.5)).toDF("id", "v", "score")
+      .write.mode("overwrite").parquet(s"$dir/sink")
+    val (c1, drift) = captured(Tools.mainExit(Array(
+      "schema", s"$dir/_system", "drift", "tbl")))
+    assert(c1 == 1)
+    assert(drift.contains("DRIFT"))
+    assert(drift.contains("+ score DOUBLE"))
+    assert(drift.contains("~ id INT -> BIGINT"))
+  }
+
   test("export usage and failure modes") {
     val dir = java.nio.file.Files.createTempDirectory("toolsexp3").toString
     // missing required flags
