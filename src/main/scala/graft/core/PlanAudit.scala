@@ -18,9 +18,18 @@ object PlanAudit {
                          numBroadcastJoins: Int,
                          wholeStageCodegenSpans: Int,
                          pushedFilters: Seq[String],
-                         readSchemas: Seq[String]) {
+                         readSchemas: Seq[String],
+                         numCartesianProducts: Int = 0,
+                         numSinglePartitionExchanges: Int = 0) {
     /** True when no data-movement exchange remains (broadcasts allowed). */
     def shuffleFree: Boolean = numExchanges - numBroadcastExchanges == 0
+
+    /** The two shapes that kill a plan at cluster scale: a cartesian
+      * product (quadratic work) and a shuffle into ONE partition (all
+      * data through a single reducer). A plan passing this can still be
+      * slow, but it cannot be catastrophically unscalable. */
+    def scaleSafe: Boolean =
+      numCartesianProducts == 0 && numSinglePartitionExchanges == 0
   }
 
   // walk the physical plan INCLUDING AQE subtrees (whose current plan
@@ -53,7 +62,13 @@ object PlanAudit {
       wholeStageCodegenSpans = names.count(_.startsWith("WholeStageCodegen")),
       pushedFilters = scans.flatMap(s =>
         s.metadata.get("PushedFilters").toSeq.filter(_ != "[]")),
-      readSchemas = scans.map(_.requiredSchema.toDDL))
+      readSchemas = scans.map(_.requiredSchema.toDDL),
+      numCartesianProducts = names.count(_.contains("CartesianProduct")),
+      numSinglePartitionExchanges = nodes.count {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.outputPartitioning.numPartitions == 1
+        case _ => false
+      })
   }
 
   /** Fraction of scanned columns actually required, per scan (pruning).

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.Tag
+
+import graft.core.PlanAudit
+
+/** Marker for the slow scale-soak tests — exclude with `testOnly -- -l graft.Soak`. */
+object Soak extends Tag("graft.Soak")
+
+/**
+ * Scale soak: the most expensive bench plans rebuilt over ~20M-row
+ * synthetic frames (spark.range — no testdata dependency), asserting PLAN
+ * SHAPES rather than wall-time: no cartesian product, no shuffle into a
+ * single partition (the funnel that killed the r5 weightedMix), windows
+ * partitioned by bucketed keys. A funnel that hides at spec size (5k
+ * rows in 4 partitions) has nowhere to hide in the physical plan.
+ *
+ * The cheap plans (exact dedup, weighted mix) also EXECUTE at 20M to
+ * catch runtime-only regressions; the hashing-heavy ones (minhash,
+ * contamination) are audited pre-execution — the plan shape is the
+ * invariant, and their per-row cost is covered by the bench.
+ */
+class SoakSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val N = 20000000L
+
+  /** 20M docs, every body duplicated exactly once (id % (n/2)). */
+  private def docs(n: Long): DataFrame = spark.range(n).select(
+    $"id",
+    concat(lit("document body text number "), ($"id" % (n / 2)).cast("string"),
+      lit(" with some shared boilerplate words appended")).as("text"))
+
+  private def assertScaleSafe(name: String, a: PlanAudit.Audit): Unit = {
+    assert(a.numCartesianProducts == 0, s"$name: cartesian product in plan")
+    assert(a.numSinglePartitionExchanges == 0,
+      s"$name: shuffle into a single partition — a reducer funnel")
+  }
+
+  private def bucketedWindows(df: DataFrame, name: String,
+                              expectedKeys: Int): Unit = {
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    windows.foreach(w => assert(w.partitionSpec.size == expectedKeys,
+      s"$name: window must partition by $expectedKeys keys, got ${w.partitionSpec}"))
+  }
+
+  test("exact dedup at 20M: bucketed shuffle, executed row count", Soak) {
+    val out = graft.operators.Dedup.exactDedup(docs(N), "id", "text")
+    assertScaleSafe("exactDedup", PlanAudit.audit(out))
+    // every body occurs exactly twice -> exactly n/2 winners survive
+    assert(out.count() == N / 2)
+    // post-execution AQE plan stays funnel-free too
+    assertScaleSafe("exactDedup/executed", PlanAudit.audit(out))
+  }
+
+  test("weighted mix at 20M: every rank window is (source,bucket)-partitioned", Soak) {
+    val mix = spark.range(N).select(
+      $"id", when($"id" % 10 === 0, "b").otherwise("a").as("src"))
+    val out = graft.operators.Sampling.weightedMix(mix, "src", Seq("id"),
+      Map("a" -> 0.5, "b" -> 0.5))
+    assertScaleSafe("weightedMix", PlanAudit.audit(out))
+    bucketedWindows(out, "weightedMix", expectedKeys = 2)
+    // the b side (2M rows) pins the mix: exactly 2M kept per source
+    val bySrc = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("a" -> (N / 10), "b" -> (N / 10)))
+  }
+
+  test("sequence packing at 20M: range-bucketed prefix sums, no global window", Soak) {
+    val seqs = spark.range(N).select($"id", ($"id" % 509 + 1).as("toks"))
+    val out = graft.operators.Packing.packSequences(seqs, "id", "toks",
+      budget = 8192)
+    assertScaleSafe("packSequences", PlanAudit.audit(out))
+    bucketedWindows(out, "packSequences", expectedKeys = 1)
+    val windows = out.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    // each window partitions by the range bucket, never a constant
+    windows.foreach(w =>
+      assert(w.partitionSpec.exists(_.toString.contains("_bkt")),
+        s"packSequences: window not bucket-partitioned: ${w.partitionSpec}"))
+  }
+
+  test("minhash LSH pairs at 20M: banded equi-join, bucketed cap windows", Soak) {
+    val out = graft.operators.Dedup.minhashLshPairs(docs(N), "id", "text")
+    assertScaleSafe("minhashLshPairs", PlanAudit.audit(out))
+    // the bucket-cap count window partitions by (band, bucket)
+    bucketedWindows(out, "minhashLshPairs", expectedKeys = 2)
+  }
+
+  test("contamination at 20M: benchmark broadcast, corpus never pairs", Soak) {
+    val benchmark = (1 to 200).map(i =>
+      s"benchmark question $i about topic ${i % 7} answer text").toDF("text")
+    val out = graft.operators.Dedup.ngramContamination(
+      docs(N), "id", "text", benchmark, "text")
+    val a = PlanAudit.audit(out)
+    assertScaleSafe("contamination", a)
+    assert(a.numBroadcastJoins >= 1,
+      "contamination: benchmark n-gram set must join as a broadcast")
+  }
+
+  test("IVF top-k at 2M: centroid assignment stays shuffle- and blowup-free", Soak) {
+    // 2M embeddings (not 20M): construction runs Lloyd's sampling pass
+    // eagerly; the plan shape under audit is identical at any row count
+    val corpus = spark.range(2000000).select($"id",
+      transform(sequence(lit(0), lit(15)),
+        i => sin($"id" * (i + 1))).cast("array<float>").as("vec"))
+    val queries = spark.range(100).select($"id".as("qid"),
+      transform(sequence(lit(0), lit(15)),
+        i => cos($"qid" * (i + 1))).cast("array<float>").as("qvec"))
+    val out = graft.functions.Similarity.ivfTopK(
+      corpus, "id", "vec", queries, "qid", "qvec",
+      k = 5, numCentroids = 16, nprobe = 4, lloydIters = 1)
+    assertScaleSafe("ivfTopK", PlanAudit.audit(out))
+    assert(out.count() == 500) // 100 queries x k=5, executed end-to-end
+  }
+}
