@@ -208,6 +208,21 @@ object Planner {
 
     StandardTransformers.registerAll
 
+    // surface discovered extensions: loaded plugins as info (so a user
+    // can see WHY an off-catalog transformer name resolved), failures as
+    // warnings (a broken plugin never blocks planning — reference
+    // plugins.py logs-and-continues the same way)
+    Plugins.loadAll.foreach { p =>
+      p.error match {
+        case None =>
+          diags += Diagnostic("plugin_loaded", "info", "_project",
+            s"plugin '${p.name}' (${p.className}) registered")
+        case Some(err) =>
+          warn("plugin_failed", "_project",
+            s"plugin '${p.name}' (${p.className}) failed to load: $err")
+      }
+    }
+
     val semanticsBlock = root.get("semantics")
     val semanticModel = semanticsBlock.flatMap(b =>
       Try(YamlConfig.parseSemanticModel(b)) match {

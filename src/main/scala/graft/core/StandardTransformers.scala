@@ -368,5 +368,10 @@ object StandardTransformers {
           c.df.schema.toDDL != other.schema.toDDL)
         throw new IllegalStateException("cross_check: schemas differ")
       c.df }
+
+    // third-party extensions register LAST so a plugin can override a
+    // standard transformer by name (latest registration wins in the
+    // TrieMap), matching the reference's entry-point load order
+    Plugins.loadAll
   }
 }
