@@ -164,17 +164,34 @@ object Similarity {
    * of the data distribution (unlike LSH band width, whose bucket sizes
    * are data-dependent).
    *
-   * Two recall levers at a fixed nprobe/numCentroids budget (measured
-   * recall@5 on the sf0.01 embeddings: 0.66 bare → 0.87 with defaults):
+   * Two recall levers at a fixed nprobe/numCentroids budget:
    * `lloydIters` spherical k-means refinement sweeps over the
    * hash-sampled seeds (index-build cost, amortized where the index is
    * reused), and `assignSpill` nearest cells per corpus vector
-   * (replicated index; candidate work scales with it).
+   * (replicated index; candidate work scales with it). Measured recall@5
+   * on the sf0.01 embeddings (20 queries, 64 centroids; extra Lloyd
+   * iterations beyond 2 measured flat everywhere):
+   *
+   * {{{
+   * nprobe  assignSpill  recall@5   index size   candidates/query
+   *   16        2          0.880        2x          ~50% corpus
+   *   16        3          0.960        3x          ~75% corpus   <- default
+   *   20        2          0.910        2x          ~63% corpus
+   *   20        3          0.970        3x          ~94% corpus
+   *   24        3          0.990        3x         ~113% corpus
+   * }}}
+   *
+   * `assignSpill` is the dominant lever: boundary neighbors lost to the
+   * probe set re-enter through their runner-up cells. The default
+   * (16, 3) clears the 0.90 spec bound with margin; drop spill to 2 to
+   * halve index size where 0.88 recall is acceptable, or raise
+   * numCentroids (cells shrink, candidate fractions above scale down
+   * proportionally) when the corpus outgrows 64 cells.
    */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, queryIdCol: String, queryVecCol: String,
               k: Int, numCentroids: Int = 64, nprobe: Int = 16,
-              lloydIters: Int = 2, assignSpill: Int = 2,
+              lloydIters: Int = 2, assignSpill: Int = 3,
               refineDenom: Int = 4): DataFrame = {
     require(assignSpill >= 1 && assignSpill <= numCentroids,
       s"assignSpill must be in [1, numCentroids], got $assignSpill")

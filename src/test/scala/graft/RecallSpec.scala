@@ -36,8 +36,9 @@ class RecallSpec extends SparkSpec {
       queries, "qid", "qv", 5))
     val ri = recall(truth, ivf)
     info(f"ivfTopK recall@5, 20 queries: $ri%.3f")
-    // Lloyd-refined centroids + 2-cell spilled assignment (was 0.66 bare)
-    assert(ri >= 0.85, f"ivfTopK recall $ri%.3f below bound 0.85")
+    // Lloyd-refined centroids + 3-cell spilled assignment: measured 0.96
+    // (0.66 bare, 0.88 at spill=2 — sweep table in the ivfTopK scaladoc)
+    assert(ri >= 0.90, f"ivfTopK recall $ri%.3f below bound 0.90")
   }
 
   test("minhashLshPairs candidate recall vs exact-Jaccard pairs on documents") {
