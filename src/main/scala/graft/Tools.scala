@@ -31,7 +31,8 @@ object Tools {
       |  lineage: [--pipeline P] [--node N]
       |  schema:  <root> history <node> [--pipeline P] [--limit N]
       |           <root> diff <node> [--from V] [--to V] [--pipeline P]
-      |           <root> drift <node> [--pipeline P]""".stripMargin
+      |           <root> drift <node> [--pipeline P]
+      |  story:   <dir> [--pipeline P] [--run ID]""".stripMargin
 
   def main(argv: Array[String]): Unit = sys.exit(mainExit(argv))
 
@@ -42,6 +43,7 @@ object Tools {
     case "catalog" :: rest => catalogCommand(rest)
     case "lineage" :: rest => lineageCommand(rest)
     case "schema" :: rest => schemaCommand(rest)
+    case "story" :: rest => storyCommand(rest)
     case _ =>
       System.err.println(usage)
       2
@@ -403,6 +405,109 @@ object Tools {
           1
         }
     }
+  }
+
+  // ------------------------------------------------------------------
+  // story: terminal viewer over a `graft.Run --story DIR` output
+  // directory (reference: odibi/cli/story.py:1-535 — print the run
+  // summary, point at the HTML site). No Spark: the story JSON written
+  // by core.Story is self-contained, and JSON is a YAML subset, so the
+  // bundled snakeyaml parses it directly.
+  // ------------------------------------------------------------------
+  private def storyCommand(args: List[String]): Int = {
+    var root: Option[String] = None
+    var pipeline: Option[String] = None
+    var run: Option[String] = None
+    var rest = args
+    while (rest.nonEmpty) rest match {
+      case "--pipeline" :: v :: t => pipeline = Some(v); rest = t
+      case "--run" :: v :: t => run = Some(v); rest = t
+      case v :: t if root.isEmpty && !v.startsWith("-") => root = Some(v); rest = t
+      case other :: _ =>
+        System.err.println(s"unexpected argument $other"); return 2
+    }
+    root match {
+      case None => System.err.println(usage); 2
+      case Some(r) =>
+        val dir = java.nio.file.Paths.get(r)
+        if (!java.nio.file.Files.isDirectory(dir)) {
+          System.err.println(s"error: not a directory: $r"); return 1
+        }
+        val storyFiles = {
+          val s = java.nio.file.Files.list(dir)
+          try {
+            val b = scala.collection.mutable.Buffer.empty[java.nio.file.Path]
+            s.forEach(p => b += p)
+            b.toSeq
+          } finally s.close()
+        }.filter(_.getFileName.toString.endsWith("_story.json")).sortBy(_.toString)
+        val parsed = storyFiles.flatMap { p =>
+          try {
+            new org.yaml.snakeyaml.Yaml()
+              .load[Any](java.nio.file.Files.readString(p)) match {
+                case m: java.util.Map[_, _] =>
+                  Some(p -> m.asInstanceOf[java.util.Map[String, Any]])
+                case _ => None
+              }
+          } catch {
+            case e: Exception =>
+              System.err.println(s"warning: cannot parse $p: ${e.getMessage}")
+              None
+          }
+        }
+        val chosen = parsed
+          .filter { case (_, m) =>
+            pipeline.forall(_ == String.valueOf(m.get("pipeline"))) }
+          .filter { case (_, m) =>
+            run.forall(_ == String.valueOf(m.get("run_id"))) }
+        if (chosen.isEmpty) {
+          val known = parsed.map { case (_, m) =>
+            s"${m.get("pipeline")} (run ${m.get("run_id")})" }
+          System.err.println(
+            if (parsed.isEmpty) s"no *_story.json found in $r"
+            else s"no story matches the filter; have: ${known.mkString(", ")}")
+          return 1
+        }
+        chosen.foreach { case (path, m) =>
+          printStory(path, m)
+          if (chosen.size > 1) println()
+        }
+        0
+    }
+  }
+
+  private def printStory(path: java.nio.file.Path,
+                         m: java.util.Map[String, Any]): Unit = {
+    val pipeline = String.valueOf(m.get("pipeline"))
+    val nFailed = String.valueOf(m.get("n_failed"))
+    println(s"Pipeline: $pipeline")
+    println(s"Run:      ${m.get("run_id")}  (${m.get("wall_ms")} ms, " +
+      s"${m.get("n_nodes")} nodes, $nFailed failed)")
+    m.get("nodes") match {
+      case l: java.util.List[_] =>
+        println(f"  ${"node"}%-28s ${"status"}%-9s ${"ms"}%8s ${"rows"}%10s  detail")
+        l.forEach {
+          case n: java.util.Map[_, _] =>
+            val nm = n.asInstanceOf[java.util.Map[String, Any]]
+            val detail = Option(nm.get("error")).map(String.valueOf)
+              .orElse(Option(nm.get("skip_reason")).map(r => s"skipped: $r"))
+              .getOrElse("")
+            val rows = Option(nm.get("rows_written"))
+              .map(String.valueOf).getOrElse("-")
+            println(f"  ${String.valueOf(nm.get("name"))}%-28s ${
+              String.valueOf(nm.get("status"))}%-9s ${
+              String.valueOf(nm.get("duration_ms"))}%8s $rows%10s  ${detail.take(80)}")
+          case _ => ()
+        }
+      case _ => ()
+    }
+    // point at the HTML artifacts when the site was rendered alongside
+    val base = path.getFileName.toString.stripSuffix("_story.json")
+    Seq(s"${base}_story.html" -> "site", s"${base}_runs.html" -> "run history")
+      .foreach { case (f, label) =>
+        val p = path.resolveSibling(f)
+        if (java.nio.file.Files.exists(p)) println(s"  $label: $p")
+      }
   }
 
   private def withSpark[A](f: SparkSession => A): A = {

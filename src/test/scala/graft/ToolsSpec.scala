@@ -177,6 +177,41 @@ class ToolsSpec extends SparkSpec {
     assert(drift.contains("~ id INT -> BIGINT"))
   }
 
+  test("story prints the run summary from a recorded --story directory") {
+    val out = java.nio.file.Files.createTempDirectory("toolsstory").toString
+    assert(Run.mainExit(Array(
+      "examples/star_schema/project.yaml",
+      "--set", s"OUT=$out", "--story", s"$out/story")) == 0)
+    val runId = {
+      val json = java.nio.file.Files.readString(java.nio.file.Paths.get(
+        s"$out/story/star_schema_demo_story.json"))
+      "\"run_id\": \"([^\"]+)\"".r.findFirstMatchIn(json).get.group(1)
+    }
+
+    val (code, text) = captured(Tools.mainExit(Array("story", s"$out/story")))
+    assert(code == 0)
+    assert(text.contains("Pipeline: star_schema_demo"))
+    assert(text.contains(runId))
+    assert(text.contains("0 failed"))
+    Seq("bronze_customers", "fact_orders", "monthly_metrics").foreach(n =>
+      assert(text.contains(n), s"node $n missing from summary"))
+    assert(text.contains("success"))
+    // points at the rendered HTML artifacts
+    assert(text.contains("star_schema_demo_story.html"))
+    assert(text.contains("star_schema_demo_runs.html"))
+
+    // --run filters; an unknown run id lists what exists
+    assert(Tools.mainExit(Array(
+      "story", s"$out/story", "--run", runId)) == 0)
+    val (bad, _) = captured(Tools.mainExit(Array(
+      "story", s"$out/story", "--run", "nope")))
+    assert(bad == 1)
+    // empty / wrong directories fail cleanly
+    val empty = java.nio.file.Files.createTempDirectory("emptystory").toString
+    assert(Tools.mainExit(Array("story", empty)) == 1)
+    assert(Tools.mainExit(Array("story", s"$empty/missing")) == 1)
+  }
+
   test("export usage and failure modes") {
     val dir = java.nio.file.Files.createTempDirectory("toolsexp3").toString
     // missing required flags
