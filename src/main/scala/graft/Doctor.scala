@@ -85,8 +85,8 @@ object Doctor {
       else {
         val raw = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(p)), "UTF-8")
-        val text = args.subs.foldLeft(raw) { case (t, (k, v)) =>
-          t.replace("$" + s"{$k}", v) }
+        val text = graft.core.Secrets.substitute(raw, args.subs,
+          Option(java.nio.file.Paths.get(p).getParent).map(_.toString))
         configChecksText(text, p)
       }
     }

@@ -86,10 +86,12 @@ object Run {
       return 2
     }
     val baseDir = Option(path.getParent).map(_.toString)
-    val text = args.subs.foldLeft(
-      new String(java.nio.file.Files.readAllBytes(path), "UTF-8")) {
-      case (t, (k, v)) => t.replace("$" + s"{$k}", v)
-    }
+    // --set wins, then process env, then a .env next to the config
+    // (reference load_yaml_with_env); unresolved placeholders stay put
+    // so planner diagnostics can name them
+    val text = graft.core.Secrets.substitute(
+      new String(java.nio.file.Files.readAllBytes(path), "UTF-8"),
+      args.subs, baseDir)
 
     if (args.dryRun) {
       try {

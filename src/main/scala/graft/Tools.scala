@@ -32,7 +32,9 @@ object Tools {
       |  schema:  <root> history <node> [--pipeline P] [--limit N]
       |           <root> diff <node> [--from V] [--to V] [--pipeline P]
       |           <root> drift <node> [--pipeline P]
-      |  story:   <dir> [--pipeline P] [--run ID]""".stripMargin
+      |  story:   <dir> [--pipeline P] [--run ID]
+      |  secrets: init <yaml> [-o FILE] [--force]
+      |           validate <yaml> [--set K=V ...]""".stripMargin
 
   def main(argv: Array[String]): Unit = sys.exit(mainExit(argv))
 
@@ -44,6 +46,7 @@ object Tools {
     case "lineage" :: rest => lineageCommand(rest)
     case "schema" :: rest => schemaCommand(rest)
     case "story" :: rest => storyCommand(rest)
+    case "secrets" :: rest => secretsCommand(rest)
     case _ =>
       System.err.println(usage)
       2
@@ -79,10 +82,10 @@ object Tools {
         if (!java.nio.file.Files.isReadable(java.nio.file.Paths.get(path))) {
           System.err.println(s"error: cannot read $path"); return 2
         }
-        val text = subs.foldLeft(new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(path)), "UTF-8")) {
-          case (t, (k, v)) => t.replace("$" + s"{$k}", v)
-        }
+        val text = graft.core.Secrets.substitute(
+          new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(path)), "UTF-8"), subs,
+          Option(java.nio.file.Paths.get(path).getParent).map(_.toString))
         val response =
           try graft.core.Planner.plan(text,
             Option(java.nio.file.Paths.get(path).getParent).map(_.toString))
@@ -155,9 +158,9 @@ object Tools {
         if (!java.nio.file.Files.isReadable(p)) {
           System.err.println(s"error: cannot read $path"); return 2
         }
-        val text = subs.foldLeft(java.nio.file.Files.readString(p)) {
-          case (t, (k, v)) => t.replace("$" + s"{$k}", v)
-        }
+        val text = graft.core.Secrets.substitute(
+          java.nio.file.Files.readString(p), subs,
+          Option(p.getParent).map(_.toString))
         val response =
           try graft.core.Planner.plan(text, Option(p.getParent).map(_.toString))
           catch {
@@ -404,6 +407,77 @@ object Tools {
           retyped.foreach(c => println(s"~ $c ${latest.columnMap(c)} -> ${liveMap(c)}"))
           1
         }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // secrets: environment/placeholder hygiene for a config (reference:
+  // odibi/cli/secrets.py — `init` emits a .env.template listing every
+  // ${VAR} the config uses; `validate` checks each resolves from
+  // --set / process env / the .env file and exits 1 listing the gaps).
+  // Key Vault checking is env-blocked here and intentionally absent.
+  // ------------------------------------------------------------------
+  private def secretsCommand(args: List[String]): Int = {
+    var verb: Option[String] = None
+    var config: Option[String] = None
+    var out: Option[String] = None
+    var force = false
+    var subs = Map.empty[String, String]
+    var rest = args
+    while (rest.nonEmpty) rest match {
+      case "-o" :: v :: t => out = Some(v); rest = t
+      case "--force" :: t => force = true; rest = t
+      case "--set" :: kv :: t => kv.split("=", 2) match {
+        case Array(k, v) => subs += (k -> v); rest = t
+        case _ => System.err.println(s"--set needs K=V, got $kv"); return 2
+      }
+      case v :: t if verb.isEmpty && Set("init", "validate")(v) =>
+        verb = Some(v); rest = t
+      case v :: t if verb.nonEmpty && config.isEmpty && !v.startsWith("-") =>
+        config = Some(v); rest = t
+      case other :: _ =>
+        System.err.println(s"unexpected argument $other"); return 2
+    }
+    (verb, config) match {
+      case (Some(v), Some(cfg)) =>
+        val p = java.nio.file.Paths.get(cfg)
+        if (!java.nio.file.Files.isReadable(p)) {
+          System.err.println(s"error: cannot read $cfg"); return 2
+        }
+        val text = java.nio.file.Files.readString(p)
+        val vars = graft.core.Secrets.placeholders(text).toSeq.sorted
+        val baseDir = Option(p.getParent).map(_.toString)
+        v match {
+          case "init" =>
+            if (vars.isEmpty) { println(s"no placeholders found in $cfg"); return 0 }
+            val target = java.nio.file.Paths.get(out.getOrElse(
+              p.resolveSibling(".env.template").toString))
+            if (java.nio.file.Files.exists(target) && !force) {
+              System.err.println(s"error: $target exists (use --force to overwrite)")
+              return 1
+            }
+            java.nio.file.Files.writeString(target,
+              s"# graft environment template\n# generated from $cfg\n\n" +
+                vars.map(_ + "=").mkString("", "\n", "\n"))
+            println(s"wrote $target (${vars.size} variables)")
+            0
+          case _ =>
+            val missing = graft.core.Secrets.missing(text, subs, baseDir)
+            if (missing.isEmpty) {
+              println(s"OK: all ${vars.size} placeholders in $cfg resolve " +
+                "(--set / environment / .env)")
+              0
+            } else {
+              System.err.println(s"MISSING ${missing.size} of ${vars.size}:")
+              missing.foreach(m => System.err.println(s"  - $m"))
+              System.err.println("set them in the environment or a .env " +
+                "beside the config, or pass --set")
+              1
+            }
+        }
+      case _ =>
+        System.err.println(s"error: secrets needs <init|validate> <yaml>\n$usage")
+        2
     }
   }
 

@@ -102,8 +102,13 @@ object Planner {
 
   def planFile(path: String, limits: Limits = Limits()): PlanningResponse = {
     val p = java.nio.file.Paths.get(path)
-    val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-    plan(text, baseDir = Option(p.getParent).map(_.toString), limits = limits)
+    val baseDir = Option(p.getParent).map(_.toString)
+    // env + .env placeholder resolution, same order the Run CLI uses
+    // (minus --set, which the Plan main doesn't take)
+    val text = Secrets.substitute(
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8"),
+      Map.empty, baseDir)
+    plan(text, baseDir = baseDir, limits = limits)
   }
 
   /**

@@ -212,6 +212,59 @@ class ToolsSpec extends SparkSpec {
     assert(Tools.mainExit(Array("story", s"$empty/missing")) == 1)
   }
 
+  test("secrets init writes a template; validate resolves set/env/.env") {
+    val dir = java.nio.file.Files.createTempDirectory("toolssec").toString
+    val cfg = s"$dir/p.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(cfg),
+      s"""name: g
+         |connections:
+         |  lake: { kind: file, base_path: $${OUT} }
+         |  db: { kind: jdbc, base: $${env:DB_URL}, options: { password: $${DB_PASS} } }
+         |nodes:
+         |  - name: a
+         |    read: { format: parquet, path: $${OUT}/in }
+         |""".stripMargin)
+
+    val (ic, itext) = captured(Tools.mainExit(Array("secrets", "init", cfg)))
+    assert(ic == 0)
+    assert(itext.contains("3 variables"))
+    val tpl = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/.env.template"))
+    assert(tpl.contains("DB_PASS=") && tpl.contains("DB_URL=") && tpl.contains("OUT="))
+    // refuses to clobber without --force
+    assert(Tools.mainExit(Array("secrets", "init", cfg)) == 1)
+    assert(Tools.mainExit(Array("secrets", "init", cfg, "--force")) == 0)
+
+    // nothing resolvable yet -> all three missing, exit 1
+    assert(Tools.mainExit(Array("secrets", "validate", cfg)) == 1)
+    // --set covers one, a .env beside the config covers the rest
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/.env"),
+      "# local secrets\nexport DB_URL=jdbc:postgresql://h/db\nDB_PASS='s3cr3t'\n")
+    val (vc, vtext) = captured(Tools.mainExit(Array(
+      "secrets", "validate", cfg, "--set", "OUT=/tmp/x")))
+    assert(vc == 0, vtext)
+    assert(vtext.contains("all 3 placeholders"))
+    // usage errors
+    assert(Tools.mainExit(Array("secrets", "validate", "/nope.yaml")) == 2)
+    assert(Tools.mainExit(Array("secrets", "init")) == 2)
+  }
+
+  test("graph resolves placeholders from a .env beside the config") {
+    val dir = java.nio.file.Files.createTempDirectory("toolsenv").toString
+    val cfg = s"$dir/p.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(cfg),
+      s"""name: g
+         |nodes:
+         |  - name: a
+         |    read: { format: parquet, path: $${IN_DIR} }
+         |""".stripMargin)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/.env"),
+      s"IN_DIR=$dir/in\n")
+    val (code, dot) = captured(Tools.mainExit(Array("graph", cfg)))
+    assert(code == 0, dot)
+    assert(dot.contains("\"g.a\""))
+  }
+
   test("export usage and failure modes") {
     val dir = java.nio.file.Files.createTempDirectory("toolsexp3").toString
     // missing required flags
