@@ -34,7 +34,8 @@ object Tools {
       |           <root> drift <node> [--pipeline P]
       |  story:   <dir> [--pipeline P] [--run ID]
       |  secrets: init <yaml> [-o FILE] [--force]
-      |           validate <yaml> [--set K=V ...]""".stripMargin
+      |           validate <yaml> [--set K=V ...]
+      |  sync:    <sourceRoot> <targetRoot> [--tables a,b] [--mode incremental|full]""".stripMargin
 
   def main(argv: Array[String]): Unit = sys.exit(mainExit(argv))
 
@@ -47,6 +48,7 @@ object Tools {
     case "schema" :: rest => schemaCommand(rest)
     case "story" :: rest => storyCommand(rest)
     case "secrets" :: rest => secretsCommand(rest)
+    case "sync" :: rest => syncCommand(rest)
     case _ =>
       System.err.println(usage)
       2
@@ -407,6 +409,47 @@ object Tools {
           retyped.foreach(c => println(s"~ $c ${latest.columnMap(c)} -> ${liveMap(c)}"))
           1
         }
+    }
+  }
+
+  /** Replicate meta tables between catalog roots (reference:
+    * odibi/catalog_sync.py CatalogSyncer — dashboards / cross-region
+    * copies). Exit 1 when any table fails; missing tables in a fresh
+    * source are reported, not fatal. */
+  private def syncCommand(args: List[String]): Int = {
+    var pos = List.empty[String]
+    var tables: Option[Seq[String]] = None
+    var mode = "incremental"
+    var rest = args
+    while (rest.nonEmpty) rest match {
+      case "--tables" :: v :: t => tables = Some(v.split(",").toSeq.map(_.trim)); rest = t
+      case "--mode" :: v :: t => mode = v; rest = t
+      case v :: t if !v.startsWith("-") => pos = pos :+ v; rest = t
+      case other :: _ =>
+        System.err.println(s"unexpected argument $other"); return 2
+    }
+    if (!Set("incremental", "full")(mode)) {
+      System.err.println(s"error: --mode must be incremental or full, got $mode")
+      return 2
+    }
+    pos match {
+      case src :: tgt :: Nil => withSpark { spark =>
+        val results = graft.core.CatalogSync.sync(spark, src, tgt,
+          tables.getOrElse(graft.core.CatalogSync.DefaultTables), mode)
+        results.foreach { r =>
+          r.error match {
+            case None => println(f"[ ok ] ${r.table}%-22s ${r.rows}%8d rows (${r.mode})")
+            case Some(e) => println(f"[fail] ${r.table}%-22s $e")
+          }
+        }
+        val failed = results.count(!_.success)
+        println(s"synced ${results.count(_.success)}/${results.size} tables" +
+          (if (failed > 0) s", $failed failed" else ""))
+        if (failed > 0) 1 else 0
+      }
+      case _ =>
+        System.err.println(s"error: sync needs <sourceRoot> <targetRoot>\n$usage")
+        2
     }
   }
 
