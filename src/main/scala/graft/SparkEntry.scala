@@ -330,6 +330,16 @@ object SparkEntry {
     "q_embedding_neardup" -> ((s, d) => // rows-only
       Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
         dim = 64, threshold = 0.25)),
+    "q_cluster_components" -> ((s, d) => {
+      // exact connected components over a deterministic chain graph
+      // (edges (i, i+1) within 7-wide doc_id blocks) — multi-hop label
+      // propagation the single-pass minhashDedup approximation skips
+      val ids = t(s, d, "documents").select(col("doc_id").cast("long").as("id"))
+      val edges = ids.select(col("id").as("a"), (col("id") + 1).as("b"))
+        .join(ids.select(col("id").as("b")), Seq("b"), "left_semi")
+        .filter(col("a") % 7 =!= 6)
+      operators.Components.connectedComponents(edges, "a", "b", idCol = "id")
+    }),
     "q_token_count" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))),
@@ -642,6 +652,20 @@ object SparkEntry {
         |SELECT i.a, i.b, round(CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i), 6) AS jaccard
         |FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
         |WHERE CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) >= 0.5""".stripMargin,
+    // exact components via transitive closure (bounded: each node reaches
+    // <= 7 others on this chain graph, so the closure stays tiny)
+    "q_cluster_components" ->
+      """WITH RECURSIVE
+        |ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |e AS (SELECT a.id AS a, a.id + 1 AS b FROM ids a JOIN ids b2 ON a.id + 1 = b2.id
+        |      WHERE a.id % 7 <> 6),
+        |sym AS (SELECT a AS s, b AS d FROM e UNION SELECT b, a FROM e),
+        |reach(id, r) AS (
+        |  SELECT s, s FROM sym
+        |  UNION
+        |  SELECT reach.id, sym.d FROM reach JOIN sym ON reach.r = sym.s
+        |)
+        |SELECT id, min(r) AS component FROM reach GROUP BY id""".stripMargin,
     "q_filter_rows" ->
       "SELECT * FROM lineitem WHERE l_quantity > 30 AND l_discount < 0.05",
     "q_numeric_key" ->

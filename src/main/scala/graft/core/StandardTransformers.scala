@@ -369,6 +369,17 @@ object StandardTransformers {
         throw new IllegalStateException("cross_check: schemas differ")
       c.df }
 
+    // exact connected components over a pair list (a/b columns on the
+    // current frame), and cluster-exact dedup against a pairs dataset
+    reg("connected_components") { (c, p) =>
+      graft.operators.Components.connectedComponents(c.df,
+        strOpt(p, "a_col").getOrElse("a"), strOpt(p, "b_col").getOrElse("b"),
+        strOpt(p, "id_col").getOrElse("id")) }
+    reg("cluster_dedup") { (c, p) =>
+      graft.operators.Components.clusterDedup(c.df, str(p, "id"),
+        c.dataset(str(p, "pairs_dataset")),
+        strOpt(p, "a_col").getOrElse("a"), strOpt(p, "b_col").getOrElse("b")) }
+
     // third-party extensions register LAST so a plugin can override a
     // standard transformer by name (latest registration wins in the
     // TrieMap), matching the reference's entry-point load order
