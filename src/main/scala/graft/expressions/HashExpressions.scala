@@ -379,6 +379,107 @@ case class CosineSim(left: Expression, right: Expression, normalize: Boolean = t
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Jaccard similarity of two SORTED long arrays (distinct-element sets) by
+ * a single counting merge — no intersection/union arrays materialize.
+ * The `size(array_intersect)/size(array_union)` formulation this replaces
+ * builds a hash set and two result arrays PER PAIR; on the near-dup
+ * verify path (tens of thousands of candidate pairs × ~10³-element
+ * shingle sets) that allocation dominated the stage. Duplicate runs are
+ * skipped, so accidentally non-distinct inputs still get set semantics.
+ * Empty-union pairs return 0.0 (matching the guarded SQL formulation).
+ */
+case class SortedJaccard(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types.DoubleType
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sorted_jaccard"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"sorted_jaccard needs two array<bigint> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0
+    var inter = 0L; var union = 0L
+    while (i < na && j < nb) {
+      if (a.isNullAt(i) || b.isNullAt(j)) return null
+      val x = a.getLong(i); val y = b.getLong(j)
+      union += 1
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+      // skip duplicate runs so inputs behave as sets
+      while (i > 0 && i < na && !a.isNullAt(i) && a.getLong(i) == a.getLong(i - 1)) i += 1
+      while (j > 0 && j < nb && !b.isNullAt(j) && b.getLong(j) == b.getLong(j - 1)) j += 1
+    }
+    while (i < na) {
+      if (a.isNullAt(i)) return null
+      if (i == 0 || a.getLong(i) != a.getLong(i - 1)) union += 1
+      i += 1
+    }
+    while (j < nb) {
+      if (b.isNullAt(j)) return null
+      if (j == 0 || b.getLong(j) != b.getLong(j - 1)) union += 1
+      j += 1
+    }
+    if (union == 0) 0.0 else inter.toDouble / union.toDouble
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val inter = ctx.freshName("inter"); val union = ctx.freshName("uni")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+        |final int $na = $a.numElements(); final int $nb = $b.numElements();
+        |int $i = 0; int $j = 0; long $inter = 0L; long $union = 0L;
+        |while ($i < $na && $j < $nb && !${ev.isNull}) {
+        |  if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
+        |  final long $x = $a.getLong($i); final long $y = $b.getLong($j);
+        |  $union++;
+        |  if ($x == $y) { $inter++; $i++; $j++; }
+        |  else if ($x < $y) { $i++; } else { $j++; }
+        |  while ($i > 0 && $i < $na && !$a.isNullAt($i) && $a.getLong($i) == $a.getLong($i - 1)) $i++;
+        |  while ($j > 0 && $j < $nb && !$b.isNullAt($j) && $b.getLong($j) == $b.getLong($j - 1)) $j++;
+        |}
+        |while (!${ev.isNull} && $i < $na) {
+        |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+        |  if ($i == 0 || $a.getLong($i) != $a.getLong($i - 1)) $union++;
+        |  $i++;
+        |}
+        |while (!${ev.isNull} && $j < $nb) {
+        |  if ($b.isNullAt($j)) { ${ev.isNull} = true; break; }
+        |  if ($j == 0 || $b.getLong($j) != $b.getLong($j - 1)) $union++;
+        |  $j++;
+        |}
+        |if (!${ev.isNull}) { ${ev.value} = ($union == 0L) ? 0.0 : (double) $inter / (double) $union; }
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API wrappers. */
 object HashFunctions {
   def minhashShingles(text: Column, shingleSize: Int, numHashes: Int): Column =
@@ -401,6 +502,11 @@ object HashFunctions {
 
   def rangeBucket(v: Column, bounds: Array[Double]): Column =
     ColumnShim.column(RangeBucket(ColumnShim.expression(v), bounds))
+
+  /** Jaccard of two sorted array<bigint> set columns (counting merge). */
+  def sortedJaccard(a: Column, b: Column): Column =
+    ColumnShim.column(SortedJaccard(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
 }
 
 /**

@@ -250,7 +250,8 @@ object Dedup {
       array_sort(transform(wordShingles(col(textCol), n), x => xxhash64(x))).as("_sh"))
     val withA = candidates.join(shingled.select(col(idCol).as("a"), col("_sh").as("_sha")), "a")
     val withB = withA.join(shingled.select(col(idCol).as("b"), col("_sh").as("_shb")), "b")
-    withB.withColumn("jaccard", jaccard(col("_sha"), col("_shb")))
+    withB.withColumn("jaccard",
+      graft.expressions.HashFunctions.sortedJaccard(col("_sha"), col("_shb")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }

@@ -157,4 +157,29 @@ class PropertySpec extends SparkSpec {
       assert(chain.size == r.getString(0).count(_ == '.') + 1)
     }
   }
+
+  test("sortedJaccard equals the array_intersect/union formulation on random sets") {
+    import org.apache.spark.sql.functions._
+    import graft.expressions.HashFunctions
+    // random multisets incl. empties, duplicates, disjoint and identical
+    val gen = Gen.listOf(Gen.chooseNum(-5L, 25L))
+    val base = Gen.listOfN(120, Gen.zip(gen, gen)).sample.get
+    val cases = base ++ Seq(
+      (Nil, Nil), (List(1L, 1L, 2L), List(2L, 2L, 3L)),
+      (List(7L), Nil), (List(1L, 2L, 3L), List(1L, 2L, 3L)))
+    val df = cases.toDF("a", "b").select(
+      // the operator contract: sorted, distinct inputs
+      array_sort(array_distinct($"a")).as("sa"),
+      array_sort(array_distinct($"b")).as("sb"))
+    val got = df.select(
+      HashFunctions.sortedJaccard($"sa", $"sb").as("fast"),
+      graft.operators.Dedup.jaccard($"sa", $"sb").as("ref")).collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12,
+      s"mismatch: fast=${r.getDouble(0)} ref=${r.getDouble(1)}"))
+    // non-distinct (duplicate-run) inputs still behave as sets
+    val dup = Seq((List(1L, 1L, 2L, 5L, 5L), List(1L, 2L, 2L, 9L))).toDF("a", "b")
+      .select(HashFunctions.sortedJaccard(array_sort($"a"), array_sort($"b")))
+      .collect()(0).getDouble(0)
+    assert(math.abs(dup - 0.5) < 1e-12) // {1,2,5} vs {1,2,9}: inter 2, union 4
+  }
 }
