@@ -25,7 +25,8 @@ object Bench {
     "q_weighted_mix", "q_contamination",
     // round-7 additions: the remaining heavy operators
     "q_weighted_mix_tokens", "q_range_join", "q_ngram_jaccard_pairs",
-    "q_embedding_neardup", "q_lsh_topk", "q_stream_window")
+    "q_embedding_neardup", "q_lsh_topk", "q_stream_window",
+    "q_cluster_components")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
