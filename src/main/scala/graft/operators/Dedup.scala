@@ -166,6 +166,24 @@ object Dedup {
   }
 
   /**
+   * Exact-cluster variant of [[minhashDedup]]: candidate pairs from the
+   * same banded LSH, closed into true clusters by
+   * [[Components.connectedComponents]] before keeping one representative.
+   * Removes the transitive chains the single-pass label approximation
+   * can keep (A~B in bucket 1, B~C in bucket 2, but A and C never share
+   * a bucket → single-pass keeps both A and C; the exact closure keeps
+   * only A). Costs the iterative component rounds — pay it when the
+   * corpus has long template cascades, keep the single pass otherwise.
+   */
+  def minhashDedupExact(df: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 5, numHashes: Int = 64,
+                        bands: Int = 16,
+                        maxBucketSize: Option[Int] = Some(500)): DataFrame =
+    Components.clusterDedup(df, idCol,
+      minhashLshPairs(df, idCol, textCol, shingleSize, numHashes, bands,
+        maxBucketSize).select(col("a"), col("b")))
+
+  /**
    * SimHash: 64-bit signature where bit i = sign of the sum over tokens of
    * (+1 / -1 depending on bit i of xxhash64(token)). Near-dups differ in
    * few bits (use [[hammingDistance]] to filter).

@@ -49,6 +49,23 @@ class ComponentsSpec extends SparkSpec {
     assert(got.size == 300 && got.values.forall(_ == 0L))
   }
 
+  test("minhashDedupExact collapses transitive chains the single pass keeps") {
+    // A/B/C form a similarity chain: B shares half its text with each of
+    // A and C, but A and C share nothing — exact closure keeps only A
+    val half1 = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val half2 = (1 to 40).map(i => s"beta$i").mkString(" ")
+    val half3 = (1 to 40).map(i => s"gamma$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$half1 $half1"), (2L, s"$half1 $half2"), (3L, s"$half2 $half2"),
+      (4L, s"$half2 $half3"), (5L, s"$half3 $half3"),
+      (9L, "something entirely different and unrelated")).toDF("id", "text")
+    val kept = graft.operators.Dedup
+      .minhashDedupExact(docs, "id", "text", bands = 32)
+      .select("id").as[Long].collect().sorted
+    // the whole 1..5 chain is one component -> keep 1; 9 untouched
+    assert(kept.sameElements(Array(1L, 9L)), kept.mkString(","))
+  }
+
   test("clusterDedup keeps the min-id representative and untouched rows") {
     val df = (1 to 10).map(i => (i.toLong, s"doc$i")).toDF("id", "text")
     val pairs = Seq((2L, 3L), (3L, 4L), (7L, 9L)).toDF("a", "b")
