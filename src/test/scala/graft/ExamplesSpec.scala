@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.core.{Planner, Pipeline, Story, YamlConfig}
 
 /** The shipped example project must plan clean and run green end-to-end. */
@@ -81,6 +83,18 @@ class ExamplesSpec extends SparkSpec {
     // dedup is a subset of scored; packed matches deduped row-for-row
     val deduped = spark.read.parquet(s"$out/clean/deduped")
     assert(packed.count() == deduped.count() && deduped.count() <= scored.count())
+
+    // the near-dup branch: one representative per LSH-pair component —
+    // only docs that appear in a candidate pair may be removed
+    val nearDeduped = spark.read.parquet(s"$out/clean/near_deduped")
+    val pairs = spark.read.parquet(s"$out/clean/near_dup_pairs")
+    assert(nearDeduped.count() <= deduped.count() && nearDeduped.count() >= 1)
+    val paired = pairs.select(col("a").as("doc_id"))
+      .union(pairs.select(col("b").as("doc_id"))).distinct()
+    val removedUnpaired = deduped.select("doc_id")
+      .except(nearDeduped.select("doc_id"))
+      .join(paired, Seq("doc_id"), "left_anti").count()
+    assert(removedUnpaired == 0, s"$removedUnpaired unpaired docs removed")
 
     val stats = spark.read.parquet(s"$out/train/stats").collect()(0)
     assert(stats.getAs[Long]("n_sequences") >= 1)
