@@ -192,7 +192,50 @@ object Similarity {
               queries: DataFrame, queryIdCol: String, queryVecCol: String,
               k: Int, numCentroids: Int = 64, nprobe: Int = 16,
               lloydIters: Int = 2, assignSpill: Int = 3,
-              refineDenom: Int = 4): DataFrame = {
+              refineDenom: Int = 4): DataFrame =
+    ivfTopKIndexed(
+      buildIvfIndex(corpus, idCol, vecCol, numCentroids, lloydIters,
+        assignSpill, refineDenom),
+      queries, queryIdCol, queryVecCol, k, nprobe)
+
+  /**
+   * A built IVF index: driver-resident centroids plus the spilled
+   * (id, vec, cell) assignment table. Building is the expensive part
+   * (Lloyd refinement + a full corpus assignment pass) — build ONCE,
+   * [[IvfIndex.save]] it, and serve every later query batch from
+   * [[IvfIndex.load]] + [[ivfTopKIndexed]]; only re-build when the
+   * corpus changes materially. `nprobe` stays a QUERY-time knob, so one
+   * index serves both fast-low-recall and slow-high-recall callers.
+   */
+  final case class IvfIndex(centroids: Array[(Long, Seq[Double])],
+                            cells: DataFrame, idCol: String, vecCol: String) {
+    /** Persist as parquet under `path` (cells / centroids / meta). */
+    def save(path: String): Unit = {
+      val spark = cells.sparkSession
+      import spark.implicits._
+      cells.write.mode("overwrite").parquet(s"$path/cells")
+      centroids.toSeq.toDF("_cid", "_cvec").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/centroids")
+      Seq((idCol, vecCol)).toDF("id_col", "vec_col").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/meta")
+    }
+  }
+
+  object IvfIndex {
+    def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+      import spark.implicits._
+      val meta = spark.read.parquet(s"$path/meta").collect()(0)
+      val cents = spark.read.parquet(s"$path/centroids")
+        .select(col("_cid").as[Long], col("_cvec").as[Seq[Double]]).collect()
+      IvfIndex(cents, spark.read.parquet(s"$path/cells"),
+        meta.getString(0), meta.getString(1))
+    }
+  }
+
+  /** Build the IVF index (see [[ivfTopK]] for the algorithm notes). */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    numCentroids: Int = 64, lloydIters: Int = 2,
+                    assignSpill: Int = 3, refineDenom: Int = 4): IvfIndex = {
     require(assignSpill >= 1 && assignSpill <= numCentroids,
       s"assignSpill must be in [1, numCentroids], got $assignSpill")
     require(refineDenom >= 1, s"refineDenom must be >= 1, got $refineDenom")
@@ -205,8 +248,6 @@ object Similarity {
     // Keeping them lazy instead would nest the whole refinement chain under
     // every downstream reference (probes + each spill pass), re-running
     // full corpus scans per reference.
-    def literal(rows: Array[(Long, Seq[Double])]): DataFrame =
-      broadcast(rows.toSeq.toDF("_cid", "_cvec"))
 
     // Centroid assignment as a PURE EXPRESSION over the driver-resident
     // centroid matrix ([[graft.expressions.NearestCentroids]], codegen'd
@@ -259,7 +300,6 @@ object Similarity {
         .select(col("_cell").as("_cid"), col("_cvec"))
         .as[(Long, Seq[Double])].collect()
     }
-    val cents = literal(centRows)
 
     // Spilled corpus cell assignment (IVF with replication): each vector
     // indexes into its `assignSpill` nearest cells, so a neighbor sitting
@@ -272,6 +312,17 @@ object Similarity {
     val corpusCells = corp
       .select(col(idCol), col(vecCol),
         explode(nearestCells(centRows, col(vecCol), assignSpill)).as("_cell"))
+    IvfIndex(centRows, corpusCells, idCol, vecCol)
+  }
+
+  /** Serve one query batch from a built (or loaded) [[IvfIndex]]. */
+  def ivfTopKIndexed(index: IvfIndex, queries: DataFrame,
+                     queryIdCol: String, queryVecCol: String,
+                     k: Int, nprobe: Int = 16): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val idCol = index.idCol
+    val cents = broadcast(index.centroids.toSeq.toDF("_cid", "_cvec"))
 
     // query probes: top-nprobe centroids per query (queries are small)
     val q = queries.select(col(queryIdCol).as("_qid"), col(queryVecCol).as("_qvec"))
@@ -284,10 +335,10 @@ object Similarity {
 
     // rerank candidates from the probed cells only; a candidate can reach
     // a query through more than one spilled cell — dedup before ranking
-    val scored = corpusCells.join(probes, Seq("_cell"))
+    val scored = index.cells.join(probes, Seq("_cell"))
       .filter(col(idCol) =!= col("_qid"))
       .dropDuplicates("_qid", idCol)
-      .withColumn("_cos", cosine(col(vecCol), col("_qvec")))
+      .withColumn("_cos", cosine(col(index.vecCol), col("_qvec")))
     val w = Window.partitionBy(col("_qid")).orderBy(col("_cos").desc, col(idCol).asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

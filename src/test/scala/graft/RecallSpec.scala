@@ -41,6 +41,33 @@ class RecallSpec extends SparkSpec {
     assert(ri >= 0.90, f"ivfTopK recall $ri%.3f below bound 0.90")
   }
 
+  test("IVF index reuse and save/load roundtrip match the direct path") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter("vec_id < 20")
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid").cast("long"), col("vec_id").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = pairs(Similarity.ivfTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qv", 5))
+    val index = Similarity.buildIvfIndex(emb, "vec_id", "embedding")
+    assert(pairs(Similarity.ivfTopKIndexed(index, queries, "qid", "qv", 5)) == direct)
+    // second batch from the SAME index — no rebuild
+    val q2 = emb.filter("vec_id >= 20 AND vec_id < 30")
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val batch2 = pairs(Similarity.ivfTopKIndexed(index, q2, "qid", "qv", 5))
+    assert(batch2.nonEmpty && batch2.forall { case (q, _) => q >= 20 && q < 30 })
+    // persisted index serves identically after load
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    index.save(s"$dir/idx")
+    val loaded = Similarity.IvfIndex.load(spark, s"$dir/idx")
+    assert(loaded.idCol == "vec_id" && loaded.vecCol == "embedding")
+    assert(pairs(Similarity.ivfTopKIndexed(loaded, queries, "qid", "qv", 5)) == direct)
+    // nprobe stays a query-time knob: narrower probe is a subset-ish cheap path
+    assert(pairs(Similarity.ivfTopKIndexed(loaded, queries, "qid", "qv", 5,
+      nprobe = 4)).size == direct.size)
+  }
+
   test("minhashLshPairs candidate recall vs exact-Jaccard pairs on documents") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").filter("doc_id < 250")
       .select(col("doc_id").cast("long"), col("text")).cache()
