@@ -511,6 +511,20 @@ object SparkEntry {
       graft.streaming.Streaming.windowedAgg(events(s, d), "ts", "10 seconds",
         "1 hour", None, Seq("event_type"), Seq("n" -> "count(*)"))
         .select(col("window.start").as("window_start"), col("event_type"), col("n"))),
+    "q_avro_roundtrip" -> ((s, d) => {
+      // the native avro path end-to-end (no spark-avro jar in this env):
+      // parquet → container-file write → byte-range-split read → aggregate.
+      // The oracle aggregates the ORIGINAL parquet, so a hash match
+      // certifies the container encode/decode, not just this plan.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_avro_q").toString
+      graft.sources.AvroSource.write(
+        t(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+        s"$tmp/orders_avro")
+      graft.sources.AvroSource.read(s, s"$tmp/orders_avro", maxSplitBytes = 256 * 1024)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+    }),
     "q_multimodal_features" -> ((s, d) => {
       val media = graft.functions.Multimodal.asMedia(
         t(s, d, "documents").withColumn("payload", col("text").cast("binary")),
@@ -938,6 +952,8 @@ object SparkEntry {
       "SELECT l_orderkey, l_linenumber, t_c, p_pa, round(psat, 4) AS psat_pa, round(243.04 * g / (17.625 - g), 4) AS rt_tsat_c, round(p_pa * 0.0289647 / (8.314462618 * (t_c + 273.15)), 6) AS density FROM (SELECT *, ln(psat / 610.94) AS g FROM (SELECT l_orderkey, l_linenumber, l_quantity AS t_c, 101325.0 AS p_pa, 610.94 * exp(17.625 * l_quantity / (l_quantity + 243.04)) AS psat FROM lineitem) a) b",
     "q_stream_window" ->
       "SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n FROM events GROUP BY 1, 2",
+    "q_avro_roundtrip" ->
+      "SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS revenue, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM orders GROUP BY 1",
     "q_multimodal_features" ->
       "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, sha256(text) AS sha FROM documents",
     "q_harmonize_schema" ->

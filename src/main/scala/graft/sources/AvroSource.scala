@@ -1,0 +1,396 @@
+package graft.sources
+
+import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+import org.apache.avro.file.{CodecFactory, DataFileReader, DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericFixed, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import java.nio.ByteBuffer
+import java.time.{LocalDate, LocalDateTime, ZoneOffset}
+import scala.jdk.CollectionConverters._
+
+/**
+ * Native Avro container-file source/sink (reference: avro in the format
+ * enum `odibi/config.py:1084-1114`, read/write through the engine
+ * `odibi/engine/spark_engine.py:497-760,904-1750`). The `spark-avro`
+ * DataSource jar is not in this environment, but the Avro core +
+ * mapred jars ship with Spark itself — so this implements the format
+ * directly on that public API instead of declaring it env-blocked.
+ *
+ * Scale design:
+ *  - reads are SPLIT BY BYTE RANGE, not by file: Avro container files
+ *    are splittable on their sync markers (`DataFileReader.sync(start)`
+ *    / `pastSync(end)` — the same contract avro-mapred uses), so a
+ *    1000-executor cluster reading a handful of huge files still gets
+ *    one task per ~`maxPartitionBytes` range, no single-file funnel;
+ *  - schema is read ONCE on the driver from the first file header
+ *    (container files are self-describing); rows never pass through
+ *    the driver;
+ *  - converters between Avro generic data and Spark rows are built
+ *    once per task from the (avro, spark) schema pair — the per-row
+ *    path is closure application, not schema re-inspection;
+ *  - writes are one container file per partition, published atomically
+ *    through the same temp-dir + rename swap as every other overwrite
+ *    sink ([[graft.core.AtomicParquet]]).
+ *
+ * Types covered both directions: boolean/int/long/float/double/string,
+ * bytes/fixed (+ decimal logical), enum (as string), date,
+ * timestamp-millis/micros, local-timestamp-millis/micros (TimestampNTZ),
+ * record/array/map, and `union(null, T)` nullability. Other unions fail
+ * fast with the field name — better than a silent stringly collapse.
+ */
+object AvroSource {
+
+  // ---------------------------------------------------------------- schema
+
+  /** Avro container schema → Spark schema. */
+  def toSparkType(s: Schema): DataType = s.getType match {
+    case Schema.Type.BOOLEAN => BooleanType
+    case Schema.Type.INT =>
+      if (s.getLogicalType.isInstanceOf[LogicalTypes.Date]) DateType else IntegerType
+    case Schema.Type.LONG => s.getLogicalType match {
+      case _: LogicalTypes.TimestampMillis | _: LogicalTypes.TimestampMicros => TimestampType
+      case _: LogicalTypes.LocalTimestampMillis | _: LogicalTypes.LocalTimestampMicros => TimestampNTZType
+      case _ => LongType
+    }
+    case Schema.Type.FLOAT => FloatType
+    case Schema.Type.DOUBLE => DoubleType
+    case Schema.Type.STRING | Schema.Type.ENUM => StringType
+    case Schema.Type.BYTES | Schema.Type.FIXED => s.getLogicalType match {
+      case d: LogicalTypes.Decimal => DecimalType(d.getPrecision, d.getScale)
+      case _ => BinaryType
+    }
+    case Schema.Type.RECORD =>
+      StructType(s.getFields.asScala.map { f =>
+        StructField(f.name(), toSparkType(f.schema()), nullable = isNullable(f.schema()))
+      }.toSeq)
+    case Schema.Type.ARRAY =>
+      ArrayType(toSparkType(nonNull(s.getElementType)), containsNull = isNullable(s.getElementType))
+    case Schema.Type.MAP =>
+      MapType(StringType, toSparkType(nonNull(s.getValueType)), valueContainsNull = isNullable(s.getValueType))
+    case Schema.Type.UNION => toSparkType(nonNull(s))
+    case other => throw new IllegalArgumentException(s"unsupported avro type: $other")
+  }
+
+  private def isNullable(s: Schema): Boolean =
+    s.getType == Schema.Type.UNION && s.getTypes.asScala.exists(_.getType == Schema.Type.NULL)
+
+  /** The single non-null branch of a `union(null, T)`; fail on wider unions. */
+  private def nonNull(s: Schema): Schema =
+    if (s.getType != Schema.Type.UNION) s
+    else s.getTypes.asScala.filter(_.getType != Schema.Type.NULL).toList match {
+      case one :: Nil => one
+      case many => throw new IllegalArgumentException(
+        s"unsupported avro union of ${many.map(_.getType).mkString("/")}: " +
+          "only union(null, T) nullability maps to a Spark type")
+    }
+
+  /** Spark schema → Avro record schema (nullable fields as union(null, T)). */
+  def toAvroSchema(st: StructType, recordName: String = "topLevelRecord",
+                   namespace: String = "graft.avro"): Schema = {
+    val fields = st.fields.map { f =>
+      requireAvroName(f.name)
+      new Schema.Field(f.name, fieldSchema(f.dataType, f.nullable, f.name, namespace),
+        null, if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
+    }
+    Schema.createRecord(recordName, null, namespace, false, fields.toList.asJava)
+  }
+
+  private def requireAvroName(n: String): Unit =
+    if (!n.matches("[A-Za-z_][A-Za-z0-9_]*"))
+      throw new IllegalArgumentException(
+        s"column '$n' is not a valid avro field name — rename " +
+          "(normalize_column_names) before an avro write")
+
+  private def fieldSchema(dt: DataType, nullable: Boolean, path: String,
+                          ns: String): Schema = {
+    val base = dt match {
+      case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+      case ByteType | ShortType | IntegerType => Schema.create(Schema.Type.INT)
+      case LongType => Schema.create(Schema.Type.LONG)
+      case FloatType => Schema.create(Schema.Type.FLOAT)
+      case DoubleType => Schema.create(Schema.Type.DOUBLE)
+      case StringType => Schema.create(Schema.Type.STRING)
+      case BinaryType => Schema.create(Schema.Type.BYTES)
+      case DateType => LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+      case TimestampType =>
+        LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+      case TimestampNTZType =>
+        LogicalTypes.localTimestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+      case d: DecimalType =>
+        LogicalTypes.decimal(d.precision, d.scale)
+          .addToSchema(Schema.create(Schema.Type.BYTES))
+      case st: StructType =>
+        // nested record names must be unique within the schema — derive
+        // from the field path
+        toAvroSchema(st, s"${path.replace('.', '_')}_rec", ns)
+      case ArrayType(et, cn) => Schema.createArray(fieldSchema(et, cn, s"$path.item", ns))
+      case MapType(StringType, vt, vn) => Schema.createMap(fieldSchema(vt, vn, s"$path.value", ns))
+      case other => throw new IllegalArgumentException(
+        s"column '$path': no avro mapping for ${other.simpleString}")
+    }
+    if (nullable) Schema.createUnion(Schema.create(Schema.Type.NULL), base) else base
+  }
+
+  // ------------------------------------------------------------ converters
+
+  /** avro generic datum → Spark external value, built once per (schema, type). */
+  private def avroReader(s: Schema, dt: DataType): Any => Any = {
+    val core: Any => Any = (nonNull(s).getType, dt) match {
+      case (Schema.Type.STRING, StringType) | (Schema.Type.ENUM, StringType) =>
+        v => v.toString
+      case (Schema.Type.INT, DateType) =>
+        v => java.sql.Date.valueOf(LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
+      case (Schema.Type.INT, IntegerType) => identity
+      case (Schema.Type.LONG, TimestampType) =>
+        val micros = nonNull(s).getLogicalType.isInstanceOf[LogicalTypes.TimestampMicros]
+        v => {
+          val us = if (micros) v.asInstanceOf[Long] else v.asInstanceOf[Long] * 1000L
+          val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+          ts.setNanos(Math.floorMod(us, 1000000L).toInt * 1000)
+          ts
+        }
+      case (Schema.Type.LONG, TimestampNTZType) =>
+        val micros = nonNull(s).getLogicalType.isInstanceOf[LogicalTypes.LocalTimestampMicros]
+        v => {
+          val us = if (micros) v.asInstanceOf[Long] else v.asInstanceOf[Long] * 1000L
+          LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
+            Math.floorMod(us, 1000000L).toInt * 1000, ZoneOffset.UTC)
+        }
+      case (Schema.Type.LONG, LongType) => identity
+      case (Schema.Type.BYTES, d: DecimalType) =>
+        v => new java.math.BigDecimal(
+          new java.math.BigInteger(byteArray(v)), d.scale)
+      case (Schema.Type.FIXED, d: DecimalType) =>
+        v => new java.math.BigDecimal(
+          new java.math.BigInteger(byteArray(v)), d.scale)
+      case (Schema.Type.BYTES, BinaryType) | (Schema.Type.FIXED, BinaryType) =>
+        v => byteArray(v)
+      case (Schema.Type.RECORD, st: StructType) =>
+        val rs = nonNull(s)
+        val fields = rs.getFields.asScala.toArray
+        val subs = fields.zip(st.fields).map { case (f, sf) => avroReader(f.schema(), sf.dataType) }
+        v => {
+          val r = v.asInstanceOf[GenericRecord]
+          Row.fromSeq(fields.indices.map(i => nullThrough(subs(i))(r.get(i))))
+        }
+      case (Schema.Type.ARRAY, ArrayType(et, _)) =>
+        val sub = nullThrough(avroReader(nonNull(s).getElementType, et))
+        v => v.asInstanceOf[java.util.Collection[Any]].asScala.toSeq.map(sub)
+      case (Schema.Type.MAP, MapType(_, vt, _)) =>
+        val sub = nullThrough(avroReader(nonNull(s).getValueType, vt))
+        v => v.asInstanceOf[java.util.Map[Any, Any]].asScala
+          .map { case (k, x) => k.toString -> sub(x) }.toMap
+      case (Schema.Type.BOOLEAN, BooleanType) | (Schema.Type.FLOAT, FloatType) |
+           (Schema.Type.DOUBLE, DoubleType) => identity
+      case (at, st) => throw new IllegalArgumentException(
+        s"cannot read avro $at as spark ${st.simpleString}")
+    }
+    nullThrough(core)
+  }
+
+  private def nullThrough(f: Any => Any): Any => Any =
+    v => if (v == null) null else f(v)
+
+  private def byteArray(v: Any): Array[Byte] = v match {
+    case b: ByteBuffer =>
+      val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+    case f: GenericFixed => f.bytes()
+    case a: Array[Byte] => a
+  }
+
+  /** Spark external value → avro generic datum, built once per field. */
+  private def avroWriter(dt: DataType, avro: Schema): Any => Any = {
+    val target = nonNull(avro)
+    val core: Any => Any = dt match {
+      case StringType | BooleanType | IntegerType | LongType | FloatType | DoubleType => identity
+      case ByteType => v => v.asInstanceOf[Byte].toInt
+      case ShortType => v => v.asInstanceOf[Short].toInt
+      case BinaryType => v => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case DateType => v => v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt
+      case TimestampType => v => {
+        val ts = v.asInstanceOf[java.sql.Timestamp]
+        ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+      }
+      case TimestampNTZType => v => {
+        val ldt = v.asInstanceOf[LocalDateTime]
+        ldt.toEpochSecond(ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+      }
+      case d: DecimalType => v => ByteBuffer.wrap(
+        v.asInstanceOf[java.math.BigDecimal].setScale(d.scale)
+          .unscaledValue().toByteArray)
+      case st: StructType =>
+        val subs = st.fields.zipWithIndex.map { case (f, i) =>
+          (i, nullThrough(avroWriter(f.dataType, target.getFields.get(i).schema())))
+        }
+        v => {
+          val row = v.asInstanceOf[Row]
+          val rec = new GenericData.Record(target)
+          subs.foreach { case (i, w) => rec.put(i, w(row.get(i))) }
+          rec
+        }
+      case ArrayType(et, _) =>
+        val sub = nullThrough(avroWriter(et, target.getElementType))
+        v => v.asInstanceOf[scala.collection.Seq[Any]].map(sub).asJava
+      case MapType(_, vt, _) =>
+        val sub = nullThrough(avroWriter(vt, target.getValueType))
+        v => v.asInstanceOf[scala.collection.Map[String, Any]]
+          .map { case (k, x) => k -> sub(x) }.asJava
+      case other => throw new IllegalArgumentException(
+        s"no avro mapping for ${other.simpleString}")
+    }
+    nullThrough(core)
+  }
+
+  // ----------------------------------------------------------------- read
+
+  private def confEntries(conf: Configuration): Seq[(String, String)] =
+    conf.iterator().asScala.map(e => e.getKey -> e.getValue).toSeq
+
+  private def rebuild(entries: Seq[(String, String)]): Configuration = {
+    val c = new Configuration(false)
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  /** List data files under `path` (a file, or a directory of part files). */
+  private def listAvroFiles(fs: FileSystem, p: Path): Seq[(String, Long)] = {
+    val st = fs.getFileStatus(p)
+    val files =
+      if (st.isFile) Seq(st)
+      else fs.listStatus(p).toSeq.filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith(".")).sortBy(_.getPath.toString)
+    files.map(s => (s.getPath.toString, s.getLen))
+  }
+
+  /**
+   * Read Avro container files at `path` into a DataFrame. Schema comes
+   * from the first file's header (or `avroSchemaJson`); every task reads
+   * one `[start, start+len)` byte range of one file, landing on sync
+   * markers — so parallelism tracks data volume, not file count.
+   */
+  def read(spark: SparkSession, path: String,
+           avroSchemaJson: Option[String] = None,
+           maxSplitBytes: Long = 0L): DataFrame = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(hconf)
+    val files = listAvroFiles(fs, p)
+    require(files.nonEmpty, s"no avro files under $path")
+    val schema = avroSchemaJson.map(new Schema.Parser().parse).getOrElse {
+      val in = fs.open(new Path(files.head._1))
+      try {
+        val s = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+        try s.getSchema finally s.close()
+      } finally if (in != null) () // DataFileStream.close closes the stream
+    }
+    require(schema.getType == Schema.Type.RECORD,
+      s"top-level avro schema must be a record, got ${schema.getType}")
+    val sparkSchema = toSparkType(schema).asInstanceOf[StructType]
+    val splitBytes =
+      if (maxSplitBytes > 0) maxSplitBytes
+      else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    val splits = files.flatMap { case (f, len) =>
+      (0L until math.max(len, 1L) by splitBytes).map(off => (f, off, math.min(splitBytes, len - off)))
+    }
+    val schemaJson = schema.toString
+    val entries = confEntries(hconf)
+    val rows = spark.sparkContext
+      .parallelize(splits, math.max(splits.size, 1))
+      .mapPartitions { it =>
+        val conf = rebuild(entries)
+        val avro = new Schema.Parser().parse(schemaJson)
+        val fields = avro.getFields.asScala.toArray
+        val readers = fields.zip(sparkSchema.fields)
+          .map { case (f, sf) => avroReader(f.schema(), sf.dataType) }
+        it.flatMap { case (file, start, len) =>
+          val reader = new DataFileReader[GenericRecord](
+            new FsInput(new Path(file), conf),
+            new GenericDatumReader[GenericRecord](avro))
+          reader.sync(start)
+          val end = start + len
+          new Iterator[Row] {
+            private var closed = false
+            def hasNext: Boolean = !closed && {
+              val h = reader.hasNext && !reader.pastSync(end)
+              if (!h) { reader.close(); closed = true }
+              h
+            }
+            def next(): Row = {
+              val r = reader.next()
+              Row.fromSeq(fields.indices.map(i => readers(i)(r.get(i))))
+            }
+          }
+        }
+      }
+    spark.createDataFrame(rows, sparkSchema)
+  }
+
+  // ---------------------------------------------------------------- write
+
+  /**
+   * Write `df` as Avro container files, one per partition (partition 0
+   * always writes, so an empty frame still leaves a schema-bearing
+   * file). Modes: overwrite (atomic swap), append, ignore,
+   * error/errorifexists. Returns rows written (summed from the write
+   * tasks themselves — no second counting job).
+   */
+  def write(df: DataFrame, path: String, mode: String = "overwrite",
+            codec: String = "snappy"): Long = {
+    val spark = df.sparkSession
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = new Path(path).getFileSystem(hconf)
+    val exists = fs.exists(new Path(path))
+    mode match {
+      case "ignore" if exists => return 0L
+      case "error" | "errorifexists" if exists =>
+        throw new IllegalArgumentException(s"path already exists: $path")
+      case _ => ()
+    }
+    val avroSchema = toAvroSchema(df.schema)
+    val schemaJson = avroSchema.toString
+    val sparkSchema = df.schema
+    val entries = confEntries(hconf)
+    val token = java.lang.Long.toHexString(System.nanoTime())
+    def writeTo(dir: String): Long = {
+      df.rdd.mapPartitionsWithIndex { (i, rows) =>
+        if (rows.isEmpty && i != 0) Iterator.single(0L)
+        else {
+          val conf = rebuild(entries)
+          val avro = new Schema.Parser().parse(schemaJson)
+          val writers = sparkSchema.fields.zipWithIndex.map { case (f, j) =>
+            (j, avroWriter(f.dataType, avro.getFields.get(j).schema()))
+          }
+          val out = new Path(dir, f"part-$i%05d-$token.avro")
+          val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avro))
+          w.setCodec(codec match {
+            case "snappy" => CodecFactory.snappyCodec()
+            case "deflate" => CodecFactory.deflateCodec(6)
+            case "null" | "none" => CodecFactory.nullCodec()
+            case other => throw new IllegalArgumentException(s"unknown avro codec: $other")
+          })
+          val fsx = out.getFileSystem(conf)
+          w.create(avro, fsx.create(out, false))
+          var n = 0L
+          try rows.foreach { row =>
+            val rec = new GenericData.Record(avro)
+            writers.foreach { case (j, conv) => rec.put(j, conv(row.get(j))) }
+            w.append(rec)
+            n += 1
+          } finally w.close()
+          Iterator.single(n)
+        }
+      }.sum().toLong
+    }
+    if (mode == "overwrite") {
+      var written = 0L
+      graft.core.AtomicParquet.swap(hconf, path, token) { tmp => written = writeTo(tmp) }
+      written
+    } else { fs.mkdirs(new Path(path)); writeTo(path) }
+  }
+}

@@ -30,6 +30,12 @@ object Sources {
       return cfg.path.map(r.load).getOrElse(
         cfg.table.map(r.table).getOrElse(r.load()))
     }
+    // avro has no DataSource jar in this env — route through the native
+    // splittable reader ([[AvroSource]]); same declarative surface
+    if (cfg.format == "avro")
+      return AvroSource.read(spark,
+        cfg.path.getOrElse(throw new IllegalArgumentException("avro read needs path")),
+        avroSchemaJson = cfg.options.get("avroSchema"))
     var r: DataFrameReader = spark.read.format(cfg.format).options(cfg.options)
     cfg.schemaDdl.foreach(ddl => r = r.schema(StructType.fromDDL(ddl)))
     (cfg.path, cfg.table) match {
@@ -154,6 +160,15 @@ object Sources {
     require(cfg.zorderBy.isEmpty || cfg.partitionBy.isEmpty,
       "zorder_by and partition_by are mutually exclusive (Z-order ranges " +
         "would need recomputing per hive partition)")
+    if (cfg.format == "avro") {
+      // native path (no DataSource jar): rows counted by the write tasks
+      // themselves, so no Observation needed and still no second job
+      require(cfg.partitionBy.isEmpty && cfg.zorderBy.isEmpty,
+        "avro sink supports coalesce_partitions but not partition_by/zorder_by")
+      val d = cfg.coalescePartitions.map(df.coalesce).getOrElse(df)
+      return AvroSource.write(d, path, cfg.mode,
+        codec = cfg.options.getOrElse("codec", "snappy"))
+    }
     val obs = org.apache.spark.sql.Observation()
     // zorder (declarative clustering, reference liquid/ZORDER write
     // config): the layout needs THREE passes over the input — min/max
