@@ -525,6 +525,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"),
           min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
     }),
+    "q_excel_roundtrip" -> ((s, d) => {
+      // the native XLSX path end-to-end (no POI in this env): parquet →
+      // workbook write → executor-side StAX read (type inference on) →
+      // aggregate; the oracle aggregates the ORIGINAL parquet.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_excel_q").toString
+      graft.sources.ExcelSource.write(
+        t(s, d, "customer").select("c_custkey", "c_mktsegment", "c_acctbal").coalesce(1),
+        s"$tmp/customer_xlsx")
+      graft.sources.ExcelSource.read(s, s"$tmp/customer_xlsx")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("bal"),
+          min("c_custkey").as("min_key"), max("c_custkey").as("max_key"))
+    }),
     "q_multimodal_features" -> ((s, d) => {
       val media = graft.functions.Multimodal.asMedia(
         t(s, d, "documents").withColumn("payload", col("text").cast("binary")),
@@ -954,6 +967,8 @@ object SparkEntry {
       "SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n FROM events GROUP BY 1, 2",
     "q_avro_roundtrip" ->
       "SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS revenue, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM orders GROUP BY 1",
+    "q_excel_roundtrip" ->
+      "SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal, min(c_custkey) AS min_key, max(c_custkey) AS max_key FROM customer GROUP BY 1",
     "q_multimodal_features" ->
       "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, sha256(text) AS sha FROM documents",
     "q_harmonize_schema" ->

@@ -36,6 +36,15 @@ object Sources {
       return AvroSource.read(spark,
         cfg.path.getOrElse(throw new IllegalArgumentException("avro read needs path")),
         avroSchemaJson = cfg.options.get("avroSchema"))
+    if (cfg.format == "excel")
+      return ExcelSource.read(spark,
+        cfg.path.getOrElse(throw new IllegalArgumentException("excel read needs path")),
+        ExcelSource.ExcelOptions(
+          sheet = cfg.options.get("sheet"),
+          sheetPattern = cfg.options.get("sheet_pattern"),
+          addSheetName = cfg.options.get("add_sheet_name").exists(_.toBoolean),
+          addSourceFile = cfg.options.get("add_source_file").exists(_.toBoolean),
+          inferTypes = cfg.options.get("infer_types").forall(_.toBoolean)))
     var r: DataFrameReader = spark.read.format(cfg.format).options(cfg.options)
     cfg.schemaDdl.foreach(ddl => r = r.schema(StructType.fromDDL(ddl)))
     (cfg.path, cfg.table) match {
@@ -160,14 +169,16 @@ object Sources {
     require(cfg.zorderBy.isEmpty || cfg.partitionBy.isEmpty,
       "zorder_by and partition_by are mutually exclusive (Z-order ranges " +
         "would need recomputing per hive partition)")
-    if (cfg.format == "avro") {
-      // native path (no DataSource jar): rows counted by the write tasks
-      // themselves, so no Observation needed and still no second job
+    if (cfg.format == "avro" || cfg.format == "excel") {
+      // native paths (no DataSource jar in this env): rows counted by the
+      // write tasks themselves, so no Observation needed and no second job
       require(cfg.partitionBy.isEmpty && cfg.zorderBy.isEmpty,
-        "avro sink supports coalesce_partitions but not partition_by/zorder_by")
+        s"${cfg.format} sink supports coalesce_partitions but not partition_by/zorder_by")
       val d = cfg.coalescePartitions.map(df.coalesce).getOrElse(df)
-      return AvroSource.write(d, path, cfg.mode,
-        codec = cfg.options.getOrElse("codec", "snappy"))
+      return if (cfg.format == "avro")
+        AvroSource.write(d, path, cfg.mode,
+          codec = cfg.options.getOrElse("codec", "snappy"))
+      else ExcelSource.write(d, path, cfg.mode)
     }
     val obs = org.apache.spark.sql.Observation()
     // zorder (declarative clustering, reference liquid/ZORDER write
