@@ -52,28 +52,33 @@ object Components {
     var iter = 0
     while (!converged && iter < maxIter) {
       iter += 1
-      // (1) pull the min neighbor component
+      // (1) pull the min neighbor component. The PREVIOUS label rides
+      // along as _p so every change/convergence test below is a cheap
+      // filter over the already-materialized checkpoint — the naive shape
+      // (re-join next against labels per test) doubles the round's joins
+      // just to answer "did anything move".
       val nbrMin = edges
         .join(labels.select(col("_id").as("_d"), col("_c").as("_nc")), "_d")
         .groupBy(col("_s")).agg(min(col("_nc")).as("_nbr"))
       var next = labels
         .join(nbrMin.select(col("_s").as("_id"), col("_nbr")), Seq("_id"), "left")
-        .select(col("_id"), least(col("_c"), coalesce(col("_nbr"), col("_c"))).as("_c"))
+        .select(col("_id"), col("_c").as("_p"),
+          least(col("_c"), coalesce(col("_nbr"), col("_c"))).as("_c"))
         .localCheckpoint()
-      // (2) pointer-jump the label forest flat: comp := comp(comp)
-      var jumping = true
+      val changed = next.filter(col("_c") =!= col("_p")).limit(1).count() > 0
+      // (2) pointer-jump the label forest flat: comp := comp(comp). If
+      // nothing moved in (1), the labels are last round's — already flat.
+      var jumping = changed
       while (jumping) {
         val jumped = next
           .join(next.select(col("_id").as("_c"), col("_c").as("_cc")), Seq("_c"), "left")
-          .select(col("_id"), coalesce(col("_cc"), col("_c")).as("_c"))
+          .select(col("_id"), col("_c").as("_p"), coalesce(col("_cc"), col("_c")).as("_c"))
           .localCheckpoint()
-        jumping = jumped.join(next.select(col("_id"), col("_c").as("_p")), "_id")
-          .filter(col("_c") =!= col("_p")).limit(1).count() > 0
+        jumping = jumped.filter(col("_c") =!= col("_p")).limit(1).count() > 0
         next = jumped
       }
-      converged = next.join(labels.select(col("_id"), col("_c").as("_p")), "_id")
-        .filter(col("_c") =!= col("_p")).limit(1).count() == 0
-      labels = next
+      converged = !changed
+      labels = next.select("_id", "_c")
       if (!converged) {
         // (3) contract edges onto components; the graph shrinks every round
         edges = edges
