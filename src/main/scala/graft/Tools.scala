@@ -35,7 +35,8 @@ object Tools {
       |  story:   <dir> [--pipeline P] [--run ID]
       |  secrets: init <yaml> [-o FILE] [--force]
       |           validate <yaml> [--set K=V ...]
-      |  sync:    <sourceRoot> <targetRoot> [--tables a,b] [--mode incremental|full]""".stripMargin
+      |  sync:    <sourceRoot> <targetRoot> [--tables a,b] [--mode incremental|full]
+      |  deploy:  <yaml> [--set K=V ...]""".stripMargin
 
   def main(argv: Array[String]): Unit = sys.exit(mainExit(argv))
 
@@ -49,6 +50,7 @@ object Tools {
     case "story" :: rest => storyCommand(rest)
     case "secrets" :: rest => secretsCommand(rest)
     case "sync" :: rest => syncCommand(rest)
+    case "deploy" :: rest => deployCommand(rest)
     case _ =>
       System.err.println(usage)
       2
@@ -625,6 +627,69 @@ object Tools {
         val p = path.resolveSibling(f)
         if (java.nio.file.Files.exists(p)) println(s"  $label: $p")
       }
+  }
+
+  /** Register pipeline + node definitions into the system catalog
+    * (reference `odibi deploy`, cli/deploy.py:10-69: validate config,
+    * bootstrap the catalog, register_pipeline + register_node per
+    * pipeline). Drift against a previously deployed version is reported
+    * before re-registering — the reference's configDrift baseline. */
+  private def deployCommand(args: List[String]): Int = {
+    var config: Option[String] = None
+    var subs = Map.empty[String, String]
+    var rest = args
+    while (rest.nonEmpty) rest match {
+      case "--set" :: kv :: t => kv.split("=", 2) match {
+        case Array(k, v) => subs += (k -> v); rest = t
+        case _ => System.err.println(s"--set needs K=V, got $kv"); return 2
+      }
+      case v :: t if config.isEmpty && !v.startsWith("-") => config = Some(v); rest = t
+      case other :: _ => System.err.println(s"unexpected argument $other"); return 2
+    }
+    val path = config.getOrElse {
+      System.err.println(s"error: deploy needs <yaml>\n$usage"); return 2
+    }
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isReadable(p)) {
+      System.err.println(s"error: cannot read $path"); return 2
+    }
+    val baseDir = Option(p.getParent).map(_.toString)
+    val text = graft.core.Secrets.substitute(
+      java.nio.file.Files.readString(p), subs, baseDir)
+    val project =
+      try {
+        try graft.core.YamlConfig.loadProject(text, baseDir)
+        catch {
+          case _: IllegalArgumentException =>
+            val cfg = graft.core.YamlConfig.loadPipeline(text, baseDir)
+            graft.core.YamlConfig.ProjectConfig(cfg.name, Seq(cfg))
+        }
+      } catch {
+        case e: Exception =>
+          System.err.println(s"error: cannot load $path: ${e.getMessage}")
+          return 1
+      }
+    val catalogRoot = project.pipelines
+      .flatMap(_.nodes.flatMap(_.catalogRoot)).headOption.getOrElse {
+        System.err.println(
+          "error: system catalog not configured (set catalog_root); cannot deploy")
+        return 1
+      }
+    withSpark { spark =>
+      val catalog = new graft.core.Catalog(spark, catalogRoot)
+      val totalNodes = project.pipelines.map(_.nodes.size).sum
+      println(s"deploying ${project.pipelines.size} pipelines, " +
+        s"$totalNodes nodes to $catalogRoot")
+      project.pipelines.zipWithIndex.foreach { case (pl, i) =>
+        catalog.configDrift(pl).foreach(deployed => println(
+          s"  note: ${pl.name} drifted from deployed version $deployed — re-registering"))
+        catalog.registerPipeline(pl)
+        println(s"  [${i + 1}/${project.pipelines.size}] registered ${pl.name} " +
+          s"(${pl.nodes.size} nodes)")
+      }
+      println("deployment complete — system catalog is up to date")
+      0
+    }
   }
 
   private def withSpark[A](f: SparkSession => A): A = {

@@ -72,6 +72,48 @@ class ToolsSpec extends SparkSpec {
     assert(Tools.mainExit(Array("lineage", s"$dir/empty")) == 1)
   }
 
+  test("deploy registers pipelines + nodes into the catalog and reports drift") {
+    val dir = java.nio.file.Files.createTempDirectory("toolsdep").toString
+    Seq((1, "x")).toDF("id", "v").write.parquet(s"$dir/in")
+    val cfg = s"$dir/p.yaml"
+    def writeCfg(extraNode: String): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(cfg),
+        s"""name: dep
+           |catalog_root: $dir/_system
+           |nodes:
+           |  - name: src
+           |    read: { format: parquet, path: $dir/in }$extraNode
+           |""".stripMargin)
+    writeCfg("")
+    val (c1, out1) = captured(Tools.mainExit(Array("deploy", cfg)))
+    assert(c1 == 0)
+    assert(out1.contains("deploying 1 pipelines, 1 nodes")
+      && out1.contains("registered dep (1 nodes)")
+      && out1.contains("deployment complete"))
+    val cat = new Catalog(spark, s"$dir/_system")
+    assert(cat.table("meta_pipelines").filter("pipeline = 'dep'").count() == 1)
+    assert(cat.table("meta_nodes").filter("node = 'src'").count() == 1)
+    // re-deploy a CHANGED config: drift is reported, new version registered
+    writeCfg(
+      """
+        |  - name: derived
+        |    depends_on: [src]
+        |    steps: [{ sql: "SELECT id FROM df" }]""".stripMargin)
+    val (c2, out2) = captured(Tools.mainExit(Array("deploy", cfg)))
+    assert(c2 == 0 && out2.contains("drifted from deployed version"))
+    assert(cat.table("meta_pipelines").filter("pipeline = 'dep'").count() == 2)
+    assert(cat.table("meta_nodes").filter("node = 'derived'").count() == 1)
+    // no catalog_root → clean exit 1; missing file → 2
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/nocat.yaml"),
+      s"""name: nc
+         |nodes:
+         |  - name: s
+         |    read: { format: parquet, path: $dir/in }
+         |""".stripMargin)
+    assert(Tools.mainExit(Array("deploy", s"$dir/nocat.yaml")) == 1)
+    assert(Tools.mainExit(Array("deploy", s"$dir/nope.yaml")) == 2)
+  }
+
   test("export renders the star_schema DAG as an Airflow module") {
     val dir = java.nio.file.Files.createTempDirectory("toolsexp").toString
     val out = s"$dir/star_dag.py"
