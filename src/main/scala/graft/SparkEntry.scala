@@ -525,6 +525,9 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"),
           min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
     }),
+    "q_chunk_text" -> ((s, d) =>
+      TextAnalysis.chunkText(t(s, d, "documents"), "doc_id", "text",
+        chunkTokens = 64, overlapTokens = 16)),
     "q_excel_roundtrip" -> ((s, d) => {
       // the native XLSX path end-to-end (no POI in this env): parquet →
       // workbook write → executor-side StAX read (type inference on) →
@@ -967,6 +970,8 @@ object SparkEntry {
       "SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n FROM events GROUP BY 1, 2",
     "q_avro_roundtrip" ->
       "SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS revenue, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM orders GROUP BY 1",
+    "q_chunk_text" ->
+      "SELECT doc_id, chunk_idx, array_to_string(toks[chunk_idx*48+1 : chunk_idx*48+64], ' ') AS chunk_text, CAST(least(n - chunk_idx*48, 64) AS BIGINT) AS n_tokens FROM (SELECT doc_id, toks, n, unnest(generate_series(0, k-1)) AS chunk_idx FROM (SELECT doc_id, toks, len(toks) AS n, greatest(CAST(ceil((len(toks)-64)/48.0) AS BIGINT)+1, 1) AS k FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)))",
     "q_excel_roundtrip" ->
       "SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal, min(c_custkey) AS min_key, max(c_custkey) AS max_key FROM customer GROUP BY 1",
     "q_multimodal_features" ->

@@ -247,6 +247,43 @@ object TextAnalysis {
    * anti-join them away. Both joins are keyed equi-joins — AQE broadcasts
    * the blocklist when it fits, and nothing ever scans per-entry.
    */
+  /**
+   * Fixed-size token-window chunking with overlap — the document-prep
+   * step for RAG indexing and pretraining context packing: emit windows
+   * of `chunkTokens` whitespace tokens every `chunkTokens -
+   * overlapTokens` positions, rejoined with single spaces. One
+   * projection of codegen'd builtins (split → sequence → explode →
+   * slice → array_join): no UDF, no shuffle — chunking 100 TB runs at
+   * scan speed and the explode's row fan-out is exactly the chunk
+   * count. The tail chunk may be short (never dropped); a document
+   * shorter than one window yields one chunk. Token = whitespace word;
+   * budget by subword estimates upstream ([[tokenCountBpeIsh]]) if the
+   * consumer's tokenizer matters.
+   *
+   * @return (`idCol`, chunk_idx, chunk_text, n_tokens) — chunk_idx and
+   *         n_tokens as long
+   */
+  def chunkText(df: DataFrame, idCol: String, textCol: String,
+                chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlapTokens must be in [0, chunkTokens), got $overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    val nChunks = greatest(
+      (ceil((col("_n") - chunkTokens).cast("double") / stride) + 1).cast("long"),
+      lit(1L))
+    df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("_toks"))
+      .withColumn("_n", size(col("_toks")).cast("long"))
+      .select(col(idCol), col("_toks"), col("_n"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("_toks"),
+          (col("chunk_idx") * stride + 1).cast("int"), lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        least(col("_n") - col("chunk_idx") * stride, lit(chunkTokens.toLong))
+          .as("n_tokens"))
+  }
+
   def filterUrlBlocklist(df: DataFrame, idCol: String, urlCol: String,
                          blocklist: DataFrame, domainCol: String): DataFrame = {
     val suffixed = df.select(col(idCol),

@@ -263,4 +263,34 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2L)._1 == 0.0 && out(2L)._3 == 1.0)
     assert(out(3L) == ((0.0, 0.0, 0.0)))
   }
+
+  test("chunkText windows with overlap, short tail, and sub-window docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 9).map(i => s"w$i").mkString(" ")),  // 9 tokens → short tail
+      (2L, "only three words"),                        // shorter than a window
+      (3L, (1 to 8).map(i => s"t$i").mkString(" ")))   // last window exactly full
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkText(docs, "doc_id", "text",
+      chunkTokens = 4, overlapTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2))
+    // doc 1 (9 tokens): ceil((9-4)/2)+1 = 4 chunks at 0,2,4,6; 3-token tail
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(d1.head._3 == "w1 w2 w3 w4" && d1(1)._3 == "w3 w4 w5 w6")
+    assert(d1.last._3 == "w7 w8 w9" && d1.last._4 == 3L)
+    // overlap invariant: consecutive chunks share exactly overlapTokens
+    assert(d1(0)._3.split(" ").takeRight(2).toSeq == d1(1)._3.split(" ").take(2).toSeq)
+    // doc 2: one chunk, all tokens
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "only three words", 3L)))
+    // doc 3 (8 tokens): starts 0,2,4 → 3 chunks, last full
+    val d3 = out.filter(_._1 == 3L)
+    assert(d3.length == 3 && d3.last._3 == "t5 t6 t7 t8" && d3.last._4 == 4L)
+    // every token position is covered by at least one chunk
+    assert(d1.flatMap(_._3.split(" ")).distinct.length == 9)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkText(docs, "doc_id", "text", 4, 4)
+    }
+  }
 }
