@@ -26,7 +26,9 @@ object Bench {
     // round-7 additions: the remaining heavy operators
     "q_weighted_mix_tokens", "q_range_join", "q_ngram_jaccard_pairs",
     "q_embedding_neardup", "q_lsh_topk", "q_stream_window",
-    "q_cluster_components")
+    "q_cluster_components",
+    // native source paths + chunking: track scan/IO-bound ops per round
+    "q_avro_roundtrip", "q_chunk_text")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

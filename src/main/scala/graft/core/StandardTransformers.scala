@@ -290,6 +290,10 @@ object StandardTransformers {
       Packing.packSequences(c.df, str(p, "id_col"), str(p, "token_col"),
         p.get("budget").map(_.toString.toLong).getOrElse(2048L)) }
     reg("text_analysis") { (c, p) => TextAnalysis.analyze(c.df, str(p, "text_col")) }
+    reg("chunk_text") { (c, p) =>
+      TextAnalysis.chunkText(c.df, str(p, "id_col"), str(p, "text_col"),
+        intOpt(p, "chunk_tokens").getOrElse(512),
+        intOpt(p, "overlap_tokens").getOrElse(0)) }
     reg("as_media") { (c, p) =>
       graft.functions.Multimodal.asMedia(c.df, str(p, "id_col"), str(p, "bytes_col"),
         str(p, "mime_col"), strOpt(p, "source_uri_col")) }
