@@ -147,6 +147,7 @@ object Discovery {
     def formatOf(name: String): Option[String] = {
       val lower = name.toLowerCase
       Seq("parquet", "csv", "json", "orc", "avro").find(f => lower.endsWith(s".$f"))
+        .orElse(if (lower.endsWith(".xlsx")) Some("excel") else None)
     }
     val children =
       if (!fs.exists(hadoopPath)) Array.empty[org.apache.hadoop.fs.FileStatus]

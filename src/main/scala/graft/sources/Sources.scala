@@ -25,6 +25,11 @@ object Sources {
     * switches to readStream (file sources then require schema_ddl). */
   def read(spark: SparkSession, cfg: ReadConfig): DataFrame = {
     if (cfg.streaming) {
+      // the native formats have no streaming DataSource — fail at plan
+      // time with the workaround, not at runtime with a lookup error
+      require(cfg.format != "avro" && cfg.format != "excel",
+        s"${cfg.format} has no streaming source in this environment; " +
+          "batch-read it or stream a parquet/json landing copy")
       var r = spark.readStream.format(cfg.format).options(cfg.options)
       cfg.schemaDdl.foreach(ddl => r = r.schema(StructType.fromDDL(ddl)))
       return cfg.path.map(r.load).getOrElse(
