@@ -283,10 +283,11 @@ object AvroSource {
     require(files.nonEmpty, s"no avro files under $path")
     val schema = avroSchemaJson.map(new Schema.Parser().parse).getOrElse {
       val in = fs.open(new Path(files.head._1))
-      try {
-        val s = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
-        try s.getSchema finally s.close()
-      } finally if (in != null) () // DataFileStream.close closes the stream
+      // DataFileStream.close closes `in` — but its CONSTRUCTOR can throw
+      // (not an avro container) with the stream still open
+      val s = try new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+        catch { case e: Throwable => in.close(); throw e }
+      try s.getSchema finally s.close()
     }
     require(schema.getType == Schema.Type.RECORD,
       s"top-level avro schema must be a record, got ${schema.getType}")

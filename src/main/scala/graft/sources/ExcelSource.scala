@@ -226,6 +226,8 @@ object ExcelSource {
       s"(sheet=${options.sheet}, pattern=${options.sheetPattern})")
     val headerMap = first.head._2.headOption.getOrElse(
       throw new IllegalArgumentException(s"first sheet of ${files.head} is empty"))
+    require(headerMap.nonEmpty,
+      s"header row of ${files.head} has no cells — row 1 must hold column names")
     val header = (0 to headerMap.keys.max).map(i =>
       headerMap.getOrElse(i, s"_c$i").trim)
     require(header.distinct.size == header.size,
