@@ -36,7 +36,9 @@ object Tools {
       |  secrets: init <yaml> [-o FILE] [--force]
       |           validate <yaml> [--set K=V ...]
       |  sync:    <sourceRoot> <targetRoot> [--tables a,b] [--mode incremental|full]
-      |  deploy:  <yaml> [--set K=V ...]""".stripMargin
+      |  deploy:  <yaml> [--set K=V ...]
+      |  templates: list | show <name> | transformer <name> | schema [--out FILE]
+      |  system:  rebuild-summaries <root> [--run-id ID] [--sla P=HOURS ...] [--default-sla H]""".stripMargin
 
   def main(argv: Array[String]): Unit = sys.exit(mainExit(argv))
 
@@ -51,6 +53,8 @@ object Tools {
     case "secrets" :: rest => secretsCommand(rest)
     case "sync" :: rest => syncCommand(rest)
     case "deploy" :: rest => deployCommand(rest)
+    case "templates" :: rest => templatesCommand(rest)
+    case "system" :: rest => systemCommand(rest)
     case _ =>
       System.err.println(usage)
       2
@@ -690,6 +694,148 @@ object Tools {
       println("deployment complete — system catalog is up to date")
       0
     }
+  }
+
+  // ------------------------------------------------------------------
+  // templates: YAML scaffolds + editor JSON schema (reference:
+  // odibi/cli/templates.py — list/show/transformer/schema, generated
+  // from the live models so they cannot drift). No Spark.
+  // ------------------------------------------------------------------
+  private def templatesCommand(args: List[String]): Int = args match {
+    case "list" :: Nil =>
+      val t = graft.core.Introspect.nodeTemplates
+      println(s"node templates (${t.size}):  [graft.Tools templates show <name>]")
+      t.keys.toSeq.sorted.foreach(n => println(s"  $n"))
+      println()
+      graft.core.Introspect.inventory().toSeq.sortBy(_._1).foreach {
+        case (kind, names) => println(s"$kind (${names.size}): ${names.mkString(", ")}")
+      }
+      println("\neditor schema:  graft.Tools templates schema --out graft.schema.json")
+      0
+    case "show" :: name :: Nil =>
+      graft.core.Introspect.nodeTemplates.get(name) match {
+        case Some(yaml) => print(yaml); 0
+        case None =>
+          System.err.println(s"unknown template '$name'; have: " +
+            graft.core.Introspect.nodeTemplates.keys.toSeq.sorted.mkString(", "))
+          1
+      }
+    case "transformer" :: name :: Nil =>
+      graft.core.StandardTransformers.registerAll
+      val inPatterns = graft.patterns.PatternRegistry.names.contains(name)
+      val inTransformers = graft.core.TransformerRegistry.names.contains(name)
+      if (!inPatterns && !inTransformers) {
+        val near = (graft.patterns.PatternRegistry.names ++
+          graft.core.TransformerRegistry.names)
+          .filter(n => n.contains(name) || name.contains(n)).sorted
+        System.err.println(s"unknown transformer '$name'" +
+          (if (near.nonEmpty) s"; did you mean: ${near.mkString(", ")}" else ""))
+        return 1
+      }
+      if (inPatterns) {
+        println(s"# $name — composite pattern (node-level transformer)")
+        println(s"- name: my_node\n  transformer: $name\n  params: { }")
+      } else {
+        println(s"# $name — step transformer")
+        println(s"steps:\n  - function: $name\n    params: { }")
+      }
+      println("\n# parameter reference: docs/operators.md (graft.core.Introspect)")
+      0
+    case "schema" :: rest =>
+      var out: Option[String] = None
+      var r = rest
+      while (r.nonEmpty) r match {
+        case "--out" :: v :: t => out = Some(v); r = t
+        case other :: _ =>
+          System.err.println(s"unexpected argument $other"); return 2
+      }
+      val schema = graft.core.Introspect.jsonSchema()
+      out match {
+        case None => print(schema)
+        case Some(f) =>
+          val p = java.nio.file.Paths.get(f)
+          Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+          java.nio.file.Files.writeString(p, schema)
+          println(s"wrote $f — map it in VS Code settings: " +
+            """"yaml.schemas": { "graft.schema.json": ["*.yaml"] }""")
+      }
+      0
+    case _ =>
+      System.err.println(
+        s"error: templates needs list | show <name> | transformer <name> | schema\n$usage")
+      2
+  }
+
+  // ------------------------------------------------------------------
+  // system: materialize the derived health tables (reference:
+  // odibi/cli/system.py rebuild-summaries — recompute meta_daily_stats /
+  // meta_pipeline_health / meta_sla_status from the fact tables).
+  // Exactly-once per (table, run): the DerivedUpdater claim guard skips
+  // tables already rebuilt for the latest recorded run, so a scheduler
+  // can invoke this after every run without duplicate work; publishes
+  // are atomic snapshots. `system sync` lives under `graft.Tools sync`.
+  // ------------------------------------------------------------------
+  private def systemCommand(args: List[String]): Int = args match {
+    case "sync" :: _ =>
+      System.err.println("error: catalog sync is `graft.Tools sync <src> <tgt>`")
+      2
+    case "rebuild-summaries" :: rest =>
+      var root: Option[String] = None
+      var runId: Option[String] = None
+      var sla = Map.empty[String, Double]
+      var defaultSla = 24.0
+      var r = rest
+      while (r.nonEmpty) r match {
+        case "--run-id" :: v :: t => runId = Some(v); r = t
+        case "--default-sla" :: v :: t => defaultSla = v.toDouble; r = t
+        case "--sla" :: kv :: t => kv.split("=", 2) match {
+          case Array(k, v) => sla += (k -> v.toDouble); r = t
+          case _ => System.err.println(s"--sla needs PIPELINE=HOURS, got $kv"); return 2
+        }
+        case v :: t if root.isEmpty && !v.startsWith("-") => root = Some(v); r = t
+        case other :: _ =>
+          System.err.println(s"unexpected argument $other"); return 2
+      }
+      root match {
+        case None =>
+          System.err.println(s"error: rebuild-summaries needs <root>\n$usage"); 2
+        case Some(rt) => withSpark { spark =>
+          import org.apache.spark.sql.functions.col
+          val catalog = new graft.core.Catalog(spark, rt)
+          val latestRun =
+            try catalog.table("meta_runs").orderBy(col("recorded_at").desc)
+              .select("run_id").limit(1).collect().headOption.map(_.getString(0))
+            catch { case _: Exception => None }
+          val rid = runId.orElse(latestRun).getOrElse {
+            System.err.println(s"error: no runs recorded at $rt (meta_runs is empty)")
+            return 1
+          }
+          val du = new graft.core.DerivedUpdater(spark, rt)
+          val token = rid.replaceAll("[^A-Za-z0-9._-]", "_")
+          val jobs: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+            "meta_daily_stats" -> (() => catalog.dailyStats),
+            "meta_pipeline_health" -> (() => catalog.pipelineHealth),
+            "meta_sla_status" -> (() => catalog.slaStatus(sla, defaultSla)))
+          var failed = 0
+          jobs.foreach { case (table, mk) =>
+            try {
+              val ran = du.applyOnce(table, rid) {
+                graft.core.AtomicParquet.overwrite(mk(), s"$rt/$table", token)
+              }
+              println(if (ran) s"[built] $table (run $rid)"
+                      else s"[skip ] $table — already rebuilt for run $rid")
+            } catch {
+              case e: Exception =>
+                println(s"[fail ] $table — ${e.getMessage}")
+                failed += 1
+            }
+          }
+          if (failed > 0) 1 else 0
+        }
+      }
+    case _ =>
+      System.err.println(s"error: system needs rebuild-summaries <root>\n$usage")
+      2
   }
 
   private def withSpark[A](f: SparkSession => A): A = {

@@ -1,0 +1,144 @@
+package graft
+
+import graft.core.{Catalog, Introspect, Pipeline, Planner}
+
+/** `graft.Tools templates` scaffolds/JSON schema and `graft.Tools system
+  * rebuild-summaries` (reference: odibi/cli/templates.py, system.py). */
+class TemplatesSystemSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def captured(body: => Int): (Int, String) = {
+    val out = new java.io.ByteArrayOutputStream()
+    val code = Console.withOut(new java.io.PrintStream(out, true, "UTF-8"))(body)
+    (code, out.toString("UTF-8"))
+  }
+
+  test("templates list names every scaffold and registry") {
+    val (code, out) = captured(Tools.mainExit(Array("templates", "list")))
+    assert(code == 0)
+    Introspect.nodeTemplates.keys.foreach(k => assert(out.contains(k)))
+    assert(out.contains("transformers (") && out.contains("patterns ("))
+  }
+
+  test("every node template plans valid (stub deps auto-wired)") {
+    val yaml = new org.yaml.snakeyaml.Yaml()
+    Introspect.nodeTemplates.foreach { case (name, text) =>
+      val isFullFile = !text.linesIterator.exists(_.startsWith("- name:"))
+      val doc =
+        if (isFullFile) text
+        else {
+          // wrap the fragment: stub a parquet source per undefined dep
+          val nodes = yaml.load[Any](text)
+            .asInstanceOf[java.util.List[java.util.Map[String, Any]]]
+          val defined = new scala.collection.mutable.HashSet[String]
+          val deps = new scala.collection.mutable.LinkedHashSet[String]
+          nodes.forEach { n =>
+            defined += String.valueOf(n.get("name"))
+            n.get("depends_on") match {
+              case l: java.util.List[_] => l.forEach(d => deps += String.valueOf(d))
+              case _ => ()
+            }
+          }
+          val stubs = (deps -- defined).map(d =>
+            s"  - name: $d\n    read: { format: parquet, path: /tmp/$d }\n").mkString
+          val semantics =
+            if (name == "semantic")
+              """semantics:
+                |  metrics:
+                |    - { name: revenue, expr: "sum(amount)", source: $t.orders }
+                |  dimensions:
+                |    - { name: month, column: ts, time_grain: month }
+                |""".stripMargin
+            else ""
+          s"name: t\n$semantics" + "nodes:\n" + stubs +
+            text.linesIterator.filterNot(_.startsWith("#"))
+              .map("  " + _).mkString("", "\n", "\n")
+        }
+      val resp = Planner.plan(doc, None)
+      assert(resp.valid,
+        s"template '$name' does not plan: " +
+          resp.diagnostics.map(d => s"${d.subject}: ${d.message}").mkString("; "))
+    }
+  }
+
+  test("templates show/transformer: known and unknown names") {
+    val (c1, out1) = captured(Tools.mainExit(Array("templates", "show", "pipeline")))
+    assert(c1 == 0 && out1.contains("name: my_pipeline"))
+    assert(Tools.mainExit(Array("templates", "show", "nope")) == 1)
+    val (c2, out2) = captured(Tools.mainExit(Array(
+      "templates", "transformer", "filter_rows")))
+    assert(c2 == 0 && out2.contains("function: filter_rows"))
+    val (c3, out3) = captured(Tools.mainExit(Array(
+      "templates", "transformer", "scd2")))
+    assert(c3 == 0 && out3.contains("transformer: scd2")) // pattern-first
+    assert(Tools.mainExit(Array("templates", "transformer", "zzz_nope")) == 1)
+  }
+
+  test("templates schema is valid JSON mirroring the loader's strict sets") {
+    val (code, out) = captured(Tools.mainExit(Array("templates", "schema")))
+    assert(code == 0)
+    val root = new org.yaml.snakeyaml.Yaml().load[Any](out) // JSON is YAML
+      .asInstanceOf[java.util.Map[String, Any]]
+    val defs = root.get("definitions").asInstanceOf[java.util.Map[String, Any]]
+    val node = defs.get("node").asInstanceOf[java.util.Map[String, Any]]
+    assert(node.get("additionalProperties") == false)
+    val nodeProps = node.get("properties").asInstanceOf[java.util.Map[String, Any]]
+    Planner.nodeKeySet.foreach(k => assert(nodeProps.containsKey(k), s"node key $k"))
+    val testDef = defs.get("test").asInstanceOf[java.util.Map[String, Any]]
+    val kindEnum = testDef.get("properties").asInstanceOf[java.util.Map[String, Any]]
+      .get("kind").asInstanceOf[java.util.Map[String, Any]]
+      .get("enum").asInstanceOf[java.util.List[Any]]
+    Planner.testKindSet.foreach(k => assert(kindEnum.contains(k), s"test kind $k"))
+    val fnEnum = defs.get("step").asInstanceOf[java.util.Map[String, Any]]
+      .get("properties").asInstanceOf[java.util.Map[String, Any]]
+      .get("function").asInstanceOf[java.util.Map[String, Any]]
+      .get("enum").asInstanceOf[java.util.List[Any]]
+    assert(fnEnum.contains("filter_rows") && fnEnum.contains("weighted_mix_tokens"))
+    // --out writes the file
+    val dir = java.nio.file.Files.createTempDirectory("tmplschema").toString
+    val (c2, _) = captured(Tools.mainExit(Array(
+      "templates", "schema", "--out", s"$dir/graft.schema.json")))
+    assert(c2 == 0)
+    assert(java.nio.file.Files.size(
+      java.nio.file.Paths.get(s"$dir/graft.schema.json")) > 1000)
+  }
+
+  test("system rebuild-summaries materializes exactly once per run") {
+    val dir = java.nio.file.Files.createTempDirectory("sysrebuild").toString
+    val root = s"$dir/_system"
+    Seq((1, "x"), (2, "y")).toDF("id", "v").write.parquet(s"$dir/in")
+    val cfg = Pipeline.PipelineConfig("sysp", Seq(
+      Pipeline.NodeConfig("src",
+        read = Some(graft.sources.Sources.ReadConfig("parquet", Some(s"$dir/in"))))))
+    Catalog.runRecorded(spark, cfg, new Catalog(spark, root), "run1")
+
+    val (c1, out1) = captured(Tools.mainExit(Array(
+      "system", "rebuild-summaries", root, "--default-sla", "100000")))
+    assert(c1 == 0, out1)
+    assert("\\[built\\]".r.findAllIn(out1).size == 3, out1)
+    val health = spark.read.parquet(s"$root/meta_pipeline_health")
+    assert(health.filter($"pipeline" === "sysp").count() == 1)
+    val sla = spark.read.parquet(s"$root/meta_sla_status")
+    assert(sla.filter($"pipeline" === "sysp" && $"status" === "ok").count() == 1)
+    assert(spark.read.parquet(s"$root/meta_daily_stats").count() >= 1)
+
+    // same latest run: the claim guard skips all three
+    val (c2, out2) = captured(Tools.mainExit(Array(
+      "system", "rebuild-summaries", root)))
+    assert(c2 == 0)
+    assert("\\[skip \\]".r.findAllIn(out2).size == 3, out2)
+
+    // an explicit new run id rebuilds
+    val (c3, out3) = captured(Tools.mainExit(Array(
+      "system", "rebuild-summaries", root, "--run-id", "manual2")))
+    assert(c3 == 0)
+    assert("\\[built\\]".r.findAllIn(out3).size == 3, out3)
+
+    // empty catalog: clear error
+    assert(Tools.mainExit(Array(
+      "system", "rebuild-summaries", s"$dir/empty")) == 1)
+    assert(Tools.mainExit(Array("system", "sync", "a", "b")) == 2)
+    assert(Tools.mainExit(Array("system")) == 2)
+  }
+}
