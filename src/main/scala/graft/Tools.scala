@@ -38,7 +38,8 @@ object Tools {
       |  sync:    <sourceRoot> <targetRoot> [--tables a,b] [--mode incremental|full]
       |  deploy:  <yaml> [--set K=V ...]
       |  templates: list | show <name> | transformer <name> | schema [--out FILE]
-      |  system:  rebuild-summaries <root> [--run-id ID] [--sla P=HOURS ...] [--default-sla H]""".stripMargin
+      |  system:  rebuild-summaries <root> [--run-id ID] [--sla P=HOURS ...] [--default-sla H]
+      |  ui:      <root> --out DIR [--story DIR] [--config YAML] [--sla P=HOURS ...] [--default-sla H]""".stripMargin
 
   def main(argv: Array[String]): Unit = sys.exit(mainExit(argv))
 
@@ -55,6 +56,7 @@ object Tools {
     case "deploy" :: rest => deployCommand(rest)
     case "templates" :: rest => templatesCommand(rest)
     case "system" :: rest => systemCommand(rest)
+    case "ui" :: rest => uiCommand(rest)
     case _ =>
       System.err.println(usage)
       2
@@ -836,6 +838,43 @@ object Tools {
     case _ =>
       System.err.println(s"error: system needs rebuild-summaries <root>\n$usage")
       2
+  }
+
+  /** Render the static observability site (reference: odibi/ui/app.py's
+    * FastAPI dashboard — its server deps are env-blocked; the static
+    * render serves the same three views from any file host). */
+  private def uiCommand(args: List[String]): Int = {
+    var root: Option[String] = None
+    var out: Option[String] = None
+    var story: Option[String] = None
+    var config: Option[String] = None
+    var sla = Map.empty[String, Double]
+    var defaultSla = 24.0
+    var rest = args
+    while (rest.nonEmpty) rest match {
+      case "--out" :: v :: t => out = Some(v); rest = t
+      case "--story" :: v :: t => story = Some(v); rest = t
+      case "--config" :: v :: t => config = Some(v); rest = t
+      case "--default-sla" :: v :: t => defaultSla = v.toDouble; rest = t
+      case "--sla" :: kv :: t => kv.split("=", 2) match {
+        case Array(k, v) => sla += (k -> v.toDouble); rest = t
+        case _ => System.err.println(s"--sla needs PIPELINE=HOURS, got $kv"); return 2
+      }
+      case v :: t if root.isEmpty && !v.startsWith("-") => root = Some(v); rest = t
+      case other :: _ =>
+        System.err.println(s"unexpected argument $other"); return 2
+    }
+    (root, out) match {
+      case (Some(rt), Some(dir)) => withSpark { spark =>
+        val index = graft.core.Dashboard.write(spark, rt, dir, sla, defaultSla,
+          story, config)
+        println(s"wrote $index")
+        0
+      }
+      case _ =>
+        System.err.println(s"error: ui needs <root> --out DIR\n$usage")
+        2
+    }
   }
 
   private def withSpark[A](f: SparkSession => A): A = {

@@ -141,4 +141,49 @@ class TemplatesSystemSpec extends SparkSpec {
     assert(Tools.mainExit(Array("system", "sync", "a", "b")) == 2)
     assert(Tools.mainExit(Array("system")) == 2)
   }
+
+  test("ui renders the static observability site from the catalog") {
+    val dir = java.nio.file.Files.createTempDirectory("uisite").toString
+    val root = s"$dir/_system"
+    val catalog = new Catalog(spark, root)
+    // one healthy run and one with a failed node
+    catalog.recordRun("etl", "r1", Seq(("a", true, 120L, ""), ("b", true, 80L, "")))
+    catalog.recordRun("etl", "r2", Seq(("a", true, 110L, ""), ("b", false, 30L, "boom")))
+    catalog.recordRun("mart", "r9", Seq(("m", true, 40L, "")))
+    // a story dir with one rendered site page
+    val storyDir = s"$dir/story"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(storyDir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$storyDir/etl_r2_story.html"), "<html>s</html>")
+    val cfgPath = s"$dir/p.yaml"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(cfgPath),
+      "name: etl\nnodes: []\n")
+
+    val (code, out) = captured(Tools.mainExit(Array(
+      "ui", root, "--out", s"$dir/site", "--story", storyDir,
+      "--config", cfgPath, "--default-sla", "100000")))
+    assert(code == 0, out)
+    val index = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/site/index.html"))
+    assert(index.contains("etl") && index.contains("mart"))
+    assert(index.contains("50%")) // etl: 1 of 2 runs green
+    assert(index.contains("100%")) // mart
+    assert(index.contains(""">ok<""")) // sla fresh under the huge default
+    assert(index.contains("<code>r2</code>"))
+    val stories = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/site/stories.html"))
+    assert(stories.contains("etl_r2_story.html") && stories.contains("etl_r2</a>"))
+    // links resolve relative to the site dir
+    assert(stories.contains("href=\"../story/etl_r2_story.html\""))
+    val cfgHtml = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/site/config.html"))
+    assert(cfgHtml.contains("name: etl"))
+    // empty catalog renders an empty-but-valid dashboard
+    val (c2, _) = captured(Tools.mainExit(Array(
+      "ui", s"$dir/none", "--out", s"$dir/site2")))
+    assert(c2 == 0)
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$dir/site2/index.html")).contains("no runs recorded yet"))
+    assert(Tools.mainExit(Array("ui", root)) == 2)
+  }
 }
