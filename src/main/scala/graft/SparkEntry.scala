@@ -323,6 +323,17 @@ object SparkEntry {
       Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text")),
     "q_minhash_dedup" -> ((s, d) => // rows-only: xxhash64-based
       Dedup.minhashDedup(t(s, d, "documents"), "doc_id", "text")),
+    "q_minhash_index_dedup" -> ((s, d) => { // rows-only: xxhash64-based
+      // corpus docs < 100 are indexed once; the rest arrive as a batch and
+      // dedup against the persisted index (the incremental-crawl shape)
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val idx = java.nio.file.Files.createTempDirectory("mhidx").toString + "/idx"
+      operators.MinHashIndex.build(docs.filter(col("doc_id") < 100),
+        "doc_id", "text", idx)
+      operators.MinHashIndex.dedupAgainst(docs.filter(col("doc_id") >= 100),
+        "doc_id", "text", idx, threshold = 0.8)
+        .select(col("doc_id"))
+    }),
     "q_simhash_pairs" -> ((s, d) => // rows-only
       Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text")),
     "q_ngram_jaccard_pairs" -> ((s, d) => // oracle: candidate recall 1.0 here

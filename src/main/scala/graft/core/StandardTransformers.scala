@@ -282,6 +282,18 @@ object StandardTransformers {
     reg("incremental_dedup") { (c, p) =>
       Dedup.incrementalExactDedup(c.df, str(p, "id_col"), str(p, "text_col"),
         c.dataset(str(p, "seen"))) }
+    reg("minhash_index_dedup") { (c, p) =>
+      val params = MinHashIndex.Params(
+        intOpt(p, "shingle_size").getOrElse(5),
+        intOpt(p, "num_hashes").getOrElse(64),
+        intOpt(p, "bands").getOrElse(16))
+      val threshold = p.get("threshold").map(_.toString.toDouble).getOrElse(0.8)
+      if (boolOpt(p, "update").getOrElse(true))
+        MinHashIndex.dedupAndUpdate(c.df, str(p, "id_col"), str(p, "text_col"),
+          str(p, "index_path"), params, threshold)
+      else
+        MinHashIndex.dedupAgainst(c.df, str(p, "id_col"), str(p, "text_col"),
+          str(p, "index_path"), params, threshold) }
     reg("segment_dedup") { (c, p) =>
       Dedup.segmentDedup(c.df, str(p, "id_col"), str(p, "text_col"),
         strOpt(p, "sep_regex").getOrElse("\\n{2,}"),

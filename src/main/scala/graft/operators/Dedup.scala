@@ -23,7 +23,7 @@ import graft.functions.TextAnalysis
 object Dedup {
 
   /** Normalize text for near-dup purposes: lowercase + collapse whitespace. */
-  private def normText(c: Column): Column =
+  private[operators] def normText(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
   /**
