@@ -7,7 +7,7 @@ class InitSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("scaffold").toString + "/proj"
     assert(Init.mainExit(Array(dir, "--name", "Unit-Test Shop")) == 0)
     Seq("project.yaml", "data/sample.csv", "README.md",
-        "tests/transforms_test.yaml").foreach { f =>
+        "tests/transforms_test.yaml", "graft.schema.json").foreach { f =>
       assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/$f")), f)
     }
 
