@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.core.{Catalog, Pipeline, Story, YamlConfig}
+import graft.core.{Catalog, Pipeline, Story, Suggestions, YamlConfig}
 
 /**
  * Execute a project/pipeline YAML end-to-end — the library's front door,
@@ -172,7 +172,9 @@ object Run {
           val line = r match {
             case x if x.failure.isDefined =>
               anyFailed = true
-              s"[FAIL] ${p.name}.$name: ${x.failure.get.getMessage}"
+              val hints = Suggestions.suggest(x.failure.get)
+                .map(h => s"\n       hint: $h").mkString
+              s"[FAIL] ${p.name}.$name: ${x.failure.get.getMessage}$hints"
             case x if x.skipped =>
               s"[skip] ${p.name}.$name (${x.skipReason.getOrElse("")})"
             case x =>

@@ -241,20 +241,9 @@ object Doctor {
     }
   }
 
-  /** Map recorded failure text to the usual first move. */
-  private[graft] def fixHint(errorClass: String, message: String): String = {
-    val m = message.toUpperCase
-    if (m.contains("PATH_NOT_FOUND") || errorClass.contains("FileNotFound"))
-      "input path missing: run the upstream pipeline first or fix the read path"
-    else if (m.contains("UNRESOLVED_COLUMN") || m.contains("CANNOT_RESOLVE"))
-      "column not found: check step SQL/exprs against the upstream schema (graft.Plan shows declared schemas)"
-    else if (m.contains("GATE") || m.contains("QUALITY"))
-      "a validation gate blocked the node: inspect meta_metrics for the failing tests"
-    else if (m.contains("PARSE_SYNTAX_ERROR"))
-      "SQL syntax error in a step: dry-run with graft.Plan to lint"
-    else if (errorClass.contains("OutOfMemory") || m.contains("OUTOFMEMORY"))
-      "executor/driver OOM: raise memory or spark.sql.shuffle.partitions so partitions fit"
-    else
-      "re-run the node alone with graft.Run --select <node> for a focused stack trace"
-  }
+  /** Map recorded failure text to the usual first move (the full
+    * rule set lives in [[Suggestions]] — shared with Run and Story). */
+  private[graft] def fixHint(errorClass: String, message: String): String =
+    Suggestions.suggestText(errorClass, message, max = 1).headOption.getOrElse(
+      "re-run the node alone with graft.Run --select <node> for a focused stack trace")
 }

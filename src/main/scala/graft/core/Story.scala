@@ -149,6 +149,7 @@ ${rows.mkString("\n")}
       |  .st.success { color: #2e7d32; } .st.failed { color: #c62828; font-weight: 600; }
       |  .st.skipped, .st.not_run { color: #9e9e9e; }
       |  .err { color: #c62828; overflow-wrap: anywhere; white-space: pre-wrap; }
+      |  .hint { color: #1565c0; background: #e3f2fd; padding: .4rem .7rem; border-radius: .25rem; }
       |  .check.ok { color: #2e7d32; } .check.bad { color: #c62828; font-weight: 600; }
       |  code { background: #f5f5f5; padding: 0 .2rem; }""".stripMargin
 
@@ -207,9 +208,12 @@ ${rows.mkString("\n")}
     }
     val error = result.flatMap(_.failure).map { e =>
       val frames = e.getStackTrace.take(5).map(f => esc(f.toString)).mkString("\n")
+      val hints = Suggestions.suggest(e).map(h =>
+        s"""  <p class="hint">hint: ${esc(h)}</p>""").mkString("\n")
       s"""  <h2>Failure</h2>
   <p class="err">${esc(s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}")}
-$frames</p>"""
+$frames</p>
+$hints"""
     }.getOrElse("")
 
     def section(title: String, header: String, rows: Seq[String]): String =
