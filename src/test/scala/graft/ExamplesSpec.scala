@@ -96,6 +96,12 @@ class ExamplesSpec extends SparkSpec {
       .join(paired, Seq("doc_id"), "left_anti").count()
     assert(removedUnpaired == 0, s"$removedUnpaired unpaired docs removed")
 
+    // crawl gate: the first run bootstraps the index from this corpus —
+    // in-batch near-dups collapse, survivors are indexed for later batches
+    val gate = spark.read.parquet(s"$out/clean/crawl_gate")
+    assert(gate.count() >= 1 && gate.count() <= nearDeduped.count())
+    assert(spark.read.parquet(s"$out/index/minhash/sigs").count() == gate.count())
+
     val stats = spark.read.parquet(s"$out/train/stats").collect()(0)
     assert(stats.getAs[Long]("n_sequences") >= 1)
     assert(stats.getAs[Long]("total_tokens") > 0)
