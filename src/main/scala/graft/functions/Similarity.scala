@@ -109,29 +109,80 @@ object Similarity {
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, queryIdCol: String, queryVecCol: String,
               k: Int, dim: Int, bits: Int = 48, bands: Int = 12, seed: Long = 42L,
-              probes: Int = 2): DataFrame = {
+              probes: Int = 2): DataFrame =
+    lshTopKIndexed(
+      buildLshIndex(corpus, idCol, vecCol, dim, bits, bands, seed),
+      queries, queryIdCol, queryVecCol, k, probes)
+
+  /** (id, vec, band, bucket) rows for one frame under the index's
+    * hyperplane family — the signature evaluated once per row
+    * (bindOnce; multi-use projection aliases get inlined by the
+    * optimizer into per-band recomputation otherwise). */
+  private def lshBanded(df: DataFrame, id: String, vec: String,
+                        dim: Int, bits: Int, bands: Int, seed: Long): DataFrame = {
     val rowsPerBand = bits / bands
     val mask = (1L << rowsPerBand) - 1
+    val bandArray = graft.operators.Dedup.bindOnce(
+      hyperplaneSignature(col(vec), dim, bits, seed)) { s =>
+      array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(s, b * rowsPerBand).bitwiseAND(lit(mask)).as("bucket"))
+      }: _*)
+    }
+    df.select(col(id), col(vec), explode(bandArray).as("_band"))
+      .select(col(id), col(vec), col("_band.band").as("_b"), col("_band.bucket").as("_v"))
+  }
+
+  /**
+   * A built hyperplane-LSH index: the corpus's banded signature rows
+   * plus the hash-family parameters (which a probe MUST share — the
+   * loaded params override the caller's). Banding the corpus is the
+   * per-batch repeated cost in [[lshTopK]]; build once, [[LshIndex
+   * .save]], and serve every later query batch via [[LshIndex.load]] +
+   * [[lshTopKIndexed]]. `probes`/`k` remain query-time knobs.
+   */
+  final case class LshIndex(banded: DataFrame, dim: Int, bits: Int,
+                            bands: Int, seed: Long,
+                            idCol: String, vecCol: String) {
+    def save(path: String): Unit = {
+      val spark = banded.sparkSession
+      import spark.implicits._
+      banded.write.mode("overwrite").parquet(s"$path/bands")
+      Seq((dim, bits, bands, seed, idCol, vecCol))
+        .toDF("dim", "bits", "bands", "seed", "id_col", "vec_col").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/meta")
+    }
+  }
+
+  object LshIndex {
+    def load(spark: org.apache.spark.sql.SparkSession, path: String): LshIndex = {
+      val m = spark.read.parquet(s"$path/meta").collect()(0)
+      LshIndex(spark.read.parquet(s"$path/bands"),
+        m.getAs[Int]("dim"), m.getAs[Int]("bits"), m.getAs[Int]("bands"),
+        m.getAs[Long]("seed"), m.getAs[String]("id_col"), m.getAs[String]("vec_col"))
+    }
+  }
+
+  /** Band the corpus once under a fixed hyperplane family. */
+  def buildLshIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    dim: Int, bits: Int = 48, bands: Int = 12,
+                    seed: Long = 42L): LshIndex =
+    LshIndex(lshBanded(corpus, idCol, vecCol, dim, bits, bands, seed),
+      dim, bits, bands, seed, idCol, vecCol)
+
+  /** Serve a query batch from a built/loaded index (see [[lshTopK]]). */
+  def lshTopKIndexed(index: LshIndex, queries: DataFrame,
+                     queryIdCol: String, queryVecCol: String,
+                     k: Int, probes: Int = 2): DataFrame = {
+    import index.{bands, bits, dim, idCol, seed, vecCol}
+    val rowsPerBand = bits / bands
     require(probes >= 0 && probes <= rowsPerBand,
       s"probes must be in [0, $rowsPerBand], got $probes")
 
-    def banded(df: DataFrame, id: String, vec: String): DataFrame = {
-      // bindOnce: evaluate the signature once per row, not once per band
-      // (multi-use projection aliases get inlined by the optimizer).
-      val bandArray = graft.operators.Dedup.bindOnce(
-        hyperplaneSignature(col(vec), dim, bits, seed)) { s =>
-        array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            shiftright(s, b * rowsPerBand).bitwiseAND(lit(mask)).as("bucket"))
-        }: _*)
-      }
-      df.select(col(id), col(vec), explode(bandArray).as("_band"))
-        .select(col(id), col(vec), col("_band.band").as("_b"), col("_band.bucket").as("_v"))
-    }
-
-    val c = banded(corpus, idCol, vecCol)
-    val q0 = banded(queries.select(col(queryIdCol).as("_qid"), col(queryVecCol).as("_qvec")),
-      "_qid", "_qvec")
+    val c = index.banded
+    val q0 = lshBanded(
+      queries.select(col(queryIdCol).as("_qid"), col(queryVecCol).as("_qvec")),
+      "_qid", "_qvec", dim, bits, bands, seed)
     // Multi-probe (query side only — queries are small): additionally
     // probe each band bucket with one low bit flipped. A near neighbor
     // that disagrees on a single hyperplane of a band still meets the

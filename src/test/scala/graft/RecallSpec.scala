@@ -68,6 +68,29 @@ class RecallSpec extends SparkSpec {
       nprobe = 4)).size == direct.size)
   }
 
+  test("LSH index save/load roundtrip matches the direct path") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter("vec_id < 20")
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid").cast("long"), col("vec_id").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = pairs(Similarity.lshTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qv", 5, dim = 64))
+    val index = Similarity.buildLshIndex(emb, "vec_id", "embedding", dim = 64)
+    assert(pairs(Similarity.lshTopKIndexed(index, queries, "qid", "qv", 5)) == direct)
+    val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
+    index.save(s"$dir/idx")
+    val loaded = Similarity.LshIndex.load(spark, s"$dir/idx")
+    // the hash family travels with the index — a probe can't drift
+    assert(loaded.bits == 48 && loaded.bands == 12 && loaded.seed == 42L
+      && loaded.dim == 64 && loaded.idCol == "vec_id")
+    assert(pairs(Similarity.lshTopKIndexed(loaded, queries, "qid", "qv", 5)) == direct)
+    // probes stays a query-time knob on the same persisted index
+    assert(pairs(Similarity.lshTopKIndexed(loaded, queries, "qid", "qv", 5,
+      probes = 0)).nonEmpty)
+  }
+
   test("minhashLshPairs candidate recall vs exact-Jaccard pairs on documents") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").filter("doc_id < 250")
       .select(col("doc_id").cast("long"), col("text")).cache()
