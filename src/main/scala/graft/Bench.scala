@@ -34,6 +34,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // iterate on a subset: SPARK_GRAFT_BENCH_ONLY=q_a,q_b
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -46,7 +49,7 @@ object Bench {
     // warmup: session/codegen/parquet-footer costs land here, not in q1
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
     val qs = SparkEntry.queries
-    val results = headline.flatMap { name =>
+    val results = headline.filter(n => only.forall(_.contains(n))).flatMap { name =>
       qs.get(name).map { fn =>
         val times = (1 to runs).map { _ =>
           val t0 = System.nanoTime()

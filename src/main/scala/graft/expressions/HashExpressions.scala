@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnShim
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -63,9 +64,108 @@ case class MinHashShingles(child: Expression, shingleSize: Int, numHashes: Int)
     copy(child = newChild)
 }
 
+/**
+ * Distinct word-n-gram xxhash64 values of a text, as one unboxed pass.
+ *
+ * Byte-for-byte equivalent (modulo 64-bit hash collisions) to the
+ * composed Spark pipeline the dedup/contamination paths used before:
+ * {{{
+ *   array_distinct(transform(
+ *     // wordShingles: split normalized text, join windows with " "
+ *     <window strings of n tokens>, s => xxhash64(s)))        // seed 42
+ * }}}
+ * The key observation: after whitespace collapse, a window's
+ * `concat_ws(" ", tokens slice)` string IS a contiguous byte range of
+ * the normalized text — so each n-gram hashes zero-copy from the
+ * normalization buffer, and neither the shingle strings nor the regex
+ * normalization (`regexp_replace` per row) are ever materialized.
+ * Normalization replicates `regexp_replace(lower(trim(c)), "\\s+", " ")`
+ * exactly: trim spaces, UTF8String.toLowerCase (what Spark's `lower`
+ * calls), then collapse Java-regex `\s` runs ([ \t\n\x0B\f\r]) to one
+ * space.
+ */
+case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    HashImpls.ngramHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.HashImpls.ngramHashes($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramHashes =
+    copy(child = newChild)
+}
+
 /** Static hash-loop implementations shared by interpreted eval and the
   * generated code (the `StaticInvoke`-style pattern). */
 object HashImpls {
+
+  private def isJavaRegexSpace(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  def ngramHashes(text: UTF8String, n: Int): ArrayData = {
+    // normalize: trim spaces -> lower (Spark's own UTF8String op) ->
+    // collapse \s+ runs to a single 0x20. All \s chars are single-byte
+    // ASCII, so the byte scan is UTF-8 safe.
+    val lowered = text.trim().toLowerCase()
+    val src = lowered.getBytes
+    val buf = new Array[Byte](src.length)
+    var w = 0
+    var i = 0
+    while (i < src.length) {
+      if (isJavaRegexSpace(src(i))) {
+        buf(w) = ' '; w += 1
+        while (i < src.length && isJavaRegexSpace(src(i))) i += 1
+      } else {
+        buf(w) = src(i); w += 1; i += 1
+      }
+    }
+    // token boundaries: T spaces => T+1 tokens (split keeps empty tokens)
+    var spaces = 0
+    i = 0
+    while (i < w) { if (buf(i) == ' ') spaces += 1; i += 1 }
+    val nTokens = spaces + 1
+    val starts = new Array[Int](nTokens)
+    val ends = new Array[Int](nTokens)
+    var t = 0
+    starts(0) = 0
+    i = 0
+    while (i < w) {
+      if (buf(i) == ' ') { ends(t) = i; t += 1; starts(t) = i + 1 }
+      i += 1
+    }
+    ends(t) = w
+    val nWindows = math.max(nTokens - n + 1, 1)
+    // distinct via open addressing; first-occurrence order preserved
+    var cap = 4
+    while (cap < nWindows * 2) cap <<= 1
+    val slots = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    val out = new Array[Long](nWindows)
+    var nOut = 0
+    var p = 0
+    while (p < nWindows) {
+      val from = starts(p)
+      val to = ends(math.min(p + n - 1, nTokens - 1))
+      val h = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET + from,
+        to - from, 42L)
+      var s = (h ^ (h >>> 32)).toInt & (cap - 1)
+      var fresh = true
+      while (used(s) && { if (slots(s) == h) { fresh = false; false } else true })
+        s = (s + 1) & (cap - 1)
+      if (fresh) { used(s) = true; slots(s) = h; out(nOut) = h; nOut += 1 }
+      p += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, nOut))
+  }
 
   def minhash(text: UTF8String, shingleSize: Int, numHashes: Int,
               mulA: Array[Long], addB: Array[Long]): ArrayData = {
@@ -485,6 +585,11 @@ object HashFunctions {
   def minhashShingles(text: Column, shingleSize: Int, numHashes: Int): Column =
     ColumnShim.column(
       MinHashShingles(ColumnShim.expression(text), shingleSize, numHashes))
+
+  /** Distinct word-n-gram xxhash64 values of RAW text (normalization is
+    * part of the expression — see [[NgramHashes]]). */
+  def ngramHashes(text: Column, n: Int): Column =
+    ColumnShim.column(NgramHashes(ColumnShim.expression(text), n))
 
   def simhash64(tokens: Column): Column =
     ColumnShim.column(SimHash64(ColumnShim.expression(tokens)))

@@ -265,7 +265,10 @@ object Dedup {
     val candidates = minhashLshPairs(df, idCol, textCol, shingleSize = 5,
       numHashes = 64, bands = 16)
     val shingled = df.select(col(idCol),
-      array_sort(transform(wordShingles(col(textCol), n), x => xxhash64(x))).as("_sh"))
+      // native one-pass n-gram hashing (NgramHashes) — same values as
+      // transform(wordShingles(...), xxhash64) without materializing
+      // shingle strings or running the regex normalization per row
+      array_sort(graft.expressions.HashFunctions.ngramHashes(col(textCol), n)).as("_sh"))
     val withA = candidates.join(shingled.select(col(idCol).as("a"), col("_sh").as("_sha")), "a")
     val withB = withA.join(shingled.select(col(idCol).as("b"), col("_sh").as("_shb")), "b")
     withB.withColumn("jaccard",
@@ -287,7 +290,7 @@ object Dedup {
                          benchmark: DataFrame, benchTextCol: String,
                          n: Int = 8, threshold: Double = 0.1): DataFrame = {
     def ngramHashes(text: Column): Column =
-      transform(wordShingles(text, n), x => xxhash64(x))
+      graft.expressions.HashFunctions.ngramHashes(text, n)
     // size + explode over ONE evaluation of the n-gram hashing: a plain
     // `select(size(_ngs), explode(_ngs))` gets the `_ngs` alias inlined
     // into both by CollapseProject and hashes every document twice

@@ -158,6 +158,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native ngramHashes equals the composed wordShingles+xxhash64 formulation") {
+    import org.apache.spark.sql.functions._
+    import graft.expressions.HashFunctions
+    // the pre-native formulation, inlined as the reference oracle
+    def composed(text: org.apache.spark.sql.Column, n: Int) = {
+      val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+      val tokens = split(norm, " ")
+      val count = greatest(size(tokens) - (n - 1), lit(1))
+      transform(
+        array_distinct(transform(sequence(lit(0), count - 1),
+          i => concat_ws(" ", slice(tokens, i + 1, lit(n))))),
+        s => xxhash64(s))
+    }
+    // random texts + adversarial whitespace/unicode/case/empty shapes
+    val word = Gen.oneOf(Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf("Foo", "BAR", "ümlaut", "日本語", "x", ""))
+    val sep = Gen.oneOf(" ", "  ", "\t", "\n", " \t ", "\r\n")
+    val textGen = for {
+      ws <- Gen.listOfN(12, word)
+      ss <- Gen.listOfN(12, sep)
+      lead <- sep; tail <- sep
+    } yield lead + ws.zip(ss).map { case (a, b) => a + b }.mkString + tail
+    val texts = Gen.listOfN(150, textGen).sample.get ++ Seq(
+      "", " ", "one", "one two", "\t\n", "A  B\tC", "ÅÄÖ åäö ß", "a b a b a")
+    for (n <- Seq(1, 3, 8)) {
+      val got = texts.toDF("t").select(
+        array_sort(HashFunctions.ngramHashes($"t", n)).as("fast"),
+        array_sort(composed($"t", n)).as("ref"),
+        $"t").collect()
+      got.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"n=$n mismatch on ${r.getString(2).take(60).replace("\n", "\\n")}"))
+    }
+    // real corpus: every document at sf0.001, all three n values
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (n <- Seq(3, 8)) {
+      val bad = docs.select(
+        array_sort(HashFunctions.ngramHashes($"text", n)).as("fast"),
+        array_sort(composed($"text", n)).as("ref"))
+        .filter(not($"fast" <=> $"ref")).count()
+      assert(bad == 0, s"n=$n: $bad documents diverge")
+    }
+  }
+
   test("sortedJaccard equals the array_intersect/union formulation on random sets") {
     import org.apache.spark.sql.functions._
     import graft.expressions.HashFunctions
