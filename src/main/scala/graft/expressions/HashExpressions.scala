@@ -195,6 +195,29 @@ object HashImpls {
     new GenericArrayData(mins)
   }
 
+  def hyperplaneSignature(vec: ArrayData, planes: Array[Array[Double]],
+                          isFloat: Boolean): Long = {
+    val d = vec.numElements()
+    val v = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      v(i) = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < planes.length) {
+      val p = planes(b)
+      val lim = math.min(d, p.length)
+      var dot = 0.0
+      var j = 0
+      while (j < lim) { dot += v(j) * p(j); j += 1 }
+      if (dot >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
   /**
    * Top-`n` centroid ids by cosine for one vector against a small static
    * centroid matrix (score desc, id asc tie-break). One unboxed pass:
@@ -321,6 +344,47 @@ case class RangeBucket(child: Expression, bounds: Array[Double])
  * higher-order-function lambda — measured 5.1 s → sub-second for the
  * assignment stage at sf0.1 vs the transform/array_sort formulation.
  */
+/**
+ * Hyperplane-LSH signature: bit i of the result = sign of vec · plane_i.
+ * One fused pass — the vector loads ONCE into a local array and all
+ * `bits` dot products run against the driver-resident plane matrix,
+ * vs the composed `(0 until bits).map(dotProduct(vec, planeLit))`
+ * formulation whose every bit re-traverses the ArrayData (measured ~6×
+ * on the sf0.1 near-dup banding). Zero vectors hash to all-ones
+ * (d >= 0), matching the composed form.
+ */
+case class HyperplaneSignature(child: Expression, planes: Array[Array[Double]])
+  extends UnaryExpression {
+  import org.apache.spark.sql.types.{DoubleType, FloatType}
+
+  require(planes.nonEmpty && planes.length <= 63, "1..63 planes fit a long")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_signature"
+
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"hyperplane_signature needs a float/double array, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashImpls.hyperplaneSignature(input.asInstanceOf[ArrayData], planes, isFloat)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val planesRef = ctx.addReferenceObj("hyperplanes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.HashImpls.hyperplaneSignature($c, $planesRef, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSignature =
+    copy(child = newChild)
+}
+
 case class NearestCentroids(child: Expression, ids: Array[Long],
                             cents: Array[Array[Double]], n: Int)
   extends UnaryExpression {
@@ -604,6 +668,10 @@ object HashFunctions {
   def nearestCentroids(vec: Column, ids: Array[Long],
                        cents: Array[Array[Double]], n: Int): Column =
     ColumnShim.column(NearestCentroids(ColumnShim.expression(vec), ids, cents, n))
+
+  /** Fused sign-bit signature against a static plane matrix. */
+  def hyperplaneSignature(vec: Column, planes: Array[Array[Double]]): Column =
+    ColumnShim.column(HyperplaneSignature(ColumnShim.expression(vec), planes))
 
   def rangeBucket(v: Column, bounds: Array[Double]): Column =
     ColumnShim.column(RangeBucket(ColumnShim.expression(v), bounds))

@@ -84,13 +84,10 @@ object Similarity {
     val rng = new scala.util.Random(seed)
     // gaussian-ish components via sum of uniforms (deterministic, seeded)
     val planes = Array.fill(bits, dim)(rng.nextGaussian())
-    val bitCols = planes.zipWithIndex.map { case (plane, i) =>
-      val planeLit = array(plane.map(v => lit(v)): _*)
-      // native dot (raw, not normalized: sign-identical incl. zero vectors)
-      val d = graft.expressions.HashFunctions.dotProduct(vec, planeLit)
-      when(d >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
+    // fused native expression: the vector loads once and all `bits` sign
+    // dots run in one pass (bit i = sign of vec · plane_i, zero dot → 1,
+    // identical to the previous per-bit dotProduct composition)
+    graft.expressions.HashFunctions.hyperplaneSignature(vec, planes)
   }
 
   /**
