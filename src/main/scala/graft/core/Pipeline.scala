@@ -88,6 +88,7 @@ object Pipeline {
       triggerInterval: String = "10 seconds",
       mergeKeys: Seq[String] = Nil,
       mergeStrategy: String = "upsert",
+      mergeOptions: Map[String, String] = Map.empty,
       await: Boolean = true)
 
   final case class NodeResult(name: String, df: DataFrame, failure: Option[Throwable],
@@ -393,7 +394,7 @@ object Pipeline {
         val query =
           if (sw.mergeKeys.nonEmpty)
             Streaming.writeStreamMerge(survivors, path, sw.checkpoint,
-              sw.mergeKeys, mergeFnFor(sw.mergeStrategy),
+              sw.mergeKeys, mergeFnFor(sw.mergeStrategy, sw.mergeOptions),
               Some(Streaming.trigger(sw.trigger, sw.triggerInterval)))
           else Streaming.writeStream(survivors, Some(path),
             Streaming.StreamWriteConfig(cfg.write.format, sw.outputMode,
@@ -472,12 +473,31 @@ object Pipeline {
   }
 
   /** Micro-batch merge function for a streaming write's `merge` strategy. */
-  private def mergeFnFor(strategy: String): (DataFrame, DataFrame, Seq[String]) => DataFrame = {
+  private def mergeFnFor(strategy: String, options: Map[String, String] = Map.empty)
+      : (DataFrame, DataFrame, Seq[String]) => DataFrame = {
     import graft.operators.Merge
     strategy match {
       case "upsert" => Merge.upsert(_, _, _)
       case "append_only" => Merge.appendOnly(_, _, _)
       case "delete_match" => Merge.deleteMatch(_, _, _)
+      case "dedup_index" =>
+        // streaming corpus gate: each micro-batch dedups against the
+        // persisted MinHash index (in-batch + vs-corpus), survivors are
+        // indexed and appended. A checkpoint-replayed batch self-matches
+        // the signatures its first delivery appended — replay protection
+        // without keeping per-id state in the stream. Crash between the
+        // index append and the target swap can leave a survivor indexed
+        // but unwritten (documented: no transactional store here).
+        val indexPath = options.getOrElse("index_path",
+          throw new IllegalArgumentException(
+            "merge strategy dedup_index requires merge.index_path"))
+        val threshold = options.get("threshold").map(_.toDouble).getOrElse(0.8)
+        (target, batch, keys) => {
+          require(keys.size == 2,
+            s"dedup_index merge.keys must be [id_col, text_col], got $keys")
+          target.unionByName(graft.operators.MinHashIndex.dedupAndUpdate(
+            batch, keys(0), keys(1), indexPath, threshold = threshold))
+        }
       case other => throw new IllegalArgumentException(s"unknown merge strategy: $other")
     }
   }

@@ -327,6 +327,9 @@ object YamlConfig {
       mergeKeys = merge.map(mm => seqOf(mm.get("keys"))).getOrElse(Nil),
       mergeStrategy = merge.flatMap(_.get("strategy")).map(_.toString)
         .getOrElse("upsert"),
+      mergeOptions = merge.map(_.collect {
+        case (k, v) if k != "keys" && k != "strategy" => k -> v.toString
+      }).getOrElse(Map.empty),
       await = m.get("await").forall(_.toString.toBoolean))
   }
 

@@ -157,4 +157,49 @@ class YamlStreamingSpec extends SparkSpec {
     assert(res("bad").failure.exists(
       _.getMessage.contains("tests are not supported on streaming nodes")))
   }
+
+  test("streaming corpus gate from YAML: dedup_index merge strategy") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_syaml_gate").toString
+    def doc(tag: Char) =
+      (0 until 60).map(i => s"$tag$tag${i}$tag${(i * 31) % 71}$tag").mkString(" ")
+    // batch 1: two copies of 'a' + one 'b'
+    Seq((1L, doc('a')), (2L, doc('a')), (3L, doc('b')))
+      .toDF("doc_id", "text").write.parquet(s"$dir/in")
+    val yaml =
+      s"""
+        |name: streaming_gate_yaml
+        |nodes:
+        |  - name: gate
+        |    read:
+        |      format: parquet
+        |      path: $dir/in
+        |      streaming: true
+        |      schema_ddl: "doc_id BIGINT, text STRING"
+        |    streaming:
+        |      checkpoint: $dir/cp
+        |      merge: { keys: [doc_id, text], strategy: dedup_index, index_path: $dir/idx }
+        |    write: { path: $dir/corpus }
+        |""".stripMargin
+    val res = Pipeline.run(spark, YamlConfig.loadPipeline(yaml))
+    assert(res("gate").failure.isEmpty, res("gate").failure.map(_.toString))
+    val round1 = spark.read.parquet(s"$dir/corpus").select("doc_id")
+      .as[Long].collect().toSet
+    assert(round1.size == 2 && round1.contains(3L)) // in-batch dup collapsed
+    // batch 2 arrives: a copy of 'b' (already indexed) + fresh 'z'
+    Seq((10L, doc('b')), (11L, doc('z')))
+      .toDF("doc_id", "text").write.parquet(s"$dir/in2")
+    val f = new java.io.File(s"$dir/in2").listFiles.filter(_.getName.endsWith(".parquet"))
+    f.foreach(x => java.nio.file.Files.copy(x.toPath,
+      java.nio.file.Paths.get(s"$dir/in/${x.getName}")))
+    val res2 = Pipeline.run(spark, YamlConfig.loadPipeline(yaml))
+    assert(res2("gate").failure.isEmpty, res2("gate").failure.map(_.toString))
+    val round2 = spark.read.parquet(s"$dir/corpus").select("doc_id")
+      .as[Long].collect().toSet
+    assert(round2 == round1 + 11L, s"got $round2") // dup of indexed 'b' dropped
+    // unknown strategy still fails fast
+    val bad = yaml.replace("dedup_index", "nope_strategy")
+    val resBad = Pipeline.run(spark, YamlConfig.loadPipeline(
+      bad.replace(s"$dir/cp", s"$dir/cp_bad").replace(s"$dir/corpus", s"$dir/corpus_bad")))
+    assert(resBad("gate").failure.isDefined)
+  }
 }
