@@ -120,4 +120,20 @@ class SoakSpec extends SparkSpec {
     assertScaleSafe("ivfTopK", PlanAudit.audit(out))
     assert(out.count() == 500) // 100 queries x k=5, executed end-to-end
   }
+
+  test("minhash-index probe of a 200k-doc index by a 100k batch: equi-join, all dups drop", Soak) {
+    // a real signed 200k-doc index probed by a 100k-doc batch: the plan
+    // must stay an equi-join with per-doc cap windows, no cartesian, no
+    // funnel — and because the generator repeats bodies, EVERY batch doc
+    // must match the index (recall check at soak size, not just 5 rows).
+    val dir = java.nio.file.Files.createTempDirectory("soakmh").toString
+    graft.operators.MinHashIndex.build(
+      docs(200000L), "id", "text", s"$dir/idx")
+    val batch = docs(100000L)
+    val out = graft.operators.MinHashIndex.dedupAgainst(
+      batch, "id", "text", s"$dir/idx", threshold = 0.9)
+    assertScaleSafe("minhashIndex/dedupAgainst", PlanAudit.audit(out))
+    // every batch body exists in the 200k index (same generator) -> all drop
+    assert(out.count() == 0)
+  }
 }
