@@ -28,7 +28,9 @@ object Bench {
     "q_embedding_neardup", "q_lsh_topk", "q_stream_window",
     "q_cluster_components",
     // native source paths + chunking: track scan/IO-bound ops per round
-    "q_avro_roundtrip", "q_chunk_text")
+    "q_avro_roundtrip", "q_chunk_text",
+    // substring-granularity + semantic dedup (round-7 session-3 additions)
+    "q_crossdoc_ngrams", "q_remove_spans", "q_semantic_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -341,6 +341,19 @@ object SparkEntry {
     "q_embedding_neardup" -> ((s, d) => // rows-only
       Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
         dim = 64, threshold = 0.25)),
+    "q_crossdoc_ngrams" -> ((s, d) =>
+      Dedup.crossDocNgrams(t(s, d, "documents").select("doc_id", "text"),
+        "doc_id", "text", n = 8, minDocs = 2)),
+    "q_remove_spans" -> ((s, d) =>
+      // per-doc removed-word counts are the SQL-expressible face of the
+      // span cut; the reassembled text itself is spec-verified (DedupSpec)
+      Dedup.removeRepeatedSpans(t(s, d, "documents").select("doc_id", "text"),
+        "doc_id", "text", n = 8, minDocs = 2)
+        .select(col("doc_id"), col("removed_words"))),
+    "q_semantic_dedup" -> ((s, d) => // rows-only: Lloyd means carry float
+      // summation-order wobble; drop-set recall asserted in RecallSpec
+      Dedup.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+        numClusters = 8, threshold = 0.25).select(col("vec_id"))),
     "q_cluster_components" -> ((s, d) => {
       // exact connected components over a deterministic chain graph
       // (edges (i, i+1) within 7-wide doc_id blocks) — multi-hop label
@@ -676,6 +689,45 @@ object SparkEntry {
         |  round(coalesce(CAST(m.matched AS DOUBLE) / m.total, 0.0), 6) AS contamination,
         |  coalesce(CAST(m.matched AS DOUBLE) / m.total, 0.0) >= 0.5 AS contaminated
         |FROM ng n LEFT JOIN m USING (doc_id)""".stripMargin,
+    // the Spark side hashes n-grams (xxhash64) only for shuffle width;
+    // the oracle recomputes doc frequencies from string n-grams directly
+    "q_crossdoc_ngrams" ->
+      """WITH norm AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w FROM documents
+        |), ng AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 7, 1) + 1),
+        |    i -> array_to_string(w[i:i+7], ' '))) AS g FROM norm
+        |), ex AS (SELECT doc_id, unnest(g) AS ngram FROM ng),
+        |freq AS (SELECT ngram, count(*) AS df FROM ex GROUP BY 1)
+        |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS total_ngrams,
+        |  CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS repeated_ngrams,
+        |  round(CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS repeated_frac
+        |FROM ex e JOIN freq f USING (ngram) GROUP BY 1""".stripMargin,
+    // removed-word count per doc = |union of the doc's non-first repeated
+    // n-gram windows, clamped to doc length| — computed here as a distinct
+    // covered-index count, which equals the Spark side's merged-interval cut
+    "q_remove_spans" ->
+      """WITH norm AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w FROM documents
+        |), occ AS (
+        |  SELECT doc_id, len(w) AS nw,
+        |         unnest(range(0, greatest(len(w) - 7, 0) + 1)) AS p,
+        |         unnest(list_transform(range(0, greatest(len(w) - 7, 0) + 1),
+        |                i -> array_to_string(w[i+1:i+8], ' '))) AS g
+        |  FROM norm
+        |), rep AS (
+        |  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM occ GROUP BY 1) t WHERE df >= 2
+        |), ranked AS (
+        |  SELECT o.doc_id, o.nw, o.p,
+        |         row_number() OVER (PARTITION BY o.g ORDER BY o.doc_id, o.p) AS rn
+        |  FROM occ o JOIN rep USING (g)
+        |), cov AS (
+        |  SELECT doc_id, count(DISTINCT idx) AS removed FROM (
+        |    SELECT doc_id, nw, unnest(range(p, p + 8)) AS idx FROM ranked WHERE rn > 1) t
+        |  WHERE idx < nw GROUP BY 1
+        |)
+        |SELECT n.doc_id, CAST(coalesce(cov.removed, 0) AS BIGINT) AS removed_words
+        |FROM norm n LEFT JOIN cov USING (doc_id)""".stripMargin,
     // exact all-pairs Jaccard via an inverted-index join; valid as an
     // oracle because the Spark side's LSH candidate recall is 1.0 on the
     // test corpus (RecallSpec) and survivors carry EXACT Jaccard

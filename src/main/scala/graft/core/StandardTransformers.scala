@@ -298,6 +298,21 @@ object StandardTransformers {
       Dedup.segmentDedup(c.df, str(p, "id_col"), str(p, "text_col"),
         strOpt(p, "sep_regex").getOrElse("\\n{2,}"),
         strOpt(p, "join_sep").getOrElse("\n\n")) }
+    reg("crossdoc_ngrams") { (c, p) =>
+      Dedup.crossDocNgrams(c.df, str(p, "id_col"), str(p, "text_col"),
+        intOpt(p, "n").getOrElse(8), intOpt(p, "min_docs").getOrElse(2)) }
+    reg("remove_repeated_spans") { (c, p) =>
+      Dedup.removeRepeatedSpans(c.df, str(p, "id_col"), str(p, "text_col"),
+        intOpt(p, "n").getOrElse(8), intOpt(p, "min_docs").getOrElse(2),
+        boolOpt(p, "keep_first").getOrElse(true)) }
+    reg("semantic_dedup") { (c, p) =>
+      Dedup.semanticDedup(c.df, str(p, "id_col"), str(p, "vec_col"),
+        intOpt(p, "num_clusters").getOrElse(64),
+        p.get("threshold").map(_.toString.toDouble).getOrElse(0.95)) }
+    reg("semantic_dedup_pairs") { (c, p) =>
+      Dedup.semanticDedupPairs(c.df, str(p, "id_col"), str(p, "vec_col"),
+        intOpt(p, "num_clusters").getOrElse(64),
+        p.get("threshold").map(_.toString.toDouble).getOrElse(0.95)) }
     reg("pack_sequences") { (c, p) =>
       Packing.packSequences(c.df, str(p, "id_col"), str(p, "token_col"),
         p.get("budget").map(_.toString.toLong).getOrElse(2048L)) }

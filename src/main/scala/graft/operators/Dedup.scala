@@ -434,4 +434,185 @@ object Dedup {
           x => x.getField("_seg")),
         joinSep).as(textCol))
   }
+
+  /**
+   * Per-document cross-corpus repeated-n-gram stats — the detection half
+   * of exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+   * Data Makes Language Models Better", arXiv:2107.06499; the reference's
+   * dedup family covers only whole-doc and segment granularity, e.g.
+   * odibi/transformers/advanced.py deduplicate): for every document, how
+   * many of its distinct word n-grams also occur in at least
+   * `minDocs - 1` OTHER documents. High `repeated_frac` marks templated /
+   * boilerplate-heavy documents that whole-doc dedup misses.
+   *
+   * Output: (idCol, total_ngrams, repeated_ngrams, repeated_frac).
+   *
+   * Scale design (100 TB): n-gram hashing is the one-pass native
+   * [[graft.expressions.HashExpressions NgramHashes]] expression
+   * (distinct 64-bit hashes, zero string materialization). Doc frequency
+   * is a map-side-combinable groupBy on the 8-byte hash — per-doc
+   * distinctness makes count(*) the doc frequency directly — and the
+   * frequency join + per-doc rollup shuffle only (hash, id) scalar
+   * rows. Nothing is quadratic; hot n-grams (the skew case) are handled
+   * by AQE, not a window funnel.
+   */
+  def crossDocNgrams(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 8, minDocs: Int = 2): DataFrame = {
+    val exploded = df.select(col(idCol),
+      explode(graft.expressions.HashFunctions.ngramHashes(col(textCol), n))
+        .as("_ng"))
+    val freq = exploded.groupBy(col("_ng")).agg(count(lit(1)).as("_df"))
+    exploded.join(freq, Seq("_ng"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("total_ngrams"),
+        sum(when(col("_df") >= minDocs, 1L).otherwise(0L)).as("repeated_ngrams"))
+      .withColumn("repeated_frac", round(
+        col("repeated_ngrams").cast("double") / col("total_ngrams"), 6))
+  }
+
+  /**
+   * Exact-substring span removal (Lee et al. 2022 at word-n-gram
+   * granularity): find word n-grams occurring in >= `minDocs` documents,
+   * merge each document's matching n-gram windows into maximal word
+   * spans, and cut those spans out of the text. With `keepFirst` (the
+   * paper's keep-one-occurrence rule) the globally first occurrence of
+   * each repeated n-gram — lowest (id, position) — survives; with
+   * `keepFirst = false` every occurrence is removed. Operates on
+   * normalized text (lowercased, whitespace-collapsed — the same
+   * normalization as the rest of the near-dup family); a document whose
+   * every word is covered comes back empty.
+   *
+   * Output: `df` with `textCol` replaced by the cleaned text plus a
+   * `removed_words` count.
+   *
+   * Scale design (100 TB): all corpus-sized shuffles carry scalar
+   * (id, pos, hash) rows — texts stay partition-local until the final
+   * per-doc reassembly, which shares one shuffle keyed by the
+   * uniformly-distributed doc id. Span merging is a per-row Catalyst
+   * `aggregate` fold over the doc's sorted hit positions (no UDF, no
+   * driver loop). Doc-frequency and first-occurrence selection are
+   * map-side-combinable groupBys on the 8-byte hash.
+   */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 8, minDocs: Int = 2,
+                          keepFirst: Boolean = true): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val withWords = df.withColumn("_w", split(normText(col(textCol)), " "))
+    // positional windows: one (pos, hash) row per word n-gram occurrence;
+    // a doc shorter than n words is a single window covering the whole doc
+    val pos = withWords.select(col(idCol),
+        explode(transform(
+          sequence(lit(0), greatest(size(col("_w")) - n, lit(0))),
+          i => struct(i.as("p"),
+            xxhash64(concat_ws(" ", slice(col("_w"), i + lit(1), lit(n))))
+              .as("h")))).as("_s"))
+      .select(col(idCol), col("_s.p").as("_p"), col("_s.h").as("_h"))
+    // doc frequency from per-doc-distinct (id, hash) pairs
+    val rep = pos.select(col(idCol), col("_h")).distinct()
+      .groupBy(col("_h")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDocs).select(col("_h"))
+    val repeatedOcc = pos.join(rep, Seq("_h"))
+    val hits =
+      if (!keepFirst) repeatedOcc
+      else {
+        val first = repeatedOcc.groupBy(col("_h"))
+          .agg(min(struct(col(idCol).as("i"), col("_p").as("p"))).as("_f"))
+        repeatedOcc.join(first, Seq("_h"))
+          .filter(!(col(idCol) === col("_f.i") && col("_p") === col("_f.p")))
+          .drop("_f")
+      }
+    // merge each doc's sorted hit positions (each covering [p, p+n)) into
+    // maximal word intervals with a per-row fold — adjacent/overlapping
+    // windows coalesce, so the cut is span-accurate, not window-by-window
+    val spans = hits.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("_p"))).as("_ps"))
+      .withColumn("_iv", aggregate(
+        col("_ps"),
+        array().cast("array<struct<s:int,e:int>>"),
+        (acc, p) => when(
+          size(acc) > 0 && p <= element_at(acc, -1).getField("e"),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(element_at(acc, -1).getField("s").as("s"),
+              greatest(element_at(acc, -1).getField("e"), p + n).as("e"))))
+        ).otherwise(
+          concat(acc, array(struct(p.as("s"), (p + n).as("e")))))))
+      .select(col(idCol), col("_iv"))
+    withWords.join(spans, Seq(idCol), "left")
+      .withColumn("_kept", when(col("_iv").isNull, col("_w"))
+        .otherwise(filter(col("_w"), (w, i) =>
+          !exists(col("_iv"), iv =>
+            i >= iv.getField("s") && i < iv.getField("e")))))
+      .withColumn(textCol, concat_ws(" ", col("_kept")))
+      .withColumn("removed_words", (size(col("_w")) - size(col("_kept"))).cast("long"))
+      .drop("_w", "_iv", "_kept")
+  }
+
+  /**
+   * Semantic-dedup candidate pairs (SemDeDup, Abbas et al. 2023,
+   * arXiv:2303.09540): spherical k-means clusters the embedding space,
+   * and duplicates are resolved WITHIN clusters only — a pair qualifies
+   * when both embeddings land in the same cluster and their exact cosine
+   * is >= `threshold`. Output: (a, b, cluster, cosine) with a < b.
+   *
+   * Complements [[embeddingNearDupPairs]]: hyperplane LSH blocks on
+   * random projections (per-pair probabilistic recall anywhere in the
+   * space), while cluster blocking concentrates the comparison budget
+   * where semantic dups live and carries the cluster id out for the
+   * audit view. Misses only pairs split across a cluster boundary —
+   * size `numClusters` so clusters stay well below `maxClusterSize`.
+   *
+   * Scale design (100 TB): centroids are driver-resident and assignment
+   * is the zero-shuffle native NearestCentroids expression shared with
+   * the IVF index ([[graft.functions.Similarity.buildIvfIndex]]). The
+   * within-cluster self-join carries (id, cluster) scalar rows only;
+   * vectors join back just for surviving candidate pairs — the same
+   * ids-first shape as [[embeddingNearDupPairs]]. Per-cluster pair count
+   * is O(size²): `numClusters` must grow with the corpus (the paper runs
+   * 50k clusters on billions of docs), and `maxClusterSize` hard-caps a
+   * degenerate cluster (embedding collapse) at its lowest-id members —
+   * the capped count rows are 2 scalars, the documented single-reducer
+   * price also taken by [[minhashLshPairs]]'s bucket cap.
+   */
+  def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         numClusters: Int = 64, threshold: Double = 0.95,
+                         lloydIters: Int = 2, refineDenom: Int = 4,
+                         maxClusterSize: Option[Int] = Some(10000)): DataFrame = {
+    import graft.functions.Similarity
+    val idx = Similarity.buildIvfIndex(df, idCol, vecCol, numClusters,
+      lloydIters, assignSpill = 1, refineDenom)
+    val cells0 = idx.cells.select(col(idCol).as("_id"), col("_cell"))
+    val cells = maxClusterSize match {
+      case Some(cap) => cells0
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col("_cell")).orderBy(col("_id"))))
+        .filter(col("_rn") <= cap).drop("_rn")
+      case None => cells0
+    }
+    val cand = cells.select(col("_id").as("a"), col("_cell"))
+      .join(cells.select(col("_id").as("b"), col("_cell")), Seq("_cell"))
+      .filter(col("a") < col("b"))
+    val vecs = df.select(col(idCol), col(vecCol))
+    cand
+      .join(vecs.select(col(idCol).as("a"), col(vecCol).as("_va")), "a")
+      .join(vecs.select(col(idCol).as("b"), col(vecCol).as("_vb")), "b")
+      .withColumn("cosine", Similarity.cosine(col("_va"), col("_vb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a"), col("b"), col("_cell").as("cluster"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /**
+   * SemDeDup as a dedup: keep one representative (min id, consistent
+   * with the rest of the family; the paper keeps the low-centroid-
+   * similarity member — swap the keep rule downstream if diversity
+   * matters more than determinism) per connected component of
+   * [[semanticDedupPairs]]. Returns the surviving rows of `df`.
+   */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    numClusters: Int = 64, threshold: Double = 0.95,
+                    lloydIters: Int = 2, refineDenom: Int = 4,
+                    maxClusterSize: Option[Int] = Some(10000)): DataFrame =
+    Components.clusterDedup(df, idCol,
+      semanticDedupPairs(df, idCol, vecCol, numClusters, threshold,
+        lloydIters, refineDenom, maxClusterSize).select(col("a"), col("b")))
 }

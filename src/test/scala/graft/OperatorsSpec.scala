@@ -293,4 +293,52 @@ class OperatorsSpec extends SparkSpec {
       TextAnalysis.chunkText(docs, "doc_id", "text", 4, 4)
     }
   }
+
+  test("crossDocNgrams counts n-grams shared with other documents") {
+    val docs = Seq((1L, "a b c"), (2L, "a b d"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val out = Dedup.crossDocNgrams(docs, "doc_id", "text", n = 2, minDocs = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "total_ngrams", "repeated_ngrams", "repeated_frac")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out === Array((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 2L, 0L, 0.0)))
+  }
+
+  test("removeRepeatedSpans cuts merged cross-doc spans, keeps first occurrence") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon one two three"),
+      (2L, "x y alpha beta gamma delta epsilon z w"),
+      (3L, "totally unique words here")).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(docs, "doc_id", "text", n = 3, minDocs = 2)
+      .orderBy("doc_id").select("doc_id", "text", "removed_words")
+      .as[(Long, String, Long)].collect()
+    // doc 1 is the global first occurrence of every repeated 3-gram: intact;
+    // doc 2's three overlapping hit windows [2,5)[3,6)[4,7) merge to [2,7)
+    assert(out(0) === ((1L, "alpha beta gamma delta epsilon one two three", 0L)))
+    assert(out(1) === ((2L, "x y z w", 5L)))
+    assert(out(2) === ((3L, "totally unique words here", 0L)))
+  }
+
+  test("removeRepeatedSpans keepFirst=false removes every occurrence") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon one two three"),
+      (2L, "x y alpha beta gamma delta epsilon z w")).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(docs, "doc_id", "text", n = 3,
+      minDocs = 2, keepFirst = false)
+      .orderBy("doc_id").select("doc_id", "text", "removed_words")
+      .as[(Long, String, Long)].collect()
+    assert(out(0) === ((1L, "one two three", 5L)))
+    assert(out(1) === ((2L, "x y z w", 5L)))
+  }
+
+  test("removeRepeatedSpans: sub-n duplicate docs empty out after the first") {
+    val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "other stuff"))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(docs, "doc_id", "text", n = 3, minDocs = 2)
+      .orderBy("doc_id").select("doc_id", "text", "removed_words")
+      .as[(Long, String, Long)].collect()
+    assert(out(0) === ((1L, "hello world", 0L)))
+    assert(out(1) === ((2L, "", 2L)))
+    assert(out(2) === ((3L, "other stuff", 0L)))
+  }
 }

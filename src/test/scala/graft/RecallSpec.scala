@@ -156,6 +156,34 @@ class RecallSpec extends SparkSpec {
     ()
   }
 
+  test("semanticDedup drop-set vs exhaustive cosine-threshold closure") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").filter("vec_id < 800")
+      .select(col("vec_id").cast("long"), col("embedding")).cache()
+    val allIds = emb.select("vec_id").as[Long].collect().toSet
+    val l = emb.select(col("vec_id").as("a"), col("embedding").as("_va"))
+    val r0 = emb.select(col("vec_id").as("b"), col("embedding").as("_vb"))
+    val truthPairs = l.crossJoin(r0).filter(col("a") < col("b"))
+      .withColumn("_c", Similarity.cosine(col("_va"), col("_vb")))
+      .filter(col("_c") >= 0.25).select("a", "b")
+    val truthDrop = allIds.diff(
+      graft.operators.Components.clusterDedup(emb, "vec_id", truthPairs)
+        .select("vec_id").as[Long].collect().toSet)
+    assert(truthDrop.nonEmpty)
+    val gotDrop = allIds.diff(
+      Dedup.semanticDedup(emb, "vec_id", "embedding",
+          numClusters = 8, threshold = 0.25)
+        .select("vec_id").as[Long].collect().toSet)
+    // pairs are exact-cosine-verified within clusters, so the got graph is
+    // a subgraph of the truth graph: every doc dropped here is a true dup
+    assert(gotDrop.subsetOf(truthDrop),
+      s"false drops: ${gotDrop.diff(truthDrop).take(3)}")
+    val rec = recall(truthDrop.map((_, 0L)), gotDrop.map((_, 0L)))
+    info(f"semanticDedup drop recall at cos>=0.25: $rec%.3f (${truthDrop.size} truth drops)")
+    assert(rec >= 0.80, f"semanticDedup drop recall $rec%.3f below bound 0.80")
+    emb.unpersist()
+    ()
+  }
+
   test("ngramJaccardPairs recall vs brute-force at same threshold") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").filter("doc_id < 250")
       .select(col("doc_id").cast("long"), col("text")).cache()
