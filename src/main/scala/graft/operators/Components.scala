@@ -37,7 +37,8 @@ object Components {
    */
   def connectedComponents(pairs: DataFrame, aCol: String = "a",
                           bCol: String = "b", idCol: String = "id",
-                          maxIter: Int = 30): DataFrame = {
+                          maxIter: Int = 30,
+                          driverFinishEdges: Long = 100000L): DataFrame = {
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
     var edges = pairs.select(a.as("_s"), b.as("_d"))
@@ -52,6 +53,53 @@ object Components {
     var iter = 0
     while (!converged && iter < maxIter) {
       iter += 1
+      // Small-graph finish: each distributed round costs a fixed handful
+      // of shuffles/checkpoint jobs regardless of graph size, and
+      // contraction shrinks the graph geometrically — so the TAIL of the
+      // loop burns whole rounds on a graph that fits on the driver. Once
+      // the contracted edge count is bounded (<= driverFinishEdges rows
+      // of two longs — a bounded driver collect, same discipline as the
+      // prefix-offset and centroid collects elsewhere), close the
+      // remaining components with a union-find and resolve the labels
+      // through one broadcast-sized join. At 100 TB the heavy early
+      // rounds still run distributed; this only replaces the fixed-cost
+      // tail. Roots are re-canonicalized to the component MIN so the
+      // "component = min reachable id" contract is unchanged.
+      val nEdges = edges.count()
+      if (nEdges <= driverFinishEdges) {
+        if (nEdges > 0) {
+          val es = edges.select(col("_s"), col("_d")).collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+          val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+            var c = x // path compression
+            while (parent.getOrElse(c, c) != c) {
+              val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+            }
+            r
+          }
+          es.foreach { case (s, d) =>
+            val (rs, rd) = (find(s), find(d))
+            if (rs != rd) parent(math.max(rs, rd)) = math.min(rs, rd)
+          }
+          val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+          val minOfRoot = scala.collection.mutable.HashMap.empty[Long, Long]
+          nodes.foreach { n =>
+            val r = find(n)
+            minOfRoot(r) = math.min(minOfRoot.getOrElse(r, n), n)
+          }
+          val spark = pairs.sparkSession
+          import spark.implicits._
+          val mapping = nodes.iterator.map(n => (n, minOfRoot(find(n))))
+            .toSeq.toDF("_c", "_root")
+          labels = labels
+            .join(broadcast(mapping), Seq("_c"), "left")
+            .select(col("_id"), coalesce(col("_root"), col("_c")).as("_c"))
+        }
+        converged = true
+      } else {
       // (1) pull the min neighbor component. The PREVIOUS label rides
       // along as _p so every change/convergence test below is a cheap
       // filter over the already-materialized checkpoint — the naive shape
@@ -90,6 +138,7 @@ object Components {
           .localCheckpoint()
         // all edges contracted away -> the labels are final
         converged = edges.limit(1).count() == 0
+      }
       }
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")

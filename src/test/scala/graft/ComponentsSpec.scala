@@ -49,6 +49,24 @@ class ComponentsSpec extends SparkSpec {
     assert(got.size == 300 && got.values.forall(_ == 0L))
   }
 
+  test("distributed rounds and the driver finish agree on every graph shape") {
+    // driverFinishEdges = 0 pins the fully-distributed path (the default
+    // would collect these small graphs immediately); labels must be
+    // identical either way — same roots, same min-id canonicalization
+    val rng = new scala.util.Random(13)
+    val shapes = Seq(
+      Seq.fill(400)((rng.nextInt(120).toLong, rng.nextInt(120).toLong))
+        .filter { case (a, b) => a != b },              // random
+      (0L until 299L).map(i => (i, i + 1)),             // long path
+      (1L to 30L).flatMap(i => (i + 1).to(30L).map((i, _))).toSeq) // clique
+    shapes.foreach { pairs =>
+      val dist = Components.connectedComponents(pairs.toDF("a", "b"),
+          driverFinishEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist == comps(pairs))
+    }
+  }
+
   test("minhashDedupExact collapses transitive chains the single pass keeps") {
     // A/B/C form a similarity chain: B shares half its text with each of
     // A and C, but A and C share nothing — exact closure keeps only A
