@@ -136,4 +136,49 @@ class SoakSpec extends SparkSpec {
     // every batch body exists in the 200k index (same generator) -> all drop
     assert(out.count() == 0)
   }
+
+  test("crossDocNgrams at 2M: scalar shuffles, every duplicated doc fully repeated", Soak) {
+    // every body occurs exactly twice and every 8-gram contains the doc
+    // number -> each gram's doc frequency is exactly 2, no hot key
+    val n = 2000000L
+    val out = graft.operators.Dedup.crossDocNgrams(docs(n), "id", "text")
+    assertScaleSafe("crossDocNgrams", PlanAudit.audit(out))
+    val agg = out.agg(count(lit(1)), min($"repeated_frac"), max($"repeated_frac"))
+      .collect()(0)
+    assert(agg.getLong(0) == n)
+    assert(agg.getDouble(1) == 1.0 && agg.getDouble(2) == 1.0)
+  }
+
+  test("removeRepeatedSpans at 2M: merged spans empty exactly the later copies", Soak) {
+    val n = 2000000L
+    val out = graft.operators.Dedup.removeRepeatedSpans(docs(n), "id", "text")
+    assertScaleSafe("removeRepeatedSpans", PlanAudit.audit(out))
+    // lower-id copy holds the global first occurrence of each of its
+    // 8-grams and survives intact; the higher-id copy's hit windows merge
+    // to one span covering all 11 words -> empties out
+    val bySide = out.groupBy(($"id" >= n / 2).as("dup"))
+      .agg(sum($"removed_words").as("rm"), count(lit(1)).as("c"))
+      .collect().map(r => r.getBoolean(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bySide(false) == ((0L, n / 2)))
+    assert(bySide(true) == ((11L * (n / 2), n / 2)))
+  }
+
+  test("semanticDedup at 50k duplicated vectors: all exact dups drop in-cluster", Soak) {
+    // every vector occurs exactly twice (id % (n/2)): identical inputs get
+    // identical nearest-centroid cells, so each dup pair meets inside one
+    // cluster and verifies at cosine 1.0 — exact-dup recall must be total
+    // at soak size, and survivors are exactly the min-id copies
+    val n = 50000L
+    val corpus = spark.range(n).select($"id",
+      transform(sequence(lit(0), lit(15)),
+        i => sin(($"id" % (n / 2)) * (i + 1))).cast("array<float>").as("vec"))
+    val pairs = graft.operators.Dedup.semanticDedupPairs(
+      corpus, "id", "vec", numClusters = 128, threshold = 0.999)
+    assertScaleSafe("semanticDedupPairs", PlanAudit.audit(pairs))
+    val out = graft.operators.Dedup.semanticDedup(
+      corpus, "id", "vec", numClusters = 128, threshold = 0.999)
+    assert(out.filter($"id" >= n / 2).count() == 0) // every later copy drops
+    val c = out.count()
+    assert(c > 0 && c <= n / 2)
+  }
 }
