@@ -138,6 +138,53 @@ class PropertySpec extends SparkSpec {
     assert(allSegs.distinct.size == allSegs.size, "a segment survived twice")
   }
 
+  test("removeRepeatedSpans equals a driver reference on dense random corpora") {
+    import graft.operators.Dedup
+    // tiny vocab + short docs: repeated n-grams everywhere, overlapping
+    // hit windows, whole-doc cuts, first-occurrence ties — every boundary
+    // of the interval-merge fold gets exercised
+    def reference(docs: Seq[(Long, String)], n: Int, minDocs: Int,
+                  keepFirst: Boolean): Map[Long, (String, Long)] = {
+      val words = docs.map { case (id, t) =>
+        id -> t.toLowerCase.trim.split("\\s+").toSeq }.toMap
+      val occ = docs.flatMap { case (id, _) =>
+        val w = words(id)
+        (0 until (math.max(w.length - n, 0) + 1))
+          .map(p => (id, p, w.slice(p, p + n).mkString(" ")))
+      }
+      val rep = occ.groupBy(_._3)
+        .filter { case (_, os) => os.map(_._1).distinct.size >= minDocs }.keySet
+      val repOcc = occ.filter(o => rep(o._3))
+      val firstOcc = repOcc.groupBy(_._3)
+        .map { case (g, os) => g -> os.map(o => (o._1, o._2)).min }
+      val hits = if (keepFirst)
+        repOcc.filterNot(o => firstOcc(o._3) == ((o._1, o._2))) else repOcc
+      val covered = hits.groupBy(_._1).map { case (id, hs) =>
+        id -> hs.flatMap(h => h._2 until math.min(h._2 + n, words(id).length)).toSet }
+      docs.map { case (id, _) =>
+        val w = words(id)
+        val cov = covered.getOrElse(id, Set.empty[Int])
+        val kept = w.zipWithIndex.collect { case (x, i) if !cov(i) => x }
+        id -> ((kept.mkString(" "), (w.length - kept.length).toLong))
+      }.toMap
+    }
+    val word = Gen.oneOf("aa", "bb", "cc", "dd")
+    val doc = Gen.choose(1, 7).flatMap(k => Gen.listOfN(k, word)).map(_.mkString(" "))
+    val corpus = Gen.listOfN(12, doc)
+    (1 to 5).foreach { seed =>
+      val docs = corpus(Gen.Parameters.default, org.scalacheck.rng.Seed(seed.toLong))
+        .get.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      Seq(true, false).foreach { kf =>
+        val got = Dedup.removeRepeatedSpans(docs.toDF("doc_id", "text"),
+            "doc_id", "text", n = 2, minDocs = 2, keepFirst = kf)
+          .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+        val want = reference(docs, n = 2, minDocs = 2, keepFirst = kf)
+        assert(got == want,
+          s"seed=$seed keepFirst=$kf\n got=$got\nwant=$want\ndocs=$docs")
+      }
+    }
+  }
+
   test("urlDomain is idempotent and suffix chains end at the TLD") {
     import graft.functions.TextAnalysis
     val host = Gen.listOfN(3, ident).map(_.mkString("."))
