@@ -38,6 +38,7 @@ object Tools {
       |  sync:    <sourceRoot> <targetRoot> [--tables a,b] [--mode incremental|full]
       |  deploy:  <yaml> [--set K=V ...]
       |  templates: list | show <name> | transformer <name> | schema [--out FILE]
+      |  docs:    [--out DIR]   (regenerate operators.md, yaml_schema.md, graft.schema.json)
       |  system:  rebuild-summaries <root> [--run-id ID] [--sla P=HOURS ...] [--default-sla H]
       |  ui:      <root> --out DIR [--story DIR] [--config YAML] [--sla P=HOURS ...] [--default-sla H]""".stripMargin
 
@@ -57,6 +58,7 @@ object Tools {
     case "templates" :: rest => templatesCommand(rest)
     case "system" :: rest => systemCommand(rest)
     case "ui" :: rest => uiCommand(rest)
+    case "docs" :: rest => docsCommand(rest)
     case _ =>
       System.err.println(usage)
       2
@@ -843,6 +845,32 @@ object Tools {
   /** Render the static observability site (reference: odibi/ui/app.py's
     * FastAPI dashboard — its server deps are env-blocked; the static
     * render serves the same three views from any file host). */
+  // ------------------------------------------------------------------
+  // docs: regenerate the three generated reference files from the live
+  // registries (introspect.py generate_docs). No Spark; the generated
+  // files can never drift from the registries because this is the only
+  // way they are produced.
+  // ------------------------------------------------------------------
+  private def docsCommand(args: List[String]): Int = {
+    var out = "docs"
+    var r = args
+    while (r.nonEmpty) r match {
+      case "--out" :: v :: t => out = v; r = t
+      case other :: _ =>
+        System.err.println(s"unexpected argument $other"); return 2
+    }
+    val dir = java.nio.file.Paths.get(out)
+    java.nio.file.Files.createDirectories(dir)
+    graft.core.Introspect.writeOperatorReference(
+      dir.resolve("operators.md").toString)
+    java.nio.file.Files.writeString(
+      dir.resolve("yaml_schema.md"), graft.core.Introspect.yamlSchema())
+    java.nio.file.Files.writeString(
+      dir.resolve("graft.schema.json"), graft.core.Introspect.jsonSchema())
+    println(s"wrote operators.md, yaml_schema.md, graft.schema.json under $dir")
+    0
+  }
+
   private def uiCommand(args: List[String]): Int = {
     var root: Option[String] = None
     var out: Option[String] = None

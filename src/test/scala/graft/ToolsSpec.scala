@@ -326,4 +326,21 @@ class ToolsSpec extends SparkSpec {
     assert(Tools.mainExit(Array(
       "export", bad, "--target", "dagster", "--out", s"$dir/o.py")) == 1)
   }
+
+  test("docs regenerates the three reference files from the live registries") {
+    val dir = java.nio.file.Files.createTempDirectory("docsverb").toString
+    val (code, out) = captured(Tools.mainExit(Array("docs", "--out", dir)))
+    assert(code == 0 && out.contains("operators.md"))
+    val ops = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/operators.md"))
+    // the generated reference reflects the registry, including this
+    // session's additions — regeneration cannot drift
+    Seq("semantic_dedup", "remove_repeated_spans", "crossdoc_ngrams")
+      .foreach(n => assert(ops.contains(s"`$n`"), s"$n missing"))
+    assert(java.nio.file.Files.size(
+      java.nio.file.Paths.get(s"$dir/graft.schema.json")) > 1000)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/yaml_schema.md")).contains("read block"))
+    assert(Tools.mainExit(Array("docs", "--bogus")) == 2)
+  }
 }
