@@ -30,7 +30,8 @@ object Bench {
     // native source paths + chunking: track scan/IO-bound ops per round
     "q_avro_roundtrip", "q_chunk_text",
     // substring-granularity + semantic dedup (round-7 session-3 additions)
-    "q_crossdoc_ngrams", "q_remove_spans", "q_semantic_dedup")
+    "q_crossdoc_ngrams", "q_remove_spans", "q_semantic_dedup",
+    "q_dsir_weights")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

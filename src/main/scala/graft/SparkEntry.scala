@@ -354,6 +354,19 @@ object SparkEntry {
       // summation-order wobble; drop-set recall asserted in RecallSpec
       Dedup.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
         numClusters = 8, threshold = 0.25).select(col("vec_id"))),
+    "q_dsir_weights" -> ((s, d) => {
+      // domain-match scoring: docs 0-19 act as the target domain
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      operators.Sampling.dsirWeights(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 20), "text")
+    }),
+    "q_importance_sample" -> ((s, d) => { // rows-only: xxhash64 Gumbel keys
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val scored = operators.Sampling.dsirWeights(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 20), "text")
+      operators.Sampling.importanceResample(scored, "doc_id",
+        "dsir_logratio", 500)
+    }),
     "q_cluster_components" -> ((s, d) => {
       // exact connected components over a deterministic chain graph
       // (edges (i, i+1) within 7-wide doc_id blocks) — multi-hop label
@@ -689,6 +702,30 @@ object SparkEntry {
         |  round(coalesce(CAST(m.matched AS DOUBLE) / m.total, 0.0), 6) AS contamination,
         |  coalesce(CAST(m.matched AS DOUBLE) / m.total, 0.0) >= 0.5 AS contaminated
         |FROM ng n LEFT JOIN m USING (doc_id)""".stripMargin,
+    // add-1-smoothed word-unigram log-likelihood ratio, target = docs
+    // 0-19; feature space = target vocab + one OOV bucket, identically
+    // reconstructed here (ln = natural log both sides, round 6)
+    "q_dsir_weights" ->
+      """WITH norm AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w FROM documents
+        |), tc AS (
+        |  SELECT word, count(*) AS ct FROM (
+        |    SELECT unnest(w) AS word FROM norm WHERE doc_id < 20) t GROUP BY 1
+        |), tot AS (SELECT CAST(sum(ct) AS DOUBLE) AS nt, CAST(count(*) AS DOUBLE) AS v FROM tc),
+        |rw AS (SELECT doc_id, unnest(w) AS word FROM norm),
+        |tagged AS (SELECT r.doc_id, r.word, tc.ct FROM rw r LEFT JOIN tc ON r.word = tc.word),
+        |rc AS (SELECT CASE WHEN ct IS NULL THEN ' oov' ELSE word END AS f, count(*) AS cr
+        |       FROM tagged GROUP BY 1),
+        |rtot AS (SELECT CAST(sum(cr) AS DOUBLE) AS nr FROM rc),
+        |lr AS (SELECT tc.word,
+        |         ln((tc.ct + 1.0) / (tot.nt + tot.v + 1.0)) -
+        |         ln((coalesce(rc.cr, 0) + 1.0) / (rtot.nr + tot.v + 1.0)) AS lr
+        |       FROM tc CROSS JOIN tot CROSS JOIN rtot LEFT JOIN rc ON rc.f = tc.word),
+        |oov AS (SELECT ln(1.0 / (tot.nt + tot.v + 1.0)) -
+        |         ln((coalesce((SELECT cr FROM rc WHERE f = ' oov'), 0) + 1.0) / (rtot.nr + tot.v + 1.0)) AS lr
+        |        FROM tot CROSS JOIN rtot)
+        |SELECT g.doc_id, round(sum(coalesce(lr.lr, oov.lr)), 6) AS dsir_logratio
+        |FROM tagged g LEFT JOIN lr ON g.word = lr.word CROSS JOIN oov GROUP BY 1""".stripMargin,
     // the Spark side hashes n-grams (xxhash64) only for shuffle width;
     // the oracle recomputes doc frequencies from string n-grams directly
     "q_crossdoc_ngrams" ->

@@ -313,6 +313,16 @@ object StandardTransformers {
       Dedup.semanticDedupPairs(c.df, str(p, "id_col"), str(p, "vec_col"),
         intOpt(p, "num_clusters").getOrElse(64),
         p.get("threshold").map(_.toString.toDouble).getOrElse(0.95)) }
+    reg("dsir_weights") { (c, p) =>
+      Sampling.dsirWeights(c.df, str(p, "id_col"), str(p, "text_col"),
+        c.dataset(str(p, "target")), strOpt(p, "target_text_col")
+          .getOrElse(str(p, "text_col")),
+        p.get("smoothing").map(_.toString.toDouble).getOrElse(1.0)) }
+    reg("importance_resample") { (c, p) =>
+      Sampling.importanceResample(c.df, str(p, "id_col"), str(p, "score_col"),
+        str(p, "n").toInt,
+        p.get("temperature").map(_.toString.toDouble).getOrElse(1.0),
+        p.get("seed").map(_.toString.toLong).getOrElse(42L)) }
     reg("pack_sequences") { (c, p) =>
       Packing.packSequences(c.df, str(p, "id_col"), str(p, "token_col"),
         p.get("budget").map(_.toString.toLong).getOrElse(2048L)) }

@@ -202,4 +202,92 @@ object Sampling {
       .filter(col("_off") + col("_cum") - col("_tok") < budgetFor)
       .drop("_src", "_tok", "_skey", "_bkt", "_off", "_cum")
   }
+
+  /**
+   * DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+   * Language Models via Importance Resampling", arXiv:2302.03169): score
+   * every raw document by the log-likelihood ratio of its words under a
+   * word-unigram model of the TARGET domain vs one of the RAW corpus,
+   * add-`smoothing` estimated. The feature space is the target's
+   * vocabulary plus a single out-of-vocabulary bucket (the paper hashes
+   * n-grams into fixed buckets; restricting to the target vocabulary is
+   * the same bounded-feature idea with an exactly reproducible —
+   * therefore oracle-checkable — feature map). High `dsir_logratio` =
+   * reads like the target domain. Output: (idCol, dsir_logratio).
+   *
+   * Scale design (100 TB): the target is domain-sized (a benchmark, a
+   * curated set), so its word-count table is broadcast — the same shape
+   * as [[Dedup.ngramContamination]]'s benchmark set. The raw corpus is
+   * touched exactly twice, the DSIR minimum: one pass to estimate its
+   * distribution over the bounded feature space (map-side-combinable
+   * groupBy producing <= |vocab|+1 rows) and one pass to score
+   * (broadcast lookup + per-doc sum). Driver state is three scalars and
+   * the vocab-bounded ratio table; nothing corpus-sized ever sits on
+   * one node.
+   */
+  def dsirWeights(raw: DataFrame, idCol: String, textCol: String,
+                  target: DataFrame, targetTextCol: String,
+                  smoothing: Double = 1.0): DataFrame = {
+    require(smoothing > 0, s"smoothing must be > 0, got $smoothing")
+    def words(t: Column) = split(Dedup.normText(t), " ")
+    val tCounts = target.select(explode(words(col(targetTextCol))).as("_w"))
+      .groupBy(col("_w")).agg(count(lit(1)).as("_ct"))
+    val trow = tCounts.agg(coalesce(sum(col("_ct")), lit(0L)),
+      count(lit(1))).collect()(0)
+    val (nT, v) = (trow.getLong(0), trow.getLong(1))
+    require(nT > 0, "dsirWeights: target corpus is empty")
+    val rawWords = raw.select(col(idCol), explode(words(col(textCol))).as("_w"))
+    // raw-corpus distribution over vocab + OOV: the OOV rollup happens in
+    // the SAME aggregation (feature key, not raw word), so the groupBy
+    // output is bounded by |vocab|+1 even though raw vocabulary is not
+    val tagged = rawWords.join(
+      broadcast(tCounts.select(col("_w"), lit(1).as("_in"))), Seq("_w"), "left")
+    val oovKey = " oov"
+    val rCounts = tagged
+      .groupBy(when(col("_in").isNull, lit(oovKey)).otherwise(col("_w")).as("_f"))
+      .agg(count(lit(1)).as("_cr"))
+    val rRows = rCounts.collect() // bounded: <= |target vocab| + 1 rows
+    val nR = rRows.map(_.getLong(1)).sum
+    val oovR = rRows.find(_.getString(0) == oovKey).map(_.getLong(1)).getOrElse(0L)
+    val rMap = rRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val denomT = nT + smoothing * (v + 1)
+    val denomR = nR + smoothing * (v + 1)
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val ratio = tCounts.collect().map { r =>
+      val (w0, ct) = (r.getString(0), r.getLong(1))
+      w0 -> (math.log((ct + smoothing) / denomT) -
+        math.log((rMap.getOrElse(w0, 0L) + smoothing) / denomR))
+    }.toSeq.toDF("_w", "_lr")
+    val oovLr = math.log(smoothing / denomT) -
+      math.log((oovR + smoothing) / denomR)
+    rawWords.join(broadcast(ratio), Seq("_w"), "left")
+      .groupBy(col(idCol))
+      .agg(round(sum(coalesce(col("_lr"), lit(oovLr))), 6).as("dsir_logratio"))
+  }
+
+  /**
+   * Gumbel top-k importance resampling, the selection half of DSIR:
+   * sample `n` rows without replacement with P(select) ∝
+   * exp(`scoreCol` / temperature) — adding independent Gumbel noise to
+   * each score and taking the top `n` is exactly softmax sampling
+   * without replacement (the Gumbel-max trick). The "noise" is a hashed
+   * uniform over `idCol`, so the sample is deterministic, reproducible
+   * under any partitioning, and re-seedable. `temperature` → 0
+   * approaches plain top-n by score; large temperature approaches
+   * uniform sampling.
+   *
+   * Scale: orderBy+limit compiles to TakeOrderedAndProject — per-
+   * partition top-n then a final merge of P×n rows, never a global sort.
+   */
+  def importanceResample(df: DataFrame, idCol: String, scoreCol: String,
+                         n: Int, temperature: Double = 1.0,
+                         seed: Long = 42L): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(temperature > 0, s"temperature must be > 0, got $temperature")
+    val u = (pmod(xxhash64(col(idCol).cast("string"), lit(seed)),
+      lit(1000000000L)).cast("double") + 0.5) / 1.0e9
+    df.withColumn("_k", col(scoreCol) / temperature - log(-log(u)))
+      .orderBy(col("_k").desc).limit(n).drop("_k")
+  }
 }

@@ -331,6 +331,60 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1) === ((2L, "x y z w", 5L)))
   }
 
+  test("dsirWeights matches a driver reference; target-like docs score higher") {
+    import graft.operators.Sampling
+    val target = Seq((100L, "cats and dogs"), (101L, "dogs chase cats"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "cats and dogs and cats"),   // pure target vocabulary
+      (2L, "quantum flux capacitors"),  // pure OOV
+      (3L, "cats with quantum dogs"))   // mixed
+      .toDF("doc_id", "text")
+    val got = Sampling.dsirWeights(raw, "doc_id", "text", target, "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // driver reference: add-1-smoothed unigram LLR over target vocab + OOV
+    val tWords = Seq("cats", "and", "dogs", "dogs", "chase", "cats")
+    val vocab = tWords.distinct
+    val tc = tWords.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val rawDocs = Map(
+      1L -> Seq("cats", "and", "dogs", "and", "cats"),
+      2L -> Seq("quantum", "flux", "capacitors"),
+      3L -> Seq("cats", "with", "quantum", "dogs"))
+    val allRaw = rawDocs.values.flatten.toSeq
+    val rc = allRaw.groupBy(w => if (vocab.contains(w)) w else " oov")
+      .view.mapValues(_.size.toDouble).toMap
+    val (nT, v, nR) = (tWords.size.toDouble, vocab.size.toDouble, allRaw.size.toDouble)
+    def lr(w: String): Double = {
+      val f = if (vocab.contains(w)) w else " oov"
+      math.log((tc.getOrElse(f, 0.0) + 1.0) / (nT + v + 1.0)) -
+        math.log((rc.getOrElse(f, 0.0) + 1.0) / (nR + v + 1.0))
+    }
+    val want = rawDocs.view.mapValues(ws =>
+      math.rint(ws.map(lr).sum * 1e6) / 1e6).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, s) =>
+      assert(math.abs(s - want(id)) < 1e-9, s"doc $id: got $s want ${want(id)}") }
+    assert(got(1L) > got(3L) && got(3L) > got(2L)) // domain ordering holds
+  }
+
+  test("importanceResample: deterministic Gumbel top-k, dominant scores always in") {
+    import graft.operators.Sampling
+    val df = (1L to 200L).map(i => (i, if (i == 7L) 1000.0 else 0.0))
+      .toDF("doc_id", "score")
+    val s1 = Sampling.importanceResample(df, "doc_id", "score", 20)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.importanceResample(df, "doc_id", "score", 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2 && s1.size == 20)       // reproducible, exact n
+    assert(s1.contains(7L))                 // +1000 logit is never displaced
+    val s3 = Sampling.importanceResample(df, "doc_id", "score", 20, seed = 43L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s3 != s1)                        // a new seed reshuffles the ties
+    intercept[IllegalArgumentException] {
+      Sampling.importanceResample(df, "doc_id", "score", 0)
+    }
+  }
+
   test("removeRepeatedSpans: sub-n duplicate docs empty out after the first") {
     val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "other stuff"))
       .toDF("doc_id", "text")
