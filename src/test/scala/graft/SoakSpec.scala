@@ -163,6 +163,21 @@ class SoakSpec extends SparkSpec {
     assert(bySide(true) == ((11L * (n / 2), n / 2)))
   }
 
+  test("dsirWeights at 2M docs: vocab-bounded broadcasts, two corpus passes", Soak) {
+    val n = 2000000L
+    val target = (1 to 200).map(i =>
+      s"curated domain document $i about topic ${i % 7}").toDF("text")
+    val out = graft.operators.Sampling.dsirWeights(
+      docs(n), "id", "text", target, "text")
+    val a = PlanAudit.audit(out)
+    assertScaleSafe("dsirWeights", a)
+    assert(a.numBroadcastJoins >= 1,
+      "dsirWeights: the ratio table must join as a broadcast")
+    // every doc body contains the same vocab mix (only the number word
+    // varies), so scores are finite and one row per doc comes back
+    assert(out.count() == n)
+  }
+
   test("semanticDedup at 50k duplicated vectors: all exact dups drop in-cluster", Soak) {
     // every vector occurs exactly twice (id % (n/2)): identical inputs get
     // identical nearest-centroid cells, so each dup pair meets inside one
