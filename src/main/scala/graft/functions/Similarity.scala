@@ -158,6 +158,23 @@ object Similarity {
         m.getAs[Int]("dim"), m.getAs[Int]("bits"), m.getAs[Int]("bands"),
         m.getAs[Long]("seed"), m.getAs[String]("id_col"), m.getAs[String]("vec_col"))
     }
+
+    /** Band `batch` under the family saved at `path` and append it to
+      * the persisted index — the crawl-batch companion to
+      * [[buildLshIndex]]: the existing corpus is never re-banded, and
+      * because the saved family travels with the index, the appended
+      * rows are byte-identical to what a full rebuild would produce.
+      * Batch lineage is cut (localCheckpoint) before the write, so a
+      * batch derived from probing this same index cannot lazily re-scan
+      * it mid-append. */
+    def append(spark: org.apache.spark.sql.SparkSession, path: String,
+               batch: DataFrame): Unit = {
+      val idx = load(spark, path)
+      lshBanded(batch.select(col(idx.idCol), col(idx.vecCol)),
+          idx.idCol, idx.vecCol, idx.dim, idx.bits, idx.bands, idx.seed)
+        .localCheckpoint()
+        .write.mode("append").parquet(s"$path/bands")
+    }
   }
 
   /** Band the corpus once under a fixed hyperplane family. */
@@ -256,7 +273,8 @@ object Similarity {
    * index serves both fast-low-recall and slow-high-recall callers.
    */
   final case class IvfIndex(centroids: Array[(Long, Seq[Double])],
-                            cells: DataFrame, idCol: String, vecCol: String) {
+                            cells: DataFrame, idCol: String, vecCol: String,
+                            assignSpill: Int = 3) {
     /** Persist as parquet under `path` (cells / centroids / meta). */
     def save(path: String): Unit = {
       val spark = cells.sparkSession
@@ -264,7 +282,8 @@ object Similarity {
       cells.write.mode("overwrite").parquet(s"$path/cells")
       centroids.toSeq.toDF("_cid", "_cvec").coalesce(1)
         .write.mode("overwrite").parquet(s"$path/centroids")
-      Seq((idCol, vecCol)).toDF("id_col", "vec_col").coalesce(1)
+      Seq((idCol, vecCol, assignSpill))
+        .toDF("id_col", "vec_col", "assign_spill").coalesce(1)
         .write.mode("overwrite").parquet(s"$path/meta")
     }
   }
@@ -272,11 +291,35 @@ object Similarity {
   object IvfIndex {
     def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
       import spark.implicits._
-      val meta = spark.read.parquet(s"$path/meta").collect()(0)
+      val metaDf = spark.read.parquet(s"$path/meta")
+      val meta = metaDf.collect()(0)
+      val spill = if (metaDf.columns.contains("assign_spill"))
+        meta.getAs[Int]("assign_spill") else 3
       val cents = spark.read.parquet(s"$path/centroids")
         .select(col("_cid").as[Long], col("_cvec").as[Seq[Double]]).collect()
       IvfIndex(cents, spark.read.parquet(s"$path/cells"),
-        meta.getString(0), meta.getString(1))
+        meta.getAs[String]("id_col"), meta.getAs[String]("vec_col"), spill)
+    }
+
+    /** Assign `batch` to the centroids saved at `path` (the build's
+      * `assignSpill` nearest cells, zero shuffle — the same native
+      * NearestCentroids expression as the build) and append the rows to
+      * the persisted cells — the crawl-batch companion to
+      * [[buildIvfIndex]]: no Lloyd re-run, no corpus re-assignment.
+      * Centroids DRIFT as the corpus grows away from the distribution
+      * they were fitted on — rebuild when recall sags, the standard IVF
+      * operational contract. Batch lineage is cut before the write so a
+      * batch derived from probing this index cannot re-scan it
+      * mid-append. */
+    def append(spark: org.apache.spark.sql.SparkSession, path: String,
+               batch: DataFrame): Unit = {
+      val idx = load(spark, path)
+      batch.select(col(idx.idCol), col(idx.vecCol),
+          explode(graft.expressions.HashFunctions.nearestCentroids(
+            col(idx.vecCol), idx.centroids.map(_._1),
+            idx.centroids.map(_._2.toArray), idx.assignSpill)).as("_cell"))
+        .localCheckpoint()
+        .write.mode("append").parquet(s"$path/cells")
     }
   }
 
@@ -360,7 +403,7 @@ object Similarity {
     val corpusCells = corp
       .select(col(idCol), col(vecCol),
         explode(nearestCells(centRows, col(vecCol), assignSpill)).as("_cell"))
-    IvfIndex(centRows, corpusCells, idCol, vecCol)
+    IvfIndex(centRows, corpusCells, idCol, vecCol, assignSpill)
   }
 
   /** Serve one query batch from a built (or loaded) [[IvfIndex]]. */

@@ -91,6 +91,44 @@ class RecallSpec extends SparkSpec {
       probes = 0)).nonEmpty)
   }
 
+  test("index append: LSH equals full rebuild; IVF finds appended vectors") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val (first, second) = (emb.filter("vec_id < 250"), emb.filter("vec_id >= 250"))
+    val queries = emb.filter("vec_id < 20")
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid").cast("long"), col("vec_id").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("idxapp").toString
+
+    // LSH banding is deterministic under the saved family, so build(half)
+    // + append(half) serves BYTE-IDENTICAL results to build(full)
+    Similarity.buildLshIndex(first, "vec_id", "embedding", dim = 64)
+      .save(s"$dir/lsh")
+    Similarity.LshIndex.append(spark, s"$dir/lsh", second)
+    val served = pairs(Similarity.lshTopKIndexed(
+      Similarity.LshIndex.load(spark, s"$dir/lsh"), queries, "qid", "qv", 5))
+    val full = pairs(Similarity.lshTopKIndexed(
+      Similarity.buildLshIndex(emb, "vec_id", "embedding", dim = 64),
+      queries, "qid", "qv", 5))
+    assert(served == full)
+
+    // IVF: appended vectors assign to the EXISTING centroids and must be
+    // retrievable — a query identical to an appended vector finds it
+    Similarity.buildIvfIndex(first, "vec_id", "embedding").save(s"$dir/ivf")
+    Similarity.IvfIndex.append(spark, s"$dir/ivf", second)
+    val loaded = Similarity.IvfIndex.load(spark, s"$dir/ivf")
+    assert(loaded.assignSpill == 3) // survives the roundtrip
+    // offset qids: the serving path drops id == qid self-matches
+    val probe = second.limit(5)
+      .select((col("vec_id") + 1000000L).as("qid"), col("embedding").as("qv"))
+    val hits = Similarity.ivfTopKIndexed(loaded, probe, "qid", "qv", 1)
+      .select(col("qid").cast("long"), col("vec_id").cast("long")).collect()
+    assert(hits.length == 5 &&
+      hits.forall(r => r.getLong(0) - 1000000L == r.getLong(1)),
+      s"appended vectors not retrieved: ${hits.mkString(",")}")
+  }
+
   test("minhashLshPairs candidate recall vs exact-Jaccard pairs on documents") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").filter("doc_id < 250")
       .select(col("doc_id").cast("long"), col("text")).cache()
