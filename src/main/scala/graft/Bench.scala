@@ -31,7 +31,7 @@ object Bench {
     "q_avro_roundtrip", "q_chunk_text",
     // substring-granularity + semantic dedup (round-7 session-3 additions)
     "q_crossdoc_ngrams", "q_remove_spans", "q_semantic_dedup",
-    "q_dsir_weights")
+    "q_dsir_weights", "q_perplexity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

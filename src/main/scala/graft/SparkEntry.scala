@@ -367,6 +367,12 @@ object SparkEntry {
       operators.Sampling.importanceResample(scored, "doc_id",
         "dsir_logratio", 500)
     }),
+    "q_perplexity" -> ((s, d) => {
+      // CCNet-style fluency scoring under a target-domain bigram LM
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      operators.Sampling.perplexityScore(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 20), "text")
+    }),
     "q_cluster_components" -> ((s, d) => {
       // exact connected components over a deterministic chain graph
       // (edges (i, i+1) within 7-wide doc_id blocks) — multi-hop label
@@ -726,6 +732,46 @@ object SparkEntry {
         |        FROM tot CROSS JOIN rtot)
         |SELECT g.doc_id, round(sum(coalesce(lr.lr, oov.lr)), 6) AS dsir_logratio
         |FROM tagged g LEFT JOIN lr ON g.word = lr.word CROSS JOIN oov GROUP BY 1""".stripMargin,
+    // interpolated add-1 bigram LM of the target (docs 0-19); first token
+    // unigram-only, unseen context backs off to uniform. (1.0 - 0.9) is
+    // spelled as an expression so both engines compute the identical
+    // float64 interpolation weight
+    "q_perplexity" ->
+      """WITH norm AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w FROM documents
+        |), tuni AS (
+        |  SELECT word, count(*) AS c1 FROM (
+        |    SELECT unnest(w) AS word FROM norm WHERE doc_id < 20) t GROUP BY 1
+        |), tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS nt, CAST(count(*) AS DOUBLE) AS v FROM tuni),
+        |tbi AS (
+        |  SELECT p, c, count(*) AS c2 FROM (
+        |    SELECT unnest(w[1:len(w)-1]) AS p, unnest(w[2:len(w)]) AS c
+        |    FROM norm WHERE doc_id < 20) t GROUP BY 1, 2
+        |), tctx AS (SELECT p, sum(c2) AS cc FROM tbi GROUP BY 1),
+        |pos AS (
+        |  SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos, unnest(w) AS word FROM norm
+        |), feat AS (
+        |  SELECT s.doc_id, s.pos,
+        |         CASE WHEN u.c1 IS NULL THEN ' oov' ELSE s.word END AS f,
+        |         (coalesce(u.c1, 0) + 1.0) / (tot.nt + tot.v + 1.0) AS pu
+        |  FROM pos s LEFT JOIN tuni u ON s.word = u.word CROSS JOIN tot
+        |), ctxd AS (
+        |  SELECT doc_id, pos, f, pu,
+        |         lag(f) OVER (PARTITION BY doc_id ORDER BY pos) AS fp
+        |  FROM feat
+        |), scored AS (
+        |  SELECT c.doc_id,
+        |    CASE WHEN c.fp IS NULL THEN c.pu
+        |         ELSE 0.9 * ((coalesce(b.c2, 0) + 1.0) / (coalesce(x.cc, 0) + tot.v + 1.0))
+        |              + (1.0 - 0.9) * c.pu
+        |    END AS p
+        |  FROM ctxd c CROSS JOIN tot
+        |    LEFT JOIN tctx x ON c.fp = x.p
+        |    LEFT JOIN tbi b ON b.p = c.fp AND b.c = c.f
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       round(-sum(ln(p)) / count(*), 6) AS cross_entropy
+        |FROM scored GROUP BY 1""".stripMargin,
     // the Spark side hashes n-grams (xxhash64) only for shuffle width;
     // the oracle recomputes doc frequencies from string n-grams directly
     "q_crossdoc_ngrams" ->

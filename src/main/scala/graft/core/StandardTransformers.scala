@@ -323,6 +323,12 @@ object StandardTransformers {
         str(p, "n").toInt,
         p.get("temperature").map(_.toString.toDouble).getOrElse(1.0),
         p.get("seed").map(_.toString.toLong).getOrElse(42L)) }
+    reg("perplexity_score") { (c, p) =>
+      Sampling.perplexityScore(c.df, str(p, "id_col"), str(p, "text_col"),
+        c.dataset(str(p, "target")), strOpt(p, "target_text_col")
+          .getOrElse(str(p, "text_col")),
+        p.get("smoothing").map(_.toString.toDouble).getOrElse(1.0),
+        p.get("lambda").map(_.toString.toDouble).getOrElse(0.9)) }
     reg("pack_sequences") { (c, p) =>
       Packing.packSequences(c.df, str(p, "id_col"), str(p, "token_col"),
         p.get("budget").map(_.toString.toLong).getOrElse(2048L)) }

@@ -267,6 +267,79 @@ object Sampling {
   }
 
   /**
+   * Perplexity filtering (CCNet, Wenzek et al. 2020, arXiv:1911.00359 —
+   * there with a KenLM 5-gram; here an interpolated bigram, the same
+   * decision signal in an exactly reproducible closed form): score every
+   * raw document by its per-token cross-entropy under a language model
+   * of the TARGET corpus. Low `cross_entropy` = fluent under the target
+   * domain; filter or bucket on it (CCNet keeps head/middle by
+   * perplexity tertile). Output: (idCol, n_tokens, cross_entropy).
+   *
+   * Model, over the target-vocab + OOV feature space of [[dsirWeights]]:
+   * `p(w_i | w_{i-1}) = lambda * p_bi + (1 - lambda) * p_uni`, both
+   * add-`smoothing` estimated from the target; the first token of each
+   * document is scored by `p_uni` alone (no BOS context). `p_bi` for an
+   * unseen context backs off to the uniform `1 / (v + 1)`.
+   * `cross_entropy = -(1/n) * sum ln p` in nats.
+   *
+   * Scale design (100 TB): all three model tables — unigram (|vocab|
+   * rows), bigram (<= target token count rows), context totals (|vocab|
+   * rows) — are target-bounded broadcasts, the contamination-benchmark
+   * shape. The raw corpus is scored in ONE pass: per-doc positional
+   * words, a lag window keyed by the uniformly-distributed doc id for
+   * the bigram context, broadcast lookups, one map-side-combinable
+   * per-doc aggregate. Nothing corpus-sized shuffles except the
+   * (id, pos, word-id) scalar rows of that single window.
+   */
+  def perplexityScore(raw: DataFrame, idCol: String, textCol: String,
+                      target: DataFrame, targetTextCol: String,
+                      smoothing: Double = 1.0,
+                      lambda: Double = 0.9): DataFrame = {
+    require(smoothing > 0, s"smoothing must be > 0, got $smoothing")
+    require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1], got $lambda")
+    def words(t: Column) = split(Dedup.normText(t), " ")
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val oovKey = " oov"
+
+    val tDocs = target.select(words(col(targetTextCol)).as("_ws"))
+    val uni = tDocs.select(explode(col("_ws")).as("_w"))
+      .groupBy(col("_w")).agg(count(lit(1)).as("_c1"))
+    val trow = uni.agg(coalesce(sum(col("_c1")), lit(0L)), count(lit(1))).collect()(0)
+    val (nT, v) = (trow.getLong(0), trow.getLong(1))
+    require(nT > 0, "perplexityScore: target corpus is empty")
+    // adjacent-pair counts within each target doc (no cross-doc bigrams)
+    val bi = tDocs.select(explode(zip_with(
+        slice(col("_ws"), lit(1), greatest(size(col("_ws")) - 1, lit(0))),
+        slice(col("_ws"), lit(2), greatest(size(col("_ws")) - 1, lit(0))),
+        (a, b) => struct(a.as("p"), b.as("c")))).as("_pair"))
+      .groupBy(col("_pair.p").as("_wp"), col("_pair.c").as("_wc"))
+      .agg(count(lit(1)).as("_c2"))
+    val ctx = bi.groupBy(col("_wp")).agg(sum(col("_c2")).as("_cc"))
+
+    val denomU = nT + smoothing * (v + 1)
+    val vp1 = (v + 1).toDouble
+    // one pass over raw: positional words -> feature -> lag context
+    val pos = raw.select(col(idCol),
+        posexplode(words(col(textCol))).as(Seq("_p", "_w")))
+      .join(broadcast(uni), Seq("_w"), "left")
+      .withColumn("_f", when(col("_c1").isNull, lit(oovKey)).otherwise(col("_w")))
+      .withColumn("_pu", (coalesce(col("_c1"), lit(0L)) + smoothing) / denomU)
+    val wOrd = Window.partitionBy(col(idCol)).orderBy(col("_p"))
+    val withPrev = pos.withColumn("_fp", lag(col("_f"), 1).over(wOrd))
+      .join(broadcast(ctx.select(col("_wp").as("_fp"), col("_cc"))), Seq("_fp"), "left")
+      .join(broadcast(bi.select(col("_wp").as("_fp"), col("_wc").as("_f"),
+        col("_c2"))), Seq("_fp", "_f"), "left")
+    val pBi = (coalesce(col("_c2"), lit(0L)) + smoothing) /
+      (coalesce(col("_cc"), lit(0L)) + smoothing * vp1)
+    val p = when(col("_fp").isNull, col("_pu")) // first token: unigram only
+      .otherwise(lit(lambda) * pBi + lit(1 - lambda) * col("_pu"))
+    withPrev.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(-sum(log(p)) / count(lit(1)), 6).as("cross_entropy"))
+  }
+
+  /**
    * Gumbel top-k importance resampling, the selection half of DSIR:
    * sample `n` rows without replacement with P(select) ∝
    * exp(`scoreCol` / temperature) — adding independent Gumbel noise to

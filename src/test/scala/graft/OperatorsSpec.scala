@@ -367,6 +367,46 @@ class OperatorsSpec extends SparkSpec {
     assert(got(1L) > got(3L) && got(3L) > got(2L)) // domain ordering holds
   }
 
+  test("perplexityScore matches a driver bigram-LM reference") {
+    import graft.operators.Sampling
+    val target = Seq((100L, "the cat sat"), (101L, "the cat ran"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "the cat sat"),          // exactly in-domain: low cross-entropy
+      (2L, "zebras paint quasars"), // pure OOV: high
+      (3L, "the cat"),              // in-domain prefix
+      (4L, "sat"))                  // single word: unigram-only path
+      .toDF("doc_id", "text")
+    val got = Sampling.perplexityScore(raw, "doc_id", "text", target, "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // driver reference
+    val tDocs = Seq(Seq("the", "cat", "sat"), Seq("the", "cat", "ran"))
+    val uni = tDocs.flatten.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val vocab = uni.keySet
+    val bi = tDocs.flatMap(ws => ws.zip(ws.tail))
+      .groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val ctx = bi.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val (nT, v) = (tDocs.flatten.size.toDouble, vocab.size.toDouble)
+    def f(w: String) = if (vocab.contains(w)) w else " oov"
+    def pu(w: String) = (uni.getOrElse(f(w), 0.0) + 1.0) / (nT + v + 1.0)
+    def pbi(p0: String, c0: String) =
+      (bi.getOrElse((f(p0), f(c0)), 0.0) + 1.0) / (ctx.getOrElse(f(p0), 0.0) + v + 1.0)
+    def ce(ws: Seq[String]): Double = {
+      val terms = pu(ws.head) +: ws.zip(ws.tail).map { case (p0, c0) =>
+        0.9 * pbi(p0, c0) + (1.0 - 0.9) * pu(c0) }
+      math.rint(-terms.map(math.log).sum / ws.size * 1e6) / 1e6
+    }
+    val rawDocs = Map(1L -> Seq("the", "cat", "sat"),
+      2L -> Seq("zebras", "paint", "quasars"),
+      3L -> Seq("the", "cat"), 4L -> Seq("sat"))
+    rawDocs.foreach { case (id, ws) =>
+      assert(got(id)._1 == ws.size.toLong, s"doc $id token count")
+      assert(math.abs(got(id)._2 - ce(ws)) < 1e-9,
+        s"doc $id: got ${got(id)._2} want ${ce(ws)}")
+    }
+    assert(got(1L)._2 < got(2L)._2) // in-domain text reads more fluent
+  }
+
   test("importanceResample: deterministic Gumbel top-k, dominant scores always in") {
     import graft.operators.Sampling
     val df = (1L to 200L).map(i => (i, if (i == 7L) 1000.0 else 0.0))
