@@ -178,6 +178,21 @@ class SoakSpec extends SparkSpec {
     assert(out.count() == n)
   }
 
+  test("perplexityScore at 2M docs: LM tables broadcast, one doc-keyed window", Soak) {
+    val n = 2000000L
+    val target = (1 to 200).map(i =>
+      s"curated domain document $i about topic ${i % 7}").toDF("text")
+    val out = graft.operators.Sampling.perplexityScore(
+      docs(n), "id", "text", target, "text")
+    val a = PlanAudit.audit(out)
+    assertScaleSafe("perplexityScore", a)
+    assert(a.numBroadcastJoins >= 2,
+      "perplexityScore: unigram/bigram/context tables must join as broadcasts")
+    // the only window is the per-doc lag — partitioned by the doc id
+    bucketedWindows(out, "perplexityScore", expectedKeys = 1)
+    assert(out.count() == n)
+  }
+
   test("semanticDedup at 50k duplicated vectors: all exact dups drop in-cluster", Soak) {
     // every vector occurs exactly twice (id % (n/2)): identical inputs get
     // identical nearest-centroid cells, so each dup pair meets inside one
