@@ -332,6 +332,20 @@ object Dedup {
    * (low threshold + clustered vectors → 1.8 M candidates) vs ids-only
    * ~70 MB — and at a real corpus scale the candidate fan-out is the one
    * thing this plan must survive.
+   *
+   * Band-width tuning (recall vs candidate volume at cos >= 0.25 on the
+   * sf0.01 embeddings — low thresholds NEED narrow bands, because such
+   * pairs disagree on many hyperplanes):
+   * {{{
+   * bands x bits/band   probes   recall   candidates/band-bucket space
+   *   12  x  4            2       0.985     16 buckets  <- default
+   *    8  x  6            2       0.597     64 buckets
+   *    8  x  6            3       0.691
+   *    6  x  8            2       0.215    256 buckets
+   * }}}
+   * Widen bands only when raising `threshold` (near-identical pairs
+   * agree on most hyperplanes, so fewer/wider bands keep recall while
+   * cutting candidate volume quadratically).
    */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             dim: Int, threshold: Double = 0.95,
