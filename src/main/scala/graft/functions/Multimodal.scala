@@ -14,12 +14,15 @@ import org.apache.spark.sql.types._
  * columns without interpreting them, and all heavy decode work runs
  * per-partition with bounded batch sizes.
  *
- * The Spark-side plumbing here (schemas, partition sizing, batched
- * per-partition processing, feature schema) is real and tested. The codec
- * boundary itself is STUBBED: this container has no image/audio libraries,
- * so `decodeBatch` derives deterministic fake features from the bytes.
- * Swapping in a real decoder (JavaCV, TwelveMonkeys, a JNI codec) changes
- * ONLY the marked function.
+ * The decode boundary is REAL for the formats the JDK itself ships
+ * codecs for — PNG/JPEG/GIF/BMP via `javax.imageio` (true dimensions +
+ * a luminance-grid embedding) and WAV/PCM via `javax.sound.sampled`
+ * (true duration + an RMS-energy-profile embedding) — dispatched by
+ * magic bytes, so no trial decode ever runs on non-media payloads.
+ * Everything else (video containers, exotic codecs — no libraries in
+ * this container) falls back to deterministic content-hash features,
+ * the STUB path; swapping in a heavier decoder (JavaCV, TwelveMonkeys,
+ * JNI) extends ONLY the marked dispatch function.
  */
 object Multimodal {
 
@@ -41,6 +44,10 @@ object Multimodal {
     StructField("media_id", LongType, nullable = false),
     StructField("n_bytes", LongType),
     StructField("sha", StringType),
+    StructField("kind", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType),
     StructField("embedding", ArrayType(FloatType, containsNull = false))))
 
   /** Wrap raw (id, bytes, mime) columns into the canonical media schema. */
@@ -57,26 +64,113 @@ object Multimodal {
         sourceUriCol.map(col).getOrElse(lit(null)).cast("string").as("source_uri")
       ).as("meta"))
 
-  // ================= STUB BOUNDARY =================
+  /** Magic-byte sniff: decide the decode path WITHOUT a trial decode. */
+  private def sniff(b: Array[Byte]): String =
+    if (b == null || b.length < 12) "opaque"
+    else if ((b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "image"
+    else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) "image" // JPEG
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') "image"
+    else if (b(0) == 'B' && b(1) == 'M') "image"
+    else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') "audio"
+    else "opaque"
+
+  /** Luminance averaged over an `dim`-cell row-major grid, in [-1, 1]. */
+  private def imageEmbedding(img: java.awt.image.BufferedImage,
+                             dim: Int): Array[Float] = {
+    val g = math.max(math.ceil(math.sqrt(dim.toDouble)).toInt, 1)
+    val (w, h) = (img.getWidth, img.getHeight)
+    Array.tabulate(dim) { i =>
+      val (cx, cy) = (i % g, (i / g) % g)
+      val (x0, x1) = (cx * w / g, math.max((cx + 1) * w / g, cx * w / g + 1))
+      val (y0, y1) = (cy * h / g, math.max((cy + 1) * h / g, cy * h / g + 1))
+      var sum = 0.0; var n = 0
+      var y = y0
+      while (y < math.min(y1, h)) {
+        var x = x0
+        while (x < math.min(x1, w)) {
+          val rgb = img.getRGB(x, y)
+          sum += (((rgb >> 16) & 0xFF) * 0.299 + ((rgb >> 8) & 0xFF) * 0.587 +
+            (rgb & 0xFF) * 0.114) / 255.0
+          n += 1; x += 1
+        }
+        y += 1
+      }
+      if (n == 0) 0.0f else (sum / n * 2.0 - 1.0).toFloat
+    }
+  }
+
+  /** RMS energy over `dim` equal time windows of the PCM stream, scaled
+    * to [0, 1] (16-bit signed assumed — the WAV default; other depths
+    * still produce a stable, monotone energy profile). */
+  private def audioFeatures(bytes: Array[Byte],
+                            dim: Int): Option[(Long, Array[Float])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        val durMs = if (fmt.getFrameRate > 0 && frames >= 0)
+          (frames / fmt.getFrameRate * 1000.0).toLong else 0L
+        val pcm = in.readAllBytes()
+        val n16 = pcm.length / 2
+        val emb = Array.tabulate(dim) { i =>
+          val (s0, s1) = (i.toLong * n16 / dim, (i + 1).toLong * n16 / dim)
+          var acc = 0.0; var k = s0
+          while (k < s1) {
+            val lo = pcm((2 * k).toInt) & 0xFF
+            val hi = pcm((2 * k + 1).toInt).toInt // little-endian signed
+            val s = (hi << 8) | lo
+            acc += (s / 32768.0) * (s / 32768.0); k += 1
+          }
+          if (s1 == s0) 0.0f else math.sqrt(acc / (s1 - s0)).toFloat
+        }
+        Some((durMs, emb))
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  // =============== DECODE DISPATCH (extend here) ===============
   /**
-   * STUB: deterministic fake decoder. A real implementation decodes the
-   * payload (image decode / audio PCM / video frames) and emits model
-   * features; this fake derives a stable pseudo-embedding from the content
-   * hash so tests exercise the full distributed pipeline deterministically.
+   * Per-batch decode: REAL decode for JDK-supported formats — images
+   * (`javax.imageio`: true width/height + luminance-grid embedding) and
+   * WAV audio (`javax.sound.sampled`: true duration + RMS energy
+   * profile). Any other payload, and any corrupt payload that fails its
+   * decoder, falls back to deterministic content-hash pseudo-features
+   * (`kind = "opaque"`) so the distributed pipeline behaves identically
+   * for every row. A heavier codec (video frames, model embeddings)
+   * slots in as another `sniff` branch here.
    */
   private def decodeBatch(batch: Seq[(Long, Array[Byte])],
                           embeddingDim: Int): Seq[Row] =
     batch.map { case (id, bytes) =>
-      val sha = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(if (bytes == null) Array.emptyByteArray else bytes)
+      val raw = if (bytes == null) Array.emptyByteArray else bytes
+      val sha = java.security.MessageDigest.getInstance("SHA-256").digest(raw)
       val shaHex = sha.map("%02x".format(_)).mkString
-      val emb = Array.tabulate(embeddingDim) { i =>
-        // stable in [-1,1) from hash bytes
+      def hashEmb = Array.tabulate(embeddingDim) { i =>
         ((sha(i % sha.length) & 0xFF) / 128.0f) - 1.0f
       }
-      Row(id, if (bytes == null) 0L else bytes.length.toLong, shaHex, emb.toSeq)
+      val (kind, w, h, durMs, emb) = sniff(raw) match {
+        case "image" =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(raw))
+            if (img == null) ("opaque", null, null, null, hashEmb)
+            else ("image", Integer.valueOf(img.getWidth),
+              Integer.valueOf(img.getHeight), null,
+              imageEmbedding(img, embeddingDim))
+          } catch { case _: Exception => ("opaque", null, null, null, hashEmb) }
+        case "audio" =>
+          audioFeatures(raw, embeddingDim) match {
+            case Some((d, e)) =>
+              ("audio", null, null, java.lang.Long.valueOf(d), e)
+            case None => ("opaque", null, null, null, hashEmb)
+          }
+        case _ => ("opaque", null, null, null, hashEmb)
+      }
+      Row(id, raw.length.toLong, shaHex, kind, w, h, durMs, emb.toSeq)
     }
-  // ============== END STUB BOUNDARY ================
+  // ============== END DECODE DISPATCH ==============
 
   /**
    * Decode + feature-extract, batched per partition. `batchSize` bounds

@@ -79,4 +79,52 @@ class MultimodalSpec extends SparkSpec {
     val audit = graft.core.PlanAudit.audit(Multimodal.mediaDedup(canonical))
     assert(audit.numExchanges >= 1) // winner agg shuffles the narrow pairs
   }
+
+  test("real JDK decode: PNG dims + luminance grid, WAV duration + RMS, opaque fallback") {
+    import java.awt.image.BufferedImage
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    def wav(ms: Int, amp: Double): Array[Byte] = {
+      val rate = 8000f
+      val n = (rate * ms / 1000).toInt
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val s = (math.sin(i * 0.3) * amp * 32767).toInt
+        pcm(2 * i) = (s & 0xFF).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, png(20, 10, 0xFFFFFF), "image/png"), // white
+      (2L, png(20, 10, 0x000000), "image/png"), // black
+      (3L, wav(500, 0.5), "audio/wav"),
+      (4L, "not media at all---".getBytes("UTF-8"), "text/plain"))
+    val m = Multimodal.asMedia(rows.toDF("id", "bytes", "mime"),
+      "id", "bytes", "mime")
+    val out = Multimodal.extractFeatures(m, embeddingDim = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("kind") == "image")
+    assert(out(1L).getAs[Int]("width") == 20 && out(1L).getAs[Int]("height") == 10)
+    val (white, black) = (out(1L).getAs[scala.collection.Seq[Float]]("embedding"),
+      out(2L).getAs[scala.collection.Seq[Float]]("embedding"))
+    assert(white.forall(_ > 0.9f) && black.forall(_ < -0.9f),
+      s"luminance grid wrong: white=$white black=$black")
+    assert(out(3L).getAs[String]("kind") == "audio")
+    assert(math.abs(out(3L).getAs[Long]("duration_ms") - 500L) <= 1)
+    // RMS of a 0.5-amplitude sine ~ 0.35 in every window
+    assert(out(3L).getAs[scala.collection.Seq[Float]]("embedding")
+      .forall(v => v > 0.2f && v < 0.5f))
+    assert(out(4L).getAs[String]("kind") == "opaque")
+    assert(out(4L).getAs[scala.collection.Seq[Float]]("embedding").length == 4)
+  }
 }
