@@ -50,6 +50,35 @@ object Multimodal {
     StructField("duration_ms", LongType),
     StructField("embedding", ArrayType(FloatType, containsNull = false))))
 
+  /**
+   * Read a directory of media files into the canonical media frame via
+   * Spark's built-in `binaryFile` source (distributed, filter-pushdown
+   * on path/length — payloads larger than
+   * `spark.sql.sources.binaryFile.maxLength` fail fast at the source).
+   * `media_id` is the xxhash64 of the file path (stable across runs and
+   * listing order); the mime is inferred from the extension with the
+   * content-sniff fallback left to [[extractFeatures]].
+   */
+  def readMedia(spark: org.apache.spark.sql.SparkSession, dir: String,
+                glob: String = "*"): DataFrame = {
+    val mime = when(lower(col("path")).rlike("\\.(png)$"), "image/png")
+      .when(lower(col("path")).rlike("\\.(jpe?g)$"), "image/jpeg")
+      .when(lower(col("path")).rlike("\\.(gif)$"), "image/gif")
+      .when(lower(col("path")).rlike("\\.(bmp)$"), "image/bmp")
+      .when(lower(col("path")).rlike("\\.(wav)$"), "audio/wav")
+      .otherwise("application/octet-stream")
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(dir)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        col("content"),
+        struct(mime.as("mime"),
+          lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"),
+          lit(null).cast("long").as("duration_ms"),
+          col("path").as("source_uri")).as("meta"))
+  }
+
   /** Wrap raw (id, bytes, mime) columns into the canonical media schema. */
   def asMedia(df: DataFrame, idCol: String, bytesCol: String,
               mimeCol: String, sourceUriCol: Option[String] = None): DataFrame =

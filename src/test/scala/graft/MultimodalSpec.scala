@@ -127,4 +127,27 @@ class MultimodalSpec extends SparkSpec {
     assert(out(4L).getAs[String]("kind") == "opaque")
     assert(out(4L).getAs[scala.collection.Seq[Float]]("embedding").length == 4)
   }
+
+  test("readMedia: binaryFile directory scan to canonical frame, decode e2e") {
+    import java.awt.image.BufferedImage
+    val dir = java.nio.file.Files.createTempDirectory("mediadir")
+    def writePng(name: String, w: Int, h: Int): Unit = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      javax.imageio.ImageIO.write(img, "png", dir.resolve(name).toFile); ()
+    }
+    writePng("a.png", 8, 6)
+    writePng("b.png", 12, 4)
+    java.nio.file.Files.writeString(dir.resolve("notes.txt"), "not media")
+    val m = Multimodal.readMedia(spark, dir.toString)
+    assert(m.schema.map(_.name) == Seq("media_id", "content", "meta"))
+    assert(m.count() == 3)
+    val feats = Multimodal.extractFeatures(m, embeddingDim = 4)
+      .collect().map(r => r.getAs[String]("kind")).sorted
+    assert(feats.toSeq == Seq("image", "image", "opaque"))
+    // glob filter pushes into the source listing
+    assert(Multimodal.readMedia(spark, dir.toString, glob = "*.png").count() == 2)
+    val metas = m.select(col("meta.mime"), col("meta.source_uri")).collect()
+    assert(metas.count(_.getString(0) == "image/png") == 2)
+    assert(metas.forall(_.getString(1) != null))
+  }
 }
