@@ -27,9 +27,10 @@ object Sources {
     if (cfg.streaming) {
       // the native formats have no streaming DataSource — fail at plan
       // time with the workaround, not at runtime with a lookup error
-      require(cfg.format != "avro" && cfg.format != "excel",
+      require(cfg.format != "avro" && cfg.format != "excel" && cfg.format != "media",
         s"${cfg.format} has no streaming source in this environment; " +
-          "batch-read it or stream a parquet/json landing copy")
+          "batch-read it or stream a parquet/json landing copy " +
+          "(for media: readStream.format(\"binaryFile\") + Multimodal.asMedia)")
       var r = spark.readStream.format(cfg.format).options(cfg.options)
       cfg.schemaDdl.foreach(ddl => r = r.schema(StructType.fromDDL(ddl)))
       return cfg.path.map(r.load).getOrElse(
@@ -50,6 +51,12 @@ object Sources {
           addSheetName = cfg.options.get("add_sheet_name").exists(_.toBoolean),
           addSourceFile = cfg.options.get("add_source_file").exists(_.toBoolean),
           inferTypes = cfg.options.get("infer_types").forall(_.toBoolean)))
+    // a media directory scans through the built-in binaryFile source into
+    // the canonical media frame (Multimodal.readMedia)
+    if (cfg.format == "media")
+      return graft.functions.Multimodal.readMedia(spark,
+        cfg.path.getOrElse(throw new IllegalArgumentException("media read needs path")),
+        cfg.options.getOrElse("glob", "*"))
     var r: DataFrameReader = spark.read.format(cfg.format).options(cfg.options)
     cfg.schemaDdl.foreach(ddl => r = r.schema(StructType.fromDDL(ddl)))
     (cfg.path, cfg.table) match {

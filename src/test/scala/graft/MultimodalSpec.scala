@@ -149,5 +149,16 @@ class MultimodalSpec extends SparkSpec {
     val metas = m.select(col("meta.mime"), col("meta.source_uri")).collect()
     assert(metas.count(_.getString(0) == "image/png") == 2)
     assert(metas.forall(_.getString(1) != null))
+    // declarative surface: `format: media` dispatches to the same reader
+    val viaYaml = graft.sources.Sources.read(spark, graft.sources.Sources.ReadConfig(
+      format = "media", path = Some(dir.toString),
+      options = Map("glob" -> "*.png")))
+    assert(viaYaml.count() == 2 &&
+      viaYaml.schema.map(_.name) == Seq("media_id", "content", "meta"))
+    val err = intercept[IllegalArgumentException] {
+      graft.sources.Sources.read(spark, graft.sources.Sources.ReadConfig(
+        format = "media", path = Some(dir.toString), streaming = true))
+    }
+    assert(err.getMessage.contains("no streaming source"))
   }
 }
