@@ -105,6 +105,18 @@ class ExamplesSpec extends SparkSpec {
     val stats = spark.read.parquet(s"$out/train/stats").collect()(0)
     assert(stats.getAs[Long]("n_sequences") >= 1)
     assert(stats.getAs[Long]("total_tokens") > 0)
+
+    // span cleanup never grows a doc; the DSIR selection keeps <= 150
+    // docs, each with its score and the joined-back text
+    val spanned = spark.read.parquet(s"$out/clean/span_cleaned")
+    assert(spanned.count() == gate.count())
+    val selected = spark.read.parquet(s"$out/clean/domain_selected")
+    assert(selected.count() <= 150 && selected.count() >= 1)
+    assert(selected.columns.toSet.intersect(
+      Set("doc_id", "dsir_logratio", "text")).size == 3)
+
+    // the example's declarative transformer tests run green via graft.Test
+    assert(graft.Test.mainExit(Array("examples/training_data/tests")) == 0)
   }
 
   test("streaming example: dedup + windowed counts drain to a batch consumer") {
