@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
 
 /**
  * Exact distributed connected components over a pair list — the missing
@@ -30,6 +31,20 @@ import org.apache.spark.sql.functions._
 object Components {
 
   /**
+   * The component rounds key on LONG ids; a silent cast("long") on e.g.
+   * string doc ids would null out every edge and return an empty labeling
+   * (clusterDedup would then silently keep every duplicate). Fail fast —
+   * callers with arbitrary ids should map them through a dense long
+   * surrogate (e.g. xxhash64 or zipWithIndex) first.
+   */
+  private def requireIntegral(df: DataFrame, colName: String): Unit = {
+    val dt = df.schema(colName).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"connected components requires an integral id column; '$colName' is " +
+        s"${dt.simpleString} — map ids to longs (e.g. xxhash64) before clustering")
+  }
+
+  /**
    * @param pairs edge list; self-loops and duplicates tolerated
    * @return (`idCol`, `component`) — one row per distinct node in
    *         `pairs`, component = min node id reachable (stable labels:
@@ -39,6 +54,8 @@ object Components {
                           bCol: String = "b", idCol: String = "id",
                           maxIter: Int = 30,
                           driverFinishEdges: Long = 100000L): DataFrame = {
+    requireIntegral(pairs, aCol)
+    requireIntegral(pairs, bCol)
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
     var edges = pairs.select(a.as("_s"), b.as("_d"))

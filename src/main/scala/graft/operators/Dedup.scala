@@ -38,6 +38,16 @@ object Dedup {
     element_at(transform(array(e), f), 1)
 
   /**
+   * Band/hash-count sanity gate shared by the MinHash entry points
+   * (mirrors MinHashIndex.Params). With bands > numHashes every band
+   * would hash an EMPTY signature slice — all documents collide in every
+   * bucket and dedup silently keeps a single document. Fail fast instead.
+   */
+  private def requireBands(numHashes: Int, bands: Int): Unit =
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands ($bands) must be in [1, numHashes=$numHashes] and divide numHashes evenly")
+
+  /**
    * Exact dedup: keep one row (lowest `idCol`) per identical normalized
    * text.
    *
@@ -103,6 +113,7 @@ object Dedup {
                       shingleSize: Int = 5, numHashes: Int = 64,
                       bands: Int = 16,
                       maxBucketSize: Option[Int] = Some(500)): DataFrame = {
+    requireBands(numHashes, bands)
     val rows = numHashes / bands
     val bandArray = bindOnce(
       graft.expressions.HashFunctions.minhashShingles(
@@ -145,6 +156,7 @@ object Dedup {
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 5, numHashes: Int = 64,
                    bands: Int = 16): DataFrame = {
+    requireBands(numHashes, bands)
     val rows = numHashes / bands
     val bandArray = bindOnce(
       graft.expressions.HashFunctions.minhashShingles(
