@@ -357,7 +357,10 @@ case class HyperplaneSignature(child: Expression, planes: Array[Array[Double]])
   extends UnaryExpression {
   import org.apache.spark.sql.types.{DoubleType, FloatType}
 
-  require(planes.nonEmpty && planes.length <= 63, "1..63 planes fit a long")
+  // 64 planes fill the long exactly; plane 63 lands on the sign bit, so
+  // signatures may be negative — banding compares bit-slices, never order,
+  // so that is safe.
+  require(planes.nonEmpty && planes.length <= 64, "1..64 planes fit a long")
 
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_signature"

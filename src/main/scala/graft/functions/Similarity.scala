@@ -74,13 +74,16 @@ object Similarity {
   /**
    * Random-hyperplane (SimHash-for-vectors) signature: `bits` hyperplanes,
    * each derived deterministically from `seed`; bit i = sign(dot(v, h_i)).
-   * Returned as a bit-packed long (bits <= 63).
+   * Returned as a bit-packed long (bits <= 64; with bits = 64, plane 63
+   * lands on the long's sign bit, so signatures may be negative — banding
+   * only ever compares bit-slices for equality, never order, so that is
+   * safe).
    *
    * Hyperplane components are generated driver-side with a seeded RNG and
    * inlined as literals — the plan is fully deterministic and codegen'd.
    */
   def hyperplaneSignature(vec: Column, dim: Int, bits: Int, seed: Long = 42L): Column = {
-    require(bits <= 63, "bits must fit a long")
+    require(bits >= 1 && bits <= 64, "bits must fit a long")
     val rng = new scala.util.Random(seed)
     // gaussian-ish components via sum of uniforms (deterministic, seeded)
     val planes = Array.fill(bits, dim)(rng.nextGaussian())

@@ -175,6 +175,18 @@ object MinHashIndex {
     // the survivors themselves (every one would self-match and vanish)
     val survivors = dedupAgainst(batch, idCol, textCol, path, params, threshold)
       .localCheckpoint()
+    // A non-empty batch whose EVERY doc matched the index is the signature
+    // of a checkpoint-replayed micro-batch that crashed after the index
+    // append but before its sink write — those rows are gone from the
+    // target unless the caller reconciles. Surface it (cheap: survivors
+    // are materialized, batch probe is limit-1).
+    if (survivors.isEmpty && !batch.isEmpty) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dedupAndUpdate: all docs in a non-empty batch matched index at " +
+          s"$path — if this batch is a checkpoint replay, its first " +
+          s"delivery may have crashed between index append and sink " +
+          s"write, and those rows were never written downstream")
+    }
     append(survivors, idCol, textCol, path, params)
     survivors
   }

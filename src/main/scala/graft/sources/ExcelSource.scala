@@ -128,6 +128,11 @@ object ExcelSource {
     var row: mutable.Map[Int, String] = null
     var cellCol = -1; var cellType = ""; var text: StringBuilder = null
     var inV = false; var inIsT = false; var nextCol = 0
+    // a <v>/<t> element was present for the current cell — an explicitly
+    // empty string must round-trip as "" (not null), and consistently for
+    // inline vs shared-string encodings, so cell recording keys on element
+    // presence, not accumulated-text nonEmpty
+    var sawValue = false
     while (r.hasNext) {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
@@ -137,9 +142,9 @@ object ExcelSource {
             cellCol = Option(r.getAttributeValue(null, "r")).map(colIndex).getOrElse(nextCol)
             nextCol = cellCol + 1
             cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
-            text = new StringBuilder
-          case "v" => inV = true
-          case "t" if cellType == "inlineStr" => inIsT = true
+            text = new StringBuilder; sawValue = false
+          case "v" => inV = true; sawValue = true
+          case "t" if cellType == "inlineStr" => inIsT = true; sawValue = true
           case _ => ()
         }
         case XMLStreamConstants.CHARACTERS if inV || inIsT =>
@@ -148,14 +153,18 @@ object ExcelSource {
           case "row" => rows += row.toMap; row = null
           case "v" => inV = false
           case "t" => inIsT = false
-          case "c" if row != null && text != null && text.nonEmpty =>
+          case "c" if row != null && text != null && sawValue =>
             val raw = text.toString
+            // an empty <v/> on a numeric/shared cell carries no value —
+            // only string-typed cells can legitimately hold ""
             val value = cellType match {
-              case "s" => shared(raw.trim.toInt)
-              case "b" => if (raw.trim == "1") "true" else "false"
-              case _ => raw // n, str, inlineStr
+              case "s" if raw.trim.nonEmpty => Some(shared(raw.trim.toInt))
+              case "s" => None
+              case "b" => Some(if (raw.trim == "1") "true" else "false")
+              case "n" if raw.isEmpty => None
+              case _ => Some(raw) // n, str, inlineStr — "" allowed for strings
             }
-            row(cellCol) = value
+            value.foreach(v => row(cellCol) = v)
           case _ => ()
         }
         case _ => ()

@@ -117,6 +117,43 @@ class ExcelSpec extends SparkSpec {
     assert(back.agg(sum("dbl")).head.getLong(0) == (0L until 9L).map(_ * 2).sum)
   }
 
+  test("explicitly empty strings round-trip as \"\" consistently for inline and shared encodings") {
+    // writer path: inline empty string survives as "" (not null)
+    val dir = s"${tmp()}/empty"
+    val df = spark.createDataFrame(Seq((1L, ""), (2L, "x"))).toDF("id", "v")
+    ExcelSource.write(df, dir)
+    val back = ExcelSource.read(spark, dir).orderBy("id").collect()
+    assert(back(0).getString(1) == "" && back(1).getString(1) == "x")
+    // reader path: a shared-string cell referencing an EMPTY shared string
+    // and an inline empty string must agree ("" both times), while an
+    // empty <v/> on a numeric cell stays null
+    val d2 = new File(tmp()); val f = new File(d2, "empties.xlsx")
+    val z = new ZipOutputStream(new FileOutputStream(f))
+    def e(name: String, c: String): Unit = {
+      z.putNextEntry(new ZipEntry(name)); z.write(c.getBytes("UTF-8")); z.closeEntry()
+    }
+    e("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/><Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/><Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/></Types>""")
+    e("_rels/.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+    e("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    e("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+    e("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="4" uniqueCount="4"><si><t>id</t></si><si><t>a</t></si><si><t>b</t></si><si><t></t></si></sst>""")
+    // row2: shared-empty in a, inline-empty in b; row3: empty <v/> numeric in a
+    e("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c></row><row r="2"><c r="A2"><v>1</v></c><c r="B2" t="s"><v>3</v></c><c r="C2" t="inlineStr"><is><t></t></is></c></row><row r="3"><c r="A3"><v>2</v></c><c r="B3"><v></v></c></row></sheetData></worksheet>""")
+    z.finish(); z.close()
+    val rows = ExcelSource.read(spark, f.toString,
+      ExcelSource.ExcelOptions(inferTypes = false)).orderBy("id").collect()
+    assert(rows(0).getString(1) == "" && rows(0).getString(2) == "",
+      "shared-empty and inline-empty must both read as empty string")
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2),
+      "an empty <v/> numeric cell and an absent cell both read as null")
+  }
+
   test("write modes behave like the other sinks") {
     val dir = s"${tmp()}/modes"
     val a = spark.range(5).toDF("id")

@@ -41,6 +41,36 @@ class RecallSpec extends SparkSpec {
     assert(ri >= 0.90, f"ivfTopK recall $ri%.3f below bound 0.90")
   }
 
+  test("hyperplaneSignature supports the full 64-bit long (bands=16, rows=4)") {
+    // bits = 64 fills the long exactly — plane 63 is the sign bit, so
+    // signatures may be NEGATIVE; banding must still bucket identically
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(200)
+    val sigs = emb.select(
+      Similarity.hyperplaneSignature(col("embedding"), dim = 64, bits = 64).as("sig"))
+    val rows = sigs.collect().map(_.getLong(0))
+    assert(rows.exists(_ < 0), "with 64 planes some signature should set the sign bit")
+    // a vector agrees with itself on every band regardless of sign
+    val self = emb.limit(5)
+      .select(col("vec_id"),
+        Similarity.hyperplaneSignature(col("embedding"), 64, 64).as("s1"),
+        Similarity.hyperplaneSignature(col("embedding"), 64, 64).as("s2"))
+      .filter(col("s1") =!= col("s2")).count()
+    assert(self == 0)
+    // end-to-end: lshTopK at a 64-bit budget still meets the recall bound
+    val queries = emb.filter("vec_id < 10")
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid").cast("long"), col("vec_id").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qv", 5))
+    val lsh = pairs(Similarity.lshTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qv", 5, dim = 64, bits = 64, bands = 16))
+    val r = recall(truth, lsh)
+    info(f"lshTopK bits=64 recall@5: $r%.3f")
+    assert(r >= 0.85, f"64-bit lshTopK recall $r%.3f below 0.85")
+  }
+
   test("IVF index reuse and save/load roundtrip match the direct path") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter("vec_id < 20")
