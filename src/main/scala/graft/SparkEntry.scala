@@ -571,6 +571,48 @@ object SparkEntry {
     "q_chunk_text" -> ((s, d) =>
       TextAnalysis.chunkText(t(s, d, "documents"), "doc_id", "text",
         chunkTokens = 64, overlapTokens = 16)),
+    "q_delta_timetravel" -> ((s, d) => {
+      // the native Delta transaction-log reader end-to-end: build a real
+      // _delta_log (v0 = two files, v1 = remove+add rewrite deleting the
+      // n_regionkey=0 rows of file B), then time-travel both versions.
+      // The oracle recomputes both snapshots from the ORIGINAL parquet, so
+      // a hash match certifies the log replay, not just this plan.
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      def q(x: String) = mapper.writeValueAsString(x)
+      val nation = t(s, d, "nation")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_delta_q").toString
+      def dataFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val staging = java.nio.file.Files.createTempDirectory("graft_delta_s").toString
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+        java.nio.file.Files.copy(part.toPath, new java.io.File(tmp, name).toPath)
+        ()
+      }
+      def add(p: String) =
+        s"""{"add":{"path":${q(p)},"partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""
+      def commit(v: Long, lines: Seq[String]): Unit = {
+        val dir = new java.io.File(tmp, "_delta_log"); dir.mkdirs()
+        java.nio.file.Files.write(new java.io.File(dir, f"$v%020d.json").toPath,
+          lines.mkString("\n").getBytes("UTF-8"))
+        ()
+      }
+      dataFile(nation.filter(col("n_nationkey") % 2 === 0), "fileA.parquet")
+      dataFile(nation.filter(col("n_nationkey") % 2 =!= 0), "fileB.parquet")
+      dataFile(nation.filter(col("n_nationkey") % 2 =!= 0 && col("n_regionkey") =!= 0),
+        "fileB2.parquet")
+      commit(0, Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"nation","format":{"provider":"parquet","options":{}},"schemaString":${q(nation.schema.json)},"partitionColumns":[],"configuration":{},"createdTime":1}}""",
+        add("fileA.parquet"), add("fileB.parquet")))
+      commit(1, Seq(
+        """{"remove":{"path":"fileB.parquet","deletionTimestamp":2,"dataChange":true}}""",
+        add("fileB2.parquet")))
+      val v0 = graft.sources.DeltaLog.read(s, tmp, versionAsOf = Some(0L))
+      val v1 = graft.sources.DeltaLog.read(s, tmp)
+      v0.withColumn("ver", lit(0)).unionByName(v1.withColumn("ver", lit(1)))
+        .select("n_nationkey", "n_name", "n_regionkey", "ver")
+    }),
     "q_excel_roundtrip" -> ((s, d) => {
       // the native XLSX path end-to-end (no POI in this env): parquet →
       // workbook write → executor-side StAX read (type inference on) →
@@ -1120,6 +1162,8 @@ object SparkEntry {
       "SELECT doc_id, chunk_idx, array_to_string(toks[chunk_idx*48+1 : chunk_idx*48+64], ' ') AS chunk_text, CAST(least(n - chunk_idx*48, 64) AS BIGINT) AS n_tokens FROM (SELECT doc_id, toks, n, unnest(generate_series(0, k-1)) AS chunk_idx FROM (SELECT doc_id, toks, len(toks) AS n, greatest(CAST(ceil((len(toks)-64)/48.0) AS BIGINT)+1, 1) AS k FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)))",
     "q_excel_roundtrip" ->
       "SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal, min(c_custkey) AS min_key, max(c_custkey) AS max_key FROM customer GROUP BY 1",
+    "q_delta_timetravel" ->
+      "SELECT n_nationkey, n_name, n_regionkey, 0 AS ver FROM nation UNION ALL SELECT n_nationkey, n_name, n_regionkey, 1 AS ver FROM nation WHERE (n_nationkey % 2 = 0) OR (n_regionkey <> 0)",
     "q_multimodal_features" ->
       "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, sha256(text) AS sha FROM documents",
     "q_harmonize_schema" ->

@@ -1,0 +1,345 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import scala.jdk.CollectionConverters._
+
+/**
+ * Native read-only Delta Lake table reader, built directly on the PUBLIC
+ * Delta transaction-log protocol (delta.io PROTOCOL.md) — no delta-spark
+ * jar (absent in this environment). Covers the reference's Delta read
+ * surface: plain reads, `versionAsOf` / `timestampAsOf` time travel
+ * (reference odibi/config.py:1355-1390, spark_engine.py:540-545) and the
+ * snapshot diff that `detect_deletes` consumes. Writes stay on
+ * [[VersionedTable]]; a user pointing the engine at an EXISTING
+ * `_delta_log` table now gets real data back.
+ *
+ * Protocol subset implemented:
+ *   - commit files `_delta_log/%020d.json` (newline-delimited JSON actions)
+ *   - single-part checkpoints `%020d.checkpoint.parquet` and multi-part
+ *     `%020d.checkpoint.%010d.%010d.parquet` (replay starts from the
+ *     newest complete checkpoint at or before the target version)
+ *   - actions: `metaData` (schemaString = Spark StructType JSON,
+ *     partitionColumns, configuration), `protocol`, `add`, `remove`,
+ *     `commitInfo` (timestamp for timestampAsOf); `txn`/`cdc`/stats are
+ *     skipped — they do not affect a batch read
+ *   - state reconstruction: newest metaData/protocol win; an `add` of a
+ *     path supersedes earlier adds; a `remove` drops the path
+ *   - partition values: `add.partitionValues` strings cast to the table
+ *     schema (files of a partitioned table do not store those columns)
+ *
+ * Fails fast (never silently mis-reads) on tables requiring features this
+ * reader does not implement: column mapping other than `none`, deletion
+ * vectors, v2 checkpoints, or unknown reader features at protocol v3+.
+ *
+ * Scale: log replay is driver-side metadata work — the same model every
+ * Delta implementation uses (the active-file list must reach the planner
+ * anyway). The DATA path is one parquet scan over the active files; for
+ * partitioned tables the per-file partition values attach via a broadcast
+ * file→values join on the file name, so 100 TB of data still moves through
+ * a single columnar scan with pushdown intact.
+ */
+object DeltaLog {
+
+  final case class AddFile(path: String, partitionValues: Map[String, Option[String]],
+                           size: Long, modificationTime: Long)
+
+  final case class Snapshot(version: Long, schema: StructType,
+                            partitionColumns: Seq[String],
+                            configuration: Map[String, String],
+                            files: Seq[AddFile])
+
+  private val mapper = new ObjectMapper()
+
+  private def fs(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def logDir(root: String) = new Path(root, "_delta_log")
+
+  /** True when `root/_delta_log` exists with at least one commit. */
+  def isDeltaTable(spark: SparkSession, root: String): Boolean = {
+    val f = fs(spark, root)
+    f.exists(logDir(root)) && f.listStatus(logDir(root))
+      .exists(s => commitVersion(s.getPath.getName).isDefined)
+  }
+
+  private def commitVersion(name: String): Option[Long] =
+    if (name.length == 25 && name.endsWith(".json") && name.take(20).forall(_.isDigit))
+      Some(name.take(20).toLong)
+    else None
+
+  // %020d.checkpoint.parquet | %020d.checkpoint.%010d.%010d.parquet
+  private def checkpointVersion(name: String): Option[(Long, Option[(Int, Int)])] = {
+    val single = "^(\\d{20})\\.checkpoint\\.parquet$".r
+    val multi = "^(\\d{20})\\.checkpoint\\.(\\d{10})\\.(\\d{10})\\.parquet$".r
+    name match {
+      case single(v) => Some((v.toLong, None))
+      case multi(v, part, of) => Some((v.toLong, Some((part.toInt, of.toInt))))
+      case _ => None
+    }
+  }
+
+  /** Committed versions, ascending. */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val f = fs(spark, root)
+    if (!f.exists(logDir(root))) Nil
+    else f.listStatus(logDir(root)).toSeq
+      .flatMap(s => commitVersion(s.getPath.getName)).sorted
+  }
+
+  private def readText(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  /** add.path is an RFC 2396 URL-encoded path, relative to the table root
+    * (absolute URIs appear in shallow clones — passed through). */
+  private def decodePath(raw: String): String =
+    try new java.net.URI(raw).getPath match {
+      case null | "" => raw
+      case p => if (raw.contains("://")) raw else p
+    } catch { case _: java.net.URISyntaxException => raw }
+
+  private def absolutize(root: String, raw: String): String = {
+    val decoded = decodePath(raw)
+    if (raw.contains("://") || decoded.startsWith("/")) decoded
+    else s"${root.stripSuffix("/")}/$decoded"
+  }
+
+  // ------------------------------------------------------ state replay
+
+  private final class State {
+    var schema: StructType = _
+    var partitionColumns: Seq[String] = Nil
+    var configuration: Map[String, String] = Map.empty
+    val files = scala.collection.mutable.LinkedHashMap[String, AddFile]()
+    var commitTimestamp: Long = 0L
+
+    def applyMeta(m: JsonNode): Unit = {
+      schema = DataType.fromJson(m.get("schemaString").asText()).asInstanceOf[StructType]
+      partitionColumns = Option(m.get("partitionColumns")).toSeq
+        .flatMap(_.elements().asScala).map(_.asText())
+      configuration = Option(m.get("configuration")).map(c =>
+        c.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+        .getOrElse(Map.empty)
+      val mapping = configuration.getOrElse("delta.columnMapping.mode", "none")
+      require(mapping == "none",
+        s"unsupported Delta feature: column mapping mode '$mapping' " +
+          "(this native reader implements mode 'none' only)")
+    }
+
+    def applyProtocol(p: JsonNode): Unit = {
+      val reader = Option(p.get("minReaderVersion")).map(_.asInt()).getOrElse(1)
+      if (reader >= 3) {
+        val feats = Option(p.get("readerFeatures")).toSeq
+          .flatMap(_.elements().asScala).map(_.asText()).toSet
+        val supported = Set("timestampNtz", "columnMapping")
+        val unknown = feats -- supported
+        require(unknown.isEmpty,
+          s"unsupported Delta reader features: ${unknown.mkString(", ")}")
+      } else require(reader <= 2,
+        s"unsupported Delta minReaderVersion $reader")
+    }
+
+    def applyAdd(a: JsonNode): Unit = {
+      require(!a.hasNonNull("deletionVector"),
+        "unsupported Delta feature: deletion vectors (file " +
+          s"${a.get("path").asText()} carries a DV — rows would be over-counted)")
+      val pv = Option(a.get("partitionValues")).map(n =>
+        n.properties().asScala.map { e =>
+          e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText()))
+        }.toMap).getOrElse(Map.empty[String, Option[String]])
+      val path = a.get("path").asText()
+      files.update(path, AddFile(path, pv,
+        Option(a.get("size")).map(_.asLong()).getOrElse(0L),
+        Option(a.get("modificationTime")).map(_.asLong()).getOrElse(0L)))
+    }
+
+    def applyRemove(r: JsonNode): Unit = { files.remove(r.get("path").asText()); () }
+  }
+
+  private def applyCommit(state: State, json: String): Unit =
+    json.split('\n').iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
+      val node = mapper.readTree(line)
+      if (node.has("metaData")) state.applyMeta(node.get("metaData"))
+      if (node.has("protocol")) state.applyProtocol(node.get("protocol"))
+      if (node.has("add")) state.applyAdd(node.get("add"))
+      if (node.has("remove")) state.applyRemove(node.get("remove"))
+      if (node.has("commitInfo")) {
+        val ts = Option(node.get("commitInfo").get("timestamp")).map(_.asLong())
+        ts.foreach(t => state.commitTimestamp = math.max(state.commitTimestamp, t))
+      }
+    }
+
+  /** Newest COMPLETE checkpoint at or before `target` (all parts present). */
+  private def latestCheckpointAtOrBefore(f: FileSystem, root: String,
+                                         target: Long): Option[(Long, Seq[Path])] = {
+    val byVersion = f.listStatus(logDir(root)).toSeq
+      .flatMap(s => checkpointVersion(s.getPath.getName).map { case (v, part) =>
+        (v, part, s.getPath)
+      })
+      .filter(_._1 <= target)
+      .groupBy(_._1)
+    def complete(entries: Seq[(Long, Option[(Int, Int)], Path)]): Option[Seq[Path]] = {
+      val single = entries.filter(_._2.isEmpty)
+      if (single.nonEmpty) return Some(single.map(_._3))
+      val multi = entries.flatMap(e => e._2.map { case (p, of) => (p, of, e._3) })
+      multi.map(_._2).distinct match {
+        case Seq(of) if multi.map(_._1).sorted == (1 to of) =>
+          Some(multi.sortBy(_._1).map(_._3))
+        case _ => None // torn multi-part checkpoint: skip this version
+      }
+    }
+    byVersion.toSeq.sortBy(-_._1).iterator
+      .flatMap { case (v, entries) => complete(entries).map(v -> _) }
+      .nextOption()
+  }
+
+  private def loadCheckpoint(spark: SparkSession, state: State,
+                             parts: Seq[Path]): Unit = {
+    val df = spark.read.parquet(parts.map(_.toString): _*)
+    val cols = df.columns.toSet
+    // metaData / protocol: exactly one non-null row each in a checkpoint
+    if (cols.contains("metaData"))
+      df.select(to_json(col("metaData"))).where(col("metaData").isNotNull)
+        .collect().foreach(r => state.applyMeta(mapper.readTree(r.getString(0))))
+    if (cols.contains("protocol"))
+      df.select(to_json(col("protocol"))).where(col("protocol").isNotNull)
+        .collect().foreach(r => state.applyProtocol(mapper.readTree(r.getString(0))))
+    // checkpoints hold the already-reconciled file list: adds only
+    if (cols.contains("add"))
+      df.select(to_json(col("add"))).where(col("add").isNotNull)
+        .collect().foreach(r => state.applyAdd(mapper.readTree(r.getString(0))))
+  }
+
+  /** Reconstruct table state at `versionAsOf` / `timestampAsOfMs` /
+    * latest. timestampAsOf picks the newest version whose commit
+    * timestamp (commitInfo.timestamp, else log-file mtime) is <= the
+    * requested instant — the Delta time-travel contract. */
+  def snapshot(spark: SparkSession, root: String,
+               versionAsOf: Option[Long] = None,
+               timestampAsOfMs: Option[Long] = None): Snapshot = {
+    val f = fs(spark, root)
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"$root is not a Delta table (no _delta_log commits)")
+    val target = (versionAsOf, timestampAsOfMs) match {
+      case (Some(v), _) =>
+        require(vs.contains(v),
+          s"version $v not in Delta log [${vs.head}..${vs.last}]")
+        v
+      case (None, Some(ts)) =>
+        val eligible = vs.filter(v => commitTimeOf(spark, f, root, v) <= ts)
+        require(eligible.nonEmpty,
+          s"no Delta commit at or before timestamp $ts (earliest is version ${vs.head})")
+        eligible.last
+      case _ => vs.last
+    }
+    val state = new State
+    val cp = latestCheckpointAtOrBefore(f, root, target)
+    cp.foreach { case (_, parts) => loadCheckpoint(spark, state, parts) }
+    val replayFrom = cp.map(_._1 + 1).getOrElse(0L)
+    // aged-out commits (log retention cleanup) are only safe to skip when
+    // a checkpoint covers them; replaying a partial suffix would silently
+    // drop the oldest files
+    require(vs.head <= replayFrom,
+      s"Delta log at $root starts at version ${vs.head} with no checkpoint " +
+        s"covering versions 0..${vs.head - 1} — state cannot be reconstructed")
+    val toReplay = vs.filter(v => v >= replayFrom && v <= target)
+    require(toReplay == (replayFrom to target),
+      s"Delta log at $root has gaps in versions $replayFrom..$target")
+    toReplay.foreach { v =>
+      applyCommit(state, readText(f, new Path(logDir(root), f"$v%020d.json")))
+    }
+    require(state.schema != null,
+      s"Delta log at $root yields no metaData action up to version $target")
+    Snapshot(target, state.schema, state.partitionColumns,
+      state.configuration, state.files.values.toSeq)
+  }
+
+  private def commitTimeOf(spark: SparkSession, f: FileSystem, root: String,
+                           v: Long): Long = {
+    val p = new Path(logDir(root), f"$v%020d.json")
+    val txt = readText(f, p)
+    var ts = 0L
+    txt.split('\n').iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
+      val node = mapper.readTree(line)
+      if (node.has("commitInfo") && node.get("commitInfo").hasNonNull("timestamp"))
+        ts = math.max(ts, node.get("commitInfo").get("timestamp").asLong())
+    }
+    if (ts > 0) ts else f.getFileStatus(p).getModificationTime
+  }
+
+  /**
+   * Read the table at a version/timestamp. One parquet scan over the
+   * active files (pushdown and pruning intact); partitioned tables attach
+   * their partition values via a broadcast (file name → values) join —
+   * partition columns are NOT stored in Delta data files.
+   */
+  def read(spark: SparkSession, root: String,
+           versionAsOf: Option[Long] = None,
+           timestampAsOfMs: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, root, versionAsOf, timestampAsOfMs)
+    val dataSchema = StructType(
+      snap.schema.fields.filterNot(fd => snap.partitionColumns.contains(fd.name)))
+    val ordered = snap.schema.fieldNames.toSeq
+    if (snap.files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], snap.schema)
+    val paths = snap.files.map(a => absolutize(root, a.path))
+    val scan = spark.read.schema(dataSchema).parquet(paths: _*)
+    if (snap.partitionColumns.isEmpty)
+      return scan.select(ordered.map(col): _*)
+    // file name (unique UUID-bearing basenames per the Delta writers) →
+    // partition value strings, cast to the declared types after the join
+    val base = (p: String) => p.substring(p.lastIndexOf('/') + 1)
+    val names = snap.files.map(a => base(decodePath(a.path)))
+    require(names.distinct.size == names.size,
+      s"duplicate data-file basenames in Delta snapshot of $root — cannot " +
+        "key partition values by file name")
+    val pvRows = snap.files.map { a =>
+      Row.fromSeq(base(decodePath(a.path)) +:
+        snap.partitionColumns.map(c => a.partitionValues.get(c).flatten.orNull))
+    }
+    val pvSchema = StructType(
+      org.apache.spark.sql.types.StructField("_gf_file",
+        org.apache.spark.sql.types.StringType) +:
+        snap.partitionColumns.map(c =>
+          org.apache.spark.sql.types.StructField(s"_gf_pv_$c",
+            org.apache.spark.sql.types.StringType)))
+    val pv = spark.createDataFrame(
+      spark.sparkContext.parallelize(pvRows.toSeq, 1), pvSchema)
+    val withFile = scan.withColumn("_gf_file",
+      element_at(split(input_file_name(), "/"), -1))
+    val partType = snap.schema.fields.map(fd => fd.name -> fd.dataType).toMap
+    val joined = withFile.join(broadcast(pv), Seq("_gf_file"))
+    joined.select(ordered.map { c =>
+      if (snap.partitionColumns.contains(c))
+        col(s"_gf_pv_$c").cast(partType(c)).as(c)
+      else col(c)
+    }: _*)
+  }
+
+  /** Keys present in the previous version but gone in the latest — the
+    * `detect_deletes` snapshot_diff input, same contract as
+    * [[VersionedTable.snapshotDiff]]. */
+  def snapshotDiff(spark: SparkSession, root: String,
+                   keys: Seq[String]): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.size >= 2, s"snapshotDiff needs >= 2 Delta versions, have ${vs.size}")
+    val prev = read(spark, root, versionAsOf = Some(vs(vs.size - 2)))
+      .select(keys.head, keys.tail: _*)
+    val cur = read(spark, root, versionAsOf = Some(vs.last))
+      .select(keys.head, keys.tail: _*)
+    prev.exceptAll(cur)
+  }
+}

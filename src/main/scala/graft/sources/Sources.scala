@@ -27,7 +27,8 @@ object Sources {
     if (cfg.streaming) {
       // the native formats have no streaming DataSource — fail at plan
       // time with the workaround, not at runtime with a lookup error
-      require(cfg.format != "avro" && cfg.format != "excel" && cfg.format != "media",
+      require(cfg.format != "avro" && cfg.format != "excel" && cfg.format != "media"
+          && cfg.format != "delta",
         s"${cfg.format} has no streaming source in this environment; " +
           "batch-read it or stream a parquet/json landing copy " +
           "(for media: readStream.format(\"binaryFile\") + Multimodal.asMedia)")
@@ -51,6 +52,16 @@ object Sources {
           addSheetName = cfg.options.get("add_sheet_name").exists(_.toBoolean),
           addSourceFile = cfg.options.get("add_source_file").exists(_.toBoolean),
           inferTypes = cfg.options.get("infer_types").forall(_.toBoolean)))
+    // delta routes through the native transaction-log reader (no
+    // delta-spark jar in this env); versionAsOf / timestampAsOf are the
+    // reference's time-travel read options (config.py:1355-1390)
+    if (cfg.format == "delta") {
+      def opt(k1: String, k2: String) = cfg.options.get(k1).orElse(cfg.options.get(k2))
+      return DeltaLog.read(spark,
+        cfg.path.getOrElse(throw new IllegalArgumentException("delta read needs path")),
+        versionAsOf = opt("version_as_of", "versionAsOf").map(_.toLong),
+        timestampAsOfMs = opt("timestamp_as_of_ms", "timestampAsOfMs").map(_.toLong))
+    }
     // a media directory scans through the built-in binaryFile source into
     // the canonical media frame (Multimodal.readMedia)
     if (cfg.format == "media")
