@@ -27,13 +27,22 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
 
   /**
-   * events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to read as
-   * a timestamp; sessions set spark.sql.legacy.parquet.nanosAsLong=true and
-   * this loader converts nanos → microsecond TimestampType (truncating,
-   * which matches DuckDB floor(epoch) semantics in the oracles).
+   * events.ts loader, robust to how the driver generated the parquet:
+   * TIMESTAMP(NANOS) (read as long under
+   * spark.sql.legacy.parquet.nanosAsLong=true, converted here to
+   * microsecond TimestampType — truncating, matching DuckDB floor(epoch)
+   * in the oracles) or TIMESTAMP(MICROS) (read natively; TIMESTAMP_NTZ is
+   * cast to session-zone TimestampType, identical instants in the UTC
+   * sessions every entry point uses).
    */
-  private def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 
   /** Flagship query on sf=0.001 (TPC-H Q1 shape); driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -368,7 +377,16 @@ object SparkEntry {
         "dsir_logratio", 500)
     }),
     "q_perplexity" -> ((s, d) => {
-      // CCNet-style fluency scoring under a target-domain bigram LM
+      // CCNet-style fluency scoring, upgraded to an interpolated
+      // Kneser-Ney TRIGRAM LM of the target domain (fixed discount so the
+      // closed form stays exactly reproducible for the oracle)
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      operators.Sampling.perplexityScoreKN(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 20), "text")
+    }),
+    "q_perplexity_bigram" -> ((s, d) => {
+      // the original interpolated add-1 bigram variant, kept as its own
+      // oracle-verified smoothing mode
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       operators.Sampling.perplexityScore(docs, "doc_id", "text",
         docs.filter(col("doc_id") < 20), "text")
@@ -714,6 +732,29 @@ object SparkEntry {
         .withColumn("geo_lat", col("geo.lat"))
         .withColumn("geo_lon", col("geo.lon"))
         .drop("geo")
+    }),
+    "q_simulation_deterministic" -> ((s, d) => {
+      // the CORRECTNESS-checkable half of the simulation surface: grid
+      // generation, sinusoidal daily profile, downtime flag, derived-expr
+      // columns, scheduled forced_value window — every column a closed
+      // form of (entity, tick), hash-verified against DuckDB. The
+      // hash/RNG generator family stays in rows-only q_simulation with
+      // its moments spec (SubsystemsSpec)
+      val Sim = graft.sources.Simulation
+      val ts = Sim.timeSeries(s, Sim.EntityConfig(50), 200, "2026-01-01 00:00:00", 1800)
+      val base = ts
+        .withColumn("load", Sim.dailyProfile(col("ts")))
+        .withColumn("down", Sim.downtimeFlag(col("ts"), 2, 4, daysOfWeek = Seq(5)))
+        .withColumn("pressure", lit(100.0))
+      val derived = Sim.withDerived(base, Seq(
+        "load_pct" -> "round(load * 100, 2)",
+        "load_f" -> "round(load * 1.8 + 32, 6)"))
+      Sim.applyScheduledEvents(derived, "ts", "entity_id", Seq(
+        Sim.ScheduledEvent("forced_value", "pressure", 0.0,
+          "2026-01-01 01:00:00", endTime = Some("2026-01-01 01:30:00"),
+          entity = Some("entity_3"))))
+        .select("id", "entity_id", "tick", "ts", "load_pct", "load_f",
+          "down", "pressure")
     })
   )
 
@@ -774,11 +815,80 @@ object SparkEntry {
         |        FROM tot CROSS JOIN rtot)
         |SELECT g.doc_id, round(sum(coalesce(lr.lr, oov.lr)), 6) AS dsir_logratio
         |FROM tagged g LEFT JOIN lr ON g.word = lr.word CROSS JOIN oov GROUP BY 1""".stripMargin,
+    // interpolated Kneser-Ney trigram LM of the target (docs 0-19), fixed
+    // discount 0.75: continuation-count unigram (add-1 for OOV mass),
+    // KN middle order from trigram TYPE counts, top order from trigram
+    // counts; token 1 scored by p1, token 2 by p2, else p3 — the exact
+    // arithmetic sequence of Sampling.perplexityScoreKN so float64
+    // results hash-match (all count inputs are exact integers in double)
+    "q_perplexity" ->
+      """WITH norm AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w FROM documents
+        |), tuni AS (
+        |  SELECT word, count(*) AS c1 FROM (
+        |    SELECT unnest(w) AS word FROM norm WHERE doc_id < 20) t GROUP BY 1
+        |), vsz AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM tuni),
+        |tbi AS (
+        |  SELECT p, c, count(*) AS c2 FROM (
+        |    SELECT unnest(w[1:len(w)-1]) AS p, unnest(w[2:len(w)]) AS c
+        |    FROM norm WHERE doc_id < 20) t GROUP BY 1, 2
+        |), cont1 AS (SELECT c AS f, CAST(count(*) AS DOUBLE) AS n1 FROM tbi GROUP BY 1),
+        |btot AS (SELECT CAST(count(*) AS DOUBLE) AS b FROM tbi),
+        |ttri AS (
+        |  SELECT u, v, w3, count(*) AS c3 FROM (
+        |    SELECT unnest(w[1:len(w)-2]) AS u, unnest(w[2:len(w)-1]) AS v,
+        |           unnest(w[3:len(w)]) AS w3
+        |    FROM norm WHERE doc_id < 20 AND len(w) >= 3) t GROUP BY 1, 2, 3
+        |), ctx3 AS (
+        |  SELECT u, v, CAST(sum(c3) AS DOUBLE) AS cuv, CAST(count(*) AS DOUBLE) AS n3
+        |  FROM ttri GROUP BY 1, 2
+        |), cont2 AS (SELECT v, w3, CAST(count(*) AS DOUBLE) AS n1vw FROM ttri GROUP BY 1, 2),
+        |ctx2 AS (
+        |  SELECT v, CAST(sum(n1vw) AS DOUBLE) AS ncv, CAST(count(*) AS DOUBLE) AS n2v
+        |  FROM cont2 GROUP BY 1
+        |), pos AS (
+        |  SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos, unnest(w) AS word FROM norm
+        |), feat AS (
+        |  SELECT s.doc_id, s.pos, CASE WHEN u.c1 IS NULL THEN ' oov' ELSE s.word END AS f
+        |  FROM pos s LEFT JOIN tuni u ON s.word = u.word
+        |), ctxd AS (
+        |  SELECT doc_id, pos, f,
+        |         lag(f, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS f1,
+        |         lag(f, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS f2
+        |  FROM feat
+        |), probs AS (
+        |  SELECT c.doc_id, c.f1, c.f2, x2.ncv, x3.cuv,
+        |    (coalesce(n1.n1, 0) + 1.0) / (btot.b + (vsz.v + 1.0)) AS p1,
+        |    b2.n1vw, x2.n2v, t3.c3, x3.n3
+        |  FROM ctxd c CROSS JOIN btot CROSS JOIN vsz
+        |    LEFT JOIN cont1 n1 ON c.f = n1.f
+        |    LEFT JOIN ctx2 x2 ON c.f1 = x2.v
+        |    LEFT JOIN cont2 b2 ON b2.v = c.f1 AND b2.w3 = c.f
+        |    LEFT JOIN ctx3 x3 ON x3.u = c.f2 AND x3.v = c.f1
+        |    LEFT JOIN ttri t3 ON t3.u = c.f2 AND t3.v = c.f1 AND t3.w3 = c.f
+        |), interp AS (
+        |  SELECT doc_id, f1, f2, cuv, c3, n3, p1,
+        |    CASE WHEN ncv IS NULL THEN p1
+        |         ELSE (greatest(coalesce(n1vw, 0) - 0.75, 0.0) + 0.75 * n2v * p1) / ncv
+        |    END AS p2
+        |  FROM probs
+        |), scored AS (
+        |  SELECT doc_id,
+        |    CASE WHEN f1 IS NULL THEN p1
+        |         WHEN f2 IS NULL THEN p2
+        |         WHEN cuv IS NULL THEN p2
+        |         ELSE (greatest(coalesce(c3, 0) - 0.75, 0.0) + 0.75 * n3 * p2) / cuv
+        |    END AS p
+        |  FROM interp
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       round(-sum(ln(p)) / count(*), 6) AS cross_entropy
+        |FROM scored GROUP BY 1""".stripMargin,
     // interpolated add-1 bigram LM of the target (docs 0-19); first token
     // unigram-only, unseen context backs off to uniform. (1.0 - 0.9) is
     // spelled as an expression so both engines compute the identical
     // float64 interpolation weight
-    "q_perplexity" ->
+    "q_perplexity_bigram" ->
       """WITH norm AS (
         |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w FROM documents
         |), tuni AS (
@@ -1164,6 +1274,30 @@ object SparkEntry {
       "SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal, min(c_custkey) AS min_key, max(c_custkey) AS max_key FROM customer GROUP BY 1",
     "q_delta_timetravel" ->
       "SELECT n_nationkey, n_name, n_regionkey, 0 AS ver FROM nation UNION ALL SELECT n_nationkey, n_name, n_regionkey, 1 AS ver FROM nation WHERE (n_nationkey % 2 = 0) OR (n_regionkey <> 0)",
+    // the deterministic simulation columns recomputed as closed forms of
+    // (entity, tick): same grid, same sinusoid constant (2*pi()/24 is the
+    // identical float64 as the Scala 2*math.Pi/24), same event window.
+    // DuckDB dow is 0=Sunday; Spark dayofweek is 1=Sunday, hence dow+1
+    "q_simulation_deterministic" ->
+      """WITH ids AS (SELECT unnest(range(0, 10000)) AS id),
+        |base AS (
+        |  SELECT id,
+        |         'entity_' || CAST(id // 200 AS VARCHAR) AS entity_id,
+        |         id % 200 AS tick,
+        |         TIMESTAMP '2026-01-01 00:00:00' + to_seconds((id % 200) * 1800) AS ts
+        |  FROM ids),
+        |loaded AS (
+        |  SELECT *, 1.0 + 0.5 * cos(CAST(extract(hour FROM ts) - 14 AS DOUBLE) * (2 * pi() / 24)) AS load
+        |  FROM base)
+        |SELECT id, entity_id, tick, ts,
+        |       round(load * 100, 2) AS load_pct,
+        |       round(load * 1.8 + 32, 6) AS load_f,
+        |       (extract(hour FROM ts) BETWEEN 2 AND 3) AND ((extract(dow FROM ts) + 1) = 5) AS down,
+        |       CASE WHEN entity_id = 'entity_3'
+        |                 AND ts >= TIMESTAMP '2026-01-01 01:00:00'
+        |                 AND ts < TIMESTAMP '2026-01-01 01:30:00'
+        |            THEN 0.0 ELSE 100.0 END AS pressure
+        |FROM loaded""".stripMargin,
     "q_multimodal_features" ->
       "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, sha256(text) AS sha FROM documents",
     "q_harmonize_schema" ->

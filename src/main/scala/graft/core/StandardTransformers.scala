@@ -324,11 +324,20 @@ object StandardTransformers {
         p.get("temperature").map(_.toString.toDouble).getOrElse(1.0),
         p.get("seed").map(_.toString.toLong).getOrElse(42L)) }
     reg("perplexity_score") { (c, p) =>
-      Sampling.perplexityScore(c.df, str(p, "id_col"), str(p, "text_col"),
-        c.dataset(str(p, "target")), strOpt(p, "target_text_col")
-          .getOrElse(str(p, "text_col")),
-        p.get("smoothing").map(_.toString.toDouble).getOrElse(1.0),
-        p.get("lambda").map(_.toString.toDouble).getOrElse(0.9)) }
+      strOpt(p, "model").getOrElse("bigram") match {
+        case "kn3" => Sampling.perplexityScoreKN(c.df, str(p, "id_col"),
+          str(p, "text_col"), c.dataset(str(p, "target")),
+          strOpt(p, "target_text_col").getOrElse(str(p, "text_col")),
+          p.get("discount").map(_.toString.toDouble).getOrElse(0.75),
+          p.get("smoothing").map(_.toString.toDouble).getOrElse(1.0))
+        case "bigram" => Sampling.perplexityScore(c.df, str(p, "id_col"),
+          str(p, "text_col"), c.dataset(str(p, "target")),
+          strOpt(p, "target_text_col").getOrElse(str(p, "text_col")),
+          p.get("smoothing").map(_.toString.toDouble).getOrElse(1.0),
+          p.get("lambda").map(_.toString.toDouble).getOrElse(0.9))
+        case other => throw new IllegalArgumentException(
+          s"unknown perplexity model '$other' (bigram | kn3)")
+      } }
     reg("pack_sequences") { (c, p) =>
       Packing.packSequences(c.df, str(p, "id_col"), str(p, "token_col"),
         p.get("budget").map(_.toString.toLong).getOrElse(2048L)) }
@@ -360,6 +369,12 @@ object StandardTransformers {
       Dedup.ngramJaccardPairs(c.df, str(p, "id_col"), str(p, "text_col"),
         intOpt(p, "n").getOrElse(3),
         strOpt(p, "threshold").map(_.toDouble).getOrElse(0.8)) }
+    reg("image_neardup_pairs") { (c, p) =>
+      graft.functions.Multimodal.imageNearDupPairs(c.df,
+        strOpt(p, "id_col").getOrElse("media_id"),
+        strOpt(p, "emb_col").getOrElse("embedding"),
+        intOpt(p, "max_hamming").getOrElse(5),
+        strOpt(p, "method").getOrElse("dhash")) }
     reg("embedding_neardup_pairs") { (c, p) =>
       Dedup.embeddingNearDupPairs(c.df, str(p, "id_col"), str(p, "vec_col"),
         str(p, "dim").toInt,

@@ -479,6 +479,12 @@ case class CosineSim(left: Expression, right: Expression, normalize: Boolean = t
     case ArrayType(DoubleType, _) => (a, i) => a.getDouble(i)
     case ArrayType(IntegerType, _) => (a, i) => a.getInt(i).toDouble
     case ArrayType(LongType, _) => (a, i) => a.getLong(i).toDouble
+    // int8/int16 arrays: the scalar-quantized pre-verify path carries
+    // 1-byte components through the candidate shuffle
+    case ArrayType(org.apache.spark.sql.types.ByteType, _) =>
+      (a, i) => a.getByte(i).toDouble
+    case ArrayType(org.apache.spark.sql.types.ShortType, _) =>
+      (a, i) => a.getShort(i).toDouble
     case other => throw new IllegalArgumentException(
       s"cosine_sim needs numeric arrays, got $other")
   }
@@ -505,6 +511,10 @@ case class CosineSim(left: Expression, right: Expression, normalize: Boolean = t
     case ArrayType(DoubleType, _) => s"$arr.getDouble($i)"
     case ArrayType(IntegerType, _) => s"(double) $arr.getInt($i)"
     case ArrayType(LongType, _) => s"(double) $arr.getLong($i)"
+    case ArrayType(org.apache.spark.sql.types.ByteType, _) =>
+      s"(double) $arr.getByte($i)"
+    case ArrayType(org.apache.spark.sql.types.ShortType, _) =>
+      s"(double) $arr.getShort($i)"
     case other => throw new IllegalArgumentException(
       s"cosine_sim needs numeric arrays, got $other")
   }

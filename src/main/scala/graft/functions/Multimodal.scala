@@ -1,9 +1,11 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+
+import graft.operators.Dedup
 
 /**
  * Multimodal (image/audio/video) column handling for training-data
@@ -254,6 +256,72 @@ object Multimodal {
         math.max((sizeInBytes / BigInt(targetPartitionBytes)).toInt, 1)
     }
     media.repartition(n)
+  }
+
+  // ---------------- perceptual near-dup (images) ----------------
+
+  /**
+   * aHash (average hash): bit i = 1 when luminance cell i of the decoded
+   * grid is above the grid mean. Robust to recompression and uniform
+   * brightness/contrast changes (the comparison is against the image's
+   * OWN mean). Input is the 64-dim luminance-grid `embedding` that
+   * [[extractFeatures]] produces at `embeddingDim = 64` (an 8×8 grid) —
+   * pure codegen'd column algebra, the decode already happened.
+   */
+  def aHash64(emb: Column): Column =
+    Dedup.bindOnce(
+      aggregate(emb, lit(0.0d), (a, x) => a + x) / size(emb)) { m =>
+      // fold cell-vs-mean sign bits LSB-first into one long
+      aggregate(
+        zip_with(emb, sequence(lit(0), size(emb) - 1), (x, i) =>
+          when(x > m, call_function("shiftleft", lit(1L), i.cast("int")))
+            .otherwise(lit(0L))),
+        lit(0L), (acc, b) => acc.bitwiseOR(b))
+    }
+
+  /**
+   * dHash (difference hash): bit i = 1 when cell i is brighter than its
+   * right neighbour in the row-major `grid`×`grid` layout (wrapping to
+   * the row's first cell in the last column, so a 64-cell grid yields a
+   * full 64-bit signature). Gradient-based, so invariant to uniform
+   * brightness shifts and resilient to resizing.
+   */
+  def dHash64(emb: Column, grid: Int = 8): Column =
+    aggregate(
+      zip_with(emb, sequence(lit(0), size(emb) - 1), (x, i) => {
+        val idx = i.cast("int")
+        val row = idx - pmod(idx, lit(grid))
+        val nxt = row + pmod(idx + 1, lit(grid))
+        when(x > element_at(emb, nxt + 1),
+          call_function("shiftleft", lit(1L), idx)).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
+
+  /**
+   * Image perceptual near-dup pairs over [[extractFeatures]] output
+   * (`embeddingDim = 64`): a 64-bit perceptual hash (`method` = "dhash"
+   * default, or "ahash") + the pigeonhole Hamming band blocking shared
+   * with SimHash ([[graft.operators.Dedup.hammingPairs]]) + exact
+   * Hamming verify. Output (a, b, hamming) is IDENTICAL to the O(N²)
+   * brute force at the same `maxHamming` — blocking recall is 1.0 by
+   * construction. Catches the resize / recompress / re-encode near-
+   * identical images that byte-exact [[mediaDedup]] misses, the second
+   * standard pass over a scraped image corpus.
+   *
+   * Scale: only (media_id, hash, band-key) scalars shuffle — payloads
+   * and embeddings never enter the self-join.
+   */
+  def imageNearDupPairs(features: DataFrame, idCol: String = "media_id",
+                        embCol: String = "embedding", maxHamming: Int = 5,
+                        method: String = "dhash"): DataFrame = {
+    val sig = method match {
+      case "ahash" => aHash64(col(embCol))
+      case "dhash" => dHash64(col(embCol))
+      case other => throw new IllegalArgumentException(
+        s"unknown perceptual hash method '$other' (ahash | dhash)")
+    }
+    val sigs = features.select(col(idCol), sig.as("_phash"))
+    Dedup.hammingPairs(sigs, idCol, "_phash", maxHamming)
   }
 
   /**

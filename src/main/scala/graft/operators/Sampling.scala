@@ -340,6 +340,119 @@ object Sampling {
   }
 
   /**
+   * Interpolated Kneser-Ney TRIGRAM perplexity (the fidelity upgrade over
+   * [[perplexityScore]]'s add-1 bigram, closing most of the gap to CCNet's
+   * KenLM signal — Wenzek et al. 2020; Kneser & Ney 1995; Chen & Goodman
+   * 1999). Scores every raw document by per-token cross-entropy (nats)
+   * under a KN-smoothed trigram LM of the TARGET corpus, with a fixed
+   * discount `D` so the estimate is an exactly reproducible closed form
+   * of integer count tables (that is what keeps the DuckDB oracle
+   * hash-green where KenLM's estimated discounts would not be).
+   *
+   * Model over the target-vocab + OOV feature space (raw words absent
+   * from the target vocabulary map to one OOV feature):
+   * {{{
+   * p1(w)      = (N1+(.w) + s) / (B + s * (V + 1))          // continuation
+   * p2(w | v)  = [max(N1+(.vw) - D, 0) + D * N1+(v.) * p1(w)] / N1+(.v.)
+   *              (backoff to p1 when v is an unseen context)
+   * p3(w | u,v)= [max(c(uvw) - D, 0) + D * N1+(uv.) * p2(w|v)] / c(uv.)
+   *              (backoff to p2 when (u,v) is an unseen context)
+   * }}}
+   * where N1+(.w) counts distinct bigram types ending in w, B is the
+   * total bigram-type count, V the vocabulary size, and the middle-order
+   * counts come from trigram TYPE statistics (true Kneser-Ney continuation
+   * counts). The first token of a document is scored by p1, the second by
+   * p2 — no synthetic BOS context. Each order is a proper distribution
+   * (the discounted mass D * Ntypes / total is exactly what the lower
+   * order redistributes), and the add-`smoothing` continuation unigram
+   * gives OOV strictly positive mass.
+   *
+   * Scale design (100 TB raw corpus): every model table is TARGET-bounded
+   * — trigram counts <= target tokens, all others are type counts bounded
+   * above by that — and broadcast. The raw corpus is scored in ONE pass:
+   * per-doc positional words, lag(1)/lag(2) over the doc-keyed window for
+   * the two context features, five broadcast lookups, one map-side-
+   * combinable per-doc aggregate. Only the (id, pos, word) scalar rows of
+   * that single window shuffle.
+   */
+  def perplexityScoreKN(raw: DataFrame, idCol: String, textCol: String,
+                        target: DataFrame, targetTextCol: String,
+                        discount: Double = 0.75,
+                        smoothing: Double = 1.0): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1), got $discount")
+    require(smoothing > 0, s"smoothing must be > 0, got $smoothing")
+    def words(t: Column) = split(Dedup.normText(t), " ")
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val oovKey = " oov"
+
+    val tDocs = target.select(words(col(targetTextCol)).as("_ws"))
+    val uni = tDocs.select(explode(col("_ws")).as("_w"))
+      .groupBy(col("_w")).agg(count(lit(1)).as("_c1"))
+    val v = uni.count()
+    require(v > 0, "perplexityScoreKN: target corpus is empty")
+    def adjPairs(ws: Column): Column = zip_with(
+      slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
+      slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+      (a, b) => struct(a.as("p"), b.as("c")))
+    // bigram types -> continuation-unigram counts N1+(.w) and B
+    val bi = tDocs.select(explode(adjPairs(col("_ws"))).as("_pair"))
+      .groupBy(col("_pair.p").as("_wp"), col("_pair.c").as("_wc"))
+      .agg(count(lit(1)).as("_c2"))
+    val cont1 = bi.groupBy(col("_wc").as("_f")).agg(count(lit(1)).as("_n1"))
+    val bTypes = bi.count()
+    // trigram counts + context totals; middle-order continuation counts
+    val tri = tDocs.select(explode(zip_with(
+        adjPairs(col("_ws")),
+        slice(col("_ws"), lit(3), greatest(size(col("_ws")) - 2, lit(0))),
+        (pr, w) => struct(pr.getField("p").as("u"), pr.getField("c").as("v"), w.as("w"))))
+        .as("_t"))
+      .filter(col("_t.w").isNotNull) // zip_with pads the shorter array
+      .groupBy(col("_t.u").as("_u"), col("_t.v").as("_v"), col("_t.w").as("_w3"))
+      .agg(count(lit(1)).as("_c3"))
+    val ctx3 = tri.groupBy(col("_u"), col("_v"))
+      .agg(sum(col("_c3")).as("_cuv"), count(lit(1)).as("_n3"))
+    val cont2 = tri.groupBy(col("_v"), col("_w3"))
+      .agg(count(lit(1)).as("_n1vw")) // distinct u per (v, w)
+    val ctx2 = cont2.groupBy(col("_v"))
+      .agg(sum(col("_n1vw")).as("_ncv"), count(lit(1)).as("_n2v"))
+
+    val d = discount
+    val denomP1 = bTypes + smoothing * (v + 1).toDouble
+    // one pass over raw: positional words -> OOV-mapped feature -> lagged
+    // trigram context -> broadcast count lookups
+    val pos = raw.select(col(idCol),
+        posexplode(words(col(textCol))).as(Seq("_p", "_w")))
+      .join(broadcast(uni), Seq("_w"), "left")
+      .withColumn("_f", when(col("_c1").isNull, lit(oovKey)).otherwise(col("_w")))
+    val wOrd = Window.partitionBy(col(idCol)).orderBy(col("_p"))
+    val ctxd = pos
+      .withColumn("_f1", lag(col("_f"), 1).over(wOrd))
+      .withColumn("_f2", lag(col("_f"), 2).over(wOrd))
+      .join(broadcast(cont1), Seq("_f"), "left")
+      .join(broadcast(ctx2.select(col("_v").as("_f1"), col("_ncv"), col("_n2v"))),
+        Seq("_f1"), "left")
+      .join(broadcast(cont2.select(col("_v").as("_f1"), col("_w3").as("_f"),
+        col("_n1vw"))), Seq("_f1", "_f"), "left")
+      .join(broadcast(ctx3.select(col("_u").as("_f2"), col("_v").as("_f1"),
+        col("_cuv"), col("_n3"))), Seq("_f2", "_f1"), "left")
+      .join(broadcast(tri.select(col("_u").as("_f2"), col("_v").as("_f1"),
+        col("_w3").as("_f"), col("_c3"))), Seq("_f2", "_f1", "_f"), "left")
+    val p1 = (coalesce(col("_n1"), lit(0L)) + smoothing) / denomP1
+    val p2 = when(col("_ncv").isNull, p1).otherwise(
+      (greatest(coalesce(col("_n1vw"), lit(0L)) - d, lit(0.0)) +
+        lit(d) * col("_n2v") * p1) / col("_ncv"))
+    val p3 = when(col("_cuv").isNull, p2).otherwise(
+      (greatest(coalesce(col("_c3"), lit(0L)) - d, lit(0.0)) +
+        lit(d) * col("_n3") * p2) / col("_cuv"))
+    val p = when(col("_f1").isNull, p1)
+      .otherwise(when(col("_f2").isNull, p2).otherwise(p3))
+    ctxd.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(-sum(log(p)) / count(lit(1)), 6).as("cross_entropy"))
+  }
+
+  /**
    * Gumbel top-k importance resampling, the selection half of DSIR:
    * sample `n` rows without replacement with P(select) ∝
    * exp(`scoreCol` / temperature) — adding independent Gumbel noise to

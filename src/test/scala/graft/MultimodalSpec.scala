@@ -128,6 +128,79 @@ class MultimodalSpec extends SparkSpec {
     assert(out(4L).getAs[scala.collection.Seq[Float]]("embedding").length == 4)
   }
 
+  test("image perceptual near-dup: resize/recompress/brightness variants pair up") {
+    import java.awt.image.BufferedImage
+    // 8x8-block grayscale pattern: each block maps onto one luminance-grid
+    // cell with a distinct value, so hash bits carry a margin that survives
+    // bilinear resampling and JPEG quantization — the realistic variant set
+    def pattern(seed: Int, w: Int = 64, h: Int = 64): BufferedImage = {
+      val vals = new scala.util.Random(seed).shuffle((0 until 64).toList)
+        .map(i => 12 + i * 3)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) {
+        val v = vals((y * 8 / h) * 8 + (x * 8 / w))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos); bos.toByteArray
+    }
+    def resize(img: BufferedImage, w: Int, h: Int): BufferedImage = {
+      val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null); g.dispose(); out
+    }
+    def brighten(img: BufferedImage, d: Int): BufferedImage = {
+      val out = new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until img.getWidth; y <- 0 until img.getHeight) {
+        val v = math.min((img.getRGB(x, y) & 0xFF) + d, 255)
+        out.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      out
+    }
+    val base = pattern(7)
+    val rows = Seq(
+      (1L, encode(base, "png"), "image/png"),
+      (2L, encode(resize(base, 96, 96), "png"), "image/png"),   // upscaled
+      (3L, encode(base, "jpg"), "image/jpeg"),                  // recompressed
+      (4L, encode(brighten(base, 25), "png"), "image/png"),     // brightness shift
+      (5L, encode(pattern(99), "png"), "image/png"))            // different image
+    val media = Multimodal.asMedia(rows.toDF("id", "bytes", "mime"),
+      "id", "bytes", "mime")
+    val feats = Multimodal.extractFeatures(media, embeddingDim = 64).cache()
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = pairsOf(Multimodal.imageNearDupPairs(feats))
+    assert(Set((1L, 2L), (1L, 3L), (1L, 4L)).subsetOf(pairs),
+      s"variant pairs missing from $pairs")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L),
+      s"distinct image falsely paired: $pairs")
+    // pigeonhole banding is exact: output == O(N²) brute force
+    val sigs = feats.select($"media_id", Multimodal.dHash64($"embedding").as("sig"))
+    val brute = sigs.as("a").crossJoin(sigs.as("b"))
+      .filter($"a.media_id" < $"b.media_id")
+      .filter(graft.operators.Dedup.hammingDistance($"a.sig", $"b.sig") <= 5)
+      .select($"a.media_id".as("a"), $"b.media_id".as("b"))
+    assert(pairs == pairsOf(brute))
+    // aHash variant: brightness-invariant by construction (own-mean compare)
+    val ah = pairsOf(Multimodal.imageNearDupPairs(feats, method = "ahash"))
+    assert(ah.contains((1L, 4L)) && !ah.exists(p => p._1 == 5L || p._2 == 5L))
+    intercept[IllegalArgumentException] {
+      Multimodal.imageNearDupPairs(feats, method = "phash-nope").collect()
+    }
+    // YAML transformer surface
+    graft.core.StandardTransformers.registerAll
+    val viaYaml = graft.core.TransformerRegistry.get("image_neardup_pairs").get
+      .apply(graft.core.EngineContext(feats), Map("max_hamming" -> "5"))
+    assert(pairsOf(viaYaml) == pairs)
+    feats.unpersist()
+    ()
+  }
+
   test("readMedia: binaryFile directory scan to canonical frame, decode e2e") {
     import java.awt.image.BufferedImage
     val dir = java.nio.file.Files.createTempDirectory("mediadir")

@@ -212,15 +212,78 @@ class RecallSpec extends SparkSpec {
       .filter(col("_c") >= 0.25)
       .select("a", "b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(truth.nonEmpty)
-    val got = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+    // small-corpus dispatch: stats fit the broadcast bound, so the default
+    // path is the exact brute force — output must EQUAL the truth set
+    val dispatched = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
       dim = 64, threshold = 0.25)
+      .select(col("a").cast("long"), col("b").cast("long")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(dispatched == truth,
+      s"brute dispatch diverged: missing=${truth.diff(dispatched).take(3)} " +
+        s"extra=${dispatched.diff(truth).take(3)}")
+    // banded LSH path (forced): the corpus-scale plan, bounded recall
+    val got = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+      dim = 64, threshold = 0.25, bruteForceBytes = 0L)
       .select(col("a").cast("long"), col("b").cast("long")).collect()
       .map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(got.subsetOf(truth), s"false positives: ${got.diff(truth).take(3)}")
     val rec = recall(truth, got)
-    info(f"embeddingNearDupPairs recall at cos>=0.25: $rec%.3f (${truth.size} truth)")
+    info(f"embeddingNearDupPairs banded recall at cos>=0.25: $rec%.3f (${truth.size} truth)")
     assert(rec >= 0.85, f"embedding near-dup recall $rec%.3f below bound 0.85")
+    // int8 pre-verify (opt-in): must not change the banded output at the
+    // default margin
+    val q8 = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+      dim = 64, threshold = 0.25, bruteForceBytes = 0L,
+      quantizedPreVerify = true)
+      .select(col("a").cast("long"), col("b").cast("long")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(q8 == got,
+      s"int8 pre-verify changed the pair set: missing=${got.diff(q8).take(3)}")
     emb.unpersist()
+    ()
+  }
+
+  test("imageNearDupPairs recall on generated resize/recompress twins") {
+    import java.awt.image.BufferedImage
+    import graft.functions.Multimodal
+    // 24 distinct block-pattern images; each gets a resized + JPEG-
+    // recompressed twin (id + 1000). Ground truth = the 24 twin pairs.
+    def pattern(seed: Int, w: Int, h: Int): BufferedImage = {
+      val vals = new scala.util.Random(seed).shuffle((0 until 64).toList)
+        .map(i => 12 + i * 3)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) {
+        val v = vals((y * 8 / h) * 8 + (x * 8 / w))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def jpegOf(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos); bos.toByteArray
+    }
+    def pngOf(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    val rows = (0 until 24).flatMap { i =>
+      Seq((i.toLong, pngOf(pattern(i, 64, 64)), "image/png"),
+        (i + 1000L, jpegOf(pattern(i, 80, 80)), "image/jpeg"))
+    }
+    val media = Multimodal.asMedia(
+      spark.createDataFrame(rows).toDF("id", "bytes", "mime"),
+      "id", "bytes", "mime")
+    val feats = Multimodal.extractFeatures(media, embeddingDim = 64).cache()
+    val truth = (0 until 24).map(i => (i.toLong, i + 1000L)).toSet
+    val got = Multimodal.imageNearDupPairs(feats, maxHamming = 5)
+      .select(col("a").cast("long"), col("b").cast("long")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val rec = recall(truth, got)
+    info(f"imageNearDupPairs recall on 24 twins: $rec%.3f")
+    assert(rec >= 0.90, f"image near-dup recall $rec%.3f below bound 0.90")
+    assert(got.diff(truth).isEmpty,
+      s"distinct patterns falsely paired: ${got.diff(truth).take(3)}")
+    feats.unpersist()
     ()
   }
 

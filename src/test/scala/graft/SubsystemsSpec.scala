@@ -149,6 +149,54 @@ class SubsystemsSpec extends SparkSpec {
     assert(walked.select("cat").distinct().count() == 3)
   }
 
+  test("simulation stochastic generators: distribution moments within tolerance") {
+    // the statistical contract of the hash-seeded RNG family — the spec'd
+    // half of the q_simulation split (the closed-form half is oracle-
+    // verified as q_simulation_deterministic). Sample sizes make the
+    // standard errors ~10x smaller than the asserted tolerances.
+    val ts = Simulation.timeSeries(spark, Simulation.EntityConfig(40), 500,
+      "2026-01-01 00:00:00", 60) // 20k rows
+    // random-walk increments: mean ~ drift, stddev ~ volatility
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("entity_id").orderBy("tick")
+    val incs = ts.withColumn("x", Simulation.randomWalk(
+        ts, "entity_id", "tick", "x", seed = 7, volatility = 2.0, drift = 0.1))
+      .withColumn("prev", lag("x", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select((col("x") - col("prev")).as("inc"))
+    val m = incs.agg(avg("inc"), stddev("inc")).collect()(0)
+    assert(math.abs(m.getDouble(0) - 0.1) < 0.06,
+      s"walk increment mean ${m.getDouble(0)} not ~ drift 0.1")
+    assert(math.abs(m.getDouble(1) - 2.0) < 0.1,
+      s"walk increment stddev ${m.getDouble(1)} not ~ volatility 2.0")
+    // uniform: mean ~ 0.5, bounds [0, 1)
+    val u = ts.select(Simulation.uniform(col("id"), 3).as("u"))
+      .agg(avg("u"), min("u"), max("u")).collect()(0)
+    assert(math.abs(u.getDouble(0) - 0.5) < 0.02 &&
+      u.getDouble(1) >= 0.0 && u.getDouble(2) < 1.0)
+    // normal (Irwin-Hall): mean ~ 0, stddev ~ 1
+    val n = ts.select(Simulation.normal(col("id"), 5).as("n"))
+      .agg(avg("n"), stddev("n")).collect()(0)
+    assert(math.abs(n.getDouble(0)) < 0.03 && math.abs(n.getDouble(1) - 1.0) < 0.03)
+    // categorical: observed frequencies ~ configured weights
+    val freqs = ts.select(Simulation.categorical(col("id"), 2,
+        Seq("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)).as("cat"))
+      .groupBy("cat").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1) / 20000.0).toMap
+    assert(math.abs(freqs("a") - 0.5) < 0.02 &&
+      math.abs(freqs("b") - 0.3) < 0.02 && math.abs(freqs("c") - 0.2) < 0.02,
+      s"categorical frequencies off: $freqs")
+    // geoPoint: uniform in bbox, means near the center
+    val bbox = (40.0, -75.0, 42.0, -72.0)
+    val g = ts.select(Simulation.geoPoint(col("id"), 13, bbox).as("g"))
+      .select(col("g.lat").as("lat"), col("g.lon").as("lon"))
+      .agg(avg("lat"), avg("lon"), min("lat"), max("lat"), min("lon"), max("lon"))
+      .collect()(0)
+    assert(math.abs(g.getDouble(0) - 41.0) < 0.05 && math.abs(g.getDouble(1) + 73.5) < 0.05)
+    assert(g.getDouble(2) >= 40.0 && g.getDouble(3) < 42.0 &&
+      g.getDouble(4) >= -75.0 && g.getDouble(5) < -72.0)
+  }
+
   test("simulation generators: uuid, geo, derived, scheduled events, chaos, bounded walk") {
     val ts = Simulation.timeSeries(spark, Simulation.EntityConfig(4), 120,
       "2026-01-01 00:00:00", 60).cache()
