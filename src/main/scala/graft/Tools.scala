@@ -27,7 +27,7 @@ object Tools {
     """usage: graft.Tools <list | graph <yaml> | export <yaml> | catalog <root> <table> | lineage <root> | schema <root> ...>
       |  graph:   [--set K=V ...]
       |  export:  --target airflow|dagster --out FILE [--pipeline P] [--set K=V ...]
-      |  catalog: [--pipeline P] [-n N]
+      |  catalog: [--pipeline P] [-n N] | catalog <root> --tables
       |  lineage: [--pipeline P] [--node N]
       |  schema:  <root> history <node> [--pipeline P] [--limit N]
       |           <root> diff <node> [--from V] [--to V] [--pipeline P]
@@ -40,7 +40,8 @@ object Tools {
       |  templates: list | show <name> | transformer <name> | schema [--out FILE]
       |  docs:    [--out DIR]   (regenerate operators.md, yaml_schema.md, graft.schema.json)
       |  system:  rebuild-summaries <root> [--run-id ID] [--sla P=HOURS ...] [--default-sla H]
-      |  ui:      <root> --out DIR [--story DIR] [--config YAML] [--sla P=HOURS ...] [--default-sla H]""".stripMargin
+      |  ui:      <root> --out DIR [--story DIR] [--config YAML] [--sla P=HOURS ...] [--default-sla H]
+      |           [--watch [--interval SECONDS] [--max-renders N]]""".stripMargin
 
   def main(argv: Array[String]): Unit = sys.exit(mainExit(argv))
 
@@ -878,12 +879,19 @@ object Tools {
     var config: Option[String] = None
     var sla = Map.empty[String, Double]
     var defaultSla = 24.0
+    var watch = false
+    var intervalMs = 2000L
+    var maxRenders = Int.MaxValue
     var rest = args
     while (rest.nonEmpty) rest match {
       case "--out" :: v :: t => out = Some(v); rest = t
       case "--story" :: v :: t => story = Some(v); rest = t
       case "--config" :: v :: t => config = Some(v); rest = t
       case "--default-sla" :: v :: t => defaultSla = v.toDouble; rest = t
+      case "--watch" :: t => watch = true; rest = t
+      case "--interval" :: v :: t =>
+        intervalMs = (v.toDouble * 1000).toLong; rest = t
+      case "--max-renders" :: v :: t => maxRenders = v.toInt; rest = t
       case "--sla" :: kv :: t => kv.split("=", 2) match {
         case Array(k, v) => sla += (k -> v.toDouble); rest = t
         case _ => System.err.println(s"--sla needs PIPELINE=HOURS, got $kv"); return 2
@@ -894,10 +902,48 @@ object Tools {
     }
     (root, out) match {
       case (Some(rt), Some(dir)) => withSpark { spark =>
-        val index = graft.core.Dashboard.write(spark, rt, dir, sla, defaultSla,
-          story, config)
-        println(s"wrote $index")
-        0
+        def render(): String =
+          graft.core.Dashboard.write(spark, rt, dir, sla, defaultSla, story, config)
+        if (!watch) {
+          println(s"wrote ${render()}")
+          0
+        } else {
+          // live-reload mode: re-render the static site whenever the
+          // catalog's meta tables change (the FastAPI-UI gap closer:
+          // same views, no server dependency). Change detection = the
+          // (file count, max mtime) fingerprint over meta_* dirs via the
+          // Hadoop FS API, so it works on object stores too.
+          def fingerprint(): Long = {
+            val p = new org.apache.hadoop.fs.Path(rt)
+            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (!fs.exists(p)) return -1L
+            var h = 1125899906842597L
+            def mix(v: Long): Unit = { h = h * 31 + v }
+            fs.listStatus(p).filter(_.getPath.getName.startsWith("meta_"))
+              .sortBy(_.getPath.getName).foreach { d =>
+                val it = fs.listFiles(d.getPath, true)
+                while (it.hasNext) {
+                  val f = it.next()
+                  mix(f.getPath.getName.hashCode.toLong)
+                  mix(f.getModificationTime)
+                  mix(f.getLen)
+                }
+              }
+            h
+          }
+          var last = 0L
+          var renders = 0
+          while (renders < maxRenders) {
+            val fp = fingerprint()
+            if (fp != last) {
+              last = fp
+              renders += 1
+              println(s"wrote ${render()} (render $renders)")
+            }
+            if (renders < maxRenders) Thread.sleep(intervalMs)
+          }
+          0
+        }
       }
       case _ =>
         System.err.println(s"error: ui needs <root> --out DIR\n$usage")
@@ -932,9 +978,22 @@ object Tools {
       case v :: t => pos = pos :+ v; rest = t
     }
     pos match {
+      case root :: "--tables" :: Nil => withSpark { spark =>
+        jsonLines(new graft.core.Catalog(spark, root).tablesRegistry, 100)
+        0
+      }
       case root :: table :: Nil => withSpark { spark =>
         try {
-          var df = new graft.core.Catalog(spark, root).table(table)
+          val catalog = new graft.core.Catalog(spark, root)
+          // derived views resolve by name too, so every entry in
+          // `--tables` is dumpable through the same verb
+          var df = table match {
+            case "meta_tables" => catalog.tablesRegistry
+            case "meta_daily_stats" => catalog.dailyStats
+            case "meta_pipeline_health" => catalog.pipelineHealth
+            case "meta_sla_status" => catalog.slaStatus(Map.empty)
+            case t => catalog.table(t)
+          }
           pipeline.foreach(p =>
             df = df.filter(org.apache.spark.sql.functions.col("pipeline") === p))
           jsonLines(df, n)

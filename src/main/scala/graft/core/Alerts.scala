@@ -60,9 +60,13 @@ object Alerts {
    * Build an alert callback fanning out to every configured channel whose
    * event filter matches. Channel errors never propagate — an alert sink
    * outage must not fail the pipeline (the caller additionally wraps the
-   * whole callback in Try).
+   * whole callback in Try) — but they are handed to `onError` so the loss
+   * of observability is itself observable (the catalog records them as
+   * `meta_observability_errors`; `onError` is guarded too).
    */
-  def dispatcher(configs: Seq[AlertConfig]): Pipeline.AlertEvent => Unit = {
+  def dispatcher(configs: Seq[AlertConfig],
+                 onError: (AlertConfig, Throwable) => Unit = (_, _) => ())
+      : Pipeline.AlertEvent => Unit = {
     val remaining = configs.map(c => new AtomicInteger(c.maxAlerts.getOrElse(Int.MaxValue)))
     event =>
       configs.zip(remaining).foreach { case (cfg, budget) =>
@@ -86,7 +90,7 @@ object Alerts {
               case other =>
                 throw new IllegalArgumentException(s"unknown alert channel: $other")
             }
-          }
+          }.failed.foreach(e => Try(onError(cfg, e)))
           ()
         }
       }

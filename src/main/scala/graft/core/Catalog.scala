@@ -62,6 +62,52 @@ final class Catalog(spark: SparkSession, root: String) {
         .withColumn("recorded_at", current_timestamp()))
   }
 
+  /**
+   * One row per pipeline run — the reference's `meta_pipeline_runs` grain
+   * (catalog.py:183-200), where `meta_runs` keeps the per-node detail
+   * (the reference's `meta_node_runs` companion is [[recordNodeRuns]]).
+   */
+  def recordPipelineRun(pipeline: String, runId: String, success: Boolean,
+                        nNodes: Int, nFailed: Int,
+                        totalDurationMs: Long): Unit =
+    append("meta_pipeline_runs",
+      Seq((pipeline, runId, success, nNodes.toLong, nFailed.toLong, totalDurationMs))
+        .toDF("pipeline", "run_id", "success", "n_nodes", "n_failed",
+          "total_duration_ms")
+        .withColumn("recorded_at", current_timestamp()))
+
+  /**
+   * One row per (node, run) with write volume — the reference's
+   * `meta_node_runs` grain: the per-node outcome of `meta_runs` joined
+   * with the rows-written fact, queryable without the run/output join.
+   */
+  def recordNodeRuns(pipeline: String, runId: String,
+                     nodes: Seq[(String, Boolean, Long, Option[Long], String)]): Unit =
+    if (nodes.nonEmpty)
+      append("meta_node_runs",
+        nodes.map { case (n, ok, ms, rows, err) =>
+          (n, ok, ms, rows.map(java.lang.Long.valueOf).orNull, err)
+        }.toDF("node", "success", "duration_ms", "rows_written", "error")
+          .withColumn("pipeline", lit(pipeline))
+          .withColumn("run_id", lit(runId))
+          .withColumn("recorded_at", current_timestamp()))
+
+  /**
+   * Alert-transport failures (`meta_observability_errors`,
+   * catalog.py:183-200): when an alert channel itself fails (webhook
+   * transport down, file sink unwritable), the pipeline must not fail —
+   * but the loss of observability has to be observable somewhere. One row
+   * per failed delivery.
+   */
+  def recordObservabilityErrors(pipeline: String, runId: String,
+                                errors: Seq[(String, String, String, String)]): Unit =
+    if (errors.nonEmpty)
+      append("meta_observability_errors",
+        errors.toDF("channel", "target", "error_class", "message")
+          .withColumn("pipeline", lit(pipeline))
+          .withColumn("run_id", lit(runId))
+          .withColumn("recorded_at", current_timestamp()))
+
   /** Record node lineage edges (node -> its inputs). */
   def recordLineage(pipeline: String, runId: String,
                     edges: Seq[(String, String)]): Unit =
@@ -254,6 +300,32 @@ final class Catalog(spark: SparkSession, root: String) {
         n.dependsOn.mkString(","), n.tags.mkString(","), n.enabled))
         .toDF("pipeline", "node", "config_hash", "depends_on", "tags", "enabled")
         .withColumn("recorded_at", current_timestamp()))
+    // meta_patterns (catalog.py:183-200): which registered pattern each
+    // node invokes — the deploy-time usage inventory of the pattern layer
+    val patternRows = cfg.nodes.flatMap(n => n.transformer
+      .filter(graft.patterns.PatternRegistry.names.contains)
+      .map(p => (cfg.name, n.name, p)))
+    if (patternRows.nonEmpty)
+      append("meta_patterns",
+        patternRows.toDF("pipeline", "node", "pattern")
+          .withColumn("recorded_at", current_timestamp()))
+  }
+
+  /**
+   * The catalog's own registry (`meta_tables`): one row per meta table —
+   * stored tables with their physical paths plus the derived views.
+   * Computed on read (it can never drift from what is actually present);
+   * `Tools catalog <root> --tables` renders it.
+   */
+  def tablesRegistry: DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stored = Catalog.storedTables.map { t =>
+      (t, "stored", tablePath(t),
+        fs.exists(new org.apache.hadoop.fs.Path(tablePath(t))))
+    }
+    val derived = Catalog.derivedViews.map(t => (t, "derived", "", true))
+    (stored ++ derived).toDF("table", "kind", "path", "exists")
   }
 
   /** Latest registered version hash for a pipeline (drift baseline). */
@@ -293,6 +365,21 @@ final class Catalog(spark: SparkSession, root: String) {
 
 object Catalog {
 
+  /** Stored meta tables (physical parquet under the catalog root) —
+    * mirrors the reference's 18-table list (catalog.py:183-200) minus the
+    * health views, which are derived on read here. */
+  val storedTables: Seq[String] = Seq(
+    "meta_pipelines", "meta_nodes", "meta_runs", "meta_pipeline_runs",
+    "meta_node_runs", "meta_lineage", "meta_column_lineage", "meta_outputs",
+    "meta_metrics", "meta_failures", "meta_observability_errors",
+    "meta_schemas", "meta_patterns", "meta_state",
+    "meta_derived_applied_runs")
+
+  /** Views computed on read from the stored facts (never drift). */
+  val derivedViews: Seq[String] = Seq(
+    "meta_daily_stats", "meta_pipeline_health", "meta_sla_status",
+    "meta_tables")
+
   /** Stable hash of the whole pipeline config (deploy/drift baseline). */
   def pipelineHash(cfg: Pipeline.PipelineConfig): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -320,7 +407,15 @@ object Catalog {
       if (failOnDrift) throw new IllegalStateException(msg)
       catalog.recordRun(cfg.name, runId, Seq(("_drift_check", false, 0L, msg)))
     }
-    val results = Pipeline.run(spark, cfg, externalDatasets, opts)
+    // alert-channel failures buffer during the run, recorded after it —
+    // the dispatcher must stay non-blocking and side-effect-safe
+    val alertErrors = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String, String)]()
+    val recordingOpts = opts.copy(onAlertError = (acfg, e) => {
+      alertErrors.add((acfg.channel, acfg.target.getOrElse(""),
+        e.getClass.getName, Option(e.getMessage).getOrElse("")))
+      opts.onAlertError(acfg, e)
+    })
+    val results = Pipeline.run(spark, cfg, externalDatasets, recordingOpts)
     catalog.recordRun(cfg.name, runId, cfg.nodes.map { n =>
       val r = results.get(n.name)
       // skipped nodes record success=true with the reason in the error
@@ -330,6 +425,21 @@ object Catalog {
         r.flatMap(_.failure).map(_.getMessage)
           .orElse(r.flatMap(_.skipReason).map("skipped: " + _)).getOrElse(""))
     })
+    // the reference's pipeline_runs / node_runs split (catalog.py:183-200)
+    catalog.recordPipelineRun(cfg.name, runId,
+      success = cfg.nodes.forall(n => results.get(n.name).exists(_.failure.isEmpty)),
+      nNodes = cfg.nodes.size,
+      nFailed = cfg.nodes.count(n => results.get(n.name).exists(_.failure.nonEmpty)),
+      totalDurationMs = cfg.nodes.flatMap(n => results.get(n.name)).map(_.durationMs).sum)
+    catalog.recordNodeRuns(cfg.name, runId, cfg.nodes.map { n =>
+      val r = results.get(n.name)
+      (n.name, r.exists(_.failure.isEmpty), r.map(_.durationMs).getOrElse(0L),
+        r.flatMap(_.rowsWritten),
+        r.flatMap(_.failure).map(_.getMessage)
+          .orElse(r.flatMap(_.skipReason).map("skipped: " + _)).getOrElse(""))
+    })
+    catalog.recordObservabilityErrors(cfg.name, runId,
+      alertErrors.toArray(Array.empty[(String, String, String, String)]).toSeq)
     catalog.recordLineage(cfg.name, runId,
       cfg.nodes.flatMap(n => n.dependsOn.map(d => n.name -> d)))
     catalog.recordOutputs(cfg.name, runId, cfg.nodes.flatMap { n =>
@@ -349,7 +459,10 @@ object Catalog {
     results.foreach { case (name, r) =>
       if (r.failure.isEmpty && !r.skipped) {
         catalog.recordSchema(cfg.name, name, r.df)
-        catalog.recordColumnLineage(cfg.name, runId, name, r.df)
+        // lineage from the pre-write plan when the node's df is a
+        // lineage-truncating sink read-back
+        catalog.recordColumnLineage(cfg.name, runId, name,
+          r.lineageDf.getOrElse(r.df))
       }
     }
     results

@@ -94,7 +94,11 @@ object Pipeline {
   final case class NodeResult(name: String, df: DataFrame, failure: Option[Throwable],
                               skipped: Boolean = false, skipReason: Option[String] = None,
                               durationMs: Long = 0L, rowsWritten: Option[Long] = None,
-                              validation: Seq[Validation.TestResult] = Nil)
+                              validation: Seq[Validation.TestResult] = Nil,
+                              // the pre-write logical plan when `df` is a
+                              // lineage-truncating sink read-back — column
+                              // lineage records from here
+                              lineageDf: Option[DataFrame] = None)
 
   /**
    * Alert event (reference `_send_alerts`, odibi/pipeline.py:1443-1490):
@@ -119,7 +123,10 @@ object Pipeline {
       nodes: Seq[String] = Nil,
       resumeFromFailure: Boolean = false,
       state: Option[graft.operators.Incremental.StateBackend] = None,
-      onAlert: AlertEvent => Unit = _ => ())
+      onAlert: AlertEvent => Unit = _ => (),
+      // alert-CHANNEL failures (transport down, sink unwritable): never
+      // fail the run, but surface for meta_observability_errors recording
+      onAlertError: (Alerts.AlertConfig, Throwable) => Unit = (_, _) => ())
 
   final case class PipelineConfig(name: String, nodes: Seq[NodeConfig],
                                   parallel: Boolean = false, maxWorkers: Int = 4,
@@ -221,6 +228,9 @@ object Pipeline {
               baseDir: Option[String] = None): DataFrame =
     runNodeWithStats(spark, cfg, datasets, baseDir)._1
 
+  /** Formats a written sink can be read back from to truncate lineage. */
+  private[graft] val readBackFormats = Set("parquet", "orc", "json", "csv")
+
   /**
    * As [[runNode]], also returning rows written (from write metrics).
    * With an `incremental` config and a state backend: the HWM filter is
@@ -236,7 +246,7 @@ object Pipeline {
                        state: Option[graft.operators.Incremental.StateBackend] = None,
                        stateKeyPrefix: String = "",
                        currentPipeline: Option[String] = None)
-      : (DataFrame, Option[Long], Seq[Validation.TestResult]) = {
+      : (DataFrame, Option[Long], Seq[Validation.TestResult], Option[DataFrame]) = {
     import graft.operators.Incremental
     StandardTransformers.registerAll // idempotent
 
@@ -417,8 +427,24 @@ object Pipeline {
           (Some(rows), readBack)
         } else (None, survivors) // caller manages the live query's lifetime
       case _ =>
-        (cfg.writePath.map(p => Sources.writeWithStats(survivors, p, cfg.write)),
-          survivors)
+        val written = cfg.writePath.map(p =>
+          Sources.writeWithStats(survivors, p, cfg.write))
+        // Lineage truncation: downstream nodes consume the WRITTEN sink,
+        // not the logical plan — otherwise every consumer re-executes the
+        // whole upstream chain (a 10-node pipeline recomputes the heavy
+        // early stages once per descendant; at corpus scale that is the
+        // difference between one minhash pass and five). Only safe when
+        // the sink holds exactly this node's output (mode=overwrite) in a
+        // Spark-readable format; the declared schema pins read-back types.
+        val truncated =
+          if (written.isDefined &&
+              cfg.write.mode.equalsIgnoreCase("overwrite") &&
+              Pipeline.readBackFormats.contains(cfg.write.format.toLowerCase))
+            spark.read.schema(survivors.schema).format(cfg.write.format)
+              .load(cfg.writePath.get)
+              .select(survivors.columns.map(org.apache.spark.sql.functions.col): _*)
+          else survivors
+        (written, truncated)
     }
 
     // commit HWM only after the write succeeded — never advance state for
@@ -431,7 +457,12 @@ object Pipeline {
     }
 
     runSideSql(spark, cfg.postSql, datasets + (cfg.name -> finalDf))
-    (finalDf, rowsWritten, validation)
+    // when the batch sink read-back replaced the plan, keep the PLAN for
+    // column-lineage recording — the read-back's lineage stops at the file
+    val lineageDf =
+      if (!survivors.isStreaming && (finalDf ne survivors)) Some(survivors)
+      else None
+    (finalDf, rowsWritten, validation, lineageDf)
     } finally if (pinned) { transformed.unpersist(); () }
   }
 
@@ -528,7 +559,7 @@ object Pipeline {
     cfg.sparkConf.foreach { case (k, v) => spark.conf.set(k, v) }
     // alert fan-out: declared channels (YAML alerts: block) + the caller's
     // onAlert hook; neither may fail the run
-    val dispatch = Alerts.dispatcher(cfg.alerts)
+    val dispatch = Alerts.dispatcher(cfg.alerts, opts.onAlertError)
     def fire(node: String, event: String, message: String): Unit = {
       val e = AlertEvent(cfg.name, node, event, message)
       Try(dispatch(e))
@@ -609,7 +640,7 @@ object Pipeline {
       }
       val elapsed = System.currentTimeMillis() - t0
       attempt match {
-        case Success((df0, rowsWritten, validation)) =>
+        case Success((df0, rowsWritten, validation, lineageDf)) =>
           val df =
             if (node.cache || dependentCount(name) >= cfg.autoCacheThreshold) df0.persist()
             else df0
@@ -617,7 +648,8 @@ object Pipeline {
           datasets.put(name, df)
           ranThisRun.add(name)
           results.put(name, NodeResult(name, df, None,
-            durationMs = elapsed, rowsWritten = rowsWritten, validation = validation))
+            durationMs = elapsed, rowsWritten = rowsWritten,
+            validation = validation, lineageDf = lineageDf))
           opts.state.foreach(_.set(stateKey(name), s"ok:${nodeHash(node)}"))
           validation.filter(v => v.test.kind == "quarantine" && v.failedRows > 0)
             .foreach(v => fire(name, "quarantine", v.detail))

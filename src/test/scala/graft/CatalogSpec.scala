@@ -91,6 +91,65 @@ class CatalogSpec extends SparkSpec {
     assert(failures(0).getAs[String]("error_class").nonEmpty)
   }
 
+  test("pipeline_runs/node_runs split, observability errors, patterns, tables registry") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat6").toString
+    val cat = new Catalog(spark, root)
+    val cfg = Pipeline.PipelineConfig("p6", Seq(
+      Pipeline.NodeConfig("ok", read = Some(Sources.ReadConfig("parquet",
+        Some("/root/testdata/sf0.001/region.parquet"))),
+        writePath = Some(s"$root/ok_out")),
+      Pipeline.NodeConfig("boom", read = Some(Sources.ReadConfig("parquet",
+        Some("/root/testdata/sf0.001/region.parquet"))),
+        steps = Seq(Pipeline.TransformStep(sql = Some("SELECT no_col FROM df"))))),
+      // a webhook channel with NO registered transport: every fired alert
+      // fails delivery -> meta_observability_errors rows
+      alerts = Seq(graft.core.Alerts.AlertConfig("webhook",
+        target = Some("unregistered_hook"), onEvents = Seq("on_failure"))))
+    Catalog.runRecorded(spark, cfg, cat, "run-o")
+
+    // meta_pipeline_runs: one row per run, failure counted
+    val pr = cat.table("meta_pipeline_runs").collect()
+    assert(pr.length == 1)
+    assert(pr(0).getAs[String]("run_id") == "run-o" && !pr(0).getAs[Boolean]("success"))
+    assert(pr(0).getAs[Long]("n_nodes") == 2L && pr(0).getAs[Long]("n_failed") == 1L)
+
+    // meta_node_runs: per-node grain WITH rows_written inline
+    val nr = cat.table("meta_node_runs").collect()
+      .map(r => r.getAs[String]("node") -> r).toMap
+    assert(nr.size == 2)
+    assert(nr("ok").getAs[Boolean]("success") &&
+      nr("ok").getAs[Long]("rows_written") == 5L)
+    assert(!nr("boom").getAs[Boolean]("success") &&
+      nr("boom").isNullAt(nr("boom").fieldIndex("rows_written")))
+
+    // alert channel failed (no transport) -> observability error recorded
+    val oe = cat.table("meta_observability_errors").collect()
+    assert(oe.nonEmpty)
+    assert(oe(0).getAs[String]("channel") == "webhook" &&
+      oe(0).getAs[String]("target") == "unregistered_hook")
+    assert(oe(0).getAs[String]("error_class").contains("IllegalStateException"))
+
+    // meta_patterns: registration records pattern-backed nodes
+    val pcfg = Pipeline.PipelineConfig("p6p", Seq(
+      Pipeline.NodeConfig("dim", read = Some(Sources.ReadConfig("parquet",
+        Some("/root/testdata/sf0.001/region.parquet"))),
+        transformer = Some("dimension"),
+        transformerParams = Map("business_keys" -> Seq("r_regionkey")))))
+    cat.registerPipeline(pcfg)
+    val pats = cat.table("meta_patterns").collect()
+    assert(pats.length == 1 && pats(0).getAs[String]("pattern") == "dimension")
+
+    // tables registry: 15+ entries, stored tables flagged by presence
+    val reg = cat.tablesRegistry.collect()
+      .map(r => r.getAs[String]("table") ->
+        (r.getAs[String]("kind"), r.getAs[Boolean]("exists"))).toMap
+    assert(reg.size >= 15, s"registry too small: ${reg.size}")
+    assert(reg("meta_pipeline_runs") == ("stored", true))
+    assert(reg("meta_observability_errors") == ("stored", true))
+    assert(reg("meta_daily_stats")._1 == "derived")
+    assert(!reg("meta_state")._2) // never written in this scenario
+  }
+
   test("health views and volume-drop gate derive from run history") {
     val root = java.nio.file.Files.createTempDirectory("graft_cat5").toString
     val cat = new Catalog(spark, root)

@@ -56,8 +56,10 @@ class ExamplesSpec extends SparkSpec {
     assert(html.contains("fact_orders") && html.contains("success"))
 
     // scale shape: the fact's dim lookups broadcast (dims are small), so
-    // the star join costs no shuffle of the fact side
-    val audit = graft.core.PlanAudit.audit(results("fact_orders").df)
+    // the star join costs no shuffle of the fact side. The node's df is
+    // now a lineage-truncating sink read-back — audit the COMPUTE plan
+    val factR = results("fact_orders")
+    val audit = graft.core.PlanAudit.audit(factR.lineageDf.getOrElse(factR.df))
     assert(audit.numBroadcastJoins >= 1,
       s"fact dim lookups should broadcast, got $audit")
     assert(audit.numSortMergeJoins == 0,

@@ -321,7 +321,7 @@ class PipelineSpec extends SparkSpec {
           columns = Seq("v"), min = Some(0), max = Some(10))),
       writePath = Some(s"$dir/out"))
 
-    val (_, rows, validation) =
+    val (_, rows, validation, _) =
       Pipeline.runNodeWithStats(spark, cfg, Map("src" -> src))
     // quarantine-split count + row-level test aggregate + sink write all
     // read the single persisted materialization — not three upstream scans

@@ -186,4 +186,32 @@ class TemplatesSystemSpec extends SparkSpec {
       s"$dir/site2/index.html")).contains("no runs recorded yet"))
     assert(Tools.mainExit(Array("ui", root)) == 2)
   }
+
+  test("ui --watch re-renders when the catalog changes, then exits at max-renders") {
+    val dir = java.nio.file.Files.createTempDirectory("uiwatch").toString
+    val root = s"$dir/_system"
+    val catalog = new Catalog(spark, root)
+    catalog.recordRun("etl", "r1", Seq(("a", true, 100L, "")))
+    // writer thread: after the first render lands, append a second run so
+    // the watcher's catalog fingerprint changes
+    val writer = new Thread(() => {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$dir/site/index.html")) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      catalog.recordRun("etl", "r2", Seq(("a", false, 50L, "boom")))
+    })
+    writer.start()
+    val (code, out) = captured(Tools.mainExit(Array(
+      "ui", root, "--out", s"$dir/site",
+      "--watch", "--interval", "0.2", "--max-renders", "2")))
+    writer.join()
+    assert(code == 0, out)
+    assert(out.linesIterator.count(_.contains("wrote")) == 2,
+      s"expected 2 renders, got: $out")
+    // the re-render picked up the new run: success rate fell to 50%
+    val index = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/site/index.html"))
+    assert(index.contains("50%") && index.contains("<code>r2</code>"))
+  }
 }

@@ -70,6 +70,18 @@ class ToolsSpec extends SparkSpec {
     // unknown table / empty lineage are clean exit-1 failures
     assert(Tools.mainExit(Array("catalog", s"$dir/_system", "meta_nope")) == 1)
     assert(Tools.mainExit(Array("lineage", s"$dir/empty")) == 1)
+
+    // --tables lists the full registry (15+), run-split tables included
+    val (tc, treg) = captured(Tools.mainExit(Array(
+      "catalog", s"$dir/_system", "--tables")))
+    assert(tc == 0)
+    assert(treg.linesIterator.size >= 15)
+    assert(treg.contains("meta_pipeline_runs") && treg.contains("meta_node_runs")
+      && treg.contains("meta_observability_errors"))
+    // derived views dump through the same verb as stored tables
+    val (hc, health) = captured(Tools.mainExit(Array(
+      "catalog", s"$dir/_system", "meta_pipeline_health")))
+    assert(hc == 0 && health.contains("\"success_rate\""))
   }
 
   test("deploy registers pipelines + nodes into the catalog and reports drift") {
