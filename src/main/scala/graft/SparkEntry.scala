@@ -631,6 +631,30 @@ object SparkEntry {
       v0.withColumn("ver", lit(0)).unionByName(v1.withColumn("ver", lit(1)))
         .select("n_nationkey", "n_name", "n_regionkey", "ver")
     }),
+    "q_delta_roundtrip" -> ((s, d) => {
+      // the native Delta WRITER end-to-end: two partitioned append commits
+      // plus an overwrite through the commit protocol (staged parquet →
+      // rename, add/remove actions, hive partition values), then
+      // time-travel reads through the native log reader. The oracle
+      // recomputes both snapshots from the ORIGINAL parquet, so a hash
+      // match certifies the protocol round-trip, not just this plan.
+      val orders = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_delta_w")
+        .toString + "/orders"
+      graft.sources.DeltaWriter.write(orders.filter(col("o_orderkey") % 3 === 0),
+        root, mode = "append", partitionBy = Seq("o_orderstatus"))
+      graft.sources.DeltaWriter.write(orders.filter(col("o_orderkey") % 3 === 1),
+        root, mode = "append")
+      graft.sources.DeltaWriter.write(orders.filter(col("o_totalprice") > 150000),
+        root, mode = "overwrite", partitionBy = Seq("o_orderstatus"))
+      val v1 = graft.sources.DeltaLog.read(s, root, versionAsOf = Some(1L))
+        .withColumn("ver", lit(1))
+      val v2 = graft.sources.DeltaLog.read(s, root).withColumn("ver", lit(2))
+      v1.unionByName(v2).groupBy("ver", "o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+    }),
     "q_excel_roundtrip" -> ((s, d) => {
       // the native XLSX path end-to-end (no POI in this env): parquet →
       // workbook write → executor-side StAX read (type inference on) →
@@ -1274,6 +1298,8 @@ object SparkEntry {
       "SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal, min(c_custkey) AS min_key, max(c_custkey) AS max_key FROM customer GROUP BY 1",
     "q_delta_timetravel" ->
       "SELECT n_nationkey, n_name, n_regionkey, 0 AS ver FROM nation UNION ALL SELECT n_nationkey, n_name, n_regionkey, 1 AS ver FROM nation WHERE (n_nationkey % 2 = 0) OR (n_regionkey <> 0)",
+    "q_delta_roundtrip" ->
+      "SELECT ver, o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS revenue, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM (SELECT 1 AS ver, o_orderstatus, o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 IN (0, 1) UNION ALL SELECT 2 AS ver, o_orderstatus, o_totalprice, o_orderkey FROM orders WHERE o_totalprice > 150000) GROUP BY 1, 2",
     // the deterministic simulation columns recomputed as closed forms of
     // (entity, tick): same grid, same sinusoid constant (2*pi()/24 is the
     // identical float64 as the Scala 2*math.Pi/24), same event window.

@@ -229,7 +229,20 @@ object Pipeline {
     runNodeWithStats(spark, cfg, datasets, baseDir)._1
 
   /** Formats a written sink can be read back from to truncate lineage. */
-  private[graft] val readBackFormats = Set("parquet", "orc", "json", "csv")
+  private[graft] val readBackFormats = Set("parquet", "orc", "json", "csv", "delta")
+
+  /** Read a sink back by declared format; `delta` routes through the
+    * native transaction-log reader (no delta-spark DataSource in this
+    * env), everything else through the ordinary DataFrame reader. */
+  private[graft] def readSink(spark: SparkSession, format: String,
+                              path: String,
+                              schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    if (format.equalsIgnoreCase("delta"))
+      graft.sources.DeltaLog.read(spark, path)
+    else {
+      val r = schema.map(spark.read.schema).getOrElse(spark.read)
+      r.format(format).load(path)
+    }
 
   /**
    * As [[runNode]], also returning rows written (from write metrics).
@@ -267,10 +280,12 @@ object Pipeline {
         sn.incremental match {
           case Some(inc) =>
             val existing = cfg.writePath.flatMap { p =>
-              try Some(spark.read.format(cfg.write.format).load(p))
+              try Some(Pipeline.readSink(spark, cfg.write.format, p))
               catch {
                 case e: org.apache.spark.sql.AnalysisException
                     if AtomicParquet.isMissingPath(e) => None // first run
+                case _: IllegalArgumentException
+                    if cfg.write.format.equalsIgnoreCase("delta") => None // no log yet
               }
             }
             existing match {
@@ -305,7 +320,7 @@ object Pipeline {
     val base = cfg.contracts match {
       case Some(c) =>
         val sinkSchema = cfg.writePath.flatMap(p =>
-          Try(spark.read.format(cfg.write.format).load(p).schema).toOption)
+          Try(Pipeline.readSink(spark, cfg.write.format, p).schema).toOption)
         Sources.applyContract(read, c, sinkSchema)
       case None => read
     }
@@ -415,7 +430,7 @@ object Pipeline {
           // downstream nodes consume the sink as a batch frame; the merge
           // path always maintains a parquet snapshot (AtomicParquet)
           val sinkFormat = if (sw.mergeKeys.nonEmpty) "parquet" else cfg.write.format
-          val readBack = spark.read.format(sinkFormat).load(path)
+          val readBack = Pipeline.readSink(spark, sinkFormat, path)
           // rows from the drained query's own progress metrics — no
           // sink re-scan; foreachBatch sinks report -1, fall back to a
           // (sink-sized, bounded) count only then
@@ -440,8 +455,8 @@ object Pipeline {
           if (written.isDefined &&
               cfg.write.mode.equalsIgnoreCase("overwrite") &&
               Pipeline.readBackFormats.contains(cfg.write.format.toLowerCase))
-            spark.read.schema(survivors.schema).format(cfg.write.format)
-              .load(cfg.writePath.get)
+            Pipeline.readSink(spark, cfg.write.format, cfg.writePath.get,
+                Some(survivors.schema))
               .select(survivors.columns.map(org.apache.spark.sql.functions.col): _*)
           else survivors
         (written, truncated)
@@ -612,7 +627,7 @@ object Pipeline {
             if node.incremental.isEmpty &&
               st.get(stateKey(node.name)).contains(s"ok:${nodeHash(node)}") &&
               !node.dependsOn.exists(ranThisRun.contains) =>
-          Try(spark.read.format(node.write.format).load(path)) match {
+          Try(Pipeline.readSink(spark, node.write.format, path)) match {
             case Success(df) =>
               df.createOrReplaceTempView(node.name.replaceAll("[^A-Za-z0-9_]", "_"))
               datasets.put(node.name, df)

@@ -51,7 +51,9 @@ object DeltaLog {
   final case class Snapshot(version: Long, schema: StructType,
                             partitionColumns: Seq[String],
                             configuration: Map[String, String],
-                            files: Seq[AddFile])
+                            files: Seq[AddFile],
+                            tableId: Option[String] = None,
+                            transactions: Map[String, Long] = Map.empty)
 
   private val mapper = new ObjectMapper()
 
@@ -124,8 +126,19 @@ object DeltaLog {
     var configuration: Map[String, String] = Map.empty
     val files = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     var commitTimestamp: Long = 0L
+    var tableId: Option[String] = None
+    // txn (SetTransaction) actions: the streaming sink's exactly-once
+    // watermark — highest committed version per appId
+    val txns = scala.collection.mutable.HashMap[String, Long]()
+
+    def applyTxn(t: JsonNode): Unit = {
+      val app = t.get("appId").asText()
+      val v = t.get("version").asLong()
+      txns.update(app, math.max(txns.getOrElse(app, Long.MinValue), v))
+    }
 
     def applyMeta(m: JsonNode): Unit = {
+      tableId = Option(m.get("id")).map(_.asText())
       schema = DataType.fromJson(m.get("schemaString").asText()).asInstanceOf[StructType]
       partitionColumns = Option(m.get("partitionColumns")).toSeq
         .flatMap(_.elements().asScala).map(_.asText())
@@ -175,6 +188,7 @@ object DeltaLog {
       if (node.has("protocol")) state.applyProtocol(node.get("protocol"))
       if (node.has("add")) state.applyAdd(node.get("add"))
       if (node.has("remove")) state.applyRemove(node.get("remove"))
+      if (node.has("txn")) state.applyTxn(node.get("txn"))
       if (node.has("commitInfo")) {
         val ts = Option(node.get("commitInfo").get("timestamp")).map(_.asLong())
         ts.foreach(t => state.commitTimestamp = math.max(state.commitTimestamp, t))
@@ -220,6 +234,9 @@ object DeltaLog {
     if (cols.contains("add"))
       df.select(to_json(col("add"))).where(col("add").isNotNull)
         .collect().foreach(r => state.applyAdd(mapper.readTree(r.getString(0))))
+    if (cols.contains("txn"))
+      df.select(to_json(col("txn"))).where(col("txn").isNotNull)
+        .collect().foreach(r => state.applyTxn(mapper.readTree(r.getString(0))))
   }
 
   /** Reconstruct table state at `versionAsOf` / `timestampAsOfMs` /
@@ -263,7 +280,8 @@ object DeltaLog {
     require(state.schema != null,
       s"Delta log at $root yields no metaData action up to version $target")
     Snapshot(target, state.schema, state.partitionColumns,
-      state.configuration, state.files.values.toSeq)
+      state.configuration, state.files.values.toSeq, state.tableId,
+      state.txns.toMap)
   }
 
   private def commitTimeOf(spark: SparkSession, f: FileSystem, root: String,

@@ -192,6 +192,15 @@ object Sources {
     require(cfg.zorderBy.isEmpty || cfg.partitionBy.isEmpty,
       "zorder_by and partition_by are mutually exclusive (Z-order ranges " +
         "would need recomputing per hive partition)")
+    if (cfg.format == "delta") {
+      // native Delta commit protocol (no delta-spark jar in this env):
+      // data files go through the ordinary distributed parquet writer,
+      // the transaction log is published by atomic rename — see DeltaWriter
+      require(cfg.zorderBy.isEmpty,
+        "zorder_by is not supported for delta sinks (use partition_by)")
+      val d = cfg.coalescePartitions.map(df.coalesce).getOrElse(df)
+      return DeltaWriter.write(d, path, cfg.mode, cfg.partitionBy).rowsWritten
+    }
     if (cfg.format == "avro" || cfg.format == "excel") {
       // native paths (no DataSource jar in this env): rows counted by the
       // write tasks themselves, so no Observation needed and no second job

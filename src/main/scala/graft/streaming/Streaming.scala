@@ -46,6 +46,28 @@ object Streaming {
 
   def writeStream(df: DataFrame, path: Option[String],
                   cfg: StreamWriteConfig): StreamingQuery = {
+    // delta has no DataSource in this env (no delta-spark jar): route each
+    // micro-batch through the native commit protocol instead. The txn
+    // (SetTransaction) action keyed on (checkpoint, batchId) makes
+    // checkpoint-replayed batches no-ops — the Delta sink's exactly-once
+    // contract, stronger than the file-sink's at-least-once manifest.
+    if (cfg.format.equalsIgnoreCase("delta")) {
+      val target = path.getOrElse(
+        throw new IllegalArgumentException("delta streaming sink needs a path"))
+      val appId = cfg.checkpointLocation.getOrElse(target)
+      val overwriteEach = cfg.outputMode.equalsIgnoreCase("complete")
+      var w = df.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.sources.DeltaWriter.write(batch, target,
+            mode = if (overwriteEach) "overwrite" else "append",
+            txn = Some((s"graft-stream-$appId", batchId)))
+          ()
+        }
+      cfg.checkpointLocation.foreach(c => w = w.option("checkpointLocation", c))
+      cfg.trigger.foreach(t => w = w.trigger(t))
+      cfg.queryName.foreach(n => w = w.queryName(n))
+      return w.start()
+    }
     var w: DataStreamWriter[org.apache.spark.sql.Row] =
       df.writeStream.format(cfg.format).outputMode(cfg.outputMode).options(cfg.options)
     cfg.checkpointLocation.foreach(c => w = w.option("checkpointLocation", c))
