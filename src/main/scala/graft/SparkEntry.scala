@@ -655,6 +655,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"),
           min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
     }),
+    "q_delta_optimize" -> ((s, d) => {
+      // OPTIMIZE over the native writer: three small append commits, a
+      // bin-pack compaction (remove+add, dataChange=false), then a
+      // Z-order re-cluster — the read-back after BOTH maintenance
+      // commits must still hash-match the oracle recomputing from the
+      // ORIGINAL parquet, certifying the rewrites moved bytes, not rows.
+      val orders = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_delta_o")
+        .toString + "/orders"
+      (0 until 3).foreach { i =>
+        graft.sources.DeltaWriter.write(
+          orders.filter(col("o_orderkey") % 3 === i), root, mode = "append")
+      }
+      val res = graft.sources.DeltaMaintenance.optimize(s, root)
+      require(res.version.nonEmpty && res.filesAdded < res.filesRemoved,
+        s"optimize did not compact: $res")
+      val rz = graft.sources.DeltaMaintenance.optimize(s, root,
+        zorderBy = Seq("o_custkey", "o_totalprice"))
+      require(rz.version.nonEmpty, s"zorder optimize did not run: $rz")
+      graft.sources.DeltaLog.read(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+    }),
     "q_excel_roundtrip" -> ((s, d) => {
       // the native XLSX path end-to-end (no POI in this env): parquet →
       // workbook write → executor-side StAX read (type inference on) →
@@ -1300,6 +1325,10 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, n_regionkey, 0 AS ver FROM nation UNION ALL SELECT n_nationkey, n_name, n_regionkey, 1 AS ver FROM nation WHERE (n_nationkey % 2 = 0) OR (n_regionkey <> 0)",
     "q_delta_roundtrip" ->
       "SELECT ver, o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS revenue, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM (SELECT 1 AS ver, o_orderstatus, o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 IN (0, 1) UNION ALL SELECT 2 AS ver, o_orderstatus, o_totalprice, o_orderkey FROM orders WHERE o_totalprice > 150000) GROUP BY 1, 2",
+    // OPTIMIZE + ZORDER are metadata-only rewrites: the compacted +
+    // re-clustered table must aggregate exactly like the source rows
+    "q_delta_optimize" ->
+      "SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS revenue, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM orders GROUP BY 1",
     // the deterministic simulation columns recomputed as closed forms of
     // (entity, tick): same grid, same sinusoid constant (2*pi()/24 is the
     // identical float64 as the Scala 2*math.Pi/24), same event window.

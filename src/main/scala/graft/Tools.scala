@@ -41,7 +41,9 @@ object Tools {
       |  docs:    [--out DIR]   (regenerate operators.md, yaml_schema.md, graft.schema.json)
       |  system:  rebuild-summaries <root> [--run-id ID] [--sla P=HOURS ...] [--default-sla H]
       |  ui:      <root> --out DIR [--story DIR] [--config YAML] [--sla P=HOURS ...] [--default-sla H]
-      |           [--watch [--interval SECONDS] [--max-renders N]]""".stripMargin
+      |           [--watch [--interval SECONDS] [--max-renders N]]
+      |  delta:   optimize <root> [--target-file-mb N] [--zorder-by a,b]
+      |           vacuum <root> [--retention-hours H] [--dry-run] | history <root>""".stripMargin
 
   def main(argv: Array[String]): Unit = sys.exit(mainExit(argv))
 
@@ -60,8 +62,66 @@ object Tools {
     case "system" :: rest => systemCommand(rest)
     case "ui" :: rest => uiCommand(rest)
     case "docs" :: rest => docsCommand(rest)
+    case "delta" :: rest => deltaCommand(rest)
     case _ =>
       System.err.println(usage)
+      2
+  }
+
+  /** Maintenance verbs for native Delta tables (the reference runs these
+    * through delta-spark's OPTIMIZE/VACUUM/DESCRIBE HISTORY; here they run
+    * on [[graft.sources.DeltaMaintenance]] over the public protocol). */
+  private def deltaCommand(args: List[String]): Int = args match {
+    case "optimize" :: root :: rest =>
+      var target = 128L << 20; var zorder: Seq[String] = Nil
+      var r = rest
+      while (r.nonEmpty) r match {
+        case "--target-file-mb" :: v :: t => target = v.toLong << 20; r = t
+        case "--zorder-by" :: v :: t => zorder = v.split(",").toSeq.map(_.trim); r = t
+        case other :: _ => System.err.println(s"unknown optimize arg $other"); return 2
+        case Nil => ()
+      }
+      withSpark { spark =>
+        val res = graft.sources.DeltaMaintenance.optimize(
+          spark, root, targetFileBytes = target, zorderBy = zorder)
+        res.version match {
+          case Some(v) => println(
+            s"optimized $root at version $v: ${res.filesRemoved} files " +
+              s"(${res.bytesRemoved} B) -> ${res.filesAdded} files (${res.bytesAdded} B)")
+          case None => println(s"nothing to optimize at $root")
+        }
+        0
+      }
+    case "vacuum" :: root :: rest =>
+      var hours = 168.0; var dry = false
+      var r = rest
+      while (r.nonEmpty) r match {
+        case "--retention-hours" :: v :: t => hours = v.toDouble; r = t
+        case "--dry-run" :: t => dry = true; r = t
+        case other :: _ => System.err.println(s"unknown vacuum arg $other"); return 2
+        case Nil => ()
+      }
+      withSpark { spark =>
+        val res = graft.sources.DeltaMaintenance.vacuum(spark, root, hours, dry)
+        val verb = if (dry) "would delete" else "deleted"
+        println(s"$verb ${res.deleted.size} files (${res.bytes} B) at $root")
+        res.deleted.foreach(p => println(s"  $p"))
+        0
+      }
+    case "history" :: root :: Nil =>
+      withSpark { spark =>
+        graft.sources.DeltaMaintenance.history(spark, root)
+          .collect().foreach { row =>
+            println(s"v${row.getLong(0)} ts=${row.getLong(1)} op=${row.getString(2)} " +
+              s"adds=${row.getInt(5)} removes=${row.getInt(6)} params=${row.getString(3)}")
+          }
+        0
+      }
+    case _ =>
+      System.err.println(
+        """usage: graft.Tools delta optimize <root> [--target-file-mb N] [--zorder-by a,b]
+          |       graft.Tools delta vacuum <root> [--retention-hours H] [--dry-run]
+          |       graft.Tools delta history <root>""".stripMargin)
       2
   }
 

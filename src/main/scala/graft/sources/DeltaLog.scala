@@ -106,13 +106,13 @@ object DeltaLog {
 
   /** add.path is an RFC 2396 URL-encoded path, relative to the table root
     * (absolute URIs appear in shallow clones — passed through). */
-  private def decodePath(raw: String): String =
+  private[sources] def decodePath(raw: String): String =
     try new java.net.URI(raw).getPath match {
       case null | "" => raw
       case p => if (raw.contains("://")) raw else p
     } catch { case _: java.net.URISyntaxException => raw }
 
-  private def absolutize(root: String, raw: String): String = {
+  private[sources] def absolutize(root: String, raw: String): String = {
     val decoded = decodePath(raw)
     if (raw.contains("://") || decoded.startsWith("/")) decoded
     else s"${root.stripSuffix("/")}/$decoded"

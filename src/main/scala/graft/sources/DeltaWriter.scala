@@ -48,12 +48,12 @@ object DeltaWriter {
   private def logDir(root: String) = new Path(root, "_delta_log")
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-  private def q(s: String): String = mapper.writeValueAsString(s)
+  private[sources] def q(s: String): String = mapper.writeValueAsString(s)
 
   /** RFC 2396-encode a log-relative path segment-by-segment (the Delta
     * `add.path` contract). '%' in on-disk names (hive-escaped partition
     * dirs) round-trips through [[DeltaLog.decodePath]]'s URI decode. */
-  private def encodePath(rel: String): String =
+  private[sources] def encodePath(rel: String): String =
     rel.split('/').map { seg =>
       new java.net.URI(null, null, seg, null).toASCIIString
     }.mkString("/")
@@ -136,48 +136,7 @@ object DeltaWriter {
 
     // ---- stage data files with the ordinary distributed parquet writer
     val nonce = java.lang.Long.toHexString(System.nanoTime())
-    val staging = new Path(root, s"_graft_stage_$nonce")
-    val obs = org.apache.spark.sql.Observation()
-    val observed = df.observe(obs, count(lit(1)).as("rows"))
-    var w = observed.write.mode("overwrite")
-    if (partCols.nonEmpty) w = w.partitionBy(partCols: _*)
-    w.parquet(staging.toString)
-    val rows = obs.get("rows").asInstanceOf[Long]
-
-    // ---- move staged files into the table root, collecting add actions
-    val staged = {
-      val it = f.listFiles(staging, true)
-      val buf = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.LocatedFileStatus]()
-      while (it.hasNext) {
-        val s = it.next()
-        if (s.isFile && s.getPath.getName.endsWith(".parquet") &&
-          !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-          buf += s
-      }
-      buf.toSeq
-    }
-    val stagingUri = staging.toUri.getPath
-    val adds = staged.zipWithIndex.map { case (s, i) =>
-      val stagedRel = s.getPath.toUri.getPath.stripPrefix(stagingUri).stripPrefix("/")
-      val segs = stagedRel.split('/')
-      val pv: Map[String, Option[String]] =
-        segs.dropRight(1).map(parsePartitionSegment).toMap
-      require(pv.keySet == partCols.toSet,
-        s"staged file $stagedRel partition dirs ${pv.keySet} != declared $partCols")
-      // fresh UUID per FILE (the delta-spark writer's naming contract):
-      // Spark's dynamic-partition writer reuses one basename across a
-      // task's partition dirs, but Delta readers — including DeltaLog —
-      // key partition values on unique basenames
-      val ext = stagedRel.substring(stagedRel.indexOf('.', stagedRel.lastIndexOf('/') + 1))
-      val rel = (segs.dropRight(1) :+
-        f"part-$i%05d-${java.util.UUID.randomUUID()}$ext").mkString("/")
-      val dest = new Path(root, rel)
-      f.mkdirs(dest.getParent)
-      require(f.rename(s.getPath, dest), s"failed to move staged file $rel into $root")
-      val st = f.getFileStatus(dest)
-      DeltaLog.AddFile(rel, pv, st.getLen, st.getModificationTime)
-    }
-    f.delete(staging, true)
+    val (adds, rows) = stageAndMove(df, root, partCols, nonce, countRows = true)
 
     // ---- build + atomically publish the commit (optimistic retry loop)
     val tableId = prior.flatMap(_.tableId)
@@ -220,21 +179,85 @@ object DeltaWriter {
         }.mkString(",")
         lines += s"""{"add":{"path":${q(encodePath(a.path))},"partitionValues":{$pvs},"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true}}"""
       }
-      val tmp = new Path(logDir(root), s".tmp_commit_$nonce.json")
-      f.mkdirs(logDir(root))
-      val out = f.create(tmp, true)
-      try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
-      val target = new Path(logDir(root), f"$version%020d.json")
       // rename-if-absent is the commit: on rename-consistent stores two
       // writers cannot both claim a version
-      if (!f.exists(target) && f.rename(tmp, target)) {
+      if (tryPublish(f, root, version, lines.toSeq, nonce)) {
         if (checkpointInterval > 0 && version > 0 && version % checkpointInterval == 0)
           writeCheckpoint(spark, root, version)
         return Commit(version, rows)
       }
-      f.delete(tmp, false) // lost the race: rebase and retry
+      // lost the race: rebase and retry
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /**
+   * Stage `df` through the ordinary distributed parquet writer under a
+   * hidden temp dir, then MOVE every staged data file into the table root
+   * under a fresh UUID basename (the delta-spark writer's naming contract:
+   * Spark's dynamic-partition writer reuses one basename across a task's
+   * partition dirs, but Delta readers — including [[DeltaLog]] — key
+   * partition values on unique basenames). Returns the add actions and
+   * (when `countRows`) the exact row count observed during the one staging
+   * pass — no second job.
+   */
+  private[sources] def stageAndMove(df: DataFrame, root: String,
+                                    partCols: Seq[String], nonce: String,
+                                    countRows: Boolean): (Seq[DeltaLog.AddFile], Long) = {
+    val spark = df.sparkSession
+    val f = fs(spark, root)
+    val staging = new Path(root, s"_graft_stage_$nonce")
+    val obs = org.apache.spark.sql.Observation()
+    val observed = if (countRows) df.observe(obs, count(lit(1)).as("rows")) else df
+    var w = observed.write.mode("overwrite")
+    if (partCols.nonEmpty) w = w.partitionBy(partCols: _*)
+    w.parquet(staging.toString)
+    val rows = if (countRows) obs.get("rows").asInstanceOf[Long] else 0L
+
+    val staged = {
+      val it = f.listFiles(staging, true)
+      val buf = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.LocatedFileStatus]()
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.endsWith(".parquet") &&
+          !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+          buf += s
+      }
+      buf.toSeq
+    }
+    val stagingUri = staging.toUri.getPath
+    val adds = staged.zipWithIndex.map { case (s, i) =>
+      val stagedRel = s.getPath.toUri.getPath.stripPrefix(stagingUri).stripPrefix("/")
+      val segs = stagedRel.split('/')
+      val pv: Map[String, Option[String]] =
+        segs.dropRight(1).map(parsePartitionSegment).toMap
+      require(pv.keySet == partCols.toSet,
+        s"staged file $stagedRel partition dirs ${pv.keySet} != declared $partCols")
+      val ext = stagedRel.substring(stagedRel.indexOf('.', stagedRel.lastIndexOf('/') + 1))
+      val rel = (segs.dropRight(1) :+
+        f"part-$i%05d-${java.util.UUID.randomUUID()}$ext").mkString("/")
+      val dest = new Path(root, rel)
+      f.mkdirs(dest.getParent)
+      require(f.rename(s.getPath, dest), s"failed to move staged file $rel into $root")
+      val st = f.getFileStatus(dest)
+      DeltaLog.AddFile(rel, pv, st.getLen, st.getModificationTime)
+    }
+    f.delete(staging, true)
+    (adds, rows)
+  }
+
+  /** Atomically publish commit `version`: write the action lines to a
+    * hidden temp file, then rename-if-absent onto `%020d.json`. Returns
+    * false when another writer claimed the version first. */
+  private[sources] def tryPublish(f: FileSystem, root: String, version: Long,
+                                  lines: Seq[String], nonce: String): Boolean = {
+    val tmp = new Path(logDir(root), s".tmp_commit_$nonce.json")
+    f.mkdirs(logDir(root))
+    val out = f.create(tmp, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+    val target = new Path(logDir(root), f"$version%020d.json")
+    if (!f.exists(target) && f.rename(tmp, target)) true
+    else { f.delete(tmp, false); false }
   }
 
   private def metaDataJson(id: String, schema: StructType,

@@ -195,11 +195,30 @@ object Sources {
     if (cfg.format == "delta") {
       // native Delta commit protocol (no delta-spark jar in this env):
       // data files go through the ordinary distributed parquet writer,
-      // the transaction log is published by atomic rename — see DeltaWriter
-      require(cfg.zorderBy.isEmpty,
-        "zorder_by is not supported for delta sinks (use partition_by)")
-      val d = cfg.coalescePartitions.map(df.coalesce).getOrElse(df)
-      return DeltaWriter.write(d, path, cfg.mode, cfg.partitionBy).rowsWritten
+      // the transaction log is published by atomic rename — see DeltaWriter.
+      // zorder_by stages the frame through the Z-order layout first (same
+      // clustered-file-ranges contract as the parquet path; partition_by
+      // exclusion is enforced above); `optimize_after: true` compacts the
+      // table's small files post-commit via DeltaMaintenance (dataChange=
+      // false, so readers and time travel are unaffected).
+      val pinnedDelta =
+        if (cfg.zorderBy.nonEmpty) // the layout takes 3 passes over the input
+          Some(df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        else None
+      val commit = try {
+        val d0 = pinnedDelta match {
+          case Some(in) => zOrderFrame(in, cfg.zorderBy,
+            numFiles = cfg.coalescePartitions.getOrElse(32))
+          case None => cfg.coalescePartitions.map(df.coalesce).getOrElse(df)
+        }
+        DeltaWriter.write(d0, path, cfg.mode, cfg.partitionBy)
+      } finally pinnedDelta.foreach { p => p.unpersist(); () }
+      if (cfg.options.get("optimize_after").exists(_.equalsIgnoreCase("true"))) {
+        val target = cfg.options.get("target_file_bytes").map(_.toLong)
+          .getOrElse(128L << 20)
+        DeltaMaintenance.optimize(df.sparkSession, path, targetFileBytes = target)
+      }
+      return commit.rowsWritten
     }
     if (cfg.format == "avro" || cfg.format == "excel") {
       // native paths (no DataSource jar in this env): rows counted by the

@@ -1,0 +1,196 @@
+package graft
+
+import graft.sources.{DeltaLog, DeltaMaintenance, DeltaWriter}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/**
+ * OPTIMIZE / Z-ORDER / VACUUM / HISTORY over the native Delta writer:
+ * compaction must be invisible to readers (identical rows, dataChange=
+ * false), conflict-checked, and time-travel-preserving until VACUUM
+ * reclaims aged files — the public Delta maintenance contract the
+ * reference reaches through the delta-spark jar.
+ */
+class DeltaMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("deltamaint").toString
+
+  private def logText(root: String, v: Long): String =
+    new String(Files.readAllBytes(
+      new java.io.File(root, f"_delta_log/$v%020d.json").toPath), "UTF-8")
+
+  private def rows(df: DataFrame): Set[(Int, String)] =
+    df.select("id", "s").as[(Int, String)].collect().toSet
+
+  private def mk(n: Int, tag: String): DataFrame =
+    spark.range(n).select($"id".cast("int").as("id"),
+      concat(lit(tag), $"id").as("s"))
+
+  test("optimize bin-packs small files, readers see identical rows, dataChange=false") {
+    val root = tmp()
+    (0 until 4).foreach(i => DeltaWriter.write(mk(50, s"b$i-"), root, "append"))
+    val before = DeltaLog.snapshot(spark, root)
+    assert(before.files.size >= 4)
+    val expected = rows(DeltaLog.read(spark, root))
+
+    val res = DeltaMaintenance.optimize(spark, root, targetFileBytes = 512L << 20)
+    assert(res.version.contains(before.version + 1))
+    assert(res.filesRemoved == before.files.size && res.filesAdded == 1)
+
+    val after = DeltaLog.snapshot(spark, root)
+    assert(after.files.size == 1)
+    assert(rows(DeltaLog.read(spark, root)) == expected)
+    // pre-optimize version still time-travels (old files not deleted)
+    assert(rows(DeltaLog.read(spark, root, versionAsOf = Some(before.version))) == expected)
+    // the commit is a metadata-only rewrite
+    val txt = logText(root, res.version.get)
+    assert(txt.contains(""""operation":"OPTIMIZE""""))
+    assert(txt.contains(""""dataChange":false"""))
+    assert(!txt.contains(""""dataChange":true"""))
+  }
+
+  test("optimize is a no-op on an already-compact table") {
+    val root = tmp()
+    DeltaWriter.write(mk(100, "x").coalesce(1), root, "append")
+    val res = DeltaMaintenance.optimize(spark, root)
+    assert(res == DeltaMaintenance.OptimizeResult(None, 0, 0, 0L, 0L))
+    assert(DeltaLog.versions(spark, root) == Seq(0L))
+  }
+
+  test("partitioned optimize compacts per partition and honors partitionFilter") {
+    val root = tmp()
+    def part(n: Int, tag: String): DataFrame =
+      mk(n, tag).withColumn("p", ($"id" % 2).cast("string"))
+    (0 until 3).foreach(i => DeltaWriter.write(part(40, s"p$i-").coalesce(1), root,
+      "append", partitionBy = Seq("p")))
+    val before = DeltaLog.snapshot(spark, root)
+    assert(before.files.size == 6) // 3 appends x 2 partitions
+    val expected = DeltaLog.read(spark, root)
+      .select("id", "s", "p").as[(Int, String, String)].collect().toSet
+
+    // filter to partition p=0 only: p=1 files untouched
+    val res0 = DeltaMaintenance.optimize(spark, root,
+      targetFileBytes = 512L << 20, partitionFilter = Map("p" -> "0"))
+    val mid = DeltaLog.snapshot(spark, root)
+    assert(res0.filesRemoved == 3 && res0.filesAdded == 1)
+    assert(mid.files.count(_.partitionValues.get("p").flatten.contains("0")) == 1)
+    assert(mid.files.count(_.partitionValues.get("p").flatten.contains("1")) == 3)
+
+    val res1 = DeltaMaintenance.optimize(spark, root, targetFileBytes = 512L << 20)
+    assert(res1.filesRemoved == 3 && res1.filesAdded == 1)
+    val after = DeltaLog.read(spark, root)
+      .select("id", "s", "p").as[(Int, String, String)].collect().toSet
+    assert(after == expected)
+    assert(DeltaLog.snapshot(spark, root).files.size == 2)
+  }
+
+  test("zorder optimize re-clusters all files; partitioned tables fail fast") {
+    val root = tmp()
+    val df = spark.range(2000).select(
+      $"id".cast("int").as("id"),
+      concat(lit("r"), $"id").as("s"),
+      (rand(7) * 1000).cast("int").as("a"),
+      (rand(11) * 1000).cast("int").as("b"))
+    DeltaWriter.write(df.repartition(6), root, "append")
+    val expected = DeltaLog.read(spark, root)
+      .select("id", "s", "a", "b").as[(Int, String, Int, Int)].collect().toSet
+
+    val res = DeltaMaintenance.optimize(spark, root,
+      targetFileBytes = 512L << 20, zorderBy = Seq("a", "b"))
+    assert(res.filesRemoved == 6)
+    assert(DeltaLog.read(spark, root)
+      .select("id", "s", "a", "b").as[(Int, String, Int, Int)].collect().toSet == expected)
+    val txt = logText(root, res.version.get)
+    assert(txt.contains(""""zOrderBy":"a,b""""))
+
+    val proot = tmp()
+    DeltaWriter.write(df.withColumn("p", lit("x")), proot, "append",
+      partitionBy = Seq("p"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaMaintenance.optimize(spark, proot, zorderBy = Seq("a"))
+    }
+    assert(e.getMessage.contains("unpartitioned"))
+  }
+
+  test("vacuum reclaims unreferenced files after retention; dry-run only lists") {
+    val root = tmp()
+    DeltaWriter.write(mk(60, "v0-"), root, "append")
+    DeltaWriter.write(mk(60, "v1-"), root, "overwrite") // v0's files now inactive
+    val expected = rows(DeltaLog.read(spark, root))
+    val dataFiles = (r: String) => new java.io.File(r).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName).toSet
+    val beforeFiles = dataFiles(root)
+
+    val dry = DeltaMaintenance.vacuum(spark, root, retentionHours = 0, dryRun = true)
+    assert(dry.dryRun && dry.deleted.nonEmpty)
+    assert(dataFiles(root) == beforeFiles) // nothing deleted
+
+    // within retention: nothing eligible
+    assert(DeltaMaintenance.vacuum(spark, root, retentionHours = 24).deleted.isEmpty)
+
+    val res = DeltaMaintenance.vacuum(spark, root, retentionHours = 0)
+    assert(res.deleted == dry.deleted)
+    assert(rows(DeltaLog.read(spark, root)) == expected) // current version intact
+    val active = DeltaLog.snapshot(spark, root).files.map(_.path).toSet
+    assert(dataFiles(root) == active) // exactly the active set remains
+  }
+
+  test("vacuum prunes emptied partition dirs but never hidden dirs or the log") {
+    val root = tmp()
+    val df = mk(40, "a").withColumn("p", lit("old"))
+    DeltaWriter.write(df, root, "append", partitionBy = Seq("p"))
+    DeltaWriter.write(mk(40, "b").withColumn("p", lit("new")), root, "overwrite",
+      partitionBy = Seq("p"))
+    DeltaMaintenance.vacuum(spark, root, retentionHours = 0)
+    val names = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(!names.contains("p=old")) // emptied partition dir pruned
+    assert(names.contains("p=new") && names.contains("_delta_log"))
+    assert(rows(DeltaLog.read(spark, root).select("id", "s")) ==
+      rows(mk(40, "b")))
+  }
+
+  test("history reports per-version operations") {
+    val root = tmp()
+    DeltaWriter.write(mk(30, "h"), root, "append")
+    DeltaWriter.write(mk(30, "h2"), root, "append")
+    DeltaMaintenance.optimize(spark, root, targetFileBytes = 512L << 20)
+    val h = DeltaMaintenance.history(spark, root)
+      .select("version", "operation").as[(Long, String)].collect().toMap
+    assert(h(0L) == "WRITE" && h(1L) == "WRITE" && h(2L) == "OPTIMIZE")
+  }
+
+  test("declarative delta sink: zorder_by clusters, optimize_after compacts") {
+    val root = tmp()
+    val df = spark.range(1000).select(
+      $"id".cast("int").as("id"), concat(lit("z"), $"id").as("s"),
+      (rand(3) * 100).cast("int").as("a"))
+    graft.sources.Sources.writeWithStats(df.repartition(5), root,
+      graft.sources.Sources.WriteConfig(format = "delta", mode = "overwrite",
+        zorderBy = Seq("a")))
+    assert(DeltaLog.read(spark, root).count() == 1000)
+
+    val root2 = tmp()
+    graft.sources.Sources.writeWithStats(df.repartition(5), root2,
+      graft.sources.Sources.WriteConfig(format = "delta", mode = "overwrite",
+        options = Map("optimize_after" -> "true")))
+    val snap = DeltaLog.snapshot(spark, root2)
+    assert(snap.files.size == 1) // compacted post-commit
+    assert(DeltaLog.read(spark, root2).count() == 1000)
+    val h = DeltaMaintenance.history(spark, root2)
+      .select("operation").as[String].collect().toSeq
+    assert(h.contains("OPTIMIZE"))
+  }
+
+  test("Tools delta verbs: optimize, history, vacuum dry-run") {
+    val root = tmp()
+    (0 until 3).foreach(i => DeltaWriter.write(mk(20, s"t$i"), root, "append"))
+    assert(Tools.mainExit(Array("delta", "optimize", root)) == 0)
+    assert(Tools.mainExit(Array("delta", "history", root)) == 0)
+    assert(Tools.mainExit(Array("delta", "vacuum", root, "--retention-hours", "0",
+      "--dry-run")) == 0)
+    assert(DeltaLog.snapshot(spark, root).files.size == 1)
+  }
+}
