@@ -332,6 +332,18 @@ object SparkEntry {
       Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text")),
     "q_minhash_dedup" -> ((s, d) => // rows-only: xxhash64-based
       Dedup.minhashDedup(t(s, d, "documents"), "doc_id", "text")),
+    "q_bpe_tokens" -> ((s, d) => {
+      // rows-only: a learned BPE vocabulary is not SQL-expressible (the
+      // merge loop is the model); BpeSpec asserts the native encode equals
+      // an independent quadratic reference, and training is deterministic.
+      // Train on the corpus itself (one word-count pass, bounded driver
+      // merge loop), then count subword tokens per doc in one projection.
+      val docs = t(s, d, "documents")
+      val model = functions.Bpe.train(docs, "text",
+        numMerges = 200, maxWords = 50000)
+      functions.Bpe.tokenCount(docs, model, "text")
+        .select(col("doc_id"), col("bpe_token_count"))
+    }),
     "q_minhash_index_dedup" -> ((s, d) => { // rows-only: xxhash64-based
       // corpus docs < 100 are indexed once; the rest arrive as a batch and
       // dedup against the persisted index (the incremental-crawl shape)

@@ -318,6 +318,27 @@ object StandardTransformers {
         c.dataset(str(p, "target")), strOpt(p, "target_text_col")
           .getOrElse(str(p, "text_col")),
         p.get("smoothing").map(_.toString.toDouble).getOrElse(1.0)) }
+    // Learned-BPE tokenization (Sennrich 2016): either load a persisted
+    // merges.txt (`model_path`) or train inline on a referenced dataset
+    // (`train_on` + `num_merges`) — training is one word-count pass with
+    // a bounded driver merge loop, encoding is a native expression.
+    def bpeModel(c: EngineContext, p: Map[String, Any]): graft.functions.Bpe.BpeModel =
+      strOpt(p, "model_path") match {
+        case Some(path) => graft.functions.Bpe.load(c.df.sparkSession, path)
+        case None => graft.functions.Bpe.train(
+          strOpt(p, "train_on").map(c.dataset).getOrElse(c.df), str(p, "text_col"),
+          numMerges = str(p, "num_merges").toInt,
+          maxWords = p.get("max_words").map(_.toString.toInt).getOrElse(200000),
+          lowercase = p.get("lowercase").forall(_.toString.toBoolean))
+      }
+    reg("bpe_encode") { (c, p) =>
+      graft.functions.Bpe.encode(c.df, bpeModel(c, p), str(p, "text_col"),
+        strOpt(p, "out_col").getOrElse("bpe_tokens"),
+        p.get("lowercase").forall(_.toString.toBoolean)) }
+    reg("bpe_token_count") { (c, p) =>
+      graft.functions.Bpe.tokenCount(c.df, bpeModel(c, p), str(p, "text_col"),
+        strOpt(p, "out_col").getOrElse("bpe_token_count"),
+        p.get("lowercase").forall(_.toString.toBoolean)) }
     reg("importance_resample") { (c, p) =>
       Sampling.importanceResample(c.df, str(p, "id_col"), str(p, "score_col"),
         str(p, "n").toInt,
