@@ -332,6 +332,20 @@ object SparkEntry {
       Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text")),
     "q_minhash_dedup" -> ((s, d) => // rows-only: xxhash64-based
       Dedup.minhashDedup(t(s, d, "documents"), "doc_id", "text")),
+    "q_quality_classifier" -> ((s, d) => {
+      // rows-only: L-BFGS float accumulation order is partitioning-
+      // dependent, so cross-engine hashes cannot be stable; the parity
+      // and separation guarantees live in QualityClassifierSpec. Labels
+      // here proxy "reference corpus vs crawl" with the en/non-en split.
+      val docs = t(s, d, "documents")
+      val labeled = docs.withColumn("label",
+        when(col("lang") === "en", 1.0).otherwise(0.0))
+      val model = functions.QualityClassifier.train(labeled, "text", "label",
+        numFeatures = 1 << 16, maxIter = 20)
+      functions.QualityClassifier.scoreFrame(docs, model, "text")
+        .select(col("doc_id"),
+          (col("quality_prob") >= 0.5).as("kept"))
+    }),
     "q_bpe_tokens" -> ((s, d) => {
       // rows-only: a learned BPE vocabulary is not SQL-expressible (the
       // merge loop is the model); BpeSpec asserts the native encode equals

@@ -339,6 +339,26 @@ object StandardTransformers {
       graft.functions.Bpe.tokenCount(c.df, bpeModel(c, p), str(p, "text_col"),
         strOpt(p, "out_col").getOrElse("bpe_token_count"),
         p.get("lowercase").forall(_.toString.toBoolean)) }
+    // Classifier-based quality filtering (the GPT-3/LLaMA/CCNet stage):
+    // hashed-logit model trained via MLlib on a labeled frame
+    // (`train_on` + `label_col`) or loaded from `model_path`; scoring is
+    // a native codegen'd projection over broadcast weights.
+    def qcModel(c: EngineContext, p: Map[String, Any]): graft.functions.QualityClassifier.QcModel =
+      strOpt(p, "model_path") match {
+        case Some(path) => graft.functions.QualityClassifier.load(c.df.sparkSession, path)
+        case None => graft.functions.QualityClassifier.train(
+          c.dataset(str(p, "train_on")), str(p, "text_col"), str(p, "label_col"),
+          numFeatures = p.get("num_features").map(_.toString.toInt).getOrElse(1 << 18),
+          binary = p.get("binary").forall(_.toString.toBoolean),
+          regParam = p.get("reg_param").map(_.toString.toDouble).getOrElse(1e-4),
+          maxIter = p.get("max_iter").map(_.toString.toInt).getOrElse(50))
+      }
+    reg("quality_classifier_score") { (c, p) =>
+      graft.functions.QualityClassifier.scoreFrame(c.df, qcModel(c, p),
+        str(p, "text_col"), strOpt(p, "out_col").getOrElse("quality_prob")) }
+    reg("quality_classifier_filter") { (c, p) =>
+      graft.functions.QualityClassifier.filterByQuality(c.df, qcModel(c, p),
+        str(p, "text_col"), str(p, "threshold").toDouble) }
     reg("importance_resample") { (c, p) =>
       Sampling.importanceResample(c.df, str(p, "id_col"), str(p, "score_col"),
         str(p, "n").toInt,
