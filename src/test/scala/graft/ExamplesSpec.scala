@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{avg, col, max, min}
 
 import graft.core.{Planner, Pipeline, Story, YamlConfig}
 
@@ -107,6 +107,18 @@ class ExamplesSpec extends SparkSpec {
     val stats = spark.read.parquet(s"$out/train/stats").collect()(0)
     assert(stats.getAs[Long]("n_sequences") >= 1)
     assert(stats.getAs[Long]("total_tokens") > 0)
+
+    // quality audit branch: every doc scored with a [0,1] probability,
+    // and the en-labeled reference slice scores higher on average
+    val quality = spark.read.parquet(s"$out/quality/scored")
+    assert(quality.count() == scored.count())
+    val probs = quality.agg(min("quality_prob"), max("quality_prob")).collect()(0)
+    assert(probs.getDouble(0) >= 0.0 && probs.getDouble(1) <= 1.0)
+    val byLang = quality.groupBy(col("lang") === "en")
+      .agg(avg("quality_prob")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byLang(true) > byLang(false),
+      s"en mean ${byLang(true)} should exceed non-en ${byLang(false)}")
 
     // span cleanup never grows a doc; the DSIR selection keeps <= 150
     // docs, each with its score and the joined-back text
