@@ -31,7 +31,9 @@ object Bench {
     "q_avro_roundtrip", "q_chunk_text",
     // substring-granularity + semantic dedup (round-7 session-3 additions)
     "q_crossdoc_ngrams", "q_remove_spans", "q_semantic_dedup",
-    "q_dsir_weights", "q_perplexity")
+    "q_dsir_weights", "q_perplexity",
+    // round-8 additions: Delta maintenance, learned BPE, quality classifier
+    "q_delta_optimize", "q_bpe_tokens", "q_quality_classifier")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -351,7 +351,8 @@ object StandardTransformers {
           numFeatures = p.get("num_features").map(_.toString.toInt).getOrElse(1 << 18),
           binary = p.get("binary").forall(_.toString.toBoolean),
           regParam = p.get("reg_param").map(_.toString.toDouble).getOrElse(1e-4),
-          maxIter = p.get("max_iter").map(_.toString.toInt).getOrElse(50))
+          maxIter = p.get("max_iter").map(_.toString.toInt).getOrElse(50),
+          wordNgrams = p.get("word_ngrams").map(_.toString.toInt).getOrElse(1))
       }
     reg("quality_classifier_score") { (c, p) =>
       graft.functions.QualityClassifier.scoreFrame(c.df, qcModel(c, p),

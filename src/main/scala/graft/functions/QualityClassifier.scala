@@ -36,25 +36,35 @@ object QualityClassifier {
   /** A fitted hashed-logit quality model. Serializable: ships to
     * executors inside the scoring expression. */
   final case class QcModel(numFeatures: Int, weights: Array[Double],
-                           intercept: Double, binary: Boolean)
+                           intercept: Double, binary: Boolean,
+                           wordNgrams: Int = 1)
     extends Serializable {
     require(weights.length == numFeatures,
       s"weights length ${weights.length} != numFeatures $numFeatures")
+    require(wordNgrams >= 1 && wordNgrams <= 3, "wordNgrams must be 1..3")
 
     @transient lazy val hasher: HashingTF =
       new HashingTF().setNumFeatures(numFeatures)
 
-    /** Raw margin of one pre-tokenized document. */
+    /** Raw margin of one pre-tokenized document. `tokens` yields the
+      * unigram stream; word n-gram features (the fastText trick — cheap
+      * local word order) are synthesized here with the same `_`-joined
+      * spelling the training column builds. */
     def margin(tokens: Iterator[String]): Double = {
       var m = intercept
-      if (binary) {
-        // binary TF: each distinct feature index counts once
-        val seen = new java.util.HashSet[Integer]()
-        tokens.foreach { t =>
-          val i = hasher.indexOf(t)
-          if (seen.add(i)) m += weights(i)
-        }
-      } else tokens.foreach { t => m += weights(hasher.indexOf(t)) }
+      val seen = if (binary) new java.util.HashSet[Integer]() else null
+      def hit(t: String): Unit = {
+        val i = hasher.indexOf(t)
+        if (seen == null || seen.add(i)) m += weights(i)
+      }
+      var prev1: String = null // previous token
+      var prev2: String = null // token before that
+      tokens.foreach { t =>
+        hit(t)
+        if (wordNgrams >= 2 && prev1 != null) hit(prev1 + "_" + t)
+        if (wordNgrams >= 3 && prev2 != null) hit(prev2 + "_" + prev1 + "_" + t)
+        prev2 = prev1; prev1 = t
+      }
       m
     }
 
@@ -65,7 +75,7 @@ object QualityClassifier {
         StructField("w", DoubleType)))
       spark.createDataFrame(spark.sparkContext.parallelize(nz, 1), schema)
         .write.mode("overwrite").parquet(s"$dir/weights")
-      val meta = s"""{"numFeatures":$numFeatures,"intercept":$intercept,"binary":$binary}"""
+      val meta = s"""{"numFeatures":$numFeatures,"intercept":$intercept,"binary":$binary,"wordNgrams":$wordNgrams}"""
       val p = new Path(dir, "model.json")
       val f = p.getFileSystem(spark.sessionState.newHadoopConf())
       val out = f.create(p, true)
@@ -83,13 +93,32 @@ object QualityClassifier {
     val w = new Array[Double](n)
     spark.read.parquet(s"$dir/weights").collect()
       .foreach(r => w(r.getInt(0)) = r.getDouble(1))
-    QcModel(n, w, node.get("intercept").asDouble(), node.get("binary").asBoolean())
+    QcModel(n, w, node.get("intercept").asDouble(), node.get("binary").asBoolean(),
+      if (node.hasNonNull("wordNgrams")) node.get("wordNgrams").asInt() else 1)
   }
 
   /** Whitespace tokens with the engine's usual lowercase normalization —
     * shared by train and serve so the hashed features line up. */
   private def tokensCol(textCol: String): Column =
     filter(split(lower(trim(col(textCol))), "\\s+"), t => length(t) > 0)
+
+  /** Unigrams plus `_`-joined word n-grams up to `n` (the fastText
+    * feature set) — feature hashing is order-free, so appending the
+    * n-gram arrays matches the serve-side synthesis exactly. */
+  private def featureTokensCol(textCol: String, n: Int): Column = {
+    val toks = tokensCol(textCol)
+    def grams(k: Int): Column = {
+      // k-grams as zip_with over k equal-length shifted slices
+      val sz = size(toks)
+      val len = greatest(sz - (k - 1), lit(0))
+      val base = slice(toks, lit(1), len)
+      (2 to k).foldLeft(base) { (acc, i) =>
+        zip_with(acc, slice(toks, lit(i), len),
+          (a, b) => concat(a, lit("_"), b))
+      }
+    }
+    (2 to n).foldLeft(toks)((acc, k) => concat(acc, grams(k)))
+  }
 
   /**
    * Train on a labeled frame: `labelCol` is 1.0 for the high-quality
@@ -100,10 +129,10 @@ object QualityClassifier {
   def train(labeled: DataFrame, textCol: String, labelCol: String,
             numFeatures: Int = 1 << 18, binary: Boolean = true,
             regParam: Double = 1e-4, elasticNetParam: Double = 0.0,
-            maxIter: Int = 50): QcModel = {
+            maxIter: Int = 50, wordNgrams: Int = 1): QcModel = {
     val withTokens = labeled.select(
       col(labelCol).cast("double").as("label"),
-      tokensCol(textCol).as("tokens"))
+      featureTokensCol(textCol, wordNgrams).as("tokens"))
     val tf = new HashingTF().setInputCol("tokens").setOutputCol("features")
       .setNumFeatures(numFeatures).setBinary(binary)
     val featured = tf.transform(withTokens)
@@ -112,7 +141,7 @@ object QualityClassifier {
       .setElasticNetParam(elasticNetParam)
       .setFeaturesCol("features").setLabelCol("label")
     val fit = lr.fit(featured)
-    QcModel(numFeatures, fit.coefficients.toArray, fit.intercept, binary)
+    QcModel(numFeatures, fit.coefficients.toArray, fit.intercept, binary, wordNgrams)
   }
 
   /** Quality probability (sigmoid of the hashed-logit margin) as a

@@ -74,6 +74,40 @@ class QualityClassifierSpec extends SparkSpec {
     }
   }
 
+  test("word-bigram features: serve parity with the train-time feature arrays") {
+    val train = corpus(10, 300)
+    val model = QualityClassifier.train(train, "text", "label",
+      numFeatures = 1 << 14, binary = true, wordNgrams = 2)
+    assert(model.wordNgrams == 2)
+    val test = corpus(11, 80)
+
+    // reference: rebuild unigram+bigram arrays in independent Scala, hash
+    // through the same HashingTF, sum weights
+    val tf = new org.apache.spark.ml.feature.HashingTF().setNumFeatures(1 << 14)
+    val refProb = test.select($"id", $"text").as[(Int, String)].collect().map {
+      case (id, text) =>
+        val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+        val feats = toks ++ toks.zip(toks.drop(1)).map { case (a, b) => s"${a}_$b" }
+        val seen = scala.collection.mutable.Set[Int]()
+        var m = model.intercept
+        feats.foreach { t =>
+          val i = tf.indexOf(t)
+          if (seen.add(i)) m += model.weights(i)
+        }
+        id -> 1.0 / (1.0 + math.exp(-m))
+    }.toMap
+    val native = QualityClassifier.scoreFrame(test, model, "text")
+      .select($"id", $"quality_prob").as[(Int, Double)].collect().toMap
+    refProb.foreach { case (id, p) =>
+      assert(math.abs(native(id) - p) < 1e-9, s"doc $id")
+    }
+    // bigram model still separates the planted classes
+    val scored = QualityClassifier.scoreFrame(corpus(12, 200), model, "text")
+      .select($"label", $"quality_prob").as[(Int, Double)].collect()
+    val acc = scored.count { case (l, p) => (p >= 0.5) == (l == 1) }.toDouble / scored.length
+    assert(acc > 0.95, s"accuracy $acc")
+  }
+
   test("count (non-binary) features also line up") {
     val train = corpus(5, 300)
     val model = QualityClassifier.train(train, "text", "label",

@@ -211,4 +211,33 @@ class SoakSpec extends SparkSpec {
     val c = out.count()
     assert(c > 0 && c <= n / 2)
   }
+
+  test("BPE token counting at 2M docs: one shuffle-free projection", Soak) {
+    val n = 2000000L
+    // train on a bounded slice (the vocab is tiny — the merge loop is
+    // driver-side either way); ENCODING the full corpus is the scale path
+    val model = graft.functions.Bpe.train(docs(10000L), "text", numMerges = 100)
+    val out = graft.functions.Bpe.tokenCount(docs(n), model, "text")
+    val a = PlanAudit.audit(out)
+    assertScaleSafe("bpeTokenCount", a)
+    assert(a.numExchanges == 0, "bpe encode must be a pure projection")
+    val agg = out.agg(sum($"bpe_token_count")).collect()(0).getLong(0)
+    assert(agg > n) // every doc tokenizes to >= a few tokens
+  }
+
+  test("quality classifier scoring at 2M docs: broadcast weights, no shuffle", Soak) {
+    val n = 2000000L
+    val labeled = (0 until 2000).map { i =>
+      if (i % 2 == 0) (s"theorem proof lemma analysis result $i", 1.0)
+      else (s"click free winner casino offer $i", 0.0)
+    }.toDF("text", "label")
+    val model = graft.functions.QualityClassifier.train(
+      labeled, "text", "label", numFeatures = 1 << 16)
+    val out = graft.functions.QualityClassifier.scoreFrame(
+      docs(n), model, "text")
+    val a = PlanAudit.audit(out)
+    assertScaleSafe("qualityScore", a)
+    assert(a.numExchanges == 0, "classifier scoring must be a pure projection")
+    assert(out.filter($"quality_prob".isNull).count() == 0)
+  }
 }
