@@ -100,10 +100,22 @@ object DeltaWriter {
   def write(df: DataFrame, root: String, mode: String = "append",
             partitionBy: Seq[String] = Nil,
             checkpointInterval: Int = 10,
-            txn: Option[(String, Long)] = None): Commit = {
+            txn: Option[(String, Long)] = None,
+            replaceWhere: Map[String, String] = Map.empty): Commit = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     val exists = DeltaLog.isDeltaTable(spark, root)
+    // replaceWhere (partition-scoped overwrite, the delta-spark
+    // `replaceWhere` option restricted to partition-column equality —
+    // the incremental-load shape: rewrite one day/region, leave the
+    // rest untouched): only files whose partition values match every
+    // entry are removed, and the incoming frame must land entirely
+    // inside the replaced scope (fail fast otherwise — silently
+    // widening the scope is how loads corrupt neighbors).
+    require(replaceWhere.isEmpty || mode.equalsIgnoreCase("overwrite"),
+      "replaceWhere requires mode=overwrite")
+    require(replaceWhere.isEmpty || exists,
+      s"replaceWhere needs an existing Delta table at $root")
     mode.toLowerCase match {
       case "ignore" if exists => return Commit(DeltaLog.versions(spark, root).last, 0L)
       case "error" | "errorifexists" if exists =>
@@ -120,23 +132,41 @@ object DeltaWriter {
         return Commit(prior.get.version, 0L)
     }
     val isOverwrite = mode.equalsIgnoreCase("overwrite")
+    val scoped = replaceWhere.nonEmpty
     val partCols: Seq[String] = prior match {
-      case Some(p) if !isOverwrite =>
+      case Some(p) if !isOverwrite || scoped =>
         require(partitionBy.isEmpty || partitionBy == p.partitionColumns,
-          s"append partitionBy $partitionBy does not match table partitioning " +
-            s"${p.partitionColumns}")
+          s"${if (scoped) "replaceWhere" else "append"} partitionBy $partitionBy " +
+            s"does not match table partitioning ${p.partitionColumns}")
         p.partitionColumns
       case _ => partitionBy
     }
-    prior.filterNot(_ => isOverwrite).foreach { p =>
+    prior.foreach { p =>
+      if (scoped) require(replaceWhere.keySet.subsetOf(p.partitionColumns.toSet),
+        s"replaceWhere keys ${replaceWhere.keySet} must be partition columns " +
+          s"${p.partitionColumns}")
+    }
+    prior.filterNot(_ => isOverwrite && !scoped).foreach { p =>
       require(sameSchema(df.schema, p.schema),
-        s"append schema ${df.schema.simpleString} does not match Delta table " +
+        s"${if (scoped) "replaceWhere" else "append"} schema " +
+          s"${df.schema.simpleString} does not match Delta table " +
           s"schema ${p.schema.simpleString} (overwrite to evolve)")
     }
 
     // ---- stage data files with the ordinary distributed parquet writer
     val nonce = java.lang.Long.toHexString(System.nanoTime())
     val (adds, rows) = stageAndMove(df, root, partCols, nonce, countRows = true)
+    def inScope(a: DeltaLog.AddFile): Boolean =
+      replaceWhere.forall { case (k, v) => a.partitionValues.get(k).flatten.contains(v) }
+    if (scoped) {
+      val escaped = adds.filterNot(inScope)
+      if (escaped.nonEmpty) {
+        adds.foreach(a => f.delete(new Path(root, a.path), false))
+        throw new IllegalArgumentException(
+          s"replaceWhere $replaceWhere: incoming rows land outside the replaced " +
+            s"scope (e.g. ${escaped.head.partitionValues}) — aborting before commit")
+      }
+    }
 
     // ---- build + atomically publish the commit (optimistic retry loop)
     val tableId = prior.flatMap(_.tableId)
@@ -159,10 +189,13 @@ object DeltaWriter {
         }
       }
       val now = System.currentTimeMillis()
-      val needMeta = current.isEmpty || (isOverwrite && current.exists(c =>
+      val needMeta = current.isEmpty || (isOverwrite && !scoped && current.exists(c =>
         !sameSchema(c.schema, df.schema) || c.partitionColumns != partCols))
       val lines = scala.collection.mutable.ArrayBuffer[String]()
-      lines += s"""{"commitInfo":{"timestamp":$now,"operation":"WRITE","operationParameters":{"mode":${q(mode.toUpperCase)},"partitionBy":${q(partCols.mkString(","))}},"engineInfo":"graft-native-delta"}}"""
+      val rwParam = if (scoped)
+        s""","replaceWhere":${q(replaceWhere.map { case (k, v) => s"$k=$v" }.mkString(","))}"""
+      else ""
+      lines += s"""{"commitInfo":{"timestamp":$now,"operation":"WRITE","operationParameters":{"mode":${q(mode.toUpperCase)},"partitionBy":${q(partCols.mkString(","))}$rwParam},"engineInfo":"graft-native-delta"}}"""
       if (current.isEmpty)
         lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
       if (needMeta)
@@ -170,9 +203,10 @@ object DeltaWriter {
       txn.foreach { case (appId, v) =>
         lines += s"""{"txn":{"appId":${q(appId)},"version":$v,"lastUpdated":$now}}"""
       }
-      if (isOverwrite) current.foreach(_.files.foreach { a =>
-        lines += s"""{"remove":{"path":${q(encodePath(a.path))},"deletionTimestamp":$now,"dataChange":true}}"""
-      })
+      if (isOverwrite) current.foreach(_.files.filter(a => !scoped || inScope(a))
+        .foreach { a =>
+          lines += s"""{"remove":{"path":${q(encodePath(a.path))},"deletionTimestamp":$now,"dataChange":true}}"""
+        })
       adds.foreach { a =>
         val pvs = a.partitionValues.map { case (k, v) =>
           s"${q(k)}:${v.map(q).getOrElse("null")}"

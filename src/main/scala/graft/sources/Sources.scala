@@ -211,7 +211,15 @@ object Sources {
             numFiles = cfg.coalescePartitions.getOrElse(32))
           case None => cfg.coalescePartitions.map(df.coalesce).getOrElse(df)
         }
-        DeltaWriter.write(d0, path, cfg.mode, cfg.partitionBy)
+        // replace_where: "k=v,k2=v2" — partition-scoped overwrite
+        val replaceWhere = cfg.options.get("replace_where").map(_.split(",")
+          .map { kv =>
+            val i = kv.indexOf('=')
+            require(i > 0, s"malformed replace_where entry '$kv' (want k=v)")
+            kv.substring(0, i).trim -> kv.substring(i + 1).trim
+          }.toMap).getOrElse(Map.empty[String, String])
+        DeltaWriter.write(d0, path, cfg.mode, cfg.partitionBy,
+          replaceWhere = replaceWhere)
       } finally pinnedDelta.foreach { p => p.unpersist(); () }
       if (cfg.options.get("optimize_after").exists(_.equalsIgnoreCase("true"))) {
         val target = cfg.options.get("target_file_bytes").map(_.toLong)

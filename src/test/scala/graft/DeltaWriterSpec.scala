@@ -202,4 +202,69 @@ class DeltaWriterSpec extends SparkSpec {
     val after = DeltaLog.read(spark, root).agg(sum("amt")).as[Double].head()
     assert(after == 120.0)
   }
+
+  test("replaceWhere rewrites only the matching partition") {
+    val root = tmp()
+    val base = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0), (4, "b", 40.0))
+      .toDF("id", "p", "amt")
+    DeltaWriter.write(base, root, "overwrite", partitionBy = Seq("p"))
+    val v0 = DeltaLog.snapshot(spark, root)
+
+    // rewrite partition p=a only
+    val fresh = Seq((9, "a", 99.0)).toDF("id", "p", "amt")
+    val c = DeltaWriter.write(fresh, root, "overwrite",
+      replaceWhere = Map("p" -> "a"))
+    assert(c.rowsWritten == 1)
+
+    val back = DeltaLog.read(spark, root).select("id", "p", "amt")
+      .as[(Int, String, Double)].collect().toSet
+    assert(back == Set((9, "a", 99.0), (2, "b", 20.0), (4, "b", 40.0)))
+    // b-partition files are THE SAME files (not rewritten)
+    val v1 = DeltaLog.snapshot(spark, root)
+    val bFiles = (s: DeltaLog.Snapshot) => s.files
+      .filter(_.partitionValues.get("p").flatten.contains("b")).map(_.path).toSet
+    assert(bFiles(v1) == bFiles(v0))
+    // time travel to the pre-replace version still sees old p=a rows
+    val old = DeltaLog.read(spark, root, versionAsOf = Some(v0.version))
+      .filter($"p" === "a").select("id").as[Int].collect().toSet
+    assert(old == Set(1, 3))
+  }
+
+  test("replaceWhere fails fast on out-of-scope rows, bad keys, bad modes") {
+    val root = tmp()
+    val base = Seq((1, "a", 10.0), (2, "b", 20.0)).toDF("id", "p", "amt")
+    DeltaWriter.write(base, root, "overwrite", partitionBy = Seq("p"))
+
+    // incoming rows outside the replaced scope abort before any commit
+    val vsBefore = DeltaLog.versions(spark, root)
+    val mixed = Seq((9, "a", 1.0), (8, "b", 2.0)).toDF("id", "p", "amt")
+    val e = intercept[IllegalArgumentException] {
+      DeltaWriter.write(mixed, root, "overwrite", replaceWhere = Map("p" -> "a"))
+    }
+    assert(e.getMessage.contains("outside the replaced scope"))
+    assert(DeltaLog.versions(spark, root) == vsBefore) // nothing committed
+    assert(DeltaLog.read(spark, root).count() == 2)    // table intact
+
+    intercept[IllegalArgumentException] {
+      DeltaWriter.write(base, root, "append", replaceWhere = Map("p" -> "a"))
+    }
+    intercept[IllegalArgumentException] {
+      DeltaWriter.write(Seq((9, "a", 1.0)).toDF("id", "p", "amt"), root,
+        "overwrite", replaceWhere = Map("amt" -> "1.0")) // not a partition col
+    }
+  }
+
+  test("declarative replace_where through the delta sink") {
+    val root = tmp()
+    Sources.writeWithStats(
+      Seq((1, "x", 1.0), (2, "y", 2.0)).toDF("id", "p", "amt"), root,
+      Sources.WriteConfig(format = "delta", mode = "overwrite",
+        partitionBy = Seq("p")))
+    Sources.writeWithStats(
+      Seq((7, "x", 7.0)).toDF("id", "p", "amt"), root,
+      Sources.WriteConfig(format = "delta", mode = "overwrite",
+        options = Map("replace_where" -> "p=x")))
+    val back = DeltaLog.read(spark, root).select("id").as[Int].collect().toSet
+    assert(back == Set(7, 2))
+  }
 }
