@@ -417,6 +417,46 @@ object SparkEntry {
       operators.Sampling.perplexityScore(docs, "doc_id", "text",
         docs.filter(col("doc_id") < 20), "text")
     }),
+    "q_fuzzy_join" -> ((s, d) => {
+      // approximation-free edit-distance join: part names vs a
+      // deterministically corrupted subset (drop 1st char / 2-char splice /
+      // reversed — distances 1, 2, and far). Oracle = the brute-force
+      // levenshtein cross join; the q-gram prefix filter must lose nothing.
+      val part = t(s, d, "part")
+      val corrupted = part.filter(col("p_partkey") % 10 < 3)
+        .select((col("p_partkey") + 1000000L).cast("long").as("c_key"),
+          expr("""CASE CAST(p_partkey % 3 AS INT)
+                  WHEN 0 THEN substring(p_name, 2)
+                  WHEN 1 THEN concat(substring(p_name, 1, 3), 'zz', substring(p_name, 6))
+                  ELSE reverse(p_name) END""").as("c_name"))
+      operators.Fuzzy.fuzzyJoin(
+        part.select(col("p_partkey").cast("long").as("p_partkey"), col("p_name")),
+        "p_partkey", "p_name", corrupted, "c_key", "c_name", maxDist = 2)
+    }),
+    "q_string_similarity" -> ((s, d) => {
+      // native Jaro-Winkler/Jaro vs DuckDB's implementation — the same
+      // algorithm (floored transposition halving), so raw doubles hash-match
+      val part = t(s, d, "part").filter(col("p_partkey") % 10 < 3)
+      val dirty = expr("concat(substring(p_name, 1, 3), 'zz', substring(p_name, 6))")
+      part.select(col("p_partkey").cast("long").as("p_partkey"),
+        operators.Fuzzy.jaroWinkler(col("p_name"), dirty).as("jw"),
+        operators.Fuzzy.jaroSim(col("p_name"), dirty).as("jaro"))
+    }),
+    "q_entity_resolution" -> ((s, d) => {
+      // record linkage: clean part names + planted first-char-mangled
+      // variants; block on chars 2-4 (aligned for the planted pair), score
+      // with native Jaro-Winkler, cluster exactly. Oracle = DuckDB
+      // jaro_winkler_similarity + recursive-CTE components.
+      val part = t(s, d, "part")
+      val clean = part.select(col("p_partkey").cast("long").as("pid"),
+        col("p_name").as("name"))
+      val dirty = part.filter(col("p_partkey") % 4 === 0)
+        .select((col("p_partkey") + 1000000L).cast("long").as("pid"),
+          concat(lit("x"), expr("substring(p_name, 2)")).as("name"))
+      operators.Fuzzy.entityResolution(clean.union(dirty), "pid",
+        Seq("name" -> 1.0), Seq("substring(name, 2, 3)"),
+        threshold = 0.9, maxBlockSize = 1000000)
+    }),
     "q_cluster_components" -> ((s, d) => {
       // exact connected components over a deterministic chain graph
       // (edges (i, i+1) within 7-wide doc_id blocks) — multi-hop label
@@ -1069,6 +1109,48 @@ object SparkEntry {
         |  SELECT reach.id, sym.d FROM reach JOIN sym ON reach.r = sym.s
         |)
         |SELECT id, min(r) AS component FROM reach GROUP BY id""".stripMargin,
+    // brute-force levenshtein cross join — the q-gram-filtered Spark join
+    // is approximation-free, so the result sets must be identical
+    "q_fuzzy_join" ->
+      """WITH corrupted AS (
+        |  SELECT CAST(p_partkey + 1000000 AS BIGINT) AS c_key,
+        |         CASE CAST(p_partkey % 3 AS INT)
+        |           WHEN 0 THEN substring(p_name, 2)
+        |           WHEN 1 THEN substring(p_name, 1, 3) || 'zz' || substring(p_name, 6)
+        |           ELSE reverse(p_name) END AS c_name
+        |  FROM part WHERE p_partkey % 10 < 3)
+        |SELECT CAST(p.p_partkey AS BIGINT) AS p_partkey, c.c_key,
+        |       CAST(levenshtein(p.p_name, c.c_name) AS BIGINT) AS edit_distance
+        |FROM part p CROSS JOIN corrupted c
+        |WHERE levenshtein(p.p_name, c.c_name) <= 2""".stripMargin,
+    "q_string_similarity" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+        |  jaro_winkler_similarity(p_name,
+        |    substring(p_name, 1, 3) || 'zz' || substring(p_name, 6)) AS jw,
+        |  jaro_similarity(p_name,
+        |    substring(p_name, 1, 3) || 'zz' || substring(p_name, 6)) AS jaro
+        |FROM part WHERE p_partkey % 10 < 3""".stripMargin,
+    "q_entity_resolution" ->
+      """WITH RECURSIVE
+        |recs AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS pid, p_name AS name FROM part
+        |  UNION ALL
+        |  SELECT CAST(p_partkey + 1000000 AS BIGINT), 'x' || substring(p_name, 2)
+        |  FROM part WHERE p_partkey % 4 = 0),
+        |blocks AS (SELECT substring(name, 2, 3) AS bkey, pid FROM recs),
+        |pairs AS (SELECT DISTINCT l.pid AS a, r.pid AS b
+        |          FROM blocks l JOIN blocks r ON l.bkey = r.bkey AND l.pid < r.pid),
+        |scored AS (SELECT p.a, p.b FROM pairs p
+        |           JOIN recs ra ON ra.pid = p.a JOIN recs rb ON rb.pid = p.b
+        |           WHERE jaro_winkler_similarity(ra.name, rb.name) >= 0.9),
+        |sym AS (SELECT a AS s, b AS d FROM scored UNION SELECT b, a FROM scored),
+        |reach(id, r) AS (
+        |  SELECT s, s FROM sym
+        |  UNION
+        |  SELECT reach.id, sym.d FROM reach JOIN sym ON reach.r = sym.s),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT recs.pid, recs.name, COALESCE(comp.component, recs.pid) AS entity_id
+        |FROM recs LEFT JOIN comp ON recs.pid = comp.id""".stripMargin,
     "q_filter_rows" ->
       "SELECT * FROM lineitem WHERE l_quantity > 30 AND l_discount < 0.05",
     "q_numeric_key" ->

@@ -1,7 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{col, expr, lit}
+import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
 
 import graft.operators._
 import graft.functions.TextAnalysis
@@ -260,6 +260,30 @@ object StandardTransformers {
       Dedup.minhashDedup(c.df, str(p, "id_col"), str(p, "text_col"),
         intOpt(p, "shingle_size").getOrElse(5), intOpt(p, "num_hashes").getOrElse(64),
         intOpt(p, "bands").getOrElse(16)) }
+    reg("fuzzy_join") { (c, p) =>
+      Fuzzy.fuzzyJoin(c.df, str(p, "id_col"), str(p, "string_col"),
+        c.dataset(str(p, "right_dataset")), str(p, "right_id_col"),
+        strOpt(p, "right_string_col").getOrElse(str(p, "string_col")),
+        str(p, "max_distance").toInt, intOpt(p, "qgram").getOrElse(2)) }
+    reg("fuzzy_dedup_pairs") { (c, p) =>
+      Fuzzy.fuzzyPairs(c.df, str(p, "id_col"), str(p, "string_col"),
+        str(p, "max_distance").toInt, intOpt(p, "qgram").getOrElse(2)) }
+    reg("string_similarity") { (c, p) =>
+      val f = strOpt(p, "method").getOrElse("jaro_winkler") match {
+        case "jaro_winkler" => Fuzzy.jaroWinkler _
+        case "jaro" => Fuzzy.jaroSim _
+        case other => throw new IllegalArgumentException(
+          s"string_similarity method must be jaro_winkler or jaro, got $other")
+      }
+      c.df.withColumn(strOpt(p, "out_col").getOrElse("similarity"),
+        f(coalesce(col(str(p, "left_col")), lit("")),
+          coalesce(col(str(p, "right_col")), lit("")))) }
+    reg("entity_resolution") { (c, p) =>
+      Fuzzy.entityResolution(c.df, str(p, "id_col"),
+        mapOf(p, "compare_cols").map { case (k, v) => k -> v.toDouble },
+        seqOf(p, "blocking"), str(p, "threshold").toDouble,
+        intOpt(p, "max_block_size").getOrElse(1000),
+        strOpt(p, "out_col").getOrElse("entity_id")) }
     reg("simhash_pairs") { (c, p) =>
       Dedup.simhashPairs(c.df, str(p, "id_col"), str(p, "text_col"),
         intOpt(p, "max_hamming").getOrElse(3)) }

@@ -302,6 +302,41 @@ object HashImpls {
     }
     sig
   }
+
+  private def mix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** See [[QgramOccHashes]]. One pass, one HashMap of gram counts. */
+  def qgramOccHashes(text: UTF8String, q: Int): ArrayData = {
+    val s = text.toString
+    val len = s.length
+    val n = len + q - 1
+    val out = new Array[Long](n)
+    val counts = new java.util.HashMap[java.lang.Long, java.lang.Integer](n * 2)
+    var i = 0
+    while (i < n) {
+      var h = 0L
+      var j = 0
+      while (j < q) {
+        val p = i + j // position in the padded string
+        val c: Char =
+          if (p < q - 1) '\u0001'
+          else if (p >= q - 1 + len) '\u0002'
+          else s.charAt(p - (q - 1))
+        h = h * 31 + c
+        j += 1
+      }
+      val gram = mix64(h)
+      val occ = counts.merge(gram, 1, (a, _) => a + 1) - 1
+      out(i) = mix64(gram ^ (occ.toLong * 0xC2B2AE3D27D4EB4FL))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /**
@@ -658,6 +693,45 @@ case class SortedJaccard(left: Expression, right: Expression)
 }
 
 /** Column-API wrappers. */
+/**
+ * Occurrence-tagged q-gram hashes of a padded string, one unboxed pass:
+ * 64-bit hash of each length-`q` character window of
+ * `pad(q-1) + text + pad(q-1)`, mixed with the window's occurrence index
+ * (0 for the first time a gram value appears in this string, 1 for the
+ * second, ...). Output length is exactly `len(text) + q - 1`.
+ *
+ * This is the signature scheme for approximation-free edit-distance
+ * joins (Gravano et al., VLDB 2001): tagging the j-th occurrence makes an
+ * equi-join on the hash count `sum_g min(count_a(g), count_b(g))` — the
+ * multiset q-gram intersection — and one edit operation can change at
+ * most `q` elements of the multiset, so strings within edit distance `k`
+ * share all but `k*q` of their tagged grams. Hash collisions can only ADD
+ * candidate pairs (callers verify with exact `levenshtein`), never lose
+ * one: equal (gram, occurrence) pairs always hash equal.
+ *
+ * Padding uses control chars U+0001/U+0002; content collisions with those
+ * chars are harmless for the same reason. Windows run over UTF-16 units.
+ */
+case class QgramOccHashes(child: Expression, q: Int) extends UnaryExpression {
+  require(q >= 1, s"q must be >= 1, got $q")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "qgram_occ_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    HashImpls.qgramOccHashes(input.asInstanceOf[UTF8String], q)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.HashImpls.qgramOccHashes($c, $q);")
+
+  override protected def withNewChildInternal(newChild: Expression): QgramOccHashes =
+    copy(child = newChild)
+}
+
 object HashFunctions {
   def minhashShingles(text: Column, shingleSize: Int, numHashes: Int): Column =
     ColumnShim.column(
@@ -688,6 +762,10 @@ object HashFunctions {
 
   def rangeBucket(v: Column, bounds: Array[Double]): Column =
     ColumnShim.column(RangeBucket(ColumnShim.expression(v), bounds))
+
+  /** Occurrence-tagged q-gram hashes for edit-distance joins. */
+  def qgramOccHashes(text: Column, q: Int): Column =
+    ColumnShim.column(QgramOccHashes(ColumnShim.expression(text), q))
 
   /** Jaccard of two sorted array<bigint> set columns (counting merge). */
   def sortedJaccard(a: Column, b: Column): Column =
