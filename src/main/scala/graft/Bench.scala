@@ -33,7 +33,9 @@ object Bench {
     "q_crossdoc_ngrams", "q_remove_spans", "q_semantic_dedup",
     "q_dsir_weights", "q_perplexity",
     // round-8 additions: Delta maintenance, learned BPE, quality classifier
-    "q_delta_optimize", "q_bpe_tokens", "q_quality_classifier")
+    "q_delta_optimize", "q_bpe_tokens", "q_quality_classifier",
+    // r8 additions: fuzzy matching + mergeable quantiles
+    "q_fuzzy_join", "q_entity_resolution", "q_kll_quantiles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

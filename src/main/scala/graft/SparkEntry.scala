@@ -417,6 +417,15 @@ object SparkEntry {
       operators.Sampling.perplexityScore(docs, "doc_id", "text",
         docs.filter(col("doc_id") < 20), "text")
     }),
+    "q_kll_quantiles" -> ((s, d) => { // rows-only: KLL compaction flips
+      // random coins, so sketch bytes (and low-order estimate digits) vary
+      // with partitioning; rank-error bounds are asserted in PatternsSpec
+      val c = t(s, d, "customer")
+      val sk = operators.Sketches.kllSketch(c, Seq("c_mktsegment"), "c_acctbal")
+      sk.select(col("c_mktsegment"),
+        operators.Sketches.kllQuantile(col("quantile_sketch"), 0.5).as("p50_est"),
+        operators.Sketches.kllQuantile(col("quantile_sketch"), 0.95).as("p95_est"))
+    }),
     "q_fuzzy_join" -> ((s, d) => {
       // approximation-free edit-distance join: part names vs a
       // deterministically corrupted subset (drop 1st char / 2-char splice /

@@ -30,10 +30,17 @@ object AtomicParquet {
    * `token` disambiguates concurrent/retried writers (e.g. a batch id).
    * `df` may read from `path` itself — that is the point.
    */
-  def overwrite(df: DataFrame, path: String, token: String = "0"): Unit =
+  def overwrite(df: DataFrame, path: String, token: String = "0"): Unit = {
     swap(df.sparkSession.sessionState.newHadoopConf(), path, token) { tmp =>
       df.write.mode("overwrite").parquet(tmp)
     }
+    // the swap bypasses Spark's write-path cache invalidation (it writes
+    // through the temp path) — refresh any cached plan over the target so
+    // a persisted reader from earlier in the session can't serve the
+    // pre-swap snapshot
+    try df.sparkSession.catalog.refreshByPath(path)
+    catch { case _: Exception => () }
+  }
 
   /**
    * Generic form: `writeTmp` materializes the new snapshot into the temp

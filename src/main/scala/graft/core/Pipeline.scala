@@ -698,6 +698,17 @@ object Pipeline {
         } finally if (!pool.isShutdown) pool.shutdownNow()
       } else toRun.foreach(execOne)
     }
+    // Release this run's auto-cached frames: the persists exist to fan a
+    // node's plan out to its same-run dependents; left pinned they (a)
+    // accumulate across runs in a long session and (b) let CacheManager
+    // substitute THIS run's data into a LATER run's logically-identical
+    // sink read (the refreshByPath in Sources.writeWithStats is the
+    // belt, this is the suspenders). Results still replay lazily from
+    // their written sinks.
+    results.asScala.values.foreach { r =>
+      if (!r.skipped && r.failure.isEmpty && r.df.storageLevel.useMemory)
+        Try(r.df.unpersist())
+    }
     val out = results.asScala.toMap
     val failed = out.values.filter(_.failure.isDefined).map(_.name).toSeq.sorted
     if (failed.isEmpty) alert("run_success", s"${out.size} nodes")

@@ -32,9 +32,13 @@ import scala.jdk.CollectionConverters._
  *   - partition values: `add.partitionValues` strings cast to the table
  *     schema (files of a partitioned table do not store those columns)
  *
- * Fails fast (never silently mis-reads) on tables requiring features this
- * reader does not implement: column mapping other than `none`, deletion
- * vectors, v2 checkpoints, or unknown reader features at protocol v3+.
+ * Deletion vectors ARE supported on the read path (see
+ * [[DeletionVectors]]): files whose `add` carries a DV are scanned with
+ * `_metadata.row_index` and the deleted positions are dropped by an
+ * anti-join (DV payloads decode on executors). Fails fast (never silently
+ * mis-reads) on tables requiring features this reader does not implement:
+ * column mapping other than `none`, v2 checkpoints, or unknown reader
+ * features at protocol v3+.
  *
  * Scale: log replay is driver-side metadata work — the same model every
  * Delta implementation uses (the active-file list must reach the planner
@@ -46,7 +50,8 @@ import scala.jdk.CollectionConverters._
 object DeltaLog {
 
   final case class AddFile(path: String, partitionValues: Map[String, Option[String]],
-                           size: Long, modificationTime: Long)
+                           size: Long, modificationTime: Long,
+                           deletionVector: Option[DeletionVectors.Descriptor] = None)
 
   final case class Snapshot(version: Long, schema: StructType,
                             partitionColumns: Seq[String],
@@ -156,7 +161,7 @@ object DeltaLog {
       if (reader >= 3) {
         val feats = Option(p.get("readerFeatures")).toSeq
           .flatMap(_.elements().asScala).map(_.asText()).toSet
-        val supported = Set("timestampNtz", "columnMapping")
+        val supported = Set("timestampNtz", "columnMapping", "deletionVectors")
         val unknown = feats -- supported
         require(unknown.isEmpty,
           s"unsupported Delta reader features: ${unknown.mkString(", ")}")
@@ -165,9 +170,14 @@ object DeltaLog {
     }
 
     def applyAdd(a: JsonNode): Unit = {
-      require(!a.hasNonNull("deletionVector"),
-        "unsupported Delta feature: deletion vectors (file " +
-          s"${a.get("path").asText()} carries a DV — rows would be over-counted)")
+      val dv = Option(a.get("deletionVector")).filter(!_.isNull).map { d =>
+        DeletionVectors.Descriptor(
+          d.get("storageType").asText(),
+          d.get("pathOrInlineDv").asText(),
+          Option(d.get("offset")).filterNot(_.isNull).map(_.asInt()),
+          d.get("sizeInBytes").asInt(),
+          d.get("cardinality").asLong())
+      }
       val pv = Option(a.get("partitionValues")).map(n =>
         n.properties().asScala.map { e =>
           e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText()))
@@ -175,7 +185,7 @@ object DeltaLog {
       val path = a.get("path").asText()
       files.update(path, AddFile(path, pv,
         Option(a.get("size")).map(_.asLong()).getOrElse(0L),
-        Option(a.get("modificationTime")).map(_.asLong()).getOrElse(0L)))
+        Option(a.get("modificationTime")).map(_.asLong()).getOrElse(0L), dv))
     }
 
     def applyRemove(r: JsonNode): Unit = { files.remove(r.get("path").asText()); () }
@@ -314,7 +324,8 @@ object DeltaLog {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], snap.schema)
     val paths = snap.files.map(a => absolutize(root, a.path))
-    val scan = spark.read.schema(dataSchema).parquet(paths: _*)
+    val rawScan = spark.read.schema(dataSchema).parquet(paths: _*)
+    val scan = applyDeletionVectors(spark, root, snap, rawScan)
     if (snap.partitionColumns.isEmpty)
       return scan.select(ordered.map(col): _*)
     // file name (unique UUID-bearing basenames per the Delta writers) →
@@ -345,6 +356,40 @@ object DeltaLog {
         col(s"_gf_pv_$c").cast(partType(c)).as(c)
       else col(c)
     }: _*)
+  }
+
+  /**
+   * Drop DV-deleted row positions: one anti-join of the scan's
+   * (file basename, `_metadata.row_index`) against the decoded deleted
+   * positions. The driver ships only raw DV payloads (total size bounded
+   * by the log's own `sizeInBytes` fields); bitmap decode happens on
+   * executors. No-op for snapshots without deletion vectors.
+   */
+  private def applyDeletionVectors(spark: SparkSession, root: String,
+                                   snap: Snapshot, scan: DataFrame): DataFrame = {
+    val dvFiles = snap.files.filter(_.deletionVector.isDefined)
+    if (dvFiles.isEmpty) return scan
+    val f = fs(spark, root)
+    val base = (p: String) => p.substring(p.lastIndexOf('/') + 1)
+    val payloads: Seq[(String, Array[Byte])] = dvFiles.map { a =>
+      base(decodePath(a.path)) -> DeletionVectors.payload(f, root, a.deletionVector.get)
+    }
+    val schema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("_gf_file",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_gf_ridx",
+        org.apache.spark.sql.types.LongType)))
+    val rows = spark.sparkContext
+      .parallelize(payloads, math.max(1, math.min(payloads.size, 32)))
+      .flatMap { case (file, bytes) =>
+        DeletionVectors.decodePositions(bytes).iterator.map(p => Row(file, p))
+      }
+    val deleted = spark.createDataFrame(rows, schema)
+    scan
+      .withColumn("_gf_file", element_at(split(input_file_name(), "/"), -1))
+      .withColumn("_gf_ridx", col("_metadata.row_index"))
+      .join(deleted, Seq("_gf_file", "_gf_ridx"), "left_anti")
+      .drop("_gf_file", "_gf_ridx")
   }
 
   /** Keys present in the previous version but gone in the latest — the

@@ -187,6 +187,21 @@ object Sources {
    * crash never leaves the sink truncated. Append/error modes write
    * directly.
    */
+  /**
+   * Invalidate-and-refresh every cached plan (and file-status listing)
+   * over a just-published sink path. Without this, a PERSISTED DataFrame
+   * reading `path` from an earlier run in the same session keeps serving
+   * the pre-overwrite snapshot: the atomic temp-dir + rename swap writes
+   * through a TEMP path, so Spark's own write-path invalidation never
+   * fires for the final location, and CacheManager substitutes the stale
+   * InMemoryRelation into any new logically-identical scan. Surfaced by
+   * TrainingSoakSpec's two-batch pipeline run (batch 2's nodes silently
+   * consumed batch 1's auto-cached sinks).
+   */
+  private def refreshSink(df: DataFrame, path: String): Unit =
+    try df.sparkSession.catalog.refreshByPath(path)
+    catch { case _: Exception => () } // best effort: never fail a completed write
+
   def writeWithStats(df: DataFrame, path: String,
                      cfg: WriteConfig = WriteConfig()): Long = {
     require(cfg.zorderBy.isEmpty || cfg.partitionBy.isEmpty,
@@ -226,6 +241,7 @@ object Sources {
           .getOrElse(128L << 20)
         DeltaMaintenance.optimize(df.sparkSession, path, targetFileBytes = target)
       }
+      refreshSink(df, path)
       return commit.rowsWritten
     }
     if (cfg.format == "avro" || cfg.format == "excel") {
@@ -234,10 +250,13 @@ object Sources {
       require(cfg.partitionBy.isEmpty && cfg.zorderBy.isEmpty,
         s"${cfg.format} sink supports coalesce_partitions but not partition_by/zorder_by")
       val d = cfg.coalescePartitions.map(df.coalesce).getOrElse(df)
-      return if (cfg.format == "avro")
-        AvroSource.write(d, path, cfg.mode,
-          codec = cfg.options.getOrElse("codec", "snappy"))
-      else ExcelSource.write(d, path, cfg.mode)
+      val rows =
+        if (cfg.format == "avro")
+          AvroSource.write(d, path, cfg.mode,
+            codec = cfg.options.getOrElse("codec", "snappy"))
+        else ExcelSource.write(d, path, cfg.mode)
+      refreshSink(df, path)
+      return rows
     }
     val obs = org.apache.spark.sql.Observation()
     // zorder (declarative clustering, reference liquid/ZORDER write
@@ -271,6 +290,7 @@ object Sources {
           df.sparkSession.sessionState.newHadoopConf(), path,
           java.lang.Long.toHexString(System.nanoTime()))(writeTo)
       else writeTo(path)
+      refreshSink(df, path)
       obs.get("rows_written").asInstanceOf[Long]
     } finally pinned.foreach { p => p.unpersist(); () }
   }

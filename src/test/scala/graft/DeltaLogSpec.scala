@@ -213,13 +213,6 @@ class DeltaLogSpec extends SparkSpec {
       commit(dir, 0, lines.toSeq)
       dir
     }
-    val dv = intercept[IllegalArgumentException] {
-      DeltaLog.read(spark, table(protocolLine(), metaLine(abSchema),
-        s"""{"add":{"path":"f0.parquet","partitionValues":{},"size":1,""" +
-          s""""modificationTime":1,"dataChange":true,"deletionVector":""" +
-          s"""{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":1,"cardinality":1}}}"""))
-    }
-    assert(dv.getMessage.contains("deletion vector"))
     val cm = intercept[IllegalArgumentException] {
       DeltaLog.read(spark, table(protocolLine(2),
         metaLine(abSchema, conf = Map("delta.columnMapping.mode" -> "name")),
@@ -229,7 +222,7 @@ class DeltaLogSpec extends SparkSpec {
     val feat = intercept[IllegalArgumentException] {
       DeltaLog.read(spark, table(
         """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-          """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+          """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
         metaLine(abSchema), addLine("f0.parquet")))
     }
     assert(feat.getMessage.contains("reader features"))
@@ -238,6 +231,77 @@ class DeltaLogSpec extends SparkSpec {
       addLine("f0.parquet"), removeLine("f0.parquet"))
     val df = DeltaLog.read(spark, empty)
     assert(df.count() == 0 && df.schema == abSchema)
+  }
+
+  test("deletion vectors: Z85 and RoaringBitmapArray codecs round-trip") {
+    import graft.sources.DeletionVectors
+    // Z85 reference vector (ZeroMQ spec): "HelloWorld" decodes to these bytes
+    assert(DeletionVectors.z85Decode("HelloWorld", 8).toSeq ==
+      Seq(0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B).map(_.toByte))
+    val bytes = Array[Byte](1, 2, 3, 4, 5, 6, 7) // non-aligned length
+    assert(DeletionVectors.z85Decode(DeletionVectors.z85Encode(bytes), 7).toSeq ==
+      bytes.toSeq)
+    // bitmap array: positions spanning two 32-bit bitmaps
+    val pos = Seq(0L, 5L, 100000L, (1L << 32) + 7L)
+    assert(DeletionVectors.decodePositions(
+      DeletionVectors.encodePositions(pos)).toSeq == pos)
+  }
+
+  test("deletion vectors: inline and on-disk DVs drop exactly the marked rows") {
+    import graft.sources.DeletionVectors
+    val dir = tmp()
+    dataFile((0L until 10L).toDF("id"), dir, "f0.parquet")
+    dataFile((10L until 20L).toDF("id"), dir, "f1.parquet")
+    val idSchema = StructType(Seq(StructField("id", LongType)))
+    val proto =
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+    commit(dir, 0, Seq(infoLine(1000), proto, metaLine(idSchema),
+      addLine("f0.parquet"), addLine("f1.parquet")))
+
+    // v1: inline DV on f0 deleting row positions 1 and 3 (ids 1, 3)
+    val inlineData = DeletionVectors.encodePositions(Seq(1L, 3L))
+    val inlineDv =
+      s"""{"storageType":"i","pathOrInlineDv":${q(DeletionVectors.z85Encode(inlineData))},""" +
+        s""""sizeInBytes":${inlineData.length},"cardinality":2}"""
+    commit(dir, 1, Seq(infoLine(2000),
+      s"""{"add":{"path":"f0.parquet","partitionValues":{},"size":1,""" +
+        s""""modificationTime":1,"dataChange":false,"deletionVector":$inlineDv}}"""))
+
+    // v2: on-disk DV file (storageType u) on f1 deleting position 0 (id 10):
+    // [version 1][4-byte BE size][bitmap data][4-byte BE CRC-32]
+    val fileData = DeletionVectors.encodePositions(Seq(0L))
+    val uuid = java.util.UUID.fromString("0b9babe1-91f5-4b32-9a31-07a1d1a54dcd")
+    val uuidBytes = java.nio.ByteBuffer.allocate(16)
+      .putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits).array()
+    val crc = new java.util.zip.CRC32(); crc.update(fileData)
+    val bin = java.nio.ByteBuffer.allocate(1 + 4 + fileData.length + 4)
+      .put(1.toByte).putInt(fileData.length).put(fileData)
+      .putInt(crc.getValue.toInt).array()
+    Files.write(new File(dir, s"deletion_vector_$uuid.bin").toPath, bin)
+    val fileDv =
+      s"""{"storageType":"u","pathOrInlineDv":${q(DeletionVectors.z85Encode(uuidBytes))},""" +
+        s""""offset":1,"sizeInBytes":${fileData.length},"cardinality":1}"""
+    commit(dir, 2, Seq(infoLine(3000),
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":1,""" +
+        s""""modificationTime":1,"dataChange":false,"deletionVector":$fileDv}}"""))
+
+    def ids(v: Option[Long]) = DeltaLog.read(spark, dir, versionAsOf = v)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(Some(0L)) == (0L until 20L))
+    assert(ids(Some(1L)) == (0L until 20L).filterNot(Set(1L, 3L)))
+    assert(ids(None) == (0L until 20L).filterNot(Set(1L, 3L, 10L)))
+
+    // snapshot carries the descriptors; cardinality totals match
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.files.flatMap(_.deletionVector).map(_.cardinality).sum == 3L)
+
+    // corrupted CRC is a hard error, not a silent mis-read
+    val torn = bin.clone(); torn(bin.length - 1) = (torn(bin.length - 1) ^ 0x1).toByte
+    Files.write(new File(dir, s"deletion_vector_$uuid.bin").toPath, torn)
+    val err = intercept[Exception] { DeltaLog.read(spark, dir).collect() }
+    assert(err.getMessage != null)
+    Files.write(new File(dir, s"deletion_vector_$uuid.bin").toPath, bin) // restore
   }
 
   test("declarative dispatch: format delta with time-travel options") {

@@ -49,6 +49,50 @@ class PatternsSpec extends SparkSpec {
       .map(_.getLong(0)).sorted.sameElements(Array(2L, 3L)))
   }
 
+  test("KLL quantile sketches: rank-error bound per group, grain merge, incremental union") {
+    import graft.operators.Sketches
+    // 20k values 0..n-1, evens on d1 / odds on d2; exact quantiles known.
+    // KLL k=200 guarantees ±1.65% rank error at 99% confidence — assert a
+    // conservative 2.5% of the value range (values are uniform, so rank
+    // error ~= relative value error).
+    val n = 20000
+    val df = spark.range(n).select(
+      when($"id" % 2 === 0, "d1").otherwise("d2").as("day"),
+      $"id".cast("double").as("v"))
+    val eps = 0.025 * n
+
+    val byDay = Sketches.kllSketch(df, Seq("day"), "v").cache()
+    val p50s = byDay.select($"day",
+      Sketches.kllQuantile($"quantile_sketch", 0.5).as("p50")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(p50s("d1") - n / 2.0) < eps, s"d1 p50 ${p50s("d1")}")
+    assert(math.abs(p50s("d2") - n / 2.0) < eps, s"d2 p50 ${p50s("d2")}")
+
+    // coarser grain: union of the two day sketches covers all n values
+    val merged = Sketches.kllMerge(
+      byDay.withColumn("all", lit(1)), Seq("all"), "quantile_sketch")
+    val q = merged.select(
+      Sketches.kllQuantile($"quantile_sketch", 0.5).as("p50"),
+      Sketches.kllQuantile($"quantile_sketch", 0.95).as("p95")).head()
+    assert(math.abs(q.getDouble(0) - 0.5 * n) < eps, s"merged p50 ${q.getDouble(0)}")
+    assert(math.abs(q.getDouble(1) - 0.95 * n) < eps, s"merged p95 ${q.getDouble(1)}")
+
+    // incremental aggregate table via the kll_union merge strategy
+    val existing = Sketches.kllSketch(
+      df.filter($"day" === "d1").withColumn("k", lit(1)), Seq("k"), "v")
+    val fresh = Sketches.kllSketch(
+      df.filter($"day" === "d2").withColumn("k", lit(1)), Seq("k"), "v")
+    val inc = Patterns.aggregationMerge(existing, fresh, Seq("k"),
+      Map("quantile_sketch" -> "kll_union"))
+    val incP50 = inc.select(
+      Sketches.kllQuantile($"quantile_sketch", 0.5)).head().getDouble(0)
+    assert(math.abs(incP50 - 0.5 * n) < eps, s"incremental p50 $incP50")
+
+    // empty sketch -> null quantile (not an exception)
+    val empty = Sketches.kllSketch(df.filter($"v" < 0), Seq.empty, "v")
+    assert(empty.select(Sketches.kllQuantile($"quantile_sketch", 0.5)).head().isNullAt(0))
+  }
+
   test("dimension bootstrap SKs are dense and key-ordered on multi-partition input") {
     // 1000 keys spread over 8 input partitions: the bootstrap path must
     // yield exactly 1..1000 in natural-key order with no global
