@@ -664,6 +664,22 @@ object SparkEntry {
     "q_chunk_text" -> ((s, d) =>
       TextAnalysis.chunkText(t(s, d, "documents"), "doc_id", "text",
         chunkTokens = 64, overlapTokens = 16)),
+    "q_warc_roundtrip" -> ((s, d) => {
+      // the native WARC/WET path end-to-end: documents → one-gzip-member-
+      // per-record WET files → streamed parse → aggregate. The oracle
+      // aggregates the ORIGINAL parquet, so a hash match certifies the
+      // record framing + payload byte fidelity, not just this plan.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_warc_q").toString
+      val docs = t(s, d, "documents").select(
+        concat(lit("https://corpus.example/"), col("doc_id")).as("target_uri"),
+        col("text").as("content"))
+      graft.sources.WarcSource.write(docs, s"$tmp/docs_wet")
+      graft.sources.WarcSource.read(s, s"$tmp/docs_wet")
+        .agg(count(lit(1)).as("n"),
+          sum(length(decode(col("content"), "UTF-8"))).as("chars"),
+          sum(col("content_length")).as("bytes"),
+          min("target_uri").as("min_uri"), max("target_uri").as("max_uri"))
+    }),
     "q_delta_timetravel" -> ((s, d) => {
       // the native Delta transaction-log reader end-to-end: build a real
       // _delta_log (v0 = two files, v1 = remove+add rewrite deleting the
@@ -1436,6 +1452,8 @@ object SparkEntry {
       "SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS revenue, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM orders GROUP BY 1",
     "q_chunk_text" ->
       "SELECT doc_id, chunk_idx, array_to_string(toks[chunk_idx*48+1 : chunk_idx*48+64], ' ') AS chunk_text, CAST(least(n - chunk_idx*48, 64) AS BIGINT) AS n_tokens FROM (SELECT doc_id, toks, n, unnest(generate_series(0, k-1)) AS chunk_idx FROM (SELECT doc_id, toks, len(toks) AS n, greatest(CAST(ceil((len(toks)-64)/48.0) AS BIGINT)+1, 1) AS k FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)))",
+    "q_warc_roundtrip" ->
+      "SELECT count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS chars, CAST(sum(octet_length(encode(text))) AS BIGINT) AS bytes, min('https://corpus.example/' || doc_id) AS min_uri, max('https://corpus.example/' || doc_id) AS max_uri FROM documents",
     "q_excel_roundtrip" ->
       "SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal, min(c_custkey) AS min_key, max(c_custkey) AS max_key FROM customer GROUP BY 1",
     "q_delta_timetravel" ->

@@ -35,10 +35,17 @@ import scala.jdk.CollectionConverters._
  * Deletion vectors ARE supported on the read path (see
  * [[DeletionVectors]]): files whose `add` carries a DV are scanned with
  * `_metadata.row_index` and the deleted positions are dropped by an
- * anti-join (DV payloads decode on executors). Fails fast (never silently
- * mis-reads) on tables requiring features this reader does not implement:
- * column mapping other than `none`, v2 checkpoints, or unknown reader
- * features at protocol v3+.
+ * anti-join (DV payloads decode on executors). Column mapping modes
+ * `name` AND `id` are supported: per the protocol both modes store data
+ * under each field's `delta.columnMapping.physicalName` (id mode adds
+ * parquet field ids on top of the same physical names), so the scan uses
+ * the physical schema (recursively, nested struct fields included) and
+ * the result is renamed back to logical names — nested renames via a
+ * positional struct cast, which is a pure rename because the types are
+ * identical. `add.partitionValues` keys are physical names under mapping,
+ * logical otherwise; the reader accepts either. Fails fast (never
+ * silently mis-reads) on tables requiring features this reader does not
+ * implement: v2 checkpoints or unknown reader features at protocol v3+.
  *
  * Scale: log replay is driver-side metadata work — the same model every
  * Delta implementation uses (the active-file list must reach the planner
@@ -151,9 +158,8 @@ object DeltaLog {
         c.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
         .getOrElse(Map.empty)
       val mapping = configuration.getOrElse("delta.columnMapping.mode", "none")
-      require(mapping == "none",
-        s"unsupported Delta feature: column mapping mode '$mapping' " +
-          "(this native reader implements mode 'none' only)")
+      require(Set("none", "name", "id").contains(mapping),
+        s"unsupported Delta column mapping mode '$mapping'")
     }
 
     def applyProtocol(p: JsonNode): Unit = {
@@ -307,6 +313,39 @@ object DeltaLog {
     if (ts > 0) ts else f.getFileStatus(p).getModificationTime
   }
 
+  /** `delta.columnMapping.physicalName` when present (mapping modes
+    * `name`/`id` set it on EVERY field), else the logical name. */
+  private def physicalName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains("delta.columnMapping.physicalName"))
+      f.metadata.getString("delta.columnMapping.physicalName")
+    else f.name
+
+  /** Logical schema → the schema as written in the data files: every
+    * (nested) field renamed to its physicalName, metadata dropped. */
+  private def toPhysical(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      org.apache.spark.sql.types.StructField(
+        physicalName(f), toPhysical(f.dataType), f.nullable)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = toPhysical(a.elementType))
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = toPhysical(m.keyType), valueType = toPhysical(m.valueType))
+    case other => other
+  }
+
+  /** Logical names kept, column-mapping metadata dropped — the cast
+    * target that renames physical nested fields back to logical. */
+  private def stripMeta(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      org.apache.spark.sql.types.StructField(
+        f.name, stripMeta(f.dataType), f.nullable)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = stripMeta(a.elementType))
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = stripMeta(m.keyType), valueType = stripMeta(m.valueType))
+    case other => other
+  }
+
   /**
    * Read the table at a version/timestamp. One parquet scan over the
    * active files (pushdown and pruning intact); partitioned tables attach
@@ -317,17 +356,33 @@ object DeltaLog {
            versionAsOf: Option[Long] = None,
            timestampAsOfMs: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, root, versionAsOf, timestampAsOfMs)
-    val dataSchema = StructType(
-      snap.schema.fields.filterNot(fd => snap.partitionColumns.contains(fd.name)))
+    val mapped =
+      snap.configuration.getOrElse("delta.columnMapping.mode", "none") != "none"
+    val physOf: Map[String, String] =
+      snap.schema.fields.map(f => f.name -> physicalName(f)).toMap
+    val logicalType: Map[String, DataType] =
+      snap.schema.fields.map(f => f.name -> f.dataType).toMap
+    val dataFields =
+      snap.schema.fields.filterNot(fd => snap.partitionColumns.contains(fd.name))
+    val dataSchema =
+      if (mapped) StructType(dataFields.map(f =>
+        org.apache.spark.sql.types.StructField(
+          physicalName(f), toPhysical(f.dataType), f.nullable)))
+      else StructType(dataFields.toSeq)
     val ordered = snap.schema.fieldNames.toSeq
     if (snap.files.isEmpty)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], snap.schema)
+        spark.sparkContext.emptyRDD[Row], stripMeta(snap.schema).asInstanceOf[StructType])
+    // physical → logical: rename top-level by alias, nested by positional
+    // struct cast (identical types, so the cast is a pure rename)
+    def logicalCol(c: String) =
+      if (!mapped) col(c)
+      else col(physOf(c)).cast(stripMeta(logicalType(c))).as(c)
     val paths = snap.files.map(a => absolutize(root, a.path))
     val rawScan = spark.read.schema(dataSchema).parquet(paths: _*)
     val scan = applyDeletionVectors(spark, root, snap, rawScan)
     if (snap.partitionColumns.isEmpty)
-      return scan.select(ordered.map(col): _*)
+      return scan.select(ordered.map(logicalCol): _*)
     // file name (unique UUID-bearing basenames per the Delta writers) →
     // partition value strings, cast to the declared types after the join
     val base = (p: String) => p.substring(p.lastIndexOf('/') + 1)
@@ -335,9 +390,13 @@ object DeltaLog {
     require(names.distinct.size == names.size,
       s"duplicate data-file basenames in Delta snapshot of $root — cannot " +
         "key partition values by file name")
+    // partitionValues keys are physical names under column mapping;
+    // accept either so loosely-written logs still read
+    def pvOf(a: AddFile, c: String): Option[String] =
+      a.partitionValues.get(physOf(c)).orElse(a.partitionValues.get(c)).flatten
     val pvRows = snap.files.map { a =>
       Row.fromSeq(base(decodePath(a.path)) +:
-        snap.partitionColumns.map(c => a.partitionValues.get(c).flatten.orNull))
+        snap.partitionColumns.map(c => pvOf(a, c).orNull))
     }
     val pvSchema = StructType(
       org.apache.spark.sql.types.StructField("_gf_file",
@@ -353,8 +412,8 @@ object DeltaLog {
     val joined = withFile.join(broadcast(pv), Seq("_gf_file"))
     joined.select(ordered.map { c =>
       if (snap.partitionColumns.contains(c))
-        col(s"_gf_pv_$c").cast(partType(c)).as(c)
-      else col(c)
+        col(s"_gf_pv_$c").cast(stripMeta(partType(c))).as(c)
+      else logicalCol(c)
     }: _*)
   }
 

@@ -28,7 +28,7 @@ object Sources {
       // the native formats have no streaming DataSource — fail at plan
       // time with the workaround, not at runtime with a lookup error
       require(cfg.format != "avro" && cfg.format != "excel" && cfg.format != "media"
-          && cfg.format != "delta",
+          && cfg.format != "delta" && cfg.format != "warc",
         s"${cfg.format} has no streaming source in this environment; " +
           "batch-read it or stream a parquet/json landing copy " +
           "(for media: readStream.format(\"binaryFile\") + Multimodal.asMedia)")
@@ -52,6 +52,29 @@ object Sources {
           addSheetName = cfg.options.get("add_sheet_name").exists(_.toBoolean),
           addSourceFile = cfg.options.get("add_source_file").exists(_.toBoolean),
           inferTypes = cfg.options.get("infer_types").forall(_.toBoolean)))
+    // warc/wet routes through the native ISO 28500 reader (no WARC
+    // library in this env); `record_types: conversion` narrows to WET
+    // text records, `documents: true` lands the (url, date, text) frame
+    // a curation pipeline starts from
+    if (cfg.format == "warc") {
+      val warcPath =
+        cfg.path.getOrElse(throw new IllegalArgumentException("warc read needs path"))
+      val types = cfg.options.get("record_types")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty[String])
+      val opts = WarcSource.WarcOptions(
+        recordTypes = types,
+        maxContentLength = cfg.options.get("max_content_length").map(_.toLong)
+          .getOrElse(512L << 20))
+      return if (cfg.options.get("documents").exists(_.toBoolean))
+        WarcSource.read(spark, warcPath,
+          opts.copy(recordTypes = if (types.isEmpty) Set("conversion") else types))
+          .select(org.apache.spark.sql.functions.col("target_uri").as("url"),
+            org.apache.spark.sql.functions.col("date"),
+            org.apache.spark.sql.functions.decode(
+              org.apache.spark.sql.functions.col("content"), "UTF-8").as("text"))
+      else WarcSource.read(spark, warcPath, opts)
+    }
     // delta routes through the native transaction-log reader (no
     // delta-spark jar in this env); versionAsOf / timestampAsOf are the
     // reference's time-travel read options (config.py:1355-1390)
@@ -244,17 +267,21 @@ object Sources {
       refreshSink(df, path)
       return commit.rowsWritten
     }
-    if (cfg.format == "avro" || cfg.format == "excel") {
+    if (cfg.format == "avro" || cfg.format == "excel" || cfg.format == "warc") {
       // native paths (no DataSource jar in this env): rows counted by the
       // write tasks themselves, so no Observation needed and no second job
       require(cfg.partitionBy.isEmpty && cfg.zorderBy.isEmpty,
         s"${cfg.format} sink supports coalesce_partitions but not partition_by/zorder_by")
       val d = cfg.coalescePartitions.map(df.coalesce).getOrElse(df)
-      val rows =
-        if (cfg.format == "avro")
+      val rows = cfg.format match {
+        case "avro" =>
           AvroSource.write(d, path, cfg.mode,
             codec = cfg.options.getOrElse("codec", "snappy"))
-        else ExcelSource.write(d, path, cfg.mode)
+        case "excel" => ExcelSource.write(d, path, cfg.mode)
+        case _ => WarcSource.write(d, path, cfg.mode,
+          gzip = cfg.options.get("gzip").forall(_.toBoolean),
+          defaultRecordType = cfg.options.getOrElse("record_type", "conversion"))
+      }
       refreshSink(df, path)
       return rows
     }

@@ -215,7 +215,7 @@ class DeltaLogSpec extends SparkSpec {
     }
     val cm = intercept[IllegalArgumentException] {
       DeltaLog.read(spark, table(protocolLine(2),
-        metaLine(abSchema, conf = Map("delta.columnMapping.mode" -> "name")),
+        metaLine(abSchema, conf = Map("delta.columnMapping.mode" -> "id-v99")),
         addLine("f0.parquet")))
     }
     assert(cm.getMessage.contains("column mapping"))
@@ -302,6 +302,61 @@ class DeltaLogSpec extends SparkSpec {
     val err = intercept[Exception] { DeltaLog.read(spark, dir).collect() }
     assert(err.getMessage != null)
     Files.write(new File(dir, s"deletion_vector_$uuid.bin").toPath, bin) // restore
+  }
+
+  /** Field metadata as a real column-mapping writer emits it. */
+  private def cmField(name: String, dt: DataType, phys: String, id: Long) =
+    StructField(name, dt, nullable = true, new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id).build())
+
+  test("column mapping (name mode): physical-name data files read back logical") {
+    val dir = tmp()
+    // logical: id long, info struct<name string, score double>
+    val logical = StructType(Seq(
+      cmField("id", LongType, "col-a1", 1),
+      cmField("info", StructType(Seq(
+        cmField("name", StringType, "col-n1", 3),
+        cmField("score", DoubleType, "col-s1", 4))), "col-i1", 2)))
+    // data stored under PHYSICAL names, nested fields included
+    dataFile(
+      Seq((1L, "x", 0.5), (2L, "y", 1.5)).toDF("a", "b", "c")
+        .select(col("a").as("col-a1"),
+          struct(col("b").as("col-n1"), col("c").as("col-s1")).as("col-i1")),
+      dir, "f0.parquet")
+    commit(dir, 0, Seq(infoLine(1000), protocolLine(2),
+      metaLine(logical, conf = Map("delta.columnMapping.mode" -> "name",
+        "delta.columnMapping.maxColumnId" -> "4")),
+      addLine("f0.parquet")))
+    val df = DeltaLog.read(spark, dir)
+    assert(df.columns.toSeq == Seq("id", "info"))
+    assert(df.schema("info").dataType.asInstanceOf[StructType].fieldNames.toSeq ==
+      Seq("name", "score"))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getLong(0) == 1L)
+    assert(rows(0).getStruct(1).getString(0) == "x")
+    assert(rows(1).getStruct(1).getDouble(1) == 1.5)
+    // logical projection + filter still resolve
+    assert(df.where(col("info.name") === "y").select("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("column mapping: partitioned table keys partitionValues by physical name") {
+    val dir = tmp()
+    val logical = StructType(Seq(
+      cmField("id", LongType, "col-a1", 1),
+      cmField("day", StringType, "col-d1", 2)))
+    dataFile(Seq(Tuple1(1L)).toDF("a").select(col("a").as("col-a1")), dir, "p0.parquet")
+    dataFile(Seq(Tuple1(2L)).toDF("a").select(col("a").as("col-a1")), dir, "p1.parquet")
+    // id mode exercises the same physical-name scan path
+    commit(dir, 0, Seq(infoLine(1000), protocolLine(2),
+      metaLine(logical, partitionCols = Seq("day"),
+        conf = Map("delta.columnMapping.mode" -> "id")),
+      addLine("p0.parquet", pv = Map("col-d1" -> "2026-01-01")),
+      addLine("p1.parquet", pv = Map("col-d1" -> "2026-01-02"))))
+    val rows = DeltaLog.read(spark, dir).orderBy("id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "2026-01-01"), (2L, "2026-01-02")))
   }
 
   test("declarative dispatch: format delta with time-travel options") {
