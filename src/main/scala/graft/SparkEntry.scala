@@ -507,6 +507,13 @@ object SparkEntry {
         emb.filter("vec_id < 10").select(col("vec_id").as("qid"), col("embedding").as("qv")),
         "qid", "qv", 5).withColumn("rank", col("rank").cast("long"))
     }),
+    "q_ivfpq_topk" -> ((s, d) => { // rows-only: PQ-quantized ANN (recall 0.94, RecallSpec)
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        emb.filter("vec_id < 10").select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv", 5, dim = 64, m = 16, ksub = 32, refineFactor = 8)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
 
     // ---- warehouse heavy-lifters (SURVEY §2.5) ----
     "q_scd2" -> ((s, d) => {

@@ -409,6 +409,228 @@ object Similarity {
     IvfIndex(centRows, corpusCells, idCol, vecCol, assignSpill)
   }
 
+  // ------------------------------------------------------------- IVF-PQ
+
+  /** Per-subspace codebooks: `books(s)(j)` is subspace s's centroid j. */
+  final case class PqCodebook(m: Int, dim: Int, books: Array[Array[Array[Double]]]) {
+    def ksub: Int = books(0).length
+    def dsub: Int = dim / m
+  }
+
+  /** Plain L2 Lloyd's over a driver-resident point set (PQ codebooks are
+    * trained on a bounded sample — the FAISS contract). Deterministic:
+    * strided init over the hash-ordered sample, no RNG. */
+  private def kmeansL2(points: Array[Array[Double]], k: Int,
+                       iters: Int): Array[Array[Double]] = {
+    val d = points(0).length
+    def nearest(cents: Array[Array[Double]], p: Array[Double]): Int = {
+      var best = 0; var bestDist = Double.MaxValue
+      var j = 0
+      while (j < cents.length) {
+        var dist = 0.0; var t = 0
+        while (t < d) { val df = p(t) - cents(j)(t); dist += df * df; t += 1 }
+        if (dist < bestDist) { bestDist = dist; best = j }
+        j += 1
+      }
+      best
+    }
+    var cents = Array.tabulate(k)(i => points((i.toLong * points.length / k).toInt).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Int](k)
+      points.foreach { p =>
+        val j = nearest(cents, p)
+        counts(j) += 1
+        var t = 0
+        while (t < d) { sums(j)(t) += p(t); t += 1 }
+      }
+      cents = Array.tabulate(k) { j =>
+        if (counts(j) == 0) cents(j) // empty cluster: keep the old centroid
+        else { val c = sums(j); var t = 0; while (t < d) { c(t) /= counts(j); t += 1 }; c }
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /**
+   * Train PQ codebooks on a deterministic hash-ordered sample of the
+   * corpus (bounded driver work — `trainSample × dim` doubles; FAISS
+   * trains PQ the same way). `m` subspaces of `dim/m` floats, `ksub`
+   * centroids each (≤ 256 so codes are single bytes).
+   */
+  def trainPqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, m: Int = 8, ksub: Int = 256,
+                      trainSample: Int = 4096, iters: Int = 8): PqCodebook = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(ksub >= 1 && ksub <= 256, s"ksub must be in [1, 256], got $ksub")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dsub = dim / m
+    val sample: Array[Array[Double]] = corpus
+      .select(col(vecCol).cast("array<double>").as("_v"), col(idCol))
+      .orderBy(xxhash64(col(idCol).cast("string")))
+      .limit(trainSample)
+      .select("_v").as[Seq[Double]].collect().map(_.toArray)
+    require(sample.nonEmpty, "PQ training sample is empty")
+    val k = math.min(ksub, sample.length)
+    val books = Array.tabulate(m) { s =>
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      kmeansL2(subs, k, iters)
+    }
+    PqCodebook(m, dim, books)
+  }
+
+  /**
+   * IVF-PQ index (Jégou et al. 2011; the FAISS IVFPQ layout): the IVF
+   * cell table stores `m`-byte PQ codes + a float norm instead of full
+   * vectors — at dim=64/m=8 the candidate-scoring table is ~32× smaller
+   * than [[IvfIndex]]'s, which is what keeps a 100 TB embedding corpus's
+   * serving working set in cluster memory. Full vectors live in a
+   * separate `vecs` table touched ONLY by the final exact re-rank
+   * (batch-sized survivor join, one scan).
+   */
+  final case class IvfPqIndex(centroids: Array[(Long, Seq[Double])],
+                              codebook: PqCodebook,
+                              cells: DataFrame, // (_cell, id, _codes, _norm)
+                              vecs: DataFrame,  // (id, vec)
+                              idCol: String, vecCol: String,
+                              assignSpill: Int) {
+    def save(path: String): Unit = {
+      val spark = cells.sparkSession
+      import spark.implicits._
+      cells.write.mode("overwrite").parquet(s"$path/cells")
+      vecs.write.mode("overwrite").parquet(s"$path/vecs")
+      centroids.toSeq.toDF("_cid", "_cvec").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/centroids")
+      codebook.books.zipWithIndex.flatMap { case (book, s) =>
+        book.zipWithIndex.map { case (c, j) => (s, j, c.toSeq) }
+      }.toSeq.toDF("sub", "cent", "cvec").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/codebook")
+      Seq((idCol, vecCol, assignSpill, codebook.m, codebook.dim))
+        .toDF("id_col", "vec_col", "assign_spill", "m", "dim").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/meta")
+    }
+  }
+
+  object IvfPqIndex {
+    def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex = {
+      import spark.implicits._
+      val meta = spark.read.parquet(s"$path/meta").collect()(0)
+      val m = meta.getAs[Int]("m")
+      val flat = spark.read.parquet(s"$path/codebook")
+        .select(col("sub").as[Int], col("cent").as[Int], col("cvec").as[Seq[Double]])
+        .collect()
+      val books = Array.tabulate(m) { s =>
+        flat.filter(_._1 == s).sortBy(_._2).map(_._3.toArray)
+      }
+      val cents = spark.read.parquet(s"$path/centroids")
+        .select(col("_cid").as[Long], col("_cvec").as[Seq[Double]]).collect()
+      IvfPqIndex(cents, PqCodebook(m, meta.getAs[Int]("dim"), books),
+        spark.read.parquet(s"$path/cells"), spark.read.parquet(s"$path/vecs"),
+        meta.getAs[String]("id_col"), meta.getAs[String]("vec_col"),
+        meta.getAs[Int]("assign_spill"))
+    }
+
+    /** Encode + assign a crawl batch under the persisted index's frozen
+      * centroids and codebooks, appending to cells and vecs. Same drift
+      * contract as [[IvfIndex.append]]. */
+    def append(spark: org.apache.spark.sql.SparkSession, path: String,
+               batch: DataFrame): Unit = {
+      val idx = load(spark, path)
+      batch.select(col(idx.idCol), col(idx.vecCol),
+          explode(graft.expressions.HashFunctions.nearestCentroids(
+            col(idx.vecCol), idx.centroids.map(_._1),
+            idx.centroids.map(_._2.toArray), idx.assignSpill)).as("_cell"))
+        .select(col("_cell"), col(idx.idCol),
+          graft.expressions.PqFunctions.pqEncode(col(idx.vecCol), idx.codebook.books)
+            .as("_codes"),
+          norm(col(idx.vecCol)).cast("double").as("_norm"))
+        .localCheckpoint()
+        .write.mode("append").parquet(s"$path/cells")
+      batch.select(col(idx.idCol), col(idx.vecCol))
+        .localCheckpoint()
+        .write.mode("append").parquet(s"$path/vecs")
+    }
+  }
+
+  /** Build an IVF-PQ index: IVF coarse quantizer (same machinery as
+    * [[buildIvfIndex]]) + PQ codebooks; cells carry codes, not vectors. */
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+                      numCentroids: Int = 64, lloydIters: Int = 2,
+                      assignSpill: Int = 3, refineDenom: Int = 4,
+                      m: Int = 8, ksub: Int = 256,
+                      trainSample: Int = 4096): IvfPqIndex = {
+    val ivf = buildIvfIndex(corpus, idCol, vecCol, numCentroids, lloydIters,
+      assignSpill, refineDenom)
+    val cb = trainPqCodebook(corpus, idCol, vecCol, dim, m, ksub, trainSample)
+    val cells = ivf.cells.select(col("_cell"), col(idCol),
+      graft.expressions.PqFunctions.pqEncode(col(vecCol), cb.books).as("_codes"),
+      norm(col(vecCol)).cast("double").as("_norm"))
+    IvfPqIndex(ivf.centroids, cb, cells,
+      corpus.select(col(idCol), col(vecCol)), idCol, vecCol, assignSpill)
+  }
+
+  /** One-shot build + serve (see [[ivfPqTopKIndexed]]). */
+  def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                queries: DataFrame, queryIdCol: String, queryVecCol: String,
+                k: Int, dim: Int, numCentroids: Int = 64, nprobe: Int = 16,
+                m: Int = 8, ksub: Int = 256, refineFactor: Int = 4): DataFrame =
+    ivfPqTopKIndexed(
+      buildIvfPqIndex(corpus, idCol, vecCol, dim, numCentroids, m = m, ksub = ksub),
+      queries, queryIdCol, queryVecCol, k, nprobe, refineFactor)
+
+  /**
+   * Serve a query batch from an [[IvfPqIndex]]: probe `nprobe` cells,
+   * score candidates by ASYMMETRIC distance (exact query against the
+   * candidate's codebook reconstruction — codes never decompress to
+   * vectors), keep `refineFactor × k` per query, then exact-cosine
+   * re-rank those survivors against the full-vector table. The corpus-
+   * proportional work (cell scan + ADC) runs entirely over `m`-byte
+   * codes; full vectors move only for `refineFactor × k × |queries|`
+   * rows. `refineFactor <= 0` skips the re-rank (pure ADC ranking).
+   */
+  def ivfPqTopKIndexed(index: IvfPqIndex, queries: DataFrame,
+                       queryIdCol: String, queryVecCol: String,
+                       k: Int, nprobe: Int = 16,
+                       refineFactor: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val idCol = index.idCol
+    val cents = broadcast(index.centroids.toSeq.toDF("_cid", "_cvec"))
+    val q = queries.select(col(queryIdCol).as("_qid"), col(queryVecCol).as("_qvec"))
+      .withColumn("_qnorm", norm(col("_qvec")))
+    val pw = Window.partitionBy(col("_qid"))
+      .orderBy(cosine(col("_qvec"), col("_cvec")).desc, col("_cid").asc)
+    val probes = q.crossJoin(cents)
+      .withColumn("_pr", row_number().over(pw))
+      .filter(col("_pr") <= nprobe)
+      .select(col("_qid"), col("_qvec"), col("_qnorm"), col("_cid").as("_cell"))
+    val adc = index.cells.join(probes, Seq("_cell"))
+      .filter(col(idCol) =!= col("_qid"))
+      .dropDuplicates("_qid", idCol)
+      .withColumn("_adc",
+        graft.expressions.PqFunctions.pqAdcDot(col("_codes"), col("_qvec"),
+          index.codebook.books) / (col("_norm") * col("_qnorm")))
+    val aw = Window.partitionBy(col("_qid")).orderBy(col("_adc").desc, col(idCol).asc)
+    if (refineFactor <= 0)
+      return adc.withColumn("rank", row_number().over(aw))
+        .filter(col("rank") <= k)
+        .select(col("_qid").as(queryIdCol), col(idCol), col("rank"))
+    val survivors = adc.withColumn("_arank", row_number().over(aw))
+      .filter(col("_arank") <= refineFactor * k)
+      .select(col("_qid"), col(idCol), col("_qvec"))
+    // survivors are batch-sized — broadcast them against the full-vector
+    // table so the re-rank is one scan of vecs with no shuffle
+    val exact = index.vecs.join(broadcast(survivors), Seq(idCol))
+      .withColumn("_cos", cosine(col(index.vecCol), col("_qvec")))
+    val w = Window.partitionBy(col("_qid")).orderBy(col("_cos").desc, col(idCol).asc)
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("_qid").as(queryIdCol), col(idCol), col("rank"))
+  }
+
   /** Serve one query batch from a built (or loaded) [[IvfIndex]]. */
   def ivfTopKIndexed(index: IvfIndex, queries: DataFrame,
                      queryIdCol: String, queryVecCol: String,
