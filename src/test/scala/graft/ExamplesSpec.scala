@@ -76,8 +76,18 @@ class ExamplesSpec extends SparkSpec {
     assert(failed.isEmpty,
       failed.map(r => s"${r.name}: ${r.failure.get}").mkString("; "))
 
+    // the crawl drop is real WET: gzip members, conversion records, and
+    // the ingested frame row-matches the source corpus
+    val wetFiles = new java.io.File(s"$out/crawl/wet").listFiles()
+      .filter(_.getName.endsWith(".warc.gz"))
+    assert(wetFiles.nonEmpty)
+    val wet = graft.sources.WarcSource.wetDocuments(spark, s"$out/crawl/wet")
+    assert(wet.count() ==
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count())
+
     val scored = spark.read.parquet(s"$out/clean/scored")
     assert(scored.columns.contains("gopher_pass"))
+    assert(scored.columns.contains("lang")) // metadata joined back on
     assert(scored.filter("NOT gopher_pass").count() == 0) // junk quarantined
 
     val packed = spark.read.parquet(s"$out/train/packed")

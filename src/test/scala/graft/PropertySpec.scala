@@ -272,4 +272,40 @@ class PropertySpec extends SparkSpec {
       .collect()(0).getDouble(0)
     assert(math.abs(dup - 0.5) < 1e-12) // {1,2,5} vs {1,2,9}: inter 2, union 4
   }
+
+  test("PQ expressions equal the driver reference: encode argmin, ADC reconstruction dot") {
+    import org.apache.spark.sql.functions._
+    import graft.expressions.PqFunctions
+    val rng = new scala.util.Random(7)
+    val dim = 12; val m = 3; val dsub = dim / m; val ksub = 5
+    val books: Array[Array[Array[Double]]] =
+      Array.fill(m, ksub, dsub)(rng.nextGaussian())
+    val vecs = Seq.fill(60)(Array.fill(dim)(rng.nextGaussian().toFloat)) ++
+      Seq(Array.fill(dim)(0.0f)) // degenerate all-zero vector
+    def refEncode(v: Array[Float]): Array[Byte] =
+      Array.tabulate(m) { s =>
+        (0 until ksub).minBy { j =>
+          (0 until dsub).map { t =>
+            val d = v(s * dsub + t) - books(s)(j)(t); d * d
+          }.sum
+        }.toByte
+      }
+    def refAdc(codes: Array[Byte], q: Array[Float]): Double =
+      (0 until m).map { s =>
+        val c = books(s)(codes(s) & 0xFF)
+        (0 until dsub).map(t => q(s * dsub + t).toDouble * c(t)).sum
+      }.sum
+    val q = Array.fill(dim)(rng.nextGaussian().toFloat)
+    val rows = vecs.map(v => Tuple1(v.toSeq)).toDF("v")
+      .select($"v".cast("array<float>").as("v"))
+      .withColumn("codes", PqFunctions.pqEncode($"v", books))
+      .withColumn("adc", PqFunctions.pqAdcDot($"codes", typedLit(q.toSeq), books))
+      .select($"v", $"codes", $"adc").collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0).toArray
+      val codes = r.getAs[Array[Byte]](1)
+      assert(codes.toSeq == refEncode(v).toSeq, s"encode mismatch on ${v.take(3).toSeq}")
+      assert(math.abs(r.getDouble(2) - refAdc(codes, q)) < 1e-9)
+    }
+  }
 }
