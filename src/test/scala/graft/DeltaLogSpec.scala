@@ -359,6 +359,81 @@ class DeltaLogSpec extends SparkSpec {
       Seq((1L, "2026-01-01"), (2L, "2026-01-02")))
   }
 
+  test("change data feed: derived insert/delete rows from add/remove commits") {
+    val dir = buildBasic() // v0: files A+B (ids 1..4); v1: remove B, add B2 (id 3)
+    val ch = DeltaLog.changes(spark, dir, 0L)
+    assert(ch.columns.toSeq ==
+      Seq("id", "name", "_change_type", "_commit_version", "_commit_timestamp"))
+    val byCommit = ch.groupBy("_commit_version", "_change_type")
+      .agg(sort_array(collect_list("id")).as("ids"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getSeq[Long](2)).toMap
+    assert(byCommit((0L, "insert")) == Seq(1L, 2L, 3L, 4L))
+    assert(byCommit((1L, "insert")) == Seq(3L))       // B2's rewrite
+    assert(byCommit((1L, "delete")) == Seq(3L, 4L))   // B's removal
+    // range narrowing: only v1's changes
+    val v1 = DeltaLog.changes(spark, dir, 1L, Some(1L))
+    assert(v1.select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    assert(v1.count() == 3)
+    // commit timestamps surface from commitInfo (v0 at 1000 ms, v1 at 2000)
+    val ts = DeltaLog.changes(spark, dir, 0L)
+      .select("_commit_version", "_commit_timestamp").distinct().collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    assert(ts(0L) == 1000L && ts(1L) == 2000L)
+    // net effect of the feed reconciles with the snapshots
+    intercept[IllegalArgumentException] { DeltaLog.changes(spark, dir, 5L) }
+  }
+
+  test("change data feed: cdc actions supersede add/remove; compaction is silent") {
+    val dir = tmp()
+    dataFile(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), dir, "f0.parquet")
+    commit(dir, 0, Seq(infoLine(1000), protocolLine(), metaLine(abSchema),
+      addLine("f0.parquet")))
+    // v1: a CDF-enabled writer emitted an explicit cdc file (an update:
+    // pre+post images) alongside the add/remove it describes
+    dataFile(Seq((2L, "b", "update_preimage"), (2L, "B!", "update_postimage"))
+      .toDF("id", "name", "_change_type"), dir, "_change_data/c0.parquet")
+    dataFile(Seq((1L, "a"), (2L, "B!")).toDF("id", "name"), dir, "f1.parquet")
+    commit(dir, 1, Seq(infoLine(2000),
+      s"""{"cdc":{"path":"_change_data/c0.parquet","partitionValues":{},"size":1,"dataChange":false}}""",
+      removeLine("f0.parquet"), addLine("f1.parquet")))
+    // v2: pure compaction (dataChange=false) — no change rows at all
+    dataFile(Seq((1L, "a"), (2L, "B!")).toDF("id", "name"), dir, "f2.parquet")
+    commit(dir, 2, Seq(infoLine(3000),
+      s"""{"remove":{"path":"f1.parquet","deletionTimestamp":3000,"dataChange":false}}""",
+      s"""{"add":{"path":"f2.parquet","partitionValues":{},"size":1,"modificationTime":3000,"dataChange":false}}"""))
+    val ch = DeltaLog.changes(spark, dir, 1L)
+    val rows = ch.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.toSet == Set(
+      (2L, "b", "update_preimage", 1L),
+      (2L, "B!", "update_postimage", 1L)))
+  }
+
+  test("change data feed: partitioned tables attach partition values to changes") {
+    val dir = tmp()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("day", StringType)))
+    dataFile(Seq(Tuple1(1L)).toDF("id"), dir, "p0.parquet")
+    dataFile(Seq(Tuple1(2L)).toDF("id"), dir, "p1.parquet")
+    commit(dir, 0, Seq(infoLine(1000), protocolLine(),
+      metaLine(schema, partitionCols = Seq("day")),
+      addLine("p0.parquet", pv = Map("day" -> "2026-01-01")),
+      addLine("p1.parquet", pv = Map("day" -> "2026-01-02"))))
+    commit(dir, 1, Seq(infoLine(2000), removeLine("p1.parquet")))
+    val ch = DeltaLog.changes(spark, dir, 0L).orderBy("_commit_version", "id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(ch.toSeq == Seq(
+      (1L, "2026-01-01", "insert"), (2L, "2026-01-02", "insert"),
+      (2L, "2026-01-02", "delete")))
+    // declarative dispatch: starting_version selects the feed
+    val feed = Sources.read(spark, Sources.ReadConfig("delta", path = Some(dir),
+      options = Map("starting_version" -> "1")))
+    assert(feed.count() == 1 &&
+      feed.head().getAs[String]("_change_type") == "delete")
+  }
+
   test("declarative dispatch: format delta with time-travel options") {
     val dir = buildBasic()
     val latest = Sources.read(spark, Sources.ReadConfig("delta", path = Some(dir)))
