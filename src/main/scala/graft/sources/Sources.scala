@@ -288,7 +288,8 @@ object Sources {
             codec = cfg.options.getOrElse("codec", "snappy"))
         case "excel" => ExcelSource.write(d, path, cfg.mode)
         case _ => WarcSource.write(d, path, cfg.mode,
-          gzip = cfg.options.get("gzip").forall(_.toBoolean),
+          codec = cfg.options.get("codec").getOrElse(
+            if (cfg.options.get("gzip").exists(!_.toBoolean)) "none" else "gzip"),
           defaultRecordType = cfg.options.getOrElse("record_type", "conversion"))
       }
       refreshSink(df, path)

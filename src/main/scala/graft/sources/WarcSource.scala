@@ -122,13 +122,22 @@ object WarcSource {
     if (t.startsWith("<") && t.endsWith(">")) t.substring(1, t.length - 1) else t
   }
 
-  /** Streaming record iterator over one (possibly gzipped) WARC file.
-    * Constant memory: one record payload at most is live. */
+  /** Streaming record iterator over one (possibly compressed) WARC file.
+    * Constant memory: one record payload at most is live. `.gz` =
+    * multi-member gzip (JDK reads concatenated members transparently);
+    * `.zst` = multi-frame zstd via the zstd-jni that ships with Spark
+    * (`setContinuous` reads concatenated frames — the layout newer
+    * Common Crawl segments use). */
   private[sources] def parseStream(raw: InputStream, sourceFile: String,
                                    opts: WarcOptions): Iterator[Row] = {
-    val in = new BufferedInputStream(
-      if (sourceFile.endsWith(".gz")) new GZIPInputStream(raw, 64 * 1024) else raw,
-      64 * 1024)
+    val decoded: InputStream =
+      if (sourceFile.endsWith(".gz")) new GZIPInputStream(raw, 64 * 1024)
+      else if (sourceFile.endsWith(".zst")) {
+        val z = new com.github.luben.zstd.ZstdInputStream(raw)
+        z.setContinuous(true)
+        z
+      } else raw
+    val in = new BufferedInputStream(decoded, 64 * 1024)
     new Iterator[Row] {
       private var nextRow: Row = _
       private var done = false
@@ -243,10 +252,17 @@ object WarcSource {
   private val CRLF = "\r\n".getBytes("ISO-8859-1")
 
   private def writeRecord(out: OutputStream, headers: Seq[(String, String)],
-                          payload: Array[Byte], gzip: Boolean): Unit = {
-    // one gzip member per record (Common Crawl convention): finish() the
-    // member but keep the underlying stream open
-    val target = if (gzip) new GZIPOutputStream(out, 64 * 1024) else out
+                          payload: Array[Byte], codec: String): Unit = {
+    // one compressed member/frame per record (Common Crawl convention):
+    // finish the member but keep the underlying stream open
+    val target = codec match {
+      case "gzip" => new GZIPOutputStream(out, 64 * 1024)
+      case "zstd" =>
+        val z = new com.github.luben.zstd.ZstdOutputStream(out)
+        z.setCloseFrameOnFlush(true) // flush finalizes the frame; stream stays open
+        z
+      case _ => out
+    }
     def line(s: String): Unit = {
       target.write(s.getBytes("ISO-8859-1")); target.write(CRLF)
     }
@@ -258,6 +274,7 @@ object WarcSource {
     target.write(CRLF); target.write(CRLF)
     target match {
       case g: GZIPOutputStream => g.finish(); g.flush()
+      case z: com.github.luben.zstd.ZstdOutputStream => z.flush()
       case s => s.flush()
     }
   }
@@ -276,7 +293,9 @@ object WarcSource {
    * Returns rows written, counted by the write tasks.
    */
   def write(df: DataFrame, path: String, mode: String = "overwrite",
-            gzip: Boolean = true, defaultRecordType: String = "conversion"): Long = {
+            codec: String = "gzip", defaultRecordType: String = "conversion"): Long = {
+    require(Set("gzip", "zstd", "none").contains(codec),
+      s"warc codec must be gzip/zstd/none, got '$codec'")
     val spark = df.sparkSession
     val hconf = spark.sessionState.newHadoopConf()
     val fs = new Path(path).getFileSystem(hconf)
@@ -302,7 +321,11 @@ object WarcSource {
        else lit(null).cast(MapType(StringType, StringType))).as("headers"))
     val entries = confEntries(hconf)
     val token = java.lang.Long.toHexString(System.nanoTime())
-    val ext = if (gzip) "warc.gz" else "warc"
+    val ext = codec match {
+      case "gzip" => "warc.gz"
+      case "zstd" => "warc.zst"
+      case _ => "warc"
+    }
     def writeTo(dir: String): Long =
       normalized.rdd.mapPartitionsWithIndex { (i, rows) =>
         if (rows.isEmpty && i != 0) Iterator.single(0L)
@@ -335,7 +358,7 @@ object WarcSource {
                 uri.map("WARC-Target-URI" -> _) ++
                 Option(r.getAs[String]("content_type")).map("Content-Type" -> _) ++
                 extra
-            writeRecord(os, headers, payload, gzip)
+            writeRecord(os, headers, payload, codec)
             n += 1
           } finally os.close()
           Iterator.single(n)

@@ -240,4 +240,39 @@ class SoakSpec extends SparkSpec {
     assert(a.numExchanges == 0, "classifier scoring must be a pure projection")
     assert(out.filter($"quality_prob".isNull).count() == 0)
   }
+
+  test("fuzzy join at 2M duplicate-heavy rows: value-collapsed, exact match count", Soak) {
+    // 2M ids over 2k distinct names (the duplicate-heavy corpus shape):
+    // the signature machinery must run on the 2k values, never the 2M ids
+    val n = 2000000L
+    val names = (df: DataFrame) => df.select($"id",
+      concat(lit("record name number "), ($"id" % 2000).cast("string")).as("name"))
+    val left = names(spark.range(n).toDF("id"))
+    val right = names(spark.range(n / 100).toDF("id"))
+      .select(($"id" + 10000000L).as("rid"), $"name")
+    val out = graft.operators.Fuzzy.fuzzyJoin(
+      left, "id", "name", right, "rid", "name", maxDist = 1)
+    assertScaleSafe("fuzzyJoin", PlanAudit.audit(out))
+    val got = out.count()
+    // exact expectation: brute-force levenshtein over the 2000 distinct
+    // suffixes, scaled by the duplication factors of each side
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val expected = (0 until 2000).map { d =>
+      val hits = (0 until 2000).count(v => lev(d.toString, v.toString) <= 1)
+      hits.toLong * (n / 2000) * (n / 100 / 2000)
+    }.sum
+    assert(got == expected, s"fuzzy join: got $got expected $expected")
+  }
 }

@@ -141,6 +141,20 @@ class WarcSpec extends SparkSpec {
     intercept[IllegalArgumentException] { WarcSource.write(df, dir, mode = "error") }
   }
 
+  test("zstd codec: one-frame-per-record write reads back through setContinuous") {
+    val dir = tmp() + "/z"
+    val df = Seq(("https://a.example/1", "zstd doc one"),
+      ("https://a.example/2", "zstd doc two, somewhat longer to compress"))
+      .toDF("target_uri", "content")
+    assert(WarcSource.write(df, dir, codec = "zstd") == 2L)
+    val files = new File(dir).listFiles().filter(_.getName.endsWith(".warc.zst"))
+    assert(files.nonEmpty)
+    val back = WarcSource.read(spark, dir).orderBy("target_uri").collect()
+    assert(back.length == 2)
+    assert(new String(back(0).getAs[Array[Byte]]("content"), "UTF-8") == "zstd doc one")
+    intercept[IllegalArgumentException] { WarcSource.write(df, dir, codec = "lz77") }
+  }
+
   test("malformed inputs fail fast, never silently mis-parse") {
     val dir1 = tmp()
     writeFile(dir1, "bad.warc", "HTTP/1.1 200 OK\r\n\r\n".getBytes("ISO-8859-1"))
