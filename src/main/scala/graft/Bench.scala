@@ -36,8 +36,8 @@ object Bench {
     "q_delta_optimize", "q_bpe_tokens", "q_quality_classifier",
     // r8 additions: fuzzy matching + mergeable quantiles
     "q_fuzzy_join", "q_entity_resolution", "q_kll_quantiles",
-    // r8 additions: WARC ingestion + PQ-quantized ANN
-    "q_warc_roundtrip", "q_ivfpq_topk")
+    // r8 additions: WARC ingestion + PQ-quantized ANN + Delta CDF + Iceberg
+    "q_warc_roundtrip", "q_ivfpq_topk", "q_delta_changes", "q_iceberg_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

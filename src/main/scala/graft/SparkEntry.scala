@@ -757,6 +757,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"),
           min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
     }),
+    "q_iceberg_roundtrip" -> ((s, d) => {
+      // the native Iceberg path end-to-end: two append commits through
+      // real metadata/manifest-list/manifest files, then a current read
+      // and a snapshot time-travel read. The oracle recomputes both
+      // snapshots from the ORIGINAL parquet, so a hash match certifies
+      // the spec round-trip (avro manifests included), not just the plan.
+      val orders = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_iceberg_q")
+        .toString + "/orders"
+      graft.sources.IcebergSource.write(
+        orders.filter(col("o_orderkey") % 3 === 0), root, "append")
+      graft.sources.IcebergSource.write(
+        orders.filter(col("o_orderkey") % 3 === 1), root, "append")
+      val firstSnap = graft.sources.IcebergSource.snapshots(s, root).head
+      val v1 = graft.sources.IcebergSource.read(s, root,
+        snapshotId = Some(firstSnap.snapshotId)).withColumn("ver", lit(1))
+      val v2 = graft.sources.IcebergSource.read(s, root).withColumn("ver", lit(2))
+      v1.unionByName(v2).groupBy("ver", "o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+    }),
     "q_delta_changes" -> ((s, d) => {
       // the change data feed end-to-end: two appends + an overwrite
       // through the native commit protocol, then DeltaLog.changes derives
@@ -1494,6 +1516,8 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, n_regionkey, 0 AS ver FROM nation UNION ALL SELECT n_nationkey, n_name, n_regionkey, 1 AS ver FROM nation WHERE (n_nationkey % 2 = 0) OR (n_regionkey <> 0)",
     "q_delta_roundtrip" ->
       "SELECT ver, o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS revenue, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM (SELECT 1 AS ver, o_orderstatus, o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 IN (0, 1) UNION ALL SELECT 2 AS ver, o_orderstatus, o_totalprice, o_orderkey FROM orders WHERE o_totalprice > 150000) GROUP BY 1, 2",
+    "q_iceberg_roundtrip" ->
+      "SELECT ver, o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS revenue, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM (SELECT 1 AS ver, o_orderstatus, o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 = 0 UNION ALL SELECT 2 AS ver, o_orderstatus, o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 IN (0, 1)) GROUP BY 1, 2",
     "q_delta_changes" ->
       "SELECT ver, change_type, count(*) AS n, round(sum(o_totalprice), 2) AS revenue, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM (SELECT 0 AS ver, 'insert' AS change_type, o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 = 0 UNION ALL SELECT 1, 'insert', o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 = 1 UNION ALL SELECT 2, 'delete', o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 IN (0, 1) UNION ALL SELECT 2, 'insert', o_totalprice, o_orderkey FROM orders WHERE o_totalprice > 150000) GROUP BY 1, 2",
     // OPTIMIZE + ZORDER are metadata-only rewrites: the compacted +

@@ -1,0 +1,546 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/**
+ * Native Apache Iceberg table source/sink built directly on the PUBLic
+ * Iceberg table spec (iceberg.apache.org/spec/) — no iceberg-spark
+ * runtime jar (absent in this environment). The format decomposes into
+ * pieces this library already speaks natively: metadata is JSON,
+ * manifest lists and manifests are AVRO (read/written driver-side with
+ * the Avro core jars that ship with Spark — they are KB-sized metadata
+ * files), data files are parquet scanned by Spark's ordinary columnar
+ * reader with pushdown intact.
+ *
+ * Read path (format-version 1 AND 2):
+ *  - table discovery via `metadata/version-hint.text` (HadoopTables
+ *    layout) or the highest `v*.metadata.json` / lexically-last
+ *    `*.metadata.json`; `metadata_location` option overrides;
+ *  - snapshot selection: current, `snapshotId`, or `asOfTimestampMs`
+ *    (newest snapshot at or before the instant — Iceberg's time-travel
+ *    contract); v2 `manifest-list` and v1 inline `manifests` both work;
+ *  - live data files = manifest entries with status EXISTING/ADDED;
+ *  - v2 POSITION DELETES apply: delete files' (file_path, pos) rows
+ *    anti-join the scan's (input_file_name, `_metadata.row_index`) under
+ *    scheme-normalized paths — same shape as the Delta deletion-vector
+ *    path. Equality deletes fail fast (never a silent mis-read);
+ *  - schema comes from the metadata JSON (current-schema-id), converted
+ *    to Spark types with `parquet.field.id` metadata attached, so
+ *    field-id-based resolution can be enabled for renamed-column tables.
+ *    Identity partition columns are stored IN Iceberg data files (the
+ *    spec requires it), so no partition-value reattachment is needed.
+ *
+ * Write path (append / overwrite, unpartitioned spec): data parquet via
+ * the ordinary distributed writer into `data/<commit-uuid>/`, one
+ * manifest per commit (record counts from parquet footers — no second
+ * job), a fresh manifest list (append keeps prior manifests, overwrite
+ * drops them — exactly how the spec removes files from the current
+ * snapshot), `v{N+1}.metadata.json` with snapshot history retained, and
+ * `version-hint.text` last — the same commit-ordering discipline as the
+ * Delta writer. Avro schemas carry the spec's `field-id` attributes.
+ *
+ * Scale: metadata work is driver-side (bounded by manifest counts, the
+ * same model every Iceberg reader uses); the data path is one parquet
+ * scan over the live files.
+ */
+object IcebergSource {
+
+  private val mapper = new ObjectMapper()
+
+  private def fs(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def metaDir(root: String) = new Path(root, "metadata")
+
+  // --------------------------------------------------------- schema (read)
+
+  /** Iceberg schema JSON → Spark type; field ids ride along as
+    * `parquet.field.id` metadata. */
+  private[sources] def toSparkType(node: JsonNode): DataType = {
+    if (node.isTextual) {
+      val s = node.asText()
+      val dec = "decimal\\(\\s*(\\d+)\\s*,\\s*(\\d+)\\s*\\)".r
+      val fixed = "fixed\\[(\\d+)\\]".r
+      s match {
+        case "boolean" => BooleanType
+        case "int" => IntegerType
+        case "long" => LongType
+        case "float" => FloatType
+        case "double" => DoubleType
+        case "date" => DateType
+        case "timestamp" => TimestampNTZType
+        case "timestamptz" => TimestampType
+        case "string" | "uuid" => StringType
+        case "binary" => BinaryType
+        case dec(p, sc) => DecimalType(p.toInt, sc.toInt)
+        case fixed(_) => BinaryType
+        case other => throw new IllegalArgumentException(
+          s"unsupported iceberg type: $other")
+      }
+    } else node.get("type").asText() match {
+      case "struct" => StructType(
+        node.get("fields").elements().asScala.map { f =>
+          StructField(f.get("name").asText(), toSparkType(f.get("type")),
+            nullable = !f.get("required").asBoolean(),
+            new MetadataBuilder()
+              .putLong("parquet.field.id", f.get("id").asLong()).build())
+        }.toSeq)
+      case "list" => ArrayType(toSparkType(node.get("element")),
+        containsNull = !node.get("element-required").asBoolean())
+      case "map" => MapType(toSparkType(node.get("key")),
+        toSparkType(node.get("value")),
+        valueContainsNull = !node.get("value-required").asBoolean())
+      case other => throw new IllegalArgumentException(
+        s"unsupported iceberg nested type: $other")
+    }
+  }
+
+  // -------------------------------------------------------- schema (write)
+
+  /** Spark type → Iceberg schema JSON (ids assigned depth-first). */
+  private[sources] def toIcebergSchemaJson(st: StructType): (String, Int) = {
+    var nextId = 0
+    def id(): Int = { nextId += 1; nextId }
+    def quote(s: String) = mapper.writeValueAsString(s)
+    def conv(dt: DataType): String = dt match {
+      case BooleanType => "\"boolean\""
+      case ByteType | ShortType | IntegerType => "\"int\""
+      case LongType => "\"long\""
+      case FloatType => "\"float\""
+      case DoubleType => "\"double\""
+      case DateType => "\"date\""
+      case TimestampNTZType => "\"timestamp\""
+      case TimestampType => "\"timestamptz\""
+      case StringType => "\"string\""
+      case BinaryType => "\"binary\""
+      case d: DecimalType => s""""decimal(${d.precision}, ${d.scale})""""
+      case s: StructType =>
+        val fields = s.fields.map { f =>
+          val fid = id()
+          s"""{"id":$fid,"name":${quote(f.name)},"required":${!f.nullable},"type":${conv(f.dataType)}}"""
+        }
+        s"""{"type":"struct","fields":[${fields.mkString(",")}]}"""
+      case ArrayType(et, cn) =>
+        val eid = id()
+        s"""{"type":"list","element-id":$eid,"element":${conv(et)},"element-required":${!cn}}"""
+      case MapType(kt, vt, vn) =>
+        val kid = id(); val vid = id()
+        s"""{"type":"map","key-id":$kid,"key":${conv(kt)},"value-id":$vid,"value":${conv(vt)},"value-required":${!vn}}"""
+      case other => throw new IllegalArgumentException(
+        s"no iceberg mapping for ${other.simpleString}")
+    }
+    val json = conv(st)
+    // top-level struct json needs schema-id for the schemas array
+    (json, nextId)
+  }
+
+  // ----------------------------------------------------- metadata location
+
+  /** Latest metadata file: version-hint.text, else highest v*.metadata
+    * .json, else the lexically-last *.metadata.json. */
+  private def latestMetadata(f: FileSystem, root: String): Path = {
+    val hint = new Path(metaDir(root), "version-hint.text")
+    if (f.exists(hint)) {
+      val v = readText(f, hint).trim.toLong
+      val p = new Path(metaDir(root), s"v$v.metadata.json")
+      require(f.exists(p), s"version-hint points at missing $p")
+      return p
+    }
+    val metas = f.listStatus(metaDir(root)).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".metadata.json"))
+    require(metas.nonEmpty, s"$root has no iceberg metadata files")
+    val versioned = "v(\\d+)\\.metadata\\.json".r
+    val byVersion = metas.flatMap(p => p.getName match {
+      case versioned(v) => Some((v.toLong, p))
+      case _ => None
+    })
+    if (byVersion.nonEmpty) byVersion.maxBy(_._1)._2
+    else metas.maxBy(_.getName)
+  }
+
+  def isIcebergTable(spark: SparkSession, root: String): Boolean = {
+    val f = fs(spark, root)
+    f.exists(metaDir(root)) && f.listStatus(metaDir(root))
+      .exists(_.getPath.getName.endsWith(".metadata.json"))
+  }
+
+  private def readText(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  // ------------------------------------------------------- avro (driver)
+
+  /** GenericRecord.get THROWS on absent fields; manifests from different
+    * writers/versions legitimately omit optionals. */
+  private def opt(r: GenericRecord, name: String): Option[AnyRef] =
+    if (r.getSchema.getField(name) == null) None else Option(r.get(name))
+
+  /** Strip `parquet.field.id` metadata for the scan: Spark switches to
+    * field-id resolution when the read schema carries ids, and errors on
+    * files written without them (most name-mapped tables). Name-based
+    * resolution is the default; the ids stay available on
+    * [[tableMeta]].schema for callers that opt into id reads. */
+  private def stripFieldIds(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(fd =>
+      StructField(fd.name, stripFieldIds(fd.dataType), fd.nullable)))
+    case a: ArrayType => a.copy(elementType = stripFieldIds(a.elementType))
+    case m: MapType => m.copy(keyType = stripFieldIds(m.keyType),
+      valueType = stripFieldIds(m.valueType))
+    case other => other
+  }
+
+  private def readAvro(conf: Configuration, path: String): Seq[GenericRecord] = {
+    val reader = new DataFileReader[GenericRecord](
+      new FsInput(new Path(path), conf), new GenericDatumReader[GenericRecord]())
+    try reader.iterator().asScala.toVector finally reader.close()
+  }
+
+  private def writeAvro(conf: Configuration, path: Path, schema: Schema,
+                        records: Seq[GenericRecord]): Long = {
+    val f = path.getFileSystem(conf)
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, f.create(path, true))
+    try records.foreach(w.append) finally w.close()
+    f.getFileStatus(path).getLen
+  }
+
+  // ----------------------------------------------------------- snapshots
+
+  final case class SnapshotInfo(snapshotId: Long, timestampMs: Long,
+                                manifestList: Option[String],
+                                inlineManifests: Seq[String],
+                                operation: String)
+
+  final case class TableMeta(formatVersion: Int, location: String,
+                             schema: StructType, schemaJson: JsonNode,
+                             snapshots: Seq[SnapshotInfo],
+                             currentSnapshotId: Option[Long],
+                             lastColumnId: Int, lastSequenceNumber: Long,
+                             tableUuid: String, version: Long)
+
+  /** Parse the latest (or given) metadata file. */
+  def tableMeta(spark: SparkSession, root: String,
+                metadataLocation: Option[String] = None): TableMeta = {
+    val f = fs(spark, root)
+    val p = metadataLocation.map(new Path(_)).getOrElse(latestMetadata(f, root))
+    val node = mapper.readTree(readText(f, p))
+    val fv = node.get("format-version").asInt()
+    require(fv == 1 || fv == 2, s"unsupported iceberg format-version $fv")
+    val schemaNode =
+      if (node.has("schemas")) {
+        val cur = node.get("current-schema-id").asInt()
+        node.get("schemas").elements().asScala
+          .find(s => s.get("schema-id").asInt() == cur)
+          .getOrElse(throw new IllegalArgumentException(
+            s"current-schema-id $cur not in schemas"))
+      } else node.get("schema") // v1
+    val snaps = Option(node.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala).map { s =>
+      SnapshotInfo(
+        s.get("snapshot-id").asLong(),
+        s.get("timestamp-ms").asLong(),
+        Option(s.get("manifest-list")).map(_.asText()),
+        Option(s.get("manifests")).toSeq
+          .flatMap(_.elements().asScala).map(_.asText()),
+        Option(s.get("summary")).flatMap(su => Option(su.get("operation")))
+          .map(_.asText()).getOrElse("append"))
+    }
+    val versioned = "v(\\d+)\\.metadata\\.json".r
+    val version = p.getName match {
+      case versioned(v) => v.toLong
+      case _ => 0L
+    }
+    TableMeta(fv, node.get("location").asText(root),
+      toSparkType(schemaNode).asInstanceOf[StructType], schemaNode,
+      snaps,
+      Option(node.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L),
+      Option(node.get("last-column-id")).map(_.asInt()).getOrElse(0),
+      Option(node.get("last-sequence-number")).map(_.asLong()).getOrElse(0L),
+      Option(node.get("table-uuid")).map(_.asText())
+        .getOrElse(java.util.UUID.randomUUID().toString),
+      version)
+  }
+
+  /** Snapshot history (id, commit time, operation) — the DESCRIBE
+    * HISTORY equivalent. */
+  def snapshots(spark: SparkSession, root: String): Seq[SnapshotInfo] =
+    tableMeta(spark, root).snapshots.sortBy(_.timestampMs)
+
+  // ---------------------------------------------------------------- read
+
+  /** Iceberg paths may be absolute URIs or relative to the table. */
+  private def absolutize(root: String, p: String): String =
+    if (p.contains(":/") || p.startsWith("/")) p
+    else s"${root.stripSuffix("/")}/$p"
+
+  /** Strip URI schemes so delete-file paths match input_file_name()
+    * regardless of how the writer spelled the scheme. */
+  private def normPath(c: org.apache.spark.sql.Column) =
+    regexp_replace(regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:", ""), "^/+", "/")
+
+  def read(spark: SparkSession, root: String,
+           snapshotId: Option[Long] = None,
+           asOfTimestampMs: Option[Long] = None,
+           metadataLocation: Option[String] = None): DataFrame = {
+    val meta = tableMeta(spark, root, metadataLocation)
+    val target: Option[SnapshotInfo] = (snapshotId, asOfTimestampMs) match {
+      case (Some(id), _) =>
+        Some(meta.snapshots.find(_.snapshotId == id).getOrElse(
+          throw new IllegalArgumentException(
+            s"snapshot $id not in [${meta.snapshots.map(_.snapshotId).mkString(", ")}]")))
+      case (None, Some(ts)) =>
+        val eligible = meta.snapshots.filter(_.timestampMs <= ts).sortBy(_.timestampMs)
+        require(eligible.nonEmpty,
+          s"no iceberg snapshot at or before timestamp $ts")
+        Some(eligible.last)
+      case _ => meta.currentSnapshotId.map(id =>
+        meta.snapshots.find(_.snapshotId == id).getOrElse(
+          throw new IllegalArgumentException(s"current snapshot $id missing")))
+    }
+    val readSchema = stripFieldIds(meta.schema).asInstanceOf[StructType]
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema)
+    val snap = target.getOrElse(return empty)
+
+    val conf = spark.sessionState.newHadoopConf()
+    // manifest list → (manifest path, content); v1 inline list is all data
+    val manifests: Seq[(String, Int)] = snap.manifestList match {
+      case Some(ml) => readAvro(conf, absolutize(root, ml)).map { r =>
+        (r.get("manifest_path").toString,
+          opt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0))
+      }
+      case None => snap.inlineManifests.map(p => (p, 0))
+    }
+    val dataFiles = scala.collection.mutable.ArrayBuffer[String]()
+    val posDeleteFiles = scala.collection.mutable.ArrayBuffer[String]()
+    manifests.foreach { case (mp, manifestContent) =>
+      readAvro(conf, absolutize(root, mp)).foreach { entry =>
+        val status = opt(entry, "status").map(_.asInstanceOf[Int]).getOrElse(1)
+        if (status != 2) { // 2 = DELETED
+          val df0 = entry.get("data_file").asInstanceOf[GenericRecord]
+          val content = opt(df0, "content").map(_.asInstanceOf[Int])
+            .getOrElse(manifestContent)
+          val path = absolutize(root, df0.get("file_path").toString)
+          val fmt = df0.get("file_format").toString
+          require(fmt.equalsIgnoreCase("parquet"),
+            s"unsupported iceberg file format '$fmt' for $path")
+          content match {
+            case 0 => dataFiles += path
+            case 1 => posDeleteFiles += path
+            case 2 => throw new IllegalArgumentException(
+              "iceberg equality deletes are not supported by this native " +
+                "reader — compact the table or read through the Iceberg runtime")
+            case other => throw new IllegalArgumentException(
+              s"unknown iceberg content type $other")
+          }
+        }
+      }
+    }
+    if (dataFiles.isEmpty) return empty
+    val scan = spark.read.schema(readSchema).parquet(dataFiles.toSeq: _*)
+    if (posDeleteFiles.isEmpty) return scan
+    // position deletes: (file_path, pos) anti-join, scheme-normalized
+    val deletes = spark.read.parquet(posDeleteFiles.toSeq: _*)
+      .select(normPath(col("file_path")).as("_gf_path"), col("pos").as("_gf_pos"))
+    scan
+      .withColumn("_gf_path", normPath(input_file_name()))
+      .withColumn("_gf_pos", col("_metadata.row_index"))
+      .join(deletes, Seq("_gf_path", "_gf_pos"), "left_anti")
+      .drop("_gf_path", "_gf_pos")
+  }
+
+  // --------------------------------------------------------------- write
+
+  // spec-conformant avro schemas (field-id attributes included) for the
+  // subset of optional fields this writer populates
+  private val manifestEntrySchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int","field-id":0},
+      |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+      |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+      |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+      |  {"name":"content","type":"int","field-id":134},
+      |  {"name":"file_path","type":"string","field-id":100},
+      |  {"name":"file_format","type":"string","field-id":101},
+      |  {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+      |  {"name":"record_count","type":"long","field-id":103},
+      |  {"name":"file_size_in_bytes","type":"long","field-id":104}
+      |]}}]}""".stripMargin.replaceAll("\n", ""))
+
+  private val manifestFileSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string","field-id":500},
+      |{"name":"manifest_length","type":"long","field-id":501},
+      |{"name":"partition_spec_id","type":"int","field-id":502},
+      |{"name":"content","type":"int","field-id":517},
+      |{"name":"sequence_number","type":"long","field-id":515},
+      |{"name":"min_sequence_number","type":"long","field-id":516},
+      |{"name":"added_snapshot_id","type":"long","field-id":503},
+      |{"name":"added_files_count","type":"int","field-id":504},
+      |{"name":"existing_files_count","type":"int","field-id":505},
+      |{"name":"deleted_files_count","type":"int","field-id":506},
+      |{"name":"added_rows_count","type":"long","field-id":512},
+      |{"name":"existing_rows_count","type":"long","field-id":513},
+      |{"name":"deleted_rows_count","type":"long","field-id":514}
+      |]}""".stripMargin.replaceAll("\n", ""))
+
+  private def parquetRowCount(conf: Configuration, p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /**
+   * Commit `df` to the Iceberg table at `root` (created on first write):
+   * mode `append` adds a snapshot keeping prior data; `overwrite` adds a
+   * snapshot referencing only the new files. Returns rows written.
+   * Unpartitioned spec; appends require an identical schema.
+   */
+  def write(df: DataFrame, root: String, mode: String = "append"): Long = {
+    require(mode == "append" || mode == "overwrite",
+      s"iceberg write mode must be append/overwrite, got '$mode'")
+    val spark = df.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val f = fs(spark, root)
+    val exists = isIcebergTable(spark, root)
+    val prev = if (exists) Some(tableMeta(spark, root)) else None
+    prev.foreach { m =>
+      if (mode == "append")
+        require(m.schema.map(fd => (fd.name, fd.dataType)) ==
+          df.schema.map(fd => (fd.name, fd.dataType)),
+          "iceberg append requires an identical schema " +
+            s"(table: ${m.schema.simpleString}, frame: ${df.schema.simpleString})")
+    }
+
+    // 1. data files
+    val commitUuid = java.util.UUID.randomUUID().toString
+    val dataDir = new Path(root, s"data/$commitUuid")
+    df.write.mode("errorifexists").parquet(dataDir.toString)
+    val files = f.listStatus(dataDir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    val counts = files.map(s => parquetRowCount(conf, s.getPath))
+    val rows = counts.sum
+
+    // 2. one manifest for the commit (snapshot id strictly above any
+    // prior id, so two commits in the same millisecond stay distinct)
+    val snapshotId = math.max(System.currentTimeMillis(),
+      prev.toSeq.flatMap(_.snapshots).map(_.snapshotId + 1).foldLeft(0L)(math.max))
+    val seq = prev.map(_.lastSequenceNumber).getOrElse(0L) + 1
+    val entries = files.zip(counts).map { case (s, n) =>
+      val dataFile = new GenericData.Record(
+        manifestEntrySchema.getField("data_file").schema())
+      dataFile.put("content", 0)
+      dataFile.put("file_path", s.getPath.toString)
+      dataFile.put("file_format", "PARQUET")
+      dataFile.put("partition", new GenericData.Record(
+        manifestEntrySchema.getField("data_file").schema().getField("partition").schema()))
+      dataFile.put("record_count", n)
+      dataFile.put("file_size_in_bytes", s.getLen)
+      val e = new GenericData.Record(manifestEntrySchema)
+      e.put("status", 1) // ADDED
+      e.put("snapshot_id", snapshotId)
+      e.put("sequence_number", seq)
+      e.put("file_sequence_number", seq)
+      e.put("data_file", dataFile)
+      e
+    }
+    val manifestPath = new Path(metaDir(root), s"manifest-$commitUuid.avro")
+    f.mkdirs(metaDir(root))
+    val manifestLen = writeAvro(conf, manifestPath, manifestEntrySchema, entries)
+
+    // 3. manifest list: prior manifests survive an append, not an overwrite
+    def manifestFileRecord(path: String, len: Long, addedFiles: Int,
+                           addedRows: Long, seqNum: Long): GenericRecord = {
+      val r = new GenericData.Record(manifestFileSchema)
+      r.put("manifest_path", path)
+      r.put("manifest_length", len)
+      r.put("partition_spec_id", 0)
+      r.put("content", 0)
+      r.put("sequence_number", seqNum)
+      r.put("min_sequence_number", seqNum)
+      r.put("added_snapshot_id", snapshotId)
+      r.put("added_files_count", addedFiles)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", addedRows)
+      r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      r
+    }
+    val priorManifests: Seq[GenericRecord] =
+      if (mode == "overwrite") Nil
+      else prev.flatMap(m => m.currentSnapshotId.flatMap(id =>
+        m.snapshots.find(_.snapshotId == id))).toSeq.flatMap { s =>
+        s.manifestList.toSeq.flatMap(ml => readAvro(conf, absolutize(root, ml)))
+      }
+    val newManifestList = Seq(manifestFileRecord(manifestPath.toString,
+      manifestLen, files.size, rows, seq)) ++ priorManifests
+    val mlPath = new Path(metaDir(root), s"snap-$snapshotId-$commitUuid.avro")
+    writeAvro(conf, mlPath, manifestFileSchema, newManifestList)
+
+    // 4. metadata vN+1 (snapshot history retained), version-hint LAST
+    val (schemaJson, lastColumnId) = prev match {
+      case Some(m) if mode == "append" =>
+        (mapper.writeValueAsString(m.schemaJson), m.lastColumnId)
+      case _ =>
+        val (js, lastId) = toIcebergSchemaJson(df.schema)
+        // graft the schema-id into the struct json
+        (js.replaceFirst("\\{\"type\":\"struct\"",
+          "{\"type\":\"struct\",\"schema-id\":0"), lastId)
+    }
+    val now = snapshotId
+    val newSnap =
+      s"""{"snapshot-id":$snapshotId,"timestamp-ms":$now,"sequence-number":$seq,
+         |"summary":{"operation":"${if (mode == "append") "append" else "overwrite"}"},
+         |"manifest-list":"${mlPath.toString}","schema-id":0}"""
+        .stripMargin.replaceAll("\n", "")
+    val priorSnaps = prev.toSeq.flatMap(_.snapshots).map { s =>
+      val ml = s.manifestList.map(p => s""","manifest-list":"$p"""").getOrElse("")
+      val im = if (s.inlineManifests.nonEmpty)
+        s""","manifests":[${s.inlineManifests.map(p => s""""$p"""").mkString(",")}]"""
+      else ""
+      s"""{"snapshot-id":${s.snapshotId},"timestamp-ms":${s.timestampMs},
+         |"summary":{"operation":"${s.operation}"}$ml$im}""".stripMargin.replaceAll("\n", "")
+    }
+    val allSnaps = (priorSnaps :+ newSnap).mkString(",")
+    val uuid = prev.map(_.tableUuid).getOrElse(java.util.UUID.randomUUID().toString)
+    val version = prev.map(_.version).getOrElse(0L) + 1
+    val metadataJson =
+      s"""{"format-version":2,"table-uuid":"$uuid","location":"$root",
+         |"last-sequence-number":$seq,"last-updated-ms":$now,
+         |"last-column-id":$lastColumnId,
+         |"schemas":[$schemaJson],"current-schema-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+         |"last-partition-id":999,
+         |"sort-orders":[{"order-id":0,"fields":[]}],"default-sort-order-id":0,
+         |"snapshots":[$allSnaps],"current-snapshot-id":$snapshotId,
+         |"snapshot-log":[{"snapshot-id":$snapshotId,"timestamp-ms":$now}]}"""
+        .stripMargin.replaceAll("\n", "")
+    val metaPath = new Path(metaDir(root), s"v$version.metadata.json")
+    val out = f.create(metaPath, false)
+    try out.write(metadataJson.getBytes("UTF-8")) finally out.close()
+    val hint = f.create(new Path(metaDir(root), "version-hint.text"), true)
+    try hint.write(version.toString.getBytes("UTF-8")) finally hint.close()
+    rows
+  }
+}

@@ -28,7 +28,7 @@ object Sources {
       // the native formats have no streaming DataSource — fail at plan
       // time with the workaround, not at runtime with a lookup error
       require(cfg.format != "avro" && cfg.format != "excel" && cfg.format != "media"
-          && cfg.format != "delta" && cfg.format != "warc",
+          && cfg.format != "delta" && cfg.format != "warc" && cfg.format != "iceberg",
         s"${cfg.format} has no streaming source in this environment; " +
           "batch-read it or stream a parquet/json landing copy " +
           "(for media: readStream.format(\"binaryFile\") + Multimodal.asMedia)")
@@ -75,6 +75,15 @@ object Sources {
               org.apache.spark.sql.functions.col("content"), "UTF-8").as("text"))
       else WarcSource.read(spark, warcPath, opts)
     }
+    // iceberg routes through the native metadata/manifest reader (no
+    // iceberg runtime jar in this env); snapshot_id / as_of_timestamp_ms
+    // are the Iceberg time-travel read options
+    if (cfg.format == "iceberg")
+      return IcebergSource.read(spark,
+        cfg.path.getOrElse(throw new IllegalArgumentException("iceberg read needs path")),
+        snapshotId = cfg.options.get("snapshot_id").map(_.toLong),
+        asOfTimestampMs = cfg.options.get("as_of_timestamp_ms").map(_.toLong),
+        metadataLocation = cfg.options.get("metadata_location"))
     // delta routes through the native transaction-log reader (no
     // delta-spark jar in this env); versionAsOf / timestampAsOf are the
     // reference's time-travel read options (config.py:1355-1390)
@@ -275,6 +284,16 @@ object Sources {
       }
       refreshSink(df, path)
       return commit.rowsWritten
+    }
+    if (cfg.format == "iceberg") {
+      require(cfg.partitionBy.isEmpty && cfg.zorderBy.isEmpty,
+        "iceberg sink writes the unpartitioned spec (identity partition " +
+          "columns live in the data files regardless)")
+      val d = cfg.coalescePartitions.map(df.coalesce).getOrElse(df)
+      val mode = if (cfg.mode == "append") "append" else "overwrite"
+      val rows = IcebergSource.write(d, path, mode)
+      refreshSink(df, path)
+      return rows
     }
     if (cfg.format == "avro" || cfg.format == "excel" || cfg.format == "warc") {
       // native paths (no DataSource jar in this env): rows counted by the

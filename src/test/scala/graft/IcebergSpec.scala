@@ -1,0 +1,220 @@
+package graft
+
+import graft.sources.{IcebergSource, Sources}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.io.File
+import java.nio.file.Files
+
+/**
+ * Native Iceberg source/sink: writer→reader roundtrips through real
+ * spec-conformant metadata/manifests, snapshot time travel, a
+ * hand-built v1 table (inline manifests), v2 position deletes, and the
+ * fail-fast gates (equality deletes, unknown formats).
+ */
+class IcebergSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("iceberg").toString
+
+  test("writer→reader roundtrip: append keeps prior snapshots, overwrite replaces") {
+    val root = tmp() + "/t"
+    val df1 = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "score")
+    assert(IcebergSource.write(df1, root, "append") == 2L)
+    assert(IcebergSource.isIcebergTable(spark, root))
+    val r1 = IcebergSource.read(spark, root).orderBy("id").collect()
+    assert(r1.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(r1(0).getString(1) == "a" && r1(1).getDouble(2) == 2.5)
+
+    // append: both commits visible; snapshot history has 2 entries
+    val df2 = Seq((3L, "c", 3.5)).toDF("id", "name", "score")
+    assert(IcebergSource.write(df2, root, "append") == 1L)
+    assert(IcebergSource.read(spark, root).count() == 3)
+    val snaps = IcebergSource.snapshots(spark, root)
+    assert(snaps.size == 2)
+
+    // time travel: first snapshot still reads 2 rows, by id and by timestamp
+    val firstId = snaps.head.snapshotId
+    assert(IcebergSource.read(spark, root, snapshotId = Some(firstId)).count() == 2)
+    assert(IcebergSource.read(spark, root,
+      asOfTimestampMs = Some(snaps.head.timestampMs)).count() == 2)
+
+    // overwrite: only the new data remains current; history retained
+    val df3 = Seq((9L, "z", 9.9)).toDF("id", "name", "score")
+    assert(IcebergSource.write(df3, root, "overwrite") == 1L)
+    assert(IcebergSource.read(spark, root).collect().map(_.getLong(0)).toSeq == Seq(9L))
+    assert(IcebergSource.read(spark, root, snapshotId = Some(firstId)).count() == 2)
+    assert(IcebergSource.snapshots(spark, root).size == 3)
+
+    // append after overwrite must match schema; mismatched schema fails fast
+    intercept[IllegalArgumentException] {
+      IcebergSource.write(Seq((1L, "x")).toDF("id", "name"), root, "append")
+    }
+  }
+
+  test("type matrix survives the roundtrip incl. nested struct/array/map/decimal") {
+    val root = tmp() + "/types"
+    val df = Seq(
+      (1L, java.sql.Date.valueOf("2026-02-01"),
+        java.sql.Timestamp.valueOf("2026-02-01 10:30:00"),
+        BigDecimal("123.45"), Seq(1.0f, 2.0f), Map("k" -> 7L), ("inner", 3))
+    ).toDF("id", "d", "ts", "dec", "arr", "m", "st")
+      .withColumn("dec", col("dec").cast(DecimalType(10, 2)))
+    IcebergSource.write(df, root, "append")
+    val back = IcebergSource.read(spark, root).collect()(0)
+    assert(back.getAs[java.sql.Date]("d").toString == "2026-02-01")
+    assert(back.getAs[java.math.BigDecimal]("dec").toPlainString == "123.45")
+    assert(back.getAs[scala.collection.Seq[Float]]("arr").toSeq == Seq(1.0f, 2.0f))
+    assert(back.getAs[scala.collection.Map[String, Long]]("m").toMap == Map("k" -> 7L))
+    assert(back.getAs[org.apache.spark.sql.Row]("st").getString(0) == "inner")
+    // field ids attached for field-id-based resolution
+    val meta = IcebergSource.tableMeta(spark, root)
+    assert(meta.schema.fields.forall(_.metadata.contains("parquet.field.id")))
+  }
+
+  test("hand-built v1 table with inline manifests reads") {
+    val root = tmp() + "/v1"
+    val f = new File(root, "metadata"); f.mkdirs()
+    // data file via plain parquet
+    val dataDir = new File(root, "data"); dataDir.mkdirs()
+    Seq((10L, "x"), (11L, "y")).toDF("id", "name").coalesce(1)
+      .write.mode("overwrite").parquet(root + "/stage")
+    val part = new File(root + "/stage").listFiles()
+      .find(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_")).get
+    val dataFile = new File(dataDir, "f1.parquet")
+    Files.copy(part.toPath, dataFile.toPath)
+    // v1 manifest via the writer's machinery is v2-shaped; hand-build a
+    // minimal v1-style manifest instead (no content fields anywhere)
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"record_count","type":"long"}]}}]}"""
+        .stripMargin.replaceAll("\n", ""))
+    val entry = new org.apache.avro.generic.GenericData.Record(entrySchema)
+    val d = new org.apache.avro.generic.GenericData.Record(
+      entrySchema.getField("data_file").schema())
+    d.put("file_path", dataFile.getAbsolutePath)
+    d.put("file_format", "PARQUET")
+    d.put("record_count", 2L)
+    entry.put("status", 1); entry.put("data_file", d)
+    val manifest = new File(f, "m1.avro")
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](entrySchema))
+    w.create(entrySchema, manifest); w.append(entry); w.close()
+    // v1 metadata: "schema" (singular), snapshot with inline "manifests"
+    val schemaJson =
+      """{"type":"struct","fields":[
+        |{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"name","required":false,"type":"string"}]}"""
+        .stripMargin.replaceAll("\n", "")
+    val metadata =
+      s"""{"format-version":1,"table-uuid":"u1","location":"$root",
+         |"last-updated-ms":1000,"last-column-id":2,"schema":$schemaJson,
+         |"partition-spec":[],"snapshots":[{"snapshot-id":77,"timestamp-ms":1000,
+         |"manifests":["${manifest.getAbsolutePath}"]}],
+         |"current-snapshot-id":77}""".stripMargin.replaceAll("\n", "")
+    Files.write(new File(f, "v1.metadata.json").toPath, metadata.getBytes("UTF-8"))
+    Files.write(new File(f, "version-hint.text").toPath, "1".getBytes("UTF-8"))
+    val out = IcebergSource.read(spark, root).orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((10L, "x"), (11L, "y")))
+  }
+
+  test("v2 position deletes drop exactly the marked rows; equality deletes fail fast") {
+    val root = tmp() + "/pd"
+    // one data file so row positions are unambiguous in the assertion
+    val df = (0L until 10L).toDF("id").coalesce(1)
+    IcebergSource.write(df, root, "append")
+    val meta = IcebergSource.tableMeta(spark, root)
+    val dataFilePath = new File(root + "/data").listFiles()
+      .filter(_.isDirectory).head.listFiles()
+      .filter(p => p.getName.endsWith(".parquet")).sortBy(_.getName).head
+    // which ids live in that file (multiple part files possible)
+    val inFile = spark.read.parquet(dataFilePath.getAbsolutePath)
+      .collect().map(_.getLong(0)).sorted
+    // delete positions 0 and 2 of that file
+    val deleteParquet = root + "/deletes/d1"
+    Seq((dataFilePath.getAbsolutePath, 0L), ("file:" + dataFilePath.getAbsolutePath, 2L))
+      .toDF("file_path", "pos").coalesce(1).write.parquet(deleteParquet)
+    val delFile = new File(deleteParquet).listFiles()
+      .find(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_")).get
+
+    // splice a delete manifest into the current snapshot's manifest list
+    // by appending a manifest whose entries carry content=1
+    val conf = spark.sessionState.newHadoopConf()
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |{"name":"content","type":"int"},
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"record_count","type":"long"}]}}]}"""
+        .stripMargin.replaceAll("\n", ""))
+    def manifestWith(content: Int, path: String): String = {
+      val e = new org.apache.avro.generic.GenericData.Record(entrySchema)
+      val dd = new org.apache.avro.generic.GenericData.Record(
+        entrySchema.getField("data_file").schema())
+      dd.put("content", content); dd.put("file_path", path)
+      dd.put("file_format", "PARQUET"); dd.put("record_count", 2L)
+      e.put("status", 1); e.put("data_file", dd)
+      val mf = new File(root + "/metadata", s"mdel-$content.avro")
+      val w = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](entrySchema))
+      w.create(entrySchema, mf); w.append(e); w.close()
+      mf.getAbsolutePath
+    }
+    val deleteManifest = manifestWith(1, delFile.getAbsolutePath)
+    // hand-write a v1-style metadata pointing at data manifests + delete manifest
+    val dataManifest = manifestWith(0, dataFilePath.getAbsolutePath)
+    val schemaJson = """{"type":"struct","fields":[{"id":1,"name":"id","required":false,"type":"long"}]}"""
+    val metadata =
+      s"""{"format-version":2,"table-uuid":"u2","location":"$root",
+         |"last-sequence-number":9,"last-updated-ms":2000,"last-column-id":1,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":[{"id":1,"name":"id","required":false,"type":"long"}]}],
+         |"current-schema-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+         |"last-partition-id":999,
+         |"snapshots":[{"snapshot-id":88,"timestamp-ms":2000,
+         |"manifests":["$dataManifest","$deleteManifest"]}],
+         |"current-snapshot-id":88}""".stripMargin.replaceAll("\n", "")
+    val mfile = new File(root + "/metadata", "v99.metadata.json")
+    Files.write(mfile.toPath, metadata.getBytes("UTF-8"))
+    // the writer created version-hint via the Hadoop FS (with a .crc
+    // sidecar); raw-Java overwrites must drop the stale checksum
+    new File(root + "/metadata", ".version-hint.text.crc").delete()
+    Files.write(new File(root + "/metadata", "version-hint.text").toPath,
+      "99".getBytes("UTF-8"))
+    val out = IcebergSource.read(spark, root).collect().map(_.getLong(0)).sorted
+    // positions 0 and 2 of the file dropped (one via bare path, one via file: scheme)
+    assert(out.toSeq == inFile.toSeq.zipWithIndex.collect {
+      case (v, i) if i != 0 && i != 2 => v
+    })
+
+    // equality deletes (content=2) fail fast
+    val eqManifest = manifestWith(2, delFile.getAbsolutePath)
+    val metadata2 = metadata.replace(s""""$deleteManifest"""", s""""$eqManifest"""")
+    Files.write(mfile.toPath, metadata2.getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] { IcebergSource.read(spark, root) }
+    assert(e.getMessage.contains("equality deletes"))
+  }
+
+  test("declarative dispatch: format iceberg read/write with time travel") {
+    val root = tmp() + "/disp"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val rows = Sources.writeWithStats(df, root,
+      Sources.WriteConfig(format = "iceberg", mode = "append"))
+    assert(rows == 2L)
+    Sources.writeWithStats(Seq((3L, "c")).toDF("id", "name"), root,
+      Sources.WriteConfig(format = "iceberg", mode = "append"))
+    assert(Sources.read(spark, Sources.ReadConfig("iceberg", path = Some(root)))
+      .count() == 3)
+    val first = IcebergSource.snapshots(spark, root).head
+    assert(Sources.read(spark, Sources.ReadConfig("iceberg", path = Some(root),
+      options = Map("snapshot_id" -> first.snapshotId.toString))).count() == 2)
+  }
+}
