@@ -43,7 +43,8 @@ object Tools {
       |  ui:      <root> --out DIR [--story DIR] [--config YAML] [--sla P=HOURS ...] [--default-sla H]
       |           [--watch [--interval SECONDS] [--max-renders N]]
       |  delta:   optimize <root> [--target-file-mb N] [--zorder-by a,b]
-      |           vacuum <root> [--retention-hours H] [--dry-run] | history <root>""".stripMargin
+      |           vacuum <root> [--retention-hours H] [--dry-run] | history <root>
+      |  iceberg: history <root>""".stripMargin
 
   def main(argv: Array[String]): Unit = sys.exit(mainExit(argv))
 
@@ -63,8 +64,26 @@ object Tools {
     case "ui" :: rest => uiCommand(rest)
     case "docs" :: rest => docsCommand(rest)
     case "delta" :: rest => deltaCommand(rest)
+    case "iceberg" :: rest => icebergCommand(rest)
     case _ =>
       System.err.println(usage)
+      2
+  }
+
+  /** Inspection verbs for native Iceberg tables (snapshot history —
+    * the DESCRIBE HISTORY equivalent over the public spec). */
+  private def icebergCommand(args: List[String]): Int = args match {
+    case "history" :: root :: Nil =>
+      withSpark { spark =>
+        graft.sources.IcebergSource.snapshots(spark, root).foreach { s =>
+          println(s"snapshot=${s.snapshotId} ts=${s.timestampMs} " +
+            s"op=${s.operation} manifests=${
+              s.manifestList.map(_ => "list").getOrElse(s.inlineManifests.size.toString)}")
+        }
+        0
+      }
+    case _ =>
+      System.err.println("usage: graft.Tools iceberg history <root>")
       2
   }
 

@@ -193,7 +193,10 @@ object Doctor {
           (if (f.canWrite) "" else " (read-only)"))
     } else {
       val fmt = path.reverse.takeWhile(_ != '.').reverse.toLowerCase match {
-        case e @ ("parquet" | "csv" | "json" | "yaml" | "yml" | "avro") => e
+        case e @ ("parquet" | "csv" | "json" | "yaml" | "yml" | "avro"
+                  | "xlsx" | "warc") => e
+        case "gz" if path.toLowerCase.endsWith(".warc.gz") => "warc"
+        case "zst" if path.toLowerCase.endsWith(".warc.zst") => "warc"
         case _ => "unknown"
       }
       Check(s"path:$path", "ok", s"file, ${f.length()} bytes, format=$fmt")

@@ -203,6 +203,14 @@ class IcebergSpec extends SparkSpec {
     assert(e.getMessage.contains("equality deletes"))
   }
 
+  test("Tools iceberg history lists snapshots") {
+    val root = tmp() + "/hist"
+    IcebergSource.write(Seq((1L, "a")).toDF("id", "name"), root, "append")
+    IcebergSource.write(Seq((2L, "b")).toDF("id", "name"), root, "overwrite")
+    assert(Tools.mainExit(Array("iceberg", "history", root)) == 0)
+    assert(Tools.mainExit(Array("iceberg", "bogus")) == 2)
+  }
+
   test("declarative dispatch: format iceberg read/write with time travel") {
     val root = tmp() + "/disp"
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
