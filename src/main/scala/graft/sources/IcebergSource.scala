@@ -31,10 +31,14 @@ import scala.jdk.CollectionConverters._
  *    (newest snapshot at or before the instant — Iceberg's time-travel
  *    contract); v2 `manifest-list` and v1 inline `manifests` both work;
  *  - live data files = manifest entries with status EXISTING/ADDED;
- *  - v2 POSITION DELETES apply: delete files' (file_path, pos) rows
- *    anti-join the scan's (input_file_name, `_metadata.row_index`) under
- *    scheme-normalized paths — same shape as the Delta deletion-vector
- *    path. Equality deletes fail fast (never a silent mis-read);
+ *  - v2 row-level deletes apply, both classes SEQUENCE-AWARE per the
+ *    spec's inheritance rules: POSITION deletes anti-join the scan's
+ *    (input_file_name, `_metadata.row_index`) under scheme-normalized
+ *    paths for data files with seq <= the delete's (same shape as the
+ *    Delta deletion-vector path); EQUALITY deletes anti-join on the
+ *    delete file's equality columns (field ids resolved through the
+ *    table schema) for data files with seq STRICTLY below the delete's —
+ *    so a re-inserted row after the delete survives;
  *  - schema comes from the metadata JSON (current-schema-id), converted
  *    to Spark types with `parquet.field.id` metadata attached, so
  *    field-id-based resolution can be enabled for renamed-column tables.
@@ -321,17 +325,20 @@ object IcebergSource {
     val snap = target.getOrElse(return empty)
 
     val conf = spark.sessionState.newHadoopConf()
-    // manifest list → (manifest path, content); v1 inline list is all data
-    val manifests: Seq[(String, Int)] = snap.manifestList match {
+    // manifest list → (manifest path, content, sequence); v1 inline = data
+    val manifests: Seq[(String, Int, Long)] = snap.manifestList match {
       case Some(ml) => readAvro(conf, absolutize(root, ml)).map { r =>
         (r.get("manifest_path").toString,
-          opt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0))
+          opt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0),
+          opt(r, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L))
       }
-      case None => snap.inlineManifests.map(p => (p, 0))
+      case None => snap.inlineManifests.map(p => (p, 0, 0L))
     }
-    val dataFiles = scala.collection.mutable.ArrayBuffer[String]()
-    val posDeleteFiles = scala.collection.mutable.ArrayBuffer[String]()
-    manifests.foreach { case (mp, manifestContent) =>
+    final case class FileEntry(path: String, seq: Long, equalityIds: Seq[Int])
+    val dataFiles = scala.collection.mutable.ArrayBuffer[FileEntry]()
+    val posDeleteFiles = scala.collection.mutable.ArrayBuffer[FileEntry]()
+    val eqDeleteFiles = scala.collection.mutable.ArrayBuffer[FileEntry]()
+    manifests.foreach { case (mp, manifestContent, manifestSeq) =>
       readAvro(conf, absolutize(root, mp)).foreach { entry =>
         val status = opt(entry, "status").map(_.asInstanceOf[Int]).getOrElse(1)
         if (status != 2) { // 2 = DELETED
@@ -342,12 +349,20 @@ object IcebergSource {
           val fmt = df0.get("file_format").toString
           require(fmt.equalsIgnoreCase("parquet"),
             s"unsupported iceberg file format '$fmt' for $path")
+          // data sequence number: explicit on the entry, else inherited
+          // from the manifest-list row (the spec's inheritance rule)
+          val seq = opt(entry, "sequence_number").map(_.asInstanceOf[Long])
+            .getOrElse(manifestSeq)
+          val eqIds = opt(df0, "equality_ids").toSeq.flatMap(
+            _.asInstanceOf[java.util.Collection[Any]].asScala.map(
+              _.asInstanceOf[Int]))
           content match {
-            case 0 => dataFiles += path
-            case 1 => posDeleteFiles += path
-            case 2 => throw new IllegalArgumentException(
-              "iceberg equality deletes are not supported by this native " +
-                "reader — compact the table or read through the Iceberg runtime")
+            case 0 => dataFiles += FileEntry(path, seq, Nil)
+            case 1 => posDeleteFiles += FileEntry(path, seq, Nil)
+            case 2 =>
+              require(eqIds.nonEmpty,
+                s"iceberg equality delete file $path lists no equality_ids")
+              eqDeleteFiles += FileEntry(path, seq, eqIds)
             case other => throw new IllegalArgumentException(
               s"unknown iceberg content type $other")
           }
@@ -355,17 +370,64 @@ object IcebergSource {
       }
     }
     if (dataFiles.isEmpty) return empty
-    val scan = spark.read.schema(readSchema).parquet(dataFiles.toSeq: _*)
-    if (posDeleteFiles.isEmpty) return scan
-    // position deletes: (file_path, pos) anti-join, scheme-normalized
-    val deletes = spark.read.parquet(posDeleteFiles.toSeq: _*)
-      .select(normPath(col("file_path")).as("_gf_path"), col("pos").as("_gf_pos"))
-    scan
+    var scan = spark.read.schema(readSchema).parquet(dataFiles.map(_.path).toSeq: _*)
+    if (posDeleteFiles.isEmpty && eqDeleteFiles.isEmpty) return scan
+
+    // every delete class is sequence-aware: attach each data row's file
+    // sequence number via a broadcast (normalized path → seq) map
+    val fileSeq = spark.createDataFrame(
+      dataFiles.map(fe => (fe.path, fe.seq)).toSeq).toDF("_gf_rawpath", "_gf_seq")
+      .select(normPath(col("_gf_rawpath")).as("_gf_path"), col("_gf_seq"))
+    scan = scan
       .withColumn("_gf_path", normPath(input_file_name()))
       .withColumn("_gf_pos", col("_metadata.row_index"))
-      .join(deletes, Seq("_gf_path", "_gf_pos"), "left_anti")
-      .drop("_gf_path", "_gf_pos")
+      .join(broadcast(fileSeq), Seq("_gf_path"))
+
+    // position deletes apply to files with data seq <= the delete's seq
+    if (posDeleteFiles.nonEmpty) {
+      val deletes = spark.read.parquet(posDeleteFiles.map(_.path).toSeq: _*)
+        .withColumn("_gf_dseq",
+          element_at(typedLit(posDeleteFiles.map(fe =>
+            normSchemeString(fe.path) -> fe.seq).toMap),
+            normPath(input_file_name())))
+        .select(normPath(col("file_path")).as("_gf_path"),
+          col("pos").as("_gf_pos"), col("_gf_dseq"))
+      scan = scan.join(deletes,
+        scan("_gf_path") === deletes("_gf_path") &&
+          scan("_gf_pos") === deletes("_gf_pos") &&
+          deletes("_gf_dseq") >= scan("_gf_seq"), "left_anti")
+    }
+
+    // equality deletes apply to files with data seq STRICTLY BELOW the
+    // delete's seq; rows match on the delete file's equality columns
+    // (field ids → names via the table schema). One anti-join per
+    // distinct equality-id set (typically one).
+    if (eqDeleteFiles.nonEmpty) {
+      val idToName: Map[Int, String] = meta.schemaJson.get("fields")
+        .elements().asScala.map(fd =>
+          fd.get("id").asInt() -> fd.get("name").asText()).toMap
+      eqDeleteFiles.groupBy(_.equalityIds).foreach { case (ids, files) =>
+        val cols = ids.map(id => idToName.getOrElse(id,
+          throw new IllegalArgumentException(
+            s"equality_ids field id $id not in the table schema (top-level " +
+              "columns only are supported)")))
+        val del = spark.read.parquet(files.map(_.path).toSeq: _*)
+          .withColumn("_gf_dseq",
+            element_at(typedLit(files.map(fe =>
+              normSchemeString(fe.path) -> fe.seq).toMap),
+              normPath(input_file_name())))
+          .select(cols.map(c => col(c).as(s"_gfd_$c")) :+ col("_gf_dseq"): _*)
+        val cond = cols.map(c => scan(c) <=> del(s"_gfd_$c")).reduce(_ && _) &&
+          del("_gf_dseq") > scan("_gf_seq")
+        scan = scan.join(del, cond, "left_anti")
+      }
+    }
+    scan.drop("_gf_path", "_gf_pos", "_gf_seq")
   }
+
+  /** Driver-side twin of [[normPath]] for literal maps. */
+  private def normSchemeString(p: String): String =
+    p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:", "").replaceFirst("^/+", "/")
 
   // --------------------------------------------------------------- write
 

@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 
 import java.io.File
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 /**
  * Native Iceberg source/sink: writer→reader roundtrips through real
@@ -124,7 +125,7 @@ class IcebergSpec extends SparkSpec {
       Seq((10L, "x"), (11L, "y")))
   }
 
-  test("v2 position deletes drop exactly the marked rows; equality deletes fail fast") {
+  test("v2 position deletes drop exactly the marked rows; malformed eq-delete fails fast") {
     val root = tmp() + "/pd"
     // one data file so row positions are unambiguous in the assertion
     val df = (0L until 10L).toDF("id").coalesce(1)
@@ -195,12 +196,80 @@ class IcebergSpec extends SparkSpec {
       case (v, i) if i != 0 && i != 2 => v
     })
 
-    // equality deletes (content=2) fail fast
+    // an equality delete with no equality_ids is malformed: fail fast
     val eqManifest = manifestWith(2, delFile.getAbsolutePath)
     val metadata2 = metadata.replace(s""""$deleteManifest"""", s""""$eqManifest"""")
     Files.write(mfile.toPath, metadata2.getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException] { IcebergSource.read(spark, root) }
-    assert(e.getMessage.contains("equality deletes"))
+    assert(e.getMessage.contains("equality_ids"))
+  }
+
+  test("v2 equality deletes: sequence-aware — later deletes hit earlier rows only") {
+    val root = tmp() + "/eq"
+    val f = new File(root, "metadata"); f.mkdirs()
+    def oneParquet(df: org.apache.spark.sql.DataFrame, dest: String): String = {
+      df.coalesce(1).write.mode("overwrite").parquet(root + "/stage")
+      val part = new File(root + "/stage").listFiles()
+        .find(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_")).get
+      val d = new File(root, dest); d.getParentFile.mkdirs()
+      Files.copy(part.toPath, d.toPath)
+      d.getAbsolutePath
+    }
+    // data seq 1: ids 1..4 with names; data seq 3: id 2 re-inserted
+    val data1 = oneParquet(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "name"), "data/d1.parquet")
+    val data3 = oneParquet(Seq((2L, "b2")).toDF("id", "name"), "data/d3.parquet")
+    // equality delete at seq 2 on id in {2, 4}: kills seq-1 rows, NOT the
+    // seq-3 re-insert
+    val del2 = oneParquet(Seq(Tuple1(2L), Tuple1(4L)).toDF("id"), "deletes/e2.parquet")
+    val entrySchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"sequence_number","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |{"name":"content","type":"int"},
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |{"name":"record_count","type":"long"},
+        |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}
+        |]}}]}""".stripMargin.replaceAll("\n", ""))
+    def manifest(name: String, content: Int, path: String, seq: Long,
+                 eqIds: Seq[Int]): String = {
+      val e = new org.apache.avro.generic.GenericData.Record(entrySchema)
+      val dd = new org.apache.avro.generic.GenericData.Record(
+        entrySchema.getField("data_file").schema())
+      dd.put("content", content); dd.put("file_path", path)
+      dd.put("file_format", "PARQUET"); dd.put("record_count", 1L)
+      if (eqIds.nonEmpty)
+        dd.put("equality_ids", eqIds.map(Int.box).asJavaCollection)
+      e.put("status", 1); e.put("sequence_number", seq); e.put("data_file", dd)
+      val mf = new File(f, name)
+      val w = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](entrySchema))
+      w.create(entrySchema, mf); w.append(e); w.close()
+      mf.getAbsolutePath
+    }
+    val m1 = manifest("m1.avro", 0, data1, 1L, Nil)
+    val m3 = manifest("m3.avro", 0, data3, 3L, Nil)
+    val me = manifest("me.avro", 2, del2, 2L, Seq(1)) // field id 1 = "id"
+    val metadata =
+      s"""{"format-version":2,"table-uuid":"ue","location":"$root",
+         |"last-sequence-number":3,"last-updated-ms":1000,"last-column-id":2,
+         |"schemas":[{"type":"struct","schema-id":0,"fields":[
+         |{"id":1,"name":"id","required":false,"type":"long"},
+         |{"id":2,"name":"name","required":false,"type":"string"}]}],
+         |"current-schema-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+         |"last-partition-id":999,
+         |"snapshots":[{"snapshot-id":5,"timestamp-ms":1000,
+         |"manifests":["$m1","$m3","$me"]}],
+         |"current-snapshot-id":5}""".stripMargin.replaceAll("\n", "")
+    Files.write(new File(f, "v1.metadata.json").toPath, metadata.getBytes("UTF-8"))
+    Files.write(new File(f, "version-hint.text").toPath, "1".getBytes("UTF-8"))
+    val out = IcebergSource.read(spark, root).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // id=2 seq-1 "b" and id=4 "d" deleted; seq-3 re-insert "b2" survives
+    assert(out.toSeq == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
   }
 
   test("Tools iceberg history lists snapshots") {
