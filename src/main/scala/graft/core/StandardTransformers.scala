@@ -431,6 +431,13 @@ object StandardTransformers {
         c.dataset(str(p, "queries_dataset")), str(p, "query_id_col"),
         str(p, "query_vec_col"), str(p, "k").toInt,
         intOpt(p, "num_centroids").getOrElse(64), intOpt(p, "nprobe").getOrElse(16)) }
+    reg("ivfpq_topk") { (c, p) =>
+      graft.functions.Similarity.ivfPqTopK(c.df, str(p, "id_col"), str(p, "vec_col"),
+        c.dataset(str(p, "queries_dataset")), str(p, "query_id_col"),
+        str(p, "query_vec_col"), str(p, "k").toInt, str(p, "dim").toInt,
+        intOpt(p, "num_centroids").getOrElse(64), intOpt(p, "nprobe").getOrElse(16),
+        intOpt(p, "m").getOrElse(8), intOpt(p, "ksub").getOrElse(256),
+        intOpt(p, "refine_factor").getOrElse(4)) }
     reg("ngram_jaccard_pairs") { (c, p) =>
       Dedup.ngramJaccardPairs(c.df, str(p, "id_col"), str(p, "text_col"),
         intOpt(p, "n").getOrElse(3),

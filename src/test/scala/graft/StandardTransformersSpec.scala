@@ -81,7 +81,8 @@ class StandardTransformersSpec extends SparkSpec {
     graft.core.StandardTransformers.registerAll
     val names = graft.core.TransformerRegistry.names.toSet
     assert(Set("salted_join", "salted_aggregate", "lsh_topk", "ivf_topk",
-      "ngram_jaccard_pairs", "embedding_neardup_pairs").subsetOf(names))
+      "ivfpq_topk", "ngram_jaccard_pairs", "embedding_neardup_pairs")
+      .subsetOf(names))
 
     val orders = Seq((1, 100.0), (1, 50.0), (2, 10.0)).toDF("cust", "amt")
     val yaml =
