@@ -45,7 +45,9 @@ import scala.jdk.CollectionConverters._
  * identical. `add.partitionValues` keys are physical names under mapping,
  * logical otherwise; the reader accepts either. Fails fast (never
  * silently mis-reads) on tables requiring features this reader does not
- * implement: v2 checkpoints or unknown reader features at protocol v3+.
+ * implement: unknown reader features at protocol v3+. Checkpoints load
+ * in all three layouts — classic single-file, multi-part, and V2
+ * (uuid-named json/parquet with sidecar file actions).
  *
  * Scale: log replay is driver-side metadata work — the same model every
  * Delta implementation uses (the active-file list must reach the planner
@@ -86,13 +88,22 @@ object DeltaLog {
       Some(name.take(20).toLong)
     else None
 
-  // %020d.checkpoint.parquet | %020d.checkpoint.%010d.%010d.parquet
-  private def checkpointVersion(name: String): Option[(Long, Option[(Int, Int)])] = {
+  private sealed trait CheckpointKind
+  private case object Classic extends CheckpointKind
+  private final case class MultiPart(part: Int, of: Int) extends CheckpointKind
+  /** UUID-named V2 checkpoint (file actions may live in sidecars). */
+  private final case class V2(json: Boolean) extends CheckpointKind
+
+  // %020d.checkpoint.parquet | %020d.checkpoint.%010d.%010d.parquet |
+  // %020d.checkpoint.<uuid>.parquet|json  (the v2Checkpoint naming)
+  private def checkpointVersion(name: String): Option[(Long, CheckpointKind)] = {
     val single = "^(\\d{20})\\.checkpoint\\.parquet$".r
     val multi = "^(\\d{20})\\.checkpoint\\.(\\d{10})\\.(\\d{10})\\.parquet$".r
+    val v2 = "^(\\d{20})\\.checkpoint\\.([A-Za-z0-9][A-Za-z0-9-]*)\\.(parquet|json)$".r
     name match {
-      case single(v) => Some((v.toLong, None))
-      case multi(v, part, of) => Some((v.toLong, Some((part.toInt, of.toInt))))
+      case single(v) => Some((v.toLong, Classic))
+      case multi(v, part, of) => Some((v.toLong, MultiPart(part.toInt, of.toInt)))
+      case v2(v, _, ext) => Some((v.toLong, V2(ext == "json")))
       case _ => None
     }
   }
@@ -167,7 +178,8 @@ object DeltaLog {
       if (reader >= 3) {
         val feats = Option(p.get("readerFeatures")).toSeq
           .flatMap(_.elements().asScala).map(_.asText()).toSet
-        val supported = Set("timestampNtz", "columnMapping", "deletionVectors")
+        val supported = Set("timestampNtz", "columnMapping", "deletionVectors",
+          "v2Checkpoint")
         val unknown = feats -- supported
         require(unknown.isEmpty,
           s"unsupported Delta reader features: ${unknown.mkString(", ")}")
@@ -211,32 +223,65 @@ object DeltaLog {
       }
     }
 
-  /** Newest COMPLETE checkpoint at or before `target` (all parts present). */
+  /** Newest COMPLETE checkpoint at or before `target` (all parts
+    * present). Classic single-file, multi-part, and V2 (uuid-named,
+    * sidecar-bearing) checkpoints all qualify; the boolean marks a
+    * json-format V2 checkpoint. */
   private def latestCheckpointAtOrBefore(f: FileSystem, root: String,
-                                         target: Long): Option[(Long, Seq[Path])] = {
+                                         target: Long)
+      : Option[(Long, Seq[Path], Boolean)] = {
     val byVersion = f.listStatus(logDir(root)).toSeq
-      .flatMap(s => checkpointVersion(s.getPath.getName).map { case (v, part) =>
-        (v, part, s.getPath)
+      .flatMap(s => checkpointVersion(s.getPath.getName).map { case (v, kind) =>
+        (v, kind, s.getPath)
       })
       .filter(_._1 <= target)
       .groupBy(_._1)
-    def complete(entries: Seq[(Long, Option[(Int, Int)], Path)]): Option[Seq[Path]] = {
-      val single = entries.filter(_._2.isEmpty)
-      if (single.nonEmpty) return Some(single.map(_._3))
-      val multi = entries.flatMap(e => e._2.map { case (p, of) => (p, of, e._3) })
-      multi.map(_._2).distinct match {
-        case Seq(of) if multi.map(_._1).sorted == (1 to of) =>
-          Some(multi.sortBy(_._1).map(_._3))
-        case _ => None // torn multi-part checkpoint: skip this version
-      }
+    def complete(entries: Seq[(Long, CheckpointKind, Path)])
+        : Option[(Seq[Path], Boolean)] = {
+      entries.collectFirst { case (_, Classic, p) => (Seq(p), false) }
+        .orElse(entries.collectFirst { case (_, V2(json), p) => (Seq(p), json) })
+        .orElse {
+          val multi = entries.collect { case (_, MultiPart(p, of), path) => (p, of, path) }
+          multi.map(_._2).distinct match {
+            case Seq(of) if multi.map(_._1).sorted == (1 to of) =>
+              Some((multi.sortBy(_._1).map(_._3), false))
+            case _ => None // torn multi-part checkpoint: skip this version
+          }
+        }
     }
     byVersion.toSeq.sortBy(-_._1).iterator
-      .flatMap { case (v, entries) => complete(entries).map(v -> _) }
+      .flatMap { case (v, entries) =>
+        complete(entries).map { case (paths, json) => (v, paths, json) }
+      }
       .nextOption()
   }
 
-  private def loadCheckpoint(spark: SparkSession, state: State,
-                             parts: Seq[Path]): Unit = {
+  /** A V2 checkpoint's sidecar path: bare names live under
+    * `_delta_log/_sidecars/`, absolute URIs pass through. */
+  private def sidecarPath(root: String, p: String): Path =
+    if (p.contains(":/") || p.startsWith("/")) new Path(p)
+    else new Path(new Path(logDir(root), "_sidecars"), p)
+
+  private def loadCheckpoint(spark: SparkSession, state: State, root: String,
+                             parts: Seq[Path], jsonV2: Boolean): Unit = {
+    if (jsonV2) {
+      // json-format V2 checkpoint: newline-delimited actions; file
+      // actions may be inlined or live in sidecar parquet files
+      val f = fs(spark, root)
+      readText(f, parts.head).split('\n').iterator
+        .map(_.trim).filter(_.nonEmpty).foreach { line =>
+          val node = mapper.readTree(line)
+          if (node.has("metaData")) state.applyMeta(node.get("metaData"))
+          if (node.has("protocol")) state.applyProtocol(node.get("protocol"))
+          if (node.has("add")) state.applyAdd(node.get("add"))
+          if (node.has("txn")) state.applyTxn(node.get("txn"))
+          if (node.has("sidecar"))
+            loadSidecar(spark, state,
+              sidecarPath(root, node.get("sidecar").get("path").asText()))
+          // remove actions in a checkpoint are vacuum tombstones, not state
+        }
+      return
+    }
     val df = spark.read.parquet(parts.map(_.toString): _*)
     val cols = df.columns.toSet
     // metaData / protocol: exactly one non-null row each in a checkpoint
@@ -253,6 +298,21 @@ object DeltaLog {
     if (cols.contains("txn"))
       df.select(to_json(col("txn"))).where(col("txn").isNotNull)
         .collect().foreach(r => state.applyTxn(mapper.readTree(r.getString(0))))
+    // parquet-format V2 checkpoint: follow sidecar references
+    if (cols.contains("sidecar"))
+      df.select(to_json(col("sidecar"))).where(col("sidecar").isNotNull)
+        .collect().foreach { r =>
+          loadSidecar(spark, state,
+            sidecarPath(root, mapper.readTree(r.getString(0)).get("path").asText()))
+        }
+  }
+
+  /** Sidecar parquet: add (live files) + remove (tombstones, skipped). */
+  private def loadSidecar(spark: SparkSession, state: State, p: Path): Unit = {
+    val df = spark.read.parquet(p.toString)
+    if (df.columns.contains("add"))
+      df.select(to_json(col("add"))).where(col("add").isNotNull)
+        .collect().foreach(r => state.applyAdd(mapper.readTree(r.getString(0))))
   }
 
   /** Reconstruct table state at `versionAsOf` / `timestampAsOfMs` /
@@ -279,7 +339,9 @@ object DeltaLog {
     }
     val state = new State
     val cp = latestCheckpointAtOrBefore(f, root, target)
-    cp.foreach { case (_, parts) => loadCheckpoint(spark, state, parts) }
+    cp.foreach { case (_, parts, jsonV2) =>
+      loadCheckpoint(spark, state, root, parts, jsonV2)
+    }
     val replayFrom = cp.map(_._1 + 1).getOrElse(0L)
     // aged-out commits (log retention cleanup) are only safe to skip when
     // a checkpoint covers them; replaying a partial suffix would silently

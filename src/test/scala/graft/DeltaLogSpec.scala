@@ -222,10 +222,16 @@ class DeltaLogSpec extends SparkSpec {
     val feat = intercept[IllegalArgumentException] {
       DeltaLog.read(spark, table(
         """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-          """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+          """"readerFeatures":["typeWidening-preview"],"writerFeatures":["typeWidening-preview"]}}""",
         metaLine(abSchema), addLine("f0.parquet")))
     }
     assert(feat.getMessage.contains("reader features"))
+    // v2Checkpoint is a SUPPORTED reader feature (uuid checkpoints load)
+    val ok = table(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+      metaLine(abSchema), addLine("f0.parquet"))
+    assert(DeltaLog.read(spark, ok).count() == 1)
     // empty table (all files removed) reads as 0 rows with the schema
     val empty = table(protocolLine(), metaLine(abSchema),
       addLine("f0.parquet"), removeLine("f0.parquet"))
@@ -302,6 +308,77 @@ class DeltaLogSpec extends SparkSpec {
     val err = intercept[Exception] { DeltaLog.read(spark, dir).collect() }
     assert(err.getMessage != null)
     Files.write(new File(dir, s"deletion_vector_$uuid.bin").toPath, bin) // restore
+  }
+
+  test("V2 checkpoints (json + parquet, sidecar file actions) resume state") {
+    for (jsonFormat <- Seq(true, false)) {
+      val dir = tmp()
+      dataFile(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), dir, "f0.parquet")
+      dataFile(Seq((3L, "c")).toDF("id", "name"), dir, "f1.parquet")
+      dataFile(Seq((4L, "d")).toDF("id", "name"), dir, "f2.parquet")
+      // v0..v1 are AGED OUT (deleted after checkpointing) — replay must
+      // come entirely from the V2 checkpoint at v1 + the v2 commit
+      commit(dir, 2, Seq(infoLine(3000), addLine("f2.parquet")))
+      val logDir = new File(dir, "_delta_log")
+      // sidecar with the reconciled adds of v0..v1 (f0 + f1) and a
+      // remove tombstone that must NOT resurrect
+      val side = new File(logDir, "_sidecars"); side.mkdirs()
+      val addSchema = StructType(Seq(
+        StructField("path", StringType), StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType)))
+      val sidecarDf = Seq(
+        (Some(("f0.parquet", 1L, 1L, true)), Option.empty[(String, Long)]),
+        (Some(("f1.parquet", 1L, 1L, true)), Option.empty[(String, Long)]),
+        (None, Some(("gone.parquet", 2000L))))
+        .toDF("addRaw", "removeRaw")
+        .selectExpr(
+          "if(addRaw is null, null, named_struct('path', addRaw._1, 'size', addRaw._2, 'modificationTime', addRaw._3, 'dataChange', addRaw._4)) as add",
+          "if(removeRaw is null, null, named_struct('path', removeRaw._1, 'deletionTimestamp', removeRaw._2)) as remove")
+      val stage = Files.createTempDirectory("sidecar").toString
+      sidecarDf.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new File(stage).listFiles()
+        .find(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_")).get
+      Files.copy(part.toPath, new File(side, "sc-1.parquet").toPath)
+
+      val metaJson = metaLine(abSchema)
+        .replace("""{"metaData":""", "").dropRight(1) // the bare metaData node
+      val protoJson = """{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}"""
+      if (jsonFormat) {
+        val lines = Seq(
+          s"""{"checkpointMetadata":{"version":1}}""",
+          s"""{"metaData":$metaJson}""",
+          s"""{"protocol":$protoJson}""",
+          s"""{"sidecar":{"path":"sc-1.parquet","sizeInBytes":1,"modificationTime":1}}""")
+        Files.write(new File(logDir,
+          "00000000000000000001.checkpoint.80a083e8-7026-4e79-81be-64bd76c43a11.json").toPath,
+          lines.mkString("\n").getBytes("UTF-8"))
+      } else {
+        // parquet V2 checkpoint: metaData/protocol/sidecar struct columns
+        // (the reader handles each column independently, so one row
+        // carrying all three actions exercises the same paths)
+        val cpStage = Files.createTempDirectory("v2cp").toString
+        spark.range(1).select(
+          struct(lit("test-table").as("id"),
+            lit(abSchema.json).as("schemaString"),
+            array().cast("array<string>").as("partitionColumns"),
+            map().cast("map<string,string>").as("configuration")).as("metaData"),
+          struct(lit(3).as("minReaderVersion"), lit(7).as("minWriterVersion"),
+            array(lit("v2Checkpoint")).as("readerFeatures"),
+            array(lit("v2Checkpoint")).as("writerFeatures")).as("protocol"),
+          struct(lit("sc-1.parquet").as("path"),
+            lit(1L).as("sizeInBytes")).as("sidecar"))
+          .coalesce(1).write.mode("overwrite").parquet(cpStage)
+        val cpPart = new File(cpStage).listFiles()
+          .find(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_")).get
+        Files.copy(cpPart.toPath, new File(logDir,
+          "00000000000000000001.checkpoint.2510bb0a-e1c9-4a2d-b84f-0aa66ab98da9.parquet").toPath)
+      }
+      val ids = DeltaLog.read(spark, dir).collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L, 4L),
+        s"jsonFormat=$jsonFormat: state must come from the V2 checkpoint + v2 commit")
+    }
   }
 
   /** Field metadata as a real column-mapping writer emits it. */
