@@ -193,6 +193,11 @@ object StandardTransformers {
       graft.streaming.Streaming.sessionWindowAgg(c.df, str(p, "ts_col"),
         str(p, "watermark"), str(p, "gap"), seqOf(p, "group_by"),
         mapOf(p, "aggs")) }
+    reg("stream_join") { (c, p) =>
+      graft.streaming.Streaming.streamStreamJoin(
+        c.df, c.dataset(str(p, "right_dataset")),
+        str(p, "left_ts"), str(p, "right_ts"), str(p, "watermark"),
+        str(p, "condition"), strOpt(p, "how").getOrElse("inner")) }
     reg("dedup_within_watermark") { (c, p) =>
       graft.streaming.Streaming.dedupWithinWatermark(c.df, seqOf(p, "keys"),
         str(p, "ts_col"), str(p, "watermark")) }

@@ -142,6 +142,25 @@ object Streaming {
   }
 
   /**
+   * Stream-stream join (beyond-reference; Spark built-in): both sides
+   * get event-time watermarks and join under `condition`, which must
+   * bound the event-time skew (an equality key plus a time-range
+   * predicate — Spark's state-cleanup requirement; without the bound the
+   * join state grows without limit and Spark rejects append mode).
+   * Either side may be a BATCH frame — watermarks are skipped for it and
+   * the join degrades to Spark's stream-static join, so one YAML node
+   * serves enrichment and correlation alike.
+   */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       leftTs: String, rightTs: String,
+                       watermark: String, condition: String,
+                       joinType: String = "inner"): DataFrame = {
+    val l = if (left.isStreaming) withWatermarkOnce(left, leftTs, watermark) else left
+    val r = if (right.isStreaming) withWatermarkOnce(right, rightTs, watermark) else right
+    l.join(r, expr(condition), joinType)
+  }
+
+  /**
    * Watermarked tumbling/sliding window aggregation
    * (extension; Spark built-in).
    */

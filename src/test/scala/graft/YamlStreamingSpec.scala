@@ -134,6 +134,58 @@ class YamlStreamingSpec extends SparkSpec {
       ("2026-01-01 12:00:00", "b") -> 1L))
   }
 
+  test("stream-stream join from a YAML stream_join step (time-bounded state)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_syaml_ssj").toString
+    def ev(s: String, id: Long) = (java.sql.Timestamp.valueOf(s), id)
+    // impressions and clicks land as independent streams; a click joins
+    // its impression when it follows within 2 minutes
+    Seq(ev("2026-01-01 12:00:00", 1L), ev("2026-01-01 12:00:10", 2L),
+      ev("2026-01-01 12:10:00", 99L)) // watermark closer
+      .toDF("imp_ts", "ad_id").write.parquet(s"$dir/imps")
+    Seq(ev("2026-01-01 12:01:00", 1L), // joins (60 s later)
+      ev("2026-01-01 12:05:00", 2L),   // too late (290 s)
+      ev("2026-01-01 12:10:00", 98L))  // watermark closer
+      .toDF("click_ts", "click_ad").write.parquet(s"$dir/clicks")
+    val yaml =
+      s"""
+        |name: ssj
+        |nodes:
+        |  - name: impressions
+        |    read:
+        |      format: parquet
+        |      path: $dir/imps
+        |      streaming: true
+        |      schema_ddl: "imp_ts TIMESTAMP, ad_id BIGINT"
+        |  - name: attributed
+        |    depends_on: [impressions]
+        |    read:
+        |      format: parquet
+        |      path: $dir/clicks
+        |      streaming: true
+        |      schema_ddl: "click_ts TIMESTAMP, click_ad BIGINT"
+        |    steps:
+        |      - function: stream_join
+        |        params:
+        |          right_dataset: impressions
+        |          left_ts: click_ts
+        |          right_ts: imp_ts
+        |          watermark: 10 seconds
+        |          condition: "click_ad = ad_id AND click_ts >= imp_ts AND click_ts <= imp_ts + INTERVAL 2 MINUTES"
+        |    streaming:
+        |      checkpoint: $dir/cp
+        |      output_mode: append
+        |      trigger: { kind: available_now }
+        |    write: { format: parquet, path: $dir/out }
+        |""".stripMargin
+    val res = Pipeline.run(spark, YamlConfig.loadPipeline(yaml))
+    assert(res.values.forall(_.failure.isEmpty),
+      res.values.flatMap(_.failure).map(_.toString).mkString("; "))
+    val out = spark.read.parquet(s"$dir/out")
+      .select("click_ad", "ad_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 1L)),
+      s"only the in-window click attributes, got ${out.toSeq}")
+  }
+
   test("tests on a streaming node are rejected up front") {
     val dir = java.nio.file.Files.createTempDirectory("graft_syaml3").toString
     Seq((1L, "a")).toDF("id", "k").write.parquet(s"$dir/in")
