@@ -309,6 +309,18 @@ object SparkEntry {
       Advanced.sessionize(events(s, d).select("event_id", "user_id", "ts"),
         "user_id", "ts", 1800, tieBreak = Seq(col("event_id")))
         .select("event_id", "user_id", "session_id")),
+    "q_resample" -> ((s, d) => {
+      // time-series regularization: per-user hourly grid, forward-filled.
+      // Same-instant duplicates pre-aggregated at second precision so the
+      // fill is deterministic on both engines (DuckDB mirrors with an
+      // ASOF LEFT JOIN against the same grid).
+      val obs = events(s, d).filter(col("user_id") < 20)
+        .groupBy(col("user_id"), date_trunc("second", col("ts")).as("ts"))
+        .agg(max("value").as("value"))
+      operators.TimeSeries.resample(obs, "ts", Seq("value"), 3600, Seq("user_id"))
+        .select(col("user_id"), col("ts").as("grid_ts"),
+          round(col("value"), 6).as("value"))
+    }),
     "q_split_events" -> ((s, d) =>
       Advanced.splitEventsByPeriod(
         events(s, d).select(col("event_id"), col("ts").as("start_ts"),
@@ -1448,6 +1460,8 @@ object SparkEntry {
       "SELECT l_orderkey, l_linenumber, l_quantity, sum(l_quantity) OVER (PARTITION BY l_orderkey) AS order_qty FROM lineitem",
     "q_sessionize" ->
       "WITH g AS (SELECT event_id, user_id, ts, CASE WHEN lag(ts) OVER w IS NULL OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800 THEN 1 ELSE 0 END AS is_new FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), s AS (SELECT event_id, user_id, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS snum FROM g) SELECT event_id, user_id, concat_ws('-', CAST(user_id AS VARCHAR), CAST(snum AS VARCHAR)) AS session_id FROM s",
+    "q_resample" ->
+      "WITH obs AS (SELECT user_id, date_trunc('second', ts) AS ts, max(value) AS value FROM events WHERE user_id < 20 GROUP BY 1, 2), b AS (SELECT user_id, date_trunc('hour', min(ts)) AS gmin, max(ts) AS gmax FROM obs GROUP BY 1), grid AS (SELECT user_id, unnest(generate_series(gmin, gmax, INTERVAL 1 HOUR)) AS gts FROM b) SELECT g.user_id, g.gts AS grid_ts, round(o.value, 6) AS value FROM grid g ASOF LEFT JOIN obs o ON g.user_id = o.user_id AND o.ts <= g.gts",
     "q_split_events" ->
       "SELECT event_id, period_start, period_start + INTERVAL 1 HOUR AS period_end, CAST(floor(epoch(least(end_ts, period_start + INTERVAL 1 HOUR))) - floor(epoch(greatest(start_ts, period_start))) AS BIGINT) AS dur_s FROM (SELECT event_id, ts AS start_ts, ts + INTERVAL 90 MINUTE AS end_ts, unnest(generate_series(date_trunc('hour', ts), date_trunc('hour', ts + INTERVAL 90 MINUTE), INTERVAL 1 HOUR)) AS period_start FROM events) t",
     "q_flatten_struct" ->

@@ -193,6 +193,10 @@ object StandardTransformers {
       graft.streaming.Streaming.sessionWindowAgg(c.df, str(p, "ts_col"),
         str(p, "watermark"), str(p, "gap"), seqOf(p, "group_by"),
         mapOf(p, "aggs")) }
+    reg("resample") { (c, p) =>
+      graft.operators.TimeSeries.resample(c.df, str(p, "ts_col"),
+        seqOf(p, "value_cols"), str(p, "step_seconds").toLong,
+        seqOf(p, "group_by"), strOpt(p, "strategy").getOrElse("ffill")) }
     reg("stream_join") { (c, p) =>
       graft.streaming.Streaming.streamStreamJoin(
         c.df, c.dataset(str(p, "right_dataset")),

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.TimeSeries
+import org.apache.spark.sql.functions._
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("resample ffill: grid floored to step, holds last obs, null before first") {
+    val df = Seq(
+      ("a", ts("2026-01-01 00:00:30"), 1.0),
+      ("a", ts("2026-01-01 00:02:10"), 3.0),
+      ("b", ts("2026-01-01 00:01:00"), 10.0)) // exact grid hit
+      .toDF("g", "t", "v")
+    val out = TimeSeries.resample(df, "t", Seq("v"), 60, Seq("g"))
+      .orderBy("g", "t").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString,
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(out.toSeq == Seq(
+      ("a", "2026-01-01 00:00:00.0", None),      // before first obs
+      ("a", "2026-01-01 00:01:00.0", Some(1.0)), // held
+      ("a", "2026-01-01 00:02:00.0", Some(1.0)), // held (next obs is later)
+      ("b", "2026-01-01 00:01:00.0", Some(10.0)) // exact-instant obs wins
+    ))
+  }
+
+  test("resample interpolate: linear between neighbors, flat after last") {
+    val df = Seq(
+      ("a", ts("2026-01-01 00:00:30"), 1.0),
+      ("a", ts("2026-01-01 00:02:10"), 3.0))
+      .toDF("g", "t", "v")
+    val out = TimeSeries.resample(df, "t", Seq("v"), 60, Seq("g"),
+      strategy = "interpolate")
+      .orderBy("t").collect()
+      .map(r => Option(r.get(2)).map(_.asInstanceOf[Double]))
+    // 00:00 → before first obs: null
+    // 00:01 → (60-30)/(130-30) = 0.3 → 1 + 0.3*2 = 1.6
+    // 00:02 → (120-30)/100 = 0.9 → 2.8
+    assert(out(0).isEmpty)
+    assert(math.abs(out(1).get - 1.6) < 1e-9)
+    assert(math.abs(out(2).get - 2.8) < 1e-9)
+    // hold-flat after the last observation
+    val tail = TimeSeries.resample(
+      Seq(("a", ts("2026-01-01 00:00:00"), 5.0),
+        ("a", ts("2026-01-01 00:03:30"), 5.0),
+        ("a", ts("2026-01-01 00:01:00"), 7.0)).toDF("g", "t", "v"),
+      "t", Seq("v"), 60, Seq("g"), strategy = "interpolate")
+      .orderBy("t").collect().map(_.getDouble(2))
+    // 00:02 and 00:03 interpolate between 00:01(7) and 00:03:30(5)
+    assert(math.abs(tail(2) - (7.0 - 2.0 * 60 / 150)) < 1e-9)
+  }
+
+  test("resample: multiple value columns, ungrouped frame, YAML transformer") {
+    val df = Seq(
+      (ts("2026-01-01 00:00:00"), 1.0, 100.0),
+      (ts("2026-01-01 00:02:00"), 3.0, 300.0))
+      .toDF("t", "v1", "v2")
+    val out = TimeSeries.resample(df, "t", Seq("v1", "v2"), 60)
+      .orderBy("t").collect()
+    assert(out.length == 3)
+    assert(out(1).getDouble(1) == 1.0 && out(1).getDouble(2) == 100.0)
+    // YAML surface
+    graft.core.StandardTransformers.registerAll
+    assert(graft.core.TransformerRegistry.names.contains("resample"))
+    intercept[IllegalArgumentException] {
+      TimeSeries.resample(df, "t", Seq("v1"), 60, strategy = "cubic")
+    }
+  }
+}
