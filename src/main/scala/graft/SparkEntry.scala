@@ -321,6 +321,16 @@ object SparkEntry {
         .select(col("user_id"), col("ts").as("grid_ts"),
           round(col("value"), 6).as("value"))
     }),
+    "q_rolling_agg" -> ((s, d) =>
+      // trailing 1-hour time-range mean per user over irregular events —
+      // RANGE frames make same-instant rows peers, so the result is
+      // partitioning-independent
+      operators.TimeSeries.rollingAgg(
+        events(s, d).filter(col("user_id") < 50)
+          .select("event_id", "user_id", "ts", "value"),
+        "ts", "avg(value)", 3600, Seq("user_id"), "rolling_avg")
+        .select(col("event_id"), col("user_id"),
+          round(col("rolling_avg"), 6).as("rolling_avg"))),
     "q_split_events" -> ((s, d) =>
       Advanced.splitEventsByPeriod(
         events(s, d).select(col("event_id"), col("ts").as("start_ts"),
@@ -1462,6 +1472,8 @@ object SparkEntry {
       "WITH g AS (SELECT event_id, user_id, ts, CASE WHEN lag(ts) OVER w IS NULL OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800 THEN 1 ELSE 0 END AS is_new FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), s AS (SELECT event_id, user_id, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS snum FROM g) SELECT event_id, user_id, concat_ws('-', CAST(user_id AS VARCHAR), CAST(snum AS VARCHAR)) AS session_id FROM s",
     "q_resample" ->
       "WITH obs AS (SELECT user_id, date_trunc('second', ts) AS ts, max(value) AS value FROM events WHERE user_id < 20 GROUP BY 1, 2), b AS (SELECT user_id, date_trunc('hour', min(ts)) AS gmin, max(ts) AS gmax FROM obs GROUP BY 1), grid AS (SELECT user_id, unnest(generate_series(gmin, gmax, INTERVAL 1 HOUR)) AS gts FROM b) SELECT g.user_id, g.gts AS grid_ts, round(o.value, 6) AS value FROM grid g ASOF LEFT JOIN obs o ON g.user_id = o.user_id AND o.ts <= g.gts",
+    "q_rolling_agg" ->
+      "SELECT event_id, user_id, round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 6) AS rolling_avg FROM events WHERE user_id < 50",
     "q_split_events" ->
       "SELECT event_id, period_start, period_start + INTERVAL 1 HOUR AS period_end, CAST(floor(epoch(least(end_ts, period_start + INTERVAL 1 HOUR))) - floor(epoch(greatest(start_ts, period_start))) AS BIGINT) AS dur_s FROM (SELECT event_id, ts AS start_ts, ts + INTERVAL 90 MINUTE AS end_ts, unnest(generate_series(date_trunc('hour', ts), date_trunc('hour', ts + INTERVAL 90 MINUTE), INTERVAL 1 HOUR)) AS period_start FROM events) t",
     "q_flatten_struct" ->

@@ -197,6 +197,10 @@ object StandardTransformers {
       graft.operators.TimeSeries.resample(c.df, str(p, "ts_col"),
         seqOf(p, "value_cols"), str(p, "step_seconds").toLong,
         seqOf(p, "group_by"), strOpt(p, "strategy").getOrElse("ffill")) }
+    reg("rolling_agg") { (c, p) =>
+      graft.operators.TimeSeries.rollingAgg(c.df, str(p, "ts_col"),
+        str(p, "function"), str(p, "window_seconds").toLong,
+        seqOf(p, "group_by"), strOpt(p, "out_col").getOrElse("rolling")) }
     reg("stream_join") { (c, p) =>
       graft.streaming.Streaming.streamStreamJoin(
         c.df, c.dataset(str(p, "right_dataset")),

@@ -85,4 +85,25 @@ object TimeSeries {
       .where(col("_gf_grid") === 1)
       .drop("_gf_grid")
   }
+
+  /**
+   * Event-time rolling aggregate: `function` (any SQL aggregate over the
+   * frame, e.g. `avg(value)`) computed over the trailing
+   * `windowSeconds`-second RANGE frame per group — a true time-range
+   * window, so irregular sampling needs no prior regularization and
+   * same-instant rows are frame peers (deterministic regardless of
+   * partitioning). One group-keyed window pass; scale-safe like every
+   * other grouped window here.
+   */
+  def rollingAgg(df: DataFrame, tsCol: String, function: String,
+                 windowSeconds: Long, groupBy: Seq[String] = Nil,
+                 outputCol: String = "rolling"): DataFrame = {
+    require(windowSeconds >= 1, s"windowSeconds must be >= 1, got $windowSeconds")
+    val part =
+      if (groupBy.nonEmpty) s"PARTITION BY ${groupBy.mkString(", ")}" else ""
+    val micros = windowSeconds * 1000000L
+    df.withColumn(outputCol, expr(
+      s"$function OVER ($part ORDER BY unix_micros($tsCol) " +
+        s"RANGE BETWEEN $micros PRECEDING AND CURRENT ROW)"))
+  }
 }

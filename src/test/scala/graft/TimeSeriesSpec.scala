@@ -52,6 +52,24 @@ class TimeSeriesSpec extends SparkSpec {
     assert(math.abs(tail(2) - (7.0 - 2.0 * 60 / 150)) < 1e-9)
   }
 
+  test("rollingAgg: trailing time-range frame, same-instant peers included") {
+    val df = Seq(
+      ("a", ts("2026-01-01 00:00:00"), 1.0),
+      ("a", ts("2026-01-01 00:30:00"), 3.0),
+      ("a", ts("2026-01-01 01:15:00"), 5.0), // 00:00 falls out of the hour
+      ("a", ts("2026-01-01 01:15:00"), 7.0), // same instant: frame peer
+      ("b", ts("2026-01-01 00:00:00"), 100.0))
+      .toDF("g", "t", "v")
+    val out = TimeSeries.rollingAgg(df, "t", "avg(v)", 3600, Seq("g"), "m")
+      .orderBy("g", "t", "v").collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3)))
+    assert(out(0) == (("a", 1.0, 1.0)))
+    assert(out(1) == (("a", 3.0, 2.0)))          // (1+3)/2
+    assert(out(2) == (("a", 5.0, 5.0)))          // (3+5+7)/3: peers included
+    assert(out(3) == (("a", 7.0, 5.0)))          // identical frame
+    assert(out(4) == (("b", 100.0, 100.0)))      // groups independent
+  }
+
   test("resample: multiple value columns, ungrouped frame, YAML transformer") {
     val df = Seq(
       (ts("2026-01-01 00:00:00"), 1.0, 100.0),
