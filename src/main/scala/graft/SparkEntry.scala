@@ -801,6 +801,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"),
           min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
     }),
+    "q_iceberg_changes" -> ((s, d) => {
+      // the Iceberg incremental read end-to-end: two appends + an
+      // overwrite, then snapshot-diff change rows per commit ordinal.
+      // Oracle recomputes the same change classes from the original
+      // parquet (overwrite = delete everything prior + insert the new set).
+      val orders = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_iceberg_c")
+        .toString + "/orders"
+      graft.sources.IcebergSource.write(
+        orders.filter(col("o_orderkey") % 3 === 0), root, "append")
+      graft.sources.IcebergSource.write(
+        orders.filter(col("o_orderkey") % 3 === 1), root, "append")
+      graft.sources.IcebergSource.write(
+        orders.filter(col("o_totalprice") > 150000), root, "overwrite")
+      graft.sources.IcebergSource.changes(s, root)
+        .withColumn("ver", col("_change_ordinal"))
+        .withColumn("change_type", col("_change_type"))
+        .groupBy("ver", "change_type")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+    }),
     "q_delta_changes" -> ((s, d) => {
       // the change data feed end-to-end: two appends + an overwrite
       // through the native commit protocol, then DeltaLog.changes derives
@@ -1544,6 +1566,8 @@ object SparkEntry {
       "SELECT ver, o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS revenue, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM (SELECT 1 AS ver, o_orderstatus, o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 IN (0, 1) UNION ALL SELECT 2 AS ver, o_orderstatus, o_totalprice, o_orderkey FROM orders WHERE o_totalprice > 150000) GROUP BY 1, 2",
     "q_iceberg_roundtrip" ->
       "SELECT ver, o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS revenue, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM (SELECT 1 AS ver, o_orderstatus, o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 = 0 UNION ALL SELECT 2 AS ver, o_orderstatus, o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 IN (0, 1)) GROUP BY 1, 2",
+    "q_iceberg_changes" ->
+      "SELECT ver, change_type, count(*) AS n, round(sum(o_totalprice), 2) AS revenue, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM (SELECT 1 AS ver, 'insert' AS change_type, o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 = 0 UNION ALL SELECT 2, 'insert', o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 = 1 UNION ALL SELECT 3, 'delete', o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 IN (0, 1) UNION ALL SELECT 3, 'insert', o_totalprice, o_orderkey FROM orders WHERE o_totalprice > 150000) GROUP BY 1, 2",
     "q_delta_changes" ->
       "SELECT ver, change_type, count(*) AS n, round(sum(o_totalprice), 2) AS revenue, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM (SELECT 0 AS ver, 'insert' AS change_type, o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 = 0 UNION ALL SELECT 1, 'insert', o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 = 1 UNION ALL SELECT 2, 'delete', o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 IN (0, 1) UNION ALL SELECT 2, 'insert', o_totalprice, o_orderkey FROM orders WHERE o_totalprice > 150000) GROUP BY 1, 2",
     // OPTIMIZE + ZORDER are metadata-only rewrites: the compacted +

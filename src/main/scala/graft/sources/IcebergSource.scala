@@ -300,31 +300,14 @@ object IcebergSource {
   private def normPath(c: org.apache.spark.sql.Column) =
     regexp_replace(regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:", ""), "^/+", "/")
 
-  def read(spark: SparkSession, root: String,
-           snapshotId: Option[Long] = None,
-           asOfTimestampMs: Option[Long] = None,
-           metadataLocation: Option[String] = None): DataFrame = {
-    val meta = tableMeta(spark, root, metadataLocation)
-    val target: Option[SnapshotInfo] = (snapshotId, asOfTimestampMs) match {
-      case (Some(id), _) =>
-        Some(meta.snapshots.find(_.snapshotId == id).getOrElse(
-          throw new IllegalArgumentException(
-            s"snapshot $id not in [${meta.snapshots.map(_.snapshotId).mkString(", ")}]")))
-      case (None, Some(ts)) =>
-        val eligible = meta.snapshots.filter(_.timestampMs <= ts).sortBy(_.timestampMs)
-        require(eligible.nonEmpty,
-          s"no iceberg snapshot at or before timestamp $ts")
-        Some(eligible.last)
-      case _ => meta.currentSnapshotId.map(id =>
-        meta.snapshots.find(_.snapshotId == id).getOrElse(
-          throw new IllegalArgumentException(s"current snapshot $id missing")))
-    }
-    val readSchema = stripFieldIds(meta.schema).asInstanceOf[StructType]
-    val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema)
-    val snap = target.getOrElse(return empty)
+  private final case class FileEntry(path: String, seq: Long,
+                                     equalityIds: Seq[Int])
 
-    val conf = spark.sessionState.newHadoopConf()
+  /** Walk a snapshot's manifests into (data, positionDelete,
+    * equalityDelete) file entries with inherited sequence numbers. */
+  private def collectFiles(conf: Configuration, root: String,
+                           snap: SnapshotInfo)
+      : (Seq[FileEntry], Seq[FileEntry], Seq[FileEntry]) = {
     // manifest list → (manifest path, content, sequence); v1 inline = data
     val manifests: Seq[(String, Int, Long)] = snap.manifestList match {
       case Some(ml) => readAvro(conf, absolutize(root, ml)).map { r =>
@@ -334,7 +317,6 @@ object IcebergSource {
       }
       case None => snap.inlineManifests.map(p => (p, 0, 0L))
     }
-    final case class FileEntry(path: String, seq: Long, equalityIds: Seq[Int])
     val dataFiles = scala.collection.mutable.ArrayBuffer[FileEntry]()
     val posDeleteFiles = scala.collection.mutable.ArrayBuffer[FileEntry]()
     val eqDeleteFiles = scala.collection.mutable.ArrayBuffer[FileEntry]()
@@ -369,6 +351,35 @@ object IcebergSource {
         }
       }
     }
+    (dataFiles.toSeq, posDeleteFiles.toSeq, eqDeleteFiles.toSeq)
+  }
+
+  def read(spark: SparkSession, root: String,
+           snapshotId: Option[Long] = None,
+           asOfTimestampMs: Option[Long] = None,
+           metadataLocation: Option[String] = None): DataFrame = {
+    val meta = tableMeta(spark, root, metadataLocation)
+    val target: Option[SnapshotInfo] = (snapshotId, asOfTimestampMs) match {
+      case (Some(id), _) =>
+        Some(meta.snapshots.find(_.snapshotId == id).getOrElse(
+          throw new IllegalArgumentException(
+            s"snapshot $id not in [${meta.snapshots.map(_.snapshotId).mkString(", ")}]")))
+      case (None, Some(ts)) =>
+        val eligible = meta.snapshots.filter(_.timestampMs <= ts).sortBy(_.timestampMs)
+        require(eligible.nonEmpty,
+          s"no iceberg snapshot at or before timestamp $ts")
+        Some(eligible.last)
+      case _ => meta.currentSnapshotId.map(id =>
+        meta.snapshots.find(_.snapshotId == id).getOrElse(
+          throw new IllegalArgumentException(s"current snapshot $id missing")))
+    }
+    val readSchema = stripFieldIds(meta.schema).asInstanceOf[StructType]
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema)
+    val snap = target.getOrElse(return empty)
+
+    val conf = spark.sessionState.newHadoopConf()
+    val (dataFiles, posDeleteFiles, eqDeleteFiles) = collectFiles(conf, root, snap)
     if (dataFiles.isEmpty) return empty
     var scan = spark.read.schema(readSchema).parquet(dataFiles.map(_.path).toSeq: _*)
     if (posDeleteFiles.isEmpty && eqDeleteFiles.isEmpty) return scan
@@ -428,6 +439,84 @@ object IcebergSource {
   /** Driver-side twin of [[normPath]] for literal maps. */
   private def normSchemeString(p: String): String =
     p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:", "").replaceFirst("^/+", "/")
+
+  // ------------------------------------------------------ incremental read
+
+  /**
+   * Incremental changes between snapshots — the Iceberg counterpart of
+   * [[DeltaLog.changes]]. For each snapshot after `fromSnapshotId`
+   * (EXCLUSIVE — the "I've consumed up to here" cursor; None = table
+   * start) up to `toSnapshotId` (inclusive; None = current), the live
+   * file sets of consecutive snapshots diff into `insert` rows (files
+   * that appeared) and `delete` rows (files that vanished). Snapshots
+   * whose operation is `replace` (compaction — net row change zero)
+   * advance the baseline silently, like Delta's dataChange=false. Output
+   * = table columns + `_change_type`, `_change_ordinal` (1-based
+   * position in the consumed range), `_commit_snapshot_id`,
+   * `_commit_timestamp`. Row-level delete files in the range fail fast
+   * (a file-set diff cannot attribute their rows); this goes beyond the
+   * Iceberg runtime's own incremental read, which rejects everything but
+   * appends.
+   */
+  def changes(spark: SparkSession, root: String,
+              fromSnapshotId: Option[Long] = None,
+              toSnapshotId: Option[Long] = None): DataFrame = {
+    val meta = tableMeta(spark, root)
+    val ordered = meta.snapshots.sortBy(s => (s.timestampMs, s.snapshotId))
+    require(ordered.nonEmpty, s"$root has no snapshots")
+    def indexOf(id: Long): Int = {
+      val i = ordered.indexWhere(_.snapshotId == id)
+      require(i >= 0, s"snapshot $id not in " +
+        s"[${ordered.map(_.snapshotId).mkString(", ")}]")
+      i
+    }
+    val fromIdx = fromSnapshotId.map(indexOf(_) + 1).getOrElse(0)
+    val toIdx = toSnapshotId.map(indexOf(_) + 1).getOrElse(ordered.size)
+    require(fromIdx <= toIdx,
+      s"from-snapshot is later than to-snapshot ($fromSnapshotId > $toSnapshotId)")
+    val conf = spark.sessionState.newHadoopConf()
+    val readSchema = stripFieldIds(meta.schema).asInstanceOf[StructType]
+
+    def liveSet(s: SnapshotInfo): Set[String] = {
+      val (data, pos, eq) = collectFiles(conf, root, s)
+      require(pos.isEmpty && eq.isEmpty,
+        s"snapshot ${s.snapshotId} carries row-level delete files — a " +
+          "file-set diff cannot attribute their rows; consume snapshots " +
+          "instead, or compact the table first")
+      data.map(_.path).toSet
+    }
+
+    var prev: Set[String] =
+      if (fromIdx == 0) Set.empty else liveSet(ordered(fromIdx - 1))
+    val frames = (fromIdx until toIdx).flatMap { i =>
+      val s = ordered(i)
+      val cur = liveSet(s)
+      val out =
+        if (s.operation == "replace") Nil // compaction: no net row change
+        else {
+          def group(paths: Set[String], ct: String): Option[DataFrame] =
+            if (paths.isEmpty) None
+            else Some(spark.read.schema(readSchema).parquet(paths.toSeq: _*)
+              .withColumn("_change_type", lit(ct))
+              .withColumn("_change_ordinal", lit(i - fromIdx + 1))
+              .withColumn("_commit_snapshot_id", lit(s.snapshotId))
+              .withColumn("_commit_timestamp", timestamp_millis(lit(s.timestampMs))))
+          group(cur -- prev, "insert").toSeq ++ group(prev -- cur, "delete").toSeq
+        }
+      prev = cur
+      out
+    }
+    frames match {
+      case Seq() =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(readSchema.fields ++ Seq(
+            StructField("_change_type", StringType),
+            StructField("_change_ordinal", IntegerType, nullable = false),
+            StructField("_commit_snapshot_id", LongType, nullable = false),
+            StructField("_commit_timestamp", TimestampType))))
+      case fs0 => fs0.reduce(_ union _)
+    }
+  }
 
   // --------------------------------------------------------------- write
 

@@ -78,12 +78,21 @@ object Sources {
     // iceberg routes through the native metadata/manifest reader (no
     // iceberg runtime jar in this env); snapshot_id / as_of_timestamp_ms
     // are the Iceberg time-travel read options
-    if (cfg.format == "iceberg")
-      return IcebergSource.read(spark,
-        cfg.path.getOrElse(throw new IllegalArgumentException("iceberg read needs path")),
+    if (cfg.format == "iceberg") {
+      val icePath =
+        cfg.path.getOrElse(throw new IllegalArgumentException("iceberg read needs path"))
+      // incremental changes feed: from_snapshot_id (exclusive cursor) or
+      // changes: true selects the diff read instead of a snapshot
+      if (cfg.options.contains("from_snapshot_id") ||
+          cfg.options.get("changes").exists(_.toBoolean))
+        return IcebergSource.changes(spark, icePath,
+          fromSnapshotId = cfg.options.get("from_snapshot_id").map(_.toLong),
+          toSnapshotId = cfg.options.get("to_snapshot_id").map(_.toLong))
+      return IcebergSource.read(spark, icePath,
         snapshotId = cfg.options.get("snapshot_id").map(_.toLong),
         asOfTimestampMs = cfg.options.get("as_of_timestamp_ms").map(_.toLong),
         metadataLocation = cfg.options.get("metadata_location"))
+    }
     // delta routes through the native transaction-log reader (no
     // delta-spark jar in this env); versionAsOf / timestampAsOf are the
     // reference's time-travel read options (config.py:1355-1390)

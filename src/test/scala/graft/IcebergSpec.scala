@@ -272,6 +272,35 @@ class IcebergSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
   }
 
+  test("incremental changes: snapshot diffs, exclusive cursor, replace is silent") {
+    val root = tmp() + "/chg"
+    IcebergSource.write(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), root, "append")
+    IcebergSource.write(Seq((3L, "c")).toDF("id", "name"), root, "append")
+    IcebergSource.write(Seq((9L, "z")).toDF("id", "name"), root, "overwrite")
+    val snaps = IcebergSource.snapshots(spark, root)
+    val all = IcebergSource.changes(spark, root)
+    val byOrdinal = all.groupBy("_change_ordinal", "_change_type")
+      .agg(sort_array(collect_list("id")).as("ids")).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getSeq[Long](2)).toMap
+    assert(byOrdinal((1, "insert")) == Seq(1L, 2L))
+    assert(byOrdinal((2, "insert")) == Seq(3L))
+    assert(byOrdinal((3, "insert")) == Seq(9L))
+    assert(byOrdinal((3, "delete")) == Seq(1L, 2L, 3L))
+    // exclusive cursor: consuming from the first snapshot skips its rows
+    val tail = IcebergSource.changes(spark, root,
+      fromSnapshotId = Some(snaps.head.snapshotId))
+    assert(tail.where(col("_change_type") === "insert")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 9L))
+    // declarative dispatch
+    val feed = Sources.read(spark, Sources.ReadConfig("iceberg", path = Some(root),
+      options = Map("from_snapshot_id" -> snaps.head.snapshotId.toString,
+        "to_snapshot_id" -> snaps(1).snapshotId.toString)))
+    assert(feed.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    intercept[IllegalArgumentException] {
+      IcebergSource.changes(spark, root, fromSnapshotId = Some(424242L))
+    }
+  }
+
   test("Tools iceberg history lists snapshots") {
     val root = tmp() + "/hist"
     IcebergSource.write(Seq((1L, "a")).toDF("id", "name"), root, "append")
