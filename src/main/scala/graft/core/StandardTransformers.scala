@@ -197,6 +197,11 @@ object StandardTransformers {
       graft.operators.TimeSeries.resample(c.df, str(p, "ts_col"),
         seqOf(p, "value_cols"), str(p, "step_seconds").toLong,
         seqOf(p, "group_by"), strOpt(p, "strategy").getOrElse("ffill")) }
+    reg("flag_outliers") { (c, p) =>
+      graft.operators.TimeSeries.flagOutliers(c.df, str(p, "ts_col"),
+        str(p, "value_col"), str(p, "window_seconds").toLong,
+        strOpt(p, "k").map(_.toDouble).getOrElse(3.0),
+        seqOf(p, "group_by"), strOpt(p, "flag_col").getOrElse("is_outlier")) }
     reg("rolling_agg") { (c, p) =>
       graft.operators.TimeSeries.rollingAgg(c.df, str(p, "ts_col"),
         str(p, "function"), str(p, "window_seconds").toLong,

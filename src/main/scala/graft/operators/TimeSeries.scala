@@ -106,4 +106,30 @@ object TimeSeries {
       s"$function OVER ($part ORDER BY unix_micros($tsCol) " +
         s"RANGE BETWEEN $micros PRECEDING AND CURRENT ROW)"))
   }
+
+  /**
+   * k-sigma outlier flag against the trailing `windowSeconds` RANGE
+   * frame (current row and its instant-peers included — the plain
+   * rolling z-score every sensor-QA pipeline starts from; the
+   * self-inclusion slightly dampens the score, symmetric across
+   * engines). Rows without enough history (stddev null/0) are never
+   * flagged.
+   */
+  def flagOutliers(df: DataFrame, tsCol: String, valueCol: String,
+                   windowSeconds: Long, k: Double = 3.0,
+                   groupBy: Seq[String] = Nil,
+                   flagCol: String = "is_outlier"): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val part =
+      if (groupBy.nonEmpty) s"PARTITION BY ${groupBy.mkString(", ")}" else ""
+    val frame = s"OVER ($part ORDER BY unix_micros($tsCol) " +
+      s"RANGE BETWEEN ${windowSeconds * 1000000L} PRECEDING AND CURRENT ROW)"
+    df
+      .withColumn("_gf_mu", expr(s"avg($valueCol) $frame"))
+      .withColumn("_gf_sd", expr(s"stddev_samp($valueCol) $frame"))
+      .withColumn(flagCol,
+        when(col("_gf_sd").isNull || col("_gf_sd") === 0, lit(false))
+          .otherwise(abs(col(valueCol) - col("_gf_mu")) > lit(k) * col("_gf_sd")))
+      .drop("_gf_mu", "_gf_sd")
+  }
 }

@@ -301,6 +301,23 @@ class IcebergSpec extends SparkSpec {
     }
   }
 
+  test("filters and pruning push into the parquet scan through the iceberg reader") {
+    val root = tmp() + "/push"
+    IcebergSource.write((0L until 1000L).map(i => (i, s"n$i", i * 1.5))
+      .toDF("id", "name", "score"), root, "append")
+    val q = IcebergSource.read(spark, root)
+      .where(col("id") > 500).select("id", "name")
+    val audit = graft.core.PlanAudit.audit(q)
+    assert(audit.pushedFilters.exists(_.contains("GreaterThan(id")),
+      s"filter must reach the scan, got ${audit.pushedFilters}")
+    // unprojected column pruned from the read schema
+    val scanSchema = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.requiredSchema
+    }
+    assert(scanSchema.exists(!_.fieldNames.contains("score")),
+      s"score must be pruned, got $scanSchema")
+  }
+
   test("Tools iceberg history lists snapshots") {
     val root = tmp() + "/hist"
     IcebergSource.write(Seq((1L, "a")).toDF("id", "name"), root, "append")

@@ -70,6 +70,21 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(4) == (("b", 100.0, 100.0)))      // groups independent
   }
 
+  test("flagOutliers: spike flagged against trailing stats, cold start never flags") {
+    val base = (0 until 20).map(i => ("a", ts(f"2026-01-01 00:${i}%02d:00"), 10.0))
+    val spike = Seq(("a", ts("2026-01-01 00:20:00"), 500.0))
+    val flat = (0 until 3).map(i => ("b", ts(f"2026-01-01 00:0$i:00"), 7.0))
+    val out = TimeSeries.flagOutliers(
+      (base ++ spike ++ flat).toDF("g", "t", "v"), "t", "v", 3600, 3.0, Seq("g"))
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.getBoolean(3)))
+    // only the spike flags; the flat series (stddev 0) and the cold-start
+    // rows never flag
+    assert(out.count(_._3) == 1)
+    assert(out.find(_._3).get._2 == 500.0)
+    graft.core.StandardTransformers.registerAll
+    assert(graft.core.TransformerRegistry.names.contains("flag_outliers"))
+  }
+
   test("resample: multiple value columns, ungrouped frame, YAML transformer") {
     val df = Seq(
       (ts("2026-01-01 00:00:00"), 1.0, 100.0),
