@@ -515,6 +515,9 @@ object SparkEntry {
       t(s, d, "documents").agg(
         countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_unique"),
         count(lit(1)).as("n_docs"))),
+    "q_corpus_report" -> ((s, d) =>
+      // the dataset-card numbers per language in one aggregate pass
+      TextAnalysis.corpusReport(t(s, d, "documents"), "text", Seq("lang"))),
     "q_ann_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.bruteForceTopK(emb, "vec_id", "embedding",
@@ -1510,6 +1513,8 @@ object SparkEntry {
       "SELECT doc_id, round(least(length(text) / 500.0, 1.0) * 0.3 + least((CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','was','with','as','at','by','be','this'], x))) AS DOUBLE) / CAST(greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1) AS DOUBLE)) * 4.0, 1.0) * 0.3 + greatest(0.0, 1.0 - (CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)) * 4.0) * 0.2 + greatest(0.0, 1.0 - (CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)) * 4.0) * 0.2, 6) AS quality FROM documents",
     "q_fingerprint_stats" ->
       "SELECT count(DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS n_unique, count(*) AS n_docs FROM documents",
+    "q_corpus_report" ->
+      "SELECT lang, count(*) AS n_docs, count(DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS n_unique, CAST(sum(length(text)) AS BIGINT) AS total_chars, CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens, round(avg(len(string_split_regex(trim(text), '\\s+'))), 6) AS mean_tokens, round(quantile_cont(len(string_split_regex(trim(text), '\\s+')), 0.5), 6) AS p50_tokens, CAST(max(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS max_tokens, round(1.0 - count(DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) / CAST(count(*) AS DOUBLE), 6) AS dup_ratio FROM documents GROUP BY 1",
     "q_ann_topk" ->
       "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10), s AS (SELECT q.qid, e.vec_id, list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.qv, q.qv))) AS cos FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid) SELECT qid, vec_id, rank FROM (SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM s) r WHERE rank <= 5",
     "q_scd2" ->

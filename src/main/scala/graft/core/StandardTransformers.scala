@@ -197,6 +197,9 @@ object StandardTransformers {
       graft.operators.TimeSeries.resample(c.df, str(p, "ts_col"),
         seqOf(p, "value_cols"), str(p, "step_seconds").toLong,
         seqOf(p, "group_by"), strOpt(p, "strategy").getOrElse("ffill")) }
+    reg("corpus_report") { (c, p) =>
+      graft.functions.TextAnalysis.corpusReport(c.df, str(p, "text_col"),
+        seqOf(p, "group_by")) }
     reg("flag_outliers") { (c, p) =>
       graft.operators.TimeSeries.flagOutliers(c.df, str(p, "ts_col"),
         str(p, "value_col"), str(p, "window_seconds").toLong,

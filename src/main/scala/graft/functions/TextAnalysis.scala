@@ -284,6 +284,35 @@ object TextAnalysis {
           .as("n_tokens"))
   }
 
+  /**
+   * Corpus report (the "dataset card" numbers a training-data release
+   * ships with): per group — or one global row — doc counts, exact-dup
+   * ratio via the whitespace-normalized fingerprint, char/token mass,
+   * and the token-length distribution (mean/p50/max). ONE aggregate over
+   * one projection pass: every statistic is map-side combinable except
+   * the exact distinct and percentile, which shuffle scalar
+   * (fingerprint, token-count) values only — corpus text never moves.
+   */
+  def corpusReport(df: DataFrame, textCol: String,
+                   groupBy: Seq[String] = Nil): DataFrame = {
+    val g = groupBy.map(col)
+    val rows = df.select(g ++ Seq(
+      fingerprint(col(textCol)).as("_gf_fp"),
+      length(col(textCol)).as("_gf_chars"),
+      tokenCountWs(col(textCol)).as("_gf_toks")): _*)
+    val grouped = if (groupBy.isEmpty) rows.groupBy() else rows.groupBy(g: _*)
+    grouped.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("_gf_fp")).as("n_unique"),
+        sum(col("_gf_chars")).as("total_chars"),
+        sum(col("_gf_toks").cast("long")).as("total_tokens"),
+        round(avg(col("_gf_toks")), 6).as("mean_tokens"),
+        expr("round(percentile(_gf_toks, 0.5), 6)").as("p50_tokens"),
+        max(col("_gf_toks")).cast("long").as("max_tokens"))
+      .withColumn("dup_ratio",
+        round(lit(1.0) - col("n_unique") / col("n_docs"), 6))
+  }
+
   def filterUrlBlocklist(df: DataFrame, idCol: String, urlCol: String,
                          blocklist: DataFrame, domainCol: String): DataFrame = {
     val suffixed = df.select(col(idCol),
