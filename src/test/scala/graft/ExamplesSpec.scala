@@ -118,6 +118,11 @@ class ExamplesSpec extends SparkSpec {
     assert(stats.getAs[Long]("n_sequences") >= 1)
     assert(stats.getAs[Long]("total_tokens") > 0)
 
+    // dataset card: one row per language, dup ratio zero post-dedup
+    val card = spark.read.parquet(s"$out/train/dataset_card")
+    assert(card.columns.contains("dup_ratio") && card.count() >= 1)
+    assert(card.filter("dup_ratio > 0").count() == 0)
+
     // quality audit branch: every doc scored with a [0,1] probability,
     // and the en-labeled reference slice scores higher on average
     val quality = spark.read.parquet(s"$out/quality/scored")
