@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Similarity, TextAnalysis}
-import graft.operators.{Advanced, Dedup, Relational, SqlCore}
+import graft.operators.{Advanced, Dedup, Relational, Sampling, SqlCore}
 
 /**
  * Driver contract: one `queries` entry per implemented operator from
@@ -518,6 +518,10 @@ object SparkEntry {
     "q_corpus_report" -> ((s, d) =>
       // the dataset-card numbers per language in one aggregate pass
       TextAnalysis.corpusReport(t(s, d, "documents"), "text", Seq("lang"))),
+    "q_epochs_mix" -> ((s, d) =>
+      // multi-epoch upsampling recipe: src0 2.5 epochs, src1 0.25, rest 1.0
+      Sampling.epochsMix(t(s, d, "documents").select("doc_id", "source"),
+        "doc_id", "source", Map("src0" -> 2.5, "src1" -> 0.25))),
     "q_ann_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.bruteForceTopK(emb, "vec_id", "embedding",
@@ -1513,6 +1517,8 @@ object SparkEntry {
       "SELECT doc_id, round(least(length(text) / 500.0, 1.0) * 0.3 + least((CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','was','with','as','at','by','be','this'], x))) AS DOUBLE) / CAST(greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1) AS DOUBLE)) * 4.0, 1.0) * 0.3 + greatest(0.0, 1.0 - (CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)) * 4.0) * 0.2 + greatest(0.0, 1.0 - (CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)) * 4.0) * 0.2, 6) AS quality FROM documents",
     "q_fingerprint_stats" ->
       "SELECT count(DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS n_unique, count(*) AS n_docs FROM documents",
+    "q_epochs_mix" ->
+      "WITH d AS (SELECT doc_id, source, CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25 ELSE 1.0 END AS e, (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) / 4294967296.0 AS u FROM documents), c AS (SELECT doc_id, source, CAST(floor(e) + CASE WHEN u < e - floor(e) THEN 1 ELSE 0 END AS INT) AS n FROM d) SELECT doc_id, source, CAST(unnest(range(0, n)) AS INT) AS epoch_idx FROM c WHERE n > 0",
     "q_corpus_report" ->
       "SELECT lang, count(*) AS n_docs, count(DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS n_unique, CAST(sum(length(text)) AS BIGINT) AS total_chars, CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens, round(avg(len(string_split_regex(trim(text), '\\s+'))), 6) AS mean_tokens, round(quantile_cont(len(string_split_regex(trim(text), '\\s+')), 0.5), 6) AS p50_tokens, CAST(max(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS max_tokens, round(1.0 - count(DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) / CAST(count(*) AS DOUBLE), 6) AS dup_ratio FROM documents GROUP BY 1",
     "q_ann_topk" ->

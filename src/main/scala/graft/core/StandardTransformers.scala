@@ -197,6 +197,16 @@ object StandardTransformers {
       graft.operators.TimeSeries.resample(c.df, str(p, "ts_col"),
         seqOf(p, "value_cols"), str(p, "step_seconds").toLong,
         seqOf(p, "group_by"), strOpt(p, "strategy").getOrElse("ffill")) }
+    reg("epochs_mix") { (c, p) =>
+      val epochs = p.get("epochs") match {
+        case Some(m: Map[_, _]) =>
+          m.map { case (k, v) => k.toString -> v.toString.toDouble }
+        case _ => Map.empty[String, Double]
+      }
+      graft.operators.Sampling.epochsMix(c.df, str(p, "id_col"),
+        str(p, "source_col"), epochs,
+        strOpt(p, "default_epochs").map(_.toDouble).getOrElse(1.0),
+        strOpt(p, "out_col").getOrElse("epoch_idx")) }
     reg("corpus_report") { (c, p) =>
       graft.functions.TextAnalysis.corpusReport(c.df, str(p, "text_col"),
         seqOf(p, "group_by")) }

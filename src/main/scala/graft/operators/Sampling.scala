@@ -476,4 +476,36 @@ object Sampling {
     df.withColumn("_k", col(scoreCol) / temperature - log(-log(u)))
       .orderBy(col("_k").desc).limit(n).drop("_k")
   }
+
+  /**
+   * Epoch-weighted source mixing with UPSAMPLING — the pretraining
+   * recipe shape ("Wikipedia 3.5 epochs, web 0.8"): each document of
+   * source s appears `floor(e_s)` or `ceil(e_s)` times, the fractional
+   * extra copy chosen by a deterministic per-document md5 uniform, so
+   * each source's expected row/token mass is exactly `e_s ×` its corpus
+   * mass and re-runs reproduce the same corpus bit-for-bit.
+   * [[weightedMix]] DOWNSAMPLES to proportions; this op realizes a
+   * multi-epoch recipe. One projection + explode — no shuffle, no
+   * driver state; `outCol` carries the copy index (0-based) so
+   * downstream shuffling/packing can spread repeats.
+   */
+  def epochsMix(df: DataFrame, idCol: String, sourceCol: String,
+                epochs: Map[String, Double], defaultEpochs: Double = 1.0,
+                outCol: String = "epoch_idx"): DataFrame = {
+    require(epochs.values.forall(_ >= 0) && defaultEpochs >= 0,
+      "epoch factors must be >= 0")
+    val eCol = epochs.foldLeft(lit(defaultEpochs)) { case (acc, (s, e)) =>
+      when(col(sourceCol) === s, lit(e)).otherwise(acc)
+    }
+    // deterministic uniform in [0,1): the md5-prefix recipe (same family
+    // as numeric_key / the weightedMix bucketing — engine-portable)
+    val u = expr(s"conv(substring(md5(cast($idCol as string)), 1, 8), 16, 10)")
+      .cast("double") / lit(4294967296.0)
+    val copies = (floor(eCol) +
+      when(u < eCol - floor(eCol), 1).otherwise(0)).cast("int")
+    df.withColumn("_gf_copies", copies)
+      .where(col("_gf_copies") > 0)
+      .withColumn(outCol, explode(sequence(lit(0), col("_gf_copies") - 1)))
+      .drop("_gf_copies")
+  }
 }

@@ -206,4 +206,28 @@ class PackingSpec extends SparkSpec {
     val again = Dedup.incrementalExactDedup(batch, "doc_id", "text", grown)
     assert(again.count() == 0)
   }
+
+  test("epochsMix: whole epochs exact, fractional epochs hash-deterministic") {
+    import graft.operators.Sampling
+    val docs = (0L until 4000L).map(i => (i, s"s${i % 4}")).toDF("id", "src")
+    val out = Sampling.epochsMix(docs, "id", "src",
+      Map("s0" -> 3.0, "s1" -> 1.5, "s2" -> 0.0), defaultEpochs = 1.0)
+    val bySrc = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("s0") == 3000L)                  // exactly 3 epochs
+    assert(!bySrc.contains("s2"))                 // zero epochs drop the source
+    assert(bySrc("s3") == 1000L)                  // default 1.0 untouched
+    // fractional: expected 1500, hash-binomial around it
+    assert(math.abs(bySrc("s1") - 1500L) < 150, s"s1 -> ${bySrc("s1")}")
+    // every whole-epoch doc appears with contiguous epoch_idx 0..n-1
+    val idxs = out.filter($"src" === "s0" && $"id" === 0L)
+      .select("epoch_idx").collect().map(_.getInt(0)).sorted.toSeq
+    assert(idxs == Seq(0, 1, 2))
+    // bit-for-bit reproducible
+    val again = Sampling.epochsMix(docs, "id", "src",
+      Map("s0" -> 3.0, "s1" -> 1.5, "s2" -> 0.0))
+    assert(again.exceptAll(out).count() == 0 && out.exceptAll(again).count() == 0)
+    // plan shape: projection + generate only, no shuffle
+    assert(graft.core.PlanAudit.audit(out).numExchanges == 0)
+  }
 }
