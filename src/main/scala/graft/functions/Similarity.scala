@@ -611,8 +611,13 @@ object Similarity {
       .filter(col(idCol) =!= col("_qid"))
       .dropDuplicates("_qid", idCol)
       .withColumn("_adc",
-        graft.expressions.PqFunctions.pqAdcDot(col("_codes"), col("_qvec"),
-          index.codebook.books) / (col("_norm") * col("_qnorm")))
+        // zero-norm vectors (all-zero embeddings exist in real corpora)
+        // score 0 — the cosine convention the exact re-rank also uses —
+        // instead of tripping ANSI division-by-zero
+        when(col("_norm") === 0 || col("_qnorm") === 0, lit(0.0))
+          .otherwise(graft.expressions.PqFunctions.pqAdcDot(
+            col("_codes"), col("_qvec"), index.codebook.books) /
+            (col("_norm") * col("_qnorm"))))
     val aw = Window.partitionBy(col("_qid")).orderBy(col("_adc").desc, col(idCol).asc)
     if (refineFactor <= 0)
       return adc.withColumn("rank", row_number().over(aw))

@@ -121,6 +121,30 @@ class SoakSpec extends SparkSpec {
     assert(out.count() == 500) // 100 queries x k=5, executed end-to-end
   }
 
+  test("IVF-PQ top-k at 2M: m-byte cells, ADC scan, broadcast re-rank", Soak) {
+    val corpus = spark.range(2000000).select($"id",
+      transform(sequence(lit(0), lit(15)),
+        i => sin($"id" * (i + 1))).cast("array<float>").as("vec"))
+    val queries = spark.range(100).select($"id".as("qid"),
+      transform(sequence(lit(0), lit(15)),
+        i => cos($"qid" * (i + 1))).cast("array<float>").as("qvec"))
+    val index = graft.functions.Similarity.buildIvfPqIndex(
+      corpus, "id", "vec", dim = 16, numCentroids = 16, lloydIters = 1,
+      m = 4, ksub = 16, trainSample = 2048)
+    // the corpus-proportional table holds codes + norm, never vectors
+    assert(index.cells.schema("_codes").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    assert(!index.cells.columns.contains("vec"))
+    val out = graft.functions.Similarity.ivfPqTopKIndexed(
+      index, queries, "qid", "qvec", k = 5, nprobe = 4, refineFactor = 4)
+    val audit = PlanAudit.audit(out)
+    assertScaleSafe("ivfPqTopK", audit)
+    // the exact re-rank joins survivors BROADCAST against the vector table
+    assert(audit.numBroadcastJoins >= 1,
+      "survivor re-rank must broadcast, not shuffle the vector table")
+    assert(out.count() == 500) // executed end-to-end at 2M
+  }
+
   test("minhash-index probe of a 200k-doc index by a 100k batch: equi-join, all dups drop", Soak) {
     // a real signed 200k-doc index probed by a 100k-doc batch: the plan
     // must stay an equi-join with per-doc cap windows, no cartesian, no
