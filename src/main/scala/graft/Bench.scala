@@ -39,7 +39,9 @@ object Bench {
     // r8 additions: WARC ingestion + PQ-quantized ANN + Delta CDF + Iceberg
     "q_warc_roundtrip", "q_ivfpq_topk", "q_delta_changes", "q_iceberg_roundtrip",
     // r8 additions: incremental Iceberg + time-series regularization
-    "q_iceberg_changes", "q_resample", "q_rolling_agg")
+    "q_iceberg_changes", "q_resample", "q_rolling_agg",
+    // r8 additions: dataset card + multi-epoch mixing
+    "q_corpus_report", "q_epochs_mix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
