@@ -72,6 +72,24 @@ object Suggestions {
     (_, m) => if (m.contains("NOT AN AVRO CONTAINER")) Some(
       "the file is not an avro object-container file — check the read " +
         "path/format, or pass avro_schema for headerless data") else None,
+    // NOTE: `m` arrives uppercased — match patterns in caps
+    (_, m) => if (m.contains("EXPECTED WARC VERSION LINE")) Some(
+      "the file does not start with a WARC record — check the path (warc " +
+        "reads accept .warc, .warc.gz, .warc.zst) and that the file is not " +
+        "a bare HTTP capture or a truncated segment") else None,
+    (_, m) => if (m.contains("NO _DELTA_LOG COMMITS")) Some(
+      "the path is not a Delta table — point `format: delta` at the TABLE " +
+        "ROOT (the directory containing _delta_log), or read the files " +
+        "directly with format: parquet") else None,
+    (_, m) => if (m.contains("NO ICEBERG METADATA FILES")) Some(
+      "the path is not an Iceberg table — point `format: iceberg` at the " +
+        "table root (containing metadata/*.metadata.json), or pass " +
+        "metadata_location for catalog-managed tables") else None,
+    (_, m) => if (m.contains("NOT IN DELTA LOG") ||
+        (m.contains("SNAPSHOT") && m.contains("NOT IN ["))) Some(
+      "the requested version/snapshot is outside the table history — " +
+        "`graft.Tools delta history <root>` / `graft.Tools iceberg history " +
+        "<root>` lists what exists") else None,
     // catalyst analysis errors ----------------------------------------
     (c, m) => if (m.contains("PATH_NOT_FOUND") || c.contains("FileNotFound"))
       Some("input path missing: run the upstream pipeline first, check the " +

@@ -34,6 +34,15 @@ class SuggestionsSpec extends AnyFunSuite {
     assert(first("", "Task not serializable").contains("closure"))
     assert(first("", "checkpoint state schema mismatch detected").contains("FRESH"))
     assert(first("", "quality gate failed: pass rate 0.4").contains("meta_metrics"))
+    assert(first("", "expected WARC version line, got 'HTTP/1.1 200'")
+      .contains(".warc.zst"))
+    assert(first("", "/x is not a Delta table (no _delta_log commits)")
+      .contains("TABLE ROOT"))
+    assert(first("", "/x has no iceberg metadata files")
+      .contains("metadata_location"))
+    assert(first("", "version 9 not in Delta log [0..3]")
+      .contains("delta history"))
+    assert(first("", "snapshot 42 not in [1, 2]").contains("iceberg history"))
     // unmatched text yields no hints (Doctor falls back to --select advice)
     assert(Suggestions.suggestText("", "some novel failure").isEmpty)
   }
