@@ -680,6 +680,26 @@ object SparkEntry {
         .withColumn("rt_tsat_c", round(col("rt_tsat_c"), 4))
         .withColumn("density", round(col("density"), 6))
     }),
+    "q_if97_sat" -> ((s, d) => {
+      // IAPWS-IF97 region-4 saturation line, both directions, as pure
+      // Column algebra. The equation needs only +,-,*,/ and sqrt — all
+      // IEEE-754 correctly rounded — so the DuckDB mirror with the same
+      // association order is BIT-identical (no rounding in this oracle).
+      val base = t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity") * lit(7.0) + lit(280.0)).as("t_k"),   // 287..630 K
+        (col("l_extendedprice") * lit(10.0)).as("p_pa"))         // ~9 kPa..1 MPa
+      base.withColumn("psat_pa", operators.If97.psatColumn(col("t_k")))
+        .withColumn("tsat_k", operators.If97.tsatColumn(col("p_pa")))
+    }),
+    "q_if97_props" -> ((s, d) =>
+      // full IF97 property dispatch (regions 1/2/3/5 + out-of-range nulls)
+      // through the native codegen'd expression; no SQL oracle — the math
+      // is gated by If97Spec against the standard's own 9-sig-fig tables
+      operators.Domain.steamProperties(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_quantity") * lit(40.0) + lit(273.15)).as("t_k"), // 313..2273 K
+          (col("l_extendedprice") * lit(500.0)).as("p_pa")),       // ~0.5..50 MPa
+        "t_k", "p_pa")),
     "q_stream_window" -> ((s, d) =>
       // tumbling-window aggregation (the window_agg step) on a batch frame:
       // withWatermark is a no-op in batch, window() buckets identically to
@@ -1563,6 +1583,42 @@ object SparkEntry {
       "SELECT l_orderkey, l_linenumber, t_c, p_pa, round(psat, 4) AS psat_pa, round(243.04 * g / (17.625 - g), 4) AS rt_tsat_c, round(p_pa * 0.0289647 / (8.314462618 * (t_c + 273.15)), 6) AS density FROM (SELECT *, ln(psat / 610.94) AS g FROM (SELECT l_orderkey, l_linenumber, l_quantity AS t_c, 101325.0 AS p_pa, 610.94 * exp(17.625 * l_quantity / (l_quantity + 243.04)) AS psat FROM lineitem) a) b",
     "q_stream_window" ->
       "SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n FROM events GROUP BY 1, 2",
+    // IF97 eq. 30/31 mirrored term-for-term: decimal literals parse to the
+    // identical float64 in both engines, and +,-,*,/,sqrt are IEEE-754
+    // correctly rounded, so this oracle is bit-exact with NO rounding.
+    "q_if97_sat" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         l_quantity * 7.0 + 280.0 AS t_k,
+        |         l_extendedprice * 10.0 AS p_pa
+        |  FROM lineitem),
+        |fwd AS (
+        |  SELECT *, t_k + (-0.23855557567849) / (t_k - 0.65017534844798e3) AS theta
+        |  FROM base),
+        |abc AS (
+        |  SELECT *,
+        |         theta * theta + 0.11670521452767e4 * theta + (-0.72421316703206e6) AS a,
+        |         (-0.17073846940092e2) * theta * theta + 0.12020824702470e5 * theta + (-0.32325550322333e7) AS b,
+        |         0.14915108613530e2 * theta * theta + (-0.48232657361591e4) * theta + 0.40511340542057e6 AS c
+        |  FROM fwd),
+        |px AS (
+        |  SELECT *, 2.0 * c / (-b + sqrt(b * b - 4.0 * a * c)) AS x FROM abc),
+        |inv AS (
+        |  SELECT *, sqrt(sqrt(p_pa / 1000000.0)) AS beta FROM px),
+        |efg AS (
+        |  SELECT *,
+        |         beta * beta + (-0.17073846940092e2) * beta + 0.14915108613530e2 AS e,
+        |         0.11670521452767e4 * beta * beta + 0.12020824702470e5 * beta + (-0.48232657361591e4) AS f,
+        |         (-0.72421316703206e6) * beta * beta + (-0.32325550322333e7) * beta + 0.40511340542057e6 AS g
+        |  FROM inv),
+        |dd AS (
+        |  SELECT *, 2.0 * g / (-f - sqrt(f * f - 4.0 * e * g)) AS d FROM efg),
+        |ss AS (
+        |  SELECT *, 0.65017534844798e3 + d AS s FROM dd)
+        |SELECT l_orderkey, l_linenumber, t_k, p_pa,
+        |       (x * x) * (x * x) * 1000000.0 AS psat_pa,
+        |       (s - sqrt(s * s - 4.0 * ((-0.23855557567849) + 0.65017534844798e3 * d))) / 2.0 AS tsat_k
+        |FROM ss""".stripMargin,
     "q_avro_roundtrip" ->
       "SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS revenue, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM orders GROUP BY 1",
     "q_chunk_text" ->

@@ -268,10 +268,17 @@ object StandardTransformers {
         strOpt(p, "output_col")) }
     reg("saturation_properties") { (c, p) =>
       Domain.saturationProperties(c.df, strOpt(p, "temp_col"),
-        strOpt(p, "pressure_col"), strOpt(p, "prefix").getOrElse("")) }
+        strOpt(p, "pressure_col"), strOpt(p, "prefix").getOrElse(""),
+        strOpt(p, "method").getOrElse("magnus")) }
     reg("fluid_properties") { (c, p) =>
       Domain.fluidProperties(c.df, str(p, "pressure_col"), str(p, "temp_col"),
         p.get("molar_mass").map(_.toString.toDouble).getOrElse(0.0289647),
+        strOpt(p, "prefix").getOrElse(""),
+        strOpt(p, "fluid").getOrElse("Air")) }
+    reg("steam_properties") { (c, p) =>
+      Domain.steamProperties(c.df, str(p, "temp_col"), str(p, "pressure_col"),
+        strOpt(p, "temp_unit").getOrElse("K"),
+        strOpt(p, "pressure_unit").getOrElse("Pa"),
         strOpt(p, "prefix").getOrElse("")) }
     reg("psychrometrics") { (c, p) =>
       Domain.psychrometrics(c.df, str(p, "temp_col"), str(p, "rh_col"),

@@ -103,35 +103,107 @@ object Domain {
   }
 
   /**
-   * saturation_properties (thermodynamics.py:566-660): the closed-form
-   * water subset — Magnus psat from temperature, inverse-Magnus tsat from
-   * pressure. Per-fluid CoolProp EOS outputs (H/S/D at saturation) sit
-   * behind the same out-of-scope boundary as [[psychrometrics]].
+   * saturation_properties (thermodynamics.py:566-660). Two methods:
+   *  - `magnus` (default, the historical surface): Magnus psat from
+   *    temperature, inverse-Magnus tsat from pressure — an approximation
+   *    good to ~0.3% over 0-60 °C.
+   *  - `if97`: the IAPWS-IF97 region-4 saturation line ([[If97]]),
+   *    exact to the standard's 9 significant figures over the whole
+   *    273.15 K - 647.096 K range — the same equation CoolProp evaluates
+   *    for Water behind the reference's `saturation_properties`.
    */
   def saturationProperties(df: DataFrame, tempCCol: Option[String],
                            pressureCol: Option[String],
-                           prefix: String = ""): DataFrame = {
+                           prefix: String = "",
+                           method: String = "magnus"): DataFrame = {
     val p = if (prefix.isEmpty) "" else s"${prefix}_"
+    val if97 = method match {
+      case "magnus" => false
+      case "if97" => true
+      case other => throw new IllegalArgumentException(
+        s"saturation_properties method must be magnus or if97, got $other")
+    }
     (tempCCol, pressureCol) match {
-      case (Some(t), _) => df.withColumn(s"${p}psat_pa", saturationPressure(col(t)))
-      case (_, Some(pc)) => df.withColumn(s"${p}tsat_c", saturationTemperature(col(pc)))
+      case (Some(t), _) =>
+        val psat = if (if97) If97.psatColumn(col(t) + lit(273.15))
+                   else saturationPressure(col(t))
+        df.withColumn(s"${p}psat_pa", psat)
+      case (_, Some(pc)) =>
+        val tsat = if (if97) If97.tsatColumn(col(pc)) - lit(273.15)
+                   else saturationTemperature(col(pc))
+        df.withColumn(s"${p}tsat_c", tsat)
       case _ => throw new IllegalArgumentException(
         "saturation_properties needs temp_col or pressure_col")
     }
   }
 
   /**
-   * fluid_properties (thermodynamics.py:189-560): the ideal-gas subset —
-   * density from P [Pa] and T [°C] for a given molar mass (air default).
-   * CoolProp's 122-fluid EOS is out of scope in this environment; the
-   * plan-time closed form keeps the hot path in codegen.
+   * fluid_properties (thermodynamics.py:189-560). For `fluid = "Water"`
+   * the full IAPWS-IF97 industrial formulation ([[If97]]: regions 1/2/3/5,
+   * verified against the standard's own tables in If97Spec) produces
+   * density, enthalpy, entropy, cp and speed of sound in ONE native
+   * codegen'd expression per row. Other fluids use the ideal-gas closed
+   * form (density only) with a published molar-mass table — the honest
+   * boundary for non-water fluids without a property library, kept
+   * plan-time and codegen'd.
    */
   def fluidProperties(df: DataFrame, pressureCol: String, tempCCol: String,
                       molarMass: Double = 0.0289647,
+                      prefix: String = "",
+                      fluid: String = "Air"): DataFrame = {
+    val p = if (prefix.isEmpty) "" else s"${prefix}_"
+    if (fluid.equalsIgnoreCase("water") || fluid.equalsIgnoreCase("steam")) {
+      val props = If97.waterProps(col(tempCCol) + lit(273.15), col(pressureCol))
+      df.withColumn("_gf_if97", props)
+        .withColumn(s"${p}region", col("_gf_if97.region"))
+        .withColumn(s"${p}density", lit(1.0) / col("_gf_if97.v"))
+        .withColumn(s"${p}enthalpy", col("_gf_if97.h"))
+        .withColumn(s"${p}entropy", col("_gf_if97.s"))
+        .withColumn(s"${p}cp", col("_gf_if97.cp"))
+        .withColumn(s"${p}speed_of_sound", col("_gf_if97.w"))
+        .drop("_gf_if97")
+    } else {
+      val mm = molarMasses.getOrElse(fluid.toLowerCase, molarMass)
+      df.withColumn(s"${p}density",
+        fluidDensityIdealGas(col(pressureCol), col(tempCCol) + lit(273.15), mm))
+    }
+  }
+
+  /** Published molar masses [kg/mol] for the common industrial gases the
+    * reference's fluid list covers with ideal-gas accuracy. */
+  private val molarMasses: Map[String, Double] = Map(
+    "air" -> 0.0289647, "nitrogen" -> 0.0280134, "n2" -> 0.0280134,
+    "oxygen" -> 0.0319988, "o2" -> 0.0319988, "co2" -> 0.04401,
+    "carbondioxide" -> 0.04401, "hydrogen" -> 0.00201588, "h2" -> 0.00201588,
+    "helium" -> 0.0040026, "argon" -> 0.039948, "methane" -> 0.01604,
+    "ammonia" -> 0.0170305)
+
+  /**
+   * steam_properties: the full IF97 property set for water/steam from
+   * (T, p) in caller units — region id, specific volume [m3/kg], density
+   * [kg/m3], enthalpy [kJ/kg], internal energy [kJ/kg], entropy
+   * [kJ/(kg K)], cp [kJ/(kg K)], speed of sound [m/s]. Out-of-range
+   * states carry region 0 with null properties rather than failing the
+   * job (sensor data contains garbage; flag, don't crash).
+   */
+  def steamProperties(df: DataFrame, tempCol: String, presCol: String,
+                      tempUnit: String = "K", presUnit: String = "Pa",
                       prefix: String = ""): DataFrame = {
     val p = if (prefix.isEmpty) "" else s"${prefix}_"
-    df.withColumn(s"${p}density",
-      fluidDensityIdealGas(col(pressureCol), col(tempCCol) + lit(273.15), molarMass))
+    val (tf, to) = conversion(tempUnit, "K")
+    val (pf, po) = conversion(presUnit, "Pa")
+    val tK = col(tempCol) * lit(tf) + lit(to)
+    val pPa = col(presCol) * lit(pf) + lit(po)
+    df.withColumn("_gf_if97", If97.waterProps(tK, pPa))
+      .withColumn(s"${p}region", col("_gf_if97.region"))
+      .withColumn(s"${p}v", col("_gf_if97.v"))
+      .withColumn(s"${p}density", lit(1.0) / col("_gf_if97.v"))
+      .withColumn(s"${p}h", col("_gf_if97.h"))
+      .withColumn(s"${p}u", col("_gf_if97.u"))
+      .withColumn(s"${p}s", col("_gf_if97.s"))
+      .withColumn(s"${p}cp", col("_gf_if97.cp"))
+      .withColumn(s"${p}w", col("_gf_if97.w"))
+      .drop("_gf_if97")
   }
 
   /** Append the standard psychrometric columns (thermodynamics.py surface). */
