@@ -98,6 +98,16 @@ object SparkEntry {
       graft.functions.TextAnalysis.scrubPii(
         t(s, d, "documents").select("doc_id", "text"), "text",
         outputCol = Some("scrubbed")).drop("text")),
+    "q_normalize_unicode" -> ((s, d) => {
+      // the test corpus is pure ASCII, so inject decomposed/compatibility
+      // forms deterministically: NFC must compose e+combining-acute but
+      // leave the ligature/fraction/width compatibility chars alone
+      val raw = concat(lit("Café ﬁn ½ Ａ "),
+        substring(col("text"), 1, 40))
+      t(s, d, "documents").select(col("doc_id"), raw.as("raw"))
+        .withColumn("nfc", graft.functions.TextAnalysis.normalizeUnicode(col("raw")))
+        .withColumn("changed", col("raw") =!= col("nfc"))
+    }),
     "q_weighted_mix" -> ((s, d) =>
       operators.Sampling.weightedMix(
         t(s, d, "documents").select("doc_id", "source"),
@@ -1325,6 +1335,8 @@ object SparkEntry {
       "SELECT l_returnflag, l_orderkey, l_linenumber FROM (SELECT l_returnflag, l_orderkey, l_linenumber, row_number() OVER (PARTITION BY l_returnflag ORDER BY md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR))) AS rn FROM lineitem) t WHERE rn <= 100",
     "q_repetition" ->
       "SELECT doc_id, CASE WHEN len(lines) = 0 THEN 0.0 ELSE round(1.0 - len(list_distinct(lines)) / len(lines), 6) END AS dup_line_frac, CASE WHEN len(paras) = 0 THEN 0.0 ELSE round(1.0 - len(list_distinct(paras)) / len(paras), 6) END AS dup_para_frac, CASE WHEN len(lines) = 0 THEN 0.0 ELSE round(CAST(list_sum(list_transform(lines, x -> len(x))) AS DOUBLE) / len(lines), 6) END AS mean_line_len FROM (SELECT doc_id, list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines, list_filter(string_split(text, chr(10) || chr(10)), x -> trim(x) <> '') AS paras FROM documents) t",
+    "q_normalize_unicode" ->
+      "SELECT doc_id, raw, nfc_normalize(raw) AS nfc, raw <> nfc_normalize(raw) AS changed FROM (SELECT doc_id, 'Café ﬁn ½ Ａ ' || substring(text, 1, 40) AS raw FROM documents) t",
     "q_pii_scrub" ->
       "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'), '[0-9][0-9 ()+.-]{8,}[0-9]', '<NUM>', 'g') AS scrubbed FROM documents",
     "q_weighted_mix" ->

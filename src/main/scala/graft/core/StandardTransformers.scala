@@ -177,6 +177,9 @@ object StandardTransformers {
       TextAnalysis.repetitionStats(c.df, str(p, "column")) }
     reg("scrub_pii") { (c, p) =>
       TextAnalysis.scrubPii(c.df, str(p, "column"), strOpt(p, "output_col")) }
+    reg("normalize_unicode") { (c, p) =>
+      TextAnalysis.normalizeUnicode(c.df, str(p, "column"),
+        strOpt(p, "form").getOrElse("NFC"), strOpt(p, "output_col")) }
     reg("ngram_contamination") { (c, p) =>
       Dedup.ngramContamination(c.df, str(p, "id_col"), str(p, "text_col"),
         c.dataset(str(p, "benchmark")), strOpt(p, "benchmark_text_col")

@@ -12,6 +12,25 @@ import org.apache.spark.sql.functions._
  */
 object TextAnalysis {
 
+  /**
+   * Unicode-normalize a text column (NFC default — the form web crawls
+   * disagree on most; NFKC folds ligatures/width for tokenizer input).
+   * Native expression with ASCII and already-normalized fast paths
+   * ([[graft.expressions.NormalizeUnicode]]); run it before fingerprint
+   * or exact dedup so composed/decomposed spellings of the same word
+   * hash identically.
+   */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      graft.expressions.NormalizeUnicode(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(text), form))
+
+  /** Frame form of [[normalizeUnicode]]. */
+  def normalizeUnicode(df: DataFrame, textCol: String, form: String,
+                       outputCol: Option[String]): DataFrame =
+    df.withColumn(outputCol.getOrElse(textCol),
+      normalizeUnicode(col(textCol), form))
+
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column =
     size(split(trim(text), "\\s+"))

@@ -229,6 +229,30 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2L) == "version 2.5 costs 12 dollars") // short numbers untouched
   }
 
+  test("normalizeUnicode: forms, fast paths, nulls") {
+    import graft.functions.TextAnalysis
+    val decomposed = "Cafe\u0301"             // e + combining acute
+    val compat = "\uFB01n \u00BD \uFF21"      // fi-ligature, 1/2, fullwidth A
+    val df = Seq((1L, decomposed), (2L, compat), (3L, "plain ascii"),
+      (4L, null.asInstanceOf[String])).toDF("id", "text")
+    val nfc = TextAnalysis.normalizeUnicode(df, "text", "NFC", Some("out"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(nfc(1L) == "Caf\u00e9")             // composed
+    assert(nfc(2L) == compat)                  // NFC leaves compatibility chars
+    assert(nfc(3L) == "plain ascii")           // ASCII fast path: unchanged
+    assert(nfc(4L) == null)
+    val nfkc = TextAnalysis.normalizeUnicode(df, "text", "NFKC", Some("out"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(nfkc(1L) == "Caf\u00e9")
+    assert(nfkc(2L) == "fin 1\u20442 A")       // ligature/width/fraction folded
+    val nfd = TextAnalysis.normalizeUnicode(df, "text", "NFD", Some("out"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(nfd(1L) == decomposed)              // already NFD: identity
+    intercept[IllegalArgumentException] {
+      graft.expressions.NormalizeUnicode(null, "NFX")
+    }
+  }
+
   test("gopherFlags: rule flags and conjunction") {
     import graft.functions.TextAnalysis
     val longOk = (("the quick brown fox is at the barn and it was fine " * 6).trim)
