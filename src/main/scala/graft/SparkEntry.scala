@@ -128,6 +128,18 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 100), "doc_id", "text",
         operators.Dedup.newFingerprints(docs.filter(col("doc_id") < 100), "text"))
     }),
+    "q_bloom_dedup" -> ((s, d) => {
+      // same contract as q_incremental_dedup but through the persisted
+      // Bloom-filter fast path: the filter only ROUTES rows (negatives
+      // skip the join, positives take the exact check), so the output is
+      // deterministic and shares the plain path's oracle
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val seen = operators.Dedup.newFingerprints(docs.filter(col("doc_id") < 100), "text")
+      val dir = java.nio.file.Files.createTempDirectory("graft_bloom_q").toString
+      operators.BloomIndex.dedupAgainst(s, dir,
+        docs.filter(col("doc_id") >= 100), "doc_id", "text", seen,
+        expectedItems = 100000L)
+    }),
     "q_gopher_flags" -> ((s, d) =>
       TextAnalysis.gopherFlags(
         t(s, d, "documents").select("doc_id", "text"), "text", minWords = 20)
@@ -1370,6 +1382,19 @@ object SparkEntry {
         |FROM ranked r JOIN budgets b USING (source)
         |WHERE r.prefix < b.k""".stripMargin,
     "q_incremental_dedup" ->
+      """WITH norm AS (
+        |  SELECT doc_id, text,
+        |         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS fp
+        |  FROM documents
+        |), seen AS (SELECT DISTINCT fp FROM norm WHERE doc_id < 100),
+        |   batch AS (SELECT * FROM norm WHERE doc_id >= 100),
+        |   win AS (SELECT min(doc_id) AS doc_id FROM batch GROUP BY fp)
+        |SELECT b.doc_id, b.text
+        |FROM batch b
+        |JOIN win w ON b.doc_id = w.doc_id
+        |LEFT JOIN seen s ON b.fp = s.fp
+        |WHERE s.fp IS NULL""".stripMargin,
+    "q_bloom_dedup" ->
       """WITH norm AS (
         |  SELECT doc_id, text,
         |         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS fp

@@ -345,8 +345,18 @@ object StandardTransformers {
         p.getOrElse("weights", Map.empty[String, Any]).asInstanceOf[Map[String, Any]]
           .map { case (k, v) => k -> v.toString.toDouble }) }
     reg("incremental_dedup") { (c, p) =>
-      Dedup.incrementalExactDedup(c.df, str(p, "id_col"), str(p, "text_col"),
-        c.dataset(str(p, "seen"))) }
+      // optional bloom_path switches on the persisted membership-filter
+      // fast path: bloom-negative rows skip the seen-set join entirely
+      strOpt(p, "bloom_path") match {
+        case Some(path) =>
+          BloomIndex.dedupAgainst(c.spark, path, c.df, str(p, "id_col"),
+            str(p, "text_col"), c.dataset(str(p, "seen")),
+            p.get("expected_items").map(_.toString.toLong).getOrElse(10000000L),
+            p.get("fpp").map(_.toString.toDouble).getOrElse(0.01))
+        case None =>
+          Dedup.incrementalExactDedup(c.df, str(p, "id_col"), str(p, "text_col"),
+            c.dataset(str(p, "seen")))
+      } }
     reg("minhash_index_dedup") { (c, p) =>
       val params = MinHashIndex.Params(
         intOpt(p, "shingle_size").getOrElse(5),
