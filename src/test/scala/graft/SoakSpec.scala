@@ -58,6 +58,24 @@ class SoakSpec extends SparkSpec {
     assertScaleSafe("exactDedup/executed", PlanAudit.audit(out))
   }
 
+  test("bloom incremental dedup at 2M batch vs 2M corpus: exact counts, scale-safe", Soak) {
+    val n = 2000000L
+    // corpus: docs 0..n-1; batch: half replays of corpus bodies, half new
+    val corpusDocs = spark.range(n).select($"id",
+      concat(lit("corpus body "), $"id".cast("string")).as("text"))
+    val seen = graft.operators.Dedup.newFingerprints(corpusDocs, "text")
+    val batch = spark.range(n, 2 * n).select($"id",
+      when($"id" % 2 === 0, concat(lit("corpus body "), ($"id" % n).cast("string")))
+        .otherwise(concat(lit("fresh body "), $"id".cast("string"))).as("text"))
+    val filter = graft.operators.BloomIndex.build(seen, "fingerprint", n, 0.01)
+    val out = graft.operators.BloomIndex.incrementalExactDedup(
+      batch, "id", "text", seen, filter)
+    assertScaleSafe("bloomDedup", PlanAudit.audit(out))
+    // exactly the odd-id (fresh) half survives; every replay drops
+    assert(out.count() == n / 2)
+    assertScaleSafe("bloomDedup/executed", PlanAudit.audit(out))
+  }
+
   test("weighted mix at 20M: every rank window is (source,bucket)-partitioned", Soak) {
     val mix = spark.range(N).select(
       $"id", when($"id" % 10 === 0, "b").otherwise("a").as("src"))
