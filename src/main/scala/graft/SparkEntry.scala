@@ -140,6 +140,9 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 100), "doc_id", "text", seen,
         expectedItems = 100000L)
     }),
+    "q_tfidf" -> ((s, d) =>
+      TextAnalysis.tfidfTopTerms(
+        t(s, d, "documents").select("doc_id", "text"), "doc_id", "text", k = 5)),
     "q_gopher_flags" -> ((s, d) =>
       TextAnalysis.gopherFlags(
         t(s, d, "documents").select("doc_id", "text"), "text", minWords = 20)
@@ -1407,6 +1410,22 @@ object SparkEntry {
         |JOIN win w ON b.doc_id = w.doc_id
         |LEFT JOIN seen s ON b.fp = s.fp
         |WHERE s.fp IS NULL""".stripMargin,
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks WHERE length(term) >= 1 GROUP BY 1, 2
+        |), dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |   nd AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |         round(tf.tf * (ln((nd.n + 1.0) / (dft.df + 1.0)) + 1.0), 6) AS score
+        |  FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN nd)
+        |SELECT doc_id, term, tf, score, rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM scored) r
+        |WHERE rank <= 5""".stripMargin,
     "q_gopher_flags" ->
       s"""WITH w AS (
          |  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\\s+') AS words

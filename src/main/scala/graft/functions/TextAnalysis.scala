@@ -31,6 +31,43 @@ object TextAnalysis {
     df.withColumn(outputCol.getOrElse(textCol),
       normalizeUnicode(col(textCol), form))
 
+  /**
+   * TF-IDF keyword extraction: the top-k highest-scoring terms per
+   * document — the classic retrieval/topic signal, and the standard
+   * "what is this page about" feature for corpus analysis and
+   * domain-weighted sampling. Smooth idf (`ln((N+1)/(df+1)) + 1`), score
+   * rounded to 6 decimals so ranking is reproducible across engines;
+   * ties break on term order.
+   *
+   * Scale shape (100 TB): after tokenization only scalar (id, term,
+   * count) rows move — three map-side-combinable aggregations plus one
+   * term-keyed equi-join; the top-k window partitions by doc id
+   * (uniformly distributed, bounded per-group by the doc's own distinct
+   * terms). Hot terms never concentrate documents: the df table
+   * aggregates counts, not postings.
+   */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5, minTermLen: Int = 1): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val nDocs = df.count()
+    val toks = df.select(col(idCol),
+        explode(split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " "))
+          .as("term"))
+      .filter(length(col("term")) >= minTermLen)
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfTable = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfTable, "term")
+      .withColumn("score", round(col("tf") *
+        (log((lit(nDocs) + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("score"), col("rank"))
+  }
+
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column =
     size(split(trim(text), "\\s+"))

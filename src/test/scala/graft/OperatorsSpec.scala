@@ -253,6 +253,29 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("tfidfTopTerms: rare terms outrank common ones; k and ties respected") {
+    import graft.functions.TextAnalysis
+    val df = Seq(
+      (1L, "apple apple banana shared"),
+      (2L, "cherry shared shared"),
+      (3L, "shared only here")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(4)) -> r.getString(1)).toMap
+    // doc 1: apple (tf=2, df=1) far above shared (df=3); banana (df=1) second
+    assert(out((1L, 1L)) == "apple")
+    assert(out((1L, 2L)) == "banana")
+    // doc 2: shared tf=2 (score 2*(ln(4/4)+1)=2.0) edges cherry tf=1 df=1
+    // (score ln(4/2)+1=1.69) — tf can beat rarity
+    assert(out((2L, 1L)) == "shared" && out((2L, 2L)) == "cherry")
+    // k=2 enforced
+    assert(out.size == 6 && !out.contains((1L, 3L)))
+    // deterministic tie-break: equal (tf, df) -> term ascending
+    val tie = TextAnalysis.tfidfTopTerms(
+      Seq((7L, "zeta alpha")).toDF("doc_id", "text"), "doc_id", "text", k = 2)
+      .collect().sortBy(_.getLong(4)).map(_.getString(1)).toSeq
+    assert(tie == Seq("alpha", "zeta"))
+  }
+
   test("gopherFlags: rule flags and conjunction") {
     import graft.functions.TextAnalysis
     val longOk = (("the quick brown fox is at the barn and it was fine " * 6).trim)
