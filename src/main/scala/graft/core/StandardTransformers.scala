@@ -512,6 +512,14 @@ object StandardTransformers {
     reg("hll_merge") { (c, p) =>
       graft.operators.Sketches.hllMerge(c.df, seqOf(p, "group_by"),
         strOpt(p, "sketch_col").getOrElse("distinct_sketch")) }
+    reg("theta_sketch") { (c, p) =>
+      graft.operators.Sketches.thetaSketch(c.df, seqOf(p, "group_by"),
+        str(p, "value_col"), strOpt(p, "out_col").getOrElse("theta_sketch"),
+        intOpt(p, "lg_k").getOrElse(12)) }
+    reg("theta_merge") { (c, p) =>
+      graft.operators.Sketches.thetaMerge(c.df, seqOf(p, "group_by"),
+        strOpt(p, "sketch_col").getOrElse("theta_sketch"),
+        intOpt(p, "lg_k").getOrElse(12)) }
     reg("topk_values") { (c, p) =>
       graft.operators.Sketches.topKValues(c.df, seqOf(p, "group_by"),
         str(p, "value_col"), str(p, "k").toInt) }

@@ -61,6 +61,41 @@ object Sketches {
     when(a.isNull, b).when(b.isNull, a)
       .otherwise(graft.expressions.KllFunctions.kllPairUnion(a, b, k))
 
+  // ---- Theta distinct-count sketches (set algebra: ∪, ∩, A\B) ----
+  // graft.expressions.ThetaExpressions. HLL answers only distinct counts
+  // and unions; theta sketches additionally answer "distinct in A AND B"
+  // and "in A but not B" from stored per-segment sketches — the audience-
+  // overlap / retention questions — with published error bounds, where
+  // inclusion-exclusion over HLL estimates compounds error per set.
+
+  /** Per-group theta sketch of `valueCol` (binary, mergeable; exact and
+    * deterministic while the group's distinct count <= 2^lgK). */
+  def thetaSketch(df: DataFrame, groupBy: Seq[String], valueCol: String,
+                  outCol: String = "theta_sketch", lgK: Int = 12): DataFrame =
+    df.groupBy(groupBy.map(col): _*)
+      .agg(graft.expressions.ThetaFunctions
+        .thetaSketchAgg(col(valueCol), lgK).as(outCol))
+
+  /** Re-aggregate theta sketches to a coarser grain (union per group). */
+  def thetaMerge(df: DataFrame, groupBy: Seq[String], sketchCol: String,
+                 lgK: Int = 12): DataFrame =
+    df.groupBy(groupBy.map(col): _*)
+      .agg(graft.expressions.ThetaFunctions
+        .thetaUnionAgg(col(sketchCol), lgK).as(sketchCol))
+
+  /** Distinct-count estimate from a theta sketch column. */
+  def thetaEstimate(sketch: Column): Column =
+    graft.expressions.ThetaFunctions.thetaEstimate(sketch)
+
+  /** Pairwise set algebra over sketch columns. */
+  def thetaUnion(a: Column, b: Column, lgK: Int = 12): Column =
+    when(a.isNull, b).when(b.isNull, a)
+      .otherwise(graft.expressions.ThetaFunctions.thetaUnion(a, b, lgK))
+  def thetaIntersect(a: Column, b: Column): Column =
+    graft.expressions.ThetaFunctions.thetaIntersect(a, b)
+  def thetaDiff(a: Column, b: Column): Column =
+    graft.expressions.ThetaFunctions.thetaDiff(a, b)
+
   /**
    * Exact per-group top-k values by frequency (corpus analysis: top
    * domains / languages / event types per segment). Two parallel stages:

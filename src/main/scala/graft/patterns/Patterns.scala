@@ -284,6 +284,7 @@ object Patterns {
           case "max" => greatest(col(c), col(s"_old_$c"))
           case "hll_union" => graft.operators.Sketches.hllUnion(col(c), col(s"_old_$c"))
           case "kll_union" => graft.operators.Sketches.kllUnion(col(c), col(s"_old_$c"))
+          case "theta_union" => graft.operators.Sketches.thetaUnion(col(c), col(s"_old_$c"))
           case _ => coalesce(col(c), col(s"_old_$c")) // replace: fresh wins
         }
         combined.as(c)

@@ -49,6 +49,60 @@ class PatternsSpec extends SparkSpec {
       .map(_.getLong(0)).sorted.sameElements(Array(2L, 3L)))
   }
 
+  test("theta sketches: exact under k, set algebra answers overlap questions") {
+    import graft.operators.Sketches
+    // segments with a KNOWN overlap: A = users 0..1499, B = 1000..2999.
+    // lgK=12 -> nominal 4096 > |A ∪ B| = 3000, so every sketch AND every
+    // set-op result stays EXACT and deterministic: estimates must equal
+    // the true counts.
+    val users = spark.range(3000).select(
+      when($"id" < 1500, "A").otherwise("B").as("seg"), $"id".as("user"))
+      .unionByName(spark.range(1000, 1500).select(lit("B").as("seg"), $"id".as("user")))
+    val sk = Sketches.thetaSketch(users, Seq("seg"), "user").cache()
+    val est = sk.select($"seg", Sketches.thetaEstimate($"theta_sketch").as("n"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(est("A") == 1500.0 && est("B") == 2000.0, est)
+
+    // pairwise algebra: |A∪B| = 3000, |A∩B| = 500, |A\B| = 1000
+    val a = sk.filter($"seg" === "A").select($"theta_sketch".as("sa"))
+    val b = sk.filter($"seg" === "B").select($"theta_sketch".as("sb"))
+    val both = a.crossJoin(b).select(
+      Sketches.thetaEstimate(Sketches.thetaUnion($"sa", $"sb")).as("u"),
+      Sketches.thetaEstimate(Sketches.thetaIntersect($"sa", $"sb")).as("i"),
+      Sketches.thetaEstimate(Sketches.thetaDiff($"sa", $"sb")).as("d")).head()
+    assert(both.getDouble(0) == 3000.0, s"union ${both.getDouble(0)}")
+    assert(both.getDouble(1) == 500.0, s"intersect ${both.getDouble(1)}")
+    assert(both.getDouble(2) == 1000.0, s"diff ${both.getDouble(2)}")
+
+    // grain merge equals a direct sketch of the union of rows
+    val merged = Sketches.thetaMerge(
+      sk.withColumn("all", lit(1)), Seq("all"), "theta_sketch")
+    val mEst = merged.select(Sketches.thetaEstimate($"theta_sketch")).head().getDouble(0)
+    assert(mEst == 3000.0, s"merged $mEst")
+
+    // incremental aggregate table via the theta_union merge strategy
+    val existing = Sketches.thetaSketch(
+      users.filter($"seg" === "A").withColumn("k", lit(1)), Seq("k"), "user")
+    val fresh = Sketches.thetaSketch(
+      users.filter($"seg" === "B").withColumn("k", lit(1)), Seq("k"), "user")
+    val inc = graft.patterns.Patterns.aggregationMerge(existing, fresh, Seq("k"),
+      Map("theta_sketch" -> "theta_union"))
+    val incEst = inc.select(Sketches.thetaEstimate($"theta_sketch")).head().getDouble(0)
+    assert(incEst == 3000.0, s"incremental $incEst")
+
+    // above nominal k the estimate stays within the published bound
+    val big = spark.range(200000).select(lit("x").as("seg"), $"id".as("user"))
+    val bigEst = Sketches.thetaSketch(big, Seq("seg"), "user", lgK = 12)
+      .select(Sketches.thetaEstimate($"theta_sketch")).head().getDouble(0)
+    assert(math.abs(bigEst - 200000.0) / 200000.0 < 0.05, s"big $bigEst")
+
+    // string and binary value types hash consistently
+    val s1 = Sketches.thetaSketch(
+      Seq("u1", "u2", "u1").toDF("u"), Seq.empty, "u")
+      .select(Sketches.thetaEstimate($"theta_sketch")).head().getDouble(0)
+    assert(s1 == 2.0)
+  }
+
   test("KLL quantile sketches: rank-error bound per group, grain merge, incremental union") {
     import graft.operators.Sketches
     // 20k values 0..n-1, evens on d1 / odds on d2; exact quantiles known.
