@@ -41,7 +41,10 @@ object Bench {
     // r8 additions: incremental Iceberg + time-series regularization
     "q_iceberg_changes", "q_resample", "q_rolling_agg",
     // r8 additions: dataset card + multi-epoch mixing
-    "q_corpus_report", "q_epochs_mix")
+    "q_corpus_report", "q_epochs_mix",
+    // r8 session-3 additions: IF97 EOS, unicode normalization, bloom
+    // incremental dedup, TF-IDF keywords
+    "q_if97_props", "q_normalize_unicode", "q_bloom_dedup", "q_tfidf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -44,11 +44,15 @@ object BloomIndex {
   /** Build a filter from a fingerprint column — distributed aggregate
     * (Spark's stat.bloomFilter treeAggregate), no key collect. An empty
     * frame yields an empty filter of the SAME geometry, so it stays
-    * merge-compatible (bit size is a function of (expectedItems, fpp)). */
+    * merge-compatible (bit size is a function of (expectedItems, fpp));
+    * the empty case is detected from the aggregate itself (Spark returns
+    * a null buffer) rather than a separate isEmpty job. */
   def build(fps: DataFrame, colName: String, expectedItems: Long,
             fpp: Double = 0.01): BloomFilter =
-    if (fps.isEmpty) BloomFilter.create(expectedItems, fpp)
-    else fps.stat.bloomFilter(colName, expectedItems, fpp)
+    try fps.stat.bloomFilter(colName, expectedItems, fpp)
+    catch {
+      case _: NullPointerException => BloomFilter.create(expectedItems, fpp)
+    }
 
   /** Filter membership as a native codegen'd expression (long keys). */
   def mightContain(child: Column, filter: BloomFilter): Column =
@@ -145,21 +149,25 @@ object BloomIndex {
     // with the same (expectedItems, fpp) to merge
     val (n, p) =
       if (exists(spark, path)) params(spark, path) else (expectedItems, fpp)
-    val filter =
-      if (exists(spark, path)) load(spark, path)
-      else {
-        val boot = build(seen.select(col("fingerprint")), "fingerprint", n, p)
-        save(spark, boot, path, n, p)
-        boot
-      }
-    val survivors = incrementalExactDedup(batch, idCol, textCol, seen, filter)
-      .localCheckpoint() // materialize BEFORE mutating the shared filter
-    val batchFilter = build(
-      survivors.select(TextAnalysis.fingerprint(col(textCol)).as("fingerprint")),
-      "fingerprint", n, p)
-    filter.mergeInPlace(batchFilter)
-    save(spark, filter, path, n, p)
-    survivors
+    // the seen fingerprints are referenced up to three times in one
+    // lifecycle (bootstrap build, probe semi-join, and the plans feeding
+    // them) — cache the scalar column for the duration
+    val seenFp = seen.select(col("fingerprint")).cache()
+    try {
+      val filter =
+        if (exists(spark, path)) load(spark, path)
+        // bootstrap is NOT saved here — the merged filter (bootstrap +
+        // accepted batch) publishes once below
+        else build(seenFp, "fingerprint", n, p)
+      val survivors = incrementalExactDedup(batch, idCol, textCol, seenFp, filter)
+        .localCheckpoint() // materialize BEFORE mutating the shared filter
+      val batchFilter = build(
+        survivors.select(TextAnalysis.fingerprint(col(textCol)).as("fingerprint")),
+        "fingerprint", n, p)
+      filter.mergeInPlace(batchFilter)
+      save(spark, filter, path, n, p)
+      survivors
+    } finally seenFp.unpersist(false)
   }
 }
 
