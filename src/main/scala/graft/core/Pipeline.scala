@@ -544,6 +544,30 @@ object Pipeline {
           target.unionByName(graft.operators.MinHashIndex.dedupAndUpdate(
             batch, keys(0), keys(1), indexPath, threshold = threshold))
         }
+      case "bloom_dedup" =>
+        // streaming EXACT-dedup corpus gate: each micro-batch dedups
+        // against the accumulated target through the persisted Bloom
+        // filter at bloom_path — bloom-negative rows (the typical crawl
+        // batch bulk) never join; positives take the exact check against
+        // fingerprints of the RE-READ target. Because the exact source of
+        // truth is the target itself, a crash between the filter save and
+        // the target swap can never lose rows on replay: filter-ahead
+        // rows are bloom-positive but absent from the target, so they are
+        // re-accepted (stronger replay story than dedup_index, which has
+        // no exact fallback).
+        val bloomPath = options.getOrElse("bloom_path",
+          throw new IllegalArgumentException(
+            "merge strategy bloom_dedup requires merge.bloom_path"))
+        val expected = options.get("expected_items").map(_.toLong).getOrElse(10000000L)
+        val fpp = options.get("fpp").map(_.toDouble).getOrElse(0.01)
+        (target, batch, keys) => {
+          require(keys.size == 2,
+            s"bloom_dedup merge.keys must be [id_col, text_col], got $keys")
+          val seen = graft.operators.Dedup.newFingerprints(target, keys(1))
+          target.unionByName(graft.operators.BloomIndex.dedupAgainst(
+            target.sparkSession, bloomPath, batch, keys(0), keys(1),
+            seen, expected, fpp))
+        }
       case other => throw new IllegalArgumentException(s"unknown merge strategy: $other")
     }
   }

@@ -254,4 +254,62 @@ class YamlStreamingSpec extends SparkSpec {
       bad.replace(s"$dir/cp", s"$dir/cp_bad").replace(s"$dir/corpus", s"$dir/corpus_bad")))
     assert(resBad("gate").failure.isDefined)
   }
+
+  test("streaming EXACT-dedup gate from YAML: bloom_dedup merge strategy") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_syaml_bloom").toString
+    // batch 1: an in-batch duplicate pair + one distinct doc
+    Seq((1L, "alpha document body"), (2L, "alpha document body"),
+      (3L, "beta document body"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/in")
+    val yaml =
+      s"""
+        |name: streaming_bloom_yaml
+        |nodes:
+        |  - name: gate
+        |    read:
+        |      format: parquet
+        |      path: $dir/in
+        |      streaming: true
+        |      schema_ddl: "doc_id BIGINT, text STRING"
+        |    streaming:
+        |      checkpoint: $dir/cp
+        |      merge: { keys: [doc_id, text], strategy: bloom_dedup,
+        |               bloom_path: $dir/bloom, expected_items: "100000" }
+        |    write: { path: $dir/corpus }
+        |""".stripMargin
+    val res = Pipeline.run(spark, YamlConfig.loadPipeline(yaml))
+    assert(res("gate").failure.isEmpty, res("gate").failure.map(_.toString))
+    val round1 = spark.read.parquet(s"$dir/corpus").select("doc_id")
+      .as[Long].collect().toSet
+    assert(round1.size == 2 && round1.contains(3L), s"got $round1")
+    assert(graft.operators.BloomIndex.exists(spark, s"$dir/bloom"))
+    // batch 2: replay of an absorbed body + a fresh one
+    Seq((10L, "beta document body"), (11L, "gamma document body"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/in2")
+    val f = new java.io.File(s"$dir/in2").listFiles.filter(_.getName.endsWith(".parquet"))
+    f.foreach(x => java.nio.file.Files.copy(x.toPath,
+      java.nio.file.Paths.get(s"$dir/in/${x.getName}")))
+    val res2 = Pipeline.run(spark, YamlConfig.loadPipeline(yaml))
+    assert(res2("gate").failure.isEmpty, res2("gate").failure.map(_.toString))
+    val round2 = spark.read.parquet(s"$dir/corpus").select("doc_id")
+      .as[Long].collect().toSet
+    assert(round2 == round1 + 11L, s"got $round2")
+    // filter-ahead crash shape: a fingerprint in the bloom but NOT in the
+    // target must still be accepted (exact check against the target wins)
+    val aheadFp = Seq("delta document body").toDF("t")
+      .select(graft.functions.TextAnalysis.fingerprint(col("t")).as("fingerprint"))
+    val ahead = graft.operators.BloomIndex.load(spark, s"$dir/bloom")
+    ahead.mergeInPlace(graft.operators.BloomIndex.build(aheadFp, "fingerprint", 100000L, 0.01))
+    graft.operators.BloomIndex.save(spark, ahead, s"$dir/bloom", 100000L, 0.01)
+    Seq((20L, "delta document body")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/in3")
+    val f3 = new java.io.File(s"$dir/in3").listFiles.filter(_.getName.endsWith(".parquet"))
+    f3.foreach(x => java.nio.file.Files.copy(x.toPath,
+      java.nio.file.Paths.get(s"$dir/in/${x.getName}")))
+    val res3 = Pipeline.run(spark, YamlConfig.loadPipeline(yaml))
+    assert(res3("gate").failure.isEmpty, res3("gate").failure.map(_.toString))
+    val round3 = spark.read.parquet(s"$dir/corpus").select("doc_id")
+      .as[Long].collect().toSet
+    assert(round3 == round2 + 20L, s"got $round3") // no data loss from filter-ahead
+  }
 }
