@@ -705,6 +705,15 @@ object SparkEntry {
         .withColumn("rt_tsat_c", round(col("rt_tsat_c"), 4))
         .withColumn("density", round(col("density"), 6))
     }),
+    "q_wet_bulb" -> ((s, d) =>
+      // Stull's wet-bulb regression over valid (T, RH) ranges; rounded 4
+      // places (atan/sqrt libm calls match across engines like exp/ln do)
+      operators.Domain.psychrometrics(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("t_c"), (col("l_discount") * 5 + 0.3).as("rh")),
+        "t_c", "rh", wetBulbCol = true)
+        .select(col("l_orderkey"), col("l_linenumber"), col("t_c"), col("rh"),
+          round(col("wet_bulb"), 4).as("wet_bulb"))),
     "q_if97_sat" -> ((s, d) => {
       // IAPWS-IF97 region-4 saturation line, both directions, as pure
       // Column algebra. The equation needs only +,-,*,/ and sqrt — all
@@ -1642,6 +1651,18 @@ object SparkEntry {
     // IF97 eq. 30/31 mirrored term-for-term: decimal literals parse to the
     // identical float64 in both engines, and +,-,*,/,sqrt are IEEE-754
     // correctly rounded, so this oracle is bit-exact with NO rounding.
+    "q_wet_bulb" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity AS t_c,
+        |         l_discount * 5 + 0.3 AS rh,
+        |         (l_discount * 5 + 0.3) * 100.0 AS p
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, t_c, rh,
+        |       round(t_c * atan(0.151977 * sqrt(p + 8.313659)) + atan(t_c + p)
+        |             - atan(p - 1.676331)
+        |             + 0.00391838 * p * sqrt(p) * atan(0.023101 * p)
+        |             - 4.686035, 4) AS wet_bulb
+        |FROM base""".stripMargin,
     "q_if97_sat" ->
       """WITH base AS (
         |  SELECT l_orderkey, l_linenumber,

@@ -288,7 +288,8 @@ object StandardTransformers {
         strOpt(p, "prefix").getOrElse("")) }
     reg("psychrometrics") { (c, p) =>
       Domain.psychrometrics(c.df, str(p, "temp_col"), str(p, "rh_col"),
-        strOpt(p, "pressure_pa").map(_.toDouble).getOrElse(101325.0)) }
+        strOpt(p, "pressure_pa").map(_.toDouble).getOrElse(101325.0),
+        boolOpt(p, "wet_bulb").getOrElse(false)) }
     reg("detect_sequential_phases") { (c, p) =>
       Domain.phaseSummary(c.df, str(p, "group_by"), str(p, "status_col"),
         str(p, "ts_col"), cols(seqOf(p, "order_by")), mapOf(p, "metrics")) }

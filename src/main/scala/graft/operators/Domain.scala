@@ -90,6 +90,22 @@ object Domain {
   def moistAirEnthalpy(tempC: Column, w: Column): Column =
     lit(1.006) * tempC + w * (lit(2501.0) + lit(1.86) * tempC)
 
+  /**
+   * Wet-bulb temperature [°C] from T [°C] and RH [0-1] — Stull (2011),
+   * "Wet-Bulb Temperature from Relative Humidity and Air Temperature",
+   * J. Appl. Meteor. Climatol. 50: the published regression replacing a
+   * psychrometric iteration (±0.3 °C over RH 5-99%, T -20..50 °C at sea
+   * level). Completes the HAPropsSI output set (Twb) the reference
+   * exposes through CoolProp (thermodynamics.py:683).
+   */
+  def wetBulb(tempC: Column, rh: Column): Column = {
+    val p = rh * lit(100.0) // the regression takes RH in percent
+    tempC * atan(lit(0.151977) * sqrt(p + lit(8.313659))) +
+      atan(tempC + p) - atan(p - lit(1.676331)) +
+      lit(0.00391838) * p * sqrt(p) * atan(lit(0.023101) * p) -
+      lit(4.686035)
+  }
+
   /** Ideal-gas density [kg/m3] from P [Pa], T [K], molar mass [kg/mol]. */
   def fluidDensityIdealGas(pressurePa: Column, tempK: Column,
                            molarMass: Double = 0.0289647): Column =
@@ -206,15 +222,21 @@ object Domain {
       .drop("_gf_if97")
   }
 
-  /** Append the standard psychrometric columns (thermodynamics.py surface). */
+  /** Append the standard psychrometric columns (thermodynamics.py surface);
+    * `wetBulbCol = true` adds Stull's wet-bulb temperature. */
   def psychrometrics(df: DataFrame, tempCCol: String, rhCol: String,
-                     pressurePa: Double = 101325.0): DataFrame =
-    df.withColumn("p_sat", saturationPressure(col(tempCCol)))
+                     pressurePa: Double = 101325.0,
+                     wetBulbCol: Boolean = false): DataFrame = {
+    val base = df.withColumn("p_sat", saturationPressure(col(tempCCol)))
       .withColumn("humidity_ratio",
         humidityRatio(col(tempCCol), col(rhCol), lit(pressurePa)))
       .withColumn("dew_point", dewPoint(col(tempCCol), col(rhCol)))
       .withColumn("enthalpy",
         moistAirEnthalpy(col(tempCCol), col("humidity_ratio")))
+    if (wetBulbCol)
+      base.withColumn("wet_bulb", wetBulb(col(tempCCol), col(rhCol)))
+    else base
+  }
 
   // ------------------------------------------------------------------
   // detect_sequential_phases (manufacturing.py:23-1350): status-change

@@ -30,6 +30,18 @@ class DomainSpec extends SparkSpec {
     assert(math.abs(out.getAs[Double]("enthalpy") - 50.3) < 0.5)
   }
 
+  test("wet bulb: Stull's published example and physical bounds") {
+    // Stull (2011) §3: T = 20 C, RH = 50% -> Twb = 13.699 C
+    val out = Domain.psychrometrics(
+      Seq((20.0, 0.5), (30.0, 0.99), (30.0, 0.10)).toDF("t_c", "rh"),
+      "t_c", "rh", wetBulbCol = true)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getAs[Double]("wet_bulb")).toMap
+    assert(math.abs(out((20.0, 0.5)) - 13.699) < 0.01, out((20.0, 0.5)))
+    // saturated air: Twb ~= T; dry air: Twb well below T, above dew point
+    assert(math.abs(out((30.0, 0.99)) - 30.0) < 0.5)
+    assert(out((30.0, 0.10)) < 16.0 && out((30.0, 0.10)) > 5.0)
+  }
+
   test("phase detection: boundaries on status change per group") {
     val df = Seq(
       ("b1", 1, "heat", 10.0), ("b1", 2, "heat", 20.0), ("b1", 3, "hold", 5.0),
