@@ -90,6 +90,15 @@ object Suggestions {
       "the requested version/snapshot is outside the table history — " +
         "`graft.Tools delta history <root>` / `graft.Tools iceberg history " +
         "<root>` lists what exists") else None,
+    (_, m) => if (m.contains("CANNOT MERGE BLOOM FILTERS")) Some(
+      "the bloom index at bloom_path was created with different " +
+        "(expected_items, fpp) — filter bit geometry must match to merge; " +
+        "keep the original parameters (see params.json beside bloom.bin) " +
+        "or delete the index to rebuild with the new ones") else None,
+    (_, m) => if (m.contains("SATURATION_PROPERTIES METHOD")) Some(
+      "saturation_properties accepts method: magnus (fast approximation) " +
+        "or method: if97 (IAPWS-IF97 exact); steam_properties gives the " +
+        "full IF97 property set") else None,
     // catalyst analysis errors ----------------------------------------
     (c, m) => if (m.contains("PATH_NOT_FOUND") || c.contains("FileNotFound"))
       Some("input path missing: run the upstream pipeline first, check the " +

@@ -43,6 +43,10 @@ class SuggestionsSpec extends AnyFunSuite {
     assert(first("", "version 9 not in Delta log [0..3]")
       .contains("delta history"))
     assert(first("", "snapshot 42 not in [1, 2]").contains("iceberg history"))
+    assert(first("", "Cannot merge bloom filters with different bit size")
+      .contains("params.json"))
+    assert(first("", "saturation_properties method must be magnus or if97, got x")
+      .contains("IAPWS-IF97"))
     // unmatched text yields no hints (Doctor falls back to --select advice)
     assert(Suggestions.suggestText("", "some novel failure").isEmpty)
   }
