@@ -705,6 +705,16 @@ object SparkEntry {
         .withColumn("rt_tsat_c", round(col("rt_tsat_c"), 4))
         .withColumn("density", round(col("density"), 6))
     }),
+    "q_html_text" -> ((s, d) => {
+      // the corpus wrapped in a fixed HTML template drives the full
+      // state machine (title block, dropped script, entities-free body);
+      // the oracle reconstructs the exact expected text with string ops
+      val html = concat(lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><script>var x = '<p>no</p>';</script></head><body><p>  "),
+        col("text"), lit("  </p></body></html>"))
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.htmlToText(html).as("text_out"))
+    }),
     "q_wet_bulb" -> ((s, d) =>
       // Stull's wet-bulb regression over valid (T, RH) ranges; rounded 4
       // places (atan/sqrt libm calls match across engines like exp/ln do)
@@ -1651,6 +1661,8 @@ object SparkEntry {
     // IF97 eq. 30/31 mirrored term-for-term: decimal literals parse to the
     // identical float64 in both engines, and +,-,*,/,sqrt are IEEE-754
     // correctly rounded, so this oracle is bit-exact with NO rounding.
+    "q_html_text" ->
+      "SELECT doc_id, 'Doc ' || doc_id || chr(10) || trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text_out FROM documents",
     "q_wet_bulb" ->
       """WITH base AS (
         |  SELECT l_orderkey, l_linenumber, l_quantity AS t_c,

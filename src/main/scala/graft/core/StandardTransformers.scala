@@ -180,6 +180,9 @@ object StandardTransformers {
     reg("normalize_unicode") { (c, p) =>
       TextAnalysis.normalizeUnicode(c.df, str(p, "column"),
         strOpt(p, "form").getOrElse("NFC"), strOpt(p, "output_col")) }
+    reg("html_to_text") { (c, p) =>
+      c.df.withColumn(strOpt(p, "output_col").getOrElse(str(p, "column")),
+        TextAnalysis.htmlToText(org.apache.spark.sql.functions.col(str(p, "column")))) }
     reg("tfidf_top_terms") { (c, p) =>
       TextAnalysis.tfidfTopTerms(c.df, str(p, "id_col"), str(p, "text_col"),
         intOpt(p, "k").getOrElse(5), intOpt(p, "min_term_len").getOrElse(1)) }

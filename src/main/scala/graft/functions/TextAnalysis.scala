@@ -25,6 +25,14 @@ object TextAnalysis {
       graft.expressions.NormalizeUnicode(
         org.apache.spark.sql.graftshim.ColumnShim.expression(text), form))
 
+  /** HTML -> text extraction (tags stripped, script/style/comments
+    * dropped, block tags -> newlines, entities decoded) — the native
+    * single-pass state machine in [[graft.expressions.HtmlToText]]. */
+  def htmlToText(html: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      graft.expressions.HtmlToText(
+        org.apache.spark.sql.graftshim.ColumnShim.expression(html)))
+
   /** Frame form of [[normalizeUnicode]]. */
   def normalizeUnicode(df: DataFrame, textCol: String, form: String,
                        outputCol: Option[String]): DataFrame =

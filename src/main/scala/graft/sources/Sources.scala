@@ -66,14 +66,19 @@ object Sources {
         recordTypes = types,
         maxContentLength = cfg.options.get("max_content_length").map(_.toLong)
           .getOrElse(512L << 20))
-      return if (cfg.options.get("documents").exists(_.toBoolean))
-        WarcSource.read(spark, warcPath,
-          opts.copy(recordTypes = if (types.isEmpty) Set("conversion") else types))
-          .select(org.apache.spark.sql.functions.col("target_uri").as("url"),
-            org.apache.spark.sql.functions.col("date"),
-            org.apache.spark.sql.functions.decode(
-              org.apache.spark.sql.functions.col("content"), "UTF-8").as("text"))
-      else WarcSource.read(spark, warcPath, opts)
+      // `documents: html` extracts text from raw `response` captures
+      // (HTTP headers stripped, HTML -> text) for crawls without WET files
+      return cfg.options.get("documents").map(_.toLowerCase) match {
+        case Some("html") => WarcSource.htmlDocuments(spark, warcPath)
+        case Some(v) if v == "true" =>
+          WarcSource.read(spark, warcPath,
+            opts.copy(recordTypes = if (types.isEmpty) Set("conversion") else types))
+            .select(org.apache.spark.sql.functions.col("target_uri").as("url"),
+              org.apache.spark.sql.functions.col("date"),
+              org.apache.spark.sql.functions.decode(
+                org.apache.spark.sql.functions.col("content"), "UTF-8").as("text"))
+        case _ => WarcSource.read(spark, warcPath, opts)
+      }
     }
     // iceberg routes through the native metadata/manifest reader (no
     // iceberg runtime jar in this env); snapshot_id / as_of_timestamp_ms

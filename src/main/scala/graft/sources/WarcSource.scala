@@ -247,6 +247,20 @@ object WarcSource {
       .select(col("target_uri").as("url"), col("date"),
         decode(col("content"), "UTF-8").as("text"))
 
+  /** Raw-capture convenience: `response` records -> (url, date, text)
+    * with the HTTP header block stripped and HTML extracted to text by
+    * the native [[graft.expressions.HtmlToText]] state machine — the
+    * fallback when a crawl ships captures without WET conversions. */
+  def htmlDocuments(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val body = ColumnShim.column(graft.expressions.HttpBody(
+      ColumnShim.expression(col("content"))))
+    val text = ColumnShim.column(graft.expressions.HtmlToText(
+      ColumnShim.expression(decode(body, "UTF-8"))))
+    read(spark, path, WarcOptions(recordTypes = Set("response")))
+      .select(col("target_uri").as("url"), col("date"), text.as("text"))
+  }
+
   // ---------------------------------------------------------------- write
 
   private val CRLF = "\r\n".getBytes("ISO-8859-1")
