@@ -44,7 +44,8 @@ object Bench {
     "q_corpus_report", "q_epochs_mix",
     // r8 session-3 additions: IF97 EOS, unicode normalization, bloom
     // incremental dedup, TF-IDF keywords
-    "q_if97_props", "q_normalize_unicode", "q_bloom_dedup", "q_tfidf")
+    "q_if97_props", "q_normalize_unicode", "q_bloom_dedup", "q_tfidf",
+    "q_html_text", "q_wet_bulb")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

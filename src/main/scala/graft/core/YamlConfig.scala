@@ -290,7 +290,8 @@ object YamlConfig {
   private[graft] val readKeys = Set("format", "path", "table", "schema_ddl",
     "streaming", "options", "connection")
   private[graft] val writeKeys = Set("format", "mode", "path", "partition_by",
-    "coalesce_partitions", "options", "connection", "zorder_by")
+    "coalesce_partitions", "options", "connection", "zorder_by",
+    "target_file_size_mb")
   private[graft] val incrementalKeys = Set("column", "mode", "lookback_seconds",
     "watermark_lag_seconds", "fallback_column")
   private[graft] val contractKeys = Set("schema_ddl", "schema_mode",
@@ -343,7 +344,8 @@ object YamlConfig {
       coalescePartitions = m.get("coalesce_partitions").map(_.toString.toInt),
       options = m.getOrElse("options", Map.empty[String, Any])
         .asInstanceOf[Map[String, Any]].map { case (k, x) => k -> x.toString },
-      zorderBy = seqOf(m.get("zorder_by")))
+      zorderBy = seqOf(m.get("zorder_by")),
+      targetFileSizeMb = m.get("target_file_size_mb").map(_.toString.toInt))
   }
 
   private def contractCfg(v: Any): Sources.ContractConfig = {

@@ -221,7 +221,8 @@ object Sources {
                                partitionBy: Seq[String] = Nil,
                                coalescePartitions: Option[Int] = None,
                                options: Map[String, String] = Map.empty,
-                               zorderBy: Seq[String] = Nil)
+                               zorderBy: Seq[String] = Nil,
+                               targetFileSizeMb: Option[Int] = None)
 
   /** df.write.format(...).mode(...).partitionBy(...).save(path). */
   def write(df: DataFrame, path: String, cfg: WriteConfig = WriteConfig()): Unit = {
@@ -258,7 +259,40 @@ object Sources {
     catch { case _: Exception => () } // best effort: never fail a completed write
 
   def writeWithStats(df: DataFrame, path: String,
-                     cfg: WriteConfig = WriteConfig()): Long = {
+                     cfg: WriteConfig = WriteConfig()): Long =
+    writeWithStatsSized(sizedForTarget(df, cfg), path, cfg)
+
+  /**
+   * Target-size the write: pick the output partition count from the
+   * optimizer's size estimate so files land near `target_file_size_mb`
+   * instead of inheriting whatever partitioning the plan ends with — the
+   * declarative answer to the small-files problem (and its inverse, the
+   * one-giant-file write). Downsizing uses coalesce (no shuffle);
+   * upsizing repartitions. The estimate is the in-memory stats size over
+   * an assumed ~3x columnar compression — files land near the target,
+   * not exactly on it. Skipped when the caller already chose a layout
+   * (explicit coalesce, hive partitioning, or Z-ordering).
+   */
+  private def sizedForTarget(df: DataFrame, cfg: WriteConfig): DataFrame =
+    cfg.targetFileSizeMb match {
+      case Some(mb) if cfg.coalescePartitions.isEmpty &&
+          cfg.partitionBy.isEmpty && cfg.zorderBy.isEmpty =>
+        require(mb > 0, s"target_file_size_mb must be positive, got $mb")
+        // for file-backed plans (the dominant rewrite/compaction case) the
+        // stats ARE on-disk bytes, so disk-in ~ disk-out; in-memory plans
+        // carry type-default row estimates and simply land smaller files
+        val est = df.queryExecution.optimizedPlan.stats.sizeInBytes.max(1)
+        val target = mb.toLong * 1024 * 1024
+        val n = ((est + target - 1) / target).toLong.max(1).min(200000).toInt
+        val cur = df.rdd.getNumPartitions
+        if (n < cur) df.coalesce(n)
+        else if (n > cur) df.repartition(n)
+        else df
+      case _ => df
+    }
+
+  private def writeWithStatsSized(df: DataFrame, path: String,
+                     cfg: WriteConfig): Long = {
     require(cfg.zorderBy.isEmpty || cfg.partitionBy.isEmpty,
       "zorder_by and partition_by are mutually exclusive (Z-order ranges " +
         "would need recomputing per hive partition)")

@@ -29,6 +29,32 @@ class FormatsSpec extends SparkSpec {
   // datasource module, so format("avro") is unavailable; the Sources API
   // passes the format string through unchanged on clusters that have it.
 
+  test("target_file_size_mb picks the output file count from the size estimate") {
+    import graft.sources.Sources
+    val dir = java.nio.file.Files.createTempDirectory("graft_sized").toString
+    // tens of MB of estimated rows spread over many input partitions
+    // (stats use type defaults, so row count drives the estimate)
+    val wide = spark.range(1000000).repartition(20)
+      .selectExpr("id", "repeat('x', 80) AS pad")
+    def files(p: String): Int =
+      new java.io.File(p).listFiles.count(_.getName.endsWith(".parquet"))
+    // huge target -> one file (the small-files fix)
+    Sources.write(wide, s"$dir/one",
+      Sources.WriteConfig(targetFileSizeMb = Some(1024)))
+    assert(files(s"$dir/one") == 1, s"got ${files(s"$dir/one")}")
+    // tiny target -> strictly more than one file (the giant-file fix)
+    Sources.write(wide, s"$dir/many",
+      Sources.WriteConfig(targetFileSizeMb = Some(1)))
+    assert(files(s"$dir/many") > 1)
+    // rows intact either way
+    assert(spark.read.parquet(s"$dir/one").count() == 1000000)
+    assert(spark.read.parquet(s"$dir/many").count() == 1000000)
+    // explicit layout choices win: hive partitioning ignores the target
+    Sources.write(wide.selectExpr("id % 2 AS k", "pad"), s"$dir/hive",
+      Sources.WriteConfig(partitionBy = Seq("k"), targetFileSizeMb = Some(1024)))
+    assert(new java.io.File(s"$dir/hive").listFiles.exists(_.getName.startsWith("k=")))
+  }
+
   test("partitioned write prunes directories") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val df = Seq(("2026-01-01", 1), ("2026-01-02", 2)).toDF("dt", "v")

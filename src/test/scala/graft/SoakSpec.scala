@@ -76,6 +76,34 @@ class SoakSpec extends SparkSpec {
     assertScaleSafe("bloomDedup/executed", PlanAudit.audit(out))
   }
 
+  test("html extraction + unicode normalize at 2M: one shuffle-free projection", Soak) {
+    val n = 2000000L
+    val pages = spark.range(n).select($"id",
+      concat(lit("<html><head><title>T"), $"id",
+        lit("</title><script>var x=1;</script></head><body><p>body text "),
+        $"id", lit(" &amp; more</p></body></html>")).as("html"))
+    val out = pages.select($"id",
+      graft.functions.TextAnalysis.normalizeUnicode(
+        graft.functions.TextAnalysis.htmlToText($"html")).as("text"))
+    assertScaleSafe("htmlToText", PlanAudit.audit(out))
+    assert(PlanAudit.audit(out).numExchanges == 0, "text extraction must not shuffle")
+    // executed: every row extracts; spot-check the exact shape
+    assert(out.count() == n)
+    val r = out.filter($"id" === 1234567L).head().getString(1)
+    assert(r == "T1234567\nbody text 1234567 & more", r)
+  }
+
+  test("tfidf top terms at 1M docs: scalar shuffles, doc-keyed window", Soak) {
+    val n = 1000000L
+    val docsDf = spark.range(n).select($"id",
+      concat(lit("alpha beta gamma term"), ($"id" % 1000).cast("string"),
+        lit(" shared words everywhere")).as("text"))
+    val out = graft.functions.TextAnalysis.tfidfTopTerms(docsDf, "id", "text", k = 3)
+    assertScaleSafe("tfidf", PlanAudit.audit(out))
+    bucketedWindows(out, "tfidf", 1) // ranked within each doc id only
+    assert(out.count() == 3L * n) // every doc has >= 3 distinct terms
+  }
+
   test("weighted mix at 20M: every rank window is (source,bucket)-partitioned", Soak) {
     val mix = spark.range(N).select(
       $"id", when($"id" % 10 === 0, "b").otherwise("a").as("src"))
