@@ -44,7 +44,8 @@ object Tools {
       |           [--watch [--interval SECONDS] [--max-renders N]]
       |  delta:   optimize <root> [--target-file-mb N] [--zorder-by a,b]
       |           vacuum <root> [--retention-hours H] [--dry-run] | history <root>
-      |  iceberg: history <root>""".stripMargin
+      |  iceberg: history <root>
+      |  index:   info <root>   (persisted minhash/bloom/lsh/ivf/ivfpq index)""".stripMargin
 
   def main(argv: Array[String]): Unit = sys.exit(mainExit(argv))
 
@@ -64,6 +65,7 @@ object Tools {
     case "ui" :: rest => uiCommand(rest)
     case "docs" :: rest => docsCommand(rest)
     case "delta" :: rest => deltaCommand(rest)
+    case "index" :: rest => indexCommand(rest)
     case "iceberg" :: rest => icebergCommand(rest)
     case _ =>
       System.err.println(usage)
@@ -84,6 +86,58 @@ object Tools {
       }
     case _ =>
       System.err.println("usage: graft.Tools iceberg history <root>")
+      2
+  }
+
+  /** Inspect a persisted similarity/dedup index — kind detected from the
+    * on-disk layout, stored parameters, and per-component file stats.
+    * Driver-side FS metadata only: no Spark session, so it is safe to run
+    * against a production index while jobs are probing it. */
+  private def indexCommand(args: List[String]): Int = args match {
+    case "info" :: path :: Nil =>
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      if (!fs.exists(root)) { System.err.println(s"no index at $path"); return 2 }
+      def has(n: String) = fs.exists(new org.apache.hadoop.fs.Path(root, n))
+      def stats(n: String): Unit = {
+        val sub = new org.apache.hadoop.fs.Path(root, n)
+        if (fs.exists(sub)) {
+          val sum = fs.getContentSummary(sub)
+          println(s"  $n: files=${sum.getFileCount} bytes=${sum.getLength}")
+        }
+      }
+      val kind =
+        if (has("bloom.bin")) "bloom"
+        else if (has("sigs") && has("bands")) "minhash"
+        else if (has("codebook")) "ivfpq"
+        else if (has("centroids")) "ivf"
+        else if (has("bands") && has("meta")) "lsh"
+        else "unknown"
+      println(s"kind=$kind root=$path")
+      if (has("params.json")) {
+        val in = fs.open(new org.apache.hadoop.fs.Path(root, "params.json"))
+        val js = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        println(s"params=$js")
+      }
+      val components = kind match {
+        case "bloom" => Seq("bloom.bin")
+        case "minhash" => Seq("bands", "sigs")
+        case "lsh" => Seq("bands", "meta")
+        case "ivf" => Seq("cells", "centroids", "meta")
+        case "ivfpq" => Seq("cells", "codebook", "vecs", "meta")
+        case _ => Nil
+      }
+      components.foreach(stats)
+      if (kind == "unknown") {
+        System.err.println(
+          "unrecognized layout — expected one of: bloom.bin (bloom), " +
+            "bands+sigs (minhash), bands+meta (lsh), cells+centroids (ivf), " +
+            "codebook (ivfpq)")
+        return 1
+      }
+      0
+    case _ =>
+      System.err.println("usage: graft.Tools index info <root>")
       2
   }
 

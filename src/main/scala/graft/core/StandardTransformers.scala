@@ -346,6 +346,9 @@ object StandardTransformers {
       Sampling.weightedMix(c.df, str(p, "source_col"), seqOf(p, "key"),
         p.getOrElse("weights", Map.empty[String, Any]).asInstanceOf[Map[String, Any]]
           .map { case (k, v) => k -> v.toString.toDouble }) }
+    reg("temperature_mix") { (c, p) =>
+      Sampling.temperatureMix(c.df, str(p, "source_col"), seqOf(p, "key"),
+        p.get("alpha").map(_.toString.toDouble).getOrElse(0.3)) }
     reg("weighted_mix_tokens") { (c, p) =>
       Sampling.weightedMixByTokens(c.df, str(p, "source_col"),
         str(p, "token_col"), seqOf(p, "key"),

@@ -148,6 +148,31 @@ object Sampling {
    *
    * @param tokenCol per-document token count (null → 0)
    */
+  /**
+   * Temperature-scaled source mixing — the published multilingual recipe
+   * (mT5 / XLM-R alpha-sampling, Xue et al. 2021): target proportions
+   * p_s proportional to n_s^alpha, so low-resource sources are boosted
+   * relative to their natural share without hand-written weights.
+   * alpha = 1 reproduces the natural distribution (identity mix);
+   * alpha -> 0 approaches uniform across sources. Source counts are one
+   * map-side-combined aggregate (bounded by the number of sources); the
+   * cut itself is [[weightedMix]], so determinism, the md5 rank order
+   * and the bucket-drop scale shape are inherited unchanged.
+   */
+  def temperatureMix(df: DataFrame, sourceCol: String, keyCols: Seq[String],
+                     alpha: Double, buckets: Int = 0): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"temperature alpha must be in (0, 1], got $alpha")
+    val counts = df.groupBy(col(sourceCol).cast("string").as("_s"))
+      .agg(count(lit(1)).as("_n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "temperatureMix: no rows")
+    val raised = counts.map { case (src, n) => src -> math.pow(n.toDouble, alpha) }
+    val z = raised.values.sum
+    weightedMix(df, sourceCol, keyCols,
+      raised.map { case (src, w) => src -> w / z }, buckets)
+  }
+
   def weightedMixByTokens(df: DataFrame, sourceCol: String, tokenCol: String,
                           keyCols: Seq[String], weights: Map[String, Double],
                           buckets: Int = 0): DataFrame = {

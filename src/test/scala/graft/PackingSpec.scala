@@ -125,6 +125,29 @@ class PackingSpec extends SparkSpec {
     assert(byIntSrc == Map(1 -> 20L, 2 -> 20L)) // limiting source 2: scale 40
   }
 
+  test("temperatureMix: alpha-sampling boosts low-resource shares, alpha=1 is identity") {
+    import graft.operators.Sampling
+    // big: 800 rows, small: 100 -> natural shares 8/9 vs 1/9
+    val rows = (1 to 800).map(i => (i.toLong, "big")) ++
+      (801 to 900).map(i => (i.toLong, "small"))
+    val df = rows.toDF("id", "src")
+    // alpha = 1: natural proportions -> every source is limiting, all kept
+    assert(Sampling.temperatureMix(df, "src", Seq("id"), alpha = 1.0).count() == 900)
+    // alpha = 0.3: small's target share rises above its natural 1/9
+    val out = Sampling.temperatureMix(df, "src", Seq("id"), alpha = 0.3)
+    val bySrc = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val smallShare = bySrc("small").toDouble / (bySrc("small") + bySrc("big"))
+    assert(smallShare > 1.0 / 9.0 + 0.05, s"share $smallShare")
+    // small is the limiting source (boosted target > natural) -> intact
+    assert(bySrc("small") == 100L)
+    // definitionally equal to weightedMix on the driver-computed proportions
+    val z = math.pow(800, 0.3) + math.pow(100, 0.3)
+    val byHand = Sampling.weightedMix(df, "src", Seq("id"),
+      Map("big" -> math.pow(800, 0.3) / z, "small" -> math.pow(100, 0.3) / z))
+    assert(out.exceptAll(byHand).isEmpty && byHand.exceptAll(out).isEmpty)
+  }
+
   test("weightedMixByTokens: output token mass matches targets, boundary doc kept") {
     import graft.operators.Sampling
     // source a: 100 docs x 10 tokens (1000), b: 50 docs x 40 tokens (2000)

@@ -355,4 +355,31 @@ class ToolsSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$dir/yaml_schema.md")).contains("read block"))
     assert(Tools.mainExit(Array("docs", "--bogus")) == 2)
   }
+
+  test("index info reports kind, params and component stats") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    // bloom index
+    val bdir = java.nio.file.Files.createTempDirectory("idx_bloom").toString
+    val fps = Seq(1L, 2L, 3L).toDF("fingerprint")
+    graft.operators.BloomIndex.save(spark,
+      graft.operators.BloomIndex.build(fps, "fingerprint", 1000, 0.01),
+      bdir, 1000, 0.01)
+    val (c1, o1) = captured(Tools.mainExit(Array("index", "info", bdir)))
+    assert(c1 == 0 && o1.contains("kind=bloom") &&
+      o1.contains("expected_items") && o1.contains("bloom.bin"), o1)
+    // minhash index
+    val mdir = java.nio.file.Files.createTempDirectory("idx_mh").toString
+    graft.operators.MinHashIndex.build(
+      Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"),
+      "doc_id", "text", mdir)
+    val (c2, o2) = captured(Tools.mainExit(Array("index", "info", mdir)))
+    assert(c2 == 0 && o2.contains("kind=minhash") && o2.contains("bands"), o2)
+    // failure modes
+    assert(Tools.mainExit(Array("index", "info", "/no/such/place")) == 2)
+    val empty = java.nio.file.Files.createTempDirectory("idx_empty").toString
+    assert(Tools.mainExit(Array("index", "info", empty)) == 1)
+    assert(Tools.mainExit(Array("index")) == 2)
+  }
 }
