@@ -68,6 +68,9 @@ object Multimodal {
       .when(lower(col("path")).rlike("\\.(gif)$"), "image/gif")
       .when(lower(col("path")).rlike("\\.(bmp)$"), "image/bmp")
       .when(lower(col("path")).rlike("\\.(wav)$"), "audio/wav")
+      .when(lower(col("path")).rlike("\\.(mp4|m4v|mov)$"), "video/mp4")
+      .when(lower(col("path")).rlike("\\.(m4a)$"), "audio/mp4")
+      .when(lower(col("path")).rlike("\\.(mp3)$"), "audio/mpeg")
       .otherwise("application/octet-stream")
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob).load(dir)
@@ -104,7 +107,127 @@ object Multimodal {
     else if (b(0) == 'B' && b(1) == 'M') "image"
     else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') "audio"
+    else if (b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') "mp4"
+    else if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') "mp3"
+    else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xE0) == 0xE0 &&
+      ((b(1) >> 1) & 0x3) != 0) "mp3" // bare frame sync, valid layer bits
     else "opaque"
+
+  // ---- container METADATA probes: video/audio containers the JDK cannot
+  // decode still yield true duration/dimensions by parsing the container
+  // bytes directly (ISO BMFF box walk; MPEG audio frame-header walk) ----
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+      ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+
+  private def boxType(b: Array[Byte], i: Int): String =
+    new String(b, i + 4, 4, "ISO-8859-1")
+
+  /** Children box walk over [from, until): invoke `f(type, start, end)`
+    * where start points at the box header. */
+  private def walkBoxes(b: Array[Byte], from: Int, until: Int)
+                       (f: (String, Int, Int) => Unit): Unit = {
+    var i = from
+    while (i + 8 <= until) {
+      var size = be32(b, i)
+      var header = 8
+      if (size == 1 && i + 16 <= until) { // 64-bit largesize
+        size = ((be32(b, i + 8) << 32) | be32(b, i + 12))
+        header = 16
+      } else if (size == 0) size = (until - i).toLong // box extends to end
+      if (size < header || i + size > until) return // malformed: stop cleanly
+      f(boxType(b, i), i + header, i + size.toInt)
+      i += size.toInt
+    }
+  }
+
+  /** ISO BMFF (MP4/MOV/M4A) probe: (hasVideo, width, height, durationMs).
+    * mvhd carries timescale+duration; each video trak's tkhd carries
+    * 16.16 fixed-point presentation width/height. */
+  private def probeMp4(b: Array[Byte]): Option[(Boolean, Int, Int, Long)] = {
+    var durMs = -1L
+    var width = 0
+    var height = 0
+    try {
+      walkBoxes(b, 0, b.length) {
+        case ("moov", s, e) =>
+          walkBoxes(b, s, e) {
+            case ("mvhd", ms, me) =>
+              val v = b(ms) & 0xFF
+              val (tsOff, dOff, d64) =
+                if (v == 1) (ms + 20, ms + 24, true) else (ms + 12, ms + 16, false)
+              if ((if (d64) dOff + 8 else dOff + 4) <= me) {
+                val timescale = be32(b, tsOff)
+                val dur = if (d64) (be32(b, dOff) << 32) | be32(b, dOff + 4)
+                          else be32(b, dOff)
+                if (timescale > 0) durMs = dur * 1000L / timescale
+              }
+            case ("trak", ts, te) =>
+              walkBoxes(b, ts, te) {
+                case ("tkhd", ks, ke) =>
+                  // width/height are the LAST 8 bytes of tkhd (16.16 fixed)
+                  if (ke - 8 >= ks) {
+                    val w = (be32(b, ke - 8) >> 16).toInt
+                    val h = (be32(b, ke - 4) >> 16).toInt
+                    if (w > 0 && h > 0) { width = w; height = h }
+                  }
+                case _ => ()
+              }
+            case _ => ()
+          }
+        case _ => ()
+      }
+      if (durMs >= 0) Some((width > 0, width, height, durMs)) else None
+    } catch { case _: Exception => None }
+  }
+
+  private val mp3BitrateV1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112,
+    128, 160, 192, 224, 256, 320, 0) // kbps
+  private val mp3BitrateV2L3 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64,
+    80, 96, 112, 128, 144, 160, 0)
+  private val mp3SampleRateV1 = Array(44100, 48000, 32000, 0)
+  private val mp3SampleRateV2 = Array(22050, 24000, 16000, 0)
+  private val mp3SampleRateV25 = Array(11025, 12000, 8000, 0)
+
+  /** MPEG-audio (layer III) probe: total duration by walking frame
+    * headers — exact for CBR and VBR alike, no payload decode. */
+  private def probeMp3(b: Array[Byte]): Option[Long] = {
+    var i = 0
+    // skip ID3v2 (synchsafe 28-bit size after the 10-byte header)
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val sz = ((b(6) & 0x7F) << 21) | ((b(7) & 0x7F) << 14) |
+        ((b(8) & 0x7F) << 7) | (b(9) & 0x7F)
+      i = 10 + sz
+    }
+    var totalMs = 0.0
+    var frames = 0
+    while (i + 4 <= b.length) {
+      if ((b(i) & 0xFF) == 0xFF && (b(i + 1) & 0xE0) == 0xE0) {
+        val versionBits = (b(i + 1) >> 3) & 0x3 // 3=V1, 2=V2, 0=V2.5
+        val layerBits = (b(i + 1) >> 1) & 0x3   // 1=Layer III
+        val brIdx = (b(i + 2) >> 4) & 0xF
+        val srIdx = (b(i + 2) >> 2) & 0x3
+        val padding = (b(i + 2) >> 1) & 0x1
+        val sr = versionBits match {
+          case 3 => mp3SampleRateV1(srIdx)
+          case 2 => mp3SampleRateV2(srIdx)
+          case 0 => mp3SampleRateV25(srIdx)
+          case _ => 0
+        }
+        val br = (if (versionBits == 3) mp3BitrateV1L3 else mp3BitrateV2L3)(brIdx)
+        if (layerBits == 1 && sr > 0 && br > 0) {
+          val samples = if (versionBits == 3) 1152 else 576
+          val frameLen = samples / 8 * br * 1000 / sr + padding
+          if (frameLen <= 0) return if (frames > 0) Some(totalMs.toLong) else None
+          totalMs += samples.toDouble * 1000.0 / sr
+          frames += 1
+          i += frameLen
+        } else i += 1 // resync
+      } else i += 1
+    }
+    if (frames > 0) Some(totalMs.toLong) else None
+  }
 
   /** Luminance averaged over an `dim`-cell row-major grid, in [-1, 1]. */
   private def imageEmbedding(img: java.awt.image.BufferedImage,
@@ -195,6 +318,23 @@ object Multimodal {
           audioFeatures(raw, embeddingDim) match {
             case Some((d, e)) =>
               ("audio", null, null, java.lang.Long.valueOf(d), e)
+            case None => ("opaque", null, null, null, hashEmb)
+          }
+        case "mp4" =>
+          // container metadata probe (no JDK video decoder exists):
+          // true dimensions + duration from the box structure; frame
+          // pixels are not decodable here so features stay content-hash
+          probeMp4(raw) match {
+            case Some((hasVideo, w, h, d)) if hasVideo =>
+              ("video", Integer.valueOf(w), Integer.valueOf(h),
+                java.lang.Long.valueOf(d), hashEmb)
+            case Some((_, _, _, d)) => // audio-only container (m4a)
+              ("audio", null, null, java.lang.Long.valueOf(d), hashEmb)
+            case None => ("opaque", null, null, null, hashEmb)
+          }
+        case "mp3" =>
+          probeMp3(raw) match {
+            case Some(d) => ("audio", null, null, java.lang.Long.valueOf(d), hashEmb)
             case None => ("opaque", null, null, null, hashEmb)
           }
         case _ => ("opaque", null, null, null, hashEmb)
