@@ -45,7 +45,8 @@ object Tools {
       |  delta:   optimize <root> [--target-file-mb N] [--zorder-by a,b]
       |           vacuum <root> [--retention-hours H] [--dry-run] | history <root>
       |  iceberg: history <root>
-      |  index:   info <root>   (persisted minhash/bloom/lsh/ivf/ivfpq index)""".stripMargin
+      |  index:   info <root>   (persisted minhash/bloom/lsh/ivf/ivfpq index)
+      |  stats:   <parquet-root> [--columns a,b]   (per-file footer stats + skipping audit)""".stripMargin
 
   def main(argv: Array[String]): Unit = sys.exit(mainExit(argv))
 
@@ -66,6 +67,7 @@ object Tools {
     case "docs" :: rest => docsCommand(rest)
     case "delta" :: rest => deltaCommand(rest)
     case "index" :: rest => indexCommand(rest)
+    case "stats" :: rest => statsCommand(rest)
     case "iceberg" :: rest => icebergCommand(rest)
     case _ =>
       System.err.println(usage)
@@ -86,6 +88,39 @@ object Tools {
       }
     case _ =>
       System.err.println("usage: graft.Tools iceberg history <root>")
+      2
+  }
+
+  /** Per-file parquet footer statistics + the range-overlap skipping
+    * audit (graft.core.Discovery.parquetFileStats / rangeOverlap). */
+  private def statsCommand(args: List[String]): Int = args match {
+    case root :: rest =>
+      var cols: Seq[String] = Nil
+      rest match {
+        case "--columns" :: v :: Nil => cols = v.split(",").toSeq.map(_.trim)
+        case Nil => ()
+        case other =>
+          System.err.println(s"unknown stats args $other"); return 2
+      }
+      withSpark { spark =>
+        val stats = graft.core.Discovery.parquetFileStats(spark, root, cols)
+        val rows = stats.orderBy("file").collect()
+        rows.foreach { r =>
+          val extra = cols.map(c =>
+            s" $c=[${r.getAs[String](s"min_$c")}..${r.getAs[String](s"max_$c")}]")
+            .mkString
+          println(s"${r.getAs[String]("file").split("/").last}: " +
+            s"rows=${r.getAs[Long]("rows")} groups=${r.getAs[Int]("row_groups")} " +
+            s"bytes=${r.getAs[Long]("compressed_bytes")}$extra")
+        }
+        cols.foreach { c =>
+          val ov = graft.core.Discovery.rangeOverlap(stats, c)
+          println(f"overlap[$c] = $ov%.3f  (0 = perfectly clustered, 1 = no skipping)")
+        }
+        0
+      }
+    case _ =>
+      System.err.println("usage: graft.Tools stats <parquet-root> [--columns a,b]")
       2
   }
 

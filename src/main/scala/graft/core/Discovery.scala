@@ -191,4 +191,122 @@ object Discovery {
     }
     seen.map { case (k, vs) => k -> vs.toSeq }.toMap
   }
+
+  /**
+   * Per-FILE parquet statistics straight from the footers — row counts,
+   * sizes, row groups, and min/max for the requested columns — the
+   * data-skipping audit: after a Z-order or sort-based layout, tight
+   * non-overlapping per-file ranges are WHY scans prune, and this is the
+   * direct measurement ("is my clustering actually working?").
+   *
+   * Footer reads are distributed one task per file (a footer is a few KB
+   * regardless of file size — no data pages are touched). Min/max render
+   * as strings; numeric ordering is preserved within each file by the
+   * footer itself (min of row-group mins, max of maxes).
+   */
+  def parquetFileStats(spark: SparkSession, root: String,
+                       columns: Seq[String] = Nil): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    require(fs.exists(rootPath), s"no parquet files under $root")
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(rootPath, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith("."))
+        files += f.getPath.toString
+    }
+    require(files.nonEmpty, s"no parquet files under $root")
+    // Configuration is not serializable: ship the entries, rebuild per task
+    val entries = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      val cit = conf.iterator()
+      while (cit.hasNext) { val e = cit.next(); buf += (e.getKey -> e.getValue) }
+      buf.toArray
+    }
+    val cols = columns.toArray
+    val rows = spark.sparkContext.parallelize(files.toSeq, files.size).map { file =>
+      val c = new org.apache.hadoop.conf.Configuration(false)
+      entries.foreach { case (k, v) => c.set(k, v) }
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(file), c)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val footer = r.getFooter
+        val blocks = footer.getBlocks
+        import scala.jdk.CollectionConverters._
+        val perCol = cols.map { name =>
+          var lo: Comparable[Any] = null
+          var hi: Comparable[Any] = null
+          var loS: String = null
+          var hiS: String = null
+          blocks.asScala.foreach { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == name).foreach { cc =>
+              val st = cc.getStatistics
+              if (st != null && !st.isEmpty) {
+                def render(v: Any): (Comparable[Any], String) = v match {
+                  case bin: org.apache.parquet.io.api.Binary =>
+                    val str = bin.toStringUsingUTF8
+                    (str.asInstanceOf[Comparable[Any]], str)
+                  case other =>
+                    (other.asInstanceOf[Comparable[Any]], String.valueOf(other))
+                }
+                val (mn, mnS) = render(st.genericGetMin)
+                val (mx, mxS) = render(st.genericGetMax)
+                if (lo == null || mn.compareTo(lo) < 0) { lo = mn; loS = mnS }
+                if (hi == null || mx.compareTo(hi) > 0) { hi = mx; hiS = mxS }
+              }
+            }
+          }
+          (loS, hiS)
+        }
+        (file, r.getRecordCount, blocks.size(),
+          blocks.asScala.map(_.getCompressedSize).sum,
+          perCol.map(_._1).toSeq, perCol.map(_._2).toSeq)
+      } finally r.close()
+    }
+    import spark.implicits._
+    var df = rows.toDF("file", "rows", "row_groups", "compressed_bytes", "_mins", "_maxes")
+    cols.zipWithIndex.foreach { case (name, i) =>
+      df = df.withColumn(s"min_$name", col("_mins").getItem(i))
+             .withColumn(s"max_$name", col("_maxes").getItem(i))
+    }
+    df.drop("_mins", "_maxes")
+  }
+
+  /**
+   * Fraction of file PAIRS whose [min, max] ranges overlap on `column`
+   * (numeric compare when both ends parse as doubles, else lexicographic)
+   * — 0.0 is a perfectly clustered layout (every file prunable by a
+   * point predicate), 1.0 means every file overlaps every other (no
+   * skipping possible). Driver-side over the collected ranges: an audit
+   * over file COUNTS, which stay bounded (capped at 10k files).
+   */
+  def rangeOverlap(stats: DataFrame, column: String): Double = {
+    val rows = stats.select(col(s"min_$column"), col(s"max_$column"))
+      .na.drop().limit(10000).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    if (rows.length < 2) return 0.0
+    val numeric = rows.forall { case (a, b) =>
+      scala.util.Try(a.toDouble).isSuccess && scala.util.Try(b.toDouble).isSuccess
+    }
+    def le(a: String, b: String): Boolean =
+      if (numeric) a.toDouble <= b.toDouble else a <= b
+    var overlapping = 0L
+    var pairs = 0L
+    var i = 0
+    while (i < rows.length) {
+      var j = i + 1
+      while (j < rows.length) {
+        val ((lo1, hi1), (lo2, hi2)) = (rows(i), rows(j))
+        if (le(lo1, hi2) && le(lo2, hi1)) overlapping += 1
+        pairs += 1
+        j += 1
+      }
+      i += 1
+    }
+    overlapping.toDouble / pairs
+  }
 }

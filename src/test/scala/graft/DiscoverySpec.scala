@@ -71,4 +71,35 @@ class DiscoverySpec extends SparkSpec {
     assert(parts.get("p").exists(_.toSet == Set("a", "b")))
     assert(Discovery.listDatasets(spark, s"$root/nope").count() == 0)
   }
+
+  test("parquetFileStats reads footers; rangeOverlap scores the layout") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("pqstats").toString
+    val df = spark.range(40000).select($"id",
+      (col("id") % 97).cast("double").as("v"),
+      concat(lit("k"), lpad(col("id").cast("string"), 6, "0")).as("s"))
+    // clustered layout: range-partitioned + sorted on id -> disjoint ranges
+    df.repartitionByRange(8, col("id")).sortWithinPartitions("id")
+      .write.parquet(s"$root/clustered")
+    // scattered layout: round-robin -> every file spans ~the full id range
+    df.repartition(8).write.parquet(s"$root/scattered")
+
+    val stats = Discovery.parquetFileStats(spark, s"$root/clustered", Seq("id", "s"))
+    assert(stats.count() == 8)
+    assert(stats.agg(sum("rows")).head().getLong(0) == 40000L)
+    assert(stats.columns.toSet.contains("min_id") && stats.columns.contains("max_s"))
+    // string stats render as strings; id ranges are disjoint across files
+    val idOverlap = Discovery.rangeOverlap(stats, "id")
+    assert(idOverlap == 0.0, s"clustered overlap $idOverlap")
+    val sOverlap = Discovery.rangeOverlap(stats, "s") // zero-padded: same order
+    assert(sOverlap == 0.0, s"clustered string overlap $sOverlap")
+
+    val scattered = Discovery.parquetFileStats(spark, s"$root/scattered", Seq("id"))
+    val badOverlap = Discovery.rangeOverlap(scattered, "id")
+    assert(badOverlap > 0.9, s"scattered overlap $badOverlap")
+
+    intercept[IllegalArgumentException] {
+      Discovery.parquetFileStats(spark, s"$root/empty_nowhere")
+    }
+  }
 }

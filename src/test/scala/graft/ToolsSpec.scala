@@ -382,4 +382,17 @@ class ToolsSpec extends SparkSpec {
     assert(Tools.mainExit(Array("index", "info", empty)) == 1)
     assert(Tools.mainExit(Array("index")) == 2)
   }
+
+  test("stats verb prints per-file footer stats and the skipping audit") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("statsverb").toString + "/t"
+    spark.range(1000).select(col("id"))
+      .repartitionByRange(2, col("id")).sortWithinPartitions("id")
+      .write.parquet(root)
+    val (code, out) = captured(Tools.mainExit(
+      Array("stats", root, "--columns", "id")))
+    assert(code == 0 && out.contains("rows=") && out.contains("id=[") &&
+      out.contains("overlap[id] = 0.000"), out)
+    assert(Tools.mainExit(Array("stats")) == 2)
+  }
 }
