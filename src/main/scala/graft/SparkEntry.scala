@@ -705,6 +705,25 @@ object SparkEntry {
         .withColumn("rt_tsat_c", round(col("rt_tsat_c"), 4))
         .withColumn("density", round(col("density"), 6))
     }),
+    "q_theta_distinct" -> ((s, d) => {
+      // theta sketches are EXACT (and deterministic) while the distinct
+      // count stays under nominal 2^lgK, so the estimates hash-match an
+      // exact COUNT(DISTINCT) oracle: per-segment counts + the cross-
+      // segment union — the set-algebra shape HLL cannot oracle
+      val sk = operators.Sketches.thetaSketch(
+        events(s, d).select("event_type", "user_id"),
+        Seq("event_type"), "user_id", lgK = 14)
+      val per = sk.select(col("event_type"),
+        operators.Sketches.thetaEstimate(col("theta_sketch"))
+          .cast("long").as("n_users"))
+      val all = operators.Sketches.thetaMerge(
+        sk.withColumn("event_type", lit("ALL")), Seq("event_type"),
+        "theta_sketch", lgK = 14)
+        .select(col("event_type"),
+          operators.Sketches.thetaEstimate(col("theta_sketch"))
+            .cast("long").as("n_users"))
+      per.unionByName(all)
+    }),
     "q_html_text" -> ((s, d) => {
       // the corpus wrapped in a fixed HTML template drives the full
       // state machine (title block, dropped script, entities-free body);
@@ -1663,6 +1682,8 @@ object SparkEntry {
     // correctly rounded, so this oracle is bit-exact with NO rounding.
     "q_html_text" ->
       "SELECT doc_id, 'Doc ' || doc_id || chr(10) || trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text_out FROM documents",
+    "q_theta_distinct" ->
+      "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events GROUP BY 1 UNION ALL SELECT 'ALL', CAST(count(DISTINCT user_id) AS BIGINT) FROM events",
     "q_wet_bulb" ->
       """WITH base AS (
         |  SELECT l_orderkey, l_linenumber, l_quantity AS t_c,

@@ -308,4 +308,29 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(r.getDouble(2) - refAdc(codes, q)) < 1e-9)
     }
   }
+
+  test("html extraction: never throws, never grows, strips every tag byte") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // adversarial soup: unmatched <, raw &, quotes, nested-ish tags,
+    // entities, unicode — the state machine must stay total and bounded
+    val frag = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)), Gen.const("<"), Gen.const(">"),
+      Gen.const("&"), Gen.const("&amp;"), Gen.const("&#65;"), Gen.const(";"),
+      Gen.const("<p>"), Gen.const("</p>"), Gen.const("<script>"),
+      Gen.const("</script>"), Gen.const("<!--"), Gen.const("-->"),
+      Gen.const("<a href=\"x>y\">"), Gen.const("'"), Gen.const("\""),
+      Gen.const(" "), Gen.const("\n"), Gen.const("ü中"))
+    val html = Gen.listOf(frag).map(_.mkString)
+    val p = Prop.forAll(html) { h =>
+      val out = graft.expressions.HtmlImpls
+        .htmlToText(UTF8String.fromString(h)).toString
+      val in = UTF8String.fromString(h)
+      // total + bounded: output bytes never exceed input bytes
+      (out.getBytes("UTF-8").length <= in.numBytes()) :| s"grew on ${h.take(60)}" &&
+      // whitespace is always collapsed: no runs, no leading/trailing
+      (!out.contains("  ") && !out.contains("\n\n") &&
+        out == out.trim) :| s"whitespace on ${h.take(60)}"
+    }
+    check(p, 500)
+  }
 }
