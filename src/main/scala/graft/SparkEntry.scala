@@ -705,6 +705,19 @@ object SparkEntry {
         .withColumn("rt_tsat_c", round(col("rt_tsat_c"), 4))
         .withColumn("density", round(col("density"), 6))
     }),
+    "q_canonical_url" -> ((s, d) => {
+      // both engines synthesize the same url variants, then canonicalize
+      // independently — the oracle mirrors the documented normal form
+      val url = when(col("doc_id") % 4 === 0,
+          concat(lit("https://WWW.Example.com:443/Products/"),
+            col("doc_id") % 7, lit("/?utm_source=news&b=2&a=1#frag")))
+        .when(col("doc_id") % 4 === 1,
+          lit("http://user:pw@Example.COM:80?gclid=abc&z=9"))
+        .when(col("doc_id") % 4 === 2, lit("https://site.org/a/b"))
+        .otherwise(concat(lit("not a url at all "), col("doc_id")))
+      t(s, d, "documents").select(col("doc_id"), url.as("url"))
+        .withColumn("canonical", TextAnalysis.canonicalizeUrl(col("url")))
+    }),
     "q_theta_distinct" -> ((s, d) => {
       // theta sketches are EXACT (and deterministic) while the distinct
       // count stays under nominal 2^lgK, so the estimates hash-match an
@@ -1684,6 +1697,37 @@ object SparkEntry {
       "SELECT doc_id, 'Doc ' || doc_id || chr(10) || trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text_out FROM documents",
     "q_theta_distinct" ->
       "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events GROUP BY 1 UNION ALL SELECT 'ALL', CAST(count(DISTINCT user_id) AS BIGINT) FROM events",
+    "q_canonical_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 4 = 0 THEN 'https://WWW.Example.com:443/Products/' || (doc_id % 7) || '/?utm_source=news&b=2&a=1#frag'
+        |              WHEN doc_id % 4 = 1 THEN 'http://user:pw@Example.COM:80?gclid=abc&z=9'
+        |              WHEN doc_id % 4 = 2 THEN 'https://site.org/a/b'
+        |              ELSE 'not a url at all ' || doc_id END AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS nf FROM u),
+        |p AS (SELECT *,
+        |  lower(regexp_extract(nf, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+        |  lower(regexp_replace(regexp_extract(nf, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), '^.*@', '')) AS auth,
+        |  regexp_extract(nf, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+        |  regexp_extract(nf, '\?([^#]*)', 1) AS q0
+        |  FROM c),
+        |h AS (SELECT *,
+        |  CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+        |       WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+        |       ELSE auth END AS host,
+        |  CASE WHEN path0 = '' THEN '/'
+        |       WHEN path0 <> '/' THEN regexp_replace(path0, '/$', '')
+        |       ELSE path0 END AS pth,
+        |  array_to_string(list_sort(list_filter(string_split(q0, '&'),
+        |    x -> len(x) > 0 AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid)(=.*)?$'))), '&') AS kept
+        |  FROM p)
+        |SELECT doc_id, url,
+        |       CASE WHEN regexp_matches(nf, '^[a-zA-Z][a-zA-Z0-9+.-]*://')
+        |            THEN scheme || '://' || host || pth ||
+        |                 CASE WHEN len(kept) > 0 THEN '?' || kept ELSE '' END
+        |            ELSE url END AS canonical
+        |FROM h""".stripMargin,
     "q_wet_bulb" ->
       """WITH base AS (
         |  SELECT l_orderkey, l_linenumber, l_quantity AS t_c,

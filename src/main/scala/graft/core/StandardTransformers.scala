@@ -180,6 +180,10 @@ object StandardTransformers {
     reg("normalize_unicode") { (c, p) =>
       TextAnalysis.normalizeUnicode(c.df, str(p, "column"),
         strOpt(p, "form").getOrElse("NFC"), strOpt(p, "output_col")) }
+    reg("canonicalize_url") { (c, p) =>
+      c.df.withColumn(strOpt(p, "output_col").getOrElse(str(p, "column")),
+        TextAnalysis.canonicalizeUrl(
+          org.apache.spark.sql.functions.col(str(p, "column")))) }
     reg("html_to_text") { (c, p) =>
       c.df.withColumn(strOpt(p, "output_col").getOrElse(str(p, "column")),
         TextAnalysis.htmlToText(org.apache.spark.sql.functions.col(str(p, "column")))) }

@@ -76,6 +76,42 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("score"), col("rank"))
   }
 
+  /**
+   * Canonicalize a URL for crawl dedup and frequency counting — the same
+   * page arrives under dozens of spellings (tracking params, fragments,
+   * case, default ports, trailing slashes) and URL-keyed dedup/stats are
+   * wrong until they collapse. Deterministic, documented normal form:
+   * fragment dropped; scheme+host lowercased; userinfo dropped; default
+   * port stripped (:80 http / :443 https); empty path becomes "/" and a
+   * single trailing slash is stripped elsewhere; query params lose
+   * tracking keys (utm_*, fbclid, gclid, msclkid, mc_eid, igshid), drop
+   * empties, and sort. Non-URLs (no scheme://) pass through unchanged.
+   * Pure codegen'd builtins — no UDF.
+   */
+  def canonicalizeUrl(url: Column): Column = {
+    val trackingRe = "^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid|igshid)(=.*)?$"
+    val noFrag = regexp_replace(url, "#.*", "")
+    val isUrl = noFrag.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://")
+    val scheme = lower(regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val auth = lower(regexp_replace(
+      regexp_extract(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1),
+      "^.*@", ""))
+    val host = when(scheme === "http", regexp_replace(auth, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth, ":443$", ""))
+      .otherwise(auth)
+    val path0 = regexp_extract(noFrag,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(path0 === "", lit("/"))
+      .when(path0 =!= "/", regexp_replace(path0, "/$", ""))
+      .otherwise(path0)
+    val kept = array_join(sort_array(filter(split(
+      regexp_extract(noFrag, "\\?([^#]*)", 1), "&"),
+      t => length(t) > 0 && !t.rlike(trackingRe))), "&")
+    val canon = concat(scheme, lit("://"), host, path,
+      when(length(kept) > 0, concat(lit("?"), kept)).otherwise(lit("")))
+    when(isUrl, canon).otherwise(url)
+  }
+
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column =
     size(split(trim(text), "\\s+"))

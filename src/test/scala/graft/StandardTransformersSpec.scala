@@ -5,6 +5,30 @@ import graft.core.{Pipeline, YamlConfig}
 class StandardTransformersSpec extends SparkSpec {
   import spark.implicits._
 
+  test("every transformer name in the reference registry resolves here") {
+    // the reference's odibi/transformers/__init__.py registration list:
+    // a user switching engines must find every name they use today
+    val referenceNames = Seq(
+      "add_prefix", "add_suffix", "aggregate", "apply_mapping", "case_when",
+      "cast_columns", "clean_text", "coalesce_columns", "concat_columns",
+      "convert_timezone", "cross_check", "date_add", "date_diff", "date_trunc",
+      "deduplicate", "derive_columns", "detect_deletes",
+      "detect_sequential_phases", "dict_based_mapping", "distinct",
+      "drop_columns", "explode_list_column", "extract_date_parts",
+      "fill_nulls", "filter_rows", "flatten_struct", "fluid_properties",
+      "generate_numeric_key", "generate_surrogate_key", "geocode",
+      "hash_columns", "join", "limit", "merge", "normalize_column_names",
+      "normalize_json", "normalize_schema", "parse_json", "pivot",
+      "psychrometrics", "regex_replace", "rename_columns", "replace_values",
+      "row_number", "sample", "saturation_properties", "scd2",
+      "select_columns", "sessionize", "sort", "split_events_by_period",
+      "split_part", "trim_whitespace", "union", "unit_convert",
+      "unpack_struct", "unpivot", "validate_and_flag", "window_calculation")
+    graft.core.StandardTransformers.registerAll
+    val missing = referenceNames.filter(graft.core.TransformerRegistry.get(_).isEmpty)
+    assert(missing.isEmpty, s"reference names without an implementation: $missing")
+  }
+
   test("YAML pipeline can chain standard transformers by reference names") {
     val dir = java.nio.file.Files.createTempDirectory("graft_std").toString
     Seq((1, " Widget A ", 10.0, "2026-01-03 00:00:00"),

@@ -68,4 +68,27 @@ class UrlFilterSpec extends SparkSpec {
       Seq("www.spam.example.com")).select("id").as[Long].collect().toSet
     assert(!kept.contains(1L) && !kept.contains(3L))
   }
+
+  test("canonicalizeUrl collapses equivalent spellings deterministically") {
+    def c(u: String): String =
+      Seq(Tuple1(u)).toDF("u")
+        .select(TextAnalysis.canonicalizeUrl($"u")).head().getString(0)
+    // case, default port, tracking params, fragment, param order
+    assert(c("HTTPS://WWW.Site.COM:443/A/?utm_source=x&b=2&a=1#top") ==
+      "https://www.site.com/A?a=1&b=2")
+    assert(c("http://Site.com:80/") == "http://site.com/")
+    assert(c("http://site.com") == "http://site.com/")          // empty path
+    assert(c("http://u:p@site.com/x") == "http://site.com/x")   // userinfo
+    assert(c("https://site.com:8443/x") == "https://site.com:8443/x") // real port kept
+    assert(c("http://site.com/x?fbclid=1&gclid=2&utm_medium=m") ==
+      "http://site.com/x")                                      // all tracking
+    assert(c("ftp://Site.com:21/f/") == "ftp://site.com:21/f")  // non-http port kept
+    assert(c("plain text, no url") == "plain text, no url")     // passthrough
+    // the point: dedup keys now collapse
+    val variants = Seq(
+      "https://example.com/page?b=1&a=2",
+      "HTTPS://EXAMPLE.COM:443/page/?a=2&b=1#sec",
+      "https://u@example.com/page?utm_source=s&a=2&b=1")
+    assert(variants.map(c).distinct.size == 1)
+  }
 }
