@@ -705,6 +705,11 @@ object SparkEntry {
         .withColumn("rt_tsat_c", round(col("rt_tsat_c"), 4))
         .withColumn("density", round(col("density"), 6))
     }),
+    "q_dedup_report" -> ((s, d) =>
+      operators.Dedup.dedupReport(
+        t(s, d, "documents").select("doc_id", "text"), "doc_id", "text")),
+    "q_skew_report" -> ((s, d) =>
+      operators.Skew.skewReport(events(s, d), Seq("event_type", "user_id"), topK = 3)),
     "q_canonical_url" -> ((s, d) => {
       // both engines synthesize the same url variants, then canonicalize
       // independently — the oracle mirrors the documented normal form
@@ -1697,6 +1702,37 @@ object SparkEntry {
       "SELECT doc_id, 'Doc ' || doc_id || chr(10) || trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text_out FROM documents",
     "q_theta_distinct" ->
       "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events GROUP BY 1 UNION ALL SELECT 'ALL', CAST(count(DISTINCT user_id) AS BIGINT) FROM events",
+    "q_dedup_report" ->
+      """WITH f AS (
+        |  SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS fp,
+        |         count(*) AS family_size
+        |  FROM documents GROUP BY 1),
+        |h AS (SELECT family_size, count(*) AS n_families FROM f GROUP BY 1),
+        |t AS (SELECT sum(family_size * n_families) AS total FROM h)
+        |SELECT family_size, n_families,
+        |       CAST(family_size * n_families AS BIGINT) AS n_rows,
+        |       CAST(family_size * n_families AS DOUBLE) / t.total AS row_share
+        |FROM h, t""".stripMargin,
+    "q_skew_report" ->
+      """WITH c1 AS (SELECT CAST(event_type AS VARCHAR) AS key, count(*) AS n FROM events GROUP BY 1),
+        |t1 AS (SELECT sum(n) AS total, count(*) AS dst FROM c1),
+        |r1 AS (SELECT 'event_type' AS "column", key, n,
+        |         CAST(row_number() OVER (ORDER BY n DESC, key) AS BIGINT) AS rank
+        |       FROM c1),
+        |c2 AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n FROM events GROUP BY 1),
+        |t2 AS (SELECT sum(n) AS total, count(*) AS dst FROM c2),
+        |r2 AS (SELECT 'user_id' AS "column", key, n,
+        |         CAST(row_number() OVER (ORDER BY n DESC, key) AS BIGINT) AS rank
+        |       FROM c2)
+        |SELECT r1."column", r1.key, r1.n, r1.rank,
+        |       CAST(r1.n AS DOUBLE) / t1.total AS share,
+        |       CAST(r1.n * t1.dst AS DOUBLE) / t1.total AS skew_factor
+        |FROM r1, t1 WHERE r1.rank <= 3
+        |UNION ALL
+        |SELECT r2."column", r2.key, r2.n, r2.rank,
+        |       CAST(r2.n AS DOUBLE) / t2.total AS share,
+        |       CAST(r2.n * t2.dst AS DOUBLE) / t2.total AS skew_factor
+        |FROM r2, t2 WHERE r2.rank <= 3""".stripMargin,
     "q_canonical_url" ->
       """WITH u AS (
         |  SELECT doc_id,

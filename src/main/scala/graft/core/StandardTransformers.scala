@@ -180,6 +180,11 @@ object StandardTransformers {
     reg("normalize_unicode") { (c, p) =>
       TextAnalysis.normalizeUnicode(c.df, str(p, "column"),
         strOpt(p, "form").getOrElse("NFC"), strOpt(p, "output_col")) }
+    reg("dedup_report") { (c, p) =>
+      Dedup.dedupReport(c.df, str(p, "id_col"), str(p, "text_col")) }
+    reg("skew_report") { (c, p) =>
+      graft.operators.Skew.skewReport(c.df, seqOf(p, "columns"),
+        intOpt(p, "top_k").getOrElse(5)) }
     reg("canonicalize_url") { (c, p) =>
       c.df.withColumn(strOpt(p, "output_col").getOrElse(str(p, "column")),
         TextAnalysis.canonicalizeUrl(

@@ -733,4 +733,27 @@ object Dedup {
     Components.clusterDedup(df, idCol,
       semanticDedupPairs(df, idCol, vecCol, numClusters, threshold,
         lloydIters, refineDenom, maxClusterSize).select(col("a"), col("b")))
+
+  /**
+   * Exact-duplicate audit: the family-size histogram a dedup run reports
+   * BEFORE cutting — how many documents are unique, how many belong to
+   * pairs, to ten-member template families, and what fraction of corpus
+   * rows each bucket holds. Two map-side-combined aggregations over
+   * 8-byte fingerprints; bodies never shuffle. `family_size = 1` rows
+   * are the unique corpus; everything else is what [[exactDedup]] would
+   * remove (keeping one per family).
+   */
+  def dedupReport(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fams = df
+      .select(TextAnalysis.fingerprint(col(textCol)).as("_fp"))
+      .groupBy(col("_fp")).agg(count(lit(1)).as("family_size"))
+    val hist = fams.groupBy(col("family_size"))
+      .agg(count(lit(1)).as("n_families"))
+      .withColumn("n_rows", col("family_size") * col("n_families"))
+    val total = hist.agg(sum(col("n_rows")).as("_total"))
+    hist.crossJoin(broadcast(total))
+      .select(col("family_size"), col("n_families"), col("n_rows"),
+        // one exact-integer division: bit-identical across engines unrounded
+        (col("n_rows") / col("_total")).as("row_share"))
+  }
 }

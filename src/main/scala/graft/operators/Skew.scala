@@ -83,4 +83,41 @@ object Skew {
     }
     phase1.groupBy(keys.map(col): _*).agg(finals.head, finals.tail: _*)
   }
+
+  /**
+   * Per-key skew report over candidate join/aggregation keys — the
+   * measurement that tells you WHICH keys need [[saltedJoin]] /
+   * [[saltedAggregate]] before a 1000-executor run discovers it the hard
+   * way. For each column: the top-k hottest keys with their row share
+   * and skew factor (key count over the mean count per distinct key —
+   * 1.0 is perfectly uniform; a key at 50x mean will make one reducer do
+   * 50x the work). One map-side-combined aggregation per column, scalar
+   * rows only; top-k via TakeOrdered, no global sort.
+   */
+  def skewReport(df: DataFrame, columns: Seq[String],
+                 topK: Int = 5): DataFrame = {
+    require(columns.nonEmpty, "skewReport needs at least one column")
+    import org.apache.spark.sql.expressions.Window
+    val perCol = columns.map { c =>
+      val counts = df.groupBy(col(c).cast("string").as("key"))
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.agg(
+        sum(col("n")).as("_total"), count(lit(1)).as("_distinct"))
+      // orderBy+limit plans as TakeOrderedAndProject: per-partition top-k
+      // merged on the driver — never a single-reducer global sort
+      val top = counts.orderBy(col("n").desc, col("key").asc).limit(topK)
+      top.crossJoin(broadcast(totals))
+        .withColumn("rank", row_number().over( // bounded: <= topK rows
+          Window.partitionBy(lit(1)).orderBy(col("n").desc, col("key").asc))
+          .cast("long"))
+        .select(lit(c).as("column"), col("key"), col("n"), col("rank"),
+          // raw doubles: each is ONE correctly-rounded division of exact
+          // integers, so the bits are engine-independent — rounding would
+          // reintroduce .5-boundary divergence between decimal-string and
+          // binary-value rounding
+          (col("n") / col("_total")).as("share"),
+          (col("n") * col("_distinct") / col("_total")).as("skew_factor"))
+    }
+    perCol.reduce(_ unionByName _)
+  }
 }

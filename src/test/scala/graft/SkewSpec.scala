@@ -154,4 +154,21 @@ class SkewSpec extends SparkSpec {
       ()
     }
   }
+
+  test("skewReport surfaces the hot key with its exact share and factor") {
+    import graft.operators.Skew
+    // key "hot" holds 900 of 1000 rows over 101 distinct keys
+    val df = spark.range(1000).selectExpr(
+      "CASE WHEN id < 900 THEN 'hot' ELSE CAST(id AS STRING) END AS k", "id")
+    val rep = Skew.skewReport(df, Seq("k"), topK = 2).collect()
+      .map(r => r.getAs[Long]("rank") -> r).toMap
+    assert(rep(1L).getAs[String]("key") == "hot")
+    assert(rep(1L).getAs[Long]("n") == 900L)
+    assert(rep(1L).getAs[Double]("share") == 0.9)
+    assert(rep(1L).getAs[Double]("skew_factor") == 900.0 * 101 / 1000)
+    assert(rep(2L).getAs[Long]("n") == 1L) // every other key is singleton
+    // the hot-key rank scan never funnels: plan uses TakeOrdered
+    val plan = Skew.skewReport(df, Seq("k"), 2).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
