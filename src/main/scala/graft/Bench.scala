@@ -45,7 +45,9 @@ object Bench {
     // r8 session-3 additions: IF97 EOS, unicode normalization, bloom
     // incremental dedup, TF-IDF keywords
     "q_if97_props", "q_normalize_unicode", "q_bloom_dedup", "q_tfidf",
-    "q_html_text", "q_wet_bulb")
+    "q_html_text", "q_wet_bulb",
+    // r8 session-3: sketch set algebra, url canonicalization, audits
+    "q_theta_distinct", "q_canonical_url", "q_dedup_report", "q_skew_report")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
