@@ -46,7 +46,9 @@ object Tools {
       |           vacuum <root> [--retention-hours H] [--dry-run] | history <root>
       |  iceberg: history <root>
       |  index:   info <root>   (persisted minhash/bloom/lsh/ivf/ivfpq index)
-      |  stats:   <parquet-root> [--columns a,b]   (per-file footer stats + skipping audit)""".stripMargin
+      |  stats:   <parquet-root> [--columns a,b]   (per-file footer stats + skipping audit)
+      |  compact: <parquet-root> [--target-mb N]   (atomic small-file rewrite)
+      |  expire:  <root> --column C --before VALUE [--dry-run]   (partition TTL)""".stripMargin
 
   def main(argv: Array[String]): Unit = sys.exit(mainExit(argv))
 
@@ -68,6 +70,8 @@ object Tools {
     case "delta" :: rest => deltaCommand(rest)
     case "index" :: rest => indexCommand(rest)
     case "stats" :: rest => statsCommand(rest)
+    case "compact" :: rest => compactCommand(rest)
+    case "expire" :: rest => expireCommand(rest)
     case "iceberg" :: rest => icebergCommand(rest)
     case _ =>
       System.err.println(usage)
@@ -88,6 +92,59 @@ object Tools {
       }
     case _ =>
       System.err.println("usage: graft.Tools iceberg history <root>")
+      2
+  }
+
+  /** Atomic in-place compaction of a plain parquet sink. */
+  private def compactCommand(args: List[String]): Int = args match {
+    case root :: rest =>
+      var target = 128
+      rest match {
+        case "--target-mb" :: v :: Nil => target = v.toInt
+        case Nil => ()
+        case other => System.err.println(s"unknown compact args $other"); return 2
+      }
+      withSpark { spark =>
+        val (before, after) =
+          graft.sources.Sources.compactParquet(spark, root, target)
+        println(s"compacted $root: $before files -> $after")
+        0
+      }
+    case _ =>
+      System.err.println("usage: graft.Tools compact <parquet-root> [--target-mb N]")
+      2
+  }
+
+  /** Partition TTL: delete hive partition dirs sorting below a cutoff. */
+  private def expireCommand(args: List[String]): Int = args match {
+    case root :: rest =>
+      var column: Option[String] = None
+      var before: Option[String] = None
+      var dry = false
+      var r = rest
+      while (r.nonEmpty) r match {
+        case "--column" :: v :: t => column = Some(v); r = t
+        case "--before" :: v :: t => before = Some(v); r = t
+        case "--dry-run" :: t => dry = true; r = t
+        case other :: _ =>
+          System.err.println(s"unknown expire arg $other"); return 2
+        case Nil => ()
+      }
+      (column, before) match {
+        case (Some(c), Some(b)) =>
+          withSpark { spark =>
+            val gone = graft.sources.Sources.expirePartitions(spark, root, c, b, dry)
+            val verb = if (dry) "would delete" else "deleted"
+            println(s"$verb ${gone.size} partition(s): ${gone.mkString(", ")}")
+            0
+          }
+        case _ =>
+          System.err.println("expire requires --column and --before")
+          2
+      }
+    case _ =>
+      System.err.println(
+        "usage: graft.Tools expire <root> --column C --before VALUE [--dry-run]")
       2
   }
 

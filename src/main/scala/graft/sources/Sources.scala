@@ -224,6 +224,63 @@ object Sources {
                                zorderBy: Seq[String] = Nil,
                                targetFileSizeMb: Option[Int] = None)
 
+  /**
+   * Retention expiry for hive-partitioned sinks: delete partition
+   * directories of `partitionCol` whose value sorts strictly below
+   * `cutoff` (date/timestamp partition values in ISO format sort
+   * lexicographically, so a plain string compare is the correct date
+   * compare). Driver-side FS metadata only — no Spark job; bounded by
+   * the partition COUNT, not data volume. Returns the deleted partition
+   * values. `dryRun` lists without deleting.
+   */
+  def expirePartitions(spark: SparkSession, path: String, partitionCol: String,
+                       cutoff: String, dryRun: Boolean = false): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"no sink at $path")
+    val prefix = s"$partitionCol="
+    val doomed = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .map(st => st.getPath)
+      .filter(p => p.getName.stripPrefix(prefix) < cutoff)
+      .sortBy(_.getName)
+    require(doomed.nonEmpty || fs.listStatus(root)
+        .exists(st => st.getPath.getName.startsWith(prefix)),
+      s"$path has no $prefix partition directories — check partition_col")
+    if (!dryRun) doomed.foreach(p => fs.delete(p, true))
+    // stale file-listing caches would resurrect deleted partitions
+    if (!dryRun) spark.catalog.refreshByPath(path)
+    doomed.map(_.getName.stripPrefix(prefix))
+  }
+
+  /**
+   * Compact a plain-parquet directory in place: read, re-size to
+   * `targetFileSizeMb` (file-backed stats, so disk-in ~ disk-out), and
+   * republish through the atomic temp-dir swap — readers never observe
+   * a partial rewrite. The non-Delta answer to OPTIMIZE for bronze
+   * landing zones full of tiny micro-batch files. Returns (files
+   * before, files after).
+   */
+  def compactParquet(spark: SparkSession, path: String,
+                     targetFileSizeMb: Int = 128): (Int, Int) = {
+    def count(): Int = {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(root, true)
+      var n = 0
+      while (it.hasNext) {
+        val f = it.next().getPath.getName
+        if (f.endsWith(".parquet") && !f.startsWith("_") && !f.startsWith(".")) n += 1
+      }
+      n
+    }
+    val before = count()
+    val df = spark.read.parquet(path)
+    write(df, path, WriteConfig(mode = "overwrite",
+      targetFileSizeMb = Some(targetFileSizeMb)))
+    (before, count())
+  }
+
   /** df.write.format(...).mode(...).partitionBy(...).save(path). */
   def write(df: DataFrame, path: String, cfg: WriteConfig = WriteConfig()): Unit = {
     writeWithStats(df, path, cfg)

@@ -55,6 +55,34 @@ class FormatsSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/hive").listFiles.exists(_.getName.startsWith("k=")))
   }
 
+  test("compactParquet rewrites small files atomically; expirePartitions TTLs by value") {
+    import graft.sources.Sources
+    val base = java.nio.file.Files.createTempDirectory("graft_maint").toString
+    // 40 tiny files from 40 partitions
+    spark.range(40000).repartition(40).write.parquet(s"$base/landing")
+    val (before, after) = Sources.compactParquet(spark, s"$base/landing", 1024)
+    assert(before == 40 && after == 1, s"$before -> $after")
+    assert(spark.read.parquet(s"$base/landing").count() == 40000)
+
+    // hive-partitioned sink with date values
+    spark.range(100).selectExpr("id",
+      "CASE WHEN id % 3 = 0 THEN '2026-01-01' WHEN id % 3 = 1 THEN '2026-02-01' ELSE '2026-03-01' END AS dt")
+      .write.partitionBy("dt").parquet(s"$base/byday")
+    val planned = Sources.expirePartitions(spark, s"$base/byday", "dt",
+      "2026-02-15", dryRun = true)
+    assert(planned == Seq("2026-01-01", "2026-02-01"))
+    assert(spark.read.parquet(s"$base/byday").count() == 100) // dry run deletes nothing
+    val gone = Sources.expirePartitions(spark, s"$base/byday", "dt", "2026-02-15")
+    assert(gone == Seq("2026-01-01", "2026-02-01"))
+    val left = spark.read.parquet(s"$base/byday")
+    assert(left.count() == 33 &&
+      left.selectExpr("CAST(min(dt) AS STRING)").head().getString(0) == "2026-03-01")
+    // wrong column name fails fast instead of silently deleting nothing
+    intercept[IllegalArgumentException] {
+      Sources.expirePartitions(spark, s"$base/byday", "nope", "2026-02-15")
+    }
+  }
+
   test("partitioned write prunes directories") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val df = Seq(("2026-01-01", 1), ("2026-01-02", 2)).toDF("dt", "v")

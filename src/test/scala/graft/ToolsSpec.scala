@@ -395,4 +395,19 @@ class ToolsSpec extends SparkSpec {
       out.contains("overlap[id] = 0.000"), out)
     assert(Tools.mainExit(Array("stats")) == 2)
   }
+
+  test("compact and expire verbs drive the maintenance APIs") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("maintverb").toString
+    spark.range(500).repartition(5).write.parquet(s"$base/t")
+    val (c1, o1) = captured(Tools.mainExit(Array("compact", s"$base/t")))
+    assert(c1 == 0 && o1.contains("5 files -> 1"), o1)
+    spark.range(10).selectExpr("id", "'2026-01-01' AS dt")
+      .write.partitionBy("dt").parquet(s"$base/p")
+    val (c2, o2) = captured(Tools.mainExit(
+      Array("expire", s"$base/p", "--column", "dt", "--before", "2027-01-01", "--dry-run")))
+    assert(c2 == 0 && o2.contains("would delete 1"), o2)
+    assert(Tools.mainExit(Array("expire", s"$base/p", "--column", "dt")) == 2)
+    assert(Tools.mainExit(Array("compact", s"$base/t", "--bogus", "1")) == 2)
+  }
 }
