@@ -263,9 +263,15 @@ object Sources {
    */
   def compactParquet(spark: SparkSession, path: String,
                      targetFileSizeMb: Int = 128): (Int, Int) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a flat rewrite of a hive-partitioned sink would FLATTEN the layout
+    // (partition dirs become data columns in unpartitioned files)
+    require(!fs.listStatus(root).exists(st =>
+        st.isDirectory && st.getPath.getName.contains("=")),
+      s"$path is hive-partitioned — compact each partition directory " +
+        "individually, or use a Delta sink and `graft.Tools delta optimize`")
     def count(): Int = {
-      val root = new org.apache.hadoop.fs.Path(path)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val it = fs.listFiles(root, true)
       var n = 0
       while (it.hasNext) {

@@ -81,6 +81,10 @@ class FormatsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sources.expirePartitions(spark, s"$base/byday", "nope", "2026-02-15")
     }
+    // compacting a hive-partitioned sink would flatten it: refuse
+    intercept[IllegalArgumentException] {
+      Sources.compactParquet(spark, s"$base/byday")
+    }
   }
 
   test("partitioned write prunes directories") {
