@@ -93,6 +93,26 @@ final class Catalog(spark: SparkSession, root: String) {
           .withColumn("recorded_at", current_timestamp()))
 
   /**
+   * Executor totals per (node, run) in long format — the WHY behind a
+   * slow `duration_ms`: shuffle read/write bytes, memory/disk spill,
+   * input bytes, task counts and executor run time from the node's own
+   * jobs ([[NodeMetrics]]). `metric` rows only appear for nodes that ran
+   * Spark jobs this run.
+   */
+  def recordNodeMetrics(pipeline: String, runId: String,
+                        nodes: Seq[(String, Map[String, Long])]): Unit = {
+    val rows = nodes.flatMap { case (n, m) =>
+      m.toSeq.map { case (metric, value) => (n, metric, value) }
+    }
+    if (rows.nonEmpty)
+      append("meta_node_metrics",
+        rows.toDF("node", "metric", "value")
+          .withColumn("pipeline", lit(pipeline))
+          .withColumn("run_id", lit(runId))
+          .withColumn("recorded_at", current_timestamp()))
+  }
+
+  /**
    * Alert-transport failures (`meta_observability_errors`,
    * catalog.py:183-200): when an alert channel itself fails (webhook
    * transport down, file sink unwritable), the pipeline must not fail —
@@ -371,7 +391,7 @@ object Catalog {
   val storedTables: Seq[String] = Seq(
     "meta_pipelines", "meta_nodes", "meta_runs", "meta_pipeline_runs",
     "meta_node_runs", "meta_lineage", "meta_column_lineage", "meta_outputs",
-    "meta_metrics", "meta_failures", "meta_observability_errors",
+    "meta_metrics", "meta_node_metrics", "meta_failures", "meta_observability_errors",
     "meta_schemas", "meta_patterns", "meta_state",
     "meta_derived_applied_runs")
 
@@ -437,6 +457,9 @@ object Catalog {
         r.flatMap(_.rowsWritten),
         r.flatMap(_.failure).map(_.getMessage)
           .orElse(r.flatMap(_.skipReason).map("skipped: " + _)).getOrElse(""))
+    })
+    catalog.recordNodeMetrics(cfg.name, runId, cfg.nodes.flatMap { n =>
+      results.get(n.name).filter(_.metrics.nonEmpty).map(r => n.name -> r.metrics)
     })
     catalog.recordObservabilityErrors(cfg.name, runId,
       alertErrors.toArray(Array.empty[(String, String, String, String)]).toSeq)

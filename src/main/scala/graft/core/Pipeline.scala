@@ -98,7 +98,11 @@ object Pipeline {
                               // the pre-write logical plan when `df` is a
                               // lineage-truncating sink read-back — column
                               // lineage records from here
-                              lineageDf: Option[DataFrame] = None)
+                              lineageDf: Option[DataFrame] = None,
+                              // executor totals for the node's jobs (tasks,
+                              // shuffle/input bytes, spill, run time) from
+                              // NodeMetrics — recorded to meta_node_metrics
+                              metrics: Map[String, Long] = Map.empty)
 
   /**
    * Alert event (reference `_send_alerts`, odibi/pipeline.py:1443-1490):
@@ -671,12 +675,19 @@ object Pipeline {
       val t0 = System.currentTimeMillis()
       def oneAttempt() = Try(runNodeWithStats(spark, node, datasets.asScala.toMap,
         cfg.baseDir, opts.state, s"${cfg.name}/", Some(cfg.name)))
-      var attempt = oneAttempt()
-      var retriesLeft = node.retries
-      while (attempt.isFailure && retriesLeft > 0) {
-        retriesLeft -= 1
-        attempt = oneAttempt()
+      // executor metrics accumulate under the node's job group (thread-
+      // local, so parallel-layer workers measure independently); retries
+      // fold into the same group — the cost of a flaky node IS its cost
+      val (attempt0, nodeMetrics) = NodeMetrics.measure(spark, cfg.name, name) {
+        var a = oneAttempt()
+        var retriesLeft = node.retries
+        while (a.isFailure && retriesLeft > 0) {
+          retriesLeft -= 1
+          a = oneAttempt()
+        }
+        a
       }
+      val attempt = attempt0
       val elapsed = System.currentTimeMillis() - t0
       attempt match {
         case Success((df0, rowsWritten, validation, lineageDf)) =>
@@ -688,13 +699,14 @@ object Pipeline {
           ranThisRun.add(name)
           results.put(name, NodeResult(name, df, None,
             durationMs = elapsed, rowsWritten = rowsWritten,
-            validation = validation, lineageDf = lineageDf))
+            validation = validation, lineageDf = lineageDf,
+            metrics = nodeMetrics))
           opts.state.foreach(_.set(stateKey(name), s"ok:${nodeHash(node)}"))
           validation.filter(v => v.test.kind == "quarantine" && v.failedRows > 0)
             .foreach(v => fire(name, "quarantine", v.detail))
         case Failure(e) =>
           results.put(name, NodeResult(name, spark.emptyDataFrame, Some(e),
-            durationMs = elapsed))
+            durationMs = elapsed, metrics = nodeMetrics))
           opts.state.foreach(_.set(stateKey(name), "failed"))
           val event = e match {
             case _: Validation.ValidationError => "gate_abort"

@@ -150,6 +150,37 @@ class CatalogSpec extends SparkSpec {
     assert(!reg("meta_state")._2) // never written in this scenario
   }
 
+  test("meta_node_metrics records executor totals per node run") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat_nm").toString
+    val cat = new Catalog(spark, root)
+    // a shuffling node (groupBy) and a scan-only node
+    val cfg = Pipeline.PipelineConfig("pm", Seq(
+      Pipeline.NodeConfig("agg", read = Some(Sources.ReadConfig("parquet",
+        Some("/root/testdata/sf0.001/lineitem.parquet"))),
+        steps = Seq(Pipeline.TransformStep(sql = Some(
+          "SELECT l_returnflag, sum(l_quantity) AS q FROM df GROUP BY 1"))),
+        writePath = Some(s"$root/agg_out")),
+      Pipeline.NodeConfig("scan", read = Some(Sources.ReadConfig("parquet",
+        Some("/root/testdata/sf0.001/region.parquet"))),
+        writePath = Some(s"$root/scan_out"))))
+    val results = Catalog.runRecorded(spark, cfg, cat, "run-m")
+    // NodeResult carries the totals
+    val aggM = results("agg").metrics
+    assert(aggM("tasks") > 0, aggM)
+    assert(aggM("shuffle_write_bytes") > 0, aggM) // the groupBy shuffled
+    assert(aggM("input_bytes") > 0, aggM)
+    // and the catalog has them in long format, per node
+    val nm = cat.table("meta_node_metrics")
+      .filter(org.apache.spark.sql.functions.col("run_id") === "run-m")
+      .collect()
+      .map(r => (r.getAs[String]("node"), r.getAs[String]("metric")) -> r.getAs[Long]("value"))
+      .toMap
+    assert(nm(("agg", "shuffle_write_bytes")) > 0)
+    assert(nm(("scan", "tasks")) > 0)
+    assert(nm(("scan", "shuffle_write_bytes")) == 0) // scan-only: no shuffle
+    assert(nm.contains(("agg", "disk_spill_bytes"))) // spill columns present
+  }
+
   test("health views and volume-drop gate derive from run history") {
     val root = java.nio.file.Files.createTempDirectory("graft_cat5").toString
     val cat = new Catalog(spark, root)
