@@ -42,8 +42,13 @@ object Story {
       val rows = r.flatMap(_.rowsWritten).map(_.toString).getOrElse("null")
       val dur = r.map(_.durationMs).getOrElse(0L)
       val skipReason = r.flatMap(_.skipReason).map(q).getOrElse("null")
+      // executor totals (NodeMetrics): the why behind duration_ms
+      val metrics = r.map(_.metrics).filter(_.nonEmpty)
+        .map(m => m.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ", ", "}"))
+        .getOrElse("null")
       s"""{"name": ${q(n.name)}, "status": ${q(status)}, "depends_on": [${
-        n.dependsOn.map(q).mkString(", ")}], "duration_ms": $dur, "rows_written": $rows, "skip_reason": $skipReason, "error": $error, "schema": $schema}"""
+        n.dependsOn.map(q).mkString(", ")}], "duration_ms": $dur, "rows_written": $rows, "skip_reason": $skipReason, "error": $error, "schema": $schema, "metrics": $metrics}"""
     }
     s"""{
   "pipeline": ${q(cfg.name)},
@@ -171,8 +176,19 @@ ${rows.mkString("\n")}
     }
     val dur = result.map(_.durationMs).getOrElse(0L)
     val rowsW = result.flatMap(_.rowsWritten).map(_.toString).getOrElse("&mdash;")
+    def mb(v: Long): String = f"${v / 1048576.0}%.1f MB"
+    val execFacts: Seq[(String, String)] = result.map(_.metrics) match {
+      case Some(m) if m.nonEmpty => Seq(
+        "tasks" -> m.getOrElse("tasks", 0L).toString,
+        "shuffle r/w" -> s"${mb(m.getOrElse("shuffle_read_bytes", 0L))} / ${
+          mb(m.getOrElse("shuffle_write_bytes", 0L))}",
+        "spill (mem/disk)" -> s"${mb(m.getOrElse("memory_spill_bytes", 0L))} / ${
+          mb(m.getOrElse("disk_spill_bytes", 0L))}",
+        "input" -> mb(m.getOrElse("input_bytes", 0L)))
+      case _ => Nil
+    }
 
-    val facts: Seq[(String, String)] = Seq(
+    val facts: Seq[(String, String)] = execFacts ++ Seq(
       "depends on" -> (if (node.dependsOn.isEmpty) "&mdash;"
         else node.dependsOn.map(d =>
           s"""<a href="node_${safeName(d)}.html">${esc(d)}</a>""").mkString(", ")),
