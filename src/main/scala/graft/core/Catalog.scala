@@ -223,6 +223,35 @@ final class Catalog(spark: SparkSession, root: String) {
         sum(when(!col("success"), 1L).otherwise(0L)).as("n_node_failures"),
         sum(col("duration_ms")).as("total_duration_ms"))
 
+  /**
+   * Resource hotspots per (pipeline, node) across recorded runs — the
+   * derived view over `meta_node_metrics` that answers "which node
+   * should I tune first": average and peak shuffle write and spill,
+   * plus run counts. Rank by `max_spill_bytes` for the salting/
+   * partition-count candidates, by `avg_shuffle_write_bytes` for the
+   * join-order/broadcast candidates.
+   */
+  def nodeHotspots: DataFrame = {
+    val m = table("meta_node_metrics")
+    def metric(name: String) =
+      sum(when(col("metric") === name, col("value")).otherwise(0L))
+    val perRun = m.groupBy(col("pipeline"), col("node"), col("run_id"))
+      .agg(
+        metric("shuffle_write_bytes").as("shuffle_write_bytes"),
+        (metric("memory_spill_bytes") + metric("disk_spill_bytes")).as("spill_bytes"),
+        metric("input_bytes").as("input_bytes"),
+        metric("executor_run_time_ms").as("executor_run_time_ms"))
+    perRun.groupBy(col("pipeline"), col("node"))
+      .agg(
+        count(lit(1)).as("n_runs"),
+        avg(col("shuffle_write_bytes")).as("avg_shuffle_write_bytes"),
+        max(col("shuffle_write_bytes")).as("max_shuffle_write_bytes"),
+        avg(col("spill_bytes")).as("avg_spill_bytes"),
+        max(col("spill_bytes")).as("max_spill_bytes"),
+        avg(col("input_bytes")).as("avg_input_bytes"),
+        avg(col("executor_run_time_ms")).as("avg_executor_run_time_ms"))
+  }
+
   /** Per-pipeline health summary (meta_pipeline_health equivalent). */
   def pipelineHealth: DataFrame = {
     val runs = table("meta_runs")

@@ -179,6 +179,12 @@ class CatalogSpec extends SparkSpec {
     assert(nm(("scan", "tasks")) > 0)
     assert(nm(("scan", "shuffle_write_bytes")) == 0) // scan-only: no shuffle
     assert(nm.contains(("agg", "disk_spill_bytes"))) // spill columns present
+    // the hotspot view ranks the shuffling node above the scan
+    val hot = cat.nodeHotspots.collect()
+      .map(r => r.getAs[String]("node") -> r).toMap
+    assert(hot("agg").getAs[Double]("avg_shuffle_write_bytes") >
+      hot("scan").getAs[Double]("avg_shuffle_write_bytes"))
+    assert(hot("agg").getAs[Long]("n_runs") == 1L)
   }
 
   test("health views and volume-drop gate derive from run history") {
