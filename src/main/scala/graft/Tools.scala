@@ -1045,7 +1045,8 @@ object Tools {
           val jobs: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
             "meta_daily_stats" -> (() => catalog.dailyStats),
             "meta_pipeline_health" -> (() => catalog.pipelineHealth),
-            "meta_sla_status" -> (() => catalog.slaStatus(sla, defaultSla)))
+            "meta_sla_status" -> (() => catalog.slaStatus(sla, defaultSla)),
+            "meta_node_hotspots" -> (() => catalog.nodeHotspots))
           var failed = 0
           jobs.foreach { case (table, mk) =>
             try {

@@ -42,7 +42,8 @@ final class DerivedUpdater(spark: SparkSession, root: String,
 
   /** Valid derived tables (derived_updater.py VALID_DERIVED_TABLES). */
   val validTables: Set[String] =
-    Set("meta_daily_stats", "meta_pipeline_health", "meta_sla_status")
+    Set("meta_daily_stats", "meta_pipeline_health", "meta_sla_status",
+      "meta_node_hotspots")
 
   final case class Claim(derivedTable: String, runId: String, claimId: String)
 

@@ -116,24 +116,27 @@ class TemplatesSystemSpec extends SparkSpec {
     val (c1, out1) = captured(Tools.mainExit(Array(
       "system", "rebuild-summaries", root, "--default-sla", "100000")))
     assert(c1 == 0, out1)
-    assert("\\[built\\]".r.findAllIn(out1).size == 3, out1)
+    assert("\\[built\\]".r.findAllIn(out1).size == 4, out1)
     val health = spark.read.parquet(s"$root/meta_pipeline_health")
     assert(health.filter($"pipeline" === "sysp").count() == 1)
     val sla = spark.read.parquet(s"$root/meta_sla_status")
     assert(sla.filter($"pipeline" === "sysp" && $"status" === "ok").count() == 1)
     assert(spark.read.parquet(s"$root/meta_daily_stats").count() >= 1)
+    // the hotspot view materializes too (empty when no metrics recorded
+    // is fine — the table must still publish)
+    assert(new java.io.File(s"$root/meta_node_hotspots").exists())
 
     // same latest run: the claim guard skips all three
     val (c2, out2) = captured(Tools.mainExit(Array(
       "system", "rebuild-summaries", root)))
     assert(c2 == 0)
-    assert("\\[skip \\]".r.findAllIn(out2).size == 3, out2)
+    assert("\\[skip \\]".r.findAllIn(out2).size == 4, out2)
 
     // an explicit new run id rebuilds
     val (c3, out3) = captured(Tools.mainExit(Array(
       "system", "rebuild-summaries", root, "--run-id", "manual2")))
     assert(c3 == 0)
-    assert("\\[built\\]".r.findAllIn(out3).size == 3, out3)
+    assert("\\[built\\]".r.findAllIn(out3).size == 4, out3)
 
     // empty catalog: clear error
     assert(Tools.mainExit(Array(
