@@ -700,7 +700,10 @@ object SparkEntry {
         col("l_quantity").as("t_c"), lit(101325.0).as("p_pa"))
       val sat = operators.Domain.saturationProperties(base, Some("t_c"), None)
       val rt = operators.Domain.saturationProperties(sat, None, Some("psat_pa"), "rt")
-      operators.Domain.fluidProperties(rt, "p_pa", "t_c")
+      // density via the explicit ideal-gas opt-in (the PR real-gas path has
+      // its own full oracle in q_fluid_props_air)
+      operators.Domain.fluidProperties(rt, "p_pa", "t_c", fluid = "Air",
+          assumeIdealGas = true)
         .withColumn("psat_pa", round(col("psat_pa"), 4))
         .withColumn("rt_tsat_c", round(col("rt_tsat_c"), 4))
         .withColumn("density", round(col("density"), 6))
@@ -781,6 +784,22 @@ object SparkEntry {
           (col("l_quantity") * lit(40.0) + lit(273.15)).as("t_k"), // 313..2273 K
           (col("l_extendedprice") * lit(500.0)).as("p_pa")),       // ~0.5..50 MPa
         "t_k", "p_pa")),
+    "q_fluid_props_air" -> ((s, d) => {
+      // Peng-Robinson air over gas states (T >> Tc). The oracle re-derives
+      // the FULL two-branch Cardano solve + fugacity pick + departure
+      // functions in DuckDB SQL with the same constants and association
+      // order; outputs rounded (acos/cos/ln/pow libm ulps)
+      val f = operators.CubicEos.lookup("air").get
+      val base = t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity") + lit(250.0)).as("t_k"),       // 251..300 K
+        (col("l_extendedprice") * lit(50.0)).as("p_pa"))  // ~45 kPa..5 MPa
+      base.withColumn("_pr", operators.CubicEos.props(f, col("t_k"), col("p_pa")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("t_k"), col("p_pa"),
+          round(col("_pr.z"), 6).as("z"),
+          round(col("_pr.density"), 4).as("density"),
+          round(col("_pr.h"), 4).as("h"),
+          round(col("_pr.s"), 5).as("s"))
+    }),
     "q_stream_window" -> ((s, d) =>
       // tumbling-window aggregation (the window_agg step) on a batch frame:
       // withWatermark is a no-op in batch, window() buckets identically to
@@ -1118,6 +1137,75 @@ object SparkEntry {
       dimensions = Map(
         "status" -> Dimension("status", "o_orderstatus"),
         "month" -> Dimension("month", "o_orderdate", timeGrain = Some("month"))))
+  }
+
+  /**
+   * DuckDB mirror of [[graft.operators.CubicEos.props]] for a registry
+   * fluid over the q_fluid_props states: the same Peng-Robinson constants
+   * (interpolated from the SAME Scala doubles — shortest-round-trip
+   * formatting parses back to the identical IEEE-754 value), the same
+   * two-branch Cardano solve, fugacity-stable root pick, and departure
+   * functions, in the same association order.
+   */
+  private def prOracleSql(fluid: String): String = {
+    val f = operators.CubicEos.lookup(fluid).get
+    val r = operators.CubicEos.R
+    val kappa = 0.37464 + 1.54226 * f.omega - 0.26992 * f.omega * f.omega
+    val ac = 0.45724 * r * r * f.tc * f.tc / f.pcPa
+    val b = 0.07780 * r * f.tc / f.pcPa
+    val sqrt2 = math.sqrt(2.0)
+    val (ca, cb, cc, cd) = f.cp0
+    val t0 = 298.15; val p0 = 101325.0
+    s"""WITH base AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |         l_quantity + 250.0 AS t_k, l_extendedprice * 50.0 AS p_pa
+       |  FROM lineitem),
+       |s1 AS (SELECT *, 1.0 + $kappa * (1.0 - sqrt(t_k / ${f.tc})) AS sa FROM base),
+       |s2 AS (SELECT *,
+       |  $ac * sa * sa AS a,
+       |  (${-ac * kappa}) * sa / sqrt(t_k * ${f.tc}) AS dadt,
+       |  $ac * sa * sa * p_pa / (${r * r} * t_k * t_k) AS biga,
+       |  $b * p_pa / ($r * t_k) AS bigb FROM s1),
+       |s3 AS (SELECT *, bigb - 1.0 AS c2,
+       |  biga - 3.0 * bigb * bigb - 2.0 * bigb AS c1,
+       |  bigb * bigb * bigb + bigb * bigb - biga * bigb AS c0 FROM s2),
+       |s4 AS (SELECT *, c1 - c2 * c2 / 3.0 AS p3,
+       |  2.0 * c2 * c2 * c2 / 27.0 - c2 * c1 / 3.0 + c0 AS q3 FROM s3),
+       |s5 AS (SELECT *, q3 * q3 / 4.0 + p3 * p3 * p3 / 27.0 AS disc FROM s4),
+       |s6 AS (SELECT *, sqrt(greatest(disc, 0.0)) AS sd,
+       |  2.0 * sqrt(greatest(p3 / (-3.0), 0.0)) AS mc,
+       |  acos(least(greatest(3.0 * q3 / (2.0 * p3) * sqrt(greatest((-3.0) / p3, 0.0)), -1.0), 1.0)) AS theta
+       |  FROM s5),
+       |s7 AS (SELECT *,
+       |  (CASE WHEN q3 / (-2.0) + sd < 0 THEN -pow(-(q3 / (-2.0) + sd), ${1.0 / 3.0}) ELSE pow(q3 / (-2.0) + sd, ${1.0 / 3.0}) END)
+       |  + (CASE WHEN q3 / (-2.0) - sd < 0 THEN -pow(-(q3 / (-2.0) - sd), ${1.0 / 3.0}) ELSE pow(q3 / (-2.0) - sd, ${1.0 / 3.0}) END)
+       |  - c2 / 3.0 AS zs,
+       |  mc * cos(theta / 3.0) - c2 / 3.0 AS zv,
+       |  mc * cos(theta / 3.0 - ${4.0 * math.Pi / 3.0}) - c2 / 3.0 AS zl FROM s6),
+       |s8 AS (SELECT *,
+       |  CASE WHEN NOT (disc < 0.0) THEN zs
+       |       WHEN zl > bigb * ${1.0 + 1e-9}
+       |            AND ((zl - 1.0) - ln(zl - bigb) - biga / (${2.0 * sqrt2} * bigb) * ln((zl + ${1.0 + sqrt2} * bigb) / (zl + ${1.0 - sqrt2} * bigb)))
+       |              < ((zv - 1.0) - ln(zv - bigb) - biga / (${2.0 * sqrt2} * bigb) * ln((zv + ${1.0 + sqrt2} * bigb) / (zv + ${1.0 - sqrt2} * bigb)))
+       |       THEN zl ELSE zv END AS z FROM s7),
+       |s9 AS (SELECT *,
+       |  ln((z + ${1.0 + sqrt2} * bigb) / (z + ${1.0 - sqrt2} * bigb)) AS lnterm FROM s8),
+       |s10 AS (SELECT *,
+       |  $r * t_k * (z - 1.0) + (t_k * dadt - a) / ${2.0 * sqrt2 * b} * lnterm AS hdep,
+       |  $r * ln(z - bigb) + dadt / ${2.0 * sqrt2 * b} * lnterm AS sdep,
+       |  $ca * (t_k - $t0) + ${cb / 2.0} * (t_k * t_k - ${t0 * t0})
+       |    + ${cc / 3.0} * (t_k * t_k * t_k - ${t0 * t0 * t0})
+       |    + ${cd / 4.0} * (t_k * t_k * t_k * t_k - ${t0 * t0 * t0 * t0}) AS h0,
+       |  $ca * ln(t_k / $t0) + $cb * (t_k - $t0)
+       |    + ${cc / 2.0} * (t_k * t_k - ${t0 * t0})
+       |    + ${cd / 3.0} * (t_k * t_k * t_k - ${t0 * t0 * t0})
+       |    - $r * ln(p_pa / $p0) AS s0 FROM s9)
+       |SELECT l_orderkey, l_linenumber, t_k, p_pa,
+       |       round(z, 6) AS z,
+       |       round(${f.m} / (z * $r * t_k / p_pa), 4) AS density,
+       |       round((h0 + hdep) / ${f.m * 1000.0}, 4) AS h,
+       |       round((s0 + sdep) / ${f.m * 1000.0}, 5) AS s
+       |FROM s10""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1809,6 +1897,7 @@ object SparkEntry {
         |       (x * x) * (x * x) * 1000000.0 AS psat_pa,
         |       (s - sqrt(s * s - 4.0 * ((-0.23855557567849) + 0.65017534844798e3 * d))) / 2.0 AS tsat_k
         |FROM ss""".stripMargin,
+    "q_fluid_props_air" -> prOracleSql("air"),
     "q_avro_roundtrip" ->
       "SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS revenue, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM orders GROUP BY 1",
     "q_chunk_text" ->

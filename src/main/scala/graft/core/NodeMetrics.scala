@@ -2,7 +2,9 @@ package graft.core
 
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+import scala.util.Try
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /**
@@ -49,6 +51,13 @@ final class NodeMetricsListener extends SparkListener {
     }
   }
 
+  // tasks of a completed stage have all reached onTaskEnd (delivery order
+  // within the bus is FIFO), so the mapping entry is no longer needed;
+  // dropping it here keeps the map bounded in long-lived sessions
+  override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+    stageToGroup.remove(sc.stageInfo.stageId); ()
+  }
+
   def snapshot(group: String): Map[String, Long] = {
     val arr = agg.get(group)
     if (arr == null) Map.empty
@@ -72,11 +81,16 @@ object NodeMetrics {
   def listenerFor(spark: SparkSession): NodeMetricsListener = {
     val sc = spark.sparkContext
     val key = s"${sc.applicationId}:${sc.startTime}"
-    listeners.computeIfAbsent(key, _ => {
+    val cur = listeners.computeIfAbsent(key, _ => {
       val l = new NodeMetricsListener
       sc.addSparkListener(l)
       l
     })
+    // only one SparkContext exists per JVM, so every other key belongs to
+    // a stopped context and can never be requested again — evict them
+    val it = listeners.keySet.iterator()
+    while (it.hasNext) { if (it.next() != key) it.remove() }
+    cur
   }
 
   /**
@@ -94,7 +108,12 @@ object NodeMetrics {
     val result =
       try body
       finally sc.clearJobGroup()
-    org.apache.spark.sql.graftshim.ListenerShim.drain(sc)
-    (result, listener.snapshot(group))
+    // metrics are advisory telemetry: a listener-bus drain timeout (or any
+    // snapshot failure) must never fail a node that itself succeeded
+    val metrics = Try {
+      org.apache.spark.sql.graftshim.ListenerShim.drain(sc)
+      listener.snapshot(group)
+    }.getOrElse(Map.empty[String, Long])
+    (result, metrics)
   }
 }

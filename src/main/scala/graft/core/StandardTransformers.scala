@@ -292,7 +292,8 @@ object StandardTransformers {
       Domain.fluidProperties(c.df, str(p, "pressure_col"), str(p, "temp_col"),
         p.get("molar_mass").map(_.toString.toDouble).getOrElse(0.0289647),
         strOpt(p, "prefix").getOrElse(""),
-        strOpt(p, "fluid").getOrElse("Air")) }
+        strOpt(p, "fluid").getOrElse("Air"),
+        p.get("assume_ideal_gas").exists(_.toString.toBoolean)) }
     reg("steam_properties") { (c, p) =>
       Domain.steamProperties(c.df, str(p, "temp_col"), str(p, "pressure_col"),
         strOpt(p, "temp_unit").getOrElse("K"),

@@ -51,7 +51,12 @@ object BloomIndex {
             fpp: Double = 0.01): BloomFilter =
     try fps.stat.bloomFilter(colName, expectedItems, fpp)
     catch {
-      case _: NullPointerException => BloomFilter.create(expectedItems, fpp)
+      // Spark returns a null aggregate buffer for empty input; accept the
+      // empty-filter substitution ONLY after confirming the input really is
+      // empty — any other NPE must surface, or a non-empty seen set would
+      // silently yield an always-negative filter and skip the exact check
+      case npe: NullPointerException =>
+        if (fps.isEmpty) BloomFilter.create(expectedItems, fpp) else throw npe
     }
 
   /** Filter membership as a native codegen'd expression (long keys). */

@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
  * plan-time arithmetic — linear unit conversions become `col * factor +
  * offset` (codegen'd, no UDF, as SURVEY §2.6 prescribes), and the
  * psychrometric properties use the published Magnus/ASHRAE closed-form
- * approximations rather than a property-library lookup. Full CoolProp-grade
- * equations of state are out of scope (no such JVM library here): the
- * `fluidDensityIdealGas` stub marks that boundary explicitly.
+ * approximations rather than a property-library lookup. Real-fluid
+ * equations of state are plan-time Column algebra too: IAPWS-IF97 for
+ * water/steam ([[If97]]) and the Peng-Robinson cubic for the registry
+ * gases/refrigerants ([[CubicEos]]); everything else fails fast rather
+ * than returning a silently-wrong ideal-gas answer.
  */
 object Domain {
 
@@ -154,19 +156,27 @@ object Domain {
   }
 
   /**
-   * fluid_properties (thermodynamics.py:189-560). For `fluid = "Water"`
-   * the full IAPWS-IF97 industrial formulation ([[If97]]: regions 1/2/3/5,
-   * verified against the standard's own tables in If97Spec) produces
-   * density, enthalpy, entropy, cp and speed of sound in ONE native
-   * codegen'd expression per row. Other fluids use the ideal-gas closed
-   * form (density only) with a published molar-mass table — the honest
-   * boundary for non-water fluids without a property library, kept
-   * plan-time and codegen'd.
+   * fluid_properties (thermodynamics.py:189-560). Dispatch by fluid:
+   *  - `Water`/`Steam`: the full IAPWS-IF97 industrial formulation
+   *    ([[If97]]: regions 1/2/3/5, verified against the standard's own
+   *    tables in If97Spec) — density, enthalpy, entropy, cp and speed of
+   *    sound in ONE native codegen'd expression per row.
+   *  - Any fluid in the [[CubicEos]] registry (Air, N2, O2, CO2, CH4,
+   *    NH3, R134a, propane, H2, Ar — the fluids the reference's guides
+   *    exercise): the Peng-Robinson EOS as pure Column algebra — real
+   *    liquid AND vapor densities, enthalpy/entropy with departure
+   *    functions, stable-phase selection by fugacity (CubicEosSpec
+   *    verifies saturation pressures and thermodynamic consistency).
+   *  - Anything else FAILS FAST — an ideal-gas answer for an unknown
+   *    fluid (possibly a liquid) would be silently wrong by orders of
+   *    magnitude. Callers who genuinely have a dilute gas outside the
+   *    registry opt in with `assumeIdealGas = true` + `molarMass`.
    */
   def fluidProperties(df: DataFrame, pressureCol: String, tempCCol: String,
                       molarMass: Double = 0.0289647,
                       prefix: String = "",
-                      fluid: String = "Air"): DataFrame = {
+                      fluid: String = "Air",
+                      assumeIdealGas: Boolean = false): DataFrame = {
     val p = if (prefix.isEmpty) "" else s"${prefix}_"
     if (fluid.equalsIgnoreCase("water") || fluid.equalsIgnoreCase("steam")) {
       val props = If97.waterProps(col(tempCCol) + lit(273.15), col(pressureCol))
@@ -178,21 +188,29 @@ object Domain {
         .withColumn(s"${p}cp", col("_gf_if97.cp"))
         .withColumn(s"${p}speed_of_sound", col("_gf_if97.w"))
         .drop("_gf_if97")
-    } else {
-      val mm = molarMasses.getOrElse(fluid.toLowerCase, molarMass)
+    } else if (assumeIdealGas) {
       df.withColumn(s"${p}density",
-        fluidDensityIdealGas(col(pressureCol), col(tempCCol) + lit(273.15), mm))
+        fluidDensityIdealGas(col(pressureCol), col(tempCCol) + lit(273.15),
+          molarMass))
+    } else CubicEos.lookup(fluid) match {
+      case Some(f) =>
+        val props = CubicEos.props(f, col(tempCCol) + lit(273.15), col(pressureCol))
+        df.withColumn("_gf_pr", props)
+          .withColumn(s"${p}z", col("_gf_pr.z"))
+          .withColumn(s"${p}density", col("_gf_pr.density"))
+          .withColumn(s"${p}enthalpy", col("_gf_pr.h"))
+          .withColumn(s"${p}entropy", col("_gf_pr.s"))
+          .withColumn(s"${p}phase", col("_gf_pr.phase"))
+          .drop("_gf_pr")
+      case None => throw new IllegalArgumentException(
+        s"fluid_properties: unsupported fluid '$fluid'. Water/Steam use " +
+          s"IAPWS-IF97; ${CubicEos.supported.mkString(", ")} use the " +
+          "Peng-Robinson EOS. For a dilute gas outside this list pass " +
+          "assume_ideal_gas: true with molar_mass — refusing to return " +
+          "ideal-gas values that would be orders of magnitude wrong for " +
+          "a liquid.")
     }
   }
-
-  /** Published molar masses [kg/mol] for the common industrial gases the
-    * reference's fluid list covers with ideal-gas accuracy. */
-  private val molarMasses: Map[String, Double] = Map(
-    "air" -> 0.0289647, "nitrogen" -> 0.0280134, "n2" -> 0.0280134,
-    "oxygen" -> 0.0319988, "o2" -> 0.0319988, "co2" -> 0.04401,
-    "carbondioxide" -> 0.04401, "hydrogen" -> 0.00201588, "h2" -> 0.00201588,
-    "helium" -> 0.0040026, "argon" -> 0.039948, "methane" -> 0.01604,
-    "ammonia" -> 0.0170305)
 
   /**
    * steam_properties: the full IF97 property set for water/steam from

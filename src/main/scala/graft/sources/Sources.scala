@@ -239,11 +239,28 @@ object Sources {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"no sink at $path")
     val prefix = s"$partitionCol="
-    val doomed = fs.listStatus(root).toSeq
+    val parts = fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
       .map(st => st.getPath)
-      .filter(p => p.getName.stripPrefix(prefix) < cutoff)
-      .sortBy(_.getName)
+    // hive partition values are URL-encoded on disk (e.g. ':' → '%3A')
+    val decoded = parts.map(p => p -> java.net.URLDecoder.decode(
+      p.getName.stripPrefix(prefix), "UTF-8"))
+    // lexicographic compare is only a correct value compare for
+    // ISO-sortable strings; non-zero-padded numerics ("9" vs "10") sort
+    // backwards and this operation DELETES DATA — compare numerically when
+    // everything parses as a number, and fail fast on mixed shapes
+    val allNumeric = (cutoff +: decoded.map(_._2))
+      .forall(v => scala.util.Try(java.lang.Long.parseLong(v)).isSuccess)
+    val sameLen = decoded.forall(_._2.length == cutoff.length)
+    require(allNumeric || sameLen || decoded.isEmpty,
+      s"partition values of $partitionCol mix lengths vs cutoff '$cutoff' — " +
+        "lexicographic compare would delete the wrong partitions " +
+        "(non-zero-padded numbers?). Re-run with ISO-formatted / zero-padded " +
+        "values, and use dryRun=true to preview.")
+    val below: String => Boolean =
+      if (allNumeric) v => java.lang.Long.parseLong(v) < java.lang.Long.parseLong(cutoff)
+      else v => v < cutoff
+    val doomed = decoded.filter(pv => below(pv._2)).map(_._1).sortBy(_.getName)
     require(doomed.nonEmpty || fs.listStatus(root)
         .exists(st => st.getPath.getName.startsWith(prefix)),
       s"$path has no $prefix partition directories — check partition_col")

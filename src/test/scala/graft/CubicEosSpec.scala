@@ -1,0 +1,180 @@
+package graft
+
+import graft.operators.{CubicEos, Domain}
+import org.apache.spark.sql.functions._
+
+/**
+ * Peng-Robinson EOS verification. Three independent gates:
+ *  1. analytic invariants of the PR form itself (critical compressibility
+ *     Zc = 0.30740, ideal-gas limit as P -> 0);
+ *  2. thermodynamic consistency between the h and s departure functions
+ *     (dh = T ds at constant P — holds for ANY correct EOS, liquid or
+ *     vapor, with no external data);
+ *  3. literature anchors with tolerances matching PR's published accuracy
+ *     envelope (saturation pressures ~1-3%, liquid densities 5-10% low —
+ *     Peng & Robinson 1976, tables 1-4; polar NH3 nearer -11%).
+ */
+class CubicEosSpec extends SparkSpec {
+
+  /** Evaluate (z, density, h, s, phase) for a batch of states in ONE job. */
+  private def batch(fluid: String, states: Seq[(Double, Double)])
+      : Seq[(Double, Double, Double, Double, String)] = {
+    import spark.implicits._
+    val f = CubicEos.lookup(fluid).get
+    states.toDF("t", "p")
+      .select(CubicEos.props(f, col("t"), col("p")).as("pr"))
+      .select("pr.z", "pr.density", "pr.h", "pr.s", "pr.phase")
+      .collect().toSeq
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getString(4)))
+  }
+
+  private def one(fluid: String, tK: Double, pPa: Double) =
+    batch(fluid, Seq((tK, pPa))).head
+
+  /** PR saturation pressure: the fugacity-stable phase flips liquid->vapor
+    * exactly at psat; locate the flip with a coarse-then-fine grid (two
+    * Spark jobs, resolution ~0.03%). */
+  private def psat(fluid: String, tK: Double): Double = {
+    val pc = CubicEos.lookup(fluid).get.pcPa
+    def flip(lo: Double, hi: Double, n: Int): (Double, Double) = {
+      val ps = (0 to n).map(i => lo + (hi - lo) * i / n)
+      val phases = batch(fluid, ps.map((tK, _))).map(_._5)
+      val i = phases.indexOf("liquid")
+      require(i > 0, s"$fluid $tK K: no liquid onset in [$lo, $hi]")
+      (ps(i - 1), ps(i))
+    }
+    val (lo1, hi1) = flip(1e4, pc, 200)
+    val (lo2, hi2) = flip(lo1, hi1, 200)
+    (lo2 + hi2) / 2
+  }
+
+  test("critical compressibility is the PR analytic value for every fluid") {
+    // at (Tc, Pc) the cubic has a (numerically near-)triple root at
+    // Zc = 0.3074 — a solver-stability check at the most delicate state
+    for (name <- CubicEos.fluids.values.map(_.name).toSeq.distinct) {
+      val fl = CubicEos.lookup(name).get
+      val (z, _, _, _, _) = one(name, fl.tc, fl.pcPa)
+      assert(math.abs(z - 0.3074) < 0.02, s"$name Zc: $z")
+    }
+  }
+
+  test("ideal-gas limit at low pressure") {
+    for ((f, t) <- Seq(("Air", 300.0), ("CO2", 350.0), ("R134a", 320.0),
+                       ("Ammonia", 350.0), ("Methane", 250.0))) {
+      val fl = CubicEos.lookup(f).get
+      val (z, d, _, _, _) = one(f, t, 1000.0)
+      assert(math.abs(z - 1.0) < 2e-3, s"$f Z at 1 kPa: $z")
+      val ideal = fl.m * 1000.0 / (CubicEos.R * t)
+      assert(math.abs(d / ideal - 1.0) < 2e-3, s"$f density at 1 kPa: $d vs $ideal")
+    }
+  }
+
+  test("thermodynamic consistency: dh = T ds at constant P (all branches)") {
+    // states chosen to exercise vapor, liquid, and supercritical roots
+    val states = Seq(
+      ("Air", 300.0, 101325.0), ("Air", 200.0, 5e6),
+      ("CO2", 250.0, 1e6), ("CO2", 250.0, 3e6),     // vapor, liquid
+      ("CO2", 350.0, 10e6),                          // supercritical
+      ("R134a", 300.0, 2e5), ("R134a", 300.0, 2e6),  // vapor, liquid
+      ("Ammonia", 300.0, 5e5), ("Ammonia", 300.0, 3e6),
+      ("Propane", 300.0, 5e5), ("Propane", 280.0, 2e6))
+    val eps = 0.05
+    for ((f, group) <- states.groupBy(_._1)) {
+      val probes = group.flatMap { case (_, t, p) => Seq((t - eps, p), (t + eps, p)) }
+      val rs = batch(f, probes)
+      for (((_, t, p), i) <- group.zipWithIndex) {
+        val (_, _, h1, s1, ph1) = rs(2 * i)
+        val (_, _, h2, s2, ph2) = rs(2 * i + 1)
+        assert(ph1 == ph2, s"$f ($t K, $p Pa): phase flipped across +-$eps K ($ph1/$ph2)")
+        val dh = h2 - h1
+        val tds = t * (s2 - s1)
+        assert(math.abs(dh / tds - 1.0) < 1e-4,
+          s"$f ($t K, $p Pa, $ph1): dh=$dh vs T*ds=$tds")
+      }
+    }
+  }
+
+  test("vapor densities near literature values") {
+    // real-gas densities (NIST webbook magnitudes), PR vapor envelope ~2%
+    val (_, dAir, _, _, _) = one("Air", 300.0, 101325.0)
+    assert(dAir > 1.16 && dAir < 1.19, s"air at 300K/1atm: $dAir")   // ~1.177
+    val (_, dN2, _, _, _) = one("Nitrogen", 300.0, 10e6)
+    assert(dN2 > 105 && dN2 < 120, s"N2 at 300K/10MPa: $dN2")        // ~112
+    val (_, dR, _, _, phR) = one("R134a", 300.0, 5e5)
+    assert(phR == "vapor", s"R134a 300K/0.5MPa phase: $phR")
+    assert(dR > 20 && dR < 24, s"R134a vapor at 300K/0.5MPa: $dR")   // ~21.6
+    val (_, dNh3, _, _, phN) = one("Ammonia", 300.0, 5e5)
+    assert(phN == "vapor", s"NH3 300K/0.5MPa phase: $phN")
+    assert(dNh3 > 3.3 && dNh3 < 3.8, s"NH3 vapor at 300K/0.5MPa: $dNh3") // ~3.5
+  }
+
+  test("liquid branch: real liquid densities, not ideal-gas nonsense") {
+    // PR liquid densities run 5-10% below truth (polar NH3 ~11%) — the
+    // point is they are LIQUID-scale, 100-1000x the ideal-gas answer the
+    // old stub returned
+    val (_, dR, _, _, phR) = one("R134a", 300.0, 2e6)
+    assert(phR == "liquid", s"R134a 300K/2MPa phase: $phR")
+    assert(dR > 1050 && dR < 1300, s"R134a liquid at 300K/2MPa: $dR") // ~1200
+    val (_, dC, _, _, phC) = one("CO2", 273.15, 5e6)
+    assert(phC == "liquid", s"CO2 0C/5MPa phase: $phC")
+    assert(dC > 800 && dC < 1050, s"CO2 liquid at 0C/5MPa: $dC")      // ~940
+    val (_, dA, _, _, phA) = one("Ammonia", 300.0, 3e6)
+    assert(phA == "liquid", s"NH3 300K/3MPa phase: $phA")
+    assert(dA > 520 && dA < 680, s"NH3 liquid at 300K/3MPa: $dA")     // ~600
+  }
+
+  test("saturation pressure via fugacity crossover matches literature") {
+    val pR134a = psat("R134a", 300.0)    // NIST: ~702.8 kPa
+    assert(pR134a > 650e3 && pR134a < 760e3, s"R134a psat(300K): $pR134a")
+    val pCO2 = psat("CO2", 250.0)        // NIST: ~1785 kPa
+    assert(pCO2 > 1.70e6 && pCO2 < 1.90e6, s"CO2 psat(250K): $pCO2")
+    val pNH3 = psat("Ammonia", 300.0)    // NIST: ~1061 kPa
+    assert(pNH3 > 0.98e6 && pNH3 < 1.15e6, s"NH3 psat(300K): $pNH3")
+    val pC3 = psat("Propane", 300.0)     // NIST: ~998 kPa
+    assert(pC3 > 0.93e6 && pC3 < 1.07e6, s"propane psat(300K): $pC3")
+  }
+
+  test("refrigeration-cycle shape: enthalpy ordering and latent heat") {
+    // the reference's R134a cycle example (docs/guides/thermodynamics.md:637):
+    // h(superheated vapor) > h(sat vapor-ish) > h(subcooled liquid), and
+    // the vapor-liquid enthalpy gap at 300 K is latent-heat scale (~178
+    // kJ/kg from NIST; PR + cp0 fit within ~15%)
+    val rs = batch("R134a", Seq((300.0, 5e5), (300.0, 2e6), (330.0, 5e5)))
+    val hVap = rs(0)._3; val hLiq = rs(1)._3; val hSuper = rs(2)._3
+    val latent = hVap - hLiq
+    assert(latent > 140 && latent < 210, s"R134a h_vap-h_liq at 300K: $latent")
+    assert(hSuper > hVap, "superheat must raise enthalpy")
+  }
+
+  test("fluidProperties dispatches PR fluids and fails fast on unknowns") {
+    import spark.implicits._
+    val df = Seq((25.0, 101325.0)).toDF("t_c", "p_pa")
+    val air = Domain.fluidProperties(df, "p_pa", "t_c", fluid = "Air")
+    val row = air.select("density", "enthalpy", "entropy", "phase").head()
+    assert(math.abs(row.getDouble(0) - 1.18) < 0.02)
+    assert(row.getString(3) == "supercritical")
+    val err = intercept[IllegalArgumentException] {
+      Domain.fluidProperties(df, "p_pa", "t_c", fluid = "TherminolVP1")
+    }
+    assert(err.getMessage.contains("assume_ideal_gas"))
+    // explicit opt-in keeps the dilute-gas escape hatch
+    val ig = Domain.fluidProperties(df, "p_pa", "t_c", molarMass = 0.004,
+      fluid = "Helium", assumeIdealGas = true)
+    assert(math.abs(ig.select("density").head().getDouble(0) - 0.1635) < 0.002)
+  }
+
+  test("whole-stage codegen holds for the PR expression") {
+    // spark.range is a real physical source (a local Seq would be
+    // constant-folded into a LocalTableScan before reaching codegen)
+    val df = spark.range(1000).select(
+      (lit(250.0) + col("id") * 0.1).as("t"),
+      (lit(1e5) + col("id") * 1e3).as("p"))
+    val f = CubicEos.lookup("CO2").get
+    val out = df.select(CubicEos.props(f, col("t"), col("p")).as("pr"))
+    val plan = out.queryExecution.executedPlan.toString
+    // WholeStageCodegen renders as a "*(n)" stage prefix in the plan tree
+    assert(plan.startsWith("*(1)"), plan.take(200))
+    val ds = out.select("pr.density").collect().map(_.getDouble(0))
+    assert(ds.forall(_ > 0))
+  }
+}
