@@ -1,0 +1,202 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.sources.{Sources, SqlServerWriter}
+import SqlServerWriter._
+import org.apache.spark.sql.DataFrame
+
+/**
+ * LIVE-database integration tests for the JDBC read path and the staging +
+ * MERGE writer, against embedded Apache Derby (ships with Spark's jar dir
+ * — pure JVM, in-memory, no network). This closes the "code-path complete
+ * but never executed against a real SQL engine" gap: every statement here
+ * is actually parsed, planned and executed by a database, and Derby's
+ * statement log (derby.language.logStatementText) lets the tests assert
+ * that pushed-down predicates really arrived AT THE DATABASE.
+ *
+ * Identifier-case contract (documented on [[SqlServerWriter.AnsiDialect]]):
+ * table names stay unquoted on every path (Spark's JDBC writer passes
+ * `dbtable` through unquoted; the dialect leaves tables unquoted), while
+ * column names are double-quoted exactly as given on every path (Spark's
+ * Derby dialect quotes column names in CREATE TABLE; the dialect quotes
+ * them in MERGE/DDL).
+ */
+class DerbyIntegrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // must be set BEFORE the Derby engine boots (first connection)
+  private val derbyLog = Files.createTempFile("graft_derby", ".log").toString
+  System.setProperty("derby.stream.error.file", derbyLog)
+  System.setProperty("derby.language.logStatementText", "true")
+
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+  private lazy val executor = new JdbcExecutor(url)
+
+  private def stage(df: DataFrame, table: String): Unit = {
+    val w = df.write.mode("overwrite").format("jdbc")
+      .option("url", url)
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .option("dbtable", table)
+    // Spark's Derby dialect maps StringType to CLOB, which Derby won't
+    // compare/assign to VARCHAR targets — size strings explicitly
+    val stringCols = df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.StringType =>
+        s"${f.name} VARCHAR(200)"
+    }
+    (if (stringCols.nonEmpty)
+      w.option("createTableColumnTypes", stringCols.mkString(", "))
+    else w).save()
+  }
+
+  private def readTable(table: String): DataFrame =
+    spark.read.format("jdbc").option("url", url)
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .option("dbtable", table).load()
+
+  private def logText(): String = new String(
+    Files.readAllBytes(Paths.get(derbyLog)), "UTF-8")
+
+  test("jdbc round-trip with predicate pushdown verified in the DB's statement log") {
+    val src = (1 to 20).map(i => (i, s"name_$i", i * 1.5)).toDF("o_id", "name", "amount")
+    stage(src, "app.orders_src")
+
+    val filtered = Sources.readJdbc(spark, url, "app.orders_src",
+      filter = Some("\"o_id\" > 15"),
+      options = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+    val got = filtered.select("o_id", "name", "amount")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.toSeq == (16 to 20).map(i => (i, s"name_$i", i * 1.5)))
+
+    // the WHERE must have been executed by Derby, not by Spark: the
+    // pushdown subquery (with its filter) appears in the statement log
+    val log = logText()
+    assert(log.contains("pushdown_subquery"), "pushdown subquery never reached the DB")
+    assert(log.contains("\"o_id\" > 15"), "pushed filter never reached the DB")
+  }
+
+  test("partitioned jdbc read issues one stride query per partition") {
+    val src = (1 to 30).map(i => (i, s"v$i")).toDF("p_id", "v")
+    stage(src, "app.part_src")
+    val df = Sources.readJdbc(spark, url, "app.part_src",
+      partitioning = Some(Sources.JdbcPartitioning("\"p_id\"", 1, 31, 3)),
+      options = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+    assert(df.rdd.getNumPartitions == 3)
+    assert(df.count() == 30)
+    // each stride's WHERE clause was executed by Derby
+    val log = logText()
+    assert(log.contains("\"p_id\" < 11"), "first stride query missing from DB log")
+    assert(log.contains("\"p_id\" >= 21"), "last stride query missing from DB log")
+  }
+
+  test("staging + MERGE flow executes end-to-end: inserts, updates, counts, read-back") {
+    executor.execute(
+      """CREATE TABLE app.cust_tgt ("id" INTEGER, "name" VARCHAR(200), "balance" DOUBLE)""")
+    executor.execute(
+      """INSERT INTO app.cust_tgt VALUES (1, 'alice', 10.0), (2, 'bob', 20.0)""")
+
+    val batch = Seq((2, "bob2", 25.0), (3, "carol", 30.0), (4, "dave", 40.0))
+      .toDF("id", "name", "balance")
+    val result = merge(batch, "app.cust_tgt", Seq("id"), executor, stage,
+      stagingSchema = "app", dialect = AnsiDialect)
+    assert(result == MergeResult(inserted = 2, updated = 1, deleted = 0))
+
+    val rows = readTable("app.cust_tgt").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.toSeq == Seq((1, "alice", 10.0), (2, "bob2", 25.0),
+      (3, "carol", 30.0), (4, "dave", 40.0)))
+    // staging dropped
+    val ex = intercept[Exception](readTable("app.cust_tgt_staging").collect())
+    assert(ex.getMessage.toLowerCase.contains("does not exist") ||
+      ex.getMessage.contains("42X05"))
+  }
+
+  test("MERGE with update/delete conditions: first-clause-wins semantics in a real DB") {
+    executor.execute(
+      """CREATE TABLE app.cond_tgt ("id" INTEGER, "status" VARCHAR(200), "v" DOUBLE)""")
+    executor.execute(
+      """INSERT INTO app.cond_tgt VALUES (1, 'keep', 1.0), (2, 'stale', 2.0), (3, 'keep', 3.0)""")
+    // update matched rows whose incoming v changed; delete matched rows
+    // marked obsolete (and not caught by the update clause first)
+    val batch = Seq((1, "keep", 1.0), (2, "obsolete", 2.0), (3, "keep", 99.0), (5, "new", 5.0))
+      .toDF("id", "status", "v")
+    val result = merge(batch, "app.cond_tgt", Seq("id"), executor, stage,
+      options = MergeOptions(
+        updateCondition = Some("source.\"v\" <> target.\"v\""),
+        deleteCondition = Some("source.\"status\" = 'obsolete'")),
+      stagingSchema = "app", dialect = AnsiDialect)
+    // id=3 updated (v changed), id=2 deleted (obsolete, v unchanged),
+    // id=1 untouched (no clause applies), id=5 inserted
+    assert(result == MergeResult(inserted = 1, updated = 1, deleted = 1))
+    val rows = readTable("app.cond_tgt").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.toSeq == Seq((1, "keep", 1.0), (3, "keep", 99.0), (5, "new", 5.0)))
+  }
+
+  test("audit columns are stamped server-side on insert and update") {
+    executor.execute(
+      """CREATE TABLE app.audit_tgt ("id" INTEGER, "v" DOUBLE,
+        | "created_at" TIMESTAMP, "updated_at" TIMESTAMP)""".stripMargin)
+    executor.execute(
+      """INSERT INTO app.audit_tgt VALUES (1, 1.0, TIMESTAMP('2020-01-01 00:00:00'), TIMESTAMP('2020-01-01 00:00:00'))""")
+    val batch = Seq((1, 10.0, null: java.sql.Timestamp, null: java.sql.Timestamp),
+      (2, 2.0, null: java.sql.Timestamp, null: java.sql.Timestamp))
+      .toDF("id", "v", "created_at", "updated_at")
+    val result = merge(batch, "app.audit_tgt", Seq("id"), executor, stage,
+      options = MergeOptions(auditCols = AuditCols(Some("created_at"), Some("updated_at"))),
+      stagingSchema = "app", dialect = AnsiDialect)
+    assert(result == MergeResult(inserted = 1, updated = 1, deleted = 0))
+    val rows = readTable("app.audit_tgt").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getTimestamp(2), r.getTimestamp(3)))
+      .sortBy(_._1)
+    // updated row: created_at preserved from 2020, updated_at stamped now
+    assert(rows(0)._3.toString.startsWith("2020-01-01"))
+    assert(rows(0)._4.getTime > rows(0)._3.getTime)
+    // inserted row: both stamped server-side (non-null despite null input)
+    assert(rows(1)._3 != null && rows(1)._4 != null)
+  }
+
+  test("schema evolution: evolve ALTERs new columns in, strict rejects, ignore intersects") {
+    executor.execute("""CREATE TABLE app.evo_tgt ("id" INTEGER, "v" DOUBLE)""")
+    executor.execute("""INSERT INTO app.evo_tgt VALUES (1, 1.0)""")
+    val widened = Seq((1, 2.0, "west"), (2, 3.0, "east")).toDF("id", "v", "region")
+
+    intercept[IllegalArgumentException] {
+      evolveSchema(widened, "app.evo_tgt", executor, AnsiDialect, mode = "strict")
+    }
+    assert(evolveSchema(widened, "app.evo_tgt", executor, AnsiDialect,
+      mode = "ignore") == Seq("id", "v"))
+
+    val cols = evolveSchema(widened, "app.evo_tgt", executor, AnsiDialect, mode = "evolve")
+    assert(cols == Seq("id", "v", "region"))
+    // the ALTER really happened: a merge with the new column round-trips
+    val result = merge(widened, "app.evo_tgt", Seq("id"), executor, stage,
+      stagingSchema = "app", dialect = AnsiDialect)
+    assert(result == MergeResult(inserted = 1, updated = 1, deleted = 0))
+    val rows = readTable("app.evo_tgt").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getString(2))).sortBy(_._1)
+    assert(rows.toSeq == Seq((1, 2.0, "west"), (2, 3.0, "east")))
+  }
+
+  test("overwrite strategies run against the live DB") {
+    executor.execute("""CREATE TABLE app.ow_tgt ("id" INTEGER, "v" DOUBLE)""")
+    executor.execute("""INSERT INTO app.ow_tgt VALUES (9, 9.0)""")
+    val fresh = Seq((1, 1.0), (2, 2.0)).toDF("id", "v")
+    assert(overwrite(fresh, "app.ow_tgt", executor, stage,
+      strategy = "truncate_insert", stagingSchema = "app", dialect = AnsiDialect) == 2L)
+    assert(readTable("app.ow_tgt").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    val fresh2 = Seq((7, 7.0)).toDF("id", "v")
+    assert(overwrite(fresh2, "app.ow_tgt", executor, stage,
+      strategy = "delete_insert", stagingSchema = "app", dialect = AnsiDialect) == 1L)
+    assert(readTable("app.ow_tgt").collect().map(_.getInt(0)).toSeq == Seq(7))
+  }
+
+  test("empty target takes the INSERT...SELECT fast path on the live DB") {
+    executor.execute("""CREATE TABLE app.empty_tgt ("id" INTEGER, "v" DOUBLE)""")
+    val batch = Seq((1, 1.0), (2, 2.0)).toDF("id", "v")
+    val result = merge(batch, "app.empty_tgt", Seq("id"), executor, stage,
+      stagingSchema = "app", dialect = AnsiDialect)
+    assert(result == MergeResult(inserted = 2))
+    assert(readTable("app.empty_tgt").count() == 2)
+  }
+}
