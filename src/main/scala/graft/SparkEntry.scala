@@ -906,6 +906,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"),
           min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
     }),
+    "q_iceberg_partition_prune" -> ((s, d) => {
+      // identity-partitioned Iceberg commit + partition-pruned read: the
+      // spec is written into metadata (field-id 1000), per-file partition
+      // tuples into the manifest, bound summaries into the manifest list,
+      // and the read keeps only the o_orderstatus='F' files BEFORE the
+      // scan. The oracle filters the ORIGINAL parquet, so a hash match
+      // certifies the pruned read returns exactly the partition's rows.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_icep_q").toString
+      val orders = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      graft.sources.IcebergSource.write(orders, s"$tmp/t", "append",
+        partitionBy = Seq("o_orderstatus"))
+      graft.sources.IcebergSource.read(s, s"$tmp/t",
+          partitionFilter = Seq(graft.sources.IcebergSource
+            .PartitionPredicate("o_orderstatus", "=", "F")))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+    }),
     "q_iceberg_roundtrip" -> ((s, d) => {
       // the native Iceberg path end-to-end: two append commits through
       // real metadata/manifest-list/manifest files, then a current read
@@ -1910,6 +1929,8 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, n_regionkey, 0 AS ver FROM nation UNION ALL SELECT n_nationkey, n_name, n_regionkey, 1 AS ver FROM nation WHERE (n_nationkey % 2 = 0) OR (n_regionkey <> 0)",
     "q_delta_roundtrip" ->
       "SELECT ver, o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS revenue, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM (SELECT 1 AS ver, o_orderstatus, o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 IN (0, 1) UNION ALL SELECT 2 AS ver, o_orderstatus, o_totalprice, o_orderkey FROM orders WHERE o_totalprice > 150000) GROUP BY 1, 2",
+    "q_iceberg_partition_prune" ->
+      "SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS revenue, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM orders WHERE o_orderstatus = 'F' GROUP BY 1",
     "q_iceberg_roundtrip" ->
       "SELECT ver, o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS revenue, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM (SELECT 1 AS ver, o_orderstatus, o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 = 0 UNION ALL SELECT 2 AS ver, o_orderstatus, o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 IN (0, 1)) GROUP BY 1, 2",
     "q_iceberg_changes" ->

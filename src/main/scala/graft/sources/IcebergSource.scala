@@ -233,12 +233,18 @@ object IcebergSource {
                                 inlineManifests: Seq[String],
                                 operation: String)
 
+  /** One field of a partition spec (spec §Partition Specs): `transform`
+    * is identity / bucket[N] / truncate[W] / year / month / day / hour. */
+  final case class PartitionField(sourceId: Int, fieldId: Int,
+                                  name: String, transform: String)
+
   final case class TableMeta(formatVersion: Int, location: String,
                              schema: StructType, schemaJson: JsonNode,
                              snapshots: Seq[SnapshotInfo],
                              currentSnapshotId: Option[Long],
                              lastColumnId: Int, lastSequenceNumber: Long,
-                             tableUuid: String, version: Long)
+                             tableUuid: String, version: Long,
+                             partitionSpec: Seq[PartitionField])
 
   /** Parse the latest (or given) metadata file. */
   def tableMeta(spark: SparkSession, root: String,
@@ -272,6 +278,19 @@ object IcebergSource {
       case versioned(v) => v.toLong
       case _ => 0L
     }
+    // default partition spec: v2 `partition-specs` + `default-spec-id`,
+    // v1 fallback `partition-spec`
+    val specFields: Seq[JsonNode] =
+      if (node.has("partition-specs")) {
+        val specId = Option(node.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+        node.get("partition-specs").elements().asScala
+          .find(s => s.get("spec-id").asInt() == specId)
+          .map(_.get("fields").elements().asScala.toSeq).getOrElse(Nil)
+      } else Option(node.get("partition-spec")).toSeq
+        .flatMap(_.elements().asScala)
+    val spec = specFields.map(fd => PartitionField(
+      fd.get("source-id").asInt(), fd.get("field-id").asInt(),
+      fd.get("name").asText(), fd.get("transform").asText()))
     TableMeta(fv, node.get("location").asText(root),
       toSparkType(schemaNode).asInstanceOf[StructType], schemaNode,
       snaps,
@@ -280,7 +299,7 @@ object IcebergSource {
       Option(node.get("last-sequence-number")).map(_.asLong()).getOrElse(0L),
       Option(node.get("table-uuid")).map(_.asText())
         .getOrElse(java.util.UUID.randomUUID().toString),
-      version)
+      version, spec)
   }
 
   /** Snapshot history (id, commit time, operation) — the DESCRIBE
@@ -301,19 +320,272 @@ object IcebergSource {
     regexp_replace(regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:", ""), "^/+", "/")
 
   private final case class FileEntry(path: String, seq: Long,
-                                     equalityIds: Seq[Int])
+                                     equalityIds: Seq[Int],
+                                     partition: Map[String, Any] = Map.empty)
+
+  // ------------------------------------------------- partition pruning
+
+  /**
+   * A predicate over a PARTITION FIELD (by spec field name), compared
+   * against the stored (already-transformed) partition value: identity
+   * values as-is, `day`/`month`/`year` as int offsets from 1970,
+   * `bucket[N]` as the bucket int, `truncate[W]` as the truncated value.
+   * `op` ∈ =, !=, <, <=, >, >=, in (value: Seq). Use
+   * [[projectPredicate]] to derive these from source-column predicates.
+   */
+  final case class PartitionPredicate(name: String, op: String, value: Any)
+
+  /** normalize partition values for comparison */
+  private def normVal(v: Any): Any = v match {
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case b: java.lang.Byte => b.longValue()
+    case s: java.lang.Short => s.longValue()
+    case i: java.lang.Integer => i.longValue()
+    case l: java.lang.Long => l
+    case f: java.lang.Float => f.doubleValue()
+    case d: java.lang.Double => d
+    case other => other
+  }
+
+  private def cmp(a: Any, b: Any): Int = (normVal(a), normVal(b)) match {
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Long, y: Double) => java.lang.Double.compare(x.toDouble, y)
+    case (x: Double, y: Long) => java.lang.Double.compare(x, y.toDouble)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: String, y: String) => x.compareTo(y)
+    case (x, y) => x.toString.compareTo(y.toString)
+  }
+
+  private def evalPredicate(p: PartitionPredicate, v: Any): Boolean = {
+    if (v == null) return p.op == "!=" // null partition never matches a bound
+    p.op match {
+      case "=" => cmp(v, p.value) == 0
+      case "!=" => cmp(v, p.value) != 0
+      case "<" => cmp(v, p.value) < 0
+      case "<=" => cmp(v, p.value) <= 0
+      case ">" => cmp(v, p.value) > 0
+      case ">=" => cmp(v, p.value) >= 0
+      case "in" => p.value.asInstanceOf[Seq[Any]].exists(x => cmp(v, x) == 0)
+      case other => throw new IllegalArgumentException(s"unknown predicate op $other")
+    }
+  }
+
+  /** Iceberg's bucket hash (spec §Bucket Transform details): 32-bit
+    * murmur3_x86_32 (seed 0) over the single-value binary form —
+    * int/long/date promoted to 8-byte little-endian long, string as
+    * UTF-8 bytes. */
+  def bucketHash(v: Any): Int = {
+    val bytes = normVal(v) match {
+      case l: Long =>
+        java.nio.ByteBuffer.allocate(8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(l).array()
+      case s: String => s.getBytes("UTF-8")
+      case other => throw new IllegalArgumentException(
+        s"bucket transform unsupported for ${other.getClass.getSimpleName}")
+    }
+    murmur3x86_32(bytes, 0)
+  }
+
+  def bucketOf(v: Any, n: Int): Int =
+    (bucketHash(v) & Integer.MAX_VALUE) % n
+
+  /** murmur3_x86_32 (Austin Appleby, public domain). */
+  private def murmur3x86_32(data: Array[Byte], seed: Int): Int = {
+    val c1 = 0xcc9e2d51; val c2 = 0x1b873593
+    var h = seed
+    val nblocks = data.length / 4
+    var i = 0
+    while (i < nblocks) {
+      var k = (data(i * 4) & 0xff) | ((data(i * 4 + 1) & 0xff) << 8) |
+        ((data(i * 4 + 2) & 0xff) << 16) | ((data(i * 4 + 3) & 0xff) << 24)
+      k *= c1; k = Integer.rotateLeft(k, 15); k *= c2
+      h ^= k; h = Integer.rotateLeft(h, 13); h = h * 5 + 0xe6546b64
+      i += 1
+    }
+    var k1 = 0
+    val tail = nblocks * 4
+    (data.length & 3) match {
+      case 3 =>
+        k1 ^= (data(tail + 2) & 0xff) << 16
+        k1 ^= (data(tail + 1) & 0xff) << 8
+        k1 ^= data(tail) & 0xff
+      case 2 =>
+        k1 ^= (data(tail + 1) & 0xff) << 8
+        k1 ^= data(tail) & 0xff
+      case 1 => k1 ^= data(tail) & 0xff
+      case _ =>
+    }
+    if ((data.length & 3) != 0) {
+      k1 *= c1; k1 = Integer.rotateLeft(k1, 15); k1 *= c2; h ^= k1
+    }
+    h ^= data.length
+    h ^= h >>> 16; h *= 0x85ebca6b; h ^= h >>> 13; h *= 0xc2b2ae35; h ^= h >>> 16
+    h
+  }
+
+  /**
+   * Inclusive projection of a SOURCE-column predicate onto the table's
+   * partition spec (the transform math of Iceberg's
+   * `Projections.inclusive`): returns partition predicates that keep a
+   * superset of matching files — safe to prune with, never lossy.
+   * Monotonic transforms (identity, truncate, day/month/year/hour) keep
+   * range ops (relaxed to <=/>= at the truncated boundary); `bucket[N]`
+   * projects equality and IN only. Timestamp values: pass
+   * `java.time.Instant`/`LocalDate`/`java.sql.Timestamp`/`Date`;
+   * date columns also accept epoch-day ints.
+   */
+  def projectPredicate(meta: TableMeta, column: String, op: String,
+                       value: Any): Seq[PartitionPredicate] = {
+    val idToName: Map[Int, String] = meta.schemaJson.get("fields")
+      .elements().asScala.map(fd =>
+        fd.get("id").asInt() -> fd.get("name").asText()).toMap
+    val bucketR = "bucket\\[(\\d+)\\]".r
+    val truncR = "truncate\\[(\\d+)\\]".r
+    def localDate(v: Any): java.time.LocalDate = v match {
+      case d: java.time.LocalDate => d
+      case i: java.time.Instant => i.atZone(java.time.ZoneOffset.UTC).toLocalDate
+      case t: java.sql.Timestamp => t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
+      case d: java.sql.Date => d.toLocalDate
+      case n: Number => java.time.LocalDate.ofEpochDay(n.longValue())
+      case s: String => java.time.LocalDate.parse(s.take(10))
+      case other => throw new IllegalArgumentException(s"not a date/timestamp: $other")
+    }
+    meta.partitionSpec.filter(f => idToName.get(f.sourceId).contains(column))
+      .flatMap { f =>
+        f.transform match {
+          case "identity" => Some(PartitionPredicate(f.name, op, value))
+          case "void" => None
+          case bucketR(n) => op match {
+            case "=" => Some(PartitionPredicate(f.name, "=", bucketOf(value, n.toInt)))
+            case "in" => Some(PartitionPredicate(f.name, "in",
+              value.asInstanceOf[Seq[Any]].map(bucketOf(_, n.toInt))))
+            case _ => None // buckets cannot serve range predicates
+          }
+          case other =>
+            def transformOne(v: Any): Any = other match {
+              case truncR(w) => normVal(v) match {
+                case l: Long => l - java.lang.Math.floorMod(l, w.toLong)
+                case s: String => s.take(w.toInt)
+                case v0 => throw new IllegalArgumentException(
+                  s"truncate transform unsupported for ${v0.getClass.getSimpleName}")
+              }
+              case "day" => localDate(v).toEpochDay
+              case "month" =>
+                val d = localDate(v); (d.getYear - 1970) * 12 + d.getMonthValue - 1
+              case "year" => localDate(v).getYear - 1970
+              case "hour" => (v match {
+                case i: java.time.Instant => i
+                case t: java.sql.Timestamp => t.toInstant
+                case n: Number => java.time.Instant.ofEpochMilli(n.longValue())
+                case v0 => throw new IllegalArgumentException(s"not a timestamp: $v0")
+              }).getEpochSecond / 3600
+              case u => throw new IllegalArgumentException(s"unknown transform $u")
+            }
+            // truncation is monotonic but lossy: relax strict bounds so
+            // values sharing the boundary partition survive
+            val relaxedOp = op match {
+              case "<" => "<="
+              case ">" => ">="
+              case o => o
+            }
+            op match {
+              case "in" => Some(PartitionPredicate(f.name, "in",
+                value.asInstanceOf[Seq[Any]].map(transformOne)))
+              case "!=" => None // inclusive projection cannot use != on lossy transforms
+              case _ => Some(PartitionPredicate(f.name, relaxedOp, transformOne(value)))
+            }
+        }
+      }
+  }
+
+  /** Decode a spec "single-value binary" bound by source Spark type
+    * (manifest-list partition summaries). */
+  private def decodeBound(bytes: Array[Byte], dt: DataType): Option[Any] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    dt match {
+      case IntegerType | DateType if bytes.length == 4 => Some(bb.getInt.toLong)
+      case LongType | TimestampType | TimestampNTZType if bytes.length == 8 => Some(bb.getLong)
+      case StringType => Some(new String(bytes, "UTF-8"))
+      case _ => None // unsupported bound type: do not prune on it
+    }
+  }
+
+  /** The Spark type a partition FIELD's values carry (= the transform's
+    * result type over the source column type). */
+  private def partitionFieldType(meta: TableMeta, f: PartitionField): DataType = {
+    val srcType: Option[DataType] = meta.schemaJson.get("fields")
+      .elements().asScala.zip(meta.schema.fields.iterator)
+      .collectFirst { case (js, sf) if js.get("id").asInt() == f.sourceId =>
+        sf.dataType }
+    f.transform match {
+      case "identity" => srcType.getOrElse(StringType)
+      case t if t.startsWith("truncate") => srcType.getOrElse(StringType)
+      case _ => IntegerType // bucket/day/month/year/hour all store ints
+    }
+  }
+
+  /** Can any partition value inside [lower, upper] satisfy `p`? */
+  private def boundsMayMatch(p: PartitionPredicate, lower: Option[Any],
+                             upper: Option[Any]): Boolean = (lower, upper) match {
+    case (Some(lo), Some(hi)) => p.op match {
+      case "=" => cmp(p.value, lo) >= 0 && cmp(p.value, hi) <= 0
+      case "<" => cmp(lo, p.value) < 0
+      case "<=" => cmp(lo, p.value) <= 0
+      case ">" => cmp(hi, p.value) > 0
+      case ">=" => cmp(hi, p.value) >= 0
+      case "in" => p.value.asInstanceOf[Seq[Any]]
+        .exists(v => cmp(v, lo) >= 0 && cmp(v, hi) <= 0)
+      case "!=" => !(cmp(lo, hi) == 0 && cmp(lo, p.value) == 0)
+      case _ => true
+    }
+    case _ => true // no bounds recorded: cannot prune
+  }
 
   /** Walk a snapshot's manifests into (data, positionDelete,
-    * equalityDelete) file entries with inherited sequence numbers. */
+    * equalityDelete) file entries with inherited sequence numbers.
+    * `predicates` prune at BOTH metadata levels before any parquet is
+    * touched: whole manifests via the manifest-list rows' per-field
+    * bound summaries, then individual data files via their partition
+    * tuples. Delete files are never pruned (a pruned data file simply
+    * leaves its delete rows unmatched). */
   private def collectFiles(conf: Configuration, root: String,
-                           snap: SnapshotInfo)
+                           snap: SnapshotInfo, meta: TableMeta,
+                           predicates: Seq[PartitionPredicate] = Nil)
       : (Seq[FileEntry], Seq[FileEntry], Seq[FileEntry]) = {
+    val specIndex: Map[String, Int] = meta.partitionSpec.map(_.name)
+      .zipWithIndex.toMap
     // manifest list → (manifest path, content, sequence); v1 inline = data
     val manifests: Seq[(String, Int, Long)] = snap.manifestList match {
-      case Some(ml) => readAvro(conf, absolutize(root, ml)).map { r =>
-        (r.get("manifest_path").toString,
+      case Some(ml) => readAvro(conf, absolutize(root, ml)).flatMap { r =>
+        val keep = predicates.isEmpty ||
+          r.getSchema.getField("partitions") == null ||
+          (opt(r, "partitions") match {
+            case Some(parts: java.util.Collection[_]) =>
+              val summaries = parts.asScala.toSeq.map(_.asInstanceOf[GenericRecord])
+              predicates.forall { p =>
+                specIndex.get(p.name) match {
+                  case Some(i) if i < summaries.size =>
+                    val s = summaries(i)
+                    val dt = partitionFieldType(meta, meta.partitionSpec(i))
+                    def bound(field: String): Option[Any] =
+                      opt(s, field).flatMap {
+                        case bb: java.nio.ByteBuffer =>
+                          val arr = new Array[Byte](bb.remaining())
+                          bb.duplicate().get(arr)
+                          decodeBound(arr, dt)
+                        case b: Array[Byte] => decodeBound(b, dt)
+                        case _ => None
+                      }
+                    boundsMayMatch(p, bound("lower_bound"), bound("upper_bound"))
+                  case _ => true
+                }
+              }
+            case _ => true
+          })
+        if (!keep) None
+        else Some((r.get("manifest_path").toString,
           opt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0),
-          opt(r, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L))
+          opt(r, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L)))
       }
       case None => snap.inlineManifests.map(p => (p, 0, 0L))
     }
@@ -338,8 +610,19 @@ object IcebergSource {
           val eqIds = opt(df0, "equality_ids").toSeq.flatMap(
             _.asInstanceOf[java.util.Collection[Any]].asScala.map(
               _.asInstanceOf[Int]))
+          // the file's partition tuple (field name -> stored value)
+          val partVals: Map[String, Any] = opt(df0, "partition") match {
+            case Some(pr: GenericRecord) =>
+              pr.getSchema.getFields.asScala.map(fd =>
+                fd.name() -> normVal(pr.get(fd.pos()))).toMap
+            case _ => Map.empty
+          }
           content match {
-            case 0 => dataFiles += FileEntry(path, seq, Nil)
+            case 0 =>
+              if (predicates.forall(p => partVals.get(p.name) match {
+                case Some(v) => evalPredicate(p, v)
+                case None => true // field absent: cannot prune
+              })) dataFiles += FileEntry(path, seq, Nil, partVals)
             case 1 => posDeleteFiles += FileEntry(path, seq, Nil)
             case 2 =>
               require(eqIds.nonEmpty,
@@ -357,7 +640,8 @@ object IcebergSource {
   def read(spark: SparkSession, root: String,
            snapshotId: Option[Long] = None,
            asOfTimestampMs: Option[Long] = None,
-           metadataLocation: Option[String] = None): DataFrame = {
+           metadataLocation: Option[String] = None,
+           partitionFilter: Seq[PartitionPredicate] = Nil): DataFrame = {
     val meta = tableMeta(spark, root, metadataLocation)
     val target: Option[SnapshotInfo] = (snapshotId, asOfTimestampMs) match {
       case (Some(id), _) =>
@@ -379,7 +663,8 @@ object IcebergSource {
     val snap = target.getOrElse(return empty)
 
     val conf = spark.sessionState.newHadoopConf()
-    val (dataFiles, posDeleteFiles, eqDeleteFiles) = collectFiles(conf, root, snap)
+    val (dataFiles, posDeleteFiles, eqDeleteFiles) =
+      collectFiles(conf, root, snap, meta, partitionFilter)
     if (dataFiles.isEmpty) return empty
     var scan = spark.read.schema(readSchema).parquet(dataFiles.map(_.path).toSeq: _*)
     if (posDeleteFiles.isEmpty && eqDeleteFiles.isEmpty) return scan
@@ -478,7 +763,7 @@ object IcebergSource {
     val readSchema = stripFieldIds(meta.schema).asInstanceOf[StructType]
 
     def liveSet(s: SnapshotInfo): Set[String] = {
-      val (data, pos, eq) = collectFiles(conf, root, s)
+      val (data, pos, eq) = collectFiles(conf, root, s, meta)
       require(pos.isEmpty && eq.isEmpty,
         s"snapshot ${s.snapshotId} carries row-level delete files — a " +
           "file-set diff cannot attribute their rows; consume snapshots " +
@@ -521,21 +806,37 @@ object IcebergSource {
   // --------------------------------------------------------------- write
 
   // spec-conformant avro schemas (field-id attributes included) for the
-  // subset of optional fields this writer populates
-  private val manifestEntrySchema = new Schema.Parser().parse(
-    """{"type":"record","name":"manifest_entry","fields":[
-      |{"name":"status","type":"int","field-id":0},
-      |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
-      |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
-      |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
-      |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
-      |  {"name":"content","type":"int","field-id":134},
-      |  {"name":"file_path","type":"string","field-id":100},
-      |  {"name":"file_format","type":"string","field-id":101},
-      |  {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
-      |  {"name":"record_count","type":"long","field-id":103},
-      |  {"name":"file_size_in_bytes","type":"long","field-id":104}
-      |]}}]}""".stripMargin.replaceAll("\n", ""))
+  // subset of optional fields this writer populates; the partition record
+  // is built per-table from the identity partition columns (spec: partition
+  // field ids start at 1000)
+  private def avroPartType(dt: DataType): String = dt match {
+    case IntegerType | DateType => "\"int\""
+    case LongType => "\"long\""
+    case StringType => "\"string\""
+    case other => throw new IllegalArgumentException(
+      s"iceberg identity partitioning unsupported for ${other.simpleString} " +
+        "(int/long/string/date columns only)")
+  }
+
+  private def entrySchemaFor(partCols: Seq[StructField]): Schema = {
+    val partFields = partCols.zipWithIndex.map { case (fd, i) =>
+      s"""{"name":${mapper.writeValueAsString(fd.name)},"type":${avroPartType(fd.dataType)},"field-id":${1000 + i}}"""
+    }.mkString(",")
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |{"name":"status","type":"int","field-id":0},
+         |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+         |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+         |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+         |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+         |  {"name":"content","type":"int","field-id":134},
+         |  {"name":"file_path","type":"string","field-id":100},
+         |  {"name":"file_format","type":"string","field-id":101},
+         |  {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$partFields]}},
+         |  {"name":"record_count","type":"long","field-id":103},
+         |  {"name":"file_size_in_bytes","type":"long","field-id":104}
+         |]}}]}""".stripMargin.replaceAll("\n", ""))
+  }
 
   private val manifestFileSchema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
@@ -551,7 +852,12 @@ object IcebergSource {
       |{"name":"deleted_files_count","type":"int","field-id":506},
       |{"name":"added_rows_count","type":"long","field-id":512},
       |{"name":"existing_rows_count","type":"long","field-id":513},
-      |{"name":"deleted_rows_count","type":"long","field-id":514}
+      |{"name":"deleted_rows_count","type":"long","field-id":514},
+      |{"name":"partitions","field-id":507,"default":null,"type":["null",{"type":"array","items":
+      |  {"type":"record","name":"r508","fields":[
+      |    {"name":"contains_null","type":"boolean","field-id":509},
+      |    {"name":"lower_bound","type":["null","bytes"],"default":null,"field-id":510},
+      |    {"name":"upper_bound","type":["null","bytes"],"default":null,"field-id":511}]}}]}
       |]}""".stripMargin.replaceAll("\n", ""))
 
   private def parquetRowCount(conf: Configuration, p: Path): Long = {
@@ -560,13 +866,42 @@ object IcebergSource {
     try r.getRecordCount finally r.close()
   }
 
+  /** Hive-style path unescape (%XX sequences) for partition dir values. */
+  private def unescapePath(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 2 < s.length)
+        { sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3 }
+      else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Spec "single-value binary" serialization for bound summaries. */
+  private def encodeBound(v: Any): Array[Byte] = v match {
+    case i: Int => java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(i).array()
+    case l: Long => java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(l).array()
+    case s: String => s.getBytes("UTF-8")
+    case other => throw new IllegalArgumentException(s"no bound encoding for $other")
+  }
+
   /**
    * Commit `df` to the Iceberg table at `root` (created on first write):
    * mode `append` adds a snapshot keeping prior data; `overwrite` adds a
    * snapshot referencing only the new files. Returns rows written.
-   * Unpartitioned spec; appends require an identical schema.
+   * `partitionBy` commits an IDENTITY-partitioned spec (spec-conformant:
+   * partition field ids from 1000, per-file partition tuples in the
+   * manifest, per-field bound summaries in the manifest list — which is
+   * what [[read]]'s two-level pruning consumes). Identity source columns
+   * are kept IN the data files as the spec requires (Spark's partitionBy
+   * would strip them, so the layout job partitions on duplicated shadow
+   * columns). Appends require an identical schema and partition spec.
    */
-  def write(df: DataFrame, root: String, mode: String = "append"): Long = {
+  def write(df: DataFrame, root: String, mode: String = "append",
+            partitionBy: Seq[String] = Nil): Long = {
     require(mode == "append" || mode == "overwrite",
       s"iceberg write mode must be append/overwrite, got '$mode'")
     val spark = df.sparkSession
@@ -575,39 +910,86 @@ object IcebergSource {
     val exists = isIcebergTable(spark, root)
     val prev = if (exists) Some(tableMeta(spark, root)) else None
     prev.foreach { m =>
-      if (mode == "append")
+      if (mode == "append") {
         require(m.schema.map(fd => (fd.name, fd.dataType)) ==
           df.schema.map(fd => (fd.name, fd.dataType)),
           "iceberg append requires an identical schema " +
             s"(table: ${m.schema.simpleString}, frame: ${df.schema.simpleString})")
+        require(m.partitionSpec.map(_.name) == partitionBy &&
+          m.partitionSpec.forall(_.transform == "identity"),
+          s"iceberg append requires the table's partition spec " +
+            s"(${m.partitionSpec.map(_.name).mkString(", ")}), got " +
+            s"(${partitionBy.mkString(", ")})")
+      }
     }
+    val partCols: Seq[StructField] = partitionBy.map(c =>
+      df.schema.fields.find(_.name == c).getOrElse(throw new IllegalArgumentException(
+        s"partition column $c not in ${df.schema.fieldNames.mkString(", ")}")))
+    partCols.foreach(fd => avroPartType(fd.dataType)) // fail fast on types
+    val entrySchema = entrySchemaFor(partCols)
 
-    // 1. data files
+    // 1. data files; identity columns STAY in the files (spec requirement)
+    // so the layout job partitions on duplicated shadow columns
     val commitUuid = java.util.UUID.randomUUID().toString
     val dataDir = new Path(root, s"data/$commitUuid")
-    df.write.mode("errorifexists").parquet(dataDir.toString)
-    val files = f.listStatus(dataDir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName)
+    if (partitionBy.isEmpty)
+      df.write.mode("errorifexists").parquet(dataDir.toString)
+    else {
+      val shadowed = partitionBy.foldLeft(df)((d, c) =>
+        d.withColumn(s"_p_$c", col(c)))
+      shadowed.write.mode("errorifexists")
+        .partitionBy(partitionBy.map(c => s"_p_$c"): _*)
+        .parquet(dataDir.toString)
+    }
+    val files = {
+      val it = f.listFiles(dataDir, true)
+      val buf = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) buf += st
+      }
+      buf.toSeq.sortBy(_.getPath.toString)
+    }
     val counts = files.map(s => parquetRowCount(conf, s.getPath))
     val rows = counts.sum
+
+    /** partition values of a data file, parsed from its directory path */
+    def partValuesOf(p: Path): Seq[Any] = partCols.map { fd =>
+      val seg = s"_p_${fd.name}="
+      val dirVal = p.toString.split('/').find(_.startsWith(seg))
+        .map(s => unescapePath(s.stripPrefix(seg)))
+        .getOrElse(throw new IllegalStateException(s"no $seg segment in $p"))
+      require(dirVal != "__HIVE_DEFAULT_PARTITION__",
+        s"iceberg identity partitioning: null value in ${fd.name}")
+      fd.dataType match {
+        case IntegerType => Integer.valueOf(dirVal.toInt)
+        case LongType => java.lang.Long.valueOf(dirVal.toLong)
+        case DateType => Integer.valueOf(
+          java.time.LocalDate.parse(dirVal).toEpochDay.toInt)
+        case _ => dirVal
+      }
+    }
 
     // 2. one manifest for the commit (snapshot id strictly above any
     // prior id, so two commits in the same millisecond stay distinct)
     val snapshotId = math.max(System.currentTimeMillis(),
       prev.toSeq.flatMap(_.snapshots).map(_.snapshotId + 1).foldLeft(0L)(math.max))
     val seq = prev.map(_.lastSequenceNumber).getOrElse(0L) + 1
-    val entries = files.zip(counts).map { case (s, n) =>
+    val partSchema = entrySchema.getField("data_file").schema()
+      .getField("partition").schema()
+    val fileParts: Seq[Seq[Any]] = files.map(s => partValuesOf(s.getPath))
+    val entries = files.lazyZip(counts).lazyZip(fileParts).map { (s, n, pvals) =>
       val dataFile = new GenericData.Record(
-        manifestEntrySchema.getField("data_file").schema())
+        entrySchema.getField("data_file").schema())
       dataFile.put("content", 0)
       dataFile.put("file_path", s.getPath.toString)
       dataFile.put("file_format", "PARQUET")
-      dataFile.put("partition", new GenericData.Record(
-        manifestEntrySchema.getField("data_file").schema().getField("partition").schema()))
+      val pr = new GenericData.Record(partSchema)
+      partCols.indices.foreach(i => pr.put(i, pvals(i)))
+      dataFile.put("partition", pr)
       dataFile.put("record_count", n)
       dataFile.put("file_size_in_bytes", s.getLen)
-      val e = new GenericData.Record(manifestEntrySchema)
+      val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", snapshotId)
       e.put("sequence_number", seq)
@@ -617,7 +999,15 @@ object IcebergSource {
     }
     val manifestPath = new Path(metaDir(root), s"manifest-$commitUuid.avro")
     f.mkdirs(metaDir(root))
-    val manifestLen = writeAvro(conf, manifestPath, manifestEntrySchema, entries)
+    val manifestLen = writeAvro(conf, manifestPath, entrySchema, entries)
+
+    // per-field bound summaries for the manifest-list row (what read()'s
+    // manifest-level pruning consumes); date partitions stored as int
+    // days, matching the tuple values
+    val partitionSummaries: Seq[(Any, Any)] = partCols.indices.map { i =>
+      val vals = fileParts.map(_(i)).sortWith((a, b) => cmp(a, b) < 0)
+      (vals.head, vals.last)
+    }
 
     // 3. manifest list: prior manifests survive an append, not an overwrite
     def manifestFileRecord(path: String, len: Long, addedFiles: Int,
@@ -636,6 +1026,20 @@ object IcebergSource {
       r.put("added_rows_count", addedRows)
       r.put("existing_rows_count", 0L)
       r.put("deleted_rows_count", 0L)
+      if (partitionSummaries.nonEmpty) {
+        val arrSchema = manifestFileSchema.getField("partitions").schema()
+          .getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
+        val itemSchema = arrSchema.getElementType
+        val arr = new java.util.ArrayList[GenericRecord]()
+        partitionSummaries.foreach { case (lo, hi) =>
+          val s = new GenericData.Record(itemSchema)
+          s.put("contains_null", false)
+          s.put("lower_bound", java.nio.ByteBuffer.wrap(encodeBound(lo)))
+          s.put("upper_bound", java.nio.ByteBuffer.wrap(encodeBound(hi)))
+          arr.add(s)
+        }
+        r.put("partitions", arr)
+      }
       r
     }
     val priorManifests: Seq[GenericRecord] =
@@ -643,6 +1047,22 @@ object IcebergSource {
       else prev.flatMap(m => m.currentSnapshotId.flatMap(id =>
         m.snapshots.find(_.snapshotId == id))).toSeq.flatMap { s =>
         s.manifestList.toSeq.flatMap(ml => readAvro(conf, absolutize(root, ml)))
+      }.map { old =>
+        // rebuild under the CURRENT manifest-list schema (field-by-name):
+        // records from other writers/versions may order or omit optionals
+        // differently, and the datum writer navigates by writer-schema position
+        val r = new GenericData.Record(manifestFileSchema)
+        manifestFileSchema.getFields.asScala.foreach { fd =>
+          // nested optionals (partition summaries) only carry over when the
+          // source schema matches ours — a richer foreign field_summary
+          // would not serialize under our item schema; dropping the summary
+          // is always safe (absent bounds simply disable manifest pruning)
+          val compatible = fd.name() != "partitions" ||
+            Option(old.getSchema.getField(fd.name()))
+              .exists(_.schema().toString == fd.schema().toString)
+          if (compatible) opt(old, fd.name()).foreach(v => r.put(fd.pos(), v))
+        }
+        r
       }
     val newManifestList = Seq(manifestFileRecord(manifestPath.toString,
       manifestLen, files.size, rows, seq)) ++ priorManifests
@@ -676,13 +1096,21 @@ object IcebergSource {
     val allSnaps = (priorSnaps :+ newSnap).mkString(",")
     val uuid = prev.map(_.tableUuid).getOrElse(java.util.UUID.randomUUID().toString)
     val version = prev.map(_.version).getOrElse(0L) + 1
+    // identity spec fields reference source columns by their schema field id
+    val nameToId: Map[String, Int] = mapper.readTree(schemaJson).get("fields")
+      .elements().asScala.map(fd =>
+        fd.get("name").asText() -> fd.get("id").asInt()).toMap
+    val specFieldsJson = partCols.zipWithIndex.map { case (fd, i) =>
+      s"""{"name":${mapper.writeValueAsString(fd.name)},"transform":"identity",""" +
+        s""""source-id":${nameToId(fd.name)},"field-id":${1000 + i}}"""
+    }.mkString(",")
     val metadataJson =
       s"""{"format-version":2,"table-uuid":"$uuid","location":"$root",
          |"last-sequence-number":$seq,"last-updated-ms":$now,
          |"last-column-id":$lastColumnId,
          |"schemas":[$schemaJson],"current-schema-id":0,
-         |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
-         |"last-partition-id":999,
+         |"partition-specs":[{"spec-id":0,"fields":[$specFieldsJson]}],"default-spec-id":0,
+         |"last-partition-id":${999 + partCols.size},
          |"sort-orders":[{"order-id":0,"fields":[]}],"default-sort-order-id":0,
          |"snapshots":[$allSnaps],"current-snapshot-id":$snapshotId,
          |"snapshot-log":[{"snapshot-id":$snapshotId,"timestamp-ms":$now}]}"""

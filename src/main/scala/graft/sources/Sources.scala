@@ -414,12 +414,12 @@ object Sources {
       return commit.rowsWritten
     }
     if (cfg.format == "iceberg") {
-      require(cfg.partitionBy.isEmpty && cfg.zorderBy.isEmpty,
-        "iceberg sink writes the unpartitioned spec (identity partition " +
-          "columns live in the data files regardless)")
+      require(cfg.zorderBy.isEmpty, "iceberg sink does not z-order")
       val d = cfg.coalescePartitions.map(df.coalesce).getOrElse(df)
       val mode = if (cfg.mode == "append") "append" else "overwrite"
-      val rows = IcebergSource.write(d, path, mode)
+      // partition_by commits an identity-partitioned spec (per-file
+      // partition tuples + manifest bound summaries drive read pruning)
+      val rows = IcebergSource.write(d, path, mode, partitionBy = cfg.partitionBy)
       refreshSink(df, path)
       return rows
     }

@@ -318,6 +318,98 @@ class IcebergSpec extends SparkSpec {
       s"score must be pruned, got $scanSchema")
   }
 
+  test("identity-partitioned writes commit a spec-conformant table and reads prune files") {
+    import IcebergSource.{PartitionPredicate => PP}
+    val root = tmp() + "/part"
+    val df = (1 to 99).map(i => (i.toLong, s"n$i", Seq("US", "DE", "JP")(i % 3)))
+      .toDF("id", "name", "region")
+    assert(IcebergSource.write(df, root, "append", partitionBy = Seq("region")) == 99L)
+
+    val meta = IcebergSource.tableMeta(spark, root)
+    assert(meta.partitionSpec ==
+      Seq(IcebergSource.PartitionField(3, 1000, "region", "identity")))
+
+    val all = IcebergSource.read(spark, root)
+    assert(all.count() == 99)
+    // identity source column is stored IN the data files (spec requirement)
+    assert(all.columns.contains("region"))
+    val allFiles = all.inputFiles.length
+
+    // partition pruning happens BEFORE the scan: fewer input files
+    val us = IcebergSource.read(spark, root,
+      partitionFilter = Seq(PP("region", "=", "US")))
+    assert(us.inputFiles.length < allFiles,
+      s"expected pruning: ${us.inputFiles.length} vs $allFiles files")
+    assert(us.select("region").distinct().collect().map(_.getString(0)).toSeq == Seq("US"))
+    assert(us.count() == (1 to 99).count(_ % 3 == 0))
+
+    val notJp = IcebergSource.read(spark, root,
+      partitionFilter = Seq(PP("region", "in", Seq("US", "DE"))))
+    assert(notJp.count() == (1 to 99).count(i => i % 3 != 2))
+
+    // append must repeat the spec; a mismatched spec fails fast
+    assert(IcebergSource.write(
+      Seq((100L, "x", "US")).toDF("id", "name", "region"),
+      root, "append", partitionBy = Seq("region")) == 1L)
+    assert(IcebergSource.read(spark, root,
+      partitionFilter = Seq(PP("region", "=", "US"))).count() ==
+      (1 to 99).count(_ % 3 == 0) + 1)
+    intercept[IllegalArgumentException] {
+      IcebergSource.write(df, root, "append")
+    }
+  }
+
+  test("iceberg bucket transform matches the spec's reference hash values") {
+    // Iceberg spec Appendix B: murmur3_x86_32 over single-value binary
+    assert(IcebergSource.bucketHash(34) == 2017239379)          // int promotes to long
+    assert(IcebergSource.bucketHash(34L) == 2017239379)
+    assert(IcebergSource.bucketHash("iceberg") == 1210000089)
+    val days20171116 = java.time.LocalDate.parse("2017-11-16").toEpochDay
+    assert(IcebergSource.bucketHash(days20171116) == -653330422)
+  }
+
+  test("projectPredicate: inclusive projection over identity/truncate/day/month/year/bucket") {
+    import IcebergSource.{PartitionPredicate => PP, PartitionField => PF}
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val schemaJson = mapper.readTree(
+      """{"type":"struct","fields":[
+        |{"id":1,"name":"ts","required":false,"type":"timestamptz"},
+        |{"id":2,"name":"cat","required":false,"type":"string"},
+        |{"id":3,"name":"n","required":false,"type":"long"}]}"""
+        .stripMargin.replaceAll("\n", ""))
+    val meta = IcebergSource.TableMeta(2, "/t",
+      StructType(Seq(StructField("ts", TimestampType),
+        StructField("cat", StringType), StructField("n", LongType))), schemaJson,
+      Nil, None, 3, 0L, "uuid", 1L,
+      Seq(PF(1, 1000, "ts_day", "day"), PF(1, 1001, "ts_month", "month"),
+        PF(1, 1002, "ts_year", "year"), PF(2, 1003, "cat_tr", "truncate[2]"),
+        PF(2, 1004, "cat_b", "bucket[16]"), PF(3, 1005, "n_tr", "truncate[10]"),
+        PF(3, 1006, "n_id", "identity")))
+
+    val t = java.time.Instant.parse("2017-11-16T14:31:08Z")
+    val day = IcebergSource.projectPredicate(meta, "ts", "=", t)
+    assert(day.contains(PP("ts_day", "=",
+      java.time.LocalDate.parse("2017-11-16").toEpochDay)))
+    assert(day.contains(PP("ts_month", "=", (2017 - 1970) * 12 + 10)))
+    assert(day.contains(PP("ts_year", "=", 47)))
+    // strict range bounds relax at the truncated boundary (inclusive projection)
+    val lt = IcebergSource.projectPredicate(meta, "ts", "<", t)
+    assert(lt.contains(PP("ts_day", "<=",
+      java.time.LocalDate.parse("2017-11-16").toEpochDay)))
+
+    val cat = IcebergSource.projectPredicate(meta, "cat", "=", "iceberg")
+    assert(cat.contains(PP("cat_tr", "=", "ic")))
+    assert(cat.contains(PP("cat_b", "=",
+      (1210000089 & Integer.MAX_VALUE) % 16)))
+    // bucket cannot serve range predicates; truncate can (relaxed)
+    val catLt = IcebergSource.projectPredicate(meta, "cat", "<", "iceberg")
+    assert(catLt.contains(PP("cat_tr", "<=", "ic")) &&
+      !catLt.exists(_.name == "cat_b"))
+
+    val n = IcebergSource.projectPredicate(meta, "n", ">=", 37L)
+    assert(n.contains(PP("n_tr", ">=", 30L)) && n.contains(PP("n_id", ">=", 37L)))
+  }
+
   test("Tools iceberg history lists snapshots") {
     val root = tmp() + "/hist"
     IcebergSource.write(Seq((1L, "a")).toDF("id", "name"), root, "append")
