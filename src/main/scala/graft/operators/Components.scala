@@ -63,9 +63,11 @@ object Components {
       .filter(col("_s") =!= col("_d"))
       .distinct()
       .localCheckpoint()
+    // lazy: the first distributed round checkpoints its own output, and
+    // the round-1 driver finish never evaluates this plan at all — an
+    // eager materialization here would be a wasted job on small graphs
     var labels = edges.select(col("_s").as("_id")).distinct()
       .select(col("_id"), col("_id").as("_c"))
-      .localCheckpoint()
     var converged = false
     var iter = 0
     // edge count is maintained ACROSS rounds: counted once up front, then
@@ -113,11 +115,19 @@ object Components {
           }
           val spark = pairs.sparkSession
           import spark.implicits._
-          val mapping = nodes.iterator.map(n => (n, minOfRoot(find(n))))
-            .toSeq.toDF("_c", "_root")
-          labels = labels
-            .join(broadcast(mapping), Seq("_c"), "left")
-            .select(col("_id"), coalesce(col("_root"), col("_c")).as("_c"))
+          if (iter == 1) {
+            // round-1 finish: every labeled node IS an edge endpoint we
+            // just collected, so the final labeling is the driver map
+            // itself — no distributed label plan to resolve through
+            labels = nodes.iterator.map(n => (n, minOfRoot(find(n))))
+              .toSeq.toDF("_id", "_c")
+          } else {
+            val mapping = nodes.iterator.map(n => (n, minOfRoot(find(n))))
+              .toSeq.toDF("_c", "_root")
+            labels = labels
+              .join(broadcast(mapping), Seq("_c"), "left")
+              .select(col("_id"), coalesce(col("_root"), col("_c")).as("_c"))
+          }
         }
         converged = true
       } else {
