@@ -281,17 +281,41 @@ object DeltaWriter {
   }
 
   /** Atomically publish commit `version`: write the action lines to a
-    * hidden temp file, then rename-if-absent onto `%020d.json`. Returns
-    * false when another writer claimed the version first. */
-  private[sources] def tryPublish(f: FileSystem, root: String, version: Long,
-                                  lines: Seq[String], nonce: String): Boolean = {
+    * hidden temp file, then claim `%020d.json` with a put-if-absent.
+    * Returns false when another writer claimed the version first.
+    *
+    * The primitive is scheme-dependent. On LOCAL filesystems POSIX
+    * rename(2) silently REPLACES an existing destination, so the
+    * rename-if-absent idiom is a lost-commit race (two writers pass the
+    * exists check, both rename, the second erases the first — caught by
+    * DeltaConcurrencySpec's hammer test); the atomic claim there is
+    * link(2), which fails with EEXIST, publishing the fully-written temp
+    * file's content in one shot. On HDFS, rename refuses an existing
+    * destination, so rename-if-absent is the correct (and standard)
+    * primitive. Object stores need their own put-if-absent
+    * (S3 conditional put / ABFS etag) — the same seam every Delta
+    * implementation dispatches on.
+    */
+  private[graft] def tryPublish(f: FileSystem, root: String, version: Long,
+                                lines: Seq[String], nonce: String): Boolean = {
     val tmp = new Path(logDir(root), s".tmp_commit_$nonce.json")
     f.mkdirs(logDir(root))
     val out = f.create(tmp, true)
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
     val target = new Path(logDir(root), f"$version%020d.json")
-    if (!f.exists(target) && f.rename(tmp, target)) true
-    else { f.delete(tmp, false); false }
+    val isLocal = f.getScheme == "file"
+    val won =
+      if (isLocal) {
+        val tmpFile = java.nio.file.Paths.get(new Path(
+          logDir(root), s".tmp_commit_$nonce.json").toUri.getPath)
+        val dst = java.nio.file.Paths.get(target.toUri.getPath)
+        try { java.nio.file.Files.createLink(dst, tmpFile); true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else !f.exists(target) && f.rename(tmp, target)
+    if (isLocal || !won) f.delete(tmp, false)
+    won
   }
 
   private def metaDataJson(id: String, schema: StructType,
