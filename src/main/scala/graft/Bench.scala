@@ -47,7 +47,32 @@ object Bench {
     "q_if97_props", "q_normalize_unicode", "q_bloom_dedup", "q_tfidf",
     "q_html_text", "q_wet_bulb",
     // r8 session-3: sketch set algebra, url canonicalization, audits
-    "q_theta_distinct", "q_canonical_url", "q_dedup_report", "q_skew_report")
+    "q_theta_distinct", "q_canonical_url", "q_dedup_report", "q_skew_report",
+    // r9: the FULL remaining board — every query the driver verifies is
+    // timed, so a regression can never hide in an untimed query
+    "q_add_prefix", "q_aggregation_pattern", "q_apply_mapping", "q_case_when",
+    "q_cast_columns", "q_clean_text", "q_coalesce_columns", "q_concat_columns",
+    "q_convert_timezone", "q_date_add", "q_date_diff", "q_date_dimension",
+    "q_date_trunc", "q_delta_roundtrip", "q_delta_timetravel",
+    "q_derive_columns", "q_detect_deletes", "q_dict_mapping", "q_dimension",
+    "q_distinct", "q_excel_roundtrip", "q_explode", "q_extract_date_parts",
+    "q_fact", "q_fill_nulls", "q_fingerprint_stats", "q_fk_orphans",
+    "q_flatten_struct", "q_fluid_props_air", "q_gopher_flags",
+    "q_harmonize_schema", "q_hash_columns", "q_hwm_filter",
+    "q_iceberg_partition_prune", "q_if97_sat", "q_importance_sample",
+    "q_incremental_dedup", "q_join_anti", "q_join_left", "q_join_semi",
+    "q_lang_id", "q_merge_append_only", "q_merge_delete", "q_minhash_dedup",
+    "q_minhash_index_dedup", "q_multimodal_features",
+    "q_normalize_column_names", "q_normalize_schema", "q_numeric_key",
+    "q_numeric_profile", "q_parse_json", "q_perplexity_bigram", "q_phases",
+    "q_pii_scrub", "q_psychrometrics", "q_quarantine", "q_regex_replace",
+    "q_repetition", "q_replace_values", "q_sample_det", "q_saturation",
+    "q_select_drop_rename", "q_semantic", "q_semantic_derived",
+    "q_simulation", "q_simulation_deterministic", "q_sort_limit",
+    "q_split_events", "q_split_part", "q_stratified_sample",
+    "q_string_similarity", "q_surrogate_key", "q_topk_values",
+    "q_trim_whitespace", "q_union_by_name", "q_unit_convert",
+    "q_unpack_struct", "q_unpivot", "q_validate_and_flag")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
