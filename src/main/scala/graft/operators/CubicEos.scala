@@ -187,7 +187,26 @@ object CubicEos {
       .otherwise(when(!threeRoots && z < lit(0.3074), lit("liquid"))
         .otherwise(lit("vapor")))
 
+    // heat capacities and speed of sound from the EOS derivatives
+    // (CpSpec verifies cp == dh/dT at constant P by finite difference):
+    //   d2a/dT2      (second derivative of the alpha function)
+    //   cv_dep = T d2a/dT2 / (2 sqrt2 b) * lnTerm
+    //   cp - cv = -T (dP/dT)_v^2 / (dP/dv)_T ; ideal-gas cp0 - cv0 = R
+    //   w = sqrt(-(cp/cv) v^2 (dP/dv)_T / M)
+    val d2adT2 = lit(ac * kappa / 2.0) / sqrt(tK * lit(f.tc)) *
+      (lit(kappa) / sqrt(tK * lit(f.tc)) + sqrtAlpha / tK)
+    val denomQ = vMol * vMol + lit(2.0 * b) * vMol - lit(b * b)
+    val dPdT = lit(R) / (vMol - lit(b)) - dadT / denomQ
+    val dPdV = lit(-R) * tK / ((vMol - lit(b)) * (vMol - lit(b))) +
+      a * (lit(2.0) * vMol + lit(2.0 * b)) / (denomQ * denomQ)
+    val cvDep = tK * d2adT2 / lit(2.0 * sqrt2 * b) * lnTerm
+    val cp0c = lit(ca) + lit(cb) * tK + lit(cc) * tK * tK + lit(cd) * tK * tK * tK
+    val cvMol = cp0c - lit(R) + cvDep
+    val cpMol = cvMol - tK * dPdT * dPdT / dPdV
+    val cp = cpMol / lit(f.m * 1000.0)                     // kJ/(kg K)
+    val w = sqrt((cpMol / cvMol) * vMol * vMol * (lit(0.0) - dPdV) / lit(f.m))
+
     struct(z.as("z"), density.as("density"), h.as("h"), s.as("s"),
-      phase.as("phase"))
+      cp.as("cp"), w.as("w"), phase.as("phase"))
   }
 }

@@ -200,6 +200,8 @@ object Domain {
           .withColumn(s"${p}density", col("_gf_pr.density"))
           .withColumn(s"${p}enthalpy", col("_gf_pr.h"))
           .withColumn(s"${p}entropy", col("_gf_pr.s"))
+          .withColumn(s"${p}cp", col("_gf_pr.cp"))
+          .withColumn(s"${p}speed_of_sound", col("_gf_pr.w"))
           .withColumn(s"${p}phase", col("_gf_pr.phase"))
           .drop("_gf_pr")
       case None => throw new IllegalArgumentException(

@@ -146,6 +146,42 @@ class CubicEosSpec extends SparkSpec {
     assert(hSuper > hVap, "superheat must raise enthalpy")
   }
 
+  test("cp equals dh/dT at constant P (finite difference), across phases") {
+    import spark.implicits._
+    val states = Seq(
+      ("Air", 300.0, 101325.0), ("CO2", 250.0, 1e6), ("CO2", 250.0, 3e6),
+      ("R134a", 300.0, 2e5), ("R134a", 300.0, 2e6), ("Ammonia", 300.0, 3e6))
+    val eps = 0.02
+    for ((fl, t, p) <- states) {
+      val f = CubicEos.lookup(fl).get
+      val rows = Seq((t - eps, p), (t, p), (t + eps, p)).toDF("t", "p")
+        .select(CubicEos.props(f, col("t"), col("p")).as("pr"))
+        .select("pr.h", "pr.cp").collect()
+      val fd = (rows(2).getDouble(0) - rows(0).getDouble(0)) / (2 * eps)
+      val cp = rows(1).getDouble(1)
+      assert(math.abs(cp / fd - 1.0) < 1e-4, s"$fl ($t K, $p Pa): cp=$cp, dh/dT=$fd")
+    }
+  }
+
+  test("speed of sound near literature values") {
+    import spark.implicits._
+    def w(fl: String, t: Double, p: Double): Double = {
+      val f = CubicEos.lookup(fl).get
+      Seq((t, p)).toDF("t", "p")
+        .select(CubicEos.props(f, col("t"), col("p")).as("pr"))
+        .select("pr.w").head().getDouble(0)
+    }
+    val wAir = w("Air", 300.0, 101325.0)     // NIST: ~347.3 m/s
+    assert(wAir > 340 && wAir < 355, s"air w at 300K/1atm: $wAir")
+    val wCO2 = w("CO2", 300.0, 101325.0)     // ~268 m/s
+    assert(wCO2 > 255 && wCO2 < 280, s"CO2 w at 300K/1atm: $wCO2")
+    val wR = w("R134a", 300.0, 1e5)          // ~160 m/s vapor
+    assert(wR > 140 && wR < 185, s"R134a w at 300K/0.1MPa: $wR")
+    // liquid sound speeds are hundreds of m/s — sanity: real and higher
+    val wLiq = w("R134a", 300.0, 2e6)
+    assert(wLiq > 200 && wLiq < 1200, s"R134a liquid w: $wLiq")
+  }
+
   test("fluidProperties dispatches PR fluids and fails fast on unknowns") {
     import spark.implicits._
     val df = Seq((25.0, 101325.0)).toDF("t_c", "p_pa")
