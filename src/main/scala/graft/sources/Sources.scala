@@ -96,7 +96,9 @@ object Sources {
       return IcebergSource.read(spark, icePath,
         snapshotId = cfg.options.get("snapshot_id").map(_.toLong),
         asOfTimestampMs = cfg.options.get("as_of_timestamp_ms").map(_.toLong),
-        metadataLocation = cfg.options.get("metadata_location"))
+        metadataLocation = cfg.options.get("metadata_location"),
+        partitionFilter = cfg.options.get("partition_filter")
+          .map(parsePartitionFilter).getOrElse(Nil))
     }
     // delta routes through the native transaction-log reader (no
     // delta-spark jar in this env); versionAsOf / timestampAsOf are the
@@ -687,5 +689,30 @@ object Sources {
     val h = contentHash(df, hashColumns)
     if (previousHash.contains(h)) (false, h)
     else { write(df, path, cfg); (true, h) }
+  }
+
+  /**
+   * Parse the declarative iceberg `partition_filter` option into
+   * [[IcebergSource.PartitionPredicate]]s. Grammar: semicolon-separated
+   * `name op value` with op in `= != < <= > >= in`; `in` takes
+   * `|`-separated members. Values parse as longs when numeric, strings
+   * otherwise — matching how identity/bucket/day partition values are
+   * stored. Example: `region in US|DE; day >= 19700`.
+   */
+  private[sources] def parsePartitionFilter(
+      s: String): Seq[IcebergSource.PartitionPredicate] = {
+    def value(v: String): Any =
+      scala.util.Try(v.trim.toLong).getOrElse(v.trim): Any
+    s.split(';').map(_.trim).filter(_.nonEmpty).map { clause =>
+      val m = "^(\\S+)\\s+(=|!=|<=|>=|<|>|in)\\s+(.+)$".r
+      clause match {
+        case m(name, "in", vs) => IcebergSource.PartitionPredicate(
+          name, "in", vs.split('|').map(value).toSeq)
+        case m(name, op, v) => IcebergSource.PartitionPredicate(name, op, value(v))
+        case other => throw new IllegalArgumentException(
+          s"partition_filter clause '$other' is not 'name op value' " +
+            "(op: = != < <= > >= in)")
+      }
+    }.toSeq
   }
 }

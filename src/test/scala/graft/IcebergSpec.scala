@@ -432,4 +432,23 @@ class IcebergSpec extends SparkSpec {
     assert(Sources.read(spark, Sources.ReadConfig("iceberg", path = Some(root),
       options = Map("snapshot_id" -> first.snapshotId.toString))).count() == 2)
   }
+
+  test("declarative partition_filter prunes through the read option") {
+    val root = tmp() + "/dpf"
+    val df = (1 to 60).map(i => (i.toLong, Seq("US", "DE", "JP")(i % 3)))
+      .toDF("id", "region")
+    Sources.writeWithStats(df, root, Sources.WriteConfig(
+      format = "iceberg", mode = "append", partitionBy = Seq("region")))
+    val us = Sources.read(spark, Sources.ReadConfig("iceberg", path = Some(root),
+      options = Map("partition_filter" -> "region = US")))
+    assert(us.count() == 20)
+    assert(us.select("region").distinct().collect().map(_.getString(0)).toSeq == Seq("US"))
+    val two = Sources.read(spark, Sources.ReadConfig("iceberg", path = Some(root),
+      options = Map("partition_filter" -> "region in US|DE")))
+    assert(two.count() == 40)
+    intercept[IllegalArgumentException] {
+      Sources.read(spark, Sources.ReadConfig("iceberg", path = Some(root),
+        options = Map("partition_filter" -> "region US")))
+    }
+  }
 }
