@@ -1,7 +1,13 @@
 package graft.operators
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /**
  * Peng-Robinson cubic equation of state (Peng & Robinson 1976, "A New
@@ -93,120 +99,173 @@ object CubicEos {
     fluids.values.map(_.name).toSeq.distinct.sorted
 
   private val sqrt2 = math.sqrt(2.0)
+  private val oneThird = 1.0 / 3.0
+  private val fourPiThirds = 4.0 * math.Pi / 3.0
 
-  /** sign-preserving cube root as Column algebra (pow rejects negatives). */
-  private def cbrtC(x: Column): Column =
-    signum(x) * pow(abs(x), lit(1.0 / 3.0))
+  val propsSchema: StructType = StructType(Seq(
+    StructField("z", DoubleType),          // compressibility factor
+    StructField("density", DoubleType),    // kg/m3
+    StructField("h", DoubleType),          // kJ/kg (ideal-gas ref T0/P0)
+    StructField("s", DoubleType),          // kJ/(kg K)
+    StructField("cp", DoubleType),         // kJ/(kg K)
+    StructField("w", DoubleType),          // m/s
+    StructField("phase", StringType)))     // liquid / vapor / supercritical
 
   /**
    * Full property struct at (T [K], P [Pa]):
-   * `struct(z, density [kg/m3], h [kJ/kg], s [kJ/(kg K)], phase)` where
-   * phase is 'liquid' / 'vapor' / 'supercritical'. Everything below is the
-   * 1976 paper's algebra: eq. (4) for a(T)/b, eq. (17) for kappa, the
-   * fugacity coefficient from eq. (15), and the standard enthalpy/entropy
-   * departures of the PR form.
+   * `struct(z, density [kg/m3], h [kJ/kg], s [kJ/(kg K)], cp, w, phase)`
+   * as ONE native codegen'd expression per row (the If97 pattern). An
+   * earlier pure-Column formulation duplicated the cubic-solve subtree
+   * into every output field; whole-stage codegen of an aggregate over it
+   * split the generated class past Janino's nested-class access rules
+   * (IllegalAccessError on BufferedRowIterator.partitionIndex) — a
+   * compact static call keeps any surrounding stage's code small.
    */
-  def props(f: Fluid, tK: Column, pPa: Column): Column = {
-    // plan-time constants
+  def props(f: Fluid, tK: Column, pPa: Column): Column =
+    ColumnShim.column(PrProps(
+      ColumnShim.expression(tK), ColumnShim.expression(pPa), f))
+
+  private val phaseLiquid = UTF8String.fromString("liquid")
+  private val phaseVapor = UTF8String.fromString("vapor")
+  private val phaseSuper = UTF8String.fromString("supercritical")
+
+  /** sign-preserving cube root (Math.pow rejects negative bases). */
+  private def cbrt(x: Double): Double =
+    Math.signum(x) * Math.pow(Math.abs(x), oneThird)
+
+  /**
+   * Scalar evaluation — the 1976 paper's algebra: eq. (4) for a(T)/b,
+   * eq. (17) for kappa, the two-branch analytic Cardano solve, the
+   * fugacity coefficient from eq. (15) picking the stable root, the
+   * standard PR enthalpy/entropy departures, cv from the alpha-function
+   * second derivative, cp - cv from the pressure derivatives, and
+   * w = sqrt(-(cp/cv) v^2 (dP/dv)_T / M). The association order mirrors
+   * the DuckDB oracle in SparkEntry.prOracleSql term for term, so the
+   * engines agree to libm-ulp precision. Called from interpreted eval
+   * AND generated code.
+   */
+  def evalProps(tK: Double, pPa: Double, f: Fluid): InternalRow = {
     val kappa = 0.37464 + 1.54226 * f.omega - 0.26992 * f.omega * f.omega
     val ac = 0.45724 * R * R * f.tc * f.tc / f.pcPa
     val b = 0.07780 * R * f.tc / f.pcPa
 
-    val sqrtAlpha = lit(1.0) + lit(kappa) * (lit(1.0) - sqrt(tK / lit(f.tc)))
-    val a = lit(ac) * sqrtAlpha * sqrtAlpha
-    val dadT = lit(-ac * kappa) * sqrtAlpha / sqrt(tK * lit(f.tc))
+    val sqrtAlpha = 1.0 + kappa * (1.0 - Math.sqrt(tK / f.tc))
+    val a = ac * sqrtAlpha * sqrtAlpha
+    val dadT = (-ac * kappa) * sqrtAlpha / Math.sqrt(tK * f.tc)
 
-    val bigA = a * pPa / (lit(R * R) * tK * tK)
-    val bigB = lit(b) * pPa / (lit(R) * tK)
+    val bigA = a * pPa / ((R * R) * tK * tK)
+    val bigB = b * pPa / (R * tK)
 
-    // Z^3 + c2 Z^2 + c1 Z + c0 = 0
-    val c2 = bigB - lit(1.0)
-    val c1 = bigA - lit(3.0) * bigB * bigB - lit(2.0) * bigB
+    // Z^3 + c2 Z^2 + c1 Z + c0 = 0, depressed to t^3 + p t + q = 0
+    val c2 = bigB - 1.0
+    val c1 = bigA - 3.0 * bigB * bigB - 2.0 * bigB
     val c0 = bigB * bigB * bigB + bigB * bigB - bigA * bigB
+    val p3 = c1 - c2 * c2 / 3.0
+    val q3 = 2.0 * c2 * c2 * c2 / 27.0 - c2 * c1 / 3.0 + c0
+    val disc = q3 * q3 / 4.0 + p3 * p3 * p3 / 27.0
+    val threeRoots = disc < 0.0
 
-    // depressed cubic t^3 + p t + q = 0, Z = t - c2/3
-    val p3 = c1 - c2 * c2 / lit(3.0)
-    val q3 = lit(2.0) * c2 * c2 * c2 / lit(27.0) - c2 * c1 / lit(3.0) + c0
-    val disc = q3 * q3 / lit(4.0) + p3 * p3 * p3 / lit(27.0)
+    // one-real-root branch (Cardano); three-real-root (trigonometric):
+    // k=0 largest, k=2 smallest; a "liquid" root at or below B means
+    // v <= b — unphysical, discard
+    val sd = Math.sqrt(Math.max(disc, 0.0))
+    val zSingle = cbrt(q3 / -2.0 + sd) + cbrt(q3 / -2.0 - sd) - c2 / 3.0
+    val mC = 2.0 * Math.sqrt(Math.max(p3 / -3.0, 0.0))
+    val acosArg = Math.min(Math.max(
+      3.0 * q3 / (2.0 * p3) * Math.sqrt(Math.max(-3.0 / p3, 0.0)), -1.0), 1.0)
+    val theta = Math.acos(acosArg)
+    val zV3 = mC * Math.cos(theta / 3.0) - c2 / 3.0
+    val zL3raw = mC * Math.cos(theta / 3.0 - fourPiThirds) - c2 / 3.0
+    val liquidValid = zL3raw > bigB * (1.0 + 1e-9)
 
-    // one-real-root branch (Cardano)
-    val sd = sqrt(greatest(disc, lit(0.0)))
-    val zSingle = cbrtC(q3 / lit(-2.0) + sd) + cbrtC(q3 / lit(-2.0) - sd) -
-      c2 / lit(3.0)
-
-    // three-real-root branch (trigonometric): k=0 largest, k=2 smallest
-    val mC = lit(2.0) * sqrt(greatest(p3 / lit(-3.0), lit(0.0)))
-    val acosArg = least(greatest(
-      lit(3.0) * q3 / (lit(2.0) * p3) * sqrt(greatest(lit(-3.0) / p3, lit(0.0))),
-      lit(-1.0)), lit(1.0))
-    val theta = acos(acosArg)
-    val zV3 = mC * cos(theta / lit(3.0)) - c2 / lit(3.0)
-    val zL3raw = mC * cos(theta / lit(3.0) - lit(4.0 * math.Pi / 3.0)) -
-      c2 / lit(3.0)
-    // a "liquid" root at or below B means v <= b — unphysical, discard
-    val liquidValid = zL3raw > bigB * lit(1.0 + 1e-9)
-
-    // ln(phi) — pick the root with the lower fugacity (stable phase)
-    def lnPhi(z: Column): Column =
-      (z - lit(1.0)) - log(z - bigB) -
-        bigA / (lit(2.0 * sqrt2) * bigB) *
-          log((z + lit(1.0 + sqrt2) * bigB) / (z + lit(1.0 - sqrt2) * bigB))
-
-    val threeRoots = disc < lit(0.0)
-    val pickLiquid = threeRoots && liquidValid && (lnPhi(zL3raw) < lnPhi(zV3))
-    val z = when(!threeRoots, zSingle)
-      .when(pickLiquid, zL3raw)
-      .otherwise(zV3)
+    // fugacity-stable root pick
+    def lnPhi(z: Double): Double =
+      (z - 1.0) - Math.log(z - bigB) -
+        bigA / ((2.0 * sqrt2) * bigB) *
+          Math.log((z + (1.0 + sqrt2) * bigB) / (z + (1.0 - sqrt2) * bigB))
+    val pickLiquid = threeRoots && liquidValid && lnPhi(zL3raw) < lnPhi(zV3)
+    val z = if (!threeRoots) zSingle else if (pickLiquid) zL3raw else zV3
 
     // departures [J/mol] at the chosen root
-    val lnTerm = log((z + lit(1.0 + sqrt2) * bigB) / (z + lit(1.0 - sqrt2) * bigB))
-    val hDep = lit(R) * tK * (z - lit(1.0)) +
-      (tK * dadT - a) / lit(2.0 * sqrt2 * b) * lnTerm
-    val sDep = lit(R) * log(z - bigB) + dadT / lit(2.0 * sqrt2 * b) * lnTerm
+    val lnTerm = Math.log((z + (1.0 + sqrt2) * bigB) / (z + (1.0 - sqrt2) * bigB))
+    val hDep = R * tK * (z - 1.0) + (tK * dadT - a) / (2.0 * sqrt2 * b) * lnTerm
+    val sDep = R * Math.log(z - bigB) + dadT / (2.0 * sqrt2 * b) * lnTerm
 
     // ideal-gas caloric part from the cp0 polynomial, T0/P0 reference
     val (ca, cb, cc, cd) = f.cp0
     val t0 = 298.15
     val p0 = 101325.0
-    def h0(t: Column): Column =
-      lit(ca) * (t - lit(t0)) + lit(cb / 2.0) * (t * t - lit(t0 * t0)) +
-        lit(cc / 3.0) * (t * t * t - lit(t0 * t0 * t0)) +
-        lit(cd / 4.0) * (t * t * t * t - lit(t0 * t0 * t0 * t0))
-    def s0(t: Column, p: Column): Column =
-      lit(ca) * log(t / lit(t0)) + lit(cb) * (t - lit(t0)) +
-        lit(cc / 2.0) * (t * t - lit(t0 * t0)) +
-        lit(cd / 3.0) * (t * t * t - lit(t0 * t0 * t0)) -
-        lit(R) * log(p / lit(p0))
+    val h0 = ca * (tK - t0) + cb / 2.0 * (tK * tK - t0 * t0) +
+      cc / 3.0 * (tK * tK * tK - t0 * t0 * t0) +
+      cd / 4.0 * (tK * tK * tK * tK - t0 * t0 * t0 * t0)
+    val s0 = ca * Math.log(tK / t0) + cb * (tK - t0) +
+      cc / 2.0 * (tK * tK - t0 * t0) +
+      cd / 3.0 * (tK * tK * tK - t0 * t0 * t0) -
+      R * Math.log(pPa / p0)
 
-    val vMol = z * lit(R) * tK / pPa                       // m3/mol
-    val density = lit(f.m) / vMol                          // kg/m3
-    val h = (h0(tK) + hDep) / lit(f.m * 1000.0)            // kJ/kg
-    val s = (s0(tK, pPa) + sDep) / lit(f.m * 1000.0)       // kJ/(kg K)
-    val phase = when(tK >= lit(f.tc), lit("supercritical"))
-      .when(pickLiquid, lit("liquid"))
-      .otherwise(when(!threeRoots && z < lit(0.3074), lit("liquid"))
-        .otherwise(lit("vapor")))
+    val vMol = z * R * tK / pPa                            // m3/mol
+    val density = f.m / vMol                               // kg/m3
+    val h = (h0 + hDep) / (f.m * 1000.0)                   // kJ/kg
+    val s = (s0 + sDep) / (f.m * 1000.0)                   // kJ/(kg K)
 
     // heat capacities and speed of sound from the EOS derivatives
-    // (CpSpec verifies cp == dh/dT at constant P by finite difference):
-    //   d2a/dT2      (second derivative of the alpha function)
+    // (CubicEosSpec verifies cp == dh/dT at constant P by finite
+    // difference):
     //   cv_dep = T d2a/dT2 / (2 sqrt2 b) * lnTerm
     //   cp - cv = -T (dP/dT)_v^2 / (dP/dv)_T ; ideal-gas cp0 - cv0 = R
     //   w = sqrt(-(cp/cv) v^2 (dP/dv)_T / M)
-    val d2adT2 = lit(ac * kappa / 2.0) / sqrt(tK * lit(f.tc)) *
-      (lit(kappa) / sqrt(tK * lit(f.tc)) + sqrtAlpha / tK)
-    val denomQ = vMol * vMol + lit(2.0 * b) * vMol - lit(b * b)
-    val dPdT = lit(R) / (vMol - lit(b)) - dadT / denomQ
-    val dPdV = lit(-R) * tK / ((vMol - lit(b)) * (vMol - lit(b))) +
-      a * (lit(2.0) * vMol + lit(2.0 * b)) / (denomQ * denomQ)
-    val cvDep = tK * d2adT2 / lit(2.0 * sqrt2 * b) * lnTerm
-    val cp0c = lit(ca) + lit(cb) * tK + lit(cc) * tK * tK + lit(cd) * tK * tK * tK
-    val cvMol = cp0c - lit(R) + cvDep
+    val d2adT2 = ac * kappa / 2.0 / Math.sqrt(tK * f.tc) *
+      (kappa / Math.sqrt(tK * f.tc) + sqrtAlpha / tK)
+    val denomQ = vMol * vMol + 2.0 * b * vMol - b * b
+    val dPdT = R / (vMol - b) - dadT / denomQ
+    val dPdV = -R * tK / ((vMol - b) * (vMol - b)) +
+      a * (2.0 * vMol + 2.0 * b) / (denomQ * denomQ)
+    val cvDep = tK * d2adT2 / (2.0 * sqrt2 * b) * lnTerm
+    val cp0c = ca + cb * tK + cc * tK * tK + cd * tK * tK * tK
+    val cvMol = cp0c - R + cvDep
     val cpMol = cvMol - tK * dPdT * dPdT / dPdV
-    val cp = cpMol / lit(f.m * 1000.0)                     // kJ/(kg K)
-    val w = sqrt((cpMol / cvMol) * vMol * vMol * (lit(0.0) - dPdV) / lit(f.m))
+    val cp = cpMol / (f.m * 1000.0)                        // kJ/(kg K)
+    val w = Math.sqrt(cpMol / cvMol * vMol * vMol * (0.0 - dPdV) / f.m)
 
-    struct(z.as("z"), density.as("density"), h.as("h"), s.as("s"),
-      cp.as("cp"), w.as("w"), phase.as("phase"))
+    val phase =
+      if (tK >= f.tc) phaseSuper
+      else if (pickLiquid) phaseLiquid
+      else if (!threeRoots && z < 0.3074) phaseLiquid
+      else phaseVapor
+
+    val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(7)
+    r.setDouble(0, z); r.setDouble(1, density); r.setDouble(2, h)
+    r.setDouble(3, s); r.setDouble(4, cp); r.setDouble(5, w)
+    r.update(6, phase)
+    r
   }
+}
+
+/**
+ * Native codegen'd Peng-Robinson property bundle: (T [K], p [Pa]) ->
+ * struct(z, density, h, s, cp, w, phase) for the fluid captured at plan
+ * time. The generated code is a single static call, so the expression
+ * stays inside the surrounding WholeStageCodegen span without inflating
+ * its generated class.
+ */
+case class PrProps(left: Expression, right: Expression,
+                   fluid: CubicEos.Fluid) extends BinaryExpression {
+
+  override def dataType: DataType = CubicEos.propsSchema
+  override def prettyName: String = "pr_props"
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(t: Any, p: Any): Any =
+    CubicEos.evalProps(t.asInstanceOf[Double], p.asInstanceOf[Double], fluid)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fluidRef = ctx.addReferenceObj("prFluid", fluid,
+      classOf[CubicEos.Fluid].getName)
+    nullSafeCodeGen(ctx, ev, (t, p) =>
+      s"${ev.value} = graft.operators.CubicEos.evalProps($t, $p, $fluidRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PrProps =
+    copy(left = newLeft, right = newRight)
 }

@@ -213,4 +213,22 @@ class CubicEosSpec extends SparkSpec {
     val ds = out.select("pr.density").collect().map(_.getDouble(0))
     assert(ds.forall(_ > 0))
   }
+
+  test("aggregates directly over the PR struct execute (codegen stays compact)") {
+    // regression: the pure-Column formulation duplicated the cubic-solve
+    // subtree into every field; a hash aggregate over it split the
+    // generated class past Janino's nested-class access rules and threw
+    // IllegalAccessError at runtime. The native expression keeps the
+    // stage's generated code small — this aggregate is the exact shape
+    // that crashed.
+    val f = CubicEos.lookup("R134a").get
+    val df = spark.range(100000).select(
+      (lit(250.0) + col("id") % 100).as("t"),
+      (lit(1e5) + (col("id") % 50) * lit(1e5)).as("p"))
+    val r = df.select(CubicEos.props(f, col("t"), col("p")).as("pr"))
+      .agg(sum(col("pr.density")).as("d"), sum(col("pr.h")).as("h"),
+        sum(col("pr.cp")).as("c"), sum(col("pr.w")).as("w"))
+      .head()
+    assert(!r.anyNull && r.getDouble(0) > 0 && r.getDouble(3) > 0)
+  }
 }
