@@ -15,6 +15,37 @@ class ExamplesSpec extends SparkSpec {
     (yaml, out)
   }
 
+  test("manufacturing example plans clean and runs green end-to-end") {
+    val (yaml, out) = loadExample("manufacturing")
+    val plan = Planner.plan(yaml)
+    assert(plan.valid, plan.diagnostics.mkString("; "))
+    val cfg = YamlConfig.loadPipeline(yaml)
+    val results = Pipeline.run(spark, cfg)
+    val failed = results.values.filter(_.failure.isDefined)
+    assert(failed.isEmpty,
+      failed.map(r => s"${r.name}: ${r.failure.get}").mkString("; "))
+
+    // the reference guide's refrigeration cycle: vapor at the evaporator,
+    // SUBCOOLED LIQUID at the condenser outlet, physically-plausible COP
+    val cycle = spark.read.parquet(s"$out/gold/refrigeration")
+    assert(cycle.count() > 0)
+    val phases = cycle.select("evap_phase", "cond_out_phase").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(phases == Set(("vapor", "liquid")), phases.toString)
+    val cop = cycle.agg(min(col("cop")), max(col("cop"))).head()
+    assert(cop.getDouble(0) > 0.5 && cop.getDouble(1) < 20, cop.toString)
+    // latent-heat-scale evaporator duty (R134a ~ 150-200 kJ/kg)
+    val duty = cycle.agg(avg(col("evaporator_duty_kj_kg"))).head().getDouble(0)
+    assert(duty > 100 && duty < 260, s"evaporator duty: $duty")
+
+    // IF97 superheat is positive; psychrometric wet bulb below dry bulb
+    val boiler = spark.read.parquet(s"$out/gold/boiler")
+    assert(boiler.agg(min(col("superheat_c"))).head().getDouble(0) >= 0)
+    val air = spark.read.parquet(s"$out/gold/plant_air")
+    assert(air.filter(col("wet_bulb") > col("air_temp_c")).count() == 0)
+    assert(spark.read.parquet(s"$out/gold/phases").count() > 0)
+  }
+
   test("star_schema example plans with zero diagnostics") {
     val (yaml, _) = loadExample()
     val plan = Planner.plan(yaml)
