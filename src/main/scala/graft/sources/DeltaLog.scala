@@ -414,10 +414,29 @@ object DeltaLog {
    * their partition values via a broadcast (file name → values) join —
    * partition columns are NOT stored in Delta data files.
    */
+  /**
+   * `partitionFilter` prunes FILES driver-side before the scan touches
+   * parquet (equality on partition-column values, the replaceWhere
+   * scoping shape): a day/region load over a 100 TB partitioned table
+   * must list one partition's files, not filter post-scan.
+   */
   def read(spark: SparkSession, root: String,
            versionAsOf: Option[Long] = None,
-           timestampAsOfMs: Option[Long] = None): DataFrame = {
-    val snap = snapshot(spark, root, versionAsOf, timestampAsOfMs)
+           timestampAsOfMs: Option[Long] = None,
+           partitionFilter: Map[String, String] = Map.empty): DataFrame = {
+    val snap0 = snapshot(spark, root, versionAsOf, timestampAsOfMs)
+    val snap = if (partitionFilter.isEmpty) snap0 else {
+      val unknown = partitionFilter.keySet -- snap0.partitionColumns.toSet
+      require(unknown.isEmpty,
+        s"partitionFilter keys $unknown are not partition columns " +
+          s"${snap0.partitionColumns}")
+      val phys: Map[String, String] = snap0.schema.fields
+        .map(f => f.name -> physicalName(f)).toMap
+      snap0.copy(files = snap0.files.filter(a => partitionFilter.forall {
+        case (k, v) => a.partitionValues.get(phys.getOrElse(k, k))
+          .orElse(a.partitionValues.get(k)).flatten.contains(v)
+      }))
+    }
     val mapped =
       snap.configuration.getOrElse("delta.columnMapping.mode", "none") != "none"
     val physOf: Map[String, String] =

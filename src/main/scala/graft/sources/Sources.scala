@@ -115,9 +115,20 @@ object Sources {
             toVersion = opt("ending_version", "endingVersion").map(_.toLong))
         case None => ()
       }
+      // partition_filter: "region=US, day=2024-01-01" — driver-side file
+      // pruning on partition values, never a post-scan filter
+      val pf = cfg.options.get("partition_filter").map(_.split(',').toSeq
+        .map(_.trim).filter(_.nonEmpty).map { kv =>
+          kv.split("=", 2) match {
+            case Array(k, v) => k.trim -> v.trim
+            case _ => throw new IllegalArgumentException(
+              s"delta partition_filter clause '$kv' is not 'col=value'")
+          }
+        }.toMap).getOrElse(Map.empty[String, String])
       return DeltaLog.read(spark, deltaPath,
         versionAsOf = opt("version_as_of", "versionAsOf").map(_.toLong),
-        timestampAsOfMs = opt("timestamp_as_of_ms", "timestampAsOfMs").map(_.toLong))
+        timestampAsOfMs = opt("timestamp_as_of_ms", "timestampAsOfMs").map(_.toLong),
+        partitionFilter = pf)
     }
     // a media directory scans through the built-in binaryFile source into
     // the canonical media frame (Multimodal.readMedia)

@@ -141,6 +141,20 @@ class DeltaLogSpec extends SparkSpec {
     assert(rows(3).isNullAt(1) && rows(3).isNullAt(2))
     // partition pruning: a filter on the partition column prunes ROWS
     assert(df.filter(col("region") === "us").count() == 1)
+
+    // partitionFilter prunes FILES driver-side, before the scan: only the
+    // matching partition's parquet is ever listed
+    val us = DeltaLog.read(spark, dir, partitionFilter = Map("region" -> "us"))
+    assert(us.inputFiles.length == 1, us.inputFiles.mkString(", "))
+    assert(us.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    intercept[IllegalArgumentException] {
+      DeltaLog.read(spark, dir, partitionFilter = Map("id" -> "1"))
+    }
+    // declarative option takes the same path
+    val decl = Sources.read(spark, Sources.ReadConfig("delta", path = Some(dir),
+      options = Map("partition_filter" -> "region=eu west, day=2024-03-01")))
+    assert(decl.inputFiles.length == 1)
+    assert(decl.count() == 2)
   }
 
   test("checkpoint replay: state resumes from the checkpoint, aged-out commits ok") {
