@@ -798,7 +798,26 @@ object SparkEntry {
           round(col("_pr.z"), 6).as("z"),
           round(col("_pr.density"), 4).as("density"),
           round(col("_pr.h"), 4).as("h"),
-          round(col("_pr.s"), 5).as("s"))
+          round(col("_pr.s"), 5).as("s"),
+          col("_pr.phase").as("phase"))
+    }),
+    "q_fluid_props_r134a" -> ((s, d) => {
+      // the SUBCRITICAL branch: T spans 281-330 K (< Tc) and P crosses the
+      // R134a saturation line, so the oracle must reproduce the
+      // three-real-root trig solve AND the fugacity-stable liquid/vapor
+      // pick per row. No row sits within float noise of the line (p is a
+      // discrete price multiple; the pick margin is >= 1e-6 relative)
+      val f = operators.CubicEos.lookup("r134a").get
+      val base = t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity") + lit(280.0)).as("t_k"),       // 281..330 K
+        (col("l_extendedprice") * lit(30.0)).as("p_pa"))  // ~27 kPa..3.1 MPa
+      base.withColumn("_pr", operators.CubicEos.props(f, col("t_k"), col("p_pa")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("t_k"), col("p_pa"),
+          round(col("_pr.z"), 6).as("z"),
+          round(col("_pr.density"), 4).as("density"),
+          round(col("_pr.h"), 4).as("h"),
+          round(col("_pr.s"), 5).as("s"),
+          col("_pr.phase").as("phase"))
     }),
     "q_stream_window" -> ((s, d) =>
       // tumbling-window aggregation (the window_agg step) on a batch frame:
@@ -1166,7 +1185,9 @@ object SparkEntry {
    * two-branch Cardano solve, fugacity-stable root pick, and departure
    * functions, in the same association order.
    */
-  private def prOracleSql(fluid: String): String = {
+  private def prOracleSql(fluid: String,
+                          tExpr: String = "l_quantity + 250.0",
+                          pExpr: String = "l_extendedprice * 50.0"): String = {
     val f = operators.CubicEos.lookup(fluid).get
     val r = operators.CubicEos.R
     val kappa = 0.37464 + 1.54226 * f.omega - 0.26992 * f.omega * f.omega
@@ -1177,7 +1198,7 @@ object SparkEntry {
     val t0 = 298.15; val p0 = 101325.0
     s"""WITH base AS (
        |  SELECT l_orderkey, l_linenumber,
-       |         l_quantity + 250.0 AS t_k, l_extendedprice * 50.0 AS p_pa
+       |         $tExpr AS t_k, $pExpr AS p_pa
        |  FROM lineitem),
        |s1 AS (SELECT *, 1.0 + $kappa * (1.0 - sqrt(t_k / ${f.tc})) AS sa FROM base),
        |s2 AS (SELECT *,
@@ -1202,13 +1223,16 @@ object SparkEntry {
        |  mc * cos(theta / 3.0) - c2 / 3.0 AS zv,
        |  mc * cos(theta / 3.0 - ${4.0 * math.Pi / 3.0}) - c2 / 3.0 AS zl FROM s6),
        |s8 AS (SELECT *,
-       |  CASE WHEN NOT (disc < 0.0) THEN zs
-       |       WHEN zl > bigb * ${1.0 + 1e-9}
-       |            AND ((zl - 1.0) - ln(zl - bigb) - biga / (${2.0 * sqrt2} * bigb) * ln((zl + ${1.0 + sqrt2} * bigb) / (zl + ${1.0 - sqrt2} * bigb)))
-       |              < ((zv - 1.0) - ln(zv - bigb) - biga / (${2.0 * sqrt2} * bigb) * ln((zv + ${1.0 + sqrt2} * bigb) / (zv + ${1.0 - sqrt2} * bigb)))
-       |       THEN zl ELSE zv END AS z FROM s7),
+       |  CASE WHEN NOT (disc < 0.0) THEN FALSE
+       |       WHEN NOT (zl > bigb * ${1.0 + 1e-9}) THEN FALSE
+       |       ELSE ((zl - 1.0) - ln(zl - bigb) - biga / (${2.0 * sqrt2} * bigb) * ln((zl + ${1.0 + sqrt2} * bigb) / (zl + ${1.0 - sqrt2} * bigb)))
+       |          < ((zv - 1.0) - ln(zv - bigb) - biga / (${2.0 * sqrt2} * bigb) * ln((zv + ${1.0 + sqrt2} * bigb) / (zv + ${1.0 - sqrt2} * bigb)))
+       |  END AS pickl FROM s7),
+       |s8b AS (SELECT *,
+       |  CASE WHEN NOT (disc < 0.0) THEN zs WHEN pickl THEN zl ELSE zv END AS z
+       |  FROM s8),
        |s9 AS (SELECT *,
-       |  ln((z + ${1.0 + sqrt2} * bigb) / (z + ${1.0 - sqrt2} * bigb)) AS lnterm FROM s8),
+       |  ln((z + ${1.0 + sqrt2} * bigb) / (z + ${1.0 - sqrt2} * bigb)) AS lnterm FROM s8b),
        |s10 AS (SELECT *,
        |  $r * t_k * (z - 1.0) + (t_k * dadt - a) / ${2.0 * sqrt2 * b} * lnterm AS hdep,
        |  $r * ln(z - bigb) + dadt / ${2.0 * sqrt2 * b} * lnterm AS sdep,
@@ -1223,7 +1247,11 @@ object SparkEntry {
        |       round(z, 6) AS z,
        |       round(${f.m} / (z * $r * t_k / p_pa), 4) AS density,
        |       round((h0 + hdep) / ${f.m * 1000.0}, 4) AS h,
-       |       round((s0 + sdep) / ${f.m * 1000.0}, 5) AS s
+       |       round((s0 + sdep) / ${f.m * 1000.0}, 5) AS s,
+       |       CASE WHEN t_k >= ${f.tc} THEN 'supercritical'
+       |            WHEN pickl THEN 'liquid'
+       |            WHEN NOT (disc < 0.0) AND z < 0.3074 THEN 'liquid'
+       |            ELSE 'vapor' END AS phase
        |FROM s10""".stripMargin
   }
 
@@ -1917,6 +1945,8 @@ object SparkEntry {
         |       (s - sqrt(s * s - 4.0 * ((-0.23855557567849) + 0.65017534844798e3 * d))) / 2.0 AS tsat_k
         |FROM ss""".stripMargin,
     "q_fluid_props_air" -> prOracleSql("air"),
+    "q_fluid_props_r134a" -> prOracleSql("r134a",
+      tExpr = "l_quantity + 280.0", pExpr = "l_extendedprice * 30.0"),
     "q_avro_roundtrip" ->
       "SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS revenue, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM orders GROUP BY 1",
     "q_chunk_text" ->
