@@ -57,7 +57,8 @@ object Bench {
     "q_derive_columns", "q_detect_deletes", "q_dict_mapping", "q_dimension",
     "q_distinct", "q_excel_roundtrip", "q_explode", "q_extract_date_parts",
     "q_fact", "q_fill_nulls", "q_fingerprint_stats", "q_fk_orphans",
-    "q_flatten_struct", "q_fluid_props_air", "q_gopher_flags",
+    "q_flatten_struct", "q_fluid_props_air", "q_fluid_props_r134a",
+    "q_gopher_flags",
     "q_harmonize_schema", "q_hash_columns", "q_hwm_filter",
     "q_iceberg_partition_prune", "q_if97_sat", "q_importance_sample",
     "q_incremental_dedup", "q_join_anti", "q_join_left", "q_join_semi",
