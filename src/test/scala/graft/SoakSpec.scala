@@ -345,4 +345,37 @@ class SoakSpec extends SparkSpec {
     }.sum
     assert(got == expected, s"fuzzy join: got $got expected $expected")
   }
+
+  test("lakehouse partition pruning at 2M: one partition listed, not the table", Soak) {
+    // a day/region incremental load against a 2M-row partitioned table
+    // must LIST one partition's files — pruning is driver-side metadata,
+    // so the scan's inputFiles (what a 1000-executor cluster would open)
+    // is the invariant, not wall time
+    val n = 2000000L
+    val regions = 8
+    val df = spark.range(n).select(
+      $"id", concat(lit("r"), ($"id" % regions).cast("string")).as("region"),
+      ($"id" % 1000).cast("double").as("v"))
+
+    val iceRoot = java.nio.file.Files.createTempDirectory("soakice").toString + "/t"
+    graft.sources.IcebergSource.write(df, iceRoot, "append",
+      partitionBy = Seq("region"))
+    val iceAll = graft.sources.IcebergSource.read(spark, iceRoot)
+    val iceOne = graft.sources.IcebergSource.read(spark, iceRoot,
+      partitionFilter = Seq(graft.sources.IcebergSource
+        .PartitionPredicate("region", "=", "r3")))
+    assert(iceOne.inputFiles.length * (regions - 1) < iceAll.inputFiles.length,
+      s"iceberg: ${iceOne.inputFiles.length} of ${iceAll.inputFiles.length} files")
+    assert(iceOne.count() == n / regions)
+    assertScaleSafe("iceberg pruned read", PlanAudit.audit(iceOne))
+
+    val dlRoot = java.nio.file.Files.createTempDirectory("soakdl").toString + "/t"
+    graft.sources.DeltaWriter.write(df, dlRoot, partitionBy = Seq("region"))
+    val dlAll = graft.sources.DeltaLog.read(spark, dlRoot)
+    val dlOne = graft.sources.DeltaLog.read(spark, dlRoot,
+      partitionFilter = Map("region" -> "r3"))
+    assert(dlOne.inputFiles.length * (regions - 1) < dlAll.inputFiles.length,
+      s"delta: ${dlOne.inputFiles.length} of ${dlAll.inputFiles.length} files")
+    assert(dlOne.count() == n / regions)
+  }
 }
