@@ -14,9 +14,9 @@ import org.apache.spark.sql.DataFrame
  * seeds, or the band layout fails this suite loudly.
  *
  * If the driver regenerates the sf0.001 tables with different content,
- * every hash below shifts together — refreeze via tools/golden
- * (tools/README): a one-query drift is an algorithm change; an
- * all-query drift is a data regen.
+ * every hash below shifts together — refreeze via tools/golden.scala
+ * (usage in its trailing comment): a one-query drift is an algorithm
+ * change; an all-query drift is a data regen.
  */
 class GoldenSpec extends SparkSpec {
 
