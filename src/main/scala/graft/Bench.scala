@@ -94,22 +94,28 @@ object Bench {
     // warmup: session/codegen/parquet-footer costs land here, not in q1
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
     val qs = SparkEntry.queries
+    val failedQueries = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = headline.filter(n => only.forall(_.contains(n))).flatMap { name =>
       qs.get(name).map { fn =>
-        val times = (1 to runs).map { _ =>
+        val times = (1 to runs).flatMap { _ =>
           val t0 = System.nanoTime()
           val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
           val dt = (System.nanoTime() - t0) / 1e9
-          if (n < 0) System.err.println(s"[bench] $name FAILED")
-          dt
+          if (n < 0) { System.err.println(s"[bench] $name FAILED"); None }
+          else Some(dt)
         }
-        name -> times.min
+        // a failing query must NEVER read as a (fast) success: it is
+        // excluded from the totals and listed under "failed" in the JSON
+        if (times.isEmpty) { failedQueries += name; name -> -1.0 }
+        else name -> times.min
       }
     }
-    val qJson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val ok = results.filter(_._2 >= 0)
+    val qJson = ok.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir","runs":$runs}""")
+    val total = ok.map(_._2).sum
+    val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"failed":$failedJson,"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }

@@ -19,10 +19,15 @@ import org.apache.spark.unsafe.types.UTF8String
  *
  * Spark-first design: the whole EOS — alpha function, analytic Cardano
  * cubic solve (both the one-real-root and three-real-root branches),
- * stable-root selection by fugacity, and the published departure
- * functions for enthalpy/entropy — is pure `Column` algebra, so it stays
- * inside whole-stage codegen (subexpression elimination collapses the
- * shared subtrees) and needs no UDF and no property library. Water is NOT
+ * stable-root selection by fugacity, the published departure functions
+ * for enthalpy/entropy, and the derivative-based cp / speed of sound —
+ * evaluates as ONE native codegen'd expression ([[PrProps]], the If97
+ * pattern), needing no UDF and no property library. Do NOT "simplify"
+ * this back to Column algebra: that formulation duplicated the
+ * cubic-solve subtree into every output field, and whole-stage codegen
+ * of an aggregate over it split the generated class past Janino's
+ * nested-class access rules (runtime IllegalAccessError) — the exact
+ * shape is pinned by a CubicEosSpec regression test. Water is NOT
  * handled here: [[If97]] is full-fidelity for water/steam and
  * [[Domain.fluidProperties]] dispatches to it first.
  *
@@ -122,8 +127,12 @@ object CubicEos {
    * compact static call keeps any surrounding stage's code small.
    */
   def props(f: Fluid, tK: Column, pPa: Column): Column =
+    // explicit casts: integer/long T or P columns (whole-Pa pressures are
+    // common) must widen in EVERY execution mode — interpreted eval of the
+    // raw expression would ClassCastException where codegen silently widens
     ColumnShim.column(PrProps(
-      ColumnShim.expression(tK), ColumnShim.expression(pPa), f))
+      ColumnShim.expression(tK.cast("double")),
+      ColumnShim.expression(pPa.cast("double")), f))
 
   private val phaseLiquid = UTF8String.fromString("liquid")
   private val phaseVapor = UTF8String.fromString("vapor")

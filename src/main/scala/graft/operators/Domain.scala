@@ -163,7 +163,7 @@ object Domain {
    *    sound in ONE native codegen'd expression per row.
    *  - Any fluid in the [[CubicEos]] registry (Air, N2, O2, CO2, CH4,
    *    NH3, R134a, propane, H2, Ar — the fluids the reference's guides
-   *    exercise): the Peng-Robinson EOS as pure Column algebra — real
+   *    exercise): the Peng-Robinson EOS as one native expression — real
    *    liquid AND vapor densities, enthalpy/entropy with departure
    *    functions, stable-phase selection by fugacity (CubicEosSpec
    *    verifies saturation pressures and thermodynamic consistency).

@@ -413,8 +413,6 @@ object DeltaLog {
    * active files (pushdown and pruning intact); partitioned tables attach
    * their partition values via a broadcast (file name → values) join —
    * partition columns are NOT stored in Delta data files.
-   */
-  /**
    * `partitionFilter` prunes FILES driver-side before the scan touches
    * parquet (equality on partition-column values, the replaceWhere
    * scoping shape): a day/region load over a 100 TB partitioned table
@@ -425,22 +423,22 @@ object DeltaLog {
            timestampAsOfMs: Option[Long] = None,
            partitionFilter: Map[String, String] = Map.empty): DataFrame = {
     val snap0 = snapshot(spark, root, versionAsOf, timestampAsOfMs)
+    // logical name -> physical (column-mapped tables key partitionValues
+    // by physical name); shared by the prune below and the value join
+    val physOf: Map[String, String] =
+      snap0.schema.fields.map(f => f.name -> physicalName(f)).toMap
     val snap = if (partitionFilter.isEmpty) snap0 else {
       val unknown = partitionFilter.keySet -- snap0.partitionColumns.toSet
       require(unknown.isEmpty,
         s"partitionFilter keys $unknown are not partition columns " +
           s"${snap0.partitionColumns}")
-      val phys: Map[String, String] = snap0.schema.fields
-        .map(f => f.name -> physicalName(f)).toMap
       snap0.copy(files = snap0.files.filter(a => partitionFilter.forall {
-        case (k, v) => a.partitionValues.get(phys.getOrElse(k, k))
+        case (k, v) => a.partitionValues.get(physOf.getOrElse(k, k))
           .orElse(a.partitionValues.get(k)).flatten.contains(v)
       }))
     }
     val mapped =
       snap.configuration.getOrElse("delta.columnMapping.mode", "none") != "none"
-    val physOf: Map[String, String] =
-      snap.schema.fields.map(f => f.name -> physicalName(f)).toMap
     val logicalType: Map[String, DataType] =
       snap.schema.fields.map(f => f.name -> f.dataType).toMap
     val dataFields =

@@ -303,18 +303,31 @@ object DeltaWriter {
     val out = f.create(tmp, true)
     try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
     val target = new Path(logDir(root), f"$version%020d.json")
-    val isLocal = f.getScheme == "file"
+    def renameIfAbsent(): Boolean = !f.exists(target) && f.rename(tmp, target)
+    var cleanupTmp = true
     val won =
-      if (isLocal) {
-        val tmpFile = java.nio.file.Paths.get(new Path(
-          logDir(root), s".tmp_commit_$nonce.json").toUri.getPath)
-        val dst = java.nio.file.Paths.get(target.toUri.getPath)
-        try { java.nio.file.Files.createLink(dst, tmpFile); true }
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
+      if (f.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false // lost the race
+          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException |
+               _: java.nio.file.InvalidPathException =>
+            // filesystem without hard links (FAT/SMB/FUSE mounts): fall
+            // back to the rename idiom — the narrower pre-link behavior
+            val r = renameIfAbsent()
+            if (r) cleanupTmp = false
+            r
         }
-      } else !f.exists(target) && f.rename(tmp, target)
-    if (isLocal || !won) f.delete(tmp, false)
+      } else {
+        val r = renameIfAbsent()
+        if (r) cleanupTmp = false
+        r
+      }
+    if (cleanupTmp) f.delete(tmp, false)
     won
   }
 

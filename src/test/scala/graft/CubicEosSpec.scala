@@ -197,6 +197,11 @@ class CubicEosSpec extends SparkSpec {
     val ig = Domain.fluidProperties(df, "p_pa", "t_c", molarMass = 0.004,
       fluid = "Helium", assumeIdealGas = true)
     assert(math.abs(ig.select("density").head().getDouble(0) - 0.1635) < 0.002)
+    // integer T/P columns (whole-Pa pressures are common) widen cleanly
+    val intDf = Seq((25, 101325)).toDF("t_c", "p_pa")
+    val d = Domain.fluidProperties(intDf, "p_pa", "t_c", fluid = "Air")
+      .select("density").head().getDouble(0)
+    assert(math.abs(d - 1.18) < 0.02)
   }
 
   test("whole-stage codegen holds for the PR expression") {
