@@ -80,7 +80,10 @@ object Tools {
 
   /** Inspection verbs for native Iceberg tables (snapshot history —
     * the DESCRIBE HISTORY equivalent over the public spec). */
-  private def icebergCommand(args: List[String]): Int = args match {
+  private def icebergCommand(args: List[String]): Int = {
+    def flagValue(rest: List[String], name: String): Option[String] =
+      rest.sliding(2).collectFirst { case List(`name`, v) => v }
+    args match {
     case "history" :: root :: Nil =>
       withSpark { spark =>
         graft.sources.IcebergSource.snapshots(spark, root).foreach { s =>
@@ -90,9 +93,35 @@ object Tools {
         }
         0
       }
+    case "optimize" :: root :: rest =>
+      val targetMb = flagValue(rest, "--target-file-mb").map(_.toLong).getOrElse(128L)
+      withSpark { spark =>
+        val r = graft.sources.IcebergMaintenance.optimize(spark, root,
+          targetFileBytes = targetMb << 20)
+        println(r.snapshotId match {
+          case Some(id) => s"optimized: snapshot=$id filesRemoved=${r.filesRemoved} " +
+            s"filesAdded=${r.filesAdded} bytesRemoved=${r.bytesRemoved} bytesAdded=${r.bytesAdded}"
+          case None => "nothing to optimize"
+        })
+        0
+      }
+    case "expire" :: root :: rest =>
+      val keepLast = flagValue(rest, "--keep-last").map(_.toInt).getOrElse(1)
+      val olderThan = flagValue(rest, "--older-than-ms").map(_.toLong)
+      val dryRun = rest.contains("--dry-run")
+      withSpark { spark =>
+        val r = graft.sources.IcebergMaintenance.expireSnapshots(spark, root,
+          keepLast = keepLast, olderThanMs = olderThan, dryRun = dryRun)
+        println(s"${if (dryRun) "would expire" else "expired"}: " +
+          s"snapshots=${r.expiredSnapshots.mkString(",")} files=${r.deletedFiles.size}")
+        0
+      }
     case _ =>
-      System.err.println("usage: graft.Tools iceberg history <root>")
+      System.err.println("usage: graft.Tools iceberg history <root> | " +
+        "optimize <root> [--target-file-mb N] | " +
+        "expire <root> [--keep-last N] [--older-than-ms T] [--dry-run]")
       2
+    }
   }
 
   /** Atomic in-place compaction of a plain parquet sink. */

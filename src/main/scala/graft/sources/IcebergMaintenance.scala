@@ -1,0 +1,329 @@
+package graft.sources
+
+import org.apache.avro.generic.{GenericData, GenericRecord}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/**
+ * Table maintenance for the native Iceberg source/sink — the
+ * rewrite_data_files / expire_snapshots surface the Iceberg runtime
+ * ships as Spark procedures, rebuilt on the public spec via
+ * [[IcebergSource]]'s metadata readers:
+ *
+ *  - `optimize` bin-packs each partition's small live files into
+ *    ~`targetFileBytes` outputs and commits a `replace` snapshot (net
+ *    row change zero — [[IcebergSource.changes]] already skips replace
+ *    snapshots, the same contract as Delta's dataChange=false); kept
+ *    files carry their original sequence numbers as EXISTING entries,
+ *    so sequence-aware semantics are unchanged;
+ *  - `expireSnapshots` drops aged snapshots from the metadata (current
+ *    always survives) and deletes the manifest lists, manifests and
+ *    data files no retained snapshot references — the storage-reclaim /
+ *    time-travel trade every Iceberg deployment schedules.
+ *
+ * Scale: the rewrite is ONE distributed job (broadcast basename→bin
+ * routing, `repartition(bins)`) regardless of partition count; all other
+ * work is driver-side metadata bounded by manifest counts.
+ */
+object IcebergMaintenance {
+
+  import IcebergSource._
+
+  final case class OptimizeResult(snapshotId: Option[Long],
+                                  filesRemoved: Int, filesAdded: Int,
+                                  bytesRemoved: Long, bytesAdded: Long)
+
+  final case class ExpireResult(expiredSnapshots: Seq[Long],
+                                deletedFiles: Seq[String], dryRun: Boolean)
+
+  private def fs(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** coerce a (normalized) partition value into the avro field's type */
+  private def coerce(v: Any, t: org.apache.avro.Schema.Type): AnyRef = (v, t) match {
+    case (l: Long, org.apache.avro.Schema.Type.INT) => Integer.valueOf(l.toInt)
+    case (l: Long, _) => java.lang.Long.valueOf(l)
+    case (i: Int, org.apache.avro.Schema.Type.LONG) => java.lang.Long.valueOf(i.toLong)
+    case (other, _) => other.asInstanceOf[AnyRef]
+  }
+
+  /** partition columns of the current identity spec as StructFields */
+  private def partitionStructFields(meta: TableMeta): Seq[StructField] = {
+    require(meta.partitionSpec.forall(_.transform == "identity"),
+      s"iceberg maintenance supports identity partition specs, got " +
+        meta.partitionSpec.map(f => s"${f.name}:${f.transform}").mkString(", "))
+    val byId: Map[Int, StructField] = meta.schemaJson.get("fields")
+      .elements().asScala.zip(meta.schema.fields.iterator)
+      .map { case (js, sf) => js.get("id").asInt() -> sf }.toMap
+    meta.partitionSpec.map(f => byId.getOrElse(f.sourceId,
+      throw new IllegalArgumentException(s"spec source-id ${f.sourceId} not in schema")))
+  }
+
+  /** clone-and-patch the latest metadata json with a new snapshot (or a
+    * filtered snapshot list), bump the version, publish hint LAST */
+  private def patchMetadata(spark: SparkSession, root: String,
+                            patch: com.fasterxml.jackson.databind.node.ObjectNode => Unit): Long = {
+    val f = fs(spark, root)
+    val metaPath = latestMetadata(f, root)
+    val node = mapper.readTree(readText(f, metaPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    patch(node)
+    val versioned = "v(\\d+)\\.metadata\\.json".r
+    val version = (metaPath.getName match {
+      case versioned(v) => v.toLong
+      case _ => 0L
+    }) + 1
+    val out = f.create(new Path(metaDir(root), s"v$version.metadata.json"), false)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    val hint = f.create(new Path(metaDir(root), "version-hint.text"), true)
+    try hint.write(version.toString.getBytes("UTF-8")) finally hint.close()
+    version
+  }
+
+  /**
+   * Bin-pack each partition's small live files (< `targetFileBytes`,
+   * >= 2 per partition) into ~target-sized outputs; commit a `replace`
+   * snapshot. No-op (None) when nothing qualifies. Tables carrying
+   * row-level delete files fail fast — compacting under deletes needs a
+   * merge-on-read rewrite that would change sequence semantics.
+   */
+  def optimize(spark: SparkSession, root: String,
+               targetFileBytes: Long = 128L << 20): OptimizeResult = {
+    val f = fs(spark, root)
+    val meta = tableMeta(spark, root)
+    val snap = meta.currentSnapshotId.flatMap(id =>
+      meta.snapshots.find(_.snapshotId == id)).getOrElse(
+      throw new IllegalArgumentException(s"$root has no current snapshot"))
+    val (data, pos, eq) = snapshotFiles(spark, root, snap, meta)
+    require(pos.isEmpty && eq.isEmpty,
+      s"$root carries row-level delete files — compact after rewriting deletes")
+    val partFields = partitionStructFields(meta)
+
+    def sizeOf(e: FileEntry): Long =
+      if (e.size > 0) e.size else f.getFileStatus(new Path(e.path)).getLen
+
+    // greedy largest-first bin pack per partition tuple
+    val byPart = data.groupBy(_.partition)
+    val bins = scala.collection.mutable.ArrayBuffer[(Map[String, Any], Seq[FileEntry])]()
+    byPart.foreach { case (part, files) =>
+      val small = files.filter(sizeOf(_) < targetFileBytes)
+      if (small.size >= 2) {
+        val sorted = small.sortBy(-sizeOf(_))
+        val open = scala.collection.mutable.ArrayBuffer[(Long, scala.collection.mutable.ArrayBuffer[FileEntry])]()
+        sorted.foreach { e =>
+          val sz = sizeOf(e)
+          open.find(_._1 + sz <= targetFileBytes) match {
+            case Some(b) =>
+              open(open.indexOf(b)) = (b._1 + sz, b._2 += e)
+            case None =>
+              open += ((sz, scala.collection.mutable.ArrayBuffer(e)))
+          }
+        }
+        open.filter(_._2.size >= 2).foreach(b => bins += ((part, b._2.toSeq)))
+      }
+    }
+    if (bins.isEmpty) return OptimizeResult(None, 0, 0, 0L, 0L)
+
+    // one distributed rewrite: basename → bin id, repartition per bin
+    val readSchema = {
+      def strip(dt: DataType): DataType = dt match {
+        case s: StructType => StructType(s.fields.map(fd =>
+          StructField(fd.name, strip(fd.dataType), fd.nullable)))
+        case other => other
+      }
+      strip(meta.schema).asInstanceOf[StructType]
+    }
+    // route by FULL scheme-normalized path, NOT basename: Spark's
+    // dynamic-partition writer reuses one basename across a task's
+    // partition dirs, so basenames collide between partition directories
+    def normPath(p: String): String =
+      p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:", "").replaceFirst("^/+", "/")
+    val binOf: Map[String, Int] = bins.zipWithIndex.flatMap { case ((_, files), i) =>
+      files.map(e => normPath(e.path) -> i)
+    }.toMap
+    val candidatePaths = bins.flatMap(_._2.map(_.path)).toSeq
+    val commitUuid = java.util.UUID.randomUUID().toString
+    val outDir = new Path(root, s"data/$commitUuid")
+    spark.read.schema(readSchema).parquet(candidatePaths: _*)
+      .withColumn("_gf_bin", element_at(typedLit(binOf),
+        regexp_replace(regexp_replace(input_file_name(),
+          "^[a-zA-Z][a-zA-Z0-9+.-]*:", ""), "^/+", "/")))
+      .repartition(bins.size, col("_gf_bin"))
+      .write.partitionBy("_gf_bin").mode("errorifexists").parquet(outDir.toString)
+
+    // new entries: one manifest holding EXISTING kept files (original
+    // seq) + ADDED compacted outputs (new seq)
+    val newSeq = meta.lastSequenceNumber + 1
+    val snapshotId = math.max(System.currentTimeMillis(),
+      meta.snapshots.map(_.snapshotId + 1).foldLeft(0L)(math.max))
+    val entrySchema = entrySchemaFor(partFields)
+    val partSchema = entrySchema.getField("data_file").schema()
+      .getField("partition").schema()
+    def entry(status: Int, path: String, size: Long, records: Long,
+              seq: Long, part: Map[String, Any]): GenericRecord = {
+      val dataFile = new GenericData.Record(
+        entrySchema.getField("data_file").schema())
+      dataFile.put("content", 0)
+      dataFile.put("file_path", path)
+      dataFile.put("file_format", "PARQUET")
+      val pr = new GenericData.Record(partSchema)
+      partFields.zipWithIndex.foreach { case (fd, i) =>
+        part.get(fd.name).foreach(v =>
+          pr.put(i, coerce(v, partSchema.getFields.get(i).schema().getType)))
+      }
+      dataFile.put("partition", pr)
+      dataFile.put("record_count", records)
+      dataFile.put("file_size_in_bytes", size)
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", status)
+      e.put("snapshot_id", snapshotId)
+      e.put("sequence_number", seq)
+      e.put("file_sequence_number", seq)
+      e.put("data_file", dataFile)
+      e
+    }
+    val compacted = bins.flatMap(_._2.map(_.path)).toSet
+    val kept = data.filterNot(e => compacted.contains(e.path))
+    val conf = spark.sessionState.newHadoopConf()
+    val newFiles: Seq[(String, Long, Long, Map[String, Any])] =
+      bins.zipWithIndex.flatMap { case ((part, _), i) =>
+        val binDir = new Path(outDir, s"_gf_bin=$i")
+        if (!f.exists(binDir)) Nil
+        else f.listStatus(binDir).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map { s =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(s.getPath, conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            val n = try r.getRecordCount finally r.close()
+            (s.getPath.toString, s.getLen, n, part)
+          }
+      }.toSeq
+    // row conservation: a mis-routed row (null bin) would land outside
+    // the listed dirs and silently vanish at commit time — refuse
+    val compactedRecords = bins.flatMap(_._2.map(_.records)).sum
+    if (compactedRecords > 0) {
+      val rewritten = newFiles.map(_._3).sum
+      require(rewritten == compactedRecords,
+        s"optimize row mismatch: compacted $compactedRecords rows but " +
+          s"rewrote $rewritten — aborting before commit")
+    }
+    val entries =
+      kept.map(e => entry(0, e.path, sizeOf(e), e.records, e.seq, e.partition)) ++
+        newFiles.map { case (p, sz, n, part) => entry(1, p, sz, n, newSeq, part) }
+    val manifestPath = new Path(metaDir(root), s"manifest-$commitUuid.avro")
+    val manifestLen = writeAvro(conf, manifestPath, entrySchema, entries)
+
+    val mlRecord = {
+      val r = new GenericData.Record(manifestFileSchema)
+      r.put("manifest_path", manifestPath.toString)
+      r.put("manifest_length", manifestLen)
+      r.put("partition_spec_id", 0)
+      r.put("content", 0)
+      r.put("sequence_number", newSeq)
+      r.put("min_sequence_number",
+        (kept.map(_.seq) :+ newSeq).min)
+      r.put("added_snapshot_id", snapshotId)
+      r.put("added_files_count", newFiles.size)
+      r.put("existing_files_count", kept.size)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", newFiles.map(_._3).sum)
+      r.put("existing_rows_count", kept.map(_.records).sum)
+      r.put("deleted_rows_count", 0L)
+      r
+    }
+    val mlPath = new Path(metaDir(root), s"snap-$snapshotId-$commitUuid.avro")
+    writeAvro(conf, mlPath, manifestFileSchema, Seq(mlRecord))
+
+    val now = snapshotId
+    patchMetadata(spark, root, { node =>
+      node.put("last-sequence-number", newSeq)
+      node.put("last-updated-ms", now)
+      node.put("current-snapshot-id", snapshotId)
+      val snapNode = mapper.createObjectNode()
+      snapNode.put("snapshot-id", snapshotId)
+      snapNode.put("timestamp-ms", now)
+      snapNode.put("sequence-number", newSeq)
+      snapNode.putObject("summary").put("operation", "replace")
+      snapNode.put("manifest-list", mlPath.toString)
+      snapNode.put("schema-id", 0)
+      node.withArray("snapshots").add(snapNode)
+      val logNode = mapper.createObjectNode()
+      logNode.put("snapshot-id", snapshotId)
+      logNode.put("timestamp-ms", now)
+      node.withArray("snapshot-log").add(logNode)
+    })
+    OptimizeResult(Some(snapshotId), compacted.size, newFiles.size,
+      bins.flatMap(_._2.map(sizeOf)).sum, newFiles.map(_._2).sum)
+  }
+
+  /**
+   * Expire snapshots beyond the last `keepLast` (and/or older than
+   * `olderThanMs`); the CURRENT snapshot always survives. Deletes the
+   * expired snapshots' manifest lists, manifests and data files that no
+   * retained snapshot references. `dryRun` lists without deleting.
+   */
+  def expireSnapshots(spark: SparkSession, root: String,
+                      keepLast: Int = 1,
+                      olderThanMs: Option[Long] = None,
+                      dryRun: Boolean = false): ExpireResult = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val f = fs(spark, root)
+    val meta = tableMeta(spark, root)
+    val ordered = meta.snapshots.sortBy(s => (s.timestampMs, s.snapshotId))
+    // keep: the newest keepLast, anything at/after the cutoff (when one
+    // is given), and always the current snapshot
+    val keepSet: Set[Long] = (ordered.takeRight(keepLast).map(_.snapshotId) ++
+      ordered.filter(s => olderThanMs.exists(s.timestampMs >= _)).map(_.snapshotId) ++
+      meta.currentSnapshotId.toSeq).toSet
+    val expired = ordered.filterNot(s => keepSet.contains(s.snapshotId))
+    if (expired.isEmpty) return ExpireResult(Nil, Nil, dryRun)
+
+    // file references per snapshot (manifest list + manifests + data)
+    def refs(s: SnapshotInfo): Set[String] = {
+      val (d, p, e) = snapshotFiles(spark, root, s, meta)
+      (d ++ p ++ e).map(_.path).toSet ++
+        s.manifestList.map(absolutize(root, _)).toSet ++
+        s.manifestList.toSeq.flatMap(ml =>
+          readManifestPaths(spark, root, ml))
+    }
+    val retained = ordered.filter(s => keepSet.contains(s.snapshotId))
+    val keepFiles = retained.flatMap(refs).toSet
+    val doomed = expired.flatMap(refs).toSet -- keepFiles
+
+    if (!dryRun) {
+      doomed.foreach(p => f.delete(new Path(p), false))
+      patchMetadata(spark, root, { node =>
+        val snaps = node.withArray("snapshots")
+        val keptNodes = snaps.elements().asScala.filter(s =>
+          keepSet.contains(s.get("snapshot-id").asLong())).toSeq
+        snaps.removeAll()
+        keptNodes.foreach(snaps.add)
+        if (node.has("snapshot-log")) {
+          val log = node.withArray("snapshot-log")
+          val keptLog = log.elements().asScala.filter(s =>
+            keepSet.contains(s.get("snapshot-id").asLong())).toSeq
+          log.removeAll()
+          keptLog.foreach(log.add)
+        }
+      })
+    }
+    ExpireResult(expired.map(_.snapshotId), doomed.toSeq.sorted, dryRun)
+  }
+
+  /** manifest paths referenced by a manifest list */
+  private def readManifestPaths(spark: SparkSession, root: String,
+                                manifestList: String): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val reader = new org.apache.avro.file.DataFileReader[GenericRecord](
+      new org.apache.avro.mapred.FsInput(
+        new Path(absolutize(root, manifestList)), conf),
+      new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+    try reader.iterator().asScala.map(r =>
+      absolutize(root, r.get("manifest_path").toString)).toVector
+    finally reader.close()
+  }
+}

@@ -60,12 +60,12 @@ import scala.jdk.CollectionConverters._
  */
 object IcebergSource {
 
-  private val mapper = new ObjectMapper()
+  private[sources] val mapper = new ObjectMapper()
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
 
-  private def metaDir(root: String) = new Path(root, "metadata")
+  private[sources] def metaDir(root: String) = new Path(root, "metadata")
 
   // --------------------------------------------------------- schema (read)
 
@@ -153,7 +153,7 @@ object IcebergSource {
 
   /** Latest metadata file: version-hint.text, else highest v*.metadata
     * .json, else the lexically-last *.metadata.json. */
-  private def latestMetadata(f: FileSystem, root: String): Path = {
+  private[sources] def latestMetadata(f: FileSystem, root: String): Path = {
     val hint = new Path(metaDir(root), "version-hint.text")
     if (f.exists(hint)) {
       val v = readText(f, hint).trim.toLong
@@ -179,7 +179,7 @@ object IcebergSource {
       .exists(_.getPath.getName.endsWith(".metadata.json"))
   }
 
-  private def readText(f: FileSystem, p: Path): String = {
+  private[sources] def readText(f: FileSystem, p: Path): String = {
     val in = f.open(p)
     try {
       val out = new java.io.ByteArrayOutputStream()
@@ -202,7 +202,7 @@ object IcebergSource {
     * files written without them (most name-mapped tables). Name-based
     * resolution is the default; the ids stay available on
     * [[tableMeta]].schema for callers that opt into id reads. */
-  private def stripFieldIds(dt: DataType): DataType = dt match {
+  private[sources] def stripFieldIds(dt: DataType): DataType = dt match {
     case s: StructType => StructType(s.fields.map(fd =>
       StructField(fd.name, stripFieldIds(fd.dataType), fd.nullable)))
     case a: ArrayType => a.copy(elementType = stripFieldIds(a.elementType))
@@ -217,7 +217,7 @@ object IcebergSource {
     try reader.iterator().asScala.toVector finally reader.close()
   }
 
-  private def writeAvro(conf: Configuration, path: Path, schema: Schema,
+  private[sources] def writeAvro(conf: Configuration, path: Path, schema: Schema,
                         records: Seq[GenericRecord]): Long = {
     val f = path.getFileSystem(conf)
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
@@ -310,7 +310,7 @@ object IcebergSource {
   // ---------------------------------------------------------------- read
 
   /** Iceberg paths may be absolute URIs or relative to the table. */
-  private def absolutize(root: String, p: String): String =
+  private[sources] def absolutize(root: String, p: String): String =
     if (p.contains(":/") || p.startsWith("/")) p
     else s"${root.stripSuffix("/")}/$p"
 
@@ -319,9 +319,11 @@ object IcebergSource {
   private def normPath(c: org.apache.spark.sql.Column) =
     regexp_replace(regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:", ""), "^/+", "/")
 
-  private final case class FileEntry(path: String, seq: Long,
-                                     equalityIds: Seq[Int],
-                                     partition: Map[String, Any] = Map.empty)
+  private[sources] final case class FileEntry(path: String, seq: Long,
+                                              equalityIds: Seq[Int],
+                                              partition: Map[String, Any] = Map.empty,
+                                              size: Long = 0L,
+                                              records: Long = 0L)
 
   // ------------------------------------------------- partition pruning
 
@@ -617,12 +619,16 @@ object IcebergSource {
                 fd.name() -> normVal(pr.get(fd.pos()))).toMap
             case _ => Map.empty
           }
+          val size = opt(df0, "file_size_in_bytes")
+            .map(_.asInstanceOf[Long]).getOrElse(0L)
+          val records = opt(df0, "record_count")
+            .map(_.asInstanceOf[Long]).getOrElse(0L)
           content match {
             case 0 =>
               if (predicates.forall(p => partVals.get(p.name) match {
                 case Some(v) => evalPredicate(p, v)
                 case None => true // field absent: cannot prune
-              })) dataFiles += FileEntry(path, seq, Nil, partVals)
+              })) dataFiles += FileEntry(path, seq, Nil, partVals, size, records)
             case 1 => posDeleteFiles += FileEntry(path, seq, Nil)
             case 2 =>
               require(eqIds.nonEmpty,
@@ -636,6 +642,13 @@ object IcebergSource {
     }
     (dataFiles.toSeq, posDeleteFiles.toSeq, eqDeleteFiles.toSeq)
   }
+
+  /** Live (data, positionDelete, equalityDelete) file entries of a
+    * snapshot — the metadata surface [[IcebergMaintenance]] plans over. */
+  private[sources] def snapshotFiles(spark: SparkSession, root: String,
+                                     snap: SnapshotInfo, meta: TableMeta)
+      : (Seq[FileEntry], Seq[FileEntry], Seq[FileEntry]) =
+    collectFiles(spark.sessionState.newHadoopConf(), root, snap, meta)
 
   def read(spark: SparkSession, root: String,
            snapshotId: Option[Long] = None,
@@ -809,7 +822,7 @@ object IcebergSource {
   // subset of optional fields this writer populates; the partition record
   // is built per-table from the identity partition columns (spec: partition
   // field ids start at 1000)
-  private def avroPartType(dt: DataType): String = dt match {
+  private[sources] def avroPartType(dt: DataType): String = dt match {
     case IntegerType | DateType => "\"int\""
     case LongType => "\"long\""
     case StringType => "\"string\""
@@ -818,7 +831,7 @@ object IcebergSource {
         "(int/long/string/date columns only)")
   }
 
-  private def entrySchemaFor(partCols: Seq[StructField]): Schema = {
+  private[sources] def entrySchemaFor(partCols: Seq[StructField]): Schema = {
     val partFields = partCols.zipWithIndex.map { case (fd, i) =>
       s"""{"name":${mapper.writeValueAsString(fd.name)},"type":${avroPartType(fd.dataType)},"field-id":${1000 + i}}"""
     }.mkString(",")
@@ -838,7 +851,7 @@ object IcebergSource {
          |]}}]}""".stripMargin.replaceAll("\n", ""))
   }
 
-  private val manifestFileSchema = new Schema.Parser().parse(
+  private[sources] val manifestFileSchema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
       |{"name":"manifest_path","type":"string","field-id":500},
       |{"name":"manifest_length","type":"long","field-id":501},
@@ -879,7 +892,7 @@ object IcebergSource {
   }
 
   /** Spec "single-value binary" serialization for bound summaries. */
-  private def encodeBound(v: Any): Array[Byte] = v match {
+  private[sources] def encodeBound(v: Any): Array[Byte] = v match {
     case i: Int => java.nio.ByteBuffer.allocate(4)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(i).array()
     case l: Long => java.nio.ByteBuffer.allocate(8)

@@ -415,6 +415,8 @@ class IcebergSpec extends SparkSpec {
     IcebergSource.write(Seq((1L, "a")).toDF("id", "name"), root, "append")
     IcebergSource.write(Seq((2L, "b")).toDF("id", "name"), root, "overwrite")
     assert(Tools.mainExit(Array("iceberg", "history", root)) == 0)
+    assert(Tools.mainExit(Array("iceberg", "optimize", root)) == 0)
+    assert(Tools.mainExit(Array("iceberg", "expire", root, "--dry-run")) == 0)
     assert(Tools.mainExit(Array("iceberg", "bogus")) == 2)
   }
 
