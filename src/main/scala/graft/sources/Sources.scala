@@ -433,6 +433,13 @@ object Sources {
       // partition_by commits an identity-partitioned spec (per-file
       // partition tuples + manifest bound summaries drive read pruning)
       val rows = IcebergSource.write(d, path, mode, partitionBy = cfg.partitionBy)
+      // optimize_after: true bin-packs small files into a replace
+      // snapshot right after the load (micro-batch sinks accrete them)
+      if (cfg.options.get("optimize_after").exists(_.equalsIgnoreCase("true"))) {
+        val target = cfg.targetFileSizeMb.map(_.toLong << 20).getOrElse(128L << 20)
+        IcebergMaintenance.optimize(df.sparkSession, path, targetFileBytes = target)
+        ()
+      }
       refreshSink(df, path)
       return rows
     }

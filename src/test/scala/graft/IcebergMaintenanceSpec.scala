@@ -67,6 +67,18 @@ class IcebergMaintenanceSpec extends SparkSpec {
     assert(us.select("region").distinct().collect().map(_.getString(0)).toSeq == Seq("US"))
   }
 
+  test("declarative sink: optimize_after compacts the fresh load") {
+    val root = tmp() + "/d"
+    val df = (1L to 200L).map(i => (i, s"n$i")).toDF("id", "name").repartition(8)
+    graft.sources.Sources.writeWithStats(df, root, graft.sources.Sources.WriteConfig(
+      format = "iceberg", mode = "append",
+      options = Map("optimize_after" -> "true")))
+    val snaps = IcebergSource.snapshots(spark, root)
+    assert(snaps.map(_.operation) == Seq("append", "replace"))
+    val read = IcebergSource.read(spark, root)
+    assert(read.inputFiles.length == 1 && read.count() == 200)
+  }
+
   test("expireSnapshots drops aged history and reclaims unreferenced files") {
     val root = tmp() + "/e"
     IcebergSource.write(Seq((1L, "a")).toDF("id", "name"), root, "append")
