@@ -299,6 +299,12 @@ object StandardTransformers {
         strOpt(p, "temp_unit").getOrElse("K"),
         strOpt(p, "pressure_unit").getOrElse("Pa"),
         strOpt(p, "prefix").getOrElse("")) }
+    reg("saturated_steam") { (c, p) =>
+      Domain.saturatedSteam(c.df, str(p, "pressure_col"),
+        strOpt(p, "pressure_unit").getOrElse("Pa"),
+        p.get("quality").map(_.toString.toDouble).getOrElse(1.0),
+        strOpt(p, "quality_col"),
+        strOpt(p, "prefix").getOrElse("")) }
     reg("psychrometrics") { (c, p) =>
       Domain.psychrometrics(c.df, str(p, "temp_col"), str(p, "rh_col"),
         strOpt(p, "pressure_pa").map(_.toDouble).getOrElse(101325.0),

@@ -242,6 +242,33 @@ object Domain {
       .drop("_gf_if97")
   }
 
+  /**
+   * saturated_steam: the reference's fixed-quality steam surface
+   * (docs/guides/thermodynamics.md "Saturated Steam (using fixed
+   * quality)": `fluid: Water, quality: 1.0` → hg + saturation temp).
+   * From pressure (caller units) and a quality — constant or per-row
+   * column — the IF97 two-phase bundle: tsat [°C], v, h, u, s plus the
+   * hf/hg endpoints. Out-of-range pressures yield nulls (sensor garbage
+   * flags, never crashes), matching steam_properties.
+   */
+  def saturatedSteam(df: DataFrame, presCol: String, presUnit: String = "Pa",
+                     quality: Double = 1.0, qualityCol: Option[String] = None,
+                     prefix: String = ""): DataFrame = {
+    val p = if (prefix.isEmpty) "" else s"${prefix}_"
+    val (pf, po) = conversion(presUnit, "Pa")
+    val pPa = col(presCol) * lit(pf) + lit(po)
+    val x = qualityCol.map(col).getOrElse(lit(quality))
+    df.withColumn("_gf_sat", If97.saturatedPropsColumn(pPa, x))
+      .withColumn(s"${p}tsat_c", col("_gf_sat.tsat_k") - lit(273.15))
+      .withColumn(s"${p}v", col("_gf_sat.v"))
+      .withColumn(s"${p}h", col("_gf_sat.h"))
+      .withColumn(s"${p}u", col("_gf_sat.u"))
+      .withColumn(s"${p}s", col("_gf_sat.s"))
+      .withColumn(s"${p}hf", col("_gf_sat.hf"))
+      .withColumn(s"${p}hg", col("_gf_sat.hg"))
+      .drop("_gf_sat")
+  }
+
   /** Append the standard psychrometric columns (thermodynamics.py surface);
     * `wetBulbCol = true` adds Stull's wet-bulb temperature. */
   def psychrometrics(df: DataFrame, tempCCol: String, rhCol: String,

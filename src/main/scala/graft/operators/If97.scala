@@ -424,6 +424,52 @@ object If97 {
     r
   }
 
+  /**
+   * Two-phase saturated properties at (p [Pa], quality x in [0, 1]):
+   * struct(tsat_k, v, h, u, s, hf, hg) — the reference's fixed-quality
+   * steam surface (`quality: 1.0` saturated vapor, `0.0` saturated
+   * liquid). hf/hg come from evaluating region 1 / region 2 AT the
+   * region-4 saturation line (the standard IF97 construction); mixed
+   * properties are the lever-rule blend. Out-of-range pressure (outside
+   * 611.213 Pa .. 22.064 MPa) or quality yields nulls, matching
+   * [[props]]'s flag-don't-crash convention.
+   */
+  def saturatedProps(pPa: Double, x: Double): InternalRow = {
+    if (!(pPa >= 611.213 && pPa <= 22.064e6) || !(x >= 0.0 && x <= 1.0))
+      return satNullRow
+    val t = tsatK(pPa)
+    val f = region1(t, pPa)
+    val g = region2(t, pPa)
+    def mix(i: Int): Double = f(i) + x * (g(i) - f(i))
+    val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(7)
+    r.setDouble(0, t)
+    r.setDouble(1, mix(0)); r.setDouble(2, mix(1)); r.setDouble(3, mix(2))
+    r.setDouble(4, mix(3))
+    r.setDouble(5, f(1)); r.setDouble(6, g(1))
+    r
+  }
+
+  private val satNullRow: InternalRow = {
+    val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(7)
+    (0 until 7).foreach(r.setNullAt)
+    r
+  }
+
+  val satPropsSchema: StructType = StructType(Seq(
+    StructField("tsat_k", DoubleType),
+    StructField("v", DoubleType),          // m3/kg
+    StructField("h", DoubleType),          // kJ/kg
+    StructField("u", DoubleType),          // kJ/kg
+    StructField("s", DoubleType),          // kJ/(kg K)
+    StructField("hf", DoubleType),         // sat liquid enthalpy
+    StructField("hg", DoubleType)))        // sat vapor enthalpy
+
+  /** Saturated two-phase bundle as ONE native expression (pPa, x). */
+  def saturatedPropsColumn(pPa: Column, x: Column): Column =
+    ColumnShim.column(If97SaturatedProps(
+      ColumnShim.expression(pPa.cast("double")),
+      ColumnShim.expression(x.cast("double"))))
+
   /** Full (T [K], p [Pa]) property dispatch across regions 1/2/3/5:
     * struct(region, v, h, u, s, cp, w). Region 0 (out of range) yields
     * null properties. Called from interpreted eval AND generated code. */
@@ -555,5 +601,29 @@ case class If97Region3Props(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): If97Region3Props =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
+ * Two-phase saturated property bundle: (p [Pa], quality x) ->
+ * struct(tsat_k, v, h, u, s, hf, hg) — one static call, same codegen
+ * shape as [[If97WaterProps]].
+ */
+case class If97SaturatedProps(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = If97.satPropsSchema
+  override def prettyName: String = "if97_saturated_props"
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(p: Any, x: Any): Any =
+    If97.saturatedProps(p.asInstanceOf[Double], x.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, x) =>
+      s"${ev.value} = graft.operators.If97.saturatedProps($p, $x);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): If97SaturatedProps =
     copy(left = newLeft, right = newRight)
 }

@@ -38,9 +38,12 @@ class ExamplesSpec extends SparkSpec {
     val duty = cycle.agg(avg(col("evaporator_duty_kj_kg"))).head().getDouble(0)
     assert(duty > 100 && duty < 260, s"evaporator duty: $duty")
 
-    // IF97 superheat is positive; psychrometric wet bulb below dry bulb
+    // IF97 superheat is positive; psychrometric wet bulb below dry bulb;
+    // latent heat at ~1 MPa is ~2000 kJ/kg and shrinks with pressure
     val boiler = spark.read.parquet(s"$out/gold/boiler")
     assert(boiler.agg(min(col("superheat_c"))).head().getDouble(0) >= 0)
+    val latent = boiler.agg(avg(col("latent_kj_kg"))).head().getDouble(0)
+    assert(latent > 1900 && latent < 2100, s"latent heat: $latent")
     val air = spark.read.parquet(s"$out/gold/plant_air")
     assert(air.filter(col("wet_bulb") > col("air_temp_c")).count() == 0)
     assert(spark.read.parquet(s"$out/gold/phases").count() > 0)

@@ -170,4 +170,39 @@ class If97Spec extends SparkSpec {
     assert(rel(d3.getDouble(0), 0.255837018e8) < 1e-8)
     assert(rel(d3.getDouble(1), 0.138935717e2) < 1e-8)
   }
+
+  test("saturated two-phase properties: steam-table endpoints and lever rule") {
+    // endpoints = regions 1/2 evaluated AT the region-4 line; values are
+    // classic steam-table anchors (0.1 MPa: tsat 99.61 C, hf 417.4,
+    // hg 2674.9; 1 MPa: tsat 179.89 C, hf 762.7, hg 2777.1)
+    val at1bar = If97.saturatedProps(0.1e6, 0.0)
+    assert(rel(at1bar.getDouble(0), 372.756) < 1e-4, s"tsat ${at1bar.getDouble(0)}")
+    assert(rel(at1bar.getDouble(2), 417.44) < 1e-3, s"hf ${at1bar.getDouble(2)}")
+    val at1barVap = If97.saturatedProps(0.1e6, 1.0)
+    assert(rel(at1barVap.getDouble(2), 2674.9) < 1e-3, s"hg ${at1barVap.getDouble(2)}")
+    val at10bar = If97.saturatedProps(1.0e6, 1.0)
+    assert(rel(at10bar.getDouble(0), 453.03) < 1e-4)
+    assert(rel(at10bar.getDouble(2), 2777.1) < 1e-3)
+    assert(rel(at10bar.getDouble(5), 762.68) < 1e-3) // hf endpoint rides along
+    // lever rule: x = 0.5 is the exact midpoint of the endpoints
+    val mid = If97.saturatedProps(1.0e6, 0.5)
+    assert(math.abs(mid.getDouble(2) -
+      (mid.getDouble(5) + mid.getDouble(6)) / 2.0) < 1e-9)
+    // out-of-range pressure or quality -> nulls, never a crash
+    assert(If97.saturatedProps(23e6, 0.5).isNullAt(0))
+    assert(If97.saturatedProps(1e6, 1.5).isNullAt(0))
+
+    // the Column surface + YAML transformer run end-to-end
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((100.0, 1.0), (1000.0, 1.0), (100.0, 0.0)).toDF("p_kpa", "x")
+    val out = graft.operators.Domain.saturatedSteam(df, "p_kpa", "kPa",
+      qualityCol = Some("x"), prefix = "sat")
+    val rows = out.select("p_kpa", "x", "sat_tsat_c", "sat_h").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val hg1bar = rows.find(r => r._1 == 100.0 && r._2 == 1.0).get
+    assert(rel(hg1bar._3, 99.606) < 1e-3 && rel(hg1bar._4, 2674.9) < 1e-3)
+    val hf1bar = rows.find(r => r._1 == 100.0 && r._2 == 0.0).get
+    assert(rel(hf1bar._4, 417.44) < 1e-3)
+  }
 }
