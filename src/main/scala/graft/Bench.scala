@@ -68,7 +68,7 @@ object Bench {
     "q_numeric_profile", "q_parse_json", "q_perplexity_bigram", "q_phases",
     "q_pii_scrub", "q_psychrometrics", "q_quarantine", "q_regex_replace",
     "q_repetition", "q_replace_values", "q_sample_det", "q_saturation",
-    "q_select_drop_rename", "q_semantic", "q_semantic_derived",
+    "q_saturated_steam", "q_select_drop_rename", "q_semantic", "q_semantic_derived",
     "q_simulation", "q_simulation_deterministic", "q_sort_limit",
     "q_split_events", "q_split_part", "q_stratified_sample",
     "q_string_similarity", "q_surrogate_key", "q_topk_values",

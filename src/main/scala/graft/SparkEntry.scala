@@ -784,6 +784,15 @@ object SparkEntry {
           (col("l_quantity") * lit(40.0) + lit(273.15)).as("t_k"), // 313..2273 K
           (col("l_extendedprice") * lit(500.0)).as("p_pa")),       // ~0.5..50 MPa
         "t_k", "p_pa")),
+    "q_saturated_steam" -> ((s, d) =>
+      // two-phase bundle over the full pressure line; no SQL oracle (the
+      // region-1/2 Gibbs sums are IF97Spec-gated against the standard's
+      // tables) — deterministic per-row floats, frozen in GoldenSpec
+      operators.Domain.saturatedSteam(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * lit(200.0)).as("p_pa"),   // ~0.18..20 MPa
+          (col("l_discount") * lit(10.0)).as("x")),           // 0..1
+        "p_pa", "Pa", qualityCol = Some("x"))),
     "q_fluid_props_air" -> ((s, d) => {
       // Peng-Robinson air over gas states (T >> Tc). The oracle re-derives
       // the FULL two-branch Cardano solve + fugacity pick + departure
