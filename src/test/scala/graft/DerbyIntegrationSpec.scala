@@ -89,6 +89,31 @@ class DerbyIntegrationSpec extends SparkSpec {
     assert(log.contains("\"p_id\" >= 21"), "last stride query missing from DB log")
   }
 
+  test("incremental HWM read: the watermark WHERE executes in the database") {
+    import graft.operators.Incremental
+    executor.execute(
+      """CREATE TABLE app.inc_src ("id" INTEGER, "updated_at" TIMESTAMP)""")
+    executor.execute(
+      """INSERT INTO app.inc_src VALUES
+        | (1, TIMESTAMP('2024-01-01 00:00:00')),
+        | (2, TIMESTAMP('2024-01-02 00:00:00'))""".stripMargin)
+    // first run: full load, then compute the HWM from the batch
+    val first = Sources.readJdbc(spark, url, "app.inc_src",
+      options = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+    assert(first.count() == 2)
+    val hwm = Incremental.newHwm(first, "updated_at").get
+    assert(hwm.startsWith("2024-01-02"))
+    // late-arriving rows land; the second run pushes the HWM WHERE down
+    executor.execute(
+      """INSERT INTO app.inc_src VALUES (3, TIMESTAMP('2024-01-03 00:00:00'))""")
+    val second = Sources.readJdbc(spark, url, "app.inc_src",
+      filter = Some(s""""updated_at" > TIMESTAMP('$hwm')"""),
+      options = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+    assert(second.collect().map(_.getInt(0)).toSeq == Seq(3))
+    assert(logText().contains(s""""updated_at" > TIMESTAMP('$hwm')"""),
+      "HWM predicate never reached the DB")
+  }
+
   test("staging + MERGE flow executes end-to-end: inserts, updates, counts, read-back") {
     executor.execute(
       """CREATE TABLE app.cust_tgt ("id" INTEGER, "name" VARCHAR(200), "balance" DOUBLE)""")
