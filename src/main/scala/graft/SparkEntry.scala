@@ -942,8 +942,13 @@ object SparkEntry {
       // scan. The oracle filters the ORIGINAL parquet, so a hash match
       // certifies the pruned read returns exactly the partition's rows.
       val tmp = java.nio.file.Files.createTempDirectory("graft_icep_q").toString
+      // coalesce before a partitioned commit: every task writes one file
+      // per partition value, so 32 tasks x 3 statuses would mean ~100
+      // tiny files — the write-side discipline any partitioned lakehouse
+      // load needs
       val orders = t(s, d, "orders")
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .coalesce(4)
       graft.sources.IcebergSource.write(orders, s"$tmp/t", "append",
         partitionBy = Seq("o_orderstatus"))
       graft.sources.IcebergSource.read(s, s"$tmp/t",
