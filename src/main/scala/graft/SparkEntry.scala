@@ -1035,9 +1035,12 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
       val root = java.nio.file.Files.createTempDirectory("graft_delta_o")
         .toString + "/orders"
+      // coalesce(8): 24 small files across the three appends still gives
+      // the compactor real work without 3x96-file write amplification
       (0 until 3).foreach { i =>
         graft.sources.DeltaWriter.write(
-          orders.filter(col("o_orderkey") % 3 === i), root, mode = "append")
+          orders.filter(col("o_orderkey") % 3 === i).coalesce(8),
+          root, mode = "append")
       }
       val res = graft.sources.DeltaMaintenance.optimize(s, root)
       require(res.version.nonEmpty && res.filesAdded < res.filesRemoved,
