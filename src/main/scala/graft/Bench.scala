@@ -60,7 +60,8 @@ object Bench {
     "q_flatten_struct", "q_fluid_props_air", "q_fluid_props_r134a",
     "q_gopher_flags",
     "q_harmonize_schema", "q_hash_columns", "q_hwm_filter",
-    "q_iceberg_partition_prune", "q_if97_sat", "q_importance_sample",
+    "q_iceberg_optimize", "q_iceberg_partition_prune", "q_if97_sat",
+    "q_importance_sample",
     "q_incremental_dedup", "q_join_anti", "q_join_left", "q_join_semi",
     "q_lang_id", "q_merge_append_only", "q_merge_delete", "q_minhash_dedup",
     "q_minhash_index_dedup", "q_multimodal_features",

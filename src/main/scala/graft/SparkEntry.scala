@@ -958,6 +958,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"),
           min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
     }),
+    "q_iceberg_optimize" -> ((s, d) => {
+      // bin-pack maintenance over the native iceberg writer: three small
+      // append commits, optimize into a replace snapshot, then read back.
+      // The oracle recomputes from the ORIGINAL parquet, so a hash match
+      // certifies the rewrite moved bytes, not rows.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ice_o").toString
+      val root = s"$tmp/orders"
+      val orders = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      (0 until 3).foreach { i =>
+        graft.sources.IcebergSource.write(
+          orders.filter(col("o_orderkey") % 3 === i).coalesce(8), root, "append")
+      }
+      val res = graft.sources.IcebergMaintenance.optimize(s, root)
+      require(res.snapshotId.nonEmpty && res.filesAdded < res.filesRemoved,
+        s"iceberg optimize did not compact: $res")
+      graft.sources.IcebergSource.read(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+    }),
     "q_iceberg_roundtrip" -> ((s, d) => {
       // the native Iceberg path end-to-end: two append commits through
       // real metadata/manifest-list/manifest files, then a current read
@@ -1978,6 +1999,8 @@ object SparkEntry {
       "SELECT ver, o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS revenue, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM (SELECT 1 AS ver, o_orderstatus, o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 IN (0, 1) UNION ALL SELECT 2 AS ver, o_orderstatus, o_totalprice, o_orderkey FROM orders WHERE o_totalprice > 150000) GROUP BY 1, 2",
     "q_iceberg_partition_prune" ->
       "SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS revenue, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM orders WHERE o_orderstatus = 'F' GROUP BY 1",
+    "q_iceberg_optimize" ->
+      "SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS revenue, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM orders GROUP BY 1",
     "q_iceberg_roundtrip" ->
       "SELECT ver, o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS revenue, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM (SELECT 1 AS ver, o_orderstatus, o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 = 0 UNION ALL SELECT 2 AS ver, o_orderstatus, o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 IN (0, 1)) GROUP BY 1, 2",
     "q_iceberg_changes" ->
