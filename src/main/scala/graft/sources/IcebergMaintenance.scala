@@ -63,25 +63,47 @@ object IcebergMaintenance {
       throw new IllegalArgumentException(s"spec source-id ${f.sourceId} not in schema")))
   }
 
-  /** clone-and-patch the latest metadata json with a new snapshot (or a
-    * filtered snapshot list), bump the version, publish hint LAST */
-  private def patchMetadata(spark: SparkSession, root: String,
+  /** A concurrent writer claimed the metadata version this maintenance
+    * job planned against; callers re-plan from fresh metadata. */
+  final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
+
+  /** Clone-and-patch the PLAN-TIME metadata json (never whatever is
+    * latest at commit time — a concurrent `write()` landing during a
+    * long job must surface as a version-claim conflict, not a silent
+    * lost update) and atomically claim `v(planVersion+1)` via
+    * [[IcebergSource.tryPublishMeta]]. Throws
+    * [[ConcurrentCommitException]] when the claim is lost. */
+  private def patchMetadata(spark: SparkSession, root: String, planVersion: Long,
                             patch: com.fasterxml.jackson.databind.node.ObjectNode => Unit): Long = {
     val f = fs(spark, root)
-    val metaPath = latestMetadata(f, root)
+    val metaPath = new Path(metaDir(root), s"v$planVersion.metadata.json")
+    require(f.exists(metaPath), s"plan-time metadata $metaPath vanished")
     val node = mapper.readTree(readText(f, metaPath))
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     patch(node)
-    val versioned = "v(\\d+)\\.metadata\\.json".r
-    val version = (metaPath.getName match {
-      case versioned(v) => v.toLong
-      case _ => 0L
-    }) + 1
-    val out = f.create(new Path(metaDir(root), s"v$version.metadata.json"), false)
-    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
-    val hint = f.create(new Path(metaDir(root), "version-hint.text"), true)
-    try hint.write(version.toString.getBytes("UTF-8")) finally hint.close()
+    val version = planVersion + 1
+    if (!tryPublishMeta(f, root, version, mapper.writeValueAsBytes(node),
+        java.util.UUID.randomUUID().toString))
+      throw new ConcurrentCommitException(
+        s"$root: v$version claimed by a concurrent commit while this " +
+          "maintenance job ran — re-plan against the new metadata")
+    writeHint(f, root, version)
     version
+  }
+
+  /** Bounded re-plan loop around an optimistically-committing body. */
+  private def withReplan[T](what: String)(body: () => T): T = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return body()
+      catch {
+        case e: ConcurrentCommitException =>
+          if (attempt >= 5) throw new ConcurrentCommitException(
+            s"$what gave up after $attempt conflicted attempts: ${e.getMessage}")
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /**
@@ -92,7 +114,11 @@ object IcebergMaintenance {
    * merge-on-read rewrite that would change sequence semantics.
    */
   def optimize(spark: SparkSession, root: String,
-               targetFileBytes: Long = 128L << 20): OptimizeResult = {
+               targetFileBytes: Long = 128L << 20): OptimizeResult =
+    withReplan(s"optimize($root)")(() => optimizeOnce(spark, root, targetFileBytes))
+
+  private def optimizeOnce(spark: SparkSession, root: String,
+                           targetFileBytes: Long): OptimizeResult = {
     val f = fs(spark, root)
     val meta = tableMeta(spark, root)
     val snap = meta.currentSnapshotId.flatMap(id =>
@@ -164,7 +190,8 @@ object IcebergMaintenance {
     val partSchema = entrySchema.getField("data_file").schema()
       .getField("partition").schema()
     def entry(status: Int, path: String, size: Long, records: Long,
-              seq: Long, part: Map[String, Any]): GenericRecord = {
+              seq: Long, part: Map[String, Any],
+              addedBy: Option[Long] = None): GenericRecord = {
       val dataFile = new GenericData.Record(
         entrySchema.getField("data_file").schema())
       dataFile.put("content", 0)
@@ -180,7 +207,9 @@ object IcebergMaintenance {
       dataFile.put("file_size_in_bytes", size)
       val e = new GenericData.Record(entrySchema)
       e.put("status", status)
-      e.put("snapshot_id", snapshotId)
+      // EXISTING entries keep the snapshot that ORIGINALLY added the
+      // file (spec §Manifests); only ADDED entries stamp this snapshot
+      e.put("snapshot_id", addedBy.getOrElse(snapshotId))
       e.put("sequence_number", seq)
       e.put("file_sequence_number", seq)
       e.put("data_file", dataFile)
@@ -212,7 +241,8 @@ object IcebergMaintenance {
           s"rewrote $rewritten — aborting before commit")
     }
     val entries =
-      kept.map(e => entry(0, e.path, sizeOf(e), e.records, e.seq, e.partition)) ++
+      kept.map(e => entry(0, e.path, sizeOf(e), e.records, e.seq, e.partition,
+        e.addedSnapshotId)) ++
         newFiles.map { case (p, sz, n, part) => entry(1, p, sz, n, newSeq, part) }
     val manifestPath = new Path(metaDir(root), s"manifest-$commitUuid.avro")
     val manifestLen = writeAvro(conf, manifestPath, entrySchema, entries)
@@ -239,23 +269,34 @@ object IcebergMaintenance {
     writeAvro(conf, mlPath, manifestFileSchema, Seq(mlRecord))
 
     val now = snapshotId
-    patchMetadata(spark, root, { node =>
-      node.put("last-sequence-number", newSeq)
-      node.put("last-updated-ms", now)
-      node.put("current-snapshot-id", snapshotId)
-      val snapNode = mapper.createObjectNode()
-      snapNode.put("snapshot-id", snapshotId)
-      snapNode.put("timestamp-ms", now)
-      snapNode.put("sequence-number", newSeq)
-      snapNode.putObject("summary").put("operation", "replace")
-      snapNode.put("manifest-list", mlPath.toString)
-      snapNode.put("schema-id", 0)
-      node.withArray("snapshots").add(snapNode)
-      val logNode = mapper.createObjectNode()
-      logNode.put("snapshot-id", snapshotId)
-      logNode.put("timestamp-ms", now)
-      node.withArray("snapshot-log").add(logNode)
-    })
+    try {
+      patchMetadata(spark, root, meta.version, { node =>
+        node.put("last-sequence-number", newSeq)
+        node.put("last-updated-ms", now)
+        node.put("current-snapshot-id", snapshotId)
+        val snapNode = mapper.createObjectNode()
+        snapNode.put("snapshot-id", snapshotId)
+        snapNode.put("timestamp-ms", now)
+        snapNode.put("sequence-number", newSeq)
+        snapNode.putObject("summary").put("operation", "replace")
+        snapNode.put("manifest-list", mlPath.toString)
+        snapNode.put("schema-id", 0)
+        node.withArray("snapshots").add(snapNode)
+        val logNode = mapper.createObjectNode()
+        logNode.put("snapshot-id", snapshotId)
+        logNode.put("timestamp-ms", now)
+        node.withArray("snapshot-log").add(logNode)
+      })
+    } catch {
+      case e: ConcurrentCommitException =>
+        // a concurrent write() won the version: this attempt's rewrite
+        // outputs are unreferenced — reclaim them, then let the caller
+        // re-plan against the winner's metadata
+        f.delete(outDir, true)
+        f.delete(manifestPath, false)
+        f.delete(mlPath, false)
+        throw e
+    }
     OptimizeResult(Some(snapshotId), compacted.size, newFiles.size,
       bins.flatMap(_._2.map(sizeOf)).sum, newFiles.map(_._2).sum)
   }
@@ -269,7 +310,13 @@ object IcebergMaintenance {
   def expireSnapshots(spark: SparkSession, root: String,
                       keepLast: Int = 1,
                       olderThanMs: Option[Long] = None,
-                      dryRun: Boolean = false): ExpireResult = {
+                      dryRun: Boolean = false): ExpireResult =
+    withReplan(s"expireSnapshots($root)")(() =>
+      expireOnce(spark, root, keepLast, olderThanMs, dryRun))
+
+  private def expireOnce(spark: SparkSession, root: String,
+                         keepLast: Int, olderThanMs: Option[Long],
+                         dryRun: Boolean): ExpireResult = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val f = fs(spark, root)
     val meta = tableMeta(spark, root)
@@ -282,21 +329,34 @@ object IcebergMaintenance {
     val expired = ordered.filterNot(s => keepSet.contains(s.snapshotId))
     if (expired.isEmpty) return ExpireResult(Nil, Nil, dryRun)
 
-    // file references per snapshot (manifest list + manifests + data)
-    def refs(s: SnapshotInfo): Set[String] = {
-      val (d, p, e) = snapshotFiles(spark, root, s, meta)
-      (d ++ p ++ e).map(_.path).toSet ++
-        s.manifestList.map(absolutize(root, _)).toSet ++
-        s.manifestList.toSeq.flatMap(ml =>
-          readManifestPaths(spark, root, ml))
-    }
+    // file references per snapshot (manifest list + manifests + data).
+    // RETAINED snapshots read strictly (an unreadable manifest there is
+    // real corruption and must not silently shrink the keep set, which
+    // would delete still-needed files); EXPIRED snapshots read
+    // tolerantly — a snapshot whose files a previous crashed/legacy run
+    // already reclaimed simply contributes nothing to the doom list.
+    def refs(s: SnapshotInfo, tolerant: Boolean): Set[String] =
+      try {
+        val (d, p, e) = snapshotFiles(spark, root, s, meta)
+        (d ++ p ++ e).map(_.path).toSet ++
+          s.manifestList.map(absolutize(root, _)).toSet ++
+          s.manifestList.toSeq.flatMap(ml =>
+            readManifestPaths(spark, root, ml))
+      } catch {
+        case _: Exception if tolerant =>
+          s.manifestList.map(absolutize(root, _)).toSet
+            .filter(p => f.exists(new Path(p)))
+      }
     val retained = ordered.filter(s => keepSet.contains(s.snapshotId))
-    val keepFiles = retained.flatMap(refs).toSet
-    val doomed = expired.flatMap(refs).toSet -- keepFiles
+    val keepFiles = retained.flatMap(refs(_, tolerant = false)).toSet
+    val doomed = expired.flatMap(refs(_, tolerant = true)).toSet -- keepFiles
 
     if (!dryRun) {
-      doomed.foreach(p => f.delete(new Path(p), false))
-      patchMetadata(spark, root, { node =>
+      // commit the patched metadata FIRST, then reclaim storage: a crash
+      // between the two leaves harmless orphan files behind a valid
+      // table, never metadata referencing deleted files (which would
+      // brick every later read and re-expire)
+      patchMetadata(spark, root, meta.version, { node =>
         val snaps = node.withArray("snapshots")
         val keptNodes = snaps.elements().asScala.filter(s =>
           keepSet.contains(s.get("snapshot-id").asLong())).toSeq
@@ -310,6 +370,7 @@ object IcebergMaintenance {
           keptLog.foreach(log.add)
         }
       })
+      doomed.foreach(p => f.delete(new Path(p), false))
     }
     ExpireResult(expired.map(_.snapshotId), doomed.toSeq.sorted, dryRun)
   }

@@ -151,16 +151,28 @@ object IcebergSource {
 
   // ----------------------------------------------------- metadata location
 
-  /** Latest metadata file: version-hint.text, else highest v*.metadata
-    * .json, else the lexically-last *.metadata.json. */
+  /** Latest metadata file: version-hint.text (probed FORWARD — under
+    * concurrent commits a slower writer may publish a stale hint after a
+    * faster one, so the hint is advisory, exactly as Iceberg's
+    * HadoopTableOperations treats it), else highest v*.metadata.json,
+    * else the lexically-last *.metadata.json. */
   private[sources] def latestMetadata(f: FileSystem, root: String): Path = {
     val hint = new Path(metaDir(root), "version-hint.text")
-    if (f.exists(hint)) {
-      val v = readText(f, hint).trim.toLong
-      val p = new Path(metaDir(root), s"v$v.metadata.json")
-      require(f.exists(p), s"version-hint points at missing $p")
-      return p
-    }
+    // the hint write is not atomic (truncate-then-write, plus a checksum
+    // sidecar on local fs): a read racing a writer can see an empty file,
+    // a torn number, or a checksum mismatch — ALL of those just mean
+    // "scan the directory instead"
+    try {
+      if (f.exists(hint)) {
+        var v = readText(f, hint).trim.toLong
+        val p = new Path(metaDir(root), s"v$v.metadata.json")
+        if (f.exists(p)) {
+          while (f.exists(new Path(metaDir(root), s"v${v + 1}.metadata.json"))) v += 1
+          return new Path(metaDir(root), s"v$v.metadata.json")
+        }
+        // hint points at a missing file: fall through to scan
+      }
+    } catch { case _: Exception => /* advisory hint unreadable: scan */ }
     val metas = f.listStatus(metaDir(root)).toSeq.map(_.getPath)
       .filter(_.getName.endsWith(".metadata.json"))
     require(metas.nonEmpty, s"$root has no iceberg metadata files")
@@ -323,7 +335,8 @@ object IcebergSource {
                                               equalityIds: Seq[Int],
                                               partition: Map[String, Any] = Map.empty,
                                               size: Long = 0L,
-                                              records: Long = 0L)
+                                              records: Long = 0L,
+                                              addedSnapshotId: Option[Long] = None)
 
   // ------------------------------------------------- partition pruning
 
@@ -623,12 +636,15 @@ object IcebergSource {
             .map(_.asInstanceOf[Long]).getOrElse(0L)
           val records = opt(df0, "record_count")
             .map(_.asInstanceOf[Long]).getOrElse(0L)
+          // the snapshot that ORIGINALLY added this file — carried onto
+          // EXISTING entries a rewrite re-emits (spec §Manifests)
+          val addedBy = opt(entry, "snapshot_id").map(_.asInstanceOf[Long])
           content match {
             case 0 =>
               if (predicates.forall(p => partVals.get(p.name) match {
                 case Some(v) => evalPredicate(p, v)
                 case None => true // field absent: cannot prune
-              })) dataFiles += FileEntry(path, seq, Nil, partVals, size, records)
+              })) dataFiles += FileEntry(path, seq, Nil, partVals, size, records, addedBy)
             case 1 => posDeleteFiles += FileEntry(path, seq, Nil)
             case 2 =>
               require(eqIds.nonEmpty,
@@ -901,6 +917,64 @@ object IcebergSource {
     case other => throw new IllegalArgumentException(s"no bound encoding for $other")
   }
 
+  /** Atomically claim `v{version}.metadata.json`: write the bytes to a
+    * hidden temp file, then publish with a put-if-absent. Returns false
+    * when a concurrent committer claimed the version first (caller must
+    * rebase onto the new metadata and retry). Same primitive discipline
+    * as `DeltaWriter.tryPublish`: on LOCAL filesystems a bare
+    * `create(path, overwrite=false)` is a non-atomic check-then-create
+    * window (two racers both pass the check; one torn/clobbered commit),
+    * so the claim there is link(2), which fails with EEXIST and
+    * publishes the fully-written temp file in one shot; on HDFS rename
+    * refuses an existing destination, so rename-if-absent is correct;
+    * object stores would dispatch to their conditional put. */
+  private[graft] def tryPublishMeta(f: FileSystem, root: String, version: Long,
+                                      bytes: Array[Byte], nonce: String): Boolean = {
+    val tmp = new Path(metaDir(root), s".tmp_v$version-$nonce.metadata.json")
+    f.mkdirs(metaDir(root))
+    val out = f.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    val target = new Path(metaDir(root), s"v$version.metadata.json")
+    def renameIfAbsent(): Boolean = !f.exists(target) && f.rename(tmp, target)
+    var cleanupTmp = true
+    val won =
+      if (f.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false // lost the race
+          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException |
+               _: java.nio.file.InvalidPathException =>
+            val r = renameIfAbsent()
+            if (r) cleanupTmp = false
+            r
+        }
+      } else {
+        val r = renameIfAbsent()
+        if (r) cleanupTmp = false
+        r
+      }
+    if (cleanupTmp) f.delete(tmp, false)
+    won
+  }
+
+  /** Winner-side hint publish: advisory only (readers probe forward), so
+    * a stale late write is harmless; still, never move it backwards when
+    * the current hint is readable. */
+  private[graft] def writeHint(f: FileSystem, root: String, version: Long): Unit = {
+    val hintPath = new Path(metaDir(root), "version-hint.text")
+    val current = try {
+      if (f.exists(hintPath)) readText(f, hintPath).trim.toLong else -1L
+    } catch { case _: Exception => -1L }
+    if (version > current) {
+      val hint = f.create(hintPath, true)
+      try hint.write(version.toString.getBytes("UTF-8")) finally hint.close()
+    }
+  }
+
   /**
    * Commit `df` to the Iceberg table at `root` (created on first write):
    * mode `append` adds a snapshot keeping prior data; `overwrite` adds a
@@ -922,19 +996,18 @@ object IcebergSource {
     val f = fs(spark, root)
     val exists = isIcebergTable(spark, root)
     val prev = if (exists) Some(tableMeta(spark, root)) else None
-    prev.foreach { m =>
-      if (mode == "append") {
-        require(m.schema.map(fd => (fd.name, fd.dataType)) ==
-          df.schema.map(fd => (fd.name, fd.dataType)),
-          "iceberg append requires an identical schema " +
-            s"(table: ${m.schema.simpleString}, frame: ${df.schema.simpleString})")
-        require(m.partitionSpec.map(_.name) == partitionBy &&
-          m.partitionSpec.forall(_.transform == "identity"),
-          s"iceberg append requires the table's partition spec " +
-            s"(${m.partitionSpec.map(_.name).mkString(", ")}), got " +
-            s"(${partitionBy.mkString(", ")})")
-      }
+    def validateAppend(m: TableMeta): Unit = if (mode == "append") {
+      require(m.schema.map(fd => (fd.name, fd.dataType)) ==
+        df.schema.map(fd => (fd.name, fd.dataType)),
+        "iceberg append requires an identical schema " +
+          s"(table: ${m.schema.simpleString}, frame: ${df.schema.simpleString})")
+      require(m.partitionSpec.map(_.name) == partitionBy &&
+        m.partitionSpec.forall(_.transform == "identity"),
+        s"iceberg append requires the table's partition spec " +
+          s"(${m.partitionSpec.map(_.name).mkString(", ")}), got " +
+          s"(${partitionBy.mkString(", ")})")
     }
+    prev.foreach(validateAppend)
     val partCols: Seq[StructField] = partitionBy.map(c =>
       df.schema.fields.find(_.name == c).getOrElse(throw new IllegalArgumentException(
         s"partition column $c not in ${df.schema.fieldNames.mkString(", ")}")))
@@ -983,36 +1056,9 @@ object IcebergSource {
       }
     }
 
-    // 2. one manifest for the commit (snapshot id strictly above any
-    // prior id, so two commits in the same millisecond stay distinct)
-    val snapshotId = math.max(System.currentTimeMillis(),
-      prev.toSeq.flatMap(_.snapshots).map(_.snapshotId + 1).foldLeft(0L)(math.max))
-    val seq = prev.map(_.lastSequenceNumber).getOrElse(0L) + 1
     val partSchema = entrySchema.getField("data_file").schema()
       .getField("partition").schema()
     val fileParts: Seq[Seq[Any]] = files.map(s => partValuesOf(s.getPath))
-    val entries = files.lazyZip(counts).lazyZip(fileParts).map { (s, n, pvals) =>
-      val dataFile = new GenericData.Record(
-        entrySchema.getField("data_file").schema())
-      dataFile.put("content", 0)
-      dataFile.put("file_path", s.getPath.toString)
-      dataFile.put("file_format", "PARQUET")
-      val pr = new GenericData.Record(partSchema)
-      partCols.indices.foreach(i => pr.put(i, pvals(i)))
-      dataFile.put("partition", pr)
-      dataFile.put("record_count", n)
-      dataFile.put("file_size_in_bytes", s.getLen)
-      val e = new GenericData.Record(entrySchema)
-      e.put("status", 1) // ADDED
-      e.put("snapshot_id", snapshotId)
-      e.put("sequence_number", seq)
-      e.put("file_sequence_number", seq)
-      e.put("data_file", dataFile)
-      e
-    }
-    val manifestPath = new Path(metaDir(root), s"manifest-$commitUuid.avro")
-    f.mkdirs(metaDir(root))
-    val manifestLen = writeAvro(conf, manifestPath, entrySchema, entries)
 
     // per-field bound summaries for the manifest-list row (what read()'s
     // manifest-level pruning consumes); date partitions stored as int
@@ -1022,117 +1068,171 @@ object IcebergSource {
       (vals.head, vals.last)
     }
 
-    // 3. manifest list: prior manifests survive an append, not an overwrite
-    def manifestFileRecord(path: String, len: Long, addedFiles: Int,
-                           addedRows: Long, seqNum: Long): GenericRecord = {
-      val r = new GenericData.Record(manifestFileSchema)
-      r.put("manifest_path", path)
-      r.put("manifest_length", len)
-      r.put("partition_spec_id", 0)
-      r.put("content", 0)
-      r.put("sequence_number", seqNum)
-      r.put("min_sequence_number", seqNum)
-      r.put("added_snapshot_id", snapshotId)
-      r.put("added_files_count", addedFiles)
-      r.put("existing_files_count", 0)
-      r.put("deleted_files_count", 0)
-      r.put("added_rows_count", addedRows)
-      r.put("existing_rows_count", 0L)
-      r.put("deleted_rows_count", 0L)
-      if (partitionSummaries.nonEmpty) {
-        val arrSchema = manifestFileSchema.getField("partitions").schema()
-          .getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
-        val itemSchema = arrSchema.getElementType
-        val arr = new java.util.ArrayList[GenericRecord]()
-        partitionSummaries.foreach { case (lo, hi) =>
-          val s = new GenericData.Record(itemSchema)
-          s.put("contains_null", false)
-          s.put("lower_bound", java.nio.ByteBuffer.wrap(encodeBound(lo)))
-          s.put("upper_bound", java.nio.ByteBuffer.wrap(encodeBound(hi)))
-          arr.add(s)
-        }
-        r.put("partitions", arr)
+    // 2-4. build + atomically publish the commit (optimistic retry loop).
+    // The staged data files above are attempt-invariant; the manifest,
+    // manifest list and metadata all embed snapshot/sequence ids, so each
+    // attempt rewrites those (small, driver-side) against the then-current
+    // table state, then claims `v{N+1}.metadata.json` with a put-if-absent
+    // ([[tryPublishMeta]]). Exactly one committer wins a version; a loser
+    // deletes its orphaned attempt files, rebases onto the winner's
+    // metadata and retries — its committed data files are never thrown
+    // away (the lost-commit class DeltaConcurrencySpec proved real on
+    // local filesystems).
+    var attempt = 0
+    var cur = prev
+    while (true) {
+      attempt += 1
+      require(attempt <= 20,
+        s"gave up publishing iceberg commit at $root after 20 attempts")
+      if (attempt > 1) {
+        // rebase: a concurrent overwrite may have changed the schema or
+        // spec an append must match — re-validate loudly, don't clobber
+        cur = if (isIcebergTable(spark, root)) Some(tableMeta(spark, root)) else None
+        cur.foreach(validateAppend)
       }
-      r
-    }
-    val priorManifests: Seq[GenericRecord] =
-      if (mode == "overwrite") Nil
-      else prev.flatMap(m => m.currentSnapshotId.flatMap(id =>
-        m.snapshots.find(_.snapshotId == id))).toSeq.flatMap { s =>
-        s.manifestList.toSeq.flatMap(ml => readAvro(conf, absolutize(root, ml)))
-      }.map { old =>
-        // rebuild under the CURRENT manifest-list schema (field-by-name):
-        // records from other writers/versions may order or omit optionals
-        // differently, and the datum writer navigates by writer-schema position
+      // snapshot id strictly above any prior id, so two commits in the
+      // same millisecond stay distinct
+      val snapshotId = math.max(System.currentTimeMillis(),
+        cur.toSeq.flatMap(_.snapshots).map(_.snapshotId + 1).foldLeft(0L)(math.max))
+      val seq = cur.map(_.lastSequenceNumber).getOrElse(0L) + 1
+      val attemptUuid = if (attempt == 1) commitUuid else s"$commitUuid-r$attempt"
+      val entries = files.lazyZip(counts).lazyZip(fileParts).map { (s, n, pvals) =>
+        val dataFile = new GenericData.Record(
+          entrySchema.getField("data_file").schema())
+        dataFile.put("content", 0)
+        dataFile.put("file_path", s.getPath.toString)
+        dataFile.put("file_format", "PARQUET")
+        val pr = new GenericData.Record(partSchema)
+        partCols.indices.foreach(i => pr.put(i, pvals(i)))
+        dataFile.put("partition", pr)
+        dataFile.put("record_count", n)
+        dataFile.put("file_size_in_bytes", s.getLen)
+        val e = new GenericData.Record(entrySchema)
+        e.put("status", 1) // ADDED
+        e.put("snapshot_id", snapshotId)
+        e.put("sequence_number", seq)
+        e.put("file_sequence_number", seq)
+        e.put("data_file", dataFile)
+        e
+      }
+      val manifestPath = new Path(metaDir(root), s"manifest-$attemptUuid.avro")
+      f.mkdirs(metaDir(root))
+      val manifestLen = writeAvro(conf, manifestPath, entrySchema, entries)
+
+      // manifest list: prior manifests survive an append, not an overwrite
+      def manifestFileRecord(path: String, len: Long, addedFiles: Int,
+                             addedRows: Long, seqNum: Long): GenericRecord = {
         val r = new GenericData.Record(manifestFileSchema)
-        manifestFileSchema.getFields.asScala.foreach { fd =>
-          // nested optionals (partition summaries) only carry over when the
-          // source schema matches ours — a richer foreign field_summary
-          // would not serialize under our item schema; dropping the summary
-          // is always safe (absent bounds simply disable manifest pruning)
-          val compatible = fd.name() != "partitions" ||
-            Option(old.getSchema.getField(fd.name()))
-              .exists(_.schema().toString == fd.schema().toString)
-          if (compatible) opt(old, fd.name()).foreach(v => r.put(fd.pos(), v))
+        r.put("manifest_path", path)
+        r.put("manifest_length", len)
+        r.put("partition_spec_id", 0)
+        r.put("content", 0)
+        r.put("sequence_number", seqNum)
+        r.put("min_sequence_number", seqNum)
+        r.put("added_snapshot_id", snapshotId)
+        r.put("added_files_count", addedFiles)
+        r.put("existing_files_count", 0)
+        r.put("deleted_files_count", 0)
+        r.put("added_rows_count", addedRows)
+        r.put("existing_rows_count", 0L)
+        r.put("deleted_rows_count", 0L)
+        if (partitionSummaries.nonEmpty) {
+          val arrSchema = manifestFileSchema.getField("partitions").schema()
+            .getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
+          val itemSchema = arrSchema.getElementType
+          val arr = new java.util.ArrayList[GenericRecord]()
+          partitionSummaries.foreach { case (lo, hi) =>
+            val s = new GenericData.Record(itemSchema)
+            s.put("contains_null", false)
+            s.put("lower_bound", java.nio.ByteBuffer.wrap(encodeBound(lo)))
+            s.put("upper_bound", java.nio.ByteBuffer.wrap(encodeBound(hi)))
+            arr.add(s)
+          }
+          r.put("partitions", arr)
         }
         r
       }
-    val newManifestList = Seq(manifestFileRecord(manifestPath.toString,
-      manifestLen, files.size, rows, seq)) ++ priorManifests
-    val mlPath = new Path(metaDir(root), s"snap-$snapshotId-$commitUuid.avro")
-    writeAvro(conf, mlPath, manifestFileSchema, newManifestList)
+      val priorManifests: Seq[GenericRecord] =
+        if (mode == "overwrite") Nil
+        else cur.flatMap(m => m.currentSnapshotId.flatMap(id =>
+          m.snapshots.find(_.snapshotId == id))).toSeq.flatMap { s =>
+          s.manifestList.toSeq.flatMap(ml => readAvro(conf, absolutize(root, ml)))
+        }.map { old =>
+          // rebuild under the CURRENT manifest-list schema (field-by-name):
+          // records from other writers/versions may order or omit optionals
+          // differently, and the datum writer navigates by writer-schema position
+          val r = new GenericData.Record(manifestFileSchema)
+          manifestFileSchema.getFields.asScala.foreach { fd =>
+            // nested optionals (partition summaries) only carry over when the
+            // source schema matches ours — a richer foreign field_summary
+            // would not serialize under our item schema; dropping the summary
+            // is always safe (absent bounds simply disable manifest pruning)
+            val compatible = fd.name() != "partitions" ||
+              Option(old.getSchema.getField(fd.name()))
+                .exists(_.schema().toString == fd.schema().toString)
+            if (compatible) opt(old, fd.name()).foreach(v => r.put(fd.pos(), v))
+          }
+          r
+        }
+      val newManifestList = Seq(manifestFileRecord(manifestPath.toString,
+        manifestLen, files.size, rows, seq)) ++ priorManifests
+      val mlPath = new Path(metaDir(root), s"snap-$snapshotId-$attemptUuid.avro")
+      writeAvro(conf, mlPath, manifestFileSchema, newManifestList)
 
-    // 4. metadata vN+1 (snapshot history retained), version-hint LAST
-    val (schemaJson, lastColumnId) = prev match {
-      case Some(m) if mode == "append" =>
-        (mapper.writeValueAsString(m.schemaJson), m.lastColumnId)
-      case _ =>
-        val (js, lastId) = toIcebergSchemaJson(df.schema)
-        // graft the schema-id into the struct json
-        (js.replaceFirst("\\{\"type\":\"struct\"",
-          "{\"type\":\"struct\",\"schema-id\":0"), lastId)
+      // metadata vN+1 (snapshot history retained), version-hint LAST
+      val (schemaJson, lastColumnId) = cur match {
+        case Some(m) if mode == "append" =>
+          (mapper.writeValueAsString(m.schemaJson), m.lastColumnId)
+        case _ =>
+          val (js, lastId) = toIcebergSchemaJson(df.schema)
+          // graft the schema-id into the struct json
+          (js.replaceFirst("\\{\"type\":\"struct\"",
+            "{\"type\":\"struct\",\"schema-id\":0"), lastId)
+      }
+      val now = snapshotId
+      val newSnap =
+        s"""{"snapshot-id":$snapshotId,"timestamp-ms":$now,"sequence-number":$seq,
+           |"summary":{"operation":"${if (mode == "append") "append" else "overwrite"}"},
+           |"manifest-list":"${mlPath.toString}","schema-id":0}"""
+          .stripMargin.replaceAll("\n", "")
+      val priorSnaps = cur.toSeq.flatMap(_.snapshots).map { s =>
+        val ml = s.manifestList.map(p => s""","manifest-list":"$p"""").getOrElse("")
+        val im = if (s.inlineManifests.nonEmpty)
+          s""","manifests":[${s.inlineManifests.map(p => s""""$p"""").mkString(",")}]"""
+        else ""
+        s"""{"snapshot-id":${s.snapshotId},"timestamp-ms":${s.timestampMs},
+           |"summary":{"operation":"${s.operation}"}$ml$im}""".stripMargin.replaceAll("\n", "")
+      }
+      val allSnaps = (priorSnaps :+ newSnap).mkString(",")
+      val uuid = cur.map(_.tableUuid).getOrElse(java.util.UUID.randomUUID().toString)
+      val version = cur.map(_.version).getOrElse(0L) + 1
+      // identity spec fields reference source columns by their schema field id
+      val nameToId: Map[String, Int] = mapper.readTree(schemaJson).get("fields")
+        .elements().asScala.map(fd =>
+          fd.get("name").asText() -> fd.get("id").asInt()).toMap
+      val specFieldsJson = partCols.zipWithIndex.map { case (fd, i) =>
+        s"""{"name":${mapper.writeValueAsString(fd.name)},"transform":"identity",""" +
+          s""""source-id":${nameToId(fd.name)},"field-id":${1000 + i}}"""
+      }.mkString(",")
+      val metadataJson =
+        s"""{"format-version":2,"table-uuid":"$uuid","location":"$root",
+           |"last-sequence-number":$seq,"last-updated-ms":$now,
+           |"last-column-id":$lastColumnId,
+           |"schemas":[$schemaJson],"current-schema-id":0,
+           |"partition-specs":[{"spec-id":0,"fields":[$specFieldsJson]}],"default-spec-id":0,
+           |"last-partition-id":${999 + partCols.size},
+           |"sort-orders":[{"order-id":0,"fields":[]}],"default-sort-order-id":0,
+           |"snapshots":[$allSnaps],"current-snapshot-id":$snapshotId,
+           |"snapshot-log":[{"snapshot-id":$snapshotId,"timestamp-ms":$now}]}"""
+          .stripMargin.replaceAll("\n", "")
+      if (tryPublishMeta(f, root, version, metadataJson.getBytes("UTF-8"), attemptUuid)) {
+        writeHint(f, root, version)
+        return rows
+      }
+      // lost the race: drop this attempt's orphaned manifest files, rebase
+      f.delete(manifestPath, false)
+      f.delete(mlPath, false)
     }
-    val now = snapshotId
-    val newSnap =
-      s"""{"snapshot-id":$snapshotId,"timestamp-ms":$now,"sequence-number":$seq,
-         |"summary":{"operation":"${if (mode == "append") "append" else "overwrite"}"},
-         |"manifest-list":"${mlPath.toString}","schema-id":0}"""
-        .stripMargin.replaceAll("\n", "")
-    val priorSnaps = prev.toSeq.flatMap(_.snapshots).map { s =>
-      val ml = s.manifestList.map(p => s""","manifest-list":"$p"""").getOrElse("")
-      val im = if (s.inlineManifests.nonEmpty)
-        s""","manifests":[${s.inlineManifests.map(p => s""""$p"""").mkString(",")}]"""
-      else ""
-      s"""{"snapshot-id":${s.snapshotId},"timestamp-ms":${s.timestampMs},
-         |"summary":{"operation":"${s.operation}"}$ml$im}""".stripMargin.replaceAll("\n", "")
-    }
-    val allSnaps = (priorSnaps :+ newSnap).mkString(",")
-    val uuid = prev.map(_.tableUuid).getOrElse(java.util.UUID.randomUUID().toString)
-    val version = prev.map(_.version).getOrElse(0L) + 1
-    // identity spec fields reference source columns by their schema field id
-    val nameToId: Map[String, Int] = mapper.readTree(schemaJson).get("fields")
-      .elements().asScala.map(fd =>
-        fd.get("name").asText() -> fd.get("id").asInt()).toMap
-    val specFieldsJson = partCols.zipWithIndex.map { case (fd, i) =>
-      s"""{"name":${mapper.writeValueAsString(fd.name)},"transform":"identity",""" +
-        s""""source-id":${nameToId(fd.name)},"field-id":${1000 + i}}"""
-    }.mkString(",")
-    val metadataJson =
-      s"""{"format-version":2,"table-uuid":"$uuid","location":"$root",
-         |"last-sequence-number":$seq,"last-updated-ms":$now,
-         |"last-column-id":$lastColumnId,
-         |"schemas":[$schemaJson],"current-schema-id":0,
-         |"partition-specs":[{"spec-id":0,"fields":[$specFieldsJson]}],"default-spec-id":0,
-         |"last-partition-id":${999 + partCols.size},
-         |"sort-orders":[{"order-id":0,"fields":[]}],"default-sort-order-id":0,
-         |"snapshots":[$allSnaps],"current-snapshot-id":$snapshotId,
-         |"snapshot-log":[{"snapshot-id":$snapshotId,"timestamp-ms":$now}]}"""
-        .stripMargin.replaceAll("\n", "")
-    val metaPath = new Path(metaDir(root), s"v$version.metadata.json")
-    val out = f.create(metaPath, false)
-    try out.write(metadataJson.getBytes("UTF-8")) finally out.close()
-    val hint = f.create(new Path(metaDir(root), "version-hint.text"), true)
-    try hint.write(version.toString.getBytes("UTF-8")) finally hint.close()
-    rows
+    throw new IllegalStateException("unreachable")
   }
 }
