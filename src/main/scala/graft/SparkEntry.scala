@@ -959,9 +959,12 @@ object SparkEntry {
           min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
     }),
     "q_iceberg_optimize" -> ((s, d) => {
-      // bin-pack maintenance over the native iceberg writer: three small
-      // append commits, optimize into a replace snapshot, then read back.
-      // The oracle recomputes from the ORIGINAL parquet, so a hash match
+      // bin-pack maintenance over the native iceberg writer on a
+      // PARTITIONED layout: three small append commits into an
+      // o_orderstatus-partitioned spec, optimize into a replace snapshot
+      // (compaction stays within partitions), then read back — with a
+      // pruned-read guard proving the tuples survived the rewrite. The
+      // oracle recomputes from the ORIGINAL parquet, so a hash match
       // certifies the rewrite moved bytes, not rows.
       val tmp = java.nio.file.Files.createTempDirectory("graft_ice_o").toString
       val root = s"$tmp/orders"
@@ -969,13 +972,18 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
       (0 until 3).foreach { i =>
         graft.sources.IcebergSource.write(
-          orders.filter(col("o_orderkey") % 3 === i).coalesce(8), root, "append")
+          orders.filter(col("o_orderkey") % 3 === i).coalesce(4), root, "append",
+          partitionBy = Seq("o_orderstatus"))
       }
       val res = graft.sources.IcebergMaintenance.optimize(s, root)
       require(res.snapshotId.nonEmpty && res.filesAdded < res.filesRemoved,
         s"iceberg optimize did not compact: $res")
-      graft.sources.IcebergSource.read(s, root)
-        .groupBy("o_orderstatus")
+      val all = graft.sources.IcebergSource.read(s, root)
+      val pruned = graft.sources.IcebergSource.read(s, root, partitionFilter =
+        Seq(graft.sources.IcebergSource.PartitionPredicate("o_orderstatus", "=", "O")))
+      require(pruned.inputFiles.length < all.inputFiles.length,
+        "partition pruning lost after optimize")
+      all.groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"),
           min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
     }),
@@ -1086,6 +1094,57 @@ object SparkEntry {
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("bal"),
           min("c_custkey").as("min_key"), max("c_custkey").as("max_key"))
+    }),
+    "q_jdbc_read" -> ((s, d) => {
+      // the JDBC read path against a LIVE embedded database (Derby ships
+      // in Spark's jar dir): parquet → staged into Derby through Spark's
+      // jdbc writer → read back via readJdbc with a pushdown WHERE that
+      // the DATABASE executes (subquery wrapping) plus a range-partitioned
+      // parallel scan. A hash match against DuckDB certifies rows that
+      // traveled through a real SQL engine, not a parquet replay.
+      val url = "jdbc:derby:memory:graft_board;create=true"
+      val driverOpt = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+      val cust = t(s, d, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+      cust.write.mode("overwrite").format("jdbc")
+        .option("url", url).options(driverOpt)
+        .option("dbtable", "app.customer_src")
+        // Spark's Derby dialect maps StringType to CLOB, which Derby
+        // won't compare to VARCHAR — size strings explicitly
+        .option("createTableColumnTypes",
+          "c_name VARCHAR(64), c_mktsegment VARCHAR(16)")
+        .save()
+      graft.sources.Sources.readJdbc(s, url, "app.customer_src",
+        filter = Some("\"c_acctbal\" > 1000"),
+        partitioning = Some(graft.sources.Sources.JdbcPartitioning(
+          "\"c_custkey\"", 1L, 1L << 20, 4)),
+        options = driverOpt)
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    }),
+    "q_api_read" -> ((s, d) => {
+      // the API source end-to-end over its deterministic in-process
+      // transport: the customer table serialized as page-numbered JSON
+      // responses under a {"data": [...]} wrapper, fetched page-by-page
+      // (REST ingestion is inherently driver-side and page-bounded, like
+      // the reference's api reader), then parsed DISTRIBUTED via
+      // spark.read.json. A hash match certifies pagination + record-path
+      // parsing round-trips the rows exactly.
+      import graft.sources.ApiSource
+      val pageSize = 200
+      val pages: Vector[String] = t(s, d, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey").toJSON.collect().toVector
+        .grouped(pageSize)
+        .map(chunk => s"""{"data":[${chunk.mkString(",")}]}""").toVector
+      val fetch: ApiSource.Fetch = (_, params) => {
+        val p = params("page").toInt
+        if (p <= pages.size) pages(p - 1) else """{"data":[]}"""
+      }
+      val bodies = ApiSource.fetchPages("https://example.invalid/customers",
+        ApiSource.PageNumber(), fetch,
+        isEmpty = _.contains("\"data\":[]"))
+      ApiSource.toDataFrame(s, bodies, recordPath = Some("data"))
+        .select("c_custkey", "c_name", "c_mktsegment")
     }),
     "q_multimodal_features" -> ((s, d) => {
       val media = graft.functions.Multimodal.asMedia(
@@ -1993,6 +2052,13 @@ object SparkEntry {
       "SELECT count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS chars, CAST(sum(octet_length(encode(text))) AS BIGINT) AS bytes, min('https://corpus.example/' || doc_id) AS min_uri, max('https://corpus.example/' || doc_id) AS max_uri FROM documents",
     "q_excel_roundtrip" ->
       "SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal, min(c_custkey) AS min_key, max(c_custkey) AS max_key FROM customer GROUP BY 1",
+    // rows travel parquet → Derby → Spark-jdbc; the oracle replays the
+    // pushdown WHERE on the original parquet
+    "q_jdbc_read" ->
+      "SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer WHERE c_acctbal > 1000",
+    // rows travel JSON pages → pagination loop → spark.read.json
+    "q_api_read" ->
+      "SELECT c_custkey, c_name, c_mktsegment FROM customer",
     "q_delta_timetravel" ->
       "SELECT n_nationkey, n_name, n_regionkey, 0 AS ver FROM nation UNION ALL SELECT n_nationkey, n_name, n_regionkey, 1 AS ver FROM nation WHERE (n_nationkey % 2 = 0) OR (n_regionkey <> 0)",
     "q_delta_roundtrip" ->

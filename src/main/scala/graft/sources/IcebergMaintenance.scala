@@ -51,16 +51,32 @@ object IcebergMaintenance {
     case (other, _) => other.asInstanceOf[AnyRef]
   }
 
-  /** partition columns of the current identity spec as StructFields */
+  /** Partition fields of the current spec as StructFields, named by the
+    * SPEC FIELD name and typed by the transform's RESULT type (spec
+    * §Partition Transforms): identity/truncate keep the source type;
+    * year/month/day/hour and bucket[N] store ints. Maintenance never
+    * recomputes a transform — a rewrite merges files WITHIN one
+    * partition tuple, so kept and compacted entries alike reuse the
+    * stored tuple values. */
   private def partitionStructFields(meta: TableMeta): Seq[StructField] = {
-    require(meta.partitionSpec.forall(_.transform == "identity"),
-      s"iceberg maintenance supports identity partition specs, got " +
-        meta.partitionSpec.map(f => s"${f.name}:${f.transform}").mkString(", "))
     val byId: Map[Int, StructField] = meta.schemaJson.get("fields")
       .elements().asScala.zip(meta.schema.fields.iterator)
       .map { case (js, sf) => js.get("id").asInt() -> sf }.toMap
-    meta.partitionSpec.map(f => byId.getOrElse(f.sourceId,
-      throw new IllegalArgumentException(s"spec source-id ${f.sourceId} not in schema")))
+    val bucketR = "bucket\\[(\\d+)\\]".r
+    val truncR = "truncate\\[(\\d+)\\]".r
+    meta.partitionSpec.map { f =>
+      val src = byId.getOrElse(f.sourceId,
+        throw new IllegalArgumentException(s"spec source-id ${f.sourceId} not in schema"))
+      val dt = f.transform match {
+        case "identity" => src.dataType
+        case "year" | "month" | "day" | "hour" => IntegerType
+        case bucketR(_) => IntegerType
+        case truncR(_) => src.dataType
+        case other => throw new IllegalArgumentException(
+          s"iceberg maintenance: unsupported partition transform '$other' on ${f.name}")
+      }
+      StructField(f.name, dt)
+    }
   }
 
   /** A concurrent writer claimed the metadata version this maintenance

@@ -105,4 +105,47 @@ class IcebergMaintenanceSpec extends SparkSpec {
     // nothing more to expire
     assert(IcebergMaintenance.expireSnapshots(spark, root).expiredSnapshots.isEmpty)
   }
+
+  test("transform-spec maintenance: bin-pack + expiry over a day+bucket v2 table") {
+    import IcebergSource.{PartitionPredicate => PP}
+    val root = tmp() + "/tr"
+    val rows = for {
+      day <- Seq("2024-01-01", "2024-01-02")
+      i <- 1 to 60
+    } yield (i, java.sql.Date.valueOf(day), s"p$i")
+    graft.sources.IcebergTestTables.writeDayBucketTable(spark, root, rows)
+
+    val before = IcebergSource.read(spark, root)
+    val beforeFiles = before.inputFiles.length
+    val beforeRows = before.orderBy("id", "ts").collect()
+      .map(r => (r.getInt(0), r.getDate(1).toString)).toSeq
+    assert(beforeRows.size == 120)
+    assert(beforeFiles > 8, s"fixture should spread files, got $beforeFiles")
+    // the transform spec prunes BEFORE maintenance (fixture is conformant)
+    val day1 = java.sql.Date.valueOf("2024-01-01").toLocalDate.toEpochDay
+    val oneDay = IcebergSource.read(spark, root,
+      partitionFilter = Seq(PP("ts_day", "=", day1)))
+    assert(oneDay.count() == 60 && oneDay.inputFiles.length < beforeFiles)
+
+    // bin-pack: rows identical, fewer files, tuples preserved → pruning
+    // still works after the rewrite
+    val r = IcebergMaintenance.optimize(spark, root)
+    assert(r.snapshotId.isDefined, "transform-spec optimize must compact")
+    val after = IcebergSource.read(spark, root)
+    assert(after.inputFiles.length < beforeFiles)
+    assert(after.orderBy("id", "ts").collect()
+      .map(x => (x.getInt(0), x.getDate(1).toString)).toSeq == beforeRows)
+    val oneDayAfter = IcebergSource.read(spark, root,
+      partitionFilter = Seq(PP("ts_day", "=", day1)))
+    assert(oneDayAfter.count() == 60)
+    assert(oneDayAfter.inputFiles.length < after.inputFiles.length,
+      "day pruning lost after transform-spec optimize")
+
+    // expiry over the transform table drops the pre-optimize snapshot
+    // and reclaims its compacted-away files
+    val e = IcebergMaintenance.expireSnapshots(spark, root, keepLast = 1)
+    assert(e.expiredSnapshots.size == 1 && e.deletedFiles.nonEmpty)
+    assert(IcebergSource.read(spark, root).count() == 120)
+    assert(IcebergSource.snapshots(spark, root).size == 1)
+  }
 }
