@@ -1339,17 +1339,18 @@ object SparkEntry {
        |  $ca * ln(t_k / $t0) + $cb * (t_k - $t0)
        |    + ${cc / 2.0} * (t_k * t_k - ${t0 * t0})
        |    + ${cd / 3.0} * (t_k * t_k * t_k - ${t0 * t0 * t0})
-       |    - $r * ln(p_pa / $p0) AS s0 FROM s9)
+       |    - $r * ln(p_pa / $p0) AS s0 FROM s9),
+       |s11 AS (SELECT *, z * $r * t_k / p_pa - ${f.cShift} AS vt FROM s10)
        |SELECT l_orderkey, l_linenumber, t_k, p_pa,
-       |       round(z, 6) AS z,
-       |       round(${f.m} / (z * $r * t_k / p_pa), 4) AS density,
-       |       round((h0 + hdep) / ${f.m * 1000.0}, 4) AS h,
+       |       round(p_pa * vt / ($r * t_k), 6) AS z,
+       |       round(${f.m} / vt, 4) AS density,
+       |       round((h0 + hdep - ${f.cShift} * p_pa) / ${f.m * 1000.0}, 4) AS h,
        |       round((s0 + sdep) / ${f.m * 1000.0}, 5) AS s,
        |       CASE WHEN t_k >= ${f.tc} THEN 'supercritical'
        |            WHEN pickl THEN 'liquid'
        |            WHEN NOT (disc < 0.0) AND z < 0.3074 THEN 'liquid'
        |            ELSE 'vapor' END AS phase
-       |FROM s10""".stripMargin
+       |FROM s11""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(

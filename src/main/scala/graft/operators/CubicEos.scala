@@ -31,13 +31,16 @@ import org.apache.spark.unsafe.types.UTF8String
  * handled here: [[If97]] is full-fidelity for water/steam and
  * [[Domain.fluidProperties]] dispatches to it first.
  *
- * Accuracy envelope (documented, inherent to any two-constant cubic):
- * vapor densities/fugacities within ~1-2%, liquid densities typically
- * 5-10% low, saturation pressures within ~1-3% for the nonpolar and
- * mildly-polar fluids registered below. That is the published PR
- * envelope — honest real-fluid physics, not CoolProp's multiparameter
- * Helmholtz surfaces, and a fail-fast (not a silent ideal-gas answer)
- * for anything outside the registry.
+ * Accuracy envelope: vapor densities/fugacities within ~1-2% and
+ * saturation pressures within ~1-3% (the published two-constant-cubic
+ * envelope). Raw PR liquid densities err -10%..+13% depending on the
+ * fluid; the constant volume translation of Péneloux, Rauzy & Fréze 1982
+ * ("A consistent correction for Redlich-Kwong-Soave volumes", Fluid
+ * Phase Equilib. 8) applied per fluid below cuts that to ~±1.5% over the
+ * liquid range (CubicEosSpec pins NIST anchors at states AWAY from each
+ * fit point). Still honest cubic-EOS physics, not CoolProp's
+ * multiparameter Helmholtz surfaces, and a fail-fast (not a silent
+ * ideal-gas answer) for anything outside the registry.
  *
  * Reference state: ideal-gas enthalpy/entropy are zero at T0 = 298.15 K,
  * P0 = 101325 Pa. Absolute h/s therefore differ from CoolProp's
@@ -52,36 +55,54 @@ object CubicEos {
   /**
    * A registered fluid: critical constants + acentric factor (Poling,
    * Prausnitz & O'Connell, "The Properties of Gases and Liquids", 5th ed.
-   * appendix / NIST), molar mass [kg/mol], and a cubic ideal-gas heat
+   * appendix / NIST), molar mass [kg/mol], a cubic ideal-gas heat
    * capacity polynomial cp0 = a + bT + cT^2 + dT^3 [J/(mol K)] (Cengel &
    * Boles ideal-gas tables; R134a fit to the Tillner-Roth & Baehr 1994
-   * ideal-gas part, +-1% over 250-400 K).
+   * ideal-gas part, +-1% over 250-400 K), and a constant volume
+   * translation `cShift` [m3/mol] (Péneloux et al. 1982's v_t = v - c:
+   * shifts every molar volume by a fluid constant, leaving the phase
+   * split, cp and s untouched while fixing the liquid-density envelope).
+   * Each cShift is fit to ONE public NIST saturated-liquid anchor at the
+   * normal boiling point (CO2, which sublimes at 1 atm, uses the 0 C
+   * saturation state) — the classic Tr≈0.6-0.7 Péneloux regime — and
+   * cross-validated in CubicEosSpec at DIFFERENT states to ±2.5%.
+   * Air (pseudo-fluid) and hydrogen (quantum gas, PR invalid for its
+   * liquid) keep c = 0.
    */
   final case class Fluid(name: String, tc: Double, pcPa: Double,
                          omega: Double, m: Double,
-                         cp0: (Double, Double, Double, Double))
+                         cp0: (Double, Double, Double, Double),
+                         cShift: Double = 0.0)
 
   val fluids: Map[String, Fluid] = Seq(
     Fluid("Air", 132.6312, 3.78502e6, 0.0335, 0.0289647,
       (28.11, 0.1967e-2, 0.4802e-5, -1.966e-9)),
     Fluid("Nitrogen", 126.192, 3.3958e6, 0.0372, 0.0280134,
-      (28.90, -0.1571e-2, 0.8081e-5, -2.873e-9)),
+      (28.90, -0.1571e-2, 0.8081e-5, -2.873e-9),
+      cShift = -4.051134e-6),  // fit: 77.355 K, 806.6 kg/m3
     Fluid("Oxygen", 154.581, 5.0430e6, 0.0222, 0.0319988,
-      (25.48, 1.520e-2, -0.7155e-5, 1.312e-9)),
+      (25.48, 1.520e-2, -0.7155e-5, 1.312e-9),
+      cShift = -3.190776e-6),  // fit: 90.19 K, 1141.0 kg/m3
     Fluid("CO2", 304.1282, 7.3773e6, 0.22394, 0.0440098,
-      (22.26, 5.981e-2, -3.501e-5, 7.469e-9)),
+      (22.26, 5.981e-2, -3.501e-5, 7.469e-9),
+      cShift = 8.325329e-7),   // fit: 273.15 K sat (3.4851 MPa), 927.4 kg/m3
     Fluid("Methane", 190.564, 4.5992e6, 0.01142, 0.0160428,
-      (19.89, 5.024e-2, 1.269e-5, -11.01e-9)),
+      (19.89, 5.024e-2, 1.269e-5, -11.01e-9),
+      cShift = -4.248756e-6),  // fit: 111.67 K, 422.4 kg/m3
     Fluid("Ammonia", 405.40, 11.3330e6, 0.25601, 0.0170305,
-      (27.568, 2.5630e-2, 0.99072e-5, -6.6909e-9)),
+      (27.568, 2.5630e-2, 0.99072e-5, -6.6909e-9),
+      cShift = 3.046992e-6),   // fit: 239.82 K, 682.0 kg/m3
     Fluid("R134a", 374.21, 4.0593e6, 0.32684, 0.102032,
-      (19.0, 0.2581, -1.30e-4, 0.0)),
+      (19.0, 0.2581, -1.30e-4, 0.0),
+      cShift = 9.265312e-7),   // fit: 247.08 K, 1376.7 kg/m3
     Fluid("Propane", 369.89, 4.2512e6, 0.1521, 0.0440956,
-      (-4.04, 30.48e-2, -15.72e-5, 31.74e-9)),
+      (-4.04, 30.48e-2, -15.72e-5, 31.74e-9),
+      cShift = -5.037549e-6),  // fit: 231.04 K, 580.9 kg/m3
     Fluid("Hydrogen", 33.145, 1.2964e6, -0.219, 0.00201588,
       (29.11, -0.1916e-2, 0.4003e-5, -0.8704e-9)),
     Fluid("Argon", 150.687, 4.8630e6, -0.00219, 0.039948,
-      (20.786, 0.0, 0.0, 0.0)))
+      (20.786, 0.0, 0.0, 0.0),
+      cShift = -3.445517e-6))  // fit: 87.30 K, 1395.4 kg/m3
     .flatMap(f => aliases(f.name).map(_ -> f)).toMap
 
   private def aliases(name: String): Seq[String] = (name match {
@@ -212,9 +233,15 @@ object CubicEos {
       cd / 3.0 * (tK * tK * tK - t0 * t0 * t0) -
       R * Math.log(pPa / p0)
 
-    val vMol = z * R * tK / pPa                            // m3/mol
-    val density = f.m / vMol                               // kg/m3
-    val h = (h0 + hDep) / (f.m * 1000.0)                   // kJ/kg
+    // Péneloux translation v_t = v - c: the EOS derivatives below stay at
+    // the UNTRANSLATED root (P(T, v_t) = P_PR(T, v_t + c), so slopes are
+    // identical), while the reported volume/density/z/h shift — s, cp and
+    // the phase split are provably invariant under a constant translation
+    val vMol = z * R * tK / pPa                            // PR m3/mol
+    val vT = vMol - f.cShift                               // translated
+    val zT = pPa * vT / (R * tK)
+    val density = f.m / vT                                 // kg/m3
+    val h = (h0 + hDep - f.cShift * pPa) / (f.m * 1000.0)  // kJ/kg
     val s = (s0 + sDep) / (f.m * 1000.0)                   // kJ/(kg K)
 
     // heat capacities and speed of sound from the EOS derivatives
@@ -234,7 +261,8 @@ object CubicEos {
     val cvMol = cp0c - R + cvDep
     val cpMol = cvMol - tK * dPdT * dPdT / dPdV
     val cp = cpMol / (f.m * 1000.0)                        // kJ/(kg K)
-    val w = Math.sqrt(cpMol / cvMol * vMol * vMol * (0.0 - dPdV) / f.m)
+    // speed of sound at the TRANSLATED volume (dP/dv_t = dP/dv)
+    val w = Math.sqrt(cpMol / cvMol * vT * vT * (0.0 - dPdV) / f.m)
 
     val phase =
       if (tK >= f.tc) phaseSuper
@@ -243,7 +271,7 @@ object CubicEos {
       else phaseVapor
 
     val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(7)
-    r.setDouble(0, z); r.setDouble(1, density); r.setDouble(2, h)
+    r.setDouble(0, zT); r.setDouble(1, density); r.setDouble(2, h)
     r.setDouble(3, s); r.setDouble(4, cp); r.setDouble(5, w)
     r.update(6, phase)
     r

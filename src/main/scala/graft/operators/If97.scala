@@ -430,14 +430,19 @@ object If97 {
    * steam surface (`quality: 1.0` saturated vapor, `0.0` saturated
    * liquid). hf/hg come from evaluating region 1 / region 2 AT the
    * region-4 saturation line (the standard IF97 construction); mixed
-   * properties are the lever-rule blend. Out-of-range pressure (outside
-   * 611.213 Pa .. 22.064 MPa) or quality yields nulls, matching
-   * [[props]]'s flag-don't-crash convention.
+   * properties are the lever-rule blend. Out-of-range pressure or
+   * quality yields nulls, matching [[props]]'s flag-don't-crash
+   * convention. The region-1/2 Gibbs equations are valid along the
+   * saturation line only up to 623.15 K (psat ≈ 16.529 MPa, IAPWS R7-97
+   * §§5-6); between there and the critical point the construction needs
+   * region 3, so pressures above that bound return nulls rather than
+   * out-of-validity polynomial extrapolations.
    */
   def saturatedProps(pPa: Double, x: Double): InternalRow = {
     if (!(pPa >= 611.213 && pPa <= 22.064e6) || !(x >= 0.0 && x <= 1.0))
       return satNullRow
     val t = tsatK(pPa)
+    if (t > 623.15) return satNullRow
     val f = region1(t, pPa)
     val g = region2(t, pPa)
     def mix(i: Int): Double = f(i) + x * (g(i) - f(i))

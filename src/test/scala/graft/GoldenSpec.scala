@@ -43,7 +43,7 @@ class GoldenSpec extends SparkSpec {
     "q_importance_sample" -> "2e9306b963c3b0e8",
     "q_simulation" -> "a615e51f7a742c7e",
     "q_if97_props" -> "aa5f9c2f0c2217f0",
-    "q_saturated_steam" -> "4420425be6872141")
+    "q_saturated_steam" -> "eea58df162ccbc02")
 
   for ((name, want) <- golden.toSeq.sortBy(_._1)) {
     test(s"$name matches its frozen golden") {

@@ -191,6 +191,15 @@ class If97Spec extends SparkSpec {
     // out-of-range pressure or quality -> nulls, never a crash
     assert(If97.saturatedProps(23e6, 0.5).isNullAt(0))
     assert(If97.saturatedProps(1e6, 1.5).isNullAt(0))
+    // region-1/2 saturation validity ends at 623.15 K (psat 16.5292 MPa):
+    // above it the construction needs region 3 — nulls, NOT out-of-
+    // validity polynomial extrapolations presented as if valid
+    assert(If97.saturatedProps(17e6, 0.5).isNullAt(0),
+      "17 MPa is beyond region-1/2 saturation validity")
+    assert(If97.saturatedProps(22e6, 1.0).isNullAt(0))
+    // just inside the bound still evaluates (tsat(16.5 MPa) ~ 622.9 K)
+    val nearB23 = If97.saturatedProps(16.5e6, 1.0)
+    assert(!nearB23.isNullAt(0) && nearB23.getDouble(0) < 623.15)
 
     // the Column surface + YAML transformer run end-to-end
     val spark2 = spark

@@ -9,7 +9,7 @@ def canon(df: DataFrame): String = {
   h.digest().map("%02x".format(_)).mkString.take(16)
 }
 val d = "/root/testdata/sf0.001"
-for (q <- Seq("q_minhash_pairs", "q_simhash_pairs", "q_minhash_dedup", "q_minhash_index_dedup", "q_bpe_tokens", "q_importance_sample", "q_simulation", "q_if97_props")) {
+for (q <- Seq("q_minhash_pairs", "q_simhash_pairs", "q_minhash_dedup", "q_minhash_index_dedup", "q_bpe_tokens", "q_importance_sample", "q_simulation", "q_if97_props", "q_saturated_steam")) {
   val fn = graft.SparkEntry.queries(q)
   println(s"GOLD $q " + canon(fn(spark, d)))
 }
