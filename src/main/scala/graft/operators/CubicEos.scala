@@ -139,7 +139,10 @@ object CubicEos {
 
   /**
    * Full property struct at (T [K], P [Pa]):
-   * `struct(z, density [kg/m3], h [kJ/kg], s [kJ/(kg K)], cp, w, phase)`
+   * `struct(z, density [kg/m3], h [kJ/kg], s [kJ/(kg K)], cp, w, phase)`.
+   * The reported `z`/`density`/`h` are Péneloux-TRANSLATED
+   * (z_t = z_PR − cShift·P/(R·T)); `s`, `cp`, `w` and the phase pick are
+   * invariant under the constant volume shift.
    * as ONE native codegen'd expression per row (the If97 pattern). An
    * earlier pure-Column formulation duplicated the cubic-solve subtree
    * into every output field; whole-stage codegen of an aggregate over it

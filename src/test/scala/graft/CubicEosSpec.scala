@@ -50,11 +50,14 @@ class CubicEosSpec extends SparkSpec {
 
   test("critical compressibility is the PR analytic value for every fluid") {
     // at (Tc, Pc) the cubic has a (numerically near-)triple root at
-    // Zc = 0.3074 — a solver-stability check at the most delicate state
+    // Zc = 0.3074 — a solver-stability check at the most delicate state.
+    // The reported z is Péneloux-TRANSLATED (z_t = z - c·P/(R·T)), so the
+    // analytic expectation shifts by cShift·Pc/(R·Tc) per fluid.
     for (name <- CubicEos.fluids.values.map(_.name).toSeq.distinct) {
       val fl = CubicEos.lookup(name).get
       val (z, _, _, _, _) = one(name, fl.tc, fl.pcPa)
-      assert(math.abs(z - 0.3074) < 0.02, s"$name Zc: $z")
+      val expected = 0.3074 - fl.cShift * fl.pcPa / (CubicEos.R * fl.tc)
+      assert(math.abs(z - expected) < 0.02, s"$name Zc: $z vs $expected")
     }
   }
 
