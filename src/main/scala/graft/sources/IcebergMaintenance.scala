@@ -89,15 +89,29 @@ object IcebergMaintenance {
     * lost update) and atomically claim `v(planVersion+1)` via
     * [[IcebergSource.tryPublishMeta]]. Throws
     * [[ConcurrentCommitException]] when the claim is lost. */
-  private def patchMetadata(spark: SparkSession, root: String, planVersion: Long,
+  private def patchMetadata(spark: SparkSession, root: String,
+                            meta: IcebergSource.TableMeta,
                             patch: com.fasterxml.jackson.databind.node.ObjectNode => Unit): Long = {
     val f = fs(spark, root)
-    val metaPath = new Path(metaDir(root), s"v$planVersion.metadata.json")
+    // the ACTUAL plan-time file, not a reconstructed `v$N` name — tables
+    // with foreign layouts (e.g. `00001-<uuid>.metadata.json`, version 0)
+    // are reachable only through the path latestMetadata resolved at plan
+    // time
+    val metaPath = new Path(meta.metadataPath)
     require(f.exists(metaPath), s"plan-time metadata $metaPath vanished")
     val node = mapper.readTree(readText(f, metaPath))
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     patch(node)
-    val version = planVersion + 1
+    val version = meta.version + 1
+    // version-0 (non-v-named) tables claim v1; the claim itself is atomic,
+    // but a foreign-layout writer could have appended another lexical file
+    // since planning — verify the latest file is still the plan-time one
+    // right before claiming (best-effort narrow race, then atomic claim)
+    if (meta.version == 0L &&
+        IcebergSource.latestMetadata(f, root).toString != meta.metadataPath)
+      throw new ConcurrentCommitException(
+        s"$root: metadata advanced past plan-time ${meta.metadataPath} " +
+          "while this maintenance job ran — re-plan against the new metadata")
     if (!tryPublishMeta(f, root, version, mapper.writeValueAsBytes(node),
         java.util.UUID.randomUUID().toString))
       throw new ConcurrentCommitException(
@@ -286,7 +300,7 @@ object IcebergMaintenance {
 
     val now = snapshotId
     try {
-      patchMetadata(spark, root, meta.version, { node =>
+      patchMetadata(spark, root, meta, { node =>
         node.put("last-sequence-number", newSeq)
         node.put("last-updated-ms", now)
         node.put("current-snapshot-id", snapshotId)
@@ -372,7 +386,7 @@ object IcebergMaintenance {
       // between the two leaves harmless orphan files behind a valid
       // table, never metadata referencing deleted files (which would
       // brick every later read and re-expire)
-      patchMetadata(spark, root, meta.version, { node =>
+      patchMetadata(spark, root, meta, { node =>
         val snaps = node.withArray("snapshots")
         val keptNodes = snaps.elements().asScala.filter(s =>
           keepSet.contains(s.get("snapshot-id").asLong())).toSeq

@@ -173,8 +173,13 @@ object IcebergSource {
         // hint points at a missing file: fall through to scan
       }
     } catch { case _: Exception => /* advisory hint unreadable: scan */ }
+    // hidden files excluded: in-flight commit temps are `.tmp_v*-<nonce>
+    // .metadata.json` — visible to a raw suffix match, but parsing one is
+    // a torn read and treating it as committed state double-commits the
+    // losing writer's snapshot after its rebase-retry
     val metas = f.listStatus(metaDir(root)).toSeq.map(_.getPath)
-      .filter(_.getName.endsWith(".metadata.json"))
+      .filter(p => p.getName.endsWith(".metadata.json") &&
+        !p.getName.startsWith("."))
     require(metas.nonEmpty, s"$root has no iceberg metadata files")
     val versioned = "v(\\d+)\\.metadata\\.json".r
     val byVersion = metas.flatMap(p => p.getName match {
@@ -188,7 +193,8 @@ object IcebergSource {
   def isIcebergTable(spark: SparkSession, root: String): Boolean = {
     val f = fs(spark, root)
     f.exists(metaDir(root)) && f.listStatus(metaDir(root))
-      .exists(_.getPath.getName.endsWith(".metadata.json"))
+      .exists(p => p.getPath.getName.endsWith(".metadata.json") &&
+        !p.getPath.getName.startsWith("."))  // skip in-flight commit temps
   }
 
   private[sources] def readText(f: FileSystem, p: Path): String = {
@@ -256,7 +262,8 @@ object IcebergSource {
                              currentSnapshotId: Option[Long],
                              lastColumnId: Int, lastSequenceNumber: Long,
                              tableUuid: String, version: Long,
-                             partitionSpec: Seq[PartitionField])
+                             partitionSpec: Seq[PartitionField],
+                             metadataPath: String = "")
 
   /** Parse the latest (or given) metadata file. */
   def tableMeta(spark: SparkSession, root: String,
@@ -311,7 +318,7 @@ object IcebergSource {
       Option(node.get("last-sequence-number")).map(_.asLong()).getOrElse(0L),
       Option(node.get("table-uuid")).map(_.asText())
         .getOrElse(java.util.UUID.randomUUID().toString),
-      version, spec)
+      version, spec, p.toString)
   }
 
   /** Snapshot history (id, commit time, operation) — the DESCRIBE
@@ -962,8 +969,10 @@ object IcebergSource {
   }
 
   /** Winner-side hint publish: advisory only (readers probe forward), so
-    * a stale late write is harmless; still, never move it backwards when
-    * the current hint is readable. */
+    * a stale late write is harmless. The don't-move-backwards guard below
+    * is BEST-EFFORT only — the read-check-write is not atomic, so two
+    * interleaved winners can still regress the hint; correctness never
+    * depends on hint monotonicity, only on readers probing forward. */
   private[graft] def writeHint(f: FileSystem, root: String, version: Long): Unit = {
     val hintPath = new Path(metaDir(root), "version-hint.text")
     val current = try {
@@ -1027,6 +1036,12 @@ object IcebergSource {
         .partitionBy(partitionBy.map(c => s"_p_$c"): _*)
         .parquet(dataDir.toString)
     }
+    // everything below can fail terminally (null partition value, schema
+    // conflict surfaced on rebase, 20-attempt cap, I/O errors); the staged
+    // parquet under data/$commitUuid is referenced by NOTHING until
+    // tryPublishMeta wins, so a terminal failure must reclaim it — the
+    // lost-race cleanup inside the loop only covers manifest/ml files
+    try {
     val files = {
       val it = f.listFiles(dataDir, true)
       val buf = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
@@ -1234,5 +1249,10 @@ object IcebergSource {
       f.delete(mlPath, false)
     }
     throw new IllegalStateException("unreachable")
+    } catch {
+      case e: Throwable =>
+        try f.delete(dataDir, true) catch { case _: Exception => () }
+        throw e
+    }
   }
 }

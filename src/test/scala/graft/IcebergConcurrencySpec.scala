@@ -163,6 +163,83 @@ class IcebergConcurrencySpec extends SparkSpec {
     assert(got == want, s"lost rows: missing ${want -- got}, extra ${got -- want}")
   }
 
+  test("in-flight commit temps are invisible to discovery and reads") {
+    // a crashed committer can leave `.tmp_v*-<nonce>.metadata.json`
+    // behind; a raw suffix match would parse the torn/unpublished file as
+    // committed state (and, post-rebase, double-commit the loser's rows)
+    val root = tmp() + "/t"
+    val metaDir = new java.io.File(root, "metadata")
+
+    // litter alone must not make the directory look like a table
+    metaDir.mkdirs()
+    val litter = new java.io.File(metaDir, ".tmp_v1-deadbeef.metadata.json")
+    val w0 = new java.io.FileWriter(litter); w0.write("{\"torn"); w0.close()
+    assert(!IcebergSource.isIcebergTable(spark, root),
+      "a .tmp temp alone was mistaken for a committed table")
+
+    // with a real table + a lexically-late torn temp + no hint, readers
+    // must resolve the real latest, not the temp
+    litter.delete()
+    IcebergSource.write(Seq((1, "a")).toDF("id", "who"), root)
+    IcebergSource.write(Seq((2, "b")).toDF("id", "who"), root, "append")
+    val late = new java.io.FileWriter(
+      new java.io.File(metaDir, ".tmp_v9-ffffffff.metadata.json"))
+    late.write("{\"torn\":"); late.close()
+    new java.io.File(metaDir, "version-hint.text").delete()
+    assert(IcebergSource.read(spark, root).count() == 2,
+      "reader parsed an in-flight commit temp as table state")
+  }
+
+  test("maintenance on a foreign-layout (non-v-named) metadata table") {
+    // tables written by other engines can use `00001-<uuid>.metadata.json`
+    // names — latestMetadata supports them via the lexical fallback
+    // (version 0); optimize/expire must claim v1 instead of failing with
+    // 'plan-time metadata vanished'
+    val root = tmp() + "/t"
+    for (i <- 0 until 3)
+      IcebergSource.write(Seq((i, s"w$i")).toDF("id", "who"), root,
+        if (i == 0) "overwrite" else "append")
+    val metaDir = new java.io.File(root, "metadata")
+    for (v <- 1 to 3) {
+      val from = new java.io.File(metaDir, s"v$v.metadata.json")
+      val to = new java.io.File(metaDir,
+        s"0000$v-00000000-0000-0000-0000-00000000000$v.metadata.json")
+      assert(from.renameTo(to), s"rename of v$v failed")
+    }
+    new java.io.File(metaDir, "version-hint.text").delete()
+    assert(IcebergSource.tableMeta(spark, root).version == 0L)
+
+    val res = IcebergMaintenance.optimize(spark, root)
+    assert(res.filesRemoved == 3 && res.filesAdded == 1,
+      s"foreign-layout optimize: $res")
+    assert(IcebergSource.read(spark, root).count() == 3)
+    // the claim landed as v1 and subsequent maintenance proceeds normally
+    assert(metaVersions(root) == Seq(1L))
+    val exp = IcebergMaintenance.expireSnapshots(spark, root, keepLast = 1)
+    assert(exp.expiredSnapshots.size == 3)
+    assert(IcebergSource.read(spark, root).count() == 3)
+  }
+
+  test("terminal write failure reclaims the staged data directory") {
+    val root = tmp() + "/t"
+    IcebergSource.write(Seq((1, 10)).toDF("id", "v"), root, "overwrite",
+      partitionBy = Seq("v"))
+    // identity-partition null is a terminal (non-retryable) failure that
+    // fires AFTER the parquet staging job
+    val bad = Seq((2, Some(20)), (3, None)).toDF("id", "v")
+    val thrown = intercept[Exception] {
+      IcebergSource.write(bad, root, "append", partitionBy = Seq("v"))
+    }
+    assert(thrown.getMessage.contains("null value"), thrown.getMessage)
+    // the staged-but-never-committed files are gone: data/ holds only the
+    // first commit's directory
+    val dataDirs = new java.io.File(root, "data").listFiles().toSeq
+      .filter(_.isDirectory)
+    assert(dataDirs.size == 1,
+      s"orphaned staging dirs left behind: ${dataDirs.map(_.getName)}")
+    assert(IcebergSource.read(spark, root).count() == 1)
+  }
+
   test("expire crash window: metadata commits before file deletes") {
     val root = tmp() + "/t"
     for (i <- 0 until 4)
