@@ -116,7 +116,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"failed":$failedJson,"sf":"$sfDir","runs":$runs}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"failed":$failedJson,"sf":"$sfDir","runs":$runs}"""
+    println(line)
+    // the driver's stdout capture has truncated mid-JSON in past rounds;
+    // also persist the full line to a file it (or a human) can pick up
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outFile: $e") }
     spark.stop()
   }
 }

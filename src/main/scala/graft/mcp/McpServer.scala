@@ -1,0 +1,361 @@
+package graft.mcp
+
+import java.io.{BufferedReader, InputStream, InputStreamReader, OutputStream, PrintWriter}
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{Catalog, Introspect, Planner, Recipes, StandardTransformers, TransformerRegistry}
+
+/**
+ * MCP-style introspection server (reference: odibi_mcp/mcp_server.py —
+ * FastMCP stdio server over the knowledge dispatcher; odibi_mcp/__init__.py:1-9
+ * lists the structured tools: list_transformers, list_patterns, explain).
+ *
+ * Protocol: JSON-RPC 2.0 over stdio, one message per line (the Model
+ * Context Protocol stdio transport — messages are newline-delimited and
+ * must not contain embedded newlines). Implemented methods:
+ *
+ *   initialize / notifications/initialized / ping
+ *   tools/list   -> the 6 structured tools with JSON-Schema inputs
+ *   tools/call   -> dispatch; results as `content: [{type: "text"}]`
+ *
+ * Tools (all deterministic reads — the reference's "structured" tool
+ * class; its RAG tools need an embedding service this library does not
+ * assume):
+ *
+ *   list_transformers  registry inventory (transformers/patterns/recipes/plugins)
+ *   explain            one name: kind(s), YAML stub, recipe contract
+ *   get_schema         generated YAML/JSON schema reference or node templates
+ *   validate_yaml      planner dry-run -> PlanningResponse JSON (no Spark)
+ *   catalog            recorded meta_* tables: runs/health/hotspots/tables/outputs
+ *   lineage            recorded node + column lineage edges for a pipeline
+ *
+ * `catalog`/`lineage` read the parquet system catalog under `--catalog
+ * <root>` (or GRAFT_CATALOG) through a lazily-created local SparkSession —
+ * the server starts instantly and pays the Spark cost only when a
+ * catalog-backed tool is first called. Everything else is registry/
+ * planner-driven and needs no Spark at all.
+ */
+object McpServer {
+
+  private val mapper = new ObjectMapper()
+  val ProtocolVersion = "2025-06-18"
+
+  /** Server context: where the recorded catalog lives + how to get Spark. */
+  final case class Ctx(catalogRoot: Option[String],
+                       sparkFactory: () => SparkSession) {
+    // lazy: registry-only tools must not start Spark
+    lazy val spark: SparkSession = sparkFactory()
+    lazy val catalog: Catalog = new Catalog(spark,
+      catalogRoot.getOrElse(throw new IllegalStateException(
+        "no catalog root configured — start the server with --catalog <root> " +
+          "or set GRAFT_CATALOG")))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val root = args.sliding(2).collectFirst {
+      case Array("--catalog", r) => r
+    }.orElse(sys.env.get("GRAFT_CATALOG"))
+    val ctx = Ctx(root, () => {
+      val s = SparkSession.builder()
+        .appName("graft-mcp")
+        .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[2]"))
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("ERROR") // stdout is the JSON-RPC channel
+      s
+    })
+    serve(System.in, System.out, ctx)
+  }
+
+  /** Blocking serve loop: one JSON-RPC message per line until EOF. */
+  def serve(in: InputStream, out: OutputStream, ctx: Ctx): Unit = {
+    val reader = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+    val writer = new PrintWriter(out, true)
+    var line = reader.readLine()
+    while (line != null) {
+      if (line.trim.nonEmpty) {
+        val response: Option[JsonNode] =
+          try handle(mapper.readTree(line), ctx)
+          catch {
+            case _: com.fasterxml.jackson.core.JacksonException =>
+              Some(errorResponse(null, -32700, "parse error: invalid JSON"))
+          }
+        response.foreach { r =>
+          writer.println(mapper.writeValueAsString(r))
+        }
+      }
+      line = reader.readLine()
+    }
+  }
+
+  /** Handle one message; None for notifications (no response on the wire). */
+  def handle(req: JsonNode, ctx: Ctx): Option[JsonNode] = {
+    val id = req.get("id")
+    val method = Option(req.get("method")).map(_.asText()).getOrElse("")
+    val params = Option(req.get("params")).getOrElse(mapper.createObjectNode())
+    if (id == null) return None // notification: initialized, cancelled, ...
+    method match {
+      case "initialize" =>
+        val r = mapper.createObjectNode()
+        r.put("protocolVersion", ProtocolVersion)
+        r.putObject("capabilities").putObject("tools")
+        val si = r.putObject("serverInfo")
+        si.put("name", "graft-mcp")
+        si.put("version", "1.0")
+        Some(result(id, r))
+      case "ping" =>
+        Some(result(id, mapper.createObjectNode()))
+      case "tools/list" =>
+        val r = mapper.createObjectNode()
+        r.set[JsonNode]("tools", toolList())
+        Some(result(id, r))
+      case "tools/call" =>
+        val name = Option(params.get("name")).map(_.asText()).getOrElse("")
+        val args = Option(params.get("arguments")).getOrElse(mapper.createObjectNode())
+        callTool(name, args, ctx) match {
+          case Right(text) => Some(result(id, toolContent(text, isError = false)))
+          case Left(McpError(code, msg)) => Some(errorResponse(id, code, msg))
+          case Left(ToolFailure(msg)) => Some(result(id, toolContent(msg, isError = true)))
+        }
+      case other =>
+        Some(errorResponse(id, -32601, s"method not found: $other"))
+    }
+  }
+
+  private sealed trait CallFailure
+  /** protocol-level error (unknown tool, bad arguments) */
+  private final case class McpError(code: Int, message: String) extends CallFailure
+  /** tool executed and failed: reported IN-BAND as isError content */
+  private final case class ToolFailure(message: String) extends CallFailure
+
+  // ---------------------------------------------------------------- tools
+
+  private val ToolNames = Seq("list_transformers", "explain", "get_schema",
+    "validate_yaml", "catalog", "lineage")
+
+  private def toolList(): ArrayNode = {
+    def tool(name: String, desc: String, props: Map[String, (String, String)],
+             required: Seq[String] = Nil): ObjectNode = {
+      val t = mapper.createObjectNode()
+      t.put("name", name)
+      t.put("description", desc)
+      val schema = t.putObject("inputSchema")
+      schema.put("type", "object")
+      val p = schema.putObject("properties")
+      props.foreach { case (k, (typ, d)) =>
+        val pn = p.putObject(k); pn.put("type", typ); pn.put("description", d)
+      }
+      if (required.nonEmpty) {
+        val r = schema.putArray("required"); required.foreach(r.add)
+      }
+      t
+    }
+    val arr = mapper.createArrayNode()
+    arr.add(tool("list_transformers",
+      "List every invocable registry name by kind (transformers, composite " +
+        "patterns, recipes, plugins).",
+      Map("category" -> ("string",
+        "optional filter: transformers|patterns|recipes|plugins"))))
+    arr.add(tool("explain",
+      "Explain one registry name: which registries it lives in, its YAML " +
+        "invocation stub, and (for recipes) the variable contract.",
+      Map("name" -> ("string", "registry name, e.g. filter_rows")),
+      required = Seq("name")))
+    arr.add(tool("get_schema",
+      "The generated configuration reference: YAML schema doc, JSON Schema, " +
+        "or starter node templates.",
+      Map("format" -> ("string", "yaml (default) | json | templates"))))
+    arr.add(tool("validate_yaml",
+      "Planner dry-run of a pipeline/project YAML: logical plan + " +
+        "diagnostics, no Spark started.",
+      Map("yaml" -> ("string", "the YAML document text")),
+      required = Seq("yaml")))
+    arr.add(tool("catalog",
+      "Read the recorded system catalog: section = runs|health|hotspots|" +
+        "tables|outputs.",
+      Map("section" -> ("string", "runs|health|hotspots|tables|outputs"),
+        "pipeline" -> ("string", "optional pipeline filter"),
+        "limit" -> ("integer", "max rows (default 100)")),
+      required = Seq("section")))
+    arr.add(tool("lineage",
+      "Recorded lineage for a pipeline: node input edges + column-level " +
+        "edges when captured.",
+      Map("pipeline" -> ("string", "pipeline name")),
+      required = Seq("pipeline")))
+    arr
+  }
+
+  private def callTool(name: String, args: JsonNode,
+                       ctx: Ctx): Either[CallFailure, String] = {
+    if (!ToolNames.contains(name))
+      return Left(McpError(-32602, s"unknown tool: $name"))
+    def str(k: String): Option[String] =
+      Option(args.get(k)).filter(!_.isNull).map(_.asText()).filter(_.nonEmpty)
+    try name match {
+      case "list_transformers" =>
+        val inv = Introspect.inventory()
+        val out = mapper.createObjectNode()
+        str("category") match {
+          case Some(cat) =>
+            val names = inv.getOrElse(cat, return Left(McpError(-32602,
+              s"unknown category '$cat' (have: ${inv.keys.toSeq.sorted.mkString(", ")})")))
+            val a = out.putArray(cat); names.foreach(a.add)
+          case None =>
+            inv.toSeq.sortBy(_._1).foreach { case (k, names) =>
+              val a = out.putArray(k); names.foreach(a.add)
+            }
+        }
+        Right(mapper.writeValueAsString(out))
+      case "explain" =>
+        val n = str("name").getOrElse(
+          return Left(McpError(-32602, "explain requires 'name'")))
+        Right(explain(n))
+      case "get_schema" =>
+        str("format").getOrElse("yaml") match {
+          case "yaml" => Right(Introspect.yamlSchema())
+          case "json" => Right(Introspect.jsonSchema())
+          case "templates" =>
+            val out = mapper.createObjectNode()
+            Introspect.nodeTemplates.toSeq.sortBy(_._1)
+              .foreach { case (k, v) => out.put(k, v) }
+            Right(mapper.writeValueAsString(out))
+          case other => Left(McpError(-32602,
+            s"unknown format '$other' (yaml|json|templates)"))
+        }
+      case "validate_yaml" =>
+        val y = str("yaml").getOrElse(
+          return Left(McpError(-32602, "validate_yaml requires 'yaml'")))
+        Right(Planner.plan(y).toJson)
+      case "catalog" =>
+        val section = str("section").getOrElse(
+          return Left(McpError(-32602, "catalog requires 'section'")))
+        val limit = Option(args.get("limit")).map(_.asInt()).filter(_ > 0).getOrElse(100)
+        catalogSection(ctx, section, str("pipeline"), limit)
+      case "lineage" =>
+        val p = str("pipeline").getOrElse(
+          return Left(McpError(-32602, "lineage requires 'pipeline'")))
+        Right(lineage(ctx, p))
+    } catch {
+      case e: Exception =>
+        val o = mapper.createObjectNode()
+        o.put("error", Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+        Left(ToolFailure(mapper.writeValueAsString(o)))
+    }
+  }
+
+  private def explain(name: String): String = {
+    StandardTransformers.registerAll
+    val out = mapper.createObjectNode()
+    out.put("name", name)
+    val kinds = mapper.createArrayNode()
+    if (TransformerRegistry.get(name).isDefined) kinds.add("transformer")
+    if (graft.patterns.PatternRegistry.names.contains(name)) kinds.add("pattern")
+    Recipes.builtins.get(name).foreach { r =>
+      kinds.add("recipe")
+      r.description.foreach(out.put("description", _))
+      val req = out.putArray("required_vars"); r.requiredVars.foreach(req.add)
+      val opt = out.putObject("optional_vars")
+      r.optionalVars.foreach { case (k, v) => opt.put(k, String.valueOf(v)) }
+    }
+    out.set[JsonNode]("kinds", kinds)
+    if (kinds.isEmpty) {
+      out.put("found", false)
+      val close = (TransformerRegistry.names ++
+        graft.patterns.PatternRegistry.names ++ Recipes.builtins.keys)
+        .filter(c => c.contains(name) || name.contains(c)).distinct.sorted.take(8)
+      val sug = out.putArray("did_you_mean"); close.foreach(sug.add)
+    } else {
+      out.put("found", true)
+      out.put("usage",
+        if (kinds.toString.contains("pattern") &&
+          TransformerRegistry.get(name).isEmpty) s"transformer: $name"
+        else if (Recipes.builtins.contains(name)) s"recipe: $name"
+        else s"steps: [ { function: $name, params: { ... } } ]")
+    }
+    mapper.writeValueAsString(out)
+  }
+
+  private def catalogSection(ctx: Ctx, section: String,
+                             pipeline: Option[String],
+                             limit: Int): Either[CallFailure, String] = {
+    import org.apache.spark.sql.functions.col
+    val df0 = section match {
+      case "runs" => ctx.catalog.table("meta_runs")
+      case "health" => ctx.catalog.pipelineHealth
+      case "hotspots" => ctx.catalog.nodeHotspots
+      case "tables" => ctx.catalog.tablesRegistry
+      case "outputs" => ctx.catalog.table("meta_outputs")
+      case other => return Left(McpError(-32602,
+        s"unknown section '$other' (runs|health|hotspots|tables|outputs)"))
+    }
+    val df = pipeline.filter(_ => df0.columns.contains("pipeline"))
+      .map(p => df0.filter(col("pipeline") === p)).getOrElse(df0)
+    val rows = df.limit(limit).toJSON.collect()
+    Right(rows.mkString("[", ",", "]"))
+  }
+
+  private def lineage(ctx: Ctx, pipeline: String): String = {
+    import org.apache.spark.sql.functions.col
+    val out = mapper.createObjectNode()
+    out.put("pipeline", pipeline)
+    val edges = out.putArray("edges")
+    ctx.catalog.table("meta_lineage")
+      .filter(col("pipeline") === pipeline)
+      .select("node", "input").distinct()
+      .orderBy("node", "input")
+      .collect().foreach { r =>
+        val e = edges.addObject()
+        e.put("node", r.getString(0)); e.put("input", r.getString(1))
+      }
+    // column lineage is optional — recorded only when the runner captured it
+    val cols = out.putArray("columns")
+    try {
+      ctx.catalog.table("meta_column_lineage")
+        .filter(col("pipeline") === pipeline)
+        .select("node", "column", "source").distinct()
+        .orderBy("node", "column", "source")
+        .collect().foreach { r =>
+          val e = cols.addObject()
+          e.put("node", r.getString(0))
+          e.put("column", r.getString(1))
+          e.put("source", r.getString(2))
+        }
+    } catch { case _: Exception => () } // table absent: fine
+    mapper.writeValueAsString(out)
+  }
+
+  // ------------------------------------------------------------- envelope
+
+  private def result(id: JsonNode, r: JsonNode): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("jsonrpc", "2.0")
+    o.set[JsonNode]("id", id)
+    o.set[JsonNode]("result", r)
+    o
+  }
+
+  private def toolContent(text: String, isError: Boolean): ObjectNode = {
+    val r = mapper.createObjectNode()
+    val content = r.putArray("content")
+    val item = content.addObject()
+    item.put("type", "text")
+    item.put("text", text)
+    r.put("isError", isError)
+    r
+  }
+
+  private def errorResponse(id: JsonNode, code: Int, message: String): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("jsonrpc", "2.0")
+    if (id == null) o.putNull("id") else o.set[JsonNode]("id", id)
+    val e = o.putObject("error")
+    e.put("code", code)
+    e.put("message", message)
+    o
+  }
+}
