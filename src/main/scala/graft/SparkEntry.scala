@@ -1054,6 +1054,40 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"),
           min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
     }),
+    "q_delta_dv_delete" -> ((s, d) => {
+      // deletion-vector DELETE end-to-end: a partitioned table, then two
+      // DV deletes — the second lands on already-vectored files, so the
+      // bitmaps MERGE — with no data file rewritten (the commit moves
+      // kilobytes of RoaringBitmaps, the 100 TB posture for sub-percent
+      // deletes). Output = the DV-applying read ("live") plus the CDF
+      // delete attribution per delete commit; the oracle recomputes all
+      // three classes from the ORIGINAL parquet, so a hash match
+      // certifies bitmap semantics, merge behavior AND cdc attribution.
+      val orders = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_delta_dv")
+        .toString + "/orders"
+      graft.sources.DeltaWriter.write(orders.coalesce(8), root,
+        partitionBy = Seq("o_orderstatus"))
+      val r1 = graft.sources.DeltaDvWriter.delete(s, root,
+        "o_totalprice > 180000")
+      val r2 = graft.sources.DeltaDvWriter.delete(s, root,
+        "o_orderstatus = 'F' AND o_orderkey % 7 = 0")
+      require(r1.deletedRows > 0 && r2.deletedRows > 0,
+        s"DV deletes matched nothing: $r1 / $r2")
+      val live = graft.sources.DeltaLog.read(s, root)
+        .withColumn("change_type", lit("live"))
+        .select("change_type", "o_orderkey", "o_orderstatus", "o_totalprice")
+      val dels = graft.sources.DeltaLog.changes(s, root, 1L)
+        .filter(col("_change_type") === "delete")
+        .withColumn("change_type",
+          concat(lit("del_v"), col("_commit_version").cast("int")))
+        .select("change_type", "o_orderkey", "o_orderstatus", "o_totalprice")
+      live.unionByName(dels)
+        .groupBy("change_type", "o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+    }),
     "q_delta_optimize" -> ((s, d) => {
       // OPTIMIZE over the native writer: three small append commits, a
       // bin-pack compaction (remove+add, dataChange=false), then a
@@ -2074,6 +2108,11 @@ object SparkEntry {
       "SELECT ver, change_type, count(*) AS n, round(sum(o_totalprice), 2) AS revenue, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM (SELECT 1 AS ver, 'insert' AS change_type, o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 = 0 UNION ALL SELECT 2, 'insert', o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 = 1 UNION ALL SELECT 3, 'delete', o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 IN (0, 1) UNION ALL SELECT 3, 'insert', o_totalprice, o_orderkey FROM orders WHERE o_totalprice > 150000) GROUP BY 1, 2",
     "q_delta_changes" ->
       "SELECT ver, change_type, count(*) AS n, round(sum(o_totalprice), 2) AS revenue, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM (SELECT 0 AS ver, 'insert' AS change_type, o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 = 0 UNION ALL SELECT 1, 'insert', o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 = 1 UNION ALL SELECT 2, 'delete', o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 IN (0, 1) UNION ALL SELECT 2, 'insert', o_totalprice, o_orderkey FROM orders WHERE o_totalprice > 150000) GROUP BY 1, 2",
+    // DV deletes: live = neither predicate matched; del_v1 = the first
+    // delete's predicate; del_v2 = the second predicate MINUS rows the
+    // first delete already vectored away (the merge never re-deletes)
+    "q_delta_dv_delete" ->
+      "SELECT change_type, o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS revenue, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM (SELECT 'live' AS change_type, o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE NOT (o_totalprice > 180000) AND NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0) UNION ALL SELECT 'del_v1', o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice > 180000 UNION ALL SELECT 'del_v2', o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 7 = 0 AND NOT (o_totalprice > 180000)) GROUP BY 1, 2",
     // OPTIMIZE + ZORDER are metadata-only rewrites: the compacted +
     // re-clustered table must aggregate exactly like the source rows
     "q_delta_optimize" ->

@@ -459,9 +459,9 @@ object DeltaLog {
       else col(physOf(c)).cast(stripMeta(logicalType(c))).as(c)
     val paths = snap.files.map(a => absolutize(root, a.path))
     val rawScan = spark.read.schema(dataSchema).parquet(paths: _*)
-    val scan = applyDeletionVectors(spark, root, snap, rawScan)
     if (snap.partitionColumns.isEmpty)
-      return scan.select(ordered.map(logicalCol): _*)
+      return applyDeletionVectors(spark, root, snap, rawScan)
+        .select(ordered.map(logicalCol): _*)
     // file name (unique UUID-bearing basenames per the Delta writers) →
     // partition value strings, cast to the declared types after the join
     val base = (p: String) => p.substring(p.lastIndexOf('/') + 1)
@@ -485,8 +485,11 @@ object DeltaLog {
             org.apache.spark.sql.types.StringType)))
     val pv = spark.createDataFrame(
       spark.sparkContext.parallelize(pvRows.toSeq, 1), pvSchema)
-    val withFile = scan.withColumn("_gf_file",
-      element_at(split(input_file_name(), "/"), -1))
+    // the file column MUST attach on the raw scan — input_file_name()
+    // returns "" after the DV anti-join's join node
+    val withFile = applyDeletionVectors(spark, root, snap,
+      rawScan.withColumn("_gf_file",
+        element_at(split(input_file_name(), "/"), -1)))
     val partType = snap.schema.fields.map(fd => fd.name -> fd.dataType).toMap
     val joined = withFile.join(broadcast(pv), Seq("_gf_file"))
     joined.select(ordered.map { c =>
@@ -503,8 +506,8 @@ object DeltaLog {
    * by the log's own `sizeInBytes` fields); bitmap decode happens on
    * executors. No-op for snapshots without deletion vectors.
    */
-  private def applyDeletionVectors(spark: SparkSession, root: String,
-                                   snap: Snapshot, scan: DataFrame): DataFrame = {
+  private[sources] def applyDeletionVectors(spark: SparkSession, root: String,
+                                            snap: Snapshot, scan: DataFrame): DataFrame = {
     val dvFiles = snap.files.filter(_.deletionVector.isDefined)
     if (dvFiles.isEmpty) return scan
     val f = fs(spark, root)
@@ -513,9 +516,9 @@ object DeltaLog {
       base(decodePath(a.path)) -> DeletionVectors.payload(f, root, a.deletionVector.get)
     }
     val schema = StructType(Seq(
-      org.apache.spark.sql.types.StructField("_gf_file",
+      org.apache.spark.sql.types.StructField("_gf_dv_file",
         org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("_gf_ridx",
+      org.apache.spark.sql.types.StructField("_gf_dv_ridx",
         org.apache.spark.sql.types.LongType)))
     val rows = spark.sparkContext
       .parallelize(payloads, math.max(1, math.min(payloads.size, 32)))
@@ -523,11 +526,15 @@ object DeltaLog {
         DeletionVectors.decodePositions(bytes).iterator.map(p => Row(file, p))
       }
     val deleted = spark.createDataFrame(rows, schema)
+    // collision-free provenance columns: `scan` MUST be the raw parquet
+    // scan (possibly with extra withColumns) — input_file_name() and
+    // `_metadata` are undefined after a join, so callers that need their
+    // own file column must add it BEFORE this anti-join, never after
     scan
-      .withColumn("_gf_file", element_at(split(input_file_name(), "/"), -1))
-      .withColumn("_gf_ridx", col("_metadata.row_index"))
-      .join(deleted, Seq("_gf_file", "_gf_ridx"), "left_anti")
-      .drop("_gf_file", "_gf_ridx")
+      .withColumn("_gf_dv_file", element_at(split(input_file_name(), "/"), -1))
+      .withColumn("_gf_dv_ridx", col("_metadata.row_index"))
+      .join(deleted, Seq("_gf_dv_file", "_gf_dv_ridx"), "left_anti")
+      .drop("_gf_dv_file", "_gf_dv_ridx")
   }
 
   // ------------------------------------------------------ change data feed
@@ -653,6 +660,7 @@ object DeltaLog {
       val cdc = scala.collection.mutable.ArrayBuffer[AddFile]()
       val adds = scala.collection.mutable.ArrayBuffer[AddFile]()
       val removes = scala.collection.mutable.ArrayBuffer[AddFile]()
+      var dvAdd = false
       val inRange = v >= fromVersion
       txt.split('\n').iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
         val node = mapper.readTree(line)
@@ -667,10 +675,7 @@ object DeltaLog {
           pvByPath.update(a.get("path").asText(), pvMap(a))
           val dataChange = Option(a.get("dataChange")).forall(_.asBoolean(true))
           if (dataChange && inRange) {
-            require(!a.hasNonNull("deletionVector"),
-              s"version $v adds a deletion vector without cdc actions — " +
-                "derived CDF cannot attribute its deleted rows; enable CDF " +
-                "on the writer or consume snapshots")
+            if (a.hasNonNull("deletionVector")) dvAdd = true
             adds += AddFile(a.get("path").asText(), pvMap(a), 0L, 0L)
           }
         }
@@ -682,6 +687,14 @@ object DeltaLog {
       }
       if (!inRange) None
       else {
+        // per the CDF protocol cdc actions supersede add/remove for
+        // change purposes — so a DV-carrying add is fine WHEN the commit
+        // carries cdc files (the DV writer stages them); only a DV add
+        // in a non-CDC commit leaves its deletes unattributable
+        require(cdc.nonEmpty || !dvAdd,
+          s"version $v adds a deletion vector without cdc actions — " +
+            "derived CDF cannot attribute its deleted rows; enable CDF " +
+            "on the writer or consume snapshots")
         if (ts == 0L) ts = f.getFileStatus(p).getModificationTime
         Some(Parsed(v, ts, cdc.toSeq, adds.toSeq, removes.toSeq))
       }

@@ -128,8 +128,12 @@ object DeltaMaintenance {
         // is immutable parquet on disk, so the layout's stats/sample/write
         // passes re-scan cheaply instead of pinning executor memory
         val numFiles = math.max(1, math.ceil(bytesRemoved.toDouble / targetFileBytes).toInt)
-        val scan = spark.read.schema(dataSchema)
-          .parquet(removes.map(a => DeltaLog.absolutize(root, a.path)): _*)
+        // DV-carrying inputs compact to their LIVE rows (the rewrite is
+        // also the purge: the new file drops the vector)
+        val scan = DeltaLog.applyDeletionVectors(spark, root,
+            snap.copy(files = removes),
+            spark.read.schema(dataSchema)
+              .parquet(removes.map(a => DeltaLog.absolutize(root, a.path)): _*))
           .select(ordered.map(col): _*)
         val clustered = Sources.zOrderFrame(scan, zorderBy, numFiles = numFiles)
         DeltaWriter.stageAndMove(clustered, root, Nil, nonce, countRows = false)._1
@@ -150,9 +154,15 @@ object DeltaMaintenance {
         val binMap = spark.createDataFrame(
           spark.sparkContext.parallelize(fileRows, 1), mapSchema)
         val partType = snap.schema.fields.map(fd => fd.name -> fd.dataType).toMap
-        val scan = spark.read.schema(dataSchema)
-          .parquet(removes.map(a => DeltaLog.absolutize(root, a.path)): _*)
-          .withColumn("_gf_file", element_at(split(input_file_name(), "/"), -1))
+        // the routing file column attaches on the RAW scan
+        // (input_file_name() is "" after a join), then existing DVs
+        // anti-join away — compaction must not resurrect deleted rows
+        val scan = DeltaLog.applyDeletionVectors(spark, root,
+          snap.copy(files = removes),
+          spark.read.schema(dataSchema)
+            .parquet(removes.map(a => DeltaLog.absolutize(root, a.path)): _*)
+            .withColumn("_gf_file",
+              element_at(split(input_file_name(), "/"), -1)))
         val routed = scan.join(broadcast(binMap), Seq("_gf_file"))
           .select((ordered.map { c =>
             if (partCols.contains(c)) col(s"_gf_pv_$c").cast(partType(c)).as(c)
@@ -171,13 +181,15 @@ object DeltaMaintenance {
       attempt += 1
       require(attempt <= 20, s"gave up publishing OPTIMIZE commit at $root after 20 attempts")
       val current = DeltaLog.snapshot(spark, root)
-      val activePaths = current.files.map(_.path).toSet
-      if (!removes.forall(r => activePaths.contains(r.path))) {
-        // a concurrent overwrite/optimize retired files we rewrote —
-        // committing would resurrect dead data; abort cleanly
+      val currentByPath = current.files.map(a => a.path -> a.deletionVector).toMap
+      // a file must still be active AND carry the SAME deletion vector we
+      // planned against: a concurrent overwrite/optimize retiring it, or
+      // a concurrent DV delete marking more rows, would make this commit
+      // resurrect dead rows
+      if (!removes.forall(r => currentByPath.get(r.path).contains(r.deletionVector))) {
         adds.foreach(a => f.delete(new Path(root, a.path), false))
         throw new IllegalStateException(
-          s"concurrent commit at $root removed files being optimized — rerun optimize")
+          s"concurrent commit at $root changed files being optimized — rerun optimize")
       }
       val version = current.version + 1
       val now = System.currentTimeMillis()
@@ -219,8 +231,13 @@ object DeltaMaintenance {
     val snap = DeltaLog.snapshot(spark, root)
     val f = fs(spark, root)
     val rootPath = f.makeQualified(new Path(root))
-    val active: Set[Path] = snap.files
-      .map(a => f.makeQualified(new Path(DeltaLog.absolutize(root, a.path)))).toSet
+    val active: Set[Path] = (snap.files
+      .map(a => f.makeQualified(new Path(DeltaLog.absolutize(root, a.path)))) ++
+      // live deletion-vector bin files are referenced only through add
+      // descriptors, never as add paths — deleting one bricks every read
+      snap.files.flatMap(_.deletionVector)
+        .filter(d => d.storageType == "u" || d.storageType == "p")
+        .map(d => f.makeQualified(DeletionVectors.dvFilePath(root, d)))).toSet
     val cutoff = System.currentTimeMillis() - (retentionHours * 3600 * 1000).toLong
 
     def hidden(name: String): Boolean =

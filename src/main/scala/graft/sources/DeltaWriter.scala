@@ -60,7 +60,7 @@ object DeltaWriter {
 
   /** Hive partition-dir component `k=v` → (k, Option(v)); values are
     * hive-escaped on disk, `__HIVE_DEFAULT_PARTITION__` encodes null. */
-  private def parsePartitionSegment(seg: String): (String, Option[String]) = {
+  private[sources] def parsePartitionSegment(seg: String): (String, Option[String]) = {
     val i = seg.indexOf('=')
     require(i > 0, s"staged file path segment '$seg' is not a partition dir")
     val k = seg.substring(0, i)
@@ -348,7 +348,9 @@ object DeltaWriter {
     val f = fs(spark, root)
     val protocolType = StructType(Seq(
       StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType)))
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))
     val formatType = StructType(Seq(
       StructField("provider", StringType),
       StructField("options", MapType(StringType, StringType))))
@@ -359,12 +361,19 @@ object DeltaWriter {
       StructField("partitionColumns", ArrayType(StringType)),
       StructField("configuration", MapType(StringType, StringType)),
       StructField("createdTime", LongType)))
+    val dvType = StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", IntegerType),
+      StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))
     val addType = StructType(Seq(
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType, valueContainsNull = true)),
       StructField("size", LongType),
       StructField("modificationTime", LongType),
-      StructField("dataChange", BooleanType)))
+      StructField("dataChange", BooleanType),
+      StructField("deletionVector", dvType)))
     val txnType = StructType(Seq(
       StructField("appId", StringType),
       StructField("version", LongType)))
@@ -373,14 +382,24 @@ object DeltaWriter {
       StructField("metaData", metaType),
       StructField("add", addType),
       StructField("txn", txnType)))
-    val protoRow = Row(Row(1, 2), null, null, null)
+    // a DV-carrying snapshot needs the feature protocol in the checkpoint
+    // too — Row(1, 2) would downgrade it and external readers could skip
+    // the vectors
+    val anyDv = snap.files.exists(_.deletionVector.isDefined)
+    val feats =
+      if (anyDv) Seq("deletionVectors") else null
+    val protoRow =
+      if (anyDv) Row(Row(3, 7, feats, feats), null, null, null)
+      else Row(Row(1, 2, null, null), null, null, null)
     val metaRow = Row(null, Row(
       snap.tableId.getOrElse("graft-" + version), Row("parquet", Map.empty[String, String]),
       snap.schema.json, snap.partitionColumns, snap.configuration, 0L), null, null)
     val addRows = snap.files.map { a =>
+      val dvRow = a.deletionVector.map(d => Row(d.storageType, d.pathOrInlineDv,
+        d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull
       Row(null, null, Row(encodePath(a.path),
         a.partitionValues.map { case (k, v) => k -> v.orNull },
-        a.size, a.modificationTime, true), null)
+        a.size, a.modificationTime, true, dvRow), null)
     }
     val txnRows = snap.transactions.toSeq.map { case (app, v) =>
       Row(null, null, null, Row(app, v))

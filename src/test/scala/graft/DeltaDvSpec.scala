@@ -1,0 +1,169 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.{DeltaDvWriter, DeltaLog, DeltaMaintenance, DeltaWriter, DeletionVectors}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deletion-vector WRITE path end-to-end: DV deletes commit bitmaps (no
+ * file rewrites), the repo's own reader applies them, merges stack,
+ * CDF attributes the deleted rows, checkpoints and maintenance carry
+ * the vectors instead of dropping or resurrecting rows.
+ */
+class DeltaDvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("delta_dv").toString + "/t"
+
+  private def dataFiles(root: String): Set[String] =
+    new java.io.File(root).listFiles().toSeq
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getName).toSet
+
+  test("DV delete: no data file rewritten, reader drops the rows") {
+    val root = tmp()
+    val df = (0 until 1000).map(i => (i.toLong, s"name_$i", i % 7)).toDF("id", "name", "bucket")
+    DeltaWriter.write(df.repartition(4), root)
+    val before = dataFiles(root)
+
+    val res = DeltaDvWriter.delete(spark, root, "id % 10 = 3")
+    assert(res.deletedRows == 100, s"deleted: $res")
+    assert(res.version == 1)
+    // the delete moved BITMAPS, not data: same parquet files on disk
+    assert(dataFiles(root) == before, "DV delete rewrote data files")
+    assert(new java.io.File(root).listFiles()
+      .exists(_.getName.startsWith("deletion_vector_")), "no DV bin file written")
+
+    val got = DeltaLog.read(spark, root)
+    assert(got.count() == 900)
+    assert(got.filter("id % 10 = 3").count() == 0)
+    // time travel to v0 still sees everything
+    assert(DeltaLog.read(spark, root, versionAsOf = Some(0L)).count() == 1000)
+
+    // every touched add carries a descriptor whose cardinality sums to 100
+    val snap = DeltaLog.snapshot(spark, root)
+    val dvs = snap.files.flatMap(_.deletionVector)
+    assert(dvs.nonEmpty && dvs.map(_.cardinality).sum == 100L)
+  }
+
+  test("second delete merges bitmaps: cardinalities add, old rows stay dead") {
+    val root = tmp()
+    DeltaWriter.write((0 until 500).map(i => (i.toLong, i % 5)).toDF("id", "m")
+      .repartition(2), root)
+    assert(DeltaDvWriter.delete(spark, root, "m = 0").deletedRows == 100)
+    assert(DeltaDvWriter.delete(spark, root, "m = 1").deletedRows == 100)
+    // deleting already-deleted rows is a no-op (no new version)
+    val again = DeltaDvWriter.delete(spark, root, "m = 0")
+    assert(again.deletedRows == 0 && again.version == 2,
+      s"re-delete must be a no-op: $again")
+
+    val got = DeltaLog.read(spark, root)
+    assert(got.count() == 300)
+    assert(got.filter("m = 0 or m = 1").count() == 0)
+    val snap = DeltaLog.snapshot(spark, root)
+    assert(snap.files.flatMap(_.deletionVector).map(_.cardinality).sum == 200L)
+  }
+
+  test("partitioned delete with a partition+data predicate") {
+    val root = tmp()
+    val df = (0 until 600).map(i => (i.toLong, 100.0 + i, s"P${i % 3}"))
+      .toDF("id", "price", "status")
+    DeltaWriter.write(df, root, partitionBy = Seq("status"))
+    val res = DeltaDvWriter.delete(spark, root, "status = 'P1' AND price > 400")
+    val expectGone = df.filter("status = 'P1' AND price > 400").count()
+    assert(res.deletedRows == expectGone)
+    val got = DeltaLog.read(spark, root)
+    assert(got.count() == 600 - expectGone)
+    assert(got.filter("status = 'P1' AND price > 400").count() == 0)
+    // untouched partitions intact
+    assert(got.filter("status = 'P0'").count() == 200)
+  }
+
+  test("deleteKeys: the detect_deletes hard-apply shape") {
+    val root = tmp()
+    DeltaWriter.write((0 until 100).map(i => (i.toLong, s"v$i")).toDF("k", "v"), root)
+    val gone = Seq(3L, 17L, 59L).toDF("k")
+    val res = DeltaDvWriter.deleteKeys(spark, root, gone, Seq("k"))
+    assert(res.deletedRows == 3)
+    val got = DeltaLog.read(spark, root)
+    assert(got.count() == 97)
+    assert(got.filter(col("k").isin(3L, 17L, 59L)).count() == 0)
+  }
+
+  test("CDF attributes DV deletes through cdc actions") {
+    val root = tmp()
+    DeltaWriter.write((0 until 200).map(i => (i.toLong, i % 4)).toDF("id", "m"), root)
+    DeltaDvWriter.delete(spark, root, "m = 2")
+    val ch = DeltaLog.changes(spark, root, 1L, Some(1L))
+    val deletes = ch.filter("_change_type = 'delete'")
+    assert(deletes.count() == 50)
+    assert(deletes.filter("m <> 2").count() == 0)
+    assert(ch.filter("_change_type <> 'delete'").count() == 0,
+      "a DV delete commit must produce only delete changes")
+  }
+
+  test("checkpoint after DV delete carries vectors and feature protocol") {
+    val root = tmp()
+    DeltaWriter.write((0 until 300).map(i => (i.toLong, i % 3)).toDF("id", "m"), root)
+    DeltaDvWriter.delete(spark, root, "m = 0", checkpointInterval = 1)
+    // checkpoint exists at v1 and replay THROUGH it keeps the deletes
+    val cp = new java.io.File(root, "_delta_log/00000000000000000001.checkpoint.parquet")
+    assert(cp.exists(), "checkpoint not written")
+    // force checkpoint-based replay: age out the pre-checkpoint commit
+    new java.io.File(root, "_delta_log/00000000000000000000.json").delete()
+    val got = DeltaLog.read(spark, root)
+    assert(got.count() == 200, "checkpoint dropped the deletion vectors")
+    assert(got.filter("m = 0").count() == 0)
+    // the checkpoint protocol kept the feature upgrade
+    val proto = spark.read.parquet(cp.toString)
+      .select("protocol.minReaderVersion", "protocol.readerFeatures")
+      .where(col("protocol").isNotNull).collect().head
+    assert(proto.getInt(0) == 3)
+    assert(proto.getSeq[String](1).contains("deletionVectors"))
+  }
+
+  test("vacuum keeps live DV bin files; optimize purges deleted rows") {
+    val root = tmp()
+    DeltaWriter.write((0 until 400).map(i => (i.toLong, i % 4)).toDF("id", "m")
+      .repartition(4), root)
+    DeltaDvWriter.delete(spark, root, "m = 1")
+
+    // vacuum at zero retention must NOT delete the referenced DV file
+    val vac = DeltaMaintenance.vacuum(spark, root, retentionHours = 0.0)
+    assert(!vac.deleted.exists(_.startsWith("deletion_vector_")),
+      s"vacuum reclaimed a live DV file: ${vac.deleted}")
+    assert(DeltaLog.read(spark, root).count() == 300)
+
+    // optimize compacts the small files, applying (and dropping) the DVs
+    val opt = DeltaMaintenance.optimize(spark, root, targetFileBytes = 1L << 30)
+    assert(opt.version.nonEmpty && opt.filesRemoved == 4 && opt.filesAdded == 1, s"$opt")
+    val snap = DeltaLog.snapshot(spark, root)
+    assert(snap.files.forall(_.deletionVector.isEmpty),
+      "optimize must drop applied deletion vectors")
+    val got = DeltaLog.read(spark, root)
+    assert(got.count() == 300, "optimize resurrected DV-deleted rows")
+    assert(got.filter("m = 1").count() == 0)
+
+    // after optimize the old DV bin file is unreferenced -> vacuumable
+    val vac2 = DeltaMaintenance.vacuum(spark, root, retentionHours = 0.0)
+    assert(vac2.deleted.exists(_.startsWith("deletion_vector_")),
+      "orphaned DV file not reclaimed after optimize")
+    assert(DeltaLog.read(spark, root).count() == 300)
+  }
+
+  test("DV payload round-trips through the protocol reader primitives") {
+    val root = tmp()
+    DeltaWriter.write((0 until 50).map(i => (i.toLong, i)).toDF("id", "x"), root)
+    DeltaDvWriter.delete(spark, root, "x < 5")
+    val snap = DeltaLog.snapshot(spark, root)
+    val d = snap.files.flatMap(_.deletionVector).head
+    assert(d.storageType == "u" && d.cardinality == 5)
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // payload() verifies size framing + CRC; decode gives the positions
+    val positions = DeletionVectors.decodePositions(
+      DeletionVectors.payload(f, root, d))
+    assert(positions.length == 5 && positions.sameElements(positions.sorted))
+  }
+}
