@@ -987,6 +987,43 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"),
           min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
     }),
+    "q_iceberg_delete" -> ((s, d) => {
+      // position-delete DELETE + merge-on-read compaction end-to-end:
+      // a partitioned v2 table, two stacked delete snapshots (content=1
+      // manifests, no data file rewritten), then optimize — which must
+      // apply the deletes during the rewrite (the purge) without
+      // resurrecting rows. Output = the post-everything read plus a
+      // time-travel read of the pre-delete snapshot; the oracle
+      // recomputes both from the ORIGINAL parquet, so a hash match
+      // certifies sequence-aware delete application AND the MOR rewrite.
+      val orders = t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_ice_del")
+        .toString + "/orders"
+      // repartition (not coalesce): the sf0.001 source is a single
+      // parquet split, and the MOR-compaction leg needs >= 2 small files
+      // per partition to have real work
+      graft.sources.IcebergSource.write(orders.repartition(4), root,
+        partitionBy = Seq("o_orderstatus"))
+      val v0 = graft.sources.IcebergSource.snapshots(s, root).head.snapshotId
+      val r1 = graft.sources.IcebergSource.delete(s, root,
+        "o_totalprice > 180000")
+      val r2 = graft.sources.IcebergSource.delete(s, root,
+        "o_orderstatus = 'F' AND o_orderkey % 7 = 0")
+      require(r1.deletedRows > 0 && r2.deletedRows > 0,
+        s"iceberg deletes matched nothing: $r1 / $r2")
+      val opt = graft.sources.IcebergMaintenance.optimize(s, root)
+      require(opt.snapshotId.nonEmpty, s"MOR optimize did not run: $opt")
+      val live = graft.sources.IcebergSource.read(s, root)
+        .withColumn("state", lit("live"))
+      val initial = graft.sources.IcebergSource.read(s, root,
+          snapshotId = Some(v0))
+        .withColumn("state", lit("initial"))
+      live.unionByName(initial)
+        .groupBy("state", "o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+    }),
     "q_iceberg_roundtrip" -> ((s, d) => {
       // the native Iceberg path end-to-end: two append commits through
       // real metadata/manifest-list/manifest files, then a current read
@@ -2104,6 +2141,10 @@ object SparkEntry {
       "SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS revenue, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM orders GROUP BY 1",
     "q_iceberg_roundtrip" ->
       "SELECT ver, o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS revenue, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM (SELECT 1 AS ver, o_orderstatus, o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 = 0 UNION ALL SELECT 2 AS ver, o_orderstatus, o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 IN (0, 1)) GROUP BY 1, 2",
+    // position deletes: live = neither predicate matched (survives the
+    // MOR compaction untouched); initial = the pre-delete snapshot
+    "q_iceberg_delete" ->
+      "SELECT state, o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS revenue, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM (SELECT 'live' AS state, o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE NOT (o_totalprice > 180000) AND NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0) UNION ALL SELECT 'initial', o_orderkey, o_orderstatus, o_totalprice FROM orders) GROUP BY 1, 2",
     "q_iceberg_changes" ->
       "SELECT ver, change_type, count(*) AS n, round(sum(o_totalprice), 2) AS revenue, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM (SELECT 1 AS ver, 'insert' AS change_type, o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 = 0 UNION ALL SELECT 2, 'insert', o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 = 1 UNION ALL SELECT 3, 'delete', o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 IN (0, 1) UNION ALL SELECT 3, 'insert', o_totalprice, o_orderkey FROM orders WHERE o_totalprice > 150000) GROUP BY 1, 2",
     "q_delta_changes" ->

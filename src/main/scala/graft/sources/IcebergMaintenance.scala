@@ -140,8 +140,9 @@ object IcebergMaintenance {
    * Bin-pack each partition's small live files (< `targetFileBytes`,
    * >= 2 per partition) into ~target-sized outputs; commit a `replace`
    * snapshot. No-op (None) when nothing qualifies. Tables carrying
-   * row-level delete files fail fast — compacting under deletes needs a
-   * merge-on-read rewrite that would change sequence semantics.
+   * row-level delete files compact MERGE-ON-READ: deletes targeting the
+   * compacted files apply during the rewrite (the purge), delete
+   * manifests carry over for the files that remain.
    */
   def optimize(spark: SparkSession, root: String,
                targetFileBytes: Long = 128L << 20): OptimizeResult =
@@ -155,8 +156,6 @@ object IcebergMaintenance {
       meta.snapshots.find(_.snapshotId == id)).getOrElse(
       throw new IllegalArgumentException(s"$root has no current snapshot"))
     val (data, pos, eq) = snapshotFiles(spark, root, snap, meta)
-    require(pos.isEmpty && eq.isEmpty,
-      s"$root carries row-level delete files — compact after rewriting deletes")
     val partFields = partitionStructFields(meta)
 
     def sizeOf(e: FileEntry): Long =
@@ -204,12 +203,28 @@ object IcebergMaintenance {
     val candidatePaths = bins.flatMap(_._2.map(_.path)).toSeq
     val commitUuid = java.util.UUID.randomUUID().toString
     val outDir = new Path(root, s"data/$commitUuid")
-    spark.read.schema(readSchema).parquet(candidatePaths: _*)
+    val rawScan = spark.read.schema(readSchema).parquet(candidatePaths: _*)
       .withColumn("_gf_bin", element_at(typedLit(binOf),
         regexp_replace(regexp_replace(input_file_name(),
           "^[a-zA-Z][a-zA-Z0-9+.-]*:", ""), "^/+", "/")))
+    // merge-on-read compaction IS the purge: row-level deletes targeting
+    // the compacted files are applied during the rewrite (the new files
+    // get the fresh sequence number, so the old deletes no longer bind)
+    val routed =
+      if (pos.isEmpty && eq.isEmpty) rawScan
+      else IcebergSource.applyDeletes(spark, meta, rawScan,
+        bins.flatMap(_._2).toSeq, pos, eq)
+        .drop("_gf_path", "_gf_pos", "_gf_seq")
+    // observe the routed rows INSIDE the rewrite job: a mis-routed row
+    // (null bin) would land outside the listed dirs and silently vanish
+    val obs = org.apache.spark.sql.Observation()
+    routed.observe(obs, count(lit(1)).as("rows"), count(col("_gf_bin")).as("binned"))
       .repartition(bins.size, col("_gf_bin"))
       .write.partitionBy("_gf_bin").mode("errorifexists").parquet(outDir.toString)
+    val routedRows = obs.get("rows").asInstanceOf[Long]
+    require(obs.get("binned").asInstanceOf[Long] == routedRows,
+      s"optimize routed ${routedRows - obs.get("binned").asInstanceOf[Long]} " +
+        "rows to a null bin — aborting before commit")
 
     // new entries: one manifest holding EXISTING kept files (original
     // seq) + ADDED compacted outputs (new seq)
@@ -261,15 +276,19 @@ object IcebergMaintenance {
             (s.getPath.toString, s.getLen, n, part)
           }
       }.toSeq
-    // row conservation: a mis-routed row (null bin) would land outside
-    // the listed dirs and silently vanish at commit time — refuse
+    // row conservation: without deletes, output rows must equal the
+    // manifests' record counts; under merge-on-read the expectation is
+    // the DV-applied row count the rewrite job itself observed
     val compactedRecords = bins.flatMap(_._2.map(_.records)).sum
-    if (compactedRecords > 0) {
-      val rewritten = newFiles.map(_._3).sum
+    val rewritten = newFiles.map(_._3).sum
+    if (pos.isEmpty && eq.isEmpty && compactedRecords > 0)
       require(rewritten == compactedRecords,
         s"optimize row mismatch: compacted $compactedRecords rows but " +
           s"rewrote $rewritten — aborting before commit")
-    }
+    else
+      require(rewritten == routedRows,
+        s"optimize row mismatch: routed $routedRows live rows but " +
+          s"rewrote $rewritten — aborting before commit")
     val entries =
       kept.map(e => entry(0, e.path, sizeOf(e), e.records, e.seq, e.partition,
         e.addedSnapshotId)) ++
@@ -295,8 +314,13 @@ object IcebergMaintenance {
       r.put("deleted_rows_count", 0L)
       r
     }
+    // delete manifests carry over: kept EXISTING files still need their
+    // deletes; entries targeting compacted (retired) paths dangle
+    // harmlessly (the path join never matches) until snapshots expire
+    val deleteMls = IcebergSource.currentMlRecords(conf, root, meta)
+      .filter(r => Option(r.get("content")).exists(_.asInstanceOf[Int] == 1))
     val mlPath = new Path(metaDir(root), s"snap-$snapshotId-$commitUuid.avro")
-    writeAvro(conf, mlPath, manifestFileSchema, Seq(mlRecord))
+    writeAvro(conf, mlPath, manifestFileSchema, mlRecord +: deleteMls)
 
     val now = snapshotId
     try {

@@ -702,15 +702,31 @@ object IcebergSource {
     val (dataFiles, posDeleteFiles, eqDeleteFiles) =
       collectFiles(conf, root, snap, meta, partitionFilter)
     if (dataFiles.isEmpty) return empty
-    var scan = spark.read.schema(readSchema).parquet(dataFiles.map(_.path).toSeq: _*)
+    val scan = spark.read.schema(readSchema).parquet(dataFiles.map(_.path).toSeq: _*)
     if (posDeleteFiles.isEmpty && eqDeleteFiles.isEmpty) return scan
+    applyDeletes(spark, meta, scan, dataFiles, posDeleteFiles, eqDeleteFiles)
+      .drop("_gf_path", "_gf_pos", "_gf_seq")
+  }
 
+  /**
+   * Attach row provenance (`_gf_path` scheme-normalized file path,
+   * `_gf_pos` parquet row index, `_gf_seq` data sequence number) to a RAW
+   * parquet scan over `dataFiles` and anti-join every delete class away.
+   * `scan` may carry extra withColumns but NO joins — input_file_name()
+   * and `_metadata` are undefined after a join. Callers drop the
+   * provenance columns (or use them: the positional-delete WRITER plans
+   * from exactly these).
+   */
+  private[sources] def applyDeletes(spark: SparkSession, meta: TableMeta,
+                                    scan0: DataFrame, dataFiles: Seq[FileEntry],
+                                    posDeleteFiles: Seq[FileEntry],
+                                    eqDeleteFiles: Seq[FileEntry]): DataFrame = {
     // every delete class is sequence-aware: attach each data row's file
     // sequence number via a broadcast (normalized path → seq) map
     val fileSeq = spark.createDataFrame(
       dataFiles.map(fe => (fe.path, fe.seq)).toSeq).toDF("_gf_rawpath", "_gf_seq")
       .select(normPath(col("_gf_rawpath")).as("_gf_path"), col("_gf_seq"))
-    scan = scan
+    var scan = scan0
       .withColumn("_gf_path", normPath(input_file_name()))
       .withColumn("_gf_pos", col("_metadata.row_index"))
       .join(broadcast(fileSeq), Seq("_gf_path"))
@@ -754,12 +770,169 @@ object IcebergSource {
         scan = scan.join(del, cond, "left_anti")
       }
     }
-    scan.drop("_gf_path", "_gf_pos", "_gf_seq")
+    scan
   }
 
   /** Driver-side twin of [[normPath]] for literal maps. */
   private def normSchemeString(p: String): String =
     p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:", "").replaceFirst("^/+", "/")
+
+  // --------------------------------------------------- position-delete write
+
+  final case class DeleteResult(snapshotId: Option[Long], deletedRows: Long,
+                                deleteFiles: Int)
+
+  /**
+   * DELETE FROM <root> WHERE <condition> as POSITION DELETES (Iceberg
+   * spec v2 row-level deletes, merge-on-read): matched (file_path, pos)
+   * pairs — from ONE distributed scan with `_metadata.row_index`,
+   * existing deletes already anti-joined away — land in delete parquet
+   * files (columns `file_path`, `pos`, sorted within files as the spec
+   * requires), tracked by a content=1 DELETE manifest at the new
+   * sequence number. No data file is rewritten: deleting 0.1% of a
+   * 100 TB table moves kilobytes of positions. Readers apply the deletes
+   * because the new sequence number is >= every live data file's
+   * ([[applyDeletes]]); a later compaction ([[IcebergMaintenance
+   * .optimize]]) is the purge.
+   *
+   * Concurrency: the commit claims `v(N+1)` via [[tryPublishMeta]]; a
+   * lost claim reclaims this attempt's files and RE-PLANS from fresh
+   * metadata (a concurrent overwrite/compaction may have retired the
+   * very files the positions reference — rebasing blindly would
+   * silently drop the delete).
+   */
+  def delete(spark: SparkSession, root: String, condition: String): DeleteResult = {
+    val conf = spark.sessionState.newHadoopConf()
+    val f = fs(spark, root)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(attempt <= 5,
+        s"gave up position-delete commit at $root after $attempt conflicted attempts")
+      val meta = tableMeta(spark, root)
+      require(meta.formatVersion == 2,
+        s"row-level deletes need iceberg format-version 2, $root is v${meta.formatVersion}")
+      val snap = meta.currentSnapshotId.flatMap(id =>
+        meta.snapshots.find(_.snapshotId == id))
+        .getOrElse(return DeleteResult(None, 0L, 0))
+      val (dataFiles, posD, eqD) = snapshotFiles(spark, root, snap, meta)
+      if (dataFiles.isEmpty) return DeleteResult(None, 0L, 0)
+
+      val readSchema = stripFieldIds(meta.schema).asInstanceOf[StructType]
+      val scan0 = spark.read.schema(readSchema).parquet(dataFiles.map(_.path): _*)
+      val prov = applyDeletes(spark, meta, scan0, dataFiles, posD, eqD)
+      // delete files must reference the EXACT path string the manifests
+      // record; _gf_path is scheme-normalized, so map it back via a
+      // broadcast (normalized -> recorded) frame
+      val pathBack = spark.createDataFrame(
+        dataFiles.map(fe => (normSchemeString(fe.path), fe.path)).toSeq)
+        .toDF("_gf_path", "file_path")
+      val commitUuid = java.util.UUID.randomUUID().toString
+      val delDir = new Path(root, s"data/$commitUuid")
+      prov.filter(expr(condition))
+        .join(broadcast(pathBack), Seq("_gf_path"))
+        .select(col("file_path"), col("_gf_pos").as("pos"))
+        .repartition(col("file_path"))
+        .sortWithinPartitions("file_path", "pos")
+        .write.mode("errorifexists").parquet(delDir.toString)
+      val files = {
+        val it = f.listFiles(delDir, true)
+        val buf = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && st.getPath.getName.endsWith(".parquet")) buf += st
+        }
+        buf.toSeq.sortBy(_.getPath.toString)
+      }
+      val counts = files.map(s => parquetRowCount(conf, s.getPath))
+      val rows = counts.sum
+      if (rows == 0L) { f.delete(delDir, true); return DeleteResult(None, 0L, 0) }
+
+      // ---- DELETE manifest (content=1 entries, unpartitioned tuple:
+      // entry-level pruning never applies to delete entries and the ml
+      // row carries no partition summaries, so the deletes always load)
+      val snapshotId = math.max(System.currentTimeMillis(),
+        meta.snapshots.map(_.snapshotId + 1).foldLeft(0L)(math.max))
+      val newSeq = meta.lastSequenceNumber + 1
+      val entrySchema = entrySchemaFor(Nil)
+      val partSchema = entrySchema.getField("data_file").schema()
+        .getField("partition").schema()
+      val entries = files.lazyZip(counts).map { (s, n) =>
+        val dataFile = new GenericData.Record(
+          entrySchema.getField("data_file").schema())
+        dataFile.put("content", 1) // POSITION_DELETES
+        dataFile.put("file_path", s.getPath.toString)
+        dataFile.put("file_format", "PARQUET")
+        dataFile.put("partition", new GenericData.Record(partSchema))
+        dataFile.put("record_count", n)
+        dataFile.put("file_size_in_bytes", s.getLen)
+        val e = new GenericData.Record(entrySchema)
+        e.put("status", 1) // ADDED
+        e.put("snapshot_id", snapshotId)
+        e.put("sequence_number", newSeq)
+        e.put("file_sequence_number", newSeq)
+        e.put("data_file", dataFile)
+        e
+      }
+      val manifestPath = new Path(metaDir(root), s"manifest-$commitUuid.avro")
+      f.mkdirs(metaDir(root))
+      val manifestLen = writeAvro(conf, manifestPath, entrySchema, entries)
+      val mlRec = {
+        val r = new GenericData.Record(manifestFileSchema)
+        r.put("manifest_path", manifestPath.toString)
+        r.put("manifest_length", manifestLen)
+        r.put("partition_spec_id", 0)
+        r.put("content", 1) // DELETES manifest
+        r.put("sequence_number", newSeq)
+        r.put("min_sequence_number", newSeq)
+        r.put("added_snapshot_id", snapshotId)
+        r.put("added_files_count", files.size)
+        r.put("existing_files_count", 0)
+        r.put("deleted_files_count", 0)
+        r.put("added_rows_count", rows)
+        r.put("existing_rows_count", 0L)
+        r.put("deleted_rows_count", 0L)
+        r
+      }
+      val mlPath = new Path(metaDir(root), s"snap-$snapshotId-$commitUuid.avro")
+      writeAvro(conf, mlPath, manifestFileSchema,
+        mlRec +: currentMlRecords(conf, root, meta))
+
+      // ---- clone-and-patch the PLAN-TIME metadata, claim v(N+1)
+      val node = mapper.readTree(readText(f, new Path(meta.metadataPath)))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      node.put("last-sequence-number", newSeq)
+      node.put("last-updated-ms", snapshotId)
+      node.put("current-snapshot-id", snapshotId)
+      val snapNode = mapper.createObjectNode()
+      snapNode.put("snapshot-id", snapshotId)
+      snapNode.put("timestamp-ms", snapshotId)
+      snapNode.put("sequence-number", newSeq)
+      snapNode.putObject("summary").put("operation", "delete")
+      snapNode.put("manifest-list", mlPath.toString)
+      snapNode.put("schema-id", 0)
+      node.withArray("snapshots").add(snapNode)
+      if (node.has("snapshot-log")) {
+        val logNode = mapper.createObjectNode()
+        logNode.put("snapshot-id", snapshotId)
+        logNode.put("timestamp-ms", snapshotId)
+        node.withArray("snapshot-log").add(logNode)
+      }
+      val claimOk = (meta.version != 0L ||
+        latestMetadata(f, root).toString == meta.metadataPath) &&
+        tryPublishMeta(f, root, meta.version + 1,
+          mapper.writeValueAsBytes(node), commitUuid)
+      if (claimOk) {
+        writeHint(f, root, meta.version + 1)
+        return DeleteResult(Some(snapshotId), rows, files.size)
+      }
+      // lost the claim: reclaim everything, re-plan from fresh metadata
+      f.delete(delDir, true)
+      f.delete(manifestPath, false)
+      f.delete(mlPath, false)
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   // ------------------------------------------------------ incremental read
 
@@ -895,6 +1068,35 @@ object IcebergSource {
       |    {"name":"lower_bound","type":["null","bytes"],"default":null,"field-id":510},
       |    {"name":"upper_bound","type":["null","bytes"],"default":null,"field-id":511}]}}]}
       |]}""".stripMargin.replaceAll("\n", ""))
+
+  /** Rebuild a (possibly foreign) manifest-list record under OUR schema
+    * (field-by-name): records from other writers/versions may order or
+    * omit optionals differently, and the datum writer navigates by
+    * writer-schema position. */
+  private[sources] def rebuildMlRecord(old: GenericRecord): GenericRecord = {
+    val r = new GenericData.Record(manifestFileSchema)
+    manifestFileSchema.getFields.asScala.foreach { fd =>
+      // nested optionals (partition summaries) only carry over when the
+      // source schema matches ours — a richer foreign field_summary
+      // would not serialize under our item schema; dropping the summary
+      // is always safe (absent bounds simply disable manifest pruning)
+      val compatible = fd.name() != "partitions" ||
+        Option(old.getSchema.getField(fd.name()))
+          .exists(_.schema().toString == fd.schema().toString)
+      if (compatible) opt(old, fd.name()).foreach(v => r.put(fd.pos(), v))
+    }
+    r
+  }
+
+  /** The current snapshot's manifest-list records (data AND delete
+    * manifests), rebuilt under our schema — what an append or a
+    * delete-commit carries forward. */
+  private[sources] def currentMlRecords(conf: Configuration, root: String,
+                                        m: TableMeta): Seq[GenericRecord] =
+    m.currentSnapshotId.flatMap(id => m.snapshots.find(_.snapshotId == id))
+      .toSeq.flatMap { s =>
+        s.manifestList.toSeq.flatMap(ml => readAvro(conf, absolutize(root, ml)))
+      }.map(rebuildMlRecord)
 
   private def parquetRowCount(conf: Configuration, p: Path): Long = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
@@ -1169,26 +1371,7 @@ object IcebergSource {
       }
       val priorManifests: Seq[GenericRecord] =
         if (mode == "overwrite") Nil
-        else cur.flatMap(m => m.currentSnapshotId.flatMap(id =>
-          m.snapshots.find(_.snapshotId == id))).toSeq.flatMap { s =>
-          s.manifestList.toSeq.flatMap(ml => readAvro(conf, absolutize(root, ml)))
-        }.map { old =>
-          // rebuild under the CURRENT manifest-list schema (field-by-name):
-          // records from other writers/versions may order or omit optionals
-          // differently, and the datum writer navigates by writer-schema position
-          val r = new GenericData.Record(manifestFileSchema)
-          manifestFileSchema.getFields.asScala.foreach { fd =>
-            // nested optionals (partition summaries) only carry over when the
-            // source schema matches ours — a richer foreign field_summary
-            // would not serialize under our item schema; dropping the summary
-            // is always safe (absent bounds simply disable manifest pruning)
-            val compatible = fd.name() != "partitions" ||
-              Option(old.getSchema.getField(fd.name()))
-                .exists(_.schema().toString == fd.schema().toString)
-            if (compatible) opt(old, fd.name()).foreach(v => r.put(fd.pos(), v))
-          }
-          r
-        }
+        else cur.toSeq.flatMap(currentMlRecords(conf, root, _))
       val newManifestList = Seq(manifestFileRecord(manifestPath.toString,
         manifestLen, files.size, rows, seq)) ++ priorManifests
       val mlPath = new Path(metaDir(root), s"snap-$snapshotId-$attemptUuid.avro")
