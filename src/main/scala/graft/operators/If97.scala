@@ -369,12 +369,20 @@ object If97 {
    * deterministic (no libm beyond sqrt/log), so results are
    * reproducible across JVMs.
    */
-  def region3Density(tK: Double, pPa: Double): Double = {
+  def region3Density(tK: Double, pPa: Double): Double =
+    if (tK >= Tc) bisectRho(tK, pPa, 1.0, 765.0)
+    else region3SatDensity(tK, pPa, liquid = pPa >= psatPa(tK))
+
+  /**
+   * Branch-FORCED density solve below Tc: at p == psat(T) an isotherm
+   * has both a liquid and a vapor root (the two phase boundaries) and
+   * the stability pick above would choose one arbitrarily by floating
+   * noise — the region-3 saturation construction needs each explicitly.
+   */
+  def region3SatDensity(tK: Double, pPa: Double, liquid: Boolean): Double = {
     def f(rho: Double): Double = region3PressurePa(tK, rho) - pPa
     var lo = 0.0; var hi = 0.0
-    if (tK >= Tc) {
-      lo = 1.0; hi = 765.0
-    } else if (pPa >= psatPa(tK)) {
+    if (liquid) {
       // liquid branch: scan down from the dense end to the first crossing
       var x = 765.0
       var prev = f(x)
@@ -399,6 +407,12 @@ object If97 {
         if (nx >= RhoC && !found) { lo = x; hi = RhoC; found = true }
       }
     }
+    bisectRho(tK, pPa, lo, hi)
+  }
+
+  private def bisectRho(tK: Double, pPa: Double, lo0: Double, hi0: Double): Double = {
+    def f(rho: Double): Double = region3PressurePa(tK, rho) - pPa
+    var lo = lo0; var hi = hi0
     var i = 0
     while (i < 200 && (hi - lo) > 1e-12 * hi) {
       val mid = (lo + hi) / 2.0
@@ -428,23 +442,34 @@ object If97 {
    * Two-phase saturated properties at (p [Pa], quality x in [0, 1]):
    * struct(tsat_k, v, h, u, s, hf, hg) — the reference's fixed-quality
    * steam surface (`quality: 1.0` saturated vapor, `0.0` saturated
-   * liquid). hf/hg come from evaluating region 1 / region 2 AT the
-   * region-4 saturation line (the standard IF97 construction); mixed
-   * properties are the lever-rule blend. Out-of-range pressure or
-   * quality yields nulls, matching [[props]]'s flag-don't-crash
-   * convention. The region-1/2 Gibbs equations are valid along the
-   * saturation line only up to 623.15 K (psat ≈ 16.529 MPa, IAPWS R7-97
-   * §§5-6); between there and the critical point the construction needs
-   * region 3, so pressures above that bound return nulls rather than
-   * out-of-validity polynomial extrapolations.
+   * liquid). Below 623.15 K (psat ≈ 16.529 MPa) hf/hg come from
+   * evaluating region 1 / region 2 AT the region-4 saturation line (the
+   * standard IF97 construction, IAPWS R7-97 §§5-6); from there to the
+   * critical point the boundaries live in REGION 3, so both phase
+   * densities are solved from the Helmholtz equation on their forced
+   * branches ([[region3SatDensity]]) and the properties evaluated at
+   * those roots — the construction IAPWS SR3-03 exists to approximate
+   * in closed form (the iteration here trades a few bisection steps for
+   * zero extra coefficient tables). Mixed properties are the lever-rule
+   * blend. Out-of-range pressure or quality yields nulls, matching
+   * [[props]]'s flag-don't-crash convention.
    */
   def saturatedProps(pPa: Double, x: Double): InternalRow = {
     if (!(pPa >= 611.213 && pPa <= 22.064e6) || !(x >= 0.0 && x <= 1.0))
       return satNullRow
     val t = tsatK(pPa)
-    if (t > 623.15) return satNullRow
-    val f = region1(t, pPa)
-    val g = region2(t, pPa)
+    val (f, g) =
+      if (t <= 623.15) (region1(t, pPa), region2(t, pPa))
+      else {
+        // region-3 band: Array(v, h, u, s) at each forced-branch root,
+        // matching the region1/region2 output layout used below
+        val rhoL = region3SatDensity(t, pPa, liquid = true)
+        val rhoG = region3SatDensity(t, pPa, liquid = false)
+        val dl = region3ByDensity(t, rhoL)
+        val dg = region3ByDensity(t, rhoG)
+        (Array(1.0 / rhoL, dl(1), dl(2), dl(3)),
+          Array(1.0 / rhoG, dg(1), dg(2), dg(3)))
+      }
     def mix(i: Int): Double = f(i) + x * (g(i) - f(i))
     val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(7)
     r.setDouble(0, t)

@@ -43,7 +43,9 @@ class GoldenSpec extends SparkSpec {
     "q_importance_sample" -> "2e9306b963c3b0e8",
     "q_simulation" -> "a615e51f7a742c7e",
     "q_if97_props" -> "aa5f9c2f0c2217f0",
-    "q_saturated_steam" -> "eea58df162ccbc02")
+    // refrozen r12: the 16.53-22.06 MPa band now evaluates through the
+    // region-3 saturation construction instead of returning nulls
+    "q_saturated_steam" -> "8d98ffd7d5ef0b4c")
 
   for ((name, want) <- golden.toSeq.sortBy(_._1)) {
     test(s"$name matches its frozen golden") {

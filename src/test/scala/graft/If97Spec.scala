@@ -191,15 +191,68 @@ class If97Spec extends SparkSpec {
     // out-of-range pressure or quality -> nulls, never a crash
     assert(If97.saturatedProps(23e6, 0.5).isNullAt(0))
     assert(If97.saturatedProps(1e6, 1.5).isNullAt(0))
-    // region-1/2 saturation validity ends at 623.15 K (psat 16.5292 MPa):
-    // above it the construction needs region 3 — nulls, NOT out-of-
-    // validity polynomial extrapolations presented as if valid
-    assert(If97.saturatedProps(17e6, 0.5).isNullAt(0),
-      "17 MPa is beyond region-1/2 saturation validity")
-    assert(If97.saturatedProps(22e6, 1.0).isNullAt(0))
-    // just inside the bound still evaluates (tsat(16.5 MPa) ~ 622.9 K)
+    // just inside the region-1/2 bound (tsat(16.5 MPa) ~ 622.9 K)
     val nearB23 = If97.saturatedProps(16.5e6, 1.0)
     assert(!nearB23.isNullAt(0) && nearB23.getDouble(0) < 623.15)
+  }
+
+  test("region-3 saturation construction: 16.53-22.06 MPa band") {
+    // Above 623.15 K both phase boundaries live in region 3: densities
+    // come from the Helmholtz equation on FORCED branches. Gates:
+    //
+    //  1. Maxwell: at a solved saturation state the Gibbs energies of
+    //     the two phases coincide (g = h - T s) — holds only when the
+    //     equation, the region-4 psat line and both density roots are
+    //     mutually consistent; no external data needed.
+    //  2. pressure closure: p(T, rho_f) == p == p(T, rho_g).
+    //  3. boundary continuity with the region-1/2 construction at
+    //     623.15 K (IF97's documented inter-region consistency).
+    //  4. steam-table anchors at 360 C (public saturated-water tables)
+    //     and the critical point (v -> 1/322 m3/kg, hf == hg).
+    for (pMPa <- Seq(16.6, 17.0, 18.0, 19.0, 20.0, 21.0, 21.9)) {
+      val p = pMPa * 1e6
+      val liq = If97.saturatedProps(p, 0.0)
+      val vap = If97.saturatedProps(p, 1.0)
+      val t = liq.getDouble(0)
+      assert(t > 623.15 && t < 647.096, s"$pMPa MPa: tsat $t")
+      val (vf, hf, sf) = (liq.getDouble(1), liq.getDouble(2), liq.getDouble(4))
+      val (vg, hg, sg) = (vap.getDouble(1), vap.getDouble(2), vap.getDouble(4))
+      assert(vf < vg, s"$pMPa MPa: vf $vf !< vg $vg")
+      assert(hf < hg, s"$pMPa MPa: hf $hf !< hg $hg")
+      // 1. Maxwell (kJ/kg; the construction is iterative — allow the
+      // bisection tolerance to show through, not a modeling error)
+      val gL = hf - t * sf
+      val gV = hg - t * sg
+      assert(math.abs(gL - gV) < 0.05, s"$pMPa MPa: gf $gL vs gg $gV")
+      // 2. pressure closure at both roots
+      assert(rel(If97.region3PressurePa(t, 1.0 / vf), p) < 1e-8)
+      assert(rel(If97.region3PressurePa(t, 1.0 / vg), p) < 1e-8)
+    }
+    // 3. continuity across the 623.15 K construction switch: the two
+    // constructions meet within IF97's documented boundary consistency
+    val below = If97.saturatedProps(If97.psatPa(623.149), 0.0)
+    val above = If97.saturatedProps(If97.psatPa(623.151), 0.0)
+    assert(math.abs(below.getDouble(2) - above.getDouble(2)) < 1.0,
+      s"hf jump at B23: ${below.getDouble(2)} vs ${above.getDouble(2)}")
+    assert(math.abs(below.getDouble(4) - above.getDouble(4)) < 0.005,
+      s"sf jump at B23: ${below.getDouble(4)} vs ${above.getDouble(4)}")
+    // 4a. public steam-table anchors at 360 C (psat 18.666 MPa):
+    // vf 0.001895, vg 0.006950 m3/kg; hf 1761.5, hg 2481.1 kJ/kg
+    val p360 = If97.psatPa(633.15)
+    assert(rel(p360, 18.666e6) < 2e-3, s"psat(360C) = $p360")
+    val l360 = If97.saturatedProps(p360, 0.0)
+    val v360 = If97.saturatedProps(p360, 1.0)
+    assert(rel(l360.getDouble(1), 0.001895) < 5e-3, s"vf ${l360.getDouble(1)}")
+    assert(rel(v360.getDouble(1), 0.006950) < 5e-3, s"vg ${v360.getDouble(1)}")
+    assert(rel(l360.getDouble(2), 1761.5) < 5e-3, s"hf ${l360.getDouble(2)}")
+    assert(rel(v360.getDouble(2), 2481.1) < 5e-3, s"hg ${v360.getDouble(2)}")
+    // 4b. the critical point closes: v -> 1/322, hf -> hg
+    val lc = If97.saturatedProps(22.063e6, 0.0)
+    val vc = If97.saturatedProps(22.063e6, 1.0)
+    assert(rel(lc.getDouble(1), 1.0 / 322.0) < 0.15, s"vf ${lc.getDouble(1)}")
+    assert(rel(vc.getDouble(1), 1.0 / 322.0) < 0.15, s"vg ${vc.getDouble(1)}")
+    assert(math.abs(lc.getDouble(2) - vc.getDouble(2)) < 150.0,
+      s"critical hf ${lc.getDouble(2)} vs hg ${vc.getDouble(2)}")
 
     // the Column surface + YAML transformer run end-to-end
     val spark2 = spark
