@@ -378,4 +378,76 @@ class SoakSpec extends SparkSpec {
       s"delta: ${dlOne.inputFiles.length} of ${dlAll.inputFiles.length} files")
     assert(dlOne.count() == n / regions)
   }
+
+  /** Spark jobs submitted by `body` — the number of DISTRIBUTED passes a
+    * maintenance operation costs (driver-side metadata work is free). */
+  private def distributedJobs[T](tag: String)(body: => T): (T, Int) = {
+    spark.sparkContext.setJobGroup(tag, tag, interruptOnCancel = false)
+    try {
+      val r = body
+      (r, spark.sparkContext.statusTracker.getJobIdsForGroup(tag).length)
+    } finally spark.sparkContext.clearJobGroup()
+  }
+
+  test("maintenance at 2M: OPTIMIZE is ONE distributed rewrite, rows conserved", Soak) {
+    // compaction cost on a 1000-executor cluster = number of distributed
+    // passes x data moved; both lakehouse compactors must route every
+    // bin through a single rewrite job (planning is driver-side manifest
+    // math) and conserve rows exactly
+    val n = 2000000L
+    val df = spark.range(n).select(
+      $"id", ($"id" % 997).cast("double").as("v"),
+      concat(lit("p"), ($"id" % 4).cast("string")).as("part"))
+
+    val dlRoot = java.nio.file.Files.createTempDirectory("soakdlopt").toString + "/t"
+    graft.sources.DeltaWriter.write(df.repartition(8), dlRoot,
+      partitionBy = Seq("part"))
+    val filesBefore = graft.sources.DeltaLog.read(spark, dlRoot).inputFiles.length
+    val (dres, djobs) = distributedJobs("soak-delta-opt") {
+      graft.sources.DeltaMaintenance.optimize(spark, dlRoot,
+        targetFileBytes = 1L << 30)
+    }
+    assert(dres.version.nonEmpty && dres.filesAdded < dres.filesRemoved, s"$dres")
+    assert(djobs <= 3, s"delta optimize cost $djobs distributed jobs")
+    val dlAfter = graft.sources.DeltaLog.read(spark, dlRoot)
+    assert(dlAfter.inputFiles.length < filesBefore)
+    assert(dlAfter.count() == n, "delta optimize lost rows")
+
+    val iceRoot = java.nio.file.Files.createTempDirectory("soakiceopt").toString + "/t"
+    graft.sources.IcebergSource.write(df.repartition(8), iceRoot, "append",
+      partitionBy = Seq("part"))
+    val (ires, ijobs) = distributedJobs("soak-ice-opt") {
+      graft.sources.IcebergMaintenance.optimize(spark, iceRoot,
+        targetFileBytes = 1L << 30)
+    }
+    assert(ires.snapshotId.nonEmpty && ires.filesAdded < ires.filesRemoved, s"$ires")
+    assert(ijobs <= 3, s"iceberg optimize cost $ijobs distributed jobs")
+    assert(graft.sources.IcebergSource.read(spark, iceRoot).count() == n,
+      "iceberg optimize lost rows")
+  }
+
+  test("row-level deletes at 2M: bitmaps/positions move, not data files", Soak) {
+    // deleting ~1% of a table must be metadata-weight: ONE distributed
+    // scan to find positions, kilobyte-scale delete artifacts, zero data
+    // files rewritten — the shape that survives at 100 TB
+    val n = 2000000L
+    val df = spark.range(n).select($"id", ($"id" % 1000).cast("long").as("m"))
+
+    val dlRoot = java.nio.file.Files.createTempDirectory("soakdldv").toString + "/t"
+    graft.sources.DeltaWriter.write(df.repartition(8), dlRoot)
+    val dataBefore = new java.io.File(dlRoot).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val res = graft.sources.DeltaDvWriter.delete(spark, dlRoot, "m < 10")
+    assert(res.deletedRows == n / 100, s"$res")
+    val dataAfter = new java.io.File(dlRoot).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(dataAfter == dataBefore, "DV delete rewrote data files at scale")
+    assert(graft.sources.DeltaLog.read(spark, dlRoot).count() == n - n / 100)
+
+    val iceRoot = java.nio.file.Files.createTempDirectory("soakicedel").toString + "/t"
+    graft.sources.IcebergSource.write(df.repartition(8), iceRoot)
+    val ires = graft.sources.IcebergSource.delete(spark, iceRoot, "m < 10")
+    assert(ires.deletedRows == n / 100, s"$ires")
+    assert(graft.sources.IcebergSource.read(spark, iceRoot).count() == n - n / 100)
+  }
 }
