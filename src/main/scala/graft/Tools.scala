@@ -42,6 +42,7 @@ object Tools {
       |  system:  rebuild-summaries <root> [--run-id ID] [--sla P=HOURS ...] [--default-sla H]
       |  ui:      <root> --out DIR [--story DIR] [--config YAML] [--sla P=HOURS ...] [--default-sla H]
       |           [--watch [--interval SECONDS] [--max-renders N]]
+      |           | <root> --serve [--port N] [--max-seconds S]   (live HTTP dashboard)
       |  delta:   optimize <root> [--target-file-mb N] [--zorder-by a,b]
       |           vacuum <root> [--retention-hours H] [--dry-run] | history <root>
       |  iceberg: history <root>
@@ -1135,6 +1136,9 @@ object Tools {
     var sla = Map.empty[String, Double]
     var defaultSla = 24.0
     var watch = false
+    var serve = false
+    var port = 0
+    var maxSeconds = -1L
     var intervalMs = 2000L
     var maxRenders = Int.MaxValue
     var rest = args
@@ -1144,6 +1148,9 @@ object Tools {
       case "--config" :: v :: t => config = Some(v); rest = t
       case "--default-sla" :: v :: t => defaultSla = v.toDouble; rest = t
       case "--watch" :: t => watch = true; rest = t
+      case "--serve" :: t => serve = true; rest = t
+      case "--port" :: v :: t => port = v.toInt; rest = t
+      case "--max-seconds" :: v :: t => maxSeconds = v.toLong; rest = t
       case "--interval" :: v :: t =>
         intervalMs = (v.toDouble * 1000).toLong; rest = t
       case "--max-renders" :: v :: t => maxRenders = v.toInt; rest = t
@@ -1154,6 +1161,23 @@ object Tools {
       case v :: t if root.isEmpty && !v.startsWith("-") => root = Some(v); rest = t
       case other :: _ =>
         System.err.println(s"unexpected argument $other"); return 2
+    }
+    if (serve) return root match {
+      case Some(rt) => withSpark { spark =>
+        // live server mode (the FastAPI-UI shape): embedded JDK HTTP
+        // listener, auto-refreshing pages + JSON endpoints; no --out
+        val s = graft.core.DashboardServer.start(spark, rt, port, sla,
+          defaultSla, story, config)
+        println(s"serving dashboard at ${s.url} (ctrl-c to stop)")
+        try {
+          if (maxSeconds >= 0) Thread.sleep(maxSeconds * 1000)
+          else while (true) Thread.sleep(60000)
+        } catch { case _: InterruptedException => () }
+        finally s.stop()
+        0
+      }
+      case None =>
+        System.err.println(s"error: ui --serve needs <root>\n$usage"); 2
     }
     (root, out) match {
       case (Some(rt), Some(dir)) => withSpark { spark =>
@@ -1168,24 +1192,8 @@ object Tools {
           // same views, no server dependency). Change detection = the
           // (file count, max mtime) fingerprint over meta_* dirs via the
           // Hadoop FS API, so it works on object stores too.
-          def fingerprint(): Long = {
-            val p = new org.apache.hadoop.fs.Path(rt)
-            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            if (!fs.exists(p)) return -1L
-            var h = 1125899906842597L
-            def mix(v: Long): Unit = { h = h * 31 + v }
-            fs.listStatus(p).filter(_.getPath.getName.startsWith("meta_"))
-              .sortBy(_.getPath.getName).foreach { d =>
-                val it = fs.listFiles(d.getPath, true)
-                while (it.hasNext) {
-                  val f = it.next()
-                  mix(f.getPath.getName.hashCode.toLong)
-                  mix(f.getModificationTime)
-                  mix(f.getLen)
-                }
-              }
-            h
-          }
+          def fingerprint(): Long =
+            graft.core.DashboardServer.catalogFingerprint(spark, rt)
           var last = 0L
           var renders = 0
           while (renders < maxRenders) {
