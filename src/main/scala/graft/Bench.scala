@@ -74,7 +74,9 @@ object Bench {
     "q_split_events", "q_split_part", "q_stratified_sample",
     "q_string_similarity", "q_surrogate_key", "q_topk_values",
     "q_trim_whitespace", "q_union_by_name", "q_unit_convert",
-    "q_unpack_struct", "q_unpivot", "q_validate_and_flag")
+    "q_unpack_struct", "q_unpivot", "q_validate_and_flag",
+    // r11-r12 additions: live-DB and API reads, row-level deletes
+    "q_jdbc_read", "q_api_read", "q_delta_dv_delete", "q_iceberg_delete")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

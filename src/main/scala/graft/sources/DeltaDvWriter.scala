@@ -54,27 +54,39 @@ object DeltaDvWriter {
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** DELETE FROM <root> WHERE <condition> via deletion vectors. */
+  /**
+   * DELETE FROM <root> WHERE <condition> via deletion vectors.
+   * `partitionFilter` prunes CANDIDATE FILES driver-side before the
+   * position scan — `DELETE WHERE day='2026-08-01' AND bad` over a
+   * day-partitioned 100 TB table must scan one day, not the table. The
+   * caller guarantees the filter is IMPLIED by `condition` (the same
+   * contract as replaceWhere); rows outside the filter are never
+   * examined, so a non-implied filter silently narrows the delete.
+   */
   def delete(spark: SparkSession, root: String, condition: String,
-             checkpointInterval: Int = 10, cdf: Boolean = true): DeleteResult =
+             checkpointInterval: Int = 10, cdf: Boolean = true,
+             partitionFilter: Map[String, String] = Map.empty): DeleteResult =
     deleteMatching(spark, root, _.filter(expr(condition)), condition,
-      checkpointInterval, cdf)
+      checkpointInterval, cdf, partitionFilter)
 
   /** Hard-delete by key set (the detect_deletes apply_mode=hard shape):
     * rows whose `keys` tuple appears in `deletedKeys` are DV-deleted. */
   def deleteKeys(spark: SparkSession, root: String, deletedKeys: DataFrame,
                  keys: Seq[String], checkpointInterval: Int = 10,
-                 cdf: Boolean = true): DeleteResult = {
+                 cdf: Boolean = true,
+                 partitionFilter: Map[String, String] = Map.empty): DeleteResult = {
     val dk = deletedKeys.select(keys.map(col): _*).distinct()
     deleteMatching(spark, root, _.join(dk, keys, "left_semi"),
-      s"keys in (${keys.mkString(", ")})", checkpointInterval, cdf)
+      s"keys in (${keys.mkString(", ")})", checkpointInterval, cdf,
+      partitionFilter)
   }
 
   private def deleteMatching(spark: SparkSession, root: String,
                              matchRows: DataFrame => DataFrame,
                              predicateDesc: String,
                              checkpointInterval: Int,
-                             cdf: Boolean): DeleteResult = {
+                             cdf: Boolean,
+                             partitionFilter: Map[String, String] = Map.empty): DeleteResult = {
     require(DeltaLog.isDeltaTable(spark, root), s"$root is not a Delta table")
     val f = fs(spark, root)
     var attempt = 0
@@ -82,10 +94,21 @@ object DeltaDvWriter {
       attempt += 1
       require(attempt <= 5,
         s"gave up DV delete at $root after $attempt conflicted attempts")
-      val snap = DeltaLog.snapshot(spark, root)
-      require(snap.configuration.getOrElse("delta.columnMapping.mode", "none") == "none",
+      val snap0 = DeltaLog.snapshot(spark, root)
+      require(snap0.configuration.getOrElse("delta.columnMapping.mode", "none") == "none",
         "DV delete under column mapping is not supported")
-      if (snap.files.isEmpty) return DeleteResult(snap.version, 0L, 0, 0)
+      // candidate pruning: only files inside the declared partition scope
+      // are scanned for positions (and re-added with vectors)
+      val snap = if (partitionFilter.isEmpty) snap0 else {
+        val unknown = partitionFilter.keySet -- snap0.partitionColumns.toSet
+        require(unknown.isEmpty,
+          s"partitionFilter keys $unknown are not partition columns " +
+            s"${snap0.partitionColumns}")
+        snap0.copy(files = snap0.files.filter(a => partitionFilter.forall {
+          case (k, v) => a.partitionValues.get(k).flatten.contains(v)
+        }))
+      }
+      if (snap.files.isEmpty) return DeleteResult(snap0.version, 0L, 0, 0)
 
       val matched = matchRows(scanWithPos(spark, root, snap))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -801,7 +801,8 @@ object IcebergSource {
    * very files the positions reference — rebasing blindly would
    * silently drop the delete).
    */
-  def delete(spark: SparkSession, root: String, condition: String): DeleteResult = {
+  def delete(spark: SparkSession, root: String, condition: String,
+             partitionFilter: Seq[PartitionPredicate] = Nil): DeleteResult = {
     val conf = spark.sessionState.newHadoopConf()
     val f = fs(spark, root)
     var attempt = 0
@@ -815,7 +816,13 @@ object IcebergSource {
       val snap = meta.currentSnapshotId.flatMap(id =>
         meta.snapshots.find(_.snapshotId == id))
         .getOrElse(return DeleteResult(None, 0L, 0))
-      val (dataFiles, posD, eqD) = snapshotFiles(spark, root, snap, meta)
+      // `partitionFilter` prunes candidate files through the same
+      // two-level metadata pruning as read() (manifest bounds, then
+      // per-file tuples) — DELETE over one partition of a 100 TB table
+      // scans one partition. Caller contract: the filter must be
+      // IMPLIED by `condition` (rows outside it are never examined).
+      val (dataFiles, posD, eqD) =
+        collectFiles(conf, root, snap, meta, partitionFilter)
       if (dataFiles.isEmpty) return DeleteResult(None, 0L, 0)
 
       val readSchema = stripFieldIds(meta.schema).asInstanceOf[StructType]

@@ -80,6 +80,32 @@ class DeltaDvSpec extends SparkSpec {
     assert(got.filter("status = 'P0'").count() == 200)
   }
 
+  test("partitionFilter prunes the position scan to the declared scope") {
+    val root = tmp()
+    val df = (0 until 300).map(i => (i.toLong, 100.0 + i, s"P${i % 3}"))
+      .toDF("id", "price", "status")
+    DeltaWriter.write(df, root, partitionBy = Seq("status"))
+    // the raw predicate matches rows in EVERY partition; with the filter
+    // only P1 is scanned — other partitions' rows survive untouched,
+    // proving their files never entered the position scan
+    val res = DeltaDvWriter.delete(spark, root, "price > 200",
+      partitionFilter = Map("status" -> "P1"))
+    val expected = df.filter("status = 'P1' AND price > 200").count()
+    assert(res.deletedRows == expected, s"$res")
+    val got = DeltaLog.read(spark, root)
+    assert(got.filter("status = 'P1' AND price > 200").count() == 0)
+    assert(got.filter("status <> 'P1' AND price > 200").count() ==
+      df.filter("status <> 'P1' AND price > 200").count())
+    // only P1 files carry vectors
+    val snap = DeltaLog.snapshot(spark, root)
+    assert(snap.files.filter(_.deletionVector.isDefined)
+      .forall(_.partitionValues.get("status").flatten.contains("P1")))
+    intercept[IllegalArgumentException] {
+      DeltaDvWriter.delete(spark, root, "price > 0",
+        partitionFilter = Map("nope" -> "x"))
+    }
+  }
+
   test("deleteKeys: the detect_deletes hard-apply shape") {
     val root = tmp()
     DeltaWriter.write((0 until 100).map(i => (i.toLong, s"v$i")).toDF("k", "v"), root)

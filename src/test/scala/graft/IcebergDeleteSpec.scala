@@ -81,6 +81,23 @@ class IcebergDeleteSpec extends SparkSpec {
     assert(after.count() == 600 - gone + 1)
   }
 
+  test("partitionFilter prunes the delete's position scan") {
+    val root = tmp()
+    val df = (0 until 300).map(i => (i.toLong, 100.0 + i, s"P${i % 3}"))
+      .toDF("id", "price", "status")
+    IcebergSource.write(df.coalesce(1), root, partitionBy = Seq("status"))
+    // predicate alone matches every partition; the filter scopes the
+    // scan to P1, so other partitions' rows survive untouched
+    val res = IcebergSource.delete(spark, root, "price > 200",
+      partitionFilter = Seq(IcebergSource.PartitionPredicate("status", "=", "P1")))
+    val expected = df.filter("status = 'P1' AND price > 200").count()
+    assert(res.deletedRows == expected, s"$res")
+    val got = IcebergSource.read(spark, root)
+    assert(got.filter("status = 'P1' AND price > 200").count() == 0)
+    assert(got.filter("status <> 'P1' AND price > 200").count() ==
+      df.filter("status <> 'P1' AND price > 200").count())
+  }
+
   test("merge-on-read optimize: purges compacted deletes, keeps the rest") {
     val root = tmp()
     // 3 small appends -> 3 files, then delete across them
