@@ -279,6 +279,22 @@ object StandardTransformers {
         c.dataset(str(p, "target_dataset")), c.df, seqOf(p, "keys"))
       DeleteDetection.applySoft(c.dataset(str(p, "target_dataset")), deleted,
         seqOf(p, "keys")) }
+    reg("detect_deletes_dv") { (c, p) =>
+      // hard delete against a DELTA target as a DELETION-VECTOR commit
+      // (reference delete_detection.py:657-681 posture): keys present in
+      // the target but missing from the live source are marked deleted
+      // via bitmaps — at 100 TB a handful of vanished keys moves
+      // kilobytes, where the frame-level applyHard rewrite moves files.
+      // Returns the post-delete target read. `max_delete_fraction`
+      // guards a collapsed upstream exactly like the soft/hard paths.
+      val path = str(p, "target_path")
+      val keys = seqOf(p, "keys")
+      val target = graft.sources.DeltaLog.read(c.spark, path)
+      val deleted = DeleteDetection.detectSqlCompare(target, c.df, keys)
+      DeleteDetection.checkThreshold(target, deleted,
+        p.get("max_delete_fraction").map(_.toString.toDouble))
+      graft.sources.DeltaDvWriter.deleteKeys(c.spark, path, deleted, keys)
+      graft.sources.DeltaLog.read(c.spark, path) }
 
     // ---- domain ----
     reg("unit_convert") { (c, p) =>

@@ -60,8 +60,8 @@ object DeleteDetection {
     target.join(deletedKeys.select(keys.map(col): _*), keys, "left_anti")
   }
 
-  private def checkThreshold(target: DataFrame, deletedKeys: DataFrame,
-                             maxDeleteFraction: Option[Double]): Unit =
+  private[graft] def checkThreshold(target: DataFrame, deletedKeys: DataFrame,
+                                    maxDeleteFraction: Option[Double]): Unit =
     maxDeleteFraction.foreach { thr =>
       val total = target.count().max(1L)
       val deleted = deletedKeys.count()

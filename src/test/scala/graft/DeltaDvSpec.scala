@@ -178,6 +178,29 @@ class DeltaDvSpec extends SparkSpec {
     assert(DeltaLog.read(spark, root).count() == 300)
   }
 
+  test("detect_deletes_dv transformer: hard deletes land as DV commits") {
+    graft.core.StandardTransformers.registerAll
+    val root = tmp()
+    DeltaWriter.write((1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "v"), root)
+    val before = dataFiles(root)
+    // live source lost keys 3 and 7
+    val source = (1 to 10).filterNot(i => i == 3 || i == 7)
+      .map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val t = graft.core.TransformerRegistry.get("detect_deletes_dv").get
+    val out = t(graft.core.EngineContext(source),
+      Map("target_path" -> root, "keys" -> Seq("k")))
+    assert(out.count() == 8)
+    assert(out.filter(col("k").isin(3L, 7L)).count() == 0)
+    assert(dataFiles(root) == before, "transformer rewrote data files")
+    assert(DeltaLog.snapshot(spark, root).files.exists(_.deletionVector.isDefined))
+    // threshold guard still applies
+    intercept[graft.operators.DeleteDetection.DeleteThresholdExceeded] {
+      t(graft.core.EngineContext(source.limit(1)),
+        Map("target_path" -> root, "keys" -> Seq("k"),
+          "max_delete_fraction" -> 0.5))
+    }
+  }
+
   test("DV payload round-trips through the protocol reader primitives") {
     val root = tmp()
     DeltaWriter.write((0 until 50).map(i => (i.toLong, i)).toDF("id", "x"), root)
