@@ -120,6 +120,25 @@ class IcebergDeleteSpec extends SparkSpec {
     assert(IcebergSource.read(spark, root).count() == 300)
   }
 
+  test("delete planning scan: predicate pushes into the parquet scan") {
+    // the position scan is the whole distributed cost of a DELETE — the
+    // predicate must reach the parquet reader as a pushed filter so row
+    // groups skip, exactly like any other scan
+    val root = tmp()
+    IcebergSource.write((0 until 10000).map(i => (i.toLong, (i % 100).toDouble))
+      .toDF("id", "v").coalesce(2), root)
+    val dataF = dataParquets(root).toSeq
+    val readSchema = IcebergSource.read(spark, root).schema
+    val planner = spark.read.schema(readSchema).parquet(dataF: _*)
+      .withColumn("_gf_pos", col("_metadata.row_index"))
+      .filter(expr("v = 3"))
+      .select("_gf_pos")
+    val a = graft.core.PlanAudit.audit(planner)
+    assert(a.pushedFilters.exists(_.contains("v")),
+      s"delete predicate not pushed: ${a.pushedFilters}")
+    assert(a.numCartesianProducts == 0)
+  }
+
   test("expire keeps live delete files, drops retired ones") {
     val root = tmp()
     IcebergSource.write((0 until 300).map(i => (i.toLong, i % 3)).toDF("id", "m"), root)
