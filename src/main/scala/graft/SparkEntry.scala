@@ -1002,8 +1002,8 @@ object SparkEntry {
         .toString + "/orders"
       // repartition (not coalesce): the sf0.001 source is a single
       // parquet split, and the MOR-compaction leg needs >= 2 small files
-      // per partition to have real work
-      graft.sources.IcebergSource.write(orders.repartition(4), root,
+      // per partition to have real work — 2 is that minimum
+      graft.sources.IcebergSource.write(orders.repartition(2), root,
         partitionBy = Seq("o_orderstatus"))
       val v0 = graft.sources.IcebergSource.snapshots(s, root).head.snapshotId
       val r1 = graft.sources.IcebergSource.delete(s, root,
@@ -1104,7 +1104,9 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
       val root = java.nio.file.Files.createTempDirectory("graft_delta_dv")
         .toString + "/orders"
-      graft.sources.DeltaWriter.write(orders.coalesce(8), root,
+      // coalesce(2): 6 files total — enough for per-file vectors and
+      // second-delete merges without 24-file write amplification
+      graft.sources.DeltaWriter.write(orders.coalesce(2), root,
         partitionBy = Seq("o_orderstatus"))
       val r1 = graft.sources.DeltaDvWriter.delete(s, root,
         "o_totalprice > 180000")
