@@ -32,6 +32,8 @@ import graft.core.{Catalog, Introspect, Planner, Recipes, StandardTransformers, 
  *   validate_yaml      planner dry-run -> PlanningResponse JSON (no Spark)
  *   catalog            recorded meta_* tables: runs/health/hotspots/tables/outputs
  *   lineage            recorded node + column lineage edges for a pipeline
+ *   node_sample        rows from a node's latest recorded sink output
+ *   node_failures      recorded error class/message rows per run
  *
  * `catalog`/`lineage` read the parquet system catalog under `--catalog
  * <root>` (or GRAFT_CATALOG) through a lazily-created local SparkSession —
@@ -136,7 +138,7 @@ object McpServer {
   // ---------------------------------------------------------------- tools
 
   private val ToolNames = Seq("list_transformers", "explain", "get_schema",
-    "validate_yaml", "catalog", "lineage")
+    "validate_yaml", "catalog", "lineage", "node_sample", "node_failures")
 
   private def toolList(): ArrayNode = {
     def tool(name: String, desc: String, props: Map[String, (String, String)],
@@ -186,6 +188,20 @@ object McpServer {
       "Recorded lineage for a pipeline: node input edges + column-level " +
         "edges when captured.",
       Map("pipeline" -> ("string", "pipeline name")),
+      required = Seq("pipeline")))
+    arr.add(tool("node_sample",
+      "Sample rows from a node's LATEST recorded sink output (via the " +
+        "catalog's meta_outputs).",
+      Map("pipeline" -> ("string", "pipeline name"),
+        "node" -> ("string", "node name"),
+        "limit" -> ("integer", "max rows (default 10)")),
+      required = Seq("pipeline", "node")))
+    arr.add(tool("node_failures",
+      "Recorded failures for a pipeline (optionally one node): error " +
+        "class + message per run.",
+      Map("pipeline" -> ("string", "pipeline name"),
+        "node" -> ("string", "optional node filter"),
+        "limit" -> ("integer", "max rows (default 20)")),
       required = Seq("pipeline")))
     arr
   }
@@ -240,6 +256,28 @@ object McpServer {
         val p = str("pipeline").getOrElse(
           return Left(McpError(-32602, "lineage requires 'pipeline'")))
         Right(lineage(ctx, p))
+      case "node_sample" =>
+        val p = str("pipeline").getOrElse(
+          return Left(McpError(-32602, "node_sample requires 'pipeline'")))
+        val n = str("node").getOrElse(
+          return Left(McpError(-32602, "node_sample requires 'node'")))
+        val limit = Option(args.get("limit")).map(_.asInt()).filter(_ > 0).getOrElse(10)
+        ctx.catalog.latestOutputPath(p, n) match {
+          case Some(path) =>
+            val rows = ctx.spark.read.parquet(path).limit(limit).toJSON.collect()
+            Right(rows.mkString("[", ",", "]"))
+          case None => Left(ToolFailure(
+            s"""{"error":"no recorded output for $p/$n in meta_outputs"}"""))
+        }
+      case "node_failures" =>
+        import org.apache.spark.sql.functions.col
+        val p = str("pipeline").getOrElse(
+          return Left(McpError(-32602, "node_failures requires 'pipeline'")))
+        val limit = Option(args.get("limit")).map(_.asInt()).filter(_ > 0).getOrElse(20)
+        val base = ctx.catalog.table("meta_failures").filter(col("pipeline") === p)
+        val filtered = str("node").map(n => base.filter(col("node") === n)).getOrElse(base)
+        Right(filtered.orderBy(col("recorded_at").desc).limit(limit)
+          .toJSON.collect().mkString("[", ",", "]"))
     } catch {
       case e: Exception =>
         val o = mapper.createObjectNode()

@@ -99,7 +99,8 @@ class McpServerSpec extends SparkSpec {
         .get("result").get("tools")
       val names = (0 until tools.size()).map(tools.get(_).get("name").asText())
       assert(names.sorted == Seq("catalog", "explain", "get_schema",
-        "lineage", "list_transformers", "validate_yaml"))
+        "lineage", "list_transformers", "node_failures", "node_sample",
+        "validate_yaml"))
       (0 until tools.size()).foreach { i =>
         assert(tools.get(i).get("inputSchema").get("type").asText() == "object")
       }
@@ -161,6 +162,28 @@ class McpServerSpec extends SparkSpec {
       }
       assert(edges == Seq(("gold", "dim_date"), ("gold", "silver"),
         ("silver", "bronze")))
+
+      // -- node_sample: rows from the latest recorded sink output
+      val outPath = Files.createTempDirectory("mcp_out").toString + "/gold"
+      spark.range(5).selectExpr("id", "id * 2 AS doubled")
+        .write.parquet(outPath)
+      cat.recordOutputs("sales", "run_2", Seq(("gold", outPath, 5L)))
+      val sample = mapper.readTree(toolText(callTool(w, 20, "node_sample",
+        """{"pipeline":"sales","node":"gold","limit":3}""")))
+      assert(sample.size() == 3 && sample.get(0).has("doubled"), s"$sample")
+      // unknown node -> in-band isError, not a crash
+      val noOut = callTool(w, 21, "node_sample",
+        """{"pipeline":"sales","node":"nope"}""")
+      assert(noOut.get("result").get("isError").asBoolean())
+
+      // -- node_failures: recorded error rows, node filter applies
+      cat.recordFailures("sales", "run_1",
+        Seq(("gold", "ValidationError", "fk orphans"),
+          ("silver", "IOError", "path missing")))
+      val fails = mapper.readTree(toolText(callTool(w, 22, "node_failures",
+        """{"pipeline":"sales","node":"gold"}""")))
+      assert(fails.size() == 1 &&
+        fails.get(0).get("error_class").asText() == "ValidationError", s"$fails")
 
       // -- protocol errors: unknown method, unknown tool, bad args, ping
       val nomethod = w.send("""{"jsonrpc":"2.0","id":14,"method":"bogus/method"}""")
