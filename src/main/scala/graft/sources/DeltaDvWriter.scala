@@ -95,17 +95,21 @@ object DeltaDvWriter {
       require(attempt <= 5,
         s"gave up DV delete at $root after $attempt conflicted attempts")
       val snap0 = DeltaLog.snapshot(spark, root)
-      require(snap0.configuration.getOrElse("delta.columnMapping.mode", "none") == "none",
-        "DV delete under column mapping is not supported")
+      val mapped =
+        snap0.configuration.getOrElse("delta.columnMapping.mode", "none") != "none"
+      val physOf: Map[String, String] =
+        snap0.schema.fields.map(f => f.name -> DeltaLog.physicalName(f)).toMap
       // candidate pruning: only files inside the declared partition scope
-      // are scanned for positions (and re-added with vectors)
+      // are scanned for positions (and re-added with vectors);
+      // partitionValues are keyed by PHYSICAL names under column mapping
       val snap = if (partitionFilter.isEmpty) snap0 else {
         val unknown = partitionFilter.keySet -- snap0.partitionColumns.toSet
         require(unknown.isEmpty,
           s"partitionFilter keys $unknown are not partition columns " +
             s"${snap0.partitionColumns}")
         snap0.copy(files = snap0.files.filter(a => partitionFilter.forall {
-          case (k, v) => a.partitionValues.get(k).flatten.contains(v)
+          case (k, v) => a.partitionValues.get(physOf.getOrElse(k, k))
+            .orElse(a.partitionValues.get(k)).flatten.contains(v)
         }))
       }
       if (snap.files.isEmpty) return DeleteResult(snap0.version, 0L, 0, 0)
@@ -121,15 +125,26 @@ object DeltaDvWriter {
         if (descriptors.isEmpty) return DeleteResult(snap.version, 0L, 0, 0)
         val newDeleted = descriptors.map(_.newCount).sum
 
-        // ---- CDF change files for the deleted rows
+        // ---- CDF change files for the deleted rows. Under column
+        // mapping cdc files store PHYSICAL column names (what the
+        // change reader scans with), partition dirs included; the
+        // nested rename is the read path's positional struct cast
+        // in reverse
         val partCols = snap.partitionColumns
         val nonce = java.lang.Long.toHexString(System.nanoTime())
         val cdcActions: Seq[CdcFile] =
           if (!cdf) Nil
-          else stageCdc(spark, root,
-            matched.drop("_gf_file", "_gf_ridx")
-              .withColumn("_change_type", lit("delete")),
-            partCols, nonce)
+          else {
+            val logical = matched.drop("_gf_file", "_gf_ridx")
+            val physical =
+              if (!mapped) logical
+              else logical.select(snap.schema.fields.map(f =>
+                col(f.name).cast(DeltaLog.toPhysical(f.dataType))
+                  .as(DeltaLog.physicalName(f))).toSeq: _*)
+            stageCdc(spark, root,
+              physical.withColumn("_change_type", lit("delete")),
+              partCols.map(c => physOf.getOrElse(c, c)), nonce)
+          }
 
         // ---- commit: remove + re-add with DV, protocol upgrade
         val byFile: Map[String, DeltaLog.AddFile] = snap.files
@@ -137,7 +152,7 @@ object DeltaDvWriter {
         val now = System.currentTimeMillis()
         val lines = scala.collection.mutable.ArrayBuffer[String]()
         lines += s"""{"commitInfo":{"timestamp":$now,"operation":"DELETE","operationParameters":{"predicate":${q(predicateDesc)}},"engineInfo":"graft-native-delta"}}"""
-        lines += protocolJson(snap.schema)
+        lines += protocolJson(snap, snap.schema)
         descriptors.foreach { d =>
           val a = byFile.getOrElse(d.file, throw new IllegalStateException(
             s"matched file ${d.file} not in snapshot"))
@@ -179,25 +194,43 @@ object DeltaDvWriter {
 
   private def basename(p: String): String = p.substring(p.lastIndexOf('/') + 1)
 
-  /** The live table rows WITH provenance: every logical column plus
+  /** The live table rows WITH provenance: every LOGICAL column plus
     * `_gf_file` (data-file basename) and `_gf_ridx` (parquet row index).
-    * Existing DVs are applied, so already-deleted rows never match. */
+    * Existing DVs are applied, so already-deleted rows never match.
+    * Under column mapping the scan runs on physical names and renames
+    * back to logical (the read path's positional struct cast). */
   private def scanWithPos(spark: SparkSession, root: String,
                           snap: DeltaLog.Snapshot): DataFrame = {
     val partCols = snap.partitionColumns
+    val mapped =
+      snap.configuration.getOrElse("delta.columnMapping.mode", "none") != "none"
+    val physOf: Map[String, String] =
+      snap.schema.fields.map(f => f.name -> DeltaLog.physicalName(f)).toMap
+    val logicalType: Map[String, org.apache.spark.sql.types.DataType] =
+      snap.schema.fields.map(f => f.name -> f.dataType).toMap
     val dataFields = snap.schema.fields.filterNot(fd => partCols.contains(fd.name))
+    val dataSchema =
+      if (mapped) StructType(dataFields.map(f => StructField(
+        DeltaLog.physicalName(f), DeltaLog.toPhysical(f.dataType), f.nullable)))
+      else StructType(dataFields)
+    def logicalCol(c: String) =
+      if (!mapped) col(c)
+      else col(physOf(c)).cast(DeltaLog.stripMeta(logicalType(c))).as(c)
     val paths = snap.files.map(a => DeltaLog.absolutize(root, a.path))
-    val scan0 = spark.read.schema(StructType(dataFields)).parquet(paths: _*)
+    val scan0 = spark.read.schema(dataSchema).parquet(paths: _*)
       .withColumn("_gf_ridx", col("_metadata.row_index"))
       .withColumn("_gf_file", element_at(split(input_file_name(), "/"), -1))
     val scan = antiJoinDvs(spark, root, snap, scan0)
     val ordered = snap.schema.fieldNames.toSeq
     if (partCols.isEmpty)
-      return scan.select((ordered.map(col) :+ col("_gf_file") :+ col("_gf_ridx")): _*)
-    val partType = snap.schema.fields.map(fd => fd.name -> fd.dataType).toMap
+      return scan.select((ordered.map(logicalCol) :+
+        col("_gf_file") :+ col("_gf_ridx")): _*)
+    def pvOf(a: DeltaLog.AddFile, c: String): Option[String] =
+      a.partitionValues.get(physOf.getOrElse(c, c))
+        .orElse(a.partitionValues.get(c)).flatten
     val pvRows = snap.files.map { a =>
       Row.fromSeq(basename(DeltaLog.decodePath(a.path)) +:
-        partCols.map(c => a.partitionValues.get(c).flatten.orNull))
+        partCols.map(c => pvOf(a, c).orNull))
     }
     val pvSchema = StructType(StructField("_gf_file", StringType) +:
       partCols.map(c => StructField(s"_gf_pv_$c", StringType)))
@@ -205,8 +238,9 @@ object DeltaDvWriter {
       spark.sparkContext.parallelize(pvRows.toSeq, 1), pvSchema)
     scan.join(broadcast(pv), Seq("_gf_file"))
       .select(ordered.map { c =>
-        if (partCols.contains(c)) col(s"_gf_pv_$c").cast(partType(c)).as(c)
-        else col(c)
+        if (partCols.contains(c))
+          col(s"_gf_pv_$c").cast(DeltaLog.stripMeta(logicalType(c))).as(c)
+        else logicalCol(c)
       } ++ Seq(col("_gf_file"), col("_gf_ridx")): _*)
   }
 
@@ -345,14 +379,38 @@ object DeltaDvWriter {
     case _ => false
   }
 
-  /** Reader 3 / writer 7 with the deletionVectors table feature — the
-    * upgrade every DV-writing engine commits (newest protocol wins on
-    * replay, so repeating it is idempotent). */
-  private[sources] def protocolJson(schema: StructType): String = {
-    val feats = Seq("deletionVectors") ++
-      (if (schema.fields.exists(fd => hasNtz(fd.dataType))) Seq("timestampNtz") else Nil)
-    val arr = feats.map(q).mkString("[", ",", "]")
-    s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":$arr,"writerFeatures":$arr}}"""
+  /** Reader 3 / writer 7 with the deletionVectors table feature MERGED
+    * into the table's existing protocol — newest protocol wins on
+    * replay, so a DV commit that dropped an existing feature
+    * (columnMapping, v2Checkpoint, ...) would silently downgrade the
+    * table for external readers. Legacy protocol versions imply feature
+    * sets (PROTOCOL.md's upgrade rules); crossing to the feature
+    * protocol spells them out. */
+  private[sources] def protocolJson(snap: DeltaLog.Snapshot,
+                                    schema: StructType): String = {
+    val legacyReader: Set[String] =
+      if (snap.minReaderVersion >= 2) Set("columnMapping") else Set.empty
+    val legacyWriter: Set[String] = {
+      val ladder = Seq(
+        2 -> Set("appendOnly", "invariants"),
+        3 -> Set("checkConstraints"),
+        4 -> Set("generatedColumns", "changeDataFeed"),
+        5 -> Set("columnMapping"),
+        6 -> Set("identityColumns"))
+      ladder.filter(_._1 <= snap.minWriterVersion).flatMap(_._2).toSet
+    }
+    val ntz =
+      if (schema.fields.exists(fd => hasNtz(fd.dataType))) Set("timestampNtz")
+      else Set.empty[String]
+    val readerFeats = (legacyReader ++ snap.readerFeatures ++ ntz +
+      "deletionVectors").toSeq.sorted
+    // reader-writer features appear in BOTH lists; legacy writer-only
+    // features stay writer-side
+    val writerFeats = (legacyWriter ++ snap.writerFeatures ++
+      readerFeats).toSeq.sorted
+    s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":${
+      readerFeats.map(q).mkString("[", ",", "]")},"writerFeatures":${
+      writerFeats.map(q).mkString("[", ",", "]")}}}"""
   }
 
   // --------------------------------------------------- conf ship (no SerializableConfiguration)

@@ -67,7 +67,11 @@ object DeltaLog {
                             configuration: Map[String, String],
                             files: Seq[AddFile],
                             tableId: Option[String] = None,
-                            transactions: Map[String, Long] = Map.empty)
+                            transactions: Map[String, Long] = Map.empty,
+                            minReaderVersion: Int = 1,
+                            minWriterVersion: Int = 2,
+                            readerFeatures: Set[String] = Set.empty,
+                            writerFeatures: Set[String] = Set.empty)
 
   private val mapper = new ObjectMapper()
 
@@ -173,6 +177,11 @@ object DeltaLog {
         s"unsupported Delta column mapping mode '$mapping'")
     }
 
+    var minReader: Int = 1
+    var minWriter: Int = 2
+    var readerFeats: Set[String] = Set.empty
+    var writerFeats: Set[String] = Set.empty
+
     def applyProtocol(p: JsonNode): Unit = {
       val reader = Option(p.get("minReaderVersion")).map(_.asInt()).getOrElse(1)
       if (reader >= 3) {
@@ -185,6 +194,14 @@ object DeltaLog {
           s"unsupported Delta reader features: ${unknown.mkString(", ")}")
       } else require(reader <= 2,
         s"unsupported Delta minReaderVersion $reader")
+      // retained on the snapshot: a feature-upgrading writer (the DV
+      // delete) must MERGE the table's existing features, never clobber
+      minReader = reader
+      minWriter = Option(p.get("minWriterVersion")).map(_.asInt()).getOrElse(2)
+      readerFeats = Option(p.get("readerFeatures")).toSeq
+        .flatMap(_.elements().asScala).map(_.asText()).toSet
+      writerFeats = Option(p.get("writerFeatures")).toSeq
+        .flatMap(_.elements().asScala).map(_.asText()).toSet
     }
 
     def applyAdd(a: JsonNode): Unit = {
@@ -359,7 +376,8 @@ object DeltaLog {
       s"Delta log at $root yields no metaData action up to version $target")
     Snapshot(target, state.schema, state.partitionColumns,
       state.configuration, state.files.values.toSeq, state.tableId,
-      state.txns.toMap)
+      state.txns.toMap, state.minReader, state.minWriter,
+      state.readerFeats, state.writerFeats)
   }
 
   private def commitTimeOf(spark: SparkSession, f: FileSystem, root: String,
@@ -377,14 +395,14 @@ object DeltaLog {
 
   /** `delta.columnMapping.physicalName` when present (mapping modes
     * `name`/`id` set it on EVERY field), else the logical name. */
-  private def physicalName(f: org.apache.spark.sql.types.StructField): String =
+  private[sources] def physicalName(f: org.apache.spark.sql.types.StructField): String =
     if (f.metadata.contains("delta.columnMapping.physicalName"))
       f.metadata.getString("delta.columnMapping.physicalName")
     else f.name
 
   /** Logical schema → the schema as written in the data files: every
     * (nested) field renamed to its physicalName, metadata dropped. */
-  private def toPhysical(dt: DataType): DataType = dt match {
+  private[sources] def toPhysical(dt: DataType): DataType = dt match {
     case s: StructType => StructType(s.fields.map(f =>
       org.apache.spark.sql.types.StructField(
         physicalName(f), toPhysical(f.dataType), f.nullable)))
@@ -397,7 +415,7 @@ object DeltaLog {
 
   /** Logical names kept, column-mapping metadata dropped — the cast
     * target that renames physical nested fields back to logical. */
-  private def stripMeta(dt: DataType): DataType = dt match {
+  private[sources] def stripMeta(dt: DataType): DataType = dt match {
     case s: StructType => StructType(s.fields.map(f =>
       org.apache.spark.sql.types.StructField(
         f.name, stripMeta(f.dataType), f.nullable)))

@@ -382,15 +382,13 @@ object DeltaWriter {
       StructField("metaData", metaType),
       StructField("add", addType),
       StructField("txn", txnType)))
-    // a DV-carrying snapshot needs the feature protocol in the checkpoint
-    // too — Row(1, 2) would downgrade it and external readers could skip
-    // the vectors
-    val anyDv = snap.files.exists(_.deletionVector.isDefined)
-    val feats =
-      if (anyDv) Seq("deletionVectors") else null
-    val protoRow =
-      if (anyDv) Row(Row(3, 7, feats, feats), null, null, null)
-      else Row(Row(1, 2, null, null), null, null, null)
+    // the checkpoint carries the snapshot's ACTUAL protocol — writing a
+    // fixed (1, 2) would downgrade feature tables (deletion vectors,
+    // column mapping) and external readers could mis-read them
+    val protoRow = Row(Row(snap.minReaderVersion, snap.minWriterVersion,
+      if (snap.readerFeatures.isEmpty) null else snap.readerFeatures.toSeq.sorted,
+      if (snap.writerFeatures.isEmpty) null else snap.writerFeatures.toSeq.sorted),
+      null, null, null)
     val metaRow = Row(null, Row(
       snap.tableId.getOrElse("graft-" + version), Row("parquet", Map.empty[String, String]),
       snap.schema.json, snap.partitionColumns, snap.configuration, 0L), null, null)

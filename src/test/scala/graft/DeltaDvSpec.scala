@@ -178,6 +178,70 @@ class DeltaDvSpec extends SparkSpec {
     assert(DeltaLog.read(spark, root).count() == 300)
   }
 
+  test("DV delete on a COLUMN-MAPPED partitioned table, feature merge intact") {
+    import org.apache.spark.sql.types._
+    // hand-build a name-mode mapped table (physical names differ from
+    // logical everywhere, partitionValues keyed physical) like a real
+    // mapping writer emits
+    val root = tmp()
+    def cmField(name: String, dt: DataType, phys: String, id: Long) =
+      StructField(name, dt, nullable = true, new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id).build())
+    val logical = StructType(Seq(
+      cmField("id", LongType, "col-a1", 1),
+      cmField("v", DoubleType, "col-v1", 2),
+      cmField("day", StringType, "col-d1", 3)))
+    def q(s: String) = "\"" + s + "\""
+    def dataFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val staging = Files.createTempDirectory("dvmapstage").toFile
+      df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = staging.listFiles().find(f =>
+        f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      val dest = new java.io.File(root, name)
+      dest.getParentFile.mkdirs()
+      Files.copy(part.toPath, dest.toPath); ()
+    }
+    dataFile((0 until 50).map(i => (i.toLong, i.toDouble)).toDF("a", "b")
+      .select(col("a").as("col-a1"), col("b").as("col-v1")), "d0.parquet")
+    dataFile((50 until 100).map(i => (i.toLong, i.toDouble)).toDF("a", "b")
+      .select(col("a").as("col-a1"), col("b").as("col-v1")), "d1.parquet")
+    val logDir = new java.io.File(root, "_delta_log"); logDir.mkdirs()
+    Files.write(new java.io.File(logDir, "00000000000000000000.json").toPath,
+      Seq(
+        """{"commitInfo":{"timestamp":1000,"operation":"WRITE"}}""",
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${
+          new com.fasterxml.jackson.databind.ObjectMapper()
+            .writeValueAsString(logical.json)},"partitionColumns":["day"],"configuration":{${
+          q("delta.columnMapping.mode")}:${q("name")}},"createdTime":1}}""",
+        s"""{"add":{"path":"d0.parquet","partitionValues":{${q("col-d1")}:${q("mon")}},"size":1,"modificationTime":1000,"dataChange":true}}""",
+        s"""{"add":{"path":"d1.parquet","partitionValues":{${q("col-d1")}:${q("tue")}},"size":1,"modificationTime":1000,"dataChange":true}}""")
+        .mkString("\n").getBytes("UTF-8"))
+
+    // logical-name predicate across a data column AND the partition col
+    val res = DeltaDvWriter.delete(spark, root, "day = 'tue' AND v >= 75")
+    assert(res.deletedRows == 25, s"$res")
+    val got = DeltaLog.read(spark, root)
+    assert(got.count() == 75)
+    assert(got.filter("day = 'tue' AND v >= 75").count() == 0)
+    assert(got.filter("day = 'mon'").count() == 50)
+
+    // the upgraded protocol MERGES the mapping feature (legacy reader 2 /
+    // writer 5 imply columnMapping), never clobbers it
+    val snap = DeltaLog.snapshot(spark, root)
+    assert(snap.minReaderVersion == 3 && snap.minWriterVersion == 7)
+    assert(snap.readerFeatures.contains("deletionVectors") &&
+      snap.readerFeatures.contains("columnMapping"), s"${snap.readerFeatures}")
+    assert(snap.writerFeatures.contains("columnMapping") &&
+      snap.writerFeatures.contains("appendOnly"), s"${snap.writerFeatures}")
+
+    // CDF attributes the mapped deletes (cdc files carry physical names)
+    val ch = DeltaLog.changes(spark, root, 1L, Some(1L))
+    assert(ch.filter("_change_type = 'delete'").count() == 25)
+    assert(ch.filter("_change_type = 'delete' AND day <> 'tue'").count() == 0)
+  }
+
   test("detect_deletes_dv transformer: hard deletes land as DV commits") {
     graft.core.StandardTransformers.registerAll
     val root = tmp()
