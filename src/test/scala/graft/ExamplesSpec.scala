@@ -49,6 +49,34 @@ class ExamplesSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/gold/phases").count() > 0)
   }
 
+  test("gdpr_erasure example: DV-commit erasure plans clean and runs green") {
+    val (yaml, out) = loadExample("gdpr_erasure")
+    val plan = Planner.plan(yaml)
+    assert(plan.valid, plan.diagnostics.mkString("; "))
+    val cfg = YamlConfig.loadPipeline(yaml)
+    val results = Pipeline.run(spark, cfg)
+    val failed = results.values.filter(_.failure.isDefined)
+    assert(failed.isEmpty,
+      failed.map(r => s"${r.name}: ${r.failure.get}").mkString("; "))
+
+    val root = s"$out/delta/customers"
+    val target = graft.sources.DeltaLog.read(spark, root)
+    val total = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").count()
+    val erased = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .filter("c_custkey % 97 = 0").count()
+    assert(erased > 0)
+    assert(target.count() == total - erased)
+    assert(target.filter("c_custkey % 97 = 0").count() == 0)
+    // the erasure moved bitmaps, not files: the seed's data files are
+    // all still the live adds, now carrying deletion vectors
+    val snap = graft.sources.DeltaLog.snapshot(spark, root)
+    assert(snap.version == 1L, "erasure must be ONE commit on the seed")
+    assert(snap.files.exists(_.deletionVector.isDefined))
+    // audit snapshot matches the post-erasure target
+    assert(spark.read.parquet(s"$out/audit/post_erasure").count() ==
+      total - erased)
+  }
+
   test("star_schema example plans with zero diagnostics") {
     val (yaml, _) = loadExample()
     val plan = Planner.plan(yaml)
