@@ -45,7 +45,9 @@ object Tools {
       |           | <root> --serve [--port N] [--max-seconds S]   (live HTTP dashboard)
       |  delta:   optimize <root> [--target-file-mb N] [--zorder-by a,b]
       |           vacuum <root> [--retention-hours H] [--dry-run] | history <root>
-      |  iceberg: history <root>
+      |           delete <root> <predicate> [--partition K=V ...]   (deletion vectors)
+      |  iceberg: history <root> | optimize | expire
+      |           delete <root> <predicate> [--partition K=V ...]   (position deletes)
       |  index:   info <root>   (persisted minhash/bloom/lsh/ivf/ivfpq index)
       |  stats:   <parquet-root> [--columns a,b]   (per-file footer stats + skipping audit)
       |  compact: <parquet-root> [--target-mb N]   (atomic small-file rewrite)
@@ -117,10 +119,26 @@ object Tools {
           s"snapshots=${r.expiredSnapshots.mkString(",")} files=${r.deletedFiles.size}")
         0
       }
+    case "delete" :: root :: predicate :: rest =>
+      val pf = rest.sliding(2).collect { case List("--partition", kv) => kv }
+        .map(_.split("=", 2)).collect { case Array(k, v) =>
+          graft.sources.IcebergSource.PartitionPredicate(k, "=", v)
+        }.toSeq
+      withSpark { spark =>
+        val res = graft.sources.IcebergSource.delete(spark, root, predicate,
+          partitionFilter = pf)
+        println(res.snapshotId match {
+          case Some(id) => s"deleted ${res.deletedRows} rows at $root as " +
+            s"position deletes (snapshot=$id, ${res.deleteFiles} delete files)"
+          case None => s"nothing matched at $root"
+        })
+        0
+      }
     case _ =>
       System.err.println("usage: graft.Tools iceberg history <root> | " +
         "optimize <root> [--target-file-mb N] | " +
-        "expire <root> [--keep-last N] [--older-than-ms T] [--dry-run]")
+        "expire <root> [--keep-last N] [--older-than-ms T] [--dry-run] | " +
+        "delete <root> <predicate> [--partition K=V ...]")
       2
     }
   }
@@ -312,10 +330,31 @@ object Tools {
           }
         0
       }
+    case "delete" :: root :: predicate :: rest =>
+      var pf = Map.empty[String, String]
+      var r = rest
+      while (r.nonEmpty) r match {
+        case "--partition" :: kv :: t => kv.split("=", 2) match {
+          case Array(k, v) => pf += (k -> v); r = t
+          case _ => System.err.println(s"--partition needs K=V, got $kv"); return 2
+        }
+        case other :: _ => System.err.println(s"unknown delete arg $other"); return 2
+        case Nil => ()
+      }
+      withSpark { spark =>
+        val res = graft.sources.DeltaDvWriter.delete(spark, root, predicate,
+          partitionFilter = pf)
+        if (res.deletedRows == 0) println(s"nothing matched at $root")
+        else println(s"deleted ${res.deletedRows} rows at $root version " +
+          s"${res.version} as deletion vectors (${res.filesTouched} files " +
+          s"vectored, ${res.dvFiles} DV files written)")
+        0
+      }
     case _ =>
       System.err.println(
         """usage: graft.Tools delta optimize <root> [--target-file-mb N] [--zorder-by a,b]
           |       graft.Tools delta vacuum <root> [--retention-hours H] [--dry-run]
+          |       graft.Tools delta delete <root> <predicate> [--partition K=V ...]
           |       graft.Tools delta history <root>""".stripMargin)
       2
   }
