@@ -120,13 +120,29 @@ object Tools {
         0
       }
     case "delete" :: root :: predicate :: rest =>
-      val pf = rest.sliding(2).collect { case List("--partition", kv) => kv }
-        .map(_.split("=", 2)).collect { case Array(k, v) =>
-          graft.sources.IcebergSource.PartitionPredicate(k, "=", v)
-        }.toSeq
+      // strict arg loop (same discipline as `delta delete`): on a
+      // DESTRUCTIVE verb a typo'd flag must exit with usage, not be
+      // silently ignored (a dropped --partition only widens the scan,
+      // but an unknown trailing token usually means a mangled predicate)
+      val pf = scala.collection.mutable.ArrayBuffer[
+        graft.sources.IcebergSource.PartitionPredicate]()
+      var r = rest
+      while (r.nonEmpty) r match {
+        case "--partition" :: kv :: t => kv.split("=", 2) match {
+          case Array(k, v) if k.nonEmpty =>
+            pf += graft.sources.IcebergSource.PartitionPredicate(k, "=", v)
+            r = t
+          case _ =>
+            System.err.println(s"malformed --partition '$kv' (want K=V)")
+            return 2
+        }
+        case other =>
+          System.err.println(s"unknown iceberg delete args $other")
+          return 2
+      }
       withSpark { spark =>
         val res = graft.sources.IcebergSource.delete(spark, root, predicate,
-          partitionFilter = pf)
+          partitionFilter = pf.toSeq)
         println(res.snapshotId match {
           case Some(id) => s"deleted ${res.deletedRows} rows at $root as " +
             s"position deletes (snapshot=$id, ${res.deleteFiles} delete files)"

@@ -149,6 +149,14 @@ object DeltaDvWriter {
         // ---- commit: remove + re-add with DV, protocol upgrade
         val byFile: Map[String, DeltaLog.AddFile] = snap.files
           .map(a => basename(DeltaLog.decodePath(a.path)) -> a).toMap
+        // position matching keys on data-file BASENAME: a foreign-written
+        // table with two same-named files in different partition dirs
+        // would silently merge both files' positions under one — wrong
+        // rows permanently deleted. Fail loudly instead (our own writers
+        // always emit UUID-unique basenames).
+        require(byFile.size == snap.files.size,
+          s"duplicate data-file basenames in Delta snapshot of $root — " +
+            "cannot plan a DV delete keyed on file name")
         val now = System.currentTimeMillis()
         val lines = scala.collection.mutable.ArrayBuffer[String]()
         lines += s"""{"commitInfo":{"timestamp":$now,"operation":"DELETE","operationParameters":{"predicate":${q(predicateDesc)}},"engineInfo":"graft-native-delta"}}"""
@@ -159,9 +167,18 @@ object DeltaDvWriter {
           val pvs = a.partitionValues.map { case (k, v) =>
             s"${q(k)}:${v.map(q).getOrElse("null")}"
           }.mkString(",")
+          // DV writer requirement (PROTOCOL.md): a DV-carrying add MUST
+          // record stats with the file's PHYSICAL numRecords and
+          // tightBounds=false — delta-spark DML on the table fails
+          // without it. Prior stats already hold the physical count;
+          // a stats-less foreign add falls back to one footer read.
+          val n = a.numRecords.getOrElse(DeltaWriter.parquetRowCount(
+            spark.sessionState.newHadoopConf(),
+            new Path(DeltaLog.absolutize(root, a.path))))
+          val stats = q(s"""{"numRecords":$n,"tightBounds":false}""")
           // the path is re-emitted exactly as the log stored it
           lines += s"""{"remove":{"path":${q(a.path)},"deletionTimestamp":$now,"dataChange":true}}"""
-          lines += s"""{"add":{"path":${q(a.path)},"partitionValues":{$pvs},"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":${q(d.enc)},"offset":${d.offset},"sizeInBytes":${d.size},"cardinality":${d.cardinality}}}}"""
+          lines += s"""{"add":{"path":${q(a.path)},"partitionValues":{$pvs},"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true,"stats":$stats,"deletionVector":{"storageType":"u","pathOrInlineDv":${q(d.enc)},"offset":${d.offset},"sizeInBytes":${d.size},"cardinality":${d.cardinality}}}}"""
         }
         cdcActions.foreach { c =>
           val pvs = c.partitionValues.map { case (k, v) =>

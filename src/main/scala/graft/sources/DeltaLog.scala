@@ -60,7 +60,20 @@ object DeltaLog {
 
   final case class AddFile(path: String, partitionValues: Map[String, Option[String]],
                            size: Long, modificationTime: Long,
-                           deletionVector: Option[DeletionVectors.Descriptor] = None)
+                           deletionVector: Option[DeletionVectors.Descriptor] = None,
+                           stats: Option[String] = None) {
+    /** `stats.numRecords` when recorded. With `tightBounds=false` (a
+      * DV-carrying add) this is the PHYSICAL row count of the parquet
+      * file; with tight bounds it equals the physical count too (a file
+      * only diverges logically once a DV exists, and the DV writer
+      * re-stamps non-tight stats then) — so either way it is the footer
+      * row count, usable without re-reading the footer. */
+    def numRecords: Option[Long] =
+      stats.flatMap { s =>
+        val n = new ObjectMapper().readTree(s)
+        Option(n.get("numRecords")).filterNot(_.isNull).map(_.asLong())
+      }
+  }
 
   final case class Snapshot(version: Long, schema: StructType,
                             partitionColumns: Seq[String],
@@ -220,7 +233,8 @@ object DeltaLog {
       val path = a.get("path").asText()
       files.update(path, AddFile(path, pv,
         Option(a.get("size")).map(_.asLong()).getOrElse(0L),
-        Option(a.get("modificationTime")).map(_.asLong()).getOrElse(0L), dv))
+        Option(a.get("modificationTime")).map(_.asLong()).getOrElse(0L), dv,
+        Option(a.get("stats")).filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty)))
     }
 
     def applyRemove(r: JsonNode): Unit = { files.remove(r.get("path").asText()); () }

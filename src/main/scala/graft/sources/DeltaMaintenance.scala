@@ -204,7 +204,7 @@ object DeltaMaintenance {
         val pvs = a.partitionValues.map { case (k, v) =>
           s"${q(k)}:${v.map(q).getOrElse("null")}"
         }.mkString(",")
-        lines += s"""{"add":{"path":${q(encodePath(a.path))},"partitionValues":{$pvs},"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":false}}"""
+        lines += s"""{"add":{"path":${q(encodePath(a.path))},"partitionValues":{$pvs},"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":false${DeltaWriter.statsFragment(a)}}}"""
       }
       if (DeltaWriter.tryPublish(f, root, version, lines.toSeq, nonce)) {
         if (checkpointInterval > 0 && version % checkpointInterval == 0)

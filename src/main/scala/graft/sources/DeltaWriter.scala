@@ -211,7 +211,7 @@ object DeltaWriter {
         val pvs = a.partitionValues.map { case (k, v) =>
           s"${q(k)}:${v.map(q).getOrElse("null")}"
         }.mkString(",")
-        lines += s"""{"add":{"path":${q(encodePath(a.path))},"partitionValues":{$pvs},"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true}}"""
+        lines += s"""{"add":{"path":${q(encodePath(a.path))},"partitionValues":{$pvs},"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true${statsFragment(a)}}}"""
       }
       // rename-if-absent is the commit: on rename-consistent stores two
       // writers cannot both claim a version
@@ -274,11 +274,32 @@ object DeltaWriter {
       f.mkdirs(dest.getParent)
       require(f.rename(s.getPath, dest), s"failed to move staged file $rel into $root")
       val st = f.getFileStatus(dest)
-      DeltaLog.AddFile(rel, pv, st.getLen, st.getModificationTime)
+      // per-file numRecords from the parquet footer (driver-side, one
+      // footer read per file in the same loop that renames — the same
+      // bounded metadata cost every Delta writer pays): the protocol's
+      // DV writer requirements mandate stats.numRecords on any add that
+      // later carries a deletion vector, and delta-spark DML fails
+      // without it, so every add this engine writes records it up front
+      val n = parquetRowCount(
+        spark.sessionState.newHadoopConf(), dest)
+      DeltaLog.AddFile(rel, pv, st.getLen, st.getModificationTime,
+        stats = Some(s"""{"numRecords":$n,"tightBounds":true}"""))
     }
     f.delete(staging, true)
     (adds, rows)
   }
+
+  /** Footer row count of one parquet file (sum of block row counts). */
+  private[sources] def parquetRowCount(conf: org.apache.hadoop.conf.Configuration,
+                                       p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** `,"stats":"…"` JSON fragment for an add action, empty when absent. */
+  private[sources] def statsFragment(a: DeltaLog.AddFile): String =
+    a.stats.map(s => s""","stats":${q(s)}""").getOrElse("")
 
   /** Atomically publish commit `version`: write the action lines to a
     * hidden temp file, then claim `%020d.json` with a put-if-absent.
@@ -373,7 +394,8 @@ object DeltaWriter {
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
-      StructField("deletionVector", dvType)))
+      StructField("deletionVector", dvType),
+      StructField("stats", StringType)))
     val txnType = StructType(Seq(
       StructField("appId", StringType),
       StructField("version", LongType)))
@@ -397,7 +419,7 @@ object DeltaWriter {
         d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull
       Row(null, null, Row(encodePath(a.path),
         a.partitionValues.map { case (k, v) => k -> v.orNull },
-        a.size, a.modificationTime, true, dvRow), null)
+        a.size, a.modificationTime, true, dvRow, a.stats.orNull), null)
     }
     val txnRows = snap.transactions.toSeq.map { case (app, v) =>
       Row(null, null, null, Row(app, v))

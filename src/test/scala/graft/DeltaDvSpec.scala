@@ -45,6 +45,36 @@ class DeltaDvSpec extends SparkSpec {
     val snap = DeltaLog.snapshot(spark, root)
     val dvs = snap.files.flatMap(_.deletionVector)
     assert(dvs.nonEmpty && dvs.map(_.cardinality).sum == 100L)
+
+    // DV writer requirement (PROTOCOL.md): every DV-carrying add records
+    // stats with the file's PHYSICAL numRecords and tightBounds=false —
+    // delta-spark DML on the table fails without it
+    snap.files.filter(_.deletionVector.isDefined).foreach { a =>
+      assert(a.stats.exists(_.contains("\"tightBounds\":false")),
+        s"DV add for ${a.path} lacks non-tight stats: ${a.stats}")
+      assert(a.numRecords.isDefined, s"DV add for ${a.path} lacks numRecords")
+    }
+    // physical counts sum to the original row count (DVs don't shrink them)
+    assert(snap.files.flatMap(_.numRecords).sum == 1000L)
+  }
+
+  test("stats survive a checkpoint and plain writes record tight numRecords") {
+    val root = tmp()
+    DeltaWriter.write((0 until 400).map(i => (i.toLong, i % 4)).toDF("id", "m")
+      .repartition(2), root)
+    val plain = DeltaLog.snapshot(spark, root)
+    assert(plain.files.forall(_.stats.exists(_.contains("\"tightBounds\":true"))))
+    assert(plain.files.flatMap(_.numRecords).sum == 400L)
+
+    DeltaDvWriter.delete(spark, root, "m = 0")
+    DeltaWriter.writeCheckpoint(spark, root, 1L)
+    // a snapshot AT the checkpoint version replays zero JSON commits —
+    // state (stats included) must reconstruct from the checkpoint alone
+    val snap = DeltaLog.snapshot(spark, root, versionAsOf = Some(1L))
+    snap.files.filter(_.deletionVector.isDefined).foreach { a =>
+      assert(a.stats.exists(_.contains("\"tightBounds\":false")))
+    }
+    assert(snap.files.flatMap(_.numRecords).sum == 400L)
   }
 
   test("second delete merges bitmaps: cardinalities add, old rows stay dead") {
