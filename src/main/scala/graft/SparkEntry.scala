@@ -575,19 +575,42 @@ object SparkEntry {
 
     // ---- warehouse heavy-lifters (SURVEY §2.5) ----
     "q_scd2" -> ((s, d) => {
+      // SCD2 through the FILE-SCOPED Delta merge (DeltaMerge.scd2Apply):
+      // the bootstrap lands as a multi-file Delta table, the apply
+      // DV-deletes only the changed current rows and appends their
+      // closed + reopened versions — unchanged rows keep their bytes.
+      // The read-back must hash-match the oracle computing the same SCD2
+      // result relationally from the ORIGINAL parquet.
       val c = t(s, d, "customer")
-      val target = operators.Scd.scd2Bootstrap(c, lit("2026-01-01 00:00:00"))
+      val root = java.nio.file.Files.createTempDirectory("graft_scd2")
+        .toString + "/dim"
+      graft.sources.DeltaWriter.write(
+        operators.Scd.scd2Bootstrap(c, lit("2026-01-01 00:00:00")).coalesce(4), root)
       val source = c.withColumn("c_acctbal",
         when(col("c_custkey") % 10 === 0, col("c_acctbal") + 100).otherwise(col("c_acctbal")))
-      operators.Scd.scd2Apply(target, source, Seq("c_custkey"), Seq("c_acctbal"),
-        lit("2026-02-01 00:00:00"))
+      val res = graft.sources.DeltaMerge.scd2Apply(s, root, source,
+        Seq("c_custkey"), Seq("c_acctbal"), lit("2026-02-01 00:00:00"),
+        cdf = false)
+      require(res.rowsDeleted > 0 && res.rowsAppended == 2 * res.rowsDeleted,
+        s"scd2 merge shape off: $res")
+      graft.sources.DeltaLog.read(s, root)
     }),
     "q_merge_upsert" -> ((s, d) => {
+      // upsert through the FILE-SCOPED Delta merge: matched rows become
+      // DV bitmaps on their files, replacements + inserts land in new
+      // files, ONE atomic commit (with CDF change files staged);
+      // untouched files are not re-emitted. Oracle recomputes the merge
+      // relationally from the original parquet.
       val c = t(s, d, "customer")
-      operators.Merge.upsert(
-        c.filter("c_custkey % 2 = 0"),
+      val root = java.nio.file.Files.createTempDirectory("graft_merge")
+        .toString + "/customer"
+      graft.sources.DeltaWriter.write(c.filter("c_custkey % 2 = 0").coalesce(4), root)
+      val res = graft.sources.DeltaMerge.upsert(s, root,
         c.filter("c_custkey % 3 = 0").withColumn("c_acctbal", col("c_acctbal") * 2),
         Seq("c_custkey"))
+      require(res.rowsDeleted > 0 && res.rowsAppended > res.rowsDeleted,
+        s"merge degenerated: $res")
+      graft.sources.DeltaLog.read(s, root)
     }),
     "q_merge_append_only" -> ((s, d) => {
       val c = t(s, d, "customer")

@@ -424,16 +424,23 @@ object Pipeline {
           if (sw.mergeKeys.nonEmpty)
             Streaming.writeStreamMerge(survivors, path, sw.checkpoint,
               sw.mergeKeys, mergeFnFor(sw.mergeStrategy, sw.mergeOptions),
-              Some(Streaming.trigger(sw.trigger, sw.triggerInterval)))
+              Some(Streaming.trigger(sw.trigger, sw.triggerInterval)),
+              format = cfg.write.format, strategy = sw.mergeStrategy)
           else Streaming.writeStream(survivors, Some(path),
             Streaming.StreamWriteConfig(cfg.write.format, sw.outputMode,
               Some(sw.checkpoint),
               Some(Streaming.trigger(sw.trigger, sw.triggerInterval))))
         if (sw.await) {
           query.awaitTermination()
-          // downstream nodes consume the sink as a batch frame; the merge
-          // path always maintains a parquet snapshot (AtomicParquet)
-          val sinkFormat = if (sw.mergeKeys.nonEmpty) "parquet" else cfg.write.format
+          // downstream nodes consume the sink as a batch frame; the
+          // merge path maintains a parquet snapshot (AtomicParquet)
+          // EXCEPT the Delta file-scoped strategies, which mutate a
+          // real Delta table read back through DeltaLog
+          val deltaMerged = cfg.write.format.equalsIgnoreCase("delta") &&
+            Set("upsert", "append_only", "delete_match").contains(sw.mergeStrategy)
+          val sinkFormat =
+            if (sw.mergeKeys.nonEmpty && !deltaMerged) "parquet"
+            else cfg.write.format
           val readBack = Pipeline.readSink(spark, sinkFormat, path)
           // rows from the drained query's own progress metrics — no
           // sink re-scan; foreachBatch sinks report -1, fall back to a

@@ -274,6 +274,36 @@ object StandardTransformers {
           strOpt(p, "delete_condition"))
         case other => throw new IllegalArgumentException(s"unknown strategy: $other")
       } }
+    reg("merge_delta") { (c, p) =>
+      // file-scoped copy-on-write MERGE against a Delta TABLE (reference
+      // merge_transformer.py:232-590 Delta path): matched rows become
+      // DV bitmaps, replacements/inserts land in new files, one atomic
+      // commit — write amplification tracks touched files, not table
+      // size. Returns the post-merge read.
+      val path = str(p, "target_path")
+      val keys = seqOf(p, "keys")
+      val cdf = boolOpt(p, "cdf").getOrElse(true)
+      strOpt(p, "strategy").getOrElse("upsert") match {
+        case "upsert" => graft.sources.DeltaMerge.upsert(c.spark, path, c.df,
+          keys, strOpt(p, "update_condition"), strOpt(p, "insert_condition"),
+          cdf = cdf)
+        case "append_only" =>
+          graft.sources.DeltaMerge.appendOnly(c.spark, path, c.df, keys, cdf = cdf)
+        case "delete_match" => graft.sources.DeltaMerge.deleteMatch(c.spark,
+          path, c.df, keys, strOpt(p, "delete_condition"), cdf = cdf)
+        case other => throw new IllegalArgumentException(s"unknown strategy: $other")
+      }
+      graft.sources.DeltaLog.read(c.spark, path) }
+    reg("scd2_delta") { (c, p) =>
+      // SCD2 against a Delta TABLE through the file-scoped merge
+      // (reference scd.py:553-736 optimized Delta path): only changed
+      // current rows are touched; history keeps its bytes.
+      graft.sources.DeltaMerge.scd2Apply(c.spark, str(p, "target_path"),
+        c.df, seqOf(p, "keys"), seqOf(p, "track_cols"),
+        lit(str(p, "effective_ts")),
+        closeDeleted = boolOpt(p, "close_deleted").getOrElse(false),
+        cdf = boolOpt(p, "cdf").getOrElse(true))
+      graft.sources.DeltaLog.read(c.spark, str(p, "target_path")) }
     reg("detect_deletes") { (c, p) =>
       val deleted = DeleteDetection.detectSqlCompare(
         c.dataset(str(p, "target_dataset")), c.df, seqOf(p, "keys"))

@@ -51,6 +51,11 @@ object DeltaDvWriter {
   final case class DeleteResult(version: Long, deletedRows: Long,
                                 filesTouched: Int, dvFiles: Int)
 
+  /** One row-level commit: DV deletes + appended files, atomically. */
+  final case class RowCommitResult(version: Long, deletedRows: Long,
+                                   appendedRows: Long, filesTouched: Int,
+                                   filesAdded: Int, dvFiles: Int)
+
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -87,14 +92,60 @@ object DeltaDvWriter {
                              checkpointInterval: Int,
                              cdf: Boolean,
                              partitionFilter: Map[String, String] = Map.empty): DeleteResult = {
+    val r = rowLevelCommit(spark, root,
+      prov => (matchRows(prov), None, () => ()), "DELETE", predicateDesc,
+      checkpointInterval, cdf, partitionFilter, txn = None)
+    DeleteResult(r.version, r.deletedRows, r.filesTouched, r.dvFiles)
+  }
+
+  /**
+   * ONE atomic row-level commit combining DV deletes and appended data
+   * files — the primitive under [[DeltaMerge]]'s copy-on-write MERGE.
+   * `plan` receives the live table WITH provenance ([[scanWithPos]]
+   * output: every logical column plus `_gf_file`, `_gf_ridx`; existing
+   * DVs already applied) and returns
+   *
+   *   (matchedRows, appendRows, cleanup)
+   *
+   * where `matchedRows` are the target rows to DELETE (must keep the
+   * provenance columns; duplicates on provenance are deduped here, so a
+   * many-to-one source join cannot inflate bitmap cardinalities),
+   * `appendRows` are new rows to ADD in the same commit (table schema;
+   * column-mapped tables are delete-only — appends would need
+   * physical-name data files), and `cleanup` releases whatever `plan`
+   * persisted.
+   *
+   * Write amplification is touched-files + appended bytes, never table
+   * size: untouched files' add entries are simply NOT re-emitted (the
+   * Delta log is delta-based), so a 100-row upsert into a 100 TB table
+   * moves kilobytes of bitmaps plus one small data file. On a lost
+   * version race every artifact of the attempt (DV bins, cdc files,
+   * staged data files) is reclaimed and the WHOLE plan re-runs against
+   * fresh metadata — positions are never rebased blindly. `txn` gives
+   * streaming sinks the SetTransaction exactly-once contract.
+   */
+  private[sources] def rowLevelCommit(spark: SparkSession, root: String,
+                                      plan: DataFrame => (DataFrame, Option[DataFrame], () => Unit),
+                                      operation: String,
+                                      predicateDesc: String,
+                                      checkpointInterval: Int,
+                                      cdf: Boolean,
+                                      partitionFilter: Map[String, String],
+                                      txn: Option[(String, Long)]): RowCommitResult = {
     require(DeltaLog.isDeltaTable(spark, root), s"$root is not a Delta table")
     val f = fs(spark, root)
     var attempt = 0
     while (true) {
       attempt += 1
       require(attempt <= 5,
-        s"gave up DV delete at $root after $attempt conflicted attempts")
+        s"gave up row-level commit at $root after $attempt conflicted attempts")
       val snap0 = DeltaLog.snapshot(spark, root)
+      // SetTransaction idempotence: a checkpoint-replayed micro-batch
+      // whose (appId, version) already committed must be a no-op
+      txn.foreach { case (appId, v) =>
+        if (snap0.transactions.get(appId).exists(_ >= v))
+          return RowCommitResult(snap0.version, 0L, 0L, 0, 0, 0)
+      }
       val mapped =
         snap0.configuration.getOrElse("delta.columnMapping.mode", "none") != "none"
       val physOf: Map[String, String] =
@@ -112,9 +163,21 @@ object DeltaDvWriter {
             .orElse(a.partitionValues.get(k)).flatten.contains(v)
         }))
       }
-      if (snap.files.isEmpty) return DeleteResult(snap0.version, 0L, 0, 0)
+      // an empty candidate set still feeds plan() an empty provenance
+      // frame — a MERGE into an empty (or fully-pruned) table degenerates
+      // to pure insert, not a no-op
+      val prov =
+        if (snap.files.nonEmpty) scanWithPos(spark, root, snap)
+        else spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          StructType(DeltaLog.stripMeta(snap.schema).asInstanceOf[StructType].fields ++
+            Seq(StructField("_gf_file", StringType),
+              StructField("_gf_ridx", LongType))))
 
-      val matched = matchRows(scanWithPos(spark, root, snap))
+      val (matched0, appendRows, planCleanup) = plan(prov)
+      // duplicate provenance (a many-to-one merge join) must not inflate
+      // bitmap cardinalities or CDF rows — rows sharing (file, position)
+      // are the same physical target row
+      val matched = matched0.dropDuplicates(Seq("_gf_file", "_gf_ridx"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         // ---- per-file deleted positions -> executor-written DV files
@@ -122,16 +185,36 @@ object DeltaDvWriter {
           .groupBy("_gf_file")
           .agg(sort_array(collect_list(col("_gf_ridx"))).as("_gf_pos"))
         val descriptors = writeDvFiles(spark, root, snap, grouped)
-        if (descriptors.isEmpty) return DeleteResult(snap.version, 0L, 0, 0)
         val newDeleted = descriptors.map(_.newCount).sum
-
-        // ---- CDF change files for the deleted rows. Under column
-        // mapping cdc files store PHYSICAL column names (what the
-        // change reader scans with), partition dirs included; the
-        // nested rename is the read path's positional struct cast
-        // in reverse
         val partCols = snap.partitionColumns
         val nonce = java.lang.Long.toHexString(System.nanoTime())
+
+        // ---- appended data files, staged through the ordinary
+        // distributed parquet writer (tight stats stamped per file)
+        require(appendRows.isEmpty || !mapped,
+          s"appends into the column-mapped Delta table at $root are not " +
+            "supported (data files would need physical-name schemas)")
+        appendRows.foreach { df =>
+          require(df.schema.map(fd => (fd.name, fd.dataType)) ==
+            snap.schema.map(fd => (fd.name, fd.dataType)),
+            s"append schema ${df.schema.simpleString} does not match Delta " +
+              s"table schema ${snap.schema.simpleString}")
+        }
+        val (adds, appended) = appendRows match {
+          case Some(df) =>
+            DeltaWriter.stageAndMove(df, root, partCols, nonce, countRows = true)
+          case None => (Nil, 0L)
+        }
+        if (descriptors.isEmpty && adds.isEmpty)
+          return RowCommitResult(snap0.version, 0L, 0L, 0, 0, 0)
+
+        // ---- CDF change files: deleted rows AND inserted rows (cdc
+        // actions supersede add/remove for change purposes, so a commit
+        // that stages cdc for its deletes must stage its inserts too).
+        // Under column mapping cdc files store PHYSICAL column names
+        // (what the change reader scans with), partition dirs included;
+        // the nested rename is the read path's positional struct cast
+        // in reverse
         val cdcActions: Seq[CdcFile] =
           if (!cdf) Nil
           else {
@@ -141,8 +224,13 @@ object DeltaDvWriter {
               else logical.select(snap.schema.fields.map(f =>
                 col(f.name).cast(DeltaLog.toPhysical(f.dataType))
                   .as(DeltaLog.physicalName(f))).toSeq: _*)
-            stageCdc(spark, root,
-              physical.withColumn("_change_type", lit("delete")),
+            val deletes = physical.withColumn("_change_type", lit("delete"))
+            val changes = appendRows match {
+              case Some(df) =>
+                deletes.unionByName(df.withColumn("_change_type", lit("insert")))
+              case None => deletes
+            }
+            stageCdc(spark, root, changes,
               partCols.map(c => physOf.getOrElse(c, c)), nonce)
           }
 
@@ -159,8 +247,14 @@ object DeltaDvWriter {
             "cannot plan a DV delete keyed on file name")
         val now = System.currentTimeMillis()
         val lines = scala.collection.mutable.ArrayBuffer[String]()
-        lines += s"""{"commitInfo":{"timestamp":$now,"operation":"DELETE","operationParameters":{"predicate":${q(predicateDesc)}},"engineInfo":"graft-native-delta"}}"""
-        lines += protocolJson(snap, snap.schema)
+        lines += s"""{"commitInfo":{"timestamp":$now,"operation":${q(operation)},"operationParameters":{"predicate":${q(predicateDesc)}},"engineInfo":"graft-native-delta"}}"""
+        // the reader-3/writer-7 deletionVectors upgrade only when this
+        // commit actually writes a vector — a pure-insert merge must not
+        // feature-upgrade the table
+        if (descriptors.nonEmpty) lines += protocolJson(snap, snap.schema)
+        txn.foreach { case (appId, v) =>
+          lines += s"""{"txn":{"appId":${q(appId)},"version":$v,"lastUpdated":$now}}"""
+        }
         descriptors.foreach { d =>
           val a = byFile.getOrElse(d.file, throw new IllegalStateException(
             s"matched file ${d.file} not in snapshot"))
@@ -180,18 +274,25 @@ object DeltaDvWriter {
           lines += s"""{"remove":{"path":${q(a.path)},"deletionTimestamp":$now,"dataChange":true}}"""
           lines += s"""{"add":{"path":${q(a.path)},"partitionValues":{$pvs},"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true,"stats":$stats,"deletionVector":{"storageType":"u","pathOrInlineDv":${q(d.enc)},"offset":${d.offset},"sizeInBytes":${d.size},"cardinality":${d.cardinality}}}}"""
         }
+        adds.foreach { a =>
+          val pvs = a.partitionValues.map { case (k, v) =>
+            s"${q(k)}:${v.map(q).getOrElse("null")}"
+          }.mkString(",")
+          lines += s"""{"add":{"path":${q(DeltaWriter.encodePath(a.path))},"partitionValues":{$pvs},"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true${DeltaWriter.statsFragment(a)}}}"""
+        }
         cdcActions.foreach { c =>
           val pvs = c.partitionValues.map { case (k, v) =>
             s"${q(k)}:${v.map(q).getOrElse("null")}"
           }.mkString(",")
           lines += s"""{"cdc":{"path":${q(DeltaWriter.encodePath(c.path))},"partitionValues":{$pvs},"size":${c.size},"dataChange":false}}"""
         }
-        val version = snap.version + 1
+        val version = snap0.version + 1
         if (tryPublish(f, root, version, lines.toSeq, nonce)) {
           if (checkpointInterval > 0 && version > 0 &&
             version % checkpointInterval == 0)
             DeltaWriter.writeCheckpoint(spark, root, version)
-          return DeleteResult(version, newDeleted, descriptors.size,
+          return RowCommitResult(version, newDeleted, appended,
+            descriptors.size, adds.size,
             descriptors.map(_.enc).distinct.size)
         }
         // lost the version race: the snapshot moved (files may have been
@@ -201,8 +302,9 @@ object DeltaDvWriter {
           f.delete(DeletionVectors.dvFilePath(root, DeletionVectors.Descriptor(
             "u", enc, None, 0, 0L)), false)
         }
+        adds.foreach(a => f.delete(new Path(root, a.path), false))
         cdcActions.foreach(c => f.delete(new Path(root, c.path), false))
-      } finally matched.unpersist()
+      } finally { matched.unpersist(); planCleanup() }
     }
     throw new IllegalStateException("unreachable")
   }

@@ -90,16 +90,34 @@ object Streaming {
    * Only a missing target (first batch) is tolerated; any other read error
    * propagates and fails the batch rather than silently replacing the
    * target with the current batch.
+   *
+   * With `format = "delta"` and a standard strategy (upsert /
+   * append_only / delete_match) each micro-batch instead commits a
+   * FILE-SCOPED merge ([[graft.sources.DeltaMerge]]): matched rows
+   * become deletion-vector bitmaps, replacements + inserts land in new
+   * files, ONE atomic commit per batch carrying a SetTransaction keyed
+   * on (checkpoint, batchId) — so checkpoint-replayed batches are
+   * no-ops (exactly-once) and untouched files keep their bytes across
+   * micro-batches. This retires the per-batch full-snapshot rewrite for
+   * Delta targets; non-standard strategies (dedup_index, bloom) keep
+   * the parquet snapshot path.
    */
   def writeStreamMerge(df: DataFrame, targetPath: String, checkpoint: String,
                        keys: Seq[String],
                        mergeFn: (DataFrame, DataFrame, Seq[String]) => DataFrame,
-                       trigger: Option[Trigger] = None)
+                       trigger: Option[Trigger] = None,
+                       format: String = "parquet",
+                       strategy: String = "")
       : StreamingQuery = {
+    val deltaMerge = format.equalsIgnoreCase("delta") &&
+      Set("upsert", "append_only", "delete_match").contains(strategy)
     var w = df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        mergeBatchIntoTarget(batch, batchId, targetPath, keys, mergeFn)
+        if (deltaMerge)
+          mergeBatchIntoDelta(batch, batchId, targetPath, keys, strategy,
+            checkpoint)
+        else mergeBatchIntoTarget(batch, batchId, targetPath, keys, mergeFn)
       }
     trigger.foreach(t => w = w.trigger(t))
     w.start()
@@ -119,6 +137,28 @@ object Streaming {
       }
     graft.core.AtomicParquet.overwrite(
       mergeFn(target, batch, keys), targetPath, batchId.toString)
+  }
+
+  /** One micro-batch of the Delta file-scoped streaming merge. */
+  private[graft] def mergeBatchIntoDelta(
+      batch: DataFrame, batchId: Long, targetPath: String, keys: Seq[String],
+      strategy: String, checkpoint: String): Unit = {
+    import graft.sources.{DeltaLog, DeltaMerge, DeltaWriter}
+    val spark = batch.sparkSession
+    if (!DeltaLog.isDeltaTable(spark, targetPath))
+      DeltaWriter.write(batch.limit(0), targetPath) // create with batch schema
+    val txn = Some((s"graft-stream-merge-$checkpoint", batchId))
+    strategy match {
+      case "upsert" =>
+        DeltaMerge.upsert(spark, targetPath, batch, keys, cdf = false, txn = txn)
+      case "append_only" =>
+        DeltaMerge.appendOnly(spark, targetPath, batch, keys, cdf = false, txn = txn)
+      case "delete_match" =>
+        DeltaMerge.deleteMatch(spark, targetPath, batch, keys, cdf = false, txn = txn)
+      case other => throw new IllegalArgumentException(
+        s"no Delta streaming merge for strategy '$other'")
+    }
+    ()
   }
 
   /**

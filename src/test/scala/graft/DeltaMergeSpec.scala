@@ -1,0 +1,238 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.{Merge, Scd}
+import graft.sources.{DeltaLog, DeltaMerge, DeltaWriter}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * File-scoped copy-on-write Delta MERGE: semantics must equal the
+ * snapshot algebra (Merge/Scd), while the physical commit touches only
+ * the files containing matched rows — untouched add entries survive
+ * verbatim and write amplification tracks the touched-file count, not
+ * table size.
+ */
+class DeltaMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("delta_merge").toString + "/t"
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  private def commitText(root: String, v: Long): String = {
+    val p = java.nio.file.Paths.get(root, "_delta_log", f"$v%020d.json")
+    new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+  }
+
+  test("upsert matches the snapshot algebra and only touches matched files") {
+    val root = tmp()
+    val target = (0 until 1000).map(i => (i.toLong, s"v$i", i % 10))
+      .toDF("id", "payload", "grp")
+    // 8 files so "touched" is a strict subset
+    DeltaWriter.write(target.repartition(8), root)
+    val before = DeltaLog.snapshot(spark, root)
+    assert(before.files.size == 8)
+
+    // updates hit a few keys; inserts are brand-new keys
+    val source = ((0 until 20).map(i => (i * 50L, s"UPD$i", 99)) ++
+      (0 until 5).map(i => (5000L + i, s"NEW$i", 7))).toDF("id", "payload", "grp")
+
+    val res = DeltaMerge.upsert(spark, root, source, Seq("id"))
+    assert(res.rowsDeleted == 20 && res.rowsAppended == 25, s"got $res")
+
+    // semantics: exactly the snapshot algebra's result
+    val expected = Merge.upsert(target, source, Seq("id"))
+    assert(rows(DeltaLog.read(spark, root)) == rows(expected))
+
+    // physics: untouched files' add entries survive the commit verbatim
+    val after = DeltaLog.snapshot(spark, root)
+    val touched = after.files.filter(_.deletionVector.isDefined).map(_.path).toSet
+    assert(touched.size == res.filesTouched && touched.nonEmpty)
+    val beforeByPath = before.files.map(a => a.path -> a).toMap
+    after.files.filterNot(a => touched.contains(a.path))
+      .filter(a => beforeByPath.contains(a.path))
+      .foreach(a => assert(a == beforeByPath(a.path),
+        s"untouched add entry changed: $a vs ${beforeByPath(a.path)}"))
+    // ... and are not even re-emitted in the commit JSON (delta-based log)
+    val commit = commitText(root, res.version)
+    before.files.filterNot(a => touched.contains(a.path)).foreach(a =>
+      assert(!commit.contains(a.path), s"untouched ${a.path} re-emitted"))
+    // no original data file was rewritten: all 8 still on disk
+    before.files.foreach(a => assert(
+      new java.io.File(root, a.path).exists()))
+  }
+
+  test("update/insert conditions and audit columns") {
+    val root = tmp()
+    val target = (0 until 100).map(i => (i.toLong, i * 10, "old"))
+      .toDF("id", "amt", "tag")
+    DeltaWriter.write(target.repartition(4), root)
+    val source = (50 until 150).map(i => (i.toLong, i, "new"))
+      .toDF("id", "amt", "tag")
+    val res = DeltaMerge.upsert(spark, root, source, Seq("id"),
+      updateCondition = Some("source.amt > 70"),   // ids 71..99 update
+      insertCondition = Some("source.amt < 120"),  // ids 100..119 insert
+      auditCols = Map("tag" -> lit("merged")))
+    assert(res.rowsDeleted == 29 && res.rowsAppended == 49, s"got $res")
+    val got = DeltaLog.read(spark, root)
+    assert(got.count() == 120)
+    assert(got.filter("tag = 'merged'").count() == 49)
+    // a matched row failing the update condition keeps its target bytes
+    assert(rows(got.filter("id = 60")) == Set("60|600|old"))
+    assert(rows(got.filter("id = 80")) == Set("80|80|merged"))
+    assert(got.filter("id >= 120").count() == 0)
+  }
+
+  test("merge into empty table degenerates to insert; deleteMatch is bitmap-only") {
+    val root = tmp()
+    DeltaWriter.write(Seq.empty[(Long, String)].toDF("id", "v"), root)
+    val r1 = DeltaMerge.upsert(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"))
+    assert(r1.rowsDeleted == 0 && r1.rowsAppended == 2 && r1.filesTouched == 0)
+    assert(DeltaLog.read(spark, root).count() == 2)
+
+    val dataBefore = new java.io.File(root).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val r2 = DeltaMerge.deleteMatch(spark, root, Seq(1L).toDF("id"), Seq("id"))
+    assert(r2.rowsDeleted == 1 && r2.rowsAppended == 0 && r2.filesAdded == 0)
+    val dataAfter = new java.io.File(root).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(dataAfter == dataBefore, "deleteMatch wrote data files")
+    assert(rows(DeltaLog.read(spark, root)) == Set("2|b"))
+    // conditional variant over target./source. columns
+    DeltaMerge.upsert(spark, root,
+      Seq((3L, "c"), (4L, "d")).toDF("id", "v"), Seq("id"))
+    val r3 = DeltaMerge.deleteMatch(spark, root,
+      Seq((3L, "x"), (4L, "d")).toDF("id", "v"), Seq("id"),
+      deleteCondition = Some("target.v = source.v"))
+    assert(r3.rowsDeleted == 1)
+    assert(rows(DeltaLog.read(spark, root).select("id")) == Set("2", "3"))
+  }
+
+  test("appendOnly inserts absent keys only, as a pure add commit") {
+    val root = tmp()
+    DeltaWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root)
+    val res = DeltaMerge.appendOnly(spark, root,
+      Seq((2L, "DUP"), (3L, "c")).toDF("id", "v"), Seq("id"))
+    assert(res.rowsDeleted == 0 && res.rowsAppended == 1 && res.filesTouched == 0)
+    assert(rows(DeltaLog.read(spark, root)) == Set("1|a", "2|b", "3|c"))
+    // idempotent: the same batch again is a no-op commit
+    val again = DeltaMerge.appendOnly(spark, root,
+      Seq((2L, "DUP"), (3L, "c")).toDF("id", "v"), Seq("id"))
+    assert(again.rowsAppended == 0)
+  }
+
+  test("scd2Apply matches the snapshot algebra; history rows keep their bytes") {
+    val root = tmp()
+    val base = (0 until 200).map(i => (i.toLong, s"addr$i", i % 5))
+      .toDF("id", "addr", "tier")
+    val boot = Scd.scd2Bootstrap(base, lit("2026-01-01 00:00:00"))
+    DeltaWriter.write(boot.repartition(4), root)
+    // 20 changed, 5 new
+    val src = ((0 until 200).map(i =>
+      (i.toLong, if (i % 10 == 0) s"moved$i" else s"addr$i", i % 5)) ++
+      (0 until 5).map(i => (900L + i, s"addr9$i", 1)))
+      .toDF("id", "addr", "tier")
+    val res = DeltaMerge.scd2Apply(spark, root, src, Seq("id"), Seq("addr"),
+      lit("2026-02-01 00:00:00"))
+    assert(res.rowsDeleted == 20 && res.rowsAppended == 45, s"got $res")
+
+    val expected = Scd.scd2Apply(boot, src, Seq("id"), Seq("addr"),
+      lit("2026-02-01 00:00:00"))
+    assert(rows(DeltaLog.read(spark, root)) == rows(expected))
+
+    // second pass with closeDeleted: drop id>=100 from source
+    val src2 = src.filter("id < 100")
+    val res2 = DeltaMerge.scd2Apply(spark, root, src2, Seq("id"), Seq("addr"),
+      lit("2026-03-01 00:00:00"), closeDeleted = true)
+    val expected2 = Scd.scd2Apply(expected, src2, Seq("id"), Seq("addr"),
+      lit("2026-03-01 00:00:00"), closeDeleted = true)
+    assert(rows(DeltaLog.read(spark, root)) == rows(expected2))
+    assert(res2.rowsDeleted > 0)
+  }
+
+  test("CDF attributes merge deletes and inserts; txn makes replays no-ops") {
+    val root = tmp()
+    DeltaWriter.write((0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(2), root)
+    val src = Seq((10L, "X"), (200L, "Y")).toDF("id", "v")
+    val res = DeltaMerge.upsert(spark, root, src, Seq("id"),
+      txn = Some(("app1", 7L)))
+    val ch = DeltaLog.changes(spark, root, res.version, Some(res.version))
+    assert(rows(ch.select("id", "v", "_change_type")) ==
+      Set("10|v10|delete", "10|X|insert", "200|Y|insert"))
+    // replayed batch: same (appId, version) → no-op, no new version
+    val replay = DeltaMerge.upsert(spark, root, src, Seq("id"),
+      txn = Some(("app1", 7L)))
+    assert(replay.version == res.version && replay.rowsAppended == 0)
+    assert(DeltaLog.read(spark, root).count() == 101)
+  }
+
+  test("merge_delta / scd2_delta transformers reach the file-scoped path") {
+    graft.core.StandardTransformers.registerAll
+    val root = tmp()
+    DeltaWriter.write((1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "v"), root)
+    val dataBefore = new java.io.File(root).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName).toSet
+    val src = Seq((1L, "UPD"), (11L, "NEW")).toDF("k", "v")
+    val t = graft.core.TransformerRegistry.get("merge_delta").get
+    val out = t(graft.core.EngineContext(src),
+      Map("target_path" -> root, "keys" -> Seq("k")))
+    assert(out.count() == 11)
+    assert(rows(out.filter("k in (1, 11)")) == Set("1|UPD", "11|NEW"))
+    // original data files untouched on disk (bitmaps + one new file)
+    dataBefore.foreach(n => assert(new java.io.File(root, n).exists()))
+
+    val root2 = tmp()
+    DeltaWriter.write(Scd.scd2Bootstrap(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "attr"), lit("2026-01-01 00:00:00")), root2)
+    val t2 = graft.core.TransformerRegistry.get("scd2_delta").get
+    val out2 = t2(graft.core.EngineContext(Seq((1L, "a2"), (2L, "b")).toDF("k", "attr")),
+      Map("target_path" -> root2, "keys" -> Seq("k"),
+        "track_cols" -> Seq("attr"), "effective_ts" -> "2026-02-01 00:00:00"))
+    assert(out2.count() == 3) // closed v1 of k=1, open v2 of k=1, untouched k=2
+    assert(out2.filter("k = 1 and is_current").collect().head
+      .getAs[String]("attr") == "a2")
+  }
+
+  test("soak: write amplification tracks touched files, not table size") {
+    val root = tmp()
+    val n = 2000000
+    DeltaWriter.write(spark.range(n.toLong).toDF("id")
+      .withColumn("payload", concat(lit("p"), col("id")))
+      .withColumn("bucket", (col("id") % 100).cast("int"))
+      .repartition(64), root)
+    val before = DeltaLog.snapshot(spark, root)
+    assert(before.files.size == 64)
+    val bytesBefore = before.files.map(_.size).sum
+
+    // a 200-row upsert (0.01%) into the 2M-row table
+    val src = spark.range(200).toDF("id")
+      .withColumn("id", col("id") * 10000L)
+      .withColumn("payload", lit("UPDATED"))
+      .withColumn("bucket", lit(-1).cast("int"))
+    val t0 = System.nanoTime()
+    val res = DeltaMerge.upsert(spark, root, src, Seq("id"))
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"2M-row upsert of 200 keys: $secs%.1f s, $res")
+    assert(res.rowsDeleted == 200 && res.rowsAppended == 200)
+
+    // amplification: NEW data bytes are the appended rows only — orders
+    // of magnitude below the table; original files all survive on disk
+    val after = DeltaLog.snapshot(spark, root)
+    val newAdds = after.files.filterNot(a =>
+      before.files.exists(_.path == a.path))
+    val newBytes = newAdds.map(_.size).sum
+    assert(newBytes < bytesBefore / 100,
+      s"appended $newBytes bytes vs table $bytesBefore")
+    before.files.foreach(a => assert(
+      new java.io.File(root, a.path).exists(),
+      s"original file ${a.path} was rewritten"))
+    // row conservation through the merge
+    assert(DeltaLog.read(spark, root).count() == n)
+    assert(DeltaLog.read(spark, root).filter("payload = 'UPDATED'").count() == 200)
+  }
+}

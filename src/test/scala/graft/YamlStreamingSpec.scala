@@ -82,6 +82,63 @@ class YamlStreamingSpec extends SparkSpec {
     assert(out == Map(1L -> "new", 2L -> "ins", 9L -> "keep"))
   }
 
+  test("Delta streaming merge: file-scoped upserts, untouched files survive runs") {
+    import graft.sources.DeltaLog
+    val dir = java.nio.file.Files.createTempDirectory("graft_syaml_dm").toString
+    // 4 input files -> 4 target data files in the first micro-batch
+    (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(4).write.parquet(s"$dir/in")
+    val yaml =
+      s"""
+        |name: delta_stream_merge
+        |nodes:
+        |  - name: upserter
+        |    read:
+        |      format: parquet
+        |      path: $dir/in
+        |      streaming: true
+        |      schema_ddl: "id BIGINT, v STRING"
+        |    streaming:
+        |      checkpoint: $dir/cp
+        |      merge: { keys: [id], strategy: upsert }
+        |    write: { format: delta, path: $dir/target }
+        |""".stripMargin
+    val res1 = Pipeline.run(spark, YamlConfig.loadPipeline(yaml))
+    assert(res1("upserter").failure.isEmpty,
+      res1("upserter").failure.map(_.toString))
+    val snap1 = DeltaLog.snapshot(spark, s"$dir/target")
+    assert(snap1.files.size >= 2)
+    assert(DeltaLog.read(spark, s"$dir/target").count() == 100)
+
+    // run 2 over the SAME checkpoint: only the new input file is
+    // processed; the merge updates 2 keys and inserts 1
+    Seq((10L, "UPD"), (20L, "UPD"), (500L, "NEW")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val res2 = Pipeline.run(spark, YamlConfig.loadPipeline(yaml))
+    assert(res2("upserter").failure.isEmpty,
+      res2("upserter").failure.map(_.toString))
+    val got = DeltaLog.read(spark, s"$dir/target")
+    assert(got.count() == 101)
+    assert(got.filter("v = 'UPD'").count() == 2)
+    assert(got.filter("id = 500 and v = 'NEW'").count() == 1)
+
+    // the merge was FILE-SCOPED: at least one first-run file is
+    // untouched and its add entry survived the commit verbatim; every
+    // first-run data file is still on disk (bitmaps, not rewrites)
+    val snap2 = DeltaLog.snapshot(spark, s"$dir/target")
+    val byPath1 = snap1.files.map(a => a.path -> a).toMap
+    val untouched = snap2.files.filter(a =>
+      byPath1.contains(a.path) && a.deletionVector.isEmpty)
+    assert(untouched.nonEmpty, "every first-run file was touched")
+    untouched.foreach(a => assert(a == byPath1(a.path),
+      s"untouched add entry changed: $a"))
+    snap1.files.foreach(a => assert(
+      new java.io.File(s"$dir/target", a.path).exists(),
+      s"first-run file ${a.path} was rewritten"))
+    // exactly-once bookkeeping: the SetTransaction cursor advanced
+    assert(snap2.transactions.exists(_._1.startsWith("graft-stream-merge-")))
+  }
+
   test("watermarked tumbling-window counts from a YAML window_agg step") {
     val dir = java.nio.file.Files.createTempDirectory("graft_syaml_win").toString
     def event(s: String, k: String) = (java.sql.Timestamp.valueOf(s), k)
