@@ -1010,6 +1010,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"),
           min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
     }),
+    "q_iceberg_eq_delete" -> ((s, d) => {
+      // EQUALITY-delete end-to-end (the CDC shape: delete by key with NO
+      // table scan): a v2 table, one content=2 equality-delete snapshot,
+      // then an append RE-INSERTING a subset of the deleted keys — which
+      // must SURVIVE (equality deletes bind only to data sequences
+      // strictly below their own) — then a merge-on-read optimize that
+      // lifts the deletes into rewritten files. The oracle recomputes
+      // the surviving set from the ORIGINAL parquet, so a hash match
+      // certifies sequence-aware equality semantics through compaction.
+      val c = t(s, d, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val root = java.nio.file.Files.createTempDirectory("graft_ice_eqd")
+        .toString + "/customer"
+      graft.sources.IcebergSource.write(c.repartition(2), root)
+      val res = graft.sources.IcebergSource.deleteKeys(s, root,
+        c.filter("c_custkey % 10 = 0").select("c_custkey"), Seq("c_custkey"))
+      require(res.deletedRows > 0, s"equality delete wrote no keys: $res")
+      graft.sources.IcebergSource.write(
+        c.filter("c_custkey % 100 = 0").withColumn("c_mktsegment", lit("REBORN")),
+        root, mode = "append")
+      val opt = graft.sources.IcebergMaintenance.optimize(s, root,
+        targetFileBytes = 512L << 20)
+      require(opt.snapshotId.nonEmpty, s"MOR optimize did not run: $opt")
+      graft.sources.IcebergSource.read(s, root)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("bal"),
+          min("c_custkey").as("min_key"), max("c_custkey").as("max_key"))
+    }),
     "q_iceberg_delete" -> ((s, d) => {
       // position-delete DELETE + merge-on-read compaction end-to-end:
       // a partitioned v2 table, two stacked delete snapshots (content=1
@@ -2170,6 +2198,11 @@ object SparkEntry {
     // MOR compaction untouched); initial = the pre-delete snapshot
     "q_iceberg_delete" ->
       "SELECT state, o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS revenue, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM (SELECT 'live' AS state, o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE NOT (o_totalprice > 180000) AND NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0) UNION ALL SELECT 'initial', o_orderkey, o_orderstatus, o_totalprice FROM orders) GROUP BY 1, 2",
+    // equality deletes: keys % 10 vanish scan-free; the later append
+    // re-inserts keys % 100 as REBORN rows, which SURVIVE the delete
+    // (and the MOR compaction) because their data sequence is higher
+    "q_iceberg_eq_delete" ->
+      "SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal, min(c_custkey) AS min_key, max(c_custkey) AS max_key FROM (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer WHERE c_custkey % 10 <> 0 UNION ALL SELECT c_custkey, c_acctbal, 'REBORN' FROM customer WHERE c_custkey % 100 = 0) GROUP BY 1",
     "q_iceberg_changes" ->
       "SELECT ver, change_type, count(*) AS n, round(sum(o_totalprice), 2) AS revenue, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM (SELECT 1 AS ver, 'insert' AS change_type, o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 = 0 UNION ALL SELECT 2, 'insert', o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 = 1 UNION ALL SELECT 3, 'delete', o_totalprice, o_orderkey FROM orders WHERE o_orderkey % 3 IN (0, 1) UNION ALL SELECT 3, 'insert', o_totalprice, o_orderkey FROM orders WHERE o_totalprice > 150000) GROUP BY 1, 2",
     "q_delta_changes" ->

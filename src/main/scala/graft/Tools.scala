@@ -150,11 +150,40 @@ object Tools {
         })
         0
       }
+    case "delete-keys" :: root :: rest =>
+      // equality-delete by key (scan-free): keys come from a parquet
+      // frame; strict arg loop, destructive-verb discipline
+      var keys: Seq[String] = Nil
+      var from: Option[String] = None
+      var r = rest
+      while (r.nonEmpty) r match {
+        case "--keys" :: v :: t => keys = v.split(",").toSeq.filter(_.nonEmpty); r = t
+        case "--from" :: v :: t => from = Some(v); r = t
+        case other =>
+          System.err.println(s"unknown iceberg delete-keys args $other")
+          return 2
+      }
+      if (keys.isEmpty || from.isEmpty) {
+        System.err.println(
+          "usage: graft.Tools iceberg delete-keys <root> --keys k1[,k2..] --from <key-parquet>")
+        return 2
+      }
+      withSpark { spark =>
+        val res = graft.sources.IcebergSource.deleteKeys(spark, root,
+          spark.read.parquet(from.get), keys)
+        println(res.snapshotId match {
+          case Some(id) => s"committed ${res.deletedRows} equality-delete keys " +
+            s"at $root (snapshot=$id, ${res.deleteFiles} delete files)"
+          case None => s"no keys to delete at $root"
+        })
+        0
+      }
     case _ =>
       System.err.println("usage: graft.Tools iceberg history <root> | " +
         "optimize <root> [--target-file-mb N] | " +
         "expire <root> [--keep-last N] [--older-than-ms T] [--dry-run] | " +
-        "delete <root> <predicate> [--partition K=V ...]")
+        "delete <root> <predicate> [--partition K=V ...] | " +
+        "delete-keys <root> --keys k1[,k2..] --from <key-parquet>")
       2
     }
   }

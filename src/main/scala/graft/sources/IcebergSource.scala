@@ -836,9 +836,19 @@ object IcebergSource {
         .toDF("_gf_path", "file_path")
       val commitUuid = java.util.UUID.randomUUID().toString
       val delDir = new Path(root, s"data/$commitUuid")
+      // the spec's RESERVED field ids for position-delete columns:
+      // conformant external engines resolve these columns BY ID, not
+      // name — Spark's parquet writer emits the ids from the
+      // `parquet.field.id` schema metadata (fieldId.write is on by
+      // default), so the files read back under either resolution mode
+      val fpMeta = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", 2147483546L).build()
+      val posMeta = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", 2147483545L).build()
       prov.filter(expr(condition))
         .join(broadcast(pathBack), Seq("_gf_path"))
-        .select(col("file_path"), col("_gf_pos").as("pos"))
+        .select(col("file_path").as("file_path", fpMeta),
+          col("_gf_pos").as("pos", posMeta))
         .repartition(col("file_path"))
         .sortWithinPartitions("file_path", "pos")
         .write.mode("errorifexists").parquet(delDir.toString)
@@ -855,90 +865,204 @@ object IcebergSource {
       val rows = counts.sum
       if (rows == 0L) { f.delete(delDir, true); return DeleteResult(None, 0L, 0) }
 
-      // ---- DELETE manifest (content=1 entries, unpartitioned tuple:
-      // entry-level pruning never applies to delete entries and the ml
-      // row carries no partition summaries, so the deletes always load)
-      val snapshotId = math.max(System.currentTimeMillis(),
-        meta.snapshots.map(_.snapshotId + 1).foldLeft(0L)(math.max))
-      val newSeq = meta.lastSequenceNumber + 1
-      val entrySchema = entrySchemaFor(Nil)
-      val partSchema = entrySchema.getField("data_file").schema()
-        .getField("partition").schema()
-      val entries = files.lazyZip(counts).map { (s, n) =>
-        val dataFile = new GenericData.Record(
-          entrySchema.getField("data_file").schema())
-        dataFile.put("content", 1) // POSITION_DELETES
-        dataFile.put("file_path", s.getPath.toString)
-        dataFile.put("file_format", "PARQUET")
-        dataFile.put("partition", new GenericData.Record(partSchema))
-        dataFile.put("record_count", n)
-        dataFile.put("file_size_in_bytes", s.getLen)
-        val e = new GenericData.Record(entrySchema)
-        e.put("status", 1) // ADDED
-        e.put("snapshot_id", snapshotId)
-        e.put("sequence_number", newSeq)
-        e.put("file_sequence_number", newSeq)
-        e.put("data_file", dataFile)
-        e
+      commitDeleteSnapshot(spark, root, meta, files, counts,
+        equalityIds = Nil, commitUuid) match {
+        case Some(snapshotId) => return DeleteResult(Some(snapshotId), rows, files.size)
+        case None => f.delete(delDir, true) // lost the claim: re-plan fresh
       }
-      val manifestPath = new Path(metaDir(root), s"manifest-$commitUuid.avro")
-      f.mkdirs(metaDir(root))
-      val manifestLen = writeAvro(conf, manifestPath, entrySchema, entries)
-      val mlRec = {
-        val r = new GenericData.Record(manifestFileSchema)
-        r.put("manifest_path", manifestPath.toString)
-        r.put("manifest_length", manifestLen)
-        r.put("partition_spec_id", 0)
-        r.put("content", 1) // DELETES manifest
-        r.put("sequence_number", newSeq)
-        r.put("min_sequence_number", newSeq)
-        r.put("added_snapshot_id", snapshotId)
-        r.put("added_files_count", files.size)
-        r.put("existing_files_count", 0)
-        r.put("deleted_files_count", 0)
-        r.put("added_rows_count", rows)
-        r.put("existing_rows_count", 0L)
-        r.put("deleted_rows_count", 0L)
-        r
-      }
-      val mlPath = new Path(metaDir(root), s"snap-$snapshotId-$commitUuid.avro")
-      writeAvro(conf, mlPath, manifestFileSchema,
-        mlRec +: currentMlRecords(conf, root, meta))
-
-      // ---- clone-and-patch the PLAN-TIME metadata, claim v(N+1)
-      val node = mapper.readTree(readText(f, new Path(meta.metadataPath)))
-        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-      node.put("last-sequence-number", newSeq)
-      node.put("last-updated-ms", snapshotId)
-      node.put("current-snapshot-id", snapshotId)
-      val snapNode = mapper.createObjectNode()
-      snapNode.put("snapshot-id", snapshotId)
-      snapNode.put("timestamp-ms", snapshotId)
-      snapNode.put("sequence-number", newSeq)
-      snapNode.putObject("summary").put("operation", "delete")
-      snapNode.put("manifest-list", mlPath.toString)
-      snapNode.put("schema-id", 0)
-      node.withArray("snapshots").add(snapNode)
-      if (node.has("snapshot-log")) {
-        val logNode = mapper.createObjectNode()
-        logNode.put("snapshot-id", snapshotId)
-        logNode.put("timestamp-ms", snapshotId)
-        node.withArray("snapshot-log").add(logNode)
-      }
-      val claimOk = (meta.version != 0L ||
-        latestMetadata(f, root).toString == meta.metadataPath) &&
-        tryPublishMeta(f, root, meta.version + 1,
-          mapper.writeValueAsBytes(node), commitUuid)
-      if (claimOk) {
-        writeHint(f, root, meta.version + 1)
-        return DeleteResult(Some(snapshotId), rows, files.size)
-      }
-      // lost the claim: reclaim everything, re-plan from fresh metadata
-      f.delete(delDir, true)
-      f.delete(manifestPath, false)
-      f.delete(mlPath, false)
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /**
+   * DELETE BY KEY as EQUALITY DELETES (Iceberg spec v2, content=2) — the
+   * CDC / streaming-upsert shape: "delete these keys without knowing
+   * their positions". The distinct key tuples land in an equality-delete
+   * parquet file (columns carry the table's own field ids, so external
+   * engines resolve them by id); readers drop every data row whose data
+   * sequence is STRICTLY BELOW the delete's sequence and whose key
+   * columns match ([[applyDeletes]]), so a later re-insert of the same
+   * key SURVIVES. Unlike [[delete]], NO table scan happens at all — the
+   * cost is one small parquet write plus the metadata commit,
+   * independent of table size; [[IcebergMaintenance.optimize]] is the
+   * purge. `deletedRows` in the result is the KEY count (the matched
+   * row count is unknowable without the scan this path exists to skip).
+   */
+  def deleteKeys(spark: SparkSession, root: String, deletedKeys: DataFrame,
+                 keys: Seq[String]): DeleteResult = {
+    val conf = spark.sessionState.newHadoopConf()
+    val f = fs(spark, root)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(attempt <= 5,
+        s"gave up equality-delete commit at $root after $attempt conflicted attempts")
+      val meta = tableMeta(spark, root)
+      require(meta.formatVersion == 2,
+        s"row-level deletes need iceberg format-version 2, $root is v${meta.formatVersion}")
+      if (meta.currentSnapshotId.isEmpty) return DeleteResult(None, 0L, 0)
+      // key columns resolve to the table's field ids (top-level only)
+      val idOf: Map[String, Int] = meta.schemaJson.get("fields")
+        .elements().asScala.map(fd =>
+          fd.get("name").asText() -> fd.get("id").asInt()).toMap
+      val eqIds = keys.map(k => idOf.getOrElse(k,
+        throw new IllegalArgumentException(
+          s"equality-delete key '$k' is not a top-level table column")))
+      val typeOf: Map[String, DataType] =
+        meta.schema.fields.map(fd => fd.name -> fd.dataType).toMap
+
+      val commitUuid = java.util.UUID.randomUUID().toString
+      val delDir = new Path(root, s"data/$commitUuid")
+      deletedKeys.select(keys.map { k =>
+        val m = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", idOf(k).toLong).build()
+        col(k).cast(stripFieldIds(typeOf(k))).as(k, m)
+      }: _*).distinct()
+        .coalesce(1)
+        .write.mode("errorifexists").parquet(delDir.toString)
+      val files = {
+        val it = f.listFiles(delDir, true)
+        val buf = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && st.getPath.getName.endsWith(".parquet")) buf += st
+        }
+        buf.toSeq.sortBy(_.getPath.toString)
+      }
+      val counts = files.map(s => parquetRowCount(conf, s.getPath))
+      val rows = counts.sum
+      if (rows == 0L) { f.delete(delDir, true); return DeleteResult(None, 0L, 0) }
+
+      commitDeleteSnapshot(spark, root, meta, files, counts,
+        equalityIds = eqIds, commitUuid) match {
+        case Some(snapshotId) => return DeleteResult(Some(snapshotId), rows, files.size)
+        case None => f.delete(delDir, true) // lost the claim: re-plan fresh
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /**
+   * Publish a DELETE snapshot tracking `files` (position deletes when
+   * `equalityIds` is empty, equality deletes otherwise) via a content=1
+   * DELETES manifest at the next sequence number.
+   *
+   * The manifest must reference a spec whose partition-type MATCHES its
+   * (empty) tuples — conformant engines resolve tuples through the spec
+   * — so on a partitioned table an UNPARTITIONED spec is registered (or
+   * reused) in the metadata and referenced by the delete manifest;
+   * spec 0 serves directly when the table is unpartitioned. Returns the
+   * new snapshot id, or None when the version claim was lost (the
+   * caller reclaims its delete files and re-plans; this method reclaims
+   * its own manifest/manifest-list files).
+   */
+  private def commitDeleteSnapshot(spark: SparkSession, root: String,
+                                   meta: TableMeta,
+                                   files: Seq[org.apache.hadoop.fs.FileStatus],
+                                   counts: Seq[Long],
+                                   equalityIds: Seq[Int],
+                                   commitUuid: String): Option[Long] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val f = fs(spark, root)
+    val node = mapper.readTree(readText(f, new Path(meta.metadataPath)))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val specsNode = node.withArray("partition-specs")
+    val delSpecId: Int = specsNode.elements().asScala
+      .find(s => s.get("fields").size() == 0)
+      .map(_.get("spec-id").asInt())
+      .getOrElse {
+        val maxId = specsNode.elements().asScala
+          .map(_.get("spec-id").asInt()).max
+        val ns = mapper.createObjectNode()
+        ns.put("spec-id", maxId + 1)
+        ns.putArray("fields")
+        specsNode.add(ns)
+        maxId + 1
+      }
+    val snapshotId = math.max(System.currentTimeMillis(),
+      meta.snapshots.map(_.snapshotId + 1).foldLeft(0L)(math.max))
+    val newSeq = meta.lastSequenceNumber + 1
+    val rows = counts.sum
+    val entrySchema = entrySchemaFor(Nil)
+    val partSchema = entrySchema.getField("data_file").schema()
+      .getField("partition").schema()
+    val entries = files.lazyZip(counts).map { (s, n) =>
+      val dataFile = new GenericData.Record(
+        entrySchema.getField("data_file").schema())
+      dataFile.put("content", if (equalityIds.isEmpty) 1 else 2)
+      dataFile.put("file_path", s.getPath.toString)
+      dataFile.put("file_format", "PARQUET")
+      dataFile.put("partition", new GenericData.Record(partSchema))
+      dataFile.put("record_count", n)
+      dataFile.put("file_size_in_bytes", s.getLen)
+      if (equalityIds.nonEmpty) {
+        val arr = new java.util.ArrayList[Integer]()
+        equalityIds.foreach(id => arr.add(Int.box(id)))
+        dataFile.put("equality_ids", arr)
+      }
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1) // ADDED
+      e.put("snapshot_id", snapshotId)
+      e.put("sequence_number", newSeq)
+      e.put("file_sequence_number", newSeq)
+      e.put("data_file", dataFile)
+      e
+    }
+    val manifestPath = new Path(metaDir(root), s"manifest-$commitUuid.avro")
+    f.mkdirs(metaDir(root))
+    val manifestLen = writeAvro(conf, manifestPath, entrySchema, entries)
+    val mlRec = {
+      val r = new GenericData.Record(manifestFileSchema)
+      r.put("manifest_path", manifestPath.toString)
+      r.put("manifest_length", manifestLen)
+      r.put("partition_spec_id", delSpecId)
+      r.put("content", 1) // DELETES manifest
+      r.put("sequence_number", newSeq)
+      r.put("min_sequence_number", newSeq)
+      r.put("added_snapshot_id", snapshotId)
+      r.put("added_files_count", files.size)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", rows)
+      r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      r
+    }
+    val mlPath = new Path(metaDir(root), s"snap-$snapshotId-$commitUuid.avro")
+    writeAvro(conf, mlPath, manifestFileSchema,
+      mlRec +: currentMlRecords(conf, root, meta))
+
+    // ---- clone-and-patch the PLAN-TIME metadata (the node read above,
+    // delete-spec registration included), claim v(N+1)
+    node.put("last-sequence-number", newSeq)
+    node.put("last-updated-ms", snapshotId)
+    node.put("current-snapshot-id", snapshotId)
+    val snapNode = mapper.createObjectNode()
+    snapNode.put("snapshot-id", snapshotId)
+    snapNode.put("timestamp-ms", snapshotId)
+    snapNode.put("sequence-number", newSeq)
+    snapNode.putObject("summary").put("operation", "delete")
+    snapNode.put("manifest-list", mlPath.toString)
+    snapNode.put("schema-id", 0)
+    node.withArray("snapshots").add(snapNode)
+    if (node.has("snapshot-log")) {
+      val logNode = mapper.createObjectNode()
+      logNode.put("snapshot-id", snapshotId)
+      logNode.put("timestamp-ms", snapshotId)
+      node.withArray("snapshot-log").add(logNode)
+    }
+    val claimOk = (meta.version != 0L ||
+      latestMetadata(f, root).toString == meta.metadataPath) &&
+      tryPublishMeta(f, root, meta.version + 1,
+        mapper.writeValueAsBytes(node), commitUuid)
+    if (claimOk) {
+      writeHint(f, root, meta.version + 1)
+      Some(snapshotId)
+    } else {
+      f.delete(manifestPath, false)
+      f.delete(mlPath, false)
+      None
+    }
   }
 
   // ------------------------------------------------------ incremental read
@@ -1050,7 +1174,8 @@ object IcebergSource {
          |  {"name":"file_format","type":"string","field-id":101},
          |  {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$partFields]}},
          |  {"name":"record_count","type":"long","field-id":103},
-         |  {"name":"file_size_in_bytes","type":"long","field-id":104}
+         |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+         |  {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}
          |]}}]}""".stripMargin.replaceAll("\n", ""))
   }
 

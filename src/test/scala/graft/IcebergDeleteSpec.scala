@@ -46,6 +46,100 @@ class IcebergDeleteSpec extends SparkSpec {
       snapshotId = Some(first.snapshotId)).count() == 1000)
   }
 
+  test("position-delete files carry the spec's reserved parquet field ids") {
+    val root = tmp()
+    IcebergSource.write((0 until 100).map(i => (i.toLong, i % 10)).toDF("id", "m"), root)
+    val before = dataParquets(root)
+    IcebergSource.delete(spark, root, "m = 0")
+    val delFile = (dataParquets(root) -- before).head
+    // conformant engines resolve delete columns BY FIELD ID
+    // (file_path = 2147483546, pos = 2147483545), not by name
+    val conf = spark.sessionState.newHadoopConf()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(delFile), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val fields = try r.getFileMetaData.getSchema.getFields finally r.close()
+    import scala.jdk.CollectionConverters._
+    val ids = fields.asScala.map(f => f.getName -> Option(f.getId).map(_.intValue())).toMap
+    assert(ids("file_path").contains(2147483546))
+    assert(ids("pos").contains(2147483545))
+  }
+
+  test("partitioned delete manifests reference an UNPARTITIONED spec") {
+    val root = tmp()
+    IcebergSource.write((0 until 300).map(i => (i.toLong, 1.0 * i, i % 3))
+      .toDF("id", "price", "bucket").repartition(3), root,
+      partitionBy = Seq("bucket"))
+    IcebergSource.delete(spark, root, "id % 10 = 0")
+    // the metadata now registers an empty-fields spec alongside spec 0,
+    // and deletes still apply through the reader
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new java.io.File(root, "metadata")
+    val latest = metaDir.listFiles().filter(_.getName.endsWith(".metadata.json"))
+      .maxBy(_.getName)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(latest)
+    import scala.jdk.CollectionConverters._
+    val specs = node.get("partition-specs").elements().asScala.toSeq
+    assert(specs.exists(s => s.get("fields").size() == 0),
+      "no unpartitioned spec registered for delete manifests")
+    assert(node.get("default-spec-id").asInt() == 0, "default spec changed")
+    assert(IcebergSource.read(spark, root).count() == 270)
+    // unpartitioned tables keep using spec 0 directly (no extra spec)
+    val root2 = tmp()
+    IcebergSource.write((0 until 50).map(i => (i.toLong, i)).toDF("id", "m"), root2)
+    IcebergSource.delete(spark, root2, "m < 5")
+    val latest2 = new java.io.File(root2, "metadata").listFiles()
+      .filter(_.getName.endsWith(".metadata.json")).maxBy(_.getName)
+    val node2 = new com.fasterxml.jackson.databind.ObjectMapper().readTree(latest2)
+    assert(node2.get("partition-specs").size() == 1)
+  }
+
+  test("equality delete: key-scoped, scan-free, re-inserts survive") {
+    val root = tmp()
+    IcebergSource.write((0 until 200).map(i => (i.toLong, s"v$i", i % 4))
+      .toDF("id", "v", "m").repartition(2), root)
+    val before = dataParquets(root)
+
+    // delete two keys WITHOUT scanning the table
+    val res = IcebergSource.deleteKeys(spark, root,
+      Seq(10L, 20L, 9999L).toDF("id"), Seq("id"))
+    assert(res.deletedRows == 3 && res.snapshotId.nonEmpty, s"$res")
+    assert(before.subsetOf(dataParquets(root)), "equality delete rewrote data")
+    val delFile = (dataParquets(root) -- before).head
+    val got = IcebergSource.read(spark, root)
+    assert(got.count() == 198)
+    assert(got.filter("id in (10, 20)").count() == 0)
+
+    // a LATER append re-inserting key 10 SURVIVES: equality deletes bind
+    // only to data sequences STRICTLY BELOW their own
+    IcebergSource.write(Seq((10L, "reborn", 0)).toDF("id", "v", "m"), root)
+    val after = IcebergSource.read(spark, root)
+    assert(after.count() == 199)
+    assert(after.filter("id = 10").collect().map(_.getString(1)).toSeq == Seq("reborn"))
+
+    // the delete file resolves by the TABLE's field id for `id`
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(delFile), spark.sessionState.newHadoopConf())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val fields = try r.getFileMetaData.getSchema.getFields finally r.close()
+    import scala.jdk.CollectionConverters._
+    assert(fields.asScala.exists(f =>
+      f.getName == "id" && Option(f.getId).exists(_.intValue() == 1)))
+
+    // equality + position deletes stack; MOR optimize purges both
+    IcebergSource.delete(spark, root, "m = 3")
+    val live = IcebergSource.read(spark, root)
+    val expect = live.count()
+    val opt = IcebergMaintenance.optimize(spark, root, targetFileBytes = 512L << 20)
+    assert(opt.snapshotId.nonEmpty)
+    val compacted = IcebergSource.read(spark, root)
+    assert(compacted.count() == expect)
+    assert(compacted.filter("id in (10, 20)").collect()
+      .map(_.getString(1)).toSeq == Seq("reborn"))
+  }
+
   test("stacked deletes compose; re-delete is a no-op") {
     val root = tmp()
     IcebergSource.write((0 until 500).map(i => (i.toLong, i % 5)).toDF("id", "m"), root)
