@@ -138,7 +138,8 @@ object McpServer {
   // ---------------------------------------------------------------- tools
 
   private val ToolNames = Seq("list_transformers", "explain", "get_schema",
-    "validate_yaml", "catalog", "lineage", "node_sample", "node_failures")
+    "validate_yaml", "catalog", "lineage", "node_sample", "node_failures",
+    "build_node", "diagnose_run", "diff_config")
 
   private def toolList(): ArrayNode = {
     def tool(name: String, desc: String, props: Map[String, (String, String)],
@@ -203,6 +204,35 @@ object McpServer {
         "node" -> ("string", "optional node filter"),
         "limit" -> ("integer", "max rows (default 20)")),
       required = Seq("pipeline")))
+    arr.add(tool("build_node",
+      "Build a validated YAML node for a registry name (transformer / " +
+        "pattern / recipe): generates the node stub, wraps it in a " +
+        "minimal pipeline, and round-trips it through the planner — the " +
+        "returned validation is the planner's verdict on exactly the " +
+        "YAML returned.",
+      Map("transformer" -> ("string", "registry name, e.g. filter_rows"),
+        "name" -> ("string", "node name (default: the registry name)"),
+        "input" -> ("string", "upstream node/dataset this node consumes"),
+        "params" -> ("object", "parameter object for the function/pattern " +
+          "(or recipe vars); defaults to {}"),
+        "read" -> ("object", "optional read block, e.g. {\"format\":\"parquet\",\"path\":\"/data/in\"}"),
+        "write" -> ("object", "optional write block")),
+      required = Seq("transformer")))
+    arr.add(tool("diagnose_run",
+      "Diagnose a recorded run: per-node outcomes from meta_runs plus " +
+        "meta_failures rows, each with deterministic fix suggestions " +
+        "matched on the error class/message. Defaults to the most recent " +
+        "run of the pipeline.",
+      Map("pipeline" -> ("string", "pipeline name"),
+        "run_id" -> ("string", "optional run id (default: latest run)")),
+      required = Seq("pipeline")))
+    arr.add(tool("diff_config",
+      "Deployed-vs-file drift: hash the given pipeline YAML exactly like " +
+        "deploy registration and compare against the catalog's " +
+        "meta_pipelines/meta_nodes — reports added, removed and changed " +
+        "nodes.",
+      Map("yaml" -> ("string", "the pipeline YAML document text")),
+      required = Seq("yaml")))
     arr
   }
 
@@ -278,6 +308,21 @@ object McpServer {
         val filtered = str("node").map(n => base.filter(col("node") === n)).getOrElse(base)
         Right(filtered.orderBy(col("recorded_at").desc).limit(limit)
           .toJSON.collect().mkString("[", ",", "]"))
+      case "build_node" =>
+        val t = str("transformer").getOrElse(
+          return Left(McpError(-32602, "build_node requires 'transformer'")))
+        Right(buildNode(t, str("name"), str("input"),
+          Option(args.get("params")).filter(_.isObject),
+          Option(args.get("read")).filter(_.isObject),
+          Option(args.get("write")).filter(_.isObject)))
+      case "diagnose_run" =>
+        val p = str("pipeline").getOrElse(
+          return Left(McpError(-32602, "diagnose_run requires 'pipeline'")))
+        Right(diagnoseRun(ctx, p, str("run_id")))
+      case "diff_config" =>
+        val y = str("yaml").getOrElse(
+          return Left(McpError(-32602, "diff_config requires 'yaml'")))
+        Right(diffConfig(ctx, y))
     } catch {
       case e: Exception =>
         val o = mapper.createObjectNode()
@@ -303,10 +348,8 @@ object McpServer {
     out.set[JsonNode]("kinds", kinds)
     if (kinds.isEmpty) {
       out.put("found", false)
-      val close = (TransformerRegistry.names ++
-        graft.patterns.PatternRegistry.names ++ Recipes.builtins.keys)
-        .filter(c => c.contains(name) || name.contains(c)).distinct.sorted.take(8)
-      val sug = out.putArray("did_you_mean"); close.foreach(sug.add)
+      val sug = out.putArray("did_you_mean")
+      didYouMean(name).foreach(sug.add)
     } else {
       out.put("found", true)
       out.put("usage",
@@ -316,6 +359,185 @@ object McpServer {
         else s"steps: [ { function: $name, params: { ... } } ]")
     }
     mapper.writeValueAsString(out)
+  }
+
+  /**
+   * Guided node construction (reference odibi_mcp/tools/yaml_builder.py:
+   * "build from the actual models, validate before serializing" — here
+   * the node is rendered, wrapped in a minimal pipeline, and planned, so
+   * the validation verdict applies to EXACTLY the YAML returned). JSON
+   * objects embed directly as YAML flow mappings (JSON is valid YAML).
+   */
+  private def buildNode(transformer: String, name: Option[String],
+                        input: Option[String], params: Option[JsonNode],
+                        read: Option[JsonNode], write: Option[JsonNode]): String = {
+    StandardTransformers.registerAll
+    val isPattern = graft.patterns.PatternRegistry.names.contains(transformer)
+    val isRecipe = Recipes.builtins.contains(transformer)
+    val isFunction = TransformerRegistry.get(transformer).isDefined
+    val out = mapper.createObjectNode()
+    if (!isPattern && !isRecipe && !isFunction) {
+      out.put("found", false)
+      val sug = out.putArray("did_you_mean")
+      didYouMean(transformer).foreach(sug.add)
+      return mapper.writeValueAsString(out)
+    }
+    val nodeName = name.getOrElse(transformer)
+    val pjson = params.map(mapper.writeValueAsString).getOrElse("{}")
+    val sb = new StringBuilder
+    sb ++= s"- name: $nodeName\n"
+    input.foreach { in =>
+      sb ++= s"  depends_on: [$in]\n"
+      sb ++= s"  input: $in\n"
+    }
+    read.foreach(r => sb ++= s"  read: ${mapper.writeValueAsString(r)}\n")
+    if (read.isEmpty && input.isEmpty)
+      sb ++= "  read: {format: parquet, path: /data/in}\n"
+    if (isRecipe) {
+      sb ++= s"  recipe: $transformer\n"
+      sb ++= s"  recipe_vars: $pjson\n"
+    } else if (isPattern && !isFunction) {
+      sb ++= s"  transformer: $transformer\n"
+      sb ++= s"  params: $pjson\n"
+    } else {
+      sb ++= "  steps:\n"
+      sb ++= s"    - function: $transformer\n"
+      sb ++= s"      params: $pjson\n"
+    }
+    write.foreach(w => sb ++= s"  write: ${mapper.writeValueAsString(w)}\n")
+    val nodeYaml = sb.toString
+    // minimal pipeline wrapper: an upstream read stub satisfies `input`
+    // references so the planner judges the node itself, not the harness
+    val upstream = input.map(in =>
+      s"  - name: $in\n    read: {format: parquet, path: /data/in}\n").getOrElse("")
+    val pipelineYaml =
+      s"name: build_preview\nnodes:\n$upstream" +
+        nodeYaml.linesIterator.map("  " + _).mkString("", "\n", "\n")
+    out.put("found", true)
+    out.put("node_yaml", nodeYaml)
+    out.put("pipeline_yaml", pipelineYaml)
+    out.set[JsonNode]("validation", mapper.readTree(Planner.plan(pipelineYaml).toJson))
+    mapper.writeValueAsString(out)
+  }
+
+  /**
+   * Failure diagnosis over the recorded catalog (reference
+   * odibi_mcp/tools/diagnose.py posture — status + issues + suggestions,
+   * re-grounded on run facts): per-node outcomes of one run joined with
+   * meta_failures, every failure annotated with the deterministic
+   * [[Suggestions]] hint table keyed on error class/message.
+   */
+  private def diagnoseRun(ctx: Ctx, pipeline: String,
+                          runId: Option[String]): String = {
+    import org.apache.spark.sql.functions.col
+    val runs = ctx.catalog.table("meta_runs").filter(col("pipeline") === pipeline)
+    val rid = runId.orElse {
+      runs.orderBy(col("recorded_at").desc).limit(1)
+        .select("run_id").collect().headOption.map(_.getString(0))
+    }.getOrElse(throw new IllegalArgumentException(
+      s"no recorded runs for pipeline '$pipeline'"))
+    val nodeRows = runs.filter(col("run_id") === rid)
+      .select("node", "success", "duration_ms", "error")
+      .orderBy("node").collect()
+    require(nodeRows.nonEmpty, s"run '$rid' not recorded for '$pipeline'")
+    val out = mapper.createObjectNode()
+    out.put("pipeline", pipeline)
+    out.put("run_id", rid)
+    val failedNodes = nodeRows.filter(!_.getBoolean(1))
+    out.put("status", if (failedNodes.isEmpty) "healthy" else "issues_found")
+    out.put("summary", s"${nodeRows.length} nodes, ${failedNodes.length} failed")
+    val nodes = out.putArray("nodes")
+    nodeRows.foreach { r =>
+      val n = nodes.addObject()
+      n.put("node", r.getString(0))
+      n.put("success", r.getBoolean(1))
+      n.put("duration_ms", r.getLong(2))
+      Option(r.getString(3)).filter(_.nonEmpty).foreach(n.put("error", _))
+    }
+    val failures = out.putArray("failures")
+    val failRows =
+      try ctx.catalog.table("meta_failures")
+        .filter(col("pipeline") === pipeline && col("run_id") === rid)
+        .select("node", "error_class", "message").collect().toSeq
+      catch { case _: Exception => // table absent: derive from run errors
+        failedNodes.toSeq.map(r => org.apache.spark.sql.Row(
+          r.getString(0), "", Option(r.getString(3)).getOrElse("")))
+      }
+    failRows.foreach { r =>
+      val fo = failures.addObject()
+      fo.put("node", r.getString(0))
+      fo.put("error_class", r.getString(1))
+      fo.put("message", r.getString(2))
+      val hints = fo.putArray("suggestions")
+      graft.core.Suggestions.suggestText(r.getString(1), r.getString(2))
+        .foreach(hints.add)
+    }
+    mapper.writeValueAsString(out)
+  }
+
+  /**
+   * Deployed-vs-file drift (reference pipeline hash gate,
+   * odibi/pipeline.py:487-520, surfaced as a tool): the YAML is hashed
+   * exactly like deploy registration ([[Catalog.pipelineHash]] /
+   * [[graft.core.Pipeline.nodeHash]]) and compared against the latest
+   * recorded meta_pipelines / meta_nodes rows.
+   */
+  private def diffConfig(ctx: Ctx, yamlText: String): String = {
+    import org.apache.spark.sql.functions.col
+    val cfg = graft.core.YamlConfig.loadPipeline(yamlText)
+    val localHash = Catalog.pipelineHash(cfg)
+    val deployed = ctx.catalog.getPipelineHash(cfg.name)
+    val out = mapper.createObjectNode()
+    out.put("pipeline", cfg.name)
+    out.put("local_hash", localHash)
+    deployed match {
+      case None =>
+        out.putNull("deployed_hash")
+        out.put("status", "never_deployed")
+      case Some(h) =>
+        out.put("deployed_hash", h)
+        out.put("status", if (h == localHash) "clean" else "drift")
+    }
+    if (deployed.isDefined) {
+      // latest recorded config hash per node (append log, latest wins)
+      val recorded: Map[String, String] =
+        ctx.catalog.table("meta_nodes")
+          .filter(col("pipeline") === cfg.name)
+          .orderBy(col("recorded_at").desc)
+          .select("node", "config_hash").collect()
+          .foldLeft(Map.empty[String, String]) { (m, r) =>
+            if (m.contains(r.getString(0))) m
+            else m + (r.getString(0) -> r.getString(1))
+          }
+      val local: Map[String, String] =
+        cfg.nodes.map(n => n.name -> graft.core.Pipeline.nodeHash(n)).toMap
+      val added = out.putArray("added_nodes")
+      local.keys.toSeq.sorted.filterNot(recorded.contains).foreach(added.add)
+      val removed = out.putArray("removed_nodes")
+      recorded.keys.toSeq.sorted.filterNot(local.contains).foreach(removed.add)
+      val changed = out.putArray("changed_nodes")
+      local.keys.toSeq.sorted
+        .filter(k => recorded.get(k).exists(_ != local(k)))
+        .foreach(changed.add)
+    }
+    mapper.writeValueAsString(out)
+  }
+
+  /** Closest registry names: substring either way, or edit distance <= 2
+    * (catches the classic dropped-letter typo substring checks miss). */
+  private def didYouMean(name: String): Seq[String] = {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    (TransformerRegistry.names ++ graft.patterns.PatternRegistry.names ++
+      Recipes.builtins.keys)
+      .filter(c => c.contains(name) || name.contains(c) || lev(c, name) <= 2)
+      .distinct.sorted.take(8).toSeq
   }
 
   private def catalogSection(ctx: Ctx, section: String,

@@ -98,8 +98,9 @@ class McpServerSpec extends SparkSpec {
       val tools = w.send("""{"jsonrpc":"2.0","id":2,"method":"tools/list"}""")
         .get("result").get("tools")
       val names = (0 until tools.size()).map(tools.get(_).get("name").asText())
-      assert(names.sorted == Seq("catalog", "explain", "get_schema",
-        "lineage", "list_transformers", "node_failures", "node_sample",
+      assert(names.sorted == Seq("build_node", "catalog", "diagnose_run",
+        "diff_config", "explain", "get_schema", "lineage",
+        "list_transformers", "node_failures", "node_sample",
         "validate_yaml"))
       (0 until tools.size()).foreach { i =>
         assert(tools.get(i).get("inputSchema").get("type").asText() == "object")
@@ -198,6 +199,81 @@ class McpServerSpec extends SparkSpec {
       assert(ping.has("result"))
       val torn = w.send("""{"jsonrpc":"2.0","id":18,"met""")
       assert(torn.get("error").get("code").asInt() == -32700)
+    } finally w.close()
+  }
+
+  test("builder/diagnose tools: build_node round-trips the planner, " +
+    "diagnose_run attaches suggestions, diff_config reports drift") {
+    import graft.core.YamlConfig
+    val root = Files.createTempDirectory("mcp_builder").toString + "/_system"
+    val cat = new Catalog(spark, root)
+    val w = new Wire(Some(root))
+    try {
+      // -- build_node: function step with params, validated by the planner
+      val built = mapper.readTree(toolText(callTool(w, 30, "build_node",
+        """{"transformer":"filter_rows","name":"clean","input":"bronze",
+          |"params":{"condition":"id IS NOT NULL"},
+          |"write":{"format":"parquet","mode":"overwrite","path":"/data/out"}}"""
+          .stripMargin.replaceAll("\n", ""))))
+      assert(built.get("found").asBoolean(), s"$built")
+      val nodeYaml = built.get("node_yaml").asText()
+      assert(nodeYaml.contains("function: filter_rows"))
+      assert(nodeYaml.contains("id IS NOT NULL"))
+      assert(built.get("validation").get("valid").asBoolean(),
+        s"planner rejected the generated YAML: $built")
+      // a PATTERN name renders as transformer:, and still validates
+      val pat = mapper.readTree(toolText(callTool(w, 31, "build_node",
+        """{"transformer":"dimension","params":{"keys":["id"],"surrogate_key":"sk"}}""")))
+      assert(pat.get("node_yaml").asText().contains("transformer: dimension"))
+      assert(pat.get("validation").get("valid").asBoolean(), s"$pat")
+      // an unknown name returns did_you_mean, not a crash
+      val nope = mapper.readTree(toolText(callTool(w, 32, "build_node",
+        """{"transformer":"filtr_rows"}""")))
+      assert(!nope.get("found").asBoolean() &&
+        nope.get("did_you_mean").size() > 0, s"$nope")
+
+      // -- diagnose_run: latest run by default, suggestions attached
+      cat.recordRun("etl", "r1", Seq(("a", true, 10L, ""),
+        ("b", false, 5L, "cannot resolve 'colx'")))
+      cat.recordFailures("etl", "r1", Seq(
+        ("b", "AnalysisException",
+          "[UNRESOLVED_COLUMN] A column or function parameter with name `colx` cannot be resolved")))
+      val diag = mapper.readTree(toolText(callTool(w, 33, "diagnose_run",
+        """{"pipeline":"etl"}""")))
+      assert(diag.get("run_id").asText() == "r1")
+      assert(diag.get("status").asText() == "issues_found")
+      val fail = diag.get("failures").get(0)
+      assert(fail.get("node").asText() == "b")
+      assert(fail.get("suggestions").size() > 0,
+        s"no suggestions for an unresolved-column failure: $diag")
+
+      // -- diff_config: never_deployed -> clean -> drift with node lists
+      val v1 =
+        """name: etl
+          |nodes:
+          |  - name: a
+          |    read: { format: parquet, path: /data/in }
+          |  - name: b
+          |    depends_on: [a]
+          |    input: a
+          |    steps: [ { function: filter_rows, params: { condition: "1=1" } } ]
+          |""".stripMargin
+      val never = mapper.readTree(toolText(callTool(w, 34, "diff_config",
+        s"""{"yaml":${mapper.writeValueAsString(v1)}}""")))
+      assert(never.get("status").asText() == "never_deployed")
+      cat.registerPipeline(YamlConfig.loadPipeline(v1))
+      val clean = mapper.readTree(toolText(callTool(w, 35, "diff_config",
+        s"""{"yaml":${mapper.writeValueAsString(v1)}}""")))
+      assert(clean.get("status").asText() == "clean", s"$clean")
+      assert(clean.get("changed_nodes").size() == 0)
+      val v2 = v1.replace("1=1", "id > 0") +
+        "  - name: c\n    read: { format: parquet, path: /data/more }\n"
+      val drift = mapper.readTree(toolText(callTool(w, 36, "diff_config",
+        s"""{"yaml":${mapper.writeValueAsString(v2)}}""")))
+      assert(drift.get("status").asText() == "drift", s"$drift")
+      assert(drift.get("changed_nodes").get(0).asText() == "b")
+      assert(drift.get("added_nodes").get(0).asText() == "c")
+      assert(drift.get("removed_nodes").size() == 0)
     } finally w.close()
   }
 
