@@ -450,4 +450,61 @@ class SoakSpec extends SparkSpec {
     assert(ires.deletedRows == n / 100, s"$ires")
     assert(graft.sources.IcebergSource.read(spark, iceRoot).count() == n - n / 100)
   }
+
+  test("DV delete cadence at 2M: 50 x 0.1% deletes, bounded state, optimize purges", Soak) {
+    // the realistic GDPR/cleanup cadence: many tiny deletes against one
+    // table. Invariants that must hold for this to survive at 100 TB:
+    // each data file carries ONE merged vector (not 50 stacked ones),
+    // live DV payload stays kilobyte-scale, checkpoints keep log replay
+    // bounded, OPTIMIZE purges the bitmaps, and VACUUM reclaims every
+    // superseded bin file.
+    import graft.sources.{DeltaDvWriter, DeltaLog, DeltaMaintenance, DeltaWriter}
+    val n = 2000000L
+    val rounds = 50
+    val df = spark.range(n).select($"id", ($"id" % 1000).cast("long").as("m"))
+    val root = java.nio.file.Files.createTempDirectory("soakdvcadence").toString + "/t"
+    DeltaWriter.write(df.repartition(8), root)
+    val dataBefore = new java.io.File(root).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+
+    val perRound = n / 1000 // 0.1%
+    (0 until rounds).foreach { i =>
+      val r = DeltaDvWriter.delete(spark, root, s"m = $i")
+      assert(r.deletedRows == perRound, s"round $i: $r")
+    }
+    val snap = DeltaLog.snapshot(spark, root)
+    assert(snap.version == rounds.toLong)
+    // merged vectors: at most ONE descriptor per data file, cardinalities
+    // sum to everything deleted so far
+    val dvs = snap.files.flatMap(_.deletionVector)
+    assert(dvs.size <= 8, s"stacked descriptors: ${dvs.size}")
+    assert(dvs.map(_.cardinality).sum == rounds * perRound)
+    // live DV payload is kilobyte-scale, not data-scale
+    val liveDvBytes = dvs.map(_.sizeInBytes.toLong).sum
+    assert(liveDvBytes < 512 * 1024, s"live DV payload $liveDvBytes bytes")
+    // checkpoints bound replay: the newest checkpoint is <= 10 commits old
+    val cps = new java.io.File(root, "_delta_log").listFiles()
+      .filter(_.getName.endsWith(".checkpoint.parquet"))
+      .map(_.getName.take(20).toLong)
+    assert(cps.nonEmpty && snap.version - cps.max < 10,
+      s"checkpoint lag: ${snap.version} vs ${cps.toSeq.sorted}")
+    // no data file was rewritten through all 50 commits
+    val dataAfter = new java.io.File(root).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(dataAfter == dataBefore)
+    assert(DeltaLog.read(spark, root).count() == n - rounds * perRound)
+
+    // OPTIMIZE is the purge: rewritten files carry no vectors…
+    val opt = DeltaMaintenance.optimize(spark, root)
+    assert(opt.version.nonEmpty, s"$opt")
+    val purged = DeltaLog.snapshot(spark, root)
+    assert(purged.files.forall(_.deletionVector.isEmpty), "optimize kept DVs")
+    assert(DeltaLog.read(spark, root).count() == n - rounds * perRound)
+    // …and VACUUM reclaims every superseded bin file + old data file
+    val vac = DeltaMaintenance.vacuum(spark, root, retentionHours = 0.0)
+    val binsLeft = new java.io.File(root).listFiles()
+      .count(_.getName.startsWith("deletion_vector_"))
+    assert(binsLeft == 0, s"vacuum left $binsLeft DV bin files (result: $vac)")
+    assert(DeltaLog.read(spark, root).count() == n - rounds * perRound)
+  }
 }
