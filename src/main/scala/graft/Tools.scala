@@ -395,11 +395,54 @@ object Tools {
           s"vectored, ${res.dvFiles} DV files written)")
         0
       }
+    case "merge" :: root :: rest =>
+      // file-scoped copy-on-write MERGE: DV bitmaps for matched rows +
+      // new files for replacements/inserts, one atomic commit
+      var keys: Seq[String] = Nil
+      var from: Option[String] = None
+      var strategy = "upsert"
+      var pf = Map.empty[String, String]
+      var r = rest
+      while (r.nonEmpty) r match {
+        case "--keys" :: v :: t => keys = v.split(",").toSeq.filter(_.nonEmpty); r = t
+        case "--from" :: v :: t => from = Some(v); r = t
+        case "--strategy" :: v :: t => strategy = v; r = t
+        case "--partition" :: kv :: t => kv.split("=", 2) match {
+          case Array(k, v) => pf += (k -> v); r = t
+          case _ => System.err.println(s"--partition needs K=V, got $kv"); return 2
+        }
+        case other :: _ => System.err.println(s"unknown merge arg $other"); return 2
+        case Nil => ()
+      }
+      if (keys.isEmpty || from.isEmpty) {
+        System.err.println("usage: graft.Tools delta merge <root> --keys k1[,k2..] " +
+          "--from <source-parquet> [--strategy upsert|delete_match|append_only] " +
+          "[--partition K=V ...]")
+        return 2
+      }
+      withSpark { spark =>
+        val src = spark.read.parquet(from.get)
+        val res = strategy match {
+          case "upsert" => graft.sources.DeltaMerge.upsert(spark, root, src,
+            keys, partitionFilter = pf)
+          case "delete_match" => graft.sources.DeltaMerge.deleteMatch(spark,
+            root, src, keys, partitionFilter = pf)
+          case "append_only" =>
+            graft.sources.DeltaMerge.appendOnly(spark, root, src, keys)
+          case other =>
+            System.err.println(s"unknown merge strategy '$other'"); return 2
+        }
+        println(s"merged into $root at version ${res.version}: " +
+          s"${res.rowsDeleted} rows vectored across ${res.filesTouched} files, " +
+          s"${res.rowsAppended} rows appended in ${res.filesAdded} files")
+        0
+      }
     case _ =>
       System.err.println(
         """usage: graft.Tools delta optimize <root> [--target-file-mb N] [--zorder-by a,b]
           |       graft.Tools delta vacuum <root> [--retention-hours H] [--dry-run]
           |       graft.Tools delta delete <root> <predicate> [--partition K=V ...]
+          |       graft.Tools delta merge <root> --keys k1[,k2..] --from <source-parquet> [--strategy S] [--partition K=V ...]
           |       graft.Tools delta history <root>""".stripMargin)
       2
   }

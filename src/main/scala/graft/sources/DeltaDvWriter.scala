@@ -200,10 +200,30 @@ object DeltaDvWriter {
             s"append schema ${df.schema.simpleString} does not match Delta " +
               s"table schema ${snap.schema.simpleString}")
         }
-        val (adds, appended) = appendRows match {
+        val (adds0, appended) = appendRows match {
           case Some(df) =>
             DeltaWriter.stageAndMove(df, root, partCols, nonce, countRows = true)
           case None => (Nil, 0L)
+        }
+        // a no-match merge stages empty part files — don't commit them
+        val (emptyAdds, adds) = adds0.partition(_.numRecords.contains(0L))
+        emptyAdds.foreach(a => f.delete(new Path(root, a.path), false))
+        // a partition-scoped merge must not write outside its scope
+        // (the replaceWhere discipline): appended rows landing in other
+        // partitions mean the caller's filter was NOT implied by the
+        // source — abort before commit rather than corrupt neighbors
+        if (partitionFilter.nonEmpty) {
+          val escaped = adds.filterNot(a => partitionFilter.forall {
+            case (k, v) => a.partitionValues.get(physOf.getOrElse(k, k))
+              .orElse(a.partitionValues.get(k)).flatten.contains(v)
+          })
+          if (escaped.nonEmpty) {
+            adds.foreach(a => f.delete(new Path(root, a.path), false))
+            throw new IllegalArgumentException(
+              s"partition-scoped merge $partitionFilter: appended rows land " +
+                s"outside the scope (e.g. ${escaped.head.partitionValues}) — " +
+                "aborting before commit")
+          }
         }
         if (descriptors.isEmpty && adds.isEmpty)
           return RowCommitResult(snap0.version, 0L, 0L, 0, 0, 0)

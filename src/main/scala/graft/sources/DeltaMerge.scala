@@ -56,6 +56,15 @@ object DeltaMerge {
    * logically. Conditions may reference `target.` / `source.` columns.
    * Source must carry every table column.
    */
+  /**
+   * `partitionFilter` prunes the CANDIDATE FILES driver-side before the
+   * provenance scan (equality on partition-column values) — a merge
+   * scoped to one day of a day-partitioned 100 TB table must scan one
+   * day, not the table. Caller contract (the replaceWhere shape): every
+   * source row's key must fall INSIDE the filter; target rows outside
+   * it are never examined, so an out-of-scope match would wrongly
+   * insert a duplicate instead of updating.
+   */
   def upsert(spark: SparkSession, root: String, source: DataFrame,
              keys: Seq[String],
              updateCondition: Option[String] = None,
@@ -63,7 +72,8 @@ object DeltaMerge {
              auditCols: Map[String, Column] = Map.empty,
              cdf: Boolean = true,
              txn: Option[(String, Long)] = None,
-             checkpointInterval: Int = 10): MergeResult = {
+             checkpointInterval: Int = 10,
+             partitionFilter: Map[String, String] = Map.empty): MergeResult = {
     val outCols = DeltaLog.snapshot(spark, root).schema.fieldNames.toSeq
     require(keys.nonEmpty && keys.forall(outCols.contains),
       s"merge keys $keys must be table columns $outCols")
@@ -96,7 +106,7 @@ object DeltaMerge {
     }
     toResult(DeltaDvWriter.rowLevelCommit(spark, root, plan, "MERGE",
       s"upsert on (${keys.mkString(", ")})", checkpointInterval, cdf,
-      Map.empty, txn))
+      partitionFilter, txn))
   }
 
   /**
@@ -109,7 +119,8 @@ object DeltaMerge {
                   keys: Seq[String], deleteCondition: Option[String] = None,
                   cdf: Boolean = true,
                   txn: Option[(String, Long)] = None,
-                  checkpointInterval: Int = 10): MergeResult = {
+                  checkpointInterval: Int = 10,
+                  partitionFilter: Map[String, String] = Map.empty): MergeResult = {
     val outCols = DeltaLog.snapshot(spark, root).schema.fieldNames.toSeq
     val plan = (prov: DataFrame) => {
       val matched = deleteCondition match {
@@ -126,7 +137,7 @@ object DeltaMerge {
     }
     toResult(DeltaDvWriter.rowLevelCommit(spark, root, plan, "MERGE",
       s"delete_match on (${keys.mkString(", ")})", checkpointInterval, cdf,
-      Map.empty, txn))
+      partitionFilter, txn))
   }
 
   /**
@@ -168,7 +179,8 @@ object DeltaMerge {
                 closeDeleted: Boolean = false,
                 cdf: Boolean = true,
                 txn: Option[(String, Long)] = None,
-                checkpointInterval: Int = 10): MergeResult = {
+                checkpointInterval: Int = 10,
+                partitionFilter: Map[String, String] = Map.empty): MergeResult = {
     val outCols = DeltaLog.snapshot(spark, root).schema.fieldNames.toSeq
     val attrCols = source.columns.toSeq
     require(keys.forall(attrCols.contains), s"source must carry keys $keys")
@@ -226,6 +238,6 @@ object DeltaMerge {
     }
     toResult(DeltaDvWriter.rowLevelCommit(spark, root, plan, "MERGE",
       s"scd2 on (${keys.mkString(", ")}) tracking (${trackCols.mkString(", ")})",
-      checkpointInterval, cdf, Map.empty, txn))
+      checkpointInterval, cdf, partitionFilter, txn))
   }
 }

@@ -171,6 +171,41 @@ class DeltaMergeSpec extends SparkSpec {
     assert(DeltaLog.read(spark, root).count() == 101)
   }
 
+  test("partition-scoped upsert prunes candidates and polices its scope") {
+    val root = tmp()
+    val target = (0 until 900).map(i => (i.toLong, s"v$i", s"d${i % 3}"))
+      .toDF("id", "v", "day")
+    DeltaWriter.write(target.repartition(6), root, partitionBy = Seq("day"))
+    val before = DeltaLog.snapshot(spark, root)
+
+    // scoped to day=d1: only d1 files are scanned/vectored
+    val src = Seq((1L, "UPD", "d1"), (9001L, "NEW", "d1")).toDF("id", "v", "day")
+    val res = DeltaMerge.upsert(spark, root, src, Seq("id"),
+      partitionFilter = Map("day" -> "d1"))
+    assert(res.rowsDeleted == 1 && res.rowsAppended == 2, s"$res")
+    val after = DeltaLog.snapshot(spark, root)
+    after.files.filter(_.deletionVector.isDefined).foreach(a =>
+      assert(a.partitionValues.get("day").flatten.contains("d1"),
+        s"out-of-scope file vectored: $a"))
+    // out-of-scope partitions keep their add entries verbatim
+    val beforeByPath = before.files.map(a => a.path -> a).toMap
+    after.files.filter(a => beforeByPath.contains(a.path) &&
+      !a.partitionValues.get("day").flatten.contains("d1"))
+      .foreach(a => assert(a == beforeByPath(a.path)))
+    assert(rows(DeltaLog.read(spark, root).filter("id in (1, 9001)")
+      .select("v")) == Set("UPD", "NEW"))
+
+    // appended rows escaping the scope abort BEFORE the commit
+    val vBefore = DeltaLog.snapshot(spark, root).version
+    intercept[IllegalArgumentException] {
+      DeltaMerge.upsert(spark, root,
+        Seq((9002L, "X", "d2")).toDF("id", "v", "day"), Seq("id"),
+        partitionFilter = Map("day" -> "d1"))
+    }
+    assert(DeltaLog.snapshot(spark, root).version == vBefore,
+      "aborted scoped merge still committed")
+  }
+
   test("merge_delta / scd2_delta transformers reach the file-scoped path") {
     graft.core.StandardTransformers.registerAll
     val root = tmp()

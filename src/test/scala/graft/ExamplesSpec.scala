@@ -77,6 +77,40 @@ class ExamplesSpec extends SparkSpec {
       total - erased)
   }
 
+  test("cdc_upsert example: file-scoped Delta merge plans clean and runs green") {
+    val (yaml, out) = loadExample("cdc_upsert")
+    val plan = Planner.plan(yaml)
+    assert(plan.valid, plan.diagnostics.mkString("; "))
+    val cfg = YamlConfig.loadPipeline(yaml)
+    val results = Pipeline.run(spark, cfg)
+    val failed = results.values.filter(_.failure.isDefined)
+    assert(failed.isEmpty,
+      failed.map(r => s"${r.name}: ${r.failure.get}").mkString("; "))
+
+    val root = s"$out/delta/orders"
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val total = orders.count()
+    val updated = orders.filter("o_orderkey % 50 = 0").count()
+    val inserted = orders.filter("o_orderkey % 500 = 0").count()
+    assert(updated > 0 && inserted > 0)
+    val target = graft.sources.DeltaLog.read(spark, root)
+    assert(target.count() == total + inserted)
+    assert(target.filter("o_orderkey >= 90000000").count() == inserted)
+    // the merge was ONE commit of bitmaps + new files on the seed:
+    // matched rows carry vectors, the seed's data files all survive
+    val snap = graft.sources.DeltaLog.snapshot(spark, root)
+    assert(snap.version == 1L, "merge must be ONE commit on the seed")
+    assert(snap.files.exists(_.deletionVector.isDefined))
+    val seed = graft.sources.DeltaLog.snapshot(spark, root, versionAsOf = Some(0L))
+    seed.files.foreach(a => assert(
+      new java.io.File(root, a.path).exists(), s"seed file ${a.path} rewritten"))
+    // CDF attributes the merge: deletes == updates, inserts == both
+    val ch = graft.sources.DeltaLog.changes(spark, root, 1L)
+    assert(ch.filter("_change_type = 'delete'").count() == updated)
+    assert(ch.filter("_change_type = 'insert'").count() == updated + inserted)
+    assert(spark.read.parquet(s"$out/audit/post_merge").count() == total + inserted)
+  }
+
   test("star_schema example plans with zero diagnostics") {
     val (yaml, _) = loadExample()
     val plan = Planner.plan(yaml)
