@@ -76,7 +76,8 @@ object Bench {
     "q_trim_whitespace", "q_union_by_name", "q_unit_convert",
     "q_unpack_struct", "q_unpivot", "q_validate_and_flag",
     // r11-r12 additions: live-DB and API reads, row-level deletes
-    "q_jdbc_read", "q_api_read", "q_delta_dv_delete", "q_iceberg_delete")
+    "q_jdbc_read", "q_api_read", "q_delta_dv_delete", "q_iceberg_delete",
+    "q_iceberg_eq_delete")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -97,6 +98,12 @@ object Bench {
     // warmup: session/codegen/parquet-footer costs land here, not in q1
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
     val qs = SparkEntry.queries
+    // board-drift guard: a query registered in SparkEntry but absent from
+    // the headline ordering would silently vanish from every BENCH file
+    val unlisted = qs.keySet -- headline.toSet
+    if (unlisted.nonEmpty)
+      System.err.println(s"[bench] WARNING: queries not on the board: " +
+        unlisted.toSeq.sorted.mkString(", "))
     val failedQueries = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = headline.filter(n => only.forall(_.contains(n))).flatMap { name =>
       qs.get(name).map { fn =>

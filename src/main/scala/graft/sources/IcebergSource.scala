@@ -1102,31 +1102,95 @@ object IcebergSource {
     val conf = spark.sessionState.newHadoopConf()
     val readSchema = stripFieldIds(meta.schema).asInstanceOf[StructType]
 
-    def liveSet(s: SnapshotInfo): Set[String] = {
-      val (data, pos, eq) = collectFiles(conf, root, s, meta)
-      require(pos.isEmpty && eq.isEmpty,
-        s"snapshot ${s.snapshotId} carries row-level delete files — a " +
-          "file-set diff cannot attribute their rows; consume snapshots " +
-          "instead, or compact the table first")
-      data.map(_.path).toSet
-    }
+    // Per consecutive snapshot pair the diff is FILE-SCOPED, never a
+    // row-level except over full snapshots:
+    //  - data files that appeared  -> insert rows (same-commit position
+    //    deletes applied — a streaming upsert commit may target its own
+    //    adds; equality deletes bind strictly below their sequence, so
+    //    they never hit same-commit adds);
+    //  - data files that vanished  -> delete rows = their LIVE rows at
+    //    the previous snapshot (the files' prior delete files applied —
+    //    raw reads would re-report already-deleted rows);
+    //  - delete files that appeared -> delete rows = previous-snapshot
+    //    live rows of the still-present files they target (position
+    //    deletes join on (path, pos); equality deletes join null-safe on
+    //    their id-resolved key columns; a row hit by both classes counts
+    //    once). `replace` (compaction) advances the baseline silently.
+    type Files = (Seq[FileEntry], Seq[FileEntry], Seq[FileEntry])
+    def files(s: SnapshotInfo): Files = collectFiles(conf, root, s, meta)
+    val idToName: Map[Int, String] = meta.schemaJson.get("fields")
+      .elements().asScala.map(fd =>
+        fd.get("id").asInt() -> fd.get("name").asText()).toMap
 
-    var prev: Set[String] =
-      if (fromIdx == 0) Set.empty else liveSet(ordered(fromIdx - 1))
+    var prev: Files =
+      if (fromIdx == 0) (Nil, Nil, Nil) else files(ordered(fromIdx - 1))
     val frames = (fromIdx until toIdx).flatMap { i =>
       val s = ordered(i)
-      val cur = liveSet(s)
-      val out =
+      val cur = files(s)
+      val out: Seq[DataFrame] =
         if (s.operation == "replace") Nil // compaction: no net row change
         else {
-          def group(paths: Set[String], ct: String): Option[DataFrame] =
-            if (paths.isEmpty) None
-            else Some(spark.read.schema(readSchema).parquet(paths.toSeq: _*)
-              .withColumn("_change_type", lit(ct))
-              .withColumn("_change_ordinal", lit(i - fromIdx + 1))
-              .withColumn("_commit_snapshot_id", lit(s.snapshotId))
-              .withColumn("_commit_timestamp", timestamp_millis(lit(s.timestampMs))))
-          group(cur -- prev, "insert").toSeq ++ group(prev -- cur, "delete").toSeq
+          val (prevData, prevPos, prevEq) = prev
+          val (curData, curPos, curEq) = cur
+          val prevPaths = prevData.map(_.path).toSet
+          val curPaths = curData.map(_.path).toSet
+          val newData = curData.filterNot(e => prevPaths.contains(e.path))
+          val removedData = prevData.filterNot(e => curPaths.contains(e.path))
+          val keptData = prevData.filter(e => curPaths.contains(e.path))
+          val newPos = curPos.filterNot(e => prevPos.exists(_.path == e.path))
+          val newEq = curEq.filterNot(e => prevEq.exists(_.path == e.path))
+
+          def stamp(df: DataFrame, ct: String): DataFrame = df
+            .withColumn("_change_type", lit(ct))
+            .withColumn("_change_ordinal", lit(i - fromIdx + 1))
+            .withColumn("_commit_snapshot_id", lit(s.snapshotId))
+            .withColumn("_commit_timestamp", timestamp_millis(lit(s.timestampMs)))
+          def liveRows(data: Seq[FileEntry], pos: Seq[FileEntry],
+                       eq: Seq[FileEntry]): DataFrame = {
+            val scan = spark.read.schema(readSchema).parquet(data.map(_.path): _*)
+            if (pos.isEmpty && eq.isEmpty) scan
+            else applyDeletes(spark, meta, scan, data, pos, eq)
+              .drop("_gf_path", "_gf_pos", "_gf_seq")
+          }
+
+          val inserts =
+            if (newData.isEmpty) None
+            else Some(stamp(liveRows(newData, newPos, Nil), "insert"))
+          val removedDeletes =
+            if (removedData.isEmpty) None
+            else Some(stamp(liveRows(removedData, prevPos, prevEq), "delete"))
+          val rowDeletes =
+            if ((newPos.isEmpty && newEq.isEmpty) || keptData.isEmpty) None
+            else {
+              // previous-snapshot live rows of still-present files, WITH
+              // provenance kept for the position join and the final dedup
+              val scan0 = spark.read.schema(readSchema)
+                .parquet(keptData.map(_.path): _*)
+              val live = applyDeletes(spark, meta, scan0, keptData,
+                prevPos, prevEq)
+              val byPos =
+                if (newPos.isEmpty) None
+                else {
+                  val del = spark.read.parquet(newPos.map(_.path): _*)
+                    .select(normPath(col("file_path")).as("_gf_path"),
+                      col("pos").as("_gf_pos"))
+                  Some(live.join(del, Seq("_gf_path", "_gf_pos"), "left_semi"))
+                }
+              val byEq = newEq.groupBy(_.equalityIds).map { case (ids, fs0) =>
+                val cols = ids.map(id => idToName.getOrElse(id,
+                  throw new IllegalArgumentException(
+                    s"equality_ids field id $id not in the table schema")))
+                val del = spark.read.parquet(fs0.map(_.path): _*)
+                  .select(cols.map(c => col(c).as(s"_gfd_$c")): _*)
+                val cond = cols.map(c => live(c) <=> del(s"_gfd_$c")).reduce(_ && _)
+                live.join(del, cond, "left_semi")
+              }.toSeq
+              val matched = (byPos.toSeq ++ byEq).reduceOption(_ union _)
+              matched.map(m => stamp(
+                m.dropDuplicates(Seq("_gf_path", "_gf_pos"))
+                  .drop("_gf_path", "_gf_pos", "_gf_seq"), "delete"))
+            }
+          inserts.toSeq ++ removedDeletes.toSeq ++ rowDeletes.toSeq
         }
       prev = cur
       out

@@ -140,6 +140,33 @@ class IcebergDeleteSpec extends SparkSpec {
       .map(_.getString(1)).toSeq == Seq("reborn"))
   }
 
+  test("incremental changes attribute row-level delete snapshots") {
+    val root = tmp()
+    IcebergSource.write((0 until 100).map(i => (i.toLong, s"v$i", i % 5))
+      .toDF("id", "v", "m"), root)
+    // snapshot 2: position-delete m=0 (20 rows); snapshot 3: equality-
+    // delete two keys (one already position-deleted — must NOT re-count)
+    IcebergSource.delete(spark, root, "m = 0")
+    IcebergSource.deleteKeys(spark, root, Seq(5L, 7L).toDF("id"), Seq("id"))
+    val snaps = IcebergSource.snapshots(spark, root).sortBy(_.timestampMs)
+    val ch = IcebergSource.changes(spark, root)
+    def rowsOf(ord: Int, ct: String): Set[Long] =
+      ch.filter(col("_change_ordinal") === ord && col("_change_type") === ct)
+        .select("id").collect().map(_.getLong(0)).toSet
+    assert(rowsOf(1, "insert") == (0L until 100L).toSet)
+    assert(rowsOf(2, "delete") == (0L until 100L).filter(_ % 5 == 0).toSet)
+    // id=5 was already dead at snapshot 2; only id=7 is deleted at 3
+    assert(rowsOf(3, "delete") == Set(7L), s"got ${rowsOf(3, "delete")}")
+    assert(ch.filter("_change_type = 'delete' and _change_ordinal = 3")
+      .count() == 1)
+    // the exclusive cursor still works across delete snapshots
+    val tail = IcebergSource.changes(spark, root,
+      fromSnapshotId = Some(snaps(1).snapshotId))
+    assert(tail.select("_change_ordinal").distinct().count() == 1)
+    assert(tail.filter("_change_type = 'delete'").select("id")
+      .collect().map(_.getLong(0)).toSet == Set(7L))
+  }
+
   test("stacked deletes compose; re-delete is a no-op") {
     val root = tmp()
     IcebergSource.write((0 until 500).map(i => (i.toLong, i % 5)).toDF("id", "m"), root)
