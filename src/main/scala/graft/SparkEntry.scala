@@ -585,7 +585,7 @@ object SparkEntry {
       val root = java.nio.file.Files.createTempDirectory("graft_scd2")
         .toString + "/dim"
       graft.sources.DeltaWriter.write(
-        operators.Scd.scd2Bootstrap(c, lit("2026-01-01 00:00:00")).coalesce(4), root)
+        operators.Scd.scd2Bootstrap(c, lit("2026-01-01 00:00:00")).coalesce(2), root)
       val source = c.withColumn("c_acctbal",
         when(col("c_custkey") % 10 === 0, col("c_acctbal") + 100).otherwise(col("c_acctbal")))
       val res = graft.sources.DeltaMerge.scd2Apply(s, root, source,
@@ -604,10 +604,13 @@ object SparkEntry {
       val c = t(s, d, "customer")
       val root = java.nio.file.Files.createTempDirectory("graft_merge")
         .toString + "/customer"
-      graft.sources.DeltaWriter.write(c.filter("c_custkey % 2 = 0").coalesce(4), root)
+      // coalesce(2) + cdf=false keep the fixture lean on the board; the
+      // CDF-for-merge leg is covered by DeltaMergeSpec and the
+      // cdc_upsert example
+      graft.sources.DeltaWriter.write(c.filter("c_custkey % 2 = 0").coalesce(2), root)
       val res = graft.sources.DeltaMerge.upsert(s, root,
         c.filter("c_custkey % 3 = 0").withColumn("c_acctbal", col("c_acctbal") * 2),
-        Seq("c_custkey"))
+        Seq("c_custkey"), cdf = false)
       require(res.rowsDeleted > 0 && res.rowsAppended > res.rowsDeleted,
         s"merge degenerated: $res")
       graft.sources.DeltaLog.read(s, root)

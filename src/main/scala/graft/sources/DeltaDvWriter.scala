@@ -108,8 +108,11 @@ object DeltaDvWriter {
    *   (matchedRows, appendRows, cleanup)
    *
    * where `matchedRows` are the target rows to DELETE (must keep the
-   * provenance columns; duplicates on provenance are deduped here, so a
-   * many-to-one source join cannot inflate bitmap cardinalities),
+   * provenance columns; duplicate positions are deduped inside the
+   * bitmap aggregation, so a many-to-one source join cannot inflate
+   * cardinalities — but CDF delete rows and the caller's append rows
+   * would still duplicate, so callers owe Delta MERGE's own contract:
+   * each target row matches at most one source row),
    * `appendRows` are new rows to ADD in the same commit (table schema;
    * column-mapped tables are delete-only — appends would need
    * physical-name data files), and `cleanup` releases whatever `plan`
@@ -174,16 +177,18 @@ object DeltaDvWriter {
               StructField("_gf_ridx", LongType))))
 
       val (matched0, appendRows, planCleanup) = plan(prov)
-      // duplicate provenance (a many-to-one merge join) must not inflate
-      // bitmap cardinalities or CDF rows — rows sharing (file, position)
-      // are the same physical target row
-      val matched = matched0.dropDuplicates(Seq("_gf_file", "_gf_ridx"))
+      val matched = matched0
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        // ---- per-file deleted positions -> executor-written DV files
+        // ---- per-file deleted positions -> executor-written DV files.
+        // collect_SET dedupes positions inside the one aggregation a
+        // bitmap build needs anyway (no extra exchange), so a
+        // many-to-one merge join can never inflate cardinalities;
+        // callers still owe the MERGE contract (unique source matches)
+        // for their APPEND/CDF rows, same as Delta's own MERGE.
         val grouped = matched
           .groupBy("_gf_file")
-          .agg(sort_array(collect_list(col("_gf_ridx"))).as("_gf_pos"))
+          .agg(sort_array(collect_set(col("_gf_ridx"))).as("_gf_pos"))
         val descriptors = writeDvFiles(spark, root, snap, grouped)
         val newDeleted = descriptors.map(_.newCount).sum
         val partCols = snap.partitionColumns

@@ -70,7 +70,7 @@ object DeltaLog {
       * row count, usable without re-reading the footer. */
     def numRecords: Option[Long] =
       stats.flatMap { s =>
-        val n = new ObjectMapper().readTree(s)
+        val n = mapper.readTree(s)
         Option(n.get("numRecords")).filterNot(_.isNull).map(_.asLong())
       }
   }
