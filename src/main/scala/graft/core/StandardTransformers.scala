@@ -326,6 +326,21 @@ object StandardTransformers {
       graft.sources.DeltaDvWriter.deleteKeys(c.spark, path, deleted, keys)
       graft.sources.DeltaLog.read(c.spark, path) }
 
+    reg("detect_deletes_eq") { (c, p) =>
+      // hard delete against an ICEBERG target as EQUALITY-DELETE commits
+      // (the Iceberg twin of detect_deletes_dv): keys present in the
+      // target but missing from the live source land in a content=2
+      // equality-delete file — NO table scan at all, the cheapest
+      // erasure shape the spec offers. Returns the post-delete read.
+      val path = str(p, "target_path")
+      val keys = seqOf(p, "keys")
+      val target = graft.sources.IcebergSource.read(c.spark, path)
+      val deleted = DeleteDetection.detectSqlCompare(target, c.df, keys)
+      DeleteDetection.checkThreshold(target, deleted,
+        p.get("max_delete_fraction").map(_.toString.toDouble))
+      graft.sources.IcebergSource.deleteKeys(c.spark, path, deleted, keys)
+      graft.sources.IcebergSource.read(c.spark, path) }
+
     // ---- domain ----
     reg("unit_convert") { (c, p) =>
       Domain.unitConvert(c.df, str(p, "column"), str(p, "from"), str(p, "to"),

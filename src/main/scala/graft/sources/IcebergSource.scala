@@ -249,7 +249,8 @@ object IcebergSource {
   final case class SnapshotInfo(snapshotId: Long, timestampMs: Long,
                                 manifestList: Option[String],
                                 inlineManifests: Seq[String],
-                                operation: String)
+                                operation: String,
+                                summary: Map[String, String] = Map.empty)
 
   /** One field of a partition spec (spec §Partition Specs): `transform`
     * is identity / bucket[N] / truncate[W] / year / month / day / hour. */
@@ -290,7 +291,10 @@ object IcebergSource {
         Option(s.get("manifests")).toSeq
           .flatMap(_.elements().asScala).map(_.asText()),
         Option(s.get("summary")).flatMap(su => Option(su.get("operation")))
-          .map(_.asText()).getOrElse("append"))
+          .map(_.asText()).getOrElse("append"),
+        Option(s.get("summary")).map(su =>
+          su.properties().asScala.map(e =>
+            e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty))
     }
     val versioned = "v(\\d+)\\.metadata\\.json".r
     val version = p.getName match {
@@ -1395,7 +1399,8 @@ object IcebergSource {
    * columns). Appends require an identical schema and partition spec.
    */
   def write(df: DataFrame, root: String, mode: String = "append",
-            partitionBy: Seq[String] = Nil): Long = {
+            partitionBy: Seq[String] = Nil,
+            summaryProps: Map[String, String] = Map.empty): Long = {
     require(mode == "append" || mode == "overwrite",
       s"iceberg write mode must be append/overwrite, got '$mode'")
     val spark = df.sparkSession
@@ -1584,18 +1589,28 @@ object IcebergSource {
             "{\"type\":\"struct\",\"schema-id\":0"), lastId)
       }
       val now = snapshotId
+      def summaryJson(m: Map[String, String]): String =
+        m.toSeq.sortBy(_._1).map { case (k, v) =>
+          s"${mapper.writeValueAsString(k)}:${mapper.writeValueAsString(v)}"
+        }.mkString("{", ",", "}")
+      val newSummary = summaryProps +
+        ("operation" -> (if (mode == "append") "append" else "overwrite"))
       val newSnap =
         s"""{"snapshot-id":$snapshotId,"timestamp-ms":$now,"sequence-number":$seq,
-           |"summary":{"operation":"${if (mode == "append") "append" else "overwrite"}"},
+           |"summary":${summaryJson(newSummary)},
            |"manifest-list":"${mlPath.toString}","schema-id":0}"""
           .stripMargin.replaceAll("\n", "")
+      // prior snapshots round-trip their FULL summary map — the streaming
+      // sink's exactly-once batch markers live there and must survive
+      // later appends
       val priorSnaps = cur.toSeq.flatMap(_.snapshots).map { s =>
         val ml = s.manifestList.map(p => s""","manifest-list":"$p"""").getOrElse("")
         val im = if (s.inlineManifests.nonEmpty)
           s""","manifests":[${s.inlineManifests.map(p => s""""$p"""").mkString(",")}]"""
         else ""
         s"""{"snapshot-id":${s.snapshotId},"timestamp-ms":${s.timestampMs},
-           |"summary":{"operation":"${s.operation}"}$ml$im}""".stripMargin.replaceAll("\n", "")
+           |"summary":${summaryJson(s.summary + ("operation" -> s.operation))}$ml$im}"""
+          .stripMargin.replaceAll("\n", "")
       }
       val allSnaps = (priorSnaps :+ newSnap).mkString(",")
       val uuid = cur.map(_.tableUuid).getOrElse(java.util.UUID.randomUUID().toString)

@@ -68,6 +68,37 @@ object Streaming {
       cfg.queryName.foreach(n => w = w.queryName(n))
       return w.start()
     }
+    // iceberg has no DataSource in this env either: commit micro-batches
+    // through the native table spec; exactly-once comes from a batch
+    // marker in the snapshot SUMMARY (the mechanism the Iceberg runtime
+    // itself uses for streaming watermarks) — replayed batches whose id
+    // is already recorded are no-ops
+    if (cfg.format.equalsIgnoreCase("iceberg")) {
+      val target = path.getOrElse(
+        throw new IllegalArgumentException("iceberg streaming sink needs a path"))
+      val appId = cfg.checkpointLocation.getOrElse(target)
+      val overwriteEach = cfg.outputMode.equalsIgnoreCase("complete")
+      var w = df.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          import graft.sources.IcebergSource
+          val marker = s"graft-stream-$appId"
+          val committed: Long =
+            if (!IcebergSource.isIcebergTable(batch.sparkSession, target)) -1L
+            else IcebergSource.snapshots(batch.sparkSession, target)
+              .flatMap(_.summary.get(marker)).map(_.toLong)
+              .foldLeft(-1L)(math.max)
+          if (batchId > committed) {
+            IcebergSource.write(batch, target,
+              mode = if (overwriteEach) "overwrite" else "append",
+              summaryProps = Map(marker -> batchId.toString))
+            ()
+          }
+        }
+      cfg.checkpointLocation.foreach(c => w = w.option("checkpointLocation", c))
+      cfg.trigger.foreach(t => w = w.trigger(t))
+      cfg.queryName.foreach(n => w = w.queryName(n))
+      return w.start()
+    }
     var w: DataStreamWriter[org.apache.spark.sql.Row] =
       df.writeStream.format(cfg.format).outputMode(cfg.outputMode).options(cfg.options)
     cfg.checkpointLocation.foreach(c => w = w.option("checkpointLocation", c))

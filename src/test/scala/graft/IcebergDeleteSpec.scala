@@ -140,6 +140,27 @@ class IcebergDeleteSpec extends SparkSpec {
       .map(_.getString(1)).toSeq == Seq("reborn"))
   }
 
+  test("detect_deletes_eq transformer: vanished keys land as equality deletes") {
+    graft.core.StandardTransformers.registerAll
+    val root = tmp()
+    IcebergSource.write((1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "v"), root)
+    val before = dataParquets(root)
+    val source = (1 to 10).filterNot(i => i == 3 || i == 7)
+      .map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val t = graft.core.TransformerRegistry.get("detect_deletes_eq").get
+    val out = t(graft.core.EngineContext(source),
+      Map("target_path" -> root, "keys" -> Seq("k")))
+    assert(out.count() == 8)
+    assert(out.filter(col("k").isin(3L, 7L)).count() == 0)
+    assert(before.subsetOf(dataParquets(root)), "transformer rewrote data files")
+    // threshold guard still applies
+    intercept[graft.operators.DeleteDetection.DeleteThresholdExceeded] {
+      t(graft.core.EngineContext(source.limit(1)),
+        Map("target_path" -> root, "keys" -> Seq("k"),
+          "max_delete_fraction" -> 0.5))
+    }
+  }
+
   test("incremental changes attribute row-level delete snapshots") {
     val root = tmp()
     IcebergSource.write((0 until 100).map(i => (i.toLong, s"v$i", i % 5))

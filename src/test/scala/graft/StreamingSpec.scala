@@ -22,6 +22,50 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/out").count() == 2)
   }
 
+  test("iceberg streaming sink: exactly-once batch markers in snapshot summaries") {
+    import graft.sources.IcebergSource
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_ice").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$dir/in")
+    def drain(): Unit = {
+      val stream = Streaming.readStream(spark, "parquet", Some(s"$dir/in"),
+        schemaDdl = Some("id BIGINT, v STRING"))
+      val q = Streaming.writeStream(stream, Some(s"$dir/out"),
+        Streaming.StreamWriteConfig(format = "iceberg",
+          checkpointLocation = Some(s"$dir/cp"),
+          trigger = Some(Streaming.trigger("available_now"))))
+      q.awaitTermination(60000)
+    }
+    drain()
+    assert(IcebergSource.read(spark, s"$dir/out").count() == 2)
+    // batch marker recorded in the snapshot summary
+    val snaps1 = IcebergSource.snapshots(spark, s"$dir/out")
+    assert(snaps1.exists(_.summary.exists(_._1.startsWith("graft-stream-"))))
+
+    // second run over the same checkpoint: only NEW files process, the
+    // marker SURVIVES the later append's snapshot re-serialization
+    Seq((3L, "c")).toDF("id", "v").write.mode("append").parquet(s"$dir/in")
+    drain()
+    assert(IcebergSource.read(spark, s"$dir/out").count() == 3)
+    val snaps2 = IcebergSource.snapshots(spark, s"$dir/out")
+    assert(snaps2.count(_.summary.exists(_._1.startsWith("graft-stream-"))) == 2)
+    // a replayed batch id is a no-op: simulate by re-invoking the batch
+    // writer with an already-recorded id through the same code path
+    val marker = snaps2.flatMap(_.summary.keys)
+      .find(_.startsWith("graft-stream-")).get
+    val maxBatch = snaps2.flatMap(_.summary.get(marker)).map(_.toLong).max
+    // wipe the checkpoint and drain again: the stream replays from batch
+    // 0, but every batch id is <= the recorded marker, so nothing lands
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete(); ()
+    }
+    deleteRec(new java.io.File(s"$dir/cp"))
+    drain()
+    assert(IcebergSource.read(spark, s"$dir/out").count() == 3,
+      "checkpoint-replayed batches duplicated rows")
+    assert(maxBatch >= 0)
+  }
+
   test("foreachBatch streaming merge upserts into target snapshot") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream2").toString
     // seed target with id=1 (old) and id=9 (untouched)
