@@ -56,6 +56,20 @@ object DeltaDvWriter {
                                    appendedRows: Long, filesTouched: Int,
                                    filesAdded: Int, dvFiles: Int)
 
+  /**
+   * What one row-level commit mutates: `matched` target rows to
+   * DV-delete (with provenance columns), `append` rows to add, and an
+   * optional `cdc` frame (table schema + `_change_type`) that REPLACES
+   * the derived delete/insert change rows — a MERGE stages
+   * update_preimage/update_postimage/insert, the faithful Delta CDF
+   * classification, instead of the delete+insert a plain delete
+   * derives.
+   */
+  final case class RowPlan(matched: DataFrame,
+                           append: Option[DataFrame] = None,
+                           cdc: Option[DataFrame] = None,
+                           cleanup: () => Unit = () => ())
+
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -93,7 +107,7 @@ object DeltaDvWriter {
                              cdf: Boolean,
                              partitionFilter: Map[String, String] = Map.empty): DeleteResult = {
     val r = rowLevelCommit(spark, root,
-      prov => (matchRows(prov), None, () => ()), "DELETE", predicateDesc,
+      prov => RowPlan(matchRows(prov)), "DELETE", predicateDesc,
       checkpointInterval, cdf, partitionFilter, txn = None)
     DeleteResult(r.version, r.deletedRows, r.filesTouched, r.dvFiles)
   }
@@ -128,7 +142,7 @@ object DeltaDvWriter {
    * streaming sinks the SetTransaction exactly-once contract.
    */
   private[sources] def rowLevelCommit(spark: SparkSession, root: String,
-                                      plan: DataFrame => (DataFrame, Option[DataFrame], () => Unit),
+                                      plan: DataFrame => RowPlan,
                                       operation: String,
                                       predicateDesc: String,
                                       checkpointInterval: Int,
@@ -176,8 +190,9 @@ object DeltaDvWriter {
             Seq(StructField("_gf_file", StringType),
               StructField("_gf_ridx", LongType))))
 
-      val (matched0, appendRows, planCleanup) = plan(prov)
-      val matched = matched0
+      val rp = plan(prov)
+      val appendRows = rp.append
+      val matched = rp.matched
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         // ---- per-file deleted positions -> executor-written DV files.
@@ -243,17 +258,27 @@ object DeltaDvWriter {
         val cdcActions: Seq[CdcFile] =
           if (!cdf) Nil
           else {
-            val logical = matched.drop("_gf_file", "_gf_ridx")
-            val physical =
-              if (!mapped) logical
-              else logical.select(snap.schema.fields.map(f =>
-                col(f.name).cast(DeltaLog.toPhysical(f.dataType))
-                  .as(DeltaLog.physicalName(f))).toSeq: _*)
-            val deletes = physical.withColumn("_change_type", lit("delete"))
-            val changes = appendRows match {
-              case Some(df) =>
-                deletes.unionByName(df.withColumn("_change_type", lit("insert")))
-              case None => deletes
+            val changes = rp.cdc match {
+              case Some(override0) =>
+                // caller-classified change rows (update_preimage /
+                // update_postimage / insert / delete); merge commits
+                // require no column mapping, so no physical rename
+                require(override0.columns.contains("_change_type"),
+                  "cdc override frame must carry _change_type")
+                override0
+              case None =>
+                val logical = matched.drop("_gf_file", "_gf_ridx")
+                val physical =
+                  if (!mapped) logical
+                  else logical.select(snap.schema.fields.map(f =>
+                    col(f.name).cast(DeltaLog.toPhysical(f.dataType))
+                      .as(DeltaLog.physicalName(f))).toSeq: _*)
+                val deletes = physical.withColumn("_change_type", lit("delete"))
+                appendRows match {
+                  case Some(df) =>
+                    deletes.unionByName(df.withColumn("_change_type", lit("insert")))
+                  case None => deletes
+                }
             }
             stageCdc(spark, root, changes,
               partCols.map(c => physOf.getOrElse(c, c)), nonce)
@@ -329,7 +354,7 @@ object DeltaDvWriter {
         }
         adds.foreach(a => f.delete(new Path(root, a.path), false))
         cdcActions.foreach(c => f.delete(new Path(root, c.path), false))
-      } finally { matched.unpersist(); planCleanup() }
+      } finally { matched.unpersist(); rp.cleanup() }
     }
     throw new IllegalStateException("unreachable")
   }

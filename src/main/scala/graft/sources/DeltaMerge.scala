@@ -90,19 +90,29 @@ object DeltaMerge {
         .join(source.alias("source"), keyCond(keys), "inner")
         .filter(updOk)
         .persist(StorageLevel.MEMORY_AND_DISK)
+      val preimage = pairs.select(outCols.map(c => col(s"target.$c").as(c)): _*)
       val matched = pairs.select(
         outCols.map(c => col(s"target.$c").as(c)) ++
           Seq(col("target._gf_file").as("_gf_file"),
             col("target._gf_ridx").as("_gf_ridx")): _*)
-      val updated = pairs.select(outCols.map(c => col(s"source.$c").as(c)): _*)
+      val updated = audited(
+        pairs.select(outCols.map(c => col(s"source.$c").as(c)): _*))
       // the anti-join reads only the KEY columns of the target scan —
       // Catalyst prunes the provenance plan down to them
-      val inserted = source.alias("source")
+      val inserted = audited(source.alias("source")
         .join(prov.select(keys.map(col): _*), keys, "left_anti")
         .filter(insOk)
-        .select(outCols.map(c => col(s"source.$c").as(c)): _*)
-      (matched, Some(audited(updated.unionByName(inserted))),
-        () => { pairs.unpersist(); () })
+        .select(outCols.map(c => col(s"source.$c").as(c)): _*))
+      // faithful Delta MERGE change classification: a replaced row is an
+      // UPDATE (preimage/postimage pair), not a delete+insert
+      val cdc =
+        if (!cdf) None
+        else Some(
+          preimage.withColumn("_change_type", lit("update_preimage"))
+            .unionByName(updated.withColumn("_change_type", lit("update_postimage")))
+            .unionByName(inserted.withColumn("_change_type", lit("insert"))))
+      DeltaDvWriter.RowPlan(matched, Some(updated.unionByName(inserted)),
+        cdc, () => { pairs.unpersist(); () })
     }
     toResult(DeltaDvWriter.rowLevelCommit(spark, root, plan, "MERGE",
       s"upsert on (${keys.mkString(", ")})", checkpointInterval, cdf,
@@ -133,7 +143,7 @@ object DeltaMerge {
               Seq(col("target._gf_file").as("_gf_file"),
                 col("target._gf_ridx").as("_gf_ridx")): _*)
       }
-      (matched, None, () => ())
+      DeltaDvWriter.RowPlan(matched)
     }
     toResult(DeltaDvWriter.rowLevelCommit(spark, root, plan, "MERGE",
       s"delete_match on (${keys.mkString(", ")})", checkpointInterval, cdf,
@@ -153,8 +163,8 @@ object DeltaMerge {
     val plan = (prov: DataFrame) => {
       val newRows = source.join(prov.select(keys.map(col): _*).distinct(),
         keys, "left_anti").select(outCols.map(col): _*)
-      (prov.limit(0).select(outCols.map(col) ++
-        Seq(col("_gf_file"), col("_gf_ridx")): _*), Some(newRows), () => ())
+      DeltaDvWriter.RowPlan(prov.limit(0).select(outCols.map(col) ++
+        Seq(col("_gf_file"), col("_gf_ridx")): _*), Some(newRows))
     }
     toResult(DeltaDvWriter.rowLevelCommit(spark, root, plan, "MERGE",
       s"append_only on (${keys.mkString(", ")})", checkpointInterval, cdf,
@@ -219,9 +229,12 @@ object DeltaMerge {
           lit(null).cast("timestamp").as(cols.validTo),
           lit(true).as(cols.isCurrent)): _*)
 
-      val (matched, append0) =
+      def ordered(df: DataFrame) = df.select(outCols.map(col): _*)
+      val preChanged = pairs.select(outCols.map(c => col(s"target.$c").as(c)): _*)
+      val (matched, append0, pre0, post0) =
         if (!closeDeleted) (matchedChanged,
-          closedChanged.unionByName(openedChanged).unionByName(openedNew))
+          closedChanged.unionByName(openedChanged).unionByName(openedNew),
+          preChanged, closedChanged)
         else {
           val gone = current.join(source.select(keys.map(col): _*).distinct(),
             keys, "left_anti")
@@ -231,10 +244,22 @@ object DeltaMerge {
           (matchedChanged.unionByName(gone.select(outCols.map(col) ++
             Seq(col("_gf_file"), col("_gf_ridx")): _*)),
             closedChanged.unionByName(openedChanged).unionByName(openedNew)
-              .unionByName(closedGone))
+              .unionByName(closedGone),
+            preChanged.unionByName(ordered(gone)),
+            closedChanged.unionByName(closedGone))
         }
-      val append = append0.select(outCols.map(col): _*)
-      (matched, Some(append), () => { pairs.unpersist(); () })
+      // faithful change classification: the old current row UPDATES to
+      // its closed version; the reopened + brand-new versions INSERT
+      val cdc =
+        if (!cdf) None
+        else Some(
+          ordered(pre0).withColumn("_change_type", lit("update_preimage"))
+            .unionByName(ordered(post0)
+              .withColumn("_change_type", lit("update_postimage")))
+            .unionByName(ordered(openedChanged.unionByName(openedNew))
+              .withColumn("_change_type", lit("insert"))))
+      DeltaDvWriter.RowPlan(matched, Some(ordered(append0)), cdc,
+        () => { pairs.unpersist(); () })
     }
     toResult(DeltaDvWriter.rowLevelCommit(spark, root, plan, "MERGE",
       s"scd2 on (${keys.mkString(", ")}) tracking (${trackCols.mkString(", ")})",

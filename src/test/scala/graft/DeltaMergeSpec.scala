@@ -162,8 +162,10 @@ class DeltaMergeSpec extends SparkSpec {
     val res = DeltaMerge.upsert(spark, root, src, Seq("id"),
       txn = Some(("app1", 7L)))
     val ch = DeltaLog.changes(spark, root, res.version, Some(res.version))
+    // faithful MERGE classification: replaced rows are UPDATES
+    // (preimage/postimage), unmatched source rows are inserts
     assert(rows(ch.select("id", "v", "_change_type")) ==
-      Set("10|v10|delete", "10|X|insert", "200|Y|insert"))
+      Set("10|v10|update_preimage", "10|X|update_postimage", "200|Y|insert"))
     // replayed batch: same (appId, version) → no-op, no new version
     val replay = DeltaMerge.upsert(spark, root, src, Seq("id"),
       txn = Some(("app1", 7L)))

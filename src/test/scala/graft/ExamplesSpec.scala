@@ -104,10 +104,12 @@ class ExamplesSpec extends SparkSpec {
     val seed = graft.sources.DeltaLog.snapshot(spark, root, versionAsOf = Some(0L))
     seed.files.foreach(a => assert(
       new java.io.File(root, a.path).exists(), s"seed file ${a.path} rewritten"))
-    // CDF attributes the merge: deletes == updates, inserts == both
+    // CDF attributes the merge faithfully: replaced rows are UPDATE
+    // pre/postimage pairs, brand-new keys are inserts
     val ch = graft.sources.DeltaLog.changes(spark, root, 1L)
-    assert(ch.filter("_change_type = 'delete'").count() == updated)
-    assert(ch.filter("_change_type = 'insert'").count() == updated + inserted)
+    assert(ch.filter("_change_type = 'update_preimage'").count() == updated)
+    assert(ch.filter("_change_type = 'update_postimage'").count() == updated)
+    assert(ch.filter("_change_type = 'insert'").count() == inserted)
     assert(spark.read.parquet(s"$out/audit/post_merge").count() == total + inserted)
   }
 
