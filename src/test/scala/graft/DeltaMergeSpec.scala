@@ -235,6 +235,58 @@ class DeltaMergeSpec extends SparkSpec {
       .getAs[String]("attr") == "a2")
   }
 
+  test("successive merges on the same files MERGE their bitmaps") {
+    val root = tmp()
+    DeltaWriter.write((0 until 400).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .coalesce(1), root)
+    DeltaMerge.upsert(spark, root, Seq((10L, "a")).toDF("id", "v"), Seq("id"))
+    // second merge hits the SAME original file (id 20 still lives there):
+    // its DV must carry BOTH positions, the first update must stay applied
+    DeltaMerge.upsert(spark, root, Seq((20L, "b")).toDF("id", "v"), Seq("id"))
+    val snap = DeltaLog.snapshot(spark, root)
+    val origDv = snap.files.filter(_.deletionVector.isDefined)
+    assert(origDv.map(_.deletionVector.get.cardinality).sum == 2,
+      s"bitmaps did not merge: ${origDv.map(_.deletionVector)}")
+    val got = DeltaLog.read(spark, root)
+    assert(got.count() == 400)
+    assert(rows(got.filter("id in (10, 20)")) == Set("10|a", "20|b"))
+    // third merge UPDATING a previously-merged row: the replacement row
+    // lives in a small new file; it gets its own vector, original stays
+    DeltaMerge.upsert(spark, root, Seq((10L, "a2")).toDF("id", "v"), Seq("id"))
+    assert(rows(DeltaLog.read(spark, root).filter("id = 10")) == Set("10|a2"))
+    assert(DeltaLog.read(spark, root).count() == 400)
+  }
+
+  test("concurrent merges on disjoint keys: both land, retry loop re-plans") {
+    val root = tmp()
+    DeltaWriter.write((0 until 1000).map(i => (i.toLong, "orig")).toDF("id", "v")
+      .repartition(4), root)
+    // two writers race version claims on DISJOINT key ranges; the loser
+    // must reclaim its DV/staged files and re-plan against the winner
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val f1 = Future(DeltaMerge.upsert(spark, root,
+      (0 until 50).map(i => (i.toLong, "w1")).toDF("id", "v"), Seq("id"),
+      cdf = false))
+    val f2 = Future(DeltaMerge.upsert(spark, root,
+      (500 until 560).map(i => (i.toLong, "w2")).toDF("id", "v"), Seq("id"),
+      cdf = false))
+    val (r1, r2) = (Await.result(f1, 5.minutes), Await.result(f2, 5.minutes))
+    assert(Set(r1.version, r2.version) == Set(1L, 2L),
+      s"versions not contiguous: $r1 / $r2")
+    val got = DeltaLog.read(spark, root)
+    assert(got.count() == 1000)
+    assert(got.filter("v = 'w1'").count() == 50)
+    assert(got.filter("v = 'w2'").count() == 60)
+    assert(got.filter("v = 'orig'").count() == 890)
+    // no orphaned uncommitted artifacts survive the race: every parquet
+    // under the root is either an active add or a vacuum-able replaced
+    // file — vacuum(0) then re-read must still be exact
+    graft.sources.DeltaMaintenance.vacuum(spark, root, retentionHours = 0.0)
+    assert(DeltaLog.read(spark, root).count() == 1000)
+  }
+
   test("soak: write amplification tracks touched files, not table size") {
     val root = tmp()
     val n = 2000000
