@@ -127,10 +127,10 @@ object DeltaDvWriter {
    * cardinalities — but CDF delete rows and the caller's append rows
    * would still duplicate, so callers owe Delta MERGE's own contract:
    * each target row matches at most one source row),
-   * `appendRows` are new rows to ADD in the same commit (table schema;
-   * column-mapped tables are delete-only — appends would need
-   * physical-name data files), and `cleanup` releases whatever `plan`
-   * persisted.
+   * `appendRows` are new rows to ADD in the same commit (LOGICAL table
+   * schema; under column mapping the staged data files, partition dirs
+   * and cdc files are renamed to physical names automatically), and
+   * `cleanup` releases whatever `plan` persisted.
    *
    * Write amplification is touched-files + appended bytes, never table
    * size: untouched files' add entries are simply NOT re-emitted (the
@@ -210,19 +210,27 @@ object DeltaDvWriter {
         val nonce = java.lang.Long.toHexString(System.nanoTime())
 
         // ---- appended data files, staged through the ordinary
-        // distributed parquet writer (tight stats stamped per file)
-        require(appendRows.isEmpty || !mapped,
-          s"appends into the column-mapped Delta table at $root are not " +
-            "supported (data files would need physical-name schemas)")
+        // distributed parquet writer (tight stats stamped per file).
+        // Column-mapped tables stage PHYSICAL-name files (the rename the
+        // read path performs in reverse); partition dirs + add-action
+        // partitionValues key physical too, which is what the reader
+        // resolves for mapped tables.
+        def toPhysical(df: DataFrame): DataFrame =
+          if (!mapped) df
+          else df.select(snap.schema.fields.map(fd =>
+            col(fd.name).cast(DeltaLog.toPhysical(fd.dataType))
+              .as(DeltaLog.physicalName(fd))).toSeq: _*)
         appendRows.foreach { df =>
           require(df.schema.map(fd => (fd.name, fd.dataType)) ==
-            snap.schema.map(fd => (fd.name, fd.dataType)),
+            snap.schema.map(fd => (fd.name, DeltaLog.stripMeta(fd.dataType))),
             s"append schema ${df.schema.simpleString} does not match Delta " +
               s"table schema ${snap.schema.simpleString}")
         }
+        val stagePartCols = partCols.map(c => physOf.getOrElse(c, c))
         val (adds0, appended) = appendRows match {
           case Some(df) =>
-            DeltaWriter.stageAndMove(df, root, partCols, nonce, countRows = true)
+            DeltaWriter.stageAndMove(toPhysical(df), root, stagePartCols,
+              nonce, countRows = true)
           case None => (Nil, 0L)
         }
         // a no-match merge stages empty part files — don't commit them
@@ -261,11 +269,14 @@ object DeltaDvWriter {
             val changes = rp.cdc match {
               case Some(override0) =>
                 // caller-classified change rows (update_preimage /
-                // update_postimage / insert / delete); merge commits
-                // require no column mapping, so no physical rename
+                // update_postimage / insert / delete), renamed physical
+                // under column mapping like every other cdc file
                 require(override0.columns.contains("_change_type"),
                   "cdc override frame must carry _change_type")
-                override0
+                if (!mapped) override0
+                else override0.select(snap.schema.fields.map(f =>
+                  col(f.name).cast(DeltaLog.toPhysical(f.dataType))
+                    .as(DeltaLog.physicalName(f))) :+ col("_change_type"): _*)
               case None =>
                 val logical = matched.drop("_gf_file", "_gf_ridx")
                 val physical =

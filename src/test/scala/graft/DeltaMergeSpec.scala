@@ -287,6 +287,68 @@ class DeltaMergeSpec extends SparkSpec {
     assert(DeltaLog.read(spark, root).count() == 1000)
   }
 
+  test("upsert into a COLUMN-MAPPED partitioned table renames appends physical") {
+    import org.apache.spark.sql.types._
+    // hand-build a name-mode mapped table like a real mapping writer
+    // emits: physical names differ everywhere, partitionValues physical
+    val root = tmp()
+    def cmField(name: String, dt: DataType, phys: String, id: Long) =
+      StructField(name, dt, nullable = true, new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id).build())
+    val logical = StructType(Seq(
+      cmField("id", LongType, "col-a1", 1),
+      cmField("v", DoubleType, "col-v1", 2),
+      cmField("day", StringType, "col-d1", 3)))
+    def jq(s: String) = "\"" + s + "\""
+    def dataFile(df: DataFrame, name: String): Unit = {
+      val staging = Files.createTempDirectory("mergemapstage").toFile
+      df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = staging.listFiles().find(f =>
+        f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      val dest = new java.io.File(root, name)
+      dest.getParentFile.mkdirs()
+      Files.copy(part.toPath, dest.toPath); ()
+    }
+    dataFile((0 until 50).map(i => (i.toLong, i.toDouble)).toDF("a", "b")
+      .select(col("a").as("col-a1"), col("b").as("col-v1")), "d0.parquet")
+    dataFile((50 until 100).map(i => (i.toLong, i.toDouble)).toDF("a", "b")
+      .select(col("a").as("col-a1"), col("b").as("col-v1")), "d1.parquet")
+    val logDir = new java.io.File(root, "_delta_log"); logDir.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(logDir, "00000000000000000000.json").toPath,
+      Seq(
+        """{"commitInfo":{"timestamp":1000,"operation":"WRITE"}}""",
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${
+          new com.fasterxml.jackson.databind.ObjectMapper()
+            .writeValueAsString(logical.json)},"partitionColumns":["day"],"configuration":{${
+          jq("delta.columnMapping.mode")}:${jq("name")}},"createdTime":1}}""",
+        s"""{"add":{"path":"d0.parquet","partitionValues":{${jq("col-d1")}:${jq("mon")}},"size":1,"modificationTime":1000,"dataChange":true}}""",
+        s"""{"add":{"path":"d1.parquet","partitionValues":{${jq("col-d1")}:${jq("tue")}},"size":1,"modificationTime":1000,"dataChange":true}}""")
+        .mkString("\n").getBytes("UTF-8"))
+
+    // LOGICAL-schema source: one update (id=10, lives in mon) and one
+    // brand-new row landing in a fresh partition
+    val src = Seq((10L, 99.0, "mon"), (500L, 1.0, "wed")).toDF("id", "v", "day")
+    val res = DeltaMerge.upsert(spark, root, src, Seq("id"), cdf = false)
+    assert(res.rowsDeleted == 1 && res.rowsAppended == 2, s"$res")
+
+    val got = DeltaLog.read(spark, root)
+    assert(got.count() == 101)
+    assert(rows(got.filter("id in (10, 500)").select("id", "v", "day")) ==
+      Set("10|99.0|mon", "500|1.0|wed"))
+    // appended add actions key their partition values PHYSICAL
+    val snap = DeltaLog.snapshot(spark, root)
+    val newAdds = snap.files.filterNot(a => Set("d0.parquet", "d1.parquet")(a.path))
+    assert(newAdds.nonEmpty)
+    newAdds.foreach(a => assert(a.partitionValues.keySet == Set("col-d1"),
+      s"append keyed logical: ${a.partitionValues}"))
+    // the untouched tue file kept its bytes; mon carries the vector
+    assert(snap.files.find(_.path == "d1.parquet").get.deletionVector.isEmpty)
+    assert(snap.files.find(_.path == "d0.parquet").get.deletionVector.isDefined)
+  }
+
   test("soak: write amplification tracks touched files, not table size") {
     val root = tmp()
     val n = 2000000
