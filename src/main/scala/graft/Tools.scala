@@ -150,6 +150,12 @@ object Tools {
         })
         0
       }
+    case "rollback" :: root :: snap :: Nil if snap.forall(_.isDigit) =>
+      withSpark { spark =>
+        val v = graft.sources.IcebergMaintenance.rollback(spark, root, snap.toLong)
+        println(s"rolled back $root to snapshot $snap (metadata v$v)")
+        0
+      }
     case "delete-keys" :: root :: rest =>
       // equality-delete by key (scan-free): keys come from a parquet
       // frame; strict arg loop, destructive-verb discipline
@@ -183,7 +189,8 @@ object Tools {
         "optimize <root> [--target-file-mb N] | " +
         "expire <root> [--keep-last N] [--older-than-ms T] [--dry-run] | " +
         "delete <root> <predicate> [--partition K=V ...] | " +
-        "delete-keys <root> --keys k1[,k2..] --from <key-parquet>")
+        "delete-keys <root> --keys k1[,k2..] --from <key-parquet> | " +
+        "rollback <root> <snapshot-id>")
       2
     }
   }
@@ -395,6 +402,14 @@ object Tools {
           s"vectored, ${res.dvFiles} DV files written)")
         0
       }
+    case "restore" :: root :: version :: Nil if version.forall(_.isDigit) =>
+      withSpark { spark =>
+        val res = graft.sources.DeltaMaintenance.restore(spark, root, version.toLong)
+        println(s"restored $root to version ${res.restoredToVersion} as " +
+          s"version ${res.version} (${res.filesAdded} adds, " +
+          s"${res.filesRemoved} removes)")
+        0
+      }
     case "merge" :: root :: rest =>
       // file-scoped copy-on-write MERGE: DV bitmaps for matched rows +
       // new files for replacements/inserts, one atomic commit
@@ -443,6 +458,7 @@ object Tools {
           |       graft.Tools delta vacuum <root> [--retention-hours H] [--dry-run]
           |       graft.Tools delta delete <root> <predicate> [--partition K=V ...]
           |       graft.Tools delta merge <root> --keys k1[,k2..] --from <source-parquet> [--strategy S] [--partition K=V ...]
+          |       graft.Tools delta restore <root> <version>
           |       graft.Tools delta history <root>""".stripMargin)
       2
   }

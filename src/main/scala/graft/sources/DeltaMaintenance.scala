@@ -46,6 +46,85 @@ object DeltaMaintenance {
 
   final case class VacuumResult(deleted: Seq[String], bytes: Long, dryRun: Boolean)
 
+  final case class RestoreResult(version: Long, restoredToVersion: Long,
+                                 filesAdded: Int, filesRemoved: Int)
+
+  /**
+   * RESTORE TABLE TO VERSION AS OF — delta-spark's RESTORE re-expressed
+   * on the native log: ONE new commit makes the table state equal the
+   * target version's state (files present there but retired since are
+   * re-added — deletion vectors included — files added since are
+   * removed; metaData is re-emitted when schema/partitioning/config
+   * drifted). Pure metadata: no data file moves, history stays intact
+   * (the restore itself is just another version, so it can be
+   * time-traveled past or restored again). Fails fast when any target
+   * file was already VACUUMed — a metadata restore cannot resurrect
+   * deleted bytes.
+   */
+  def restore(spark: SparkSession, root: String, version: Long,
+              checkpointInterval: Int = 10): RestoreResult = {
+    import DeltaWriter.{q, encodePath}
+    val f = fs(spark, root)
+    val tgt = DeltaLog.snapshot(spark, root, versionAsOf = Some(version))
+    // vacuumed target files make the restore impossible — check first
+    val missing = tgt.files.filterNot(a =>
+      f.exists(new Path(DeltaLog.absolutize(root, a.path))))
+    require(missing.isEmpty,
+      s"cannot restore $root to version $version: ${missing.size} data " +
+        s"files were vacuumed (e.g. ${missing.head.path})")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(attempt <= 20,
+        s"gave up RESTORE commit at $root after 20 attempts")
+      val cur = DeltaLog.snapshot(spark, root)
+      require(version <= cur.version,
+        s"restore target $version is above current ${cur.version}")
+      if (version == cur.version)
+        return RestoreResult(cur.version, version, 0, 0)
+      val curBy = cur.files.map(a => a.path -> a).toMap
+      val tgtBy = tgt.files.map(a => a.path -> a).toMap
+      // re-add files absent now or carrying a DIFFERENT deletion vector
+      // (a later delete widened the bitmap — the restore narrows it back)
+      val adds = tgt.files.filter(a => !curBy.get(a.path).contains(a))
+      val removes = cur.files.filterNot(a => tgtBy.contains(a.path))
+      val metaChanged = cur.schema.json != tgt.schema.json ||
+        cur.partitionColumns != tgt.partitionColumns ||
+        cur.configuration != tgt.configuration
+      if (adds.isEmpty && removes.isEmpty && !metaChanged)
+        return RestoreResult(cur.version, version, 0, 0)
+      val now = System.currentTimeMillis()
+      val lines = scala.collection.mutable.ArrayBuffer[String]()
+      lines += s"""{"commitInfo":{"timestamp":$now,"operation":"RESTORE","operationParameters":{"version":${q(version.toString)}},"engineInfo":"graft-native-delta"}}"""
+      if (metaChanged)
+        lines += DeltaWriter.metaDataJson(
+          tgt.tableId.getOrElse(java.util.UUID.randomUUID().toString),
+          tgt.schema, tgt.partitionColumns, now)
+      removes.foreach { a =>
+        lines += s"""{"remove":{"path":${q(encodePath(a.path))},"deletionTimestamp":$now,"dataChange":true}}"""
+      }
+      adds.foreach { a =>
+        val pvs = a.partitionValues.map { case (k, v) =>
+          s"${q(k)}:${v.map(q).getOrElse("null")}"
+        }.mkString(",")
+        val dv = a.deletionVector.map(d =>
+          s""","deletionVector":{"storageType":${q(d.storageType)},"pathOrInlineDv":${q(d.pathOrInlineDv)}${
+            d.offset.map(o => s""","offset":$o""").getOrElse("")},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}""")
+          .getOrElse("")
+        lines += s"""{"add":{"path":${q(encodePath(a.path))},"partitionValues":{$pvs},"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true${DeltaWriter.statsFragment(a)}$dv}}"""
+      }
+      val newVersion = cur.version + 1
+      val nonce = java.lang.Long.toHexString(System.nanoTime())
+      if (DeltaWriter.tryPublish(f, root, newVersion, lines.toSeq, nonce)) {
+        if (checkpointInterval > 0 && newVersion % checkpointInterval == 0)
+          DeltaWriter.writeCheckpoint(spark, root, newVersion)
+        return RestoreResult(newVersion, version, adds.size, removes.size)
+      }
+      // lost the race: rebase on the new current state and retry
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
 

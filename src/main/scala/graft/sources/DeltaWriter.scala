@@ -352,7 +352,7 @@ object DeltaWriter {
     won
   }
 
-  private def metaDataJson(id: String, schema: StructType,
+  private[sources] def metaDataJson(id: String, schema: StructType,
                            partCols: Seq[String], now: Long): String =
     s"""{"metaData":{"id":${q(id)},"format":{"provider":"parquet","options":{}},""" +
       s""""schemaString":${q(schema.json)},"partitionColumns":[${partCols.map(q).mkString(",")}],""" +

@@ -361,6 +361,36 @@ object IcebergMaintenance {
    * expired snapshots' manifest lists, manifests and data files that no
    * retained snapshot references. `dryRun` lists without deleting.
    */
+  /**
+   * Roll the table's CURRENT pointer back to an earlier snapshot (the
+   * Iceberg runtime's `rollback_to_snapshot`): ONE metadata commit
+   * setting `current-snapshot-id` — no file moves, every snapshot stays
+   * in history, so the rollback itself can be rolled forward again.
+   * Readers see the older state immediately; [[expireSnapshots]] is
+   * what later discards the rolled-past snapshots' files. Returns the
+   * new metadata version (unchanged when already current).
+   */
+  def rollback(spark: SparkSession, root: String, snapshotId: Long): Long =
+    withReplan(s"rollback($root)")(() => {
+      val meta = tableMeta(spark, root)
+      require(meta.snapshots.exists(_.snapshotId == snapshotId),
+        s"snapshot $snapshotId not in " +
+          s"[${meta.snapshots.map(_.snapshotId).mkString(", ")}]")
+      if (meta.currentSnapshotId.contains(snapshotId)) meta.version
+      else patchMetadata(spark, root, meta, { node =>
+        val now = System.currentTimeMillis()
+        node.put("current-snapshot-id", snapshotId)
+        node.put("last-updated-ms", now)
+        if (node.has("snapshot-log")) {
+          val logNode = mapper.createObjectNode()
+          logNode.put("snapshot-id", snapshotId)
+          logNode.put("timestamp-ms", now)
+          node.withArray("snapshot-log").add(logNode)
+          ()
+        }
+      })
+    })
+
   def expireSnapshots(spark: SparkSession, root: String,
                       keepLast: Int = 1,
                       olderThanMs: Option[Long] = None,

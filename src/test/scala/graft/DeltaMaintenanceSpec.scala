@@ -152,6 +152,42 @@ class DeltaMaintenanceSpec extends SparkSpec {
       rows(mk(40, "b")))
   }
 
+  test("RESTORE rewinds table state as one metadata commit, history intact") {
+    import graft.sources.DeltaDvWriter
+    val root = tmp() + "/t"
+    DeltaWriter.write((0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .coalesce(2), root)                                   // v0
+    DeltaWriter.write(Seq((500L, "new")).toDF("id", "v"), root) // v1 append
+    DeltaDvWriter.delete(spark, root, "id < 10")            // v2 DV delete
+    assert(DeltaLog.read(spark, root).count() == 91)
+
+    // restore to v0: the appended file is removed, the DV narrows away
+    val res = DeltaMaintenance.restore(spark, root, 0L)
+    assert(res.version == 3L && res.restoredToVersion == 0L, s"$res")
+    val got = DeltaLog.read(spark, root)
+    assert(got.count() == 100)
+    assert(got.filter("id = 500").count() == 0)
+    assert(got.filter("id < 10").count() == 10, "restore kept the DV")
+    // pure metadata: every version is still time-travelable
+    assert(DeltaLog.read(spark, root, versionAsOf = Some(2L)).count() == 91)
+    assert(DeltaLog.read(spark, root, versionAsOf = Some(1L)).count() == 101)
+    // restore FORWARD to v2 re-applies the delete + the appended file
+    val fwd = DeltaMaintenance.restore(spark, root, 2L)
+    assert(fwd.version == 4L)
+    assert(DeltaLog.read(spark, root).count() == 91)
+    // already-current restore is a no-op, no new version
+    assert(DeltaMaintenance.restore(spark, root, 2L).version == 4L)
+    // a vacuumed target refuses loudly instead of silently corrupting:
+    // rewind to v0 (v1's appended file becomes unreferenced), vacuum it
+    // away, then a restore to v1 must fail fast
+    DeltaMaintenance.restore(spark, root, 0L)
+    DeltaMaintenance.vacuum(spark, root, retentionHours = 0.0)
+    intercept[IllegalArgumentException] {
+      DeltaMaintenance.restore(spark, root, 1L)
+    }
+    assert(DeltaLog.read(spark, root).count() == 100)
+  }
+
   test("history reports per-version operations") {
     val root = tmp()
     DeltaWriter.write(mk(30, "h"), root, "append")

@@ -79,6 +79,31 @@ class IcebergMaintenanceSpec extends SparkSpec {
     assert(read.inputFiles.length == 1 && read.count() == 200)
   }
 
+  test("rollback rewinds the current pointer; history and re-rollforward intact") {
+    val root = tmp() + "/t"
+    IcebergSource.write((0 until 50).map(i => (i.toLong, "a")).toDF("id", "v"), root)
+    IcebergSource.write((50 until 80).map(i => (i.toLong, "b")).toDF("id", "v"), root)
+    val snaps = IcebergSource.snapshots(spark, root).sortBy(_.timestampMs)
+    assert(IcebergSource.read(spark, root).count() == 80)
+
+    val v = IcebergMaintenance.rollback(spark, root, snaps.head.snapshotId)
+    assert(IcebergSource.read(spark, root).count() == 50)
+    // every snapshot still in history: time travel + roll FORWARD work
+    assert(IcebergSource.read(spark, root,
+      snapshotId = Some(snaps(1).snapshotId)).count() == 80)
+    val v2 = IcebergMaintenance.rollback(spark, root, snaps(1).snapshotId)
+    assert(v2 == v + 1)
+    assert(IcebergSource.read(spark, root).count() == 80)
+    // already-current rollback is a no-op; unknown snapshot fails fast
+    assert(IcebergMaintenance.rollback(spark, root, snaps(1).snapshotId) == v2)
+    intercept[IllegalArgumentException] {
+      IcebergMaintenance.rollback(spark, root, 424242L)
+    }
+    // a later APPEND lands on the rolled-to state
+    IcebergSource.write(Seq((900L, "c")).toDF("id", "v"), root)
+    assert(IcebergSource.read(spark, root).count() == 81)
+  }
+
   test("expireSnapshots drops aged history and reclaims unreferenced files") {
     val root = tmp() + "/e"
     IcebergSource.write(Seq((1L, "a")).toDF("id", "name"), root, "append")
