@@ -61,6 +61,15 @@ object DeltaMaintenance {
    * file was already VACUUMed — a metadata restore cannot resurrect
    * deleted bytes.
    */
+  /** RESTORE TO TIMESTAMP: resolve the newest version whose commit time
+    * is at or before the instant (the time-travel contract), restore to
+    * it. */
+  def restoreTimestamp(spark: SparkSession, root: String, timestampMs: Long,
+                       checkpointInterval: Int = 10): RestoreResult =
+    restore(spark, root,
+      DeltaLog.snapshot(spark, root, timestampAsOfMs = Some(timestampMs)).version,
+      checkpointInterval)
+
   def restore(spark: SparkSession, root: String, version: Long,
               checkpointInterval: Int = 10): RestoreResult = {
     import DeltaWriter.{q, encodePath}

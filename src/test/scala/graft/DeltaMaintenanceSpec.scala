@@ -171,9 +171,14 @@ class DeltaMaintenanceSpec extends SparkSpec {
     // pure metadata: every version is still time-travelable
     assert(DeltaLog.read(spark, root, versionAsOf = Some(2L)).count() == 91)
     assert(DeltaLog.read(spark, root, versionAsOf = Some(1L)).count() == 101)
-    // restore FORWARD to v2 re-applies the delete + the appended file
-    val fwd = DeltaMaintenance.restore(spark, root, 2L)
-    assert(fwd.version == 4L)
+    // restore FORWARD to v2 re-applies the delete + the appended file —
+    // by TIMESTAMP: the newest commit at/before "now" IS v3 (the restore
+    // itself), so aim just above v2's commit time
+    val v2ts = spark.read.json(spark.createDataset(Seq(logText(root, 2L)
+      .linesIterator.toSeq.head))(org.apache.spark.sql.Encoders.STRING))
+      .select("commitInfo.timestamp").collect().head.getLong(0)
+    val fwd = DeltaMaintenance.restoreTimestamp(spark, root, v2ts)
+    assert(fwd.version == 4L && fwd.restoredToVersion == 2L, s"$fwd")
     assert(DeltaLog.read(spark, root).count() == 91)
     // already-current restore is a no-op, no new version
     assert(DeltaMaintenance.restore(spark, root, 2L).version == 4L)
