@@ -402,14 +402,25 @@ object Tools {
           s"vectored, ${res.dvFiles} DV files written)")
         0
       }
-    case "restore" :: root :: version :: Nil if version.forall(_.isDigit) =>
-      withSpark { spark =>
-        val res = graft.sources.DeltaMaintenance.restore(spark, root, version.toLong)
+    case "restore" :: root :: rest =>
+      val done = withSpark { spark =>
+        val res = rest match {
+          case v :: Nil if v.forall(_.isDigit) =>
+            graft.sources.DeltaMaintenance.restore(spark, root, v.toLong)
+          case "--timestamp-ms" :: t :: Nil if t.forall(_.isDigit) =>
+            graft.sources.DeltaMaintenance.restoreTimestamp(spark, root, t.toLong)
+          case other =>
+            System.err.println(
+              s"usage: graft.Tools delta restore <root> <version> | " +
+                s"--timestamp-ms T (got $other)")
+            return 2
+        }
         println(s"restored $root to version ${res.restoredToVersion} as " +
           s"version ${res.version} (${res.filesAdded} adds, " +
           s"${res.filesRemoved} removes)")
         0
       }
+      done
     case "merge" :: root :: rest =>
       // file-scoped copy-on-write MERGE: DV bitmaps for matched rows +
       // new files for replacements/inserts, one atomic commit
