@@ -225,7 +225,7 @@ class DeltaMaintenanceSpec extends SparkSpec {
     assert(h.contains("OPTIMIZE"))
   }
 
-  test("Tools delta verbs: optimize, history, vacuum dry-run") {
+  test("Tools delta verbs: optimize, history, vacuum dry-run, restore") {
     val root = tmp()
     (0 until 3).foreach(i => DeltaWriter.write(mk(20, s"t$i"), root, "append"))
     assert(Tools.mainExit(Array("delta", "optimize", root)) == 0)
@@ -233,5 +233,12 @@ class DeltaMaintenanceSpec extends SparkSpec {
     assert(Tools.mainExit(Array("delta", "vacuum", root, "--retention-hours", "0",
       "--dry-run")) == 0)
     assert(DeltaLog.snapshot(spark, root).files.size == 1)
+    // restore by version, then by timestamp ("now" resolves the latest
+    // version — a no-op restore); malformed args exit with usage
+    assert(Tools.mainExit(Array("delta", "restore", root, "0")) == 0)
+    assert(DeltaLog.read(spark, root).count() == 20)
+    assert(Tools.mainExit(Array("delta", "restore", root, "--timestamp-ms",
+      System.currentTimeMillis().toString)) == 0)
+    assert(Tools.mainExit(Array("delta", "restore", root, "--oops", "1")) == 2)
   }
 }
