@@ -190,6 +190,17 @@ object DeltaDvWriter {
             Seq(StructField("_gf_file", StringType),
               StructField("_gf_ridx", LongType))))
 
+      // position matching keys on data-file BASENAME: a foreign-written
+      // table with two same-named files in different partition dirs
+      // would silently merge both files' positions under one — wrong
+      // rows permanently deleted. Fail loudly BEFORE any artifact is
+      // staged (our own writers always emit UUID-unique basenames).
+      val byFile: Map[String, DeltaLog.AddFile] = snap.files
+        .map(a => basename(DeltaLog.decodePath(a.path)) -> a).toMap
+      require(byFile.size == snap.files.size,
+        s"duplicate data-file basenames in Delta snapshot of $root — " +
+          "cannot plan a DV delete keyed on file name")
+
       val rp = plan(prov)
       val appendRows = rp.append
       val matched = rp.matched
@@ -246,7 +257,14 @@ object DeltaDvWriter {
               .orElse(a.partitionValues.get(k)).flatten.contains(v)
           })
           if (escaped.nonEmpty) {
+            // reclaim EVERY artifact of the aborted attempt — the staged
+            // adds AND this attempt's DV bin files (same as the lost-race
+            // path; leaving the bins would leak uncommitted bitmaps)
             adds.foreach(a => f.delete(new Path(root, a.path), false))
+            descriptors.map(_.enc).distinct.foreach { enc =>
+              f.delete(DeletionVectors.dvFilePath(root, DeletionVectors.Descriptor(
+                "u", enc, None, 0, 0L)), false)
+            }
             throw new IllegalArgumentException(
               s"partition-scoped merge $partitionFilter: appended rows land " +
                 s"outside the scope (e.g. ${escaped.head.partitionValues}) — " +
@@ -278,16 +296,15 @@ object DeltaDvWriter {
                   col(f.name).cast(DeltaLog.toPhysical(f.dataType))
                     .as(DeltaLog.physicalName(f))) :+ col("_change_type"): _*)
               case None =>
-                val logical = matched.drop("_gf_file", "_gf_ridx")
-                val physical =
-                  if (!mapped) logical
-                  else logical.select(snap.schema.fields.map(f =>
-                    col(f.name).cast(DeltaLog.toPhysical(f.dataType))
-                      .as(DeltaLog.physicalName(f))).toSeq: _*)
-                val deletes = physical.withColumn("_change_type", lit("delete"))
+                val deletes = toPhysical(matched.drop("_gf_file", "_gf_ridx"))
+                  .withColumn("_change_type", lit("delete"))
                 appendRows match {
                   case Some(df) =>
-                    deletes.unionByName(df.withColumn("_change_type", lit("insert")))
+                    // the insert rows need the SAME physical rename as the
+                    // delete rows — a logical-named union on a mapped
+                    // table throws, and cdc files must store physical
+                    deletes.unionByName(
+                      toPhysical(df).withColumn("_change_type", lit("insert")))
                   case None => deletes
                 }
             }
@@ -296,16 +313,6 @@ object DeltaDvWriter {
           }
 
         // ---- commit: remove + re-add with DV, protocol upgrade
-        val byFile: Map[String, DeltaLog.AddFile] = snap.files
-          .map(a => basename(DeltaLog.decodePath(a.path)) -> a).toMap
-        // position matching keys on data-file BASENAME: a foreign-written
-        // table with two same-named files in different partition dirs
-        // would silently merge both files' positions under one — wrong
-        // rows permanently deleted. Fail loudly instead (our own writers
-        // always emit UUID-unique basenames).
-        require(byFile.size == snap.files.size,
-          s"duplicate data-file basenames in Delta snapshot of $root — " +
-            "cannot plan a DV delete keyed on file name")
         val now = System.currentTimeMillis()
         val lines = scala.collection.mutable.ArrayBuffer[String]()
         lines += s"""{"commitInfo":{"timestamp":$now,"operation":${q(operation)},"operationParameters":{"predicate":${q(predicateDesc)}},"engineInfo":"graft-native-delta"}}"""

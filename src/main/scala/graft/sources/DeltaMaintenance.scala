@@ -72,7 +72,7 @@ object DeltaMaintenance {
 
   def restore(spark: SparkSession, root: String, version: Long,
               checkpointInterval: Int = 10): RestoreResult = {
-    import DeltaWriter.{q, encodePath}
+    import DeltaWriter.q
     val f = fs(spark, root)
     val tgt = DeltaLog.snapshot(spark, root, versionAsOf = Some(version))
     // vacuumed target files make the restore impossible — check first
@@ -106,11 +106,16 @@ object DeltaMaintenance {
       val lines = scala.collection.mutable.ArrayBuffer[String]()
       lines += s"""{"commitInfo":{"timestamp":$now,"operation":"RESTORE","operationParameters":{"version":${q(version.toString)}},"engineInfo":"graft-native-delta"}}"""
       if (metaChanged)
+        // the restore must carry the TARGET version's configuration too —
+        // dropping it would wipe delta.columnMapping.mode / CDF flags
         lines += DeltaWriter.metaDataJson(
           tgt.tableId.getOrElse(java.util.UUID.randomUUID().toString),
-          tgt.schema, tgt.partitionColumns, now)
+          tgt.schema, tgt.partitionColumns, now, tgt.configuration)
+      // snapshot paths are already log-encoded: emit them verbatim
+      // (re-encoding would '%'→'%25' hive-escaped partition dirs and the
+      // removes would miss the live add keys)
       removes.foreach { a =>
-        lines += s"""{"remove":{"path":${q(encodePath(a.path))},"deletionTimestamp":$now,"dataChange":true}}"""
+        lines += s"""{"remove":{"path":${q(a.path)},"deletionTimestamp":$now,"dataChange":true}}"""
       }
       adds.foreach { a =>
         val pvs = a.partitionValues.map { case (k, v) =>
@@ -120,7 +125,7 @@ object DeltaMaintenance {
           s""","deletionVector":{"storageType":${q(d.storageType)},"pathOrInlineDv":${q(d.pathOrInlineDv)}${
             d.offset.map(o => s""","offset":$o""").getOrElse("")},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}""")
           .getOrElse("")
-        lines += s"""{"add":{"path":${q(encodePath(a.path))},"partitionValues":{$pvs},"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true${DeltaWriter.statsFragment(a)}$dv}}"""
+        lines += s"""{"add":{"path":${q(a.path)},"partitionValues":{$pvs},"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true${DeltaWriter.statsFragment(a)}$dv}}"""
       }
       val newVersion = cur.version + 1
       val nonce = java.lang.Long.toHexString(System.nanoTime())
@@ -285,8 +290,10 @@ object DeltaMaintenance {
       val lines = scala.collection.mutable.ArrayBuffer[String]()
       val zp = if (zorderBy.isEmpty) "" else zorderBy.mkString(",")
       lines += s"""{"commitInfo":{"timestamp":$now,"operation":"OPTIMIZE","operationParameters":{"targetSize":${q(targetFileBytes.toString)},"zOrderBy":${q(zp)}},"engineInfo":"graft-native-delta"}}"""
+      // removes re-emit the snapshot's log-encoded paths verbatim; only
+      // the adds (fresh filesystem-relative paths) need encoding
       removes.foreach { a =>
-        lines += s"""{"remove":{"path":${q(encodePath(a.path))},"deletionTimestamp":$now,"dataChange":false}}"""
+        lines += s"""{"remove":{"path":${q(a.path)},"deletionTimestamp":$now,"dataChange":false}}"""
       }
       adds.foreach { a =>
         val pvs = a.partitionValues.map { case (k, v) =>

@@ -48,6 +48,24 @@ object DeltaMerge {
   private def keyCond(keys: Seq[String]): Column =
     keys.map(k => col(s"target.$k") <=> col(s"source.$k")).reduce(_ && _)
 
+  /** Delta MERGE's cardinality contract: each target row may match at
+    * most ONE source row. The DV bitmap dedupes positions, which would
+    * HIDE a multi-match — but the per-pair replacement rows would still
+    * append once per source match, silently duplicating data. One
+    * grouped count over the (persisted) pair frame fails loudly instead,
+    * matching delta-spark's multiple-source-rows MERGE error. */
+  private def requireUniqueMatches(pairs: DataFrame, op: String): Unit = {
+    val multi = pairs
+      .groupBy(col("target._gf_file"), col("target._gf_ridx"))
+      .count().filter(col("count") > 1).limit(1).collect()
+    if (multi.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$op: multiple source rows matched the same target row " +
+          s"(file ${multi.head.getString(0)}, row ${multi.head.getLong(1)}, " +
+          s"${multi.head.getLong(2)} matches) — deduplicate the source on " +
+          "the merge keys first (Delta MERGE cardinality contract)")
+  }
+
   /**
    * upsert (merge_transformer strategy "upsert"): matched target rows are
    * replaced by their source row when `updateCondition` holds (else
@@ -90,6 +108,7 @@ object DeltaMerge {
         .join(source.alias("source"), keyCond(keys), "inner")
         .filter(updOk)
         .persist(StorageLevel.MEMORY_AND_DISK)
+      requireUniqueMatches(pairs, s"MERGE upsert on (${keys.mkString(", ")})")
       val preimage = pairs.select(outCols.map(c => col(s"target.$c").as(c)): _*)
       val matched = pairs.select(
         outCols.map(c => col(s"target.$c").as(c)) ++
@@ -137,11 +156,15 @@ object DeltaMerge {
         case None =>
           prov.join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
         case Some(c) =>
+          // a duplicate-keyed source can match one target row repeatedly;
+          // no rows append here so only the CDF delete rows would
+          // duplicate — dedupe on position
           prov.alias("target").join(source.alias("source"), keyCond(keys), "inner")
             .filter(expr(c))
             .select(outCols.map(cn => col(s"target.$cn").as(cn)) ++
               Seq(col("target._gf_file").as("_gf_file"),
                 col("target._gf_ridx").as("_gf_ridx")): _*)
+            .dropDuplicates("_gf_file", "_gf_ridx")
       }
       DeltaDvWriter.RowPlan(matched)
     }
@@ -207,6 +230,7 @@ object DeltaMerge {
         .join(source.alias("source"), keyCond(keys), "inner")
         .filter(changed)
         .persist(StorageLevel.MEMORY_AND_DISK)
+      requireUniqueMatches(pairs, s"SCD2 merge on (${keys.mkString(", ")})")
       def provCols(src: DataFrame, prefix: String) = src.select(
         outCols.map(c => col(s"$prefix$c").as(c)) ++
           Seq(col(s"${prefix}_gf_file").as("_gf_file"),

@@ -199,13 +199,18 @@ object DeltaWriter {
       if (current.isEmpty)
         lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
       if (needMeta)
-        lines += metaDataJson(tableId, df.schema, partCols, now)
+        // an evolving overwrite keeps the table's existing configuration
+        lines += metaDataJson(tableId, df.schema, partCols, now,
+          current.map(_.configuration).getOrElse(Map.empty))
       txn.foreach { case (appId, v) =>
         lines += s"""{"txn":{"appId":${q(appId)},"version":$v,"lastUpdated":$now}}"""
       }
+      // snapshot paths are ALREADY log-encoded — re-emit them exactly as
+      // the log stored them (encodePath is not idempotent: '%' → '%25',
+      // so re-encoding a hive-escaped path would orphan the live add)
       if (isOverwrite) current.foreach(_.files.filter(a => !scoped || inScope(a))
         .foreach { a =>
-          lines += s"""{"remove":{"path":${q(encodePath(a.path))},"deletionTimestamp":$now,"dataChange":true}}"""
+          lines += s"""{"remove":{"path":${q(a.path)},"deletionTimestamp":$now,"dataChange":true}}"""
         })
       adds.foreach { a =>
         val pvs = a.partitionValues.map { case (k, v) =>
@@ -352,11 +357,19 @@ object DeltaWriter {
     won
   }
 
+  /** `configuration` must carry the TABLE's properties — emitting `{}`
+    * for a table whose config holds `delta.columnMapping.mode` or
+    * `delta.enableChangeDataFeed` would wipe them on the next metaData
+    * replay and corrupt mapped tables. */
   private[sources] def metaDataJson(id: String, schema: StructType,
-                           partCols: Seq[String], now: Long): String =
+                           partCols: Seq[String], now: Long,
+                           configuration: Map[String, String] = Map.empty): String = {
+    val conf = configuration.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString(",")
     s"""{"metaData":{"id":${q(id)},"format":{"provider":"parquet","options":{}},""" +
       s""""schemaString":${q(schema.json)},"partitionColumns":[${partCols.map(q).mkString(",")}],""" +
-      s""""configuration":{},"createdTime":$now}}"""
+      s""""configuration":{$conf},"createdTime":$now}}"""
+  }
 
   /**
    * Single-part checkpoint at `version`: the reconciled state (one
@@ -417,7 +430,7 @@ object DeltaWriter {
     val addRows = snap.files.map { a =>
       val dvRow = a.deletionVector.map(d => Row(d.storageType, d.pathOrInlineDv,
         d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull
-      Row(null, null, Row(encodePath(a.path),
+      Row(null, null, Row(a.path, // already log-encoded — emit verbatim
         a.partitionValues.map { case (k, v) => k -> v.orNull },
         a.size, a.modificationTime, true, dvRow, a.stats.orNull), null)
     }

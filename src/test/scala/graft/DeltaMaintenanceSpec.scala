@@ -193,6 +193,81 @@ class DeltaMaintenanceSpec extends SparkSpec {
     assert(DeltaLog.read(spark, root).count() == 100)
   }
 
+  test("restore with metadata drift preserves table configuration") {
+    // a RESTORE past a schema change must re-emit the target version's
+    // metaData WITH its configuration — emitting {} would wipe
+    // delta.enableChangeDataFeed / delta.columnMapping.mode and corrupt
+    // mapped tables
+    val root = tmp() + "/t"
+    DeltaWriter.write(mk(20, "a"), root)                               // v0
+    // v1: hand-published metaData adding a table property (the shape a
+    // SET TBLPROPERTIES commit leaves behind)
+    val snap0 = DeltaLog.snapshot(spark, root)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def jq(s: String) = mapper.writeValueAsString(s)
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(DeltaWriter.tryPublish(f, root, 1L, Seq(
+      """{"commitInfo":{"timestamp":2000,"operation":"SET TBLPROPERTIES"}}""",
+      s"""{"metaData":{"id":${jq(snap0.tableId.get)},"format":{"provider":"parquet","options":{}},"schemaString":${
+        jq(snap0.schema.json)},"partitionColumns":[],"configuration":{${
+        jq("delta.enableChangeDataFeed")}:${jq("true")}},"createdTime":1}}"""),
+      "cfg"))
+    // v2: overwrite EVOLVING the schema — the new metaData must keep the
+    // existing configuration, not reset it
+    DeltaWriter.write(mk(20, "b").withColumn("extra", lit(1)), root, "overwrite")
+    assert(DeltaLog.snapshot(spark, root).configuration ==
+      Map("delta.enableChangeDataFeed" -> "true"),
+      "evolving overwrite wiped table configuration")
+    // restore to v1 (schema drifted since): configuration must survive
+    val res = DeltaMaintenance.restore(spark, root, 1L)
+    val after = DeltaLog.snapshot(spark, root)
+    assert(res.restoredToVersion == 1L)
+    assert(after.schema.fieldNames.toSeq == Seq("id", "s"))
+    assert(after.configuration == Map("delta.enableChangeDataFeed" -> "true"),
+      s"restore wiped configuration: ${after.configuration}")
+    assert(rows(DeltaLog.read(spark, root)) == rows(mk(20, "a")))
+  }
+
+  test("hive-escaped partition values survive overwrite, restore and checkpoint") {
+    // ':' hive-escapes to %3A in partition dirs, so log paths contain a
+    // literal '%'. encodePath is NOT idempotent ('%'→'%25'): re-encoding
+    // a snapshot path on remove would miss the live add key (files
+    // wrongly staying live) and on re-add would point at a nonexistent
+    // file. Paths read from the log must be re-emitted verbatim.
+    val root = tmp() + "/t"
+    val orig = Seq((1, "a:b"), (2, "c=d"), (3, "a:b")).toDF("id", "p")
+    DeltaWriter.write(orig, root, partitionBy = Seq("p"))              // v0
+    val v0adds = DeltaLog.snapshot(spark, root).files.map(_.path).toSet
+    assert(v0adds.exists(_.contains("%253A")),
+      s"fixture did not produce an escaped partition dir: $v0adds")
+    val over = Seq((9, "a:b")).toDF("id", "p")
+    DeltaWriter.write(over, root, "overwrite", Seq("p"))               // v1
+    // a double-encoded remove would leave the v0 files live → 4 rows
+    assert(DeltaLog.read(spark, root).count() == 1,
+      "overwrite removes missed hive-escaped live files")
+    // restore to v0 re-adds the escaped paths verbatim
+    DeltaMaintenance.restore(spark, root, 0L)                          // v2
+    val back = DeltaLog.read(spark, root)
+    assert(back.count() == 3)
+    assert(back.filter("p = 'a:b'").count() == 2)
+    assert(DeltaLog.snapshot(spark, root).files.map(_.path).toSet == v0adds)
+    // a checkpoint must also carry the paths verbatim — replay through it
+    DeltaWriter.writeCheckpoint(spark, root, 2L)
+    val viaCp = DeltaLog.snapshot(spark, root)
+    assert(viaCp.files.map(_.path).toSet == v0adds,
+      "checkpoint double-encoded hive-escaped paths")
+    assert(DeltaLog.read(spark, root).count() == 3)
+    // and OPTIMIZE's removes must retire the escaped-path files
+    DeltaWriter.write(Seq((4, "a:b")).toDF("id", "p"), root, partitionBy = Seq("p"))
+    val opt = DeltaMaintenance.optimize(spark, root, targetFileBytes = 512L << 20)
+    assert(opt.filesRemoved >= 2)
+    val optSnap = DeltaLog.snapshot(spark, root)
+    assert(optSnap.files.count(_.path.contains("a%253A")) == 1,
+      s"optimize left escaped-path files live: ${optSnap.files.map(_.path)}")
+    assert(DeltaLog.read(spark, root).count() == 4)
+  }
+
   test("history reports per-version operations") {
     val root = tmp()
     DeltaWriter.write(mk(30, "h"), root, "append")

@@ -208,6 +208,107 @@ class DeltaMergeSpec extends SparkSpec {
       "aborted scoped merge still committed")
   }
 
+  test("duplicate source keys fail loudly (Delta MERGE cardinality contract)") {
+    // the DV bitmap dedupes positions, which would HIDE a multi-match —
+    // but upsert appends one replacement per joined pair, silently
+    // duplicating rows. Fail like delta-spark's MERGE instead.
+    val root = tmp()
+    DeltaWriter.write((0 until 10).map(i => (i.toLong, s"v$i")).toDF("id", "v"), root)
+    val dup = Seq((1L, "A"), (1L, "B"), (2L, "C")).toDF("id", "v")
+    val ex = intercept[UnsupportedOperationException] {
+      DeltaMerge.upsert(spark, root, dup, Seq("id"))
+    }
+    assert(ex.getMessage.contains("multiple source rows"))
+    assert(DeltaLog.snapshot(spark, root).version == 0L,
+      "failed merge still committed")
+    // scd2Apply owes the same contract
+    val root2 = tmp()
+    DeltaWriter.write(Scd.scd2Bootstrap(Seq((1L, "a")).toDF("k", "attr"),
+      lit("2026-01-01 00:00:00")), root2)
+    intercept[UnsupportedOperationException] {
+      DeltaMerge.scd2Apply(spark, root2,
+        Seq((1L, "x"), (1L, "y")).toDF("k", "attr"),
+        Seq("k"), Seq("attr"), lit("2026-02-01 00:00:00"))
+    }
+    // deleteMatch stays tolerant (nothing appends): the bitmap dedupes
+    // and the CDF delete rows are deduped on position too
+    val r = DeltaMerge.deleteMatch(spark, root, dup, Seq("id"),
+      deleteCondition = Some("source.v <> 'nope'"))
+    assert(r.rowsDeleted == 2, s"$r")
+    val ch = DeltaLog.changes(spark, root, r.version, Some(r.version))
+    assert(ch.filter("id = 1").count() == 1,
+      "duplicate source matches duplicated CDF delete rows")
+    assert(DeltaLog.read(spark, root).count() == 8)
+  }
+
+  test("appendOnly with CDF on a column-mapped table stages physical cdc") {
+    import org.apache.spark.sql.types._
+    // regression: the derived cdc path unioned the PHYSICAL-named delete
+    // frame with LOGICAL-named append rows — appendOnly + cdf on a
+    // mapped table threw AnalysisException and insert cdc rows were
+    // never renamed physical
+    val root = tmp()
+    def cmField(name: String, dt: DataType, phys: String, id: Long) =
+      StructField(name, dt, nullable = true, new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id).build())
+    val logical = StructType(Seq(
+      cmField("id", LongType, "col-i1", 1),
+      cmField("v", StringType, "col-v1", 2)))
+    val staging = Files.createTempDirectory("cmappend").toFile
+    Seq((1L, "a"), (2L, "b")).toDF("a", "b")
+      .select(col("a").as("col-i1"), col("b").as("col-v1"))
+      .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val part = staging.listFiles().find(f =>
+      f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+    val dest = new java.io.File(root, "d0.parquet")
+    dest.getParentFile.mkdirs()
+    java.nio.file.Files.copy(part.toPath, dest.toPath)
+    val jq = (s: String) => "\"" + s + "\""
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(root, "_delta_log"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_delta_log", "00000000000000000000.json"),
+      Seq(
+        """{"commitInfo":{"timestamp":1000,"operation":"WRITE"}}""",
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${
+          new com.fasterxml.jackson.databind.ObjectMapper()
+            .writeValueAsString(logical.json)},"partitionColumns":[],"configuration":{${
+          jq("delta.columnMapping.mode")}:${jq("name")},${
+          jq("delta.enableChangeDataFeed")}:${jq("true")}},"createdTime":1}}""",
+        s"""{"add":{"path":"d0.parquet","partitionValues":{},"size":1,"modificationTime":1000,"dataChange":true}}""")
+        .mkString("\n").getBytes("UTF-8"))
+
+    val res = DeltaMerge.appendOnly(spark, root,
+      Seq((2L, "dup"), (100L, "n")).toDF("id", "v"), Seq("id"), cdf = true)
+    assert(res.rowsAppended == 1, s"$res")
+    assert(rows(DeltaLog.read(spark, root)) == Set("1|a", "2|b", "100|n"))
+    // the change feed reads back LOGICAL and classifies the insert
+    val ch = DeltaLog.changes(spark, root, res.version, Some(res.version))
+    assert(rows(ch.select("id", "v", "_change_type")) == Set("100|n|insert"))
+  }
+
+  test("aborted scope-escaping merge reclaims its DV bin files") {
+    val root = tmp()
+    DeltaWriter.write((0 until 100).map(i => (i.toLong, s"v$i", s"d${i % 2}"))
+      .toDF("id", "v", "day"), root, partitionBy = Seq("day"))
+    def bins() = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("deletion_vector_")).map(_.getName).toSet
+    assert(bins().isEmpty)
+    // the source keys sit inside the scope, but an audit column rewrites
+    // the partition value so the APPENDED replacement escapes it — the
+    // abort must reclaim the staged adds AND this attempt's DV bins
+    intercept[IllegalArgumentException] {
+      DeltaMerge.upsert(spark, root,
+        Seq((0L, "UPD", "d0")).toDF("id", "v", "day"), Seq("id"),
+        auditCols = Map("day" -> lit("d9")),
+        partitionFilter = Map("day" -> "d0"))
+    }
+    assert(bins().isEmpty, "aborted merge leaked DV bin files")
+    assert(DeltaLog.snapshot(spark, root).version == 0L)
+  }
+
   test("merge_delta / scd2_delta transformers reach the file-scoped path") {
     graft.core.StandardTransformers.registerAll
     val root = tmp()
