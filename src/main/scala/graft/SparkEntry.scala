@@ -595,6 +595,26 @@ object SparkEntry {
         s"scd2 merge shape off: $res")
       graft.sources.DeltaLog.read(s, root)
     }),
+    "q_scd2_deletes" -> ((s, d) => {
+      // SCD2 closeDeleted leg: keys ABSENT from the source close their
+      // current version (soft delete — reference scd.py:440-447); the
+      // rest follows the ordinary changed/unchanged split. Runs through
+      // the file-scoped Delta merge like q_scd2.
+      val c = t(s, d, "customer")
+      val root = java.nio.file.Files.createTempDirectory("graft_scd2del")
+        .toString + "/dim"
+      graft.sources.DeltaWriter.write(
+        operators.Scd.scd2Bootstrap(c, lit("2026-01-01 00:00:00")).coalesce(2), root)
+      val source = c.filter("c_custkey % 7 <> 0").withColumn("c_acctbal",
+        when(col("c_custkey") % 10 === 0, col("c_acctbal") + 100)
+          .otherwise(col("c_acctbal")))
+      val res = graft.sources.DeltaMerge.scd2Apply(s, root, source,
+        Seq("c_custkey"), Seq("c_acctbal"), lit("2026-02-01 00:00:00"),
+        closeDeleted = true, cdf = false)
+      require(res.rowsDeleted > 0 && res.rowsAppended > res.rowsDeleted,
+        s"scd2 closeDeleted shape off: $res")
+      graft.sources.DeltaLog.read(s, root)
+    }),
     "q_merge_upsert" -> ((s, d) => {
       // upsert through the FILE-SCOPED Delta merge: matched rows become
       // DV bitmaps on their files, replacements + inserts land in new
@@ -614,6 +634,26 @@ object SparkEntry {
       require(res.rowsDeleted > 0 && res.rowsAppended > res.rowsDeleted,
         s"merge degenerated: $res")
       graft.sources.DeltaLog.read(s, root)
+    }),
+    "q_merge_evolve" -> ((s, d) => {
+      // merge SCHEMA EVOLUTION (reference autoMerge): the source gains a
+      // column mid-merge; the SAME atomic commit carries the widened
+      // metaData and the merged rows — untouched rows read the new
+      // column as null, untouched files keep their bytes.
+      val c = t(s, d, "customer")
+      val root = java.nio.file.Files.createTempDirectory("graft_evolve")
+        .toString + "/customer"
+      graft.sources.DeltaWriter.write(c.filter("c_custkey % 2 = 0").coalesce(2), root)
+      val src = c.filter("c_custkey % 3 = 0")
+        .withColumn("c_acctbal", col("c_acctbal") * 2)
+        .withColumn("c_extra", col("c_custkey") % 7)
+      val res = graft.sources.DeltaMerge.upsert(s, root, src, Seq("c_custkey"),
+        cdf = false, schemaPolicy = graft.sources.DeltaSchema.Evolve)
+      require(res.rowsDeleted > 0 && res.rowsAppended > res.rowsDeleted,
+        s"evolving merge degenerated: $res")
+      val out = graft.sources.DeltaLog.read(s, root)
+      require(out.columns.contains("c_extra"), "schema did not evolve")
+      out
     }),
     "q_merge_append_only" -> ((s, d) => {
       val c = t(s, d, "customer")
@@ -1180,6 +1220,39 @@ object SparkEntry {
         .groupBy("change_type", "o_orderstatus")
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"),
           min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+    }),
+    "q_delta_restore" -> ((s, d) => {
+      // RESTORE as a pure metadata commit: rewind past a DV delete AND a
+      // schema-evolving merge — the read-back must hash-match the
+      // ORIGINAL rows exactly (deletion vectors narrowed away, the
+      // evolved column dropped with the restored metaData).
+      val c = t(s, d, "customer")
+      val root = java.nio.file.Files.createTempDirectory("graft_restore")
+        .toString + "/customer"
+      graft.sources.DeltaWriter.write(c.coalesce(2), root)                // v0
+      val del = graft.sources.DeltaDvWriter.delete(s, root,
+        "c_custkey % 5 = 0", cdf = false)                                 // v1
+      graft.sources.DeltaMerge.upsert(s, root,
+        c.filter("c_custkey % 3 = 0").withColumn("c_extra", lit(1L)),
+        Seq("c_custkey"), cdf = false,
+        schemaPolicy = graft.sources.DeltaSchema.Evolve)                  // v2
+      require(del.deletedRows > 0, "restore fixture: DV delete matched nothing")
+      val res = graft.sources.DeltaMaintenance.restore(s, root, 0L)
+      require(res.restoredToVersion == 0L && res.filesAdded > 0, s"$res")
+      graft.sources.DeltaLog.read(s, root)
+    }),
+    "q_iceberg_rollback" -> ((s, d) => {
+      // rollback-to-snapshot: ONE metadata commit moving the current
+      // pointer — the read-back equals the first snapshot exactly.
+      val c = t(s, d, "customer")
+      val root = java.nio.file.Files.createTempDirectory("graft_ice_rb")
+        .toString + "/customer"
+      graft.sources.IcebergSource.write(c.filter("c_custkey % 2 = 0"), root)
+      graft.sources.IcebergSource.write(c.filter("c_custkey % 2 = 1"), root)
+      val snaps = graft.sources.IcebergSource.snapshots(s, root)
+      require(snaps.size == 2, s"rollback fixture: ${snaps.size} snapshots")
+      graft.sources.IcebergMaintenance.rollback(s, root, snaps.head.snapshotId)
+      graft.sources.IcebergSource.read(s, root)
     }),
     "q_delta_optimize" -> ((s, d) => {
       // OPTIMIZE over the native writer: three small append commits, a
@@ -2017,8 +2090,12 @@ object SparkEntry {
       "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10), s AS (SELECT q.qid, e.vec_id, list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.qv, q.qv))) AS cos FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid) SELECT qid, vec_id, rank FROM (SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM s) r WHERE rank <= 5",
     "q_scd2" ->
       "WITH unchanged AS (SELECT *, TIMESTAMP '2026-01-01 00:00:00' AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to, true AS is_current FROM customer WHERE c_custkey % 10 <> 0), closed AS (SELECT *, TIMESTAMP '2026-01-01 00:00:00' AS valid_from, TIMESTAMP '2026-02-01 00:00:00' AS valid_to, false AS is_current FROM customer WHERE c_custkey % 10 = 0), opened AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal, c_mktsegment, TIMESTAMP '2026-02-01 00:00:00' AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to, true AS is_current FROM customer WHERE c_custkey % 10 = 0) SELECT * FROM unchanged UNION ALL SELECT * FROM closed UNION ALL SELECT * FROM opened",
+    "q_scd2_deletes" ->
+      "WITH unchanged AS (SELECT *, TIMESTAMP '2026-01-01 00:00:00' AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to, true AS is_current FROM customer WHERE c_custkey % 7 <> 0 AND c_custkey % 10 <> 0), closed AS (SELECT *, TIMESTAMP '2026-01-01 00:00:00' AS valid_from, TIMESTAMP '2026-02-01 00:00:00' AS valid_to, false AS is_current FROM customer WHERE c_custkey % 7 <> 0 AND c_custkey % 10 = 0), opened AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal, c_mktsegment, TIMESTAMP '2026-02-01 00:00:00' AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to, true AS is_current FROM customer WHERE c_custkey % 7 <> 0 AND c_custkey % 10 = 0), gone AS (SELECT *, TIMESTAMP '2026-01-01 00:00:00' AS valid_from, TIMESTAMP '2026-02-01 00:00:00' AS valid_to, false AS is_current FROM customer WHERE c_custkey % 7 = 0) SELECT * FROM unchanged UNION ALL SELECT * FROM closed UNION ALL SELECT * FROM opened UNION ALL SELECT * FROM gone",
     "q_merge_upsert" ->
       "SELECT c_custkey, c_name, c_nationkey, c_acctbal * 2 AS c_acctbal, c_mktsegment FROM customer WHERE c_custkey % 3 = 0 UNION ALL SELECT * FROM customer WHERE c_custkey % 2 = 0 AND c_custkey % 3 <> 0",
+    "q_merge_evolve" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal * 2 AS c_acctbal, c_mktsegment, c_custkey % 7 AS c_extra FROM customer WHERE c_custkey % 3 = 0 UNION ALL SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, CAST(NULL AS BIGINT) AS c_extra FROM customer WHERE c_custkey % 2 = 0 AND c_custkey % 3 <> 0",
     "q_merge_append_only" ->
       "SELECT * FROM customer WHERE c_custkey % 2 = 0 UNION ALL SELECT * FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 2 <> 0",
     "q_merge_delete" ->
@@ -2217,6 +2294,12 @@ object SparkEntry {
       "SELECT change_type, o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS revenue, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM (SELECT 'live' AS change_type, o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE NOT (o_totalprice > 180000) AND NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0) UNION ALL SELECT 'del_v1', o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice > 180000 UNION ALL SELECT 'del_v2', o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 7 = 0 AND NOT (o_totalprice > 180000)) GROUP BY 1, 2",
     // OPTIMIZE + ZORDER are metadata-only rewrites: the compacted +
     // re-clustered table must aggregate exactly like the source rows
+    // the restore rewinds past a DV delete and a schema-evolving merge:
+    // the read-back IS the original table
+    "q_delta_restore" ->
+      "SELECT * FROM customer",
+    "q_iceberg_rollback" ->
+      "SELECT * FROM customer WHERE c_custkey % 2 = 0",
     "q_delta_optimize" ->
       "SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS revenue, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM orders GROUP BY 1",
     // the deterministic simulation columns recomputed as closed forms of

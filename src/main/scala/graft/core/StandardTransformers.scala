@@ -33,6 +33,13 @@ object StandardTransformers {
   private def cols(names: Seq[String]): Seq[Column] = names.map { n =>
     if (n.endsWith(" desc")) col(n.stripSuffix(" desc")).desc else col(n)
   }
+  /** schema_mode / on_new_columns / on_missing_columns → policy
+    * (reference SchemaMode/OnNewColumns/OnMissingColumns enums). */
+  private def schemaPolicy(p: Map[String, Any]): graft.sources.DeltaSchema.Policy =
+    graft.sources.DeltaSchema.Policy(
+      strOpt(p, "schema_mode").getOrElse("enforce"),
+      strOpt(p, "on_new_columns").getOrElse("add_nullable"),
+      strOpt(p, "on_missing_columns").getOrElse("fill_null"))
 
   private def reg(n: String)(fn: (EngineContext, Map[String, Any]) => DataFrame): Unit =
     TransformerRegistry.register(new Transformer {
@@ -283,12 +290,16 @@ object StandardTransformers {
       val path = str(p, "target_path")
       val keys = seqOf(p, "keys")
       val cdf = boolOpt(p, "cdf").getOrElse(true)
+      // schema_mode enforce|evolve + on_new_columns/on_missing_columns —
+      // the reference autoMerge/SchemaPolicy knobs (config.py:4355-4395)
+      val policy = schemaPolicy(p)
       strOpt(p, "strategy").getOrElse("upsert") match {
         case "upsert" => graft.sources.DeltaMerge.upsert(c.spark, path, c.df,
           keys, strOpt(p, "update_condition"), strOpt(p, "insert_condition"),
-          cdf = cdf)
+          cdf = cdf, schemaPolicy = policy)
         case "append_only" =>
-          graft.sources.DeltaMerge.appendOnly(c.spark, path, c.df, keys, cdf = cdf)
+          graft.sources.DeltaMerge.appendOnly(c.spark, path, c.df, keys,
+            cdf = cdf, schemaPolicy = policy)
         case "delete_match" => graft.sources.DeltaMerge.deleteMatch(c.spark,
           path, c.df, keys, strOpt(p, "delete_condition"), cdf = cdf)
         case other => throw new IllegalArgumentException(s"unknown strategy: $other")
@@ -302,7 +313,8 @@ object StandardTransformers {
         c.df, seqOf(p, "keys"), seqOf(p, "track_cols"),
         lit(str(p, "effective_ts")),
         closeDeleted = boolOpt(p, "close_deleted").getOrElse(false),
-        cdf = boolOpt(p, "cdf").getOrElse(true))
+        cdf = boolOpt(p, "cdf").getOrElse(true),
+        schemaPolicy = schemaPolicy(p))
       graft.sources.DeltaLog.read(c.spark, str(p, "target_path")) }
     reg("detect_deletes") { (c, p) =>
       val deleted = DeleteDetection.detectSqlCompare(

@@ -148,7 +148,9 @@ object DeltaDvWriter {
                                       checkpointInterval: Int,
                                       cdf: Boolean,
                                       partitionFilter: Map[String, String],
-                                      txn: Option[(String, Long)]): RowCommitResult = {
+                                      txn: Option[(String, Long)],
+                                      evolve: Option[DeltaSchema.Evolution] = None)
+      : RowCommitResult = {
     require(DeltaLog.isDeltaTable(spark, root), s"$root is not a Delta table")
     val f = fs(spark, root)
     var attempt = 0
@@ -157,6 +159,15 @@ object DeltaDvWriter {
       require(attempt <= 5,
         s"gave up row-level commit at $root after $attempt conflicted attempts")
       val snap0 = DeltaLog.snapshot(spark, root)
+      // an evolving commit was planned against a specific schema — a
+      // concurrent schema change must abort, not clobber the other
+      // writer's columns with a stale widened metaData
+      evolve.foreach(e => require(snap0.schema.json == e.baselineJson,
+        s"concurrent schema change at $root during an evolving merge — re-run"))
+      // effSchema: what the table's schema WILL be after this commit —
+      // appended files, cdc files and the metaData action all target it;
+      // old files simply lack the new columns (reads null-fill them)
+      val effSchema = evolve.map(_.schema).getOrElse(snap0.schema)
       // SetTransaction idempotence: a checkpoint-replayed micro-batch
       // whose (appId, version) already committed must be a no-op
       txn.foreach { case (appId, v) =>
@@ -226,16 +237,26 @@ object DeltaDvWriter {
         // read path performs in reverse); partition dirs + add-action
         // partitionValues key physical too, which is what the reader
         // resolves for mapped tables.
+        // frames referencing only the PRE-evolution columns (an empty
+        // matched frame, derived cdc rows) null-fill the new ones
+        def conform(df: DataFrame): DataFrame = {
+          val have = df.columns.toSet
+          val out = effSchema.fields.filterNot(fd => have(fd.name))
+            .foldLeft(df) { (d, fd) =>
+              d.withColumn(fd.name, lit(null).cast(DeltaLog.stripMeta(fd.dataType)))
+            }
+          out.select(effSchema.fieldNames.map(col).toSeq: _*)
+        }
         def toPhysical(df: DataFrame): DataFrame =
           if (!mapped) df
-          else df.select(snap.schema.fields.map(fd =>
+          else df.select(effSchema.fields.map(fd =>
             col(fd.name).cast(DeltaLog.toPhysical(fd.dataType))
               .as(DeltaLog.physicalName(fd))).toSeq: _*)
         appendRows.foreach { df =>
           require(df.schema.map(fd => (fd.name, fd.dataType)) ==
-            snap.schema.map(fd => (fd.name, DeltaLog.stripMeta(fd.dataType))),
+            effSchema.map(fd => (fd.name, DeltaLog.stripMeta(fd.dataType))),
             s"append schema ${df.schema.simpleString} does not match Delta " +
-              s"table schema ${snap.schema.simpleString}")
+              s"table schema ${effSchema.simpleString}")
         }
         val stagePartCols = partCols.map(c => physOf.getOrElse(c, c))
         val (adds0, appended) = appendRows match {
@@ -292,11 +313,11 @@ object DeltaDvWriter {
                 require(override0.columns.contains("_change_type"),
                   "cdc override frame must carry _change_type")
                 if (!mapped) override0
-                else override0.select(snap.schema.fields.map(f =>
+                else override0.select(effSchema.fields.map(f =>
                   col(f.name).cast(DeltaLog.toPhysical(f.dataType))
                     .as(DeltaLog.physicalName(f))) :+ col("_change_type"): _*)
               case None =>
-                val deletes = toPhysical(matched.drop("_gf_file", "_gf_ridx"))
+                val deletes = toPhysical(conform(matched.drop("_gf_file", "_gf_ridx")))
                   .withColumn("_change_type", lit("delete"))
                 appendRows match {
                   case Some(df) =>
@@ -304,7 +325,7 @@ object DeltaDvWriter {
                     // delete rows — a logical-named union on a mapped
                     // table throws, and cdc files must store physical
                     deletes.unionByName(
-                      toPhysical(df).withColumn("_change_type", lit("insert")))
+                      toPhysical(conform(df)).withColumn("_change_type", lit("insert")))
                   case None => deletes
                 }
             }
@@ -319,7 +340,16 @@ object DeltaDvWriter {
         // the reader-3/writer-7 deletionVectors upgrade only when this
         // commit actually writes a vector — a pure-insert merge must not
         // feature-upgrade the table
-        if (descriptors.nonEmpty) lines += protocolJson(snap, snap.schema)
+        if (descriptors.nonEmpty) lines += protocolJson(snap, effSchema)
+        // schema evolution: the widened metaData rides the SAME commit
+        // as the data it admits — readers see rows + schema atomically.
+        // Nothing to commit → nothing to evolve (the schema change lands
+        // with the data that needs it).
+        evolve.foreach { e =>
+          lines += DeltaWriter.metaDataJson(
+            snap0.tableId.getOrElse(java.util.UUID.randomUUID().toString),
+            e.schema, snap0.partitionColumns, now, e.configuration)
+        }
         txn.foreach { case (appId, v) =>
           lines += s"""{"txn":{"appId":${q(appId)},"version":$v,"lastUpdated":$now}}"""
         }

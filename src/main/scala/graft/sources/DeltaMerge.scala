@@ -91,13 +91,26 @@ object DeltaMerge {
              cdf: Boolean = true,
              txn: Option[(String, Long)] = None,
              checkpointInterval: Int = 10,
-             partitionFilter: Map[String, String] = Map.empty): MergeResult = {
-    val outCols = DeltaLog.snapshot(spark, root).schema.fieldNames.toSeq
-    require(keys.nonEmpty && keys.forall(outCols.contains),
-      s"merge keys $keys must be table columns $outCols")
-    require(outCols.forall(source.columns.contains),
-      s"upsert source must carry every table column; missing " +
-        s"${outCols.filterNot(source.columns.contains)}")
+             partitionFilter: Map[String, String] = Map.empty,
+             schemaPolicy: DeltaSchema.Policy = DeltaSchema.Enforce): MergeResult = {
+    val snap = DeltaLog.snapshot(spark, root)
+    // schema policy (the reference autoMerge/SchemaMode semantics):
+    // under `evolve`, NEW source columns widen the table schema in the
+    // SAME commit (nullable, appended last; old files null-fill by
+    // omission) and MISSING table columns null-fill onto the source
+    val aligned = DeltaSchema.align(source, snap, schemaPolicy)
+    val src = aligned.source
+    val outCols = aligned.schema.fieldNames.toSeq
+    val oldCols = snap.schema.fieldNames.toSet
+    val typeOf = aligned.schema.fields
+      .map(f => f.name -> DeltaLog.stripMeta(f.dataType)).toMap
+    // target-side projections of evolved columns read null — the old
+    // rows don't have them yet
+    def tgt(c: String): Column =
+      if (oldCols(c)) col(s"target.$c").as(c)
+      else lit(null).cast(typeOf(c)).as(c)
+    require(keys.nonEmpty && keys.forall(oldCols.contains),
+      s"merge keys $keys must be table columns ${snap.schema.fieldNames.toSeq}")
     val updOk = updateCondition.map(expr).getOrElse(lit(true))
     val insOk = insertCondition.map(expr).getOrElse(lit(true))
     def audited(df: DataFrame): DataFrame =
@@ -105,20 +118,20 @@ object DeltaMerge {
 
     val plan = (prov: DataFrame) => {
       val pairs = prov.alias("target")
-        .join(source.alias("source"), keyCond(keys), "inner")
+        .join(src.alias("source"), keyCond(keys), "inner")
         .filter(updOk)
         .persist(StorageLevel.MEMORY_AND_DISK)
       requireUniqueMatches(pairs, s"MERGE upsert on (${keys.mkString(", ")})")
-      val preimage = pairs.select(outCols.map(c => col(s"target.$c").as(c)): _*)
+      val preimage = pairs.select(outCols.map(tgt): _*)
       val matched = pairs.select(
-        outCols.map(c => col(s"target.$c").as(c)) ++
+        outCols.map(tgt) ++
           Seq(col("target._gf_file").as("_gf_file"),
             col("target._gf_ridx").as("_gf_ridx")): _*)
       val updated = audited(
         pairs.select(outCols.map(c => col(s"source.$c").as(c)): _*))
       // the anti-join reads only the KEY columns of the target scan —
       // Catalyst prunes the provenance plan down to them
-      val inserted = audited(source.alias("source")
+      val inserted = audited(src.alias("source")
         .join(prov.select(keys.map(col): _*), keys, "left_anti")
         .filter(insOk)
         .select(outCols.map(c => col(s"source.$c").as(c)): _*))
@@ -135,7 +148,7 @@ object DeltaMerge {
     }
     toResult(DeltaDvWriter.rowLevelCommit(spark, root, plan, "MERGE",
       s"upsert on (${keys.mkString(", ")})", checkpointInterval, cdf,
-      partitionFilter, txn))
+      partitionFilter, txn, aligned.evolution))
   }
 
   /**
@@ -181,17 +194,23 @@ object DeltaMerge {
   def appendOnly(spark: SparkSession, root: String, source: DataFrame,
                  keys: Seq[String], cdf: Boolean = true,
                  txn: Option[(String, Long)] = None,
-                 checkpointInterval: Int = 10): MergeResult = {
-    val outCols = DeltaLog.snapshot(spark, root).schema.fieldNames.toSeq
+                 checkpointInterval: Int = 10,
+                 schemaPolicy: DeltaSchema.Policy = DeltaSchema.Enforce): MergeResult = {
+    val snap = DeltaLog.snapshot(spark, root)
+    val aligned = DeltaSchema.align(source, snap, schemaPolicy)
+    val outCols = aligned.schema.fieldNames.toSeq
+    val oldCols = snap.schema.fieldNames.toSeq
     val plan = (prov: DataFrame) => {
-      val newRows = source.join(prov.select(keys.map(col): _*).distinct(),
+      val newRows = aligned.source.join(prov.select(keys.map(col): _*).distinct(),
         keys, "left_anti").select(outCols.map(col): _*)
-      DeltaDvWriter.RowPlan(prov.limit(0).select(outCols.map(col) ++
+      // the empty matched frame carries only the PRE-evolution columns
+      // (the provenance scan's schema); the commit conforms cdc rows
+      DeltaDvWriter.RowPlan(prov.limit(0).select(oldCols.map(col) ++
         Seq(col("_gf_file"), col("_gf_ridx")): _*), Some(newRows))
     }
     toResult(DeltaDvWriter.rowLevelCommit(spark, root, plan, "MERGE",
       s"append_only on (${keys.mkString(", ")})", checkpointInterval, cdf,
-      Map.empty, txn))
+      Map.empty, txn, aligned.evolution))
   }
 
   /**
@@ -213,13 +232,33 @@ object DeltaMerge {
                 cdf: Boolean = true,
                 txn: Option[(String, Long)] = None,
                 checkpointInterval: Int = 10,
-                partitionFilter: Map[String, String] = Map.empty): MergeResult = {
-    val outCols = DeltaLog.snapshot(spark, root).schema.fieldNames.toSeq
-    val attrCols = source.columns.toSeq
-    require(keys.forall(attrCols.contains), s"source must carry keys $keys")
-    require(Seq(cols.validFrom, cols.validTo, cols.isCurrent)
-      .forall(outCols.contains),
+                partitionFilter: Map[String, String] = Map.empty,
+                schemaPolicy: DeltaSchema.Policy = DeltaSchema.Enforce): MergeResult = {
+    val snap = DeltaLog.snapshot(spark, root)
+    val bk = Seq(cols.validFrom, cols.validTo, cols.isCurrent)
+    require(bk.forall(snap.schema.fieldNames.contains),
       s"target lacks SCD2 bookkeeping columns ${cols}")
+    val typeOf = snap.schema.fields
+      .map(f => f.name -> DeltaLog.stripMeta(f.dataType)).toMap
+    // bookkeeping columns come from the SCD algebra, never the source —
+    // pre-fill them so align polices only the ATTRIBUTE columns
+    val withBk = bk.filterNot(source.columns.contains)
+      .foldLeft(source)((df, c) => df.withColumn(c, lit(null).cast(typeOf(c))))
+    val aligned = DeltaSchema.align(withBk, snap, schemaPolicy)
+    val src = aligned.source.drop(bk: _*)
+    val outCols = aligned.schema.fieldNames.toSeq
+    val oldCols = snap.schema.fieldNames.toSet
+    val attrCols = outCols.filterNot(bk.contains)
+    val newTypeOf = aligned.schema.fields
+      .map(f => f.name -> DeltaLog.stripMeta(f.dataType)).toMap
+    // target-side projections of evolved columns read null
+    def tgt(c: String): Column =
+      if (oldCols(c)) col(s"target.$c").as(c)
+      else lit(null).cast(newTypeOf(c)).as(c)
+    def bare(c: String): Column =
+      if (oldCols(c)) col(c) else lit(null).cast(newTypeOf(c)).as(c)
+    require(keys.forall(c => src.columns.contains(c) && oldCols(c)),
+      s"merge keys $keys must be source and table columns")
     val ts = effectiveTs.cast("timestamp")
 
     val plan = (prov: DataFrame) => {
@@ -227,18 +266,17 @@ object DeltaMerge {
       val changed = trackCols.map(c => !(col(s"target.$c") <=> col(s"source.$c")))
         .reduceOption(_ || _).getOrElse(lit(false))
       val pairs = current.alias("target")
-        .join(source.alias("source"), keyCond(keys), "inner")
+        .join(src.alias("source"), keyCond(keys), "inner")
         .filter(changed)
         .persist(StorageLevel.MEMORY_AND_DISK)
       requireUniqueMatches(pairs, s"SCD2 merge on (${keys.mkString(", ")})")
-      def provCols(src: DataFrame, prefix: String) = src.select(
-        outCols.map(c => col(s"$prefix$c").as(c)) ++
-          Seq(col(s"${prefix}_gf_file").as("_gf_file"),
-            col(s"${prefix}_gf_ridx").as("_gf_ridx")): _*)
-      val matchedChanged = provCols(pairs, "target.")
+      val matchedChanged = pairs.select(
+        outCols.map(tgt) ++
+          Seq(col("target._gf_file").as("_gf_file"),
+            col("target._gf_ridx").as("_gf_ridx")): _*)
 
       val closedChanged = pairs.select(
-        attrCols.map(c => col(s"target.$c").as(c)) ++ Seq(
+        attrCols.map(tgt) ++ Seq(
           col(s"target.${cols.validFrom}").as(cols.validFrom),
           ts.as(cols.validTo), lit(false).as(cols.isCurrent)): _*)
       val openedChanged = pairs.select(
@@ -246,7 +284,7 @@ object DeltaMerge {
           ts.as(cols.validFrom),
           lit(null).cast("timestamp").as(cols.validTo),
           lit(true).as(cols.isCurrent)): _*)
-      val openedNew = source.alias("source")
+      val openedNew = src.alias("source")
         .join(current.select(keys.map(col): _*), keys, "left_anti")
         .select(attrCols.map(c => col(s"source.$c").as(c)) ++ Seq(
           ts.as(cols.validFrom),
@@ -254,22 +292,22 @@ object DeltaMerge {
           lit(true).as(cols.isCurrent)): _*)
 
       def ordered(df: DataFrame) = df.select(outCols.map(col): _*)
-      val preChanged = pairs.select(outCols.map(c => col(s"target.$c").as(c)): _*)
+      val preChanged = pairs.select(outCols.map(tgt): _*)
       val (matched, append0, pre0, post0) =
         if (!closeDeleted) (matchedChanged,
           closedChanged.unionByName(openedChanged).unionByName(openedNew),
           preChanged, closedChanged)
         else {
-          val gone = current.join(source.select(keys.map(col): _*).distinct(),
+          val gone = current.join(src.select(keys.map(col): _*).distinct(),
             keys, "left_anti")
           val closedGone = gone.select(
-            attrCols.map(col) ++ Seq(col(cols.validFrom),
+            attrCols.map(bare) ++ Seq(col(cols.validFrom),
               ts.as(cols.validTo), lit(false).as(cols.isCurrent)): _*)
-          (matchedChanged.unionByName(gone.select(outCols.map(col) ++
+          (matchedChanged.unionByName(gone.select(outCols.map(bare) ++
             Seq(col("_gf_file"), col("_gf_ridx")): _*)),
             closedChanged.unionByName(openedChanged).unionByName(openedNew)
               .unionByName(closedGone),
-            preChanged.unionByName(ordered(gone)),
+            preChanged.unionByName(gone.select(outCols.map(bare): _*)),
             closedChanged.unionByName(closedGone))
         }
       // faithful change classification: the old current row UPDATES to
@@ -287,6 +325,6 @@ object DeltaMerge {
     }
     toResult(DeltaDvWriter.rowLevelCommit(spark, root, plan, "MERGE",
       s"scd2 on (${keys.mkString(", ")}) tracking (${trackCols.mkString(", ")})",
-      checkpointInterval, cdf, partitionFilter, txn))
+      checkpointInterval, cdf, partitionFilter, txn, aligned.evolution))
   }
 }

@@ -101,7 +101,8 @@ object DeltaWriter {
             partitionBy: Seq[String] = Nil,
             checkpointInterval: Int = 10,
             txn: Option[(String, Long)] = None,
-            replaceWhere: Map[String, String] = Map.empty): Commit = {
+            replaceWhere: Map[String, String] = Map.empty,
+            schemaPolicy: DeltaSchema.Policy = DeltaSchema.Enforce): Commit = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     val exists = DeltaLog.isDeltaTable(spark, root)
@@ -146,16 +147,39 @@ object DeltaWriter {
         s"replaceWhere keys ${replaceWhere.keySet} must be partition columns " +
           s"${p.partitionColumns}")
     }
+    // schema policy: `enforce` (default) keeps the exact-match contract;
+    // `evolve` aligns the frame (null-fill missing, widen on new columns
+    // — the widened metaData rides the same commit) per the reference's
+    // SchemaMode/OnNewColumns/OnMissingColumns semantics
+    var data = df
+    var evolution: Option[DeltaSchema.Evolution] = None
     prior.filterNot(_ => isOverwrite && !scoped).foreach { p =>
-      require(sameSchema(df.schema, p.schema),
-        s"${if (scoped) "replaceWhere" else "append"} schema " +
-          s"${df.schema.simpleString} does not match Delta table " +
-          s"schema ${p.schema.simpleString} (overwrite to evolve)")
+      if (schemaPolicy.mode == "enforce")
+        require(sameSchema(df.schema, p.schema),
+          s"${if (scoped) "replaceWhere" else "append"} schema " +
+            s"${df.schema.simpleString} does not match Delta table " +
+            s"schema ${p.schema.simpleString} (overwrite to evolve, or " +
+            "pass schemaPolicy=DeltaSchema.Evolve)")
+      else {
+        val a = DeltaSchema.align(df, p, schemaPolicy)
+        require(a.evolution.isEmpty ||
+          p.configuration.getOrElse("delta.columnMapping.mode", "none") == "none",
+          "schema-evolving append to a column-mapped table must go " +
+            "through DeltaMerge (physical-name staging)")
+        data = a.source.select(a.schema.fieldNames.map(col).toSeq: _*)
+        require(sameSchema(data.schema,
+          StructType(a.schema.fields.map(fd =>
+            StructField(fd.name, DeltaLog.stripMeta(fd.dataType), fd.nullable)))),
+          s"append schema ${df.schema.simpleString} does not match Delta " +
+            s"table schema ${p.schema.simpleString} — existing columns " +
+            "cannot change type under schema evolution")
+        evolution = a.evolution
+      }
     }
 
     // ---- stage data files with the ordinary distributed parquet writer
     val nonce = java.lang.Long.toHexString(System.nanoTime())
-    val (adds, rows) = stageAndMove(df, root, partCols, nonce, countRows = true)
+    val (adds, rows) = stageAndMove(data, root, partCols, nonce, countRows = true)
     def inScope(a: DeltaLog.AddFile): Boolean =
       replaceWhere.forall { case (k, v) => a.partitionValues.get(k).flatten.contains(v) }
     if (scoped) {
@@ -188,9 +212,14 @@ object DeltaWriter {
           return Commit(current.get.version, 0L)
         }
       }
+      // an evolving append was planned against a specific schema — a
+      // concurrent schema change must abort, not clobber it
+      evolution.foreach(e => require(current.exists(_.schema.json == e.baselineJson),
+        s"concurrent schema change at $root during an evolving append — re-run"))
       val now = System.currentTimeMillis()
-      val needMeta = current.isEmpty || (isOverwrite && !scoped && current.exists(c =>
-        !sameSchema(c.schema, df.schema) || c.partitionColumns != partCols))
+      val needMeta = current.isEmpty || evolution.isDefined ||
+        (isOverwrite && !scoped && current.exists(c =>
+          !sameSchema(c.schema, df.schema) || c.partitionColumns != partCols))
       val lines = scala.collection.mutable.ArrayBuffer[String]()
       val rwParam = if (scoped)
         s""","replaceWhere":${q(replaceWhere.map { case (k, v) => s"$k=$v" }.mkString(","))}"""
@@ -199,9 +228,13 @@ object DeltaWriter {
       if (current.isEmpty)
         lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
       if (needMeta)
-        // an evolving overwrite keeps the table's existing configuration
-        lines += metaDataJson(tableId, df.schema, partCols, now,
-          current.map(_.configuration).getOrElse(Map.empty))
+        // an evolving overwrite/append keeps the table's configuration
+        lines += (evolution match {
+          case Some(e) => metaDataJson(tableId, e.schema, partCols, now,
+            e.configuration)
+          case None => metaDataJson(tableId, df.schema, partCols, now,
+            current.map(_.configuration).getOrElse(Map.empty))
+        })
       txn.foreach { case (appId, v) =>
         lines += s"""{"txn":{"appId":${q(appId)},"version":$v,"lastUpdated":$now}}"""
       }
