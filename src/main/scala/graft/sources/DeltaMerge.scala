@@ -48,6 +48,34 @@ object DeltaMerge {
   private def keyCond(keys: Seq[String]): Column =
     keys.map(k => col(s"target.$k") <=> col(s"source.$k")).reduce(_ && _)
 
+  /** The `partitionFilter` caller contract made a HARD error: every
+    * source row must sit inside the filter. Target rows outside the
+    * scope are never scanned, so an out-of-scope source row would miss
+    * its match and silently INSERT a duplicate next to the un-updated
+    * original. One aggregation over the (source-sized, never
+    * table-sized) frame fails fast instead, naming the offending value.
+    * Filter columns the source doesn't carry can't conflict and are
+    * skipped. */
+  private def requireSourceInScope(source: DataFrame,
+                                   partitionFilter: Map[String, String],
+                                   op: String): Unit = {
+    val checkable = partitionFilter.filter { case (k, _) =>
+      source.columns.contains(k) }
+    if (checkable.isEmpty) return
+    val offending = checkable.toSeq.map { case (k, v) =>
+      col(k).isNull || col(k).cast("string") =!= lit(v)
+    }.reduce(_ || _)
+    val bad = source.filter(offending)
+      .select(checkable.keys.toSeq.map(col): _*).limit(1).collect()
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$op: source rows fall outside partitionFilter $partitionFilter " +
+          s"(e.g. ${checkable.keys.zip(bad.head.toSeq).map { case (k, x) =>
+            s"$k=$x" }.mkString(", ")}) — an out-of-scope source row " +
+          "would insert a duplicate instead of updating; widen the " +
+          "filter or pre-filter the source")
+  }
+
   /** Delta MERGE's cardinality contract: each target row may match at
     * most ONE source row. The DV bitmap dedupes positions, which would
     * HIDE a multi-match — but the per-pair replacement rows would still
@@ -80,8 +108,10 @@ object DeltaMerge {
    * scoped to one day of a day-partitioned 100 TB table must scan one
    * day, not the table. Caller contract (the replaceWhere shape): every
    * source row's key must fall INSIDE the filter; target rows outside
-   * it are never examined, so an out-of-scope match would wrongly
-   * insert a duplicate instead of updating.
+   * it are never examined. Out-of-scope source rows are a HARD ERROR
+   * (one source-sized aggregation checks it) — silently inserting a
+   * duplicate next to the un-updated original is how scoped loads
+   * corrupt tables.
    */
   def upsert(spark: SparkSession, root: String, source: DataFrame,
              keys: Seq[String],
@@ -111,6 +141,8 @@ object DeltaMerge {
       else lit(null).cast(typeOf(c)).as(c)
     require(keys.nonEmpty && keys.forall(oldCols.contains),
       s"merge keys $keys must be table columns ${snap.schema.fieldNames.toSeq}")
+    requireSourceInScope(src, partitionFilter,
+      s"MERGE upsert on (${keys.mkString(", ")})")
     val updOk = updateCondition.map(expr).getOrElse(lit(true))
     val insOk = insertCondition.map(expr).getOrElse(lit(true))
     def audited(df: DataFrame): DataFrame =
@@ -259,6 +291,8 @@ object DeltaMerge {
       if (oldCols(c)) col(c) else lit(null).cast(newTypeOf(c)).as(c)
     require(keys.forall(c => src.columns.contains(c) && oldCols(c)),
       s"merge keys $keys must be source and table columns")
+    requireSourceInScope(src, partitionFilter,
+      s"SCD2 merge on (${keys.mkString(", ")})")
     val ts = effectiveTs.cast("timestamp")
 
     val plan = (prov: DataFrame) => {

@@ -78,20 +78,15 @@ object Streaming {
         throw new IllegalArgumentException("iceberg streaming sink needs a path"))
       val appId = cfg.checkpointLocation.getOrElse(target)
       val overwriteEach = cfg.outputMode.equalsIgnoreCase("complete")
+      val tracker = new IcebergBatchTracker(s"graft-stream-$appId")
       var w = df.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           import graft.sources.IcebergSource
-          val marker = s"graft-stream-$appId"
-          val committed: Long =
-            if (!IcebergSource.isIcebergTable(batch.sparkSession, target)) -1L
-            else IcebergSource.snapshots(batch.sparkSession, target)
-              .flatMap(_.summary.get(marker)).map(_.toLong)
-              .foldLeft(-1L)(math.max)
-          if (batchId > committed) {
+          if (batchId > tracker.committed(batch.sparkSession, target)) {
             IcebergSource.write(batch, target,
               mode = if (overwriteEach) "overwrite" else "append",
-              summaryProps = Map(marker -> batchId.toString))
-            ()
+              summaryProps = Map(tracker.marker -> batchId.toString))
+            tracker.record(batchId)
           }
         }
       cfg.checkpointLocation.foreach(c => w = w.option("checkpointLocation", c))
@@ -105,6 +100,41 @@ object Streaming {
     cfg.trigger.foreach(t => w = w.trigger(t))
     cfg.queryName.foreach(n => w = w.queryName(n))
     path.map(w.start).getOrElse(w.start())
+  }
+
+  /**
+   * Exactly-once bookkeeping for the native Iceberg sink. The
+   * last-committed batch id lives in a driver-side cache for the life of
+   * the query; only RECOVERY (first batch after a restart) reads the
+   * table metadata at all, and that one read scans snapshot summaries
+   * NEWEST-FIRST and stops at the first marker hit — marker values are
+   * monotone, so the first hit IS the max. A year-old stream no longer
+   * folds over its whole snapshot history every micro-batch: steady
+   * state is zero metadata reads per batch, recovery is O(snapshots
+   * since the last marker), not O(history).
+   */
+  private[graft] final class IcebergBatchTracker(val marker: String) {
+    private var cache: Long = Long.MinValue
+    /** Test hook: snapshot summaries examined by the last recovery. */
+    @volatile private[graft] var lastRecoveryScanned: Int = 0
+
+    def committed(spark: SparkSession, target: String): Long = {
+      if (cache != Long.MinValue) return cache
+      import graft.sources.IcebergSource
+      cache =
+        if (!IcebergSource.isIcebergTable(spark, target)) -1L
+        else {
+          var scanned = 0
+          val hit = IcebergSource.snapshots(spark, target).reverseIterator
+            .map { s => scanned += 1; s.summary.get(marker) }
+            .collectFirst { case Some(v) => v.toLong }
+          lastRecoveryScanned = scanned
+          hit.getOrElse(-1L)
+        }
+      cache
+    }
+
+    def record(batchId: Long): Unit = cache = math.max(cache, batchId)
   }
 
   /**

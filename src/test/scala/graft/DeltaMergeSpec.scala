@@ -197,13 +197,15 @@ class DeltaMergeSpec extends SparkSpec {
     assert(rows(DeltaLog.read(spark, root).filter("id in (1, 9001)")
       .select("v")) == Set("UPD", "NEW"))
 
-    // appended rows escaping the scope abort BEFORE the commit
+    // out-of-scope SOURCE rows fail fast, naming the offending value —
+    // they'd otherwise insert a duplicate next to the un-updated original
     val vBefore = DeltaLog.snapshot(spark, root).version
-    intercept[IllegalArgumentException] {
+    val ex = intercept[IllegalArgumentException] {
       DeltaMerge.upsert(spark, root,
         Seq((9002L, "X", "d2")).toDF("id", "v", "day"), Seq("id"),
         partitionFilter = Map("day" -> "d1"))
     }
+    assert(ex.getMessage.contains("day=d2"), ex.getMessage)
     assert(DeltaLog.snapshot(spark, root).version == vBefore,
       "aborted scoped merge still committed")
   }

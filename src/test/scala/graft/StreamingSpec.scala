@@ -22,6 +22,29 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/out").count() == 2)
   }
 
+  test("iceberg sink recovery scans newest-first; steady state reads no metadata") {
+    import graft.sources.IcebergSource
+    val root = java.nio.file.Files.createTempDirectory("graft_ice_tr").toString + "/t"
+    val mk = Seq((1L, "a")).toDF("id", "v")
+    // three stream batches, then three FOREIGN appends without markers —
+    // a long-lived table where the marker is not on the newest snapshot
+    (0 to 2).foreach(b => IcebergSource.write(mk, root,
+      summaryProps = Map("graft-stream-x" -> b.toString)))
+    (0 until 3).foreach(_ => IcebergSource.write(mk, root))
+    assert(IcebergSource.snapshots(spark, root).size == 6)
+
+    val tr = new Streaming.IcebergBatchTracker("graft-stream-x")
+    // recovery: newest-first, stops at the FIRST marker hit — 3 foreign
+    // snapshots + the marker-bearing one, never the whole history
+    assert(tr.committed(spark, root) == 2L)
+    assert(tr.lastRecoveryScanned == 4,
+      s"recovery scanned ${tr.lastRecoveryScanned} snapshots, expected 4")
+    // steady state: the cache answers, zero further metadata reads
+    tr.record(3L)
+    (0 until 5).foreach(_ => assert(tr.committed(spark, root) == 3L))
+    assert(tr.lastRecoveryScanned == 4, "steady-state batch re-read metadata")
+  }
+
   test("iceberg streaming sink: exactly-once batch markers in snapshot summaries") {
     import graft.sources.IcebergSource
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_ice").toString
