@@ -113,8 +113,11 @@ object IcebergSource {
   // -------------------------------------------------------- schema (write)
 
   /** Spark type → Iceberg schema JSON (ids assigned depth-first). */
-  private[sources] def toIcebergSchemaJson(st: StructType): (String, Int) = {
-    var nextId = 0
+  /** `startAfter`: allocate field ids strictly above it — schema
+    * evolution appends fields whose ids continue from last-column-id. */
+  private[sources] def toIcebergSchemaJson(st: StructType,
+                                           startAfter: Int = 0): (String, Int) = {
+    var nextId = startAfter
     def id(): Int = { nextId += 1; nextId }
     def quote(s: String) = mapper.writeValueAsString(s)
     def conv(dt: DataType): String = dt match {
@@ -1398,9 +1401,18 @@ object IcebergSource {
    * would strip them, so the layout job partitions on duplicated shadow
    * columns). Appends require an identical schema and partition spec.
    */
+  /** `schemaPolicy` (append mode): `enforce` (default) keeps the exact
+    * schema-match contract; `evolve` aligns the frame against the table —
+    * missing table columns null-fill, NEW source columns widen the
+    * schema in the SAME metadata commit: a new schema entry (fresh
+    * schema-id) whose new fields take ids above last-column-id, prior
+    * schemas retained, current-schema-id bumped (Iceberg spec v2 schema
+    * evolution). Existing field ids never change, so equality-delete
+    * files written before the evolution keep resolving. */
   def write(df: DataFrame, root: String, mode: String = "append",
             partitionBy: Seq[String] = Nil,
-            summaryProps: Map[String, String] = Map.empty): Long = {
+            summaryProps: Map[String, String] = Map.empty,
+            schemaPolicy: DeltaSchema.Policy = DeltaSchema.Enforce): Long = {
     require(mode == "append" || mode == "overwrite",
       s"iceberg write mode must be append/overwrite, got '$mode'")
     val spark = df.sparkSession
@@ -1408,21 +1420,59 @@ object IcebergSource {
     val f = fs(spark, root)
     val exists = isIcebergTable(spark, root)
     val prev = if (exists) Some(tableMeta(spark, root)) else None
-    def validateAppend(m: TableMeta): Unit = if (mode == "append") {
-      require(m.schema.map(fd => (fd.name, fd.dataType)) ==
-        df.schema.map(fd => (fd.name, fd.dataType)),
-        "iceberg append requires an identical schema " +
-          s"(table: ${m.schema.simpleString}, frame: ${df.schema.simpleString})")
+    def validateSpec(m: TableMeta): Unit =
       require(m.partitionSpec.map(_.name) == partitionBy &&
         m.partitionSpec.forall(_.transform == "identity"),
         s"iceberg append requires the table's partition spec " +
           s"(${m.partitionSpec.map(_.name).mkString(", ")}), got " +
           s"(${partitionBy.mkString(", ")})")
+    // align the frame to the table per the schema policy; evoFields are
+    // the NEW columns that must widen the schema in this commit
+    def alignAppend(m: TableMeta): (DataFrame, Seq[StructField]) = {
+      val tableCols = m.schema.fieldNames.toSeq
+      if (schemaPolicy.mode == "enforce") {
+        require(m.schema.map(fd => (fd.name, fd.dataType)) ==
+          df.schema.map(fd => (fd.name, fd.dataType)),
+          "iceberg append requires an identical schema " +
+            s"(table: ${m.schema.simpleString}, frame: ${df.schema.simpleString}" +
+            "; pass schemaPolicy=DeltaSchema.Evolve to widen)")
+        (df, Nil)
+      } else {
+        val missing = tableCols.filterNot(df.columns.contains)
+        val newCols = df.columns.toSeq.filterNot(tableCols.contains)
+        require(missing.isEmpty || schemaPolicy.onMissing != "fail",
+          s"source is missing table columns ${missing.mkString(", ")} " +
+            "(on_missing_columns=fail)")
+        require(newCols.isEmpty || schemaPolicy.onNew != "fail",
+          s"source carries new columns ${newCols.mkString(", ")} " +
+            "(on_new_columns=fail)")
+        val dfType = df.schema.fields.map(fd => fd.name -> fd.dataType).toMap
+        m.schema.fields.filter(fd => dfType.contains(fd.name)).foreach(fd =>
+          require(dfType(fd.name) == fd.dataType,
+            s"existing column ${fd.name} cannot change type " +
+              s"(${fd.dataType.simpleString} -> ${dfType(fd.name).simpleString})"))
+        val byName = m.schema.fields.map(fd => fd.name -> fd).toMap
+        val filled = missing.foldLeft(df)((d, c) =>
+          d.withColumn(c, org.apache.spark.sql.functions.lit(null)
+            .cast(byName(c).dataType)))
+        val widen = newCols.nonEmpty && schemaPolicy.onNew == "add_nullable"
+        val kept =
+          if (widen) filled.select((tableCols ++ newCols)
+            .map(org.apache.spark.sql.functions.col): _*)
+          else filled.select(tableCols.map(org.apache.spark.sql.functions.col): _*)
+        val evo = if (!widen) Nil else newCols.map(c =>
+          StructField(c, dfType(c), nullable = true))
+        (kept, evo)
+      }
     }
-    prev.foreach(validateAppend)
+    prev.foreach(validateSpec)
+    val (data, evoFields) = prev match {
+      case Some(m) if mode == "append" => alignAppend(m)
+      case _ => (df, Nil)
+    }
     val partCols: Seq[StructField] = partitionBy.map(c =>
-      df.schema.fields.find(_.name == c).getOrElse(throw new IllegalArgumentException(
-        s"partition column $c not in ${df.schema.fieldNames.mkString(", ")}")))
+      data.schema.fields.find(_.name == c).getOrElse(throw new IllegalArgumentException(
+        s"partition column $c not in ${data.schema.fieldNames.mkString(", ")}")))
     partCols.foreach(fd => avroPartType(fd.dataType)) // fail fast on types
     val entrySchema = entrySchemaFor(partCols)
 
@@ -1431,9 +1481,9 @@ object IcebergSource {
     val commitUuid = java.util.UUID.randomUUID().toString
     val dataDir = new Path(root, s"data/$commitUuid")
     if (partitionBy.isEmpty)
-      df.write.mode("errorifexists").parquet(dataDir.toString)
+      data.write.mode("errorifexists").parquet(dataDir.toString)
     else {
-      val shadowed = partitionBy.foldLeft(df)((d, c) =>
+      val shadowed = partitionBy.foldLeft(data)((d, c) =>
         d.withColumn(s"_p_$c", col(c)))
       shadowed.write.mode("errorifexists")
         .partitionBy(partitionBy.map(c => s"_p_$c"): _*)
@@ -1506,7 +1556,15 @@ object IcebergSource {
         // rebase: a concurrent overwrite may have changed the schema or
         // spec an append must match — re-validate loudly, don't clobber
         cur = if (isIcebergTable(spark, root)) Some(tableMeta(spark, root)) else None
-        cur.foreach(validateAppend)
+        cur.foreach(validateSpec)
+        // the frame was aligned against prev's schema — a concurrent
+        // schema change invalidates the plan; abort rather than clobber
+        if (mode == "append") (prev, cur) match {
+          case (Some(p), Some(c)) =>
+            require(c.schemaJson == p.schemaJson,
+              s"concurrent schema change at $root during append — re-run")
+          case _ => ()
+        }
       }
       // snapshot id strictly above any prior id, so two commits in the
       // same millisecond stay distinct
@@ -1578,15 +1636,48 @@ object IcebergSource {
       val mlPath = new Path(metaDir(root), s"snap-$snapshotId-$attemptUuid.avro")
       writeAvro(conf, mlPath, manifestFileSchema, newManifestList)
 
-      // metadata vN+1 (snapshot history retained), version-hint LAST
-      val (schemaJson, lastColumnId) = cur match {
+      // metadata vN+1 (snapshot history retained), version-hint LAST.
+      // Appends RETAIN the prior schemas array (old snapshots keep their
+      // schema); evolution appends a NEW schema entry whose added fields
+      // take ids above last-column-id — existing field ids never change,
+      // so equality-delete files keep resolving — and bumps
+      // current-schema-id.
+      val (schemasArr, schemaJson, curSchemaId, lastColumnId) = cur match {
         case Some(m) if mode == "append" =>
-          (mapper.writeValueAsString(m.schemaJson), m.lastColumnId)
+          val raw = mapper.readTree(readText(f, new Path(m.metadataPath)))
+          val (priorArr, priorCur) =
+            if (raw.has("schemas"))
+              (raw.get("schemas").elements().asScala.map(_.toString).toSeq,
+                raw.get("current-schema-id").asInt())
+            else { // v1 single "schema" node, normalized to id 0
+              val n = raw.get("schema")
+                .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+              n.put("schema-id", 0)
+              (Seq(n.toString), 0)
+            }
+          if (evoFields.isEmpty)
+            (priorArr, mapper.writeValueAsString(m.schemaJson), priorCur,
+              m.lastColumnId)
+          else {
+            val maxSchemaId = priorArr
+              .map(s => mapper.readTree(s).get("schema-id").asInt()).max
+            val (newFieldsJs, lastId) =
+              toIcebergSchemaJson(StructType(evoFields.toArray), m.lastColumnId)
+            val widened = m.schemaJson
+              .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+            widened.put("schema-id", maxSchemaId + 1)
+            val arr = widened.withArray("fields")
+            mapper.readTree(newFieldsJs).get("fields").elements().asScala
+              .foreach(fd => { arr.add(fd); () })
+            (priorArr :+ widened.toString, widened.toString, maxSchemaId + 1,
+              lastId)
+          }
         case _ =>
-          val (js, lastId) = toIcebergSchemaJson(df.schema)
+          val (js, lastId) = toIcebergSchemaJson(data.schema)
           // graft the schema-id into the struct json
-          (js.replaceFirst("\\{\"type\":\"struct\"",
-            "{\"type\":\"struct\",\"schema-id\":0"), lastId)
+          val grafted = js.replaceFirst("\\{\"type\":\"struct\"",
+            "{\"type\":\"struct\",\"schema-id\":0")
+          (Seq(grafted), grafted, 0, lastId)
       }
       val now = snapshotId
       def summaryJson(m: Map[String, String]): String =
@@ -1598,7 +1689,7 @@ object IcebergSource {
       val newSnap =
         s"""{"snapshot-id":$snapshotId,"timestamp-ms":$now,"sequence-number":$seq,
            |"summary":${summaryJson(newSummary)},
-           |"manifest-list":"${mlPath.toString}","schema-id":0}"""
+           |"manifest-list":"${mlPath.toString}","schema-id":$curSchemaId}"""
           .stripMargin.replaceAll("\n", "")
       // prior snapshots round-trip their FULL summary map — the streaming
       // sink's exactly-once batch markers live there and must survive
@@ -1627,7 +1718,7 @@ object IcebergSource {
         s"""{"format-version":2,"table-uuid":"$uuid","location":"$root",
            |"last-sequence-number":$seq,"last-updated-ms":$now,
            |"last-column-id":$lastColumnId,
-           |"schemas":[$schemaJson],"current-schema-id":0,
+           |"schemas":[${schemasArr.mkString(",")}],"current-schema-id":$curSchemaId,
            |"partition-specs":[{"spec-id":0,"fields":[$specFieldsJson]}],"default-spec-id":0,
            |"last-partition-id":${999 + partCols.size},
            |"sort-orders":[{"order-id":0,"fields":[]}],"default-sort-order-id":0,

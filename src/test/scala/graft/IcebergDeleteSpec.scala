@@ -25,6 +25,66 @@ class IcebergDeleteSpec extends SparkSpec {
       .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
   }
 
+  test("append schema evolution: new field ids, equality deletes keep resolving") {
+    import graft.sources.DeltaSchema
+    val root = tmp()
+    IcebergSource.write((0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v"), root)
+    val m0 = IcebergSource.tableMeta(spark, root)
+    assert(m0.lastColumnId == 2)
+
+    // enforce refuses; evolve widens IN the append commit
+    intercept[IllegalArgumentException] {
+      IcebergSource.write(Seq((100L, "n", 1.5)).toDF("id", "v", "score"), root)
+    }
+    IcebergSource.write((100 until 110).map(i => (i.toLong, s"v$i", i * 0.5))
+      .toDF("id", "v", "score"), root, schemaPolicy = DeltaSchema.Evolve)
+    val m1 = IcebergSource.tableMeta(spark, root)
+    assert(m1.schema.fieldNames.toSeq == Seq("id", "v", "score"))
+    assert(m1.lastColumnId == 3, s"last-column-id ${m1.lastColumnId}")
+    // existing ids untouched, the new field continues the sequence, the
+    // prior schema entry is retained (spec: old snapshots keep theirs)
+    val ids = m1.schemaJson.get("fields").elements()
+    import scala.jdk.CollectionConverters._
+    assert(ids.asScala.map(fd =>
+      fd.get("name").asText() -> fd.get("id").asInt()).toSeq ==
+      Seq("id" -> 1, "v" -> 2, "score" -> 3))
+    val raw = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(m1.metadataPath)), "UTF-8"))
+    assert(raw.get("schemas").size() == 2)
+    assert(raw.get("current-schema-id").asInt() == 1)
+    // old rows read the evolved column as null
+    val got = IcebergSource.read(spark, root)
+    assert(got.count() == 110)
+    assert(got.filter("id = 5").collect().head.isNullAt(2))
+    assert(got.filter("id = 105").collect().head.getDouble(2) == 52.5)
+
+    // equality delete on a PRE-evolution key id still resolves — the
+    // evolution never renumbered field 1 — and hits old and new rows
+    IcebergSource.deleteKeys(spark, root,
+      Seq(5L, 105L).toDF("id"), Seq("id"))
+    val afterDel = IcebergSource.read(spark, root)
+    assert(afterDel.count() == 108)
+    assert(afterDel.filter("id in (5, 105)").count() == 0)
+
+    // MOR compaction keeps the evolved schema and the surviving rows
+    IcebergMaintenance.optimize(spark, root, targetFileBytes = 512L << 20)
+    val afterOpt = IcebergSource.read(spark, root)
+    assert(afterOpt.columns.toSeq == Seq("id", "v", "score"))
+    assert(afterOpt.count() == 108)
+    assert(afterOpt.filter("score is null").count() == 99)
+
+    // a LATER plain append must keep the evolved schemas array intact
+    // (regression: appends used to re-emit current-schema-id 0)
+    IcebergSource.write(Seq((200L, "z", 9.0)).toDF("id", "v", "score"), root)
+    assert(IcebergSource.read(spark, root).count() == 109)
+    // missing-column append under evolve null-fills
+    IcebergSource.write(Seq((201L, "y")).toDF("id", "v"), root,
+      schemaPolicy = DeltaSchema.Evolve)
+    assert(IcebergSource.read(spark, root).filter("id = 201")
+      .collect().head.isNullAt(2))
+  }
+
   test("position delete: no data file rewritten, reader drops the rows") {
     val root = tmp()
     IcebergSource.write((0 until 1000).map(i => (i.toLong, i % 10))
