@@ -428,11 +428,17 @@ object Tools {
       var from: Option[String] = None
       var strategy = "upsert"
       var pf = Map.empty[String, String]
+      var schemaMode = "enforce"
+      var onNew = "add_nullable"
+      var onMissing = "fill_null"
       var r = rest
       while (r.nonEmpty) r match {
         case "--keys" :: v :: t => keys = v.split(",").toSeq.filter(_.nonEmpty); r = t
         case "--from" :: v :: t => from = Some(v); r = t
         case "--strategy" :: v :: t => strategy = v; r = t
+        case "--schema-mode" :: v :: t => schemaMode = v; r = t
+        case "--on-new-columns" :: v :: t => onNew = v; r = t
+        case "--on-missing-columns" :: v :: t => onMissing = v; r = t
         case "--partition" :: kv :: t => kv.split("=", 2) match {
           case Array(k, v) => pf += (k -> v); r = t
           case _ => System.err.println(s"--partition needs K=V, got $kv"); return 2
@@ -443,18 +449,27 @@ object Tools {
       if (keys.isEmpty || from.isEmpty) {
         System.err.println("usage: graft.Tools delta merge <root> --keys k1[,k2..] " +
           "--from <source-parquet> [--strategy upsert|delete_match|append_only] " +
-          "[--partition K=V ...]")
+          "[--partition K=V ...] [--schema-mode enforce|evolve] " +
+          "[--on-new-columns add_nullable|ignore|fail] " +
+          "[--on-missing-columns fill_null|fail]")
         return 2
       }
+      val policy =
+        try graft.sources.DeltaSchema.Policy(schemaMode, onNew, onMissing)
+        catch {
+          case e: IllegalArgumentException =>
+            System.err.println(e.getMessage); return 2
+        }
       withSpark { spark =>
         val src = spark.read.parquet(from.get)
         val res = strategy match {
           case "upsert" => graft.sources.DeltaMerge.upsert(spark, root, src,
-            keys, partitionFilter = pf)
+            keys, partitionFilter = pf, schemaPolicy = policy)
           case "delete_match" => graft.sources.DeltaMerge.deleteMatch(spark,
             root, src, keys, partitionFilter = pf)
           case "append_only" =>
-            graft.sources.DeltaMerge.appendOnly(spark, root, src, keys)
+            graft.sources.DeltaMerge.appendOnly(spark, root, src, keys,
+              schemaPolicy = policy)
           case other =>
             System.err.println(s"unknown merge strategy '$other'"); return 2
         }
@@ -468,7 +483,7 @@ object Tools {
         """usage: graft.Tools delta optimize <root> [--target-file-mb N] [--zorder-by a,b]
           |       graft.Tools delta vacuum <root> [--retention-hours H] [--dry-run]
           |       graft.Tools delta delete <root> <predicate> [--partition K=V ...]
-          |       graft.Tools delta merge <root> --keys k1[,k2..] --from <source-parquet> [--strategy S] [--partition K=V ...]
+          |       graft.Tools delta merge <root> --keys k1[,k2..] --from <source-parquet> [--strategy S] [--partition K=V ...] [--schema-mode enforce|evolve]
           |       graft.Tools delta restore <root> <version>
           |       graft.Tools delta history <root>""".stripMargin)
       2

@@ -95,34 +95,15 @@ object DeltaSchema {
     val mapped =
       snap.configuration.getOrElse("delta.columnMapping.mode", "none") != "none"
     val srcField = source.schema.fields.map(f => f.name -> f).toMap
-    var nextId = if (!mapped) 0L else math.max(
-      snap.configuration.get("delta.columnMapping.maxColumnId")
-        .map(_.toLong).getOrElse(0L),
-      maxMappingId(snap.schema))
-    def withIds(dt: DataType): DataType = dt match {
-      case s: StructType => StructType(s.fields.map { f =>
-        nextId += 1
-        StructField(f.name, withIds(f.dataType), nullable = true,
-          new MetadataBuilder()
-            .putString("delta.columnMapping.physicalName",
-              s"col-${java.util.UUID.randomUUID()}")
-            .putLong("delta.columnMapping.id", nextId).build())
-      })
-      case a: ArrayType => a.copy(elementType = withIds(a.elementType))
-      case m: MapType =>
-        m.copy(keyType = withIds(m.keyType), valueType = withIds(m.valueType))
-      case other => other
-    }
+    var nextId = if (!mapped) 0L else nextMappingId(snap)
     val newFields = newCols.map { c =>
       val f = srcField(c)
       if (!mapped) StructField(c, f.dataType, nullable = true)
       else {
-        nextId += 1
-        StructField(c, withIds(f.dataType), nullable = true,
-          new MetadataBuilder()
-            .putString("delta.columnMapping.physicalName",
-              s"col-${java.util.UUID.randomUUID()}")
-            .putLong("delta.columnMapping.id", nextId).build())
+        val (withMeta, last) =
+          withMappingIds(StructField(c, f.dataType, nullable = true), nextId)
+        nextId = last
+        withMeta
       }
     }
     val newSchema = StructType(snap.schema.fields ++ newFields)
@@ -132,6 +113,66 @@ object DeltaSchema {
         ("delta.columnMapping.maxColumnId" -> nextId.toString)
     Aligned(filled, newSchema,
       Some(Evolution(snap.schema.json, newSchema, newConf)))
+  }
+
+  /** First mapping id ABOVE everything the table has used (config
+    * maxColumnId or any id in the schema metadata). */
+  private[sources] def nextMappingId(snap: DeltaLog.Snapshot): Long = math.max(
+    snap.configuration.get("delta.columnMapping.maxColumnId")
+      .map(_.toLong).getOrElse(0L),
+    maxMappingId(snap.schema))
+
+  /** Assign fresh column-mapping metadata (id + UUID physical name) to
+    * `f` and every nested struct field, with ids continuing above
+    * `after`; returns the rewritten field and the last id used. */
+  private[sources] def withMappingIds(f: StructField,
+                                      after: Long): (StructField, Long) = {
+    var nextId = after
+    def ids(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map { fd =>
+        nextId += 1
+        StructField(fd.name, ids(fd.dataType), nullable = true,
+          new MetadataBuilder()
+            .putString("delta.columnMapping.physicalName",
+              s"col-${java.util.UUID.randomUUID()}")
+            .putLong("delta.columnMapping.id", nextId).build())
+      })
+      case a: ArrayType => a.copy(elementType = ids(a.elementType))
+      case m: MapType =>
+        m.copy(keyType = ids(m.keyType), valueType = ids(m.valueType))
+      case other => other
+    }
+    nextId += 1
+    val meta = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName",
+        s"col-${java.util.UUID.randomUUID()}")
+      .putLong("delta.columnMapping.id", nextId).build()
+    (StructField(f.name, ids(f.dataType), f.nullable, meta), nextId)
+  }
+
+  /**
+   * Schema + configuration for OVERWRITING a column-mapped table with
+   * `df`'s schema: same-named fields with unchanged (stripped) types
+   * keep their mapping metadata (delta-spark's overwriteSchema
+   * behavior — readers of old checkpoints keyed on ids stay coherent);
+   * changed or new fields take fresh ids above maxColumnId, which the
+   * returned configuration bumps.
+   */
+  def overwriteMapped(df: StructType,
+                      snap: DeltaLog.Snapshot): (StructType, Map[String, String]) = {
+    val byName = snap.schema.fields.map(f => f.name -> f).toMap
+    var nextId = nextMappingId(snap)
+    val fields = df.fields.map { f =>
+      byName.get(f.name) match {
+        case Some(old) if DeltaLog.stripMeta(old.dataType) == f.dataType => old
+        case _ =>
+          val (withMeta, last) = withMappingIds(f, nextId)
+          nextId = last
+          withMeta
+      }
+    }
+    (StructType(fields),
+      snap.configuration + ("delta.columnMapping.maxColumnId" -> nextId.toString))
   }
 
   private def maxMappingId(dt: DataType): Long = dt match {

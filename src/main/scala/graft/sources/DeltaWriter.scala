@@ -151,25 +151,22 @@ object DeltaWriter {
     // `evolve` aligns the frame (null-fill missing, widen on new columns
     // — the widened metaData rides the same commit) per the reference's
     // SchemaMode/OnNewColumns/OnMissingColumns semantics
+    def stripped(st: StructType): StructType =
+      StructType(st.fields.map(fd =>
+        StructField(fd.name, DeltaLog.stripMeta(fd.dataType), fd.nullable)))
     var data = df
     var evolution: Option[DeltaSchema.Evolution] = None
     prior.filterNot(_ => isOverwrite && !scoped).foreach { p =>
       if (schemaPolicy.mode == "enforce")
-        require(sameSchema(df.schema, p.schema),
+        require(sameSchema(df.schema, stripped(p.schema)),
           s"${if (scoped) "replaceWhere" else "append"} schema " +
             s"${df.schema.simpleString} does not match Delta table " +
             s"schema ${p.schema.simpleString} (overwrite to evolve, or " +
             "pass schemaPolicy=DeltaSchema.Evolve)")
       else {
         val a = DeltaSchema.align(df, p, schemaPolicy)
-        require(a.evolution.isEmpty ||
-          p.configuration.getOrElse("delta.columnMapping.mode", "none") == "none",
-          "schema-evolving append to a column-mapped table must go " +
-            "through DeltaMerge (physical-name staging)")
         data = a.source.select(a.schema.fieldNames.map(col).toSeq: _*)
-        require(sameSchema(data.schema,
-          StructType(a.schema.fields.map(fd =>
-            StructField(fd.name, DeltaLog.stripMeta(fd.dataType), fd.nullable)))),
+        require(sameSchema(data.schema, stripped(a.schema)),
           s"append schema ${df.schema.simpleString} does not match Delta " +
             s"table schema ${p.schema.simpleString} — existing columns " +
             "cannot change type under schema evolution")
@@ -177,11 +174,40 @@ object DeltaWriter {
       }
     }
 
+    // the METADATA-carrying logical schema this commit targets, plus the
+    // table configuration it carries. Column-mapped tables stage
+    // PHYSICAL-name files (what the reader resolves); a full overwrite
+    // of a mapped table re-keys changed/new fields with fresh mapping
+    // ids while same-named unchanged fields keep theirs.
+    val mappedMode = prior.exists(
+      _.configuration.getOrElse("delta.columnMapping.mode", "none") != "none")
+    val (effSchema, effConf) = prior match {
+      case Some(p) if !isOverwrite || scoped =>
+        (evolution.map(_.schema).getOrElse(p.schema),
+          evolution.map(_.configuration).getOrElse(p.configuration))
+      case Some(p) if mappedMode => DeltaSchema.overwriteMapped(df.schema, p)
+      case Some(p) => (df.schema, p.configuration)
+      case None => (df.schema, Map.empty[String, String])
+    }
+    val physOf: Map[String, String] =
+      effSchema.fields.map(f => f.name -> DeltaLog.physicalName(f)).toMap
+
     // ---- stage data files with the ordinary distributed parquet writer
     val nonce = java.lang.Long.toHexString(System.nanoTime())
-    val (adds, rows) = stageAndMove(data, root, partCols, nonce, countRows = true)
+    val stageFrame =
+      if (!mappedMode) data
+      else data.select(effSchema.fields.map(fd =>
+        col(fd.name).cast(DeltaLog.toPhysical(fd.dataType))
+          .as(DeltaLog.physicalName(fd))).toSeq: _*)
+    val stagePartCols = partCols.map(c => physOf.getOrElse(c, c))
+    val (adds, rows) =
+      stageAndMove(stageFrame, root, stagePartCols, nonce, countRows = true)
+    // mapped tables key partitionValues by PHYSICAL name — resolve the
+    // logical replaceWhere key both ways
     def inScope(a: DeltaLog.AddFile): Boolean =
-      replaceWhere.forall { case (k, v) => a.partitionValues.get(k).flatten.contains(v) }
+      replaceWhere.forall { case (k, v) =>
+        a.partitionValues.get(physOf.getOrElse(k, k))
+          .orElse(a.partitionValues.get(k)).flatten.contains(v) }
     if (scoped) {
       val escaped = adds.filterNot(inScope)
       if (escaped.nonEmpty) {
@@ -219,7 +245,8 @@ object DeltaWriter {
       val now = System.currentTimeMillis()
       val needMeta = current.isEmpty || evolution.isDefined ||
         (isOverwrite && !scoped && current.exists(c =>
-          !sameSchema(c.schema, df.schema) || c.partitionColumns != partCols))
+          !sameSchema(c.schema, effSchema) || c.partitionColumns != partCols ||
+            c.configuration != effConf))
       val lines = scala.collection.mutable.ArrayBuffer[String]()
       val rwParam = if (scoped)
         s""","replaceWhere":${q(replaceWhere.map { case (k, v) => s"$k=$v" }.mkString(","))}"""
@@ -228,13 +255,9 @@ object DeltaWriter {
       if (current.isEmpty)
         lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
       if (needMeta)
-        // an evolving overwrite/append keeps the table's configuration
-        lines += (evolution match {
-          case Some(e) => metaDataJson(tableId, e.schema, partCols, now,
-            e.configuration)
-          case None => metaDataJson(tableId, df.schema, partCols, now,
-            current.map(_.configuration).getOrElse(Map.empty))
-        })
+        // evolving/overwriting commits keep the table's configuration;
+        // mapped tables' effSchema carries the mapping metadata
+        lines += metaDataJson(tableId, effSchema, partCols, now, effConf)
       txn.foreach { case (appId, v) =>
         lines += s"""{"txn":{"appId":${q(appId)},"version":$v,"lastUpdated":$now}}"""
       }

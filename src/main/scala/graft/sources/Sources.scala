@@ -347,6 +347,14 @@ object Sources {
    * TrainingSoakSpec's two-batch pipeline run (batch 2's nodes silently
    * consumed batch 1's auto-cached sinks).
    */
+  /** Table-format sinks' schema-evolution policy from write options
+    * (schema_mode / on_new_columns / on_missing_columns). */
+  private def sinkPolicy(cfg: WriteConfig): DeltaSchema.Policy =
+    DeltaSchema.Policy(
+      cfg.options.getOrElse("schema_mode", "enforce"),
+      cfg.options.getOrElse("on_new_columns", "add_nullable"),
+      cfg.options.getOrElse("on_missing_columns", "fill_null"))
+
   private def refreshSink(df: DataFrame, path: String): Unit =
     try df.sparkSession.catalog.refreshByPath(path)
     catch { case _: Exception => () } // best effort: never fail a completed write
@@ -415,8 +423,11 @@ object Sources {
             require(i > 0, s"malformed replace_where entry '$kv' (want k=v)")
             kv.substring(0, i).trim -> kv.substring(i + 1).trim
           }.toMap).getOrElse(Map.empty[String, String])
+        // schema_mode / on_new_columns / on_missing_columns options: the
+        // append-side evolution policy (an upstream that gains a column
+        // widens the table in the same commit under evolve)
         DeltaWriter.write(d0, path, cfg.mode, cfg.partitionBy,
-          replaceWhere = replaceWhere)
+          replaceWhere = replaceWhere, schemaPolicy = sinkPolicy(cfg))
       } finally pinnedDelta.foreach { p => p.unpersist(); () }
       if (cfg.options.get("optimize_after").exists(_.equalsIgnoreCase("true"))) {
         val target = cfg.options.get("target_file_bytes").map(_.toLong)
@@ -432,7 +443,8 @@ object Sources {
       val mode = if (cfg.mode == "append") "append" else "overwrite"
       // partition_by commits an identity-partitioned spec (per-file
       // partition tuples + manifest bound summaries drive read pruning)
-      val rows = IcebergSource.write(d, path, mode, partitionBy = cfg.partitionBy)
+      val rows = IcebergSource.write(d, path, mode,
+        partitionBy = cfg.partitionBy, schemaPolicy = sinkPolicy(cfg))
       // optimize_after: true bin-packs small files into a replace
       // snapshot right after the load (micro-batch sinks accrete them)
       if (cfg.options.get("optimize_after").exists(_.equalsIgnoreCase("true"))) {

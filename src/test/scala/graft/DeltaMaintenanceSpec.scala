@@ -316,4 +316,26 @@ class DeltaMaintenanceSpec extends SparkSpec {
       System.currentTimeMillis().toString)) == 0)
     assert(Tools.mainExit(Array("delta", "restore", root, "--oops", "1")) == 2)
   }
+
+  test("Tools delta merge verb honors --schema-mode evolve") {
+    val root = tmp()
+    DeltaWriter.write(mk(10, "m"), root, "append")
+    val srcDir = tmp()
+    mk(5, "u").withColumn("extra", lit(7)).coalesce(1)
+      .write.mode("overwrite").parquet(srcDir)
+    // enforce (default) drops the new column; evolve widens
+    assert(Tools.mainExit(Array("delta", "merge", root,
+      "--keys", "id", "--from", srcDir)) == 0)
+    assert(DeltaLog.snapshot(spark, root).schema.fieldNames.toSeq == Seq("id", "s"))
+    assert(Tools.mainExit(Array("delta", "merge", root,
+      "--keys", "id", "--from", srcDir, "--schema-mode", "evolve")) == 0)
+    val snap = DeltaLog.snapshot(spark, root)
+    assert(snap.schema.fieldNames.toSeq == Seq("id", "s", "extra"))
+    assert(DeltaLog.read(spark, root).filter("extra = 7").count() == 5)
+    // bad policy values exit with usage, unknown args too
+    assert(Tools.mainExit(Array("delta", "merge", root, "--keys", "id",
+      "--from", srcDir, "--schema-mode", "bogus")) == 2)
+    assert(Tools.mainExit(Array("delta", "merge", root, "--keys", "id",
+      "--from", srcDir, "--nope", "1")) == 2)
+  }
 }

@@ -213,6 +213,106 @@ class DeltaSchemaSpec extends SparkSpec {
     }
   }
 
+  test("DeltaWriter.write stages PHYSICAL names against column-mapped tables") {
+    import org.apache.spark.sql.types._
+    // a mapped table written to with write() used to stage LOGICAL-named
+    // parquet — the physical-name reader resolved every column to null
+    val root = tmp()
+    val cm = (name: String, dt: DataType, phys: String, id: Long) =>
+      StructField(name, dt, nullable = true, new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id).build())
+    val logical = StructType(Seq(
+      cm("id", LongType, "col-a", 1), cm("v", StringType, "col-b", 2),
+      cm("day", StringType, "col-d", 3)))
+    val staging = Files.createTempDirectory("cmwrite").toFile
+    Seq((1L, "a")).toDF("x", "y")
+      .select(col("x").as("col-a"), col("y").as("col-b"))
+      .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val part = staging.listFiles().find(f =>
+      f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+    val dest = new java.io.File(root, "col-d=mon/d0.parquet")
+    dest.getParentFile.mkdirs()
+    java.nio.file.Files.copy(part.toPath, dest.toPath)
+    val jq = (s: String) => "\"" + s + "\""
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "_delta_log"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_delta_log", "00000000000000000000.json"),
+      Seq(
+        """{"commitInfo":{"timestamp":1000,"operation":"WRITE"}}""",
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${
+          new com.fasterxml.jackson.databind.ObjectMapper()
+            .writeValueAsString(logical.json)},"partitionColumns":["day"],"configuration":{${
+          jq("delta.columnMapping.mode")}:${jq("name")},${
+          jq("delta.columnMapping.maxColumnId")}:${jq("3")}},"createdTime":1}}""",
+        s"""{"add":{"path":"col-d=mon/d0.parquet","partitionValues":{${
+          jq("col-d")}:${jq("mon")}},"size":1,"modificationTime":1000,"dataChange":true}}""")
+        .mkString("\n").getBytes("UTF-8"))
+
+    // append with the LOGICAL schema: files + partition dirs go physical
+    DeltaWriter.write(Seq((2L, "b", "tue")).toDF("id", "v", "day"), root)   // v1
+    assert(rows(DeltaLog.read(spark, root)) == Set("1|a|mon", "2|b|tue"))
+    val appended = DeltaLog.snapshot(spark, root).files
+      .filterNot(_.path == "col-d=mon/d0.parquet")
+    assert(appended.nonEmpty)
+    appended.foreach { a =>
+      assert(a.partitionValues.keySet == Set("col-d"), s"logical pv keys: $a")
+      assert(a.path.startsWith("col-d="), s"logical partition dir: ${a.path}")
+    }
+
+    // replaceWhere resolves the logical key to the physical pv key
+    DeltaWriter.write(Seq((9L, "B", "tue")).toDF("id", "v", "day"), root,
+      "overwrite", Seq("day"), replaceWhere = Map("day" -> "tue"))          // v2
+    assert(rows(DeltaLog.read(spark, root)) == Set("1|a|mon", "9|B|tue"))
+
+    // evolving append assigns a fresh mapping id to the new column
+    DeltaWriter.write(Seq((3L, "c", "wed", 1.5)).toDF("id", "v", "day", "w"),
+      root, schemaPolicy = graft.sources.DeltaSchema.Evolve)                // v3
+    val snap3 = DeltaLog.snapshot(spark, root)
+    assert(snap3.schema("w").metadata.getLong("delta.columnMapping.id") == 4L)
+    assert(snap3.configuration("delta.columnMapping.maxColumnId") == "4")
+    assert(rows(DeltaLog.read(spark, root)) ==
+      Set("1|a|mon|null", "9|B|tue|null", "3|c|wed|1.5"))
+
+    // full overwrite: same-named unchanged fields keep their mapping
+    // metadata, the replaced column set stays externally coherent
+    DeltaWriter.write(Seq((7L, "z", "thu")).toDF("id", "v", "day"), root,
+      "overwrite", Seq("day"))                                              // v4
+    val snap4 = DeltaLog.snapshot(spark, root)
+    assert(snap4.schema.fieldNames.toSeq == Seq("id", "v", "day"))
+    assert(snap4.schema("id").metadata
+      .getString("delta.columnMapping.physicalName") == "col-a")
+    assert(snap4.configuration("delta.columnMapping.mode") == "name")
+    assert(rows(DeltaLog.read(spark, root)) == Set("7|z|thu"))
+    // pre-overwrite state still time-travels with ITS schema
+    assert(DeltaLog.read(spark, root, versionAsOf = Some(3L)).count() == 3)
+  }
+
+  test("declarative delta/iceberg sinks evolve via write options") {
+    import graft.sources.{IcebergSource, Sources}
+    val root = tmp()
+    Sources.write(Seq((1L, "a")).toDF("id", "v"), root,
+      Sources.WriteConfig(format = "delta", mode = "overwrite"))
+    // enforce (default) refuses the widened append
+    intercept[IllegalArgumentException] {
+      Sources.write(Seq((2L, "b", 1)).toDF("id", "v", "n"), root,
+        Sources.WriteConfig(format = "delta", mode = "append"))
+    }
+    Sources.write(Seq((2L, "b", 1)).toDF("id", "v", "n"), root,
+      Sources.WriteConfig(format = "delta", mode = "append",
+        options = Map("schema_mode" -> "evolve")))
+    assert(rows(DeltaLog.read(spark, root)) == Set("1|a|null", "2|b|1"))
+
+    val root2 = tmp()
+    Sources.write(Seq((1L, "a")).toDF("id", "v"), root2,
+      Sources.WriteConfig(format = "iceberg", mode = "append"))
+    Sources.write(Seq((2L, "b", 1)).toDF("id", "v", "n"), root2,
+      Sources.WriteConfig(format = "iceberg", mode = "append",
+        options = Map("schema_mode" -> "evolve")))
+    assert(rows(IcebergSource.read(spark, root2)) == Set("1|a|null", "2|b|1"))
+  }
+
   test("merge_delta transformer exposes the schema_mode knobs") {
     graft.core.StandardTransformers.registerAll
     val root = tmp()
