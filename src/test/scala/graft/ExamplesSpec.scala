@@ -98,19 +98,28 @@ class ExamplesSpec extends SparkSpec {
     assert(target.filter("o_orderkey >= 90000000").count() == inserted)
     // the merge was ONE commit of bitmaps + new files on the seed:
     // matched rows carry vectors, the seed's data files all survive
-    val snap = graft.sources.DeltaLog.snapshot(spark, root)
-    assert(snap.version == 1L, "merge must be ONE commit on the seed")
+    val snap = graft.sources.DeltaLog.snapshot(spark, root, versionAsOf = Some(1L))
     assert(snap.files.exists(_.deletionVector.isDefined))
     val seed = graft.sources.DeltaLog.snapshot(spark, root, versionAsOf = Some(0L))
     seed.files.foreach(a => assert(
       new java.io.File(root, a.path).exists(), s"seed file ${a.path} rewritten"))
     // CDF attributes the merge faithfully: replaced rows are UPDATE
     // pre/postimage pairs, brand-new keys are inserts
-    val ch = graft.sources.DeltaLog.changes(spark, root, 1L)
+    val ch = graft.sources.DeltaLog.changes(spark, root, 1L, Some(1L))
     assert(ch.filter("_change_type = 'update_preimage'").count() == updated)
     assert(ch.filter("_change_type = 'update_postimage'").count() == updated)
     assert(ch.filter("_change_type = 'insert'").count() == inserted)
     assert(spark.read.parquet(s"$out/audit/post_merge").count() == total + inserted)
+
+    // the evolved batch widened the schema IN its merge commit (one
+    // more version, o_channel appended); pre-existing rows read null
+    val after = graft.sources.DeltaLog.snapshot(spark, root)
+    assert(after.version == 2L, s"evolution took ${after.version - 1} commits")
+    assert(after.schema.fieldNames.last == "o_channel")
+    assert(target.filter("o_orderkey % 100 = 0 and o_channel is not null")
+      .count() == orders.filter("o_orderkey % 100 = 0").count())
+    assert(target.filter("o_orderkey % 50 = 0 and o_orderkey % 100 <> 0")
+      .filter("o_channel is not null").count() == 0)
   }
 
   test("star_schema example plans with zero diagnostics") {
