@@ -77,7 +77,11 @@ object Bench {
     "q_unpack_struct", "q_unpivot", "q_validate_and_flag",
     // r11-r12 additions: live-DB and API reads, row-level deletes
     "q_jdbc_read", "q_api_read", "q_delta_dv_delete", "q_iceberg_delete",
-    "q_iceberg_eq_delete")
+    "q_iceberg_eq_delete",
+    // r14 additions: schema-evolving merge, rollback/restore, SCD2 soft
+    // deletes, stats-based data skipping
+    "q_merge_evolve", "q_delta_restore", "q_iceberg_rollback",
+    "q_scd2_deletes", "q_delta_skipping")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

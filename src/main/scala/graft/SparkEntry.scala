@@ -1254,6 +1254,31 @@ object SparkEntry {
       graft.sources.IcebergMaintenance.rollback(s, root, snaps.head.snapshotId)
       graft.sources.IcebergSource.read(s, root)
     }),
+    "q_delta_skipping" -> ((s, d) => {
+      // stats-based data skipping end-to-end: lineitem lands as a Delta
+      // table range-clustered on l_orderkey (16 files with footer-derived
+      // min/max stats in their add actions), then a range read arrives as
+      // a dataFilter. The prune must drop most files BEFORE the scan
+      // plans (asserted via DeltaStats.prune — this is what makes ZORDER
+      // pay off at 100 TB), and the result must hash-match DuckDB
+      // filtering the ORIGINAL parquet: skipping may never change rows.
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_delta_skip")
+        .toString + "/lineitem"
+      graft.sources.DeltaWriter.write(
+        li.repartitionByRange(16, col("l_orderkey")), root)
+      val snap = graft.sources.DeltaLog.snapshot(s, root)
+      val pred = col("l_orderkey") >= 1000L && col("l_orderkey") < 2000L
+      val pr = graft.sources.DeltaStats.prune(s, snap, pred)
+      require(pr.skipped > 0 && pr.kept < pr.candidates,
+        s"stats skipping pruned nothing: kept ${pr.kept}/${pr.candidates}")
+      graft.sources.DeltaLog.read(s, root, dataFilter = Some(pred))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"),
+          round(sum("l_extendedprice"), 2).as("revenue"),
+          min("l_orderkey").as("min_key"), max("l_orderkey").as("max_key"))
+    }),
     "q_delta_optimize" -> ((s, d) => {
       // OPTIMIZE over the native writer: three small append commits, a
       // bin-pack compaction (remove+add, dataChange=false), then a
@@ -2302,6 +2327,10 @@ object SparkEntry {
       "SELECT * FROM customer WHERE c_custkey % 2 = 0",
     "q_delta_optimize" ->
       "SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS revenue, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key FROM orders GROUP BY 1",
+    // data skipping is an optimization, never a semantics change: the
+    // skipped read must equal a plain filtered aggregate of the source
+    "q_delta_skipping" ->
+      "SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty, round(sum(l_extendedprice), 2) AS revenue, min(l_orderkey) AS min_key, max(l_orderkey) AS max_key FROM lineitem WHERE l_orderkey >= 1000 AND l_orderkey < 2000 GROUP BY 1",
     // the deterministic simulation columns recomputed as closed forms of
     // (entity, tick): same grid, same sinusoid constant (2*pi()/24 is the
     // identical float64 as the Scala 2*math.Pi/24), same event window.

@@ -364,10 +364,14 @@ object DeltaDvWriter {
           // tightBounds=false — delta-spark DML on the table fails
           // without it. Prior stats already hold the physical count;
           // a stats-less foreign add falls back to one footer read.
+          // min/max/nullCount stay (valid non-tight bounds survive
+          // row-level deletes), so data skipping keeps working on
+          // DV-carrying files.
           val n = a.numRecords.getOrElse(DeltaWriter.parquetRowCount(
             spark.sessionState.newHadoopConf(),
             new Path(DeltaLog.absolutize(root, a.path))))
-          val stats = q(s"""{"numRecords":$n,"tightBounds":false}""")
+          val stats = q(DeltaStats.loosen(
+            a.stats.getOrElse(s"""{"numRecords":$n}"""), n))
           // the path is re-emitted exactly as the log stored it
           lines += s"""{"remove":{"path":${q(a.path)},"deletionTimestamp":$now,"dataChange":true}}"""
           lines += s"""{"add":{"path":${q(a.path)},"partitionValues":{$pvs},"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true,"stats":$stats,"deletionVector":{"storageType":"u","pathOrInlineDv":${q(d.enc)},"offset":${d.offset},"sizeInBytes":${d.size},"cardinality":${d.cardinality}}}}"""

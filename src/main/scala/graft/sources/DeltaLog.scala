@@ -2,7 +2,7 @@ package graft.sources
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -453,13 +453,14 @@ object DeltaLog {
   def read(spark: SparkSession, root: String,
            versionAsOf: Option[Long] = None,
            timestampAsOfMs: Option[Long] = None,
-           partitionFilter: Map[String, String] = Map.empty): DataFrame = {
+           partitionFilter: Map[String, String] = Map.empty,
+           dataFilter: Option[Column] = None): DataFrame = {
     val snap0 = snapshot(spark, root, versionAsOf, timestampAsOfMs)
     // logical name -> physical (column-mapped tables key partitionValues
     // by physical name); shared by the prune below and the value join
     val physOf: Map[String, String] =
       snap0.schema.fields.map(f => f.name -> physicalName(f)).toMap
-    val snap = if (partitionFilter.isEmpty) snap0 else {
+    val snap1 = if (partitionFilter.isEmpty) snap0 else {
       val unknown = partitionFilter.keySet -- snap0.partitionColumns.toSet
       require(unknown.isEmpty,
         s"partitionFilter keys $unknown are not partition columns " +
@@ -469,6 +470,16 @@ object DeltaLog {
           .orElse(a.partitionValues.get(k)).flatten.contains(v)
       }))
     }
+    // stats-based data skipping: drop files whose min/max/nullCount prove
+    // no row can match, then RE-APPLY the predicate on the scan so
+    // correctness never depends on the prune (and Spark still pushes it
+    // into the parquet reader for page-level skipping)
+    val snap = dataFilter match {
+      case Some(f) => snap1.copy(files = DeltaStats.prune(spark, snap1, f).files)
+      case None => snap1
+    }
+    def withFilter(df: DataFrame): DataFrame =
+      dataFilter.map(df.filter).getOrElse(df)
     val mapped =
       snap.configuration.getOrElse("delta.columnMapping.mode", "none") != "none"
     val logicalType: Map[String, DataType] =
@@ -492,8 +503,8 @@ object DeltaLog {
     val paths = snap.files.map(a => absolutize(root, a.path))
     val rawScan = spark.read.schema(dataSchema).parquet(paths: _*)
     if (snap.partitionColumns.isEmpty)
-      return applyDeletionVectors(spark, root, snap, rawScan)
-        .select(ordered.map(logicalCol): _*)
+      return withFilter(applyDeletionVectors(spark, root, snap, rawScan)
+        .select(ordered.map(logicalCol): _*))
     // file name (unique UUID-bearing basenames per the Delta writers) →
     // partition value strings, cast to the declared types after the join
     val base = (p: String) => p.substring(p.lastIndexOf('/') + 1)
@@ -524,11 +535,11 @@ object DeltaLog {
         element_at(split(input_file_name(), "/"), -1)))
     val partType = snap.schema.fields.map(fd => fd.name -> fd.dataType).toMap
     val joined = withFile.join(broadcast(pv), Seq("_gf_file"))
-    joined.select(ordered.map { c =>
+    withFilter(joined.select(ordered.map { c =>
       if (snap.partitionColumns.contains(c))
         col(s"_gf_pv_$c").cast(stripMeta(partType(c))).as(c)
       else logicalCol(c)
-    }: _*)
+    }: _*))
   }
 
   /**

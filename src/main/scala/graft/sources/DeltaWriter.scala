@@ -335,16 +335,17 @@ object DeltaWriter {
       f.mkdirs(dest.getParent)
       require(f.rename(s.getPath, dest), s"failed to move staged file $rel into $root")
       val st = f.getFileStatus(dest)
-      // per-file numRecords from the parquet footer (driver-side, one
+      // full per-file stats from the parquet footer (driver-side, one
       // footer read per file in the same loop that renames — the same
-      // bounded metadata cost every Delta writer pays): the protocol's
-      // DV writer requirements mandate stats.numRecords on any add that
-      // later carries a deletion vector, and delta-spark DML fails
-      // without it, so every add this engine writes records it up front
-      val n = parquetRowCount(
+      // bounded metadata cost every Delta writer pays): numRecords because
+      // the protocol's DV writer requirements mandate it on any add that
+      // later carries a deletion vector, and minValues/maxValues/nullCount
+      // because they are what read-side data skipping (and OPTIMIZE
+      // ZORDER's whole payoff) prunes on — see [[DeltaStats.footerStats]]
+      val (_, statsJson) = DeltaStats.footerStats(
         spark.sessionState.newHadoopConf(), dest)
       DeltaLog.AddFile(rel, pv, st.getLen, st.getModificationTime,
-        stats = Some(s"""{"numRecords":$n,"tightBounds":true}"""))
+        stats = Some(statsJson))
     }
     f.delete(staging, true)
     (adds, rows)

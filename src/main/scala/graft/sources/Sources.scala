@@ -125,10 +125,16 @@ object Sources {
               s"delta partition_filter clause '$kv' is not 'col=value'")
           }
         }.toMap).getOrElse(Map.empty[String, String])
+      // filter: a SQL predicate pushed into STATS-BASED FILE SKIPPING
+      // (min/max/nullCount per add action) before the scan plans — on a
+      // clustered 100 TB table this reads a handful of files, and the
+      // predicate is re-applied on the scan so the answer never depends
+      // on the prune
       return DeltaLog.read(spark, deltaPath,
         versionAsOf = opt("version_as_of", "versionAsOf").map(_.toLong),
         timestampAsOfMs = opt("timestamp_as_of_ms", "timestampAsOfMs").map(_.toLong),
-        partitionFilter = pf)
+        partitionFilter = pf,
+        dataFilter = opt("filter", "where").map(org.apache.spark.sql.functions.expr))
     }
     // a media directory scans through the built-in binaryFile source into
     // the canonical media frame (Multimodal.readMedia)
