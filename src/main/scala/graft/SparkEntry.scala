@@ -1279,6 +1279,29 @@ object SparkEntry {
           round(sum("l_extendedprice"), 2).as("revenue"),
           min("l_orderkey").as("min_key"), max("l_orderkey").as("max_key"))
     }),
+    "q_iceberg_skipping" -> ((s, d) => {
+      // Iceberg column-bound file skipping end-to-end: lineitem lands as
+      // an Iceberg table range-clustered on l_orderkey (manifest entries
+      // carry lower/upper_bounds per field id), a range read arrives as a
+      // dataFilter, the prune must drop files at the MANIFEST level
+      // (asserted via pruneReport), and the result must hash-match DuckDB
+      // filtering the ORIGINAL parquet.
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_ice_skip")
+        .toString + "/lineitem"
+      graft.sources.IcebergSource.write(
+        li.repartitionByRange(16, col("l_orderkey")), root)
+      val pred = col("l_orderkey") >= 1000L && col("l_orderkey") < 2000L
+      val pr = graft.sources.IcebergSource.pruneReport(s, root, pred)
+      require(pr.skipped > 0 && pr.kept < pr.candidates,
+        s"iceberg bound skipping pruned nothing: kept ${pr.kept}/${pr.candidates}")
+      graft.sources.IcebergSource.read(s, root, dataFilter = Some(pred))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"),
+          round(sum("l_extendedprice"), 2).as("revenue"),
+          min("l_orderkey").as("min_key"), max("l_orderkey").as("max_key"))
+    }),
     "q_delta_optimize" -> ((s, d) => {
       // OPTIMIZE over the native writer: three small append commits, a
       // bin-pack compaction (remove+add, dataChange=false), then a
@@ -2330,6 +2353,8 @@ object SparkEntry {
     // data skipping is an optimization, never a semantics change: the
     // skipped read must equal a plain filtered aggregate of the source
     "q_delta_skipping" ->
+      "SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty, round(sum(l_extendedprice), 2) AS revenue, min(l_orderkey) AS min_key, max(l_orderkey) AS max_key FROM lineitem WHERE l_orderkey >= 1000 AND l_orderkey < 2000 GROUP BY 1",
+    "q_iceberg_skipping" ->
       "SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty, round(sum(l_extendedprice), 2) AS revenue, min(l_orderkey) AS min_key, max(l_orderkey) AS max_key FROM lineitem WHERE l_orderkey >= 1000 AND l_orderkey < 2000 GROUP BY 1",
     // the deterministic simulation columns recomputed as closed forms of
     // (entity, tick): same grid, same sinusoid constant (2*pi()/24 is the

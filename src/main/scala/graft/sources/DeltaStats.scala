@@ -4,19 +4,14 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.parquet.column.statistics.Statistics
-import org.apache.parquet.hadoop.ParquetFileReader
-import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types._
 
 import java.math.{BigDecimal => JBigDecimal, BigInteger}
-import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
-import java.time.format.DateTimeFormatter
+import java.time.LocalDate
 
 /**
  * Per-file column statistics: the Delta `stats` payload on add actions
@@ -41,6 +36,8 @@ import java.time.format.DateTimeFormatter
  * without it ZORDER clusters bytes nobody skips. Partition columns are
  * evaluated against the file's partitionValues (exact, not bounds), so one
  * predicate subsumes equality partition-pruning AND range data-skipping.
+ * The tri-state evaluation itself lives in [[StatsPruning]], shared with
+ * the Iceberg manifest-bounds pruner.
  *
  * Reference behavior spec: the reference engine delegates skipping to
  * delta-spark's stats (reference odibi/engine/spark_engine.py reads Delta
@@ -66,55 +63,27 @@ object DeltaStats {
     * the protocol requires of the `stats` field on mapped tables. */
   def footerStats(conf: Configuration, p: Path,
                   indexedCols: Int = defaultIndexedCols): (Long, String) = {
-    val in = HadoopInputFile.fromPath(p, conf)
-    val r = ParquetFileReader.open(in)
-    try {
-      val footer = r.getFooter
-      val schema = footer.getFileMetaData.getSchema
-      import scala.jdk.CollectionConverters._
-      // leaf columns at repetition level 0: array/map interiors have no
-      // meaningful file-level bounds in Delta stats
-      val leaves = schema.getColumns.asScala
-        .filter(_.getMaxRepetitionLevel == 0).take(indexedCols).toSeq
-      val blocks = footer.getBlocks.asScala.toSeq
-      val numRecords = blocks.map(_.getRowCount).sum
-      val byPath: Seq[Map[Seq[String], org.apache.parquet.hadoop.metadata.ColumnChunkMetaData]] =
-        blocks.map(b => b.getColumns.asScala
-          .map(c => c.getPath.toArray.toSeq -> c).toMap)
-
-      val minV = mapper.createObjectNode()
-      val maxV = mapper.createObjectNode()
-      val nullC = mapper.createObjectNode()
-      leaves.foreach { cd =>
-        val path = cd.getPath.toSeq
-        val prim = cd.getPrimitiveType
-        val chunks = byPath.flatMap(_.get(path))
-        if (chunks.size == blocks.size) {
-          val stats = chunks.map(_.getStatistics)
-          if (stats.forall(s => s != null && s.isNumNullsSet))
-            putNested(nullC, path, mapper.getNodeFactory.numberNode(
-              stats.map(_.getNumNulls).sum))
-          // chunks with values must all carry usable bounds; all-null
-          // chunks contribute nothing (their genericGetMin is undefined)
-          val withValues = stats.filter(_.hasNonNullValue)
-          if (withValues.nonEmpty && withValues.forall(s => !s.isEmpty)) {
-            val mins = withValues.flatMap(s => jsonValue(prim, s.genericGetMin))
-            val maxs = withValues.flatMap(s => jsonValue(prim, s.genericGetMax))
-            if (mins.size == withValues.size && maxs.size == withValues.size) {
-              putNested(minV, path, mins.reduce((a, b) => pick(prim, a, b, lt = true)))
-              putNested(maxV, path, maxs.reduce((a, b) => pick(prim, a, b, lt = false)))
-            }
-          }
-        }
+    val (numRecords, leaves) = StatsPruning.footerLeafStats(conf, p)
+    val minV = mapper.createObjectNode()
+    val maxV = mapper.createObjectNode()
+    val nullC = mapper.createObjectNode()
+    leaves.take(indexedCols).foreach { ls =>
+      ls.nullCount.foreach(n =>
+        putNested(nullC, ls.path, mapper.getNodeFactory.numberNode(n)))
+      (ls.min.flatMap(jsonValue(ls.prim, _)), ls.max.flatMap(jsonValue(ls.prim, _))) match {
+        case (Some(mn), Some(mx)) =>
+          putNested(minV, ls.path, mn)
+          putNested(maxV, ls.path, mx)
+        case _ => () // unconvertible bound: omit BOTH (conservative)
       }
-      val root = mapper.createObjectNode()
-      root.put("numRecords", numRecords)
-      root.set[JsonNode]("minValues", minV)
-      root.set[JsonNode]("maxValues", maxV)
-      root.set[JsonNode]("nullCount", nullC)
-      root.put("tightBounds", true)
-      (numRecords, mapper.writeValueAsString(root))
-    } finally r.close()
+    }
+    val root = mapper.createObjectNode()
+    root.put("numRecords", numRecords)
+    root.set[JsonNode]("minValues", minV)
+    root.set[JsonNode]("maxValues", maxV)
+    root.set[JsonNode]("nullCount", nullC)
+    root.put("tightBounds", true)
+    (numRecords, mapper.writeValueAsString(root))
   }
 
   private def putNested(o: ObjectNode, path: Seq[String], v: JsonNode): Unit = {
@@ -126,20 +95,6 @@ object DeltaStats {
     }
     parent.set[JsonNode](path.last, v)
   }
-
-  /** min/max choice on the JSON representation (same ordering the stats
-    * were written under, so comparing the rendered nodes is sound). */
-  private def pick(prim: PrimitiveType, a: JsonNode, b: JsonNode, lt: Boolean): JsonNode = {
-    val c =
-      if (a.isNumber && b.isNumber) a.decimalValue.compareTo(b.decimalValue)
-      else if (a.isBoolean && b.isBoolean) java.lang.Boolean.compare(a.asBoolean, b.asBoolean)
-      else a.asText.compareTo(b.asText) // strings, ISO dates/timestamps
-    if ((c <= 0) == lt) a else b
-  }
-
-  private val tsUtc = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
-    .withZone(ZoneOffset.UTC)
-  private val tsNtz = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS")
 
   /** Parquet statistics value → Delta stats JSON value; None when the
     * type has no sound JSON bound (conservative omission). */
@@ -161,11 +116,7 @@ object DeltaStats {
             case LogicalTypeAnnotation.TimeUnit.MICROS => v.asInstanceOf[Long]
             case LogicalTypeAnnotation.TimeUnit.NANOS => v.asInstanceOf[Long] / 1000L
           }
-          val inst = Instant.EPOCH.plusSeconds(Math.floorDiv(micros, 1000000L))
-            .plusNanos(Math.floorMod(micros, 1000000L) * 1000L)
-          Some(f.textNode(
-            if (t.isAdjustedToUTC) tsUtc.format(inst)
-            else tsNtz.format(LocalDateTime.ofInstant(inst, ZoneOffset.UTC))))
+          Some(f.textNode(StatsPruning.formatMicros(micros, t.isAdjustedToUTC)))
         case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
           Some(f.numberNode(JBigDecimal.valueOf(v.asInstanceOf[Long], d.getScale)))
         case _ => Some(f.numberNode(v.asInstanceOf[Long]))
@@ -193,9 +144,9 @@ object DeltaStats {
     }
   }
 
-  /** Stats JSON fragments preserved across a DV re-stamp: min/max/nullCount
-    * stay VALID (non-tight) bounds after row-level deletes, so the DV
-    * writer keeps them and only flips tightBounds. */
+  /** Stats JSON re-stamped for a DV-carrying add: min/max/nullCount stay
+    * VALID (non-tight) bounds after row-level deletes, so the DV writer
+    * keeps them and only flips tightBounds. */
   def loosen(statsJson: String, physicalRows: Long): String = {
     val node = try mapper.readTree(statsJson) match {
       case o: ObjectNode => o
@@ -232,6 +183,16 @@ object DeltaStats {
           case (p, v) if v.isNumber => p -> v.asLong }.toMap))
     } catch { case _: Exception => None }
 
+  /** Stats JSON value → the comparable domain of [[StatsPruning]]. */
+  private def coerceStat(n: JsonNode, target: DataType): Option[Any] = target match {
+    case _: NumericType =>
+      if (n.isNumber) Some(n.decimalValue)
+      else try Some(new JBigDecimal(n.asText)) catch { case _: Exception => None }
+    case DateType | TimestampType | TimestampNTZType | StringType => Some(n.asText)
+    case BooleanType => Some(n.asBoolean)
+    case _ => None
+  }
+
   /** Result of a skipping pass: the surviving files plus the counts a
     * caller can assert on ("did the predicate actually prune?"). */
   final case class Pruned(files: Seq[DeltaLog.AddFile], candidates: Int, kept: Int) {
@@ -242,27 +203,12 @@ object DeltaStats {
    * Files that MAY contain a row matching `filter` — sound (never drops a
    * file that could match) and driver-side only. Unrecognized predicate
    * shapes, missing stats, and un-indexed columns all degrade to "keep".
-   *
-   * The predicate is RESOLVED through Catalyst analysis against an empty
-   * frame carrying the snapshot's logical schema, so the walk below sees
-   * typed `AttributeReference`/`Literal`/`Cast` trees (with Spark's own
-   * implicit coercions already applied) instead of raw column nodes —
-   * and an unresolvable predicate fails here exactly as it would on the
-   * real scan.
    */
-  def prune(spark: org.apache.spark.sql.SparkSession,
-            snap: DeltaLog.Snapshot, filter: Column): Pruned = {
-    val logicalSchema = StructType(snap.schema.fields.map(f =>
-      f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
-    val empty = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](), logicalSchema)
-    val analyzed = empty.filter(filter).queryExecution.analyzed
-    val expr = analyzed.collect {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-    }.headOption.getOrElse(return Pruned(snap.files, snap.files.size, snap.files.size))
-    // logical path -> (physical stats path, column type); top-level
-    // partition columns resolve separately against partitionValues
-    val fields = snap.schema.fields
+  def prune(spark: SparkSession, snap: DeltaLog.Snapshot, filter: Column): Pruned = {
+    val expr = StatsPruning.resolveCondition(spark, snap.schema, filter)
+      .getOrElse(return Pruned(snap.files, snap.files.size, snap.files.size))
+
+    // logical path -> (physical stats path, column type)
     def resolve(parts: Seq[String]): Option[(Seq[String], DataType)] = {
       def walk(st: StructType, ps: Seq[String], acc: Seq[String]): Option[(Seq[String], DataType)] =
         ps match {
@@ -277,143 +223,45 @@ object DeltaStats {
               }
             }
         }
-      walk(StructType(fields), parts, Nil)
+      walk(StructType(snap.schema.fields), parts, Nil)
     }
     val partCols = snap.partitionColumns.toSet
     val physOfPart: Map[String, String] =
-      fields.filter(f => partCols.contains(f.name))
+      snap.schema.fields.filter(f => partCols.contains(f.name))
         .map(f => f.name -> DeltaLog.physicalName(f)).toMap
-    val typeOfPart: Map[String, DataType] =
-      fields.filter(f => partCols.contains(f.name)).map(f => f.name -> f.dataType).toMap
 
-    val kept = snap.files.filter { a =>
-      val fs = a.stats.flatMap(parseStats)
-      mayMatch(expr, a, fs, resolve, partCols, physOfPart, typeOfPart)
-    }
-    Pruned(kept, snap.files.size, kept.size)
-  }
+    val typeOf: Seq[String] => Option[DataType] = parts => resolve(parts).map(_._2)
 
-  // -- predicate evaluation: tri-state collapsed to "may the file match" --
-
-  /** Comparable domain: numbers as BigDecimal, strings/dates/timestamps as
-    * their canonical ordered representation. `lit.value` is the Catalyst
-    * INTERNAL form (UTF8String, epoch-day Int, micros Long, Decimal);
-    * `target` is the table column's type the stats were written under. */
-  private def coerceLit(lit: Literal, target: DataType): Option[Any] = {
-    if (lit.value == null) return None
-    def micros(v: Long, fmt: Boolean): String = {
-      val inst = Instant.EPOCH.plusSeconds(Math.floorDiv(v, 1000000L))
-        .plusNanos(Math.floorMod(v, 1000000L) * 1000L)
-      if (fmt) tsUtc.format(inst)
-      else tsNtz.format(LocalDateTime.ofInstant(inst, ZoneOffset.UTC))
-    }
-    (lit.dataType, target) match {
-      case (_: NumericType, _: NumericType) => lit.value match {
-        case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
-        case v => try Some(new JBigDecimal(v.toString)) catch { case _: Exception => None }
-      }
-      case (StringType, _: NumericType) =>
-        try Some(new JBigDecimal(lit.value.toString)) catch { case _: Exception => None }
-      case (DateType, DateType) =>
-        Some(LocalDate.ofEpochDay(lit.value.asInstanceOf[Int].toLong).toString)
-      case (StringType, DateType) =>
-        try Some(LocalDate.parse(lit.value.toString).toString)
-        catch { case _: Exception => None }
-      case (TimestampType, TimestampType) =>
-        Some(micros(lit.value.asInstanceOf[Long], fmt = true))
-      case (TimestampNTZType, TimestampNTZType) =>
-        Some(micros(lit.value.asInstanceOf[Long], fmt = false))
-      case (StringType, TimestampType) =>
-        // ISO-ish literal; normalized to the stats format for lexicographic compare
-        try {
-          val ldt = LocalDateTime.parse(lit.value.toString.replace(' ', 'T'))
-          Some(tsUtc.format(ldt.toInstant(ZoneOffset.UTC)))
-        } catch { case _: Exception => None }
-      case (StringType, StringType) => Some(lit.value.toString)
-      case (BooleanType, BooleanType) => Some(lit.value.asInstanceOf[Boolean])
-      case _ => None
-    }
-  }
-
-  /** Stats JSON value → the same comparable domain as [[coerceLit]]. */
-  private def coerceStat(n: JsonNode, target: DataType): Option[Any] = target match {
-    case _: NumericType =>
-      if (n.isNumber) Some(n.decimalValue)
-      else try Some(new JBigDecimal(n.asText)) catch { case _: Exception => None }
-    case DateType | TimestampType | StringType => Some(n.asText)
-    case BooleanType => Some(n.asBoolean)
-    case _ => None
-  }
-
-  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
-    case (x: JBigDecimal, y: JBigDecimal) => Some(x.compareTo(y))
-    case (x: String, y: String) => Some(x.compareTo(y))
-    case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
-    case _ => None
-  }
-
-  private sealed trait Bounds
-  private case object Unknown extends Bounds
-  private case object AllNull extends Bounds
-  private final case class Range(min: Option[Any], max: Option[Any], mayHaveNull: Boolean)
-    extends Bounds
-
-  private def mayMatch(e: Expression, a: DeltaLog.AddFile, fs: Option[FileStats],
-                       resolve: Seq[String] => Option[(Seq[String], DataType)],
-                       partCols: Set[String], physOfPart: Map[String, String],
-                       typeOfPart: Map[String, DataType]): Boolean = {
-
-    def attrPath(x: Expression): Option[Seq[String]] = x match {
-      case r: AttributeReference => Some(Seq(r.name))
-      case g: GetStructField => attrPath(g.child).map(_ :+ g.extractFieldName)
-      case c: Cast => attrPath(c.child)
-      case u: UnresolvedAttribute => Some(u.nameParts)
-      case _ => None
-    }
-
-    // literal side: any foldable subtree (analysis wraps literals in the
-    // coercion Cast) evaluates driver-side to its typed value
-    object Lit {
-      def unapply(x: Expression): Option[Literal] = x match {
-        case l: Literal => Some(l)
-        case e if e.foldable && !e.exists(_.isInstanceOf[AttributeReference]) =>
-          try Some(Literal(e.eval(null), e.dataType))
-          catch { case _: Exception => None }
-        case _ => None
-      }
-    }
-
-    /** [min,max] + nullability for one column in THIS file. Partition
-      * columns give exact single-point bounds from partitionValues. */
-    def bounds(parts: Seq[String], t: DataType): Bounds = {
+    def boundsFor(a: DeltaLog.AddFile, fs: Option[FileStats])
+                 (parts: Seq[String], t: DataType): StatsPruning.Bounds = {
+      // partition columns: exact single-point "bounds" from partitionValues
       if (parts.size == 1 && partCols.exists(_.equalsIgnoreCase(parts.head))) {
         val pc = partCols.find(_.equalsIgnoreCase(parts.head)).get
         val raw = a.partitionValues.get(physOfPart.getOrElse(pc, pc))
           .orElse(a.partitionValues.get(pc)).flatten
         return raw match {
-          case None => AllNull
+          case None => StatsPruning.AllNull
           case Some(s) =>
-            val lit = coerceLit(Literal(org.apache.spark.unsafe.types.UTF8String
-              .fromString(s), StringType), t)
-            lit match {
-              case Some(v) => Range(Some(v), Some(v), mayHaveNull = false)
-              case None => Unknown
+            StatsPruning.coerceLit(Literal(
+              org.apache.spark.unsafe.types.UTF8String.fromString(s), StringType), t) match {
+              case Some(v) => StatsPruning.Range(Some(v), Some(v), mayHaveNull = false)
+              case None => StatsPruning.Unknown
             }
         }
       }
       fs match {
-        case None => Unknown
+        case None => StatsPruning.Unknown
         case Some(st) =>
           resolve(parts) match {
-            case None => Unknown
+            case None => StatsPruning.Unknown
             case Some((phys, _)) =>
               val nc = st.nullCount.get(phys)
               val allNull = (nc, st.numRecords) match {
                 case (Some(n), Some(r)) if n == r && r > 0 => true
                 case _ => false
               }
-              if (allNull) AllNull
-              else Range(
+              if (allNull) StatsPruning.AllNull
+              else StatsPruning.Range(
                 st.min.get(phys).flatMap(coerceStat(_, t)),
                 st.max.get(phys).flatMap(coerceStat(_, t)),
                 mayHaveNull = nc.forall(_ > 0))
@@ -421,136 +269,10 @@ object DeltaStats {
       }
     }
 
-    /** One comparison atom: op is -2 (<), -1 (<=), 0 (=), 1 (>=), 2 (>). */
-    def cmpAtom(attr: Expression, litE: Expression, op: Int): Boolean = {
-      val parts = attrPath(attr).getOrElse(return true)
-      val lit = litE match { case l: Literal => l; case _ => return true }
-      if (lit.value == null) return false // comparison with NULL matches nothing
-      val t = if (parts.size == 1 && typeOfPart.keys.exists(_.equalsIgnoreCase(parts.head)))
-        typeOfPart.find(_._1.equalsIgnoreCase(parts.head)).get._2
-      else resolve(parts).map(_._2).getOrElse(return true)
-      val v = coerceLit(lit, t).getOrElse(return true)
-      bounds(parts, t) match {
-        case Unknown => true
-        case AllNull => false
-        case Range(mn, mx, _) => op match {
-          case 0 =>
-            mn.flatMap(cmp(_, v)).forall(_ <= 0) && mx.flatMap(cmp(v, _)).forall(_ <= 0)
-          case -2 => mn.flatMap(cmp(_, v)).forall(_ < 0)
-          case -1 => mn.flatMap(cmp(_, v)).forall(_ <= 0)
-          case 2 => mx.flatMap(cmp(_, v)).forall(_ > 0)
-          case 1 => mx.flatMap(cmp(_, v)).forall(_ >= 0)
-          case _ => true
-        }
-      }
+    val kept = snap.files.filter { a =>
+      val fs = a.stats.flatMap(parseStats)
+      StatsPruning.mayMatch(expr, typeOf, boundsFor(a, fs))
     }
-
-    def may(x: Expression): Boolean = x match {
-      case And(l, r) => may(l) && may(r)
-      case Or(l, r) => may(l) || may(r)
-      case Not(inner) => mayNot(inner)
-      case EqualTo(c, Lit(l)) => cmpAtom(c, l, 0)
-      case EqualTo(Lit(l), c) => cmpAtom(c, l, 0)
-      case EqualNullSafe(c, Lit(l)) =>
-        if (l.value == null) may(IsNull(c)) else cmpAtom(c, l, 0)
-      case EqualNullSafe(Lit(l), c) =>
-        if (l.value == null) may(IsNull(c)) else cmpAtom(c, l, 0)
-      case LessThan(c, Lit(l)) => cmpAtom(c, l, -2)
-      case LessThan(Lit(l), c) => cmpAtom(c, l, 2)
-      case LessThanOrEqual(c, Lit(l)) => cmpAtom(c, l, -1)
-      case LessThanOrEqual(Lit(l), c) => cmpAtom(c, l, 1)
-      case GreaterThan(c, Lit(l)) => cmpAtom(c, l, 2)
-      case GreaterThan(Lit(l), c) => cmpAtom(c, l, -2)
-      case GreaterThanOrEqual(c, Lit(l)) => cmpAtom(c, l, 1)
-      case GreaterThanOrEqual(Lit(l), c) => cmpAtom(c, l, -1)
-      case In(c, vs) =>
-        val lits = vs.map(Lit.unapply)
-        if (lits.exists(_.isEmpty)) true
-        else lits.flatten.exists(v => cmpAtom(c, v, 0))
-      case IsNull(c) =>
-        attrPath(c) match {
-          case None => true
-          case Some(parts) =>
-            val t = resolve(parts).map(_._2)
-              .orElse(typeOfPart.find(_._1.equalsIgnoreCase(parts.head)).map(_._2))
-              .getOrElse(return true)
-            bounds(parts, t) match {
-              case AllNull => true
-              case Range(_, _, mayNull) => mayNull
-              case Unknown => true
-            }
-        }
-      case IsNotNull(c) =>
-        attrPath(c) match {
-          case None => true
-          case Some(parts) =>
-            val t = resolve(parts).map(_._2)
-              .orElse(typeOfPart.find(_._1.equalsIgnoreCase(parts.head)).map(_._2))
-              .getOrElse(return true)
-            bounds(parts, t) match {
-              case AllNull => false
-              case _ => true
-            }
-        }
-      case StartsWith(c, Lit(l)) =>
-        val parts = attrPath(c).getOrElse(return true)
-        val p = Option(l.value).map(_.toString).getOrElse(return false)
-        val t = resolve(parts).map(_._2).getOrElse(return true)
-        if (t != StringType) return true
-        bounds(parts, t) match {
-          case Unknown => true
-          case AllNull => false
-          case Range(mn, mx, _) =>
-            val lower = mn.forall { case s: String => s.take(p.length) <= p; case _ => true }
-            val upper = mx.forall { case s: String => s >= p; case _ => true }
-            lower && upper
-        }
-      case _: Literal => x match {
-        case Literal(v: Boolean, BooleanType) => v
-        case Literal(null, _) => false
-        case _ => true
-      }
-      case _ => true // unrecognized shape: cannot skip
-    }
-
-    /** may(NOT x): push negation into atoms; unknown shapes keep the file. */
-    def mayNot(x: Expression): Boolean = x match {
-      case And(l, r) => mayNot(l) || mayNot(r)
-      case Or(l, r) => mayNot(l) && mayNot(r)
-      case Not(inner) => may(inner)
-      case EqualTo(c, Lit(l)) => notEqAtom(c, l)
-      case EqualTo(Lit(l), c) => notEqAtom(c, l)
-      case LessThan(c, Lit(l)) => cmpAtom(c, l, 1)
-      case LessThan(Lit(l), c) => cmpAtom(c, l, -1)
-      case LessThanOrEqual(c, Lit(l)) => cmpAtom(c, l, 2)
-      case LessThanOrEqual(Lit(l), c) => cmpAtom(c, l, -2)
-      case GreaterThan(c, Lit(l)) => cmpAtom(c, l, -1)
-      case GreaterThan(Lit(l), c) => cmpAtom(c, l, 1)
-      case GreaterThanOrEqual(c, Lit(l)) => cmpAtom(c, l, -2)
-      case GreaterThanOrEqual(Lit(l), c) => cmpAtom(c, l, 2)
-      case IsNull(c) => may(IsNotNull(c))
-      case IsNotNull(c) => may(IsNull(c))
-      case _ => true
-    }
-
-    /** c != v may match unless every non-null value equals v and the file
-      * has rows (nulls never satisfy != either — three-valued logic). */
-    def notEqAtom(attr: Expression, lit: Literal): Boolean = {
-      val parts = attrPath(attr).getOrElse(return true)
-      if (lit.value == null) return false
-      val t = resolve(parts).map(_._2)
-        .orElse(typeOfPart.find(_._1.equalsIgnoreCase(parts.head)).map(_._2))
-        .getOrElse(return true)
-      val v = coerceLit(lit, t).getOrElse(return true)
-      bounds(parts, t) match {
-        case Unknown => true
-        case AllNull => false
-        case Range(Some(mn), Some(mx), _) =>
-          !(cmp(mn, v).contains(0) && cmp(mx, v).contains(0))
-        case _ => true
-      }
-    }
-
-    may(e)
+    Pruned(kept, snap.files.size, kept.size)
   }
 }

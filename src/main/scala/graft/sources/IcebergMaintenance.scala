@@ -236,7 +236,8 @@ object IcebergMaintenance {
       .getField("partition").schema()
     def entry(status: Int, path: String, size: Long, records: Long,
               seq: Long, part: Map[String, Any],
-              addedBy: Option[Long] = None): GenericRecord = {
+              addedBy: Option[Long] = None,
+              colStats: Map[String, AnyRef] = Map.empty): GenericRecord = {
       val dataFile = new GenericData.Record(
         entrySchema.getField("data_file").schema())
       dataFile.put("content", 0)
@@ -250,6 +251,7 @@ object IcebergMaintenance {
       dataFile.put("partition", pr)
       dataFile.put("record_count", records)
       dataFile.put("file_size_in_bytes", size)
+      colStats.foreach { case (k, v) => dataFile.put(k, v) }
       val e = new GenericData.Record(entrySchema)
       e.put("status", status)
       // EXISTING entries keep the snapshot that ORIGINALLY added the
@@ -263,17 +265,17 @@ object IcebergMaintenance {
     val compacted = bins.flatMap(_._2.map(_.path)).toSet
     val kept = data.filterNot(e => compacted.contains(e.path))
     val conf = spark.sessionState.newHadoopConf()
-    val newFiles: Seq[(String, Long, Long, Map[String, Any])] =
+    val newFiles: Seq[(String, Long, Long, Map[String, Any], Seq[StatsPruning.LeafStats])] =
       bins.zipWithIndex.flatMap { case ((part, _), i) =>
         val binDir = new Path(outDir, s"_gf_bin=$i")
         if (!f.exists(binDir)) Nil
         else f.listStatus(binDir).toSeq
           .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
           .map { s =>
-            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(s.getPath, conf)
-            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-            val n = try r.getRecordCount finally r.close()
-            (s.getPath.toString, s.getLen, n, part)
+            // one footer read: row count + the column stats the new
+            // manifest entries carry (compaction must not lose skipping)
+            val (n, leaves) = StatsPruning.footerLeafStats(conf, s.getPath)
+            (s.getPath.toString, s.getLen, n, part, leaves)
           }
       }.toSeq
     // row conservation: without deletes, output rows must equal the
@@ -289,10 +291,16 @@ object IcebergMaintenance {
       require(rewritten == routedRows,
         s"optimize row mismatch: routed $routedRows live rows but " +
           s"rewrote $rewritten — aborting before commit")
+    val statIds = IcebergSource.topLevelIds(meta.schemaJson)
     val entries =
       kept.map(e => entry(0, e.path, sizeOf(e), e.records, e.seq, e.partition,
-        e.addedSnapshotId)) ++
-        newFiles.map { case (p, sz, n, part) => entry(1, p, sz, n, newSeq, part) }
+        e.addedSnapshotId,
+        colStats = IcebergSource.columnStatsMapsFromBounds(entrySchema,
+          e.nullCounts, e.lowerBounds, e.upperBounds))) ++
+        newFiles.map { case (p, sz, n, part, leaves) =>
+          entry(1, p, sz, n, newSeq, part,
+            colStats = IcebergSource.columnStatsMaps(entrySchema, n, leaves, statIds))
+        }
     val manifestPath = new Path(metaDir(root), s"manifest-$commitUuid.avro")
     val manifestLen = writeAvro(conf, manifestPath, entrySchema, entries)
 

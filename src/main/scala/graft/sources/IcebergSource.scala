@@ -7,7 +7,7 @@ import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWri
 import org.apache.avro.mapred.FsInput
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -350,7 +350,10 @@ object IcebergSource {
                                               partition: Map[String, Any] = Map.empty,
                                               size: Long = 0L,
                                               records: Long = 0L,
-                                              addedSnapshotId: Option[Long] = None)
+                                              addedSnapshotId: Option[Long] = None,
+                                              nullCounts: Map[Int, Long] = Map.empty,
+                                              lowerBounds: Map[Int, Array[Byte]] = Map.empty,
+                                              upperBounds: Map[Int, Array[Byte]] = Map.empty)
 
   // ------------------------------------------------- partition pruning
 
@@ -653,12 +656,38 @@ object IcebergSource {
           // the snapshot that ORIGINALLY added this file — carried onto
           // EXISTING entries a rewrite re-emits (spec §Manifests)
           val addedBy = opt(entry, "snapshot_id").map(_.asInstanceOf[Long])
+          // per-column stats maps (avro array-of-key-value "maps"):
+          // null_value_counts + lower/upper_bounds feed read()'s
+          // column-bound file skipping
+          def intMap[T](field: String)(conv: Any => Option[T]): Map[Int, T] =
+            opt(df0, field).toSeq.flatMap {
+              case c: java.util.Collection[_] => c.asScala.toSeq.flatMap {
+                case r: GenericRecord =>
+                  (Option(r.get("key")), Option(r.get("value"))) match {
+                    case (Some(k: java.lang.Integer), Some(v)) =>
+                      conv(v).map(k.intValue() -> _)
+                    case _ => None
+                  }
+                case _ => None
+              }
+              case _ => Nil
+            }.toMap
+          def bytesOf(v: Any): Option[Array[Byte]] = v match {
+            case bb: java.nio.ByteBuffer =>
+              val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr); Some(arr)
+            case b: Array[Byte] => Some(b)
+            case _ => None
+          }
           content match {
             case 0 =>
               if (predicates.forall(p => partVals.get(p.name) match {
                 case Some(v) => evalPredicate(p, v)
                 case None => true // field absent: cannot prune
-              })) dataFiles += FileEntry(path, seq, Nil, partVals, size, records, addedBy)
+              })) dataFiles += FileEntry(path, seq, Nil, partVals, size, records, addedBy,
+                nullCounts = intMap("null_value_counts") {
+                  case l: java.lang.Long => Some(l.longValue()); case _ => None },
+                lowerBounds = intMap("lower_bounds")(bytesOf),
+                upperBounds = intMap("upper_bounds")(bytesOf))
             case 1 => posDeleteFiles += FileEntry(path, seq, Nil)
             case 2 =>
               require(eqIds.nonEmpty,
@@ -684,7 +713,8 @@ object IcebergSource {
            snapshotId: Option[Long] = None,
            asOfTimestampMs: Option[Long] = None,
            metadataLocation: Option[String] = None,
-           partitionFilter: Seq[PartitionPredicate] = Nil): DataFrame = {
+           partitionFilter: Seq[PartitionPredicate] = Nil,
+           dataFilter: Option[Column] = None): DataFrame = {
     val meta = tableMeta(spark, root, metadataLocation)
     val target: Option[SnapshotInfo] = (snapshotId, asOfTimestampMs) match {
       case (Some(id), _) =>
@@ -706,13 +736,106 @@ object IcebergSource {
     val snap = target.getOrElse(return empty)
 
     val conf = spark.sessionState.newHadoopConf()
-    val (dataFiles, posDeleteFiles, eqDeleteFiles) =
+    val (dataFiles0, posDeleteFiles, eqDeleteFiles) =
       collectFiles(conf, root, snap, meta, partitionFilter)
-    if (dataFiles.isEmpty) return empty
+    // column-bound file skipping: drop data files whose manifest
+    // lower/upper bounds prove no row can match, then RE-APPLY the
+    // predicate on the scan so the prune can never change results.
+    // Delete files are never pruned (a skipped data file just leaves its
+    // delete rows unmatched).
+    val dataFiles = dataFilter.flatMap(f =>
+      StatsPruning.resolveCondition(spark, readSchema, f)) match {
+      case Some(cond) => pruneByBounds(dataFiles0, cond, meta, readSchema)
+      case None => dataFiles0
+    }
+    def withFilter(df: DataFrame): DataFrame =
+      dataFilter.map(df.filter).getOrElse(df)
+    if (dataFiles.isEmpty) return withFilter(empty)
     val scan = spark.read.schema(readSchema).parquet(dataFiles.map(_.path).toSeq: _*)
-    if (posDeleteFiles.isEmpty && eqDeleteFiles.isEmpty) return scan
-    applyDeletes(spark, meta, scan, dataFiles, posDeleteFiles, eqDeleteFiles)
-      .drop("_gf_path", "_gf_pos", "_gf_seq")
+    if (posDeleteFiles.isEmpty && eqDeleteFiles.isEmpty) return withFilter(scan)
+    withFilter(applyDeletes(spark, meta, scan, dataFiles, posDeleteFiles, eqDeleteFiles)
+      .drop("_gf_path", "_gf_pos", "_gf_seq"))
+  }
+
+  /** Skipping report a caller (spec, board fixture) can assert on:
+    * how many data files of the CURRENT snapshot a predicate keeps. */
+  final case class Pruned(candidates: Int, kept: Int) {
+    def skipped: Int = candidates - kept
+  }
+
+  def pruneReport(spark: SparkSession, root: String, filter: Column): Pruned = {
+    val meta = tableMeta(spark, root)
+    val snap = meta.currentSnapshotId.flatMap(id =>
+      meta.snapshots.find(_.snapshotId == id))
+      .getOrElse(return Pruned(0, 0))
+    val (dataFiles, _, _) = collectFiles(
+      spark.sessionState.newHadoopConf(), root, snap, meta)
+    val readSchema = stripFieldIds(meta.schema).asInstanceOf[StructType]
+    StatsPruning.resolveCondition(spark, readSchema, filter) match {
+      case Some(cond) => Pruned(dataFiles.size,
+        pruneByBounds(dataFiles, cond, meta, readSchema).size)
+      case None => Pruned(dataFiles.size, dataFiles.size)
+    }
+  }
+
+  /** Data files that MAY contain a row matching `cond`, judged on their
+    * manifest column bounds (identity-partition values are IN the data
+    * files, so their bounds cover partition predicates too). Missing
+    * bounds, unmapped columns, nested paths: keep — skipping is sound. */
+  private[sources] def pruneByBounds(files: Seq[FileEntry],
+      cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      meta: TableMeta, readSchema: StructType): Seq[FileEntry] = {
+    val ids = topLevelIds(meta.schemaJson)
+    val typeOfMap = readSchema.fields.map(f => f.name -> f.dataType).toMap
+    val typeOf: Seq[String] => Option[DataType] = {
+      case Seq(one) => typeOfMap.get(one)
+      case _ => None
+    }
+    def boundsFor(fe: FileEntry)(parts: Seq[String], t: DataType): StatsPruning.Bounds =
+      parts match {
+        case Seq(name) => ids.get(name) match {
+          case None => StatsPruning.Unknown
+          case Some(id) =>
+            val nc = fe.nullCounts.get(id)
+            if (nc.exists(n => fe.records > 0 && n == fe.records)) StatsPruning.AllNull
+            else StatsPruning.Range(
+              fe.lowerBounds.get(id).flatMap(decodeColumnBound(_, t)),
+              fe.upperBounds.get(id).flatMap(decodeColumnBound(_, t)),
+              mayHaveNull = nc.forall(_ > 0))
+        }
+        case _ => StatsPruning.Unknown
+      }
+    files.filter(fe => StatsPruning.mayMatch(cond, typeOf, boundsFor(fe)))
+  }
+
+  /** Iceberg single-value binary → the [[StatsPruning]] comparable
+    * domain, by the TABLE column type. */
+  private[sources] def decodeColumnBound(bytes: Array[Byte], t: DataType): Option[Any] = {
+    def bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    t match {
+      case ByteType | ShortType | IntegerType if bytes.length == 4 =>
+        Some(new java.math.BigDecimal(bb.getInt))
+      case LongType if bytes.length == 8 => Some(new java.math.BigDecimal(bb.getLong))
+      case FloatType if bytes.length == 4 =>
+        val x = bb.getFloat
+        if (x.isNaN || x.isInfinite) None
+        else Some(new java.math.BigDecimal(x.toString))
+      case DoubleType if bytes.length == 8 =>
+        val x = bb.getDouble
+        if (x.isNaN || x.isInfinite) None
+        else Some(new java.math.BigDecimal(x.toString))
+      case d: DecimalType =>
+        Some(new java.math.BigDecimal(new java.math.BigInteger(bytes), d.scale))
+      case DateType if bytes.length == 4 =>
+        Some(java.time.LocalDate.ofEpochDay(bb.getInt.toLong).toString)
+      case TimestampType if bytes.length == 8 =>
+        Some(StatsPruning.formatMicros(bb.getLong, utc = true))
+      case TimestampNTZType if bytes.length == 8 =>
+        Some(StatsPruning.formatMicros(bb.getLong, utc = false))
+      case StringType => Some(new String(bytes, "UTF-8"))
+      case BooleanType if bytes.length == 1 => Some(bytes(0) != 0)
+      case _ => None
+    }
   }
 
   /**
@@ -1246,6 +1369,10 @@ object IcebergSource {
          |  {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$partFields]}},
          |  {"name":"record_count","type":"long","field-id":103},
          |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+         |  {"name":"value_counts","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k119_v120","fields":[{"name":"key","type":"int","field-id":119},{"name":"value","type":"long","field-id":120}]}}],"default":null,"field-id":109},
+         |  {"name":"null_value_counts","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k121_v122","fields":[{"name":"key","type":"int","field-id":121},{"name":"value","type":"long","field-id":122}]}}],"default":null,"field-id":110},
+         |  {"name":"lower_bounds","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]}}],"default":null,"field-id":125},
+         |  {"name":"upper_bounds","type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]}}],"default":null,"field-id":128},
          |  {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135}
          |]}}]}""".stripMargin.replaceAll("\n", ""))
   }
@@ -1318,6 +1445,136 @@ object IcebergSource {
     }
     sb.toString
   }
+
+  /** Iceberg "single-value binary" serialization of a RAW parquet
+    * statistics value, by the column's parquet type (spec Appendix D):
+    * ints/longs/floats/doubles little-endian, date as int days, timestamp
+    * normalized to micros, string as UTF-8, decimal as big-endian
+    * two's-complement unscaled. None = no sound bound for the type
+    * (conservative omission — the column just never prunes). */
+  private[sources] def encodeColumnBound(
+      prim: org.apache.parquet.schema.PrimitiveType, v: Any): Option[Array[Byte]] = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation => L}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    def le(n: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(n).array()
+    def le8(n: Long): Array[Byte] = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(n).array()
+    val ann = prim.getLogicalTypeAnnotation
+    prim.getPrimitiveTypeName match {
+      case INT32 => ann match {
+        case d: L.DecimalLogicalTypeAnnotation =>
+          Some(java.math.BigInteger.valueOf(v.asInstanceOf[Int].toLong).toByteArray)
+        case _ => Some(le(v.asInstanceOf[Int])) // int + date share the layout
+      }
+      case INT64 => ann match {
+        case t: L.TimestampLogicalTypeAnnotation =>
+          val micros = t.getUnit match {
+            case L.TimeUnit.MILLIS => v.asInstanceOf[Long] * 1000L
+            case L.TimeUnit.MICROS => v.asInstanceOf[Long]
+            case L.TimeUnit.NANOS => v.asInstanceOf[Long] / 1000L
+          }
+          Some(le8(micros))
+        case d: L.DecimalLogicalTypeAnnotation =>
+          Some(java.math.BigInteger.valueOf(v.asInstanceOf[Long]).toByteArray)
+        case _ => Some(le8(v.asInstanceOf[Long]))
+      }
+      case FLOAT =>
+        val x = v.asInstanceOf[Float]
+        if (x.isNaN || x.isInfinite) None
+        else Some(java.nio.ByteBuffer.allocate(4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).putFloat(x).array())
+      case DOUBLE =>
+        val x = v.asInstanceOf[Double]
+        if (x.isNaN || x.isInfinite) None
+        else Some(java.nio.ByteBuffer.allocate(8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(x).array())
+      case BOOLEAN => Some(Array[Byte](if (v.asInstanceOf[Boolean]) 1 else 0))
+      case BINARY | FIXED_LEN_BYTE_ARRAY => ann match {
+        case _: L.StringLogicalTypeAnnotation =>
+          val bytes = v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+          if (bytes.length <= 64) Some(bytes) else None // oversize: omit, sound
+        case _: L.DecimalLogicalTypeAnnotation =>
+          Some(v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes)
+        case _ => None
+      }
+      case _ => None // INT96 etc: no stats
+    }
+  }
+
+  /** Build the four per-column stats maps (value_counts 109,
+    * null_value_counts 110, lower_bounds 125, upper_bounds 128) for one
+    * data file's footer leaves, keyed by the TABLE field ids in `idOf`
+    * (top-level columns; nested leaves carry no bounds here). Returns
+    * null-able avro map values to `put` onto a data_file record. */
+  private[sources] def columnStatsMaps(entrySchema: Schema, rows: Long,
+      leaves: Seq[StatsPruning.LeafStats], idOf: Map[String, Int])
+      : Map[String, AnyRef] = {
+    val dfSchema = entrySchema.getField("data_file").schema()
+    def arraySchema(field: String): Schema = {
+      val u = dfSchema.getField(field).schema() // union ["null", array]
+      u.getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
+    }
+    def kv(arr: Schema, k: Int, v: Any): GenericRecord = {
+      val r = new GenericData.Record(arr.getElementType)
+      r.put("key", k)
+      r.put("value", v)
+      r
+    }
+    val vcS = arraySchema("value_counts"); val nvS = arraySchema("null_value_counts")
+    val loS = arraySchema("lower_bounds"); val upS = arraySchema("upper_bounds")
+    val vc = new GenericData.Array[GenericRecord](leaves.size, vcS)
+    val nv = new GenericData.Array[GenericRecord](leaves.size, nvS)
+    val lo = new GenericData.Array[GenericRecord](leaves.size, loS)
+    val up = new GenericData.Array[GenericRecord](leaves.size, upS)
+    leaves.foreach { ls =>
+      if (ls.path.size == 1) idOf.get(ls.path.head).foreach { id =>
+        vc.add(kv(vcS, id, Long.box(rows)))
+        ls.nullCount.foreach(n => nv.add(kv(nvS, id, Long.box(n))))
+        (ls.min.flatMap(encodeColumnBound(ls.prim, _)),
+          ls.max.flatMap(encodeColumnBound(ls.prim, _))) match {
+          case (Some(mn), Some(mx)) =>
+            lo.add(kv(loS, id, java.nio.ByteBuffer.wrap(mn)))
+            up.add(kv(upS, id, java.nio.ByteBuffer.wrap(mx)))
+          case _ => () // one side unconvertible: omit both
+        }
+      }
+    }
+    Map("value_counts" -> vc, "null_value_counts" -> nv,
+      "lower_bounds" -> lo, "upper_bounds" -> up)
+  }
+
+  /** Re-serialize already-decoded per-column stats (a rewritten EXISTING
+    * entry must carry its original bounds forward). */
+  private[sources] def columnStatsMapsFromBounds(entrySchema: Schema,
+      nullCounts: Map[Int, Long], lower: Map[Int, Array[Byte]],
+      upper: Map[Int, Array[Byte]]): Map[String, AnyRef] = {
+    val dfSchema = entrySchema.getField("data_file").schema()
+    def arraySchema(field: String): Schema =
+      dfSchema.getField(field).schema().getTypes.asScala
+        .find(_.getType == Schema.Type.ARRAY).get
+    def arr(field: String, m: Map[Int, _], wrap: Any => Any): AnyRef = {
+      val s = arraySchema(field)
+      val a = new GenericData.Array[GenericRecord](m.size, s)
+      m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        val r = new GenericData.Record(s.getElementType)
+        r.put("key", k); r.put("value", wrap(v)); a.add(r)
+      }
+      a
+    }
+    Map(
+      "null_value_counts" -> arr("null_value_counts", nullCounts,
+        v => Long.box(v.asInstanceOf[Long])),
+      "lower_bounds" -> arr("lower_bounds", lower,
+        v => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])),
+      "upper_bounds" -> arr("upper_bounds", upper,
+        v => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])))
+  }
+
+  /** Top-level `name -> field id` of an Iceberg schema JSON node. */
+  private[sources] def topLevelIds(schemaJson: JsonNode): Map[String, Int] =
+    schemaJson.get("fields").elements().asScala
+      .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
 
   /** Spec "single-value binary" serialization for bound summaries. */
   private[sources] def encodeBound(v: Any): Array[Byte] = v match {
@@ -1504,8 +1761,24 @@ object IcebergSource {
       }
       buf.toSeq.sortBy(_.getPath.toString)
     }
-    val counts = files.map(s => parquetRowCount(conf, s.getPath))
+    // one footer read per staged file yields the row count AND the
+    // per-column min/max/null-count maps the manifest entries carry —
+    // what read()'s column-bound pruning (and any external Iceberg
+    // planner) skips files on
+    val fileFooters = files.map(s => StatsPruning.footerLeafStats(conf, s.getPath))
+    val counts = fileFooters.map(_._1)
     val rows = counts.sum
+    // table field ids for the stats map keys: existing ids for an append
+    // (evolution continues above last-column-id with the same assignment
+    // the commit loop makes), fresh deterministic ids otherwise
+    val statIdOf: Map[String, Int] = prev match {
+      case Some(m) if mode == "append" =>
+        val base = topLevelIds(m.schemaJson)
+        if (evoFields.isEmpty) base
+        else base ++ topLevelIds(mapper.readTree(
+          toIcebergSchemaJson(StructType(evoFields.toArray), m.lastColumnId)._1))
+      case _ => topLevelIds(mapper.readTree(toIcebergSchemaJson(data.schema)._1))
+    }
 
     /** partition values of a data file, parsed from its directory path */
     def partValuesOf(p: Path): Seq[Any] = partCols.map { fd =>
@@ -1572,7 +1845,8 @@ object IcebergSource {
         cur.toSeq.flatMap(_.snapshots).map(_.snapshotId + 1).foldLeft(0L)(math.max))
       val seq = cur.map(_.lastSequenceNumber).getOrElse(0L) + 1
       val attemptUuid = if (attempt == 1) commitUuid else s"$commitUuid-r$attempt"
-      val entries = files.lazyZip(counts).lazyZip(fileParts).map { (s, n, pvals) =>
+      val entries = files.lazyZip(fileFooters).lazyZip(fileParts).map { (s, fstats, pvals) =>
+        val (n, leaves) = fstats
         val dataFile = new GenericData.Record(
           entrySchema.getField("data_file").schema())
         dataFile.put("content", 0)
@@ -1583,6 +1857,9 @@ object IcebergSource {
         dataFile.put("partition", pr)
         dataFile.put("record_count", n)
         dataFile.put("file_size_in_bytes", s.getLen)
+        columnStatsMaps(entrySchema, n, leaves, statIdOf).foreach {
+          case (k, v) => dataFile.put(k, v)
+        }
         val e = new GenericData.Record(entrySchema)
         e.put("status", 1) // ADDED
         e.put("snapshot_id", snapshotId)

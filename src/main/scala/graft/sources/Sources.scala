@@ -98,7 +98,12 @@ object Sources {
         asOfTimestampMs = cfg.options.get("as_of_timestamp_ms").map(_.toLong),
         metadataLocation = cfg.options.get("metadata_location"),
         partitionFilter = cfg.options.get("partition_filter")
-          .map(parsePartitionFilter).getOrElse(Nil))
+          .map(parsePartitionFilter).getOrElse(Nil),
+        // filter: pushed into manifest column-bound FILE SKIPPING before
+        // the scan plans, then re-applied on the scan (same contract as
+        // the delta read option)
+        dataFilter = cfg.options.get("filter").orElse(cfg.options.get("where"))
+          .map(org.apache.spark.sql.functions.expr))
     }
     // delta routes through the native transaction-log reader (no
     // delta-spark jar in this env); versionAsOf / timestampAsOf are the

@@ -1,0 +1,316 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+
+import java.math.{BigDecimal => JBigDecimal}
+import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
+import java.time.format.DateTimeFormatter
+
+/**
+ * Format-agnostic min/max file skipping: the tri-state predicate
+ * evaluator shared by the Delta stats pruner ([[DeltaStats]], JSON stats
+ * on add actions) and the Iceberg pruner ([[IcebergSource]], per-column
+ * bound maps in manifests). Callers supply per-file column BOUNDS; this
+ * module answers "may this file contain a matching row" — sound (any
+ * unrecognized shape, missing bound, or type it cannot compare degrades
+ * to KEEP), driver-side only, O(files × predicate atoms).
+ *
+ * Values compare in a canonical domain: numbers as java BigDecimal,
+ * strings as themselves, dates/timestamps as their ISO-8601 rendering
+ * (which orders lexicographically), booleans natively.
+ */
+object StatsPruning {
+
+  /** [min,max]+nullability of one column inside one file. */
+  sealed trait Bounds
+  case object Unknown extends Bounds
+  case object AllNull extends Bounds
+  final case class Range(min: Option[Any], max: Option[Any], mayHaveNull: Boolean)
+    extends Bounds
+
+  private[sources] val tsUtc =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").withZone(ZoneOffset.UTC)
+  private[sources] val tsNtz = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS")
+
+  private[sources] def formatMicros(v: Long, utc: Boolean): String = {
+    val inst = Instant.EPOCH.plusSeconds(Math.floorDiv(v, 1000000L))
+      .plusNanos(Math.floorMod(v, 1000000L) * 1000L)
+    if (utc) tsUtc.format(inst)
+    else tsNtz.format(LocalDateTime.ofInstant(inst, ZoneOffset.UTC))
+  }
+
+  /**
+   * Resolve `filter` through Catalyst analysis against an empty frame
+   * carrying `schema` — the walk then sees typed AttributeReference /
+   * Literal / Cast trees with Spark's implicit coercions applied, and an
+   * unresolvable predicate fails here exactly as it would on the scan.
+   */
+  def resolveCondition(spark: SparkSession, schema: StructType,
+                       filter: Column): Option[Expression] = {
+    val clean = StructType(schema.fields.map(_.copy(metadata = Metadata.empty)))
+    val empty = spark.createDataFrame(new java.util.ArrayList[Row](), clean)
+    empty.filter(filter).queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.headOption
+  }
+
+  /** Catalyst literal (INTERNAL value repr) → comparable domain, under the
+    * table column's type `target` (what the bounds were recorded in). */
+  def coerceLit(lit: Literal, target: DataType): Option[Any] = {
+    if (lit.value == null) return None
+    (lit.dataType, target) match {
+      case (_: NumericType, _: NumericType) => lit.value match {
+        case d: Decimal => Some(d.toJavaBigDecimal)
+        case v => try Some(new JBigDecimal(v.toString)) catch { case _: Exception => None }
+      }
+      case (StringType, _: NumericType) =>
+        try Some(new JBigDecimal(lit.value.toString)) catch { case _: Exception => None }
+      case (DateType, DateType) =>
+        Some(LocalDate.ofEpochDay(lit.value.asInstanceOf[Int].toLong).toString)
+      case (StringType, DateType) =>
+        try Some(LocalDate.parse(lit.value.toString).toString)
+        catch { case _: Exception => None }
+      case (TimestampType, TimestampType) =>
+        Some(formatMicros(lit.value.asInstanceOf[Long], utc = true))
+      case (TimestampNTZType, TimestampNTZType) =>
+        Some(formatMicros(lit.value.asInstanceOf[Long], utc = false))
+      case (StringType, TimestampType) =>
+        // ISO-ish literal, normalized to the bounds' rendering
+        try {
+          val ldt = LocalDateTime.parse(lit.value.toString.replace(' ', 'T'))
+          Some(tsUtc.format(ldt.toInstant(ZoneOffset.UTC)))
+        } catch { case _: Exception => None }
+      case (StringType, StringType) => Some(lit.value.toString)
+      case (BooleanType, BooleanType) => Some(lit.value.asInstanceOf[Boolean])
+      case _ => None
+    }
+  }
+
+  def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: JBigDecimal, y: JBigDecimal) => Some(x.compareTo(y))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+    case _ => None
+  }
+
+  /**
+   * May any row of a file with the given per-column `bounds` satisfy
+   * `cond`? `typeOf` resolves an attribute path to the column's declared
+   * type (None → cannot reason, keep). Negation pushes into atoms with
+   * three-valued-logic-correct rewrites; anything unmodeled keeps.
+   */
+  def mayMatch(cond: Expression,
+               typeOf: Seq[String] => Option[DataType],
+               bounds: (Seq[String], DataType) => Bounds): Boolean = {
+
+    def attrPath(x: Expression): Option[Seq[String]] = x match {
+      case r: AttributeReference => Some(Seq(r.name))
+      case g: GetStructField => attrPath(g.child).map(_ :+ g.extractFieldName)
+      case c: Cast => attrPath(c.child)
+      case u: UnresolvedAttribute => Some(u.nameParts)
+      case _ => None
+    }
+
+    // literal side: any foldable subtree (analysis wraps literals in the
+    // coercion Cast) evaluates driver-side to its typed value
+    object Lit {
+      def unapply(x: Expression): Option[Literal] = x match {
+        case l: Literal => Some(l)
+        case e if e.foldable && !e.exists(_.isInstanceOf[AttributeReference]) =>
+          try Some(Literal(e.eval(null), e.dataType))
+          catch { case _: Exception => None }
+        case _ => None
+      }
+    }
+
+    /** One comparison atom: op is -2 (<), -1 (<=), 0 (=), 1 (>=), 2 (>). */
+    def cmpAtom(attr: Expression, lit: Literal, op: Int): Boolean = {
+      val parts = attrPath(attr).getOrElse(return true)
+      if (lit.value == null) return false // comparison with NULL matches nothing
+      val t = typeOf(parts).getOrElse(return true)
+      val v = coerceLit(lit, t).getOrElse(return true)
+      bounds(parts, t) match {
+        case Unknown => true
+        case AllNull => false
+        case Range(mn, mx, _) => op match {
+          case 0 =>
+            mn.flatMap(cmp(_, v)).forall(_ <= 0) && mx.flatMap(cmp(v, _)).forall(_ <= 0)
+          case -2 => mn.flatMap(cmp(_, v)).forall(_ < 0)
+          case -1 => mn.flatMap(cmp(_, v)).forall(_ <= 0)
+          case 2 => mx.flatMap(cmp(_, v)).forall(_ > 0)
+          case 1 => mx.flatMap(cmp(_, v)).forall(_ >= 0)
+          case _ => true
+        }
+      }
+    }
+
+    def may(x: Expression): Boolean = x match {
+      case And(l, r) => may(l) && may(r)
+      case Or(l, r) => may(l) || may(r)
+      case Not(inner) => mayNot(inner)
+      case EqualTo(c, Lit(l)) => cmpAtom(c, l, 0)
+      case EqualTo(Lit(l), c) => cmpAtom(c, l, 0)
+      case EqualNullSafe(c, Lit(l)) =>
+        if (l.value == null) may(IsNull(c)) else cmpAtom(c, l, 0)
+      case EqualNullSafe(Lit(l), c) =>
+        if (l.value == null) may(IsNull(c)) else cmpAtom(c, l, 0)
+      case LessThan(c, Lit(l)) => cmpAtom(c, l, -2)
+      case LessThan(Lit(l), c) => cmpAtom(c, l, 2)
+      case LessThanOrEqual(c, Lit(l)) => cmpAtom(c, l, -1)
+      case LessThanOrEqual(Lit(l), c) => cmpAtom(c, l, 1)
+      case GreaterThan(c, Lit(l)) => cmpAtom(c, l, 2)
+      case GreaterThan(Lit(l), c) => cmpAtom(c, l, -2)
+      case GreaterThanOrEqual(c, Lit(l)) => cmpAtom(c, l, 1)
+      case GreaterThanOrEqual(Lit(l), c) => cmpAtom(c, l, -1)
+      case In(c, vs) =>
+        val lits = vs.map(Lit.unapply)
+        if (lits.exists(_.isEmpty)) true
+        else lits.flatten.exists(v => cmpAtom(c, v, 0))
+      case IsNull(c) =>
+        attrPath(c) match {
+          case None => true
+          case Some(parts) =>
+            val t = typeOf(parts).getOrElse(return true)
+            bounds(parts, t) match {
+              case AllNull => true
+              case Range(_, _, mayNull) => mayNull
+              case Unknown => true
+            }
+        }
+      case IsNotNull(c) =>
+        attrPath(c) match {
+          case None => true
+          case Some(parts) =>
+            val t = typeOf(parts).getOrElse(return true)
+            bounds(parts, t) match {
+              case AllNull => false
+              case _ => true
+            }
+        }
+      case StartsWith(c, Lit(l)) =>
+        val parts = attrPath(c).getOrElse(return true)
+        val p = Option(l.value).map(_.toString).getOrElse(return false)
+        val t = typeOf(parts).getOrElse(return true)
+        if (t != StringType) return true
+        bounds(parts, t) match {
+          case Unknown => true
+          case AllNull => false
+          case Range(mn, mx, _) =>
+            val lower = mn.forall { case s: String => s.take(p.length) <= p; case _ => true }
+            val upper = mx.forall { case s: String => s >= p; case _ => true }
+            lower && upper
+        }
+      case Literal(v: Boolean, BooleanType) => v
+      case Literal(null, _) => false
+      case _ => true // unrecognized shape: cannot skip
+    }
+
+    /** may(NOT x): push negation into atoms; unknown shapes keep the file. */
+    def mayNot(x: Expression): Boolean = x match {
+      case And(l, r) => mayNot(l) || mayNot(r)
+      case Or(l, r) => mayNot(l) && mayNot(r)
+      case Not(inner) => may(inner)
+      case EqualTo(c, Lit(l)) => notEqAtom(c, l)
+      case EqualTo(Lit(l), c) => notEqAtom(c, l)
+      case LessThan(c, Lit(l)) => cmpAtom(c, l, 1)
+      case LessThan(Lit(l), c) => cmpAtom(c, l, -1)
+      case LessThanOrEqual(c, Lit(l)) => cmpAtom(c, l, 2)
+      case LessThanOrEqual(Lit(l), c) => cmpAtom(c, l, -2)
+      case GreaterThan(c, Lit(l)) => cmpAtom(c, l, -1)
+      case GreaterThan(Lit(l), c) => cmpAtom(c, l, 1)
+      case GreaterThanOrEqual(c, Lit(l)) => cmpAtom(c, l, -2)
+      case GreaterThanOrEqual(Lit(l), c) => cmpAtom(c, l, 2)
+      case IsNull(c) => may(IsNotNull(c))
+      case IsNotNull(c) => may(IsNull(c))
+      case _ => true
+    }
+
+    /** c != v may match unless every non-null value equals v and nulls
+      * never satisfy != either (three-valued logic). */
+    def notEqAtom(attr: Expression, lit: Literal): Boolean = {
+      val parts = attrPath(attr).getOrElse(return true)
+      if (lit.value == null) return false
+      val t = typeOf(parts).getOrElse(return true)
+      val v = coerceLit(lit, t).getOrElse(return true)
+      bounds(parts, t) match {
+        case Unknown => true
+        case AllNull => false
+        case Range(Some(mn), Some(mx), _) =>
+          !(cmp(mn, v).contains(0) && cmp(mx, v).contains(0))
+        case _ => true
+      }
+    }
+
+    may(cond)
+  }
+
+  // ------------------------------------------------- footer extraction
+
+  /** One leaf column's footer-aggregated statistics: raw parquet min/max
+    * values (types per [[org.apache.parquet.column.statistics.Statistics]])
+    * plus the column's parquet type and optional embedded field id. */
+  final case class LeafStats(path: Seq[String],
+                             prim: org.apache.parquet.schema.PrimitiveType,
+                             fieldId: Option[Int],
+                             min: Option[Any], max: Option[Any],
+                             nullCount: Option[Long])
+
+  /**
+   * (rowCount, per-leaf stats) from ONE parquet footer — pure metadata,
+   * no data pages. Only repetition-level-0 leaves (array/map interiors
+   * have no meaningful file bounds); min/max omitted when any chunk with
+   * values lacks usable statistics. The min/max ordering across chunks is
+   * delegated to `ordering` on the RAW parquet values.
+   */
+  def footerLeafStats(conf: org.apache.hadoop.conf.Configuration,
+                      p: org.apache.hadoop.fs.Path): (Long, Seq[LeafStats]) = {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val footer = r.getFooter
+      val schema = footer.getFileMetaData.getSchema
+      val leaves = schema.getColumns.asScala.filter(_.getMaxRepetitionLevel == 0).toSeq
+      val blocks = footer.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val byPath = blocks.map(b =>
+        b.getColumns.asScala.map(c => c.getPath.toArray.toSeq -> c).toMap)
+      val out = leaves.flatMap { cd =>
+        val path = cd.getPath.toSeq
+        val prim = cd.getPrimitiveType
+        val chunks = byPath.flatMap(_.get(path))
+        if (chunks.size != blocks.size) None
+        else {
+          val stats = chunks.map(_.getStatistics)
+          val nullCount =
+            if (stats.forall(s => s != null && s.isNumNullsSet))
+              Some(stats.map(_.getNumNulls).sum)
+            else None
+          val withValues = stats.filter(s => s != null && s.hasNonNullValue)
+          val (mn, mx) =
+            if (withValues.nonEmpty && withValues.forall(!_.isEmpty)) {
+              val sorted = withValues.map(s => (s.genericGetMin, s.genericGetMax))
+              val minV = sorted.map(_._1).reduce((a, b) =>
+                if (rawCmp(prim, a, b) <= 0) a else b)
+              val maxV = sorted.map(_._2).reduce((a, b) =>
+                if (rawCmp(prim, a, b) >= 0) a else b)
+              (Some(minV), Some(maxV))
+            } else (None, None)
+          val id = Option(prim.getId).map(_.intValue())
+          Some(LeafStats(path, prim, id, mn, mx, nullCount))
+        }
+      }
+      (rows, out)
+    } finally r.close()
+  }
+
+  /** Ordering on RAW parquet statistics values of one column — the
+    * column type's OWN comparator (unsigned lexicographic for strings,
+    * total order parquet-mr recorded the stats under). */
+  private def rawCmp(prim: org.apache.parquet.schema.PrimitiveType,
+                     a: Any, b: Any): Int =
+    prim.comparator[Any]().compare(a, b)
+}
