@@ -1424,6 +1424,36 @@ object SparkEntry {
       q.awaitTermination()
       s.read.parquet(s"$tmp/sink")
     }),
+    "q_delta_stream_read" -> ((s, d) => {
+      // Delta as a STREAMING SOURCE (graft-delta): customer lands as a
+      // two-commit Delta table, the stream drains the initial snapshot
+      // plus the tailed commit under maxFilesPerTrigger into a parquet
+      // sink, a third commit lands mid-stream and drains too; the sink
+      // must equal the table (each file exactly once) — the oracle
+      // recomputes from the ORIGINAL parquet.
+      val cust = t(s, d, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dstream_q").toString
+      val root = s"$tmp/customer"
+      graft.sources.DeltaWriter.write(
+        cust.filter(col("c_custkey") % 3 === 0).coalesce(4), root)
+      graft.sources.DeltaWriter.write(
+        cust.filter(col("c_custkey") % 3 === 1).coalesce(4), root)
+      val stream = graft.sources.Sources.read(s, graft.sources.Sources.ReadConfig(
+        "delta", path = Some(root), streaming = true,
+        options = Map("maxFilesPerTrigger" -> "3")))
+      val q = stream.writeStream.format("parquet").option("path", s"$tmp/sink")
+        .option("checkpointLocation", s"$tmp/cp").start()
+      q.processAllAvailable()
+      graft.sources.DeltaWriter.write(
+        cust.filter(col("c_custkey") % 3 === 2).coalesce(4), root)
+      q.processAllAvailable()
+      q.stop()
+      s.read.parquet(s"$tmp/sink")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("bal"),
+          min("c_custkey").as("min_key"), max("c_custkey").as("max_key"))
+    }),
     "q_topk_values" -> ((s, d) => // per-group exact top-k by frequency
       operators.Sketches.topKValues(events(s, d), Seq("user_id"), "event_type", 2)
         .withColumn("n", col("n").cast("long"))),
@@ -2170,6 +2200,10 @@ object SparkEntry {
       "SELECT event_id, user_id FROM events WHERE ts > TIMESTAMP '2024-01-02 23:00:00'",
     "q_streaming_append" ->
       "SELECT event_id, user_id, event_type FROM events",
+    // the delta streaming source drained every commit exactly once iff
+    // the sink aggregates like the source table
+    "q_delta_stream_read" ->
+      "SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal, min(c_custkey) AS min_key, max(c_custkey) AS max_key FROM customer GROUP BY 1",
     "q_convert_timezone" ->
       "SELECT o_orderkey, o_orderdate, timezone('America/New_York', timezone('UTC', o_orderdate)) AS o_local FROM orders",
     "q_lang_id" ->

@@ -478,8 +478,20 @@ object DeltaLog {
       case Some(f) => snap1.copy(files = DeltaStats.prune(spark, snap1, f).files)
       case None => snap1
     }
-    def withFilter(df: DataFrame): DataFrame =
-      dataFilter.map(df.filter).getOrElse(df)
+    dataFilter.foldLeft(frameOf(spark, root, snap))((df, f) => df.filter(f))
+  }
+
+  /**
+   * The DataFrame of exactly `snap.files` — one parquet scan (physical
+   * schema under column mapping, renamed back), DV positions dropped,
+   * partition values attached via the broadcast file→values join. The
+   * building block behind [[read]] and the streaming source's per-batch
+   * frames.
+   */
+  private[sources] def frameOf(spark: SparkSession, root: String,
+                               snap: Snapshot): DataFrame = {
+    val physOf: Map[String, String] =
+      snap.schema.fields.map(f => f.name -> physicalName(f)).toMap
     val mapped =
       snap.configuration.getOrElse("delta.columnMapping.mode", "none") != "none"
     val logicalType: Map[String, DataType] =
@@ -503,8 +515,8 @@ object DeltaLog {
     val paths = snap.files.map(a => absolutize(root, a.path))
     val rawScan = spark.read.schema(dataSchema).parquet(paths: _*)
     if (snap.partitionColumns.isEmpty)
-      return withFilter(applyDeletionVectors(spark, root, snap, rawScan)
-        .select(ordered.map(logicalCol): _*))
+      return applyDeletionVectors(spark, root, snap, rawScan)
+        .select(ordered.map(logicalCol): _*)
     // file name (unique UUID-bearing basenames per the Delta writers) →
     // partition value strings, cast to the declared types after the join
     val base = (p: String) => p.substring(p.lastIndexOf('/') + 1)
@@ -535,11 +547,11 @@ object DeltaLog {
         element_at(split(input_file_name(), "/"), -1)))
     val partType = snap.schema.fields.map(fd => fd.name -> fd.dataType).toMap
     val joined = withFile.join(broadcast(pv), Seq("_gf_file"))
-    withFilter(joined.select(ordered.map { c =>
+    joined.select(ordered.map { c =>
       if (snap.partitionColumns.contains(c))
         col(s"_gf_pv_$c").cast(stripMeta(partType(c))).as(c)
       else logicalCol(c)
-    }: _*))
+    }: _*)
   }
 
   /**

@@ -1,0 +1,290 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Delta table as a STREAMING SOURCE: tail the `_delta_log` for new add
+ * actions and emit each batch's files through the same scan machinery the
+ * batch reader uses ([[DeltaLog.frameOf]]). The incremental-ETL shape the
+ * reference reads with `format: delta, streaming: true` through
+ * delta-spark (reference odibi/config.py:2676-2685); this is the native
+ * equivalent for an environment without the delta-spark jar.
+ *
+ * Semantics match delta-spark's DeltaSource:
+ *  - default start = the CURRENT snapshot as the first batch, then new
+ *    commits; `startingVersion` (a number, or "latest") tails from there
+ *    instead.
+ *  - `maxFilesPerTrigger` bounds each micro-batch; offsets address
+ *    (version, file-index) so a batch can stop MID-commit and resume
+ *    deterministically from the log alone (restart-safe).
+ *  - data is append-only by contract: a commit that REMOVES files with
+ *    dataChange=true fails the stream unless `ignoreDeletes` (pure
+ *    deletes) or `ignoreChanges` (updates/merges — their re-written adds
+ *    are re-emitted WHOLE, deletion vectors ignored, the same
+ *    at-least-once caveat delta-spark documents). dataChange=false
+ *    commits (OPTIMIZE) are skipped silently.
+ *  - a schema-changing metaData action mid-stream fails loudly.
+ *
+ * Scale: getOffset/getBatch are driver-side log metadata only (the same
+ * O(new commits) tailing every Delta streaming reader does); the data
+ * path is one parquet scan per batch with pushdown intact.
+ */
+class DeltaStreamSourceProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "graft-delta"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-delta streaming source needs .load(path) or option(\"path\", ...)"))
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty, "graft-delta derives its schema from the table")
+    val snap = DeltaLog.snapshot(sqlContext.sparkSession, pathOf(parameters))
+    ("graft-delta", DeltaStreamSource.logicalSchema(snap))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    new DeltaStreamSource(sqlContext.sparkSession, pathOf(parameters),
+      parameters, metadataPath)
+}
+
+object DeltaStreamSource {
+  private val mapper = new ObjectMapper()
+
+  private[sources] def logicalSchema(snap: DeltaLog.Snapshot): StructType =
+    StructType(snap.schema.fields.map(f =>
+      f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+
+  /** Stream position: all files of `version` up to `index` (exclusive)
+    * are consumed; `snapshot` marks the initial-snapshot phase, whose
+    * "files" are the snapshot's active list at `version`. */
+  final case class DeltaSourceOffset(version: Long, index: Long, snapshot: Boolean)
+    extends OffsetV1 {
+    override def json(): String =
+      s"""{"version":$version,"index":$index,"snapshot":$snapshot}"""
+  }
+
+  private[sources] def parseOffset(json: String): DeltaSourceOffset = {
+    val n = mapper.readTree(json)
+    DeltaSourceOffset(n.get("version").asLong, n.get("index").asLong,
+      n.get("snapshot").asBoolean)
+  }
+}
+
+class DeltaStreamSource(spark: SparkSession, root: String,
+                        parameters: Map[String, String],
+                        metadataPath: String = "") extends Source {
+  import DeltaStreamSource._
+  import scala.jdk.CollectionConverters._
+
+  private def opt(k1: String, k2: String): Option[String] =
+    parameters.get(k1).orElse(parameters.get(k2))
+  private val maxFiles: Option[Int] =
+    opt("maxFilesPerTrigger", "max_files_per_trigger").map(_.toInt)
+  private val ignoreDeletes =
+    opt("ignoreDeletes", "ignore_deletes").exists(_.toBoolean)
+  private val ignoreChanges =
+    opt("ignoreChanges", "ignore_changes").exists(_.toBoolean)
+  private val startingVersion: Option[String] =
+    opt("startingVersion", "starting_version")
+
+  // the base decides batch 0: Left(snapshot version) = emit that whole
+  // snapshot first; Right(v) = tail add actions from version v on
+  private lazy val base: Either[Long, Long] = startingVersion match {
+    case None => Left(DeltaLog.versions(spark, root).last)
+    case Some("latest") => Right(DeltaLog.versions(spark, root).last + 1)
+    case Some(v) => Right(v.toLong)
+  }
+
+  private lazy val snapshotAtBase: DeltaLog.Snapshot = base match {
+    case Left(v) => DeltaLog.snapshot(spark, root, versionAsOf = Some(v))
+    case Right(v) =>
+      // schema as of the tail start (v-1 may predate the table: use v's)
+      DeltaLog.snapshot(spark, root)
+  }
+
+  override val schema: StructType = logicalSchema(snapshotAtBase)
+
+  /** Per-version ADDED files while tailing, with the append-only contract
+    * enforced. Cached: a version's actions never change once committed. */
+  private val versionAdds = scala.collection.mutable.Map[Long, Seq[DeltaLog.AddFile]]()
+
+  private def addsOf(version: Long): Seq[DeltaLog.AddFile] =
+    versionAdds.getOrElseUpdate(version, {
+      val f = new Path(root, "_delta_log").getFileSystem(
+        spark.sessionState.newHadoopConf())
+      val p = new Path(new Path(root, "_delta_log"), f"$version%020d.json")
+      val text = {
+        val in = f.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      }
+      val mapper = new ObjectMapper()
+      val lines = text.split('\n').filter(_.nonEmpty).map(mapper.readTree).toSeq
+      val metas = lines.flatMap(n => Option(n.get("metaData")))
+      metas.foreach { m =>
+        val st = org.apache.spark.sql.types.DataType.fromJson(
+          m.get("schemaString").asText()).asInstanceOf[StructType]
+        require(logicalSchema(snapshotAtBase.copy(schema = st)) == schema,
+          s"Delta source schema changed at version $version — restart the " +
+            s"stream to pick up ${st.simpleString}")
+      }
+      val adds = lines.flatMap(n => Option(n.get("add")))
+        .filter(a => Option(a.get("dataChange")).forall(_.asBoolean))
+      val removes = lines.flatMap(n => Option(n.get("remove")))
+        .filter(r => Option(r.get("dataChange")).forall(_.asBoolean))
+      if (removes.nonEmpty && adds.isEmpty)
+        require(ignoreDeletes || ignoreChanges,
+          s"version $version deletes data from the stream source table " +
+            s"($root); set ignoreDeletes to skip pure deletes")
+      if (removes.nonEmpty && adds.nonEmpty)
+        require(ignoreChanges,
+          s"version $version updates rows in the stream source table " +
+            s"($root); set ignoreChanges to re-emit rewritten files whole")
+      adds.map { a =>
+        DeltaLog.AddFile(
+          a.get("path").asText(),
+          Option(a.get("partitionValues")).map { pv =>
+            pv.properties().iterator().asScala.map(e =>
+              e.getKey -> Option(e.getValue).filterNot(_.isNull)
+                .map(_.asText())).toMap
+          }.getOrElse(Map.empty),
+          Option(a.get("size")).map(_.asLong).getOrElse(0L),
+          Option(a.get("modificationTime")).map(_.asLong).getOrElse(0L),
+          deletionVector = None, // re-emitted WHOLE under ignoreChanges
+          stats = Option(a.get("stats")).filterNot(_.isNull).map(_.asText()))
+      }
+    })
+
+  /** Pending (pos, file) pairs after `from`, in commit order, capped. */
+  private def pendingAfter(from: Option[DeltaSourceOffset], cap: Option[Int])
+      : Seq[(DeltaSourceOffset, DeltaLog.AddFile)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(DeltaSourceOffset, DeltaLog.AddFile)]()
+    def room: Boolean = cap.forall(out.size < _)
+    val latest = DeltaLog.versions(spark, root).last
+    // phase 1: the initial snapshot (offsets with snapshot=true)
+    val snapStart: Option[Long] = base match {
+      case Left(v) if from.forall(o => o.snapshot) =>
+        val startIdx = from.map(_.index).getOrElse(0L)
+        val files = snapshotAtBase.files
+        var i = startIdx
+        while (i < files.size && room) {
+          out += ((DeltaSourceOffset(v, i + 1, snapshot = true), files(i.toInt)))
+          i += 1
+        }
+        // snapshot fully consumed only when we emitted through the end
+        if (startIdx >= files.size || (out.nonEmpty && out.last._1.index == files.size) ||
+            files.isEmpty) Some(v + 1) else None
+      case Left(v) => Some(from.get.version + (if (from.get.snapshot) 1L else 0L))
+      case Right(v) => Some(from.map(_.version).map(math.max(_, v)).getOrElse(v))
+    }
+    // phase 2: tail commits
+    snapStart.foreach { sv =>
+      var v = from match {
+        case Some(o) if !o.snapshot => o.version
+        case _ => sv
+      }
+      while (v <= latest && room) {
+        val adds = addsOf(v)
+        val startIdx = from match {
+          case Some(o) if !o.snapshot && o.version == v => o.index
+          case _ => 0L
+        }
+        var i = startIdx
+        while (i < adds.size && room) {
+          out += ((DeltaSourceOffset(v, i + 1, snapshot = false), adds(i.toInt)))
+          i += 1
+        }
+        v += 1
+      }
+    }
+    out.toSeq
+  }
+
+  override def getOffset: Option[OffsetV1] = {
+    val last = lastReturned
+    val pending = pendingAfter(last, maxFiles)
+    if (pending.isEmpty) last.map(identity[OffsetV1])
+    else {
+      setPosition(pending.last._1)
+      lastReturned.map(identity[OffsetV1])
+    }
+  }
+
+  // the consumed-through position. With maxFilesPerTrigger the offsets
+  // getOffset returns are CAPPED, so a restart must not re-cap from the
+  // log's beginning (it would return an offset BEHIND the checkpointed
+  // start and re-emit files) — the position round-trips through a tiny
+  // file under the stream's own checkpoint metadataPath, exactly the
+  // restart discipline FileStreamSource uses for its seen-files map.
+  private var lastReturned: Option[DeltaSourceOffset] = recoverPosition()
+
+  private def positionFile: Option[Path] =
+    if (metadataPath.isEmpty) None
+    else Some(new Path(metadataPath, "graft-delta-position"))
+
+  private def setPosition(o: DeltaSourceOffset): Unit = {
+    if (lastReturned.forall(l => offsetLt(l, o))) {
+      lastReturned = Some(o)
+      positionFile.foreach { p =>
+        val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+        val out = f.create(p, true)
+        try out.write(o.json().getBytes("UTF-8")) finally out.close()
+      }
+    }
+  }
+
+  private def recoverPosition(): Option[DeltaSourceOffset] =
+    positionFile.flatMap { p =>
+      val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        Some(parseOffset(text))
+      }
+    }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val endOff = toOffset(end)
+    val startOff = start.map(toOffset)
+    setPosition(endOff) // a recovered uncommitted batch re-initializes us
+    // everything in (start, end]; bounded re-enumeration from the log, so
+    // a restart reproduces the batch exactly
+    val files = pendingAfter(startOff, None)
+      .takeWhile { case (pos, _) => !offsetLt(endOff, pos) }
+      .map(_._2)
+    val snapFor = base match {
+      case Left(v) if endOff.snapshot =>
+        snapshotAtBase.copy(files = files)
+      case _ =>
+        DeltaLog.snapshot(spark, root).copy(files = files)
+    }
+    val batch =
+      if (files.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else DeltaLog.frameOf(spark, root, snapFor)
+    org.apache.spark.sql.graftshim.ColumnShim.asStreamingFrame(batch)
+  }
+
+  private def toOffset(o: OffsetV1): DeltaSourceOffset = o match {
+    case d: DeltaSourceOffset => d
+    case other => parseOffset(other.json())
+  }
+
+  private def offsetLt(a: DeltaSourceOffset, b: DeltaSourceOffset): Boolean =
+    if (a.snapshot != b.snapshot) a.snapshot // snapshot phase precedes tailing
+    else if (a.version != b.version) a.version < b.version
+    else a.index < b.index
+
+  override def commit(end: OffsetV1): Unit = ()
+  override def stop(): Unit = ()
+}

@@ -25,10 +25,19 @@ object Sources {
     * switches to readStream (file sources then require schema_ddl). */
   def read(spark: SparkSession, cfg: ReadConfig): DataFrame = {
     if (cfg.streaming) {
-      // the native formats have no streaming DataSource — fail at plan
-      // time with the workaround, not at runtime with a lookup error
+      // delta streams through the NATIVE tailing source (graft-delta):
+      // initial snapshot + new commits, startingVersion/maxFilesPerTrigger/
+      // ignoreDeletes/ignoreChanges as in delta-spark's DeltaSource
+      if (cfg.format.equalsIgnoreCase("delta")) {
+        val p = cfg.path.getOrElse(throw new IllegalArgumentException(
+          "delta streaming read needs a path"))
+        return spark.readStream.format("graft-delta")
+          .options(cfg.options).load(p)
+      }
+      // the remaining native formats have no streaming DataSource — fail
+      // at plan time with the workaround, not at runtime with a lookup error
       require(cfg.format != "avro" && cfg.format != "excel" && cfg.format != "media"
-          && cfg.format != "delta" && cfg.format != "warc" && cfg.format != "iceberg",
+          && cfg.format != "warc" && cfg.format != "iceberg",
         s"${cfg.format} has no streaming source in this environment; " +
           "batch-read it or stream a parquet/json landing copy " +
           "(for media: readStream.format(\"binaryFile\") + Multimodal.asMedia)")

@@ -1,0 +1,206 @@
+package graft
+
+import graft.sources.{DeltaDvWriter, DeltaLog, DeltaWriter, Sources}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+
+import java.nio.file.Files
+
+/**
+ * Delta table as a streaming SOURCE (graft-delta): initial snapshot +
+ * tailed commits, exactly-once across restarts, startingVersion /
+ * maxFilesPerTrigger / ignoreDeletes / ignoreChanges semantics matching
+ * delta-spark's DeltaSource.
+ */
+class DeltaStreamSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("dstream").toString
+
+  private var n = 0
+  private def mem(): String = { n += 1; s"dss_$n" }
+
+  test("initial snapshot then tailed appends, each exactly once") {
+    val root = tmp()
+    DeltaWriter.write(Seq((1, "a"), (2, "b")).toDF("k", "v"), root)
+    DeltaWriter.write(Seq((3, "c")).toDF("k", "v"), root)
+    val name = mem()
+    val q = spark.readStream.format("graft-delta").load(root)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", tmp()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).as[(Int, String)].collect().toSet ==
+        Set((1, "a"), (2, "b"), (3, "c")))
+      DeltaWriter.write(Seq((4, "d")).toDF("k", "v"), root)
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 4)
+      assert(spark.table(name).as[(Int, String)].collect().toSet ==
+        Set((1, "a"), (2, "b"), (3, "c"), (4, "d")))
+    } finally q.stop()
+  }
+
+  test("startingVersion tails from that commit; 'latest' only new data") {
+    val root = tmp()
+    DeltaWriter.write(Seq((1, "a")).toDF("k", "v"), root) // v0
+    DeltaWriter.write(Seq((2, "b")).toDF("k", "v"), root) // v1
+    val name = mem()
+    val q = spark.readStream.format("graft-delta")
+      .option("startingVersion", "1").load(root)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", tmp()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).as[(Int, String)].collect().toSet == Set((2, "b")))
+    } finally q.stop()
+
+    val name2 = mem()
+    val q2 = spark.readStream.format("graft-delta")
+      .option("startingVersion", "latest").load(root)
+      .writeStream.format("memory").queryName(name2)
+      .option("checkpointLocation", tmp()).start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table(name2).count() == 0)
+      DeltaWriter.write(Seq((9, "z")).toDF("k", "v"), root)
+      q2.processAllAvailable()
+      assert(spark.table(name2).as[(Int, String)].collect().toSet == Set((9, "z")))
+    } finally q2.stop()
+  }
+
+  test("maxFilesPerTrigger bounds batches but loses nothing") {
+    val root = tmp()
+    DeltaWriter.write((0 until 40).toDF("k").repartition(8), root)
+    val name = mem()
+    val q = spark.readStream.format("graft-delta")
+      .option("maxFilesPerTrigger", "2").load(root)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", tmp()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 40)
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 3,
+        s"2-files-per-trigger over 8 files should take >=4 batches, " +
+          s"saw ${batches.length}")
+    } finally q.stop()
+  }
+
+  test("exactly-once across restart: no re-emission after checkpoint") {
+    val root = tmp()
+    val out = tmp()
+    val cp = tmp()
+    DeltaWriter.write((0 until 10).toDF("k"), root)
+    val q1 = spark.readStream.format("graft-delta")
+      .option("maxFilesPerTrigger", "1").load(root)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp).start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(out).count() == 10)
+    // new data lands while the stream is DOWN; restart must emit ONLY it
+    DeltaWriter.write((10 until 15).toDF("k"), root)
+    val q2 = spark.readStream.format("graft-delta")
+      .option("maxFilesPerTrigger", "1").load(root)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp).start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(out)
+    assert(got.count() == 15, "restart duplicated or dropped rows")
+    assert(got.as[Int].collect().toSet == (0 until 15).toSet)
+  }
+
+  test("a delete fails the stream unless ignoreDeletes") {
+    val root = tmp()
+    DeltaWriter.write((0 until 20).map(i => (i, i % 2)).toDF("k", "m"), root)
+    val name = mem()
+    val q = spark.readStream.format("graft-delta").load(root)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", tmp()).start()
+    try {
+      q.processAllAvailable()
+      // a full-file remove commit (overwrite drops everything)
+      DeltaWriter.write(Seq((100, 0)).toDF("k", "m"), root, mode = "overwrite")
+      val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+      assert(e.getMessage.contains("ignoreChanges") ||
+        e.getCause.getMessage.contains("ignoreChanges"))
+    } finally q.stop()
+
+    // with ignoreChanges the rewritten adds re-emit and the stream lives
+    val name2 = mem()
+    val q2 = spark.readStream.format("graft-delta")
+      .option("ignoreChanges", "true")
+      .option("startingVersion", "0").load(root)
+      .writeStream.format("memory").queryName(name2)
+      .option("checkpointLocation", tmp()).start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table(name2).count() == 21) // 20 originals + rewrite
+    } finally q2.stop()
+  }
+
+  test("DV delete commit requires ignoreChanges; re-emits the file whole") {
+    val root = tmp()
+    DeltaWriter.write((0 until 10).map(i => (i, i % 2)).toDF("k", "m")
+      .coalesce(1), root)
+    DeltaDvWriter.delete(spark, root, "m = 1") // remove+add(dv) commit
+    val name = mem()
+    val q = spark.readStream.format("graft-delta")
+      .option("startingVersion", "0")
+      .option("ignoreChanges", "true").load(root)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", tmp()).start()
+    try {
+      q.processAllAvailable()
+      // v0 file (10 rows) + v1 re-add of the same file emitted WHOLE
+      assert(spark.table(name).count() == 20)
+    } finally q.stop()
+  }
+
+  test("partitioned table streams with partition values attached") {
+    val root = tmp()
+    DeltaWriter.write((0 until 30).map(i => (i, s"d${i % 3}")).toDF("k", "day"),
+      root, partitionBy = Seq("day"))
+    val name = mem()
+    val q = spark.readStream.format("graft-delta").load(root)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", tmp()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table(name)
+      assert(got.count() == 30)
+      assert(got.groupBy("day").count().collect().map(_.getLong(1)).toSet == Set(10L))
+    } finally q.stop()
+  }
+
+  test("declarative surface: ReadConfig(streaming=true, delta) streams") {
+    val root = tmp()
+    DeltaWriter.write(Seq((1, "x")).toDF("k", "v"), root)
+    val df = Sources.read(spark,
+      Sources.ReadConfig("delta", path = Some(root), streaming = true))
+    assert(df.isStreaming)
+    val name = mem()
+    val q = df.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", tmp()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 1)
+    } finally q.stop()
+  }
+
+  test("schema change mid-stream fails loudly") {
+    val root = tmp()
+    DeltaWriter.write(Seq((1, "a")).toDF("k", "v"), root)
+    val name = mem()
+    val q = spark.readStream.format("graft-delta").load(root)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", tmp()).start()
+    try {
+      q.processAllAvailable()
+      DeltaWriter.write(Seq((2, "b", 1.5)).toDF("k", "v", "w"), root,
+        schemaPolicy = graft.sources.DeltaSchema.Evolve)
+      val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+      assert(e.getMessage.contains("schema changed") ||
+        e.getCause.getMessage.contains("schema changed"))
+    } finally q.stop()
+  }
+}
