@@ -45,8 +45,8 @@ class DeltaStreamSourceProvider extends StreamSourceProvider with DataSourceRegi
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) = {
     require(schema.isEmpty, "graft-delta derives its schema from the table")
-    val snap = DeltaLog.snapshot(sqlContext.sparkSession, pathOf(parameters))
-    ("graft-delta", DeltaStreamSource.logicalSchema(snap))
+    ("graft-delta", new DeltaStreamSource(sqlContext.sparkSession,
+      pathOf(parameters), parameters).schema)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -95,6 +95,14 @@ class DeltaStreamSource(spark: SparkSession, root: String,
     opt("ignoreChanges", "ignore_changes").exists(_.toBoolean)
   private val startingVersion: Option[String] =
     opt("startingVersion", "starting_version")
+  /** CDF mode: emit the change feed (table columns + _change_type /
+    * _commit_version / _commit_timestamp) instead of the data — the
+    * delta-spark `readChangeFeed` streaming option. The initial snapshot
+    * (when no startingVersion) arrives as `insert` rows; tail versions
+    * stream through [[DeltaLog.changes]] one version per offset step
+    * (maxFilesPerTrigger caps VERSIONS per batch in this mode). */
+  private val readChangeFeed =
+    opt("readChangeFeed", "read_change_feed").exists(_.toBoolean)
 
   // the base decides batch 0: Left(snapshot version) = emit that whole
   // snapshot first; Right(v) = tail add actions from version v on
@@ -111,7 +119,15 @@ class DeltaStreamSource(spark: SparkSession, root: String,
       DeltaLog.snapshot(spark, root)
   }
 
-  override val schema: StructType = logicalSchema(snapshotAtBase)
+  override val schema: StructType =
+    if (!readChangeFeed) logicalSchema(snapshotAtBase)
+    else StructType(logicalSchema(snapshotAtBase).fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_commit_timestamp",
+        org.apache.spark.sql.types.TimestampType)))
 
   /** Per-version ADDED files while tailing, with the append-only contract
     * enforced. Cached: a version's actions never change once committed. */
@@ -185,14 +201,17 @@ class DeltaStreamSource(spark: SparkSession, root: String,
       case Left(v) => Some(from.get.version + (if (from.get.snapshot) 1L else 0L))
       case Right(v) => Some(from.map(_.version).map(math.max(_, v)).getOrElse(v))
     }
-    // phase 2: tail commits
+    // phase 2: tail commits (CDF mode: ONE item per version — the batch
+    // reads that version's change rows through DeltaLog.changes)
     snapStart.foreach { sv =>
       var v = from match {
         case Some(o) if !o.snapshot => o.version
         case _ => sv
       }
       while (v <= latest && room) {
-        val adds = addsOf(v)
+        val adds =
+          if (readChangeFeed) Seq(DeltaLog.AddFile("", Map.empty, 0L, 0L))
+          else addsOf(v)
         val startIdx = from match {
           case Some(o) if !o.snapshot && o.version == v => o.index
           case _ => 0L
@@ -257,6 +276,7 @@ class DeltaStreamSource(spark: SparkSession, root: String,
     val endOff = toOffset(end)
     val startOff = start.map(toOffset)
     setPosition(endOff) // a recovered uncommitted batch re-initializes us
+    if (readChangeFeed) return cdfBatch(startOff, endOff)
     // everything in (start, end]; bounded re-enumeration from the log, so
     // a restart reproduces the batch exactly
     val files = pendingAfter(startOff, None)
@@ -273,6 +293,57 @@ class DeltaStreamSource(spark: SparkSession, root: String,
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
       else DeltaLog.frameOf(spark, root, snapFor)
     org.apache.spark.sql.graftshim.ColumnShim.asStreamingFrame(batch)
+  }
+
+  /** One CDF micro-batch: the snapshot slice as `insert` rows (stamped
+    * with the base commit's version/timestamp) unioned with
+    * [[DeltaLog.changes]] over the tail version range. */
+  private def cdfBatch(startOff: Option[DeltaSourceOffset],
+                       endOff: DeltaSourceOffset): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val snapFrame: Option[DataFrame] = base match {
+      case Left(v) =>
+        val files = snapshotAtBase.files
+        val lo = startOff match {
+          case Some(o) if o.snapshot => o.index
+          case Some(_) => files.size.toLong // already past the snapshot
+          case None => 0L
+        }
+        val hi = if (endOff.snapshot) endOff.index else files.size.toLong
+        if (lo >= hi) None
+        else {
+          val f = new Path(root, "_delta_log").getFileSystem(
+            spark.sessionState.newHadoopConf())
+          val ts = f.getFileStatus(new Path(
+            new Path(root, "_delta_log"), f"$v%020d.json")).getModificationTime
+          Some(DeltaLog.frameOf(spark, root,
+              snapshotAtBase.copy(files = files.slice(lo.toInt, hi.toInt)))
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(v))
+            .withColumn("_commit_timestamp", timestamp_millis(lit(ts))))
+        }
+      case Right(_) => None
+    }
+    val startTail: Long = startOff match {
+      case Some(o) if !o.snapshot => o.version + 1
+      case _ => base match { case Left(v) => v + 1; case Right(v) => v }
+    }
+    val tailFrame: Option[DataFrame] =
+      if (endOff.snapshot || endOff.version < startTail) None
+      else {
+        val cur = DeltaLog.snapshot(spark, root, versionAsOf = Some(endOff.version))
+        require(logicalSchema(cur) == logicalSchema(snapshotAtBase),
+          s"Delta source schema changed by version ${endOff.version} — " +
+            s"restart the stream to pick up ${cur.schema.simpleString}")
+        Some(DeltaLog.changes(spark, root, startTail, Some(endOff.version)))
+      }
+    val frames = snapFrame.toSeq ++ tailFrame.toSeq
+    val df =
+      if (frames.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else frames.reduce(_.unionByName(_))
+    org.apache.spark.sql.graftshim.ColumnShim.asStreamingFrame(
+      df.select(schema.fieldNames.map(col).toSeq: _*))
   }
 
   private def toOffset(o: OffsetV1): DeltaSourceOffset = o match {

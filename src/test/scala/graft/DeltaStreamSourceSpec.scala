@@ -187,6 +187,58 @@ class DeltaStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("readChangeFeed: snapshot as inserts, then deletes/inserts as changes") {
+    val root = tmp()
+    DeltaWriter.write(Seq((1, "a"), (2, "b")).toDF("k", "v"), root) // v0
+    DeltaWriter.write(Seq((3, "c")).toDF("k", "v"), root)           // v1
+    val name = mem()
+    val q = spark.readStream.format("graft-delta")
+      .option("readChangeFeed", "true").load(root)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", tmp()).start()
+    try {
+      q.processAllAvailable()
+      val snap = spark.table(name).collect()
+      assert(snap.length == 3)
+      assert(snap.forall(r => r.getAs[String]("_change_type") == "insert"))
+      assert(snap.forall(r => r.getAs[Long]("_commit_version") == 1L))
+      // a DV delete arrives as change rows; an append as inserts
+      DeltaDvWriter.delete(spark, root, "k = 2") // v2
+      DeltaWriter.write(Seq((4, "d")).toDF("k", "v"), root) // v3
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .select("k", "_change_type", "_commit_version").as[(Int, String, Long)]
+        .collect().toSet
+      assert(rows.contains((2, "delete", 2L)), rows.toString)
+      assert(rows.contains((4, "insert", 3L)), rows.toString)
+      assert(rows.size == 5)
+    } finally q.stop()
+  }
+
+  test("readChangeFeed with startingVersion streams the full history") {
+    val root = tmp()
+    DeltaWriter.write(Seq((1, "a")).toDF("k", "v"), root)          // v0
+    DeltaWriter.write(Seq((2, "b")).toDF("k", "v"), root)          // v1
+    DeltaDvWriter.delete(spark, root, "k = 1")                     // v2
+    val name = mem()
+    val q = spark.readStream.format("graft-delta")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .option("maxFilesPerTrigger", "1") // one VERSION per batch here
+      .load(root)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", tmp()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .select("k", "_change_type", "_commit_version").as[(Int, String, Long)]
+        .collect().toSet
+      assert(rows == Set((1, "insert", 0L), (2, "insert", 1L), (1, "delete", 2L)),
+        rows.toString)
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "maxFilesPerTrigger=1 should split versions into batches")
+    } finally q.stop()
+  }
+
   test("schema change mid-stream fails loudly") {
     val root = tmp()
     DeltaWriter.write(Seq((1, "a")).toDF("k", "v"), root)
