@@ -1454,6 +1454,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("bal"),
           min("c_custkey").as("min_key"), max("c_custkey").as("max_key"))
     }),
+    "q_iceberg_stream_read" -> ((s, d) => {
+      // Iceberg as a STREAMING SOURCE (graft-iceberg): two snapshots
+      // drain as the initial batch, a third lands mid-stream and tails in
+      // as its own batch; the sink must equal the table — the oracle
+      // recomputes from the ORIGINAL parquet.
+      val cust = t(s, d, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_istream_q").toString
+      val root = s"$tmp/customer"
+      graft.sources.IcebergSource.write(
+        cust.filter(col("c_custkey") % 3 === 0).coalesce(4), root)
+      graft.sources.IcebergSource.write(
+        cust.filter(col("c_custkey") % 3 === 1).coalesce(4), root)
+      val stream = graft.sources.Sources.read(s, graft.sources.Sources.ReadConfig(
+        "iceberg", path = Some(root), streaming = true))
+      val q = stream.writeStream.format("parquet").option("path", s"$tmp/sink")
+        .option("checkpointLocation", s"$tmp/cp").start()
+      q.processAllAvailable()
+      graft.sources.IcebergSource.write(
+        cust.filter(col("c_custkey") % 3 === 2).coalesce(4), root)
+      q.processAllAvailable()
+      q.stop()
+      s.read.parquet(s"$tmp/sink")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("bal"),
+          min("c_custkey").as("min_key"), max("c_custkey").as("max_key"))
+    }),
     "q_topk_values" -> ((s, d) => // per-group exact top-k by frequency
       operators.Sketches.topKValues(events(s, d), Seq("user_id"), "event_type", 2)
         .withColumn("n", col("n").cast("long"))),
@@ -2203,6 +2230,8 @@ object SparkEntry {
     // the delta streaming source drained every commit exactly once iff
     // the sink aggregates like the source table
     "q_delta_stream_read" ->
+      "SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal, min(c_custkey) AS min_key, max(c_custkey) AS max_key FROM customer GROUP BY 1",
+    "q_iceberg_stream_read" ->
       "SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal, min(c_custkey) AS min_key, max(c_custkey) AS max_key FROM customer GROUP BY 1",
     "q_convert_timezone" ->
       "SELECT o_orderkey, o_orderdate, timezone('America/New_York', timezone('UTC', o_orderdate)) AS o_local FROM orders",

@@ -208,18 +208,21 @@ class DeltaStreamSource(spark: SparkSession, root: String,
         case Some(o) if !o.snapshot => o.version
         case _ => sv
       }
+      val earliest = DeltaLog.versions(spark, root).head
       while (v <= latest && room) {
-        val adds =
-          if (readChangeFeed) Seq(DeltaLog.AddFile("", Map.empty, 0L, 0L))
-          else addsOf(v)
-        val startIdx = from match {
-          case Some(o) if !o.snapshot && o.version == v => o.index
-          case _ => 0L
-        }
-        var i = startIdx
-        while (i < adds.size && room) {
-          out += ((DeltaSourceOffset(v, i + 1, snapshot = false), adds(i.toInt)))
-          i += 1
+        if (v >= earliest) {
+          val adds =
+            if (readChangeFeed) Seq(DeltaLog.AddFile("", Map.empty, 0L, 0L))
+            else addsOf(v)
+          val startIdx = from match {
+            case Some(o) if !o.snapshot && o.version == v => o.index
+            case _ => 0L
+          }
+          var i = startIdx
+          while (i < adds.size && room) {
+            out += ((DeltaSourceOffset(v, i + 1, snapshot = false), adds(i.toInt)))
+            i += 1
+          }
         }
         v += 1
       }
@@ -230,11 +233,20 @@ class DeltaStreamSource(spark: SparkSession, root: String,
   override def getOffset: Option[OffsetV1] = {
     val last = lastReturned
     val pending = pendingAfter(last, maxFiles)
-    if (pending.isEmpty) last.map(identity[OffsetV1])
-    else {
-      setPosition(pending.last._1)
-      lastReturned.map(identity[OffsetV1])
+    if (pending.nonEmpty) setPosition(pending.last._1)
+    else if (last.isEmpty) {
+      // pin the BASE even with nothing to emit: a 'latest' start that
+      // restarts before its first batch must not re-resolve against a
+      // newer table (it would silently skip the gap)
+      base match {
+        case Right(v) =>
+          setPosition(DeltaSourceOffset(v - 1, Long.MaxValue, snapshot = false))
+        case Left(v) if snapshotAtBase.files.isEmpty =>
+          setPosition(DeltaSourceOffset(v, 0L, snapshot = true))
+        case Left(_) => () // a non-empty snapshot base always has a batch
+      }
     }
+    lastReturned.map(identity[OffsetV1])
   }
 
   // the consumed-through position. With maxFilesPerTrigger the offsets

@@ -34,10 +34,17 @@ object Sources {
         return spark.readStream.format("graft-delta")
           .options(cfg.options).load(p)
       }
+      // iceberg streams through the native snapshot-tailing source
+      if (cfg.format.equalsIgnoreCase("iceberg")) {
+        val p = cfg.path.getOrElse(throw new IllegalArgumentException(
+          "iceberg streaming read needs a path"))
+        return spark.readStream.format("graft-iceberg")
+          .options(cfg.options).load(p)
+      }
       // the remaining native formats have no streaming DataSource — fail
       // at plan time with the workaround, not at runtime with a lookup error
       require(cfg.format != "avro" && cfg.format != "excel" && cfg.format != "media"
-          && cfg.format != "warc" && cfg.format != "iceberg",
+          && cfg.format != "warc",
         s"${cfg.format} has no streaming source in this environment; " +
           "batch-read it or stream a parquet/json landing copy " +
           "(for media: readStream.format(\"binaryFile\") + Multimodal.asMedia)")
