@@ -96,6 +96,13 @@ object Tools {
         }
         0
       }
+    case "skip-report" :: root :: predicate :: Nil =>
+      withSpark { spark =>
+        val pr = graft.sources.IcebergSource.pruneReport(spark, root,
+          org.apache.spark.sql.functions.expr(predicate))
+        println(s"files: ${pr.kept}/${pr.candidates} kept (${pr.skipped} skipped)")
+        0
+      }
     case "optimize" :: root :: rest =>
       val targetMb = flagValue(rest, "--target-file-mb").map(_.toLong).getOrElse(128L)
       withSpark { spark =>
@@ -190,7 +197,8 @@ object Tools {
         "expire <root> [--keep-last N] [--older-than-ms T] [--dry-run] | " +
         "delete <root> <predicate> [--partition K=V ...] | " +
         "delete-keys <root> --keys k1[,k2..] --from <key-parquet> | " +
-        "rollback <root> <snapshot-id>")
+        "rollback <root> <snapshot-id> | " +
+        "skip-report <root> <predicate>")
       2
     }
   }
@@ -337,6 +345,20 @@ object Tools {
     * through delta-spark's OPTIMIZE/VACUUM/DESCRIBE HISTORY; here they run
     * on [[graft.sources.DeltaMaintenance]] over the public protocol). */
   private def deltaCommand(args: List[String]): Int = args match {
+    case "skip-report" :: root :: predicate :: Nil =>
+      // what WOULD a dataFilter read touch: file/byte counts before and
+      // after stats-based skipping — the ops check for "is my table
+      // clustered well enough for this query" before paying the scan
+      withSpark { spark =>
+        val snap = graft.sources.DeltaLog.snapshot(spark, root)
+        val pr = graft.sources.DeltaStats.prune(spark, snap,
+          org.apache.spark.sql.functions.expr(predicate))
+        val keptBytes = pr.files.map(_.size).sum
+        val totalBytes = snap.files.map(_.size).sum
+        println(s"files: ${pr.kept}/${pr.candidates} kept " +
+          s"(${pr.skipped} skipped); bytes: $keptBytes/$totalBytes")
+        0
+      }
     case "optimize" :: root :: rest =>
       var target = 128L << 20; var zorder: Seq[String] = Nil
       var r = rest
@@ -485,7 +507,8 @@ object Tools {
           |       graft.Tools delta delete <root> <predicate> [--partition K=V ...]
           |       graft.Tools delta merge <root> --keys k1[,k2..] --from <source-parquet> [--strategy S] [--partition K=V ...] [--schema-mode enforce|evolve]
           |       graft.Tools delta restore <root> <version>
-          |       graft.Tools delta history <root>""".stripMargin)
+          |       graft.Tools delta history <root>
+          |       graft.Tools delta skip-report <root> <predicate>""".stripMargin)
       2
   }
 

@@ -89,6 +89,8 @@ class DeltaStreamSource(spark: SparkSession, root: String,
     parameters.get(k1).orElse(parameters.get(k2))
   private val maxFiles: Option[Int] =
     opt("maxFilesPerTrigger", "max_files_per_trigger").map(_.toInt)
+  private val maxBytes: Option[Long] =
+    opt("maxBytesPerTrigger", "max_bytes_per_trigger").map(_.toLong)
   private val ignoreDeletes =
     opt("ignoreDeletes", "ignore_deletes").exists(_.toBoolean)
   private val ignoreChanges =
@@ -179,11 +181,19 @@ class DeltaStreamSource(spark: SparkSession, root: String,
       }
     })
 
-  /** Pending (pos, file) pairs after `from`, in commit order, capped. */
-  private def pendingAfter(from: Option[DeltaSourceOffset], cap: Option[Int])
+  /** Pending (pos, file) pairs after `from`, in commit order, capped by
+    * file count and/or cumulative bytes (a batch always makes progress:
+    * the first file is admitted regardless of `capBytes`). */
+  private def pendingAfter(from: Option[DeltaSourceOffset], cap: Option[Int],
+                           capBytes: Option[Long] = None)
       : Seq[(DeltaSourceOffset, DeltaLog.AddFile)] = {
     val out = scala.collection.mutable.ArrayBuffer[(DeltaSourceOffset, DeltaLog.AddFile)]()
-    def room: Boolean = cap.forall(out.size < _)
+    var bytes = 0L
+    def admit(pos: DeltaSourceOffset, a: DeltaLog.AddFile): Unit = {
+      out += ((pos, a)); bytes += a.size
+    }
+    def room: Boolean = out.isEmpty ||
+      (cap.forall(out.size < _) && capBytes.forall(bytes < _))
     val latest = DeltaLog.versions(spark, root).last
     // phase 1: the initial snapshot (offsets with snapshot=true)
     val snapStart: Option[Long] = base match {
@@ -192,7 +202,7 @@ class DeltaStreamSource(spark: SparkSession, root: String,
         val files = snapshotAtBase.files
         var i = startIdx
         while (i < files.size && room) {
-          out += ((DeltaSourceOffset(v, i + 1, snapshot = true), files(i.toInt)))
+          admit(DeltaSourceOffset(v, i + 1, snapshot = true), files(i.toInt))
           i += 1
         }
         // snapshot fully consumed only when we emitted through the end
@@ -220,7 +230,7 @@ class DeltaStreamSource(spark: SparkSession, root: String,
           }
           var i = startIdx
           while (i < adds.size && room) {
-            out += ((DeltaSourceOffset(v, i + 1, snapshot = false), adds(i.toInt)))
+            admit(DeltaSourceOffset(v, i + 1, snapshot = false), adds(i.toInt))
             i += 1
           }
         }
@@ -232,7 +242,7 @@ class DeltaStreamSource(spark: SparkSession, root: String,
 
   override def getOffset: Option[OffsetV1] = {
     val last = lastReturned
-    val pending = pendingAfter(last, maxFiles)
+    val pending = pendingAfter(last, maxFiles, maxBytes)
     if (pending.nonEmpty) setPosition(pending.last._1)
     else if (last.isEmpty) {
       // pin the BASE even with nothing to emit: a 'latest' start that

@@ -736,15 +736,23 @@ object IcebergSource {
     val snap = target.getOrElse(return empty)
 
     val conf = spark.sessionState.newHadoopConf()
+    // a dataFilter also prunes at the MANIFEST-LIST level: its simple
+    // conjuncts project (inclusively) onto the partition spec, so whole
+    // manifests whose bound summaries cannot match are never even read —
+    // the two-level metadata walk a 100 TB table needs
+    val resolvedFilter = dataFilter.flatMap(f =>
+      StatsPruning.resolveCondition(spark, readSchema, f))
+    val derived: Seq[PartitionPredicate] = resolvedFilter.toSeq
+      .flatMap(StatsPruning.conjunctAtoms)
+      .flatMap { case (c, op, v) => projectPredicate(meta, c, op, v) }
     val (dataFiles0, posDeleteFiles, eqDeleteFiles) =
-      collectFiles(conf, root, snap, meta, partitionFilter)
+      collectFiles(conf, root, snap, meta, partitionFilter ++ derived)
     // column-bound file skipping: drop data files whose manifest
     // lower/upper bounds prove no row can match, then RE-APPLY the
     // predicate on the scan so the prune can never change results.
     // Delete files are never pruned (a skipped data file just leaves its
     // delete rows unmatched).
-    val dataFiles = dataFilter.flatMap(f =>
-      StatsPruning.resolveCondition(spark, readSchema, f)) match {
+    val dataFiles = resolvedFilter match {
       case Some(cond) => pruneByBounds(dataFiles0, cond, meta, readSchema)
       case None => dataFiles0
     }

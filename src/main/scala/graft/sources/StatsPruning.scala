@@ -247,6 +247,60 @@ object StatsPruning {
     may(cond)
   }
 
+  /**
+   * The simple top-level conjunct atoms of a resolved predicate, as
+   * (column, op, natural Scala value) triples — the shape
+   * [[IcebergSource.projectPredicate]] turns into inclusive partition
+   * predicates. Only bare `attr op literal` conjuncts qualify (no Cast
+   * wrappers, no OR/NOT, no timestamps): anything else is simply not
+   * emitted, which is sound because partition pruning with a SUBSET of
+   * the conjuncts still keeps a superset of matching files.
+   */
+  def conjunctAtoms(cond: Expression): Seq[(String, String, Any)] = {
+    def natural(l: Literal): Option[Any] = (l.value, l.dataType) match {
+      case (null, _) => None
+      case (u: org.apache.spark.unsafe.types.UTF8String, _) => Some(u.toString)
+      case (_, TimestampType | TimestampNTZType) => None
+      case (v @ (_: Int | _: Long | _: Double | _: Float | _: Short | _: Byte |
+                 _: Boolean), _) => Some(v)
+      case _ => None
+    }
+    def name(e: Expression): Option[String] = e match {
+      case r: AttributeReference => Some(r.name)
+      case _ => None
+    }
+    def atom(c: Expression, l: Literal, op: String): Seq[(String, String, Any)] =
+      (name(c), natural(l)) match {
+        case (Some(n), Some(v)) => Seq((n, op, v))
+        case _ => Nil
+      }
+    def flip(op: String): String = op match {
+      case "<" => ">"; case "<=" => ">="; case ">" => "<"; case ">=" => "<="
+      case other => other
+    }
+    cond match {
+      case And(a, b) => conjunctAtoms(a) ++ conjunctAtoms(b)
+      case EqualTo(c, l: Literal) => atom(c, l, "=")
+      case EqualTo(l: Literal, c) => atom(c, l, "=")
+      case LessThan(c, l: Literal) => atom(c, l, "<")
+      case LessThan(l: Literal, c) => atom(c, l, flip("<"))
+      case LessThanOrEqual(c, l: Literal) => atom(c, l, "<=")
+      case LessThanOrEqual(l: Literal, c) => atom(c, l, flip("<="))
+      case GreaterThan(c, l: Literal) => atom(c, l, ">")
+      case GreaterThan(l: Literal, c) => atom(c, l, flip(">"))
+      case GreaterThanOrEqual(c, l: Literal) => atom(c, l, ">=")
+      case GreaterThanOrEqual(l: Literal, c) => atom(c, l, flip(">="))
+      case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        val nat = vs.map(v => natural(v.asInstanceOf[Literal]))
+        (name(c), nat) match {
+          case (Some(n), vals) if vals.forall(_.isDefined) =>
+            Seq((n, "in", vals.flatten))
+          case _ => Nil
+        }
+      case _ => Nil
+    }
+  }
+
   // ------------------------------------------------- footer extraction
 
   /** One leaf column's footer-aggregated statistics: raw parquet min/max

@@ -86,6 +86,23 @@ class DeltaStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxBytesPerTrigger bounds batches by size, still makes progress") {
+    val root = tmp()
+    DeltaWriter.write((0 until 40).toDF("k").repartition(8), root)
+    val name = mem()
+    val q = spark.readStream.format("graft-delta")
+      .option("maxBytesPerTrigger", "1") // below any file: one file/batch
+      .load(root)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", tmp()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 40)
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 8,
+        "1-byte cap must admit exactly one file per batch")
+    } finally q.stop()
+  }
+
   test("exactly-once across restart: no re-emission after checkpoint") {
     val root = tmp()
     val out = tmp()

@@ -410,4 +410,21 @@ class ToolsSpec extends SparkSpec {
     assert(Tools.mainExit(Array("expire", s"$base/p", "--column", "dt")) == 2)
     assert(Tools.mainExit(Array("compact", s"$base/t", "--bogus", "1")) == 2)
   }
+  test("delta/iceberg skip-report print kept vs skipped file counts") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("tools_skip").toString
+    val droot = s"$dir/d"
+    graft.sources.DeltaWriter.write(
+      (0 until 100).toDF("k").repartitionByRange(4, col("k")), droot)
+    val (dc, dout) = captured(Tools.mainExit(Array(
+      "delta", "skip-report", droot, "k >= 75")))
+    assert(dc == 0 && dout.contains("files: 1/4 kept (3 skipped)"), dout)
+    val iroot = s"$dir/i"
+    graft.sources.IcebergSource.write(
+      (0L until 100L).toDF("k").repartitionByRange(4, col("k")), iroot)
+    val (ic, iout) = captured(Tools.mainExit(Array(
+      "iceberg", "skip-report", iroot, "k >= 75")))
+    assert(ic == 0 && iout.contains("files: 1/4 kept (3 skipped)"), iout)
+  }
+
 }
