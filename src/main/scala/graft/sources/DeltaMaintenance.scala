@@ -166,9 +166,10 @@ object DeltaMaintenance {
                checkpointInterval: Int = 10): OptimizeResult = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val snap = DeltaLog.snapshot(spark, root)
-    require(zorderBy.isEmpty || snap.partitionColumns.isEmpty,
-      "zorderBy OPTIMIZE supports unpartitioned Delta tables (Z-order " +
-        "ranges are global; hive partitions would need per-partition ranges)")
+    require(zorderBy.forall(c => !snap.partitionColumns.contains(c)),
+      s"zorderBy ${zorderBy.mkString(",")} overlaps the partition columns " +
+        s"${snap.partitionColumns.mkString(",")} — a partition column is " +
+        "constant per file already; z-order the non-partition dimensions")
     require(partitionFilter.keySet.subsetOf(snap.partitionColumns.toSet),
       s"partitionFilter keys ${partitionFilter.keySet} must be partition " +
         s"columns ${snap.partitionColumns}")
@@ -217,19 +218,48 @@ object DeltaMaintenance {
 
     val adds: Seq[DeltaLog.AddFile] =
       if (zorderBy.nonEmpty) {
-        // re-cluster the WHOLE table through the Z-order layout; the input
-        // is immutable parquet on disk, so the layout's stats/sample/write
-        // passes re-scan cheaply instead of pinning executor memory
+        // re-cluster the selected files through the Z-order layout; the
+        // input is immutable parquet on disk, so the layout's stats/
+        // sample/write passes re-scan cheaply instead of pinning executor
+        // memory. Partitioned tables cluster WITHIN partitions (range
+        // partitioning leads with the partition columns) and
+        // partitionFilter scopes the rewrite to one day/region.
         val numFiles = math.max(1, math.ceil(bytesRemoved.toDouble / targetFileBytes).toInt)
         // DV-carrying inputs compact to their LIVE rows (the rewrite is
         // also the purge: the new file drops the vector)
-        val scan = DeltaLog.applyDeletionVectors(spark, root,
-            snap.copy(files = removes),
-            spark.read.schema(dataSchema)
-              .parquet(removes.map(a => DeltaLog.absolutize(root, a.path)): _*))
-          .select(ordered.map(col): _*)
-        val clustered = Sources.zOrderFrame(scan, zorderBy, numFiles = numFiles)
-        DeltaWriter.stageAndMove(clustered, root, Nil, nonce, countRows = false)._1
+        val raw = spark.read.schema(dataSchema)
+          .parquet(removes.map(a => DeltaLog.absolutize(root, a.path)): _*)
+        val scan =
+          if (partCols.isEmpty)
+            DeltaLog.applyDeletionVectors(spark, root,
+              snap.copy(files = removes), raw).select(ordered.map(col): _*)
+          else {
+            // partition values are NOT in the data files — re-attach via
+            // the broadcast basename -> values map, on the RAW scan
+            // (input_file_name() is "" after a join)
+            val base = (p: String) => p.substring(p.lastIndexOf('/') + 1)
+            val pvRows = removes.map { a =>
+              Row.fromSeq(base(DeltaLog.decodePath(a.path)) +:
+                partCols.map(c => a.partitionValues.get(c).flatten.orNull))
+            }
+            val pvSchema = StructType(StructField("_gf_file", StringType) ::
+              partCols.toList.map(c => StructField(s"_gf_pv_$c", StringType)))
+            val pv = spark.createDataFrame(
+              spark.sparkContext.parallelize(pvRows, 1), pvSchema)
+            val partType = snap.schema.fields.map(fd => fd.name -> fd.dataType).toMap
+            DeltaLog.applyDeletionVectors(spark, root,
+                snap.copy(files = removes),
+                raw.withColumn("_gf_file",
+                  element_at(split(input_file_name(), "/"), -1)))
+              .join(broadcast(pv), Seq("_gf_file"))
+              .select(ordered.map { c =>
+                if (partCols.contains(c)) col(s"_gf_pv_$c").cast(partType(c)).as(c)
+                else col(c)
+              }: _*)
+          }
+        val clustered = Sources.zOrderFrame(scan, zorderBy, numFiles = numFiles,
+          partitionCols = partCols)
+        DeltaWriter.stageAndMove(clustered, root, partCols, nonce, countRows = false)._1
       } else {
         // one distributed job for every bin across every partition: route
         // each file's rows to its bin (broadcast basename -> bin), land

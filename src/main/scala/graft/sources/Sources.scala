@@ -594,7 +594,8 @@ object Sources {
 
   private[graft] def zOrderFrame(df: DataFrame, zCols: Seq[String],
                                  bitsPerCol: Int = 12,
-                                 numFiles: Int = 32): DataFrame = {
+                                 numFiles: Int = 32,
+                                 partitionCols: Seq[String] = Nil): DataFrame = {
     require(zCols.nonEmpty && zCols.size <= 4, "1..4 z-order columns")
     require(bitsPerCol * zCols.size <= 60, "interleaved bits must fit a long")
     val buckets = 1 << bitsPerCol
@@ -623,9 +624,14 @@ object Sources {
           b * k + i)
       }
     }.reduce(_ + _)
+    // hive-partitioned tables cluster WITHIN each partition: range
+    // partitioning leads with the partition columns, so same-partition
+    // rows stay contiguous (each task writes few partition dirs) and the
+    // z-ranges are disjoint per partition — per-partition skipping
+    val rangeCols = partitionCols.map(col) :+ col("_graft_zv")
     ranked.withColumn("_graft_zv", zValue)
-      .repartitionByRange(numFiles, col("_graft_zv"))
-      .sortWithinPartitions("_graft_zv")
+      .repartitionByRange(numFiles, rangeCols: _*)
+      .sortWithinPartitions(rangeCols: _*)
       .drop((0 until k).map(i => s"_graft_z_$i") :+ "_graft_zv": _*)
   }
 

@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.{DeltaLog, DeltaMaintenance, DeltaWriter}
+import graft.sources.{DeltaLog, DeltaMaintenance, DeltaStats, DeltaWriter}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -106,13 +106,42 @@ class DeltaMaintenanceSpec extends SparkSpec {
     val txt = logText(root, res.version.get)
     assert(txt.contains(""""zOrderBy":"a,b""""))
 
+    // z-ordering a partition COLUMN is pointless (constant per file)
     val proot = tmp()
     DeltaWriter.write(df.withColumn("p", lit("x")), proot, "append",
       partitionBy = Seq("p"))
     val e = intercept[IllegalArgumentException] {
-      DeltaMaintenance.optimize(spark, proot, zorderBy = Seq("a"))
+      DeltaMaintenance.optimize(spark, proot, zorderBy = Seq("p"))
     }
-    assert(e.getMessage.contains("unpartitioned"))
+    assert(e.getMessage.contains("partition"))
+  }
+
+  test("zorder on a PARTITIONED table clusters within partitions") {
+    val root = tmp()
+    // interleaved layout within each of two partitions
+    val df = (0 until 4096).map { i =>
+      (i % 64, i / 64, s"d${i % 2}")
+    }.toDF("x", "y", "day")
+    DeltaWriter.write(df.repartition(8), root, "append",
+      partitionBy = Seq("day"))
+    val expected = DeltaLog.read(spark, root)
+      .as[(Int, Int, String)].collect().toSet
+
+    val res = DeltaMaintenance.optimize(spark, root,
+      targetFileBytes = 4096, zorderBy = Seq("x", "y"))
+    assert(res.version.nonEmpty, s"$res")
+    val snap = DeltaLog.snapshot(spark, root)
+    // rows conserved, every file still in its hive partition dir
+    assert(DeltaLog.read(spark, root).as[(Int, Int, String)]
+      .collect().toSet == expected)
+    assert(snap.files.forall(a => a.partitionValues.get("day").flatten.isDefined))
+    // the point: a 2-dim predicate WITH a partition pin now skips files
+    val pr = DeltaStats.prune(spark, snap,
+      col("day") === "d0" && col("x") < 8 && col("y") < 8)
+    assert(pr.kept < pr.candidates,
+      s"partitioned z-order must enable skipping: kept ${pr.kept}/${pr.candidates}")
+    assert(DeltaLog.read(spark, root, dataFilter =
+      Some(col("day") === "d0" && col("x") < 8 && col("y") < 8)).count() == 32)
   }
 
   test("vacuum reclaims unreferenced files after retention; dry-run only lists") {
