@@ -243,6 +243,8 @@ object Pipeline {
                               schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
     if (format.equalsIgnoreCase("delta"))
       graft.sources.DeltaLog.read(spark, path)
+    else if (format.equalsIgnoreCase("iceberg"))
+      graft.sources.IcebergSource.read(spark, path)
     else {
       val r = schema.map(spark.read.schema).getOrElse(spark.read)
       r.format(format).load(path)

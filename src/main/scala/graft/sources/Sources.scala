@@ -421,9 +421,9 @@ object Sources {
 
   private def writeWithStatsSized(df: DataFrame, path: String,
                      cfg: WriteConfig): Long = {
-    require(cfg.zorderBy.isEmpty || cfg.partitionBy.isEmpty,
-      "zorder_by and partition_by are mutually exclusive (Z-order ranges " +
-        "would need recomputing per hive partition)")
+    require(cfg.zorderBy.forall(c => !cfg.partitionBy.contains(c)),
+      "zorder_by overlaps partition_by — a partition column is constant " +
+        "per file already; z-order the non-partition dimensions")
     if (cfg.format == "delta") {
       // native Delta commit protocol (no delta-spark jar in this env):
       // data files go through the ordinary distributed parquet writer,
@@ -440,7 +440,8 @@ object Sources {
       val commit = try {
         val d0 = pinnedDelta match {
           case Some(in) => zOrderFrame(in, cfg.zorderBy,
-            numFiles = cfg.coalescePartitions.getOrElse(32))
+            numFiles = cfg.coalescePartitions.getOrElse(32),
+            partitionCols = cfg.partitionBy)
           case None => cfg.coalescePartitions.map(df.coalesce).getOrElse(df)
         }
         // replace_where: "k=v,k2=v2" — partition-scoped overwrite
@@ -517,7 +518,8 @@ object Sources {
       val d = pinned match {
         case Some(in) =>
           zOrderFrame(in, cfg.zorderBy,
-            numFiles = cfg.coalescePartitions.getOrElse(32))
+            numFiles = cfg.coalescePartitions.getOrElse(32),
+            partitionCols = cfg.partitionBy)
             .observe(obs, count(lit(1)).as("rows_written"))
         case None =>
           val observed = df.observe(obs, count(lit(1)).as("rows_written"))

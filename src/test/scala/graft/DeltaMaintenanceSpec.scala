@@ -327,6 +327,21 @@ class DeltaMaintenanceSpec extends SparkSpec {
     val h = DeltaMaintenance.history(spark, root2)
       .select("operation").as[String].collect().toSeq
     assert(h.contains("OPTIMIZE"))
+
+    // zorder_by + partition_by now compose (clusters within partitions)
+    val root3 = tmp()
+    graft.sources.Sources.writeWithStats(
+      df.withColumn("day", concat(lit("d"), $"id" % 2)).repartition(5), root3,
+      graft.sources.Sources.WriteConfig(format = "delta", mode = "overwrite",
+        partitionBy = Seq("day"), zorderBy = Seq("a"),
+        coalescePartitions = Some(8)))
+    val snap3 = DeltaLog.snapshot(spark, root3)
+    assert(snap3.partitionColumns == Seq("day"))
+    assert(DeltaLog.read(spark, root3).count() == 1000)
+    val pr = DeltaStats.prune(spark, snap3,
+      col("day") === "d0" && col("a") < 10)
+    assert(pr.kept < pr.candidates,
+      s"partitioned declarative zorder must skip: ${pr.kept}/${pr.candidates}")
   }
 
   test("Tools delta verbs: optimize, history, vacuum dry-run, restore") {

@@ -122,6 +122,29 @@ class ExamplesSpec extends SparkSpec {
       .filter("o_channel is not null").count() == 0)
   }
 
+  test("lakehouse_stream example: delta source -> iceberg sink runs green") {
+    val (yaml, out) = loadExample("lakehouse_stream")
+    val plan = Planner.plan(yaml)
+    assert(plan.valid, plan.diagnostics.mkString("; "))
+    val cfg = YamlConfig.loadPipeline(yaml)
+    val results = Pipeline.run(spark, cfg)
+    val failed = results.values.filter(_.failure.isDefined)
+    assert(failed.isEmpty,
+      failed.map(r => s"${r.name}: ${r.failure.get}").mkString("; "))
+
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .filter("o_totalprice > 0")
+    // the Iceberg silver table drained the whole bronze snapshot once
+    val silver = graft.sources.IcebergSource.read(spark, s"$out/silver/orders")
+    assert(silver.count() == orders.count())
+    // gold aggregates the Iceberg table
+    val gold = spark.read.parquet(s"$out/gold/status")
+    val expect = orders.groupBy("o_orderstatus").count().count()
+    assert(gold.count() == expect)
+    assert(gold.agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
+      == orders.count())
+  }
+
   test("star_schema example plans with zero diagnostics") {
     val (yaml, _) = loadExample()
     val plan = Planner.plan(yaml)
