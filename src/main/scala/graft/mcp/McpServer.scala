@@ -139,7 +139,7 @@ object McpServer {
 
   private val ToolNames = Seq("list_transformers", "explain", "get_schema",
     "validate_yaml", "catalog", "lineage", "node_sample", "node_failures",
-    "build_node", "diagnose_run", "diff_config")
+    "build_node", "diagnose_run", "diff_config", "table_report")
 
   private def toolList(): ArrayNode = {
     def tool(name: String, desc: String, props: Map[String, (String, String)],
@@ -233,6 +233,16 @@ object McpServer {
         "nodes.",
       Map("yaml" -> ("string", "the pipeline YAML document text")),
       required = Seq("yaml")))
+    arr.add(tool("table_report",
+      "Inspect a native Delta or Iceberg table: version/snapshot count, " +
+        "live files and bytes, partition columns, schema — and, given a " +
+        "predicate, how many files stats-based skipping would prune (the " +
+        "'is this table clustered well for this query' check).",
+      Map("path" -> ("string", "table root path"),
+        "format" -> ("string", "delta (default) | iceberg"),
+        "predicate" -> ("string",
+          "optional SQL predicate to report skipping effectiveness for")),
+      required = Seq("path")))
     arr
   }
 
@@ -323,6 +333,11 @@ object McpServer {
         val y = str("yaml").getOrElse(
           return Left(McpError(-32602, "diff_config requires 'yaml'")))
         Right(diffConfig(ctx, y))
+      case "table_report" =>
+        val path = str("path").getOrElse(
+          return Left(McpError(-32602, "table_report requires 'path'")))
+        Right(tableReport(ctx, path,
+          str("format").getOrElse("delta"), str("predicate")))
     } catch {
       case e: Exception =>
         val o = mapper.createObjectNode()
@@ -427,6 +442,56 @@ object McpServer {
    * meta_failures, every failure annotated with the deterministic
    * [[Suggestions]] hint table keyed on error class/message.
    */
+  /** Table inspection + optional skipping-effectiveness report. */
+  private def tableReport(ctx: Ctx, path: String, format: String,
+                          predicate: Option[String]): String = {
+    val o = mapper.createObjectNode()
+    o.put("path", path)
+    o.put("format", format.toLowerCase)
+    format.toLowerCase match {
+      case "delta" =>
+        val snap = graft.sources.DeltaLog.snapshot(ctx.spark, path)
+        o.put("version", snap.version)
+        o.put("files", snap.files.size)
+        o.put("bytes", snap.files.map(_.size).sum)
+        o.put("rows", snap.files.flatMap(_.numRecords).sum)
+        o.put("filesWithDeletionVectors", snap.files.count(_.deletionVector.isDefined))
+        val pc = o.putArray("partitionColumns")
+        snap.partitionColumns.foreach(pc.add)
+        o.put("schema", snap.schema.simpleString)
+        predicate.foreach { p =>
+          val pr = graft.sources.DeltaStats.prune(ctx.spark, snap,
+            org.apache.spark.sql.functions.expr(p))
+          val s = o.putObject("skipping")
+          s.put("predicate", p)
+          s.put("candidates", pr.candidates)
+          s.put("kept", pr.kept)
+          s.put("skipped", pr.skipped)
+          s.put("keptBytes", pr.files.map(_.size).sum)
+        }
+      case "iceberg" =>
+        val meta = graft.sources.IcebergSource.tableMeta(ctx.spark, path)
+        o.put("snapshots", meta.snapshots.size)
+        meta.currentSnapshotId.foreach(o.put("currentSnapshotId", _))
+        val pc = o.putArray("partitionColumns")
+        meta.partitionSpec.map(_.name).foreach(pc.add)
+        o.put("schema", meta.schema.simpleString)
+        predicate.foreach { p =>
+          val pr = graft.sources.IcebergSource.pruneReport(ctx.spark, path,
+            org.apache.spark.sql.functions.expr(p))
+          val s = o.putObject("skipping")
+          s.put("predicate", p)
+          s.put("candidates", pr.candidates)
+          s.put("kept", pr.kept)
+          s.put("skipped", pr.skipped)
+        }
+      case other =>
+        throw new IllegalArgumentException(s"table_report format must be " +
+          s"delta or iceberg, got '$other'")
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(o)
+  }
+
   private def diagnoseRun(ctx: Ctx, pipeline: String,
                           runId: Option[String]): String = {
     import org.apache.spark.sql.functions.col

@@ -101,7 +101,7 @@ class McpServerSpec extends SparkSpec {
       assert(names.sorted == Seq("build_node", "catalog", "diagnose_run",
         "diff_config", "explain", "get_schema", "lineage",
         "list_transformers", "node_failures", "node_sample",
-        "validate_yaml"))
+        "table_report", "validate_yaml"))
       (0 until tools.size()).foreach { i =>
         assert(tools.get(i).get("inputSchema").get("type").asText() == "object")
       }
@@ -274,6 +274,29 @@ class McpServerSpec extends SparkSpec {
       assert(drift.get("changed_nodes").get(0).asText() == "b")
       assert(drift.get("added_nodes").get(0).asText() == "c")
       assert(drift.get("removed_nodes").size() == 0)
+    } finally w.close()
+  }
+
+  test("table_report inspects delta/iceberg tables and skipping effect") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mcp_table").toString
+    graft.sources.DeltaWriter.write(
+      (0 until 100).toDF("k").repartitionByRange(4, col("k")), s"$dir/d")
+    graft.sources.IcebergSource.write(
+      (0L until 100L).toDF("k").repartitionByRange(4, col("k")), s"$dir/i")
+    val w = new Wire(None)
+    try {
+      val d = mapper.readTree(toolText(callTool(w, 60, "table_report",
+        s"""{"path":"$dir/d","predicate":"k >= 75"}""")))
+      assert(d.get("files").asInt == 4 && d.get("version").asLong == 0L, s"$d")
+      assert(d.get("rows").asLong == 100)
+      assert(d.get("skipping").get("kept").asInt == 1 &&
+        d.get("skipping").get("skipped").asInt == 3, s"$d")
+      val i = mapper.readTree(toolText(callTool(w, 61, "table_report",
+        s"""{"path":"$dir/i","format":"iceberg","predicate":"k >= 75"}""")))
+      assert(i.get("snapshots").asInt == 1, s"$i")
+      assert(i.get("skipping").get("kept").asInt == 1, s"$i")
     } finally w.close()
   }
 
