@@ -83,6 +83,15 @@ class IcebergStreamSource(spark: SparkSession, root: String,
     opt("ignoreChanges", "ignore_changes").exists(_.toBoolean)
   private val startingSnapshotId: Option[String] =
     opt("startingSnapshotId", "starting_snapshot_id")
+  /** CDF mode: emit the changelog (table columns + _change_type /
+    * _change_ordinal / _commit_snapshot_id / _commit_timestamp) instead
+    * of the data — the initial snapshot (when no startingSnapshotId)
+    * arrives as `insert` rows, tail snapshots stream through
+    * [[IcebergSource.changes]]; deletes are DATA here, not errors.
+    * `_change_ordinal` restarts per micro-batch (it is relative to the
+    * batch's consumed range). */
+  private val readChangeFeed =
+    opt("readChangeFeed", "read_change_feed").exists(_.toBoolean)
 
   private def meta: IcebergSource.TableMeta = IcebergSource.tableMeta(spark, root)
 
@@ -110,11 +119,23 @@ class IcebergStreamSource(spark: SparkSession, root: String,
     }
   }
 
-  override val schema: StructType =
+  private val tableSchema: StructType =
     IcebergSource.stripFieldIds(meta.schema).asInstanceOf[StructType]
 
+  override val schema: StructType =
+    if (!readChangeFeed) tableSchema
+    else StructType(tableSchema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_change_ordinal",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("_commit_snapshot_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("_commit_timestamp",
+        org.apache.spark.sql.types.TimestampType)))
+
   private def schemaCheck(m: IcebergSource.TableMeta): Unit =
-    require(IcebergSource.stripFieldIds(m.schema) == schema,
+    require(IcebergSource.stripFieldIds(m.schema) == tableSchema,
       s"Iceberg source schema changed — restart the stream to pick up " +
         s"${m.schema.simpleString}")
 
@@ -210,6 +231,7 @@ class IcebergStreamSource(spark: SparkSession, root: String,
     val endOff = toOffset(end)
     val startOff = start.map(toOffset)
     setPosition(endOff)
+    if (readChangeFeed) return cdfBatch(startOff, endOff)
     val m = meta
     val ord = orderedSnaps(m)
     def posIdx(id: Long): Int = ord.indexWhere(_.snapshotId == id)
@@ -272,11 +294,49 @@ class IcebergStreamSource(spark: SparkSession, root: String,
     streamingUnion(frames.toSeq)
   }
 
+  /** One changelog micro-batch: the base snapshot as stamped `insert`
+    * rows unioned with [[IcebergSource.changes]] over the tail range. */
+  private def cdfBatch(startOff: Option[IcebergSourceOffset],
+                       endOff: IcebergSourceOffset): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val m = meta
+    schemaCheck(m)
+    val frames = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    if (startOff.isEmpty && base.isLeft) {
+      val Left(baseId) = base: @unchecked
+      val ts = m.snapshots.find(_.snapshotId == baseId).map(_.timestampMs).getOrElse(0L)
+      frames += IcebergSource.read(spark, root, snapshotId = Some(baseId))
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_change_ordinal", lit(0))
+        .withColumn("_commit_snapshot_id", lit(baseId))
+        .withColumn("_commit_timestamp", timestamp_millis(lit(ts)))
+    }
+    if (!endOff.snapshot) {
+      val from: Option[Long] = startOff match {
+        case Some(o) => Some(o.snapshotId)
+        case None => base match {
+          case Left(id) => Some(id)
+          case Right(Long.MinValue) => None
+          case Right(id) => Some(id)
+        }
+      }
+      // an expired cursor cannot be silently skipped (it would drop the
+      // gap) — fail loudly like the non-CDF path's expired-snapshot error
+      from.foreach(id => require(m.snapshots.exists(_.snapshotId == id),
+        s"changelog cursor snapshot $id expired from $root — restart the " +
+          "stream from a retained snapshot"))
+      frames += IcebergSource.changes(spark, root,
+        fromSnapshotId = from, toSnapshotId = Some(endOff.snapshotId))
+    }
+    streamingUnion(frames.toSeq)
+  }
+
   private def streamingUnion(frames: Seq[DataFrame]): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val df =
       if (frames.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      else frames.reduce(_.unionByName(_))
+      else frames.reduce(_.unionByName(_)).select(schema.fieldNames.map(col).toSeq: _*)
     org.apache.spark.sql.graftshim.ColumnShim.asStreamingFrame(df)
   }
 

@@ -132,6 +132,34 @@ class IcebergStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("readChangeFeed: snapshot as inserts, then per-snapshot changes") {
+    val root = tmp()
+    IcebergSource.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    val name = mem()
+    val q = spark.readStream.format("graft-iceberg")
+      .option("readChangeFeed", "true").load(root)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", tmp()).start()
+    try {
+      q.processAllAvailable()
+      val snap = spark.table(name).collect()
+      assert(snap.length == 2)
+      assert(snap.forall(_.getAs[String]("_change_type") == "insert"))
+      // an append tails in as inserts; an overwrite as delete+insert rows
+      IcebergSource.write(Seq((3L, "c")).toDF("k", "v"), root)
+      q.processAllAvailable()
+      assert(spark.table(name).filter("k = 3 and _change_type = 'insert'")
+        .count() == 1)
+      IcebergSource.write(Seq((9L, "z")).toDF("k", "v"), root, mode = "overwrite")
+      q.processAllAvailable()
+      val rows = spark.table(name).select("k", "_change_type")
+        .as[(Long, String)].collect().toSet
+      assert(rows.contains((9L, "insert")), rows.toString)
+      assert(rows.contains((1L, "delete")) && rows.contains((3L, "delete")),
+        rows.toString)
+    } finally q.stop()
+  }
+
   test("declarative surface: ReadConfig(streaming=true, iceberg) streams") {
     val root = tmp()
     IcebergSource.write(Seq((1L, "x")).toDF("k", "v"), root)
