@@ -507,4 +507,30 @@ class SoakSpec extends SparkSpec {
     assert(binsLeft == 0, s"vacuum left $binsLeft DV bin files (result: $vac)")
     assert(DeltaLog.read(spark, root).count() == n - rounds * perRound)
   }
+  test("data skipping at 2M: range predicate reads one file of 32, exact", Soak) {
+    import graft.sources.{DeltaLog, DeltaStats, DeltaWriter}
+    val root = java.nio.file.Files.createTempDirectory("soak_skip").toString
+    val n = 2000000L
+    DeltaWriter.write(
+      spark.range(n).select($"id", ($"id" % 97).as("m"))
+        .repartitionByRange(32, $"id"), root)
+    val snap = DeltaLog.snapshot(spark, root)
+    assert(snap.files.size == 32)
+    // every add action carries usable bounds at this scale
+    assert(snap.files.forall(_.stats.exists(_.contains("minValues"))))
+    val lo = n - n / 64 // the top half-file
+    val pr = DeltaStats.prune(spark, snap, col("id") >= lo)
+    assert(pr.kept == 1, s"range predicate must isolate one file: $pr")
+    val out = DeltaLog.read(spark, root, dataFilter = Some(col("id") >= lo))
+    assertScaleSafe("skippingRead", PlanAudit.audit(out))
+    assert(out.count() == n / 64)
+    // the executed scan planned ONLY the kept file
+    val scanned = out.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.length
+    }
+    assert(scanned.nonEmpty && scanned.forall(_ == 1),
+      s"scan planned ${scanned.toSeq} files, wanted 1")
+  }
+
 }
