@@ -82,7 +82,8 @@ object Bench {
     // deletes, stats-based data skipping
     "q_merge_evolve", "q_delta_restore", "q_iceberg_rollback",
     "q_scd2_deletes", "q_delta_skipping", "q_iceberg_skipping",
-    "q_delta_stream_read", "q_iceberg_stream_read")
+    "q_delta_stream_read", "q_iceberg_stream_read",
+    "q_iceberg_hidden_partition")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1302,6 +1302,38 @@ object SparkEntry {
           round(sum("l_extendedprice"), 2).as("revenue"),
           min("l_orderkey").as("min_key"), max("l_orderkey").as("max_key"))
     }),
+    "q_iceberg_hidden_partition" -> ((s, d) => {
+      // Iceberg HIDDEN PARTITIONING end-to-end: lineitem commits under a
+      // month(l_shipdate) transform spec (no materialized month column —
+      // the transform computes in codegen at write), then a SOURCE-column
+      // date-range predicate projects onto the partition spec
+      // (projectPredicate's inclusive projection), prunes partitions at
+      // the metadata level, and the re-applied row filter keeps the
+      // answer exact — hash-matched against DuckDB on the original rows.
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_shipdate", "l_returnflag", "l_quantity",
+          "l_extendedprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_ice_hidden")
+        .toString + "/lineitem"
+      graft.sources.IcebergSource.write(li, root,
+        partitionBy = Seq("month(l_shipdate)"))
+      val meta = graft.sources.IcebergSource.tableMeta(s, root)
+      require(meta.partitionSpec.map(_.transform) == Seq("month"),
+        s"expected a month transform spec, got ${meta.partitionSpec}")
+      val lo = java.time.LocalDate.parse("1995-01-01")
+      val hi = java.time.LocalDate.parse("1996-01-01")
+      val preds = graft.sources.IcebergSource.projectPredicate(
+        meta, "l_shipdate", ">=", lo) ++
+        graft.sources.IcebergSource.projectPredicate(meta, "l_shipdate", "<", hi)
+      require(preds.size == 2, s"projection produced $preds")
+      graft.sources.IcebergSource.read(s, root, partitionFilter = preds,
+          dataFilter = Some(col("l_shipdate") >= lit("1995-01-01") &&
+            col("l_shipdate") < lit("1996-01-01")))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"),
+          round(sum("l_extendedprice"), 2).as("revenue"),
+          min("l_orderkey").as("min_key"), max("l_orderkey").as("max_key"))
+    }),
     "q_delta_optimize" -> ((s, d) => {
       // OPTIMIZE over the native writer: three small append commits, a
       // bin-pack compaction (remove+add, dataChange=false), then a
@@ -2419,6 +2451,8 @@ object SparkEntry {
       "SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty, round(sum(l_extendedprice), 2) AS revenue, min(l_orderkey) AS min_key, max(l_orderkey) AS max_key FROM lineitem WHERE l_orderkey >= 1000 AND l_orderkey < 2000 GROUP BY 1",
     "q_iceberg_skipping" ->
       "SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty, round(sum(l_extendedprice), 2) AS revenue, min(l_orderkey) AS min_key, max(l_orderkey) AS max_key FROM lineitem WHERE l_orderkey >= 1000 AND l_orderkey < 2000 GROUP BY 1",
+    "q_iceberg_hidden_partition" ->
+      "SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty, round(sum(l_extendedprice), 2) AS revenue, min(l_orderkey) AS min_key, max(l_orderkey) AS max_key FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00' GROUP BY 1",
     // the deterministic simulation columns recomputed as closed forms of
     // (entity, tick): same grid, same sinusoid constant (2*pi()/24 is the
     // identical float64 as the Scala 2*math.Pi/24), same event window.

@@ -466,6 +466,56 @@ case class NearestCentroids(child: Expression, ids: Array[Long],
  * 64-bit SimHash over a token array: one xxhash64 per token, then per-bit
  * majority vote. O(tokens × 64) unboxed bit ops.
  */
+/**
+ * Iceberg bucket transform (spec §Bucket Transform details):
+ * `murmur3_x86_32(seed 0)` over the single-value binary form —
+ * int/long/date/timestamp promoted to an 8-byte little-endian long,
+ * strings as UTF-8 — masked non-negative, modulo `n`. The executor-side
+ * counterpart of `IcebergSource.bucketOf`, so hidden-partitioned WRITES
+ * route every row inside codegen instead of through a driver helper.
+ */
+case class IcebergBucket(child: Expression, n: Int) extends UnaryExpression {
+  import org.apache.spark.sql.types._
+
+  require(n > 0, "bucket count must be positive")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = s"iceberg_bucket_$n"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType | StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"iceberg bucket transform unsupported for ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = child.dataType match {
+    case StringType =>
+      graft.sources.IcebergSource.bucketOfUtf8(input.asInstanceOf[UTF8String], n)
+    case _ =>
+      graft.sources.IcebergSource.bucketOfLong(
+        input.asInstanceOf[Number].longValue(), n)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => child.dataType match {
+      case StringType =>
+        s"${ev.value} = graft.sources.IcebergSource.bucketOfUtf8($c, $n);"
+      case _ =>
+        s"${ev.value} = graft.sources.IcebergSource.bucketOfLong((long) $c, $n);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): IcebergBucket =
+    copy(child = newChild)
+}
+
 case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType

@@ -421,6 +421,101 @@ object IcebergSource {
   def bucketOf(v: Any, n: Int): Int =
     (bucketHash(v) & Integer.MAX_VALUE) % n
 
+  // --------------------------------------------- hidden partitioning (write)
+
+  /** One `partition_by` entry parsed: identity `"col"`, or a transform
+    * `day(ts)` / `month(ts)` / `year(ts)` / `hour(ts)` / `bucket(16, id)`
+    * / `truncate(4, s)` — Iceberg HIDDEN PARTITIONING, where the field
+    * name follows Java Iceberg's `<col>_<transform>` convention and the
+    * stored transform string matches the spec JSON forms the reader's
+    * `projectPredicate`/`evalPredicate` already consume. */
+  final case class WriteTransform(fieldName: String, sourceCol: String,
+                                  transform: String) {
+    def resultType(srcType: DataType): DataType = transform match {
+      case "identity" => srcType
+      case "year" | "month" | "day" | "hour" => IntegerType
+      case b if b.startsWith("bucket") => IntegerType
+      case _ => srcType // truncate keeps the source type
+    }
+  }
+
+  def parseTransform(spec: String): WriteTransform = {
+    val fn = "^([A-Za-z_]+)\\(([^)]*)\\)$".r
+    spec.trim match {
+      case fn(name, args0) =>
+        val args = args0.split(",").map(_.trim).filter(_.nonEmpty)
+        name.toLowerCase match {
+          case "identity" =>
+            require(args.length == 1, s"identity(col): '$spec'")
+            WriteTransform(args(0), args(0), "identity")
+          case t @ ("year" | "month" | "day" | "hour") =>
+            require(args.length == 1, s"$t(col): '$spec'")
+            WriteTransform(s"${args(0)}_$t", args(0), t)
+          case "bucket" =>
+            require(args.length == 2, s"bucket(N, col): '$spec'")
+            WriteTransform(s"${args(1)}_bucket", args(1), s"bucket[${args(0).toInt}]")
+          case "truncate" =>
+            require(args.length == 2, s"truncate(W, col): '$spec'")
+            WriteTransform(s"${args(1)}_trunc", args(1), s"truncate[${args(0).toInt}]")
+          case other => throw new IllegalArgumentException(
+            s"unknown iceberg partition transform '$other' in '$spec'")
+        }
+      case plain => WriteTransform(plain, plain, "identity")
+    }
+  }
+
+  /** The transformed partition value as a CODEGEN'D column (spec
+    * transform math; sessions run UTC, which is what year/month over
+    * timestamps assume). */
+  private[sources] def transformColumn(t: WriteTransform, srcType: DataType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val c = col(t.sourceCol)
+    val bucketR = "bucket\\[(\\d+)\\]".r
+    val truncR = "truncate\\[(\\d+)\\]".r
+    def seconds = srcType match {
+      case TimestampNTZType => unix_seconds(c.cast(TimestampType))
+      case _ => unix_seconds(c)
+    }
+    def floorDiv(x: org.apache.spark.sql.Column, d: Long) =
+      ((x - pmod(x, lit(d))) / lit(d)).cast(IntegerType)
+    t.transform match {
+      case "identity" => c
+      case "year" => (year(c) - lit(1970)).cast(IntegerType)
+      case "month" =>
+        ((year(c) - lit(1970)) * lit(12) + month(c) - lit(1)).cast(IntegerType)
+      case "day" => srcType match {
+        case DateType => datediff(c, to_date(lit("1970-01-01"))).cast(IntegerType)
+        case _ => floorDiv(seconds, 86400L)
+      }
+      case "hour" => floorDiv(seconds, 3600L)
+      case bucketR(n) =>
+        org.apache.spark.sql.graftshim.ColumnShim.column(
+          graft.expressions.IcebergBucket(
+            org.apache.spark.sql.graftshim.ColumnShim.expression(c), n.toInt))
+      case truncR(w) => srcType match {
+        case StringType => substring(c, 1, w.toInt)
+        case ByteType | ShortType | IntegerType | LongType =>
+          (c - pmod(c, lit(w.toLong))).cast(srcType)
+        case other => throw new IllegalArgumentException(
+          s"truncate transform unsupported for ${other.simpleString}")
+      }
+      case other => throw new IllegalArgumentException(
+        s"unknown transform '$other'")
+    }
+  }
+
+  /** Unboxed executor-side forms (called from [[graft.expressions
+    * .IcebergBucket]]'s generated code on hidden-partitioned writes). */
+  def bucketOfLong(v: Long, n: Int): Int = {
+    val bytes = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+    (murmur3x86_32(bytes, 0) & Integer.MAX_VALUE) % n
+  }
+
+  def bucketOfUtf8(s: org.apache.spark.unsafe.types.UTF8String, n: Int): Int =
+    (murmur3x86_32(s.getBytes, 0) & Integer.MAX_VALUE) % n
+
   /** murmur3_x86_32 (Austin Appleby, public domain). */
   private def murmur3x86_32(data: Array[Byte], seed: Int): Int = {
     val c1 = 0xcc9e2d51; val c2 = 0x1b873593
@@ -1685,12 +1780,13 @@ object IcebergSource {
     val f = fs(spark, root)
     val exists = isIcebergTable(spark, root)
     val prev = if (exists) Some(tableMeta(spark, root)) else None
+    val transforms: Seq[WriteTransform] = partitionBy.map(parseTransform)
     def validateSpec(m: TableMeta): Unit =
-      require(m.partitionSpec.map(_.name) == partitionBy &&
-        m.partitionSpec.forall(_.transform == "identity"),
+      require(m.partitionSpec.map(f => (f.name, f.transform)) ==
+        transforms.map(t => (t.fieldName, t.transform)),
         s"iceberg append requires the table's partition spec " +
-          s"(${m.partitionSpec.map(_.name).mkString(", ")}), got " +
-          s"(${partitionBy.mkString(", ")})")
+          s"(${m.partitionSpec.map(f => s"${f.transform}:${f.name}").mkString(", ")}), got " +
+          s"(${transforms.map(t => s"${t.transform}:${t.fieldName}").mkString(", ")})")
     // align the frame to the table per the schema policy; evoFields are
     // the NEW columns that must widen the schema in this commit
     def alignAppend(m: TableMeta): (DataFrame, Seq[StructField]) = {
@@ -1735,23 +1831,33 @@ object IcebergSource {
       case Some(m) if mode == "append" => alignAppend(m)
       case _ => (df, Nil)
     }
-    val partCols: Seq[StructField] = partitionBy.map(c =>
-      data.schema.fields.find(_.name == c).getOrElse(throw new IllegalArgumentException(
-        s"partition column $c not in ${data.schema.fieldNames.mkString(", ")}")))
+    // partition FIELDS: transform result types (identity keeps the
+    // source type; day/month/year/hour/bucket are ints)
+    val srcTypeOf: Map[String, DataType] = transforms.map { t =>
+      t.sourceCol -> data.schema.fields.find(_.name == t.sourceCol)
+        .getOrElse(throw new IllegalArgumentException(
+          s"partition source column ${t.sourceCol} not in " +
+            s"${data.schema.fieldNames.mkString(", ")}")).dataType
+    }.toMap
+    val partCols: Seq[StructField] = transforms.map(t =>
+      StructField(t.fieldName, t.resultType(srcTypeOf(t.sourceCol))))
     partCols.foreach(fd => avroPartType(fd.dataType)) // fail fast on types
     val entrySchema = entrySchemaFor(partCols)
 
-    // 1. data files; identity columns STAY in the files (spec requirement)
-    // so the layout job partitions on duplicated shadow columns
+    // 1. data files; source columns STAY in the files (spec requirement)
+    // so the layout job partitions on shadow columns carrying the
+    // TRANSFORMED values (hidden partitioning: the transform computes
+    // inside codegen, rows route by result value)
     val commitUuid = java.util.UUID.randomUUID().toString
     val dataDir = new Path(root, s"data/$commitUuid")
     if (partitionBy.isEmpty)
       data.write.mode("errorifexists").parquet(dataDir.toString)
     else {
-      val shadowed = partitionBy.foldLeft(data)((d, c) =>
-        d.withColumn(s"_p_$c", col(c)))
+      val shadowed = transforms.foldLeft(data)((d, t) =>
+        d.withColumn(s"_p_${t.fieldName}",
+          transformColumn(t, srcTypeOf(t.sourceCol))))
       shadowed.write.mode("errorifexists")
-        .partitionBy(partitionBy.map(c => s"_p_$c"): _*)
+        .partitionBy(transforms.map(t => s"_p_${t.fieldName}"): _*)
         .parquet(dataDir.toString)
     }
     // everything below can fail terminally (null partition value, schema
@@ -1795,7 +1901,7 @@ object IcebergSource {
         .map(s => unescapePath(s.stripPrefix(seg)))
         .getOrElse(throw new IllegalStateException(s"no $seg segment in $p"))
       require(dirVal != "__HIVE_DEFAULT_PARTITION__",
-        s"iceberg identity partitioning: null value in ${fd.name}")
+        s"iceberg partitioning: null value in partition field ${fd.name}")
       fd.dataType match {
         case IntegerType => Integer.valueOf(dirVal.toInt)
         case LongType => java.lang.Long.valueOf(dirVal.toLong)
@@ -1991,13 +2097,16 @@ object IcebergSource {
       val allSnaps = (priorSnaps :+ newSnap).mkString(",")
       val uuid = cur.map(_.tableUuid).getOrElse(java.util.UUID.randomUUID().toString)
       val version = cur.map(_.version).getOrElse(0L) + 1
-      // identity spec fields reference source columns by their schema field id
+      // spec fields reference SOURCE columns by schema field id; the
+      // transform string uses the spec JSON forms (identity, day,
+      // bucket[16], truncate[4]) the reader's projection consumes
       val nameToId: Map[String, Int] = mapper.readTree(schemaJson).get("fields")
         .elements().asScala.map(fd =>
           fd.get("name").asText() -> fd.get("id").asInt()).toMap
-      val specFieldsJson = partCols.zipWithIndex.map { case (fd, i) =>
-        s"""{"name":${mapper.writeValueAsString(fd.name)},"transform":"identity",""" +
-          s""""source-id":${nameToId(fd.name)},"field-id":${1000 + i}}"""
+      val specFieldsJson = transforms.zipWithIndex.map { case (t, i) =>
+        s"""{"name":${mapper.writeValueAsString(t.fieldName)},"transform":${
+          mapper.writeValueAsString(t.transform)},""" +
+          s""""source-id":${nameToId(t.sourceCol)},"field-id":${1000 + i}}"""
       }.mkString(",")
       val metadataJson =
         s"""{"format-version":2,"table-uuid":"$uuid","location":"$root",

@@ -469,8 +469,10 @@ object Sources {
       require(cfg.zorderBy.isEmpty, "iceberg sink does not z-order")
       val d = cfg.coalescePartitions.map(df.coalesce).getOrElse(df)
       val mode = if (cfg.mode == "append") "append" else "overwrite"
-      // partition_by commits an identity-partitioned spec (per-file
-      // partition tuples + manifest bound summaries drive read pruning)
+      // partition_by commits the partition spec — identity column names
+      // or HIDDEN-PARTITIONING transforms ("day(ts)", "bucket(16, id)",
+      // "truncate(4, s)"); per-file partition tuples + manifest bound
+      // summaries drive read pruning either way
       val rows = IcebergSource.write(d, path, mode,
         partitionBy = cfg.partitionBy, schemaPolicy = sinkPolicy(cfg))
       // optimize_after: true bin-packs small files into a replace

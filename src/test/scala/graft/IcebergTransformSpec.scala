@@ -1,0 +1,119 @@
+package graft
+
+import graft.sources.IcebergSource
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/**
+ * Iceberg HIDDEN PARTITIONING writes: `partition_by` entries like
+ * `day(ts)` / `bucket(8, id)` / `truncate(3, s)` compute the transformed
+ * partition value inside codegen, rows route by result value, the spec
+ * JSON carries the transform — and the reader's existing two-level
+ * pruning (manifest-list bound summaries + per-file tuples via
+ * projectPredicate's inclusive projection) works against the tables this
+ * writer produces.
+ */
+class IcebergTransformSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("itrans").toString
+
+  test("day(ts): transform spec in metadata, source-predicate pruning works") {
+    val root = tmp()
+    val df = (0 until 300).map { i =>
+      (i.toLong, Timestamp.valueOf(f"2024-03-${i % 3 + 1}%02d 0${i % 9}:15:00"))
+    }.toDF("id", "ts")
+    IcebergSource.write(df, root, partitionBy = Seq("day(ts)"))
+    val meta = IcebergSource.tableMeta(spark, root)
+    assert(meta.partitionSpec.map(f => (f.name, f.transform)) ==
+      Seq(("ts_day", "day")))
+    // full read-back
+    assert(IcebergSource.read(spark, root).count() == 300)
+    // a SOURCE-column predicate projects onto the day partition and prunes
+    val preds = IcebergSource.projectPredicate(meta, "ts", "=",
+      java.time.LocalDate.parse("2024-03-02"))
+    assert(preds.nonEmpty, "projection produced no partition predicate")
+    val got = IcebergSource.read(spark, root, partitionFilter = preds)
+    assert(got.count() == 100)
+    assert(got.select(dayofmonth(col("ts"))).distinct().head.getInt(0) == 2)
+    // appends must match the spec by (name, transform)
+    IcebergSource.write(Seq((999L,
+      Timestamp.valueOf("2024-03-01 01:00:00"))).toDF("id", "ts"), root,
+      partitionBy = Seq("day(ts)"))
+    assert(IcebergSource.read(spark, root).count() == 301)
+    val e = intercept[IllegalArgumentException] {
+      IcebergSource.write(df, root, partitionBy = Seq("month(ts)"))
+    }
+    assert(e.getMessage.contains("partition spec"))
+  }
+
+  test("bucket(8, id): codegen'd murmur3 routing matches the driver-side hash") {
+    val root = tmp()
+    val df = (0L until 400L).map(i => (i, s"row$i")).toDF("id", "v")
+    IcebergSource.write(df, root, partitionBy = Seq("bucket(8, id)"))
+    val meta = IcebergSource.tableMeta(spark, root)
+    assert(meta.partitionSpec.map(f => (f.name, f.transform)) ==
+      Seq(("id_bucket", "bucket[8]")))
+    assert(IcebergSource.read(spark, root).count() == 400)
+    // equality point lookup prunes to one bucket's files and stays exact
+    val preds = IcebergSource.projectPredicate(meta, "id", "=", 137L)
+    assert(preds == Seq(IcebergSource.PartitionPredicate(
+      "id_bucket", "=", IcebergSource.bucketOf(137L, 8))))
+    val got = IcebergSource.read(spark, root, partitionFilter = preds)
+    assert(got.filter(col("id") === 137L).count() == 1)
+    // the expression agrees with the driver hash on every row
+    val mism = df.select(col("id"),
+      org.apache.spark.sql.graftshim.ColumnShim.column(
+        graft.expressions.IcebergBucket(
+          org.apache.spark.sql.graftshim.ColumnShim.expression(col("id")), 8))
+        .as("b")).collect()
+      .count(r => r.getInt(1) != IcebergSource.bucketOf(r.getLong(0), 8))
+    assert(mism == 0, s"$mism rows bucket-mismatch vs driver murmur3")
+  }
+
+  test("truncate(3, s) and year(ts) compose; nulls fail loudly") {
+    val root = tmp()
+    val df = Seq(
+      (1L, "alpha", Timestamp.valueOf("2023-06-01 00:00:00")),
+      (2L, "alpine", Timestamp.valueOf("2023-07-01 00:00:00")),
+      (3L, "beta", Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("id", "s", "ts")
+    IcebergSource.write(df, root, partitionBy = Seq("truncate(3, s)", "year(ts)"))
+    val meta = IcebergSource.tableMeta(spark, root)
+    assert(meta.partitionSpec.map(f => (f.name, f.transform)) ==
+      Seq(("s_trunc", "truncate[3]"), ("ts_year", "year")))
+    assert(IcebergSource.read(spark, root).count() == 3)
+    // prefix predicate prunes on the truncated value
+    val preds = IcebergSource.projectPredicate(meta, "s", "=", "alpha")
+    val got = IcebergSource.read(spark, root, partitionFilter = preds)
+    assert(got.count() >= 1 && got.filter("s = 'alpha'").count() == 1)
+    assert(got.filter("s = 'beta'").count() == 0) // bet != alp: pruned
+    // a null transform value must abort, not write a default partition
+    val bad = Seq((9L, null.asInstanceOf[String],
+      Timestamp.valueOf("2024-01-01 00:00:00"))).toDF("id", "s", "ts")
+    intercept[Exception] {
+      IcebergSource.write(bad, root, partitionBy = Seq("truncate(3, s)", "year(ts)"))
+    }
+  }
+
+  test("hour and month transforms round-trip through the reader") {
+    val root = tmp()
+    val df = (0 until 48).map { i =>
+      (i.toLong, Timestamp.valueOf(f"2024-05-01 ${i % 24}%02d:30:00"))
+    }.toDF("id", "ts")
+    IcebergSource.write(df, root, partitionBy = Seq("hour(ts)"))
+    assert(IcebergSource.read(spark, root).count() == 48)
+    val meta = IcebergSource.tableMeta(spark, root)
+    val preds = IcebergSource.projectPredicate(meta, "ts", "=",
+      java.time.Instant.parse("2024-05-01T07:30:00Z"))
+    assert(IcebergSource.read(spark, root, partitionFilter = preds).count() == 2)
+
+    val root2 = tmp()
+    IcebergSource.write(df, root2, partitionBy = Seq("month(ts)"))
+    assert(IcebergSource.read(spark, root2).count() == 48)
+    assert(IcebergSource.tableMeta(spark, root2).partitionSpec
+      .head.transform == "month")
+  }
+}
