@@ -267,7 +267,9 @@ object IcebergSource {
                              lastColumnId: Int, lastSequenceNumber: Long,
                              tableUuid: String, version: Long,
                              partitionSpec: Seq[PartitionField],
-                             metadataPath: String = "")
+                             metadataPath: String = "",
+                             defaultSpecId: Int = 0,
+                             lastPartitionId: Int = 999)
 
   /** Parse the latest (or given) metadata file. */
   def tableMeta(spark: SparkSession, root: String,
@@ -306,17 +308,21 @@ object IcebergSource {
     }
     // default partition spec: v2 `partition-specs` + `default-spec-id`,
     // v1 fallback `partition-spec`
+    val defaultSpecId =
+      Option(node.get("default-spec-id")).map(_.asInt()).getOrElse(0)
     val specFields: Seq[JsonNode] =
       if (node.has("partition-specs")) {
-        val specId = Option(node.get("default-spec-id")).map(_.asInt()).getOrElse(0)
         node.get("partition-specs").elements().asScala
-          .find(s => s.get("spec-id").asInt() == specId)
+          .find(s => s.get("spec-id").asInt() == defaultSpecId)
           .map(_.get("fields").elements().asScala.toSeq).getOrElse(Nil)
       } else Option(node.get("partition-spec")).toSeq
         .flatMap(_.elements().asScala)
     val spec = specFields.map(fd => PartitionField(
       fd.get("source-id").asInt(), fd.get("field-id").asInt(),
       fd.get("name").asText(), fd.get("transform").asText()))
+    val lastPartitionId =
+      Option(node.get("last-partition-id")).map(_.asInt()).getOrElse(
+        (999 +: spec.map(_.fieldId)).max)
     TableMeta(fv, node.get("location").asText(root),
       toSparkType(schemaNode).asInstanceOf[StructType], schemaNode,
       snaps,
@@ -325,7 +331,7 @@ object IcebergSource {
       Option(node.get("last-sequence-number")).map(_.asLong()).getOrElse(0L),
       Option(node.get("table-uuid")).map(_.asText())
         .getOrElse(java.util.UUID.randomUUID().toString),
-      version, spec, p.toString)
+      version, spec, p.toString, defaultSpecId, lastPartitionId)
   }
 
   /** Snapshot history (id, commit time, operation) — the DESCRIBE
@@ -684,7 +690,14 @@ object IcebergSource {
     // manifest list → (manifest path, content, sequence); v1 inline = data
     val manifests: Seq[(String, Int, Long)] = snap.manifestList match {
       case Some(ml) => readAvro(conf, absolutize(root, ml)).flatMap { r =>
-        val keep = predicates.isEmpty ||
+        // bound-summary pruning is positional per SPEC: a manifest written
+        // under an older (evolved) spec indexes its summaries differently,
+        // so only manifests of the DEFAULT spec (which the predicates were
+        // projected against) may prune here — others fall through to the
+        // per-file tuple check, which matches by field NAME and is sound
+        val sameSpec = opt(r, "partition_spec_id")
+          .forall(_.asInstanceOf[Int] == meta.defaultSpecId)
+        val keep = predicates.isEmpty || !sameSpec ||
           r.getSchema.getField("partitions") == null ||
           (opt(r, "partitions") match {
             case Some(parts: java.util.Collection[_]) =>
@@ -1455,9 +1468,12 @@ object IcebergSource {
         "(int/long/string/date columns only)")
   }
 
-  private[sources] def entrySchemaFor(partCols: Seq[StructField]): Schema = {
-    val partFields = partCols.zipWithIndex.map { case (fd, i) =>
-      s"""{"name":${mapper.writeValueAsString(fd.name)},"type":${avroPartType(fd.dataType)},"field-id":${1000 + i}}"""
+  private[sources] def entrySchemaFor(partCols: Seq[StructField],
+                                      partFieldIds: Seq[Int] = Nil): Schema = {
+    val ids = if (partFieldIds.nonEmpty) partFieldIds
+              else partCols.indices.map(1000 + _)
+    val partFields = partCols.lazyZip(ids).map { (fd, id) =>
+      s"""{"name":${mapper.writeValueAsString(fd.name)},"type":${avroPartType(fd.dataType)},"field-id":$id}"""
     }.mkString(",")
     new Schema.Parser().parse(
       s"""{"type":"record","name":"manifest_entry","fields":[
@@ -1781,12 +1797,25 @@ object IcebergSource {
     val exists = isIcebergTable(spark, root)
     val prev = if (exists) Some(tableMeta(spark, root)) else None
     val transforms: Seq[WriteTransform] = partitionBy.map(parseTransform)
+    def specMatches(m: TableMeta): Boolean =
+      m.partitionSpec.map(f => (f.name, f.transform)) ==
+        transforms.map(t => (t.fieldName, t.transform))
     def validateSpec(m: TableMeta): Unit =
-      require(m.partitionSpec.map(f => (f.name, f.transform)) ==
-        transforms.map(t => (t.fieldName, t.transform)),
-        s"iceberg append requires the table's partition spec " +
+      require(specMatches(m),
+        s"iceberg write requires the table's partition spec " +
           s"(${m.partitionSpec.map(f => s"${f.transform}:${f.name}").mkString(", ")}), got " +
-          s"(${transforms.map(t => s"${t.transform}:${t.fieldName}").mkString(", ")})")
+          s"(${transforms.map(t => s"${t.transform}:${t.fieldName}").mkString(", ")})" +
+          "; pass schemaPolicy=DeltaSchema.Evolve on an append to EVOLVE " +
+          "the spec (new spec-id, prior snapshots keep theirs)")
+    // PARTITION EVOLUTION: an append under Evolve with a different spec
+    // registers a NEW spec-id (prior specs retained verbatim — their
+    // manifests keep referencing them); overwrites stay strict
+    val specEvolves: Boolean = prev match {
+      case Some(m) if mode == "append" && !specMatches(m) =>
+        if (schemaPolicy.mode != "evolve") validateSpec(m)
+        true
+      case _ => false
+    }
     // align the frame to the table per the schema policy; evoFields are
     // the NEW columns that must widen the schema in this commit
     def alignAppend(m: TableMeta): (DataFrame, Seq[StructField]) = {
@@ -1826,7 +1855,7 @@ object IcebergSource {
         (kept, evo)
       }
     }
-    prev.foreach(validateSpec)
+    if (!specEvolves) prev.foreach(validateSpec)
     val (data, evoFields) = prev match {
       case Some(m) if mode == "append" => alignAppend(m)
       case _ => (df, Nil)
@@ -1842,7 +1871,16 @@ object IcebergSource {
     val partCols: Seq[StructField] = transforms.map(t =>
       StructField(t.fieldName, t.resultType(srcTypeOf(t.sourceCol))))
     partCols.foreach(fd => avroPartType(fd.dataType)) // fail fast on types
-    val entrySchema = entrySchemaFor(partCols)
+    // partition-record field ids: the DEFAULT spec's own ids for a
+    // matching write, fresh ids above last-partition-id for an evolving
+    // one, 1000.. for a new table
+    val partFieldIds: Seq[Int] = prev match {
+      case Some(m) if specEvolves =>
+        transforms.indices.map(m.lastPartitionId + 1 + _)
+      case Some(m) if m.partitionSpec.nonEmpty => m.partitionSpec.map(_.fieldId)
+      case _ => transforms.indices.map(1000 + _)
+    }
+    val entrySchema = entrySchemaFor(partCols, partFieldIds)
 
     // 1. data files; source columns STAY in the files (spec requirement)
     // so the layout job partitions on shadow columns carrying the
@@ -1943,7 +1981,14 @@ object IcebergSource {
         // rebase: a concurrent overwrite may have changed the schema or
         // spec an append must match — re-validate loudly, don't clobber
         cur = if (isIcebergTable(spark, root)) Some(tableMeta(spark, root)) else None
-        cur.foreach(validateSpec)
+        // on rebase, an evolving append requires the spec it planned to
+        // evolve FROM to still be current (no concurrent evolution)
+        if (specEvolves) cur.foreach(m => require(
+          m.partitionSpec.map(f => (f.name, f.transform)) ==
+            prev.get.partitionSpec.map(f => (f.name, f.transform)),
+          s"concurrent partition-spec change at $root during evolving " +
+            "append — re-run"))
+        else cur.foreach(validateSpec)
         // the frame was aligned against prev's schema — a concurrent
         // schema change invalidates the plan; abort rather than clobber
         if (mode == "append") (prev, cur) match {
@@ -1986,13 +2031,30 @@ object IcebergSource {
       f.mkdirs(metaDir(root))
       val manifestLen = writeAvro(conf, manifestPath, entrySchema, entries)
 
+      // partition specs for this attempt: prior specs retained verbatim
+      // (their manifests keep referencing them), plus the new one when
+      // evolving; the new manifest references the spec it wrote under
+      val priorSpecsRaw: Seq[String] = cur.toSeq.flatMap { m =>
+        val raw = mapper.readTree(readText(f, new Path(m.metadataPath)))
+        if (raw.has("partition-specs"))
+          raw.get("partition-specs").elements().asScala.map(_.toString).toSeq
+        else Seq(s"""{"spec-id":0,"fields":${
+          Option(raw.get("partition-spec")).map(_.toString).getOrElse("[]")}}""")
+      }
+      val usedSpecId: Int = cur match {
+        case Some(_) if specEvolves =>
+          priorSpecsRaw.map(s => mapper.readTree(s).get("spec-id").asInt()).max + 1
+        case Some(m) => m.defaultSpecId
+        case None => 0
+      }
+
       // manifest list: prior manifests survive an append, not an overwrite
       def manifestFileRecord(path: String, len: Long, addedFiles: Int,
                              addedRows: Long, seqNum: Long): GenericRecord = {
         val r = new GenericData.Record(manifestFileSchema)
         r.put("manifest_path", path)
         r.put("manifest_length", len)
-        r.put("partition_spec_id", 0)
+        r.put("partition_spec_id", usedSpecId)
         r.put("content", 0)
         r.put("sequence_number", seqNum)
         r.put("min_sequence_number", seqNum)
@@ -2103,18 +2165,26 @@ object IcebergSource {
       val nameToId: Map[String, Int] = mapper.readTree(schemaJson).get("fields")
         .elements().asScala.map(fd =>
           fd.get("name").asText() -> fd.get("id").asInt()).toMap
-      val specFieldsJson = transforms.zipWithIndex.map { case (t, i) =>
+      val specFieldsJson = transforms.lazyZip(partFieldIds).map { (t, fid) =>
         s"""{"name":${mapper.writeValueAsString(t.fieldName)},"transform":${
           mapper.writeValueAsString(t.transform)},""" +
-          s""""source-id":${nameToId(t.sourceCol)},"field-id":${1000 + i}}"""
+          s""""source-id":${nameToId(t.sourceCol)},"field-id":$fid}"""
       }.mkString(",")
+      val newSpecJson = s"""{"spec-id":$usedSpecId,"fields":[$specFieldsJson]}"""
+      val specsArr: Seq[String] =
+        if (cur.isEmpty) Seq(newSpecJson)
+        else if (specEvolves) priorSpecsRaw :+ newSpecJson
+        else priorSpecsRaw
+      val lastPartId = math.max(
+        cur.map(_.lastPartitionId).getOrElse(999),
+        (999 +: partFieldIds.toSeq).max)
       val metadataJson =
         s"""{"format-version":2,"table-uuid":"$uuid","location":"$root",
            |"last-sequence-number":$seq,"last-updated-ms":$now,
            |"last-column-id":$lastColumnId,
            |"schemas":[${schemasArr.mkString(",")}],"current-schema-id":$curSchemaId,
-           |"partition-specs":[{"spec-id":0,"fields":[$specFieldsJson]}],"default-spec-id":0,
-           |"last-partition-id":${999 + partCols.size},
+           |"partition-specs":[${specsArr.mkString(",")}],"default-spec-id":$usedSpecId,
+           |"last-partition-id":$lastPartId,
            |"sort-orders":[{"order-id":0,"fields":[]}],"default-sort-order-id":0,
            |"snapshots":[$allSnaps],"current-snapshot-id":$snapshotId,
            |"snapshot-log":[{"snapshot-id":$snapshotId,"timestamp-ms":$now}]}"""

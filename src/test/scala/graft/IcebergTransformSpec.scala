@@ -98,6 +98,46 @@ class IcebergTransformSpec extends SparkSpec {
     }
   }
 
+  test("partition evolution: Evolve append registers a new spec-id") {
+    val root = tmp()
+    // starts unpartitioned, evolves to identity-partitioned on v
+    IcebergSource.write((0L until 50L).map(i => (i, s"d${i % 2}"))
+      .toDF("id", "v"), root)
+    val e = intercept[IllegalArgumentException] {
+      IcebergSource.write(Seq((100L, "d0")).toDF("id", "v"), root,
+        partitionBy = Seq("v"))
+    }
+    assert(e.getMessage.contains("Evolve"), e.getMessage)
+    IcebergSource.write((100L until 150L).map(i => (i, s"d${i % 2}"))
+      .toDF("id", "v"), root, partitionBy = Seq("v"),
+      schemaPolicy = graft.sources.DeltaSchema.Evolve)
+    val meta = IcebergSource.tableMeta(spark, root)
+    assert(meta.defaultSpecId == 1, s"spec did not evolve: $meta")
+    assert(meta.partitionSpec.map(f => (f.name, f.transform)) ==
+      Seq(("v", "identity")))
+    // all rows, old and new spec, read back together
+    assert(IcebergSource.read(spark, root).count() == 100)
+    // time travel to the pre-evolution snapshot still works
+    val first = IcebergSource.snapshots(spark, root).map(_.snapshotId).min
+    assert(IcebergSource.read(spark, root, snapshotId = Some(first))
+      .count() == 50)
+    // partition pruning stays SOUND across specs: old-spec files are
+    // kept (their tuples lack the field), so combine with a dataFilter
+    // for row exactness
+    val got = IcebergSource.read(spark, root,
+      partitionFilter = Seq(IcebergSource.PartitionPredicate("v", "=", "d0")),
+      dataFilter = Some(col("v") === "d0"))
+    assert(got.count() == 50)
+    // further appends under the evolved spec need no Evolve flag
+    IcebergSource.write(Seq((999L, "d0")).toDF("id", "v"), root,
+      partitionBy = Seq("v"))
+    assert(IcebergSource.read(spark, root).count() == 101)
+    // and the metadata retains BOTH specs
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(meta.metadataPath)), "UTF-8")
+    assert(raw.contains("\"default-spec-id\":1"), raw.take(400))
+  }
+
   test("hour and month transforms round-trip through the reader") {
     val root = tmp()
     val df = (0 until 48).map { i =>
