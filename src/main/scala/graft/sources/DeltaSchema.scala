@@ -68,14 +68,30 @@ object DeltaSchema {
   def align(source: DataFrame, snap: DeltaLog.Snapshot,
             policy: Policy): Aligned = {
     val tableCols = snap.schema.fieldNames.toSeq
-    val missing = tableCols.filterNot(source.columns.contains)
-    val newCols = source.columns.toSeq.filterNot(tableCols.contains)
+    // CASE-INSENSITIVE matching, like Spark's own resolution (default
+    // spark.sql.caseSensitive=false): a source column differing only in
+    // case IS the table column — treating it as missing would null-fill
+    // over it (withColumn resolves case-insensitively and would REPLACE
+    // the data) and then re-add it as a bogus "new" column
+    def eqName(a: String, b: String): Boolean = a.equalsIgnoreCase(b)
+    val source0 = source
+    // rename case-drifted source columns to the table's exact spelling
+    val renames = source.columns.flatMap { c =>
+      tableCols.find(t => eqName(t, c) && t != c).map(c -> _)
+    }.toMap
+    val sourceAligned = renames.foldLeft(source0) { case (df, (from, to)) =>
+      df.withColumnRenamed(from, to)
+    }
+    val missing = tableCols.filterNot(t => sourceAligned.columns.exists(eqName(t, _)))
+    val newCols = sourceAligned.columns.toSeq
+      .filterNot(c => tableCols.exists(eqName(c, _)))
+    val source1 = sourceAligned
     if (policy.mode == "enforce") {
       require(missing.isEmpty,
         s"source is missing table columns ${missing.mkString(", ")} " +
           "(schema mode 'enforce'; use mode=evolve with " +
           "on_missing_columns=fill_null to null-fill)")
-      return Aligned(source, snap.schema, None)
+      return Aligned(source1, snap.schema, None)
     }
     require(missing.isEmpty || policy.onMissing != "fail",
       s"source is missing table columns ${missing.mkString(", ")} " +
@@ -84,7 +100,7 @@ object DeltaSchema {
       s"source carries new columns ${newCols.mkString(", ")} " +
         "(on_new_columns=fail)")
     val byName = snap.schema.fields.map(f => f.name -> f).toMap
-    val filled = missing.foldLeft(source) { (df, c) =>
+    val filled = missing.foldLeft(source1) { (df, c) =>
       df.withColumn(c, lit(null).cast(DeltaLog.stripMeta(byName(c).dataType)))
     }
     if (newCols.isEmpty || policy.onNew == "ignore")
@@ -94,7 +110,7 @@ object DeltaSchema {
     // tables get fresh ids + physical names on every (nested) field
     val mapped =
       snap.configuration.getOrElse("delta.columnMapping.mode", "none") != "none"
-    val srcField = source.schema.fields.map(f => f.name -> f).toMap
+    val srcField = source1.schema.fields.map(f => f.name -> f).toMap
     var nextId = if (!mapped) 0L else nextMappingId(snap)
     val newFields = newCols.map { c =>
       val f = srcField(c)

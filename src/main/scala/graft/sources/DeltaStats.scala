@@ -70,7 +70,8 @@ object DeltaStats {
     leaves.take(indexedCols).foreach { ls =>
       ls.nullCount.foreach(n =>
         putNested(nullC, ls.path, mapper.getNodeFactory.numberNode(n)))
-      (ls.min.flatMap(jsonValue(ls.prim, _)), ls.max.flatMap(jsonValue(ls.prim, _))) match {
+      (ls.min.flatMap(jsonValue(ls.prim, _, isMax = false)),
+        ls.max.flatMap(jsonValue(ls.prim, _, isMax = true))) match {
         case (Some(mn), Some(mx)) =>
           putNested(minV, ls.path, mn)
           putNested(maxV, ls.path, mx)
@@ -97,8 +98,11 @@ object DeltaStats {
   }
 
   /** Parquet statistics value → Delta stats JSON value; None when the
-    * type has no sound JSON bound (conservative omission). */
-  private def jsonValue(prim: PrimitiveType, v: Any): Option[JsonNode] = {
+    * type has no sound JSON bound (conservative omission). Timestamps
+    * render at millisecond precision, so a MAX with sub-ms micros rounds
+    * UP to the next millisecond (PROTOCOL.md: truncated maxValues must
+    * still bound the data) while MIN floors. */
+  private def jsonValue(prim: PrimitiveType, v: Any, isMax: Boolean): Option[JsonNode] = {
     val f = mapper.getNodeFactory
     val ann = prim.getLogicalTypeAnnotation
     prim.getPrimitiveTypeName match {
@@ -114,9 +118,14 @@ object DeltaStats {
           val micros = t.getUnit match {
             case LogicalTypeAnnotation.TimeUnit.MILLIS => v.asInstanceOf[Long] * 1000L
             case LogicalTypeAnnotation.TimeUnit.MICROS => v.asInstanceOf[Long]
-            case LogicalTypeAnnotation.TimeUnit.NANOS => v.asInstanceOf[Long] / 1000L
+            case LogicalTypeAnnotation.TimeUnit.NANOS =>
+              val n = v.asInstanceOf[Long]
+              if (isMax) Math.floorDiv(n + 999L, 1000L) else Math.floorDiv(n, 1000L)
           }
-          Some(f.textNode(StatsPruning.formatMicros(micros, t.isAdjustedToUTC)))
+          val ms =
+            if (isMax) Math.floorDiv(micros + 999L, 1000L) * 1000L
+            else Math.floorDiv(micros, 1000L) * 1000L
+          Some(f.textNode(StatsPruning.formatMicros(ms, t.isAdjustedToUTC)))
         case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
           Some(f.numberNode(JBigDecimal.valueOf(v.asInstanceOf[Long], d.getScale)))
         case _ => Some(f.numberNode(v.asInstanceOf[Long]))
@@ -183,12 +192,15 @@ object DeltaStats {
           case (p, v) if v.isNumber => p -> v.asLong }.toMap))
     } catch { case _: Exception => None }
 
-  /** Stats JSON value → the comparable domain of [[StatsPruning]]. */
+  /** Stats JSON value → the comparable domain of [[StatsPruning]]
+    * (timestamp strings parse back to epoch micros). */
   private def coerceStat(n: JsonNode, target: DataType): Option[Any] = target match {
     case _: NumericType =>
       if (n.isNumber) Some(n.decimalValue)
       else try Some(new JBigDecimal(n.asText)) catch { case _: Exception => None }
-    case DateType | TimestampType | TimestampNTZType | StringType => Some(n.asText)
+    case TimestampType | TimestampNTZType =>
+      StatsPruning.parseStatMicros(n.asText).map(new JBigDecimal(_))
+    case DateType | StringType => Some(n.asText)
     case BooleanType => Some(n.asBoolean)
     case _ => None
   }

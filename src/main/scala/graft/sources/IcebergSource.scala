@@ -485,11 +485,20 @@ object IcebergSource {
     }
     def floorDiv(x: org.apache.spark.sql.Column, d: Long) =
       ((x - pmod(x, lit(d))) / lit(d)).cast(IntegerType)
+    // timestamps derive calendar fields from their UTC DATE (epoch-day
+    // floor-division then date arithmetic) — session-timezone year()/
+    // month() would write values the always-UTC read-side projection
+    // then prunes incorrectly
+    def utcDate: org.apache.spark.sql.Column = srcType match {
+      case DateType => c
+      case _ => date_add(to_date(lit("1970-01-01")), floorDiv(seconds, 86400L))
+    }
     t.transform match {
       case "identity" => c
-      case "year" => (year(c) - lit(1970)).cast(IntegerType)
+      case "year" => (year(utcDate) - lit(1970)).cast(IntegerType)
       case "month" =>
-        ((year(c) - lit(1970)) * lit(12) + month(c) - lit(1)).cast(IntegerType)
+        ((year(utcDate) - lit(1970)) * lit(12) + month(utcDate) - lit(1))
+          .cast(IntegerType)
       case "day" => srcType match {
         case DateType => datediff(c, to_date(lit("1970-01-01"))).cast(IntegerType)
         case _ => floorDiv(seconds, 86400L)
@@ -688,7 +697,7 @@ object IcebergSource {
     val specIndex: Map[String, Int] = meta.partitionSpec.map(_.name)
       .zipWithIndex.toMap
     // manifest list → (manifest path, content, sequence); v1 inline = data
-    val manifests: Seq[(String, Int, Long)] = snap.manifestList match {
+    val manifests: Seq[(String, Int, Long, Boolean)] = snap.manifestList match {
       case Some(ml) => readAvro(conf, absolutize(root, ml)).flatMap { r =>
         // bound-summary pruning is positional per SPEC: a manifest written
         // under an older (evolved) spec indexes its summaries differently,
@@ -725,14 +734,15 @@ object IcebergSource {
         if (!keep) None
         else Some((r.get("manifest_path").toString,
           opt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0),
-          opt(r, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L)))
+          opt(r, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L),
+          sameSpec))
       }
-      case None => snap.inlineManifests.map(p => (p, 0, 0L))
+      case None => snap.inlineManifests.map(p => (p, 0, 0L, true))
     }
     val dataFiles = scala.collection.mutable.ArrayBuffer[FileEntry]()
     val posDeleteFiles = scala.collection.mutable.ArrayBuffer[FileEntry]()
     val eqDeleteFiles = scala.collection.mutable.ArrayBuffer[FileEntry]()
-    manifests.foreach { case (mp, manifestContent, manifestSeq) =>
+    manifests.foreach { case (mp, manifestContent, manifestSeq, defaultSpecManifest) =>
       readAvro(conf, absolutize(root, mp)).foreach { entry =>
         val status = opt(entry, "status").map(_.asInstanceOf[Int]).getOrElse(1)
         if (status != 2) { // 2 = DELETED
@@ -788,10 +798,17 @@ object IcebergSource {
           }
           content match {
             case 0 =>
-              if (predicates.forall(p => partVals.get(p.name) match {
-                case Some(v) => evalPredicate(p, v)
-                case None => true // field absent: cannot prune
-              })) dataFiles += FileEntry(path, seq, Nil, partVals, size, records, addedBy,
+              // tuple pruning is only sound against the spec the
+              // predicates were projected onto: after partition evolution
+              // a RE-PARAMETERIZED transform (bucket(8)->bucket(16)) keeps
+              // its field NAME but changes the stored values — old-spec
+              // files must be kept, their rows recovered by the
+              // re-applied row filter
+              if (!defaultSpecManifest || predicates.forall(p =>
+                partVals.get(p.name) match {
+                  case Some(v) => evalPredicate(p, v)
+                  case None => true // field absent: cannot prune
+                })) dataFiles += FileEntry(path, seq, Nil, partVals, size, records, addedBy,
                 nullCounts = intMap("null_value_counts") {
                   case l: java.lang.Long => Some(l.longValue()); case _ => None },
                 lowerBounds = intMap("lower_bounds")(bytesOf),
@@ -944,10 +961,8 @@ object IcebergSource {
         Some(new java.math.BigDecimal(new java.math.BigInteger(bytes), d.scale))
       case DateType if bytes.length == 4 =>
         Some(java.time.LocalDate.ofEpochDay(bb.getInt.toLong).toString)
-      case TimestampType if bytes.length == 8 =>
-        Some(StatsPruning.formatMicros(bb.getLong, utc = true))
-      case TimestampNTZType if bytes.length == 8 =>
-        Some(StatsPruning.formatMicros(bb.getLong, utc = false))
+      case TimestampType | TimestampNTZType if bytes.length == 8 =>
+        Some(new java.math.BigDecimal(bb.getLong)) // exact micros
       case StringType => Some(new String(bytes, "UTF-8"))
       case BooleanType if bytes.length == 1 => Some(bytes(0) != 0)
       case _ => None
@@ -1956,10 +1971,14 @@ object IcebergSource {
     // per-field bound summaries for the manifest-list row (what read()'s
     // manifest-level pruning consumes); date partitions stored as int
     // days, matching the tuple values
-    val partitionSummaries: Seq[(Any, Any)] = partCols.indices.map { i =>
-      val vals = fileParts.map(_(i)).sortWith((a, b) => cmp(a, b) < 0)
-      (vals.head, vals.last)
-    }
+    // empty staged writes (a filtered-out micro-batch, an empty append)
+    // carry no summaries — and must not crash on vals.head
+    val partitionSummaries: Seq[(Any, Any)] =
+      if (fileParts.isEmpty) Nil
+      else partCols.indices.map { i =>
+        val vals = fileParts.map(_(i)).sortWith((a, b) => cmp(a, b) < 0)
+        (vals.head, vals.last)
+      }
 
     // 2-4. build + atomically publish the commit (optimistic retry loop).
     // The staged data files above are attempt-invariant; the manifest,

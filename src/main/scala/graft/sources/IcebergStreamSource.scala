@@ -170,10 +170,12 @@ class IcebergStreamSource(spark: SparkSession, root: String,
       case None => ord
       case Some(c) =>
         val i = ord.indexWhere(_.snapshotId == c)
-        if (i >= 0) ord.drop(i + 1)
-        // cursor expired from the log: ids are commit-ordered upward in
-        // this writer, fall back to "strictly newer"
-        else ord.filter(s => s.snapshotId > c)
+        // an expired cursor cannot be ordered against the remaining log
+        // (foreign snapshot ids are random, not monotonic) — fail loudly
+        // rather than guess and silently skip or re-emit
+        require(i >= 0, s"stream cursor snapshot $c expired from $root — " +
+          "restart the stream from a retained snapshot")
+        ord.drop(i + 1)
     }
     tail.foreach { s => if (room) out += IcebergSourceOffset(s.snapshotId, snapshot = false) }
     out.toSeq
@@ -201,9 +203,18 @@ class IcebergStreamSource(spark: SparkSession, root: String,
     else Some(new Path(metadataPath, "graft-iceberg-position"))
 
   private def setPosition(o: IcebergSourceOffset): Unit = {
+    // commit-ORDER comparison (foreign snapshot ids are random, not
+    // monotonic): later position in the snapshot log wins; unknown ids
+    // (engine-recovered offsets for snapshots since expired) accept
     val newer = lastReturned.forall { l =>
-      if (l.snapshot != o.snapshot) l.snapshot // snapshot phase precedes tailing
-      else l.snapshotId < o.snapshotId
+      if (l == o) false
+      else if (l.snapshot != o.snapshot) l.snapshot // snapshot phase first
+      else {
+        val ord = orderedSnaps(meta)
+        val li = ord.indexWhere(_.snapshotId == l.snapshotId)
+        val oi = ord.indexWhere(_.snapshotId == o.snapshotId)
+        li < 0 || oi < 0 || li < oi
+      }
     }
     if (newer) {
       lastReturned = Some(o)
@@ -246,28 +257,24 @@ class IcebergStreamSource(spark: SparkSession, root: String,
         return streamingUnion(frames.toSeq)
     }
     // tailed snapshots in (start, end]
+    def idxOrFail(id: Long, what: String): Int = {
+      val i = posIdx(id)
+      require(i >= 0, s"$what snapshot $id expired from $root — restart " +
+        "the stream from a retained snapshot")
+      i
+    }
     val fromIdx: Int = startOff match {
-      case Some(o) if !o.snapshot => posIdx(o.snapshotId) match {
-        case -1 => ord.indexWhere(_.snapshotId > o.snapshotId) match {
-          case -1 => ord.size
-          case i => i
-        }
-        case i => i + 1
-      }
-      case Some(o) => posIdx(o.snapshotId) + 1
+      case Some(o) if !o.snapshot => idxOrFail(o.snapshotId, "batch-start") + 1
+      case Some(o) => idxOrFail(o.snapshotId, "batch-start") + 1
       case None => base match {
-        case Left(id) => posIdx(id) + 1
+        case Left(id) => idxOrFail(id, "base") + 1
         case Right(Long.MinValue) => 0
-        case Right(id) => posIdx(id) match {
-          case -1 => ord.indexWhere(_.snapshotId > id) match {
-            case -1 => ord.size
-            case i => i
-          }
-          case i => i + 1
-        }
+        case Right(id) => idxOrFail(id, "base") + 1
       }
     }
-    val toIdx = posIdx(endOff.snapshotId)
+    // an expired END offset would silently return an empty batch and
+    // advance the checkpoint past never-delivered rows — fail instead
+    val toIdx = idxOrFail(endOff.snapshotId, "batch-end")
     (fromIdx to toIdx).filter(_ >= 0).foreach { i =>
       val s = ord(i)
       schemaCheck(m)

@@ -42,6 +42,18 @@ object StatsPruning {
     else tsNtz.format(LocalDateTime.ofInstant(inst, ZoneOffset.UTC))
   }
 
+  private[sources] def instantMicros(i: Instant): Long =
+    Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+      i.getNano / 1000L)
+
+  /** Parse a stats-string timestamp (ISO-ish, any fraction length, with
+    * or without the Z) back to epoch micros; None when unparseable. */
+  private[sources] def parseStatMicros(s: String): Option[Long] =
+    try {
+      val t = s.replace(' ', 'T').stripSuffix("Z")
+      Some(instantMicros(LocalDateTime.parse(t).toInstant(ZoneOffset.UTC)))
+    } catch { case _: Exception => None }
+
   /**
    * Resolve `filter` through Catalyst analysis against an empty frame
    * carrying `schema` — the walk then sees typed AttributeReference /
@@ -73,15 +85,15 @@ object StatsPruning {
       case (StringType, DateType) =>
         try Some(LocalDate.parse(lit.value.toString).toString)
         catch { case _: Exception => None }
-      case (TimestampType, TimestampType) =>
-        Some(formatMicros(lit.value.asInstanceOf[Long], utc = true))
-      case (TimestampNTZType, TimestampNTZType) =>
-        Some(formatMicros(lit.value.asInstanceOf[Long], utc = false))
+      // timestamps compare at EXACT MICROSECOND precision (Iceberg bounds
+      // store micros; Delta stats strings parse back to micros) — a
+      // millisecond-rendered domain would mis-prune sub-ms ranges
+      case (TimestampType, TimestampType) | (TimestampNTZType, TimestampNTZType) =>
+        Some(new JBigDecimal(lit.value.asInstanceOf[Long]))
       case (StringType, TimestampType) =>
-        // ISO-ish literal, normalized to the bounds' rendering
         try {
           val ldt = LocalDateTime.parse(lit.value.toString.replace(' ', 'T'))
-          Some(tsUtc.format(ldt.toInstant(ZoneOffset.UTC)))
+          Some(new JBigDecimal(instantMicros(ldt.toInstant(ZoneOffset.UTC))))
         } catch { case _: Exception => None }
       case (StringType, StringType) => Some(lit.value.toString)
       case (BooleanType, BooleanType) => Some(lit.value.asInstanceOf[Boolean])
@@ -91,9 +103,24 @@ object StatsPruning {
 
   def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
     case (x: JBigDecimal, y: JBigDecimal) => Some(x.compareTo(y))
-    case (x: String, y: String) => Some(x.compareTo(y))
+    // UNSIGNED UTF-8 byte order — the order parquet/Iceberg recorded the
+    // bounds under; UTF-16 code-unit compareTo disagrees for non-BMP
+    // characters vs U+E000..U+FFFF and would mis-prune
+    case (x: String, y: String) => Some(utf8Cmp(x, y))
     case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
     case _ => None
+  }
+
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
   }
 
   /**
@@ -109,7 +136,25 @@ object StatsPruning {
     def attrPath(x: Expression): Option[Seq[String]] = x match {
       case r: AttributeReference => Some(Seq(r.name))
       case g: GetStructField => attrPath(g.child).map(_ :+ g.extractFieldName)
-      case c: Cast => attrPath(c.child)
+      // only VALUE-PRESERVING widening casts may be stripped (the atom
+      // then evaluates soundly in the column's native domain); anything
+      // else — narrowing (wraps), int->string (flips the order),
+      // date->timestamp (shifts domain) — makes the attribute opaque
+      case c: Cast =>
+        def rank(t: DataType): Int = t match {
+          case ByteType => 1; case ShortType => 2; case IntegerType => 3
+          case LongType => 4; case _ => -1
+        }
+        (c.child.dataType, c.dataType) match {
+          case (a, b) if a == b => attrPath(c.child)
+          case (a, b) if rank(a) > 0 && rank(b) > 0 && rank(a) < rank(b) =>
+            attrPath(c.child)
+          case (ByteType | ShortType | IntegerType | FloatType, DoubleType) =>
+            attrPath(c.child)
+          case (a, d: DecimalType) if rank(a) > 0 &&
+            d.precision - d.scale >= 20 => attrPath(c.child)
+          case _ => None
+        }
       case u: UnresolvedAttribute => Some(u.nameParts)
       case _ => None
     }

@@ -76,6 +76,23 @@ class DeltaSchemaSpec extends SparkSpec {
       Set("20|UPD3|null", "300|NEW3|null"))
   }
 
+  test("case-drifted source columns align instead of null-filling the data") {
+    val root = tmp()
+    DeltaWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root)
+    // a source with uppercase headers IS the same columns (Spark resolves
+    // case-insensitively): align must rename, never null-fill + re-add
+    val src = Seq((1L, "A2"), (3L, "c")).toDF("ID", "V")
+    val r = DeltaMerge.upsert(spark, root, src, Seq("id"),
+      schemaPolicy = DeltaSchema.Evolve)
+    val snap = DeltaLog.snapshot(spark, root)
+    assert(snap.schema.fieldNames.toSeq == Seq("id", "v"),
+      s"case drift widened the schema: ${snap.schema.fieldNames.toSeq}")
+    val got = DeltaLog.read(spark, root).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "A2"), (2L, "b"), (3L, "c")),
+      s"key values were destroyed: $got")
+    assert(r.rowsAppended == 2 || r.rowsAppended == 1, s"$r")
+  }
+
   test("policy knobs: ignore drops, fail fails, enforce requires all columns") {
     val root = tmp()
     DeltaWriter.write(Seq((1L, "a")).toDF("id", "v"), root)

@@ -195,6 +195,50 @@ class DeltaStatsSpec extends SparkSpec {
       .count() == 25)
   }
 
+  test("sub-millisecond timestamps: max rounds UP, strict ranges stay exact") {
+    val root = tmp()
+    val prior = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      // one row at .000900 micros — a millis-FLOORED max would wrongly
+      // prune the strict filter below
+      val df = Seq(java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T00:00:00.000900Z"))).toDF("ts")
+      DeltaWriter.write(df.coalesce(1), root)
+      val a = DeltaLog.snapshot(spark, root).files.head
+      val n = mapper.readTree(a.stats.get)
+      assert(n.get("maxValues").has("ts"), a.stats.get)
+      assert(n.get("maxValues").get("ts").asText == "2024-01-01T00:00:00.001Z",
+        "max timestamp must round UP to the next millisecond: " + a.stats.get)
+      val f = col("ts") > lit("2024-01-01 00:00:00.0005").cast("timestamp")
+      assert(DeltaLog.read(spark, root, dataFilter = Some(f)).count() == 1,
+        "sub-ms strict range was mis-pruned")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+        case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+      }
+    }
+  }
+
+  test("non-order-preserving casts and non-BMP strings never mis-prune") {
+    val root = tmp()
+    DeltaWriter.write((10 until 110).toDF("k").repartitionByRange(4, $"k"), root)
+    // cast(int as string) flips the order — the pruner must keep files
+    val f = expr("cast(k as string) < '2'")
+    val expect = spark.range(10, 110).filter("cast(id as string) < '2'").count()
+    assert(DeltaLog.read(spark, root, dataFilter = Some(f)).count() == expect)
+    assert(expect > 0) // '10' < '2' lexicographically: rows DO match
+
+    // UTF-16 code-unit order disagrees with UTF-8 byte order here
+    val root2 = tmp()
+    DeltaWriter.write(Seq("", new String(Character.toChars(0x1F600)))
+      .toDF("s").coalesce(1), root2)
+    assert(DeltaLog.read(spark, root2,
+      dataFilter = Some(col("s") === "")).count() == 1,
+      "non-BMP bounds mis-pruned an equality match")
+  }
+
   test("timestamps: bounds recorded and skipped on when the physical type allows") {
     val root = tmp()
     val df = (0 until 40).map(i =>

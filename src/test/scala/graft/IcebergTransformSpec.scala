@@ -138,6 +138,39 @@ class IcebergTransformSpec extends SparkSpec {
     assert(raw.contains("\"default-spec-id\":1"), raw.take(400))
   }
 
+  test("re-parameterized bucket evolution: old-spec files are never mis-pruned") {
+    val root = tmp()
+    IcebergSource.write((0L until 100L).map(i => (i, s"v$i")).toDF("id", "v"),
+      root, partitionBy = Seq("bucket(8, id)"))
+    IcebergSource.write((100L until 200L).map(i => (i, s"v$i")).toDF("id", "v"),
+      root, partitionBy = Seq("bucket(16, id)"),
+      schemaPolicy = graft.sources.DeltaSchema.Evolve)
+    val meta = IcebergSource.tableMeta(spark, root)
+    assert(meta.partitionSpec.head.transform == "bucket[16]")
+    // the field name survived the evolution ('id_bucket') but the stored
+    // values changed meaning — every OLD id must still be findable via a
+    // dataFilter whose projection targets the new spec
+    (0L until 100L by 7L).foreach { v =>
+      val got = IcebergSource.read(spark, root,
+        dataFilter = Some(col("id") === v))
+      assert(got.count() == 1, s"id=$v lost across bucket re-parameterization")
+    }
+    assert(IcebergSource.read(spark, root).count() == 200)
+  }
+
+  test("empty partitioned append commits (or no-ops) without crashing") {
+    val root = tmp()
+    IcebergSource.write((0 until 10).map(i => (i.toLong,
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))).toDF("id", "ts"),
+      root, partitionBy = Seq("day(ts)"))
+    val empty = spark.emptyDataFrame
+      .select(lit(0L).as("id"),
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"))
+      .filter(lit(false))
+    IcebergSource.write(empty, root, partitionBy = Seq("day(ts)"))
+    assert(IcebergSource.read(spark, root).count() == 10)
+  }
+
   test("hour and month transforms round-trip through the reader") {
     val root = tmp()
     val df = (0 until 48).map { i =>
