@@ -159,6 +159,42 @@ object DeltaMaintenance {
    * `partitionFilter` restricts compaction to partitions whose values
    * match every (column -> string value) entry — the OPTIMIZE WHERE form.
    */
+  /**
+   * DV-applied scan over exactly `removes` with PARTITION VALUES (which
+   * Delta does not store in data files) re-attached through a broadcast
+   * basename → values map — the routing column must attach on the RAW
+   * scan because input_file_name() is "" after a join. `extra` appends
+   * more per-file columns (the compaction path's bin id). Output columns:
+   * `ordered` table columns (+ the extras, in order).
+   */
+  private def scanWithPartitionValues(spark: SparkSession, root: String,
+      snap: DeltaLog.Snapshot, removes: Seq[DeltaLog.AddFile],
+      dataSchema: StructType, partCols: Seq[String], ordered: Seq[String],
+      extra: Seq[(String, DataType, DeltaLog.AddFile => Any)] = Nil): DataFrame = {
+    val base = (p: String) => p.substring(p.lastIndexOf('/') + 1)
+    val pvRows = removes.map { a =>
+      Row.fromSeq(base(DeltaLog.decodePath(a.path)) +:
+        (extra.map(_._3(a)) ++
+          partCols.map(c => a.partitionValues.get(c).flatten.orNull)))
+    }
+    val pvSchema = StructType(StructField("_gf_file", StringType) +:
+      (extra.map { case (n, t, _) => StructField(n, t) } ++
+        partCols.map(c => StructField(s"_gf_pv_$c", StringType))))
+    val pv = spark.createDataFrame(
+      spark.sparkContext.parallelize(pvRows, 1), pvSchema)
+    val partType = snap.schema.fields.map(fd => fd.name -> fd.dataType).toMap
+    val raw = spark.read.schema(dataSchema)
+      .parquet(removes.map(a => DeltaLog.absolutize(root, a.path)): _*)
+    DeltaLog.applyDeletionVectors(spark, root, snap.copy(files = removes),
+        raw.withColumn("_gf_file",
+          element_at(split(input_file_name(), "/"), -1)))
+      .join(broadcast(pv), Seq("_gf_file"))
+      .select((ordered.map { c =>
+        if (partCols.contains(c)) col(s"_gf_pv_$c").cast(partType(c)).as(c)
+        else col(c)
+      } ++ extra.map { case (n, _, _) => col(n) }): _*)
+  }
+
   def optimize(spark: SparkSession, root: String,
                targetFileBytes: Long = 128L << 20,
                zorderBy: Seq[String] = Nil,
@@ -227,36 +263,15 @@ object DeltaMaintenance {
         val numFiles = math.max(1, math.ceil(bytesRemoved.toDouble / targetFileBytes).toInt)
         // DV-carrying inputs compact to their LIVE rows (the rewrite is
         // also the purge: the new file drops the vector)
-        val raw = spark.read.schema(dataSchema)
-          .parquet(removes.map(a => DeltaLog.absolutize(root, a.path)): _*)
         val scan =
           if (partCols.isEmpty)
             DeltaLog.applyDeletionVectors(spark, root,
-              snap.copy(files = removes), raw).select(ordered.map(col): _*)
-          else {
-            // partition values are NOT in the data files — re-attach via
-            // the broadcast basename -> values map, on the RAW scan
-            // (input_file_name() is "" after a join)
-            val base = (p: String) => p.substring(p.lastIndexOf('/') + 1)
-            val pvRows = removes.map { a =>
-              Row.fromSeq(base(DeltaLog.decodePath(a.path)) +:
-                partCols.map(c => a.partitionValues.get(c).flatten.orNull))
-            }
-            val pvSchema = StructType(StructField("_gf_file", StringType) ::
-              partCols.toList.map(c => StructField(s"_gf_pv_$c", StringType)))
-            val pv = spark.createDataFrame(
-              spark.sparkContext.parallelize(pvRows, 1), pvSchema)
-            val partType = snap.schema.fields.map(fd => fd.name -> fd.dataType).toMap
-            DeltaLog.applyDeletionVectors(spark, root,
                 snap.copy(files = removes),
-                raw.withColumn("_gf_file",
-                  element_at(split(input_file_name(), "/"), -1)))
-              .join(broadcast(pv), Seq("_gf_file"))
-              .select(ordered.map { c =>
-                if (partCols.contains(c)) col(s"_gf_pv_$c").cast(partType(c)).as(c)
-                else col(c)
-              }: _*)
-          }
+                spark.read.schema(dataSchema).parquet(
+                  removes.map(a => DeltaLog.absolutize(root, a.path)): _*))
+              .select(ordered.map(col): _*)
+          else scanWithPartitionValues(spark, root, snap, removes,
+            dataSchema, partCols, ordered)
         val clustered = Sources.zOrderFrame(scan, zorderBy, numFiles = numFiles,
           partitionCols = partCols)
         DeltaWriter.stageAndMove(clustered, root, partCols, nonce, countRows = false)._1
@@ -264,33 +279,12 @@ object DeltaMaintenance {
         // one distributed job for every bin across every partition: route
         // each file's rows to its bin (broadcast basename -> bin), land
         // each bin in one task, write through the hive-partitioned stager
-        val base = (p: String) => p.substring(p.lastIndexOf('/') + 1)
-        val fileRows = rewrite.flatMap { case (bin, files) =>
-          files.map { a =>
-            Row.fromSeq(base(DeltaLog.decodePath(a.path)) +: bin +:
-              partCols.map(c => a.partitionValues.get(c).flatten.orNull))
-          }
-        }
-        val mapSchema = StructType(
-          StructField("_gf_file", StringType) :: StructField("_gf_bin", IntegerType) ::
-            partCols.toList.map(c => StructField(s"_gf_pv_$c", StringType)))
-        val binMap = spark.createDataFrame(
-          spark.sparkContext.parallelize(fileRows, 1), mapSchema)
-        val partType = snap.schema.fields.map(fd => fd.name -> fd.dataType).toMap
-        // the routing file column attaches on the RAW scan
-        // (input_file_name() is "" after a join), then existing DVs
-        // anti-join away — compaction must not resurrect deleted rows
-        val scan = DeltaLog.applyDeletionVectors(spark, root,
-          snap.copy(files = removes),
-          spark.read.schema(dataSchema)
-            .parquet(removes.map(a => DeltaLog.absolutize(root, a.path)): _*)
-            .withColumn("_gf_file",
-              element_at(split(input_file_name(), "/"), -1)))
-        val routed = scan.join(broadcast(binMap), Seq("_gf_file"))
-          .select((ordered.map { c =>
-            if (partCols.contains(c)) col(s"_gf_pv_$c").cast(partType(c)).as(c)
-            else col(c)
-          } :+ col("_gf_bin")): _*)
+        val binOf: Map[String, Int] = rewrite.flatMap { case (bin, files) =>
+          files.map(_.path -> bin)
+        }.toMap
+        val routed = scanWithPartitionValues(spark, root, snap, removes,
+          dataSchema, partCols, ordered,
+          extra = Seq(("_gf_bin", IntegerType, a => Int.box(binOf(a.path)))))
         val packed = routed
           .repartition(rewrite.size, col("_gf_bin"))
           .drop("_gf_bin")
