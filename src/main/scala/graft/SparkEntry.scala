@@ -1315,7 +1315,11 @@ object SparkEntry {
           "l_extendedprice")
       val root = java.nio.file.Files.createTempDirectory("graft_ice_hidden")
         .toString + "/lineitem"
-      graft.sources.IcebergSource.write(li, root,
+      // cluster by the partition source first (the optimized-write
+      // discipline): unclustered tasks would each write every month —
+      // thousands of tiny files instead of ~one per month
+      graft.sources.IcebergSource.write(
+        li.repartitionByRange(8, col("l_shipdate")), root,
         partitionBy = Seq("month(l_shipdate)"))
       val meta = graft.sources.IcebergSource.tableMeta(s, root)
       require(meta.partitionSpec.map(_.transform) == Seq("month"),
