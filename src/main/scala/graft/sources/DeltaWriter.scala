@@ -102,7 +102,8 @@ object DeltaWriter {
             checkpointInterval: Int = 10,
             txn: Option[(String, Long)] = None,
             replaceWhere: Map[String, String] = Map.empty,
-            schemaPolicy: DeltaSchema.Policy = DeltaSchema.Enforce): Commit = {
+            schemaPolicy: DeltaSchema.Policy = DeltaSchema.Enforce,
+            clusterWrite: Boolean = false): Commit = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     val exists = DeltaLog.isDeltaTable(spark, root)
@@ -200,8 +201,15 @@ object DeltaWriter {
         col(fd.name).cast(DeltaLog.toPhysical(fd.dataType))
           .as(DeltaLog.physicalName(fd))).toSeq: _*)
     val stagePartCols = partCols.map(c => physOf.getOrElse(c, c))
+    // optimized write: cluster by partition values first, so file count
+    // tracks PARTITIONS instead of tasks x partitions — at scale an
+    // unclustered partitioned write makes every task open every partition
+    val clustered =
+      if (clusterWrite && stagePartCols.nonEmpty)
+        stageFrame.repartitionByRange(stagePartCols.map(col): _*)
+      else stageFrame
     val (adds, rows) =
-      stageAndMove(stageFrame, root, stagePartCols, nonce, countRows = true)
+      stageAndMove(clustered, root, stagePartCols, nonce, countRows = true)
     // mapped tables key partitionValues by PHYSICAL name — resolve the
     // logical replaceWhere key both ways
     def inScope(a: DeltaLog.AddFile): Boolean =

@@ -1803,7 +1803,8 @@ object IcebergSource {
   def write(df: DataFrame, root: String, mode: String = "append",
             partitionBy: Seq[String] = Nil,
             summaryProps: Map[String, String] = Map.empty,
-            schemaPolicy: DeltaSchema.Policy = DeltaSchema.Enforce): Long = {
+            schemaPolicy: DeltaSchema.Policy = DeltaSchema.Enforce,
+            clusterWrite: Boolean = false): Long = {
     require(mode == "append" || mode == "overwrite",
       s"iceberg write mode must be append/overwrite, got '$mode'")
     val spark = df.sparkSession
@@ -1909,7 +1910,14 @@ object IcebergSource {
       val shadowed = transforms.foldLeft(data)((d, t) =>
         d.withColumn(s"_p_${t.fieldName}",
           transformColumn(t, srcTypeOf(t.sourceCol))))
-      shadowed.write.mode("errorifexists")
+      // optimized write: cluster by the TRANSFORMED values first, so
+      // file count tracks partitions instead of tasks x partitions
+      val staged =
+        if (clusterWrite)
+          shadowed.repartitionByRange(
+            transforms.map(t => col(s"_p_${t.fieldName}")): _*)
+        else shadowed
+      staged.write.mode("errorifexists")
         .partitionBy(transforms.map(t => s"_p_${t.fieldName}"): _*)
         .parquet(dataDir.toString)
     }

@@ -455,7 +455,11 @@ object Sources {
         // append-side evolution policy (an upstream that gains a column
         // widens the table in the same commit under evolve)
         DeltaWriter.write(d0, path, cfg.mode, cfg.partitionBy,
-          replaceWhere = replaceWhere, schemaPolicy = sinkPolicy(cfg))
+          replaceWhere = replaceWhere, schemaPolicy = sinkPolicy(cfg),
+          // optimize_write: cluster by partition values so file count
+          // tracks partitions, not tasks x partitions
+          clusterWrite = cfg.options.get("optimize_write")
+            .exists(_.equalsIgnoreCase("true")))
       } finally pinnedDelta.foreach { p => p.unpersist(); () }
       if (cfg.options.get("optimize_after").exists(_.equalsIgnoreCase("true"))) {
         val target = cfg.options.get("target_file_bytes").map(_.toLong)
@@ -474,7 +478,9 @@ object Sources {
       // "truncate(4, s)"); per-file partition tuples + manifest bound
       // summaries drive read pruning either way
       val rows = IcebergSource.write(d, path, mode,
-        partitionBy = cfg.partitionBy, schemaPolicy = sinkPolicy(cfg))
+        partitionBy = cfg.partitionBy, schemaPolicy = sinkPolicy(cfg),
+        clusterWrite = cfg.options.get("optimize_write")
+          .exists(_.equalsIgnoreCase("true")))
       // optimize_after: true bin-packs small files into a replace
       // snapshot right after the load (micro-batch sinks accrete them)
       if (cfg.options.get("optimize_after").exists(_.equalsIgnoreCase("true"))) {

@@ -267,4 +267,25 @@ class DeltaWriterSpec extends SparkSpec {
     val back = DeltaLog.read(spark, root).select("id").as[Int].collect().toSet
     assert(back == Set(7, 2))
   }
+  test("optimize_write clusters partitioned writes: files track partitions") {
+    val root = tmp()
+    val df = (0 until 3000).map(i => (i, s"d${i % 3}")).toDF("k", "day")
+      .repartition(8) // unclustered: every task holds every partition
+    DeltaWriter.write(df, root, partitionBy = Seq("day"), clusterWrite = true)
+    val snap = DeltaLog.snapshot(spark, root)
+    // without clustering this layout stages up to 8 x 3 files
+    assert(snap.files.size <= 6, s"optimized write left ${snap.files.size} files")
+    assert(DeltaLog.read(spark, root).count() == 3000)
+
+    val root2 = tmp()
+    graft.sources.IcebergSource.write(df, root2, partitionBy = Seq("day"),
+      clusterWrite = true)
+    assert(graft.sources.IcebergSource.read(spark, root2).count() == 3000)
+    val meta = graft.sources.IcebergSource.tableMeta(spark, root2)
+    // snapshot summary carries added-files via manifest; check via files
+    val pr = graft.sources.IcebergSource.pruneReport(spark, root2,
+      org.apache.spark.sql.functions.lit(true))
+    assert(pr.candidates <= 6, s"optimized iceberg write left ${pr.candidates} files")
+  }
+
 }
