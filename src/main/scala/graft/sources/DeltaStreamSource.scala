@@ -219,20 +219,28 @@ class DeltaStreamSource(spark: SparkSession, root: String,
         case _ => sv
       }
       val earliest = DeltaLog.versions(spark, root).head
+      // fail LOUDLY when the start/recovered cursor predates the earliest
+      // retained _delta_log entry — silently skipping expired versions
+      // would be a data gap the consumer can never detect (delta-spark's
+      // DeltaSource errors here too)
+      if (v < earliest && v <= latest)
+        throw new IllegalStateException(
+          s"graft-delta stream at $root: version $v is no longer available " +
+          s"(earliest retained log version is $earliest). Log entries before " +
+          "the requested start were cleaned up; restart the stream from a " +
+          "fresh checkpoint with an available startingVersion.")
       while (v <= latest && room) {
-        if (v >= earliest) {
-          val adds =
-            if (readChangeFeed) Seq(DeltaLog.AddFile("", Map.empty, 0L, 0L))
-            else addsOf(v)
-          val startIdx = from match {
-            case Some(o) if !o.snapshot && o.version == v => o.index
-            case _ => 0L
-          }
-          var i = startIdx
-          while (i < adds.size && room) {
-            admit(DeltaSourceOffset(v, i + 1, snapshot = false), adds(i.toInt))
-            i += 1
-          }
+        val adds =
+          if (readChangeFeed) Seq(DeltaLog.AddFile("", Map.empty, 0L, 0L))
+          else addsOf(v)
+        val startIdx = from match {
+          case Some(o) if !o.snapshot && o.version == v => o.index
+          case _ => 0L
+        }
+        var i = startIdx
+        while (i < adds.size && room) {
+          admit(DeltaSourceOffset(v, i + 1, snapshot = false), adds(i.toInt))
+          i += 1
         }
         v += 1
       }

@@ -607,7 +607,13 @@ object IcebergSource {
             def transformOne(v: Any): Any = other match {
               case truncR(w) => normVal(v) match {
                 case l: Long => l - java.lang.Math.floorMod(l, w.toLong)
-                case s: String => s.take(w.toInt)
+                case s: String =>
+                  // CODE-POINT truncation, matching the write side's
+                  // substring(c, 1, w) semantics and the Iceberg spec —
+                  // UTF-16-unit take(w) would split surrogate pairs and
+                  // project a value the stored partition never equals
+                  val cps = s.codePointCount(0, s.length)
+                  s.substring(0, s.offsetByCodePoints(0, math.min(w.toInt, cps)))
                 case v0 => throw new IllegalArgumentException(
                   s"truncate transform unsupported for ${v0.getClass.getSimpleName}")
               }
@@ -615,12 +621,21 @@ object IcebergSource {
               case "month" =>
                 val d = localDate(v); (d.getYear - 1970) * 12 + d.getMonthValue - 1
               case "year" => localDate(v).getYear - 1970
-              case "hour" => (v match {
-                case i: java.time.Instant => i
-                case t: java.sql.Timestamp => t.toInstant
-                case n: Number => java.time.Instant.ofEpochMilli(n.longValue())
-                case v0 => throw new IllegalArgumentException(s"not a timestamp: $v0")
-              }).getEpochSecond / 3600
+              case "hour" =>
+                // FLOOR division (matches the write side's pmod-based
+                // floorDiv) — truncating `/` is off by one for pre-1970
+                // timestamps and would prune the partition holding the
+                // rows. Number inputs are epoch MICROS (the Iceberg
+                // spec's timestamp representation, what manifests store).
+                java.lang.Math.floorDiv((v match {
+                  case i: java.time.Instant => i
+                  case t: java.sql.Timestamp => t.toInstant
+                  case n: Number =>
+                    java.time.Instant.ofEpochSecond(
+                      java.lang.Math.floorDiv(n.longValue(), 1000000L),
+                      java.lang.Math.floorMod(n.longValue(), 1000000L) * 1000L)
+                  case v0 => throw new IllegalArgumentException(s"not a timestamp: $v0")
+                }).getEpochSecond, 3600L)
               case u => throw new IllegalArgumentException(s"unknown transform $u")
             }
             // truncation is monotonic but lossy: relax strict bounds so

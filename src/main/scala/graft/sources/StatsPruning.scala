@@ -111,8 +111,10 @@ object StatsPruning {
     case _ => None
   }
 
-  private def utf8Cmp(a: String, b: String): Int = {
-    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+  private def utf8Cmp(a: String, b: String): Int =
+    byteCmp(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+
+  private def byteCmp(x: Array[Byte], y: Array[Byte]): Int = {
     var i = 0
     val n = math.min(x.length, y.length)
     while (i < n) {
@@ -244,8 +246,19 @@ object StatsPruning {
           case Unknown => true
           case AllNull => false
           case Range(mn, mx, _) =>
-            val lower = mn.forall { case s: String => s.take(p.length) <= p; case _ => true }
-            val upper = mx.forall { case s: String => s >= p; case _ => true }
+            // both comparisons in the SAME unsigned-UTF-8-byte order the
+            // bounds were recorded under; the min is truncated to the
+            // prefix's UTF-8 BYTE length (byte truncation of a byte-order
+            // lower bound stays a lower bound of the matching prefix)
+            val pb = p.getBytes("UTF-8")
+            val lower = mn.forall {
+              case s: String => byteCmp(s.getBytes("UTF-8").take(pb.length), pb) <= 0
+              case _ => true
+            }
+            val upper = mx.forall {
+              case s: String => byteCmp(s.getBytes("UTF-8"), pb) >= 0
+              case _ => true
+            }
             lower && upper
         }
       case Literal(v: Boolean, BooleanType) => v
@@ -388,15 +401,31 @@ object StatsPruning {
             if (stats.forall(s => s != null && s.isNumNullsSet))
               Some(stats.map(_.getNumNulls).sum)
             else None
-          val withValues = stats.filter(s => s != null && s.hasNonNullValue)
+          // bounds may only be emitted when EVERY chunk is accounted for:
+          // either it carries usable min/max, or it is provably all-null
+          // (numNulls == valueCount). A chunk whose stats parquet-mr
+          // dropped (e.g. oversized binary values) would otherwise be
+          // silently excluded and the file bounds would not cover its
+          // rows — read-side skipping could then drop matching rows.
+          val perChunk = chunks.map { c =>
+            val s = c.getStatistics
+            val usable = s != null && !s.isEmpty && s.hasNonNullValue
+            val provablyAllNull =
+              s != null && s.isNumNullsSet && s.getNumNulls == c.getValueCount
+            (s, usable, provablyAllNull)
+          }
           val (mn, mx) =
-            if (withValues.nonEmpty && withValues.forall(!_.isEmpty)) {
-              val sorted = withValues.map(s => (s.genericGetMin, s.genericGetMax))
-              val minV = sorted.map(_._1).reduce((a, b) =>
-                if (rawCmp(prim, a, b) <= 0) a else b)
-              val maxV = sorted.map(_._2).reduce((a, b) =>
-                if (rawCmp(prim, a, b) >= 0) a else b)
-              (Some(minV), Some(maxV))
+            if (perChunk.forall { case (_, u, an) => u || an }) {
+              val withValues = perChunk.collect {
+                case (s, true, _) => (s.genericGetMin, s.genericGetMax)
+              }
+              if (withValues.nonEmpty) {
+                val minV = withValues.map(_._1).reduce((a, b) =>
+                  if (rawCmp(prim, a, b) <= 0) a else b)
+                val maxV = withValues.map(_._2).reduce((a, b) =>
+                  if (rawCmp(prim, a, b) >= 0) a else b)
+                (Some(minV), Some(maxV))
+              } else (None, None)
             } else (None, None)
           val id = Option(prim.getId).map(_.intValue())
           Some(LeafStats(path, prim, id, mn, mx, nullCount))

@@ -257,4 +257,60 @@ class DeltaStatsSpec extends SparkSpec {
     if (statted == snap.files.size)
       assert(DeltaStats.prune(spark, snap, f.get).kept < snap.files.size)
   }
+
+  test("StartsWith pruning compares BOTH bounds in UTF-8 byte order") {
+    import graft.sources.StatsPruning
+    import graft.sources.StatsPruning.Range
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val schema = StructType(Seq(StructField("s", StringType)))
+    val cond = StatsPruning.resolveCondition(spark, schema,
+      col("s").startsWith("")).get
+    def keeps(mn: String, mx: String): Boolean =
+      StatsPruning.mayMatch(cond, _ => Some(StringType),
+        (_, _) => Range(Some(mn), Some(mx), mayHaveNull = false))
+    // max is a supplementary-plane char: its UTF-8 bytes (F0 90 80 80)
+    // sort ABOVE the U+E000 prefix (EE 80 80) even though its UTF-16
+    // lead surrogate (D800) sorts below — the file MAY hold a match
+    assert(keeps("a", new String(Character.toChars(0x10000))),
+      "UTF-16 upper-bound comparison unsoundly skipped the file")
+    // genuinely impossible windows still skip, in byte order
+    assert(!keeps("a", "b"))
+    assert(!keeps("", ""))
+    // and a min that IS a match's prefix keeps
+    assert(keeps("abc", ""))
+  }
+
+  test("oversized binary stats in one row group: bounds omitted, not partial") {
+    val root = tmp()
+    val hc = spark.sparkContext.hadoopConfiguration
+    val saved = Seq("parquet.block.size", "parquet.page.size.row.check.min",
+      "parquet.page.size.row.check.max").map(k => k -> Option(hc.get(k)))
+    hc.set("parquet.block.size", "1024")
+    hc.set("parquet.page.size.row.check.min", "2")
+    hc.set("parquet.page.size.row.check.max", "2")
+    val big = "c" * 8200 // > parquet-mr's 4K footer-stats cap: stats dropped
+    try {
+      // row group 1 flushes right after the oversized value (block size
+      // 1024, mem check every 2 records) and holds {"aa", big}; the many
+      // trailing "mm" rows land in later, fully-statted groups
+      val rows = Seq((1, "aa"), (2, big)) ++ (3 to 200).map(i => (i, "mm"))
+      DeltaWriter.write(rows.toDF("k", "s").coalesce(1), root)
+    } finally saved.foreach {
+      case (k, Some(v)) => hc.set(k, v)
+      case (k, None) => hc.unset(k)
+    }
+    val snap = DeltaLog.snapshot(spark, root)
+    assert(snap.files.size == 1)
+    // rows in the stats-dropped row group must never be skipped: bounds
+    // reduced over only the statted chunks would claim ["mm","mm"] for a
+    // file that also holds "aa" and the big value
+    assert(DeltaStats.prune(spark, snap, col("s") === "aa").kept == 1,
+      "file bounds excluded a row group whose stats parquet dropped")
+    assert(DeltaLog.read(spark, root,
+      dataFilter = Some(col("s") === "aa")).count() == 1)
+    assert(DeltaLog.read(spark, root,
+      dataFilter = Some(col("s") === big)).count() == 1)
+    // the int column's stats are intact in every chunk and still skip
+    assert(DeltaStats.prune(spark, snap, col("k") > 1000).kept == 0)
+  }
 }

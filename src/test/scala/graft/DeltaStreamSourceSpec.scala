@@ -272,4 +272,40 @@ class DeltaStreamSourceSpec extends SparkSpec {
         e.getCause.getMessage.contains("schema changed"))
     } finally q.stop()
   }
+
+  test("startingVersion before the earliest retained log entry fails loudly") {
+    val root = tmp()
+    DeltaWriter.write(Seq((1, "a")).toDF("k", "v"), root) // v0
+    DeltaWriter.write(Seq((2, "b")).toDF("k", "v"), root) // v1
+    DeltaWriter.write(Seq((3, "c")).toDF("k", "v"), root) // v2
+    DeltaWriter.writeCheckpoint(spark, root, 2L)
+    // simulate log retention cleanup: v0/v1 json entries expire
+    val log = new java.io.File(root, "_delta_log")
+    Seq(0L, 1L).foreach { v =>
+      assert(new java.io.File(log, f"$v%020d.json").delete())
+    }
+    val name = mem()
+    val q = spark.readStream.format("graft-delta")
+      .option("startingVersion", "0").load(root)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", tmp()).start()
+    try {
+      val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+      val msg = e.getMessage +
+        Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("no longer available"),
+        s"expected a loud expired-version error, got: $msg")
+    } finally q.stop()
+    // an available startingVersion still streams
+    val name2 = mem()
+    val q2 = spark.readStream.format("graft-delta")
+      .option("startingVersion", "2").load(root)
+      .writeStream.format("memory").queryName(name2)
+      .option("checkpointLocation", tmp()).start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table(name2).as[(Int, String)].collect().toSet ==
+        Set((3, "c")))
+    } finally q2.stop()
+  }
 }

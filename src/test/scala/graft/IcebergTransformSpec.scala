@@ -189,4 +189,47 @@ class IcebergTransformSpec extends SparkSpec {
     assert(IcebergSource.tableMeta(spark, root2).partitionSpec
       .head.transform == "month")
   }
+
+  test("projection parity at the edges: pre-1970 hour, supplementary truncate") {
+    // hour: the projection must FLOOR-divide like the write side —
+    // truncating division is off by one for pre-1970 timestamps and
+    // prunes the partition that holds the rows
+    val root = tmp()
+    val df = Seq(
+      (1L, Timestamp.from(java.time.Instant.parse("1969-12-31T22:30:00Z"))),
+      (2L, Timestamp.from(java.time.Instant.parse("1970-01-01T01:30:00Z"))))
+      .toDF("id", "ts")
+    IcebergSource.write(df, root, partitionBy = Seq("hour(ts)"))
+    val meta = IcebergSource.tableMeta(spark, root)
+    val preds = IcebergSource.projectPredicate(meta, "ts", "=",
+      java.time.Instant.parse("1969-12-31T22:30:00Z"))
+    assert(preds == Seq(IcebergSource.PartitionPredicate("ts_hour", "=", -2L)),
+      s"pre-1970 hour projected to $preds")
+    assert(IcebergSource.read(spark, root, partitionFilter = preds)
+      .filter(col("id") === 1L).count() == 1)
+    // Number input = epoch MICROS (Iceberg timestamp repr), floor-divided
+    assert(IcebergSource.projectPredicate(meta, "ts", "=",
+      java.lang.Long.valueOf(-5400L * 1000000L)) == preds)
+
+    // truncate: CODE-POINT semantics matching substring() on the write
+    // side — UTF-16 take(w) takes the whole surrogate pair for w=2 and
+    // projects a value the stored partition ('<emoji>a') never equals.
+    // (The emoji row itself can't be WRITTEN here — hive-style partition
+    // dirs need a UTF-8 jnu encoding the test JVM lacks — so parity is
+    // asserted on the projected value against the write-side expression.)
+    val root2 = tmp()
+    val sp = new String(Character.toChars(0x1F600)) // one code point, 2 chars
+    IcebergSource.write(Seq((2L, "zzzzz")).toDF("id", "s"), root2,
+      partitionBy = Seq("truncate(2, s)"))
+    val meta2 = IcebergSource.tableMeta(spark, root2)
+    val preds2 = IcebergSource.projectPredicate(meta2, "s", "=", sp + "abc")
+    assert(preds2 == Seq(IcebergSource.PartitionPredicate(
+      "s_trunc", "=", sp + "a")), s"code-point truncate projected to $preds2")
+    // the write side truncates with substring() — same value required
+    val written = Seq(sp + "abc").toDF("s")
+      .select(substring(col("s"), 1, 2)).head.getString(0)
+    assert(written == sp + "a", s"write side truncated to '$written'")
+    assert(preds2.head.value == written,
+      "projection and write-side truncate disagree on code-point semantics")
+  }
 }
