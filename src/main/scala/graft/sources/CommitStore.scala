@@ -1,0 +1,267 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/**
+ * The ONE primitive every log-structured table commit needs: atomically
+ * publish a fully-written payload at a target path IFF nothing is there
+ * yet ("put-if-absent"). Both table formats funnel their version claims
+ * through it — Delta's `_delta_log/%020d.json` ([[DeltaWriter.tryPublish]],
+ * also used by [[DeltaDvWriter]] and [[DeltaMaintenance]]) and Iceberg's
+ * `metadata/vN.metadata.json` ([[IcebergSource.tryPublishMeta]], also
+ * [[IcebergMaintenance]]).
+ *
+ * The primitive is STORE-dependent, which is why it is pluggable (the
+ * same seam delta-spark's LogStore API exposes — see the public delta.io
+ * LogStore docs):
+ *
+ *  - local `file://` — POSIX rename(2) silently REPLACES an existing
+ *    destination, so rename-if-absent is a lost-commit race; link(2)
+ *    fails with EEXIST and is the atomic claim ([[LinkCommitStore]]).
+ *  - HDFS / ABFS / other rename-consistent stores — rename refuses an
+ *    existing destination atomically ([[RenameCommitStore]]).
+ *  - stores with a CONDITIONAL PUT (S3 `If-None-Match`, GCS
+ *    `ifGenerationMatch=0`) surfaced by the connector as an atomic
+ *    `create(path, overwrite = false)` — [[CreateIfAbsentCommitStore]].
+ *  - stores with NEITHER primitive (S3 via an older connector) — commits
+ *    must serialize through an EXTERNAL consistent store
+ *    ([[LockCommitStore]], the S3+DynamoDB coordination pattern), or the
+ *    writer must REFUSE loudly ([[RefusingCommitStore]]) rather than
+ *    corrupt the table with a silent last-writer-wins.
+ *
+ * Resolution ([[CommitStore.forFs]]) keys on the filesystem scheme and
+ * two Hadoop conf knobs:
+ *   `graft.commit.store`    = link | rename | create | lock | refuse
+ *                             (explicit override, highest precedence)
+ *   `graft.commit.lock.dir` = directory on a CONSISTENT filesystem used
+ *                             by [[LockCommitStore]] for lock files
+ * so a deployment turns an unsafe default into a coordinated one with
+ * configuration only — no code change, and never silent corruption.
+ */
+trait CommitStore {
+  /**
+   * Publish `payload` at `target` iff `target` is absent. True = this
+   * writer's payload is durably and completely visible at `target`;
+   * false = another writer claimed `target` first (the caller rebases
+   * and retries at the next version). Must never tear: readers see
+   * either nothing or the full payload.
+   */
+  def putIfAbsent(f: FileSystem, target: Path, payload: Array[Byte],
+                  nonce: String): Boolean
+}
+
+object CommitStore {
+
+  /** Hidden (dot-prefixed, listing-excluded) sibling temp for staged
+    * payloads. */
+  private[sources] def tempFor(target: Path, nonce: String): Path =
+    new Path(target.getParent, s".tmp_${nonce}_${target.getName}")
+
+  private[sources] def writeTemp(f: FileSystem, target: Path,
+                                 payload: Array[Byte], nonce: String): Path = {
+    val tmp = tempFor(target, nonce)
+    f.mkdirs(target.getParent)
+    val out = f.create(tmp, true)
+    try out.write(payload) finally out.close()
+    tmp
+  }
+
+  /** Schemes whose FileSystem.rename atomically refuses an existing
+    * destination (HDFS semantics). */
+  private val renameConsistent =
+    Set("hdfs", "viewfs", "abfs", "abfss", "wasb", "wasbs", "o3fs", "ofs")
+
+  /** Object-store schemes where rename is copy+delete (non-atomic,
+    * last-writer-wins) — NEVER safe for a version claim. */
+  private val nonAtomicRename = Set("s3", "s3a", "s3n", "gs", "oss", "cos", "swift")
+
+  /**
+   * The CommitStore for a filesystem, from its scheme + conf. Unknown
+   * schemes resolve to a loud refusal, not a guess: a wrong guess is
+   * silent table corruption under concurrency.
+   */
+  def forFs(f: FileSystem): CommitStore = {
+    val conf = f.getConf
+    def lockDir = Option(conf.get("graft.commit.lock.dir")).map(_.trim)
+      .filter(_.nonEmpty)
+    def locked(inner: CommitStore): CommitStore = lockDir match {
+      case Some(d) => new LockCommitStore(new Path(d), inner)
+      case None => throw new IllegalStateException(
+        "graft.commit.store=lock requires graft.commit.lock.dir")
+    }
+    Option(conf.get("graft.commit.store")).map(_.trim.toLowerCase) match {
+      case Some("link") => LinkCommitStore
+      case Some("rename") => RenameCommitStore
+      case Some("create") => CreateIfAbsentCommitStore
+      case Some("lock") => locked(OverwriteWithinLock)
+      case Some("refuse") => new RefusingCommitStore(f.getScheme, "configured")
+      case Some(other) => throw new IllegalArgumentException(
+        s"unknown graft.commit.store '$other' (link|rename|create|lock|refuse)")
+      case None => f.getScheme match {
+        case "file" => LinkCommitStore
+        case s if renameConsistent(s) => RenameCommitStore
+        case s if nonAtomicRename(s) =>
+          if (lockDir.isDefined) locked(OverwriteWithinLock)
+          else if (conf.getBoolean("graft.commit.conditional-put", false))
+            CreateIfAbsentCommitStore
+          else new RefusingCommitStore(s,
+            "rename on this store is copy+delete (last-writer-wins)")
+        case s => new RefusingCommitStore(s, "unrecognized filesystem scheme")
+      }
+    }
+  }
+
+  /** The scheme's NATIVE atomic primitive, ignoring overrides and lock
+    * config — what [[LockCommitStore]] claims its lock files with (the
+    * lock dir must not recursively resolve to another lock). */
+  private[sources] def primitiveFor(f: FileSystem): Option[CommitStore] =
+    f.getScheme match {
+      case "file" => Some(LinkCommitStore)
+      case s if renameConsistent(s) => Some(RenameCommitStore)
+      case s if nonAtomicRename(s) &&
+        f.getConf.getBoolean("graft.commit.conditional-put", false) =>
+        Some(CreateIfAbsentCommitStore)
+      case _ => None
+    }
+}
+
+/**
+ * Local-filesystem claim: write the payload to a hidden temp, then
+ * link(2) it at the target — EEXIST loses the race; success publishes
+ * the complete file in one shot. Falls back to rename-if-absent on
+ * filesystems without hard links (FAT/SMB/FUSE mounts) — the narrower
+ * pre-link behavior.
+ */
+object LinkCommitStore extends CommitStore {
+  override def putIfAbsent(f: FileSystem, target: Path, payload: Array[Byte],
+                           nonce: String): Boolean = {
+    val tmp = CommitStore.writeTemp(f, target, payload, nonce)
+    try {
+      java.nio.file.Files.createLink(
+        java.nio.file.Paths.get(target.toUri.getPath),
+        java.nio.file.Paths.get(tmp.toUri.getPath))
+      f.delete(tmp, false)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        f.delete(tmp, false); false // lost the race
+      case _: UnsupportedOperationException | _: java.nio.file.FileSystemException |
+           _: java.nio.file.InvalidPathException =>
+        if (!f.exists(target) && f.rename(tmp, target)) true
+        else { f.delete(tmp, false); false }
+    }
+  }
+}
+
+/** Rename-consistent claim (HDFS contract): rename refuses an existing
+  * destination atomically, so temp + rename-if-absent is the commit. */
+object RenameCommitStore extends CommitStore {
+  override def putIfAbsent(f: FileSystem, target: Path, payload: Array[Byte],
+                           nonce: String): Boolean = {
+    val tmp = CommitStore.writeTemp(f, target, payload, nonce)
+    if (!f.exists(target) && f.rename(tmp, target)) true
+    else { f.delete(tmp, false); false }
+  }
+}
+
+/**
+ * Conditional-put claim: `create(target, overwrite = false)` where the
+ * connector maps it to an atomic precondition (S3 `If-None-Match: *`,
+ * GCS `ifGenerationMatch=0`). On such stores the object becomes visible
+ * only when the PUT completes, so writing the payload directly through
+ * the created stream cannot tear.
+ */
+object CreateIfAbsentCommitStore extends CommitStore {
+  override def putIfAbsent(f: FileSystem, target: Path, payload: Array[Byte],
+                           nonce: String): Boolean = {
+    f.mkdirs(target.getParent)
+    try {
+      val out = f.create(target, false)
+      try out.write(payload) finally out.close()
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: java.io.IOException if f.exists(target) => false
+    }
+  }
+}
+
+/** Inside a held lock no store primitive is needed: check-then-write is
+  * race-free because the lock serializes committers. Used only as the
+  * inner store of [[LockCommitStore]]. */
+private[graft] object OverwriteWithinLock extends CommitStore {
+  override def putIfAbsent(f: FileSystem, target: Path, payload: Array[Byte],
+                           nonce: String): Boolean = {
+    if (f.exists(target)) return false
+    val tmp = CommitStore.writeTemp(f, target, payload, nonce)
+    // rename for completeness-on-visibility; with the lock held a
+    // replace-style rename cannot clobber a concurrent claim
+    if (f.rename(tmp, target)) true else { f.delete(tmp, false); false }
+  }
+}
+
+/**
+ * Serialize claims through lock files on a SEPARATE, consistent
+ * filesystem (the S3+DynamoDB coordination pattern: data and log live on
+ * the eventually-unsafe store, the mutual exclusion lives somewhere with
+ * an atomic primitive — a local/NFS disk, HDFS, or a conditional-put
+ * bucket). The lock key is a digest of the target path, claimed via the
+ * LOCK filesystem's own resolved CommitStore; the inner store then runs
+ * its check-then-write race-free.
+ *
+ * Stale locks (a crashed committer) break after
+ * `graft.commit.lock.timeout.ms` (default 60 s) based on the lock file's
+ * modification time; acquisition waits up to the same bound then fails
+ * loudly naming the lock file.
+ */
+final class LockCommitStore(lockDir: Path, inner: CommitStore) extends CommitStore {
+  override def putIfAbsent(f: FileSystem, target: Path, payload: Array[Byte],
+                           nonce: String): Boolean = {
+    val lockFs = lockDir.getFileSystem(f.getConf)
+    val timeoutMs = f.getConf.getLong("graft.commit.lock.timeout.ms", 60000L)
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(target.toString.getBytes("UTF-8"))
+      .take(16).map("%02x".format(_)).mkString
+    val lockFile = new Path(lockDir, s"$digest.lock")
+    val lockStore = CommitStore.primitiveFor(lockFs).getOrElse(
+      throw new IllegalStateException(
+        s"graft.commit.lock.dir=$lockDir resolves to a filesystem without " +
+          "an atomic claim primitive — locks there cannot serialize writers"))
+    val token = s"$nonce ${System.currentTimeMillis()}\n".getBytes("UTF-8")
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var held = false
+    while (!held) {
+      held = lockStore.putIfAbsent(lockFs, lockFile, token, nonce)
+      if (!held) {
+        // break STALE locks: older than the timeout = crashed holder
+        try {
+          val st = lockFs.getFileStatus(lockFile)
+          if (System.currentTimeMillis() - st.getModificationTime > timeoutMs)
+            lockFs.delete(lockFile, false)
+        } catch { case _: java.io.FileNotFoundException => () }
+        if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"could not acquire commit lock $lockFile within ${timeoutMs}ms — " +
+              "another writer holds it (or raise graft.commit.lock.timeout.ms)")
+        Thread.sleep(20L + scala.util.Random.nextInt(30))
+      }
+    }
+    try inner.putIfAbsent(f, target, payload, nonce)
+    finally lockFs.delete(lockFile, false)
+  }
+}
+
+/** No atomic primitive, no coordination configured: refuse LOUDLY. A
+  * last-writer-wins "commit" silently erases concurrent transactions —
+  * strictly worse than failing. */
+final class RefusingCommitStore(scheme: String, why: String) extends CommitStore {
+  override def putIfAbsent(f: FileSystem, target: Path, payload: Array[Byte],
+                           nonce: String): Boolean =
+    throw new IllegalStateException(
+      s"refusing to commit to $target: filesystem scheme '$scheme' offers no " +
+        s"atomic put-if-absent ($why). Configure graft.commit.lock.dir " +
+        "(coordinate through a consistent store), set " +
+        "graft.commit.conditional-put=true if the connector supports atomic " +
+        "create-no-overwrite, or override graft.commit.store explicitly.")
+}

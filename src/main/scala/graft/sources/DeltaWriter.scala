@@ -371,56 +371,17 @@ object DeltaWriter {
   private[sources] def statsFragment(a: DeltaLog.AddFile): String =
     a.stats.map(s => s""","stats":${q(s)}""").getOrElse("")
 
-  /** Atomically publish commit `version`: write the action lines to a
-    * hidden temp file, then claim `%020d.json` with a put-if-absent.
-    * Returns false when another writer claimed the version first.
-    *
-    * The primitive is scheme-dependent. On LOCAL filesystems POSIX
-    * rename(2) silently REPLACES an existing destination, so the
-    * rename-if-absent idiom is a lost-commit race (two writers pass the
-    * exists check, both rename, the second erases the first — caught by
-    * DeltaConcurrencySpec's hammer test); the atomic claim there is
-    * link(2), which fails with EEXIST, publishing the fully-written temp
-    * file's content in one shot. On HDFS, rename refuses an existing
-    * destination, so rename-if-absent is the correct (and standard)
-    * primitive. Object stores need their own put-if-absent
-    * (S3 conditional put / ABFS etag) — the same seam every Delta
-    * implementation dispatches on.
-    */
+  /** Atomically publish commit `version`: claim `%020d.json` via the
+    * filesystem's resolved [[CommitStore]] (link(2) locally,
+    * rename-if-absent on HDFS-contract stores, conditional-put or
+    * lock-coordinated on object stores, LOUD refusal where no atomic
+    * primitive exists). Returns false when another writer claimed the
+    * version first. */
   private[graft] def tryPublish(f: FileSystem, root: String, version: Long,
-                                lines: Seq[String], nonce: String): Boolean = {
-    val tmp = new Path(logDir(root), s".tmp_commit_$nonce.json")
-    f.mkdirs(logDir(root))
-    val out = f.create(tmp, true)
-    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
-    val target = new Path(logDir(root), f"$version%020d.json")
-    def renameIfAbsent(): Boolean = !f.exists(target) && f.rename(tmp, target)
-    var cleanupTmp = true
-    val won =
-      if (f.getScheme == "file") {
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(target.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false // lost the race
-          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException |
-               _: java.nio.file.InvalidPathException =>
-            // filesystem without hard links (FAT/SMB/FUSE mounts): fall
-            // back to the rename idiom — the narrower pre-link behavior
-            val r = renameIfAbsent()
-            if (r) cleanupTmp = false
-            r
-        }
-      } else {
-        val r = renameIfAbsent()
-        if (r) cleanupTmp = false
-        r
-      }
-    if (cleanupTmp) f.delete(tmp, false)
-    won
-  }
+                                lines: Seq[String], nonce: String): Boolean =
+    CommitStore.forFs(f).putIfAbsent(f,
+      new Path(logDir(root), f"$version%020d.json"),
+      (lines.mkString("\n") + "\n").getBytes("UTF-8"), nonce)
 
   /** `configuration` must carry the TABLE's properties — emitting `{}`
     * for a table whose config holds `delta.columnMapping.mode` or

@@ -1735,49 +1735,17 @@ object IcebergSource {
     case other => throw new IllegalArgumentException(s"no bound encoding for $other")
   }
 
-  /** Atomically claim `v{version}.metadata.json`: write the bytes to a
-    * hidden temp file, then publish with a put-if-absent. Returns false
-    * when a concurrent committer claimed the version first (caller must
-    * rebase onto the new metadata and retry). Same primitive discipline
-    * as `DeltaWriter.tryPublish`: on LOCAL filesystems a bare
-    * `create(path, overwrite=false)` is a non-atomic check-then-create
-    * window (two racers both pass the check; one torn/clobbered commit),
-    * so the claim there is link(2), which fails with EEXIST and
-    * publishes the fully-written temp file in one shot; on HDFS rename
-    * refuses an existing destination, so rename-if-absent is correct;
-    * object stores would dispatch to their conditional put. */
+  /** Atomically claim `v{version}.metadata.json` via the filesystem's
+    * resolved [[CommitStore]] (same primitive discipline and seam as
+    * `DeltaWriter.tryPublish` — link(2) locally, rename-if-absent on
+    * HDFS-contract stores, conditional-put or lock-coordinated on object
+    * stores, loud refusal otherwise). Returns false when a concurrent
+    * committer claimed the version first (caller must rebase onto the
+    * new metadata and retry). */
   private[graft] def tryPublishMeta(f: FileSystem, root: String, version: Long,
-                                      bytes: Array[Byte], nonce: String): Boolean = {
-    val tmp = new Path(metaDir(root), s".tmp_v$version-$nonce.metadata.json")
-    f.mkdirs(metaDir(root))
-    val out = f.create(tmp, true)
-    try out.write(bytes) finally out.close()
-    val target = new Path(metaDir(root), s"v$version.metadata.json")
-    def renameIfAbsent(): Boolean = !f.exists(target) && f.rename(tmp, target)
-    var cleanupTmp = true
-    val won =
-      if (f.getScheme == "file") {
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(target.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false // lost the race
-          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException |
-               _: java.nio.file.InvalidPathException =>
-            val r = renameIfAbsent()
-            if (r) cleanupTmp = false
-            r
-        }
-      } else {
-        val r = renameIfAbsent()
-        if (r) cleanupTmp = false
-        r
-      }
-    if (cleanupTmp) f.delete(tmp, false)
-    won
-  }
+                                      bytes: Array[Byte], nonce: String): Boolean =
+    CommitStore.forFs(f).putIfAbsent(f,
+      new Path(metaDir(root), s"v$version.metadata.json"), bytes, nonce)
 
   /** Winner-side hint publish: advisory only (readers probe forward), so
     * a stale late write is harmless. The don't-move-backwards guard below
