@@ -105,6 +105,13 @@ class DeltaStreamSource(spark: SparkSession, root: String,
     * (maxFilesPerTrigger caps VERSIONS per batch in this mode). */
   private val readChangeFeed =
     opt("readChangeFeed", "read_change_feed").exists(_.toBoolean)
+  /** delta-spark's `schemaTrackingLocation`: a directory (conventionally
+    * under the checkpoint) where a mid-stream ADDITIVE schema change is
+    * recorded so a RESTART resumes under the widened schema — earlier
+    * data null-fills the new columns. Without it, any schema change
+    * fails the stream permanently. */
+  private val schemaTrackLoc: Option[String] =
+    opt("schemaTrackingLocation", "schema_tracking_location")
 
   // the base decides batch 0: Left(snapshot version) = emit that whole
   // snapshot first; Right(v) = tail add actions from version v on
@@ -121,15 +128,110 @@ class DeltaStreamSource(spark: SparkSession, root: String,
       DeltaLog.snapshot(spark, root)
   }
 
+  /** Snapshot at a pinned version (the base when it matches, else a
+    * cached time-travel read — a committed version's state is
+    * immutable). */
+  private val snapAt = scala.collection.mutable.Map[Long, DeltaLog.Snapshot]()
+  private def snapshotAt(v: Long): DeltaLog.Snapshot = base match {
+    case Left(b) if b == v => snapshotAtBase
+    case _ => snapAt.getOrElseUpdate(v,
+      DeltaLog.snapshot(spark, root, versionAsOf = Some(v)))
+  }
+  private def snapshotFilesAt(v: Long): Seq[DeltaLog.AddFile] = snapshotAt(v).files
+
+  private def trackPath: Option[Path] =
+    schemaTrackLoc.map(d => new Path(d, "graft-delta-schema-track.json"))
+
+  private def readTracked(): Option[(Long, StructType)] = trackPath.flatMap { p =>
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val n = new ObjectMapper().readTree(text)
+      Some((n.get("version").asLong,
+        org.apache.spark.sql.types.DataType.fromJson(n.get("schemaJson").asText())
+          .asInstanceOf[StructType]))
+    }
+  }
+
+  private def writeTracked(version: Long, st: StructType): Unit =
+    trackPath.foreach { p =>
+      val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val node = new ObjectMapper().createObjectNode()
+      node.put("version", version)
+      node.put("schemaJson", st.json)
+      val out = f.create(p, true)
+      try out.write(node.toString.getBytes("UTF-8")) finally out.close()
+    }
+
+  private val trackedAtStart: Option[(Long, StructType)] = readTracked()
+
+  /** The table schema this RUN serves: the tracked (evolved) one when the
+    * tracking location holds it, else the base snapshot's. */
+  private val tableSchema: StructType =
+    trackedAtStart.map(_._2).getOrElse(logicalSchema(snapshotAtBase))
+
+  /** The version the served schema took effect at — metaData actions at
+    * or before it with a NARROWER schema are history (their files
+    * null-fill); a narrower schema AFTER it is a column drop. */
+  private lazy val servedFromVersion: Long =
+    trackedAtStart.map(_._1).getOrElse(base match {
+      case Left(v) => v
+      case Right(_) => DeltaLog.versions(spark, root).last
+    })
+
   override val schema: StructType =
-    if (!readChangeFeed) logicalSchema(snapshotAtBase)
-    else StructType(logicalSchema(snapshotAtBase).fields ++ Seq(
+    if (!readChangeFeed) tableSchema
+    else StructType(tableSchema.fields ++ Seq(
       org.apache.spark.sql.types.StructField("_change_type",
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("_commit_version",
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("_commit_timestamp",
         org.apache.spark.sql.types.TimestampType)))
+
+  /** Every field of `old` present in `wide` with the same type. */
+  private def isAdditive(old: StructType, wide: StructType): Boolean =
+    old.fields.forall(f =>
+      wide.fields.exists(g => g.name == f.name && g.dataType == f.dataType))
+
+  /** Mid-stream schema-change discipline: exact match passes; a NARROWER
+    * historical schema (at/before [[servedFromVersion]]) passes — its
+    * files null-fill the newer columns; a WIDENING with a tracking
+    * location records the new schema and asks for a restart; anything
+    * else (drops, retypes, widening without tracking) fails. */
+  private def checkTableSchema(incoming: StructType, version: Long): Unit = {
+    if (incoming == tableSchema) return
+    if (isAdditive(incoming, tableSchema) && version <= servedFromVersion) return
+    if (trackPath.isDefined && isAdditive(tableSchema, incoming)) {
+      writeTracked(version, incoming)
+      throw new IllegalStateException(
+        s"Delta source schema changed at version $version to " +
+          s"${incoming.simpleString}; the widened schema was recorded at " +
+          s"${schemaTrackLoc.get} — restart the stream to continue " +
+          "(earlier data null-fills the new columns)")
+    }
+    throw new IllegalStateException(
+      s"Delta source schema changed at version $version — restart the " +
+        s"stream to pick up ${incoming.simpleString}" +
+        (if (trackPath.isDefined)
+          " (non-additive change: schema tracking cannot resume across it)"
+        else "; set schemaTrackingLocation to resume across additive changes"))
+  }
+
+  /** Null-fill/reorder `df` to the stream's declared schema — how files
+    * written under an older (narrower) table schema surface after a
+    * tracked widening. */
+  private def align(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    if (df.schema == schema) df
+    else df.select(schema.fields.toSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
 
   /** Per-version ADDED files while tailing, with the append-only contract
     * enforced. Cached: a version's actions never change once committed. */
@@ -150,9 +252,7 @@ class DeltaStreamSource(spark: SparkSession, root: String,
       metas.foreach { m =>
         val st = org.apache.spark.sql.types.DataType.fromJson(
           m.get("schemaString").asText()).asInstanceOf[StructType]
-        require(logicalSchema(snapshotAtBase.copy(schema = st)) == schema,
-          s"Delta source schema changed at version $version — restart the " +
-            s"stream to pick up ${st.simpleString}")
+        checkTableSchema(logicalSchema(snapshotAtBase.copy(schema = st)), version)
       }
       val adds = lines.flatMap(n => Option(n.get("add")))
         .filter(a => Option(a.get("dataChange")).forall(_.asBoolean))
@@ -195,19 +295,26 @@ class DeltaStreamSource(spark: SparkSession, root: String,
     def room: Boolean = out.isEmpty ||
       (cap.forall(out.size < _) && capBytes.forall(bytes < _))
     val latest = DeltaLog.versions(spark, root).last
-    // phase 1: the initial snapshot (offsets with snapshot=true)
+    // phase 1: the initial snapshot (offsets with snapshot=true). The
+    // snapshot being resumed is PINNED at the cursor's own version — a
+    // restart re-resolves `base` against the CURRENT table, but the
+    // recovered index addresses the file list of the version the run
+    // started from; commits that landed while down replay as phase 2
+    // (with their delete/update contract enforced), instead of being
+    // folded into a re-based file list the old index may not address.
     val snapStart: Option[Long] = base match {
       case Left(v) if from.forall(o => o.snapshot) =>
+        val resumeV = from.map(_.version).getOrElse(v)
         val startIdx = from.map(_.index).getOrElse(0L)
-        val files = snapshotAtBase.files
+        val files = snapshotFilesAt(resumeV)
         var i = startIdx
         while (i < files.size && room) {
-          admit(DeltaSourceOffset(v, i + 1, snapshot = true), files(i.toInt))
+          admit(DeltaSourceOffset(resumeV, i + 1, snapshot = true), files(i.toInt))
           i += 1
         }
         // snapshot fully consumed only when we emitted through the end
         if (startIdx >= files.size || (out.nonEmpty && out.last._1.index == files.size) ||
-            files.isEmpty) Some(v + 1) else None
+            files.isEmpty) Some(resumeV + 1) else None
       case Left(v) => Some(from.get.version + (if (from.get.snapshot) 1L else 0L))
       case Right(v) => Some(from.map(_.version).map(math.max(_, v)).getOrElse(v))
     }
@@ -312,16 +419,13 @@ class DeltaStreamSource(spark: SparkSession, root: String,
     val files = pendingAfter(startOff, None)
       .takeWhile { case (pos, _) => !offsetLt(endOff, pos) }
       .map(_._2)
-    val snapFor = base match {
-      case Left(v) if endOff.snapshot =>
-        snapshotAtBase.copy(files = files)
-      case _ =>
-        DeltaLog.snapshot(spark, root).copy(files = files)
-    }
+    val snapFor =
+      if (endOff.snapshot) snapshotAt(endOff.version).copy(files = files)
+      else DeltaLog.snapshot(spark, root).copy(files = files)
     val batch =
       if (files.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      else DeltaLog.frameOf(spark, root, snapFor)
+      else align(DeltaLog.frameOf(spark, root, snapFor))
     org.apache.spark.sql.graftshim.ColumnShim.asStreamingFrame(batch)
   }
 
@@ -333,7 +437,13 @@ class DeltaStreamSource(spark: SparkSession, root: String,
     import org.apache.spark.sql.functions._
     val snapFrame: Option[DataFrame] = base match {
       case Left(v) =>
-        val files = snapshotAtBase.files
+        // pin the snapshot at the cursor's own version (a restart
+        // re-resolves `base`, but the recovered slice indexes address
+        // the file list of the version the run started from)
+        val pv =
+          if (endOff.snapshot) endOff.version
+          else startOff.filter(_.snapshot).map(_.version).getOrElse(v)
+        val files = snapshotAt(pv).files
         val lo = startOff match {
           case Some(o) if o.snapshot => o.index
           case Some(_) => files.size.toLong // already past the snapshot
@@ -345,35 +455,33 @@ class DeltaStreamSource(spark: SparkSession, root: String,
           val f = new Path(root, "_delta_log").getFileSystem(
             spark.sessionState.newHadoopConf())
           val ts = f.getFileStatus(new Path(
-            new Path(root, "_delta_log"), f"$v%020d.json")).getModificationTime
+            new Path(root, "_delta_log"), f"$pv%020d.json")).getModificationTime
           Some(DeltaLog.frameOf(spark, root,
-              snapshotAtBase.copy(files = files.slice(lo.toInt, hi.toInt)))
+              snapshotAt(pv).copy(files = files.slice(lo.toInt, hi.toInt)))
             .withColumn("_change_type", lit("insert"))
-            .withColumn("_commit_version", lit(v))
+            .withColumn("_commit_version", lit(pv))
             .withColumn("_commit_timestamp", timestamp_millis(lit(ts))))
         }
       case Right(_) => None
     }
     val startTail: Long = startOff match {
-      case Some(o) if !o.snapshot => o.version + 1
+      case Some(o) if o.snapshot => o.version + 1 // tail after the PINNED snapshot
+      case Some(o) => o.version + 1
       case _ => base match { case Left(v) => v + 1; case Right(v) => v }
     }
     val tailFrame: Option[DataFrame] =
       if (endOff.snapshot || endOff.version < startTail) None
       else {
         val cur = DeltaLog.snapshot(spark, root, versionAsOf = Some(endOff.version))
-        require(logicalSchema(cur) == logicalSchema(snapshotAtBase),
-          s"Delta source schema changed by version ${endOff.version} — " +
-            s"restart the stream to pick up ${cur.schema.simpleString}")
+        checkTableSchema(logicalSchema(cur), endOff.version)
         Some(DeltaLog.changes(spark, root, startTail, Some(endOff.version)))
       }
     val frames = snapFrame.toSeq ++ tailFrame.toSeq
     val df =
       if (frames.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      else frames.reduce(_.unionByName(_))
-    org.apache.spark.sql.graftshim.ColumnShim.asStreamingFrame(
-      df.select(schema.fieldNames.map(col).toSeq: _*))
+      else frames.map(align).reduce(_.union(_))
+    org.apache.spark.sql.graftshim.ColumnShim.asStreamingFrame(df)
   }
 
   private def toOffset(o: OffsetV1): DeltaSourceOffset = o match {

@@ -17,9 +17,13 @@ import org.apache.spark.sql.types.StructType
  *  - default start = the CURRENT snapshot (read MOR-correct, deletes
  *    applied) as batch 0, then new snapshots; `startingSnapshotId`
  *    (an id, or "latest") tails instead.
- *  - offsets address whole snapshots (`maxFilesPerTrigger` caps
- *    SNAPSHOTS per micro-batch); a batch re-derives its file list from
- *    table metadata alone, so restarts reproduce it exactly.
+ *  - offsets address (snapshot, file-index) — `maxFilesPerTrigger` /
+ *    `maxBytesPerTrigger` cap FILES per micro-batch, so one bulk
+ *    snapshot drains as many batches and can stop MID-snapshot; a batch
+ *    re-derives its file list from the manifests in commit order, so
+ *    restarts reproduce it exactly. The one whole-snapshot batch is a
+ *    MOR base snapshot (its delete files must apply against the
+ *    complete data-file set); CDF mode caps snapshots.
  *  - tail semantics by snapshot summary operation: `append` emits the
  *    snapshot's new data files raw; `replace` (compaction, zero net row
  *    change) is skipped; `delete` fails unless ignoreDeletes/
@@ -54,17 +58,23 @@ class IcebergStreamSourceProvider extends StreamSourceProvider with DataSourceRe
 object IcebergStreamSource {
   private val mapper = new ObjectMapper()
 
-  /** Stream position: snapshots up to and including `snapshotId` are
-    * consumed; `snapshot=true` marks the initial-snapshot batch. */
-  final case class IcebergSourceOffset(snapshotId: Long, snapshot: Boolean)
-    extends OffsetV1 {
+  /** Stream position: the first `index` ADDED files of `snapshotId` are
+    * consumed (`Long.MaxValue` = the whole snapshot — also what offsets
+    * from pre-file-level checkpoints, which had no index, decode to);
+    * `snapshot=true` marks the initial-snapshot phase. File order is
+    * re-derived from the manifests in commit order, so a position is
+    * restart-deterministic from table metadata alone. */
+  final case class IcebergSourceOffset(snapshotId: Long, index: Long,
+                                       snapshot: Boolean) extends OffsetV1 {
     override def json(): String =
-      s"""{"snapshotId":$snapshotId,"snapshot":$snapshot}"""
+      s"""{"snapshotId":$snapshotId,"index":$index,"snapshot":$snapshot}"""
   }
 
   private[sources] def parseOffset(json: String): IcebergSourceOffset = {
     val n = mapper.readTree(json)
-    IcebergSourceOffset(n.get("snapshotId").asLong, n.get("snapshot").asBoolean)
+    IcebergSourceOffset(n.get("snapshotId").asLong,
+      Option(n.get("index")).map(_.asLong).getOrElse(Long.MaxValue),
+      n.get("snapshot").asBoolean)
   }
 }
 
@@ -75,8 +85,12 @@ class IcebergStreamSource(spark: SparkSession, root: String,
 
   private def opt(k1: String, k2: String): Option[String] =
     parameters.get(k1).orElse(parameters.get(k2))
-  private val maxSnapshots: Option[Int] =
+  /** Caps FILES per micro-batch while tailing (CDF mode caps SNAPSHOTS —
+    * the changelog streams one version range at a time). */
+  private val maxFiles: Option[Int] =
     opt("maxFilesPerTrigger", "max_files_per_trigger").map(_.toInt)
+  private val maxBytes: Option[Long] =
+    opt("maxBytesPerTrigger", "max_bytes_per_trigger").map(_.toLong)
   private val ignoreDeletes =
     opt("ignoreDeletes", "ignore_deletes").exists(_.toBoolean)
   private val ignoreChanges =
@@ -92,6 +106,13 @@ class IcebergStreamSource(spark: SparkSession, root: String,
     * batch's consumed range). */
   private val readChangeFeed =
     opt("readChangeFeed", "read_change_feed").exists(_.toBoolean)
+  /** Schema-tracking restart, mirroring the Delta source's
+    * `schemaTrackingLocation`: an ADDITIVE table-schema change is
+    * recorded here and the stream asks for a restart, which then serves
+    * the widened schema (older files null-fill). Without it any schema
+    * change fails the stream permanently. */
+  private val schemaTrackLoc: Option[String] =
+    opt("schemaTrackingLocation", "schema_tracking_location")
 
   private def meta: IcebergSource.TableMeta = IcebergSource.tableMeta(spark, root)
 
@@ -119,8 +140,39 @@ class IcebergStreamSource(spark: SparkSession, root: String,
     }
   }
 
-  private val tableSchema: StructType =
-    IcebergSource.stripFieldIds(meta.schema).asInstanceOf[StructType]
+  private def trackPath: Option[Path] =
+    schemaTrackLoc.map(d => new Path(d, "graft-iceberg-schema-track.json"))
+
+  private def readTracked(): Option[StructType] = trackPath.flatMap { p =>
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val n = mapper.readTree(text)
+      Some(org.apache.spark.sql.types.DataType.fromJson(n.get("schemaJson").asText())
+        .asInstanceOf[StructType])
+    }
+  }
+
+  private def writeTracked(snapshotId: Long, st: StructType): Unit =
+    trackPath.foreach { p =>
+      val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val node = mapper.createObjectNode()
+      node.put("snapshotId", snapshotId)
+      node.put("schemaJson", st.json)
+      val out = f.create(p, true)
+      try out.write(node.toString.getBytes("UTF-8")) finally out.close()
+    }
+
+  private val tableSchema: StructType = readTracked().getOrElse(
+    IcebergSource.stripFieldIds(meta.schema).asInstanceOf[StructType])
+
+  /** Every field of `old` present in `wide` with the same type. */
+  private def isAdditive(old: StructType, wide: StructType): Boolean =
+    old.fields.forall(f =>
+      wide.fields.exists(g => g.name == f.name && g.dataType == f.dataType))
 
   override val schema: StructType =
     if (!readChangeFeed) tableSchema
@@ -134,24 +186,172 @@ class IcebergStreamSource(spark: SparkSession, root: String,
       org.apache.spark.sql.types.StructField("_commit_timestamp",
         org.apache.spark.sql.types.TimestampType)))
 
-  private def schemaCheck(m: IcebergSource.TableMeta): Unit =
-    require(IcebergSource.stripFieldIds(m.schema) == tableSchema,
+  /** Current-metadata schema discipline: exact match passes; a WIDENING
+    * with a tracking location records the new schema and asks for a
+    * restart (the restart serves it, older files null-fill); anything
+    * else — drops, retypes, widening without tracking — fails. */
+  private def schemaCheck(m: IcebergSource.TableMeta): Unit = {
+    val incoming = IcebergSource.stripFieldIds(m.schema).asInstanceOf[StructType]
+    if (incoming == tableSchema) return
+    if (trackPath.isDefined && isAdditive(tableSchema, incoming)) {
+      writeTracked(m.currentSnapshotId.getOrElse(-1L), incoming)
+      throw new IllegalStateException(
+        s"Iceberg source schema changed to ${incoming.simpleString}; the " +
+          s"widened schema was recorded at ${schemaTrackLoc.get} — restart " +
+          "the stream to continue (earlier data null-fills the new columns)")
+    }
+    throw new IllegalStateException(
       s"Iceberg source schema changed — restart the stream to pick up " +
-        s"${m.schema.simpleString}")
+        s"${m.schema.simpleString}" +
+        (if (trackPath.isDefined)
+          " (non-additive change: schema tracking cannot resume across it)"
+        else "; set schemaTrackingLocation to resume across additive changes"))
+  }
 
-  /** Data-file paths of a snapshot (driver metadata walk, cached). */
-  private val filesOf = scala.collection.mutable.Map[Long, Seq[String]]()
-  private def dataFilePaths(m: IcebergSource.TableMeta, snapshotId: Long): Seq[String] =
-    filesOf.getOrElseUpdate(snapshotId, {
+  /** Live data files of a snapshot + whether it carries row-level delete
+    * files (driver metadata walk, cached — a committed snapshot's file
+    * list never changes). */
+  private val snapCache =
+    scala.collection.mutable.Map[Long, (Seq[IcebergSource.FileEntry], Boolean)]()
+  private def liveFiles(m: IcebergSource.TableMeta, snapshotId: Long)
+      : (Seq[IcebergSource.FileEntry], Boolean) =
+    snapCache.getOrElseUpdate(snapshotId, {
       val snap = m.snapshots.find(_.snapshotId == snapshotId).getOrElse(
         throw new IllegalStateException(s"snapshot $snapshotId expired mid-stream"))
-      val (d, _, _) = IcebergSource.snapshotFiles(spark, root, snap, m)
-      d.map(_.path)
+      val (d, pos, eq) = IcebergSource.snapshotFiles(spark, root, snap, m)
+      (d, pos.nonEmpty || eq.nonEmpty)
     })
+  private def dataFilePaths(m: IcebergSource.TableMeta, snapshotId: Long): Seq[String] =
+    liveFiles(m, snapshotId)._1.map(_.path)
 
-  /** Pending snapshot positions after `from`, in commit order, capped. */
-  private def pendingAfter(from: Option[IcebergSourceOffset], cap: Option[Int])
-      : Seq[IcebergSourceOffset] = {
+  /** The files snapshot `ord(i)` ADDED, with the append-only contract
+    * enforced (deterministic manifest order — offsets index into it). */
+  private def addedEntries(m: IcebergSource.TableMeta,
+                           ord: Seq[IcebergSource.SnapshotInfo],
+                           i: Int): Seq[IcebergSource.FileEntry] = {
+    val s = ord(i)
+    s.operation match {
+      case "replace" => Nil // compaction: zero net row change
+      case "delete" =>
+        require(ignoreDeletes || ignoreChanges,
+          s"snapshot ${s.snapshotId} deletes rows from the stream " +
+            s"source table ($root); set ignoreDeletes to skip deletes")
+        Nil
+      case op =>
+        if (op == "overwrite")
+          require(ignoreChanges,
+            s"snapshot ${s.snapshotId} overwrites rows in the stream " +
+              s"source table ($root); set ignoreChanges to re-emit its " +
+              "files whole")
+        val prev: Set[String] =
+          if (i == 0) Set.empty
+          else dataFilePaths(m, ord(i - 1).snapshotId).toSet
+        liveFiles(m, s.snapshotId)._1.filterNot(e => prev(e.path))
+    }
+  }
+
+  private def ordIdx(ord: Seq[IcebergSource.SnapshotInfo], id: Long,
+                     what: String): Int = {
+    val i = ord.indexWhere(_.snapshotId == id)
+    // an expired cursor cannot be ordered against the remaining log
+    // (foreign snapshot ids are random, not monotonic) — fail loudly
+    // rather than guess and silently skip or re-emit
+    require(i >= 0, s"$what snapshot $id expired from $root — restart " +
+      "the stream from a retained snapshot")
+    i
+  }
+
+  /** Pending (position, data-file path) pairs after `from`, in commit
+    * order, FILE by FILE, capped by count and/or cumulative bytes (the
+    * first admission always goes through, so a batch makes progress).
+    * A `None` path is a marker: the whole-snapshot MOR base batch, or a
+    * fileless snapshot whose position still records progress. */
+  private def pendingAfter(from: Option[IcebergSourceOffset], cap: Option[Int],
+                           capBytes: Option[Long] = None)
+      : Seq[(IcebergSourceOffset, Option[String])] = {
+    val m = meta
+    val ord = orderedSnaps(m)
+    val out = scala.collection.mutable.ArrayBuffer[(IcebergSourceOffset, Option[String])]()
+    var bytes = 0L
+    def admit(o: IcebergSourceOffset, p: Option[String], size: Long): Unit = {
+      out += ((o, p)); bytes += size
+    }
+    def room: Boolean = out.isEmpty ||
+      (cap.forall(out.size < _) && capBytes.forall(bytes < _))
+
+    // phase 1: the base snapshot (offsets with snapshot=true). The
+    // snapshot being resumed is PINNED by the cursor's own snapshotId —
+    // a restart re-resolves `base` against the CURRENT table, but the
+    // recovered index addresses the file list of the snapshot the run
+    // started from; commits that landed while down replay as phase 2.
+    val baseConsumed: Boolean = base match {
+      case Left(id) if from.forall(_.snapshot) =>
+        val resumeId = from.map(_.snapshotId).getOrElse(id)
+        val (files, hasDeletes) = liveFiles(m, resumeId)
+        val startIdx = from.map(_.index).getOrElse(0L)
+        if (hasDeletes) {
+          // a MOR base snapshot emits as ONE batch: its delete files
+          // must apply against the complete data-file set
+          if (from.isEmpty)
+            admit(IcebergSourceOffset(resumeId, Long.MaxValue, snapshot = true),
+              None, 0L)
+          true
+        } else if (startIdx >= files.size) true
+        else {
+          var i = startIdx
+          while (i < files.size && room) {
+            admit(IcebergSourceOffset(resumeId, i + 1, snapshot = true),
+              Some(files(i.toInt).path), files(i.toInt).size)
+            i += 1
+          }
+          i >= files.size
+        }
+      case _ => true // cursor already tailing, or no snapshot phase
+    }
+
+    // phase 2: tailed snapshots, file by file
+    if (baseConsumed) {
+      val (startOrd, startIdx): (Int, Long) = from match {
+        case Some(o) if !o.snapshot =>
+          (ordIdx(ord, o.snapshotId, "stream cursor"), o.index)
+        case Some(o) => // snapshot-phase cursor: tail after ITS snapshot
+          (ordIdx(ord, o.snapshotId, "stream cursor") + 1, 0L)
+        case None => base match {
+          case Left(id) => (ordIdx(ord, id, "base") + 1, 0L)
+          case Right(Long.MinValue) => (0, 0L)
+          case Right(id) => (ordIdx(ord, id, "base") + 1, 0L)
+        }
+      }
+      var s = startOrd
+      while (s < ord.size && room) {
+        val added = addedEntries(m, ord, s)
+        val first = if (s == startOrd) startIdx else 0L
+        if (added.isEmpty) {
+          // fileless snapshot (compaction, skipped delete, empty
+          // append): a marker position still records progress past it
+          val alreadyMarked = s == startOrd &&
+            from.exists(o => !o.snapshot && o.snapshotId == ord(s).snapshotId)
+          if (!alreadyMarked)
+            admit(IcebergSourceOffset(ord(s).snapshotId, 0L, snapshot = false),
+              None, 0L)
+        } else {
+          var i = first
+          while (i < added.size && room) {
+            admit(IcebergSourceOffset(ord(s).snapshotId, i + 1, snapshot = false),
+              Some(added(i.toInt).path), added(i.toInt).size)
+            i += 1
+          }
+        }
+        s += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** CDF mode keeps SNAPSHOT granularity: one position per snapshot (the
+    * changelog's change-ordinal stamping is per version range). */
+  private def pendingSnapshots(from: Option[IcebergSourceOffset],
+                               cap: Option[Int]): Seq[IcebergSourceOffset] = {
     val m = meta
     val ord = orderedSnaps(m)
     val out = scala.collection.mutable.ArrayBuffer[IcebergSourceOffset]()
@@ -160,7 +360,7 @@ class IcebergStreamSource(spark: SparkSession, root: String,
       case Some(o) => Some(o.snapshotId)
       case None => base match {
         case Left(id) =>
-          if (room) out += IcebergSourceOffset(id, snapshot = true)
+          if (room) out += IcebergSourceOffset(id, Long.MaxValue, snapshot = true)
           Some(id)
         case Right(Long.MinValue) => None
         case Right(id) => Some(id)
@@ -168,28 +368,26 @@ class IcebergStreamSource(spark: SparkSession, root: String,
     }
     val tail = cursor match {
       case None => ord
-      case Some(c) =>
-        val i = ord.indexWhere(_.snapshotId == c)
-        // an expired cursor cannot be ordered against the remaining log
-        // (foreign snapshot ids are random, not monotonic) — fail loudly
-        // rather than guess and silently skip or re-emit
-        require(i >= 0, s"stream cursor snapshot $c expired from $root — " +
-          "restart the stream from a retained snapshot")
-        ord.drop(i + 1)
+      case Some(c) => ord.drop(ordIdx(ord, c, "stream cursor") + 1)
     }
-    tail.foreach { s => if (room) out += IcebergSourceOffset(s.snapshotId, snapshot = false) }
+    tail.foreach { s =>
+      if (room) out += IcebergSourceOffset(s.snapshotId, Long.MaxValue, snapshot = false)
+    }
     out.toSeq
   }
 
   override def getOffset: Option[OffsetV1] = {
-    val pending = pendingAfter(lastReturned, maxSnapshots)
+    val pending =
+      if (readChangeFeed) pendingSnapshots(lastReturned, maxFiles)
+      else pendingAfter(lastReturned, maxFiles, maxBytes).map(_._1)
     if (pending.nonEmpty) setPosition(pending.last)
     else if (lastReturned.isEmpty) {
       // nothing to emit yet, but the BASE must still be pinned: a
       // 'latest' start that restarts before its first batch would
       // otherwise re-resolve against a newer table and drop the gap
       base match {
-        case Right(id) => setPosition(IcebergSourceOffset(id, snapshot = false))
+        case Right(id) =>
+          setPosition(IcebergSourceOffset(id, Long.MaxValue, snapshot = false))
         case Left(_) => () // a snapshot base always has a pending batch
       }
     }
@@ -209,6 +407,7 @@ class IcebergStreamSource(spark: SparkSession, root: String,
     val newer = lastReturned.forall { l =>
       if (l == o) false
       else if (l.snapshot != o.snapshot) l.snapshot // snapshot phase first
+      else if (l.snapshotId == o.snapshotId) l.index < o.index
       else {
         val ord = orderedSnaps(meta)
         val li = ord.indexWhere(_.snapshotId == l.snapshotId)
@@ -244,60 +443,29 @@ class IcebergStreamSource(spark: SparkSession, root: String,
     setPosition(endOff)
     if (readChangeFeed) return cdfBatch(startOff, endOff)
     val m = meta
+    schemaCheck(m)
     val ord = orderedSnaps(m)
-    def posIdx(id: Long): Int = ord.indexWhere(_.snapshotId == id)
-
-    val frames = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    // batch 0: the whole base snapshot, MOR-correct
-    if (endOff.snapshot || (startOff.isEmpty && base.isLeft)) {
-      val Left(baseId) = base: @unchecked
-      if (startOff.isEmpty)
-        frames += IcebergSource.read(spark, root, snapshotId = Some(baseId))
-      if (endOff.snapshot)
-        return streamingUnion(frames.toSeq)
-    }
-    // tailed snapshots in (start, end]
-    def idxOrFail(id: Long, what: String): Int = {
-      val i = posIdx(id)
-      require(i >= 0, s"$what snapshot $id expired from $root — restart " +
-        "the stream from a retained snapshot")
-      i
-    }
-    val fromIdx: Int = startOff match {
-      case Some(o) if !o.snapshot => idxOrFail(o.snapshotId, "batch-start") + 1
-      case Some(o) => idxOrFail(o.snapshotId, "batch-start") + 1
-      case None => base match {
-        case Left(id) => idxOrFail(id, "base") + 1
-        case Right(Long.MinValue) => 0
-        case Right(id) => idxOrFail(id, "base") + 1
-      }
-    }
+    def offsetLt(a: IcebergSourceOffset, b: IcebergSourceOffset): Boolean =
+      if (a.snapshot != b.snapshot) a.snapshot // snapshot phase precedes tail
+      else if (a.snapshotId == b.snapshotId) a.index < b.index
+      else ordIdx(ord, a.snapshotId, "batch") < ordIdx(ord, b.snapshotId, "batch")
     // an expired END offset would silently return an empty batch and
-    // advance the checkpoint past never-delivered rows — fail instead
-    val toIdx = idxOrFail(endOff.snapshotId, "batch-end")
-    (fromIdx to toIdx).filter(_ >= 0).foreach { i =>
-      val s = ord(i)
-      schemaCheck(m)
-      s.operation match {
-        case "replace" => () // compaction: zero net row change
-        case "delete" =>
-          require(ignoreDeletes || ignoreChanges,
-            s"snapshot ${s.snapshotId} deletes rows from the stream " +
-              s"source table ($root); set ignoreDeletes to skip deletes")
-        case op =>
-          if (op == "overwrite")
-            require(ignoreChanges,
-              s"snapshot ${s.snapshotId} overwrites rows in the stream " +
-                s"source table ($root); set ignoreChanges to re-emit its " +
-                "files whole")
-          val prevPaths: Set[String] =
-            if (i == 0) Set.empty
-            else dataFilePaths(m, ord(i - 1).snapshotId).toSet
-          val added = dataFilePaths(m, s.snapshotId).filterNot(prevPaths)
-          if (added.nonEmpty)
-            frames += spark.read.schema(schema).parquet(added: _*)
+    // advance the checkpoint past never-delivered rows — ordIdx fails
+    ordIdx(ord, endOff.snapshotId, "batch-end")
+    // everything in (start, end]; bounded re-enumeration from table
+    // metadata, so a restart reproduces the batch exactly
+    val inRange = pendingAfter(startOff, None, None)
+      .takeWhile { case (pos, _) => !offsetLt(endOff, pos) }
+    val frames = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    // the whole-snapshot MOR base batch travels as a marker position,
+    // pinned to the marker's own snapshot id
+    inRange.collectFirst { case (pos, None) if pos.snapshot => pos.snapshotId }
+      .foreach { id =>
+        frames += IcebergSource.read(spark, root, snapshotId = Some(id))
       }
-    }
+    val paths = inRange.collect { case (pos, Some(p)) => p }
+    if (paths.nonEmpty)
+      frames += spark.read.schema(tableSchema).parquet(paths: _*)
     streamingUnion(frames.toSeq)
   }
 
@@ -339,11 +507,18 @@ class IcebergStreamSource(spark: SparkSession, root: String,
   }
 
   private def streamingUnion(frames: Seq[DataFrame]): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
+    // null-fill/reorder each frame to the stream's declared schema —
+    // frames read from pre-widening snapshots lack the new columns
+    def align(df: DataFrame): DataFrame =
+      df.select(schema.fields.toSeq.map { f =>
+        if (df.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
     val df =
       if (frames.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      else frames.reduce(_.unionByName(_)).select(schema.fieldNames.map(col).toSeq: _*)
+      else frames.map(align).reduce(_.union(_))
     org.apache.spark.sql.graftshim.ColumnShim.asStreamingFrame(df)
   }
 

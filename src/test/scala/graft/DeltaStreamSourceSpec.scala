@@ -273,6 +273,82 @@ class DeltaStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mid-snapshot restart with commits landed while down stays exactly-once") {
+    val root = tmp(); val out = tmp(); val cp = tmp()
+    DeltaWriter.write((0 until 30).toDF("k").repartition(6), root) // v0: 6 files
+    // one capped batch, stopping MID-snapshot
+    val q1 = spark.readStream.format("graft-delta")
+      .option("maxFilesPerTrigger", "2").load(root)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+    q1.awaitTermination()
+    val partial = spark.read.parquet(out).count()
+    assert(partial > 0 && partial < 30, s"expected a mid-snapshot stop, got $partial")
+    // commits land while DOWN; the restart must finish the PINNED v0
+    // snapshot from its own file list, then tail v1/v2 — not index into
+    // a re-based current file list
+    DeltaWriter.write((100 until 105).toDF("k"), root) // v1
+    DeltaWriter.write((200 until 205).toDF("k"), root) // v2
+    val q2 = spark.readStream.format("graft-delta").load(root)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp).start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(out)
+    assert(got.count() == 40, "restart duplicated or dropped rows")
+    assert(got.as[Int].collect().toSet ==
+      ((0 until 30) ++ (100 until 105) ++ (200 until 205)).toSet)
+  }
+
+  test("schemaTrackingLocation: additive evolution resumes after restart") {
+    val root = tmp(); val cp = tmp(); val track = tmp(); val out = tmp()
+    DeltaWriter.write(Seq((1, "a")).toDF("k", "v"), root) // v0
+    def start() = spark.readStream.format("graft-delta")
+      .option("schemaTrackingLocation", track).load(root)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp).start()
+    val q1 = start()
+    val e = try {
+      q1.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 1)
+      // the table WIDENS while the stream is RUNNING: the run must fail
+      // (its declared schema is fixed), recording the change for restart
+      DeltaWriter.write(Seq((2, "b", 1.5)).toDF("k", "v", "w"), root,
+        schemaPolicy = graft.sources.DeltaSchema.Evolve)
+      intercept[StreamingQueryException] { q1.processAllAvailable() }
+    } finally q1.stop()
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("restart the stream to continue"), msg)
+    // more data while down; the restart serves the WIDENED schema and
+    // drains the backlog with null-filled history
+    DeltaWriter.write(Seq((3, "c", 2.5)).toDF("k", "v", "w"), root)
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    val got = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(got.columns.sorted.toSeq == Seq("k", "v", "w"))
+    val rows = got.select("k", "v", "w").as[(Int, String, Option[Double])]
+      .collect().toSet
+    assert(rows == Set((1, "a", None), (2, "b", Some(1.5)), (3, "c", Some(2.5))),
+      rows.toString)
+  }
+
+  test("without tracking, evolution still fails permanently and suggests the option") {
+    val root = tmp()
+    DeltaWriter.write(Seq((1, "a")).toDF("k", "v"), root)
+    val name = mem()
+    val q = spark.readStream.format("graft-delta").load(root)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", tmp()).start()
+    try {
+      q.processAllAvailable()
+      DeltaWriter.write(Seq((2, "b", 9.0)).toDF("k", "v", "w"), root,
+        schemaPolicy = graft.sources.DeltaSchema.Evolve)
+      val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+      val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("schemaTrackingLocation"), msg)
+    } finally q.stop()
+  }
+
   test("startingVersion before the earliest retained log entry fails loudly") {
     val root = tmp()
     DeltaWriter.write(Seq((1, "a")).toDF("k", "v"), root) // v0

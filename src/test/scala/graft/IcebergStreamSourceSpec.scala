@@ -174,4 +174,75 @@ class IcebergStreamSourceSpec extends SparkSpec {
       assert(spark.table(name).count() == 1)
     } finally q.stop()
   }
+
+  test("file-level offsets: one bulk snapshot drains in capped batches, restart-safe") {
+    val root = tmp(); val out = tmp(); val cp = tmp()
+    // ONE snapshot holding 12 files — snapshot-granularity offsets would
+    // drain it as a single micro-batch regardless of the cap
+    IcebergSource.write((0 until 120).toDF("k").repartition(12), root)
+    // first run: exactly one capped micro-batch, then stop MID-snapshot
+    val q1 = spark.readStream.format("graft-iceberg")
+      .option("maxFilesPerTrigger", "2").load(root)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+    q1.awaitTermination()
+    val partial = spark.read.parquet(out).count()
+    assert(partial > 0 && partial < 120,
+      s"expected a mid-snapshot stop, got $partial of 120 rows")
+    // restart resumes from the file index and drains the rest, capped
+    val q2 = spark.readStream.format("graft-iceberg")
+      .option("maxFilesPerTrigger", "5").load(root)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp).start()
+    try {
+      q2.processAllAvailable()
+      assert(q2.recentProgress.count(_.numInputRows > 0) >= 2,
+        "5-files-per-trigger over the remaining 10 files should take >=2 batches")
+    } finally q2.stop()
+    val got = spark.read.parquet(out)
+    assert(got.count() == 120, "mid-snapshot restart duplicated or dropped rows")
+    assert(got.as[Int].collect().toSet == (0 until 120).toSet)
+    // appends after the drain still tail in
+    IcebergSource.write(Seq(999).toDF("k"), root)
+    val q3 = spark.readStream.format("graft-iceberg")
+      .option("maxBytesPerTrigger", "1") // below any file: one file/batch
+      .load(root)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp).start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(spark.read.parquet(out).count() == 121)
+  }
+
+  test("schemaTrackingLocation: additive evolution resumes after restart") {
+    val root = tmp(); val cp = tmp(); val track = tmp(); val out = tmp()
+    IcebergSource.write(Seq((1L, "a")).toDF("k", "v"), root)
+    def start() = spark.readStream.format("graft-iceberg")
+      .option("schemaTrackingLocation", track).load(root)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp).start()
+    val q1 = start()
+    val e = try {
+      q1.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 1)
+      // the table widens while the stream is RUNNING: the run must fail
+      // (its declared schema is fixed), recording the change for restart
+      IcebergSource.write(Seq((2L, "b", 1.5)).toDF("k", "v", "w"), root,
+        schemaPolicy = graft.sources.DeltaSchema.Evolve)
+      intercept[StreamingQueryException] { q1.processAllAvailable() }
+    } finally q1.stop()
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("restart the stream to continue"), msg)
+    // more data while down; the restart serves the WIDENED schema and
+    // drains the backlog with null-filled history
+    IcebergSource.write(Seq((3L, "c", 2.5)).toDF("k", "v", "w"), root)
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    val got = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(got.columns.sorted.toSeq == Seq("k", "v", "w"))
+    val rows = got.select("k", "v", "w").as[(Long, String, Option[Double])]
+      .collect().toSet
+    assert(rows == Set((1L, "a", None), (2L, "b", Some(1.5)),
+      (3L, "c", Some(2.5))), rows.toString)
+  }
 }
