@@ -1324,15 +1324,17 @@ object SparkEntry {
       val meta = graft.sources.IcebergSource.tableMeta(s, root)
       require(meta.partitionSpec.map(_.transform) == Seq("month"),
         s"expected a month transform spec, got ${meta.partitionSpec}")
-      val lo = java.time.LocalDate.parse("1995-01-01")
-      val hi = java.time.LocalDate.parse("1996-01-01")
-      val preds = graft.sources.IcebergSource.projectPredicate(
-        meta, "l_shipdate", ">=", lo) ++
-        graft.sources.IcebergSource.projectPredicate(meta, "l_shipdate", "<", hi)
-      require(preds.size == 2, s"projection produced $preds")
-      graft.sources.IcebergSource.read(s, root, partitionFilter = preds,
-          dataFilter = Some(col("l_shipdate") >= lit("1995-01-01") &&
-            col("l_shipdate") < lit("1996-01-01")))
+      // DECLARATIVE path: the YAML-shaped read's `filter` option alone
+      // derives the inclusive month-partition projection internally
+      // (conjunct atoms → projectPredicate) — no programmatic
+      // partitionFilter; the require proves the projection fired
+      val where = "l_shipdate >= DATE'1995-01-01' AND l_shipdate < DATE'1996-01-01'"
+      val derived = graft.sources.IcebergSource.derivedPartitionPredicates(
+        s, root, expr(where))
+      require(derived.size == 2 && derived.forall(_.name == "l_shipdate_month"),
+        s"declarative projection produced $derived")
+      graft.sources.Sources.read(s, graft.sources.Sources.ReadConfig(
+          "iceberg", path = Some(root), options = Map("filter" -> where)))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"),
           round(sum("l_extendedprice"), 2).as("revenue"),

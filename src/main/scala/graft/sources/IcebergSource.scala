@@ -592,15 +592,33 @@ object IcebergSource {
       case s: String => java.time.LocalDate.parse(s.take(10))
       case other => throw new IllegalArgumentException(s"not a date/timestamp: $other")
     }
+    // date/timestamp values normalize to the ORDINAL the spec stores
+    // (epoch days / epoch micros) for identity and bucket transforms —
+    // the generic comparator would otherwise fall back to string
+    // comparison between a LocalDate and a stored day-int
+    def ordinal(v: Any): Any = v match {
+      case d: java.time.LocalDate => d.toEpochDay
+      case d: java.sql.Date => d.toLocalDate.toEpochDay
+      case i: java.time.Instant =>
+        Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+          i.getNano / 1000L)
+      case t: java.sql.Timestamp => ordinal(t.toInstant)
+      case other => other
+    }
     meta.partitionSpec.filter(f => idToName.get(f.sourceId).contains(column))
       .flatMap { f =>
         f.transform match {
-          case "identity" => Some(PartitionPredicate(f.name, op, value))
+          case "identity" => op match {
+            case "in" => Some(PartitionPredicate(f.name, "in",
+              value.asInstanceOf[Seq[Any]].map(ordinal)))
+            case _ => Some(PartitionPredicate(f.name, op, ordinal(value)))
+          }
           case "void" => None
           case bucketR(n) => op match {
-            case "=" => Some(PartitionPredicate(f.name, "=", bucketOf(value, n.toInt)))
+            case "=" => Some(PartitionPredicate(f.name, "=",
+              bucketOf(ordinal(value), n.toInt)))
             case "in" => Some(PartitionPredicate(f.name, "in",
-              value.asInstanceOf[Seq[Any]].map(bucketOf(_, n.toInt))))
+              value.asInstanceOf[Seq[Any]].map(v => bucketOf(ordinal(v), n.toInt))))
             case _ => None // buckets cannot serve range predicates
           }
           case other =>
@@ -903,6 +921,19 @@ object IcebergSource {
     if (posDeleteFiles.isEmpty && eqDeleteFiles.isEmpty) return withFilter(scan)
     withFilter(applyDeletes(spark, meta, scan, dataFiles, posDeleteFiles, eqDeleteFiles)
       .drop("_gf_path", "_gf_pos", "_gf_seq"))
+  }
+
+  /** The inclusive partition predicates a source-column filter derives
+    * against the table's CURRENT spec — exactly what
+    * `read(dataFilter = ...)` prunes with automatically; exposed so
+    * callers and specs can assert the declarative path projects. */
+  def derivedPartitionPredicates(spark: SparkSession, root: String,
+                                 filter: Column): Seq[PartitionPredicate] = {
+    val meta = tableMeta(spark, root)
+    val readSchema = stripFieldIds(meta.schema).asInstanceOf[StructType]
+    StatsPruning.resolveCondition(spark, readSchema, filter).toSeq
+      .flatMap(StatsPruning.conjunctAtoms)
+      .flatMap { case (c, op, v) => projectPredicate(meta, c, op, v) }
   }
 
   /** Skipping report a caller (spec, board fixture) can assert on:

@@ -310,15 +310,31 @@ object StatsPruning {
    * (column, op, natural Scala value) triples — the shape
    * [[IcebergSource.projectPredicate]] turns into inclusive partition
    * predicates. Only bare `attr op literal` conjuncts qualify (no Cast
-   * wrappers, no OR/NOT, no timestamps): anything else is simply not
+   * on the ATTRIBUTE side, no OR/NOT); the literal side may be any
+   * foldable subtree (analysis wraps date/timestamp literals in a
+   * coercion Cast — it folds here). Date values surface as
+   * `java.time.LocalDate`, timestamps as `java.time.Instant` — what the
+   * projection's transform math consumes. Anything else is simply not
    * emitted, which is sound because partition pruning with a SUBSET of
    * the conjuncts still keeps a superset of matching files.
    */
   def conjunctAtoms(cond: Expression): Seq[(String, String, Any)] = {
+    object Lit {
+      def unapply(x: Expression): Option[Literal] = x match {
+        case l: Literal => Some(l)
+        case e if e.foldable && !e.exists(_.isInstanceOf[AttributeReference]) =>
+          try Some(Literal(e.eval(null), e.dataType))
+          catch { case _: Exception => None }
+        case _ => None
+      }
+    }
     def natural(l: Literal): Option[Any] = (l.value, l.dataType) match {
       case (null, _) => None
       case (u: org.apache.spark.unsafe.types.UTF8String, _) => Some(u.toString)
-      case (_, TimestampType | TimestampNTZType) => None
+      case (d: Integer, DateType) => Some(LocalDate.ofEpochDay(d.longValue()))
+      case (micros: java.lang.Long, TimestampType | TimestampNTZType) =>
+        Some(Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L),
+          Math.floorMod(micros, 1000000L) * 1000L))
       case (v @ (_: Int | _: Long | _: Double | _: Float | _: Short | _: Byte |
                  _: Boolean), _) => Some(v)
       case _ => None
@@ -338,18 +354,18 @@ object StatsPruning {
     }
     cond match {
       case And(a, b) => conjunctAtoms(a) ++ conjunctAtoms(b)
-      case EqualTo(c, l: Literal) => atom(c, l, "=")
-      case EqualTo(l: Literal, c) => atom(c, l, "=")
-      case LessThan(c, l: Literal) => atom(c, l, "<")
-      case LessThan(l: Literal, c) => atom(c, l, flip("<"))
-      case LessThanOrEqual(c, l: Literal) => atom(c, l, "<=")
-      case LessThanOrEqual(l: Literal, c) => atom(c, l, flip("<="))
-      case GreaterThan(c, l: Literal) => atom(c, l, ">")
-      case GreaterThan(l: Literal, c) => atom(c, l, flip(">"))
-      case GreaterThanOrEqual(c, l: Literal) => atom(c, l, ">=")
-      case GreaterThanOrEqual(l: Literal, c) => atom(c, l, flip(">="))
-      case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
-        val nat = vs.map(v => natural(v.asInstanceOf[Literal]))
+      case EqualTo(c, Lit(l)) if name(c).isDefined => atom(c, l, "=")
+      case EqualTo(Lit(l), c) if name(c).isDefined => atom(c, l, "=")
+      case LessThan(c, Lit(l)) if name(c).isDefined => atom(c, l, "<")
+      case LessThan(Lit(l), c) if name(c).isDefined => atom(c, l, flip("<"))
+      case LessThanOrEqual(c, Lit(l)) if name(c).isDefined => atom(c, l, "<=")
+      case LessThanOrEqual(Lit(l), c) if name(c).isDefined => atom(c, l, flip("<="))
+      case GreaterThan(c, Lit(l)) if name(c).isDefined => atom(c, l, ">")
+      case GreaterThan(Lit(l), c) if name(c).isDefined => atom(c, l, flip(">"))
+      case GreaterThanOrEqual(c, Lit(l)) if name(c).isDefined => atom(c, l, ">=")
+      case GreaterThanOrEqual(Lit(l), c) if name(c).isDefined => atom(c, l, flip(">="))
+      case In(c, vs) if vs.nonEmpty =>
+        val nat = vs.map(Lit.unapply(_).flatMap(natural))
         (name(c), nat) match {
           case (Some(n), vals) if vals.forall(_.isDefined) =>
             Seq((n, "in", vals.flatten))

@@ -190,6 +190,52 @@ class IcebergTransformSpec extends SparkSpec {
       .head.transform == "month")
   }
 
+  test("declarative read: the filter option alone prunes month()/bucket() partitions") {
+    import graft.sources.Sources
+    // month() table — a plain YAML-shaped `filter` must plan only the
+    // admitted month partitions (inclusive projection derived internally)
+    val root = tmp()
+    val df = (0 until 300).map { i =>
+      (i.toLong, Timestamp.valueOf(f"2024-${i % 3 + 1}%02d-15 0${i % 9}:00:00"))
+    }.toDF("id", "ts")
+    IcebergSource.write(df.repartitionByRange(6, col("ts")), root,
+      partitionBy = Seq("month(ts)"))
+    val all = Sources.read(spark,
+      Sources.ReadConfig("iceberg", path = Some(root)))
+    val where = "ts >= TIMESTAMP'2024-02-01 00:00:00' AND " +
+      "ts < TIMESTAMP'2024-03-01 00:00:00'"
+    val feb = Sources.read(spark, Sources.ReadConfig("iceberg",
+      path = Some(root), options = Map("filter" -> where)))
+    assert(feb.count() == 100)
+    assert(feb.inputFiles.length < all.inputFiles.length,
+      s"filter planned ${feb.inputFiles.length} of ${all.inputFiles.length} " +
+        "files — month partitions were not pruned declaratively")
+    assert(IcebergSource.derivedPartitionPredicates(spark, root,
+      expr(where)).size == 2)
+
+    // bucket(8, id) table — an equality filter prunes to one bucket
+    val root2 = tmp()
+    IcebergSource.write((0L until 400L).map(i => (i, s"r$i")).toDF("id", "v")
+      .repartition(8, col("id")), root2, partitionBy = Seq("bucket(8, id)"))
+    val all2 = Sources.read(spark,
+      Sources.ReadConfig("iceberg", path = Some(root2)))
+    val one = Sources.read(spark, Sources.ReadConfig("iceberg",
+      path = Some(root2), options = Map("filter" -> "id = 137")))
+    assert(one.count() == 1)
+    assert(one.inputFiles.length < all2.inputFiles.length,
+      s"bucket equality planned ${one.inputFiles.length} of " +
+        s"${all2.inputFiles.length} files")
+    // and a DATE-typed identity predicate compares as ordinals, not strings
+    val root3 = tmp()
+    val dd = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-05")),
+      (2L, java.sql.Date.valueOf("2024-02-05"))).toDF("id", "d")
+    IcebergSource.write(dd.repartition(2, col("d")), root3, partitionBy = Seq("d"))
+    val hit = Sources.read(spark, Sources.ReadConfig("iceberg",
+      path = Some(root3), options = Map("filter" -> "d = DATE'2024-02-05'")))
+    assert(hit.count() == 1 && hit.select("id").head.getLong(0) == 2L)
+  }
+
   test("projection parity at the edges: pre-1970 hour, supplementary truncate") {
     // hour: the projection must FLOOR-divide like the write side —
     // truncating division is off by one for pre-1970 timestamps and
