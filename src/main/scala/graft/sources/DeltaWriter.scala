@@ -398,10 +398,21 @@ object DeltaWriter {
   }
 
   /**
-   * Single-part checkpoint at `version`: the reconciled state (one
-   * `protocol` row, one `metaData` row, one `add` row per active file)
-   * as parquet, plus the `_last_checkpoint` pointer. Keeps replay cost
-   * bounded and lets aged-out JSON commits be vacuumed.
+   * Checkpoint at `version`: the reconciled state (one `protocol` row,
+   * one `metaData` row, one `add` row per active file) plus the
+   * `_last_checkpoint` pointer. Keeps replay cost bounded and lets
+   * aged-out JSON commits be vacuumed.
+   *
+   * Layout scales with the table: below
+   * `graft.delta.checkpoint.v2.threshold` live files (default 50k) a
+   * CLASSIC single-part parquet; at or above it a V2 checkpoint
+   * (`%020d.checkpoint.<uuid>.parquet` carrying protocol/metaData/txn/
+   * checkpointMetadata plus `sidecar` references) whose add actions live
+   * in `_delta_log/_sidecars/<uuid>.parquet` files of
+   * `graft.delta.checkpoint.sidecar.files` adds each (default 10k) —
+   * written by ONE distributed job, so a million-file table's checkpoint
+   * is not a single-task driver choke point, and readers can fan
+   * sidecar loads out in parallel (delta.io PROTOCOL.md §V2 Spec).
    */
   def writeCheckpoint(spark: SparkSession, root: String, version: Long): Unit = {
     val snap = DeltaLog.snapshot(spark, root, versionAsOf = Some(version))
@@ -446,42 +457,104 @@ object DeltaWriter {
     // the checkpoint carries the snapshot's ACTUAL protocol — writing a
     // fixed (1, 2) would downgrade feature tables (deletion vectors,
     // column mapping) and external readers could mis-read them
-    val protoRow = Row(Row(snap.minReaderVersion, snap.minWriterVersion,
+    def protoStruct = Row(snap.minReaderVersion, snap.minWriterVersion,
       if (snap.readerFeatures.isEmpty) null else snap.readerFeatures.toSeq.sorted,
-      if (snap.writerFeatures.isEmpty) null else snap.writerFeatures.toSeq.sorted),
-      null, null, null)
-    val metaRow = Row(null, Row(
+      if (snap.writerFeatures.isEmpty) null else snap.writerFeatures.toSeq.sorted)
+    def metaStruct = Row(
       snap.tableId.getOrElse("graft-" + version), Row("parquet", Map.empty[String, String]),
-      snap.schema.json, snap.partitionColumns, snap.configuration, 0L), null, null)
-    val addRows = snap.files.map { a =>
+      snap.schema.json, snap.partitionColumns, snap.configuration, 0L)
+    def addStruct(a: DeltaLog.AddFile): Row = {
       val dvRow = a.deletionVector.map(d => Row(d.storageType, d.pathOrInlineDv,
         d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull
-      Row(null, null, Row(a.path, // already log-encoded — emit verbatim
+      Row(a.path, // already log-encoded — emit verbatim
         a.partitionValues.map { case (k, v) => k -> v.orNull },
-        a.size, a.modificationTime, true, dvRow, a.stats.orNull), null)
+        a.size, a.modificationTime, true, dvRow, a.stats.orNull)
     }
-    val txnRows = snap.transactions.toSeq.map { case (app, v) =>
-      Row(null, null, null, Row(app, v))
-    }
-    val df = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        protoRow +: metaRow +: (addRows ++ txnRows), 1), cpSchema)
-    val stagingDir = new Path(root, s"_graft_cp_${java.lang.Long.toHexString(System.nanoTime())}")
-    df.coalesce(1).write.mode("overwrite").parquet(stagingDir.toString)
-    val part = {
-      val it = f.listFiles(stagingDir, false)
-      var found: Option[Path] = None
-      while (it.hasNext && found.isEmpty) {
-        val s = it.next()
-        if (s.getPath.getName.endsWith(".parquet") && !s.getPath.getName.startsWith("_"))
-          found = Some(s.getPath)
+
+    /** Stage `df` as parquet, publish the part files at `dests` (one per
+      * partition, in part order). Returns the published statuses. */
+    def publishParts(df: org.apache.spark.sql.DataFrame,
+                     dests: Int => Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val stagingDir = new Path(root,
+        s"_graft_cp_${java.lang.Long.toHexString(System.nanoTime())}")
+      df.write.mode("overwrite").parquet(stagingDir.toString)
+      val parts = {
+        val it = f.listFiles(stagingDir, false)
+        val buf = scala.collection.mutable.ArrayBuffer[Path]()
+        while (it.hasNext) {
+          val s = it.next()
+          if (s.getPath.getName.endsWith(".parquet") && !s.getPath.getName.startsWith("_"))
+            buf += s.getPath
+        }
+        buf.sortBy(_.getName).toSeq
       }
-      found.getOrElse(throw new IllegalStateException("checkpoint staging produced no parquet"))
+      require(parts.nonEmpty, "checkpoint staging produced no parquet")
+      val out = parts.zipWithIndex.map { case (p, i) =>
+        val dest = dests(i)
+        f.mkdirs(dest.getParent)
+        f.delete(dest, false)
+        require(f.rename(p, dest), s"failed to publish checkpoint part $dest")
+        f.getFileStatus(dest)
+      }
+      f.delete(stagingDir, true)
+      out
     }
-    val dest = new Path(logDir(root), f"$version%020d.checkpoint.parquet")
-    f.delete(dest, false)
-    require(f.rename(part, dest), s"failed to publish checkpoint $dest")
-    f.delete(stagingDir, true)
+
+    val v2Threshold = spark.conf
+      .get("graft.delta.checkpoint.v2.threshold", "50000").toInt
+    if (snap.files.size >= v2Threshold) {
+      // ---- V2 checkpoint with sidecars ----
+      val perSidecar = math.max(1, spark.conf
+        .get("graft.delta.checkpoint.sidecar.files", "10000").toInt)
+      val sidecarSchema = StructType(Seq(StructField("add", addType)))
+      val nParts = math.max(1,
+        math.ceil(snap.files.size.toDouble / perSidecar).toInt)
+      val sidecarDir = new Path(logDir(root), "_sidecars")
+      val addRows = snap.files.map(a => Row(addStruct(a)))
+      val sidecars = publishParts(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(addRows, nParts), sidecarSchema),
+        _ => new Path(sidecarDir, s"${java.util.UUID.randomUUID()}.parquet"))
+      val sidecarType = StructType(Seq(
+        StructField("path", StringType),
+        StructField("sizeInBytes", LongType),
+        StructField("modificationTime", LongType)))
+      val cpMetaType = StructType(Seq(StructField("version", LongType)))
+      val mainSchema = StructType(Seq(
+        StructField("protocol", protocolType),
+        StructField("metaData", metaType),
+        StructField("txn", txnType),
+        StructField("checkpointMetadata", cpMetaType),
+        StructField("sidecar", sidecarType)))
+      val mainRows =
+        Row(protoStruct, null, null, null, null) +:
+        Row(null, metaStruct, null, null, null) +:
+        (snap.transactions.toSeq.map { case (app, v) =>
+          Row(null, null, Row(app, v), null, null)
+        } ++ Seq(Row(null, null, null, Row(version), null)) ++
+          sidecars.map(s => Row(null, null, null, null,
+            Row(s.getPath.getName, s.getLen, s.getModificationTime))))
+      val mainDest = new Path(logDir(root),
+        f"$version%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet")
+      publishParts(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(mainRows, 1), mainSchema),
+        _ => mainDest)
+    } else {
+      // ---- classic single-part checkpoint ----
+      val protoRow = Row(protoStruct, null, null, null)
+      val metaRow = Row(null, metaStruct, null, null)
+      val addRows = snap.files.map(a => Row(null, null, addStruct(a), null))
+      val txnRows = snap.transactions.toSeq.map { case (app, v) =>
+        Row(null, null, null, Row(app, v))
+      }
+      publishParts(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            protoRow +: metaRow +: (addRows ++ txnRows), 1), cpSchema)
+          .coalesce(1),
+        _ => new Path(logDir(root), f"$version%020d.checkpoint.parquet"))
+    }
     val ptr = new Path(logDir(root), "_last_checkpoint")
     val out = f.create(ptr, true)
     try out.write(s"""{"version":$version,"size":${snap.files.size + snap.transactions.size + 2}}""".getBytes("UTF-8"))

@@ -525,6 +525,47 @@ class DeltaLogSpec extends SparkSpec {
       feed.head().getAs[String]("_change_type") == "delete")
   }
 
+  test("V2 checkpoint WRITE above the threshold: sidecars, state-equal reopen") {
+    import graft.sources.DeltaWriter
+    import spark.implicits._
+    val root = tmp() + "/t"
+    spark.conf.set("graft.delta.checkpoint.v2.threshold", "5")
+    spark.conf.set("graft.delta.checkpoint.sidecar.files", "4")
+    try {
+      DeltaWriter.write((0 until 100).toDF("k").repartition(10), root) // v0: 10 files
+      DeltaWriter.write((100 until 120).toDF("k").repartition(2), root) // v1: +2
+      val before = DeltaLog.snapshot(spark, root)
+      assert(before.files.size == 12)
+      DeltaWriter.writeCheckpoint(spark, root, 1L)
+      val log = new File(root, "_delta_log")
+      val v2 = log.listFiles.filter(f =>
+        f.getName.matches("\\d{20}\\.checkpoint\\.[A-Za-z0-9-]+\\.parquet"))
+      assert(v2.length == 1, s"expected one uuid V2 checkpoint, got ${v2.toSeq}")
+      assert(!new File(log, f"${1L}%020d.checkpoint.parquet").exists,
+        "above the threshold the classic single-part must NOT be written")
+      val sidecars = new File(log, "_sidecars").listFiles
+        .filter(_.getName.endsWith(".parquet"))
+      assert(sidecars.length == 3, // ceil(12 adds / 4 per sidecar)
+        s"expected 3 sidecars, got ${sidecars.length}")
+      // age out v0's commit json: state must rebuild from the V2
+      // checkpoint + sidecars alone
+      assert(new File(log, f"${0L}%020d.json").delete())
+      val after = DeltaLog.snapshot(spark, root)
+      assert(after.files.map(_.path).toSet == before.files.map(_.path).toSet)
+      assert(after.schema == before.schema)
+      assert(after.configuration == before.configuration)
+      assert(after.minReaderVersion == before.minReaderVersion)
+      val got = DeltaLog.read(spark, root)
+      assert(got.count() == 120)
+      assert(got.agg(sum("k")).head.getLong(0) == (0 until 120).sum.toLong)
+      // and stats survive the sidecar roundtrip (skipping still prunes)
+      assert(after.files.forall(_.stats.isDefined))
+    } finally {
+      spark.conf.unset("graft.delta.checkpoint.v2.threshold")
+      spark.conf.unset("graft.delta.checkpoint.sidecar.files")
+    }
+  }
+
   test("declarative dispatch: format delta with time-travel options") {
     val dir = buildBasic()
     val latest = Sources.read(spark, Sources.ReadConfig("delta", path = Some(dir)))
