@@ -111,8 +111,14 @@ object Bench {
       System.err.println(s"[bench] WARNING: queries not on the board: " +
         unlisted.toSeq.sorted.mkString(", "))
     val failedQueries = scala.collection.mutable.ArrayBuffer.empty[String]
+    // These two touch persisted index state whose first read lands on a
+    // cold page cache: without an untimed warmup their best-of-N swings
+    // >1.3× between otherwise-identical rounds (board noise, r13→r14).
+    val warmupFirst = Set("q_exact_dedup", "q_bloom_dedup")
     val results = headline.filter(n => only.forall(_.contains(n))).flatMap { name =>
       qs.get(name).map { fn =>
+        if (warmupFirst(name))
+          try fn(spark, sfDir).count() catch { case _: Throwable => () }
         val times = (1 to runs).flatMap { _ =>
           val t0 = System.nanoTime()
           val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
@@ -141,6 +147,64 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outFile: $e") }
+    spark.stop()
+  }
+}
+
+/**
+ * Scale the sf0.1 fixture tables by a factor (default 10 ≈ "sf1",
+ * ~6M lineitem rows) for the scaling leg of the bench: fact tables
+ * replicate with SHIFTED keys (joins stay consistent, dedup does not
+ * degenerate into factor-sized duplicate groups), dimensions copy
+ * verbatim. Writes OUTSIDE the read-only testdata root.
+ *
+ *   java -cp ... graft.BenchScale [srcDir] [dstDir] [factor]
+ */
+object BenchScale {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def rd(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def wr(df: org.apache.spark.sql.DataFrame, t: String, parts: Int): Unit =
+      df.repartition(parts).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    // dimensions: verbatim (their keys stay referenced by every copy)
+    Seq("region", "nation", "customer", "supplier", "part")
+      .foreach(t => wr(rd(t), t, 1))
+    def scaled(t: String, shiftCols: Seq[String],
+               shiftOverride: Option[Long] = None,
+               perCopy: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame = (d, _) => d): Unit = {
+      val base = rd(t)
+      val shift = shiftOverride.getOrElse(
+        base.agg(max(col(shiftCols.head))).head.getLong(0) + 1L)
+      val copies = (0 until factor).map { i =>
+        shiftCols.foldLeft(perCopy(base, i))((d, c) =>
+          d.withColumn(c, col(c) + lit(i.toLong * shift)))
+      }
+      wr(copies.reduce(_.union(_)), t, 32)
+    }
+    // lineitem and orders must shift by the SAME stride or the ×factor
+    // copies' join keys misalign
+    val orderShift = rd("orders").agg(max(col("o_orderkey"))).head.getLong(0) + 1L
+    scaled("orders", Seq("o_orderkey"), Some(orderShift))
+    scaled("lineitem", Seq("l_orderkey"), Some(orderShift))
+    scaled("events", Seq("event_id", "user_id"))
+    // copies >0 get perturbed text so exact/near-dup structure stays
+    // realistic instead of every doc gaining factor-1 exact clones
+    scaled("documents", Seq("doc_id"), None, (d, i) =>
+      if (i == 0) d else d.withColumn("text", concat(col("text"), lit(s" #c$i"))))
+    scaled("embeddings", Seq("vec_id"))
+    println(s"""{"scaled":"$dst","factor":$factor}""")
     spark.stop()
   }
 }
