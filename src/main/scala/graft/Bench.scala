@@ -83,7 +83,9 @@ object Bench {
     "q_merge_evolve", "q_delta_restore", "q_iceberg_rollback",
     "q_scd2_deletes", "q_delta_skipping", "q_iceberg_skipping",
     "q_delta_stream_read", "q_iceberg_stream_read",
-    "q_iceberg_hidden_partition")
+    "q_iceberg_hidden_partition",
+    // r15 additions: mid-stream schema evolution, V2 sidecar checkpoints
+    "q_delta_stream_evolve", "q_delta_v2_checkpoint")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

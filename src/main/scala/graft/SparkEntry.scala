@@ -1519,6 +1519,83 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("bal"),
           min("c_custkey").as("min_key"), max("c_custkey").as("max_key"))
     }),
+    "q_delta_stream_evolve" -> ((s, d) => {
+      // Mid-stream ADDITIVE schema evolution with schemaTrackingLocation:
+      // the first run drains the narrow table, the widening commit fails
+      // the run (recording the new schema at the tracking location), and
+      // the RESTART drains the backlog under the widened schema with
+      // history null-filled — the sink totals match the oracle
+      // recomputing from the ORIGINAL parquet.
+      val cust = t(s, d, "customer")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dsevo_q").toString
+      val root = s"$tmp/customer"
+      graft.sources.DeltaWriter.write(
+        cust.filter(col("c_custkey") % 2 === 0)
+          .select("c_custkey", "c_mktsegment").coalesce(4), root)
+      def start() = s.readStream.format("graft-delta")
+        .option("schemaTrackingLocation", s"$tmp/track").load(root)
+        .writeStream.format("parquet").option("path", s"$tmp/sink")
+        .option("checkpointLocation", s"$tmp/cp").start()
+      val q1 = start()
+      try {
+        q1.processAllAvailable()
+        // WIDEN mid-run: c_acctbal arrives with the second half
+        graft.sources.DeltaWriter.write(
+          cust.filter(col("c_custkey") % 2 === 1)
+            .select("c_custkey", "c_mktsegment", "c_acctbal").coalesce(4), root,
+          schemaPolicy = graft.sources.DeltaSchema.Evolve)
+        q1.processAllAvailable()
+        require(false, "stream should have failed on the mid-run schema change")
+      } catch {
+        case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
+      } finally q1.stop()
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/sink")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          round(sum(coalesce(col("c_acctbal"), lit(0.0))), 2).as("bal"),
+          min("c_custkey").as("min_key"), max("c_custkey").as("max_key"))
+    }),
+    "q_delta_v2_checkpoint" -> ((s, d) => {
+      // V2 checkpoint round-trip: two commits, a sidecar checkpoint above
+      // a lowered threshold, the pre-checkpoint commit json aged out —
+      // the table must reconstruct from the uuid-named main file plus
+      // _sidecars alone and match the oracle on the original rows.
+      val cust = t(s, d, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_v2cp_q").toString
+      val root = s"$tmp/customer"
+      // repartition (not coalesce: the source is one file) so the commits
+      // land enough files to cross the lowered V2 threshold
+      graft.sources.DeltaWriter.write(
+        cust.filter(col("c_custkey") % 2 === 0).repartition(4), root)
+      graft.sources.DeltaWriter.write(
+        cust.filter(col("c_custkey") % 2 === 1).repartition(4), root)
+      val savedT = s.conf.getOption("graft.delta.checkpoint.v2.threshold")
+      val savedS = s.conf.getOption("graft.delta.checkpoint.sidecar.files")
+      s.conf.set("graft.delta.checkpoint.v2.threshold", "4")
+      s.conf.set("graft.delta.checkpoint.sidecar.files", "3")
+      try graft.sources.DeltaWriter.writeCheckpoint(s, root, 1L)
+      finally {
+        savedT.fold(s.conf.unset("graft.delta.checkpoint.v2.threshold"))(
+          v => s.conf.set("graft.delta.checkpoint.v2.threshold", v))
+        savedS.fold(s.conf.unset("graft.delta.checkpoint.sidecar.files"))(
+          v => s.conf.set("graft.delta.checkpoint.sidecar.files", v))
+      }
+      val log = new java.io.File(root, "_delta_log")
+      require(log.listFiles.exists(
+        _.getName.matches("\\d{20}\\.checkpoint\\.[A-Za-z0-9-]+\\.parquet")),
+        "no V2 checkpoint written")
+      require(new java.io.File(log, "_sidecars").listFiles
+        .count(_.getName.endsWith(".parquet")) >= 2, "no sidecar shards")
+      require(new java.io.File(log, f"${0L}%020d.json").delete(), "age-out failed")
+      graft.sources.DeltaLog.read(s, root)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("bal"),
+          min("c_custkey").as("min_key"), max("c_custkey").as("max_key"))
+    }),
     "q_topk_values" -> ((s, d) => // per-group exact top-k by frequency
       operators.Sketches.topKValues(events(s, d), Seq("user_id"), "event_type", 2)
         .withColumn("n", col("n").cast("long"))),
@@ -2270,6 +2347,12 @@ object SparkEntry {
     "q_delta_stream_read" ->
       "SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal, min(c_custkey) AS min_key, max(c_custkey) AS max_key FROM customer GROUP BY 1",
     "q_iceberg_stream_read" ->
+      "SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal, min(c_custkey) AS min_key, max(c_custkey) AS max_key FROM customer GROUP BY 1",
+    "q_delta_stream_evolve" ->
+      ("SELECT c_mktsegment, count(*) AS n, " +
+        "round(sum(CASE WHEN c_custkey % 2 = 1 THEN c_acctbal ELSE 0 END), 2) AS bal, " +
+        "min(c_custkey) AS min_key, max(c_custkey) AS max_key FROM customer GROUP BY 1"),
+    "q_delta_v2_checkpoint" ->
       "SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal, min(c_custkey) AS min_key, max(c_custkey) AS max_key FROM customer GROUP BY 1",
     "q_convert_timezone" ->
       "SELECT o_orderkey, o_orderdate, timezone('America/New_York', timezone('UTC', o_orderdate)) AS o_local FROM orders",
