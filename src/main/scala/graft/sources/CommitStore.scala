@@ -175,14 +175,45 @@ object CreateIfAbsentCommitStore extends CommitStore {
   override def putIfAbsent(f: FileSystem, target: Path, payload: Array[Byte],
                            nonce: String): Boolean = {
     f.mkdirs(target.getParent)
+    val out = try f.create(target, false) catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+      case _: java.nio.file.FileAlreadyExistsException => return false
+      case _: java.io.IOException if f.exists(target) => return false
+    }
     try {
-      val out = f.create(target, false)
-      try out.write(payload) finally out.close()
+      out.write(payload); out.close()
       true
     } catch {
+      // the mock/real conditional-put publishes at close: EEXIST there
+      // is a cleanly lost race
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
       case _: java.nio.file.FileAlreadyExistsException => false
-      case _: java.io.IOException if f.exists(target) => false
+      case e: Throwable =>
+        // the PUT errored mid-write. On a true conditional-put store
+        // nothing landed; on a misconfigured store (explicit
+        // graft.commit.store=create over immediate-visibility create)
+        // OUR torn partial may now sit at the claim path. If the target
+        // holds our COMPLETE payload the put actually landed — win;
+        // otherwise fail LOUDLY (never 'false': a silent rebase past a
+        // possibly-torn commit would poison every later replay).
+        try out.close() catch { case _: Exception => () }
+        val landed = try {
+          val in = f.open(target)
+          val got = try {
+            val buf = new java.io.ByteArrayOutputStream()
+            val tmp = new Array[Byte](64 * 1024)
+            var n = in.read(tmp)
+            while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+            buf.toByteArray
+          } finally in.close()
+          java.util.Arrays.equals(got, payload)
+        } catch { case _: Exception => false }
+        if (landed) true
+        else throw new IllegalStateException(
+          s"conditional-put commit of $target failed mid-write and the " +
+            "claim path does not hold this writer's payload — verify the " +
+            "store's create(overwrite=false) is atomic-on-complete and " +
+            "remove any torn object before retrying", e)
     }
   }
 }
@@ -229,16 +260,40 @@ final class LockCommitStore(lockDir: Path, inner: CommitStore) extends CommitSto
         s"graft.commit.lock.dir=$lockDir resolves to a filesystem without " +
           "an atomic claim primitive — locks there cannot serialize writers"))
     val token = s"$nonce ${System.currentTimeMillis()}\n".getBytes("UTF-8")
+    def lockContent(): Option[Array[Byte]] =
+      try {
+        val in = lockFs.open(lockFile)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](4096)
+          var n = in.read(tmp)
+          while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+          Some(buf.toByteArray)
+        } finally in.close()
+      } catch { case _: Exception => None }
     val deadline = System.currentTimeMillis() + timeoutMs
     var held = false
     while (!held) {
       held = lockStore.putIfAbsent(lockFs, lockFile, token, nonce)
+      if (held) {
+        // ownership VERIFY: a racing stale-breaker may have deleted our
+        // fresh lock and a third writer claimed it — holding is only
+        // real if the file still carries OUR token
+        if (!lockContent().exists(java.util.Arrays.equals(_, token)))
+          held = false
+      }
       if (!held) {
-        // break STALE locks: older than the timeout = crashed holder
+        // break STALE locks (older than the TTL = crashed holder) — but
+        // only when an immediate re-stat still shows the SAME stale
+        // mtime, so a lock that was just re-claimed is never deleted
+        // from a stale observation
         try {
           val st = lockFs.getFileStatus(lockFile)
-          if (System.currentTimeMillis() - st.getModificationTime > timeoutMs)
-            lockFs.delete(lockFile, false)
+          if (System.currentTimeMillis() - st.getModificationTime > timeoutMs) {
+            val st2 = lockFs.getFileStatus(lockFile)
+            if (st2.getModificationTime == st.getModificationTime)
+              lockFs.delete(lockFile, false)
+          }
         } catch { case _: java.io.FileNotFoundException => () }
         if (System.currentTimeMillis() > deadline)
           throw new IllegalStateException(
@@ -247,8 +302,13 @@ final class LockCommitStore(lockDir: Path, inner: CommitStore) extends CommitSto
         Thread.sleep(20L + scala.util.Random.nextInt(30))
       }
     }
+    // Residual TTL-lock caveat (shared with every mtime-based lease): a
+    // holder stalled past the TTL can still be broken mid-commit; true
+    // fencing needs a CAS store for the lock dir (and the verify above
+    // turns most delete races into retries, not double-holds).
     try inner.putIfAbsent(f, target, payload, nonce)
-    finally lockFs.delete(lockFile, false)
+    finally if (lockContent().exists(java.util.Arrays.equals(_, token)))
+      lockFs.delete(lockFile, false)
   }
 }
 

@@ -114,15 +114,58 @@ class DeltaStreamSource(spark: SparkSession, root: String,
     opt("schemaTrackingLocation", "schema_tracking_location")
 
   // the base decides batch 0: Left(snapshot version) = emit that whole
-  // snapshot first; Right(v) = tail add actions from version v on
-  private lazy val base: Either[Long, Long] = startingVersion match {
-    case None => Left(DeltaLog.versions(spark, root).last)
-    case Some("latest") => Right(DeltaLog.versions(spark, root).last + 1)
-    case Some(v) => Right(v.toLong)
+  // snapshot first; Right(v) = tail add actions from version v on.
+  // PERSISTED beside the checkpoint on first resolution: a restart that
+  // replays an uncommitted batch must enumerate the SAME base the
+  // original run did — re-resolving against a newer table would replay
+  // an empty batch and silently skip the original base's files.
+  private def baseFile: Option[Path] =
+    if (metadataPath.isEmpty) None
+    else Some(new Path(metadataPath, "graft-delta-base"))
+
+  private lazy val base: Either[Long, Long] = {
+    val recovered: Option[Either[Long, Long]] = baseFile.flatMap { p =>
+      val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        val n = new ObjectMapper().readTree(text)
+        Some(if (n.get("kind").asText() == "snapshot") Left(n.get("v").asLong)
+        else Right(n.get("v").asLong))
+      }
+    }
+    recovered.getOrElse {
+      val b = startingVersion match {
+        case None => Left(DeltaLog.versions(spark, root).last)
+        case Some("latest") => Right(DeltaLog.versions(spark, root).last + 1)
+        case Some(v) => Right(v.toLong)
+      }
+      baseFile.foreach { p =>
+        val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+        val kind = if (b.isLeft) "snapshot" else "tail"
+        val v = b.fold(identity, identity)
+        val out = f.create(p, true)
+        try out.write(s"""{"kind":"$kind","v":$v}""".getBytes("UTF-8"))
+        finally out.close()
+      }
+      b
+    }
   }
 
   private lazy val snapshotAtBase: DeltaLog.Snapshot = base match {
-    case Left(v) => DeltaLog.snapshot(spark, root, versionAsOf = Some(v))
+    case Left(v) =>
+      try DeltaLog.snapshot(spark, root, versionAsOf = Some(v))
+      catch {
+        case e: IllegalArgumentException
+          if recoverPosition().exists(o => !o.snapshot) =>
+          // the PERSISTED base version aged out of the log, but the
+          // recovered cursor is already past the snapshot phase — the
+          // base snapshot's files are never needed again, only a schema,
+          // which the current snapshot (or the tracked one) governs
+          DeltaLog.snapshot(spark, root)
+      }
     case Right(v) =>
       // schema as of the tail start (v-1 may predate the table: use v's)
       DeltaLog.snapshot(spark, root)
@@ -175,8 +218,11 @@ class DeltaStreamSource(spark: SparkSession, root: String,
 
   /** The version the served schema took effect at — metaData actions at
     * or before it with a NARROWER schema are history (their files
-    * null-fill); a narrower schema AFTER it is a column drop. */
-  private lazy val servedFromVersion: Long =
+    * null-fill); a narrower schema AFTER it is a column drop. EAGER: a
+    * lazy read would evaluate versions() at the moment of the first
+    * mismatch, where latest already includes the offending commit and a
+    * mid-stream DROP would silently pass as "history". */
+  private val servedFromVersion: Long =
     trackedAtStart.map(_._1).getOrElse(base match {
       case Left(v) => v
       case Right(_) => DeltaLog.versions(spark, root).last
@@ -285,7 +331,8 @@ class DeltaStreamSource(spark: SparkSession, root: String,
     * file count and/or cumulative bytes (a batch always makes progress:
     * the first file is admitted regardless of `capBytes`). */
   private def pendingAfter(from: Option[DeltaSourceOffset], cap: Option[Int],
-                           capBytes: Option[Long] = None)
+                           capBytes: Option[Long] = None,
+                           untilVersion: Option[Long] = None)
       : Seq[(DeltaSourceOffset, DeltaLog.AddFile)] = {
     val out = scala.collection.mutable.ArrayBuffer[(DeltaSourceOffset, DeltaLog.AddFile)]()
     var bytes = 0L
@@ -321,22 +368,32 @@ class DeltaStreamSource(spark: SparkSession, root: String,
     // phase 2: tail commits (CDF mode: ONE item per version — the batch
     // reads that version's change rows through DeltaLog.changes)
     snapStart.foreach { sv =>
-      var v = from match {
+      // the first version the stream still NEEDS: an index of MaxValue is
+      // the fully-consumed sentinel (the 'latest'-start pin), so the need
+      // starts at the NEXT version
+      val firstNeeded = from match {
+        case Some(o) if !o.snapshot && o.index == Long.MaxValue => o.version + 1
         case Some(o) if !o.snapshot => o.version
         case _ => sv
       }
       val earliest = DeltaLog.versions(spark, root).head
-      // fail LOUDLY when the start/recovered cursor predates the earliest
+      // fail LOUDLY when an UNCONSUMED version predates the earliest
       // retained _delta_log entry — silently skipping expired versions
       // would be a data gap the consumer can never detect (delta-spark's
-      // DeltaSource errors here too)
-      if (v < earliest && v <= latest)
+      // DeltaSource errors here too). A cursor that already consumed
+      // through its version (sentinel / advanced form below) is NOT a
+      // gap even when that version's own log entry was cleaned up.
+      if (firstNeeded < earliest && firstNeeded <= latest)
         throw new IllegalStateException(
-          s"graft-delta stream at $root: version $v is no longer available " +
-          s"(earliest retained log version is $earliest). Log entries before " +
-          "the requested start were cleaned up; restart the stream from a " +
-          "fresh checkpoint with an available startingVersion.")
-      while (v <= latest && room) {
+          s"graft-delta stream at $root: version $firstNeeded is no longer " +
+          s"available (earliest retained log version is $earliest). Log " +
+          "entries before the requested start were cleaned up; restart the " +
+          "stream from a fresh checkpoint with an available startingVersion.")
+      var v = firstNeeded
+      // bounded enumeration: getBatch passes its end version so a batch
+      // never re-walks the whole backlog's jsons (O(batch), not O(pending))
+      val stop = math.min(latest, untilVersion.getOrElse(latest))
+      while (v <= stop && room) {
         val adds =
           if (readChangeFeed) Seq(DeltaLog.AddFile("", Map.empty, 0L, 0L))
           else addsOf(v)
@@ -358,7 +415,20 @@ class DeltaStreamSource(spark: SparkSession, root: String,
   override def getOffset: Option[OffsetV1] = {
     val last = lastReturned
     val pending = pendingAfter(last, maxFiles, maxBytes)
-    if (pending.nonEmpty) setPosition(pending.last._1)
+    if (pending.nonEmpty) {
+      val lastPos = pending.last._1
+      // a tail version drained to its end checkpoints as (v+1, 0) —
+      // "consumed through v" — so the cursor survives v's log entry
+      // expiring under retention. (CDF offsets keep the per-version
+      // form: their batch ranges are version-addressed.)
+      val advanced =
+        if (!lastPos.snapshot && !readChangeFeed &&
+            lastPos.index != Long.MaxValue &&
+            lastPos.index >= addsOf(lastPos.version).size)
+          DeltaSourceOffset(lastPos.version + 1, 0L, snapshot = false)
+        else lastPos
+      setPosition(advanced)
+    }
     else if (last.isEmpty) {
       // pin the BASE even with nothing to emit: a 'latest' start that
       // restarts before its first batch must not re-resolve against a
@@ -414,9 +484,11 @@ class DeltaStreamSource(spark: SparkSession, root: String,
     val startOff = start.map(toOffset)
     setPosition(endOff) // a recovered uncommitted batch re-initializes us
     if (readChangeFeed) return cdfBatch(startOff, endOff)
-    // everything in (start, end]; bounded re-enumeration from the log, so
-    // a restart reproduces the batch exactly
-    val files = pendingAfter(startOff, None)
+    // everything in (start, end]; bounded re-enumeration from the log
+    // (stopping at end's version), so a restart reproduces the batch
+    // exactly without re-walking the whole backlog
+    val files = pendingAfter(startOff, None, None,
+        Some(if (endOff.snapshot) Long.MinValue else endOff.version))
       .takeWhile { case (pos, _) => !offsetLt(endOff, pos) }
       .map(_._2)
     val snapFor =

@@ -121,22 +121,53 @@ class IcebergStreamSource(spark: SparkSession, root: String,
     m.snapshots.sortBy(s => (s.timestampMs, s.snapshotId))
 
   // Left(id) = emit snapshot `id` whole as batch 0; Right(id) = tail
-  // snapshots strictly after `id` (Long.MinValue = from the beginning)
+  // snapshots strictly after `id` (Long.MinValue = from the beginning).
+  // PERSISTED beside the checkpoint on first resolution: a restart that
+  // replays an uncommitted batch must enumerate the SAME base the
+  // original run did — re-resolving against a newer table would replay
+  // an empty batch and silently skip the original base's files.
+  private def baseFile: Option[Path] =
+    if (metadataPath.isEmpty) None
+    else Some(new Path(metadataPath, "graft-iceberg-base"))
+
   private lazy val base: Either[Long, Long] = {
-    val m = meta
-    val cur = m.currentSnapshotId.getOrElse(throw new IllegalArgumentException(
-      s"iceberg table $root has no snapshot to stream from"))
-    startingSnapshotId match {
-      case None => Left(cur)
-      case Some("latest") => Right(cur)
-      case Some(id) =>
-        // tail from (and including) the given snapshot: exclusive cursor
-        // is its predecessor in the log
-        val ord = orderedSnaps(m)
-        val i = ord.indexWhere(_.snapshotId == id.toLong)
-        require(i >= 0, s"snapshot $id not in " +
-          s"[${ord.map(_.snapshotId).mkString(", ")}]")
-        Right(if (i == 0) Long.MinValue else ord(i - 1).snapshotId)
+    val recovered: Option[Either[Long, Long]] = baseFile.flatMap { p =>
+      val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        val n = mapper.readTree(text)
+        Some(if (n.get("kind").asText() == "snapshot") Left(n.get("v").asLong)
+        else Right(n.get("v").asLong))
+      }
+    }
+    recovered.getOrElse {
+      val m = meta
+      val cur = m.currentSnapshotId.getOrElse(throw new IllegalArgumentException(
+        s"iceberg table $root has no snapshot to stream from"))
+      val b = startingSnapshotId match {
+        case None => Left(cur)
+        case Some("latest") => Right(cur)
+        case Some(id) =>
+          // tail from (and including) the given snapshot: exclusive
+          // cursor is its predecessor in the log
+          val ord = orderedSnaps(m)
+          val i = ord.indexWhere(_.snapshotId == id.toLong)
+          require(i >= 0, s"snapshot $id not in " +
+            s"[${ord.map(_.snapshotId).mkString(", ")}]")
+          Right(if (i == 0) Long.MinValue else ord(i - 1).snapshotId)
+      }
+      baseFile.foreach { p =>
+        val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+        val kind = if (b.isLeft) "snapshot" else "tail"
+        val v = b.fold(identity, identity)
+        val out = f.create(p, true)
+        try out.write(s"""{"kind":"$kind","v":$v}""".getBytes("UTF-8"))
+        finally out.close()
+      }
+      b
     }
   }
 
@@ -267,7 +298,8 @@ class IcebergStreamSource(spark: SparkSession, root: String,
     * A `None` path is a marker: the whole-snapshot MOR base batch, or a
     * fileless snapshot whose position still records progress. */
   private def pendingAfter(from: Option[IcebergSourceOffset], cap: Option[Int],
-                           capBytes: Option[Long] = None)
+                           capBytes: Option[Long] = None,
+                           untilId: Option[Long] = None)
       : Seq[(IcebergSourceOffset, Option[String])] = {
     val m = meta
     val ord = orderedSnaps(m)
@@ -322,8 +354,12 @@ class IcebergStreamSource(spark: SparkSession, root: String,
           case Right(id) => (ordIdx(ord, id, "base") + 1, 0L)
         }
       }
+      // bounded enumeration: getBatch passes its end snapshot so a batch
+      // never re-walks the whole backlog's manifests
+      val stopOrd = untilId.map(id => ordIdx(ord, id, "batch-end"))
+        .getOrElse(ord.size - 1)
       var s = startOrd
-      while (s < ord.size && room) {
+      while (s <= stopOrd && room) {
         val added = addedEntries(m, ord, s)
         val first = if (s == startOrd) startIdx else 0L
         if (added.isEmpty) {
@@ -453,8 +489,12 @@ class IcebergStreamSource(spark: SparkSession, root: String,
     // advance the checkpoint past never-delivered rows — ordIdx fails
     ordIdx(ord, endOff.snapshotId, "batch-end")
     // everything in (start, end]; bounded re-enumeration from table
-    // metadata, so a restart reproduces the batch exactly
-    val inRange = pendingAfter(startOff, None, None)
+    // metadata (stopping at end's snapshot), so a restart reproduces the
+    // batch exactly without re-walking the whole backlog
+    // (a snapshot-phase end bounds phase 2 to nothing: stopOrd lands on
+    // the base itself, before the first tail snapshot)
+    val inRange = pendingAfter(startOff, None, None,
+        untilId = Some(endOff.snapshotId))
       .takeWhile { case (pos, _) => !offsetLt(endOff, pos) }
     val frames = scala.collection.mutable.ArrayBuffer[DataFrame]()
     // the whole-snapshot MOR base batch travels as a marker position,

@@ -349,6 +349,61 @@ class DeltaStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** Rows of a Source.getBatch frame (streaming-flagged; its LogicalRDD
+    * already carries the materialized rows). */
+  private def batchRows(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.logical
+      .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD].rdd.count()
+
+  test("uncommitted batch-0 replay after the table advances loses nothing") {
+    import graft.sources.DeltaStreamSource
+    val root = tmp()
+    DeltaWriter.write((0 until 20).toDF("k").repartition(4), root) // v0
+    val metaDir = tmp() // plays the engine's per-source metadata path
+    val s1 = new DeltaStreamSource(spark, root, Map.empty, metaDir)
+    val end = s1.getOffset.get // engine logs this offset to its WAL...
+    // ...and crashes BEFORE the batch commits; the table advances
+    DeltaWriter.write((100 until 105).toDF("k"), root) // v1
+    // restart: a fresh source (same metadata path) replays the batch —
+    // it must enumerate the PERSISTED base, not a re-resolved current one
+    val s2 = new DeltaStreamSource(spark, root, Map.empty, metaDir)
+    val replay = s2.getBatch(None, end)
+    assert(batchRows(replay) == 20,
+      "replayed batch 0 must pin the original base snapshot")
+    val end2 = s2.getOffset.get
+    assert(batchRows(s2.getBatch(Some(end), end2)) == 5,
+      "the commit that landed while down must follow as its own batch")
+  }
+
+  test("fully-drained cursor survives its version's log entry expiring") {
+    import graft.sources.DeltaStreamSource
+    val root = tmp()
+    DeltaWriter.write(Seq((1, "a")).toDF("k", "v"), root) // v0
+    val metaDir = tmp()
+    val s = new DeltaStreamSource(spark, root, Map.empty, metaDir)
+    val o1 = s.getOffset.get
+    s.getBatch(None, o1)
+    DeltaWriter.write(Seq((2, "b")).toDF("k", "v"), root) // v1
+    val o2 = s.getOffset.get
+    // v1 drained to its end: the checkpointed position advances PAST it
+    assert(o2.json().contains("\"version\":2") && o2.json().contains("\"index\":0"),
+      s"expected an advanced (2,0) cursor, got ${o2.json()}")
+    s.getBatch(Some(o1), o2)
+    // v2 lands, then retention cleanup removes the checkpoint-covered
+    // v0/v1 entries (cleanup only ever runs with newer commits present)
+    DeltaWriter.write(Seq((3, "c")).toDF("k", "v"), root) // v2
+    DeltaWriter.writeCheckpoint(spark, root, 1L)
+    val log = new java.io.File(root, "_delta_log")
+    Seq(0L, 1L).foreach(v =>
+      assert(new java.io.File(log, f"$v%020d.json").delete()))
+    // the advanced cursor must NOT trip the expired-version guard: v1 was
+    // fully consumed, so nothing unconsumed predates the earliest entry
+    val s2 = new DeltaStreamSource(spark, root, Map.empty, metaDir)
+    val o3 = s2.getOffset.get
+    assert(batchRows(s2.getBatch(Some(o2), o3)) == 1,
+      "restart after log cleanup should drain exactly the new commit")
+  }
+
   test("startingVersion before the earliest retained log entry fails loudly") {
     val root = tmp()
     DeltaWriter.write(Seq((1, "a")).toDF("k", "v"), root) // v0

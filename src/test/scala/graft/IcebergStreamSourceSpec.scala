@@ -214,6 +214,25 @@ class IcebergStreamSourceSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 121)
   }
 
+  test("uncommitted batch-0 replay after the table advances loses nothing") {
+    import graft.sources.IcebergStreamSource
+    def batchRows(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.logical
+        .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD].rdd.count()
+    val root = tmp()
+    IcebergSource.write((0 until 20).toDF("k").repartition(4), root)
+    val metaDir = tmp()
+    val s1 = new IcebergStreamSource(spark, root, Map.empty, metaDir)
+    val end = s1.getOffset.get // logged to the WAL, then the engine dies
+    IcebergSource.write((100 until 105).toDF("k"), root) // lands while down
+    // restart replays the batch against the PERSISTED base snapshot
+    val s2 = new IcebergStreamSource(spark, root, Map.empty, metaDir)
+    assert(batchRows(s2.getBatch(None, end)) == 20,
+      "replayed batch 0 must pin the original base snapshot")
+    val end2 = s2.getOffset.get
+    assert(batchRows(s2.getBatch(Some(end), end2)) == 5)
+  }
+
   test("schemaTrackingLocation: additive evolution resumes after restart") {
     val root = tmp(); val cp = tmp(); val track = tmp(); val out = tmp()
     IcebergSource.write(Seq((1L, "a")).toDF("k", "v"), root)
