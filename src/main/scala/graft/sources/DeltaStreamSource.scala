@@ -280,7 +280,10 @@ class DeltaStreamSource(spark: SparkSession, root: String,
   }
 
   /** Per-version ADDED files while tailing, with the append-only contract
-    * enforced. Cached: a version's actions never change once committed. */
+    * enforced. Cached: a version's actions never change once committed.
+    * Entries well behind the consumed cursor are evicted in [[commit]] —
+    * a long-lived stream's driver footprint stays O(recent versions),
+    * not O(stream lifetime). */
   private val versionAdds = scala.collection.mutable.Map[Long, Seq[DeltaLog.AddFile]]()
 
   private def addsOf(version: Long): Seq[DeltaLog.AddFile] =
@@ -566,6 +569,12 @@ class DeltaStreamSource(spark: SparkSession, root: String,
     else if (a.version != b.version) a.version < b.version
     else a.index < b.index
 
-  override def commit(end: OffsetV1): Unit = ()
+  override def commit(end: OffsetV1): Unit = {
+    // a committed batch's versions are never re-read (offsets only move
+    // forward): drop their cached add lists and pinned snapshots
+    val v = toOffset(end).version
+    versionAdds.keys.filter(_ < v - 1).toSeq.foreach(versionAdds.remove)
+    snapAt.keys.filter(_ < v - 1).toSeq.foreach(snapAt.remove)
+  }
   override def stop(): Unit = ()
 }

@@ -567,6 +567,17 @@ class IcebergStreamSource(spark: SparkSession, root: String,
     case other => parseOffset(other.json())
   }
 
-  override def commit(end: OffsetV1): Unit = ()
+  override def commit(end: OffsetV1): Unit = {
+    // a committed batch's snapshots are never re-read (offsets only move
+    // forward): evict their cached file lists, keeping the cursor's
+    // predecessor (addedEntries diffs against it)
+    val endOff = toOffset(end)
+    val ord = orderedSnaps(meta)
+    val i = ord.indexWhere(_.snapshotId == endOff.snapshotId)
+    if (i > 1) {
+      val old = ord.take(i - 1).map(_.snapshotId).toSet
+      snapCache.keys.filter(old).toSeq.foreach(snapCache.remove)
+    }
+  }
   override def stop(): Unit = ()
 }
