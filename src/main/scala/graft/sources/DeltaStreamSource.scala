@@ -185,31 +185,11 @@ class DeltaStreamSource(spark: SparkSession, root: String,
   private def trackPath: Option[Path] =
     schemaTrackLoc.map(d => new Path(d, "graft-delta-schema-track.json"))
 
-  private def readTracked(): Option[(Long, StructType)] = trackPath.flatMap { p =>
-    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      val n = new ObjectMapper().readTree(text)
-      Some((n.get("version").asLong,
-        org.apache.spark.sql.types.DataType.fromJson(n.get("schemaJson").asText())
-          .asInstanceOf[StructType]))
-    }
-  }
-
   private def writeTracked(version: Long, st: StructType): Unit =
-    trackPath.foreach { p =>
-      val f = p.getFileSystem(spark.sessionState.newHadoopConf())
-      val node = new ObjectMapper().createObjectNode()
-      node.put("version", version)
-      node.put("schemaJson", st.json)
-      val out = f.create(p, true)
-      try out.write(node.toString.getBytes("UTF-8")) finally out.close()
-    }
+    trackPath.foreach(SchemaTracking.write(spark, _, version, st))
 
-  private val trackedAtStart: Option[(Long, StructType)] = readTracked()
+  private val trackedAtStart: Option[(Long, StructType)] =
+    trackPath.flatMap(SchemaTracking.read(spark, _))
 
   /** The table schema this RUN serves: the tracked (evolved) one when the
     * tracking location holds it, else the base snapshot's. */
@@ -238,10 +218,8 @@ class DeltaStreamSource(spark: SparkSession, root: String,
       org.apache.spark.sql.types.StructField("_commit_timestamp",
         org.apache.spark.sql.types.TimestampType)))
 
-  /** Every field of `old` present in `wide` with the same type. */
   private def isAdditive(old: StructType, wide: StructType): Boolean =
-    old.fields.forall(f =>
-      wide.fields.exists(g => g.name == f.name && g.dataType == f.dataType))
+    SchemaTracking.isAdditive(old, wide)
 
   /** Mid-stream schema-change discipline: exact match passes; a NARROWER
     * historical schema (at/before [[servedFromVersion]]) passes — its
@@ -267,17 +245,8 @@ class DeltaStreamSource(spark: SparkSession, root: String,
         else "; set schemaTrackingLocation to resume across additive changes"))
   }
 
-  /** Null-fill/reorder `df` to the stream's declared schema — how files
-    * written under an older (narrower) table schema surface after a
-    * tracked widening. */
-  private def align(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
-    if (df.schema == schema) df
-    else df.select(schema.fields.toSeq.map { f =>
-      if (df.columns.contains(f.name)) col(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
-    }: _*)
-  }
+  private def align(df: DataFrame): DataFrame =
+    SchemaTracking.align(df, schema)
 
   /** Per-version ADDED files while tailing, with the append-only contract
     * enforced. Cached: a version's actions never change once committed.

@@ -21,9 +21,9 @@ import org.apache.spark.sql.types.StructType
  *    `maxBytesPerTrigger` cap FILES per micro-batch, so one bulk
  *    snapshot drains as many batches and can stop MID-snapshot; a batch
  *    re-derives its file list from the manifests in commit order, so
- *    restarts reproduce it exactly. The one whole-snapshot batch is a
- *    MOR base snapshot (its delete files must apply against the
- *    complete data-file set); CDF mode caps snapshots.
+ *    restarts reproduce it exactly. MOR base snapshots split too: the
+ *    snapshot's delete files apply soundly to each file subset (deletes
+ *    addressing absent files are no-ops). CDF mode caps snapshots.
  *  - tail semantics by snapshot summary operation: `append` emits the
  *    snapshot's new data files raw; `replace` (compaction, zero net row
  *    change) is skipped; `delete` fails unless ignoreDeletes/
@@ -174,36 +174,15 @@ class IcebergStreamSource(spark: SparkSession, root: String,
   private def trackPath: Option[Path] =
     schemaTrackLoc.map(d => new Path(d, "graft-iceberg-schema-track.json"))
 
-  private def readTracked(): Option[StructType] = trackPath.flatMap { p =>
-    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      val n = mapper.readTree(text)
-      Some(org.apache.spark.sql.types.DataType.fromJson(n.get("schemaJson").asText())
-        .asInstanceOf[StructType])
-    }
-  }
-
   private def writeTracked(snapshotId: Long, st: StructType): Unit =
-    trackPath.foreach { p =>
-      val f = p.getFileSystem(spark.sessionState.newHadoopConf())
-      val node = mapper.createObjectNode()
-      node.put("snapshotId", snapshotId)
-      node.put("schemaJson", st.json)
-      val out = f.create(p, true)
-      try out.write(node.toString.getBytes("UTF-8")) finally out.close()
-    }
+    trackPath.foreach(SchemaTracking.write(spark, _, snapshotId, st))
 
-  private val tableSchema: StructType = readTracked().getOrElse(
-    IcebergSource.stripFieldIds(meta.schema).asInstanceOf[StructType])
+  private val tableSchema: StructType =
+    trackPath.flatMap(SchemaTracking.read(spark, _)).map(_._2).getOrElse(
+      IcebergSource.stripFieldIds(meta.schema).asInstanceOf[StructType])
 
-  /** Every field of `old` present in `wide` with the same type. */
   private def isAdditive(old: StructType, wide: StructType): Boolean =
-    old.fields.forall(f =>
-      wide.fields.exists(g => g.name == f.name && g.dataType == f.dataType))
+    SchemaTracking.isAdditive(old, wide)
 
   override val schema: StructType =
     if (!readChangeFeed) tableSchema
@@ -239,21 +218,39 @@ class IcebergStreamSource(spark: SparkSession, root: String,
         else "; set schemaTrackingLocation to resume across additive changes"))
   }
 
-  /** Live data files of a snapshot + whether it carries row-level delete
-    * files (driver metadata walk, cached — a committed snapshot's file
-    * list never changes). */
-  private val snapCache =
-    scala.collection.mutable.Map[Long, (Seq[IcebergSource.FileEntry], Boolean)]()
-  private def liveFiles(m: IcebergSource.TableMeta, snapshotId: Long)
-      : (Seq[IcebergSource.FileEntry], Boolean) =
+  /** Live data files + position/equality delete files of a snapshot
+    * (driver metadata walk, cached — a committed snapshot's file list
+    * never changes). */
+  private val snapCache = scala.collection.mutable.Map[Long,
+    (Seq[IcebergSource.FileEntry], Seq[IcebergSource.FileEntry],
+      Seq[IcebergSource.FileEntry])]()
+  private def snapFiles(m: IcebergSource.TableMeta, snapshotId: Long)
+      : (Seq[IcebergSource.FileEntry], Seq[IcebergSource.FileEntry],
+         Seq[IcebergSource.FileEntry]) =
     snapCache.getOrElseUpdate(snapshotId, {
       val snap = m.snapshots.find(_.snapshotId == snapshotId).getOrElse(
         throw new IllegalStateException(s"snapshot $snapshotId expired mid-stream"))
-      val (d, pos, eq) = IcebergSource.snapshotFiles(spark, root, snap, m)
-      (d, pos.nonEmpty || eq.nonEmpty)
+      IcebergSource.snapshotFiles(spark, root, snap, m)
     })
   private def dataFilePaths(m: IcebergSource.TableMeta, snapshotId: Long): Seq[String] =
-    liveFiles(m, snapshotId)._1.map(_.path)
+    snapFiles(m, snapshotId)._1.map(_.path)
+
+  /** A MOR-correct read of a SUBSET of one snapshot's data files: the
+    * snapshot's delete files apply soundly to any subset (a delete row
+    * addressing an absent file is a no-op), which is what lets a bulk
+    * MOR base snapshot drain file-by-file under the trigger caps. */
+  private def morSubset(m: IcebergSource.TableMeta, snapshotId: Long,
+                        paths: Seq[String]): DataFrame = {
+    val (all, posD, eqD) = snapFiles(m, snapshotId)
+    val scan = spark.read.schema(tableSchema).parquet(paths: _*)
+    if (posD.isEmpty && eqD.isEmpty) scan
+    else {
+      val wanted = paths.toSet
+      IcebergSource.applyDeletes(spark, m, scan,
+          all.filter(e => wanted(e.path)), posD, eqD)
+        .drop("_gf_path", "_gf_pos", "_gf_seq")
+    }
+  }
 
   /** The files snapshot `ord(i)` ADDED, with the append-only contract
     * enforced (deterministic manifest order — offsets index into it). */
@@ -277,7 +274,7 @@ class IcebergStreamSource(spark: SparkSession, root: String,
         val prev: Set[String] =
           if (i == 0) Set.empty
           else dataFilePaths(m, ord(i - 1).snapshotId).toSet
-        liveFiles(m, s.snapshotId)._1.filterNot(e => prev(e.path))
+        snapFiles(m, s.snapshotId)._1.filterNot(e => prev(e.path))
     }
   }
 
@@ -311,24 +308,19 @@ class IcebergStreamSource(spark: SparkSession, root: String,
     def room: Boolean = out.isEmpty ||
       (cap.forall(out.size < _) && capBytes.forall(bytes < _))
 
-    // phase 1: the base snapshot (offsets with snapshot=true). The
-    // snapshot being resumed is PINNED by the cursor's own snapshotId —
-    // a restart re-resolves `base` against the CURRENT table, but the
-    // recovered index addresses the file list of the snapshot the run
-    // started from; commits that landed while down replay as phase 2.
+    // phase 1: the base snapshot (offsets with snapshot=true), FILE by
+    // FILE even under MOR — the snapshot's delete files apply soundly to
+    // any data-file subset ([[morSubset]]). The snapshot being resumed
+    // is PINNED by the cursor's own snapshotId — a restart re-resolves
+    // `base` against the CURRENT table, but the recovered index
+    // addresses the file list of the snapshot the run started from;
+    // commits that landed while down replay as phase 2.
     val baseConsumed: Boolean = base match {
       case Left(id) if from.forall(_.snapshot) =>
         val resumeId = from.map(_.snapshotId).getOrElse(id)
-        val (files, hasDeletes) = liveFiles(m, resumeId)
+        val files = snapFiles(m, resumeId)._1
         val startIdx = from.map(_.index).getOrElse(0L)
-        if (hasDeletes) {
-          // a MOR base snapshot emits as ONE batch: its delete files
-          // must apply against the complete data-file set
-          if (from.isEmpty)
-            admit(IcebergSourceOffset(resumeId, Long.MaxValue, snapshot = true),
-              None, 0L)
-          true
-        } else if (startIdx >= files.size) true
+        if (startIdx >= files.size) true
         else {
           var i = startIdx
           while (i < files.size && room) {
@@ -497,15 +489,22 @@ class IcebergStreamSource(spark: SparkSession, root: String,
         untilId = Some(endOff.snapshotId))
       .takeWhile { case (pos, _) => !offsetLt(endOff, pos) }
     val frames = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    // the whole-snapshot MOR base batch travels as a marker position,
-    // pinned to the marker's own snapshot id
+    // legacy whole-snapshot MOR marker (pre-file-level checkpoints only)
     inRange.collectFirst { case (pos, None) if pos.snapshot => pos.snapshotId }
       .foreach { id =>
         frames += IcebergSource.read(spark, root, snapshotId = Some(id))
       }
-    val paths = inRange.collect { case (pos, Some(p)) => p }
-    if (paths.nonEmpty)
-      frames += spark.read.schema(tableSchema).parquet(paths: _*)
+    // snapshot-phase file slices read MOR-correct against the pinned
+    // snapshot's delete files; tail files are raw appends
+    val snapPaths = inRange.collect { case (pos, Some(p)) if pos.snapshot => p }
+    if (snapPaths.nonEmpty) {
+      val sid = inRange.collectFirst {
+        case (pos, Some(_)) if pos.snapshot => pos.snapshotId }.get
+      frames += morSubset(m, sid, snapPaths)
+    }
+    val tailPaths = inRange.collect { case (pos, Some(p)) if !pos.snapshot => p }
+    if (tailPaths.nonEmpty)
+      frames += spark.read.schema(tableSchema).parquet(tailPaths: _*)
     streamingUnion(frames.toSeq)
   }
 
@@ -547,18 +546,12 @@ class IcebergStreamSource(spark: SparkSession, root: String,
   }
 
   private def streamingUnion(frames: Seq[DataFrame]): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
     // null-fill/reorder each frame to the stream's declared schema —
     // frames read from pre-widening snapshots lack the new columns
-    def align(df: DataFrame): DataFrame =
-      df.select(schema.fields.toSeq.map { f =>
-        if (df.columns.contains(f.name)) col(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
-      }: _*)
     val df =
       if (frames.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      else frames.map(align).reduce(_.union(_))
+      else frames.map(f => SchemaTracking.align(f, schema)).reduce(_.union(_))
     org.apache.spark.sql.graftshim.ColumnShim.asStreamingFrame(df)
   }
 

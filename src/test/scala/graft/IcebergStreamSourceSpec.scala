@@ -53,6 +53,27 @@ class IcebergStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("MOR base snapshot drains file-by-file under the cap, deletes applied") {
+    val root = tmp()
+    IcebergSource.write((0L until 60L).map(i => (i, i % 2)).toDF("k", "m")
+      .repartition(6), root)
+    IcebergSource.delete(spark, root, "m = 1")
+    val name = mem()
+    val q = spark.readStream.format("graft-iceberg")
+      .option("maxFilesPerTrigger", "2").load(root)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", tmp()).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table(name).as[(Long, Long)].collect()
+      assert(got.length == 30 && got.forall(_._2 == 0L),
+        s"expected the 30 surviving rows, got ${got.length}")
+      assert(got.map(_._1).toSet == (0L until 60L by 2).toSet)
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+        "a 6-file MOR snapshot under a 2-file cap should take >=3 batches")
+    } finally q.stop()
+  }
+
   test("compaction (replace) is skipped; a delete fails without ignoreDeletes") {
     val root = tmp()
     (0 until 3).foreach(i =>
