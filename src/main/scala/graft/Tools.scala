@@ -45,6 +45,7 @@ object Tools {
       |           | <root> --serve [--port N] [--max-seconds S]   (live HTTP dashboard)
       |  delta:   optimize <root> [--target-file-mb N] [--zorder-by a,b]
       |           vacuum <root> [--retention-hours H] [--dry-run] | history <root>
+      |           cleanup-logs <root> [--retention-hours H] [--dry-run]
       |           delete <root> <predicate> [--partition K=V ...]   (deletion vectors)
       |  iceberg: history <root> | optimize | expire
       |           delete <root> <predicate> [--partition K=V ...]   (position deletes)
@@ -393,6 +394,23 @@ object Tools {
         val verb = if (dry) "would delete" else "deleted"
         println(s"$verb ${res.deleted.size} files (${res.bytes} B) at $root")
         res.deleted.foreach(p => println(s"  $p"))
+        0
+      }
+    case "cleanup-logs" :: root :: rest =>
+      var hours = 720.0; var dry = false
+      var r = rest
+      while (r.nonEmpty) r match {
+        case "--retention-hours" :: v :: t => hours = v.toDouble; r = t
+        case "--dry-run" :: t => dry = true; r = t
+        case other :: _ => System.err.println(s"unknown cleanup-logs arg $other"); return 2
+        case Nil => ()
+      }
+      withSpark { spark =>
+        val res = graft.sources.DeltaMaintenance.cleanupLogs(spark, root, hours, dry)
+        val verb = if (dry) "would delete" else "deleted"
+        println(s"$verb ${res.deletedCommits.size} commit jsons, " +
+          s"${res.deletedCheckpoints.size} checkpoints, " +
+          s"${res.deletedSidecars.size} sidecars at $root")
         0
       }
     case "history" :: root :: Nil =>

@@ -388,6 +388,97 @@ object DeltaMaintenance {
     VacuumResult(rel.sorted, bytes, dryRun)
   }
 
+  final case class LogCleanupResult(deletedCommits: Seq[Long],
+                                    deletedCheckpoints: Seq[String],
+                                    deletedSidecars: Seq[String],
+                                    dryRun: Boolean)
+
+  /**
+   * Log-retention cleanup (the `delta.logRetentionDuration` equivalent):
+   * delete commit jsons and superseded checkpoints strictly BELOW the
+   * newest checkpointed version once older than `retentionHours`, plus
+   * `_sidecars` files no RETAINED checkpoint references (V2 checkpoints
+   * superseded by a newer one would otherwise leak their shards
+   * forever). State at/after the newest checkpoint replays exactly as
+   * before; time travel to cleaned versions becomes unavailable — the
+   * standard Delta trade. Streaming cursors that fully consumed the
+   * cleaned versions survive (their positions advance past drained
+   * versions); a cursor with UNCONSUMED cleaned versions fails loudly
+   * rather than silently skipping data.
+   */
+  def cleanupLogs(spark: SparkSession, root: String,
+                  retentionHours: Double = 720.0,
+                  dryRun: Boolean = false): LogCleanupResult = {
+    require(retentionHours >= 0, "retentionHours must be >= 0")
+    val f = fs(spark, root)
+    val logDir = new Path(root, "_delta_log")
+    if (!f.exists(logDir)) return LogCleanupResult(Nil, Nil, Nil, dryRun)
+    val commitR = "^(\\d{20})\\.json$".r
+    val classicR = "^(\\d{20})\\.checkpoint\\.parquet$".r
+    val multiR = "^(\\d{20})\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet$".r
+    val v2R = "^(\\d{20})\\.checkpoint\\.([A-Za-z0-9][A-Za-z0-9-]*)\\.(parquet|json)$".r
+    def cpVersion(n: String): Option[Long] = n match {
+      case classicR(v) => Some(v.toLong)
+      case multiR(v) => Some(v.toLong)
+      case v2R(v, _, _) => Some(v.toLong)
+      case _ => None
+    }
+    val entries = f.listStatus(logDir).toSeq.filterNot(_.isDirectory)
+    val cpVersions = entries.flatMap(s => cpVersion(s.getPath.getName))
+    if (cpVersions.isEmpty) return LogCleanupResult(Nil, Nil, Nil, dryRun)
+    val newest = cpVersions.max
+    val cutoff = System.currentTimeMillis() - (retentionHours * 3600 * 1000).toLong
+    def aged(s: FileStatus): Boolean = s.getModificationTime < cutoff
+
+    val oldCommits = entries.filter { s =>
+      s.getPath.getName match {
+        case commitR(v) => v.toLong < newest && aged(s)
+        case _ => false
+      }
+    }
+    val oldCheckpoints = entries.filter(s =>
+      cpVersion(s.getPath.getName).exists(_ < newest) && aged(s))
+    val deadCp = oldCheckpoints.map(_.getPath.getName).toSet
+
+    // sidecars referenced by any RETAINED V2 checkpoint must stay
+    val retainedV2 = entries.filter { s =>
+      val n = s.getPath.getName
+      v2R.findFirstIn(n).isDefined && !deadCp(n)
+    }
+    val referenced: Set[String] = retainedV2.flatMap { s =>
+      if (s.getPath.getName.endsWith(".parquet")) {
+        val df = spark.read.parquet(s.getPath.toString)
+        if (!df.columns.contains("sidecar")) Nil
+        else df.select("sidecar.path").where(col("sidecar").isNotNull)
+          .collect().map(r => new Path(r.getString(0)).getName).toSeq
+      } else { // json-format V2 (foreign writer): newline-delimited actions
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val in = f.open(s.getPath)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        txt.split('\n').iterator.map(_.trim).filter(_.nonEmpty)
+          .map(mapper.readTree).filter(_.has("sidecar"))
+          .map(n => new Path(n.get("sidecar").get("path").asText()).getName)
+          .toSeq
+      }
+    }.toSet
+    val sidecarDir = new Path(logDir, "_sidecars")
+    val oldSidecars =
+      if (!f.exists(sidecarDir)) Seq.empty[FileStatus]
+      else f.listStatus(sidecarDir).toSeq.filter(s =>
+        !referenced(s.getPath.getName) && aged(s))
+
+    if (!dryRun)
+      (oldCommits ++ oldCheckpoints ++ oldSidecars)
+        .foreach(s => f.delete(s.getPath, false))
+    LogCleanupResult(
+      oldCommits.flatMap(s => commitR.findFirstMatchIn(s.getPath.getName)
+        .map(_.group(1).toLong)).sorted,
+      oldCheckpoints.map(_.getPath.getName).sorted,
+      oldSidecars.map(_.getPath.getName).sorted,
+      dryRun)
+  }
+
   /** Per-version commitInfo — the DESCRIBE HISTORY equivalent. Bounded by
     * log size (one small JSON per commit), assembled on the driver. */
   def history(spark: SparkSession, root: String): DataFrame = {

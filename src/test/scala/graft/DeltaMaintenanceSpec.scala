@@ -167,6 +167,53 @@ class DeltaMaintenanceSpec extends SparkSpec {
     assert(dataFiles(root) == active) // exactly the active set remains
   }
 
+  test("cleanupLogs: pre-checkpoint commits, superseded checkpoints and orphaned sidecars go") {
+    import spark.implicits._
+    val root = tmp()
+    spark.conf.set("graft.delta.checkpoint.v2.threshold", "3")
+    spark.conf.set("graft.delta.checkpoint.sidecar.files", "2")
+    try {
+      DeltaWriter.write((0 until 30).toDF("k").repartition(3), root) // v0
+      DeltaWriter.write((30 until 60).toDF("k").repartition(3), root) // v1
+      DeltaWriter.writeCheckpoint(spark, root, 1L) // V2 + sidecars (superseded later)
+      DeltaWriter.write((60 until 90).toDF("k").repartition(3), root) // v2
+      DeltaWriter.writeCheckpoint(spark, root, 2L) // newest checkpoint
+      val log = new java.io.File(root, "_delta_log")
+      def sidecars = new java.io.File(log, "_sidecars").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      val beforeSidecars = sidecars
+      assert(beforeSidecars >= 8, s"expected >=8 sidecar shards, got $beforeSidecars")
+
+      // dry run lists, deletes nothing
+      val dry = DeltaMaintenance.cleanupLogs(spark, root, retentionHours = 0, dryRun = true)
+      assert(dry.dryRun && dry.deletedCommits == Seq(0L, 1L))
+      assert(sidecars == beforeSidecars)
+      // within retention: nothing eligible
+      assert(DeltaMaintenance.cleanupLogs(spark, root, retentionHours = 24)
+        .deletedCommits.isEmpty)
+
+      val res = DeltaMaintenance.cleanupLogs(spark, root, retentionHours = 0)
+      assert(res.deletedCommits == Seq(0L, 1L))
+      assert(res.deletedCheckpoints.size == 1, res.deletedCheckpoints.toString)
+      assert(res.deletedSidecars.nonEmpty && sidecars < beforeSidecars,
+        "the superseded checkpoint's sidecar shards should be collected")
+      // the newest checkpoint's sidecars all survive and the table reads
+      assert(DeltaLog.read(spark, root).count() == 90)
+      assert(DeltaLog.read(spark, root).agg(sum("k")).head.getLong(0) ==
+        (0 until 90).sum.toLong)
+      // time travel to a cleaned version is gone — the documented trade
+      intercept[Exception] {
+        DeltaLog.read(spark, root, versionAsOf = Some(0L)).count()
+      }
+      // a second cleanup is a no-op
+      assert(DeltaMaintenance.cleanupLogs(spark, root, retentionHours = 0)
+        .deletedCommits.isEmpty)
+    } finally {
+      spark.conf.unset("graft.delta.checkpoint.v2.threshold")
+      spark.conf.unset("graft.delta.checkpoint.sidecar.files")
+    }
+  }
+
   test("vacuum prunes emptied partition dirs but never hidden dirs or the log") {
     val root = tmp()
     val df = mk(40, "a").withColumn("p", lit("old"))
