@@ -260,7 +260,11 @@ final class LockCommitStore(lockDir: Path, inner: CommitStore) extends CommitSto
         s"graft.commit.lock.dir=$lockDir resolves to a filesystem without " +
           "an atomic claim primitive — locks there cannot serialize writers"))
     val token = s"$nonce ${System.currentTimeMillis()}\n".getBytes("UTF-8")
-    def lockContent(): Option[Array[Byte]] =
+    // Right(Some(bytes)) = lock content; Right(None) = lock file ABSENT;
+    // Left = transient read error — which must NOT be conflated with
+    // absence (a writer that mis-reads its own fresh lock as lost would
+    // orphan it and stall every writer for a full TTL)
+    def lockContent(): Either[Throwable, Option[Array[Byte]]] =
       try {
         val in = lockFs.open(lockFile)
         try {
@@ -268,9 +272,20 @@ final class LockCommitStore(lockDir: Path, inner: CommitStore) extends CommitSto
           val tmp = new Array[Byte](4096)
           var n = in.read(tmp)
           while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-          Some(buf.toByteArray)
+          Right(Some(buf.toByteArray))
         } finally in.close()
-      } catch { case _: Exception => None }
+      } catch {
+        case _: java.io.FileNotFoundException => Right(None)
+        case e: Throwable => Left(e)
+      }
+    def lockContentRetried(): Either[Throwable, Option[Array[Byte]]] = {
+      var last: Either[Throwable, Option[Array[Byte]]] = lockContent()
+      var tries = 0
+      while (last.isLeft && tries < 3) {
+        Thread.sleep(10); last = lockContent(); tries += 1
+      }
+      last
+    }
     val deadline = System.currentTimeMillis() + timeoutMs
     var held = false
     while (!held) {
@@ -278,9 +293,14 @@ final class LockCommitStore(lockDir: Path, inner: CommitStore) extends CommitSto
       if (held) {
         // ownership VERIFY: a racing stale-breaker may have deleted our
         // fresh lock and a third writer claimed it — holding is only
-        // real if the file still carries OUR token
-        if (!lockContent().exists(java.util.Arrays.equals(_, token)))
-          held = false
+        // real if the file still carries OUR token. On a persistent
+        // READ error, trust the successful claim (the atomic primitive
+        // said we won) rather than abandoning our own lock.
+        lockContentRetried() match {
+          case Right(Some(c)) if !java.util.Arrays.equals(c, token) => held = false
+          case Right(None) => held = false // broken + re-claimed meanwhile
+          case _ => ()
+        }
       }
       if (!held) {
         // break STALE locks (older than the TTL = crashed holder) — but
@@ -307,8 +327,13 @@ final class LockCommitStore(lockDir: Path, inner: CommitStore) extends CommitSto
     // fencing needs a CAS store for the lock dir (and the verify above
     // turns most delete races into retries, not double-holds).
     try inner.putIfAbsent(f, target, payload, nonce)
-    finally if (lockContent().exists(java.util.Arrays.equals(_, token)))
-      lockFs.delete(lockFile, false)
+    finally lockContentRetried() match {
+      case Right(Some(c)) if java.util.Arrays.equals(c, token) =>
+        lockFs.delete(lockFile, false)
+      case _ => () // not ours / absent / unreadable: never delete another
+                   // writer's lock; a leak is TTL-bounded, a wrong delete
+                   // is a double-hold
+    }
   }
 }
 

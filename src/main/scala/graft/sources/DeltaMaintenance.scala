@@ -424,9 +424,47 @@ object DeltaMaintenance {
       case _ => None
     }
     val entries = f.listStatus(logDir).toSeq.filterNot(_.isDirectory)
+    // `newest` may only be a COMPLETE checkpoint — keying retention on a
+    // torn multi-part set (or a V2 main whose sidecars are missing) would
+    // delete the commits/checkpoints it cannot actually replace and brick
+    // the table. Mirror the reader's completeness rules.
+    val multiFullR = "^(\\d{20})\\.checkpoint\\.(\\d{10})\\.(\\d{10})\\.parquet$".r
+    def sidecarsOf(s: FileStatus): Seq[String] =
+      if (s.getPath.getName.endsWith(".parquet")) {
+        val df = spark.read.parquet(s.getPath.toString)
+        if (!df.columns.contains("sidecar")) Nil
+        else df.select("sidecar.path").where(col("sidecar").isNotNull)
+          .collect().map(r => new Path(r.getString(0)).getName).toSeq
+      } else {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val in = f.open(s.getPath)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        txt.split('\n').iterator.map(_.trim).filter(_.nonEmpty)
+          .map(mapper.readTree).filter(_.has("sidecar"))
+          .map(n => new Path(n.get("sidecar").get("path").asText()).getName)
+          .toSeq
+      }
+    def complete(version: Long): Boolean = {
+      val ofVersion = entries.filter(s =>
+        cpVersion(s.getPath.getName).contains(version))
+      val names = ofVersion.map(_.getPath.getName)
+      val classicOk = names.exists(classicR.findFirstIn(_).isDefined)
+      val multiOk = names.flatMap(multiFullR.findFirstMatchIn(_))
+        .groupBy(_.group(3).toInt)
+        .exists { case (of, ms) => ms.map(_.group(2).toInt).toSet == (1 to of).toSet }
+      val v2Ok = ofVersion.filter(s =>
+        v2R.findFirstIn(s.getPath.getName).isDefined).exists { s =>
+        try sidecarsOf(s).forall(n =>
+          f.exists(new Path(new Path(logDir, "_sidecars"), n)))
+        catch { case _: Exception => false }
+      }
+      classicOk || multiOk || v2Ok
+    }
     val cpVersions = entries.flatMap(s => cpVersion(s.getPath.getName))
-    if (cpVersions.isEmpty) return LogCleanupResult(Nil, Nil, Nil, dryRun)
-    val newest = cpVersions.max
+      .distinct.sorted.reverse
+    val newest = cpVersions.find(complete).getOrElse(
+      return LogCleanupResult(Nil, Nil, Nil, dryRun))
     val cutoff = System.currentTimeMillis() - (retentionHours * 3600 * 1000).toLong
     def aged(s: FileStatus): Boolean = s.getModificationTime < cutoff
 
@@ -440,33 +478,23 @@ object DeltaMaintenance {
       cpVersion(s.getPath.getName).exists(_ < newest) && aged(s))
     val deadCp = oldCheckpoints.map(_.getPath.getName).toSet
 
-    // sidecars referenced by any RETAINED V2 checkpoint must stay
+    // sidecars referenced by any RETAINED V2 checkpoint must stay; if a
+    // retained main file cannot be read, SKIP sidecar GC entirely rather
+    // than risk collecting a live shard
     val retainedV2 = entries.filter { s =>
       val n = s.getPath.getName
       v2R.findFirstIn(n).isDefined && !deadCp(n)
     }
-    val referenced: Set[String] = retainedV2.flatMap { s =>
-      if (s.getPath.getName.endsWith(".parquet")) {
-        val df = spark.read.parquet(s.getPath.toString)
-        if (!df.columns.contains("sidecar")) Nil
-        else df.select("sidecar.path").where(col("sidecar").isNotNull)
-          .collect().map(r => new Path(r.getString(0)).getName).toSeq
-      } else { // json-format V2 (foreign writer): newline-delimited actions
-        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-        val in = f.open(s.getPath)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        txt.split('\n').iterator.map(_.trim).filter(_.nonEmpty)
-          .map(mapper.readTree).filter(_.has("sidecar"))
-          .map(n => new Path(n.get("sidecar").get("path").asText()).getName)
-          .toSeq
-      }
-    }.toSet
+    val referenced: Option[Set[String]] =
+      try Some(retainedV2.flatMap(sidecarsOf).toSet)
+      catch { case _: Exception => None }
     val sidecarDir = new Path(logDir, "_sidecars")
-    val oldSidecars =
-      if (!f.exists(sidecarDir)) Seq.empty[FileStatus]
-      else f.listStatus(sidecarDir).toSeq.filter(s =>
-        !referenced(s.getPath.getName) && aged(s))
+    val oldSidecars = referenced match {
+      case Some(refs) if f.exists(sidecarDir) =>
+        f.listStatus(sidecarDir).toSeq.filter(s =>
+          !refs(s.getPath.getName) && aged(s))
+      case _ => Seq.empty[FileStatus]
+    }
 
     if (!dryRun)
       (oldCommits ++ oldCheckpoints ++ oldSidecars)

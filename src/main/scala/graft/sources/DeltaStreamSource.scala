@@ -123,36 +123,16 @@ class DeltaStreamSource(spark: SparkSession, root: String,
     if (metadataPath.isEmpty) None
     else Some(new Path(metadataPath, "graft-delta-base"))
 
-  private lazy val base: Either[Long, Long] = {
-    val recovered: Option[Either[Long, Long]] = baseFile.flatMap { p =>
-      val f = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!f.exists(p)) None
-      else {
-        val in = f.open(p)
-        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        val n = new ObjectMapper().readTree(text)
-        Some(if (n.get("kind").asText() == "snapshot") Left(n.get("v").asLong)
-        else Right(n.get("v").asLong))
-      }
-    }
-    recovered.getOrElse {
+  private lazy val base: Either[Long, Long] =
+    baseFile.flatMap(SchemaTracking.readBase(spark, _)).getOrElse {
       val b = startingVersion match {
         case None => Left(DeltaLog.versions(spark, root).last)
         case Some("latest") => Right(DeltaLog.versions(spark, root).last + 1)
         case Some(v) => Right(v.toLong)
       }
-      baseFile.foreach { p =>
-        val f = p.getFileSystem(spark.sessionState.newHadoopConf())
-        val kind = if (b.isLeft) "snapshot" else "tail"
-        val v = b.fold(identity, identity)
-        val out = f.create(p, true)
-        try out.write(s"""{"kind":"$kind","v":$v}""".getBytes("UTF-8"))
-        finally out.close()
-      }
+      baseFile.foreach(SchemaTracking.writeBase(spark, _, b))
       b
     }
-  }
 
   private lazy val snapshotAtBase: DeltaLog.Snapshot = base match {
     case Left(v) =>

@@ -130,20 +130,8 @@ class IcebergStreamSource(spark: SparkSession, root: String,
     if (metadataPath.isEmpty) None
     else Some(new Path(metadataPath, "graft-iceberg-base"))
 
-  private lazy val base: Either[Long, Long] = {
-    val recovered: Option[Either[Long, Long]] = baseFile.flatMap { p =>
-      val f = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!f.exists(p)) None
-      else {
-        val in = f.open(p)
-        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        val n = mapper.readTree(text)
-        Some(if (n.get("kind").asText() == "snapshot") Left(n.get("v").asLong)
-        else Right(n.get("v").asLong))
-      }
-    }
-    recovered.getOrElse {
+  private lazy val base: Either[Long, Long] =
+    baseFile.flatMap(SchemaTracking.readBase(spark, _)).getOrElse {
       val m = meta
       val cur = m.currentSnapshotId.getOrElse(throw new IllegalArgumentException(
         s"iceberg table $root has no snapshot to stream from"))
@@ -159,17 +147,9 @@ class IcebergStreamSource(spark: SparkSession, root: String,
             s"[${ord.map(_.snapshotId).mkString(", ")}]")
           Right(if (i == 0) Long.MinValue else ord(i - 1).snapshotId)
       }
-      baseFile.foreach { p =>
-        val f = p.getFileSystem(spark.sessionState.newHadoopConf())
-        val kind = if (b.isLeft) "snapshot" else "tail"
-        val v = b.fold(identity, identity)
-        val out = f.create(p, true)
-        try out.write(s"""{"kind":"$kind","v":$v}""".getBytes("UTF-8"))
-        finally out.close()
-      }
+      baseFile.foreach(SchemaTracking.writeBase(spark, _, b))
       b
     }
-  }
 
   private def trackPath: Option[Path] =
     schemaTrackLoc.map(d => new Path(d, "graft-iceberg-schema-track.json"))
@@ -489,13 +469,10 @@ class IcebergStreamSource(spark: SparkSession, root: String,
         untilId = Some(endOff.snapshotId))
       .takeWhile { case (pos, _) => !offsetLt(endOff, pos) }
     val frames = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    // legacy whole-snapshot MOR marker (pre-file-level checkpoints only)
-    inRange.collectFirst { case (pos, None) if pos.snapshot => pos.snapshotId }
-      .foreach { id =>
-        frames += IcebergSource.read(spark, root, snapshotId = Some(id))
-      }
     // snapshot-phase file slices read MOR-correct against the pinned
-    // snapshot's delete files; tail files are raw appends
+    // snapshot's delete files (legacy whole-snapshot MaxValue offsets
+    // replay through the same path: the slice is then every file); tail
+    // files are raw appends
     val snapPaths = inRange.collect { case (pos, Some(p)) if pos.snapshot => p }
     if (snapPaths.nonEmpty) {
       val sid = inRange.collectFirst {

@@ -14,19 +14,37 @@ import org.apache.spark.sql.types.StructType
  */
 private[sources] object SchemaTracking {
 
-  /** (version-or-snapshot-id the schema took effect at, tracked schema),
-    * when the tracking file exists. */
-  def read(spark: SparkSession, p: Path): Option[(Long, StructType)] = {
-    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+  /** Read a small checkpoint-sidecar file whole; None when absent. */
+  private def readFile(f: org.apache.hadoop.fs.FileSystem, p: Path): Option[String] =
     if (!f.exists(p)) None
     else {
       val in = f.open(p)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
       finally in.close()
+    }
+
+  /** ATOMIC small-file publish (temp sibling + rename): a crash mid-write
+    * must never leave a torn/empty state file that wedges every restart. */
+  private def writeFile(f: org.apache.hadoop.fs.FileSystem, p: Path,
+                        text: String): Unit = {
+    val tmp = new Path(p.getParent, s".${p.getName}.${java.util.UUID.randomUUID()}.tmp")
+    f.mkdirs(p.getParent)
+    val out = f.create(tmp, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+    f.delete(p, false)
+    require(f.rename(tmp, p), s"failed to publish state file $p")
+  }
+
+  /** (version-or-snapshot-id the schema took effect at, tracked schema),
+    * when the tracking file exists. Accepts the legacy "snapshotId" key. */
+  def read(spark: SparkSession, p: Path): Option[(Long, StructType)] = {
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    readFile(f, p).map { text =>
       val n = new ObjectMapper().readTree(text)
-      Some((n.get("version").asLong,
-        org.apache.spark.sql.types.DataType.fromJson(n.get("schemaJson").asText())
-          .asInstanceOf[StructType]))
+      val v = Option(n.get("version")).orElse(Option(n.get("snapshotId")))
+        .map(_.asLong).getOrElse(0L)
+      (v, org.apache.spark.sql.types.DataType.fromJson(n.get("schemaJson").asText())
+        .asInstanceOf[StructType])
     }
   }
 
@@ -35,8 +53,25 @@ private[sources] object SchemaTracking {
     val node = new ObjectMapper().createObjectNode()
     node.put("version", version)
     node.put("schemaJson", st.json)
-    val out = f.create(p, true)
-    try out.write(node.toString.getBytes("UTF-8")) finally out.close()
+    writeFile(f, p, node.toString)
+  }
+
+  /** The streaming sources' PERSISTED BASE (what batch 0 was resolved
+    * against — a restart must replay against the same one): Left = a
+    * snapshot version/id, Right = a tail cursor. */
+  def readBase(spark: SparkSession, p: Path): Option[Either[Long, Long]] = {
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    readFile(f, p).map { text =>
+      val n = new ObjectMapper().readTree(text)
+      if (n.get("kind").asText() == "snapshot") Left(n.get("v").asLong)
+      else Right(n.get("v").asLong)
+    }
+  }
+
+  def writeBase(spark: SparkSession, p: Path, b: Either[Long, Long]): Unit = {
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val kind = if (b.isLeft) "snapshot" else "tail"
+    writeFile(f, p, s"""{"kind":"$kind","v":${b.fold(identity, identity)}}""")
   }
 
   /** Every field of `old` present in `wide` with the same type. */
