@@ -90,7 +90,16 @@ object CommitStore {
         "graft.commit.store=lock requires graft.commit.lock.dir")
     }
     Option(conf.get("graft.commit.store")).map(_.trim.toLowerCase) match {
-      case Some("link") => LinkCommitStore
+      case Some("link") =>
+        // link(2) runs through java.nio against the LOCAL interpretation
+        // of the path — on an object store the ensuing FileSystemException
+        // would silently fall back to exists+rename, the exact non-atomic
+        // last-writer-wins the resolver otherwise refuses
+        if (f.getScheme != "file") throw new IllegalArgumentException(
+          s"graft.commit.store=link requires a local file:// filesystem " +
+            s"(got scheme '${f.getScheme}'): hard links are a local-FS " +
+            "primitive and the rename fallback is not atomic there")
+        LinkCommitStore
       case Some("rename") => RenameCommitStore
       case Some("create") => CreateIfAbsentCommitStore
       case Some("lock") => locked(OverwriteWithinLock)
@@ -220,12 +229,26 @@ object CreateIfAbsentCommitStore extends CommitStore {
 
 /** Inside a held lock no store primitive is needed: check-then-write is
   * race-free because the lock serializes committers. Used only as the
-  * inner store of [[LockCommitStore]]. */
+  * inner store of [[LockCommitStore]], which threads its ownership check
+  * through `stillOwned` — re-verified immediately BEFORE the publish
+  * rename, so a holder whose lease was broken while staging (a stall past
+  * the TTL) reports a lost race instead of replace-renaming over the
+  * breaker's just-published commit. */
 private[graft] object OverwriteWithinLock extends CommitStore {
   override def putIfAbsent(f: FileSystem, target: Path, payload: Array[Byte],
-                           nonce: String): Boolean = {
+                           nonce: String): Boolean =
+    putIfAbsent(f, target, payload, nonce, () => true)
+
+  def putIfAbsent(f: FileSystem, target: Path, payload: Array[Byte],
+                  nonce: String, stillOwned: () => Boolean): Boolean = {
     if (f.exists(target)) return false
     val tmp = CommitStore.writeTemp(f, target, payload, nonce)
+    // FENCE: the lease may have been broken while the temp was staged
+    // (slow object-store write / GC pause past the TTL); on a
+    // replace-style-rename store publishing now would silently clobber
+    // the breaker's commit — a broken lease is a LOST RACE (nothing
+    // published, the caller rebases and retries)
+    if (!stillOwned()) { f.delete(tmp, false); return false }
     // rename for completeness-on-visibility; with the lock held a
     // replace-style rename cannot clobber a concurrent claim
     if (f.rename(tmp, target)) true else { f.delete(tmp, false); false }
@@ -242,15 +265,26 @@ private[graft] object OverwriteWithinLock extends CommitStore {
  * its check-then-write race-free.
  *
  * Stale locks (a crashed committer) break after
- * `graft.commit.lock.timeout.ms` (default 60 s) based on the lock file's
- * modification time; acquisition waits up to the same bound then fails
- * loudly naming the lock file.
+ * `graft.commit.lock.timeout.ms` (default 300 s — generous on purpose:
+ * the break exists for CRASHED holders, and a TTL short relative to GC
+ * pauses or slow object-store writes risks breaking a live one) based on
+ * the lock file's modification time; acquisition waits up to the same
+ * bound then fails loudly naming the lock file.
+ *
+ * Fencing (an mtime lease cannot truly fence without a CAS store):
+ * ownership is re-verified immediately BEFORE the inner claim — a lock
+ * broken between acquire and publish is a lost race, not a double-hold —
+ * and after a successful claim the target is READ BACK: a payload other
+ * than this writer's means a lease-breaker's concurrent claim clobbered
+ * it (possible only on replace-style-rename stores), reported as a lost
+ * race. The residual window is a holder stalled INSIDE the inner claim
+ * whose late rename lands after the breaker's read-back.
  */
 final class LockCommitStore(lockDir: Path, inner: CommitStore) extends CommitStore {
   override def putIfAbsent(f: FileSystem, target: Path, payload: Array[Byte],
                            nonce: String): Boolean = {
     val lockFs = lockDir.getFileSystem(f.getConf)
-    val timeoutMs = f.getConf.getLong("graft.commit.lock.timeout.ms", 60000L)
+    val timeoutMs = f.getConf.getLong("graft.commit.lock.timeout.ms", 300000L)
     val digest = java.security.MessageDigest.getInstance("SHA-256")
       .digest(target.toString.getBytes("UTF-8"))
       .take(16).map("%02x".format(_)).mkString
@@ -286,54 +320,98 @@ final class LockCommitStore(lockDir: Path, inner: CommitStore) extends CommitSto
       }
       last
     }
-    val deadline = System.currentTimeMillis() + timeoutMs
-    var held = false
-    while (!held) {
-      held = lockStore.putIfAbsent(lockFs, lockFile, token, nonce)
-      if (held) {
-        // ownership VERIFY: a racing stale-breaker may have deleted our
-        // fresh lock and a third writer claimed it — holding is only
-        // real if the file still carries OUR token. On a persistent
-        // READ error, trust the successful claim (the atomic primitive
-        // said we won) rather than abandoning our own lock.
-        lockContentRetried() match {
-          case Right(Some(c)) if !java.util.Arrays.equals(c, token) => held = false
-          case Right(None) => held = false // broken + re-claimed meanwhile
-          case _ => ()
-        }
-      }
-      if (!held) {
-        // break STALE locks (older than the TTL = crashed holder) — but
-        // only when an immediate re-stat still shows the SAME stale
-        // mtime, so a lock that was just re-claimed is never deleted
-        // from a stale observation
-        try {
-          val st = lockFs.getFileStatus(lockFile)
-          if (System.currentTimeMillis() - st.getModificationTime > timeoutMs) {
-            val st2 = lockFs.getFileStatus(lockFile)
-            if (st2.getModificationTime == st.getModificationTime)
-              lockFs.delete(lockFile, false)
-          }
-        } catch { case _: java.io.FileNotFoundException => () }
-        if (System.currentTimeMillis() > deadline)
-          throw new IllegalStateException(
-            s"could not acquire commit lock $lockFile within ${timeoutMs}ms — " +
-              "another writer holds it (or raise graft.commit.lock.timeout.ms)")
-        Thread.sleep(20L + scala.util.Random.nextInt(30))
-      }
+    /** True iff the lock file still carries OUR token. On a persistent
+      * READ error, trust prior evidence (the atomic primitive said we
+      * won) rather than abandoning our own lock. */
+    def ownsLock(): Boolean = lockContentRetried() match {
+      case Right(Some(c)) => java.util.Arrays.equals(c, token)
+      case Right(None) => false // broken + possibly re-claimed meanwhile
+      case Left(_) => true
     }
-    // Residual TTL-lock caveat (shared with every mtime-based lease): a
-    // holder stalled past the TTL can still be broken mid-commit; true
-    // fencing needs a CAS store for the lock dir (and the verify above
-    // turns most delete races into retries, not double-holds).
-    try inner.putIfAbsent(f, target, payload, nonce)
-    finally lockContentRetried() match {
+    def releaseLock(): Unit = lockContentRetried() match {
       case Right(Some(c)) if java.util.Arrays.equals(c, token) =>
         lockFs.delete(lockFile, false)
       case _ => () // not ours / absent / unreadable: never delete another
                    // writer's lock; a leak is TTL-bounded, a wrong delete
                    // is a double-hold
     }
+    /** Target content, read retried; None = absent or unreadable. */
+    def targetContent(): Option[Array[Byte]] = {
+      def once(): Option[Array[Byte]] =
+        try {
+          val in = f.open(target)
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            val tmp = new Array[Byte](64 * 1024)
+            var n = in.read(tmp)
+            while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+            Some(buf.toByteArray)
+          } finally in.close()
+        } catch { case _: Exception => None }
+      var got = once(); var tries = 0
+      while (got.isEmpty && tries < 3) { Thread.sleep(10); got = once(); tries += 1 }
+      got
+    }
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (true) {
+      var held = false
+      while (!held) {
+        held = lockStore.putIfAbsent(lockFs, lockFile, token, nonce)
+        // ownership VERIFY: a racing stale-breaker may have deleted our
+        // fresh lock and a third writer claimed it — holding is only
+        // real if the file still carries OUR token.
+        if (held) held = ownsLock()
+        if (!held) {
+          // break STALE locks (older than the TTL = crashed holder) — but
+          // only when an immediate re-stat still shows the SAME stale
+          // mtime, so a lock that was just re-claimed is never deleted
+          // from a stale observation
+          try {
+            val st = lockFs.getFileStatus(lockFile)
+            if (System.currentTimeMillis() - st.getModificationTime > timeoutMs) {
+              val st2 = lockFs.getFileStatus(lockFile)
+              if (st2.getModificationTime == st.getModificationTime)
+                lockFs.delete(lockFile, false)
+            }
+          } catch { case _: java.io.FileNotFoundException => () }
+          if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"could not acquire commit lock $lockFile within ${timeoutMs}ms — " +
+                "another writer holds it (or raise graft.commit.lock.timeout.ms)")
+          Thread.sleep(20L + scala.util.Random.nextInt(30))
+        }
+      }
+      // FENCE (pre-publish): re-verify ownership immediately before the
+      // inner claim — shrinks the break window from "the whole commit"
+      // to verify→publish. A lock lost here (a TTL breaker raced us) is
+      // a lost race to retry, never a double-hold.
+      if (ownsLock()) {
+        val result =
+          try {
+            val won = inner match {
+              case o: OverwriteWithinLock.type =>
+                o.putIfAbsent(f, target, payload, nonce, () => ownsLock())
+              case other => other.putIfAbsent(f, target, payload, nonce)
+            }
+            if (!won) false
+            else targetContent() match {
+              // FENCE (post-publish): the claim path must hold THIS
+              // writer's payload — anything else means a lease-breaker's
+              // concurrent claim clobbered it (replace-style rename);
+              // report a lost race so the caller rebases and retries.
+              // Unreadable-after-success: trust the claim (transient).
+              case Some(got) => java.util.Arrays.equals(got, payload)
+              case None => true
+            }
+          } finally releaseLock()
+        return result
+      }
+      if (System.currentTimeMillis() > deadline)
+        throw new IllegalStateException(
+          s"commit lock $lockFile kept being broken from under this writer " +
+            s"within ${timeoutMs}ms — raise graft.commit.lock.timeout.ms")
+    }
+    false // unreachable
   }
 }
 

@@ -209,13 +209,24 @@ class DeltaStreamSource(spark: SparkSession, root: String,
   private def checkTableSchema(incoming: StructType, version: Long): Unit = {
     if (incoming == tableSchema) return
     if (isAdditive(incoming, tableSchema) && version <= servedFromVersion) return
-    if (trackPath.isDefined && isAdditive(tableSchema, incoming)) {
-      writeTracked(version, incoming)
-      throw new IllegalStateException(
-        s"Delta source schema changed at version $version to " +
-          s"${incoming.simpleString}; the widened schema was recorded at " +
-          s"${schemaTrackLoc.get} — restart the stream to continue " +
-          "(earlier data null-fills the new columns)")
+    if (isAdditive(tableSchema, incoming)) {
+      // a candidate widening is TRACKABLE only while it is still LIVE
+      // (every new field survives in the table's CURRENT schema): a
+      // historical metaData wider than today's table means the extra
+      // columns were later DROPPED — persisting it would make the stream
+      // serve a dead column and then wedge on the drop commit
+      val live = isAdditive(incoming,
+        logicalSchema(DeltaLog.snapshot(spark, root)))
+      if (!live && version <= servedFromVersion) return // obsolete wider
+        // history: its files' extra columns prune under the served schema
+      if (trackPath.isDefined && live) {
+        writeTracked(version, incoming)
+        throw new IllegalStateException(
+          s"Delta source schema changed at version $version to " +
+            s"${incoming.simpleString}; the widened schema was recorded at " +
+            s"${schemaTrackLoc.get} — restart the stream to continue " +
+            "(earlier data null-fills the new columns)")
+      }
     }
     throw new IllegalStateException(
       s"Delta source schema changed at version $version — restart the " +
@@ -323,12 +334,24 @@ class DeltaStreamSource(spark: SparkSession, root: String,
       // the first version the stream still NEEDS: an index of MaxValue is
       // the fully-consumed sentinel (the 'latest'-start pin), so the need
       // starts at the NEXT version
+      val earliest = DeltaLog.versions(spark, root).head
+      // a fully-drained cursor in the LEGACY (v, item-count) form (from
+      // checkpoints written before the (v+1, 0) advanced form existed) is
+      // normalized against the still-retained log BEFORE the gap check,
+      // so cleanupLogs later removing v's json never fails a restart that
+      // had already consumed v whole
       val firstNeeded = from match {
         case Some(o) if !o.snapshot && o.index == Long.MaxValue => o.version + 1
-        case Some(o) if !o.snapshot => o.version
+        // a CDF cursor is one item per version: (v, 1) IS fully drained,
+        // no log lookup needed
+        case Some(o) if !o.snapshot && readChangeFeed && o.index >= 1 =>
+          o.version + 1
+        case Some(o) if !o.snapshot =>
+          if (o.version >= earliest && o.version <= latest &&
+              o.index >= addsOf(o.version).size) o.version + 1
+          else o.version
         case _ => sv
       }
-      val earliest = DeltaLog.versions(spark, root).head
       // fail LOUDLY when an UNCONSUMED version predates the earliest
       // retained _delta_log entry — silently skipping expired versions
       // would be a data gap the consumer can never detect (delta-spark's
@@ -364,7 +387,34 @@ class DeltaStreamSource(spark: SparkSession, root: String,
     out.toSeq
   }
 
+  /** One-shot upgrade-path normalization: a cursor recovered in the
+    * LEGACY fully-drained (v, item-count) form re-persists as the
+    * advanced (v+1, 0) form while v's log entry is STILL retained — so a
+    * later cleanupLogs removing v never fails a restart that had already
+    * consumed v whole. (CDF cursors keep their per-version form: their
+    * batch ranges are version-addressed.) */
+  private var normalizedLegacy = false
+  private def normalizeLegacyPosition(): Unit = {
+    if (normalizedLegacy) return
+    normalizedLegacy = true
+    lastReturned.foreach { o =>
+      if (!o.snapshot && !readChangeFeed && o.index != Long.MaxValue && o.index > 0) {
+        val vs = DeltaLog.versions(spark, root)
+        if (o.version >= vs.head && o.version <= vs.last &&
+            o.index >= addsOf(o.version).size) {
+          val adv = DeltaSourceOffset(o.version + 1, 0L, snapshot = false)
+          lastReturned = Some(adv)
+          positionFile.foreach { p =>
+            val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+            SchemaTracking.writeFile(f, p, adv.json())
+          }
+        }
+      }
+    }
+  }
+
   override def getOffset: Option[OffsetV1] = {
+    normalizeLegacyPosition()
     val last = lastReturned
     val pending = pendingAfter(last, maxFiles, maxBytes)
     if (pending.nonEmpty) {
@@ -411,25 +461,43 @@ class DeltaStreamSource(spark: SparkSession, root: String,
   private def setPosition(o: DeltaSourceOffset): Unit = {
     if (lastReturned.forall(l => offsetLt(l, o))) {
       lastReturned = Some(o)
+      // ATOMIC publish (temp+rename, like the base and schema files): a
+      // crash mid-write must never leave a torn file that wedges restarts
       positionFile.foreach { p =>
         val f = p.getFileSystem(spark.sessionState.newHadoopConf())
-        val out = f.create(p, true)
-        try out.write(o.json().getBytes("UTF-8")) finally out.close()
+        SchemaTracking.writeFile(f, p, o.json())
       }
     }
   }
 
-  private def recoverPosition(): Option[DeltaSourceOffset] =
+  private def recoverPosition(): Option[DeltaSourceOffset] = {
+    // a torn/empty/missing position file (crash mid-write under the
+    // PRE-atomic publish, or mid-delete+rename) recovers from the
+    // stream's own offset WAL — the engine's atomic, authoritative record
+    // of the offsets already handed out. Treating it as a FRESH cursor
+    // instead would let a capped getOffset re-return offsets behind the
+    // committed one and replay delivered files.
+    def fromWal(why: String): Option[DeltaSourceOffset] = {
+      val rec = SchemaTracking.walOffsetJson(spark, metadataPath)
+        .flatMap(j => scala.util.Try(parseOffset(j)).toOption)
+      if (rec.isDefined)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"graft-delta: $why — recovered cursor ${rec.get.json()} from the " +
+            "stream's offset WAL")
+      rec
+    }
     positionFile.flatMap { p =>
       val f = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!f.exists(p)) None
-      else {
-        val in = f.open(p)
-        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        Some(parseOffset(text))
+      SchemaTracking.readFile(f, p) match {
+        case None => fromWal(s"position file $p is absent")
+        case Some(text) =>
+          try Some(parseOffset(text)) catch {
+            case e: Exception => fromWal(
+              s"unreadable position file $p (${e.getMessage})")
+          }
       }
     }
+  }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endOff = toOffset(end)

@@ -425,25 +425,43 @@ class IcebergStreamSource(spark: SparkSession, root: String,
     }
     if (newer) {
       lastReturned = Some(o)
+      // ATOMIC publish (temp+rename, like the base and schema files): a
+      // crash mid-write must never leave a torn file that wedges restarts
       positionFile.foreach { p =>
         val f = p.getFileSystem(spark.sessionState.newHadoopConf())
-        val out = f.create(p, true)
-        try out.write(o.json().getBytes("UTF-8")) finally out.close()
+        SchemaTracking.writeFile(f, p, o.json())
       }
     }
   }
 
-  private def recoverPosition(): Option[IcebergSourceOffset] =
+  private def recoverPosition(): Option[IcebergSourceOffset] = {
+    // a torn/empty/missing position file (crash mid-write under the
+    // PRE-atomic publish, or mid-delete+rename) recovers from the
+    // stream's own offset WAL — the engine's atomic, authoritative record
+    // of the offsets already handed out. Treating it as a FRESH cursor
+    // instead would let a capped getOffset re-return offsets behind the
+    // committed one and replay delivered files.
+    def fromWal(why: String): Option[IcebergSourceOffset] = {
+      val rec = SchemaTracking.walOffsetJson(spark, metadataPath)
+        .flatMap(j => scala.util.Try(parseOffset(j)).toOption)
+      if (rec.isDefined)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"graft-iceberg: $why — recovered cursor ${rec.get.json()} from " +
+            "the stream's offset WAL")
+      rec
+    }
     positionFile.flatMap { p =>
       val f = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!f.exists(p)) None
-      else {
-        val in = f.open(p)
-        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        Some(parseOffset(text))
+      SchemaTracking.readFile(f, p) match {
+        case None => fromWal(s"position file $p is absent")
+        case Some(text) =>
+          try Some(parseOffset(text)) catch {
+            case e: Exception => fromWal(
+              s"unreadable position file $p (${e.getMessage})")
+          }
       }
     }
+  }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endOff = toOffset(end)

@@ -15,7 +15,8 @@ import org.apache.spark.sql.types.StructType
 private[sources] object SchemaTracking {
 
   /** Read a small checkpoint-sidecar file whole; None when absent. */
-  private def readFile(f: org.apache.hadoop.fs.FileSystem, p: Path): Option[String] =
+  private[sources] def readFile(f: org.apache.hadoop.fs.FileSystem,
+                                p: Path): Option[String] =
     if (!f.exists(p)) None
     else {
       val in = f.open(p)
@@ -24,15 +25,59 @@ private[sources] object SchemaTracking {
     }
 
   /** ATOMIC small-file publish (temp sibling + rename): a crash mid-write
-    * must never leave a torn/empty state file that wedges every restart. */
-  private def writeFile(f: org.apache.hadoop.fs.FileSystem, p: Path,
-                        text: String): Unit = {
+    * must never leave a torn/empty state file that wedges every restart.
+    * On file:// the rename REPLACES atomically (java.nio ATOMIC_MOVE), so
+    * there is no moment with no state file at all; HDFS-contract stores
+    * refuse rename-onto-existing, so there the publish is delete+rename —
+    * a crash between the two leaves the file ABSENT (recoverable: callers
+    * re-resolve or re-derive), never torn. */
+  private[sources] def writeFile(f: org.apache.hadoop.fs.FileSystem, p: Path,
+                                 text: String): Unit = {
     val tmp = new Path(p.getParent, s".${p.getName}.${java.util.UUID.randomUUID()}.tmp")
     f.mkdirs(p.getParent)
     val out = f.create(tmp, true)
     try out.write(text.getBytes("UTF-8")) finally out.close()
-    f.delete(p, false)
-    require(f.rename(tmp, p), s"failed to publish state file $p")
+    if (f.getScheme == "file") {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(p.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      f.delete(p, false)
+      require(f.rename(tmp, p), s"failed to publish state file $p")
+    }
+  }
+
+  /**
+   * Recover a source's last checkpointed offset json from the STREAM's
+   * own offset WAL (`<checkpoint>/offsets/<batchId>`) — the fallback for
+   * a torn or missing position sidecar. The WAL is written atomically by
+   * the engine (HDFSMetadataLog temp+rename) and is the authoritative
+   * record of the offsets already handed out; recovering from it instead
+   * of treating the position as fresh keeps a capped getOffset from
+   * re-returning offsets BEHIND the committed cursor (which would replay
+   * delivered files). None = the WAL has no entry (genuinely fresh
+   * stream). Layout per OffsetSeqLog v1: line 0 "v1", line 1 batch
+   * metadata, then one offset json (or "-") per source, in source order;
+   * the source's index is its metadataPath directory name.
+   */
+  def walOffsetJson(spark: SparkSession, metadataPath: String): Option[String] = {
+    val src = new Path(metadataPath) // <checkpoint>/sources/<i>
+    val idx = src.getName.toIntOption.getOrElse(return None)
+    val parent = Option(src.getParent).flatMap(p => Option(p.getParent))
+      .getOrElse(return None)
+    val offsets = new Path(parent, "offsets")
+    val f = offsets.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!f.exists(offsets)) return None
+    val batches = f.listStatus(offsets).map(_.getPath)
+      .filter(p => p.getName.nonEmpty && p.getName.forall(_.isDigit))
+    if (batches.isEmpty) return None
+    val latest = batches.maxBy(_.getName.toLong)
+    readFile(f, latest).flatMap { text =>
+      text.split('\n').drop(2).lift(idx).map(_.trim)
+        .filter(s => s.nonEmpty && s != "-")
+    }
   }
 
   /** (version-or-snapshot-id the schema took effect at, tracked schema),

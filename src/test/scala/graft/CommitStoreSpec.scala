@@ -87,6 +87,30 @@ class WeirdFileSystem extends RawLocalFileSystem {
   override def getUri: URI = URI.create("weirdfs:///")
 }
 
+/** MockS3 whose create() STALLS when the path carries the slow marker —
+  * CommitStore temps are named `.tmp_<nonce>_…`, so a committer using
+  * that nonce pauses mid-staging past the lock TTL: the GC-pause /
+  * slow-object-store-write scenario the lease fencing exists for. */
+class StallingS3FileSystem extends MockS3FileSystem {
+  private def maybeStall(f: Path): Unit =
+    if (f.getName.contains("slowstall")) Thread.sleep(900)
+
+  override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+                      replication: Short, blockSize: Long,
+                      progress: Progressable): FSDataOutputStream = {
+    maybeStall(f)
+    super.create(f, overwrite, bufferSize, replication, blockSize, progress)
+  }
+
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+                      bufferSize: Int, replication: Short, blockSize: Long,
+                      progress: Progressable): FSDataOutputStream = {
+    maybeStall(f)
+    super.create(f, permission, overwrite, bufferSize, replication,
+      blockSize, progress)
+  }
+}
+
 /**
  * Object-store commit coordination through the pluggable [[CommitStore]]:
  * on a store with NO atomic put-if-absent, concurrent writers either
@@ -243,6 +267,69 @@ class CommitStoreSpec extends SparkSpec {
     } finally saved match {
       case Some(v) => hconf.set("graft.commit.store", v)
       case None => hconf.unset("graft.commit.store")
+    }
+  }
+
+  test("explicit graft.commit.store=link on a non-local scheme refuses loudly") {
+    withMockS3(classOf[MockS3FileSystem], "graft.commit.store" -> "link") {
+      val f = new Path("s3a://mock" + tmp()).getFileSystem(hconf)
+      // link(2) against a local interpretation of an object-store path
+      // would silently fall back to non-atomic rename — refuse instead
+      val e = intercept[IllegalArgumentException] { CommitStore.forFs(f) }
+      assert(e.getMessage.contains("link"), e.getMessage)
+      assert(e.getMessage.contains("s3a"), e.getMessage)
+    }
+    // the explicit override is still honored where it is safe
+    val saved = Option(hconf.get("graft.commit.store"))
+    hconf.set("graft.commit.store", "link")
+    try {
+      val local = FileSystem.newInstance(URI.create("file:///"), hconf)
+      assert(CommitStore.forFs(local) eq LinkCommitStore)
+    } finally saved match {
+      case Some(v) => hconf.set("graft.commit.store", v)
+      case None => hconf.unset("graft.commit.store")
+    }
+  }
+
+  test("lease fencing: a TTL-expired holder and its breaker never both succeed") {
+    val lockDir = tmp()
+    withMockS3(classOf[StallingS3FileSystem],
+      "graft.commit.lock.dir" -> lockDir,
+      "graft.commit.lock.timeout.ms" -> "300") {
+      val f = new Path("s3a://mock" + tmp()).getFileSystem(hconf)
+      val target = new Path("s3a://mock" + tmp(), "00000000000000000001.json")
+      val store = new LockCommitStore(new Path(lockDir), OverwriteWithinLock)
+      val pool = Executors.newFixedThreadPool(2)
+      // writer S acquires the lock, then stalls 900 ms while staging its
+      // temp (nonce-marked) — three TTLs past its lease
+      val slow = pool.submit(new java.util.concurrent.Callable[Boolean] {
+        override def call(): Boolean =
+          store.putIfAbsent(f, target, "SLOW".getBytes("UTF-8"), "slowstall")
+      })
+      Thread.sleep(100)
+      // writer B arrives while S holds, waits out the stale lease, breaks
+      // it, and publishes; its own acquire deadline may lapse first —
+      // retrying is what a real committer does
+      val fast = pool.submit(new java.util.concurrent.Callable[Boolean] {
+        override def call(): Boolean = {
+          def attempt(n: Int): Boolean =
+            try store.putIfAbsent(f, target, "FAST".getBytes("UTF-8"), "fastpub")
+            catch { case _: IllegalStateException if n > 0 => attempt(n - 1) }
+          attempt(8)
+        }
+      })
+      pool.shutdown()
+      pool.awaitTermination(120, TimeUnit.SECONDS)
+      val s = slow.get(); val b = fast.get()
+      assert(!(s && b),
+        "the stalled holder and the lease-breaker both claimed the commit")
+      assert(s || b, "someone must have committed")
+      val in = f.open(target)
+      val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val winner = if (s) "SLOW" else "FAST"
+      assert(got == winner,
+        s"$winner reported success but '$got' is what got published")
     }
   }
 

@@ -404,6 +404,112 @@ class DeltaStreamSourceSpec extends SparkSpec {
       "restart after log cleanup should drain exactly the new commit")
   }
 
+  test("a torn position file recovers from the offset WAL, exactly once") {
+    val root = tmp(); val out = tmp(); val cp = tmp()
+    DeltaWriter.write((0 until 12).toDF("k").repartition(3), root)
+    def start() = spark.readStream.format("graft-delta")
+      .option("maxFilesPerTrigger", "1").load(root)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp).start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(out).count() == 12)
+    // a crash mid-write under a non-atomic publish leaves a torn JSON; a
+    // capped restart treating it as FRESH would re-cap from the base and
+    // replay delivered files — the cursor must come back from the WAL
+    val pos = new java.io.File(new java.io.File(cp, "sources/0"),
+      "graft-delta-position")
+    assert(pos.exists, s"position file missing at $pos")
+    java.nio.file.Files.write(pos.toPath, "{\"version\":".getBytes("UTF-8"))
+    DeltaWriter.write((12 until 15).toDF("k"), root)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(out)
+    assert(got.count() == 15, "torn position file duplicated or dropped rows")
+    assert(got.as[Int].collect().toSet == (0 until 15).toSet)
+    // an EMPTY file (crash at truncation) and a DELETED file (crash
+    // between delete and rename on an HDFS-contract store) recover too
+    java.nio.file.Files.write(pos.toPath, Array.empty[Byte])
+    DeltaWriter.write((15 until 18).toDF("k"), root)
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(pos.delete())
+    DeltaWriter.write((18 until 21).toDF("k"), root)
+    val q4 = start()
+    try q4.processAllAvailable() finally q4.stop()
+    val all = spark.read.parquet(out)
+    assert(all.count() == 21, "empty/absent position file broke exactly-once")
+    assert(all.as[Int].collect().toSet == (0 until 21).toSet)
+  }
+
+  test("legacy (v, count) drained cursor normalizes, then survives log cleanup") {
+    import graft.sources.DeltaStreamSource
+    val root = tmp()
+    DeltaWriter.write(Seq((1, "a")).toDF("k", "v"), root) // v0
+    val metaDir = tmp()
+    val s = new DeltaStreamSource(spark, root, Map.empty, metaDir)
+    val o1 = s.getOffset.get
+    s.getBatch(None, o1)
+    DeltaWriter.write(Seq((2, "b")).toDF("k", "v"), root) // v1: one add
+    val o2 = s.getOffset.get
+    s.getBatch(Some(o1), o2)
+    // simulate a checkpoint written BEFORE the advanced (v+1, 0) form
+    // existed: position persisted as (v, adds.size)
+    val posFile = new java.io.File(metaDir, "graft-delta-position")
+    java.nio.file.Files.write(posFile.toPath,
+      """{"version":1,"index":1,"snapshot":false}""".getBytes("UTF-8"))
+    // first restart under the new code, with v1 still retained: the
+    // cursor must re-persist in the advanced form...
+    val s2 = new DeltaStreamSource(spark, root, Map.empty, metaDir)
+    assert(s2.getOffset.isDefined)
+    val persisted = new String(
+      java.nio.file.Files.readAllBytes(posFile.toPath), "UTF-8")
+    assert(persisted.contains("\"version\":2") && persisted.contains("\"index\":0"),
+      s"legacy cursor was not normalized: $persisted")
+    // ...so that cleanup removing v0/v1 no longer strands the stream
+    DeltaWriter.write(Seq((3, "c")).toDF("k", "v"), root) // v2
+    DeltaWriter.writeCheckpoint(spark, root, 1L)
+    val log = new java.io.File(root, "_delta_log")
+    Seq(0L, 1L).foreach(v =>
+      assert(new java.io.File(log, f"$v%020d.json").delete()))
+    val s3 = new DeltaStreamSource(spark, root, Map.empty, metaDir)
+    val o3 = s3.getOffset.get
+    assert(batchRows(s3.getBatch(Some(s3.getOffset.get), o3)) == 0)
+    val o2adv = graft.sources.DeltaStreamSource.DeltaSourceOffset(
+      2L, 0L, snapshot = false)
+    assert(batchRows(s3.getBatch(Some(o2adv), o3)) == 1,
+      "normalized cursor should drain exactly the post-cleanup commit")
+  }
+
+  test("widen-then-drop history never tracks the dead column") {
+    val root = tmp(); val cp = tmp(); val track = tmp()
+    DeltaWriter.write(Seq((1, "a")).toDF("k", "v"), root)              // v0
+    DeltaWriter.write(Seq((2, "b", 9.9)).toDF("k", "v", "w"), root,
+      schemaPolicy = graft.sources.DeltaSchema.Evolve)                 // v1 widen
+    DeltaWriter.write(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"),
+      root, mode = "overwrite")                                        // v2 DROP w
+    DeltaWriter.write(Seq((4, "d")).toDF("k", "v"), root)              // v3
+    val name = mem()
+    // replay the whole history: v1's metaData is WIDER than today's
+    // table — recording it would serve a dead column, then wedge on v2
+    val q = spark.readStream.format("graft-delta")
+      .option("startingVersion", "0")
+      .option("ignoreChanges", "true")
+      .option("schemaTrackingLocation", track).load(root)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", cp).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table(name)
+      assert(got.columns.toSeq == Seq("k", "v"),
+        s"obsolete wider schema leaked: ${got.columns.mkString(",")}")
+      assert(got.as[(Int, String)].collect().toSet ==
+        Set((1, "a"), (2, "b"), (3, "c"), (4, "d")))
+    } finally q.stop()
+    assert(!new java.io.File(track, "graft-delta-schema-track.json").exists(),
+      "an obsolete (since-dropped) widening was persisted to the tracking file")
+  }
+
   test("startingVersion before the earliest retained log entry fails loudly") {
     val root = tmp()
     DeltaWriter.write(Seq((1, "a")).toDF("k", "v"), root) // v0
