@@ -1044,6 +1044,12 @@ object SparkEntry {
       val res = graft.sources.IcebergMaintenance.optimize(s, root)
       require(res.snapshotId.nonEmpty && res.filesAdded < res.filesRemoved,
         s"iceberg optimize did not compact: $res")
+      // historical-metadata retention: 4 commits → v1..v4; keep the
+      // newest 2 and the table must stay fully readable (snapshot
+      // history lives in the CURRENT metadata, not the retired files)
+      val gone = graft.sources.IcebergMaintenance.cleanupMetadata(s, root,
+        keepLast = 2)
+      require(gone.size == 2, s"metadata GC should retire v1/v2, got $gone")
       val all = graft.sources.IcebergSource.read(s, root)
       val pruned = graft.sources.IcebergSource.read(s, root, partitionFilter =
         Seq(graft.sources.IcebergSource.PartitionPredicate("o_orderstatus", "=", "O")))

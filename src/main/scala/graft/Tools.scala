@@ -48,6 +48,7 @@ object Tools {
       |           cleanup-logs <root> [--retention-hours H] [--dry-run]
       |           delete <root> <predicate> [--partition K=V ...]   (deletion vectors)
       |  iceberg: history <root> | optimize | expire
+      |           cleanup-metadata <root> [--keep-last N] [--dry-run]
       |           delete <root> <predicate> [--partition K=V ...]   (position deletes)
       |  index:   info <root>   (persisted minhash/bloom/lsh/ivf/ivfpq index)
       |  stats:   <parquet-root> [--columns a,b]   (per-file footer stats + skipping audit)
@@ -125,6 +126,17 @@ object Tools {
           keepLast = keepLast, olderThanMs = olderThan, dryRun = dryRun)
         println(s"${if (dryRun) "would expire" else "expired"}: " +
           s"snapshots=${r.expiredSnapshots.mkString(",")} files=${r.deletedFiles.size}")
+        0
+      }
+    case "cleanup-metadata" :: root :: rest =>
+      val keepLast = flagValue(rest, "--keep-last").map(_.toInt).getOrElse(100)
+      val dryRun = rest.contains("--dry-run")
+      withSpark { spark =>
+        val deleted = graft.sources.IcebergMaintenance.cleanupMetadata(
+          spark, root, keepLast, dryRun)
+        println(s"${if (dryRun) "would delete" else "deleted"} " +
+          s"${deleted.size} historical metadata files at $root")
+        deleted.foreach(p => println(s"  $p"))
         0
       }
     case "delete" :: root :: predicate :: rest =>

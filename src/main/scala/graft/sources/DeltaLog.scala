@@ -616,9 +616,18 @@ object DeltaLog {
    * within the range fails the scan rather than silently coercing).
    * Scale: one parquet scan per change class per commit, unioned — each
    * scan pushes down like any other read; no row passes the driver.
+   *
+   * `fromIndex`/`untilIndex` slice the BOUNDARY versions by change-item
+   * index (the deterministic per-version item order of
+   * [[changeItemSizes]]: cdc files in log order, else adds then removes):
+   * `fromIndex` skips the first items of `fromVersion`, `untilIndex`
+   * stops `toVersion` before that item — how the streaming source drains
+   * one bulk CDC commit as many bounded micro-batches.
    */
   def changes(spark: SparkSession, root: String,
-              fromVersion: Long, toVersion: Option[Long] = None): DataFrame = {
+              fromVersion: Long, toVersion: Option[Long] = None,
+              fromIndex: Long = 0L,
+              untilIndex: Long = Long.MaxValue): DataFrame = {
     val f = fs(spark, root)
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"$root is not a Delta table")
@@ -754,13 +763,27 @@ object DeltaLog {
         Some(Parsed(v, ts, cdc.toSeq, adds.toSeq, removes.toSeq))
       }
     }
+    // boundary-version item slicing: items of version v occupy indices
+    // [0, n) in the deterministic order (cdc, else adds then removes);
+    // interior versions pass through whole
+    def sliceOf[T](xs: Seq[T], offset: Long, lo: Long, hi: Long): Seq[T] = {
+      val a = math.max(lo - offset, 0L)
+      val b = math.min(hi - offset, xs.size.toLong)
+      if (a >= b) Nil else xs.slice(a.toInt, b.toInt)
+    }
     val frames = parsed.flatMap { pc =>
+      val lo = if (pc.version == fromVersion) fromIndex else 0L
+      val hi = if (pc.version == to) untilIndex else Long.MaxValue
       val patchedRemoves = pc.removes.map(a =>
         if (a.partitionValues.nonEmpty) a
         else a.copy(partitionValues = pvByPath.getOrElse(a.path, Map.empty)))
-      if (pc.cdc.nonEmpty) readGroup(pc.cdc, None, pc.version, pc.ts).toSeq
-      else readGroup(pc.adds, Some("insert"), pc.version, pc.ts).toSeq ++
-        readGroup(patchedRemoves, Some("delete"), pc.version, pc.ts).toSeq
+      if (pc.cdc.nonEmpty)
+        readGroup(sliceOf(pc.cdc, 0L, lo, hi), None, pc.version, pc.ts).toSeq
+      else
+        readGroup(sliceOf(pc.adds, 0L, lo, hi), Some("insert"),
+            pc.version, pc.ts).toSeq ++
+          readGroup(sliceOf(patchedRemoves, pc.adds.size.toLong, lo, hi),
+            Some("delete"), pc.version, pc.ts).toSeq
     }
     frames match {
       case Seq() =>
@@ -774,6 +797,39 @@ object DeltaLog {
               org.apache.spark.sql.types.TimestampType))))
       case fs0 => fs0.reduce(_ union _)
     }
+  }
+
+  /**
+   * Per-item file sizes of ONE version's change items, in the
+   * deterministic CDF item order [[changes]] slices by: cdc files in log
+   * order when the commit carries them, else adds then removes
+   * (dataChange=true only; a compaction commit has zero items). Driver
+   * parse of one commit json — what the streaming source's file-level
+   * CDF offsets enumerate against (sizes feed maxBytesPerTrigger;
+   * removes without a recorded size count 0).
+   */
+  def changeItemSizes(spark: SparkSession, root: String,
+                      version: Long): Seq[Long] = {
+    val f = fs(spark, root)
+    val txt = readText(f, new Path(logDir(root), f"$version%020d.json"))
+    val cdc = scala.collection.mutable.ArrayBuffer[Long]()
+    val adds = scala.collection.mutable.ArrayBuffer[Long]()
+    val removes = scala.collection.mutable.ArrayBuffer[Long]()
+    def sizeOf(n: JsonNode): Long =
+      Option(n.get("size")).filterNot(_.isNull).map(_.asLong).getOrElse(0L)
+    txt.split('\n').iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
+      val node = mapper.readTree(line)
+      if (node.has("cdc")) cdc += sizeOf(node.get("cdc"))
+      if (node.has("add")) {
+        val a = node.get("add")
+        if (Option(a.get("dataChange")).forall(_.asBoolean(true))) adds += sizeOf(a)
+      }
+      if (node.has("remove")) {
+        val r = node.get("remove")
+        if (Option(r.get("dataChange")).forall(_.asBoolean(true))) removes += sizeOf(r)
+      }
+    }
+    if (cdc.nonEmpty) cdc.toSeq else (adds ++ removes).toSeq
   }
 
   /** Keys present in the previous version but gone in the latest — the

@@ -65,17 +65,25 @@ object DeltaStreamSource {
 
   /** Stream position: all files of `version` up to `index` (exclusive)
     * are consumed; `snapshot` marks the initial-snapshot phase, whose
-    * "files" are the snapshot's active list at `version`. */
-  final case class DeltaSourceOffset(version: Long, index: Long, snapshot: Boolean)
+    * "files" are the snapshot's active list at `version`. In CDF mode a
+    * tail cursor marked `fileLevel` indexes the version's CHANGE-ITEM
+    * list ([[DeltaLog.changeItemSizes]] order: cdc, else adds then
+    * removes); an unmarked CDF tail cursor is from a checkpoint written
+    * when CDF drained whole versions — its index counts one item per
+    * version, so index >= 1 means the version is fully consumed. */
+  final case class DeltaSourceOffset(version: Long, index: Long, snapshot: Boolean,
+                                     fileLevel: Boolean = false)
     extends OffsetV1 {
     override def json(): String =
-      s"""{"version":$version,"index":$index,"snapshot":$snapshot}"""
+      s"""{"version":$version,"index":$index,"snapshot":$snapshot""" +
+        (if (fileLevel) ""","fileLevel":true}""" else "}")
   }
 
   private[sources] def parseOffset(json: String): DeltaSourceOffset = {
     val n = mapper.readTree(json)
     DeltaSourceOffset(n.get("version").asLong, n.get("index").asLong,
-      n.get("snapshot").asBoolean)
+      n.get("snapshot").asBoolean,
+      Option(n.get("fileLevel")).exists(_.asBoolean))
   }
 }
 
@@ -101,8 +109,10 @@ class DeltaStreamSource(spark: SparkSession, root: String,
     * _commit_version / _commit_timestamp) instead of the data — the
     * delta-spark `readChangeFeed` streaming option. The initial snapshot
     * (when no startingVersion) arrives as `insert` rows; tail versions
-    * stream through [[DeltaLog.changes]] one version per offset step
-    * (maxFilesPerTrigger caps VERSIONS per batch in this mode). */
+    * stream through [[DeltaLog.changes]] with FILE-LEVEL (version,
+    * change-item) offsets — maxFilesPerTrigger/maxBytesPerTrigger cap
+    * change FILES per batch, so one bulk CDC commit drains as many
+    * deterministic micro-batches and can stop mid-commit. */
   private val readChangeFeed =
     opt("readChangeFeed", "read_change_feed").exists(_.toBoolean)
   /** delta-spark's `schemaTrackingLocation`: a directory (conventionally
@@ -290,6 +300,18 @@ class DeltaStreamSource(spark: SparkSession, root: String,
       }
     })
 
+  /** CDF change-item stand-ins per version (size only — what the caps
+    * weigh; the items themselves are read through [[DeltaLog.changes]]'
+    * boundary slicing). Cached and evicted like [[versionAdds]]. */
+  private val cdfItems = scala.collection.mutable.Map[Long, Seq[DeltaLog.AddFile]]()
+  private def cdfItemsOf(v: Long): Seq[DeltaLog.AddFile] =
+    cdfItems.getOrElseUpdate(v,
+      DeltaLog.changeItemSizes(spark, root, v)
+        .map(sz => DeltaLog.AddFile("", Map.empty, sz, 0L)))
+
+  private def itemsOf(v: Long): Seq[DeltaLog.AddFile] =
+    if (readChangeFeed) cdfItemsOf(v) else addsOf(v)
+
   /** Pending (pos, file) pairs after `from`, in commit order, capped by
     * file count and/or cumulative bytes (a batch always makes progress:
     * the first file is admitted regardless of `capBytes`). */
@@ -342,13 +364,13 @@ class DeltaStreamSource(spark: SparkSession, root: String,
       // had already consumed v whole
       val firstNeeded = from match {
         case Some(o) if !o.snapshot && o.index == Long.MaxValue => o.version + 1
-        // a CDF cursor is one item per version: (v, 1) IS fully drained,
-        // no log lookup needed
-        case Some(o) if !o.snapshot && readChangeFeed && o.index >= 1 =>
-          o.version + 1
+        // a LEGACY (pre-file-level) CDF cursor is one item per version:
+        // (v, 1) IS fully drained, no log lookup needed
+        case Some(o) if !o.snapshot && readChangeFeed && !o.fileLevel &&
+            o.index >= 1 => o.version + 1
         case Some(o) if !o.snapshot =>
           if (o.version >= earliest && o.version <= latest &&
-              o.index >= addsOf(o.version).size) o.version + 1
+              o.index >= itemsOf(o.version).size) o.version + 1
           else o.version
         case _ => sv
       }
@@ -369,16 +391,16 @@ class DeltaStreamSource(spark: SparkSession, root: String,
       // never re-walks the whole backlog's jsons (O(batch), not O(pending))
       val stop = math.min(latest, untilVersion.getOrElse(latest))
       while (v <= stop && room) {
-        val adds =
-          if (readChangeFeed) Seq(DeltaLog.AddFile("", Map.empty, 0L, 0L))
-          else addsOf(v)
+        val adds = itemsOf(v)
         val startIdx = from match {
-          case Some(o) if !o.snapshot && o.version == v => o.index
+          case Some(o) if !o.snapshot && o.version == v
+            && (!readChangeFeed || o.fileLevel) => o.index
           case _ => 0L
         }
         var i = startIdx
         while (i < adds.size && room) {
-          admit(DeltaSourceOffset(v, i + 1, snapshot = false), adds(i.toInt))
+          admit(DeltaSourceOffset(v, i + 1, snapshot = false,
+            fileLevel = readChangeFeed), adds(i.toInt))
           i += 1
         }
         v += 1
@@ -421,13 +443,14 @@ class DeltaStreamSource(spark: SparkSession, root: String,
       val lastPos = pending.last._1
       // a tail version drained to its end checkpoints as (v+1, 0) —
       // "consumed through v" — so the cursor survives v's log entry
-      // expiring under retention. (CDF offsets keep the per-version
-      // form: their batch ranges are version-addressed.)
+      // expiring under retention (both modes: CDF batch ranges are
+      // item-sliced now, and an advanced end bound reads as "through
+      // version v, nothing of v+1")
       val advanced =
-        if (!lastPos.snapshot && !readChangeFeed &&
-            lastPos.index != Long.MaxValue &&
-            lastPos.index >= addsOf(lastPos.version).size)
-          DeltaSourceOffset(lastPos.version + 1, 0L, snapshot = false)
+        if (!lastPos.snapshot && lastPos.index != Long.MaxValue &&
+            lastPos.index >= itemsOf(lastPos.version).size)
+          DeltaSourceOffset(lastPos.version + 1, 0L, snapshot = false,
+            fileLevel = readChangeFeed)
         else lastPos
       setPosition(advanced)
     }
@@ -556,17 +579,28 @@ class DeltaStreamSource(spark: SparkSession, root: String,
         }
       case Right(_) => None
     }
-    val startTail: Long = startOff match {
-      case Some(o) if o.snapshot => o.version + 1 // tail after the PINNED snapshot
-      case Some(o) => o.version + 1
-      case _ => base match { case Left(v) => v + 1; case Right(v) => v }
+    // tail range in (version, change-item) coordinates. Legacy cursors
+    // (no fileLevel mark) are whole-version: "v consumed" tails from
+    // v+1; file-level cursors resume mid-version at their item index.
+    val (tailFromV, tailFromIdx): (Long, Long) = startOff match {
+      case Some(o) if o.snapshot => (o.version + 1, 0L) // after the PINNED snapshot
+      case Some(o) if o.index == Long.MaxValue => (o.version + 1, 0L) // sentinel pin
+      case Some(o) if !o.fileLevel => (o.version + 1, 0L) // legacy whole-version
+      case Some(o) => (o.version, o.index)
+      case _ => base match { case Left(v) => (v + 1, 0L); case Right(v) => (v, 0L) }
     }
+    // an ADVANCED end bound (v+1, 0) means "through v, nothing of v+1" —
+    // v+1 may not even exist in the log yet
+    val (untilV, untilIdx): (Long, Long) =
+      if (endOff.fileLevel && endOff.index == 0L) (endOff.version - 1, Long.MaxValue)
+      else (endOff.version, if (endOff.fileLevel) endOff.index else Long.MaxValue)
     val tailFrame: Option[DataFrame] =
-      if (endOff.snapshot || endOff.version < startTail) None
+      if (endOff.snapshot || untilV < tailFromV) None
       else {
-        val cur = DeltaLog.snapshot(spark, root, versionAsOf = Some(endOff.version))
-        checkTableSchema(logicalSchema(cur), endOff.version)
-        Some(DeltaLog.changes(spark, root, startTail, Some(endOff.version)))
+        val cur = DeltaLog.snapshot(spark, root, versionAsOf = Some(untilV))
+        checkTableSchema(logicalSchema(cur), untilV)
+        Some(DeltaLog.changes(spark, root, tailFromV, Some(untilV),
+          tailFromIdx, untilIdx))
       }
     val frames = snapFrame.toSeq ++ tailFrame.toSeq
     val df =
@@ -591,6 +625,7 @@ class DeltaStreamSource(spark: SparkSession, root: String,
     // forward): drop their cached add lists and pinned snapshots
     val v = toOffset(end).version
     versionAdds.keys.filter(_ < v - 1).toSeq.foreach(versionAdds.remove)
+    cdfItems.keys.filter(_ < v - 1).toSeq.foreach(cdfItems.remove)
     snapAt.keys.filter(_ < v - 1).toSeq.foreach(snapAt.remove)
   }
   override def stop(): Unit = ()

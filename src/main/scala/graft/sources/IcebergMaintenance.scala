@@ -467,6 +467,50 @@ object IcebergMaintenance {
     ExpireResult(expired.map(_.snapshotId), doomed.toSeq.sorted, dryRun)
   }
 
+  /**
+   * Historical-metadata retention — the spec's
+   * `write.metadata.previous-versions-max` behavior (Iceberg table spec,
+   * "Table Metadata", delete-after-commit): keep the newest `keepLast`
+   * version-named `vN.metadata.json` files (the CURRENT one always
+   * survives — deletion is bounded by `current - keepLast`, so files a
+   * concurrent commit lands ABOVE current are never touched) and delete
+   * older ones. Without this, a commit-per-minute table accumulates half
+   * a million driver-listed metadata files per year.
+   *
+   * What this does NOT touch: snapshots, manifests and data files
+   * ([[expireSnapshots]] owns those — snapshot history lives in the
+   * CURRENT metadata and is fully preserved), non-version-named metadata
+   * files (foreign layouts are left alone), `version-hint.text` (it is
+   * advisory; [[IcebergSource.latestMetadata]] falls back to a directory
+   * scan when the hint points at a deleted file). Streaming bases and
+   * cursors pin SNAPSHOT ids, which resolve from the current metadata —
+   * retiring historical metadata files cannot strand a stream. The one
+   * capability spent is time travel via `metadataLocation` to a retired
+   * version, which fails loudly on the missing file.
+   */
+  def cleanupMetadata(spark: SparkSession, root: String,
+                      keepLast: Int = 100,
+                      dryRun: Boolean = false): Seq[String] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val f = fs(spark, root)
+    val versioned = "v(\\d+)\\.metadata\\.json".r
+    // resolve the CURRENT version the way readers do (hint + forward
+    // probe, else directory scan) — never key retention on a stale hint
+    val curV = latestMetadata(f, root).getName match {
+      case versioned(v) => v.toLong
+      case _ => return Nil // foreign layout: no version-named chain here
+    }
+    val olds = f.listStatus(metaDir(root)).toSeq.map(_.getPath)
+      .flatMap(p => p.getName match {
+        case versioned(v) => Some((v.toLong, p))
+        case _ => None
+      })
+      .filter { case (v, _) => v <= curV - keepLast }
+      .sortBy(_._1)
+    if (!dryRun) olds.foreach { case (_, p) => f.delete(p, false) }
+    olds.map(_._2.toString)
+  }
+
   /** manifest paths referenced by a manifest list */
   private def readManifestPaths(spark: SparkSession, root: String,
                                 manifestList: String): Seq[String] = {

@@ -725,7 +725,8 @@ object IcebergSource {
     * leaves its delete rows unmatched). */
   private def collectFiles(conf: Configuration, root: String,
                            snap: SnapshotInfo, meta: TableMeta,
-                           predicates: Seq[PartitionPredicate] = Nil)
+                           predicates: Seq[PartitionPredicate] = Nil,
+                           derivedDnf: Seq[Seq[PartitionPredicate]] = Nil)
       : (Seq[FileEntry], Seq[FileEntry], Seq[FileEntry]) = {
     val specIndex: Map[String, Int] = meta.partitionSpec.map(_.name)
       .zipWithIndex.toMap
@@ -739,12 +740,12 @@ object IcebergSource {
         // per-file tuple check, which matches by field NAME and is sound
         val sameSpec = opt(r, "partition_spec_id")
           .forall(_.asInstanceOf[Int] == meta.defaultSpecId)
-        val keep = predicates.isEmpty || !sameSpec ||
+        val keep = (predicates.isEmpty && derivedDnf.isEmpty) || !sameSpec ||
           r.getSchema.getField("partitions") == null ||
           (opt(r, "partitions") match {
             case Some(parts: java.util.Collection[_]) =>
               val summaries = parts.asScala.toSeq.map(_.asInstanceOf[GenericRecord])
-              predicates.forall { p =>
+              def mayMatchSummary(p: PartitionPredicate): Boolean =
                 specIndex.get(p.name) match {
                   case Some(i) if i < summaries.size =>
                     val s = summaries(i)
@@ -761,7 +762,12 @@ object IcebergSource {
                     boundsMayMatch(p, bound("lower_bound"), bound("upper_bound"))
                   case _ => true
                 }
-              }
+              // the explicit filter is a conjunction; the derived
+              // projection is an OR of conjunctions — a manifest
+              // survives when ANY disjunct group fully may-match
+              predicates.forall(mayMatchSummary) &&
+                (derivedDnf.isEmpty ||
+                  derivedDnf.exists(_.forall(mayMatchSummary)))
             case _ => true
           })
         if (!keep) None
@@ -837,11 +843,14 @@ object IcebergSource {
               // its field NAME but changes the stored values — old-spec
               // files must be kept, their rows recovered by the
               // re-applied row filter
-              if (!defaultSpecManifest || predicates.forall(p =>
+              def evalOn(p: PartitionPredicate): Boolean =
                 partVals.get(p.name) match {
                   case Some(v) => evalPredicate(p, v)
                   case None => true // field absent: cannot prune
-                })) dataFiles += FileEntry(path, seq, Nil, partVals, size, records, addedBy,
+                }
+              if (!defaultSpecManifest || (predicates.forall(evalOn) &&
+                  (derivedDnf.isEmpty || derivedDnf.exists(_.forall(evalOn)))))
+                dataFiles += FileEntry(path, seq, Nil, partVals, size, records, addedBy,
                 nullCounts = intMap("null_value_counts") {
                   case l: java.lang.Long => Some(l.longValue()); case _ => None },
                 lowerBounds = intMap("lower_bounds")(bytesOf),
@@ -894,17 +903,18 @@ object IcebergSource {
     val snap = target.getOrElse(return empty)
 
     val conf = spark.sessionState.newHadoopConf()
-    // a dataFilter also prunes at the MANIFEST-LIST level: its simple
-    // conjuncts project (inclusively) onto the partition spec, so whole
-    // manifests whose bound summaries cannot match are never even read —
-    // the two-level metadata walk a 100 TB table needs
+    // a dataFilter also prunes at the MANIFEST-LIST level: its
+    // projectable structure — conjuncts AND disjunctions of them (an
+    // OR-of-months, a date-range union) — projects (inclusively) onto
+    // the partition spec, so whole manifests whose bound summaries
+    // cannot match are never even read — the two-level metadata walk a
+    // 100 TB table needs
     val resolvedFilter = dataFilter.flatMap(f =>
       StatsPruning.resolveCondition(spark, readSchema, f))
-    val derived: Seq[PartitionPredicate] = resolvedFilter.toSeq
-      .flatMap(StatsPruning.conjunctAtoms)
-      .flatMap { case (c, op, v) => projectPredicate(meta, c, op, v) }
+    val derivedDnf: Seq[Seq[PartitionPredicate]] =
+      resolvedFilter.flatMap(derivedDnfOf(meta, _)).getOrElse(Nil)
     val (dataFiles0, posDeleteFiles, eqDeleteFiles) =
-      collectFiles(conf, root, snap, meta, partitionFilter ++ derived)
+      collectFiles(conf, root, snap, meta, partitionFilter, derivedDnf)
     // column-bound file skipping: drop data files whose manifest
     // lower/upper bounds prove no row can match, then RE-APPLY the
     // predicate on the scan so the prune can never change results.
@@ -923,6 +933,20 @@ object IcebergSource {
       .drop("_gf_path", "_gf_pos", "_gf_seq"))
   }
 
+  /** The OR-of-AND partition projection a resolved source-column filter
+    * derives against the table's CURRENT spec (inclusive per group): a
+    * file is kept when ANY group fully may-match. None/Nil when any
+    * disjunct fails to project — an OR with an unconstrained side cannot
+    * prune. A group whose atoms only PARTIALLY project keeps the
+    * projectable subset (sound: a subset of conjuncts admits a
+    * superset of files). */
+  private def derivedDnfOf(meta: TableMeta,
+      cond: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[Seq[Seq[PartitionPredicate]]] =
+    StatsPruning.dnfAtoms(cond).map(_.map(_.flatMap {
+      case (c, op, v) => projectPredicate(meta, c, op, v)
+    })).filter(_.forall(_.nonEmpty))
+
   /** The inclusive partition predicates a source-column filter derives
     * against the table's CURRENT spec — exactly what
     * `read(dataFilter = ...)` prunes with automatically; exposed so
@@ -934,6 +958,16 @@ object IcebergSource {
     StatsPruning.resolveCondition(spark, readSchema, filter).toSeq
       .flatMap(StatsPruning.conjunctAtoms)
       .flatMap { case (c, op, v) => projectPredicate(meta, c, op, v) }
+  }
+
+  /** [[derivedPartitionPredicates]]' disjunctive form: the OR-of-AND
+    * groups `read(dataFilter = ...)` prunes with (Nil = no projection). */
+  def derivedPartitionDnf(spark: SparkSession, root: String,
+                          filter: Column): Seq[Seq[PartitionPredicate]] = {
+    val meta = tableMeta(spark, root)
+    val readSchema = stripFieldIds(meta.schema).asInstanceOf[StructType]
+    StatsPruning.resolveCondition(spark, readSchema, filter)
+      .flatMap(derivedDnfOf(meta, _)).getOrElse(Nil)
   }
 
   /** Skipping report a caller (spec, board fixture) can assert on:
@@ -1390,9 +1424,59 @@ object IcebergSource {
    * Iceberg runtime's own incremental read, which rejects everything but
    * appends.
    */
+  /** The deterministic CDF change-item decomposition of one snapshot
+    * against its predecessor — the unit [[changes]] slices by and the
+    * streaming source's file-level changelog offsets index into: the
+    * appeared data files (insert class, manifest order), then the
+    * vanished data files (delete class, predecessor manifest order),
+    * then one optional row-delete marker (the new-delete-files-on-kept-
+    * files join, atomic per snapshot). `replace` snapshots decompose to
+    * zero items. */
+  private[sources] final case class ChangeBreakdown(
+      newData: Seq[FileEntry], removedData: Seq[FileEntry],
+      keptData: Seq[FileEntry], newPos: Seq[FileEntry], newEq: Seq[FileEntry],
+      prevPos: Seq[FileEntry], prevEq: Seq[FileEntry]) {
+    def rowDeleteMarker: Boolean =
+      (newPos.nonEmpty || newEq.nonEmpty) && keptData.nonEmpty
+    def itemCount: Long =
+      newData.size.toLong + removedData.size + (if (rowDeleteMarker) 1 else 0)
+    /** Per-item file sizes in item order (marker weighs 0). */
+    def itemSizes: Seq[Long] =
+      newData.map(_.size) ++ removedData.map(_.size) ++
+        (if (rowDeleteMarker) Seq(0L) else Nil)
+  }
+
+  private[sources] def changeBreakdown(
+      cur: (Seq[FileEntry], Seq[FileEntry], Seq[FileEntry]),
+      prev: (Seq[FileEntry], Seq[FileEntry], Seq[FileEntry]),
+      operation: String): ChangeBreakdown = {
+    if (operation == "replace") // compaction: no net row change
+      return ChangeBreakdown(Nil, Nil, Nil, Nil, Nil, Nil, Nil)
+    val (prevData, prevPos, prevEq) = prev
+    val (curData, curPos, curEq) = cur
+    val prevPaths = prevData.map(_.path).toSet
+    val curPaths = curData.map(_.path).toSet
+    ChangeBreakdown(
+      newData = curData.filterNot(e => prevPaths.contains(e.path)),
+      removedData = prevData.filterNot(e => curPaths.contains(e.path)),
+      keptData = prevData.filter(e => curPaths.contains(e.path)),
+      newPos = curPos.filterNot(e => prevPos.exists(_.path == e.path)),
+      newEq = curEq.filterNot(e => prevEq.exists(_.path == e.path)),
+      prevPos = prevPos, prevEq = prevEq)
+  }
+
+  /**
+   * `fromItemIndex`/`untilItemIndex` slice the BOUNDARY snapshots of the
+   * range by [[ChangeBreakdown]] item index — `fromItemIndex` skips the
+   * first items of the FIRST emitted snapshot, `untilItemIndex` stops
+   * the last one before that item. How the streaming changelog drains a
+   * bulk snapshot as many bounded micro-batches.
+   */
   def changes(spark: SparkSession, root: String,
               fromSnapshotId: Option[Long] = None,
-              toSnapshotId: Option[Long] = None): DataFrame = {
+              toSnapshotId: Option[Long] = None,
+              fromItemIndex: Long = 0L,
+              untilItemIndex: Long = Long.MaxValue): DataFrame = {
     val meta = tableMeta(spark, root)
     val ordered = meta.snapshots.sortBy(s => (s.timestampMs, s.snapshotId))
     require(ordered.nonEmpty, s"$root has no snapshots")
@@ -1429,23 +1513,31 @@ object IcebergSource {
       .elements().asScala.map(fd =>
         fd.get("id").asInt() -> fd.get("name").asText()).toMap
 
+    // boundary-snapshot item slicing: items [offset, offset + xs.size)
+    def sliceOf(xs: Seq[FileEntry], offset: Long, lo: Long,
+                hi: Long): Seq[FileEntry] = {
+      val a = math.max(lo - offset, 0L)
+      val b = math.min(hi - offset, xs.size.toLong)
+      if (a >= b) Nil else xs.slice(a.toInt, b.toInt)
+    }
     var prev: Files =
       if (fromIdx == 0) (Nil, Nil, Nil) else files(ordered(fromIdx - 1))
     val frames = (fromIdx until toIdx).flatMap { i =>
       val s = ordered(i)
       val cur = files(s)
+      val bd = changeBreakdown(cur, prev, s.operation)
       val out: Seq[DataFrame] =
-        if (s.operation == "replace") Nil // compaction: no net row change
+        if (bd.itemCount == 0L) Nil // compaction / no-op: no net row change
         else {
-          val (prevData, prevPos, prevEq) = prev
-          val (curData, curPos, curEq) = cur
-          val prevPaths = prevData.map(_.path).toSet
-          val curPaths = curData.map(_.path).toSet
-          val newData = curData.filterNot(e => prevPaths.contains(e.path))
-          val removedData = prevData.filterNot(e => curPaths.contains(e.path))
-          val keptData = prevData.filter(e => curPaths.contains(e.path))
-          val newPos = curPos.filterNot(e => prevPos.exists(_.path == e.path))
-          val newEq = curEq.filterNot(e => prevEq.exists(_.path == e.path))
+          val lo = if (i == fromIdx) fromItemIndex else 0L
+          val hi = if (i == toIdx - 1) untilItemIndex else Long.MaxValue
+          val newData = sliceOf(bd.newData, 0L, lo, hi)
+          val removedData = sliceOf(bd.removedData, bd.newData.size.toLong, lo, hi)
+          val markerIdx = bd.newData.size.toLong + bd.removedData.size
+          val markerIn = bd.rowDeleteMarker && lo <= markerIdx && markerIdx < hi
+          val keptData = bd.keptData
+          val newPos = bd.newPos; val newEq = bd.newEq
+          val prevPos = bd.prevPos; val prevEq = bd.prevEq
 
           def stamp(df: DataFrame, ct: String): DataFrame = df
             .withColumn("_change_type", lit(ct))
@@ -1467,7 +1559,7 @@ object IcebergSource {
             if (removedData.isEmpty) None
             else Some(stamp(liveRows(removedData, prevPos, prevEq), "delete"))
           val rowDeletes =
-            if ((newPos.isEmpty && newEq.isEmpty) || keptData.isEmpty) None
+            if (!markerIn) None
             else {
               // previous-snapshot live rows of still-present files, WITH
               // provenance kept for the position join and the final dedup

@@ -232,6 +232,22 @@ class IcebergStreamSource(spark: SparkSession, root: String,
     }
   }
 
+  /** CDF change-item decomposition of snapshot `ord(i)` against its
+    * predecessor (no contract enforcement: in changelog mode deletes and
+    * overwrites are DATA, not errors). Derived from the cached snapshot
+    * file lists, so enumeration and [[IcebergSource.changes]]' slicing
+    * index the identical deterministic item order. */
+  private def cdfBreakdown(m: IcebergSource.TableMeta,
+                           ord: Seq[IcebergSource.SnapshotInfo],
+                           i: Int): IcebergSource.ChangeBreakdown = {
+    val prev =
+      if (i == 0) (Seq.empty[IcebergSource.FileEntry],
+        Seq.empty[IcebergSource.FileEntry], Seq.empty[IcebergSource.FileEntry])
+      else snapFiles(m, ord(i - 1).snapshotId)
+    IcebergSource.changeBreakdown(snapFiles(m, ord(i).snapshotId), prev,
+      ord(i).operation)
+  }
+
   /** The files snapshot `ord(i)` ADDED, with the append-only contract
     * enforced (deterministic manifest order — offsets index into it). */
   private def addedEntries(m: IcebergSource.TableMeta,
@@ -332,7 +348,13 @@ class IcebergStreamSource(spark: SparkSession, root: String,
         .getOrElse(ord.size - 1)
       var s = startOrd
       while (s <= stopOrd && room) {
-        val added = addedEntries(m, ord, s)
+        // item list per snapshot: data files added (non-CDF, contract
+        // enforced) or the CDF change-item decomposition (path-less
+        // stand-ins — the batch reads through changes()' item slicing)
+        val added: Seq[(Option[String], Long)] =
+          if (readChangeFeed)
+            cdfBreakdown(m, ord, s).itemSizes.map((None: Option[String], _))
+          else addedEntries(m, ord, s).map(e => (Some(e.path), e.size))
         val first = if (s == startOrd) startIdx else 0L
         if (added.isEmpty) {
           // fileless snapshot (compaction, skipped delete, empty
@@ -346,7 +368,7 @@ class IcebergStreamSource(spark: SparkSession, root: String,
           var i = first
           while (i < added.size && room) {
             admit(IcebergSourceOffset(ord(s).snapshotId, i + 1, snapshot = false),
-              Some(added(i.toInt).path), added(i.toInt).size)
+              added(i.toInt)._1, added(i.toInt)._2)
             i += 1
           }
         }
@@ -356,38 +378,8 @@ class IcebergStreamSource(spark: SparkSession, root: String,
     out.toSeq
   }
 
-  /** CDF mode keeps SNAPSHOT granularity: one position per snapshot (the
-    * changelog's change-ordinal stamping is per version range). */
-  private def pendingSnapshots(from: Option[IcebergSourceOffset],
-                               cap: Option[Int]): Seq[IcebergSourceOffset] = {
-    val m = meta
-    val ord = orderedSnaps(m)
-    val out = scala.collection.mutable.ArrayBuffer[IcebergSourceOffset]()
-    def room: Boolean = cap.forall(out.size < _)
-    val cursor: Option[Long] = from match {
-      case Some(o) => Some(o.snapshotId)
-      case None => base match {
-        case Left(id) =>
-          if (room) out += IcebergSourceOffset(id, Long.MaxValue, snapshot = true)
-          Some(id)
-        case Right(Long.MinValue) => None
-        case Right(id) => Some(id)
-      }
-    }
-    val tail = cursor match {
-      case None => ord
-      case Some(c) => ord.drop(ordIdx(ord, c, "stream cursor") + 1)
-    }
-    tail.foreach { s =>
-      if (room) out += IcebergSourceOffset(s.snapshotId, Long.MaxValue, snapshot = false)
-    }
-    out.toSeq
-  }
-
   override def getOffset: Option[OffsetV1] = {
-    val pending =
-      if (readChangeFeed) pendingSnapshots(lastReturned, maxFiles)
-      else pendingAfter(lastReturned, maxFiles, maxBytes).map(_._1)
+    val pending = pendingAfter(lastReturned, maxFiles, maxBytes).map(_._1)
     if (pending.nonEmpty) setPosition(pending.last)
     else if (lastReturned.isEmpty) {
       // nothing to emit yet, but the BASE must still be pinned: a
@@ -503,39 +495,80 @@ class IcebergStreamSource(spark: SparkSession, root: String,
     streamingUnion(frames.toSeq)
   }
 
-  /** One changelog micro-batch: the base snapshot as stamped `insert`
-    * rows unioned with [[IcebergSource.changes]] over the tail range. */
+  /** One changelog micro-batch: a FILE SLICE of the base snapshot as
+    * stamped `insert` rows (MOR-correct), unioned with
+    * [[IcebergSource.changes]] over the tail range sliced at the
+    * boundary snapshots by change-item index — so one bulk snapshot
+    * drains as many bounded, restart-deterministic micro-batches. */
   private def cdfBatch(startOff: Option[IcebergSourceOffset],
                        endOff: IcebergSourceOffset): DataFrame = {
     import org.apache.spark.sql.functions._
     val m = meta
     schemaCheck(m)
+    val ord = orderedSnaps(m)
     val frames = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    if (startOff.isEmpty && base.isLeft) {
-      val Left(baseId) = base: @unchecked
-      val ts = m.snapshots.find(_.snapshotId == baseId).map(_.timestampMs).getOrElse(0L)
-      frames += IcebergSource.read(spark, root, snapshotId = Some(baseId))
-        .withColumn("_change_type", lit("insert"))
-        .withColumn("_change_ordinal", lit(0))
-        .withColumn("_commit_snapshot_id", lit(baseId))
-        .withColumn("_commit_timestamp", timestamp_millis(lit(ts)))
+    // phase 1: the pinned base snapshot, file-sliced (legacy
+    // whole-snapshot MaxValue offsets decode to the full list)
+    base match {
+      case Left(baseId) =>
+        val pinId =
+          if (endOff.snapshot) endOff.snapshotId
+          else startOff.filter(_.snapshot).map(_.snapshotId).getOrElse(baseId)
+        val files = snapFiles(m, pinId)._1
+        val lo: Long = startOff match {
+          case Some(o) if o.snapshot =>
+            if (o.index == Long.MaxValue) files.size.toLong else o.index
+          case Some(_) => files.size.toLong // already past the snapshot
+          case None => 0L
+        }
+        val hi: Long =
+          if (!endOff.snapshot) files.size.toLong
+          else if (endOff.index == Long.MaxValue) files.size.toLong
+          else endOff.index
+        if (lo < hi) {
+          val ts = m.snapshots.find(_.snapshotId == pinId)
+            .map(_.timestampMs).getOrElse(0L)
+          frames += morSubset(m, pinId,
+              files.slice(lo.toInt, hi.toInt).map(_.path))
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_change_ordinal", lit(0))
+            .withColumn("_commit_snapshot_id", lit(pinId))
+            .withColumn("_commit_timestamp", timestamp_millis(lit(ts)))
+        }
+      case Right(_) => ()
     }
+    // phase 2: the tail, in (snapshot, change-item) coordinates.
+    // changes() ranges are exclusive of fromSnapshotId, so a mid-snapshot
+    // cursor passes its PREDECESSOR plus its item index.
     if (!endOff.snapshot) {
-      val from: Option[Long] = startOff match {
-        case Some(o) => Some(o.snapshotId)
+      def expiredCheck(id: Long): Unit =
+        require(m.snapshots.exists(_.snapshotId == id),
+          s"changelog cursor snapshot $id expired from $root — restart " +
+            "the stream from a retained snapshot")
+      val fromSpec: Option[(Option[Long], Long)] = startOff match {
+        case Some(o) if o.snapshot => Some((Some(o.snapshotId), 0L))
+        case Some(o) if o.index == Long.MaxValue => // legacy whole-snapshot
+          Some((Some(o.snapshotId), 0L))
+        case Some(o) =>
+          expiredCheck(o.snapshotId)
+          val i = ordIdx(ord, o.snapshotId, "changelog cursor")
+          Some((if (i == 0) None else Some(ord(i - 1).snapshotId), o.index))
         case None => base match {
-          case Left(id) => Some(id)
-          case Right(Long.MinValue) => None
-          case Right(id) => Some(id)
+          case Left(id) => Some((Some(id), 0L))
+          case Right(Long.MinValue) => Some((None, 0L))
+          case Right(id) => Some((Some(id), 0L))
         }
       }
-      // an expired cursor cannot be silently skipped (it would drop the
-      // gap) — fail loudly like the non-CDF path's expired-snapshot error
-      from.foreach(id => require(m.snapshots.exists(_.snapshotId == id),
-        s"changelog cursor snapshot $id expired from $root — restart the " +
-          "stream from a retained snapshot"))
-      frames += IcebergSource.changes(spark, root,
-        fromSnapshotId = from, toSnapshotId = Some(endOff.snapshotId))
+      fromSpec.foreach { case (fromExcl, fromItem) =>
+        // an expired cursor cannot be silently skipped (it would drop
+        // the gap) — fail loudly like the non-CDF expired-snapshot error
+        fromExcl.foreach(expiredCheck)
+        val untilItem =
+          if (endOff.index == Long.MaxValue) Long.MaxValue else endOff.index
+        frames += IcebergSource.changes(spark, root,
+          fromSnapshotId = fromExcl, toSnapshotId = Some(endOff.snapshotId),
+          fromItemIndex = fromItem, untilItemIndex = untilItem)
+      }
     }
     streamingUnion(frames.toSeq)
   }

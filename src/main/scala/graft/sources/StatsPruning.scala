@@ -375,6 +375,41 @@ object StatsPruning {
     }
   }
 
+  /**
+   * Disjunctive normal form of a predicate's PROJECTABLE atoms:
+   * `Some(groups)` means the predicate IMPLIES "OR over groups", each
+   * group an AND of [[conjunctAtoms]]-shaped triples; `None` means the
+   * predicate cannot restrict anything (no projectable structure). The
+   * OR shape is what `month = X OR month = Y` (or a date-range union)
+   * compiles to — without it, an everyday 100 TB filter derives no
+   * partition projection at all and scans the world.
+   *
+   * Soundness: dropping a conjunct keeps a SUPERSET (so an And may keep
+   * either side when the cross-product would exceed `maxGroups`), but a
+   * disjunct can never be dropped — an Or with an unprojectable side is
+   * unrestrictive as a whole, and an Or whose union would exceed
+   * `maxGroups` degrades to None rather than to a subset.
+   */
+  def dnfAtoms(cond: Expression, maxGroups: Int = 64)
+      : Option[Seq[Seq[(String, String, Any)]]] = cond match {
+    case And(a, b) => (dnfAtoms(a, maxGroups), dnfAtoms(b, maxGroups)) match {
+      case (None, None) => None
+      case (Some(x), None) => Some(x)
+      case (None, Some(y)) => Some(y)
+      case (Some(x), Some(y)) =>
+        if (x.size.toLong * y.size.toLong <= maxGroups)
+          Some(for { g <- x; h <- y } yield g ++ h)
+        else Some(if (x.size <= y.size) x else y) // superset: one side only
+    }
+    case Or(a, b) => (dnfAtoms(a, maxGroups), dnfAtoms(b, maxGroups)) match {
+      case (Some(x), Some(y)) if x.size + y.size <= maxGroups => Some(x ++ y)
+      case _ => None // an unprojectable (or oversized) disjunct admits all
+    }
+    case leaf =>
+      val atoms = conjunctAtoms(leaf)
+      if (atoms.isEmpty) None else Some(Seq(atoms))
+  }
+
   // ------------------------------------------------- footer extraction
 
   /** One leaf column's footer-aggregated statistics: raw parquet min/max

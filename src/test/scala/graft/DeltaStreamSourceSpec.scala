@@ -256,6 +256,52 @@ class DeltaStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CDF tail: one bulk commit drains as file-level batches across a restart") {
+    val root = tmp(); val out = tmp(); val cp = tmp()
+    DeltaWriter.write(Seq((0, "seed")).toDF("k", "v"), root)              // v0: 1 file
+    DeltaWriter.write((1 to 30).map(i => (i, s"r$i")).toDF("k", "v")
+      .repartition(6), root)                                              // v1: 6 files
+    def reader() = spark.readStream.format("graft-delta")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .option("maxFilesPerTrigger", "2").load(root)
+    // one capped batch via Trigger.Once: stops MID-commit (2 of 7 change
+    // files) — the shape that used to land v1 as one unbounded batch
+    val q1 = reader().writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+    q1.awaitTermination()
+    val partial = spark.read.parquet(out).count()
+    assert(partial > 0 && partial < 31, s"expected a mid-commit stop, got $partial")
+    // more data while down; the restart finishes v1 exactly once, then v2
+    DeltaWriter.write(Seq((100, "x")).toDF("k", "v"), root)               // v2
+    val q2 = reader().writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp).start()
+    try {
+      q2.processAllAvailable()
+      assert(q2.recentProgress.count(_.numInputRows > 0) >= 3,
+        "the 2-file cap should split the remaining backlog into >=3 batches")
+    } finally q2.stop()
+    val got = spark.read.parquet(out)
+    assert(got.count() == 32, "file-level CDF restart duplicated or dropped changes")
+    assert(got.select("k").as[Int].collect().toSet == ((0 to 30).toSet + 100))
+    assert(got.filter(col("_change_type") === "insert").count() == 32)
+  }
+
+  test("CDF: legacy whole-version cursors from old checkpoints still resume") {
+    import graft.sources.DeltaStreamSource
+    val root = tmp()
+    DeltaWriter.write(Seq((1, "a")).toDF("k", "v"), root) // v0
+    DeltaWriter.write(Seq((2, "b")).toDF("k", "v"), root) // v1
+    val s = new DeltaStreamSource(spark, root,
+      Map("readChangeFeed" -> "true", "startingVersion" -> "0"))
+    val end = s.getOffset.get
+    // an old checkpoint's WAL offset: whole-version form, no fileLevel
+    // mark — (0, 1) means "v0 consumed WHOLE", so the batch is v1 only
+    val legacy = DeltaStreamSource.DeltaSourceOffset(0L, 1L, snapshot = false)
+    assert(batchRows(s.getBatch(Some(legacy), end)) == 1,
+      "a legacy CDF cursor must tail from the NEXT version, not re-slice its own")
+  }
+
   test("schema change mid-stream fails loudly") {
     val root = tmp()
     DeltaWriter.write(Seq((1, "a")).toDF("k", "v"), root)

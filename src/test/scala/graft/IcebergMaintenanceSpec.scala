@@ -173,4 +173,56 @@ class IcebergMaintenanceSpec extends SparkSpec {
     assert(IcebergSource.read(spark, root).count() == 120)
     assert(IcebergSource.snapshots(spark, root).size == 1)
   }
+
+  test("cleanupMetadata retires old vN.metadata.json; reads and streams stay green") {
+    val root = tmp()
+    // 50 commits -> v1..v50 metadata files accumulate
+    (0 until 50).foreach(i =>
+      IcebergSource.write(Seq((i.toLong, s"r$i")).toDF("k", "v"), root,
+        mode = "append"))
+    val metaDir = new java.io.File(root, "metadata")
+    def metaFiles(): Seq[String] = metaDir.listFiles()
+      .map(_.getName).filter(n => n.matches("v\\d+\\.metadata\\.json")).toSeq
+    assert(metaFiles().size == 50)
+    // a stream consumes part of the backlog BEFORE cleanup (its base and
+    // cursor pin SNAPSHOT ids, which live in the current metadata)
+    val out = Files.createTempDirectory("icemaint_out").toString
+    val cp = Files.createTempDirectory("icemaint_cp").toString
+    def start() = spark.readStream.format("graft-iceberg").load(root)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp).start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(out).count() == 50)
+
+    val dry = IcebergMaintenance.cleanupMetadata(spark, root, keepLast = 5,
+      dryRun = true)
+    assert(dry.size == 45 && metaFiles().size == 50, "dry run must not delete")
+    val deleted = IcebergMaintenance.cleanupMetadata(spark, root, keepLast = 5)
+    assert(deleted.size == 45, s"expected 45 retired files, got ${deleted.size}")
+    assert(metaFiles().map(n => n.stripPrefix("v").stripSuffix(".metadata.json")
+      .toLong).sorted == (46L to 50L), s"kept ${metaFiles()}")
+    // idempotent: nothing below the floor remains
+    assert(IcebergMaintenance.cleanupMetadata(spark, root, keepLast = 5).isEmpty)
+    // full snapshot history survives in the current metadata
+    val meta = IcebergSource.tableMeta(spark, root)
+    assert(meta.snapshots.size == 50)
+    assert(IcebergSource.read(spark, root).count() == 50)
+    // time travel to any retained SNAPSHOT still works
+    val firstSnap = meta.snapshots.minBy(_.timestampMs)
+    assert(IcebergSource.read(spark, root,
+      snapshotId = Some(firstSnap.snapshotId)).count() == 1)
+    // the stream resumes across the cleanup and drains only new commits
+    IcebergSource.write(Seq((100L, "new")).toDF("k", "v"), root, mode = "append")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(out).count() == 51,
+      "stream restart across metadata GC duplicated or dropped rows")
+    // a stale version-hint pointing at a retired file still resolves
+    // (advisory hint; readers fall back to the directory scan)
+    val hint = new java.io.File(metaDir, "version-hint.text")
+    java.nio.file.Files.write(hint.toPath, "3".getBytes("UTF-8"))
+    new java.io.File(metaDir, ".version-hint.text.crc").delete()
+    assert(IcebergSource.read(spark, root).count() == 51)
+  }
 }

@@ -319,4 +319,36 @@ class IcebergStreamSourceSpec extends SparkSpec {
     assert(all.count() == 18, "absent position file broke exactly-once")
     assert(all.as[Long].collect().toSet == (0L until 18L).toSet)
   }
+
+  test("CDF: a bulk snapshot drains as file-level changelog batches across restart") {
+    val root = tmp(); val out = tmp(); val cp = tmp()
+    IcebergSource.write(Seq((0L, "seed")).toDF("k", "v"), root)        // snap 1
+    IcebergSource.write((1L to 30L).map(i => (i, s"r$i")).toDF("k", "v")
+      .repartition(6), root, mode = "append")                          // snap 2: 6 files
+    def reader() = spark.readStream.format("graft-iceberg")
+      .option("readChangeFeed", "true")
+      .option("maxFilesPerTrigger", "2").load(root)
+    // one capped batch: stops MID-snapshot (2 of 7 base files) -- the
+    // shape that used to land the whole changelog snapshot as one batch
+    val q1 = reader().writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+    q1.awaitTermination()
+    val partial = spark.read.parquet(out).count()
+    assert(partial > 0 && partial < 31, s"expected a mid-batch stop, got $partial")
+    // a DELETE lands while down -- in changelog mode deletes are DATA
+    IcebergSource.delete(spark, root, "k = 5")                         // snap 3
+    val q2 = reader().writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp).start()
+    try {
+      q2.processAllAvailable()
+      assert(q2.recentProgress.count(_.numInputRows > 0) >= 2,
+        "the 2-file cap should split the remaining backlog into >=2 batches")
+    } finally q2.stop()
+    val got = spark.read.parquet(out)
+    assert(got.count() == 32, "file-level changelog restart duplicated or dropped rows")
+    assert(got.filter(col("_change_type") === "insert").count() == 31)
+    assert(got.filter(col("_change_type") === "delete")
+      .select("k").as[Long].collect().toSeq == Seq(5L))
+  }
 }

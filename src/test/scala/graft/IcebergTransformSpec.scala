@@ -190,6 +190,56 @@ class IcebergTransformSpec extends SparkSpec {
       .head.transform == "month")
   }
 
+  test("OR-of-months filter projects a disjunctive partition union") {
+    import graft.sources.Sources
+    val root = tmp()
+    // four month() partitions, multiple files each
+    val df = (0 until 400).map { i =>
+      (i.toLong, Timestamp.valueOf(f"2024-${i % 4 + 1}%02d-15 0${i % 9}:00:00"))
+    }.toDF("id", "ts")
+    IcebergSource.write(df.repartitionByRange(8, col("ts")), root,
+      partitionBy = Seq("month(ts)"))
+    val all = Sources.read(spark, Sources.ReadConfig("iceberg", path = Some(root)))
+    assert(all.count() == 400)
+    // an everyday OR-of-ranges: January OR March — two disjoint months
+    // (range ends INSIDE the month: a bound exactly on the next month's
+    // boundary inclusively admits that month too, which is sound but
+    // would not demonstrate pruning)
+    val where = "(ts >= TIMESTAMP'2024-01-01 00:00:00' AND " +
+      "ts <= TIMESTAMP'2024-01-28 00:00:00') OR " +
+      "(ts >= TIMESTAMP'2024-03-01 00:00:00' AND " +
+      "ts <= TIMESTAMP'2024-03-28 00:00:00')"
+    val janMar = Sources.read(spark, Sources.ReadConfig("iceberg",
+      path = Some(root), options = Map("filter" -> where)))
+    assert(janMar.count() == 200)
+    // the projection derives TWO disjunct groups, and the plan reads at
+    // most half the table's files (2 of 4 months)
+    val dnf = IcebergSource.derivedPartitionDnf(spark, root, expr(where))
+    assert(dnf.size == 2, s"expected 2 disjunct groups, got $dnf")
+    assert(janMar.inputFiles.length <= all.inputFiles.length / 2,
+      s"OR filter planned ${janMar.inputFiles.length} of " +
+        s"${all.inputFiles.length} files — the disjunction did not prune")
+    // an IN over timestamps projects too (it is an OR in disguise, but
+    // arrives as a single atom)
+    val inWhere = "ts IN (TIMESTAMP'2024-01-15 00:00:00', " +
+      "TIMESTAMP'2024-03-15 08:00:00')"
+    val inRead = Sources.read(spark, Sources.ReadConfig("iceberg",
+      path = Some(root), options = Map("filter" -> inWhere)))
+    assert(inRead.inputFiles.length <= all.inputFiles.length / 2,
+      "IN-list should prune to its months")
+    // an OR with an UNPROJECTABLE side must not prune anything (sound):
+    // id is not a partition column
+    val mixed = "(ts >= TIMESTAMP'2024-01-01 00:00:00' AND " +
+      "ts < TIMESTAMP'2024-02-01 00:00:00') OR id = 399"
+    val mixedRead = Sources.read(spark, Sources.ReadConfig("iceberg",
+      path = Some(root), options = Map("filter" -> mixed)))
+    assert(mixedRead.as[(Long, Timestamp)].collect().map(_._1).toSet ==
+      ((0 until 400 by 4).map(_.toLong).toSet + 399L),
+      "an OR with a non-partition disjunct dropped rows")
+    assert(IcebergSource.derivedPartitionDnf(spark, root, expr(mixed)).isEmpty,
+      "an unprojectable disjunct must void the projection")
+  }
+
   test("declarative read: the filter option alone prunes month()/bucket() partitions") {
     import graft.sources.Sources
     // month() table — a plain YAML-shaped `filter` must plan only the
