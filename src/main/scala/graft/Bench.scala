@@ -87,10 +87,19 @@ object Bench {
     // r15 additions: mid-stream schema evolution, V2 sidecar checkpoints
     "q_delta_stream_evolve", "q_delta_v2_checkpoint")
 
+  /** 1-minute load average — recorded in the JSON so a reader can tell a
+    * contended board from an idle one (r15's committed board overstated
+    * lakehouse queries up to 5× purely from machine contention). */
+  private def loadAvg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      .split(" ").head.toDouble
+    catch { case _: Exception => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val loadStart = loadAvg()
     // iterate on a subset: SPARK_GRAFT_BENCH_ONLY=q_a,q_b
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -117,16 +126,37 @@ object Bench {
     // cold page cache: without an untimed warmup their best-of-N swings
     // >1.3× between otherwise-identical rounds (board noise, r13→r14).
     val warmupFirst = Set("q_exact_dedup", "q_bloom_dedup")
+    // CONTENTION GUARD: a query whose best-of-N spread exceeds this was
+    // measured under interference (GC storm, another process, page-cache
+    // eviction) — re-measure it once more rather than committing a
+    // contaminated number to the board. Tiny queries are exempt (their
+    // relative spread is dominated by scheduling quanta, not contention).
+    val spreadBound = 1.3
+    val rerunFloorSec = 0.5
+    val reruns = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = headline.filter(n => only.forall(_.contains(n))).flatMap { name =>
       qs.get(name).map { fn =>
         if (warmupFirst(name))
           try fn(spark, sfDir).count() catch { case _: Throwable => () }
-        val times = (1 to runs).flatMap { _ =>
+        def measure(): Seq[Double] = (1 to runs).flatMap { _ =>
           val t0 = System.nanoTime()
           val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
           val dt = (System.nanoTime() - t0) / 1e9
           if (n < 0) { System.err.println(s"[bench] $name FAILED"); None }
           else Some(dt)
+        }
+        var times = measure()
+        // spread is judged over the WARM runs only: each query's first
+        // run legitimately carries its one-time plan-analysis cost, which
+        // is amortization, not contention
+        val warm = if (times.size >= 3) times.drop(1) else times
+        if (warm.nonEmpty && runs > 1 && warm.min > rerunFloorSec &&
+            warm.max / warm.min > spreadBound) {
+          System.err.println(f"[bench] $name warm spread " +
+            f"${warm.max / warm.min}%.2fx exceeds the contention bound — " +
+            "re-measuring")
+          reruns += name
+          times = times ++ measure()
         }
         // a failing query must NEVER read as a (fast) success: it is
         // excluded from the totals and listed under "failed" in the JSON
@@ -139,8 +169,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val rerunJson = reruns.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"failed":$failedJson,"sf":"$sfDir","runs":$runs}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"failed":$failedJson,"sf":"$sfDir","runs":$runs,"load_start":$loadStart%.2f,"load_end":${loadAvg()}%.2f,"reruns":$rerunJson}"""
     println(line)
     // the driver's stdout capture has truncated mid-JSON in past rounds;
     // also persist the full line to a file it (or a human) can pick up
