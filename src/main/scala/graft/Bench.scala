@@ -148,8 +148,9 @@ object Bench {
         var times = measure()
         // spread is judged over the WARM runs only: each query's first
         // run legitimately carries its one-time plan-analysis cost, which
-        // is amortization, not contention
-        val warm = if (times.size >= 3) times.drop(1) else times
+        // is amortization, not contention — under 3 runs there are not
+        // two warm samples to compare, so the guard stays out of the way
+        val warm = if (times.size >= 3) times.drop(1) else Nil
         if (warm.nonEmpty && runs > 1 && warm.min > rerunFloorSec &&
             warm.max / warm.min > spreadBound) {
           System.err.println(f"[bench] $name warm spread " +

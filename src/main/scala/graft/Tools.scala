@@ -129,8 +129,18 @@ object Tools {
         0
       }
     case "cleanup-metadata" :: root :: rest =>
-      val keepLast = flagValue(rest, "--keep-last").map(_.toInt).getOrElse(100)
-      val dryRun = rest.contains("--dry-run")
+      // strict arg loop (same discipline as `delete`): on a DESTRUCTIVE
+      // verb a typo'd flag must exit with usage, not be silently ignored
+      // (a mistyped --dry-run would otherwise delete for real)
+      var keepLast = 100; var dryRun = false
+      var r = rest
+      while (r.nonEmpty) r match {
+        case "--keep-last" :: v :: t => keepLast = v.toInt; r = t
+        case "--dry-run" :: t => dryRun = true; r = t
+        case other :: _ =>
+          System.err.println(s"unknown cleanup-metadata arg $other"); return 2
+        case Nil => ()
+      }
       withSpark { spark =>
         val deleted = graft.sources.IcebergMaintenance.cleanupMetadata(
           spark, root, keepLast, dryRun)

@@ -59,9 +59,12 @@ class DeltaStreamSourceProvider extends StreamSourceProvider with DataSourceRegi
 object DeltaStreamSource {
   private val mapper = new ObjectMapper()
 
-  private[sources] def logicalSchema(snap: DeltaLog.Snapshot): StructType =
-    StructType(snap.schema.fields.map(f =>
+  private[sources] def stripFields(st: StructType): StructType =
+    StructType(st.fields.map(f =>
       f.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+
+  private[sources] def logicalSchema(snap: DeltaLog.Snapshot): StructType =
+    stripFields(snap.schema)
 
   /** Stream position: all files of `version` up to `index` (exclusive)
     * are consumed; `snapshot` marks the initial-snapshot phase, whose
@@ -181,10 +184,37 @@ class DeltaStreamSource(spark: SparkSession, root: String,
   private val trackedAtStart: Option[(Long, StructType)] =
     trackPath.flatMap(SchemaTracking.read(spark, _))
 
+  /** The RAW schema this run serves (mapping metadata kept when present
+    * — field ids drive rename resolution on column-mapped tables): the
+    * tracked one when the tracking location holds it, else the base
+    * snapshot's. Tracked files written before raw persistence carry no
+    * metadata, which just disables the id paths. */
+  private lazy val servingRaw: StructType =
+    trackedAtStart.map(_._2).getOrElse(snapshotAtBase.schema)
+
   /** The table schema this RUN serves: the tracked (evolved) one when the
     * tracking location holds it, else the base snapshot's. */
-  private val tableSchema: StructType =
-    trackedAtStart.map(_._2).getOrElse(logicalSchema(snapshotAtBase))
+  private lazy val tableSchema: StructType = stripFields(servingRaw)
+
+  /** Top-level field-id view of a fully column-mapped schema:
+    * id -> (physical name, stripped type). None when any field lacks a
+    * mapping id (unmapped table / legacy stripped tracked schema). */
+  private def idViewTop(st: StructType): Option[Map[Long, (String, org.apache.spark.sql.types.DataType)]] =
+    if (st.fields.nonEmpty &&
+        st.fields.forall(_.metadata.contains("delta.columnMapping.id")))
+      Some(st.fields.map(fd => fd.metadata.getLong("delta.columnMapping.id") ->
+        ((DeltaLog.physicalName(fd), DeltaLog.stripMeta(fd.dataType)))).toMap)
+    else None
+
+  /** Every field of `a` resolvable in `b` by mapping id, with the same
+    * physical name and type (logical names free to differ — the
+    * column-mapped RENAME shape). */
+  private def idSubset(a: StructType, b: StructType): Boolean =
+    (idViewTop(a), idViewTop(b)) match {
+      case (Some(x), Some(y)) =>
+        x.forall { case (id, v) => y.get(id).contains(v) }
+      case _ => false
+    }
 
   /** The version the served schema took effect at — metaData actions at
     * or before it with a NARROWER schema are history (their files
@@ -213,29 +243,45 @@ class DeltaStreamSource(spark: SparkSession, root: String,
 
   /** Mid-stream schema-change discipline: exact match passes; a NARROWER
     * historical schema (at/before [[servedFromVersion]]) passes — its
-    * files null-fill the newer columns; a WIDENING with a tracking
-    * location records the new schema and asks for a restart; anything
-    * else (drops, retypes, widening without tracking) fails. */
-  private def checkTableSchema(incoming: StructType, version: Long): Unit = {
+    * files null-fill the newer columns; a WIDENING, or on a column-mapped
+    * table a RENAME (same field ids/physical names/types under new
+    * logical names, so every file stays resolvable), records to the
+    * tracking location and asks for a restart; anything else (drops,
+    * retypes, changes without tracking) fails. Takes the RAW schema —
+    * mapping metadata drives the id paths. */
+  private def checkTableSchema(incomingRaw: StructType, version: Long): Unit = {
+    val incoming = stripFields(incomingRaw)
     if (incoming == tableSchema) return
-    if (isAdditive(incoming, tableSchema) && version <= servedFromVersion) return
-    if (isAdditive(tableSchema, incoming)) {
-      // a candidate widening is TRACKABLE only while it is still LIVE
-      // (every new field survives in the table's CURRENT schema): a
-      // historical metaData wider than today's table means the extra
-      // columns were later DROPPED — persisting it would make the stream
-      // serve a dead column and then wedge on the drop commit
-      val live = isAdditive(incoming,
-        logicalSchema(DeltaLog.snapshot(spark, root)))
-      if (!live && version <= servedFromVersion) return // obsolete wider
-        // history: its files' extra columns prune under the served schema
+    // history: files written under a narrower schema null-fill; on
+    // mapped tables an id-resolvable historical schema (old logical
+    // names) serves fine — frames read through the CURRENT mapping
+    if (version <= servedFromVersion &&
+        (isAdditive(incoming, tableSchema) || idSubset(incomingRaw, servingRaw)))
+      return
+    val widens = isAdditive(tableSchema, incoming)
+    // every served field still resolvable by id: a rename, a mapped
+    // widening, or both — never a drop
+    val renames = idSubset(servingRaw, incomingRaw)
+    if (widens || renames) {
+      // TRACKABLE only while still LIVE in the table's CURRENT schema: a
+      // historical metaData whose extra columns were later DROPPED (or
+      // whose ids vanished) would make the stream serve a dead column
+      // and then wedge on the drop commit
+      val currentRaw = DeltaLog.snapshot(spark, root).schema
+      val live =
+        if (renames) idSubset(incomingRaw, currentRaw) ||
+          stripFields(currentRaw) == incoming
+        else isAdditive(incoming, stripFields(currentRaw))
+      if (!live && version <= servedFromVersion) return // obsolete history:
+        // its files' extra columns prune under the served schema
       if (trackPath.isDefined && live) {
-        writeTracked(version, incoming)
+        writeTracked(version, incomingRaw)
         throw new IllegalStateException(
           s"Delta source schema changed at version $version to " +
-            s"${incoming.simpleString}; the widened schema was recorded at " +
+            s"${incoming.simpleString}; the new schema was recorded at " +
             s"${schemaTrackLoc.get} — restart the stream to continue " +
-            "(earlier data null-fills the new columns)")
+            (if (renames && !widens) "(files resolve by column-mapping id)"
+            else "(earlier data null-fills the new columns)"))
       }
     }
     throw new IllegalStateException(
@@ -243,11 +289,40 @@ class DeltaStreamSource(spark: SparkSession, root: String,
         s"stream to pick up ${incoming.simpleString}" +
         (if (trackPath.isDefined)
           " (non-additive change: schema tracking cannot resume across it)"
-        else "; set schemaTrackingLocation to resume across additive changes"))
+        else "; set schemaTrackingLocation to resume across additive " +
+          "changes (and column-mapped renames)"))
   }
 
   private def align(df: DataFrame): DataFrame =
     SchemaTracking.align(df, schema)
+
+  /** Align a frame read under an OLDER raw schema: on column-mapped
+    * tables, columns first rename by field id to the serving schema's
+    * logical names (a mapped RENAME is metadata-only — same id and
+    * physical name), then null-fill/reorder as usual. Without ids this
+    * is plain [[align]]. */
+  private def alignFrom(df: DataFrame, sourceRaw: StructType): DataFrame = {
+    val renames: Map[String, String] =
+      (idViewTop(sourceRaw), idViewTop(servingRaw)) match {
+        case (Some(_), Some(_)) =>
+          val srcById = sourceRaw.fields.map(fd =>
+            fd.metadata.getLong("delta.columnMapping.id") -> fd.name).toMap
+          servingRaw.fields.toSeq.flatMap { fd =>
+            val id = fd.metadata.getLong("delta.columnMapping.id")
+            srcById.get(id).filter(_ != fd.name).map(_ -> fd.name)
+          }.toMap
+        case _ => Map.empty
+      }
+    // ONE simultaneous projection — sequential withColumnRenamed would
+    // collide when a new logical name equals another column's OLD name
+    // (swap/chain renames are legal: physical names decouple)
+    val renamed =
+      if (renames.isEmpty) df
+      else df.select(df.columns.toSeq.map(c => renames.get(c)
+        .map(n => org.apache.spark.sql.functions.col(c).as(n))
+        .getOrElse(org.apache.spark.sql.functions.col(c))): _*)
+    align(renamed)
+  }
 
   /** Per-version ADDED files while tailing, with the append-only contract
     * enforced. Cached: a version's actions never change once committed.
@@ -271,7 +346,7 @@ class DeltaStreamSource(spark: SparkSession, root: String,
       metas.foreach { m =>
         val st = org.apache.spark.sql.types.DataType.fromJson(
           m.get("schemaString").asText()).asInstanceOf[StructType]
-        checkTableSchema(logicalSchema(snapshotAtBase.copy(schema = st)), version)
+        checkTableSchema(st, version)
       }
       val adds = lines.flatMap(n => Option(n.get("add")))
         .filter(a => Option(a.get("dataChange")).forall(_.asBoolean))
@@ -540,7 +615,7 @@ class DeltaStreamSource(spark: SparkSession, root: String,
     val batch =
       if (files.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      else align(DeltaLog.frameOf(spark, root, snapFor))
+      else alignFrom(DeltaLog.frameOf(spark, root, snapFor), snapFor.schema)
     org.apache.spark.sql.graftshim.ColumnShim.asStreamingFrame(batch)
   }
 
@@ -571,11 +646,12 @@ class DeltaStreamSource(spark: SparkSession, root: String,
             spark.sessionState.newHadoopConf())
           val ts = f.getFileStatus(new Path(
             new Path(root, "_delta_log"), f"$pv%020d.json")).getModificationTime
-          Some(DeltaLog.frameOf(spark, root,
+          Some(alignFrom(DeltaLog.frameOf(spark, root,
               snapshotAt(pv).copy(files = files.slice(lo.toInt, hi.toInt)))
             .withColumn("_change_type", lit("insert"))
             .withColumn("_commit_version", lit(pv))
-            .withColumn("_commit_timestamp", timestamp_millis(lit(ts))))
+            .withColumn("_commit_timestamp", timestamp_millis(lit(ts))),
+            snapshotAt(pv).schema))
         }
       case Right(_) => None
     }
@@ -598,15 +674,15 @@ class DeltaStreamSource(spark: SparkSession, root: String,
       if (endOff.snapshot || untilV < tailFromV) None
       else {
         val cur = DeltaLog.snapshot(spark, root, versionAsOf = Some(untilV))
-        checkTableSchema(logicalSchema(cur), untilV)
-        Some(DeltaLog.changes(spark, root, tailFromV, Some(untilV),
-          tailFromIdx, untilIdx))
+        checkTableSchema(cur.schema, untilV)
+        Some(alignFrom(DeltaLog.changes(spark, root, tailFromV, Some(untilV),
+          tailFromIdx, untilIdx), cur.schema))
       }
     val frames = snapFrame.toSeq ++ tailFrame.toSeq
     val df =
       if (frames.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      else frames.map(align).reduce(_.union(_))
+      else frames.reduce(_.union(_))
     org.apache.spark.sql.graftshim.ColumnShim.asStreamingFrame(df)
   }
 

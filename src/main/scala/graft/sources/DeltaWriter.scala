@@ -295,6 +295,46 @@ object DeltaWriter {
   }
 
   /**
+   * Metadata-only RENAME of a logical column on a COLUMN-MAPPED table —
+   * delta-spark's `ALTER TABLE ... RENAME COLUMN` (delta.io PROTOCOL.md,
+   * Column Mapping): the field keeps its mapping id and physical name,
+   * so no data file is touched and readers of every version resolve the
+   * same physical parquet column under the new logical name. Refuses on
+   * unmapped tables, where the logical name IS the physical column and a
+   * rename would orphan every existing file.
+   */
+  def renameColumn(spark: SparkSession, root: String, from: String,
+                   to: String): Commit = {
+    val f = fs(spark, root)
+    var attempts = 0
+    while (attempts < 10) {
+      attempts += 1
+      val snap = DeltaLog.snapshot(spark, root)
+      require(snap.configuration.getOrElse("delta.columnMapping.mode", "none") != "none",
+        s"renameColumn requires a column-mapped table (set " +
+          s"delta.columnMapping.mode); $root is unmapped — its logical " +
+          "names are the physical parquet columns")
+      require(snap.schema.fieldNames.contains(from),
+        s"no column '$from' in ${snap.schema.fieldNames.mkString(", ")}")
+      require(!snap.schema.fieldNames.contains(to),
+        s"column '$to' already exists")
+      val newSchema = StructType(snap.schema.fields.map(fd =>
+        if (fd.name == from) fd.copy(name = to) else fd))
+      val newParts = snap.partitionColumns.map(c => if (c == from) to else c)
+      val now = System.currentTimeMillis()
+      val lines = Seq(
+        s"""{"commitInfo":{"timestamp":$now,"operation":"RENAME COLUMN","operationParameters":{"from":${q(from)},"to":${q(to)}},"engineInfo":"graft-native-delta"}}""",
+        metaDataJson(snap.tableId.getOrElse(java.util.UUID.randomUUID().toString),
+          newSchema, newParts, now, snap.configuration))
+      if (tryPublish(f, root, snap.version + 1, lines,
+          java.lang.Long.toHexString(System.nanoTime())))
+        return Commit(snap.version + 1, 0L)
+      // lost the race: rebase onto the new snapshot and retry
+    }
+    throw new IllegalStateException(s"renameColumn lost 10 commit races at $root")
+  }
+
+  /**
    * Stage `df` through the ordinary distributed parquet writer under a
    * hidden temp dir, then MOVE every staged data file into the table root
    * under a fresh UUID basename (the delta-spark writer's naming contract:

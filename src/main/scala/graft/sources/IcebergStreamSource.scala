@@ -23,7 +23,8 @@ import org.apache.spark.sql.types.StructType
  *    re-derives its file list from the manifests in commit order, so
  *    restarts reproduce it exactly. MOR base snapshots split too: the
  *    snapshot's delete files apply soundly to each file subset (deletes
- *    addressing absent files are no-ops). CDF mode caps snapshots.
+ *    addressing absent files are no-ops). CDF mode caps CHANGE ITEMS
+ *    (appeared/vanished files + one row-delete marker per snapshot).
  *  - tail semantics by snapshot summary operation: `append` emits the
  *    snapshot's new data files raw; `replace` (compaction, zero net row
  *    change) is skipped; `delete` fails unless ignoreDeletes/
@@ -85,8 +86,9 @@ class IcebergStreamSource(spark: SparkSession, root: String,
 
   private def opt(k1: String, k2: String): Option[String] =
     parameters.get(k1).orElse(parameters.get(k2))
-  /** Caps FILES per micro-batch while tailing (CDF mode caps SNAPSHOTS —
-    * the changelog streams one version range at a time). */
+  /** Caps FILES per micro-batch while tailing (in CDF mode: change
+    * ITEMS — [[IcebergSource.ChangeBreakdown]]'s appeared/vanished files
+    * plus at most one row-delete marker per snapshot). */
   private val maxFiles: Option[Int] =
     opt("maxFilesPerTrigger", "max_files_per_trigger").map(_.toInt)
   private val maxBytes: Option[Long] =

@@ -14,10 +14,18 @@ import org.apache.spark.sql.types.StructType
  */
 private[sources] object SchemaTracking {
 
-  /** Read a small checkpoint-sidecar file whole; None when absent. */
+  /** Read a small checkpoint-sidecar file whole; None when absent. On
+    * file:// the read is raw java.nio — Hadoop's ChecksumFileSystem
+    * would throw on a stale `.crc` sidecar left by a pre-atomic-publish
+    * writer (the raw ATOMIC_MOVE below bypasses checksum maintenance),
+    * wedging every restart on the upgrade path. */
   private[sources] def readFile(f: org.apache.hadoop.fs.FileSystem,
                                 p: Path): Option[String] =
-    if (!f.exists(p)) None
+    if (f.getScheme == "file") {
+      val jp = java.nio.file.Paths.get(p.toUri.getPath)
+      if (!java.nio.file.Files.exists(jp)) None
+      else Some(new String(java.nio.file.Files.readAllBytes(jp), "UTF-8"))
+    } else if (!f.exists(p)) None
     else {
       val in = f.open(p)
       try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
@@ -33,17 +41,25 @@ private[sources] object SchemaTracking {
     * re-resolve or re-derive), never torn. */
   private[sources] def writeFile(f: org.apache.hadoop.fs.FileSystem, p: Path,
                                  text: String): Unit = {
-    val tmp = new Path(p.getParent, s".${p.getName}.${java.util.UUID.randomUUID()}.tmp")
-    f.mkdirs(p.getParent)
-    val out = f.create(tmp, true)
-    try out.write(text.getBytes("UTF-8")) finally out.close()
     if (f.getScheme == "file") {
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(tmp.toUri.getPath),
-        java.nio.file.Paths.get(p.toUri.getPath),
+      // raw java.nio end-to-end: Hadoop's checksummed create would leave
+      // an orphaned tmp `.crc` on every publish (the raw move relocates
+      // only the data file), and any STALE destination `.crc` from a
+      // pre-atomic writer must go or checksummed readers throw on open
+      val jp = java.nio.file.Paths.get(p.toUri.getPath)
+      val jtmp = jp.resolveSibling(
+        s".${p.getName}.${java.util.UUID.randomUUID()}.tmp")
+      java.nio.file.Files.createDirectories(jp.getParent)
+      java.nio.file.Files.write(jtmp, text.getBytes("UTF-8"))
+      java.nio.file.Files.deleteIfExists(jp.resolveSibling(s".${p.getName}.crc"))
+      java.nio.file.Files.move(jtmp, jp,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     } else {
+      val tmp = new Path(p.getParent, s".${p.getName}.${java.util.UUID.randomUUID()}.tmp")
+      f.mkdirs(p.getParent)
+      val out = f.create(tmp, true)
+      try out.write(text.getBytes("UTF-8")) finally out.close()
       f.delete(p, false)
       require(f.rename(tmp, p), s"failed to publish state file $p")
     }

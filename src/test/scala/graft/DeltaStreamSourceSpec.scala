@@ -378,6 +378,81 @@ class DeltaStreamSourceSpec extends SparkSpec {
       rows.toString)
   }
 
+  test("column-mapped RENAME tracks by field id and the stream resumes") {
+    import org.apache.spark.sql.types._
+    val root = tmp(); val cp = tmp(); val track = tmp(); val out = tmp()
+    // hand-build a name-mapped table: logical (k, v), physical col-a/col-b
+    val cm = (name: String, dt: DataType, phys: String, id: Long) =>
+      StructField(name, dt, nullable = true, new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id).build())
+    val logical = StructType(Seq(
+      cm("k", LongType, "col-a", 1), cm("v", StringType, "col-b", 2)))
+    val staging = Files.createTempDirectory("cmrename").toFile
+    Seq((1L, "a")).toDF("x", "y")
+      .select(col("x").as("col-a"), col("y").as("col-b"))
+      .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val part = staging.listFiles().find(f =>
+      f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+    val dest = new java.io.File(root, "d0.parquet")
+    java.nio.file.Files.copy(part.toPath, dest.toPath)
+    val jq = (s: String) => "\"" + s + "\""
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "_delta_log"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_delta_log", "00000000000000000000.json"),
+      Seq(
+        """{"commitInfo":{"timestamp":1000,"operation":"WRITE"}}""",
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${
+          new com.fasterxml.jackson.databind.ObjectMapper()
+            .writeValueAsString(logical.json)},"partitionColumns":[],"configuration":{${
+          jq("delta.columnMapping.mode")}:${jq("name")},${
+          jq("delta.columnMapping.maxColumnId")}:${jq("2")}},"createdTime":1}}""",
+        s"""{"add":{"path":"d0.parquet","partitionValues":{},"size":1,"modificationTime":1000,"dataChange":true}}""")
+        .mkString("\n").getBytes("UTF-8"))
+
+    def start() = spark.readStream.format("graft-delta")
+      .option("schemaTrackingLocation", track).load(root)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp).start()
+    val q1 = start()
+    val e = try {
+      q1.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 1)
+      // the column renames while the stream RUNS: metadata-only commit,
+      // same field id and physical name — the run fails, recording the
+      // id-equivalent schema for restart
+      DeltaWriter.renameColumn(spark, root, "v", "label") // v1
+      intercept[StreamingQueryException] { q1.processAllAvailable() }
+    } finally q1.stop()
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("restart the stream to continue"), msg)
+    assert(msg.contains("column-mapping id"), msg)
+    // data lands under the NEW name while down; the restart serves it
+    DeltaWriter.write(Seq((2L, "b")).toDF("k", "label"), root) // v2
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(got.count() == 2, "rename restart duplicated or dropped rows")
+    assert(got.filter(col("label") === "b").select("k").as[Long]
+      .collect().toSeq == Seq(2L))
+
+    // a FRESH stream over the whole history serves the RENAMED schema,
+    // and the pre-rename file's bytes resolve by PHYSICAL name
+    val name = mem()
+    val q3 = spark.readStream.format("graft-delta")
+      .option("startingVersion", "0").load(root)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", tmp()).start()
+    try {
+      q3.processAllAvailable()
+      val t = spark.table(name)
+      assert(t.columns.toSeq == Seq("k", "label"), t.columns.mkString(","))
+      assert(t.as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")),
+        "pre-rename file did not resolve by column-mapping id")
+    } finally q3.stop()
+  }
+
   test("without tracking, evolution still fails permanently and suggests the option") {
     val root = tmp()
     DeltaWriter.write(Seq((1, "a")).toDF("k", "v"), root)
@@ -486,6 +561,34 @@ class DeltaStreamSourceSpec extends SparkSpec {
     val all = spark.read.parquet(out)
     assert(all.count() == 21, "empty/absent position file broke exactly-once")
     assert(all.as[Int].collect().toSet == (0 until 21).toSet)
+  }
+
+  test("a stale Hadoop checksum sidecar never wedges position recovery") {
+    import graft.sources.DeltaStreamSource
+    val root = tmp()
+    DeltaWriter.write((0 until 8).toDF("k").repartition(4), root)
+    val metaDir = tmp()
+    // simulate a PRE-atomic-publish checkpoint: the position file written
+    // through Hadoop's checksummed create leaves a .crc sidecar; the new
+    // raw atomic publisher replaces the bytes WITHOUT maintaining it — a
+    // checksummed reader would then throw on open, wedging every restart
+    val p = new org.apache.hadoop.fs.Path(metaDir, "graft-delta-position")
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val o = f.create(p, true)
+    o.write("""{"version":0,"index":1,"snapshot":true}""".getBytes("UTF-8"))
+    o.close()
+    assert(new java.io.File(metaDir, ".graft-delta-position.crc").exists(),
+      "fixture should have produced a checksum sidecar")
+    val s1 = new DeltaStreamSource(spark, root,
+      Map("maxFilesPerTrigger" -> "1"), metaDir)
+    val o1 = s1.getOffset.get // advances the position: atomic raw publish
+    assert(!new java.io.File(metaDir, ".graft-delta-position.crc").exists(),
+      "the stale checksum sidecar must be cleared on publish")
+    val s2 = new DeltaStreamSource(spark, root,
+      Map("maxFilesPerTrigger" -> "1"), metaDir)
+    val o2 = s2.getOffset.get
+    assert(batchRows(s2.getBatch(Some(o1), o2)) == 2,
+      "recovery across the stale-crc upgrade path lost the cursor")
   }
 
   test("legacy (v, count) drained cursor normalizes, then survives log cleanup") {
