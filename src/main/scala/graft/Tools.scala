@@ -46,9 +46,11 @@ object Tools {
       |  delta:   optimize <root> [--target-file-mb N] [--zorder-by a,b]
       |           vacuum <root> [--retention-hours H] [--dry-run] | history <root>
       |           cleanup-logs <root> [--retention-hours H] [--dry-run]
+      |           rename-column <root> <from> <to>   (column-mapped tables)
       |           delete <root> <predicate> [--partition K=V ...]   (deletion vectors)
       |  iceberg: history <root> | optimize | expire
       |           cleanup-metadata <root> [--keep-last N] [--dry-run]
+      |           rename-column <root> <from> <to>
       |           delete <root> <predicate> [--partition K=V ...]   (position deletes)
       |  index:   info <root>   (persisted minhash/bloom/lsh/ivf/ivfpq index)
       |  stats:   <parquet-root> [--columns a,b]   (per-file footer stats + skipping audit)
@@ -126,6 +128,12 @@ object Tools {
           keepLast = keepLast, olderThanMs = olderThan, dryRun = dryRun)
         println(s"${if (dryRun) "would expire" else "expired"}: " +
           s"snapshots=${r.expiredSnapshots.mkString(",")} files=${r.deletedFiles.size}")
+        0
+      }
+    case "rename-column" :: root :: from :: to :: Nil =>
+      withSpark { spark =>
+        val v = graft.sources.IcebergMaintenance.renameColumn(spark, root, from, to)
+        println(s"renamed '$from' -> '$to' at $root (metadata v$v)")
         0
       }
     case "cleanup-metadata" :: root :: rest =>
@@ -416,6 +424,12 @@ object Tools {
         val verb = if (dry) "would delete" else "deleted"
         println(s"$verb ${res.deleted.size} files (${res.bytes} B) at $root")
         res.deleted.foreach(p => println(s"  $p"))
+        0
+      }
+    case "rename-column" :: root :: from :: to :: Nil =>
+      withSpark { spark =>
+        val c = graft.sources.DeltaWriter.renameColumn(spark, root, from, to)
+        println(s"renamed '$from' -> '$to' at $root (version ${c.version})")
         0
       }
     case "cleanup-logs" :: root :: rest =>

@@ -399,6 +399,57 @@ object IcebergMaintenance {
       })
     })
 
+  /**
+   * Metadata-only RENAME of a top-level column (Iceberg spec: schema
+   * evolution — a new schema entry with the SAME field ids under the new
+   * name, `current-schema-id` bumped; no data file is touched, partition
+   * specs reference source-ids and are unaffected). Readers resolve
+   * renamed columns in old files through [[IcebergSource
+   * .historicalAliases]] (the retained schemas carry every former name).
+   * Refuses when the new name is a former name of a DIFFERENT field —
+   * old files would become ambiguous without footer field ids.
+   */
+  def renameColumn(spark: SparkSession, root: String, from: String,
+                   to: String): Long =
+    withReplan(s"renameColumn($root)")(() => {
+      val meta = tableMeta(spark, root)
+      require(meta.schema.fieldNames.contains(from),
+        s"no column '$from' in ${meta.schema.fieldNames.mkString(", ")}")
+      require(!meta.schema.fieldNames.contains(to),
+        s"column '$to' already exists")
+      val fromId = meta.schemaJson.get("fields").elements().asScala
+        .find(_.get("name").asText() == from).get.get("id").asInt()
+      val foreignClaim = meta.schemasJson.exists(s =>
+        Option(s.get("fields")).toSeq.flatMap(_.elements().asScala).exists(f =>
+          f.get("name").asText() == to && f.get("id").asInt() != fromId))
+      require(!foreignClaim,
+        s"'$to' was previously the name of a different field — renaming " +
+          "onto it would make footer-id-less historical files ambiguous")
+      patchMetadata(spark, root, meta, { node =>
+        require(node.has("schemas"),
+          "renameColumn requires a metadata layout with a schemas array " +
+            "(v1 single-schema tables cannot retain rename history)")
+        val schemas = node.withArray("schemas")
+        val curId = node.get("current-schema-id").asInt()
+        val cur = schemas.elements().asScala
+          .find(_.get("schema-id").asInt() == curId)
+          .getOrElse(throw new IllegalStateException(
+            s"current-schema-id $curId not in schemas"))
+        val renamed = cur.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+        val maxId = schemas.elements().asScala.map(_.get("schema-id").asInt()).max
+        renamed.put("schema-id", maxId + 1)
+        renamed.withArray("fields").elements().asScala.foreach { f =>
+          if (f.get("name").asText() == from)
+            f.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+              .put("name", to)
+        }
+        schemas.add(renamed)
+        node.put("current-schema-id", maxId + 1)
+        node.put("last-updated-ms", System.currentTimeMillis())
+        ()
+      })
+    })
+
   def expireSnapshots(spark: SparkSession, root: String,
                       keepLast: Int = 1,
                       olderThanMs: Option[Long] = None,

@@ -232,6 +232,70 @@ object IcebergSource {
     case other => other
   }
 
+  /**
+   * Historical logical names per CURRENT top-level column, derived from
+   * the metadata's retained schemas (each keeps its field ids): the
+   * name-mapping-style fallback that keeps files written — footer-id-less
+   * — under an old name resolving after a RENAME ([[IcebergMaintenance
+   * .renameColumn]]). An old name that is also a current name of a
+   * DIFFERENT field, or that multiple ids ever claimed, is ambiguous and
+   * excluded (those files' renamed column then reads null rather than
+   * another field's data — the spec resolves this case only through
+   * footer field ids).
+   */
+  private[sources] def historicalAliases(meta: TableMeta): Map[String, Seq[String]] = {
+    if (meta.schemasJson.size <= 1) return Map.empty
+    val current: Seq[(Int, String)] = meta.schemaJson.get("fields")
+      .elements().asScala.map(f =>
+        f.get("id").asInt() -> f.get("name").asText()).toSeq
+    val idToCurrent = current.toMap
+    val currentNames = current.map(_._2).toSet
+    val hist: Seq[(Int, String)] = meta.schemasJson.flatMap(s =>
+      Option(s.get("fields")).toSeq.flatMap(_.elements().asScala).map(f =>
+        f.get("id").asInt() -> f.get("name").asText())).distinct
+    val renamedOnly = hist
+      .filter { case (id, n) => idToCurrent.get(id).exists(_ != n) }
+      .filterNot { case (_, n) => currentNames.contains(n) }
+    val claimants = renamedOnly.groupBy(_._2).view
+      .mapValues(_.map(_._1).distinct.size).toMap
+    renamedOnly.filter { case (_, n) => claimants(n) == 1 }
+      .groupBy { case (id, _) => idToCurrent(id) }
+      .view.mapValues(_.map(_._2)).toMap
+  }
+
+  /**
+   * One parquet scan over `paths` under `readSchema` (current logical
+   * names), with historical-name fallback: a column renamed after some
+   * of `paths`' files were written surfaces under its OLD name in those
+   * files, so the scan requests the aliases too and coalesces. Exact: a
+   * file never carries both names (renames are metadata-only), missing
+   * parquet columns read null, and genuine nulls coalesce to null.
+   * No-op (single scan, no projection) for never-renamed tables.
+   */
+  private[sources] def scanFiles(spark: SparkSession, meta: TableMeta,
+                                 readSchema: StructType,
+                                 paths: Seq[String]): DataFrame = {
+    val aliases = historicalAliases(meta)
+      .filter { case (cur, _) => readSchema.fieldNames.contains(cur) }
+    if (aliases.isEmpty)
+      return spark.read.schema(readSchema).parquet(paths: _*)
+    val byName = readSchema.fields.map(f => f.name -> f).toMap
+    val extra = aliases.toSeq.flatMap { case (cur, olds) =>
+      olds.map(o => StructField(o, byName(cur).dataType, nullable = true))
+    }
+    spark.read.schema(StructType(readSchema.fields ++ extra))
+      .parquet(paths: _*)
+      .select(readSchema.fields.toSeq.map { f =>
+        aliases.get(f.name) match {
+          case Some(olds) =>
+            org.apache.spark.sql.functions.coalesce(
+              (f.name +: olds).map(org.apache.spark.sql.functions.col): _*)
+              .as(f.name)
+          case None => org.apache.spark.sql.functions.col(f.name)
+        }
+      }: _*)
+  }
+
   private def readAvro(conf: Configuration, path: String): Seq[GenericRecord] = {
     val reader = new DataFileReader[GenericRecord](
       new FsInput(new Path(path), conf), new GenericDatumReader[GenericRecord]())
@@ -269,7 +333,8 @@ object IcebergSource {
                              partitionSpec: Seq[PartitionField],
                              metadataPath: String = "",
                              defaultSpecId: Int = 0,
-                             lastPartitionId: Int = 999)
+                             lastPartitionId: Int = 999,
+                             schemasJson: Seq[JsonNode] = Nil)
 
   /** Parse the latest (or given) metadata file. */
   def tableMeta(spark: SparkSession, root: String,
@@ -331,7 +396,12 @@ object IcebergSource {
       Option(node.get("last-sequence-number")).map(_.asLong()).getOrElse(0L),
       Option(node.get("table-uuid")).map(_.asText())
         .getOrElse(java.util.UUID.randomUUID().toString),
-      version, spec, p.toString, defaultSpecId, lastPartitionId)
+      version, spec, p.toString, defaultSpecId, lastPartitionId,
+      // ALL retained schema versions (v2; v1 has one) — rename-alias
+      // derivation walks them ([[historicalAliases]])
+      if (node.has("schemas"))
+        node.get("schemas").elements().asScala.toSeq
+      else Option(node.get("schema")).toSeq)
   }
 
   /** Snapshot history (id, commit time, operation) — the DESCRIBE
@@ -927,7 +997,7 @@ object IcebergSource {
     def withFilter(df: DataFrame): DataFrame =
       dataFilter.map(df.filter).getOrElse(df)
     if (dataFiles.isEmpty) return withFilter(empty)
-    val scan = spark.read.schema(readSchema).parquet(dataFiles.map(_.path).toSeq: _*)
+    val scan = scanFiles(spark, meta, readSchema, dataFiles.map(_.path).toSeq)
     if (posDeleteFiles.isEmpty && eqDeleteFiles.isEmpty) return withFilter(scan)
     withFilter(applyDeletes(spark, meta, scan, dataFiles, posDeleteFiles, eqDeleteFiles)
       .drop("_gf_path", "_gf_pos", "_gf_seq"))
@@ -1167,7 +1237,7 @@ object IcebergSource {
       if (dataFiles.isEmpty) return DeleteResult(None, 0L, 0)
 
       val readSchema = stripFieldIds(meta.schema).asInstanceOf[StructType]
-      val scan0 = spark.read.schema(readSchema).parquet(dataFiles.map(_.path): _*)
+      val scan0 = scanFiles(spark, meta, readSchema, dataFiles.map(_.path))
       val prov = applyDeletes(spark, meta, scan0, dataFiles, posD, eqD)
       // delete files must reference the EXACT path string the manifests
       // record; _gf_path is scheme-normalized, so map it back via a
@@ -1546,7 +1616,7 @@ object IcebergSource {
             .withColumn("_commit_timestamp", timestamp_millis(lit(s.timestampMs)))
           def liveRows(data: Seq[FileEntry], pos: Seq[FileEntry],
                        eq: Seq[FileEntry]): DataFrame = {
-            val scan = spark.read.schema(readSchema).parquet(data.map(_.path): _*)
+            val scan = scanFiles(spark, meta, readSchema, data.map(_.path))
             if (pos.isEmpty && eq.isEmpty) scan
             else applyDeletes(spark, meta, scan, data, pos, eq)
               .drop("_gf_path", "_gf_pos", "_gf_seq")
@@ -1563,8 +1633,8 @@ object IcebergSource {
             else {
               // previous-snapshot live rows of still-present files, WITH
               // provenance kept for the position join and the final dedup
-              val scan0 = spark.read.schema(readSchema)
-                .parquet(keptData.map(_.path): _*)
+              val scan0 = scanFiles(spark, meta, readSchema,
+                keptData.map(_.path))
               val live = applyDeletes(spark, meta, scan0, keptData,
                 prevPos, prevEq)
               val byPos =

@@ -159,12 +159,38 @@ class IcebergStreamSource(spark: SparkSession, root: String,
   private def writeTracked(snapshotId: Long, st: StructType): Unit =
     trackPath.foreach(SchemaTracking.write(spark, _, snapshotId, st))
 
+  /** RAW serving schema (`parquet.field.id` metadata kept when present —
+    * the ids drive rename tracking): the tracked one when the tracking
+    * location holds it, else the table's. Tracked files written before
+    * raw persistence lack ids, which just disables the id paths. */
+  private val servingRaw: StructType =
+    trackPath.flatMap(SchemaTracking.read(spark, _)).map(_._2)
+      .getOrElse(meta.schema)
+
   private val tableSchema: StructType =
-    trackPath.flatMap(SchemaTracking.read(spark, _)).map(_._2).getOrElse(
-      IcebergSource.stripFieldIds(meta.schema).asInstanceOf[StructType])
+    IcebergSource.stripFieldIds(servingRaw).asInstanceOf[StructType]
 
   private def isAdditive(old: StructType, wide: StructType): Boolean =
     SchemaTracking.isAdditive(old, wide)
+
+  /** Top-level field-id view: id -> stripped type; None when any field
+    * lacks a `parquet.field.id` (legacy stripped tracked schema). */
+  private def idViewTop(st: StructType)
+      : Option[Map[Long, org.apache.spark.sql.types.DataType]] =
+    if (st.fields.nonEmpty &&
+        st.fields.forall(_.metadata.contains("parquet.field.id")))
+      Some(st.fields.map(fd => fd.metadata.getLong("parquet.field.id") ->
+        IcebergSource.stripFieldIds(fd.dataType)).toMap)
+    else None
+
+  /** Every field of `a` resolvable in `b` by field id with the same type
+    * (logical names free to differ — the RENAME shape). */
+  private def idSubset(a: StructType, b: StructType): Boolean =
+    (idViewTop(a), idViewTop(b)) match {
+      case (Some(x), Some(y)) =>
+        x.forall { case (id, t) => y.get(id).contains(t) }
+      case _ => false
+    }
 
   override val schema: StructType =
     if (!readChangeFeed) tableSchema
@@ -178,26 +204,35 @@ class IcebergStreamSource(spark: SparkSession, root: String,
       org.apache.spark.sql.types.StructField("_commit_timestamp",
         org.apache.spark.sql.types.TimestampType)))
 
-  /** Current-metadata schema discipline: exact match passes; a WIDENING
-    * with a tracking location records the new schema and asks for a
-    * restart (the restart serves it, older files null-fill); anything
-    * else — drops, retypes, widening without tracking — fails. */
+  /** Current-metadata schema discipline: exact match passes; a WIDENING,
+    * or a RENAME (same field ids and types under new logical names —
+    * every file stays resolvable through [[IcebergSource
+    * .historicalAliases]]), records to the tracking location and asks
+    * for a restart; anything else — drops, retypes, changes without
+    * tracking — fails. Tracked schemas persist RAW (field ids kept). */
   private def schemaCheck(m: IcebergSource.TableMeta): Unit = {
     val incoming = IcebergSource.stripFieldIds(m.schema).asInstanceOf[StructType]
     if (incoming == tableSchema) return
-    if (trackPath.isDefined && isAdditive(tableSchema, incoming)) {
-      writeTracked(m.currentSnapshotId.getOrElse(-1L), incoming)
+    val widens = isAdditive(tableSchema, incoming)
+    // every served field still resolvable by id: rename / mapped
+    // widening / both — never a drop
+    val renames = idSubset(servingRaw, m.schema)
+    if (trackPath.isDefined && (widens || renames)) {
+      writeTracked(m.currentSnapshotId.getOrElse(-1L), m.schema)
       throw new IllegalStateException(
         s"Iceberg source schema changed to ${incoming.simpleString}; the " +
-          s"widened schema was recorded at ${schemaTrackLoc.get} — restart " +
-          "the stream to continue (earlier data null-fills the new columns)")
+          s"new schema was recorded at ${schemaTrackLoc.get} — restart " +
+          "the stream to continue " +
+          (if (renames && !widens) "(files resolve by field id)"
+          else "(earlier data null-fills the new columns)"))
     }
     throw new IllegalStateException(
       s"Iceberg source schema changed — restart the stream to pick up " +
         s"${m.schema.simpleString}" +
         (if (trackPath.isDefined)
           " (non-additive change: schema tracking cannot resume across it)"
-        else "; set schemaTrackingLocation to resume across additive changes"))
+        else "; set schemaTrackingLocation to resume across additive " +
+          "changes (and renames)"))
   }
 
   /** Live data files + position/equality delete files of a snapshot
@@ -224,7 +259,7 @@ class IcebergStreamSource(spark: SparkSession, root: String,
   private def morSubset(m: IcebergSource.TableMeta, snapshotId: Long,
                         paths: Seq[String]): DataFrame = {
     val (all, posD, eqD) = snapFiles(m, snapshotId)
-    val scan = spark.read.schema(tableSchema).parquet(paths: _*)
+    val scan = IcebergSource.scanFiles(spark, m, tableSchema, paths)
     if (posD.isEmpty && eqD.isEmpty) scan
     else {
       val wanted = paths.toSet
@@ -493,7 +528,7 @@ class IcebergStreamSource(spark: SparkSession, root: String,
     }
     val tailPaths = inRange.collect { case (pos, Some(p)) if !pos.snapshot => p }
     if (tailPaths.nonEmpty)
-      frames += spark.read.schema(tableSchema).parquet(tailPaths: _*)
+      frames += IcebergSource.scanFiles(spark, m, tableSchema, tailPaths)
     streamingUnion(frames.toSeq)
   }
 

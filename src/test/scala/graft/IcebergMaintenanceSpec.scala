@@ -225,4 +225,37 @@ class IcebergMaintenanceSpec extends SparkSpec {
     new java.io.File(metaDir, ".version-hint.text.crc").delete()
     assert(IcebergSource.read(spark, root).count() == 51)
   }
+
+  test("renameColumn: metadata-only rename; old files resolve by historical alias") {
+    val root = tmp()
+    IcebergSource.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    IcebergSource.delete(spark, root, "k = 2") // MOR deletes stay live
+    val ver = IcebergMaintenance.renameColumn(spark, root, "v", "label")
+    assert(ver > 0)
+    // the current read serves the NEW name; the pre-rename file's bytes
+    // (written under 'v', no footer field ids) resolve through the alias
+    val got = IcebergSource.read(spark, root)
+    assert(got.columns.toSeq == Seq("k", "label"), got.columns.mkString(","))
+    assert(got.as[(Long, String)].collect().toSet == Set((1L, "a")))
+    // appends under the new name coexist with old-name files
+    IcebergSource.write(Seq((3L, "c")).toDF("k", "label"), root, mode = "append")
+    assert(IcebergSource.read(spark, root).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (3L, "c")))
+    // filters on the renamed column stay correct across both file kinds
+    assert(IcebergSource.read(spark, root,
+        dataFilter = Some(col("label") === "a"))
+      .as[(Long, String)].collect().toSet == Set((1L, "a")))
+    // the changelog serves the current name end-to-end
+    val ch = IcebergSource.changes(spark, root)
+    assert(ch.columns.contains("label") && !ch.columns.contains("v"))
+    assert(ch.filter(col("_change_type") === "insert").count() == 3)
+    // renaming onto a FORMER name of a DIFFERENT field refuses: those
+    // footer-id-less historical files would become ambiguous
+    IcebergMaintenance.renameColumn(spark, root, "k", "id")
+    val e = intercept[IllegalArgumentException] {
+      IcebergMaintenance.renameColumn(spark, root, "label", "k")
+    }
+    assert(e.getMessage.contains("different field"), e.getMessage)
+    assert(IcebergSource.read(spark, root).columns.toSeq == Seq("id", "label"))
+  }
 }

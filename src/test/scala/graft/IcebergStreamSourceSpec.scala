@@ -351,4 +351,44 @@ class IcebergStreamSourceSpec extends SparkSpec {
     assert(got.filter(col("_change_type") === "delete")
       .select("k").as[Long].collect().toSeq == Seq(5L))
   }
+
+  test("rename mid-stream tracks by field id and the stream resumes") {
+    val root = tmp(); val cp = tmp(); val track = tmp(); val out = tmp()
+    IcebergSource.write(Seq((1L, "a")).toDF("k", "v"), root)
+    def start() = spark.readStream.format("graft-iceberg")
+      .option("schemaTrackingLocation", track).load(root)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp).start()
+    val q1 = start()
+    val e = try {
+      q1.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 1)
+      IcebergMaintenance.renameColumn(spark, root, "v", "label")
+      IcebergSource.write(Seq((2L, "b")).toDF("k", "label"), root,
+        mode = "append")
+      intercept[StreamingQueryException] { q1.processAllAvailable() }
+    } finally q1.stop()
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("restart the stream to continue"), msg)
+    assert(msg.contains("field id"), msg)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(got.count() == 2, "rename restart duplicated or dropped rows")
+    assert(got.filter(col("label") === "b").select("k").as[Long]
+      .collect().toSeq == Seq(2L))
+    // a FRESH stream over the table serves the renamed schema, with the
+    // pre-rename file resolving through the historical alias
+    val name = mem()
+    val q3 = spark.readStream.format("graft-iceberg").load(root)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", tmp()).start()
+    try {
+      q3.processAllAvailable()
+      val t = spark.table(name)
+      assert(t.columns.toSeq == Seq("k", "label"), t.columns.mkString(","))
+      assert(t.as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")),
+        "pre-rename file did not resolve by its historical alias")
+    } finally q3.stop()
+  }
 }
