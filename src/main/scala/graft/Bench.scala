@@ -85,7 +85,9 @@ object Bench {
     "q_delta_stream_read", "q_iceberg_stream_read",
     "q_iceberg_hidden_partition",
     // r15 additions: mid-stream schema evolution, V2 sidecar checkpoints
-    "q_delta_stream_evolve", "q_delta_v2_checkpoint")
+    "q_delta_stream_evolve", "q_delta_v2_checkpoint",
+    // r16 additions: metadata-only column rename with alias-resolved reads
+    "q_iceberg_rename")
 
   /** 1-minute load average — recorded in the JSON so a reader can tell a
     * contended board from an idle one (r15's committed board overstated

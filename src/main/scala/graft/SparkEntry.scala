@@ -1227,6 +1227,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"),
           min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
     }),
+    "q_iceberg_rename" -> ((s, d) => {
+      // metadata-only column RENAME with alias-resolved reads: half the
+      // rows land under the ORIGINAL name, the column renames (same
+      // field id, zero files rewritten), the other half appends under
+      // the NEW name — one read then serves a coherent renamed schema
+      // across both file generations. The oracle recomputes from the
+      // original parquet, so a hash match certifies the historical-alias
+      // resolution end-to-end.
+      val c = t(s, d, "customer").select("c_custkey", "c_name", "c_acctbal")
+      val root = java.nio.file.Files.createTempDirectory("graft_ice_ren")
+        .toString + "/customer"
+      graft.sources.IcebergSource.write(
+        c.filter("c_custkey % 2 = 0").repartition(2), root)
+      graft.sources.IcebergMaintenance.renameColumn(s, root,
+        "c_acctbal", "balance")
+      graft.sources.IcebergSource.write(
+        c.filter("c_custkey % 2 = 1").withColumnRenamed("c_acctbal", "balance"),
+        root, mode = "append")
+      val df = graft.sources.IcebergSource.read(s, root)
+      require(df.columns.contains("balance") && !df.columns.contains("c_acctbal"),
+        s"rename did not take: ${df.columns.mkString(",")}")
+      df.withColumn("gen", col("c_custkey") % 2)
+        .groupBy("gen")
+        .agg(count(lit(1)).as("n"), round(sum("balance"), 2).as("total_balance"),
+          min("c_custkey").as("min_key"), max("c_custkey").as("max_key"))
+    }),
     "q_delta_restore" -> ((s, d) => {
       // RESTORE as a pure metadata commit: rewind past a DV delete AND a
       // schema-evolving merge — the read-back must hash-match the
@@ -2536,6 +2562,11 @@ object SparkEntry {
     // the read-back IS the original table
     "q_delta_restore" ->
       "SELECT * FROM customer",
+    // the rename is metadata-only, so the renamed-table aggregate equals
+    // the same aggregate over the ORIGINAL column — alias resolution is
+    // exactly what makes the two file generations agree
+    "q_iceberg_rename" ->
+      "SELECT c_custkey % 2 AS gen, count(*) AS n, round(sum(c_acctbal), 2) AS total_balance, min(c_custkey) AS min_key, max(c_custkey) AS max_key FROM customer GROUP BY 1",
     "q_iceberg_rollback" ->
       "SELECT * FROM customer WHERE c_custkey % 2 = 0",
     "q_delta_optimize" ->
