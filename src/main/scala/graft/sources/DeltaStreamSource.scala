@@ -210,11 +210,8 @@ class DeltaStreamSource(spark: SparkSession, root: String,
     * physical name and type (logical names free to differ — the
     * column-mapped RENAME shape). */
   private def idSubset(a: StructType, b: StructType): Boolean =
-    (idViewTop(a), idViewTop(b)) match {
-      case (Some(x), Some(y)) =>
-        x.forall { case (id, v) => y.get(id).contains(v) }
-      case _ => false
-    }
+    SchemaTracking.idSubset(a, b, "delta.columnMapping.id",
+      f => (DeltaLog.physicalName(f), DeltaLog.stripMeta(f.dataType)))
 
   /** The version the served schema took effect at — metaData actions at
     * or before it with a NARROWER schema are history (their files

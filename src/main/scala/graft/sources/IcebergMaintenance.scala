@@ -203,7 +203,10 @@ object IcebergMaintenance {
     val candidatePaths = bins.flatMap(_._2.map(_.path)).toSeq
     val commitUuid = java.util.UUID.randomUUID().toString
     val outDir = new Path(root, s"data/$commitUuid")
-    val rawScan = spark.read.schema(readSchema).parquet(candidatePaths: _*)
+    // alias-aware scan: a compaction that read pre-rename files under
+    // the current name only would REWRITE the renamed column as null —
+    // permanent data loss the alias fallback could never repair
+    val rawScan = IcebergSource.scanFiles(spark, meta, readSchema, candidatePaths)
       .withColumn("_gf_bin", element_at(typedLit(binOf),
         regexp_replace(regexp_replace(input_file_name(),
           "^[a-zA-Z][a-zA-Z0-9+.-]*:", ""), "^/+", "/")))

@@ -256,7 +256,10 @@ object IcebergSource {
     val renamedOnly = hist
       .filter { case (id, n) => idToCurrent.get(id).exists(_ != n) }
       .filterNot { case (_, n) => currentNames.contains(n) }
-    val claimants = renamedOnly.groupBy(_._2).view
+    // claimants counted over the FULL history — a since-DROPPED field
+    // that once bore the name still makes it ambiguous (its era's files
+    // would coalesce the wrong field's bytes into the alias)
+    val claimants = hist.groupBy(_._2).view
       .mapValues(_.map(_._1).distinct.size).toMap
     renamedOnly.filter { case (_, n) => claimants(n) == 1 }
       .groupBy { case (id, _) => idToCurrent(id) }
@@ -1170,7 +1173,13 @@ object IcebergSource {
           throw new IllegalArgumentException(
             s"equality_ids field id $id not in the table schema (top-level " +
               "columns only are supported)")))
-        val del = spark.read.parquet(files.map(_.path).toSeq: _*)
+        // alias-aware: equality-delete files written BEFORE a rename
+        // carry the old column names — read them like data files (the
+        // explicit key schema also beats inference: mixed old/new-name
+        // delete files would otherwise un-merge)
+        val stripped = stripFieldIds(meta.schema).asInstanceOf[StructType]
+        val keySchema = StructType(cols.map(c => stripped(stripped.fieldIndex(c))))
+        val del = scanFiles(spark, meta, keySchema, files.map(_.path).toSeq)
           .withColumn("_gf_dseq",
             element_at(typedLit(files.map(fe =>
               normSchemeString(fe.path) -> fe.seq).toMap),
@@ -1649,7 +1658,11 @@ object IcebergSource {
                 val cols = ids.map(id => idToName.getOrElse(id,
                   throw new IllegalArgumentException(
                     s"equality_ids field id $id not in the table schema")))
-                val del = spark.read.parquet(fs0.map(_.path): _*)
+                // alias-aware: pre-rename equality-delete files carry
+                // the old column names (see applyDeletes)
+                val keySchema = StructType(cols.map(c =>
+                  readSchema(readSchema.fieldIndex(c))))
+                val del = scanFiles(spark, meta, keySchema, fs0.map(_.path))
                   .select(cols.map(c => col(c).as(s"_gfd_$c")): _*)
                 val cond = cols.map(c => live(c) <=> del(s"_gfd_$c")).reduce(_ && _)
                 live.join(del, cond, "left_semi")
@@ -2051,6 +2064,25 @@ object IcebergSource {
     val (data, evoFields) = prev match {
       case Some(m) if mode == "append" => alignAppend(m)
       case _ => (df, Nil)
+    }
+    // a NEW evolution column must not reclaim a FORMER name of any other
+    // field: the name-based scan would serve that field's historical
+    // bytes under the new column, and the alias fallback for the renamed
+    // field would go dark (renameColumn guards the same collision)
+    prev.foreach { m =>
+      if (evoFields.nonEmpty && m.schemasJson.size > 1) {
+        val currentIds: Map[String, Int] = m.schemaJson.get("fields")
+          .elements().asScala.map(f =>
+            f.get("name").asText() -> f.get("id").asInt()).toMap
+        val former: Set[String] = m.schemasJson.flatMap(s =>
+          Option(s.get("fields")).toSeq.flatMap(_.elements().asScala)
+            .map(_.get("name").asText())).toSet -- currentIds.keySet
+        val clash = evoFields.map(_.name).filter(former.contains)
+        require(clash.isEmpty,
+          s"cannot add column(s) ${clash.mkString(", ")}: the name was " +
+            "previously used by another field — footer-id-less historical " +
+            "files would become ambiguous; pick a fresh name")
+      }
     }
     // partition FIELDS: transform result types (identity keeps the
     // source type; day/month/year/hour/bucket are ints)

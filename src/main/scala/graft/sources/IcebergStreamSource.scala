@@ -173,24 +173,11 @@ class IcebergStreamSource(spark: SparkSession, root: String,
   private def isAdditive(old: StructType, wide: StructType): Boolean =
     SchemaTracking.isAdditive(old, wide)
 
-  /** Top-level field-id view: id -> stripped type; None when any field
-    * lacks a `parquet.field.id` (legacy stripped tracked schema). */
-  private def idViewTop(st: StructType)
-      : Option[Map[Long, org.apache.spark.sql.types.DataType]] =
-    if (st.fields.nonEmpty &&
-        st.fields.forall(_.metadata.contains("parquet.field.id")))
-      Some(st.fields.map(fd => fd.metadata.getLong("parquet.field.id") ->
-        IcebergSource.stripFieldIds(fd.dataType)).toMap)
-    else None
-
   /** Every field of `a` resolvable in `b` by field id with the same type
     * (logical names free to differ — the RENAME shape). */
   private def idSubset(a: StructType, b: StructType): Boolean =
-    (idViewTop(a), idViewTop(b)) match {
-      case (Some(x), Some(y)) =>
-        x.forall { case (id, t) => y.get(id).contains(t) }
-      case _ => false
-    }
+    SchemaTracking.idSubset(a, b, "parquet.field.id",
+      f => IcebergSource.stripFieldIds(f.dataType))
 
   override val schema: StructType =
     if (!readChangeFeed) tableSchema

@@ -140,6 +140,25 @@ private[sources] object SchemaTracking {
     old.fields.forall(f =>
       wide.fields.exists(g => g.name == f.name && g.dataType == f.dataType))
 
+  /** Every TOP-LEVEL field of `a` resolvable in `b` by the field id
+    * stored under metadata key `idKey`, comparing fields through `view`
+    * (stripped type, physical name — whatever identity the format keys
+    * on; LOGICAL names free to differ: the RENAME shape). False when
+    * either schema is not fully id-annotated. Shared by both streaming
+    * sources' rename tracking (Delta keys on `delta.columnMapping.id`,
+    * Iceberg on `parquet.field.id`). */
+  def idSubset(a: StructType, b: StructType, idKey: String,
+               view: org.apache.spark.sql.types.StructField => Any): Boolean = {
+    def m(st: StructType): Option[Map[Long, Any]] =
+      if (st.fields.nonEmpty && st.fields.forall(_.metadata.contains(idKey)))
+        Some(st.fields.map(f => f.metadata.getLong(idKey) -> view(f)).toMap)
+      else None
+    (m(a), m(b)) match {
+      case (Some(x), Some(y)) => x.forall { case (id, v) => y.get(id).contains(v) }
+      case _ => false
+    }
+  }
+
   /** Null-fill/reorder `df` to the stream's declared `schema` — how files
     * written under an older (narrower) table schema surface after a
     * tracked widening. */

@@ -258,4 +258,39 @@ class IcebergMaintenanceSpec extends SparkSpec {
     assert(e.getMessage.contains("different field"), e.getMessage)
     assert(IcebergSource.read(spark, root).columns.toSeq == Seq("id", "label"))
   }
+
+  test("pre-rename equality-deletes and compaction stay correct after a rename") {
+    val root = tmp()
+    IcebergSource.write((1L to 10L).map(i => (i, s"n$i")).toDF("k", "v")
+      .repartition(2), root)
+    // equality delete KEYED ON v, its delete file written under the
+    // ORIGINAL column name
+    val res = IcebergSource.deleteKeys(spark, root,
+      Seq("n3", "n7").toDF("v"), Seq("v"))
+    assert(res.deletedRows > 0)
+    IcebergMaintenance.renameColumn(spark, root, "v", "label")
+    val expect = (1L to 10L).filterNot(i => i == 3 || i == 7)
+      .map(i => (i, s"n$i")).toSet
+    // the delete file's parquet column is still 'v' -- it must resolve
+    assert(IcebergSource.read(spark, root).as[(Long, String)]
+      .collect().toSet == expect)
+    // MOR compaction after the rename lifts the deletes AND materializes
+    // the renamed column from old-name files (a current-name-only scan
+    // would permanently rewrite it as null)
+    val opt = IcebergMaintenance.optimize(spark, root)
+    assert(opt.snapshotId.isDefined, s"optimize should purge deletes: $opt")
+    val after = IcebergSource.read(spark, root)
+    assert(after.columns.toSeq == Seq("k", "label"))
+    assert(after.as[(Long, String)].collect().toSet == expect,
+      "compaction nulled or lost the renamed column")
+    // a widening append cannot reclaim the FORMER name: old files would
+    // serve the renamed field's bytes under the new column
+    val e = intercept[IllegalArgumentException] {
+      IcebergSource.write(
+        (11L to 12L).map(i => (i, s"n$i", 1.0)).toDF("k", "label", "v"),
+        root, mode = "append",
+        schemaPolicy = graft.sources.DeltaSchema.Evolve)
+    }
+    assert(e.getMessage.contains("previously used"), e.getMessage)
+  }
 }
