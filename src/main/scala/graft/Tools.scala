@@ -47,10 +47,11 @@ object Tools {
       |           vacuum <root> [--retention-hours H] [--dry-run] | history <root>
       |           cleanup-logs <root> [--retention-hours H] [--dry-run]
       |           rename-column <root> <from> <to>   (column-mapped tables)
+      |           drop-column <root> <name>   (column-mapped tables)
       |           delete <root> <predicate> [--partition K=V ...]   (deletion vectors)
       |  iceberg: history <root> | optimize | expire
       |           cleanup-metadata <root> [--keep-last N] [--dry-run]
-      |           rename-column <root> <from> <to>
+      |           rename-column <root> <from> <to> | drop-column <root> <name>
       |           delete <root> <predicate> [--partition K=V ...]   (position deletes)
       |  index:   info <root>   (persisted minhash/bloom/lsh/ivf/ivfpq index)
       |  stats:   <parquet-root> [--columns a,b]   (per-file footer stats + skipping audit)
@@ -134,6 +135,12 @@ object Tools {
       withSpark { spark =>
         val v = graft.sources.IcebergMaintenance.renameColumn(spark, root, from, to)
         println(s"renamed '$from' -> '$to' at $root (metadata v$v)")
+        0
+      }
+    case "drop-column" :: root :: name :: Nil =>
+      withSpark { spark =>
+        val v = graft.sources.IcebergMaintenance.dropColumn(spark, root, name)
+        println(s"dropped '$name' at $root (metadata v$v)")
         0
       }
     case "cleanup-metadata" :: root :: rest =>
@@ -430,6 +437,12 @@ object Tools {
       withSpark { spark =>
         val c = graft.sources.DeltaWriter.renameColumn(spark, root, from, to)
         println(s"renamed '$from' -> '$to' at $root (version ${c.version})")
+        0
+      }
+    case "drop-column" :: root :: name :: Nil =>
+      withSpark { spark =>
+        val c = graft.sources.DeltaWriter.dropColumn(spark, root, name)
+        println(s"dropped '$name' at $root (version ${c.version})")
         0
       }
     case "cleanup-logs" :: root :: rest =>

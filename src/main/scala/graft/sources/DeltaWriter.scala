@@ -335,6 +335,47 @@ object DeltaWriter {
   }
 
   /**
+   * Metadata-only DROP of a logical column on a COLUMN-MAPPED table —
+   * delta-spark's `ALTER TABLE ... DROP COLUMN` (delta.io PROTOCOL.md,
+   * Column Mapping): the physical parquet column stays in existing files
+   * but no reader resolves it (reads key on the remaining fields'
+   * physical names); time travel to pre-drop versions still serves it.
+   * Refuses on unmapped tables (the data would have to be rewritten),
+   * on partition columns, and on the last remaining column. A stream
+   * consuming the table fails loudly at the drop commit — by design
+   * (resuming across a drop silently truncates the consumer's output).
+   */
+  def dropColumn(spark: SparkSession, root: String, name: String): Commit = {
+    val f = fs(spark, root)
+    var attempts = 0
+    while (attempts < 10) {
+      attempts += 1
+      val snap = DeltaLog.snapshot(spark, root)
+      require(snap.configuration.getOrElse("delta.columnMapping.mode", "none") != "none",
+        s"dropColumn requires a column-mapped table (set " +
+          s"delta.columnMapping.mode); $root is unmapped — dropping would " +
+          "require rewriting every data file")
+      require(snap.schema.fieldNames.contains(name),
+        s"no column '$name' in ${snap.schema.fieldNames.mkString(", ")}")
+      require(!snap.partitionColumns.contains(name),
+        s"'$name' is a partition column — repartition the table instead")
+      require(snap.schema.fields.length > 1,
+        s"cannot drop the last column '$name'")
+      val newSchema = StructType(snap.schema.fields.filterNot(_.name == name))
+      val now = System.currentTimeMillis()
+      val lines = Seq(
+        s"""{"commitInfo":{"timestamp":$now,"operation":"DROP COLUMNS","operationParameters":{"columns":${q(name)}},"engineInfo":"graft-native-delta"}}""",
+        metaDataJson(snap.tableId.getOrElse(java.util.UUID.randomUUID().toString),
+          newSchema, snap.partitionColumns, now, snap.configuration))
+      if (tryPublish(f, root, snap.version + 1, lines,
+          java.lang.Long.toHexString(System.nanoTime())))
+        return Commit(snap.version + 1, 0L)
+      // lost the race: rebase onto the new snapshot and retry
+    }
+    throw new IllegalStateException(s"dropColumn lost 10 commit races at $root")
+  }
+
+  /**
    * Stage `df` through the ordinary distributed parquet writer under a
    * hidden temp dir, then MOVE every staged data file into the table root
    * under a fresh UUID basename (the delta-spark writer's naming contract:

@@ -453,6 +453,53 @@ object IcebergMaintenance {
       })
     })
 
+  /**
+   * Metadata-only DROP of a top-level column (Iceberg schema evolution:
+   * a new schema entry WITHOUT the field, `current-schema-id` bumped; no
+   * file rewritten — readers simply stop requesting the column, and
+   * time travel via retained snapshots' schema history is unaffected).
+   * Refuses when a partition-spec field sources the column (the spec
+   * would dangle) and on the last remaining column. The dropped field's
+   * ids stay burned: [[IcebergSource.write]]'s evolution guard keeps its
+   * former names from being reclaimed by a different field.
+   */
+  def dropColumn(spark: SparkSession, root: String, name: String): Long =
+    withReplan(s"dropColumn($root)")(() => {
+      val meta = tableMeta(spark, root)
+      require(meta.schema.fieldNames.contains(name),
+        s"no column '$name' in ${meta.schema.fieldNames.mkString(", ")}")
+      require(meta.schema.fields.length > 1,
+        s"cannot drop the last column '$name'")
+      val fieldId = meta.schemaJson.get("fields").elements().asScala
+        .find(_.get("name").asText() == name).get.get("id").asInt()
+      require(!meta.partitionSpec.exists(_.sourceId == fieldId),
+        s"'$name' sources partition field(s) " +
+          s"${meta.partitionSpec.filter(_.sourceId == fieldId).map(_.name).mkString(", ")}" +
+          " — drop would dangle the partition spec")
+      patchMetadata(spark, root, meta, { node =>
+        require(node.has("schemas"),
+          "dropColumn requires a metadata layout with a schemas array")
+        val schemas = node.withArray("schemas")
+        val curId = node.get("current-schema-id").asInt()
+        val cur = schemas.elements().asScala
+          .find(_.get("schema-id").asInt() == curId)
+          .getOrElse(throw new IllegalStateException(
+            s"current-schema-id $curId not in schemas"))
+        val next = cur.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+        val maxId = schemas.elements().asScala.map(_.get("schema-id").asInt()).max
+        next.put("schema-id", maxId + 1)
+        val fields = next.withArray("fields")
+        val kept = fields.elements().asScala
+          .filterNot(_.get("name").asText() == name).toSeq
+        fields.removeAll()
+        kept.foreach(fields.add)
+        schemas.add(next)
+        node.put("current-schema-id", maxId + 1)
+        node.put("last-updated-ms", System.currentTimeMillis())
+        ()
+      })
+    })
+
   def expireSnapshots(spark: SparkSession, root: String,
                       keepLast: Int = 1,
                       olderThanMs: Option[Long] = None,

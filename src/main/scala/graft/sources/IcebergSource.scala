@@ -274,6 +274,12 @@ object IcebergSource {
    * file never carries both names (renames are metadata-only), missing
    * parquet columns read null, and genuine nulls coalesce to null.
    * No-op (single scan, no projection) for never-renamed tables.
+   *
+   * Scale note: parquet ROW-GROUP pushdown of predicates on a RENAMED
+   * column is lost behind the coalesce (filters on other columns still
+   * push; never-renamed tables are unaffected). The heavier 100 TB lever
+   * is untouched: manifest bounds key on FIELD IDS, so whole-file
+   * skipping for renamed-column predicates keeps working.
    */
   private[sources] def scanFiles(spark: SparkSession, meta: TableMeta,
                                  readSchema: StructType,

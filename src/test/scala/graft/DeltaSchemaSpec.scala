@@ -342,4 +342,61 @@ class DeltaSchemaSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("k", "v", "score"))
     assert(rows(out) == Set("1|UPD|3.5", "2|NEW|4.5"))
   }
+
+  test("dropColumn on a mapped table: metadata-only, time travel keeps the column") {
+    import org.apache.spark.sql.types._
+    val root = tmp()
+    val cm = (name: String, dt: DataType, phys: String, id: Long) =>
+      StructField(name, dt, nullable = true, new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id).build())
+    val logical = StructType(Seq(
+      cm("id", LongType, "col-a", 1), cm("v", StringType, "col-b", 2)))
+    val staging = Files.createTempDirectory("cmdrop").toFile
+    Seq((1L, "a"), (2L, "b")).toDF("x", "y")
+      .select(col("x").as("col-a"), col("y").as("col-b"))
+      .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val part = staging.listFiles().find(f =>
+      f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+    val dest = new java.io.File(root, "d0.parquet")
+    dest.getParentFile.mkdirs()
+    java.nio.file.Files.copy(part.toPath, dest.toPath)
+    val jq = (s: String) => "\"" + s + "\""
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(root, "_delta_log"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_delta_log", "00000000000000000000.json"),
+      Seq(
+        """{"commitInfo":{"timestamp":1000,"operation":"WRITE"}}""",
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":${
+          new com.fasterxml.jackson.databind.ObjectMapper()
+            .writeValueAsString(logical.json)},"partitionColumns":[],"configuration":{${
+          jq("delta.columnMapping.mode")}:${jq("name")},${
+          jq("delta.columnMapping.maxColumnId")}:${jq("2")}},"createdTime":1}}""",
+        s"""{"add":{"path":"d0.parquet","partitionValues":{},"size":1,"modificationTime":1000,"dataChange":true}}""")
+        .mkString("\n").getBytes("UTF-8"))
+
+    val c = DeltaWriter.dropColumn(spark, root, "v") // v1: metadata only
+    assert(c.version == 1L)
+    val got = DeltaLog.read(spark, root)
+    assert(got.columns.toSeq == Seq("id"), got.columns.mkString(","))
+    assert(got.as[Long].collect().toSet == Set(1L, 2L))
+    // the bytes were never touched: time travel still serves the column
+    val v0 = DeltaLog.read(spark, root, versionAsOf = Some(0L))
+    assert(v0.columns.toSeq == Seq("id", "v"))
+    assert(v0.as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    // appends under the narrowed schema keep working
+    DeltaWriter.write(Seq(3L).toDF("id"), root)
+    assert(DeltaLog.read(spark, root).as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // guards: last column, unknown column, unmapped table
+    intercept[IllegalArgumentException] { DeltaWriter.dropColumn(spark, root, "id") }
+    intercept[IllegalArgumentException] { DeltaWriter.dropColumn(spark, root, "zz") }
+    val plain = tmp()
+    DeltaWriter.write(Seq((1, "a")).toDF("k", "v"), plain)
+    val e = intercept[IllegalArgumentException] {
+      DeltaWriter.dropColumn(spark, plain, "v")
+    }
+    assert(e.getMessage.contains("column-mapped"), e.getMessage)
+  }
 }

@@ -293,4 +293,35 @@ class IcebergMaintenanceSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("previously used"), e.getMessage)
   }
+
+  test("dropColumn: metadata-only narrow; burned names stay unreclaimable") {
+    val root = tmp()
+    IcebergSource.write(Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("k", "v", "w"),
+      root)
+    IcebergMaintenance.dropColumn(spark, root, "w")
+    val got = IcebergSource.read(spark, root)
+    assert(got.columns.toSeq == Seq("k", "v"), got.columns.mkString(","))
+    assert(got.as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    // appends continue under the narrowed schema
+    IcebergSource.write(Seq((3L, "c")).toDF("k", "v"), root, mode = "append")
+    assert(IcebergSource.read(spark, root).count() == 3)
+    // the dropped name cannot be reclaimed by a widening append: the old
+    // files' physical 'w' bytes would surface under the new field
+    val e = intercept[IllegalArgumentException] {
+      IcebergSource.write(Seq((4L, "d", true)).toDF("k", "v", "w"), root,
+        mode = "append", schemaPolicy = graft.sources.DeltaSchema.Evolve)
+    }
+    assert(e.getMessage.contains("previously used"), e.getMessage)
+    // guards: unknown column; a partition-source column cannot drop
+    intercept[IllegalArgumentException] {
+      IcebergMaintenance.dropColumn(spark, root, "nope")
+    }
+    val root2 = tmp()
+    IcebergSource.write(Seq((1L, "x")).toDF("d", "v"), root2,
+      partitionBy = Seq("d"))
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergMaintenance.dropColumn(spark, root2, "d")
+    }
+    assert(e2.getMessage.contains("partition"), e2.getMessage)
+  }
 }
