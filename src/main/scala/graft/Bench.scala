@@ -136,22 +136,30 @@ object Bench {
     val spreadBound = 1.3
     val rerunFloorSec = 0.5
     val reruns = scala.collection.mutable.ArrayBuffer.empty[String]
+    // effective sample count per query whose samples differ from the
+    // configured "runs":N — a contention rerun doubles a query's samples
+    // and a 2-run leg takes one extra warm sample for the spread basis;
+    // the board metadata must say so, not understate it
+    val effectiveRuns = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val results = headline.filter(n => only.forall(_.contains(n))).flatMap { name =>
       qs.get(name).map { fn =>
         if (warmupFirst(name))
           try fn(spark, sfDir).count() catch { case _: Throwable => () }
-        def measure(): Seq[Double] = (1 to runs).flatMap { _ =>
+        def measure(n: Int): Seq[Double] = (1 to n).flatMap { _ =>
           val t0 = System.nanoTime()
-          val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+          val c = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
           val dt = (System.nanoTime() - t0) / 1e9
-          if (n < 0) { System.err.println(s"[bench] $name FAILED"); None }
+          if (c < 0) { System.err.println(s"[bench] $name FAILED"); None }
           else Some(dt)
         }
-        var times = measure()
+        var times = measure(runs)
         // spread is judged over the WARM runs only: each query's first
         // run legitimately carries its one-time plan-analysis cost, which
-        // is amortization, not contention — under 3 runs there are not
-        // two warm samples to compare, so the guard stays out of the way
+        // is amortization, not contention. A 2-run leg (the sf1 scaling
+        // leg) has a single warm sample — take one extra so the guard has
+        // a spread basis there too instead of silently standing down.
+        if (runs == 2 && times.size == 2 && times.min > rerunFloorSec)
+          times = times ++ measure(1)
         val warm = if (times.size >= 3) times.drop(1) else Nil
         if (warm.nonEmpty && runs > 1 && warm.min > rerunFloorSec &&
             warm.max / warm.min > spreadBound) {
@@ -159,8 +167,10 @@ object Bench {
             f"${warm.max / warm.min}%.2fx exceeds the contention bound — " +
             "re-measuring")
           reruns += name
-          times = times ++ measure()
+          times = times ++ measure(runs)
         }
+        if (times.nonEmpty && times.size != runs)
+          effectiveRuns(name) = times.size
         // a failing query must NEVER read as a (fast) success: it is
         // excluded from the totals and listed under "failed" in the JSON
         if (times.isEmpty) { failedQueries += name; name -> -1.0 }
@@ -173,8 +183,10 @@ object Bench {
     val total = ok.map(_._2).sum
     val failedJson = failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     val rerunJson = reruns.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val effRunsJson = effectiveRuns.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"failed":$failedJson,"sf":"$sfDir","runs":$runs,"load_start":$loadStart%.2f,"load_end":${loadAvg()}%.2f,"reruns":$rerunJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"failed":$failedJson,"sf":"$sfDir","runs":$runs,"load_start":$loadStart%.2f,"load_end":${loadAvg()}%.2f,"reruns":$rerunJson,"effective_runs":$effRunsJson}"""
     println(line)
     // the driver's stdout capture has truncated mid-JSON in past rounds;
     // also persist the full line to a file it (or a human) can pick up

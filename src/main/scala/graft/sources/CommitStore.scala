@@ -52,6 +52,17 @@ trait CommitStore {
 
 object CommitStore {
 
+  /** A filesystem's scheme, defensively: `FileSystem.getScheme`'s BASE
+    * implementation throws UnsupportedOperationException ("Not
+    * implemented by the X FileSystem"), so a third-party FS that never
+    * overrode it must fall back to the scheme of the FS's own URI —
+    * which every initialized FileSystem carries. Empty string when even
+    * that is absent (routes to the loud-refusal arm, never a guess). */
+  private[sources] def schemeOf(f: FileSystem): String =
+    scala.util.Try(f.getScheme).toOption
+      .orElse(Option(f.getUri).flatMap(u => Option(u.getScheme)))
+      .getOrElse("")
+
   /** Hidden (dot-prefixed, listing-excluded) sibling temp for staged
     * payloads. */
   private[sources] def tempFor(target: Path, nonce: String): Path =
@@ -82,6 +93,7 @@ object CommitStore {
    */
   def forFs(f: FileSystem): CommitStore = {
     val conf = f.getConf
+    val scheme = schemeOf(f)
     def lockDir = Option(conf.get("graft.commit.lock.dir")).map(_.trim)
       .filter(_.nonEmpty)
     def locked(inner: CommitStore): CommitStore = lockDir match {
@@ -95,18 +107,18 @@ object CommitStore {
         // of the path — on an object store the ensuing FileSystemException
         // would silently fall back to exists+rename, the exact non-atomic
         // last-writer-wins the resolver otherwise refuses
-        if (f.getScheme != "file") throw new IllegalArgumentException(
+        if (scheme != "file") throw new IllegalArgumentException(
           s"graft.commit.store=link requires a local file:// filesystem " +
-            s"(got scheme '${f.getScheme}'): hard links are a local-FS " +
+            s"(got scheme '$scheme'): hard links are a local-FS " +
             "primitive and the rename fallback is not atomic there")
         LinkCommitStore
       case Some("rename") => RenameCommitStore
       case Some("create") => CreateIfAbsentCommitStore
       case Some("lock") => locked(OverwriteWithinLock)
-      case Some("refuse") => new RefusingCommitStore(f.getScheme, "configured")
+      case Some("refuse") => new RefusingCommitStore(scheme, "configured")
       case Some(other) => throw new IllegalArgumentException(
         s"unknown graft.commit.store '$other' (link|rename|create|lock|refuse)")
-      case None => f.getScheme match {
+      case None => scheme match {
         case "file" => LinkCommitStore
         case s if renameConsistent(s) => RenameCommitStore
         case s if nonAtomicRename(s) =>
@@ -124,7 +136,7 @@ object CommitStore {
     * config — what [[LockCommitStore]] claims its lock files with (the
     * lock dir must not recursively resolve to another lock). */
   private[sources] def primitiveFor(f: FileSystem): Option[CommitStore] =
-    f.getScheme match {
+    schemeOf(f) match {
       case "file" => Some(LinkCommitStore)
       case s if renameConsistent(s) => Some(RenameCommitStore)
       case s if nonAtomicRename(s) &&

@@ -343,6 +343,7 @@ object IcebergMaintenance {
         snapNode.put("snapshot-id", snapshotId)
         snapNode.put("timestamp-ms", now)
         snapNode.put("sequence-number", newSeq)
+        meta.currentSnapshotId.foreach(snapNode.put("parent-snapshot-id", _))
         snapNode.putObject("summary").put("operation", "replace")
         snapNode.put("manifest-list", mlPath.toString)
         snapNode.put("schema-id", 0)

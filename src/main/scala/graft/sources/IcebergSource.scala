@@ -250,10 +250,30 @@ object IcebergSource {
         f.get("id").asInt() -> f.get("name").asText()).toSeq
     val idToCurrent = current.toMap
     val currentNames = current.map(_._2).toSet
-    val hist: Seq[(Int, String)] = meta.schemasJson.flatMap(s =>
+    val idToCurrentType: Map[Int, String] = meta.schemaJson.get("fields")
+      .elements().asScala.map(f =>
+        f.get("id").asInt() -> f.get("type").toString).toMap
+    val hist: Seq[(Int, String, String)] = meta.schemasJson.flatMap(s =>
       Option(s.get("fields")).toSeq.flatMap(_.elements().asScala).map(f =>
-        f.get("id").asInt() -> f.get("name").asText())).distinct
-    val renamedOnly = hist
+        (f.get("id").asInt(), f.get("name").asText(),
+          f.get("type").toString))).distinct
+    // alias columns are requested at the field's CURRENT type, which is
+    // only sound while the type never changed: a promotion accompanying
+    // a rename would ask the parquet reader for old files' bytes at the
+    // NEW type and throw (or worse, misread). This repo's own evolution
+    // ops reject retypes, so the guard fires only on foreign-written
+    // metadata — fail loudly rather than coalesce garbage.
+    hist.foreach { case (id, n, t) =>
+      idToCurrent.get(id).filter(_ != n).foreach { cur =>
+        require(idToCurrentType(id) == t,
+          s"column '$cur' (field id $id) was renamed from '$n' AND " +
+            s"changed type ($t -> ${idToCurrentType(id)}) across retained " +
+            "schemas — reading old-name files at the current type is " +
+            "unsupported; compact the table with the writer that " +
+            "performed the promotion first")
+      }
+    }
+    val renamedOnly = hist.map { case (id, n, _) => (id, n) }.distinct
       .filter { case (id, n) => idToCurrent.get(id).exists(_ != n) }
       .filterNot { case (_, n) => currentNames.contains(n) }
     // claimants counted over the FULL history — a since-DROPPED field
@@ -326,7 +346,9 @@ object IcebergSource {
                                 manifestList: Option[String],
                                 inlineManifests: Seq[String],
                                 operation: String,
-                                summary: Map[String, String] = Map.empty)
+                                summary: Map[String, String] = Map.empty,
+                                parentId: Option[Long] = None,
+                                sequenceNumber: Long = 0L)
 
   /** One field of a partition spec (spec §Partition Specs): `transform`
     * is identity / bucket[N] / truncate[W] / year / month / day / hour. */
@@ -373,7 +395,9 @@ object IcebergSource {
           .map(_.asText()).getOrElse("append"),
         Option(s.get("summary")).map(su =>
           su.properties().asScala.map(e =>
-            e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty))
+            e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty),
+        Option(s.get("parent-snapshot-id")).map(_.asLong()),
+        Option(s.get("sequence-number")).map(_.asLong()).getOrElse(0L))
     }
     val versioned = "v(\\d+)\\.metadata\\.json".r
     val version = p.getName match {
@@ -1467,6 +1491,7 @@ object IcebergSource {
     snapNode.put("snapshot-id", snapshotId)
     snapNode.put("timestamp-ms", snapshotId)
     snapNode.put("sequence-number", newSeq)
+    meta.currentSnapshotId.foreach(snapNode.put("parent-snapshot-id", _))
     snapNode.putObject("summary").put("operation", "delete")
     snapNode.put("manifest-list", mlPath.toString)
     snapNode.put("schema-id", 0)
@@ -1531,6 +1556,38 @@ object IcebergSource {
         (if (rowDeleteMarker) Seq(0L) else Nil)
   }
 
+  /** A snapshot's own added data files, reconstructed WITHOUT its
+    * predecessor's file list: files written by commit N carry data
+    * sequence number N (spec §Sequence Numbers), so the filter equals
+    * the set-diff the predecessor would have given. v1 tables (all
+    * sequence numbers 0) cannot make the distinction — fail loudly
+    * rather than replay the cumulative state. */
+  private[sources] def ownSeqFiles(root: String, s: SnapshotInfo,
+                                   files: Seq[FileEntry]): Seq[FileEntry] = {
+    require(s.sequenceNumber > 0,
+      s"snapshot ${s.snapshotId} of $root carries no sequence number " +
+        "(format-v1 metadata, or written before sequence numbers were " +
+        "round-tripped): its added files cannot be reconstructed after " +
+        "its parent expired — restart the stream from a retained snapshot")
+    files.filter(_.seq == s.sequenceNumber)
+  }
+
+  /** Change breakdown of a snapshot whose PREDECESSOR file list is gone
+    * (history expired beneath it): an append reproduces (its own
+    * sequence-number files as inserts) and a replace is a no-op; a
+    * delete/overwrite's change items need the VANISHED files' content,
+    * which expiry reclaimed — fail loudly. */
+  private[sources] def reproducedBreakdown(root: String, s: SnapshotInfo,
+      dataFiles: Seq[FileEntry]): ChangeBreakdown = {
+    require(s.operation == "append" || s.operation == "replace",
+      s"changelog cursor cannot resume past expired history at " +
+        s"non-append snapshot ${s.snapshotId} (${s.operation}) of $root")
+    if (s.operation == "replace")
+      ChangeBreakdown(Nil, Nil, Nil, Nil, Nil, Nil, Nil)
+    else ChangeBreakdown(ownSeqFiles(root, s, dataFiles),
+      Nil, Nil, Nil, Nil, Nil, Nil)
+  }
+
   private[sources] def changeBreakdown(
       cur: (Seq[FileEntry], Seq[FileEntry], Seq[FileEntry]),
       prev: (Seq[FileEntry], Seq[FileEntry], Seq[FileEntry]),
@@ -1557,11 +1614,19 @@ object IcebergSource {
    * the last one before that item. How the streaming changelog drains a
    * bulk snapshot as many bounded micro-batches.
    */
+  /** `firstIsFullState` governs the oldest retained snapshot when
+    * `fromSnapshotId` is None and history expired beneath it (it has a
+    * dangling `parent-snapshot-id`): true presents its full cumulative
+    * state as inserts (a from-the-beginning read), false reproduces only
+    * its OWN change items ([[reproducedBreakdown]] — a drained streaming
+    * cursor resuming past its expired snapshot). Irrelevant otherwise:
+    * with a parent retained the two bases coincide. */
   def changes(spark: SparkSession, root: String,
               fromSnapshotId: Option[Long] = None,
               toSnapshotId: Option[Long] = None,
               fromItemIndex: Long = 0L,
-              untilItemIndex: Long = Long.MaxValue): DataFrame = {
+              untilItemIndex: Long = Long.MaxValue,
+              firstIsFullState: Boolean = true): DataFrame = {
     val meta = tableMeta(spark, root)
     val ordered = meta.snapshots.sortBy(s => (s.timestampMs, s.snapshotId))
     require(ordered.nonEmpty, s"$root has no snapshots")
@@ -1610,7 +1675,10 @@ object IcebergSource {
     val frames = (fromIdx until toIdx).flatMap { i =>
       val s = ordered(i)
       val cur = files(s)
-      val bd = changeBreakdown(cur, prev, s.operation)
+      val bd =
+        if (i == 0 && !firstIsFullState && s.parentId.isDefined)
+          reproducedBreakdown(root, s, cur._1)
+        else changeBreakdown(cur, prev, s.operation)
       val out: Seq[DataFrame] =
         if (bd.itemCount == 0L) Nil // compaction / no-op: no net row change
         else {
@@ -2380,20 +2448,29 @@ object IcebergSource {
         }.mkString("{", ",", "}")
       val newSummary = summaryProps +
         ("operation" -> (if (mode == "append") "append" else "overwrite"))
+      // parent-snapshot-id records direct succession (spec §Snapshots) —
+      // it is what lets a drained streaming cursor whose snapshot later
+      // EXPIRED prove the oldest retained snapshot is its true successor
+      val parent = cur.flatMap(_.currentSnapshotId)
+        .map(p => s""","parent-snapshot-id":$p""").getOrElse("")
       val newSnap =
-        s"""{"snapshot-id":$snapshotId,"timestamp-ms":$now,"sequence-number":$seq,
+        s"""{"snapshot-id":$snapshotId,"timestamp-ms":$now,"sequence-number":$seq$parent,
            |"summary":${summaryJson(newSummary)},
            |"manifest-list":"${mlPath.toString}","schema-id":$curSchemaId}"""
           .stripMargin.replaceAll("\n", "")
       // prior snapshots round-trip their FULL summary map — the streaming
       // sink's exactly-once batch markers live there and must survive
-      // later appends
+      // later appends — plus sequence-number and parent-snapshot-id
+      // (dropping either would break sequence-scoped delete application
+      // and drained-cursor recovery on every later commit)
       val priorSnaps = cur.toSeq.flatMap(_.snapshots).map { s =>
         val ml = s.manifestList.map(p => s""","manifest-list":"$p"""").getOrElse("")
         val im = if (s.inlineManifests.nonEmpty)
           s""","manifests":[${s.inlineManifests.map(p => s""""$p"""").mkString(",")}]"""
         else ""
-        s"""{"snapshot-id":${s.snapshotId},"timestamp-ms":${s.timestampMs},
+        val sq = if (s.sequenceNumber > 0) s""","sequence-number":${s.sequenceNumber}""" else ""
+        val pr = s.parentId.map(p => s""","parent-snapshot-id":$p""").getOrElse("")
+        s"""{"snapshot-id":${s.snapshotId},"timestamp-ms":${s.timestampMs}$sq$pr,
            |"summary":${summaryJson(s.summary + ("operation" -> s.operation))}$ml$im}"""
           .stripMargin.replaceAll("\n", "")
       }

@@ -65,17 +65,40 @@ object IcebergStreamSource {
     * `snapshot=true` marks the initial-snapshot phase. File order is
     * re-derived from the manifests in commit order, so a position is
     * restart-deterministic from table metadata alone. */
+  /** `drainedTs` > 0 marks a cursor that has consumed EVERY item of its
+    * snapshot, stamped with that snapshot's commit timestamp. It is what
+    * lets a restart survive the snapshot EXPIRING while the stream was
+    * down: a drained cursor whose snapshot is the PARENT
+    * (`parent-snapshot-id`) of the oldest retained snapshot resumes
+    * there instead of wedging on "cursor snapshot expired" — nothing
+    * from the expired snapshot is needed, and the parent pointer proves
+    * no expired commit sits in the gap. Mid-snapshot cursors
+    * (drainedTs = 0) still fail loudly on expiry: resuming those WOULD
+    * drop data.
+    *
+    * `full` marks a cursor indexing the FULL cumulative file list of the
+    * log's oldest snapshot (a from-the-beginning stream reading a
+    * history-expired table emits the first retained snapshot whole);
+    * without it a restart could re-enumerate that snapshot under the
+    * added-files-only basis and misindex every in-flight item. */
   final case class IcebergSourceOffset(snapshotId: Long, index: Long,
-                                       snapshot: Boolean) extends OffsetV1 {
-    override def json(): String =
-      s"""{"snapshotId":$snapshotId,"index":$index,"snapshot":$snapshot}"""
+                                       snapshot: Boolean,
+                                       drainedTs: Long = 0L,
+                                       full: Boolean = false) extends OffsetV1 {
+    override def json(): String = {
+      val d = if (drainedTs > 0L) s""","drainedTs":$drainedTs""" else ""
+      val fl = if (full) s""","full":true""" else ""
+      s"""{"snapshotId":$snapshotId,"index":$index,"snapshot":$snapshot$d$fl}"""
+    }
   }
 
   private[sources] def parseOffset(json: String): IcebergSourceOffset = {
     val n = mapper.readTree(json)
     IcebergSourceOffset(n.get("snapshotId").asLong,
       Option(n.get("index")).map(_.asLong).getOrElse(Long.MaxValue),
-      n.get("snapshot").asBoolean)
+      n.get("snapshot").asBoolean,
+      Option(n.get("drainedTs")).map(_.asLong).getOrElse(0L),
+      Option(n.get("full")).exists(_.asBoolean))
   }
 }
 
@@ -261,22 +284,41 @@ class IcebergStreamSource(spark: SparkSession, root: String,
     * overwrites are DATA, not errors). Derived from the cached snapshot
     * file lists, so enumeration and [[IcebergSource.changes]]' slicing
     * index the identical deterministic item order. */
+  /** True when ordinal 0 of the retained log must enumerate its OWN
+    * added files only (sequence-number reproduction) rather than its
+    * full cumulative state: its parent expired (the set-diff basis is
+    * gone) and the cursor is NOT a full-state one. The two bases agree
+    * whenever the parent IS retained, so the choice only matters after
+    * expiry trimmed the log. */
+  private def reproducedBase(ord: Seq[IcebergSource.SnapshotInfo],
+                             i: Int, fullBase: Boolean): Boolean =
+    i == 0 && !fullBase && ord.head.parentId.isDefined
+
   private def cdfBreakdown(m: IcebergSource.TableMeta,
                            ord: Seq[IcebergSource.SnapshotInfo],
-                           i: Int): IcebergSource.ChangeBreakdown = {
-    val prev =
-      if (i == 0) (Seq.empty[IcebergSource.FileEntry],
-        Seq.empty[IcebergSource.FileEntry], Seq.empty[IcebergSource.FileEntry])
-      else snapFiles(m, ord(i - 1).snapshotId)
-    IcebergSource.changeBreakdown(snapFiles(m, ord(i).snapshotId), prev,
-      ord(i).operation)
+                           i: Int,
+                           fullBase: Boolean = true)
+      : IcebergSource.ChangeBreakdown = {
+    if (reproducedBase(ord, i, fullBase))
+      IcebergSource.reproducedBreakdown(root, ord(i),
+        snapFiles(m, ord(i).snapshotId)._1)
+    else {
+      val prev =
+        if (i == 0) (Seq.empty[IcebergSource.FileEntry],
+          Seq.empty[IcebergSource.FileEntry], Seq.empty[IcebergSource.FileEntry])
+        else snapFiles(m, ord(i - 1).snapshotId)
+      IcebergSource.changeBreakdown(snapFiles(m, ord(i).snapshotId), prev,
+        ord(i).operation)
+    }
   }
 
   /** The files snapshot `ord(i)` ADDED, with the append-only contract
     * enforced (deterministic manifest order — offsets index into it). */
   private def addedEntries(m: IcebergSource.TableMeta,
                            ord: Seq[IcebergSource.SnapshotInfo],
-                           i: Int): Seq[IcebergSource.FileEntry] = {
+                           i: Int,
+                           fullBase: Boolean = true)
+      : Seq[IcebergSource.FileEntry] = {
     val s = ord(i)
     s.operation match {
       case "replace" => Nil // compaction: zero net row change
@@ -291,10 +333,14 @@ class IcebergStreamSource(spark: SparkSession, root: String,
             s"snapshot ${s.snapshotId} overwrites rows in the stream " +
               s"source table ($root); set ignoreChanges to re-emit its " +
               "files whole")
-        val prev: Set[String] =
-          if (i == 0) Set.empty
-          else dataFilePaths(m, ord(i - 1).snapshotId).toSet
-        snapFiles(m, s.snapshotId)._1.filterNot(e => prev(e.path))
+        if (reproducedBase(ord, i, fullBase))
+          IcebergSource.ownSeqFiles(root, s, snapFiles(m, s.snapshotId)._1)
+        else {
+          val prev: Set[String] =
+            if (i == 0) Set.empty
+            else dataFilePaths(m, ord(i - 1).snapshotId).toSet
+          snapFiles(m, s.snapshotId)._1.filterNot(e => prev(e.path))
+        }
     }
   }
 
@@ -307,6 +353,25 @@ class IcebergStreamSource(spark: SparkSession, root: String,
     require(i >= 0, s"$what snapshot $id expired from $root — restart " +
       "the stream from a retained snapshot")
     i
+  }
+
+  /** Tail-phase resumption point `(ordinal, itemIndex)` for a recovered
+    * cursor. A retained cursor resumes in place (a snapshot-phase cursor
+    * tails AFTER its snapshot). An EXPIRED cursor resumes only when it
+    * is a DRAINED marker whose snapshot is the direct PARENT of the
+    * oldest retained snapshot — the parent pointer proves that snapshot
+    * is the true successor with no expired commit in the gap, so
+    * everything delivered is exactly everything before it. A mid-snapshot
+    * expired cursor (resume would drop the snapshot's undelivered tail)
+    * or a broken succession (an expired commit in the gap would be
+    * skipped) still fails loudly. */
+  private def tailResume(ord: Seq[IcebergSource.SnapshotInfo],
+                         o: IcebergSourceOffset): (Int, Long) = {
+    val i = ord.indexWhere(_.snapshotId == o.snapshotId)
+    if (i >= 0) { if (o.snapshot) (i + 1, 0L) else (i, o.index) }
+    else if (o.drainedTs > 0L && ord.nonEmpty &&
+        ord.head.parentId.contains(o.snapshotId)) (0, 0L)
+    else (ordIdx(ord, o.snapshotId, "stream cursor"), 0L) // throws
   }
 
   /** Pending (position, data-file path) pairs after `from`, in commit
@@ -336,15 +401,21 @@ class IcebergStreamSource(spark: SparkSession, root: String,
     // addresses the file list of the snapshot the run started from;
     // commits that landed while down replay as phase 2.
     val baseConsumed: Boolean = base match {
+      case Left(_) if from.exists(o => o.snapshot && o.drainedTs > 0L &&
+          !ord.exists(_.snapshotId == o.snapshotId)) =>
+        true // drained snapshot-phase cursor whose snapshot since expired
       case Left(id) if from.forall(_.snapshot) =>
         val resumeId = from.map(_.snapshotId).getOrElse(id)
         val files = snapFiles(m, resumeId)._1
         val startIdx = from.map(_.index).getOrElse(0L)
         if (startIdx >= files.size) true
         else {
+          val ts = m.snapshots.find(_.snapshotId == resumeId)
+            .map(_.timestampMs).getOrElse(0L)
           var i = startIdx
           while (i < files.size && room) {
-            admit(IcebergSourceOffset(resumeId, i + 1, snapshot = true),
+            admit(IcebergSourceOffset(resumeId, i + 1, snapshot = true,
+                drainedTs = if (i + 1 == files.size) ts else 0L),
               Some(files(i.toInt).path), files(i.toInt).size)
             i += 1
           }
@@ -356,15 +427,19 @@ class IcebergStreamSource(spark: SparkSession, root: String,
     // phase 2: tailed snapshots, file by file
     if (baseConsumed) {
       val (startOrd, startIdx): (Int, Long) = from match {
-        case Some(o) if !o.snapshot =>
-          (ordIdx(ord, o.snapshotId, "stream cursor"), o.index)
-        case Some(o) => // snapshot-phase cursor: tail after ITS snapshot
-          (ordIdx(ord, o.snapshotId, "stream cursor") + 1, 0L)
+        case Some(o) => tailResume(ord, o)
         case None => base match {
           case Left(id) => (ordIdx(ord, id, "base") + 1, 0L)
           case Right(Long.MinValue) => (0, 0L)
           case Right(id) => (ordIdx(ord, id, "base") + 1, 0L)
         }
+      }
+      // ordinal 0's enumeration basis: full cumulative state for a
+      // from-the-beginning stream (and for a cursor stamped `full`),
+      // added-files-only otherwise — see [[reproducedBase]]
+      val fullBase: Boolean = from match {
+        case Some(o) => o.full && ord.headOption.exists(_.snapshotId == o.snapshotId)
+        case None => base == Right(Long.MinValue)
       }
       // bounded enumeration: getBatch passes its end snapshot so a batch
       // never re-walks the whole backlog's manifests
@@ -377,21 +452,27 @@ class IcebergStreamSource(spark: SparkSession, root: String,
         // stand-ins — the batch reads through changes()' item slicing)
         val added: Seq[(Option[String], Long)] =
           if (readChangeFeed)
-            cdfBreakdown(m, ord, s).itemSizes.map((None: Option[String], _))
-          else addedEntries(m, ord, s).map(e => (Some(e.path), e.size))
+            cdfBreakdown(m, ord, s, fullBase).itemSizes.map((None: Option[String], _))
+          else addedEntries(m, ord, s, fullBase).map(e => (Some(e.path), e.size))
         val first = if (s == startOrd) startIdx else 0L
+        // stamp full-basis offsets so a restart re-enumerates ordinal 0
+        // under the same basis (irrelevant when the two bases coincide —
+        // a genuinely-first snapshot has no parent)
+        val stampFull = s == 0 && fullBase && ord.head.parentId.isDefined
         if (added.isEmpty) {
           // fileless snapshot (compaction, skipped delete, empty
           // append): a marker position still records progress past it
           val alreadyMarked = s == startOrd &&
             from.exists(o => !o.snapshot && o.snapshotId == ord(s).snapshotId)
           if (!alreadyMarked)
-            admit(IcebergSourceOffset(ord(s).snapshotId, 0L, snapshot = false),
-              None, 0L)
+            admit(IcebergSourceOffset(ord(s).snapshotId, 0L, snapshot = false,
+              drainedTs = ord(s).timestampMs, full = stampFull), None, 0L)
         } else {
           var i = first
           while (i < added.size && room) {
-            admit(IcebergSourceOffset(ord(s).snapshotId, i + 1, snapshot = false),
+            admit(IcebergSourceOffset(ord(s).snapshotId, i + 1, snapshot = false,
+                drainedTs = if (i + 1 == added.size) ord(s).timestampMs else 0L,
+                full = stampFull),
               added(i.toInt)._1, added(i.toInt)._2)
             i += 1
           }
@@ -483,6 +564,17 @@ class IcebergStreamSource(spark: SparkSession, root: String,
     val endOff = toOffset(end)
     val startOff = start.map(toOffset)
     setPosition(endOff)
+    // restart initialization replay: the engine re-issues the last
+    // COMMITTED batch's getBatch at restart purely to re-prime V1 source
+    // state and discards the frame. If that batch ended on a DRAINED
+    // snapshot that has since EXPIRED, its content is unreconstructable —
+    // and need not be reconstructed; serve an empty frame. Gated on the
+    // commit log: an UNCOMMITTED batch with an expired end is genuine
+    // data loss and still fails loudly below.
+    if (endOff.drainedTs > 0L &&
+        !meta.snapshots.exists(_.snapshotId == endOff.snapshotId) &&
+        SchemaTracking.isCommittedEnd(spark, metadataPath, endOff.json()))
+      return streamingUnion(Nil)
     if (readChangeFeed) return cdfBatch(startOff, endOff)
     val m = meta
     schemaCheck(m)
@@ -534,6 +626,9 @@ class IcebergStreamSource(spark: SparkSession, root: String,
     // phase 1: the pinned base snapshot, file-sliced (legacy
     // whole-snapshot MaxValue offsets decode to the full list)
     base match {
+      case Left(_) if startOff.exists(o => o.snapshot && o.drainedTs > 0L &&
+          !m.snapshots.exists(_.snapshotId == o.snapshotId)) =>
+        () // drained snapshot-phase cursor whose snapshot since expired
       case Left(baseId) =>
         val pinId =
           if (endOff.snapshot) endOff.snapshotId
@@ -569,21 +664,29 @@ class IcebergStreamSource(spark: SparkSession, root: String,
         require(m.snapshots.exists(_.snapshotId == id),
           s"changelog cursor snapshot $id expired from $root — restart " +
             "the stream from a retained snapshot")
-      val fromSpec: Option[(Option[Long], Long)] = startOff match {
-        case Some(o) if o.snapshot => Some((Some(o.snapshotId), 0L))
-        case Some(o) if o.index == Long.MaxValue => // legacy whole-snapshot
-          Some((Some(o.snapshotId), 0L))
+      val fromSpec: Option[(Option[Long], Long, Boolean)] = startOff match {
+        case Some(o) if !o.snapshot && o.index == Long.MaxValue =>
+          Some((Some(o.snapshotId), 0L, true)) // legacy whole-snapshot
         case Some(o) =>
-          expiredCheck(o.snapshotId)
-          val i = ordIdx(ord, o.snapshotId, "changelog cursor")
-          Some((if (i == 0) None else Some(ord(i - 1).snapshotId), o.index))
+          // tailResume resolves retained cursors in place and a DRAINED
+          // cursor whose snapshot expired through its successor's parent
+          // pointer (a fully consumed snapshot expiring must not wedge
+          // the restart); mid-snapshot expired cursors and broken
+          // succession still fail loudly inside it
+          val (startOrd, startIdx) = tailResume(ord, o)
+          val firstFull =
+            o.full && ord.headOption.exists(_.snapshotId == o.snapshotId)
+          if (startOrd >= ord.size) None // nothing newer retained
+          else Some((if (startOrd == 0) None
+                     else Some(ord(startOrd - 1).snapshotId),
+                     startIdx, firstFull))
         case None => base match {
-          case Left(id) => Some((Some(id), 0L))
-          case Right(Long.MinValue) => Some((None, 0L))
-          case Right(id) => Some((Some(id), 0L))
+          case Left(id) => Some((Some(id), 0L, true))
+          case Right(Long.MinValue) => Some((None, 0L, true))
+          case Right(id) => Some((Some(id), 0L, true))
         }
       }
-      fromSpec.foreach { case (fromExcl, fromItem) =>
+      fromSpec.foreach { case (fromExcl, fromItem, firstFull) =>
         // an expired cursor cannot be silently skipped (it would drop
         // the gap) — fail loudly like the non-CDF expired-snapshot error
         fromExcl.foreach(expiredCheck)
@@ -591,7 +694,8 @@ class IcebergStreamSource(spark: SparkSession, root: String,
           if (endOff.index == Long.MaxValue) Long.MaxValue else endOff.index
         frames += IcebergSource.changes(spark, root,
           fromSnapshotId = fromExcl, toSnapshotId = Some(endOff.snapshotId),
-          fromItemIndex = fromItem, untilItemIndex = untilItem)
+          fromItemIndex = fromItem, untilItemIndex = untilItem,
+          firstIsFullState = firstFull)
       }
     }
     streamingUnion(frames.toSeq)

@@ -21,7 +21,7 @@ private[sources] object SchemaTracking {
     * wedging every restart on the upgrade path. */
   private[sources] def readFile(f: org.apache.hadoop.fs.FileSystem,
                                 p: Path): Option[String] =
-    if (f.getScheme == "file") {
+    if (CommitStore.schemeOf(f) == "file") {
       val jp = java.nio.file.Paths.get(p.toUri.getPath)
       if (!java.nio.file.Files.exists(jp)) None
       else Some(new String(java.nio.file.Files.readAllBytes(jp), "UTF-8"))
@@ -41,7 +41,7 @@ private[sources] object SchemaTracking {
     * re-resolve or re-derive), never torn. */
   private[sources] def writeFile(f: org.apache.hadoop.fs.FileSystem, p: Path,
                                  text: String): Unit = {
-    if (f.getScheme == "file") {
+    if (CommitStore.schemeOf(f) == "file") {
       // raw java.nio end-to-end: Hadoop's checksummed create would leave
       // an orphaned tmp `.crc` on every publish (the raw move relocates
       // only the data file), and any STALE destination `.crc` from a
@@ -78,6 +78,33 @@ private[sources] object SchemaTracking {
    * metadata, then one offset json (or "-") per source, in source order;
    * the source's index is its metadataPath directory name.
    */
+  /** True when the checkpoint's LATEST offset-WAL entry for this source
+    * equals `offsetJson` AND that batch is in the COMMIT log — i.e. the
+    * engine is replaying an already-committed batch at restart purely to
+    * re-prime V1 source state (MicroBatchExecution.populateStartOffsets
+    * discards the frame). Sources use this to tolerate such a replay
+    * whose content has since become unreconstructable (e.g. the end
+    * snapshot expired): an UNCOMMITTED batch in that state is genuine
+    * data loss and must still fail loudly. */
+  def isCommittedEnd(spark: SparkSession, metadataPath: String,
+                     offsetJson: String): Boolean = {
+    val src = new Path(metadataPath) // <checkpoint>/sources/<i>
+    val idx = src.getName.toIntOption.getOrElse(return false)
+    val parent = Option(src.getParent).flatMap(p => Option(p.getParent))
+      .getOrElse(return false)
+    val offsets = new Path(parent, "offsets")
+    val f = offsets.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!f.exists(offsets)) return false
+    val batches = f.listStatus(offsets).map(_.getPath)
+      .filter(p => p.getName.nonEmpty && p.getName.forall(_.isDigit))
+    if (batches.isEmpty) return false
+    val latest = batches.maxBy(_.getName.toLong)
+    val matches = readFile(f, latest).exists { text =>
+      text.split('\n').drop(2).lift(idx).map(_.trim).contains(offsetJson)
+    }
+    matches && f.exists(new Path(parent, s"commits/${latest.getName}"))
+  }
+
   def walOffsetJson(spark: SparkSession, metadataPath: String): Option[String] = {
     val src = new Path(metadataPath) // <checkpoint>/sources/<i>
     val idx = src.getName.toIntOption.getOrElse(return None)

@@ -324,4 +324,35 @@ class IcebergMaintenanceSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("partition"), e2.getMessage)
   }
+
+  test("a rename accompanied by a TYPE change fails loudly, never nulls") {
+    val root = tmp()
+    IcebergSource.write(Seq((1L, "a")).toDF("k", "v"), root)
+    IcebergMaintenance.renameColumn(spark, root, "k", "id")
+    // a FOREIGN writer retypes the renamed column (this repo's own ops
+    // refuse retypes): reading old-name files at the promoted type would
+    // throw in the parquet reader — or worse, misread — so the alias
+    // resolver must refuse up front with an actionable message
+    val metaDir = new java.io.File(root, "metadata")
+    val latest = metaDir.listFiles()
+      .filter(_.getName.matches("v\\d+\\.metadata\\.json"))
+      .maxBy(_.getName.stripPrefix("v").stripSuffix(".metadata.json").toInt)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(latest)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val curId = node.get("current-schema-id").asInt()
+    import scala.jdk.CollectionConverters._
+    node.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt() == curId).get
+      .get("fields").elements().asScala
+      .find(_.get("name").asText() == "id").get
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("type", "string")
+    java.nio.file.Files.write(latest.toPath, mapper.writeValueAsBytes(node))
+    new java.io.File(metaDir, s".${latest.getName}.crc").delete()
+    val e = intercept[IllegalArgumentException] {
+      IcebergSource.read(spark, root).collect()
+    }
+    assert(e.getMessage.contains("changed type"), e.getMessage)
+  }
 }

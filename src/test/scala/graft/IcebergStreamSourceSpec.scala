@@ -391,4 +391,67 @@ class IcebergStreamSourceSpec extends SparkSpec {
         "pre-rename file did not resolve by its historical alias")
     } finally q3.stop()
   }
+
+  test("a fully-drained cursor survives its snapshot expiring while down") {
+    val root = tmp(); val out = tmp(); val cp = tmp()
+    IcebergSource.write(Seq((1L, "a")).toDF("k", "v"), root)
+    IcebergSource.write(Seq((2L, "b")).toDF("k", "v"), root)
+    def start() = spark.readStream.format("graft-iceberg").load(root)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp).start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // while the stream is DOWN: two commits land and retention expires
+    // the drained cursor's snapshot — but its SUCCESSOR is retained, so
+    // the parent pointer proves nothing delivered is re-read and nothing
+    // pending is skipped
+    IcebergSource.write(Seq((3L, "c")).toDF("k", "v"), root)
+    IcebergSource.write(Seq((4L, "d")).toDF("k", "v"), root)
+    IcebergMaintenance.expireSnapshots(spark, root, keepLast = 2)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(out).as[(Long, String)].collect()
+    assert(got.length == 4, s"replayed or dropped rows: ${got.toSeq}")
+    assert(got.toSet == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
+  test("a drained cursor whose SUCCESSOR also expired still fails loudly") {
+    val root = tmp(); val out = tmp(); val cp = tmp()
+    IcebergSource.write(Seq((1L, "a")).toDF("k", "v"), root)
+    def start() = spark.readStream.format("graft-iceberg").load(root)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp).start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    IcebergSource.write(Seq((2L, "b")).toDF("k", "v"), root)
+    IcebergSource.write(Seq((3L, "c")).toDF("k", "v"), root)
+    // keepLast=1 drops the cursor's snapshot AND its successor: the gap
+    // commit's rows are unreachable — resuming would silently skip them
+    IcebergMaintenance.expireSnapshots(spark, root, keepLast = 1)
+    val q2 = start()
+    val e = try intercept[StreamingQueryException] { q2.processAllAvailable() }
+    finally q2.stop()
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("expired"), msg)
+  }
+
+  test("CDF: a drained cursor survives its snapshot expiring while down") {
+    val root = tmp(); val out = tmp(); val cp = tmp()
+    IcebergSource.write(Seq((1L, "a")).toDF("k", "v"), root)
+    def start() = spark.readStream.format("graft-iceberg")
+      .option("readChangeFeed", "true").load(root)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp).start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    IcebergSource.write(Seq((2L, "b")).toDF("k", "v"), root)
+    IcebergSource.write(Seq((3L, "c")).toDF("k", "v"), root)
+    IcebergMaintenance.expireSnapshots(spark, root, keepLast = 2)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(out)
+    assert(got.count() == 3, "changelog replayed or dropped items")
+    assert(got.filter(col("_change_type") === "insert")
+      .select("k").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
 }
