@@ -51,6 +51,7 @@ object Tools {
       |           delete <root> <predicate> [--partition K=V ...]   (deletion vectors)
       |  iceberg: history <root> | optimize | expire
       |           cleanup-metadata <root> [--keep-last N] [--dry-run]
+      |           set-properties <root> k=v[,k=v...]   (e.g. write.metadata.previous-versions-max=20)
       |           rename-column <root> <from> <to> | drop-column <root> <name>
       |           delete <root> <predicate> [--partition K=V ...]   (position deletes)
       |  index:   info <root>   (persisted minhash/bloom/lsh/ivf/ivfpq index)
@@ -141,6 +142,21 @@ object Tools {
       withSpark { spark =>
         val v = graft.sources.IcebergMaintenance.dropColumn(spark, root, name)
         println(s"dropped '$name' at $root (metadata v$v)")
+        0
+      }
+    case "set-properties" :: root :: kvs :: Nil =>
+      val props = kvs.split(",").toSeq.filter(_.nonEmpty).map { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => k.trim -> v.trim
+          case _ =>
+            System.err.println(s"set-properties expects k=v, got '$kv'")
+            return 2
+        }
+      }.toMap
+      withSpark { spark =>
+        val v = graft.sources.IcebergMaintenance.setProperties(spark, root, props)
+        println(s"set ${props.keys.toSeq.sorted.mkString(",")} at $root " +
+          s"(metadata v$v)")
         0
       }
     case "cleanup-metadata" :: root :: rest =>

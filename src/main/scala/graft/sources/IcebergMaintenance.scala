@@ -118,6 +118,12 @@ object IcebergMaintenance {
         s"$root: v$version claimed by a concurrent commit while this " +
           "maintenance job ran — re-plan against the new metadata")
     writeHint(f, root, version)
+    // from the PATCHED node, not plan-time meta: a set-properties commit
+    // must itself honor the retention it just configured
+    val props = Option(node.get("properties")).map(p =>
+      p.properties().asScala.map(e =>
+        e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty)
+    IcebergSource.enforceMetadataRetention(f, root, props, version)
     version
   }
 
@@ -402,6 +408,32 @@ object IcebergMaintenance {
         }
       })
     })
+
+  /**
+   * Set (or overwrite) table properties as a METADATA-ONLY commit (spec
+   * §Table Metadata `properties`) — the declarative way to configure
+   * behavior knobs like `write.metadata.previous-versions-max`, which
+   * every subsequent commit then honors
+   * ([[IcebergSource.enforceMetadataRetention]]). Returns the committed
+   * metadata version; existing properties not named stay untouched.
+   */
+  def setProperties(spark: SparkSession, root: String,
+                    props: Map[String, String]): Long = {
+    require(props.nonEmpty, "setProperties needs at least one property")
+    withReplan(s"setProperties($root)")(() => {
+      val meta = tableMeta(spark, root)
+      patchMetadata(spark, root, meta, { node =>
+        val p =
+          if (node.has("properties"))
+            node.get("properties")
+              .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          else node.putObject("properties")
+        props.foreach { case (k, v) => p.put(k, v) }
+        node.put("last-updated-ms", System.currentTimeMillis())
+        ()
+      })
+    })
+  }
 
   /**
    * Metadata-only RENAME of a top-level column (Iceberg spec: schema

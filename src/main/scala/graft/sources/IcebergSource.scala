@@ -365,7 +365,8 @@ object IcebergSource {
                              metadataPath: String = "",
                              defaultSpecId: Int = 0,
                              lastPartitionId: Int = 999,
-                             schemasJson: Seq[JsonNode] = Nil)
+                             schemasJson: Seq[JsonNode] = Nil,
+                             properties: Map[String, String] = Map.empty)
 
   /** Parse the latest (or given) metadata file. */
   def tableMeta(spark: SparkSession, root: String,
@@ -434,7 +435,10 @@ object IcebergSource {
       // derivation walks them ([[historicalAliases]])
       if (node.has("schemas"))
         node.get("schemas").elements().asScala.toSeq
-      else Option(node.get("schema")).toSeq)
+      else Option(node.get("schema")).toSeq,
+      Option(node.get("properties")).map(p =>
+        p.properties().asScala.map(e =>
+          e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty))
   }
 
   /** Snapshot history (id, commit time, operation) — the DESCRIBE
@@ -1508,6 +1512,7 @@ object IcebergSource {
         mapper.writeValueAsBytes(node), commitUuid)
     if (claimOk) {
       writeHint(f, root, meta.version + 1)
+      enforceMetadataRetention(f, root, meta.properties, meta.version + 1)
       Some(snapshotId)
     } else {
       f.delete(manifestPath, false)
@@ -2027,6 +2032,43 @@ object IcebergSource {
     CommitStore.forFs(f).putIfAbsent(f,
       new Path(metaDir(root), s"v$version.metadata.json"), bytes, nonce)
 
+  /**
+   * Honor `write.metadata.previous-versions-max` AT COMMIT TIME: after a
+   * version is durably published, delete `vK.metadata.json` files older
+   * than the newest N previous (≤ N+1 retained including the new
+   * current) — otherwise an unattended writer accumulates metadata
+   * forever (~half a million driver-listed files/year at one commit a
+   * minute). Active when the property is set, or when
+   * `write.metadata.delete-after-commit.enabled=true` (then N defaults
+   * to 100, the Iceberg default). Runs winner-side AFTER the commit and
+   * hint publish, best-effort: a crash mid-trim leaves extra old files,
+   * never a broken table. Streaming bases/cursors pin SNAPSHOT ids
+   * (resolved from current metadata), so trimming cannot strand a
+   * stream; time travel to a trimmed version fails loudly on the
+   * missing file (same contract as the manual `cleanup-metadata` verb).
+   */
+  private[sources] def enforceMetadataRetention(f: FileSystem, root: String,
+      properties: Map[String, String], version: Long): Unit = {
+    val maxPrev = properties.get("write.metadata.previous-versions-max")
+      .map(_.trim.toInt)
+    val enabled = maxPrev.isDefined ||
+      properties.get("write.metadata.delete-after-commit.enabled")
+        .exists(_.trim.equalsIgnoreCase("true"))
+    if (!enabled) return
+    val keep = maxPrev.getOrElse(100)
+    require(keep >= 1,
+      s"write.metadata.previous-versions-max must be >= 1, got $keep")
+    val versioned = "v(\\d+)\\.metadata\\.json".r
+    try f.listStatus(metaDir(root)).foreach { st =>
+      st.getPath.getName match {
+        case versioned(v) if v.toLong <= version - keep - 1 =>
+          try { f.delete(st.getPath, false); () }
+          catch { case _: Exception => () }
+        case _ => ()
+      }
+    } catch { case _: Exception => () } // listing hiccup: trim next commit
+  }
+
   /** Winner-side hint publish: advisory only (readers probe forward), so
     * a stale late write is harmless. The don't-move-backwards guard below
     * is BEST-EFFORT only — the read-check-write is not atomic, so two
@@ -2496,8 +2538,15 @@ object IcebergSource {
       val lastPartId = math.max(
         cur.map(_.lastPartitionId).getOrElse(999),
         (999 +: partFieldIds.toSeq).max)
+      // table properties round-trip verbatim (retention/behavior knobs
+      // like write.metadata.previous-versions-max live here)
+      val propsJson = cur.map(_.properties).getOrElse(Map.empty)
+        .toSeq.sortBy(_._1).map { case (k, v) =>
+          s"${mapper.writeValueAsString(k)}:${mapper.writeValueAsString(v)}"
+        }.mkString("{", ",", "}")
       val metadataJson =
         s"""{"format-version":2,"table-uuid":"$uuid","location":"$root",
+           |"properties":$propsJson,
            |"last-sequence-number":$seq,"last-updated-ms":$now,
            |"last-column-id":$lastColumnId,
            |"schemas":[${schemasArr.mkString(",")}],"current-schema-id":$curSchemaId,
@@ -2509,6 +2558,8 @@ object IcebergSource {
           .stripMargin.replaceAll("\n", "")
       if (tryPublishMeta(f, root, version, metadataJson.getBytes("UTF-8"), attemptUuid)) {
         writeHint(f, root, version)
+        enforceMetadataRetention(f, root,
+          cur.map(_.properties).getOrElse(Map.empty), version)
         return rows
       }
       // lost the race: drop this attempt's orphaned manifest files, rebase

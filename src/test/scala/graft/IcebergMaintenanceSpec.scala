@@ -325,6 +325,40 @@ class IcebergMaintenanceSpec extends SparkSpec {
     assert(e2.getMessage.contains("partition"), e2.getMessage)
   }
 
+  test("write.metadata.previous-versions-max trims metadata at every commit") {
+    val root = tmp()
+    def metaFiles() = new java.io.File(root, "metadata").listFiles()
+      .filter(_.getName.matches("v\\d+\\.metadata\\.json")).map(_.getName).sorted
+    IcebergSource.write(Seq((1L, "a")).toDF("k", "v"), root)
+    IcebergMaintenance.setProperties(spark, root,
+      Map("write.metadata.previous-versions-max" -> "3"))
+    // 2N+ commits after configuring N=3: the unattended-writer scenario
+    (2L to 9L).foreach(i =>
+      IcebergSource.write(Seq((i, s"v$i")).toDF("k", "v"), root,
+        mode = "append"))
+    assert(metaFiles().length <= 4, metaFiles().mkString(",")) // N+1
+    // the property itself survives commit round-trips
+    assert(IcebergSource.tableMeta(spark, root).properties
+      .get("write.metadata.previous-versions-max").contains("3"))
+    // reads serve everything; history (snapshots) is untouched by the
+    // METADATA-file trim
+    assert(IcebergSource.read(spark, root).count() == 9)
+    assert(IcebergSource.tableMeta(spark, root).snapshots.size == 9)
+    // maintenance commits funnel through the same enforcement
+    IcebergMaintenance.renameColumn(spark, root, "v", "label")
+    assert(metaFiles().length <= 4, metaFiles().mkString(","))
+    assert(IcebergSource.read(spark, root).columns.toSeq == Seq("k", "label"))
+    // a pinned stream over the table still drains: bases/cursors key on
+    // SNAPSHOT ids, which resolve from current metadata
+    val q = spark.readStream.format("graft-iceberg").load(root)
+      .writeStream.format("memory").queryName("ipvm")
+      .option("checkpointLocation", tmp()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("ipvm").count() == 9)
+    } finally q.stop()
+  }
+
   test("a rename accompanied by a TYPE change fails loudly, never nulls") {
     val root = tmp()
     IcebergSource.write(Seq((1L, "a")).toDF("k", "v"), root)
