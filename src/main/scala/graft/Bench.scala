@@ -87,7 +87,7 @@ object Bench {
     // r15 additions: mid-stream schema evolution, V2 sidecar checkpoints
     "q_delta_stream_evolve", "q_delta_v2_checkpoint",
     // r16 additions: metadata-only column rename with alias-resolved reads
-    "q_iceberg_rename")
+    "q_iceberg_rename", "q_iceberg_nested_rename", "q_delta_nested_rename")
 
   /** 1-minute load average — recorded in the JSON so a reader can tell a
     * contended board from an idle one (r15's committed board overstated

@@ -1253,6 +1253,66 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("balance"), 2).as("total_balance"),
           min("c_custkey").as("min_key"), max("c_custkey").as("max_key"))
     }),
+    "q_iceberg_nested_rename" -> ((s, d) => {
+      // NESTED (struct-member) metadata-only RENAME: half the rows land
+      // with the member under its ORIGINAL name, `info.fin.acct` renames
+      // to `balance` (same field id, zero files rewritten), the other
+      // half appends under the NEW member name — one read serves a
+      // coherent schema across both generations via member-level alias
+      // coalescing. The oracle recomputes from the original parquet, so
+      // a hash match certifies the nested alias resolution end-to-end.
+      val c = t(s, d, "customer").select(col("c_custkey"),
+        struct(col("c_name").as("name"),
+          struct(col("c_acctbal").as("acct"),
+            col("c_nationkey").as("nat")).as("fin")).as("info"))
+      val root = java.nio.file.Files.createTempDirectory("graft_ice_nren")
+        .toString + "/customer"
+      graft.sources.IcebergSource.write(
+        c.filter("c_custkey % 2 = 0").repartition(2), root)
+      graft.sources.IcebergMaintenance.renameColumn(s, root,
+        "info.fin.acct", "balance")
+      graft.sources.IcebergSource.write(
+        c.filter("c_custkey % 2 = 1").withColumn("info",
+          col("info").withField("fin",
+            struct(col("info.fin.acct").as("balance"), col("info.fin.nat")))),
+        root, mode = "append")
+      val df = graft.sources.IcebergSource.read(s, root)
+      df.withColumn("gen", col("c_custkey") % 2)
+        .groupBy("gen")
+        .agg(count(lit(1)).as("n"),
+          round(sum("info.fin.balance"), 2).as("total_balance"),
+          sum("info.fin.nat").as("total_nat"),
+          min("c_custkey").as("min_key"), max("c_custkey").as("max_key"))
+    }),
+    "q_delta_nested_rename" -> ((s, d) => {
+      // the Delta counterpart: a column-mapped table renames a struct
+      // member by dot path — the member keeps its mapping id and nested
+      // PHYSICAL name, so files of both generations resolve it without
+      // any aliasing. Oracle recomputes from the original parquet.
+      val c = t(s, d, "customer").select(col("c_custkey"),
+        struct(col("c_name").as("name"),
+          struct(col("c_acctbal").as("acct"),
+            col("c_nationkey").as("nat")).as("fin")).as("info"))
+      val root = java.nio.file.Files.createTempDirectory("graft_dl_nren")
+        .toString + "/customer"
+      graft.sources.DeltaWriter.write(
+        c.filter("c_custkey % 2 = 0").repartition(2), root,
+        columnMapping = true)
+      graft.sources.DeltaWriter.renameColumn(s, root, "info.fin.acct",
+        "balance")
+      graft.sources.DeltaWriter.write(
+        c.filter("c_custkey % 2 = 1").withColumn("info",
+          col("info").withField("fin",
+            struct(col("info.fin.acct").as("balance"), col("info.fin.nat")))),
+        root, mode = "append")
+      val df = graft.sources.DeltaLog.read(s, root)
+      df.withColumn("gen", col("c_custkey") % 2)
+        .groupBy("gen")
+        .agg(count(lit(1)).as("n"),
+          round(sum("info.fin.balance"), 2).as("total_balance"),
+          sum("info.fin.nat").as("total_nat"),
+          min("c_custkey").as("min_key"), max("c_custkey").as("max_key"))
+    }),
     "q_delta_restore" -> ((s, d) => {
       // RESTORE as a pure metadata commit: rewind past a DV delete AND a
       // schema-evolving merge — the read-back must hash-match the
@@ -2567,6 +2627,14 @@ object SparkEntry {
     // exactly what makes the two file generations agree
     "q_iceberg_rename" ->
       "SELECT c_custkey % 2 AS gen, count(*) AS n, round(sum(c_acctbal), 2) AS total_balance, min(c_custkey) AS min_key, max(c_custkey) AS max_key FROM customer GROUP BY 1",
+    // nested renames are metadata-only too: the renamed-member aggregate
+    // equals the same aggregate over the ORIGINAL flat columns — the
+    // member-level alias (iceberg) / nested physical name (delta) is
+    // exactly what makes the two file generations agree
+    "q_iceberg_nested_rename" ->
+      "SELECT c_custkey % 2 AS gen, count(*) AS n, round(sum(c_acctbal), 2) AS total_balance, CAST(sum(c_nationkey) AS BIGINT) AS total_nat, min(c_custkey) AS min_key, max(c_custkey) AS max_key FROM customer GROUP BY 1",
+    "q_delta_nested_rename" ->
+      "SELECT c_custkey % 2 AS gen, count(*) AS n, round(sum(c_acctbal), 2) AS total_balance, CAST(sum(c_nationkey) AS BIGINT) AS total_nat, min(c_custkey) AS min_key, max(c_custkey) AS max_key FROM customer GROUP BY 1",
     "q_iceberg_rollback" ->
       "SELECT * FROM customer WHERE c_custkey % 2 = 0",
     "q_delta_optimize" ->

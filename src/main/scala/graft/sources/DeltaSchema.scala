@@ -147,11 +147,15 @@ object DeltaSchema {
     def ids(dt: DataType): DataType = dt match {
       case s: StructType => StructType(s.fields.map { fd =>
         nextId += 1
+        // capture the field's OWN id before recursing — the recursive
+        // call advances nextId past the subtree, and reading it late
+        // would collide the field with its last descendant
+        val myId = nextId
         StructField(fd.name, ids(fd.dataType), nullable = true,
           new MetadataBuilder()
             .putString("delta.columnMapping.physicalName",
               s"col-${java.util.UUID.randomUUID()}")
-            .putLong("delta.columnMapping.id", nextId).build())
+            .putLong("delta.columnMapping.id", myId).build())
       })
       case a: ArrayType => a.copy(elementType = ids(a.elementType))
       case m: MapType =>
@@ -163,7 +167,8 @@ object DeltaSchema {
       .putString("delta.columnMapping.physicalName",
         s"col-${java.util.UUID.randomUUID()}")
       .putLong("delta.columnMapping.id", nextId).build()
-    (StructField(f.name, ids(f.dataType), f.nullable, meta), nextId)
+    val rebuilt = StructField(f.name, ids(f.dataType), f.nullable, meta)
+    (rebuilt, nextId)
   }
 
   /**
@@ -189,6 +194,22 @@ object DeltaSchema {
     }
     (StructType(fields),
       snap.configuration + ("delta.columnMapping.maxColumnId" -> nextId.toString))
+  }
+
+  /** Schema + configuration for CREATING a column-mapped (`name` mode)
+    * table from scratch: every (nested) field takes a fresh mapping id
+    * and UUID physical name — the precondition for metadata-only
+    * renameColumn/dropColumn later. */
+  def createMapped(df: StructType): (StructType, Map[String, String]) = {
+    var nextId = 0L
+    val fields = df.fields.map { f =>
+      val (withMeta, last) = withMappingIds(f, nextId)
+      nextId = last
+      withMeta
+    }
+    (StructType(fields), Map(
+      "delta.columnMapping.mode" -> "name",
+      "delta.columnMapping.maxColumnId" -> nextId.toString))
   }
 
   private def maxMappingId(dt: DataType): Long = dt match {

@@ -207,11 +207,13 @@ class DeltaStreamSource(spark: SparkSession, root: String,
     else None
 
   /** Every field of `a` resolvable in `b` by mapping id, with the same
-    * physical name and type (logical names free to differ — the
-    * column-mapped RENAME shape). */
+    * physical name and PHYSICAL type (logical names free to differ —
+    * the column-mapped RENAME shape, top-level or a nested struct
+    * member: toPhysical keys nested members by their physical names, so
+    * a member rename still counts as a rename, not a retype). */
   private def idSubset(a: StructType, b: StructType): Boolean =
     SchemaTracking.idSubset(a, b, "delta.columnMapping.id",
-      f => (DeltaLog.physicalName(f), DeltaLog.stripMeta(f.dataType)))
+      f => (DeltaLog.physicalName(f), DeltaLog.toPhysical(f.dataType)))
 
   /** The version the served schema took effect at — metaData actions at
     * or before it with a NARROWER schema are history (their files

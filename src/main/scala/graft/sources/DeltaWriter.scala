@@ -85,9 +85,24 @@ object DeltaWriter {
     sb.toString
   }
 
+  /** Name+type equality, nullability- and metadata-insensitive at EVERY
+    * level — top-level nullability never participated (only name and
+    * dataType compare), so nested nullability must not either: a frame
+    * whose struct members are non-null would otherwise fail enforce
+    * against the same-shaped table. */
+  private def normType(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      StructField(f.name, normType(f.dataType), nullable = true)))
+    case a: ArrayType =>
+      ArrayType(normType(a.elementType), containsNull = true)
+    case m: MapType =>
+      MapType(normType(m.keyType), normType(m.valueType),
+        valueContainsNull = true)
+    case other => other
+  }
   private def sameSchema(a: StructType, b: StructType): Boolean =
-    a.fields.map(f => (f.name, f.dataType)).sameElements(
-      b.fields.map(f => (f.name, f.dataType)))
+    a.fields.map(f => (f.name, normType(f.dataType))).sameElements(
+      b.fields.map(f => (f.name, normType(f.dataType))))
 
   /**
    * Write `df` to the Delta table at `root`. Modes: `append`,
@@ -103,7 +118,8 @@ object DeltaWriter {
             txn: Option[(String, Long)] = None,
             replaceWhere: Map[String, String] = Map.empty,
             schemaPolicy: DeltaSchema.Policy = DeltaSchema.Enforce,
-            clusterWrite: Boolean = false): Commit = {
+            clusterWrite: Boolean = false,
+            columnMapping: Boolean = false): Commit = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     val exists = DeltaLog.isDeltaTable(spark, root)
@@ -188,15 +204,23 @@ object DeltaWriter {
           evolution.map(_.configuration).getOrElse(p.configuration))
       case Some(p) if mappedMode => DeltaSchema.overwriteMapped(df.schema, p)
       case Some(p) => (df.schema, p.configuration)
+      // CREATE with column mapping: every (nested) field gets a mapping
+      // id + physical name — the precondition for metadata-only
+      // renameColumn/dropColumn later
+      case None if columnMapping => DeltaSchema.createMapped(df.schema)
       case None => (df.schema, Map.empty[String, String])
     }
     val physOf: Map[String, String] =
       effSchema.fields.map(f => f.name -> DeltaLog.physicalName(f)).toMap
 
     // ---- stage data files with the ordinary distributed parquet writer
+    // staging keys on the EFFECTIVE configuration, not the prior one —
+    // a columnMapping=true CREATE must stage under physical names too
+    val effMapped = mappedMode ||
+      effConf.getOrElse("delta.columnMapping.mode", "none") != "none"
     val nonce = java.lang.Long.toHexString(System.nanoTime())
     val stageFrame =
-      if (!mappedMode) data
+      if (!effMapped) data
       else data.select(effSchema.fields.map(fd =>
         col(fd.name).cast(DeltaLog.toPhysical(fd.dataType))
           .as(DeltaLog.physicalName(fd))).toSeq: _*)
@@ -261,7 +285,10 @@ object DeltaWriter {
       else ""
       lines += s"""{"commitInfo":{"timestamp":$now,"operation":"WRITE","operationParameters":{"mode":${q(mode.toUpperCase)},"partitionBy":${q(partCols.mkString(","))}$rwParam},"engineInfo":"graft-native-delta"}}"""
       if (current.isEmpty)
-        lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+        // column mapping needs reader 2 / writer 5 (delta.io PROTOCOL.md)
+        lines += (if (effConf.getOrElse("delta.columnMapping.mode", "none") != "none")
+          """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+        else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
       if (needMeta)
         // evolving/overwriting commits keep the table's configuration;
         // mapped tables' effSchema carries the mapping metadata
@@ -294,14 +321,45 @@ object DeltaWriter {
     throw new IllegalStateException("unreachable")
   }
 
+  /** The struct type holding the member at dot `path`'s tail — i.e.
+    * navigate `path.init` through struct chains. None when a segment is
+    * missing or not a struct. */
+  private def parentStructAt(schema: StructType,
+                             path: Seq[String]): Option[StructType] =
+    path.init.foldLeft(Option(schema)) { (cur, seg) =>
+      cur.flatMap(_.fields.find(_.name == seg)).map(_.dataType).collect {
+        case s: StructType => s
+      }
+    }
+
+  /** Rebuild `schema` with the member at dot `path` transformed by
+    * `edit` (None = drop); all other fields — and the edited field's
+    * column-mapping metadata — untouched. */
+  private def editNested(schema: StructType, path: Seq[String],
+                         edit: StructField => Option[StructField]): StructType =
+    StructType(schema.fields.flatMap { fd =>
+      if (fd.name != path.head) Some(fd)
+      else if (path.size == 1) edit(fd)
+      else fd.dataType match {
+        case s: StructType =>
+          Some(fd.copy(dataType = editNested(s, path.tail, edit)))
+        case other => throw new IllegalArgumentException(
+          s"'${path.head}' is ${other.simpleString}, not a struct — " +
+            "nested paths navigate struct members only")
+      }
+    })
+
   /**
    * Metadata-only RENAME of a logical column on a COLUMN-MAPPED table —
    * delta-spark's `ALTER TABLE ... RENAME COLUMN` (delta.io PROTOCOL.md,
    * Column Mapping): the field keeps its mapping id and physical name,
    * so no data file is touched and readers of every version resolve the
-   * same physical parquet column under the new logical name. Refuses on
-   * unmapped tables, where the logical name IS the physical column and a
-   * rename would orphan every existing file.
+   * same physical parquet column under the new logical name. NESTED
+   * struct members rename by dot path (`from = "a.b.c"`, `to` the new
+   * leaf name) — physical resolution is already recursive, so old files
+   * serve the member under its unchanged nested physical name. Refuses
+   * on unmapped tables, where the logical name IS the physical column
+   * and a rename would orphan every existing file.
    */
   def renameColumn(spark: SparkSession, root: String, from: String,
                    to: String): Commit = {
@@ -314,12 +372,20 @@ object DeltaWriter {
         s"renameColumn requires a column-mapped table (set " +
           s"delta.columnMapping.mode); $root is unmapped — its logical " +
           "names are the physical parquet columns")
-      require(snap.schema.fieldNames.contains(from),
-        s"no column '$from' in ${snap.schema.fieldNames.mkString(", ")}")
-      require(!snap.schema.fieldNames.contains(to),
-        s"column '$to' already exists")
-      val newSchema = StructType(snap.schema.fields.map(fd =>
-        if (fd.name == from) fd.copy(name = to) else fd))
+      require(!to.contains("."),
+        s"'$to' must be a leaf name — a rename cannot move a field " +
+          "between structs")
+      val path = from.split("\\.").toSeq
+      val parent = parentStructAt(snap.schema, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column '$from' in ${snap.schema.simpleString} " +
+            "(nested paths navigate struct members only)"))
+      require(parent.fieldNames.contains(path.last),
+        s"no column '$from' in ${snap.schema.simpleString}")
+      require(!parent.fieldNames.contains(to),
+        s"column '${(path.init :+ to).mkString(".")}' already exists")
+      val newSchema = editNested(snap.schema, path,
+        fd => Some(fd.copy(name = to)))
       val newParts = snap.partitionColumns.map(c => if (c == from) to else c)
       val now = System.currentTimeMillis()
       val lines = Seq(
@@ -355,13 +421,21 @@ object DeltaWriter {
         s"dropColumn requires a column-mapped table (set " +
           s"delta.columnMapping.mode); $root is unmapped — dropping would " +
           "require rewriting every data file")
-      require(snap.schema.fieldNames.contains(name),
-        s"no column '$name' in ${snap.schema.fieldNames.mkString(", ")}")
+      val path = name.split("\\.").toSeq
+      val parent = parentStructAt(snap.schema, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column '$name' in ${snap.schema.simpleString} " +
+            "(nested paths navigate struct members only)"))
+      require(parent.fieldNames.contains(path.last),
+        s"no column '$name' in ${snap.schema.simpleString}")
       require(!snap.partitionColumns.contains(name),
         s"'$name' is a partition column — repartition the table instead")
-      require(snap.schema.fields.length > 1,
+      require(path.size > 1 || snap.schema.fields.length > 1,
         s"cannot drop the last column '$name'")
-      val newSchema = StructType(snap.schema.fields.filterNot(_.name == name))
+      require(path.size == 1 || parent.fields.length > 1,
+        s"cannot drop '$name' — it is the last member of its struct " +
+          "(parquet forbids empty groups); drop the struct itself")
+      val newSchema = editNested(snap.schema, path, _ => None)
       val now = System.currentTimeMillis()
       val lines = Seq(
         s"""{"commitInfo":{"timestamp":$now,"operation":"DROP COLUMNS","operationParameters":{"columns":${q(name)}},"engineInfo":"graft-native-delta"}}""",

@@ -1,5 +1,6 @@
 package graft.sources
 
+import com.fasterxml.jackson.databind.JsonNode
 import org.apache.avro.generic.{GenericData, GenericRecord}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
@@ -435,32 +436,91 @@ object IcebergMaintenance {
     })
   }
 
+  /** Navigate a schema struct node along `path` (CURRENT names, struct
+    * chains only — not through list/map). Returns the FIELD nodes, one
+    * per segment, or None when any segment is missing / non-struct. */
+  private def fieldChain(schemaNode: JsonNode,
+                         path: Seq[String]): Option[Seq[JsonNode]] = {
+    def step(structNode: JsonNode, rest: Seq[String],
+             acc: Seq[JsonNode]): Option[Seq[JsonNode]] = rest match {
+      case Seq() => Some(acc)
+      case head +: tail =>
+        Option(structNode.get("fields")).toSeq
+          .flatMap(_.elements().asScala)
+          .find(_.get("name").asText() == head) match {
+          case Some(f) =>
+            val t = f.get("type")
+            if (tail.isEmpty) Some(acc :+ f)
+            else if (t.isObject && t.get("type").asText() == "struct")
+              step(t, tail, acc :+ f)
+            else None
+          case None => None
+        }
+    }
+    step(schemaNode, path, Nil)
+  }
+
   /**
-   * Metadata-only RENAME of a top-level column (Iceberg spec: schema
-   * evolution — a new schema entry with the SAME field ids under the new
-   * name, `current-schema-id` bumped; no data file is touched, partition
-   * specs reference source-ids and are unaffected). Readers resolve
-   * renamed columns in old files through [[IcebergSource
-   * .historicalAliases]] (the retained schemas carry every former name).
-   * Refuses when the new name is a former name of a DIFFERENT field —
-   * old files would become ambiguous without footer field ids.
+   * Metadata-only RENAME of a column — TOP-LEVEL (`from = "a"`) or a
+   * NESTED struct member addressed by dot path (`from = "a.b.c"`; `to`
+   * is the new LEAF name). Iceberg spec schema evolution: a new schema
+   * entry with the SAME field ids under the new name,
+   * `current-schema-id` bumped; no data file is touched, partition specs
+   * reference source-ids and are unaffected. Readers resolve renamed
+   * columns in old files through [[IcebergSource.historicalAliases]]
+   * (top-level) / [[IcebergSource.nestedAliases]] (struct members) —
+   * the retained schemas carry every former name. Refuses when the new
+   * name is a former name of a DIFFERENT field under the same parent
+   * (old files would become ambiguous without footer field ids), and a
+   * NESTED rename additionally refuses when any ancestor struct was
+   * itself renamed across the retained schemas (the read path cannot
+   * resolve both generations by name; compact first).
    */
   def renameColumn(spark: SparkSession, root: String, from: String,
                    to: String): Long =
     withReplan(s"renameColumn($root)")(() => {
       val meta = tableMeta(spark, root)
-      require(meta.schema.fieldNames.contains(from),
-        s"no column '$from' in ${meta.schema.fieldNames.mkString(", ")}")
-      require(!meta.schema.fieldNames.contains(to),
-        s"column '$to' already exists")
-      val fromId = meta.schemaJson.get("fields").elements().asScala
-        .find(_.get("name").asText() == from).get.get("id").asInt()
-      val foreignClaim = meta.schemasJson.exists(s =>
-        Option(s.get("fields")).toSeq.flatMap(_.elements().asScala).exists(f =>
-          f.get("name").asText() == to && f.get("id").asInt() != fromId))
+      require(!to.contains("."),
+        s"'$to' must be a leaf name — a rename cannot move a field " +
+          "between structs")
+      val path = from.split("\\.").toSeq
+      val chain = fieldChain(meta.schemaJson, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column '$from' in ${meta.schema.simpleString} " +
+            "(nested paths navigate struct members only)"))
+      val idPath = chain.map(_.get("id").asInt())
+      val fromId = idPath.last
+      // sibling collision in the CURRENT schema
+      val siblings =
+        if (path.size == 1) meta.schemaJson
+        else chain(chain.size - 2).get("type")
+      require(!Option(siblings.get("fields")).toSeq
+          .flatMap(_.elements().asScala)
+          .exists(_.get("name").asText() == to),
+        s"column '${(path.init :+ to).mkString(".")}' already exists")
+      // foreign former-name claim + ancestor stability, over ALL retained
+      // schemas (walk by ID paths — ids never change across schemas)
+      val histAll = meta.schemasJson.flatMap(s =>
+        IcebergSource.walkStructFields(s).map { case (ip, np, t) =>
+          (ip, np, t.toString) })
+      val foreignClaim = histAll.exists { case (ip, np, _) =>
+        ip.init == idPath.init && np.last == to && ip.last != fromId }
       require(!foreignClaim,
         s"'$to' was previously the name of a different field — renaming " +
           "onto it would make footer-id-less historical files ambiguous")
+      if (path.size > 1) {
+        val curNames = path
+        idPath.indices.dropRight(1).foreach { i =>
+          val prefix = idPath.take(i + 1)
+          histAll.filter(_._1 == prefix).foreach { case (_, np, _) =>
+            require(np == curNames.take(i + 1),
+              s"ancestor '${np.mkString(".")}' of '$from' was itself " +
+                "renamed across retained schemas — renaming a member too " +
+                "would leave file generations name-based reads cannot " +
+                "resolve; compact the old generation first")
+          }
+        }
+      }
       patchMetadata(spark, root, meta, { node =>
         require(node.has("schemas"),
           "renameColumn requires a metadata layout with a schemas array " +
@@ -474,11 +534,10 @@ object IcebergMaintenance {
         val renamed = cur.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
         val maxId = schemas.elements().asScala.map(_.get("schema-id").asInt()).max
         renamed.put("schema-id", maxId + 1)
-        renamed.withArray("fields").elements().asScala.foreach { f =>
-          if (f.get("name").asText() == from)
-            f.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-              .put("name", to)
-        }
+        val target = fieldChain(renamed, path).getOrElse(
+          throw new IllegalStateException(s"path $from vanished mid-patch"))
+          .last.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        target.put("name", to)
         schemas.add(renamed)
         node.put("current-schema-id", maxId + 1)
         node.put("last-updated-ms", System.currentTimeMillis())
@@ -487,27 +546,57 @@ object IcebergMaintenance {
     })
 
   /**
-   * Metadata-only DROP of a top-level column (Iceberg schema evolution:
-   * a new schema entry WITHOUT the field, `current-schema-id` bumped; no
-   * file rewritten — readers simply stop requesting the column, and
-   * time travel via retained snapshots' schema history is unaffected).
-   * Refuses when a partition-spec field sources the column (the spec
-   * would dangle) and on the last remaining column. The dropped field's
-   * ids stay burned: [[IcebergSource.write]]'s evolution guard keeps its
-   * former names from being reclaimed by a different field.
+   * Metadata-only DROP of a column — TOP-LEVEL (`name = "a"`) or a
+   * NESTED struct member addressed by dot path (`name = "a.b.c"`).
+   * Iceberg schema evolution: a new schema entry WITHOUT the field,
+   * `current-schema-id` bumped; no file rewritten — readers simply stop
+   * requesting the column (nested drops stop requesting the member
+   * inside its parent struct), and time travel via retained snapshots'
+   * schema history is unaffected. Refuses when a partition-spec field
+   * sources the column or ANY id in its subtree (the spec would dangle),
+   * on the last remaining top-level column, and on the last member of a
+   * struct (parquet forbids empty groups). The dropped field's ids stay
+   * burned: [[IcebergSource.write]]'s evolution guard keeps its former
+   * names from being reclaimed by a different field.
    */
   def dropColumn(spark: SparkSession, root: String, name: String): Long =
     withReplan(s"dropColumn($root)")(() => {
       val meta = tableMeta(spark, root)
-      require(meta.schema.fieldNames.contains(name),
-        s"no column '$name' in ${meta.schema.fieldNames.mkString(", ")}")
-      require(meta.schema.fields.length > 1,
-        s"cannot drop the last column '$name'")
-      val fieldId = meta.schemaJson.get("fields").elements().asScala
-        .find(_.get("name").asText() == name).get.get("id").asInt()
-      require(!meta.partitionSpec.exists(_.sourceId == fieldId),
+      val path = name.split("\\.").toSeq
+      val chain = fieldChain(meta.schemaJson, path).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column '$name' in ${meta.schema.simpleString} " +
+            "(nested paths navigate struct members only)"))
+      val parentFields =
+        (if (path.size == 1) meta.schemaJson
+         else chain(chain.size - 2).get("type"))
+          .get("fields").elements().asScala.size
+      require(parentFields > 1,
+        if (path.size == 1) s"cannot drop the last column '$name'"
+        else s"cannot drop '$name' — it is the last member of its " +
+          "struct (parquet forbids empty groups); drop the struct itself")
+      // partition specs reference source-ids anywhere in the tree: a
+      // dropped STRUCT takes its whole subtree's ids with it
+      val droppedIds: Set[Int] = {
+        def typeIds(t: JsonNode): Seq[Int] =
+          if (!t.isObject) Nil
+          else t.get("type").asText() match {
+            case "struct" => Option(t.get("fields")).toSeq
+              .flatMap(_.elements().asScala)
+              .flatMap(f => f.get("id").asInt() +: typeIds(f.get("type")))
+            case "list" => t.get("element-id").asInt() +:
+              typeIds(t.get("element"))
+            case "map" => Seq(t.get("key-id").asInt(),
+              t.get("value-id").asInt()) ++
+              typeIds(t.get("key")) ++ typeIds(t.get("value"))
+            case _ => Nil
+          }
+        (chain.last.get("id").asInt() +: typeIds(chain.last.get("type"))).toSet
+      }
+      val dangling = meta.partitionSpec.filter(p => droppedIds.contains(p.sourceId))
+      require(dangling.isEmpty,
         s"'$name' sources partition field(s) " +
-          s"${meta.partitionSpec.filter(_.sourceId == fieldId).map(_.name).mkString(", ")}" +
+          s"${dangling.map(_.name).mkString(", ")}" +
           " — drop would dangle the partition spec")
       patchMetadata(spark, root, meta, { node =>
         require(node.has("schemas"),
@@ -521,9 +610,15 @@ object IcebergMaintenance {
         val next = cur.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
         val maxId = schemas.elements().asScala.map(_.get("schema-id").asInt()).max
         next.put("schema-id", maxId + 1)
-        val fields = next.withArray("fields")
+        val holder =
+          if (path.size == 1) next
+          else fieldChain(next, path.init).getOrElse(
+            throw new IllegalStateException(s"path $name vanished mid-patch"))
+            .last.get("type")
+        val fields = holder.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .withArray("fields")
         val kept = fields.elements().asScala
-          .filterNot(_.get("name").asText() == name).toSeq
+          .filterNot(_.get("name").asText() == path.last).toSeq
         fields.removeAll()
         kept.foreach(fields.add)
         schemas.add(next)

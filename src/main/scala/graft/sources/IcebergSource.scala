@@ -306,13 +306,29 @@ object IcebergSource {
                                  paths: Seq[String]): DataFrame = {
     val aliases = historicalAliases(meta)
       .filter { case (cur, _) => readSchema.fieldNames.contains(cur) }
-    if (aliases.isEmpty)
+    // nested (struct-member) renames, grouped by top-level column;
+    // disjoint from `aliases` — nestedAliases refuses a rename whose
+    // ancestor was also renamed, so a column has one kind or neither
+    val nested: Map[String, Seq[(Seq[String], Seq[String])]] = nestedAliases(meta)
+      .toSeq.collect { case (path, olds)
+        if readSchema.fieldNames.contains(path.head) =>
+          (path.head, (path.tail, olds))
+      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    if (aliases.isEmpty && nested.isEmpty)
       return spark.read.schema(readSchema).parquet(paths: _*)
     val byName = readSchema.fields.map(f => f.name -> f).toMap
     val extra = aliases.toSeq.flatMap { case (cur, olds) =>
       olds.map(o => StructField(o, byName(cur).dataType, nullable = true))
     }
-    spark.read.schema(StructType(readSchema.fields ++ extra))
+    val requested = StructType(readSchema.fields.map { f =>
+      nested.get(f.name) match {
+        case Some(entries) => f.copy(dataType = entries.foldLeft(f.dataType) {
+          case (dt, (rel, olds)) => addNestedAliasFields(dt, rel, olds)
+        })
+        case None => f
+      }
+    } ++ extra)
+    spark.read.schema(requested)
       .parquet(paths: _*)
       .select(readSchema.fields.toSeq.map { f =>
         aliases.get(f.name) match {
@@ -320,10 +336,138 @@ object IcebergSource {
             org.apache.spark.sql.functions.coalesce(
               (f.name +: olds).map(org.apache.spark.sql.functions.col): _*)
               .as(f.name)
-          case None => org.apache.spark.sql.functions.col(f.name)
+          case None => nested.get(f.name) match {
+            case Some(entries) => entries.foldLeft(
+                org.apache.spark.sql.functions.col(f.name)) {
+                case (c, (rel, olds)) => coalesceNestedAlias(c, rel, olds)
+              }.as(f.name)
+            case None => org.apache.spark.sql.functions.col(f.name)
+          }
         }
       }: _*)
   }
+
+  /**
+   * Enumerate every field reachable through STRUCT chains in a schema
+   * JSON struct node: (id path, name path, type node). Fields under
+   * list/map types are not walked — nested evolution addresses struct
+   * members only (the Iceberg spec gives list elements and map entries
+   * ids too, but renaming those is not supported here).
+   */
+  private[sources] def walkStructFields(structNode: JsonNode)
+      : Seq[(Seq[Int], Seq[String], JsonNode)] = {
+    def walk(node: JsonNode, idPath: Seq[Int], namePath: Seq[String])
+        : Seq[(Seq[Int], Seq[String], JsonNode)] =
+      Option(node.get("fields")).toSeq.flatMap(_.elements().asScala).flatMap { f =>
+        val ip = idPath :+ f.get("id").asInt()
+        val np = namePath :+ f.get("name").asText()
+        val t = f.get("type")
+        val self = (ip, np, t)
+        if (t.isObject && t.get("type").asText() == "struct")
+          self +: walk(t, ip, np)
+        else Seq(self)
+      }
+    walk(structNode, Nil, Nil)
+  }
+
+  /**
+   * Historical leaf names per CURRENT NESTED field path (length ≥ 2),
+   * the struct-member counterpart of [[historicalAliases]]: a field
+   * renamed inside its parent struct surfaces under the OLD leaf name in
+   * files written before the rename, so the scan requests that leaf too
+   * and coalesces INSIDE the struct. Guards (loud, because a silent skip
+   * here nulls data): the renamed field's type must be unchanged across
+   * the retained schemas, and every ANCESTOR struct must have kept its
+   * name — a rename of both a struct and a member spans generations this
+   * name-based reader cannot tell apart (the spec resolves that only
+   * through footer field ids; compact the old generation first).
+   * Ambiguous old names (ever claimed by a different field id under the
+   * same parent, or equal to a current sibling) are excluded — those
+   * files' member reads null, mirroring the top-level rule.
+   */
+  private[sources] def nestedAliases(meta: TableMeta)
+      : Map[Seq[String], Seq[String]] = {
+    if (meta.schemasJson.size <= 1) return Map.empty
+    val current = walkStructFields(meta.schemaJson)
+    val currentByIdPath: Map[Seq[Int], (Seq[String], JsonNode)] =
+      current.map { case (ip, np, t) => ip -> (np, t) }.toMap
+    val hist: Seq[(Seq[Int], Seq[String], String)] = meta.schemasJson
+      .flatMap(s => walkStructFields(s).map { case (ip, np, t) =>
+        (ip, np, t.toString)
+      }).distinct
+    // names ever borne per (parent id path, leaf name) — the ambiguity rule
+    val claimants: Map[(Seq[Int], String), Int] = hist
+      .map { case (ip, np, _) => (ip.init, np.last) -> ip.last }
+      .distinct.groupBy(_._1).view.mapValues(_.size).toMap
+    val renamedNested = hist.filter { case (ip, np, _) =>
+      ip.size >= 2 && currentByIdPath.get(ip).exists(_._1.last != np.last)
+    }
+    renamedNested.foreach { case (ip, np, t) =>
+      val (curNp, curT) = currentByIdPath(ip)
+      require(curT.toString == t,
+        s"nested field '${curNp.mkString(".")}' (id path ${ip.mkString(".")})" +
+          s" was renamed from '${np.last}' AND its type changed across " +
+          "retained schemas — reading old-name files at the current type " +
+          "is unsupported; compact the old file generation first")
+      // ancestor stability: every retained schema that contains an
+      // ancestor id path must agree with the CURRENT ancestor names
+      ip.indices.dropRight(1).foreach { i =>
+        val prefix = ip.take(i + 1)
+        val curPrefixNames = curNp.take(i + 1)
+        hist.filter(_._1 == prefix).foreach { case (_, histNp, _) =>
+          require(histNp == curPrefixNames,
+            s"nested field '${curNp.mkString(".")}' was renamed while its " +
+              s"ancestor '${histNp.mkString(".")}' was ALSO renamed across " +
+              "retained schemas — name-based reads cannot resolve both " +
+              "generations; compact the old file generation first")
+        }
+      }
+    }
+    val currentSiblingNames: Map[Seq[Int], Set[String]] = current
+      .groupBy(_._1.init).view.mapValues(_.map(_._2.last).toSet).toMap
+    renamedNested
+      .filter { case (ip, np, _) =>
+        claimants((ip.init, np.last)) == 1 &&
+          !currentSiblingNames.getOrElse(ip.init, Set.empty).contains(np.last)
+      }
+      .groupBy { case (ip, _, _) => currentByIdPath(ip)._1 }
+      .view.mapValues(_.map(_._2.last).distinct).toMap
+  }
+
+  /** Append alias leaf fields inside the struct at `rel.init` (the
+    * renamed member's parent), so the parquet request schema carries the
+    * OLD leaf names for pre-rename files. */
+  private def addNestedAliasFields(dt: DataType, rel: Seq[String],
+                                   olds: Seq[String]): DataType = dt match {
+    case s: StructType if rel.size == 1 =>
+      val leafType = s.fields.find(_.name == rel.head).map(_.dataType)
+        .getOrElse(throw new IllegalStateException(
+          s"alias path leaf ${rel.head} not in ${s.simpleString}"))
+      StructType(s.fields ++ olds.map(o =>
+        StructField(o, leafType, nullable = true)))
+    case s: StructType =>
+      StructType(s.fields.map(f =>
+        if (f.name == rel.head)
+          f.copy(dataType = addNestedAliasFields(f.dataType, rel.tail, olds))
+        else f))
+    case other => throw new IllegalStateException(
+      s"alias path ${rel.mkString(".")} does not navigate a struct in " +
+        other.simpleString)
+  }
+
+  /** Coalesce a renamed struct member with its old-name leaves, then drop
+    * the alias leaves — innermost [[org.apache.spark.sql.Column.withField]]
+    * rebuild, null-struct rows stay null. */
+  private def coalesceNestedAlias(base: org.apache.spark.sql.Column,
+                                  rel: Seq[String], olds: Seq[String])
+      : org.apache.spark.sql.Column =
+    if (rel.size == 1)
+      base.withField(rel.head, org.apache.spark.sql.functions.coalesce(
+          (base.getField(rel.head) +: olds.map(base.getField)): _*))
+        .dropFields(olds: _*)
+    else
+      base.withField(rel.head,
+        coalesceNestedAlias(base.getField(rel.head), rel.tail, olds))
 
   private def readAvro(conf: Configuration, path: String): Seq[GenericRecord] = {
     val reader = new DataFileReader[GenericRecord](
@@ -2142,8 +2286,10 @@ object IcebergSource {
     def alignAppend(m: TableMeta): (DataFrame, Seq[StructField]) = {
       val tableCols = m.schema.fieldNames.toSeq
       if (schemaPolicy.mode == "enforce") {
-        require(m.schema.map(fd => (fd.name, fd.dataType)) ==
-          df.schema.map(fd => (fd.name, fd.dataType)),
+        // compare on id-stripped types: table-side nested fields carry
+        // parquet.field.id metadata the user frame never has
+        require(m.schema.map(fd => (fd.name, stripFieldIds(fd.dataType))) ==
+          df.schema.map(fd => (fd.name, stripFieldIds(fd.dataType))),
           "iceberg append requires an identical schema " +
             s"(table: ${m.schema.simpleString}, frame: ${df.schema.simpleString}" +
             "; pass schemaPolicy=DeltaSchema.Evolve to widen)")
@@ -2157,9 +2303,10 @@ object IcebergSource {
         require(newCols.isEmpty || schemaPolicy.onNew != "fail",
           s"source carries new columns ${newCols.mkString(", ")} " +
             "(on_new_columns=fail)")
-        val dfType = df.schema.fields.map(fd => fd.name -> fd.dataType).toMap
+        val dfType = df.schema.fields.map(fd =>
+          fd.name -> stripFieldIds(fd.dataType)).toMap
         m.schema.fields.filter(fd => dfType.contains(fd.name)).foreach(fd =>
-          require(dfType(fd.name) == fd.dataType,
+          require(dfType(fd.name) == stripFieldIds(fd.dataType),
             s"existing column ${fd.name} cannot change type " +
               s"(${fd.dataType.simpleString} -> ${dfType(fd.name).simpleString})"))
         val byName = m.schema.fields.map(fd => fd.name -> fd).toMap

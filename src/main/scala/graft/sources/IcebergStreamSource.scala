@@ -197,10 +197,12 @@ class IcebergStreamSource(spark: SparkSession, root: String,
     SchemaTracking.isAdditive(old, wide)
 
   /** Every field of `a` resolvable in `b` by field id with the same type
-    * (logical names free to differ — the RENAME shape). */
+    * (logical names free to differ — the RENAME shape, top-level OR a
+    * nested struct member: types compare member-by-id, so a member
+    * rename still counts as a rename, not a retype). */
   private def idSubset(a: StructType, b: StructType): Boolean =
     SchemaTracking.idSubset(a, b, "parquet.field.id",
-      f => IcebergSource.stripFieldIds(f.dataType))
+      f => SchemaTracking.idCanonical(f.dataType, "parquet.field.id"))
 
   override val schema: StructType =
     if (!readChangeFeed) tableSchema

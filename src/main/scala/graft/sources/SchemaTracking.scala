@@ -186,6 +186,27 @@ private[sources] object SchemaTracking {
     }
   }
 
+  /** A type view that keys struct MEMBERS by their stored field id (and
+    * recurses), so two struct types that differ only in member NAMES
+    * compare equal — the nested-rename shape. Members without an id
+    * annotation fall back to name keys (foreign schemas), keeping the
+    * comparison conservative there. */
+  def idCanonical(dt: org.apache.spark.sql.types.DataType,
+                  idKey: String): Any = dt match {
+    case s: StructType =>
+      s.fields.map { f =>
+        val key: Any =
+          if (f.metadata.contains(idKey)) f.metadata.getLong(idKey) else f.name
+        key -> idCanonical(f.dataType, idKey)
+      }.toSeq
+    case a: org.apache.spark.sql.types.ArrayType =>
+      ("array", idCanonical(a.elementType, idKey), a.containsNull)
+    case m: org.apache.spark.sql.types.MapType =>
+      ("map", idCanonical(m.keyType, idKey),
+        idCanonical(m.valueType, idKey), m.valueContainsNull)
+    case other => other
+  }
+
   /** Null-fill/reorder `df` to the stream's declared `schema` — how files
     * written under an older (narrower) table schema surface after a
     * tracked widening. */
