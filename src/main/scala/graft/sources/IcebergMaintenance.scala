@@ -353,7 +353,11 @@ object IcebergMaintenance {
         meta.currentSnapshotId.foreach(snapNode.put("parent-snapshot-id", _))
         snapNode.putObject("summary").put("operation", "replace")
         snapNode.put("manifest-list", mlPath.toString)
-        snapNode.put("schema-id", 0)
+        // compaction rewrites files under the CURRENT schema: recording
+        // its id is what restores alias-free scans (full row-group
+        // pushdown) for the compacted generation after a rename
+        snapNode.put("schema-id",
+          Option(node.get("current-schema-id")).map(_.asInt()).getOrElse(0))
         node.withArray("snapshots").add(snapNode)
         val logNode = mapper.createObjectNode()
         logNode.put("snapshot-id", snapshotId)

@@ -301,9 +301,49 @@ object IcebergSource {
    * is untouched: manifest bounds key on FIELD IDS, so whole-file
    * skipping for renamed-column predicates keeps working.
    */
+  /** The subset of `entries` provably written under the CURRENT schema
+    * (their adding snapshot records the current schema-id): those files
+    * carry every current name, so they scan WITHOUT alias coalescing —
+    * predicates on renamed columns keep full parquet row-group pushdown
+    * there. Files from older/unknown schema generations stay behind the
+    * (pushdown-opaque) coalesce. Compaction rewrites files under the
+    * current schema-id, so `optimize` restores full pushdown. */
+  private def currentGenPaths(meta: TableMeta,
+                              entries: Seq[FileEntry]): Set[String] = {
+    val curId = Option(meta.schemaJson.get("schema-id")).map(_.asInt())
+      .getOrElse(return Set.empty)
+    val snapSchema: Map[Long, Int] = meta.snapshots
+      .flatMap(s => s.schemaId.map(s.snapshotId -> _)).toMap
+    entries.filter(_.addedSnapshotId.exists(sid =>
+      snapSchema.get(sid).contains(curId))).map(_.path).toSet
+  }
+
+  /** [[scanFiles]] over FileEntries: generation-aware — see
+    * [[currentGenPaths]]. `withRowPos` appends a `_gf_pos` column (the
+    * parquet row index) resolved INSIDE each scan leg — `_metadata`
+    * does not resolve through the generation-split Union, so callers
+    * that apply row-level deletes must request the position here. */
+  private[sources] def scanEntries(spark: SparkSession, meta: TableMeta,
+                                   readSchema: StructType,
+                                   entries: Seq[FileEntry],
+                                   withRowPos: Boolean = false): DataFrame =
+    scanFiles(spark, meta, readSchema, entries.map(_.path),
+      currentGenPaths(meta, entries), withRowPos)
+
   private[sources] def scanFiles(spark: SparkSession, meta: TableMeta,
                                  readSchema: StructType,
-                                 paths: Seq[String]): DataFrame = {
+                                 paths: Seq[String],
+                                 currentGen: Set[String] = Set.empty,
+                                 withRowPos: Boolean = false): DataFrame = {
+    def posCol = org.apache.spark.sql.functions
+      .col("_metadata.row_index").as("_gf_pos")
+    def plain(ps: Seq[String]): DataFrame = {
+      val df = spark.read.schema(readSchema).parquet(ps: _*)
+      if (withRowPos) df.select(
+        readSchema.fieldNames.map(org.apache.spark.sql.functions.col)
+          .toSeq :+ posCol: _*)
+      else df
+    }
     val aliases = historicalAliases(meta)
       .filter { case (cur, _) => readSchema.fieldNames.contains(cur) }
     // nested (struct-member) renames, grouped by top-level column;
@@ -315,7 +355,19 @@ object IcebergSource {
           (path.head, (path.tail, olds))
       }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     if (aliases.isEmpty && nested.isEmpty)
-      return spark.read.schema(readSchema).parquet(paths: _*)
+      return plain(paths)
+    // generation split: current-schema files scan PLAIN (full pushdown);
+    // only older generations pay the alias coalesce. Union is by
+    // position — both legs emit readSchema's columns in order.
+    if (currentGen.nonEmpty) {
+      val (newP, oldP) = paths.partition(currentGen)
+      if (oldP.isEmpty)
+        return plain(paths)
+      if (newP.nonEmpty)
+        return plain(newP)
+          .union(scanFiles(spark, meta, readSchema, oldP,
+            withRowPos = withRowPos))
+    }
     val byName = readSchema.fields.map(f => f.name -> f).toMap
     val extra = aliases.toSeq.flatMap { case (cur, olds) =>
       olds.map(o => StructField(o, byName(cur).dataType, nullable = true))
@@ -328,23 +380,24 @@ object IcebergSource {
         case None => f
       }
     } ++ extra)
+    val projected = readSchema.fields.toSeq.map { f =>
+      aliases.get(f.name) match {
+        case Some(olds) =>
+          org.apache.spark.sql.functions.coalesce(
+            (f.name +: olds).map(org.apache.spark.sql.functions.col): _*)
+            .as(f.name)
+        case None => nested.get(f.name) match {
+          case Some(entries) => entries.foldLeft(
+              org.apache.spark.sql.functions.col(f.name)) {
+              case (c, (rel, olds)) => coalesceNestedAlias(c, rel, olds)
+            }.as(f.name)
+          case None => org.apache.spark.sql.functions.col(f.name)
+        }
+      }
+    }
     spark.read.schema(requested)
       .parquet(paths: _*)
-      .select(readSchema.fields.toSeq.map { f =>
-        aliases.get(f.name) match {
-          case Some(olds) =>
-            org.apache.spark.sql.functions.coalesce(
-              (f.name +: olds).map(org.apache.spark.sql.functions.col): _*)
-              .as(f.name)
-          case None => nested.get(f.name) match {
-            case Some(entries) => entries.foldLeft(
-                org.apache.spark.sql.functions.col(f.name)) {
-                case (c, (rel, olds)) => coalesceNestedAlias(c, rel, olds)
-              }.as(f.name)
-            case None => org.apache.spark.sql.functions.col(f.name)
-          }
-        }
-      }: _*)
+      .select((if (withRowPos) projected :+ posCol else projected): _*)
   }
 
   /**
@@ -492,7 +545,8 @@ object IcebergSource {
                                 operation: String,
                                 summary: Map[String, String] = Map.empty,
                                 parentId: Option[Long] = None,
-                                sequenceNumber: Long = 0L)
+                                sequenceNumber: Long = 0L,
+                                schemaId: Option[Int] = None)
 
   /** One field of a partition spec (spec §Partition Specs): `transform`
     * is identity / bucket[N] / truncate[W] / year / month / day / hour. */
@@ -542,7 +596,8 @@ object IcebergSource {
           su.properties().asScala.map(e =>
             e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty),
         Option(s.get("parent-snapshot-id")).map(_.asLong()),
-        Option(s.get("sequence-number")).map(_.asLong()).getOrElse(0L))
+        Option(s.get("sequence-number")).map(_.asLong()).getOrElse(0L),
+        Option(s.get("schema-id")).map(_.asInt()))
     }
     val versioned = "v(\\d+)\\.metadata\\.json".r
     val version = p.getName match {
@@ -1178,8 +1233,10 @@ object IcebergSource {
     def withFilter(df: DataFrame): DataFrame =
       dataFilter.map(df.filter).getOrElse(df)
     if (dataFiles.isEmpty) return withFilter(empty)
-    val scan = scanFiles(spark, meta, readSchema, dataFiles.map(_.path).toSeq)
-    if (posDeleteFiles.isEmpty && eqDeleteFiles.isEmpty) return withFilter(scan)
+    if (posDeleteFiles.isEmpty && eqDeleteFiles.isEmpty)
+      return withFilter(scanEntries(spark, meta, readSchema, dataFiles))
+    val scan = scanEntries(spark, meta, readSchema, dataFiles,
+      withRowPos = true)
     withFilter(applyDeletes(spark, meta, scan, dataFiles, posDeleteFiles, eqDeleteFiles)
       .drop("_gf_path", "_gf_pos", "_gf_seq"))
   }
@@ -1318,10 +1375,14 @@ object IcebergSource {
     val fileSeq = spark.createDataFrame(
       dataFiles.map(fe => (fe.path, fe.seq)).toSeq).toDF("_gf_rawpath", "_gf_seq")
       .select(normPath(col("_gf_rawpath")).as("_gf_path"), col("_gf_seq"))
+    // `_gf_pos` pre-attached by scanEntries(withRowPos = true) when the
+    // scan is a generation-split union (where `_metadata` cannot
+    // resolve); direct scans still derive it here
     var scan = scan0
       .withColumn("_gf_path", normPath(input_file_name()))
-      .withColumn("_gf_pos", col("_metadata.row_index"))
-      .join(broadcast(fileSeq), Seq("_gf_path"))
+    if (!scan0.columns.contains("_gf_pos"))
+      scan = scan.withColumn("_gf_pos", col("_metadata.row_index"))
+    scan = scan.join(broadcast(fileSeq), Seq("_gf_path"))
 
     // position deletes apply to files with data seq <= the delete's seq
     if (posDeleteFiles.nonEmpty) {
@@ -1357,7 +1418,7 @@ object IcebergSource {
         // delete files would otherwise un-merge)
         val stripped = stripFieldIds(meta.schema).asInstanceOf[StructType]
         val keySchema = StructType(cols.map(c => stripped(stripped.fieldIndex(c))))
-        val del = scanFiles(spark, meta, keySchema, files.map(_.path).toSeq)
+        val del = scanEntries(spark, meta, keySchema, files)
           .withColumn("_gf_dseq",
             element_at(typedLit(files.map(fe =>
               normSchemeString(fe.path) -> fe.seq).toMap),
@@ -1424,7 +1485,7 @@ object IcebergSource {
       if (dataFiles.isEmpty) return DeleteResult(None, 0L, 0)
 
       val readSchema = stripFieldIds(meta.schema).asInstanceOf[StructType]
-      val scan0 = scanFiles(spark, meta, readSchema, dataFiles.map(_.path))
+      val scan0 = scanEntries(spark, meta, readSchema, dataFiles.toSeq)
       val prov = applyDeletes(spark, meta, scan0, dataFiles, posD, eqD)
       // delete files must reference the EXACT path string the manifests
       // record; _gf_path is scheme-normalized, so map it back via a
@@ -1642,7 +1703,10 @@ object IcebergSource {
     meta.currentSnapshotId.foreach(snapNode.put("parent-snapshot-id", _))
     snapNode.putObject("summary").put("operation", "delete")
     snapNode.put("manifest-list", mlPath.toString)
-    snapNode.put("schema-id", 0)
+    // the CURRENT schema id, not 0: reads key file generations on the
+    // adding snapshot's schema-id to decide alias-free scans
+    snapNode.put("schema-id",
+      Option(node.get("current-schema-id")).map(_.asInt()).getOrElse(0))
     node.withArray("snapshots").add(snapNode)
     if (node.has("snapshot-log")) {
       val logNode = mapper.createObjectNode()
@@ -1847,12 +1911,13 @@ object IcebergSource {
             .withColumn("_commit_snapshot_id", lit(s.snapshotId))
             .withColumn("_commit_timestamp", timestamp_millis(lit(s.timestampMs)))
           def liveRows(data: Seq[FileEntry], pos: Seq[FileEntry],
-                       eq: Seq[FileEntry]): DataFrame = {
-            val scan = scanFiles(spark, meta, readSchema, data.map(_.path))
-            if (pos.isEmpty && eq.isEmpty) scan
-            else applyDeletes(spark, meta, scan, data, pos, eq)
+                       eq: Seq[FileEntry]): DataFrame =
+            if (pos.isEmpty && eq.isEmpty)
+              scanEntries(spark, meta, readSchema, data.toSeq)
+            else applyDeletes(spark, meta,
+              scanEntries(spark, meta, readSchema, data.toSeq,
+                withRowPos = true), data, pos, eq)
               .drop("_gf_path", "_gf_pos", "_gf_seq")
-          }
 
           val inserts =
             if (newData.isEmpty) None
@@ -1865,8 +1930,8 @@ object IcebergSource {
             else {
               // previous-snapshot live rows of still-present files, WITH
               // provenance kept for the position join and the final dedup
-              val scan0 = scanFiles(spark, meta, readSchema,
-                keptData.map(_.path))
+              val scan0 = scanEntries(spark, meta, readSchema,
+                keptData.toSeq, withRowPos = true)
               val live = applyDeletes(spark, meta, scan0, keptData,
                 prevPos, prevEq)
               val byPos =
@@ -1885,7 +1950,7 @@ object IcebergSource {
                 // the old column names (see applyDeletes)
                 val keySchema = StructType(cols.map(c =>
                   readSchema(readSchema.fieldIndex(c))))
-                val del = scanFiles(spark, meta, keySchema, fs0.map(_.path))
+                val del = scanEntries(spark, meta, keySchema, fs0.toSeq)
                   .select(cols.map(c => col(c).as(s"_gfd_$c")): _*)
                 val cond = cols.map(c => live(c) <=> del(s"_gfd_$c")).reduce(_ && _)
                 live.join(del, cond, "left_semi")
@@ -2659,7 +2724,10 @@ object IcebergSource {
         else ""
         val sq = if (s.sequenceNumber > 0) s""","sequence-number":${s.sequenceNumber}""" else ""
         val pr = s.parentId.map(p => s""","parent-snapshot-id":$p""").getOrElse("")
-        s"""{"snapshot-id":${s.snapshotId},"timestamp-ms":${s.timestampMs}$sq$pr,
+        // schema-id round-trips too: it is what proves a file generation
+        // post-dates a rename, restoring row-group pushdown there
+        val sc = s.schemaId.map(i => s""","schema-id":$i""").getOrElse("")
+        s"""{"snapshot-id":${s.snapshotId},"timestamp-ms":${s.timestampMs}$sq$pr$sc,
            |"summary":${summaryJson(s.summary + ("operation" -> s.operation))}$ml$im}"""
           .stripMargin.replaceAll("\n", "")
       }

@@ -271,14 +271,15 @@ class IcebergStreamSource(spark: SparkSession, root: String,
   private def morSubset(m: IcebergSource.TableMeta, snapshotId: Long,
                         paths: Seq[String]): DataFrame = {
     val (all, posD, eqD) = snapFiles(m, snapshotId)
-    val scan = IcebergSource.scanFiles(spark, m, tableSchema, paths)
-    if (posD.isEmpty && eqD.isEmpty) scan
-    else {
-      val wanted = paths.toSet
-      IcebergSource.applyDeletes(spark, m, scan,
-          all.filter(e => wanted(e.path)), posD, eqD)
+    val wanted = paths.toSet
+    val entries = all.filter(e => wanted(e.path))
+    if (posD.isEmpty && eqD.isEmpty)
+      IcebergSource.scanEntries(spark, m, tableSchema, entries)
+    else
+      IcebergSource.applyDeletes(spark, m,
+          IcebergSource.scanEntries(spark, m, tableSchema, entries,
+            withRowPos = true), entries, posD, eqD)
         .drop("_gf_path", "_gf_pos", "_gf_seq")
-    }
   }
 
   /** CDF change-item decomposition of snapshot `ord(i)` against its
@@ -607,9 +608,14 @@ class IcebergStreamSource(spark: SparkSession, root: String,
         case (pos, Some(_)) if pos.snapshot => pos.snapshotId }.get
       frames += morSubset(m, sid, snapPaths)
     }
-    val tailPaths = inRange.collect { case (pos, Some(p)) if !pos.snapshot => p }
+    val tailPaths = inRange.collect {
+      case (pos, Some(p)) if !pos.snapshot => (p, pos.snapshotId) }
     if (tailPaths.nonEmpty)
-      frames += IcebergSource.scanFiles(spark, m, tableSchema, tailPaths)
+      // pseudo-entries carrying the adding snapshot id: tail files from
+      // post-rename snapshots then scan alias-free (full pushdown)
+      frames += IcebergSource.scanEntries(spark, m, tableSchema,
+        tailPaths.map { case (p, sid) => IcebergSource.FileEntry(p, 0L, Nil,
+          addedSnapshotId = Some(sid)) })
     streamingUnion(frames.toSeq)
   }
 

@@ -145,6 +145,56 @@ class IcebergNestedEvolutionSpec extends SparkSpec {
       (1 to 200).map(_ * 1.5).sum)
   }
 
+  test("post-rename files keep parquet pushdown; optimize restores it for all") {
+    val root = tmp() + "/t"
+    val flat = (ids: Range) => ids.map(i => (i.toLong, i * 1.5)).toDF("id", "acct")
+    IcebergSource.write(flat(1 to 100).repartition(2), root)
+    IcebergMaintenance.renameColumn(spark, root, "acct", "balance")
+    IcebergSource.write(
+      flat(101 to 200).withColumnRenamed("acct", "balance").repartition(2),
+      root, mode = "append")
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+    val filtered = IcebergSource.read(spark, root,
+      dataFilter = Some(col("balance") > 50 * 1.5))
+    assert(filtered.count() == 150)
+    val p1 = planOf(filtered)
+    // generation split: the POST-rename files scan plain, so their leg
+    // pushes the renamed-column predicate into parquet row groups; the
+    // pre-rename leg pays the (pushdown-opaque) alias coalesce
+    assert(p1.contains("Union"), p1.takeRight(800))
+    assert(p1.contains("GreaterThan(balance"),
+      "renamed-column predicate not pushed on the post-rename generation:\n" +
+        p1.takeRight(800))
+    // compaction rewrites every file under the CURRENT schema-id: the
+    // union and the coalesce disappear — one plain scan, full pushdown
+    val r = IcebergMaintenance.optimize(spark, root)
+    assert(r.snapshotId.isDefined && r.filesRemoved > 0, r.toString)
+    val after = IcebergSource.read(spark, root,
+      dataFilter = Some(col("balance") > 50 * 1.5))
+    assert(after.count() == 150)
+    val p2 = planOf(after)
+    assert(!p2.contains("Union"), p2.takeRight(800))
+    assert(p2.contains("GreaterThan(balance"), p2.takeRight(800))
+    assert(!p2.contains("coalesce("), p2.takeRight(800))
+  }
+
+  test("a nested rename splits generations too; results agree across the union") {
+    val root = tmp() + "/t"
+    IcebergSource.write(docFrame(1 to 100).repartition(2), root)
+    IcebergMaintenance.renameColumn(spark, root, "info.meta.score", "rank")
+    IcebergSource.write(
+      docFrame(101 to 200).withColumn("info",
+        col("info").withField("meta",
+          struct(col("info.meta.score").as("rank"), col("info.meta.author"))))
+        .repartition(2),
+      root, mode = "append")
+    val df = IcebergSource.read(spark, root)
+    assert(df.queryExecution.executedPlan.toString.contains("Union"))
+    assert(df.select(sum("info.meta.rank")).first().getDouble(0) ==
+      (1 to 200).map(_ * 1.5).sum)
+  }
+
   test("nested rename mid-stream tracks by field id and the stream resumes") {
     val root = tmp() + "/t"; val cp = tmp(); val track = tmp(); val out = tmp()
     IcebergSource.write(docFrame(1 to 5), root)
