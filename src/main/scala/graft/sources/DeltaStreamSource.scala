@@ -125,6 +125,15 @@ class DeltaStreamSource(spark: SparkSession, root: String,
     * fails the stream permanently. */
   private val schemaTrackLoc: Option[String] =
     opt("schemaTrackingLocation", "schema_tracking_location")
+  /** OPT-IN recovery across a column DROP: with schema tracking set, a
+    * drop commit records the NARROWED schema and asks for a restart,
+    * which then drains the remaining commits exactly-once under it
+    * (pre-drop files simply stop requesting the dropped column). OFF by
+    * default — a drop silently truncating a consumer's output is the
+    * classic quiet-corruption shape, so the default stays a loud
+    * permanent failure. */
+  private val allowColumnDrop =
+    opt("allowColumnDrop", "allow_column_drop").exists(_.toBoolean)
 
   // the base decides batch 0: Left(snapshot version) = emit that whole
   // snapshot first; Right(v) = tail add actions from version v on.
@@ -282,6 +291,20 @@ class DeltaStreamSource(spark: SparkSession, root: String,
             (if (renames && !widens) "(files resolve by column-mapping id)"
             else "(earlier data null-fills the new columns)"))
       }
+    }
+    // a DROP (every incoming field still resolvable in the served schema
+    // — by name+type, or by mapping id on mapped tables): a version >
+    // servedFromVersion narrowing reaches here only as a live drop
+    // commit (historical narrowings returned above); recovery is an
+    // explicit opt-in
+    if (allowColumnDrop && trackPath.isDefined &&
+        (isAdditive(incoming, tableSchema) || idSubset(incomingRaw, servingRaw))) {
+      writeTracked(version, incomingRaw)
+      throw new IllegalStateException(
+        s"Delta source column DROP at version $version: schema narrowed " +
+          s"to ${incoming.simpleString}; recorded at ${schemaTrackLoc.get} " +
+          "(allowColumnDrop=true) — restart the stream to continue under " +
+          "the narrowed schema")
     }
     throw new IllegalStateException(
       s"Delta source schema changed at version $version — restart the " +

@@ -138,6 +138,15 @@ class IcebergStreamSource(spark: SparkSession, root: String,
     * change fails the stream permanently. */
   private val schemaTrackLoc: Option[String] =
     opt("schemaTrackingLocation", "schema_tracking_location")
+  /** OPT-IN recovery across a column DROP: with schema tracking set, a
+    * drop commit records the NARROWED schema and asks for a restart,
+    * which then drains the remaining commits exactly-once under it
+    * (pre-drop files simply stop requesting the dropped column). OFF by
+    * default — a drop silently truncating a consumer's output is the
+    * classic quiet-corruption shape, so the default stays a loud
+    * permanent failure. */
+  private val allowColumnDrop =
+    opt("allowColumnDrop", "allow_column_drop").exists(_.toBoolean)
 
   private def meta: IcebergSource.TableMeta = IcebergSource.tableMeta(spark, root)
 
@@ -184,11 +193,19 @@ class IcebergStreamSource(spark: SparkSession, root: String,
 
   /** RAW serving schema (`parquet.field.id` metadata kept when present —
     * the ids drive rename tracking): the tracked one when the tracking
-    * location holds it, else the table's. Tracked files written before
-    * raw persistence lack ids, which just disables the id paths. */
+    * location holds it, else the table's — which is then persisted
+    * EAGERLY, so a restart remembers what this run served. Without that
+    * memory a schema change while the stream was DOWN (a drop,
+    * especially) would be adopted silently instead of hitting
+    * [[schemaCheck]]'s loud gate. Tracked files written before raw
+    * persistence lack ids, which just disables the id paths. */
   private val servingRaw: StructType =
     trackPath.flatMap(SchemaTracking.read(spark, _)).map(_._2)
-      .getOrElse(meta.schema)
+      .getOrElse {
+        val m = meta
+        writeTracked(m.currentSnapshotId.getOrElse(-1L), m.schema)
+        m.schema
+      }
 
   private val tableSchema: StructType =
     IcebergSource.stripFieldIds(servingRaw).asInstanceOf[StructType]
@@ -237,6 +254,17 @@ class IcebergStreamSource(spark: SparkSession, root: String,
           "the stream to continue " +
           (if (renames && !widens) "(files resolve by field id)"
           else "(earlier data null-fills the new columns)"))
+    }
+    // a DROP (every incoming field still resolvable in the served schema
+    // by field id — the narrowing shape, possibly renamed too) recovers
+    // only by explicit opt-in
+    if (allowColumnDrop && trackPath.isDefined && idSubset(m.schema, servingRaw)) {
+      writeTracked(m.currentSnapshotId.getOrElse(-1L), m.schema)
+      throw new IllegalStateException(
+        s"Iceberg source column DROP: schema narrowed to " +
+          s"${incoming.simpleString}; recorded at ${schemaTrackLoc.get} " +
+          "(allowColumnDrop=true) — restart the stream to continue " +
+          "under the narrowed schema")
     }
     throw new IllegalStateException(
       s"Iceberg source schema changed — restart the stream to pick up " +
