@@ -49,7 +49,7 @@ object Tools {
       |           rename-column <root> <from> <to>   (column-mapped tables)
       |           drop-column <root> <name>   (column-mapped tables)
       |           delete <root> <predicate> [--partition K=V ...]   (deletion vectors)
-      |  iceberg: history <root> | optimize | expire
+      |  iceberg: history <root> | optimize [--zorder-by a,b] | expire
       |           cleanup-metadata <root> [--keep-last N] [--dry-run]
       |           set-properties <root> k=v[,k=v...]   (e.g. write.metadata.previous-versions-max=20)
       |           rename-column <root> <from> <to> | drop-column <root> <name>
@@ -111,9 +111,11 @@ object Tools {
       }
     case "optimize" :: root :: rest =>
       val targetMb = flagValue(rest, "--target-file-mb").map(_.toLong).getOrElse(128L)
+      val zorder = flagValue(rest, "--zorder-by")
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
       withSpark { spark =>
         val r = graft.sources.IcebergMaintenance.optimize(spark, root,
-          targetFileBytes = targetMb << 20)
+          targetFileBytes = targetMb << 20, zorderBy = zorder)
         println(r.snapshotId match {
           case Some(id) => s"optimized: snapshot=$id filesRemoved=${r.filesRemoved} " +
             s"filesAdded=${r.filesAdded} bytesRemoved=${r.bytesRemoved} bytesAdded=${r.bytesAdded}"

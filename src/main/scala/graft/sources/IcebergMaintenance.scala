@@ -150,13 +150,25 @@ object IcebergMaintenance {
    * row-level delete files compact MERGE-ON-READ: deletes targeting the
    * compacted files apply during the rewrite (the purge), delete
    * manifests carry over for the files that remain.
+   *
+   * With `zorderBy`: EVERY live file rewrites Z-order-clustered
+   * (bit-interleaved range layout, [[Sources.zOrderFrame]]) within its
+   * partition tuple, so each output file covers a narrow range on every
+   * clustered dimension and the manifest lower/upper bounds admit far
+   * fewer files under multi-dimensional predicates — the same lever
+   * Delta's `optimize(zorderBy)` pulls. The commit also records the
+   * clustering as the table's default sort order (spec §Sort Orders),
+   * round-tripped by every subsequent commit.
    */
   def optimize(spark: SparkSession, root: String,
-               targetFileBytes: Long = 128L << 20): OptimizeResult =
-    withReplan(s"optimize($root)")(() => optimizeOnce(spark, root, targetFileBytes))
+               targetFileBytes: Long = 128L << 20,
+               zorderBy: Seq[String] = Nil): OptimizeResult =
+    withReplan(s"optimize($root)")(() =>
+      optimizeOnce(spark, root, targetFileBytes, zorderBy))
 
   private def optimizeOnce(spark: SparkSession, root: String,
-                           targetFileBytes: Long): OptimizeResult = {
+                           targetFileBytes: Long,
+                           zorderBy: Seq[String] = Nil): OptimizeResult = {
     val f = fs(spark, root)
     val meta = tableMeta(spark, root)
     val snap = meta.currentSnapshotId.flatMap(id =>
@@ -168,10 +180,26 @@ object IcebergMaintenance {
     def sizeOf(e: FileEntry): Long =
       if (e.size > 0) e.size else f.getFileStatus(new Path(e.path)).getLen
 
-    // greedy largest-first bin pack per partition tuple
+    zorderBy.foreach { c =>
+      require(meta.schema.fieldNames.contains(c),
+        s"zorder column '$c' not in ${meta.schema.fieldNames.mkString(", ")}")
+      val srcIds = meta.partitionSpec.filter(_.transform == "identity")
+        .map(_.sourceId).toSet
+      val cId = meta.schemaJson.get("fields").elements().asScala
+        .find(_.get("name").asText() == c).get.get("id").asInt()
+      require(!srcIds.contains(cId),
+        s"zorder column '$c' identity-partitions the table — it is " +
+          "constant per file already; z-order the non-partition dimensions")
+    }
+    // greedy largest-first bin pack per partition tuple; with zorderBy,
+    // EVERY live file re-clusters (one rewrite group per partition tuple)
     val byPart = data.groupBy(_.partition)
     val bins = scala.collection.mutable.ArrayBuffer[(Map[String, Any], Seq[FileEntry])]()
-    byPart.foreach { case (part, files) =>
+    if (zorderBy.nonEmpty) {
+      byPart.foreach { case (part, files) =>
+        if (files.nonEmpty) bins += ((part, files))
+      }
+    } else byPart.foreach { case (part, files) =>
       val small = files.filter(sizeOf(_) < targetFileBytes)
       if (small.size >= 2) {
         val sorted = small.sortBy(-sizeOf(_))
@@ -228,8 +256,20 @@ object IcebergMaintenance {
     // observe the routed rows INSIDE the rewrite job: a mis-routed row
     // (null bin) would land outside the listed dirs and silently vanish
     val obs = org.apache.spark.sql.Observation()
-    routed.observe(obs, count(lit(1)).as("rows"), count(col("_gf_bin")).as("binned"))
-      .repartition(bins.size, col("_gf_bin"))
+    val observed = routed.observe(obs,
+      count(lit(1)).as("rows"), count(col("_gf_bin")).as("binned"))
+    val clustered =
+      if (zorderBy.isEmpty) observed.repartition(bins.size, col("_gf_bin"))
+      else {
+        // range-partition leading with the bin (= partition tuple) so
+        // every output file holds ONE tuple's rows over a narrow z-range
+        val totalBytes = bins.flatMap(_._2).map(sizeOf).sum
+        val outFiles = math.max(bins.size,
+          math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+        Sources.zOrderFrame(observed, zorderBy, numFiles = outFiles,
+          partitionCols = Seq("_gf_bin"))
+      }
+    clustered
       .write.partitionBy("_gf_bin").mode("errorifexists").parquet(outDir.toString)
     val routedRows = obs.get("rows").asInstanceOf[Long]
     require(obs.get("binned").asInstanceOf[Long] == routedRows,
@@ -363,6 +403,25 @@ object IcebergMaintenance {
         logNode.put("snapshot-id", snapshotId)
         logNode.put("timestamp-ms", now)
         node.withArray("snapshot-log").add(logNode)
+        if (zorderBy.nonEmpty) {
+          // record the clustering as the DEFAULT sort order (spec §Sort
+          // Orders) — declarative metadata every engine can read, and
+          // what a scheduler checks before re-running the compaction
+          val idOf: Map[String, Int] = meta.schemaJson.get("fields")
+            .elements().asScala.map(fd =>
+              fd.get("name").asText() -> fd.get("id").asInt()).toMap
+          val priorMax = Option(node.get("sort-orders")).toSeq
+            .flatMap(_.elements().asScala)
+            .map(_.get("order-id").asInt()).foldLeft(0)(math.max)
+          val fieldsJs = zorderBy.map(c =>
+            s"""{"transform":"identity","source-id":${idOf(c)},""" +
+              s""""direction":"asc","null-order":"nulls-first"}""")
+            .mkString(",")
+          val orderJs =
+            s"""{"order-id":${priorMax + 1},"fields":[$fieldsJs]}"""
+          node.withArray("sort-orders").add(mapper.readTree(orderJs))
+          node.put("default-sort-order-id", priorMax + 1)
+        }
       })
     } catch {
       case e: ConcurrentCommitException =>

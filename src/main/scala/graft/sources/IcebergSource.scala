@@ -564,7 +564,9 @@ object IcebergSource {
                              defaultSpecId: Int = 0,
                              lastPartitionId: Int = 999,
                              schemasJson: Seq[JsonNode] = Nil,
-                             properties: Map[String, String] = Map.empty)
+                             properties: Map[String, String] = Map.empty,
+                             sortOrdersJson: Seq[JsonNode] = Nil,
+                             defaultSortOrderId: Int = 0)
 
   /** Parse the latest (or given) metadata file. */
   def tableMeta(spark: SparkSession, root: String,
@@ -637,7 +639,10 @@ object IcebergSource {
       else Option(node.get("schema")).toSeq,
       Option(node.get("properties")).map(p =>
         p.properties().asScala.map(e =>
-          e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty))
+          e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty),
+      Option(node.get("sort-orders")).toSeq
+        .flatMap(_.elements().asScala),
+      Option(node.get("default-sort-order-id")).map(_.asInt()).getOrElse(0))
   }
 
   /** Snapshot history (id, commit time, operation) — the DESCRIBE
@@ -2759,6 +2764,12 @@ object IcebergSource {
         .toSeq.sortBy(_._1).map { case (k, v) =>
           s"${mapper.writeValueAsString(k)}:${mapper.writeValueAsString(v)}"
         }.mkString("{", ",", "}")
+      // sort orders round-trip verbatim (a z-order compaction records
+      // the table's clustering there — spec §Sort Orders)
+      val sortOrdersJson = cur.map(_.sortOrdersJson).filter(_.nonEmpty)
+        .map(_.map(_.toString).mkString("[", ",", "]"))
+        .getOrElse("""[{"order-id":0,"fields":[]}]""")
+      val defaultSortOrderId = cur.map(_.defaultSortOrderId).getOrElse(0)
       val metadataJson =
         s"""{"format-version":2,"table-uuid":"$uuid","location":"$root",
            |"properties":$propsJson,
@@ -2767,7 +2778,7 @@ object IcebergSource {
            |"schemas":[${schemasArr.mkString(",")}],"current-schema-id":$curSchemaId,
            |"partition-specs":[${specsArr.mkString(",")}],"default-spec-id":$usedSpecId,
            |"last-partition-id":$lastPartId,
-           |"sort-orders":[{"order-id":0,"fields":[]}],"default-sort-order-id":0,
+           |"sort-orders":$sortOrdersJson,"default-sort-order-id":$defaultSortOrderId,
            |"snapshots":[$allSnaps],"current-snapshot-id":$snapshotId,
            |"snapshot-log":[{"snapshot-id":$snapshotId,"timestamp-ms":$now}]}"""
           .stripMargin.replaceAll("\n", "")

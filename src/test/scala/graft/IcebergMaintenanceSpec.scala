@@ -325,6 +325,60 @@ class IcebergMaintenanceSpec extends SparkSpec {
     assert(e2.getMessage.contains("partition"), e2.getMessage)
   }
 
+  test("zorder optimize clusters files; 2-D predicates admit fewer files") {
+    val root = tmp() + "/t"
+    // interleaved layout: every random-split file spans the FULL x/y
+    // range, so bounds-based skipping starts out powerless
+    val df = (0 until 4096).map(i => (i.toLong, i % 64, i / 64))
+      .toDF("id", "x", "y")
+    IcebergSource.write(df.repartition(8), root, "append")
+    val pred = col("x") < 8 && col("y") < 8
+    val before = IcebergSource.pruneReport(spark, root, pred)
+    assert(before.kept == before.candidates, s"$before")
+    val expected = IcebergSource.read(spark, root)
+      .as[(Long, Int, Int)].collect().toSet
+
+    val r = IcebergMaintenance.optimize(spark, root,
+      targetFileBytes = 16L << 10, zorderBy = Seq("x", "y"))
+    assert(r.snapshotId.isDefined && r.filesRemoved == 8, r.toString)
+    assert(r.filesAdded >= 2, s"need multiple clustered outputs: $r")
+    // rows conserved exactly
+    assert(IcebergSource.read(spark, root)
+      .as[(Long, Int, Int)].collect().toSet == expected)
+    // the point: the 2-D predicate now admits FEWER files via manifest
+    // bounds, and the filtered read stays exact
+    val after = IcebergSource.pruneReport(spark, root, pred)
+    assert(after.kept < after.candidates,
+      s"z-order must enable 2-D skipping: $after")
+    assert(IcebergSource.read(spark, root, dataFilter = Some(pred))
+      .count() == 64)
+    // the clustering is recorded as the DEFAULT sort order and survives
+    // subsequent commits (round-tripped by the writer)
+    def sortOrder() = {
+      val m = IcebergSource.tableMeta(spark, root)
+      (m.defaultSortOrderId, m.sortOrdersJson.map(_.toString).mkString(","))
+    }
+    val (oid, os) = sortOrder()
+    assert(oid == 1, s"default-sort-order-id: $oid")
+    assert(os.contains("\"order-id\":1") && os.contains("identity"), os)
+    IcebergSource.write(Seq((9999L, 1, 1)).toDF("id", "x", "y"), root,
+      mode = "append")
+    val (oid2, os2) = sortOrder()
+    assert(oid2 == 1 && os2.contains("\"order-id\":1"),
+      s"sort order lost on append: $oid2 / $os2")
+  }
+
+  test("zorder on an identity-partition column fails fast") {
+    val root = tmp() + "/t"
+    IcebergSource.write((1 to 100).map(i => (i.toLong, s"r${i % 3}", i))
+      .toDF("id", "region", "v"), root, "append",
+      partitionBy = Seq("region"))
+    val e = intercept[IllegalArgumentException] {
+      IcebergMaintenance.optimize(spark, root, zorderBy = Seq("region"))
+    }
+    assert(e.getMessage.contains("identity-partition"), e.getMessage)
+  }
+
   test("write.metadata.previous-versions-max trims metadata at every commit") {
     val root = tmp()
     def metaFiles() = new java.io.File(root, "metadata").listFiles()
