@@ -297,8 +297,12 @@ class DeltaStreamSource(spark: SparkSession, root: String,
     // servedFromVersion narrowing reaches here only as a live drop
     // commit (historical narrowings returned above); recovery is an
     // explicit opt-in
-    if (allowColumnDrop && trackPath.isDefined &&
-        (isAdditive(incoming, tableSchema) || idSubset(incomingRaw, servingRaw))) {
+    val narrowed = isAdditive(incoming, tableSchema) ||
+      SchemaTracking.idNarrows(incomingRaw, servingRaw, f =>
+        if (f.metadata.contains("delta.columnMapping.id"))
+          Some(f.metadata.getLong("delta.columnMapping.id"))
+        else None)
+    if (allowColumnDrop && trackPath.isDefined && narrowed) {
       writeTracked(version, incomingRaw)
       throw new IllegalStateException(
         s"Delta source column DROP at version $version: schema narrowed " +

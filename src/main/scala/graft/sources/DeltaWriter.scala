@@ -198,11 +198,24 @@ object DeltaWriter {
     // ids while same-named unchanged fields keep theirs.
     val mappedMode = prior.exists(
       _.configuration.getOrElse("delta.columnMapping.mode", "none") != "none")
+    // columnMapping=true must never be SILENTLY ignored: against an
+    // existing unmapped table it either upgrades (full overwrite — the
+    // files rewrite anyway) or fails here, where the mistake is fixable,
+    // instead of at a much later renameColumn
+    require(!columnMapping || prior.isEmpty || mappedMode ||
+        (isOverwrite && !scoped),
+      s"columnMapping=true but $root already exists UNMAPPED — column " +
+        "mapping applies at table creation or on a full overwrite")
     val (effSchema, effConf) = prior match {
       case Some(p) if !isOverwrite || scoped =>
         (evolution.map(_.schema).getOrElse(p.schema),
           evolution.map(_.configuration).getOrElse(p.configuration))
       case Some(p) if mappedMode => DeltaSchema.overwriteMapped(df.schema, p)
+      case Some(p) if columnMapping =>
+        // full overwrite of an unmapped table with columnMapping=true:
+        // upgrade — all data files rewrite under physical names
+        val (sc, conf) = DeltaSchema.createMapped(df.schema)
+        (sc, p.configuration ++ conf)
       case Some(p) => (df.schema, p.configuration)
       // CREATE with column mapping: every (nested) field gets a mapping
       // id + physical name — the precondition for metadata-only
@@ -284,11 +297,17 @@ object DeltaWriter {
         s""","replaceWhere":${q(replaceWhere.map { case (k, v) => s"$k=$v" }.mkString(","))}"""
       else ""
       lines += s"""{"commitInfo":{"timestamp":$now,"operation":"WRITE","operationParameters":{"mode":${q(mode.toUpperCase)},"partitionBy":${q(partCols.mkString(","))}$rwParam},"engineInfo":"graft-native-delta"}}"""
+      val effMappedConf =
+        effConf.getOrElse("delta.columnMapping.mode", "none") != "none"
       if (current.isEmpty)
         // column mapping needs reader 2 / writer 5 (delta.io PROTOCOL.md)
-        lines += (if (effConf.getOrElse("delta.columnMapping.mode", "none") != "none")
+        lines += (if (effMappedConf)
           """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
         else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+      else if (effMappedConf && current.exists(_.minReaderVersion < 2))
+        // upgrading an unmapped table on a full overwrite: the mapping
+        // feature requires the bumped protocol in the SAME commit
+        lines += """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
       if (needMeta)
         // evolving/overwriting commits keep the table's configuration;
         // mapped tables' effSchema carries the mapping metadata

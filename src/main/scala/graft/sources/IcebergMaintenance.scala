@@ -266,8 +266,39 @@ object IcebergMaintenance {
         val totalBytes = bins.flatMap(_._2).map(sizeOf).sum
         val outFiles = math.max(bins.size,
           math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+        // z ranges from MANIFEST bounds, not a stats scan: the rewrite
+        // then reads every live file ONCE (a second min/max pass would
+        // double the compaction I/O) and the row-conservation
+        // Observation binds to the write action itself. Bounds cover
+        // MOR-deleted rows too — slightly wide ranges cost a few empty
+        // buckets, never correctness. Files missing a bound fall back
+        // to the scan-based stats inside zOrderFrame.
+        val typeOfCol = meta.schema.fields.map(fd => fd.name -> fd.dataType).toMap
+        val statIdOf = IcebergSource.topLevelIds(meta.schemaJson)
+        def toD(bytes: Array[Byte], dt: DataType): Option[Double] = dt match {
+          case DateType if bytes.length == 4 =>
+            Some(java.nio.ByteBuffer.wrap(bytes)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt * 86400.0)
+          case TimestampType | TimestampNTZType if bytes.length == 8 =>
+            Some(java.nio.ByteBuffer.wrap(bytes)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong / 1e6)
+          case _: NumericType =>
+            IcebergSource.decodeColumnBound(bytes, dt).collect {
+              case bd: java.math.BigDecimal => bd.doubleValue() }
+          case _ => None
+        }
+        val allFiles = bins.flatMap(_._2)
+        val statsHint: Map[String, (Double, Double)] = zorderBy.flatMap { c =>
+          (for {
+            id <- statIdOf.get(c)
+            dt <- typeOfCol.get(c)
+            los <- Some(allFiles.map(_.lowerBounds.get(id).flatMap(toD(_, dt))))
+            his <- Some(allFiles.map(_.upperBounds.get(id).flatMap(toD(_, dt))))
+            if los.forall(_.isDefined) && his.forall(_.isDefined)
+          } yield c -> ((los.flatten.min, his.flatten.max))).toSeq
+        }.toMap
         Sources.zOrderFrame(observed, zorderBy, numFiles = outFiles,
-          partitionCols = Seq("_gf_bin"))
+          partitionCols = Seq("_gf_bin"), statsHint = statsHint)
       }
     clustered
       .write.partitionBy("_gf_bin").mode("errorifexists").parquet(outDir.toString)
@@ -305,8 +336,14 @@ object IcebergMaintenance {
       val e = new GenericData.Record(entrySchema)
       e.put("status", status)
       // EXISTING entries keep the snapshot that ORIGINALLY added the
-      // file (spec §Manifests); only ADDED entries stamp this snapshot
-      e.put("snapshot_id", addedBy.getOrElse(snapshotId))
+      // file (spec §Manifests) — or NULL when the source manifest used
+      // snapshot-id inheritance: stamping THIS snapshot would lie that
+      // a kept pre-rename file is current-generation and read its
+      // renamed columns alias-free (as null). Only ADDED entries stamp
+      // this snapshot.
+      e.put("snapshot_id",
+        if (status == 1) java.lang.Long.valueOf(snapshotId)
+        else addedBy.map(java.lang.Long.valueOf(_)).orNull)
       e.put("sequence_number", seq)
       e.put("file_sequence_number", seq)
       e.put("data_file", dataFile)
@@ -484,6 +521,15 @@ object IcebergMaintenance {
   def setProperties(spark: SparkSession, root: String,
                     props: Map[String, String]): Long = {
     require(props.nonEmpty, "setProperties needs at least one property")
+    // validate BEFORE the commit publishes: a bad retention value must
+    // fail here, not throw after every later commit has already landed
+    props.get("write.metadata.previous-versions-max").foreach { v =>
+      val n = scala.util.Try(v.trim.toInt).getOrElse(
+        throw new IllegalArgumentException(
+          s"write.metadata.previous-versions-max must be an integer, got '$v'"))
+      require(n >= 1,
+        s"write.metadata.previous-versions-max must be >= 1, got $n")
+    }
     withReplan(s"setProperties($root)")(() => {
       val meta = tableMeta(spark, root)
       patchMetadata(spark, root, meta, { node =>
@@ -583,6 +629,22 @@ object IcebergMaintenance {
                 "resolve; compact the old generation first")
           }
         }
+      }
+      // subtree stability: the renamed field's TYPE (its whole member
+      // subtree, names included) must be identical across every retained
+      // schema — renaming a struct AFTER one of its members was renamed
+      // or dropped would trip the alias type guard on every later scan,
+      // leaving the table unreadable with no recovery (the schemas
+      // array, not the files, carries the history). The symmetric order
+      // (struct first, member second) is refused by the ancestor guard
+      // above; this closes the other direction, at any depth.
+      val curType = chain.last.get("type").toString
+      histAll.filter(_._1 == idPath).foreach { case (_, np, t) =>
+        require(t == curType,
+          s"'$from' (formerly '${np.mkString(".")}') has member evolution " +
+            "history across retained schemas — renaming it now would make " +
+            "pre-evolution file generations unreadable behind the alias " +
+            "type guard; evolve members only AFTER renaming the struct")
       }
       patchMetadata(spark, root, meta, { node =>
         require(node.has("schemas"),

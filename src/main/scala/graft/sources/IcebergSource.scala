@@ -2263,15 +2263,17 @@ object IcebergSource {
    */
   private[sources] def enforceMetadataRetention(f: FileSystem, root: String,
       properties: Map[String, String], version: Long): Unit = {
+    // runs AFTER the commit durably published: an unparsable or absurd
+    // value (foreign-written metadata — setProperties validates its own)
+    // must not make an already-landed commit LOOK failed, so garbage
+    // simply disables the trim instead of throwing
     val maxPrev = properties.get("write.metadata.previous-versions-max")
-      .map(_.trim.toInt)
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption).filter(_ >= 1)
     val enabled = maxPrev.isDefined ||
       properties.get("write.metadata.delete-after-commit.enabled")
         .exists(_.trim.equalsIgnoreCase("true"))
     if (!enabled) return
     val keep = maxPrev.getOrElse(100)
-    require(keep >= 1,
-      s"write.metadata.previous-versions-max must be >= 1, got $keep")
     val versioned = "v(\\d+)\\.metadata\\.json".r
     try f.listStatus(metaDir(root)).foreach { st =>
       st.getPath.getName match {

@@ -256,9 +256,14 @@ class IcebergStreamSource(spark: SparkSession, root: String,
           else "(earlier data null-fills the new columns)"))
     }
     // a DROP (every incoming field still resolvable in the served schema
-    // by field id — the narrowing shape, possibly renamed too) recovers
-    // only by explicit opt-in
-    if (allowColumnDrop && trackPath.isDefined && idSubset(m.schema, servingRaw)) {
+    // by field id, RECURSIVELY — top-level columns and struct members
+    // both narrow this way, possibly renamed too) recovers only by
+    // explicit opt-in
+    val narrowed = SchemaTracking.idNarrows(m.schema, servingRaw, f =>
+      if (f.metadata.contains("parquet.field.id"))
+        Some(f.metadata.getLong("parquet.field.id"))
+      else None)
+    if (allowColumnDrop && trackPath.isDefined && narrowed) {
       writeTracked(m.currentSnapshotId.getOrElse(-1L), m.schema)
       throw new IllegalStateException(
         s"Iceberg source column DROP: schema narrowed to " +

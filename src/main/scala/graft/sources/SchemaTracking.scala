@@ -186,6 +186,34 @@ private[sources] object SchemaTracking {
     }
   }
 
+  /** Every field of `a` resolvable in `b` — RECURSIVELY through struct
+    * members — under the per-field identity `key`, with equal non-struct
+    * types: the NARROWING shape a column drop leaves, at any depth
+    * (dropping a top-level column or a struct member both make the new
+    * schema a recursive subset of the served one). Fields whose key is
+    * undefined fail the match — conservative for foreign schemas. */
+  def idNarrows(a: StructType, b: StructType,
+                key: org.apache.spark.sql.types.StructField => Option[Any])
+      : Boolean = {
+    def typeOk(x: org.apache.spark.sql.types.DataType,
+               y: org.apache.spark.sql.types.DataType): Boolean = (x, y) match {
+      case (sa: StructType, sb: StructType) => narrows(sa, sb)
+      case (xa: org.apache.spark.sql.types.ArrayType,
+            ya: org.apache.spark.sql.types.ArrayType) =>
+        typeOk(xa.elementType, ya.elementType)
+      case (xm: org.apache.spark.sql.types.MapType,
+            ym: org.apache.spark.sql.types.MapType) =>
+        typeOk(xm.keyType, ym.keyType) && typeOk(xm.valueType, ym.valueType)
+      case (x0, y0) => x0 == y0
+    }
+    def narrows(sa: StructType, sb: StructType): Boolean =
+      sa.fields.forall { fa =>
+        key(fa).exists(ka => sb.fields.exists(fb =>
+          key(fb).contains(ka) && typeOk(fa.dataType, fb.dataType)))
+      }
+    narrows(a, b)
+  }
+
   /** A type view that keys struct MEMBERS by their stored field id (and
     * recurses), so two struct types that differ only in member NAMES
     * compare equal — the nested-rename shape. Members without an id

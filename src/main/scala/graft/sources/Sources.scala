@@ -605,21 +605,32 @@ object Sources {
   private[graft] def zOrderFrame(df: DataFrame, zCols: Seq[String],
                                  bitsPerCol: Int = 12,
                                  numFiles: Int = 32,
-                                 partitionCols: Seq[String] = Nil): DataFrame = {
+                                 partitionCols: Seq[String] = Nil,
+                                 statsHint: Map[String, (Double, Double)] =
+                                   Map.empty): DataFrame = {
     require(zCols.nonEmpty && zCols.size <= 4, "1..4 z-order columns")
     require(bitsPerCol * zCols.size <= 60, "interleaved bits must fit a long")
     val buckets = 1 << bitsPerCol
     // min/max linear scaling to [0, buckets): one distributed agg, no
-    // global window (rank-based normalization would single-partition).
+    // global window (rank-based normalization would single-partition) —
+    // SKIPPED entirely when the caller already knows the ranges
+    // (`statsHint`, e.g. from table-format manifest bounds: scanning a
+    // 100 TB table twice just for min/max doubles the compaction I/O).
     // Heavily skewed columns get uneven buckets — pre-transform (log etc.)
     // if that matters; Z-value quality degrades gracefully either way.
-    val statsCols = zCols.flatMap(c =>
-      Seq(min(zNumeric(df, c)).as(s"_mn_$c"),
-        max(zNumeric(df, c)).as(s"_mx_$c")))
-    val stats = df.agg(statsCols.head, statsCols.tail: _*).head()
+    val ranges: Map[String, (Double, Double)] =
+      if (zCols.forall(statsHint.contains)) statsHint
+      else {
+        val statsCols = zCols.flatMap(c =>
+          Seq(min(zNumeric(df, c)).as(s"_mn_$c"),
+            max(zNumeric(df, c)).as(s"_mx_$c")))
+        val stats = df.agg(statsCols.head, statsCols.tail: _*).head()
+        zCols.map(c => c -> ((
+          Option(stats.getAs[java.lang.Double](s"_mn_$c")).map(_.toDouble).getOrElse(0.0),
+          Option(stats.getAs[java.lang.Double](s"_mx_$c")).map(_.toDouble).getOrElse(1.0)))).toMap
+      }
     val ranked = zCols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
-      val mn = Option(stats.getAs[java.lang.Double](s"_mn_$c")).map(_.toDouble).getOrElse(0.0)
-      val mx = Option(stats.getAs[java.lang.Double](s"_mx_$c")).map(_.toDouble).getOrElse(1.0)
+      val (mn, mx) = ranges(c)
       val span = math.max(mx - mn, Double.MinPositiveValue)
       d.withColumn(s"_graft_z_$i",
         least(greatest(

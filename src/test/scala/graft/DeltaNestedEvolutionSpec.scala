@@ -110,6 +110,28 @@ class DeltaNestedEvolutionSpec extends SparkSpec {
       Seq("title"))
   }
 
+  test("columnMapping=true is never silently ignored on an existing table") {
+    val root = tmp() + "/t"
+    DeltaWriter.write(Seq((1L, "a")).toDF("k", "v"), root) // unmapped
+    val e = intercept[IllegalArgumentException](
+      DeltaWriter.write(Seq((2L, "b")).toDF("k", "v"), root,
+        mode = "append", columnMapping = true))
+    assert(e.getMessage.contains("UNMAPPED"), e.getMessage)
+    // a FULL overwrite upgrades: files rewrite under physical names and
+    // the protocol bumps in the same commit
+    DeltaWriter.write(Seq((3L, "c")).toDF("k", "v"), root,
+      mode = "overwrite", columnMapping = true)
+    val snap = DeltaLog.snapshot(spark, root)
+    assert(snap.configuration("delta.columnMapping.mode") == "name")
+    assert(snap.minReaderVersion == 2 && snap.minWriterVersion == 5,
+      s"${snap.minReaderVersion}/${snap.minWriterVersion}")
+    assert(DeltaLog.read(spark, root).as[(Long, String)].collect().toSeq ==
+      Seq((3L, "c")))
+    // the upgraded table now supports metadata-only rename
+    DeltaWriter.renameColumn(spark, root, "v", "label")
+    assert(DeltaLog.read(spark, root).columns.toSeq == Seq("k", "label"))
+  }
+
   test("nested rename mid-stream tracks by mapping id and the stream resumes") {
     val root = tmp() + "/t"; val cp = tmp(); val track = tmp(); val out = tmp()
     DeltaWriter.write(docFrame(1 to 5), root, columnMapping = true)

@@ -413,6 +413,28 @@ class IcebergMaintenanceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("setProperties validates retention values BEFORE committing") {
+    val root = tmp()
+    IcebergSource.write(Seq((1L, "a")).toDF("k", "v"), root)
+    val vBefore = IcebergSource.tableMeta(spark, root).version
+    val e1 = intercept[IllegalArgumentException](
+      IcebergMaintenance.setProperties(spark, root,
+        Map("write.metadata.previous-versions-max" -> "0")))
+    assert(e1.getMessage.contains(">= 1"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      IcebergMaintenance.setProperties(spark, root,
+        Map("write.metadata.previous-versions-max" -> "3x")))
+    assert(e2.getMessage.contains("integer"), e2.getMessage)
+    // nothing committed, and FOREIGN garbage in the property (simulated
+    // via a valid commit then checking the writer path tolerates it)
+    assert(IcebergSource.tableMeta(spark, root).version == vBefore)
+    // a table whose property is garbage (foreign-written) must not make
+    // later commits look failed — the trim silently disables
+    IcebergMaintenance.setProperties(spark, root, Map("owner" -> "t"))
+    IcebergSource.write(Seq((2L, "b")).toDF("k", "v"), root, mode = "append")
+    assert(IcebergSource.read(spark, root).count() == 2)
+  }
+
   test("a rename accompanied by a TYPE change fails loudly, never nulls") {
     val root = tmp()
     IcebergSource.write(Seq((1L, "a")).toDF("k", "v"), root)

@@ -110,6 +110,28 @@ class IcebergNestedEvolutionSpec extends SparkSpec {
     assert(e.getMessage.contains("ancestor"), e.getMessage)
   }
 
+  test("renaming a struct AFTER member evolution is refused (would brick reads)") {
+    // member renamed first: renaming the parent struct later would trip
+    // the alias type guard on EVERY subsequent scan — schemas history,
+    // not files, carries the conflict, so nothing could repair it
+    val root = tmp() + "/t"
+    IcebergSource.write(docFrame(1 to 10), root)
+    IcebergMaintenance.renameColumn(spark, root, "info.meta.score", "rank")
+    val e = intercept[IllegalArgumentException](
+      IcebergMaintenance.renameColumn(spark, root, "info", "data"))
+    assert(e.getMessage.contains("member evolution"), e.getMessage)
+    // member DROPPED first: same refusal (the type JSON differs across
+    // retained schemas), and the table stays fully readable
+    val root2 = tmp() + "/t"
+    IcebergSource.write(docFrame(1 to 10), root2)
+    IcebergMaintenance.dropColumn(spark, root2, "info.meta.author")
+    val e2 = intercept[IllegalArgumentException](
+      IcebergMaintenance.renameColumn(spark, root2, "info", "data"))
+    assert(e2.getMessage.contains("member evolution"), e2.getMessage)
+    assert(IcebergSource.read(spark, root2).count() == 10)
+    assert(IcebergSource.read(spark, root).count() == 10)
+  }
+
   test("drop guards: last member of a struct, missing path") {
     val root = tmp() + "/t"
     IcebergSource.write(docFrame(1 to 10), root)

@@ -61,6 +61,34 @@ class StreamDropRecoverySpec extends SparkSpec {
     } finally q3.stop()
   }
 
+  test("iceberg: a NESTED member drop recovers through the same opt-in") {
+    val root = tmp() + "/t"; val cp = tmp(); val track = tmp(); val out = tmp()
+    IcebergSource.write(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "v", "junk")
+        .select(col("k"), struct(col("v"), col("junk")).as("info")), root)
+    def start() = spark.readStream.format("graft-iceberg")
+      .option("schemaTrackingLocation", track)
+      .option("allowColumnDrop", "true").load(root)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp).start()
+    val q1 = start()
+    val e = try {
+      q1.processAllAvailable()
+      IcebergMaintenance.dropColumn(spark, root, "info.junk")
+      IcebergSource.write(
+        Seq((3L, "c")).toDF("k", "v")
+          .select(col("k"), struct(col("v")).as("info")),
+        root, mode = "append")
+      intercept[StreamingQueryException] { q1.processAllAvailable() }
+    } finally q1.stop()
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("column DROP"), msg)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.option("mergeSchema", "true").parquet(out).count() == 3,
+      "nested-drop restart duplicated or dropped rows")
+  }
+
   test("iceberg: without the opt-in a drop stays a loud permanent failure") {
     val root = tmp() + "/t"; val cp = tmp(); val track = tmp(); val out = tmp()
     IcebergSource.write(Seq((1L, "a", 10.0)).toDF("k", "v", "junk"), root)

@@ -134,7 +134,14 @@ def main():
                 else:
                     passed.append(name)
     if update_golden:
-        goldens_all[sf_key] = new_goldens
+        # MERGE into the existing map: a run where one golden query's
+        # output dir was absent must not silently erase its frozen hash
+        # (which would downgrade it to rows-only on the next run)
+        missing = GOLDEN_QUERIES - set(new_goldens)
+        if missing:
+            print(f"\nGOLDEN WARNING: no output for {sorted(missing)} — "
+                  "their frozen hashes are kept unchanged")
+        goldens_all[sf_key] = {**goldens_all.get(sf_key, {}), **new_goldens}
         with open(GOLDEN_FILE, "w") as f:
             json.dump(goldens_all, f, indent=1, sort_keys=True)
         print(f"\nGOLDEN updated ({sf_key}):", " ".join(sorted(new_goldens)))
