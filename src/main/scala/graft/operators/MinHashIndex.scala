@@ -128,10 +128,23 @@ object MinHashIndex {
                    maxCandidatesPerDoc: Int = 200): DataFrame = {
     val spark = batch.sparkSession
     checkParams(spark, path, params)
-    val inBatch = Dedup.minhashDedup(batch, idCol, textCol,
-      params.shingleSize, params.numHashes, params.bands)
-    val s = signed(inBatch, idCol, textCol, params)
-    val probe = bandRows(s, params)
+    // ONE signature pass over the batch text, materialized: the signature
+    // frame is the lightweight proxy (~0.5 KB/doc) every decision below
+    // reads — in-batch dedup, index probe AND verify. Referencing the
+    // lazily-signed frame from each consumer instead re-evaluated the
+    // shingle+minhash expressions once per plan subtree (4× the dominant
+    // cost; the corpus text itself is read exactly once).
+    val sigs = signed(batch, idCol, textCol, params).localCheckpoint()
+    val banded = bandRows(sigs, params)
+    // in-batch dedup over the banded signatures — the same label
+    // assignment as [[Dedup.minhashDedup]] (identical band/bucket
+    // construction), minus its second text scan
+    val labels = banded
+      .join(banded.groupBy("band", "bucket")
+        .agg(min(col("id")).as("_rep")), Seq("band", "bucket"))
+      .groupBy(col("id")).agg(min(col("_rep")).as("_label"))
+    val keepIds = labels.filter(col("id") === col("_label")).select(col("id"))
+    val probe = banded.join(keepIds, Seq("id"), "left_semi")
     val idx = spark.read.parquet(s"$path/bands")
     val candidates = probe.join(
         idx.select(col("band"), col("bucket"), col("id").as("_iid")),
@@ -149,11 +162,13 @@ object MinHashIndex {
       lit(0), (acc: Column, x: Column) => acc + x)
       .cast("double") / params.numHashes
     val dupIds = capped
-      .join(s.select(col("id"), col("sig")), Seq("id"))
+      .join(sigs.select(col("id"), col("sig")), Seq("id"))
       .join(idxSigs, Seq("_iid"))
       .filter(agree >= threshold)
       .select(col("id")).distinct()
-    inBatch.join(dupIds.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+    val surviveIds = keepIds.join(dupIds, Seq("id"), "left_anti")
+      .withColumnRenamed("id", idCol)
+    batch.join(surviveIds, Seq(idCol), "left_semi")
   }
 
   /** The incremental-pipeline step: dedup the batch against the index,

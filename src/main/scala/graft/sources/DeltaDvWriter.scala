@@ -471,19 +471,10 @@ object DeltaDvWriter {
                           snap: DeltaLog.Snapshot, scan: DataFrame): DataFrame = {
     val dvFiles = snap.files.filter(_.deletionVector.isDefined)
     if (dvFiles.isEmpty) return scan
-    val f = fs(spark, root)
-    val payloads = dvFiles.map { a =>
-      basename(DeltaLog.decodePath(a.path)) ->
-        DeletionVectors.payload(f, root, a.deletionVector.get)
-    }
-    val schema = StructType(Seq(StructField("_gf_file", StringType),
-      StructField("_gf_ridx", LongType)))
-    val rows = spark.sparkContext
-      .parallelize(payloads, math.max(1, math.min(payloads.size, 32)))
-      .flatMap { case (file, bytes) =>
-        DeletionVectors.decodePositions(bytes).iterator.map(p => Row(file, p))
-      }
-    scan.join(spark.createDataFrame(rows, schema),
+    // broadcast-hinted below the cardinality cap (see
+    // DeltaLog.deletedPositions): the anti-join must not shuffle the scan
+    scan.join(
+      DeltaLog.deletedPositions(spark, root, dvFiles, "_gf_file", "_gf_ridx"),
       Seq("_gf_file", "_gf_ridx"), "left_anti")
   }
 

@@ -565,22 +565,8 @@ object DeltaLog {
                                             snap: Snapshot, scan: DataFrame): DataFrame = {
     val dvFiles = snap.files.filter(_.deletionVector.isDefined)
     if (dvFiles.isEmpty) return scan
-    val f = fs(spark, root)
-    val base = (p: String) => p.substring(p.lastIndexOf('/') + 1)
-    val payloads: Seq[(String, Array[Byte])] = dvFiles.map { a =>
-      base(decodePath(a.path)) -> DeletionVectors.payload(f, root, a.deletionVector.get)
-    }
-    val schema = StructType(Seq(
-      org.apache.spark.sql.types.StructField("_gf_dv_file",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("_gf_dv_ridx",
-        org.apache.spark.sql.types.LongType)))
-    val rows = spark.sparkContext
-      .parallelize(payloads, math.max(1, math.min(payloads.size, 32)))
-      .flatMap { case (file, bytes) =>
-        DeletionVectors.decodePositions(bytes).iterator.map(p => Row(file, p))
-      }
-    val deleted = spark.createDataFrame(rows, schema)
+    val deleted = deletedPositions(spark, root, dvFiles,
+      "_gf_dv_file", "_gf_dv_ridx")
     // collision-free provenance columns: `scan` MUST be the raw parquet
     // scan (possibly with extra withColumns) — input_file_name() and
     // `_metadata` are undefined after a join, so callers that need their
@@ -590,6 +576,44 @@ object DeltaLog {
       .withColumn("_gf_dv_ridx", col("_metadata.row_index"))
       .join(deleted, Seq("_gf_dv_file", "_gf_dv_ridx"), "left_anti")
       .drop("_gf_dv_file", "_gf_dv_ridx")
+  }
+
+  /**
+   * (file basename, deleted row index) rows for a snapshot's DV-carrying
+   * files, BROADCAST-hinted when the log's own recorded cardinalities say
+   * the decoded position set is small: the anti-join then builds one hash
+   * relation instead of shuffling + sorting the ENTIRE data scan against
+   * a few thousand positions (the plan was SortMergeJoin with an Exchange
+   * on the 100 TB side). Beyond the cap
+   * (`spark.graft.dv.broadcastMaxPositions`, default 4M positions — a
+   * few hundred MB of hash relation, far cheaper than a full-table
+   * shuffle but bounded so a pathological table cannot OOM the driver)
+   * the frame is left unhinted and the planner falls back to the shuffle.
+   */
+  private[sources] def deletedPositions(spark: SparkSession, root: String,
+                                        dvFiles: Seq[AddFile],
+                                        fileCol: String,
+                                        posCol: String): DataFrame = {
+    val f = fs(spark, root)
+    val base = (p: String) => p.substring(p.lastIndexOf('/') + 1)
+    val payloads: Seq[(String, Array[Byte])] = dvFiles.map { a =>
+      base(decodePath(a.path)) -> DeletionVectors.payload(f, root, a.deletionVector.get)
+    }
+    val schema = StructType(Seq(
+      org.apache.spark.sql.types.StructField(fileCol,
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(posCol,
+        org.apache.spark.sql.types.LongType)))
+    val rows = spark.sparkContext
+      .parallelize(payloads, math.max(1, math.min(payloads.size, 32)))
+      .flatMap { case (file, bytes) =>
+        DeletionVectors.decodePositions(bytes).iterator.map(p => Row(file, p))
+      }
+    val deleted = spark.createDataFrame(rows, schema)
+    val cap = spark.conf.getOption("spark.graft.dv.broadcastMaxPositions")
+      .map(_.toLong).getOrElse(4000000L)
+    val totalCardinality = dvFiles.flatMap(_.deletionVector).map(_.cardinality).sum
+    if (totalCardinality <= cap) broadcast(deleted) else deleted
   }
 
   // ------------------------------------------------------ change data feed

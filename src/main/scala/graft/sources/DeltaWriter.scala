@@ -503,7 +503,10 @@ object DeltaWriter {
       buf.toSeq
     }
     val stagingUri = staging.toUri.getPath
-    val adds = staged.zipWithIndex.map { case (s, i) =>
+    // parallel rename+footer loop: each staged file's move, stat and
+    // footer-stats read are independent driver I/O (~10-20 ms apiece);
+    // a wide-partition commit paid them serially
+    val adds = graft.core.DriverPar.map(staged.zipWithIndex.toSeq) { case (s, i) =>
       val stagedRel = s.getPath.toUri.getPath.stripPrefix(stagingUri).stripPrefix("/")
       val segs = stagedRel.split('/')
       val pv: Map[String, Option[String]] =

@@ -353,18 +353,17 @@ object IcebergMaintenance {
     val kept = data.filterNot(e => compacted.contains(e.path))
     val conf = spark.sessionState.newHadoopConf()
     val newFiles: Seq[(String, Long, Long, Map[String, Any], Seq[StatsPruning.LeafStats])] =
-      bins.zipWithIndex.flatMap { case ((part, _), i) =>
+      graft.core.DriverPar.map(bins.zipWithIndex.toSeq) { case ((part, _), i) =>
         val binDir = new Path(outDir, s"_gf_bin=$i")
         if (!f.exists(binDir)) Nil
-        else f.listStatus(binDir).toSeq
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .map { s =>
+        else graft.core.DriverPar.map(f.listStatus(binDir).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))) { s =>
             // one footer read: row count + the column stats the new
             // manifest entries carry (compaction must not lose skipping)
             val (n, leaves) = StatsPruning.footerLeafStats(conf, s.getPath)
             (s.getPath.toString, s.getLen, n, part, leaves)
           }
-      }.toSeq
+      }.flatten
     // row conservation: without deletes, output rows must equal the
     // manifests' record counts; under merge-on-read the expectation is
     // the DV-applied row count the rewrite job itself observed

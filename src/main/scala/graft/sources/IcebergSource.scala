@@ -1525,7 +1525,8 @@ object IcebergSource {
         }
         buf.toSeq.sortBy(_.getPath.toString)
       }
-      val counts = files.map(s => parquetRowCount(conf, s.getPath))
+      val counts = graft.core.DriverPar.map(files)(s =>
+        parquetRowCount(conf, s.getPath))
       val rows = counts.sum
       if (rows == 0L) { f.delete(delDir, true); return DeleteResult(None, 0L, 0) }
 
@@ -1593,7 +1594,8 @@ object IcebergSource {
         }
         buf.toSeq.sortBy(_.getPath.toString)
       }
-      val counts = files.map(s => parquetRowCount(conf, s.getPath))
+      val counts = graft.core.DriverPar.map(files)(s =>
+        parquetRowCount(conf, s.getPath))
       val rows = counts.sum
       if (rows == 0L) { f.delete(delDir, true); return DeleteResult(None, 0L, 0) }
 
@@ -2482,8 +2484,10 @@ object IcebergSource {
     // one footer read per staged file yields the row count AND the
     // per-column min/max/null-count maps the manifest entries carry —
     // what read()'s column-bound pruning (and any external Iceberg
-    // planner) skips files on
-    val fileFooters = files.map(s => StatsPruning.footerLeafStats(conf, s.getPath))
+    // planner) skips files on; parallel — serial footer reads dominated
+    // wide-partition commits (driver metadata I/O, ~10 ms/file)
+    val fileFooters = graft.core.DriverPar.map(files)(s =>
+      StatsPruning.footerLeafStats(conf, s.getPath))
     val counts = fileFooters.map(_._1)
     val rows = counts.sum
     // table field ids for the stats map keys: existing ids for an append
