@@ -30,15 +30,41 @@ object Sampling {
     require(n >= 1, s"n must be >= 1, got $n")
     val strata: Seq[Column] = strataCols.map(col)
     val key = md5(concat_ws("|", keyCols.map(c => col(c).cast("string")): _*))
-    val localW = Window.partitionBy(strata :+ col("_pid"): _*).orderBy(col("_skey"))
+    val keyed = df.withColumn("_skey", key)
+    // phase 1: per-INPUT-PARTITION top-n per stratum with NO exchange —
+    // the old Window.partitionBy(strata, spark_partition_id()) ranked the
+    // same groups but hash-shuffled the ENTIRE input first to cluster by
+    // a key that is by definition already partition-local. A bounded
+    // in-task heap keeps the identical ≤ n-per-(partition, stratum)
+    // superset while only the ≤ n×P survivors ever shuffle.
+    val schema = keyed.schema
+    val sIdx = strataCols.map(schema.fieldIndex)
+    val kIdx = schema.fieldIndex("_skey")
+    val local = keyed.mapPartitions { it =>
+      val heaps = scala.collection.mutable.HashMap
+        .empty[Seq[Any], java.util.PriorityQueue[org.apache.spark.sql.Row]]
+      // max-heap on _skey: the root is the WORST survivor, evicted first
+      val cmp = new java.util.Comparator[org.apache.spark.sql.Row] {
+        def compare(a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row): Int =
+          b.getString(kIdx).compareTo(a.getString(kIdx))
+      }
+      it.foreach { r =>
+        val h = heaps.getOrElseUpdate(sIdx.map(r.get),
+          new java.util.PriorityQueue[org.apache.spark.sql.Row](n + 1, cmp))
+        if (h.size < n) { h.add(r); () }
+        else if (r.getString(kIdx) < h.peek().getString(kIdx)) {
+          h.poll(); h.add(r); ()
+        }
+      }
+      heaps.valuesIterator.flatMap(h =>
+        scala.jdk.CollectionConverters.IteratorHasAsScala(h.iterator()).asScala)
+    }(org.apache.spark.sql.Encoders.row(schema))
+    // phase 2: exact global rank over the survivors (unchanged)
     val globalW = Window.partitionBy(strata: _*).orderBy(col("_skey"))
-    df.withColumn("_skey", key)
-      .withColumn("_pid", spark_partition_id())
-      .withColumn("_lrn", row_number().over(localW))
-      .filter(col("_lrn") <= n)
+    local
       .withColumn("_rn", row_number().over(globalW))
       .filter(col("_rn") <= n)
-      .drop("_skey", "_pid", "_lrn", "_rn")
+      .drop("_skey", "_rn")
   }
 
   /**

@@ -4,7 +4,7 @@ import java.util.UUID
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -86,7 +86,12 @@ object DeltaDvWriter {
              checkpointInterval: Int = 10, cdf: Boolean = true,
              partitionFilter: Map[String, String] = Map.empty): DeleteResult =
     deleteMatching(spark, root, _.filter(expr(condition)), condition,
-      checkpointInterval, cdf, partitionFilter)
+      checkpointInterval, cdf, partitionFilter,
+      // stats-based candidate pruning: a file whose add-action min/max
+      // bounds prove no row can match contributes no positions, so its
+      // scan is skipped — the same skipping read(dataFilter) does, now
+      // on the DELETE planner (sound: the condition re-applies on scan)
+      candidatePrune = Some(expr(condition)))
 
   /** Hard-delete by key set (the detect_deletes apply_mode=hard shape):
     * rows whose `keys` tuple appears in `deletedKeys` are DV-deleted. */
@@ -105,10 +110,12 @@ object DeltaDvWriter {
                              predicateDesc: String,
                              checkpointInterval: Int,
                              cdf: Boolean,
-                             partitionFilter: Map[String, String] = Map.empty): DeleteResult = {
+                             partitionFilter: Map[String, String] = Map.empty,
+                             candidatePrune: Option[Column] = None): DeleteResult = {
     val r = rowLevelCommit(spark, root,
       prov => RowPlan(matchRows(prov)), "DELETE", predicateDesc,
-      checkpointInterval, cdf, partitionFilter, txn = None)
+      checkpointInterval, cdf, partitionFilter, txn = None,
+      candidatePrune = candidatePrune)
     DeleteResult(r.version, r.deletedRows, r.filesTouched, r.dvFiles)
   }
 
@@ -149,7 +156,8 @@ object DeltaDvWriter {
                                       cdf: Boolean,
                                       partitionFilter: Map[String, String],
                                       txn: Option[(String, Long)],
-                                      evolve: Option[DeltaSchema.Evolution] = None)
+                                      evolve: Option[DeltaSchema.Evolution] = None,
+                                      candidatePrune: Option[Column] = None)
       : RowCommitResult = {
     require(DeltaLog.isDeltaTable(spark, root), s"$root is not a Delta table")
     val f = fs(spark, root)
@@ -181,7 +189,7 @@ object DeltaDvWriter {
       // candidate pruning: only files inside the declared partition scope
       // are scanned for positions (and re-added with vectors);
       // partitionValues are keyed by PHYSICAL names under column mapping
-      val snap = if (partitionFilter.isEmpty) snap0 else {
+      val snapP = if (partitionFilter.isEmpty) snap0 else {
         val unknown = partitionFilter.keySet -- snap0.partitionColumns.toSet
         require(unknown.isEmpty,
           s"partitionFilter keys $unknown are not partition columns " +
@@ -190,6 +198,15 @@ object DeltaDvWriter {
           case (k, v) => a.partitionValues.get(physOf.getOrElse(k, k))
             .orElse(a.partitionValues.get(k)).flatten.contains(v)
         }))
+      }
+      // min/max-stats candidate pruning (DELETE WHERE shape): files whose
+      // bounds prove no match are left untouched — neither scanned for
+      // positions nor re-listed; sound because the predicate re-applies
+      // on the scanned rows and an unmatched file gains no vector
+      val snap = candidatePrune match {
+        case Some(c) if snapP.files.nonEmpty =>
+          snapP.copy(files = DeltaStats.prune(spark, snapP, c).files)
+        case _ => snapP
       }
       // an empty candidate set still feeds plan() an empty provenance
       // frame — a MERGE into an empty (or fully-pruned) table degenerates

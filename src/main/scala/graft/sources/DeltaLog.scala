@@ -675,11 +675,16 @@ object DeltaLog {
           fd.nullable)) ++ extra)
     val ordered = snap.schema.fieldNames.toSeq
 
-    /** Read one file group, attach partition values + the change cols.
-      * `changeType` = Some(ct) stamps a derived type; None means the files
-      * are cdc files carrying their own `_change_type` column. */
-    def readGroup(files: Seq[AddFile], changeType: Option[String],
-                  version: Long, ts: Long): Option[DataFrame] = {
+    /** Read one file group — files of ONE change class across ALL range
+      * commits, ONE parquet scan — attaching partition values plus the
+      * change cols. `_commit_version`/`_commit_timestamp` stamp per file
+      * through a (basename → value) literal map, so a 50-commit CDF range
+      * plans 1-2 scans instead of a union of one subplan per
+      * (commit, class) (plan analysis alone dominated multi-commit
+      * ranges). `changeType` = Some(ct) stamps a derived type; None means
+      * cdc files carrying their own `_change_type` column. */
+    def readGroup(files: Seq[(AddFile, Long, Long)],
+                  changeType: Option[String]): Option[DataFrame] = {
       if (files.isEmpty) return None
       val ctField =
         if (changeType.isEmpty)
@@ -687,7 +692,7 @@ object DeltaLog {
             org.apache.spark.sql.types.StringType))
         else Nil
       val scan0 = spark.read.schema(physSchema(ctField))
-        .parquet(files.map(a => absolutize(root, a.path)): _*)
+        .parquet(files.map { case (a, _, _) => absolutize(root, a.path) }: _*)
       val scan = changeType match {
         case Some(ct) => scan0.withColumn("_change_type", lit(ct))
         case None => scan0
@@ -695,14 +700,21 @@ object DeltaLog {
       def logicalCol(c: String) =
         if (!mapped) col(c)
         else col(physOf(c)).cast(stripMeta(logicalType(c))).as(c)
+      val base = (p: String) => p.substring(p.lastIndexOf('/') + 1)
+      val verOf: Map[String, Long] =
+        files.map { case (a, v, _) => base(decodePath(a.path)) -> v }.toMap
+      val tsOf: Map[String, Long] =
+        files.map { case (a, _, t) => base(decodePath(a.path)) -> t }.toMap
+      val withFile = scan.withColumn("_gf_file",
+        element_at(split(input_file_name(), "/"), -1))
       val framed: DataFrame =
         if (snap.partitionColumns.isEmpty)
-          scan.select(ordered.map(logicalCol) :+ col("_change_type"): _*)
+          withFile.select(ordered.map(logicalCol) ++
+            Seq(col("_change_type"), col("_gf_file")): _*)
         else {
-          val base = (p: String) => p.substring(p.lastIndexOf('/') + 1)
           def pvOf(a: AddFile, c: String): Option[String] =
             a.partitionValues.get(physOf(c)).orElse(a.partitionValues.get(c)).flatten
-          val pvRows = files.map { a =>
+          val pvRows = files.map { case (a, _, _) =>
             Row.fromSeq(base(decodePath(a.path)) +:
               snap.partitionColumns.map(c => pvOf(a, c).orNull))
           }
@@ -714,18 +726,19 @@ object DeltaLog {
                   org.apache.spark.sql.types.StringType)))
           val pv = spark.createDataFrame(
             spark.sparkContext.parallelize(pvRows.toSeq, 1), pvSchema)
-          scan.withColumn("_gf_file",
-              element_at(split(input_file_name(), "/"), -1))
-            .join(broadcast(pv), Seq("_gf_file"))
+          withFile.join(broadcast(pv), Seq("_gf_file"))
             .select(ordered.map { c =>
               if (snap.partitionColumns.contains(c))
                 col(s"_gf_pv_$c").cast(stripMeta(logicalType(c))).as(c)
               else logicalCol(c)
-            } :+ col("_change_type"): _*)
+            } ++ Seq(col("_change_type"), col("_gf_file")): _*)
         }
       Some(framed
-        .withColumn("_commit_version", lit(version))
-        .withColumn("_commit_timestamp", timestamp_millis(lit(ts))))
+        .withColumn("_commit_version",
+          element_at(typedLit(verOf), col("_gf_file")))
+        .withColumn("_commit_timestamp",
+          timestamp_millis(element_at(typedLit(tsOf), col("_gf_file"))))
+        .drop("_gf_file"))
     }
 
     def pvMap(n: JsonNode): Map[String, Option[String]] =
@@ -795,20 +808,42 @@ object DeltaLog {
       val b = math.min(hi - offset, xs.size.toLong)
       if (a >= b) Nil else xs.slice(a.toInt, b.toInt)
     }
-    val frames = parsed.flatMap { pc =>
+    // accumulate per change class ACROSS commits — one scan per class.
+    // Per-file stamping needs unique basenames within a class; a path
+    // re-added after a remove (protocol-legal, no real writer does it)
+    // would collide in the stamp map, so such a class falls back to
+    // per-commit frames.
+    val cdcAll = scala.collection.mutable.ArrayBuffer[(AddFile, Long, Long)]()
+    val insAll = scala.collection.mutable.ArrayBuffer[(AddFile, Long, Long)]()
+    val delAll = scala.collection.mutable.ArrayBuffer[(AddFile, Long, Long)]()
+    parsed.foreach { pc =>
       val lo = if (pc.version == fromVersion) fromIndex else 0L
       val hi = if (pc.version == to) untilIndex else Long.MaxValue
       val patchedRemoves = pc.removes.map(a =>
         if (a.partitionValues.nonEmpty) a
         else a.copy(partitionValues = pvByPath.getOrElse(a.path, Map.empty)))
       if (pc.cdc.nonEmpty)
-        readGroup(sliceOf(pc.cdc, 0L, lo, hi), None, pc.version, pc.ts).toSeq
-      else
-        readGroup(sliceOf(pc.adds, 0L, lo, hi), Some("insert"),
-            pc.version, pc.ts).toSeq ++
-          readGroup(sliceOf(patchedRemoves, pc.adds.size.toLong, lo, hi),
-            Some("delete"), pc.version, pc.ts).toSeq
+        cdcAll ++= sliceOf(pc.cdc, 0L, lo, hi).map((_, pc.version, pc.ts))
+      else {
+        insAll ++= sliceOf(pc.adds, 0L, lo, hi).map((_, pc.version, pc.ts))
+        delAll ++= sliceOf(patchedRemoves, pc.adds.size.toLong, lo, hi)
+          .map((_, pc.version, pc.ts))
+      }
     }
+    def grouped(all: Seq[(AddFile, Long, Long)],
+                ct: Option[String]): Seq[DataFrame] = {
+      // stamping (and the pv join) key on the file BASENAME — writers
+      // name files with a fresh uuid, but verify rather than assume
+      val names = all.map { case (a, _, _) =>
+        val p = decodePath(a.path); p.substring(p.lastIndexOf('/') + 1)
+      }
+      if (names.distinct.size == names.size) readGroup(all, ct).toSeq
+      else all.groupBy { case (_, v, _) => v }.toSeq.sortBy(_._1)
+        .flatMap { case (_, fs0) => readGroup(fs0, ct) }
+    }
+    val frames = grouped(cdcAll.toSeq, None) ++
+      grouped(insAll.toSeq, Some("insert")) ++
+      grouped(delAll.toSeq, Some("delete"))
     frames match {
       case Seq() =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(

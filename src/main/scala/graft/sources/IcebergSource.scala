@@ -1376,10 +1376,11 @@ object IcebergSource {
                                     posDeleteFiles: Seq[FileEntry],
                                     eqDeleteFiles: Seq[FileEntry]): DataFrame = {
     // every delete class is sequence-aware: attach each data row's file
-    // sequence number via a broadcast (normalized path → seq) map
-    val fileSeq = spark.createDataFrame(
-      dataFiles.map(fe => (fe.path, fe.seq)).toSeq).toDF("_gf_rawpath", "_gf_seq")
-      .select(normPath(col("_gf_rawpath")).as("_gf_path"), col("_gf_seq"))
+    // sequence number from a (normalized path → seq) map — a pure
+    // projection (element_at over a literal map) below 1000 files, so
+    // the common MOR read carries NO extra join node; wide scans fall
+    // back to a broadcast join (a plan literal holding 100k paths would
+    // bloat analysis instead of helping it)
     // `_gf_pos` pre-attached by scanEntries(withRowPos = true) when the
     // scan is a generation-split union (where `_metadata` cannot
     // resolve); direct scans still derive it here
@@ -1387,7 +1388,17 @@ object IcebergSource {
       .withColumn("_gf_path", normPath(input_file_name()))
     if (!scan0.columns.contains("_gf_pos"))
       scan = scan.withColumn("_gf_pos", col("_metadata.row_index"))
-    scan = scan.join(broadcast(fileSeq), Seq("_gf_path"))
+    scan =
+      if (dataFiles.size <= 1000)
+        scan.withColumn("_gf_seq", element_at(
+          typedLit(dataFiles.map(fe =>
+            normSchemeString(fe.path) -> fe.seq).toMap), col("_gf_path")))
+      else {
+        val fileSeq = spark.createDataFrame(
+          dataFiles.map(fe => (fe.path, fe.seq)).toSeq).toDF("_gf_rawpath", "_gf_seq")
+          .select(normPath(col("_gf_rawpath")).as("_gf_path"), col("_gf_seq"))
+        scan.join(broadcast(fileSeq), Seq("_gf_path"))
+      }
 
     // position deletes apply to files with data seq <= the delete's seq
     if (posDeleteFiles.nonEmpty) {
@@ -1485,19 +1496,31 @@ object IcebergSource {
       // per-file tuples) — DELETE over one partition of a 100 TB table
       // scans one partition. Caller contract: the filter must be
       // IMPLIED by `condition` (rows outside it are never examined).
-      val (dataFiles, posD, eqD) =
-        collectFiles(conf, root, snap, meta, partitionFilter)
+      // The CONDITION ITSELF additionally projects onto the partition
+      // spec and the manifest column bounds exactly like
+      // read(dataFilter = ...): a file whose bounds prove no row can
+      // match contributes no delete positions, so skipping its scan is
+      // sound — a predicate-scoped DELETE never scans the whole table.
+      val readSchema = stripFieldIds(meta.schema).asInstanceOf[StructType]
+      val resolvedCond =
+        StatsPruning.resolveCondition(spark, readSchema, expr(condition))
+      val condDnf: Seq[Seq[PartitionPredicate]] =
+        resolvedCond.flatMap(derivedDnfOf(meta, _)).getOrElse(Nil)
+      val (dataFiles0, posD, eqD) =
+        collectFiles(conf, root, snap, meta, partitionFilter, condDnf)
+      val dataFiles = resolvedCond match {
+        case Some(c) => pruneByBounds(dataFiles0, c, meta, readSchema)
+        case None => dataFiles0
+      }
       if (dataFiles.isEmpty) return DeleteResult(None, 0L, 0)
 
-      val readSchema = stripFieldIds(meta.schema).asInstanceOf[StructType]
       val scan0 = scanEntries(spark, meta, readSchema, dataFiles.toSeq)
       val prov = applyDeletes(spark, meta, scan0, dataFiles, posD, eqD)
       // delete files must reference the EXACT path string the manifests
-      // record; _gf_path is scheme-normalized, so map it back via a
-      // broadcast (normalized -> recorded) frame
-      val pathBack = spark.createDataFrame(
-        dataFiles.map(fe => (normSchemeString(fe.path), fe.path)).toSeq)
-        .toDF("_gf_path", "file_path")
+      // record; _gf_path is scheme-normalized, so map it back through a
+      // (normalized -> recorded) literal map — a projection, not a join
+      val pathBackMap: Map[String, String] =
+        dataFiles.map(fe => normSchemeString(fe.path) -> fe.path).toMap
       val commitUuid = java.util.UUID.randomUUID().toString
       val delDir = new Path(root, s"data/$commitUuid")
       // the spec's RESERVED field ids for position-delete columns:
@@ -1509,10 +1532,23 @@ object IcebergSource {
         .putLong("parquet.field.id", 2147483546L).build()
       val posMeta = new org.apache.spark.sql.types.MetadataBuilder()
         .putLong("parquet.field.id", 2147483545L).build()
-      prov.filter(expr(condition))
-        .join(broadcast(pathBack), Seq("_gf_path"))
-        .select(col("file_path").as("file_path", fpMeta),
-          col("_gf_pos").as("pos", posMeta))
+      val matched =
+        if (dataFiles.size <= 1000)
+          prov.filter(expr(condition))
+            .select(element_at(typedLit(pathBackMap), col("_gf_path"))
+                .as("file_path", fpMeta),
+              col("_gf_pos").as("pos", posMeta))
+        else {
+          // a plan literal holding 100k+ paths bloats analysis — wide
+          // tables keep the broadcast-join shape
+          val pathBack = spark.createDataFrame(pathBackMap.toSeq)
+            .toDF("_gf_path", "file_path")
+          prov.filter(expr(condition))
+            .join(broadcast(pathBack), Seq("_gf_path"))
+            .select(col("file_path").as("file_path", fpMeta),
+              col("_gf_pos").as("pos", posMeta))
+        }
+      matched
         .repartition(col("file_path"))
         .sortWithinPartitions("file_path", "pos")
         .write.mode("errorifexists").parquet(delDir.toString)

@@ -265,6 +265,59 @@ object WarcSource {
 
   private val CRLF = "\r\n".getBytes("ISO-8859-1")
 
+  /**
+   * One-gzip-member-per-record writer with a REUSED `Deflater`:
+   * `new GZIPOutputStream` per record allocated (and finalizer-queued) a
+   * fresh native Deflater each time — at millions of records per task
+   * that is allocation/cleaner churn on the hot write path, not
+   * compression work. Emits the same RFC-1952 stream shape
+   * (10-byte header, raw deflate, CRC32+ISIZE trailer) GZIPOutputStream
+   * produces; `GZIPInputStream` reads the members concatenated.
+   */
+  private final class GzipMemberWriter(out: OutputStream) {
+    private val deflater =
+      new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    private val crc = new java.util.zip.CRC32()
+    private val buf = new Array[Byte](64 * 1024)
+    private val header = Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0)
+
+    private def drain(): Unit = {
+      var n = deflater.deflate(buf)
+      while (n > 0) { out.write(buf, 0, n); n = deflater.deflate(buf) }
+    }
+
+    def writeMember(parts: Array[Byte]*): Unit = {
+      deflater.reset(); crc.reset()
+      out.write(header)
+      var total = 0L
+      parts.foreach { p =>
+        crc.update(p); total += p.length
+        deflater.setInput(p)
+        drain()
+      }
+      deflater.finish()
+      while (!deflater.finished()) drain()
+      writeIntLE(crc.getValue.toInt); writeIntLE(total.toInt)
+    }
+
+    private def writeIntLE(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+
+    def end(): Unit = deflater.end()
+  }
+
+  /** WARC header block + trailing CRLFs for one record (payload excluded). */
+  private def recordHeaderBytes(headers: Seq[(String, String)],
+                                payloadLen: Int): Array[Byte] = {
+    val sb = new StringBuilder(256)
+    sb.append("WARC/1.0\r\n")
+    headers.foreach { case (k, v) => sb.append(k).append(": ").append(v).append("\r\n") }
+    sb.append("Content-Length: ").append(payloadLen).append("\r\n\r\n")
+    sb.toString.getBytes("ISO-8859-1")
+  }
+
   private def writeRecord(out: OutputStream, headers: Seq[(String, String)],
                           payload: Array[Byte], codec: String): Unit = {
     // one compressed member/frame per record (Common Crawl convention):
@@ -348,6 +401,9 @@ object WarcSource {
           val out = new Path(dir, f"part-$i%05d-$token.$ext")
           val os = out.getFileSystem(conf).create(out, false)
           var n = 0L
+          val trailer = "\r\n\r\n".getBytes("ISO-8859-1")
+          // one reused Deflater per output file, not one per record
+          val gz = if (codec == "gzip") Some(new GzipMemberWriter(os)) else None
           try rows.foreach { r =>
             val payload = Option(r.getAs[Array[Byte]]("content"))
               .getOrElse(Array.emptyByteArray)
@@ -372,9 +428,13 @@ object WarcSource {
                 uri.map("WARC-Target-URI" -> _) ++
                 Option(r.getAs[String]("content_type")).map("Content-Type" -> _) ++
                 extra
-            writeRecord(os, headers, payload, codec)
+            gz match {
+              case Some(g) => g.writeMember(
+                recordHeaderBytes(headers, payload.length), payload, trailer)
+              case None => writeRecord(os, headers, payload, codec)
+            }
             n += 1
-          } finally os.close()
+          } finally { gz.foreach(_.end()); os.close() }
           Iterator.single(n)
         }
       }.sum().toLong
