@@ -408,11 +408,23 @@ object IcebergMaintenance {
       r.put("deleted_rows_count", 0L)
       r
     }
-    // delete manifests carry over: kept EXISTING files still need their
-    // deletes; entries targeting compacted (retired) paths dangle
-    // harmlessly (the path join never matches) until snapshots expire
+    // delete manifests carry over ONLY while a kept (un-compacted) file
+    // could still bind to them: position deletes bind to data sequences
+    // <= their own, equality deletes strictly below — so a delete
+    // manifest whose sequence number is BELOW every kept file's can
+    // never affect any current or future file (rewritten/appended files
+    // always take a higher sequence) and is retired here. A full
+    // compaction (kept = ∅) therefore drops the delete machinery from
+    // the snapshot entirely: post-compaction reads are plain scans with
+    // no delete-file parquet reads and no anti-joins (the dangling
+    // entries previously cost every reader that machinery until
+    // snapshot expiry).
+    val minKeptSeq: Long =
+      if (kept.isEmpty) Long.MaxValue else kept.map(_.seq).min
     val deleteMls = IcebergSource.currentMlRecords(conf, root, meta)
       .filter(r => Option(r.get("content")).exists(_.asInstanceOf[Int] == 1))
+      .filter(r => Option(r.get("sequence_number"))
+        .exists(_.asInstanceOf[Long] >= minKeptSeq))
     val mlPath = new Path(metaDir(root), s"snap-$snapshotId-$commitUuid.avro")
     writeAvro(conf, mlPath, manifestFileSchema, mlRecord +: deleteMls)
 
