@@ -29,6 +29,25 @@ object ProfileQ {
     spark.sparkContext.setLogLevel("WARN")
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     @volatile var lastEnd = 0L
+    // host-steal-proof structure metrics: bytes read/shuffled and task
+    // counts are a property of the PLAN, not of hypervisor contention —
+    // they are the reliable before/after evidence when wall-clock is noisy
+    val inputBytes = new java.util.concurrent.atomic.AtomicLong
+    val shuffleRead = new java.util.concurrent.atomic.AtomicLong
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    val taskCount = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          inputBytes.addAndGet(m.inputMetrics.bytesRead)
+          shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          taskCount.incrementAndGet()
+        }
+        ()
+      }
+    })
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val desc = Option(js.properties)
@@ -53,11 +72,14 @@ object ProfileQ {
     (1 to reps).foreach { i =>
       println(s"=== $name run $i ===")
       lastEnd = 0L
+      inputBytes.set(0); shuffleRead.set(0); shuffleWrite.set(0); taskCount.set(0)
       val t0 = System.nanoTime()
       val c = fn(spark, sfDir).count()
       // listener events are async; give the queue a moment to drain
       Thread.sleep(300)
-      println(f"=== total ${(System.nanoTime() - t0) / 1e9}%.3f s rows=$c ===")
+      println(f"=== total ${(System.nanoTime() - t0) / 1e9}%.3f s rows=$c " +
+        f"input=${inputBytes.get / 1e6}%.1fMB shufR=${shuffleRead.get / 1e6}%.1fMB " +
+        f"shufW=${shuffleWrite.get / 1e6}%.1fMB tasks=${taskCount.get} ===")
     }
     spark.stop()
   }

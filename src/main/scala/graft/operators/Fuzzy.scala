@@ -105,8 +105,18 @@ object Fuzzy {
                                 maxDist: Int, q: Int,
                                 distCol: String): DataFrame = {
     val kq = maxDist * q
-    val a = prep(left, leftId, leftCol, q)
-    val b = prep(right, rightId, rightCol, q)
+    // lazily localCheckpoint-ed (NOT persist(): the CacheManager
+    // matches cached plans by equality, so a persist would silently
+    // reuse one invocation's blocks in the next — re-runs must
+    // recompute from the inputs): each side feeds THREE consumers
+    // (the prefix-gram
+    // explode — itself read twice, for the frequency table and the
+    // candidate join —, the short-string band join, and the verify
+    // join), which otherwise each re-scan the input and re-compute the
+    // q-gram signatures. Post-[[fuzzyJoin]] value collapse these frames
+    // are distinct-VALUE-sized, not corpus-sized (guide §3.3/§8).
+    val a = prep(left, leftId, leftCol, q).localCheckpoint(false)
+    val b = prep(right, rightId, rightCol, q).localCheckpoint(false)
 
     // Prefix-filter candidates: the kq+1 smallest tagged-gram hashes per
     // string under a GLOBAL total order. The order is rare-gram-first
@@ -207,7 +217,12 @@ object Fuzzy {
     val totalW = compareCols.map(_._2).sum
     require(totalW > 0, "compare-column weights must sum to > 0")
 
+    // localCheckpoint-ed: consumed once per blocking expression plus twice for
+    // the scoring sides — on the entityResolution path `df` is itself a
+    // representative-collapse JOIN whose re-execution is a full input
+    // re-scan per consumer; the projection is (id + compare cols) only
     val base = df.select(col(idCol) +: compareCols.map(c => col(c._1)): _*)
+      .localCheckpoint(false)
 
     // block membership, one row per (record, agreeing block key)
     val keyed = blockingExprs.zipWithIndex.map { case (e, i) =>
@@ -217,11 +232,15 @@ object Fuzzy {
     }.reduce(_.union(_))
 
     // deterministic block cap (window keys on _bkey — fine-grained)
+    // localCheckpoint-ed: the pair generator self-joins this frame — without the
+    // cache the block-cap window (a full shuffle of the key rows) runs
+    // twice, once per join side
     val capped = keyed
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("_bkey")).orderBy(col("_rid"))))
       .where(col("_rn") <= maxBlockSize)
       .select(col("_bkey"), col("_rid"))
+      .localCheckpoint(false)
 
     val pairs = capped.select(col("_bkey"), col("_rid").as("a"))
       .join(capped.select(col("_bkey"), col("_rid").as("b")), "_bkey")
@@ -280,10 +299,15 @@ object Fuzzy {
       .reduce(_ || _)
     val tupleCols = (compareCols.map(_._1) ++
       blockingExprs.indices.map(i => s"_gfbk$i")).map(col)
+    // localCheckpoint-ed (two scalar longs per record): read by the
+    // representative filter AND the final label flow-back — without the
+    // cache the tuple-collapse window (a full shuffle of the input's
+    // compare/blocking columns) runs once per consumer
     val vidMap = tupled.withColumn("_gfvid",
         when(anyKey, min(col("_gfid")).over(Window.partitionBy(tupleCols: _*)))
           .otherwise(col("_gfid")))
       .select(col("_gfid"), col("_gfvid"))
+      .localCheckpoint(false)
     val reps = df.join(
       vidMap.where(col("_gfid") === col("_gfvid")).select(col("_gfid")),
       df(idCol).cast("long") === col("_gfid")).drop("_gfid")

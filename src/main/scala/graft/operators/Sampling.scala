@@ -281,8 +281,15 @@ object Sampling {
                   smoothing: Double = 1.0): DataFrame = {
     require(smoothing > 0, s"smoothing must be > 0, got $smoothing")
     def words(t: Column) = split(Dedup.normText(t), " ")
+    // vocab-bounded model frame, lazily localCheckpoint-ed (NOT
+    // persist(): the CacheManager matches cached plans by equality, so
+    // a persist would silently reuse one invocation's blocks in the
+    // next — re-runs must recompute): three consumers (the totals
+    // action, the OOV-tag broadcast, the ratio collect) otherwise each
+    // re-scan + re-tokenize the target corpus — the model counts are the
+    // lightweight proxy, the text pass is the cost (guide §3.3/§8)
     val tCounts = target.select(explode(words(col(targetTextCol))).as("_w"))
-      .groupBy(col("_w")).agg(count(lit(1)).as("_ct"))
+      .groupBy(col("_w")).agg(count(lit(1)).as("_ct")).localCheckpoint(false)
     val trow = tCounts.agg(coalesce(sum(col("_ct")), lit(0L)),
       count(lit(1))).collect()(0)
     val (nT, v) = (trow.getLong(0), trow.getLong(1))
@@ -354,8 +361,14 @@ object Sampling {
     val oovKey = " oov"
 
     val tDocs = target.select(words(col(targetTextCol)).as("_ws"))
+    // model frames localCheckpoint-ed: uni feeds the totals action AND
+    // the scoring broadcast, bi feeds ctx AND the bigram broadcast —
+    // un-materialized,
+    // each consumer re-scanned + re-tokenized the target text. The count
+    // tables are vocab-/target-token-bounded scalars (the proxy); the
+    // text pass is the cost. One target scan per n-gram order remains.
     val uni = tDocs.select(explode(col("_ws")).as("_w"))
-      .groupBy(col("_w")).agg(count(lit(1)).as("_c1"))
+      .groupBy(col("_w")).agg(count(lit(1)).as("_c1")).localCheckpoint(false)
     val trow = uni.agg(coalesce(sum(col("_c1")), lit(0L)), count(lit(1))).collect()(0)
     val (nT, v) = (trow.getLong(0), trow.getLong(1))
     require(nT > 0, "perplexityScore: target corpus is empty")
@@ -365,7 +378,7 @@ object Sampling {
         slice(col("_ws"), lit(2), greatest(size(col("_ws")) - 1, lit(0))),
         (a, b) => struct(a.as("p"), b.as("c")))).as("_pair"))
       .groupBy(col("_pair.p").as("_wp"), col("_pair.c").as("_wc"))
-      .agg(count(lit(1)).as("_c2"))
+      .agg(count(lit(1)).as("_c2")).localCheckpoint(false)
     val ctx = bi.groupBy(col("_wp")).agg(sum(col("_c2")).as("_cc"))
 
     val denomU = nT + smoothing * (v + 1)
@@ -438,8 +451,14 @@ object Sampling {
     val oovKey = " oov"
 
     val tDocs = target.select(words(col(targetTextCol)).as("_ws"))
+    // model frames localCheckpoint-ed: uni/bi/tri each feed 2-4 consumers (type
+    // counts, context totals, the scoring broadcasts, the v/bTypes
+    // actions) — un-materialized, EVERY consumer re-scanned + re-tokenized
+    // the target text (7 text passes for a 3-order model). The count
+    // tables are target-token-bounded scalar rows (the proxy); one
+    // target scan per n-gram order remains.
     val uni = tDocs.select(explode(col("_ws")).as("_w"))
-      .groupBy(col("_w")).agg(count(lit(1)).as("_c1"))
+      .groupBy(col("_w")).agg(count(lit(1)).as("_c1")).localCheckpoint(false)
     val v = uni.count()
     require(v > 0, "perplexityScoreKN: target corpus is empty")
     def adjPairs(ws: Column): Column = zip_with(
@@ -449,7 +468,7 @@ object Sampling {
     // bigram types -> continuation-unigram counts N1+(.w) and B
     val bi = tDocs.select(explode(adjPairs(col("_ws"))).as("_pair"))
       .groupBy(col("_pair.p").as("_wp"), col("_pair.c").as("_wc"))
-      .agg(count(lit(1)).as("_c2"))
+      .agg(count(lit(1)).as("_c2")).localCheckpoint(false)
     val cont1 = bi.groupBy(col("_wc").as("_f")).agg(count(lit(1)).as("_n1"))
     val bTypes = bi.count()
     // trigram counts + context totals; middle-order continuation counts
@@ -460,7 +479,7 @@ object Sampling {
         .as("_t"))
       .filter(col("_t.w").isNotNull) // zip_with pads the shorter array
       .groupBy(col("_t.u").as("_u"), col("_t.v").as("_v"), col("_t.w").as("_w3"))
-      .agg(count(lit(1)).as("_c3"))
+      .agg(count(lit(1)).as("_c3")).localCheckpoint(false)
     val ctx3 = tri.groupBy(col("_u"), col("_v"))
       .agg(sum(col("_c3")).as("_cuv"), count(lit(1)).as("_n3"))
     val cont2 = tri.groupBy(col("_v"), col("_w3"))

@@ -272,8 +272,14 @@ object DeltaMaintenance {
               .select(ordered.map(col): _*)
           else scanWithPartitionValues(spark, root, snap, removes,
             dataSchema, partCols, ordered)
+        // z ranges from the LOG's add-action stats, not a min/max scan:
+        // the rewrite then reads every selected file exactly ONCE (the
+        // Iceberg optimize path derives the same hint from manifest
+        // bounds). Files missing a bound fall back to zOrderFrame's own
+        // stats pass.
         val clustered = Sources.zOrderFrame(scan, zorderBy, numFiles = numFiles,
-          partitionCols = partCols)
+          partitionCols = partCols,
+          statsHint = DeltaStats.zRanges(snap, removes, zorderBy))
         DeltaWriter.stageAndMove(clustered, root, partCols, nonce, countRows = false)._1
       } else {
         // one distributed job for every bin across every partition: route

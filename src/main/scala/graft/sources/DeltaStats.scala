@@ -287,4 +287,47 @@ object DeltaStats {
     }
     Pruned(kept, snap.files.size, kept.size)
   }
+
+  /**
+   * Union min/max range per top-level `column` across `files`' recorded
+   * stats, in [[Sources.zOrderFrame]]'s numeric domain (double; epoch
+   * SECONDS for date/timestamp) — the Delta twin of the Iceberg
+   * manifest-bounds hint: a Z-order compaction already knows each file's
+   * bounds from the log, so scanning the data a second time just for
+   * min/max doubles the rewrite's read I/O. A column is absent from the
+   * result when ANY file lacks a usable bound (zOrderFrame then falls
+   * back to its single stats scan). Bounds from DV-carrying files
+   * (tightBounds=false) remain VALID, merely wide — scaling ranges only
+   * affect bucket utilization, never which rows survive.
+   */
+  def zRanges(snap: DeltaLog.Snapshot, files: Seq[DeltaLog.AddFile],
+              columns: Seq[String]): Map[String, (Double, Double)] = {
+    def toD(n: JsonNode, t: DataType): Option[Double] = t match {
+      case _: NumericType =>
+        if (n.isNumber) Some(n.asDouble)
+        else try Some(new JBigDecimal(n.asText).doubleValue())
+        catch { case _: Exception => None }
+      case DateType =>
+        try Some(LocalDate.parse(n.asText).toEpochDay * 86400.0)
+        catch { case _: Exception => None }
+      case TimestampType | TimestampNTZType =>
+        StatsPruning.parseStatMicros(n.asText).map(_ / 1e6)
+      case _ => None
+    }
+    val parsed = files.map(a => a.stats.flatMap(parseStats))
+    columns.flatMap { c =>
+      snap.schema.fields.find(_.name == c).flatMap { fd =>
+        val phys = Seq(DeltaLog.physicalName(fd))
+        val bounds = parsed.map(_.flatMap(st => for {
+          mn <- st.min.get(phys).flatMap(toD(_, fd.dataType))
+          mx <- st.max.get(phys).flatMap(toD(_, fd.dataType))
+        } yield (mn, mx)))
+        if (bounds.isEmpty || bounds.exists(_.isEmpty)) None
+        else {
+          val bs = bounds.flatten
+          Some(c -> (bs.map(_._1).min, bs.map(_._2).max))
+        }
+      }
+    }.toMap
+  }
 }

@@ -116,6 +116,30 @@ class DeltaMaintenanceSpec extends SparkSpec {
     assert(e.getMessage.contains("partition"))
   }
 
+  test("zRanges derives zorder scaling bounds from log stats — no data scan") {
+    val root = tmp()
+    val df = spark.range(1000).select(
+      $"id".cast("int").as("id"),
+      concat(lit("r"), $"id").as("s"),
+      (rand(3) * 500 - 100).cast("int").as("a"),
+      ($"id".cast("double") / 7.0).as("b"))
+    DeltaWriter.write(df.repartition(4), root, "append")
+    val snap = DeltaLog.snapshot(spark, root)
+    val hint = DeltaStats.zRanges(snap, snap.files, Seq("a", "b"))
+    // the hint must cover BOTH columns (otherwise zOrderFrame silently
+    // falls back to the min/max scan this fast path exists to remove)
+    assert(hint.keySet == Set("a", "b"), s"hint missing columns: $hint")
+    val truth = DeltaLog.read(spark, root)
+      .agg(min($"a"), max($"a"), min($"b"), max($"b")).head()
+    assert(hint("a") == ((truth.getInt(0).toDouble, truth.getInt(1).toDouble)))
+    assert(hint("b") == ((truth.getDouble(2), truth.getDouble(3))))
+    // a file with no recorded stats degrades to fallback, not garbage
+    val noStats = snap.files.map(_.copy(stats = None))
+    assert(DeltaStats.zRanges(snap, noStats, Seq("a", "b")).isEmpty)
+    // string columns are never hinted (zNumeric rejects them anyway)
+    assert(DeltaStats.zRanges(snap, snap.files, Seq("s")).isEmpty)
+  }
+
   test("zorder on a PARTITIONED table clusters within partitions") {
     val root = tmp()
     // interleaved layout within each of two partitions
