@@ -11,8 +11,14 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSpec {
+  // Core count is a knob (-Dgraft.test.cores=N) so the parallel test
+  // groups in build.sbt can give the CPU-bound soak suites a wider
+  // session while ordinary groups stay at the historical local[4].
+  // shuffle.partitions stays 4 regardless: plan-shape assertions
+  // (single-partition-exchange audits, window keys) key off it.
+  private val cores = sys.props.getOrElse("graft.test.cores", "4")
   lazy val session: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    .master(s"local[$cores]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
