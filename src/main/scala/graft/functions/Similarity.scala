@@ -326,10 +326,15 @@ object Similarity {
     }
   }
 
-  /** Build the IVF index (see [[ivfTopK]] for the algorithm notes). */
+  /** Build the IVF index (see [[ivfTopK]] for the algorithm notes).
+    * `seedSample`: pre-collected hash-ordered seed rows (the first
+    * `numCentroids` of a `xxhash64(id)`-ordered sample) — lets
+    * [[buildIvfPqIndex]] share ONE corpus sampling pass between the IVF
+    * seeds and the PQ training sample instead of running two. */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                     numCentroids: Int = 64, lloydIters: Int = 2,
-                    assignSpill: Int = 3, refineDenom: Int = 4): IvfIndex = {
+                    assignSpill: Int = 3, refineDenom: Int = 4,
+                    seedSample: Option[Array[(Long, Seq[Double])]] = None): IvfIndex = {
     require(assignSpill >= 1 && assignSpill <= numCentroids,
       s"assignSpill must be in [1, numCentroids], got $assignSpill")
     require(refineDenom >= 1, s"refineDenom must be >= 1, got $refineDenom")
@@ -359,12 +364,12 @@ object Similarity {
       element_at(nearestCells(rows, vec, 1), 1)
 
     // deterministic centroid sample: lowest xxhash64(id)
-    val seedRows = corp
+    val seedRows = seedSample.getOrElse(corp
       .select(col(idCol).cast("long").as("_cid"),
         col(vecCol).cast("array<double>").as("_cvec"))
       .orderBy(xxhash64(col("_cid").cast("string")))
       .limit(numCentroids)
-      .as[(Long, Seq[Double])].collect()
+      .as[(Long, Seq[Double])].collect())
 
     // Refine the hash-sampled seeds with distributed Lloyd iterations
     // (spherical k-means: cells assigned by cosine, centroid = cell mean —
@@ -463,22 +468,32 @@ object Similarity {
   def trainPqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
                       dim: Int, m: Int = 8, ksub: Int = 256,
                       trainSample: Int = 4096, iters: Int = 8): PqCodebook = {
-    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
-    require(ksub >= 1 && ksub <= 256, s"ksub must be in [1, 256], got $ksub")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val dsub = dim / m
     val sample: Array[Array[Double]] = corpus
       .select(col(vecCol).cast("array<double>").as("_v"), col(idCol))
       .orderBy(xxhash64(col(idCol).cast("string")))
       .limit(trainSample)
       .select("_v").as[Seq[Double]].collect().map(_.toArray)
+    trainPqFromSample(sample, dim, m, ksub, iters)
+  }
+
+  /** Codebooks from a pre-collected training sample. The m per-subspace
+    * Lloyd runs are independent — run them on a bounded driver pool
+    * (serially they were ~m × sample × ksub × iters distance evals on
+    * one core, the dominant driver cost of an IVF-PQ build). */
+  private def trainPqFromSample(sample: Array[Array[Double]], dim: Int,
+                                m: Int, ksub: Int,
+                                iters: Int = 8): PqCodebook = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(ksub >= 1 && ksub <= 256, s"ksub must be in [1, 256], got $ksub")
     require(sample.nonEmpty, "PQ training sample is empty")
+    val dsub = dim / m
     val k = math.min(ksub, sample.length)
-    val books = Array.tabulate(m) { s =>
+    val books = graft.core.DriverPar.map(0 until m) { s =>
       val subs = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
       kmeansL2(subs, k, iters)
-    }
+    }.toArray
     PqCodebook(m, dim, books)
   }
 
@@ -562,9 +577,24 @@ object Similarity {
                       assignSpill: Int = 3, refineDenom: Int = 4,
                       m: Int = 8, ksub: Int = 256,
                       trainSample: Int = 4096): IvfPqIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // ONE hash-ordered sampling pass serves BOTH the IVF seed rows (its
+    // first numCentroids entries — identical rows to buildIvfIndex's own
+    // orderBy/limit, same xxhash64(id) order) and the PQ training sample:
+    // the build previously ran two separate TakeOrdered jobs over the
+    // full corpus for samples drawn from the same ordering.
+    val shared: Array[(Long, Seq[Double])] = corpus
+      .select(col(idCol).cast("long").as("_cid"),
+        col(vecCol).cast("array<double>").as("_cvec"))
+      .orderBy(xxhash64(col("_cid").cast("string")))
+      .limit(math.max(numCentroids, trainSample))
+      .as[(Long, Seq[Double])].collect()
     val ivf = buildIvfIndex(corpus, idCol, vecCol, numCentroids, lloydIters,
-      assignSpill, refineDenom)
-    val cb = trainPqCodebook(corpus, idCol, vecCol, dim, m, ksub, trainSample)
+      assignSpill, refineDenom,
+      seedSample = Some(shared.take(numCentroids)))
+    val cb = trainPqFromSample(
+      shared.take(trainSample).map(_._2.toArray), dim, m, ksub)
     val cells = ivf.cells.select(col("_cell"), col(idCol),
       graft.expressions.PqFunctions.pqEncode(col(vecCol), cb.books).as("_codes"),
       norm(col(vecCol)).cast("double").as("_norm"))

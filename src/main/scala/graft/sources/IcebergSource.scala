@@ -1402,7 +1402,12 @@ object IcebergSource {
 
     // position deletes apply to files with data seq <= the delete's seq
     if (posDeleteFiles.nonEmpty) {
-      val deletes = spark.read.parquet(posDeleteFiles.map(_.path).toSeq: _*)
+      // explicit spec schema: inference would launch a footer-merge job
+      // over EVERY delete file on EVERY MOR read (at scale, thousands of
+      // files); the two columns are fixed by the Iceberg v2 spec and any
+      // optional trailing `row` payload column is ignored either way
+      val deletes = spark.read.schema(posDeleteReadSchema)
+        .parquet(posDeleteFiles.map(_.path).toSeq: _*)
         .withColumn("_gf_dseq",
           element_at(typedLit(posDeleteFiles.map(fe =>
             normSchemeString(fe.path) -> fe.seq).toMap),
@@ -1447,6 +1452,15 @@ object IcebergSource {
     }
     scan
   }
+
+  /** Position-delete file columns per the Iceberg v2 spec (reserved
+    * field ids 2147483546/2147483545). Read with this EXPLICIT schema:
+    * schema inference over N delete files costs a footer-merge pass per
+    * MOR read, and a conformant writer may append an optional `row`
+    * payload column this reader never uses. */
+  private val posDeleteReadSchema: StructType = StructType(Seq(
+    StructField("file_path", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false)))
 
   /** Driver-side twin of [[normPath]] for literal maps. */
   private def normSchemeString(p: String): String =
@@ -1980,7 +1994,8 @@ object IcebergSource {
               val byPos =
                 if (newPos.isEmpty) None
                 else {
-                  val del = spark.read.parquet(newPos.map(_.path): _*)
+                  val del = spark.read.schema(posDeleteReadSchema)
+                    .parquet(newPos.map(_.path): _*)
                     .select(normPath(col("file_path")).as("_gf_path"),
                       col("pos").as("_gf_pos"))
                   Some(live.join(del, Seq("_gf_path", "_gf_pos"), "left_semi"))
