@@ -299,6 +299,7 @@ object DeltaLog {
       // json-format V2 checkpoint: newline-delimited actions; file
       // actions may be inlined or live in sidecar parquet files
       val f = fs(spark, root)
+      val sidecars = scala.collection.mutable.ArrayBuffer.empty[Path]
       readText(f, parts.head).split('\n').iterator
         .map(_.trim).filter(_.nonEmpty).foreach { line =>
           val node = mapper.readTree(line)
@@ -307,40 +308,47 @@ object DeltaLog {
           if (node.has("add")) state.applyAdd(node.get("add"))
           if (node.has("txn")) state.applyTxn(node.get("txn"))
           if (node.has("sidecar"))
-            loadSidecar(spark, state,
-              sidecarPath(root, node.get("sidecar").get("path").asText()))
+            sidecars += sidecarPath(root, node.get("sidecar").get("path").asText())
           // remove actions in a checkpoint are vacuum tombstones, not state
         }
+      loadSidecars(spark, state, sidecars.toSeq)
       return
     }
+    // ONE scan + collect for every action class: the per-class
+    // `select(to_json(c)).collect()` loop scanned the checkpoint parquet
+    // once per class (4-5 full passes of a file that at scale holds
+    // millions of add rows). Row payload is unchanged — each action row
+    // is non-null in exactly one class column.
     val df = spark.read.parquet(parts.map(_.toString): _*)
     val cols = df.columns.toSet
-    // metaData / protocol: exactly one non-null row each in a checkpoint
-    if (cols.contains("metaData"))
-      df.select(to_json(col("metaData"))).where(col("metaData").isNotNull)
-        .collect().foreach(r => state.applyMeta(mapper.readTree(r.getString(0))))
-    if (cols.contains("protocol"))
-      df.select(to_json(col("protocol"))).where(col("protocol").isNotNull)
-        .collect().foreach(r => state.applyProtocol(mapper.readTree(r.getString(0))))
-    // checkpoints hold the already-reconciled file list: adds only
-    if (cols.contains("add"))
-      df.select(to_json(col("add"))).where(col("add").isNotNull)
-        .collect().foreach(r => state.applyAdd(mapper.readTree(r.getString(0))))
-    if (cols.contains("txn"))
-      df.select(to_json(col("txn"))).where(col("txn").isNotNull)
-        .collect().foreach(r => state.applyTxn(mapper.readTree(r.getString(0))))
-    // parquet-format V2 checkpoint: follow sidecar references
-    if (cols.contains("sidecar"))
-      df.select(to_json(col("sidecar"))).where(col("sidecar").isNotNull)
-        .collect().foreach { r =>
-          loadSidecar(spark, state,
-            sidecarPath(root, mapper.readTree(r.getString(0)).get("path").asText()))
-        }
+    val classes = Seq("metaData", "protocol", "add", "txn", "sidecar")
+    val projected = classes.map { c =>
+      if (cols.contains(c)) to_json(col(c)).as(c)
+      else lit(null).cast("string").as(c)
+    }
+    val sidecars = scala.collection.mutable.ArrayBuffer.empty[Path]
+    df.select(projected: _*).collect().foreach { r =>
+      // metaData / protocol: exactly one non-null row each in a checkpoint;
+      // checkpoints hold the already-reconciled file list: adds only
+      if (!r.isNullAt(0)) state.applyMeta(mapper.readTree(r.getString(0)))
+      if (!r.isNullAt(1)) state.applyProtocol(mapper.readTree(r.getString(1)))
+      if (!r.isNullAt(2)) state.applyAdd(mapper.readTree(r.getString(2)))
+      if (!r.isNullAt(3)) state.applyTxn(mapper.readTree(r.getString(3)))
+      // parquet-format V2 checkpoint: follow sidecar references
+      if (!r.isNullAt(4)) sidecars +=
+        sidecarPath(root, mapper.readTree(r.getString(4)).get("path").asText())
+    }
+    loadSidecars(spark, state, sidecars.toSeq)
   }
 
-  /** Sidecar parquet: add (live files) + remove (tombstones, skipped). */
-  private def loadSidecar(spark: SparkSession, state: State, p: Path): Unit = {
-    val df = spark.read.parquet(p.toString)
+  /** Sidecar parquet: add (live files) + remove (tombstones, skipped).
+    * All of a checkpoint's sidecars load in ONE scan — per-file reads
+    * cost one driver round-trip each, O(sidecars) actions per snapshot
+    * load on a large table. */
+  private def loadSidecars(spark: SparkSession, state: State,
+                           ps: Seq[Path]): Unit = {
+    if (ps.isEmpty) return
+    val df = spark.read.parquet(ps.map(_.toString): _*)
     if (df.columns.contains("add"))
       df.select(to_json(col("add"))).where(col("add").isNotNull)
         .collect().foreach(r => state.applyAdd(mapper.readTree(r.getString(0))))
