@@ -240,10 +240,13 @@ object DeltaWriter {
     val stagePartCols = partCols.map(c => physOf.getOrElse(c, c))
     // optimized write: cluster by partition values first, so file count
     // tracks PARTITIONS instead of tasks x partitions — at scale an
-    // unclustered partitioned write makes every task open every partition
+    // unclustered partitioned write makes every task open every partition.
+    // HASH clustering, not range: a value lands in exactly one task either
+    // way (same file count), but RangePartitioner pays an extra sampling
+    // pass over the staged frame — at scale a second full read
     val clustered =
       if (clusterWrite && stagePartCols.nonEmpty)
-        stageFrame.repartitionByRange(stagePartCols.map(col): _*)
+        stageFrame.repartition(stagePartCols.map(col): _*)
       else stageFrame
     val (adds, rows) =
       stageAndMove(clustered, root, stagePartCols, nonce, countRows = true)

@@ -2507,10 +2507,12 @@ object IcebergSource {
         d.withColumn(s"_p_${t.fieldName}",
           transformColumn(t, srcTypeOf(t.sourceCol))))
       // optimized write: cluster by the TRANSFORMED values first, so
-      // file count tracks partitions instead of tasks x partitions
+      // file count tracks partitions instead of tasks x partitions.
+      // HASH clustering, not range: same one-task-per-value file count
+      // without RangePartitioner's extra sampling pass over the input
       val staged =
         if (clusterWrite)
-          shadowed.repartitionByRange(
+          shadowed.repartition(
             transforms.map(t => col(s"_p_${t.fieldName}")): _*)
         else shadowed
       staged.write.mode("errorifexists")

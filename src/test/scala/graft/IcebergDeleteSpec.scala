@@ -125,6 +125,36 @@ class IcebergDeleteSpec extends SparkSpec {
     assert(ids("pos").contains(2147483545))
   }
 
+  test("reader applies a delete file carrying the optional row payload column") {
+    // The v2 spec lets a writer append a `row` column (the deleted row's
+    // values) after file_path/pos. The r18 explicit read schema must
+    // project it away, not choke on it — rewrite a delete file with the
+    // extra column in place and re-read.
+    val root = tmp()
+    IcebergSource.write((0 until 1000).map(i => (i.toLong, i % 10))
+      .toDF("id", "m").repartition(4), root)
+    val before = dataParquets(root)
+    IcebergSource.delete(spark, root, "m = 3")
+    val delFile = (dataParquets(root) -- before).head
+    val widened = spark.read.parquet(delFile)
+      .withColumn("row", concat(lit("payload-"), col("pos")))
+    val staging = java.nio.file.Files.createTempDirectory("posrow").toString + "/out"
+    widened.coalesce(1).write.parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(delFile),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // drop the local-FS checksum sidecar of the replaced file — the new
+    // bytes no longer match the stale .crc
+    val delPath = java.nio.file.Paths.get(delFile)
+    java.nio.file.Files.deleteIfExists(
+      delPath.resolveSibling("." + delPath.getFileName + ".crc"))
+    val got = IcebergSource.read(spark, root)
+    assert(got.count() == 900)
+    assert(got.filter("m = 3").count() == 0)
+  }
+
   test("partitioned delete manifests reference an UNPARTITIONED spec") {
     val root = tmp()
     IcebergSource.write((0 until 300).map(i => (i.toLong, 1.0 * i, i % 3))

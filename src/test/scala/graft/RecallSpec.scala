@@ -152,6 +152,23 @@ class RecallSpec extends SparkSpec {
     assert(found == (0L until 5L).map(i => (i + 10000, i)).toSet)
   }
 
+  test("IVF-PQ shared-sample build trains the same codebooks and seeds") {
+    // r18 optimization: buildIvfPqIndex draws ONE xxhash64(id)-ordered
+    // sample for both the IVF seeds and the PQ training sample (it ran
+    // two TakeOrdered jobs before). The training inputs must be the
+    // exact rows the standalone paths draw, so codebooks and centroids
+    // are identical.
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", dim = 64,
+      m = 16, ksub = 32)
+    val cbAlone = Similarity.trainPqCodebook(emb, "vec_id", "embedding",
+      dim = 64, m = 16, ksub = 32)
+    assert(idx.codebook.books.map(_.map(_.toSeq).toSeq).toSeq ==
+      cbAlone.books.map(_.map(_.toSeq).toSeq).toSeq)
+    val ivfAlone = Similarity.buildIvfIndex(emb, "vec_id", "embedding")
+    assert(idx.centroids.toSeq == ivfAlone.centroids.toSeq)
+  }
+
   test("LSH index save/load roundtrip matches the direct path") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter("vec_id < 20")
