@@ -65,6 +65,43 @@ object MinHashIndex {
     try out.write(p.json.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Self-describe the two tables' schemas beside params.json so probes
+    * read with an explicit schema instead of launching parquet
+    * footer-inference jobs (2 per probe; at corpus scale the index spans
+    * many files and inference is a footer sweep). Only the id column's
+    * type varies between indexes — band/bucket/sig are fixed by the
+    * format — but persisting the full DDL keeps the read site trivial. */
+  private def writeSchemas(spark: org.apache.spark.sql.SparkSession,
+                           path: String, sigs: org.apache.spark.sql.types.StructType,
+                           bands: org.apache.spark.sql.types.StructType): Unit = {
+    val node = jsonMapper.createObjectNode()
+    node.put("sigs", sigs.toDDL)
+    node.put("bands", bands.toDDL)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/schema.json"), true)
+    try out.write(node.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** (bands, sigs) read schemas, or None for an index persisted before
+    * schema.json existed (those fall back to footer inference). */
+  private def readSchemas(spark: org.apache.spark.sql.SparkSession, path: String)
+      : Option[(org.apache.spark.sql.types.StructType,
+                org.apache.spark.sql.types.StructType)] = {
+    val fp = new org.apache.hadoop.fs.Path(s"$path/schema.json")
+    val fs = fp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(fp)) None
+    else {
+      val in = fs.open(fp)
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val node = jsonMapper.readTree(txt)
+      Some((org.apache.spark.sql.types.StructType.fromDDL(node.get("bands").asText()),
+        org.apache.spark.sql.types.StructType.fromDDL(node.get("sigs").asText())))
+    }
+  }
+
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   private def checkParams(spark: org.apache.spark.sql.SparkSession,
                           path: String, p: Params): Unit = {
     val fp = new org.apache.hadoop.fs.Path(s"$path/params.json")
@@ -87,11 +124,13 @@ object MinHashIndex {
       // two tables can't swap in one atomic op; bands first, sigs second —
       // a probe racing the build sees at worst a banded id whose signature
       // join drops it (miss → kept doc), never a phantom match
+      val bands = bandRows(s, params)
       graft.core.AtomicParquet.swap(
         spark.sessionState.newHadoopConf(), s"$path/bands", "b")(tmp =>
-        bandRows(s, params).write.partitionBy("band").mode("overwrite").parquet(tmp))
+        bands.write.partitionBy("band").mode("overwrite").parquet(tmp))
       graft.core.AtomicParquet.overwrite(s, s"$path/sigs")
       writeParams(spark, path, params)
+      writeSchemas(spark, path, s.schema, bands.schema)
     } finally { s.unpersist(); () }
   }
 
@@ -103,9 +142,11 @@ object MinHashIndex {
     // persist — the batch is the small side by construction
     val s = signed(df, idCol, textCol, params).persist()
     try {
-      bandRows(s, params).write.partitionBy("band").mode("append").parquet(s"$path/bands")
+      val bands = bandRows(s, params)
+      bands.write.partitionBy("band").mode("append").parquet(s"$path/bands")
       s.write.mode("append").parquet(s"$path/sigs")
       writeParams(df.sparkSession, path, params)
+      writeSchemas(df.sparkSession, path, s.schema, bands.schema)
     } finally { s.unpersist(); () }
   }
 
@@ -145,7 +186,11 @@ object MinHashIndex {
       .groupBy(col("id")).agg(min(col("_rep")).as("_label"))
     val keepIds = labels.filter(col("id") === col("_label")).select(col("id"))
     val probe = banded.join(keepIds, Seq("id"), "left_semi")
-    val idx = spark.read.parquet(s"$path/bands")
+    // explicit schemas (when the index self-describes) skip the two
+    // footer-inference jobs an unschema'd parquet read launches per probe
+    val schemas = readSchemas(spark, path)
+    val idx = schemas.fold(spark.read)(s => spark.read.schema(s._1))
+      .parquet(s"$path/bands")
     val candidates = probe.join(
         idx.select(col("band"), col("bucket"), col("id").as("_iid")),
         Seq("band", "bucket"))
@@ -154,7 +199,8 @@ object MinHashIndex {
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("_iid"))))
       .filter(col("_rn") <= maxCandidatesPerDoc).drop("_rn")
-    val idxSigs = spark.read.parquet(s"$path/sigs")
+    val idxSigs = schemas.fold(spark.read)(s => spark.read.schema(s._2))
+      .parquet(s"$path/sigs")
       .select(col("id").as("_iid"), col("sig").as("_isig"))
     val agree = aggregate(
       zip_with(col("sig"), col("_isig"),

@@ -58,6 +58,29 @@ class MinHashIndexSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/idx/sigs").count() == 3)
   }
 
+  test("self-described schema probe equals the inference fallback") {
+    val dir = java.nio.file.Files.createTempDirectory("mhidx4").toString
+    // string ids exercise the one format-variable column type
+    val corpus = Seq(("d1", corpusText('a')), ("d2", corpusText('b')))
+      .toDF("id", "text")
+    MinHashIndex.build(corpus, "id", "text", s"$dir/idx")
+    val schemaFile = java.nio.file.Paths.get(s"$dir/idx/schema.json")
+    assert(java.nio.file.Files.exists(schemaFile), "build must self-describe")
+    val batch = Seq(("b1", corpusText('a')), ("b2", corpusText('q')))
+      .toDF("id", "text")
+    val withSchema = MinHashIndex.dedupAgainst(batch, "id", "text",
+      s"$dir/idx", threshold = 0.7).select("id").as[String].collect().toSet
+    // a pre-schema.json index (older build) must keep working via inference
+    java.nio.file.Files.delete(schemaFile)
+    val fallback = MinHashIndex.dedupAgainst(batch, "id", "text",
+      s"$dir/idx", threshold = 0.7).select("id").as[String].collect().toSet
+    assert(withSchema == fallback && withSchema == Set("b2"))
+    // append restores the self-description
+    MinHashIndex.append(Seq(("d9", corpusText('z'))).toDF("id", "text"),
+      "id", "text", s"$dir/idx")
+    assert(java.nio.file.Files.exists(schemaFile), "append must self-describe")
+  }
+
   test("parameter mismatch fails fast; plan has no cartesian product") {
     val dir = java.nio.file.Files.createTempDirectory("mhidx3").toString
     val corpus = Seq((1L, corpusText('a'))).toDF("id", "text")
