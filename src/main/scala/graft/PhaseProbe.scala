@@ -99,9 +99,8 @@ object PhaseProbe {
           val root = java.nio.file.Files.createTempDirectory("probe_ice_hidden")
             .toString + "/lineitem"
           mark("setup")
-          graft.sources.IcebergSource.write(
-            li.repartitionByRange(8, col("l_shipdate")), root,
-            partitionBy = Seq("month(l_shipdate)"))
+          graft.sources.IcebergSource.write(li, root,
+            partitionBy = Seq("month(l_shipdate)"), clusterWrite = true)
           mark("write")
           val meta = graft.sources.IcebergSource.tableMeta(s, root)
           mark("tableMeta")

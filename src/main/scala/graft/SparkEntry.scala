@@ -1407,12 +1407,14 @@ object SparkEntry {
           "l_extendedprice")
       val root = java.nio.file.Files.createTempDirectory("graft_ice_hidden")
         .toString + "/lineitem"
-      // cluster by the partition source first (the optimized-write
-      // discipline): unclustered tasks would each write every month —
-      // thousands of tiny files instead of ~one per month
-      graft.sources.IcebergSource.write(
-        li.repartitionByRange(8, col("l_shipdate")), root,
-        partitionBy = Seq("month(l_shipdate)"))
+      // cluster by the TRANSFORMED partition value first (the
+      // optimized-write discipline): unclustered tasks would each write
+      // every month — thousands of tiny files instead of ~one per month.
+      // clusterWrite hash-routes rows by month(l_shipdate) inside the
+      // writer — same one-file-per-month layout as pre-range-clustering
+      // the frame, without RangePartitioner's sampling pass over the input
+      graft.sources.IcebergSource.write(li, root,
+        partitionBy = Seq("month(l_shipdate)"), clusterWrite = true)
       val meta = graft.sources.IcebergSource.tableMeta(s, root)
       require(meta.partitionSpec.map(_.transform) == Seq("month"),
         s"expected a month transform spec, got ${meta.partitionSpec}")

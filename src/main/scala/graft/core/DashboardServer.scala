@@ -48,9 +48,7 @@ object DashboardServer {
     def mix(v: Long): Unit = { h = h * 31 + v }
     fs.listStatus(p).filter(_.getPath.getName.startsWith("meta_"))
       .sortBy(_.getPath.getName).foreach { d =>
-        val it = fs.listFiles(d.getPath, true)
-        while (it.hasNext) {
-          val f = it.next()
+        DriverPar.listFilesNoPerm(fs, d.getPath).foreach { f =>
           mix(f.getPath.getName.hashCode.toLong)
           mix(f.getModificationTime)
           mix(f.getLen)

@@ -175,12 +175,8 @@ object Discovery {
     val hadoopPath = new org.apache.hadoop.fs.Path(root)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hadoopPath)) return Map.empty
-    val it = fs.listFiles(hadoopPath, true)
     val seen = scala.collection.mutable.Map.empty[String, scala.collection.mutable.LinkedHashSet[String]]
-    var n = 0
-    while (it.hasNext && n < maxFiles) {
-      val f = it.next()
-      n += 1
+    DriverPar.listFilesNoPerm(fs, hadoopPath, maxFiles = maxFiles).foreach { f =>
       f.getPath.toString.split("/").foreach { seg =>
         val eq = seg.indexOf('=')
         if (eq > 0 && eq < seg.length - 1 && !seg.startsWith("_")) {
@@ -211,13 +207,10 @@ object Discovery {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(conf)
     require(fs.exists(rootPath), s"no parquet files under $root")
-    val files = scala.collection.mutable.ArrayBuffer.empty[String]
-    val it = fs.listFiles(rootPath, true)
-    while (it.hasNext) {
-      val f = it.next()
-      val name = f.getPath.getName
-      if (name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith("."))
-        files += f.getPath.toString
+    val files = DriverPar.listFilesNoPerm(fs, rootPath).collect {
+      case f if f.getPath.getName.endsWith(".parquet") &&
+        !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith(".") => f.getPath.toString
     }
     require(files.nonEmpty, s"no parquet files under $root")
     // Configuration is not serializable: ship the entries, rebuild per task

@@ -570,17 +570,9 @@ object DeltaDvWriter {
     var w = cdcDf.write.mode("overwrite")
     if (partCols.nonEmpty) w = w.partitionBy(partCols: _*)
     w.parquet(staging.toString)
-    val staged = {
-      val it = f.listFiles(staging, true)
-      val buf = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.LocatedFileStatus]()
-      while (it.hasNext) {
-        val s = it.next()
-        if (s.isFile && s.getPath.getName.endsWith(".parquet") &&
-          !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-          buf += s
-      }
-      buf.toSeq
-    }
+    val staged = graft.core.DriverPar.listFilesNoPerm(f, staging)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
     val stagingUri = staging.toUri.getPath
     val out = staged.zipWithIndex.map { case (s, i) =>
       val stagedRel = s.getPath.toUri.getPath.stripPrefix(stagingUri).stripPrefix("/")

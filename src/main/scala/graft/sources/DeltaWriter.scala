@@ -494,17 +494,9 @@ object DeltaWriter {
     w.parquet(staging.toString)
     val rows = if (countRows) obs.get("rows").asInstanceOf[Long] else 0L
 
-    val staged = {
-      val it = f.listFiles(staging, true)
-      val buf = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.LocatedFileStatus]()
-      while (it.hasNext) {
-        val s = it.next()
-        if (s.isFile && s.getPath.getName.endsWith(".parquet") &&
-          !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-          buf += s
-      }
-      buf.toSeq
-    }
+    val staged = graft.core.DriverPar.listFilesNoPerm(f, staging)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
     val stagingUri = staging.toUri.getPath
     // parallel rename+footer loop: each staged file's move, stat and
     // footer-stats read are independent driver I/O (~10-20 ms apiece);
@@ -658,16 +650,11 @@ object DeltaWriter {
       val stagingDir = new Path(root,
         s"_graft_cp_${java.lang.Long.toHexString(System.nanoTime())}")
       df.write.mode("overwrite").parquet(stagingDir.toString)
-      val parts = {
-        val it = f.listFiles(stagingDir, false)
-        val buf = scala.collection.mutable.ArrayBuffer[Path]()
-        while (it.hasNext) {
-          val s = it.next()
-          if (s.getPath.getName.endsWith(".parquet") && !s.getPath.getName.startsWith("_"))
-            buf += s.getPath
-        }
-        buf.sortBy(_.getName).toSeq
-      }
+      val parts = graft.core.DriverPar
+        .listFilesNoPerm(f, stagingDir, recursive = false)
+        .collect { case s if s.getPath.getName.endsWith(".parquet") &&
+          !s.getPath.getName.startsWith("_") => s.getPath }
+        .sortBy(_.getName)
       require(parts.nonEmpty, "checkpoint staging produced no parquet")
       val out = parts.zipWithIndex.map { case (p, i) =>
         val dest = dests(i)

@@ -1596,15 +1596,9 @@ object IcebergSource {
         .repartition(col("file_path"))
         .sortWithinPartitions("file_path", "pos")
         .write.mode("errorifexists").parquet(delDir.toString)
-      val files = {
-        val it = f.listFiles(delDir, true)
-        val buf = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
-        while (it.hasNext) {
-          val st = it.next()
-          if (st.isFile && st.getPath.getName.endsWith(".parquet")) buf += st
-        }
-        buf.toSeq.sortBy(_.getPath.toString)
-      }
+      val files = graft.core.DriverPar.listFilesNoPerm(f, delDir)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.toString)
       val counts = graft.core.DriverPar.map(files)(s =>
         parquetRowCount(conf, s.getPath))
       val rows = counts.sum
@@ -1665,15 +1659,9 @@ object IcebergSource {
       }: _*).distinct()
         .coalesce(1)
         .write.mode("errorifexists").parquet(delDir.toString)
-      val files = {
-        val it = f.listFiles(delDir, true)
-        val buf = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
-        while (it.hasNext) {
-          val st = it.next()
-          if (st.isFile && st.getPath.getName.endsWith(".parquet")) buf += st
-        }
-        buf.toSeq.sortBy(_.getPath.toString)
-      }
+      val files = graft.core.DriverPar.listFilesNoPerm(f, delDir)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.toString)
       val counts = graft.core.DriverPar.map(files)(s =>
         parquetRowCount(conf, s.getPath))
       val rows = counts.sum
@@ -2555,15 +2543,9 @@ object IcebergSource {
     // tryPublishMeta wins, so a terminal failure must reclaim it — the
     // lost-race cleanup inside the loop only covers manifest/ml files
     try {
-    val files = {
-      val it = f.listFiles(dataDir, true)
-      val buf = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.isFile && st.getPath.getName.endsWith(".parquet")) buf += st
-      }
-      buf.toSeq.sortBy(_.getPath.toString)
-    }
+    val files = graft.core.DriverPar.listFilesNoPerm(f, dataDir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.toString)
     // one footer read per staged file yields the row count AND the
     // per-column min/max/null-count maps the manifest entries carry —
     // what read()'s column-bound pruning (and any external Iceberg

@@ -328,14 +328,9 @@ object Sources {
         st.isDirectory && st.getPath.getName.contains("=")),
       s"$path is hive-partitioned — compact each partition directory " +
         "individually, or use a Delta sink and `graft.Tools delta optimize`")
-    def count(): Int = {
-      val it = fs.listFiles(root, true)
-      var n = 0
-      while (it.hasNext) {
-        val f = it.next().getPath.getName
-        if (f.endsWith(".parquet") && !f.startsWith("_") && !f.startsWith(".")) n += 1
-      }
-      n
+    def count(): Int = graft.core.DriverPar.listFilesNoPerm(fs, root).count { s =>
+      val f = s.getPath.getName
+      f.endsWith(".parquet") && !f.startsWith("_") && !f.startsWith(".")
     }
     val before = count()
     val df = spark.read.parquet(path)
