@@ -454,8 +454,8 @@ object DeltaDvWriter {
     def logicalCol(c: String) =
       if (!mapped) col(c)
       else col(physOf(c)).cast(DeltaLog.stripMeta(logicalType(c))).as(c)
-    val paths = snap.files.map(a => DeltaLog.absolutize(root, a.path))
-    val scan0 = spark.read.schema(dataSchema).parquet(paths: _*)
+    val scan0 = MetaScan.parquetScanStat(spark, dataSchema,
+        snap.files.map(a => DeltaLog.absolutize(root, a.path)))
       .withColumn("_gf_ridx", col("_metadata.row_index"))
       .withColumn("_gf_file", element_at(split(input_file_name(), "/"), -1))
     val scan = antiJoinDvs(spark, root, snap, scan0)

@@ -549,8 +549,8 @@ object DeltaLog {
     def logicalCol(c: String) =
       if (!mapped) col(c)
       else col(physOf(c)).cast(stripMeta(logicalType(c))).as(c)
-    val paths = snap.files.map(a => absolutize(root, a.path))
-    val rawScan = spark.read.schema(dataSchema).parquet(paths: _*)
+    val rawScan = MetaScan.parquetScanStat(spark, dataSchema,
+      snap.files.map(a => absolutize(root, a.path)))
     if (snap.partitionColumns.isEmpty)
       return applyDeletionVectors(spark, root, snap, rawScan)
         .select(ordered.map(logicalCol): _*)
@@ -728,8 +728,8 @@ object DeltaLog {
           Seq(org.apache.spark.sql.types.StructField("_change_type",
             org.apache.spark.sql.types.StringType))
         else Nil
-      val scan0 = spark.read.schema(physSchema(ctField))
-        .parquet(files.map { case (a, _, _) => absolutize(root, a.path) }: _*)
+      val scan0 = MetaScan.parquetScanStat(spark, physSchema(ctField),
+        files.map { case (a, _, _) => absolutize(root, a.path) })
       val scan = changeType match {
         case Some(ct) => scan0.withColumn("_change_type", lit(ct))
         case None => scan0

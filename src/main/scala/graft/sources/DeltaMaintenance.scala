@@ -183,8 +183,8 @@ object DeltaMaintenance {
     val pv = spark.createDataFrame(
       spark.sparkContext.parallelize(pvRows, 1), pvSchema)
     val partType = snap.schema.fields.map(fd => fd.name -> fd.dataType).toMap
-    val raw = spark.read.schema(dataSchema)
-      .parquet(removes.map(a => DeltaLog.absolutize(root, a.path)): _*)
+    val raw = MetaScan.parquetScanStat(spark, dataSchema,
+      removes.map(a => DeltaLog.absolutize(root, a.path)))
     DeltaLog.applyDeletionVectors(spark, root, snap.copy(files = removes),
         raw.withColumn("_gf_file",
           element_at(split(input_file_name(), "/"), -1)))
@@ -267,8 +267,8 @@ object DeltaMaintenance {
           if (partCols.isEmpty)
             DeltaLog.applyDeletionVectors(spark, root,
                 snap.copy(files = removes),
-                spark.read.schema(dataSchema).parquet(
-                  removes.map(a => DeltaLog.absolutize(root, a.path)): _*))
+                MetaScan.parquetScanStat(spark, dataSchema,
+                  removes.map(a => DeltaLog.absolutize(root, a.path))))
               .select(ordered.map(col): _*)
           else scanWithPartitionValues(spark, root, snap, removes,
             dataSchema, partCols, ordered)

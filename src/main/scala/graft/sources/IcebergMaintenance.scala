@@ -235,13 +235,14 @@ object IcebergMaintenance {
     val binOf: Map[String, Int] = bins.zipWithIndex.flatMap { case ((_, files), i) =>
       files.map(e => normPath(e.path) -> i)
     }.toMap
-    val candidatePaths = bins.flatMap(_._2.map(_.path)).toSeq
+    val candidateEntries = bins.flatMap(_._2).toSeq
     val commitUuid = java.util.UUID.randomUUID().toString
     val outDir = new Path(root, s"data/$commitUuid")
     // alias-aware scan: a compaction that read pre-rename files under
     // the current name only would REWRITE the renamed column as null —
     // permanent data loss the alias fallback could never repair
-    val rawScan = IcebergSource.scanFiles(spark, meta, readSchema, candidatePaths)
+    val rawScan = IcebergSource.scanFiles(spark, meta, readSchema,
+        IcebergSource.knownFiles(meta, candidateEntries))
       .withColumn("_gf_bin", element_at(typedLit(binOf),
         regexp_replace(regexp_replace(input_file_name(),
           "^[a-zA-Z][a-zA-Z0-9+.-]*:", ""), "^/+", "/")))

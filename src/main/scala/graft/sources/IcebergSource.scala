@@ -323,22 +323,32 @@ object IcebergSource {
     * parquet row index) resolved INSIDE each scan leg — `_metadata`
     * does not resolve through the generation-split Union, so callers
     * that apply row-level deletes must request the position here. */
+  /** Manifest-known (path, size, commit-timestamp) triples for a scan —
+    * what [[MetaScan.parquetScan]] plans from without re-statting files. */
+  private[sources] def knownFiles(meta: TableMeta,
+                                  entries: Seq[FileEntry]): Seq[MetaScan.KnownFile] = {
+    val tsOf: Map[Long, Long] =
+      meta.snapshots.map(s => s.snapshotId -> s.timestampMs).toMap
+    entries.map(e => MetaScan.KnownFile(e.path, e.size,
+      e.addedSnapshotId.flatMap(tsOf.get).getOrElse(0L)))
+  }
+
   private[sources] def scanEntries(spark: SparkSession, meta: TableMeta,
                                    readSchema: StructType,
                                    entries: Seq[FileEntry],
                                    withRowPos: Boolean = false): DataFrame =
-    scanFiles(spark, meta, readSchema, entries.map(_.path),
+    scanFiles(spark, meta, readSchema, knownFiles(meta, entries),
       currentGenPaths(meta, entries), withRowPos)
 
   private[sources] def scanFiles(spark: SparkSession, meta: TableMeta,
                                  readSchema: StructType,
-                                 paths: Seq[String],
+                                 files: Seq[MetaScan.KnownFile],
                                  currentGen: Set[String] = Set.empty,
                                  withRowPos: Boolean = false): DataFrame = {
     def posCol = org.apache.spark.sql.functions
       .col("_metadata.row_index").as("_gf_pos")
-    def plain(ps: Seq[String]): DataFrame = {
-      val df = spark.read.schema(readSchema).parquet(ps: _*)
+    def plain(ps: Seq[MetaScan.KnownFile]): DataFrame = {
+      val df = MetaScan.parquetScan(spark, readSchema, ps)
       if (withRowPos) df.select(
         readSchema.fieldNames.map(org.apache.spark.sql.functions.col)
           .toSeq :+ posCol: _*)
@@ -355,14 +365,14 @@ object IcebergSource {
           (path.head, (path.tail, olds))
       }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     if (aliases.isEmpty && nested.isEmpty)
-      return plain(paths)
+      return plain(files)
     // generation split: current-schema files scan PLAIN (full pushdown);
     // only older generations pay the alias coalesce. Union is by
     // position — both legs emit readSchema's columns in order.
     if (currentGen.nonEmpty) {
-      val (newP, oldP) = paths.partition(currentGen)
+      val (newP, oldP) = files.partition(f => currentGen(f.path))
       if (oldP.isEmpty)
-        return plain(paths)
+        return plain(files)
       if (newP.nonEmpty)
         return plain(newP)
           .union(scanFiles(spark, meta, readSchema, oldP,
@@ -395,8 +405,7 @@ object IcebergSource {
         }
       }
     }
-    spark.read.schema(requested)
-      .parquet(paths: _*)
+    MetaScan.parquetScan(spark, requested, files)
       .select((if (withRowPos) projected :+ posCol else projected): _*)
   }
 
@@ -1196,11 +1205,14 @@ object IcebergSource {
                   case l: java.lang.Long => Some(l.longValue()); case _ => None },
                 lowerBounds = intMap("lower_bounds")(bytesOf),
                 upperBounds = intMap("upper_bounds")(bytesOf))
-            case 1 => posDeleteFiles += FileEntry(path, seq, Nil)
+            case 1 =>
+              posDeleteFiles += FileEntry(path, seq, Nil, size = size,
+                addedSnapshotId = addedBy)
             case 2 =>
               require(eqIds.nonEmpty,
                 s"iceberg equality delete file $path lists no equality_ids")
-              eqDeleteFiles += FileEntry(path, seq, eqIds)
+              eqDeleteFiles += FileEntry(path, seq, eqIds, size = size,
+                addedSnapshotId = addedBy)
             case other => throw new IllegalArgumentException(
               s"unknown iceberg content type $other")
           }
@@ -1436,8 +1448,8 @@ object IcebergSource {
       // over EVERY delete file on EVERY MOR read (at scale, thousands of
       // files); the two columns are fixed by the Iceberg v2 spec and any
       // optional trailing `row` payload column is ignored either way
-      val deletes = spark.read.schema(posDeleteReadSchema)
-        .parquet(posDeleteFiles.map(_.path).toSeq: _*)
+      val deletes = MetaScan.parquetScan(spark, posDeleteReadSchema,
+          knownFiles(meta, posDeleteFiles.toSeq))
         .withColumn("_gf_dseq",
           element_at(typedLit(posDeleteFiles.map(fe =>
             normSchemeString(fe.path) -> fe.seq).toMap),
@@ -2012,8 +2024,8 @@ object IcebergSource {
               val byPos =
                 if (newPos.isEmpty) None
                 else {
-                  val del = spark.read.schema(posDeleteReadSchema)
-                    .parquet(newPos.map(_.path): _*)
+                  val del = MetaScan.parquetScan(spark, posDeleteReadSchema,
+                      knownFiles(meta, newPos))
                     .select(normPath(col("file_path")).as("_gf_path"),
                       col("pos").as("_gf_pos"))
                   Some(live.join(del, Seq("_gf_path", "_gf_pos"), "left_semi"))
